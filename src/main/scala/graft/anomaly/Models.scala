@@ -1,0 +1,99 @@
+package graft.anomaly
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.expressions.WindowSpec
+import org.apache.spark.sql.functions._
+
+/** Error metrics (reference: thoth/anomaly/error_metrics.py:4-13). */
+object ErrorMetrics {
+
+  /** Absolute percentage error, clamped to 1.0.
+    *
+    * The reference raises for |true| < 1e-4 (APE undefined near zero);
+    * graft yields NULL there instead — a null error simply drops out of
+    * distributed mean/threshold aggregates, which is the correct
+    * semantics for a data-parallel pipeline.
+    */
+  def ape(trueValue: Column, predicted: Column): Column =
+    when(abs(trueValue) < lit(1e-4) || predicted.isNull, lit(null))
+      .otherwise(least(abs(trueValue - predicted) / abs(trueValue), lit(1.0)))
+}
+
+/** A forecast model expressed as a window expression over an ordered
+  * per-series frame.
+  *
+  * Reference models (thoth/anomaly/models.py) train driver-side on a
+  * pandas frame per metric. graft models are Catalyst window
+  * expressions: `forecast` returns the 1-step-ahead prediction for
+  * every row of every series simultaneously, so "training" thousands of
+  * (dataset x column x metric) series is a single window exchange —
+  * no driver loop, no per-series job.
+  */
+trait ForecastModel extends Serializable {
+  def name: String
+
+  /** 1-step-ahead forecast for the current row, using only strictly
+    * preceding rows of the ordered window `w`. NULL when the model has
+    * insufficient history at this row.
+    */
+  def forecast(value: Column, w: WindowSpec): Column
+}
+
+/** Trailing-mean forecast over a fixed window length (the reference's
+  * SimpleModel candidate, thoth/anomaly/models.py:78-164: value(t) ~
+  * mean(value(t-window .. t-1)), NULL unless the full window exists).
+  */
+case class TrailingMean(window: Int) extends ForecastModel {
+  val name = s"TrailingMean-$window"
+  def forecast(value: Column, w: WindowSpec): Column = {
+    val frame = w.rowsBetween(-window, -1)
+    when(count(value).over(frame) === lit(window), avg(value).over(frame))
+  }
+}
+
+/** Seasonal-naive forecast: value(t) ~ value(t - period). Replaces the
+  * reference's AutoSarima/AutoProphet AutoML slots
+  * (thoth/anomaly/models.py:184-241) with a deterministic, fully
+  * distributed seasonal baseline.
+  */
+case class SeasonalNaive(period: Int) extends ForecastModel {
+  val name = s"SeasonalNaive-$period"
+  def forecast(value: Column, w: WindowSpec): Column = lag(value, period).over(w)
+}
+
+/** Finite-horizon exponentially weighted moving average: weights
+  * alpha*(1-alpha)^(j-1) over the last `horizon` lags, renormalized
+  * over the lags actually present. NULL when no history.
+  */
+case class Ewma(alpha: Double = 0.5, horizon: Int = 8) extends ForecastModel {
+  val name = f"Ewma-$alpha%.2f-$horizon"
+  def forecast(value: Column, w: WindowSpec): Column = {
+    val terms = (1 to horizon).map { j =>
+      val weight = alpha * math.pow(1 - alpha, j - 1)
+      val lagged = lag(value, j).over(w)
+      (
+        when(lagged.isNotNull, lagged * lit(weight)).otherwise(lit(0.0)),
+        when(lagged.isNotNull, lit(weight)).otherwise(lit(0.0))
+      )
+    }
+    val num = terms.map(_._1).reduce(_ + _)
+    val den = terms.map(_._2).reduce(_ + _)
+    when(den > lit(0.0), num / den)
+  }
+}
+
+/** Model factory (reference: thoth/anomaly/models.py:244-277). */
+object Models {
+  /** The reference SimpleModel's candidate windows. */
+  val defaultWindows: Seq[Int] = Seq(3, 5, 7, 30)
+
+  def trailingMeans(windows: Seq[Int] = defaultWindows): Seq[ForecastModel] =
+    windows.map(TrailingMean)
+
+  /** Default family: trailing means + seasonal-naive + EWMA. */
+  def default: Seq[ForecastModel] =
+    trailingMeans() ++ Seq(SeasonalNaive(7), Ewma())
+
+  /** Simple family (reference SimpleModelFactory): trailing means only. */
+  def simple: Seq[ForecastModel] = trailingMeans()
+}

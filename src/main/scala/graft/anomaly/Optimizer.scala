@@ -1,0 +1,165 @@
+package graft.anomaly
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Distributed anomaly-model optimization.
+  *
+  * Reference flow (thoth/anomaly/optimization.py:162-322): per metric,
+  * driver-side forward-chaining cross-validation per model, then a
+  * threshold grid search. graft runs the same logic as DataFrame
+  * transforms over ALL series at once: the series table is partitioned
+  * by series key, each model is a window expression, and the threshold
+  * grid is an exploded sequence — so optimizing 10^5 datasets is one
+  * shuffle per stage instead of 10^5 driver loops.
+  *
+  * Semantic notes (deliberate deltas, same search space):
+  *  - the reference re-picks the SimpleModel's best window inside every
+  *    CV step using only that step's prefix; graft evaluates each
+  *    candidate window as its own model over the whole validation
+  *    region and selects per-series winners once.
+  *  - the reference swaps in a reduced model factory for constant
+  *    series purely to dodge AutoML training cost
+  *    (optimization.py:217-231); graft models are all O(1) window
+  *    expressions, so no fast path is needed — a constant series just
+  *    yields zero errors for every model and the deterministic
+  *    tie-break picks the first model.
+  */
+object Optimizer {
+
+  case class Config(
+      models: Seq[ForecastModel] = Models.default,
+      confidence: Double = 0.99,
+      minThreshold: Double = 0.1,
+      startProportion: Option[Double] = None,
+      thresholdGrid: Int = 100
+  )
+
+  /** Adaptive validation start proportion
+    * (thoth/anomaly/optimization.py:271-281) as a column over the
+    * series length.
+    */
+  private def startProportionCol(n: Column, cfg: Config): Column =
+    cfg.startProportion
+      .map(lit)
+      .getOrElse(
+        when(n >= 100, 0.1).when(n >= 50, 0.2).when(n >= 25, 0.4).otherwise(0.8)
+      )
+
+  /** Per-row, per-model 1-step forecasts and APE errors, long format:
+    * seriesCols*, ts, value, rn, n, is_validation, model, predicted,
+    * error. One window exchange computes every model's forecast for
+    * every row; the model dimension is unpivoted with a generated
+    * array (narrow, no extra shuffle).
+    */
+  def forecastErrors(
+      series: DataFrame,
+      seriesCols: Seq[String],
+      tsCol: String = "ts",
+      valueCol: String = "value",
+      cfg: Config = Config()
+  ): DataFrame = {
+    val w = Window.partitionBy(seriesCols.map(col): _*).orderBy(col(tsCol))
+    val value = col(valueCol)
+    val withForecasts = cfg.models.zipWithIndex
+      .foldLeft(
+        series
+          .withColumn("rn", row_number().over(w))
+          .withColumn(
+            "n",
+            count(lit(1)).over(Window.partitionBy(seriesCols.map(col): _*))
+          )
+      ) { case (df, (m, i)) => df.withColumn(s"_f$i", m.forecast(value, w)) }
+      // Validation region: 0-based index >= floor(start_proportion * n)
+      // (thoth/anomaly/optimization.py:166-173).
+      .withColumn(
+        "is_validation",
+        (col("rn") - 1) >= floor(startProportionCol(col("n"), cfg) * col("n"))
+      )
+    val entries = cfg.models.zipWithIndex.map { case (m, i) =>
+      struct(lit(m.name).as("model"), col(s"_f$i").as("predicted"))
+    }
+    withForecasts
+      .select(
+        (seriesCols.map(col) :+ col(tsCol) :+ value.as("value") :+ col("rn") :+
+          col("n") :+ col("is_validation") :+ explode(array(entries: _*)).as("mf")): _*
+      )
+      .withColumn("model", col("mf.model"))
+      .withColumn("predicted", col("mf.predicted"))
+      .withColumn("error", ErrorMetrics.ape(col("value"), col("predicted")))
+      .drop("mf")
+  }
+
+  /** Per-(series, model) validation summary:
+    * seriesCols*, model, mean_error, threshold (grid-optimized, BEFORE
+    * the min-threshold floor), below_proportion.
+    *
+    * threshold = smallest t in {1/g .. g/g} with P(error <= t) >=
+    * confidence (thoth/anomaly/optimization.py:103-138). Because errors
+    * are clamped to 1.0, t = 1.0 always qualifies, so the min is total.
+    */
+  def evaluate(
+      series: DataFrame,
+      seriesCols: Seq[String],
+      tsCol: String = "ts",
+      valueCol: String = "value",
+      cfg: Config = Config()
+  ): DataFrame = {
+    val keyCols = seriesCols :+ "model"
+    val errors = forecastErrors(series, seriesCols, tsCol, valueCol, cfg)
+      .where(col("is_validation") && col("error").isNotNull)
+    val meanErrors = errors
+      .groupBy(keyCols.map(col): _*)
+      .agg(avg(col("error")).as("mean_error"), count(lit(1)).as("n_validation"))
+    val g = cfg.thresholdGrid
+    val coverage = errors
+      .select(
+        (keyCols.map(col) :+ col("error") :+
+          (explode(sequence(lit(1), lit(g))).cast("double") / g).as("t")): _*
+      )
+      .groupBy((keyCols :+ "t").map(col): _*)
+      .agg(
+        avg(when(col("error") <= col("t"), 1.0).otherwise(0.0))
+          .as("below_proportion")
+      )
+    val thresholds = coverage
+      .where(col("below_proportion") >= cfg.confidence)
+      .groupBy(keyCols.map(col): _*)
+      .agg(min(struct(col("t"), col("below_proportion"))).as("best"))
+      .select(
+        (keyCols.map(col) :+ col("best.t").as("threshold") :+
+          col("best.below_proportion").as("below_proportion")): _*
+      )
+    meanErrors.join(thresholds, keyCols, "left")
+  }
+
+  /** Best model per series, by (threshold, mean_error) as in the
+    * reference's ValidationTimeSeries ordering
+    * (thoth/anomaly/optimization.py:48-49, 200-214), with the model
+    * name as a deterministic tie-break. The min-threshold floor
+    * (optimization.py:246-251) is applied AFTER selection.
+    *
+    * Output: seriesCols*, best_model, threshold, mean_error,
+    * below_proportion.
+    */
+  def optimize(
+      series: DataFrame,
+      seriesCols: Seq[String],
+      tsCol: String = "ts",
+      valueCol: String = "value",
+      cfg: Config = Config()
+  ): DataFrame = {
+    val w = Window
+      .partitionBy(seriesCols.map(col): _*)
+      .orderBy(col("threshold"), col("mean_error"), col("model"))
+    evaluate(series, seriesCols, tsCol, valueCol, cfg)
+      .withColumn("_rank", row_number().over(w))
+      .where(col("_rank") === 1)
+      .select(
+        (seriesCols.map(col) :+ col("model").as("best_model") :+
+          greatest(col("threshold"), lit(cfg.minThreshold)).as("threshold") :+
+          col("mean_error") :+ col("below_proportion")): _*
+      )
+  }
+}

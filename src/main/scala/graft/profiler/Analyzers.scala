@@ -1,0 +1,115 @@
+package graft.profiler
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** A profiling analyzer: a named aggregate `Column` expression.
+  *
+  * This is the core architectural departure from the reference
+  * (thoth/profiler.py:40-135 builds Deequ analyzer *jobs*): graft
+  * analyzers are plain Catalyst aggregate expressions, so an arbitrary
+  * set of analyzers over an arbitrary set of columns collapses into a
+  * SINGLE `groupBy(ts).agg(...)` pass — one shuffle, map-side partial
+  * aggregation, whole-stage codegen. At 100 TB this matters: the
+  * reference submits one Spark job per day-partition; graft submits one
+  * job total regardless of the number of days.
+  */
+trait ColumnAnalyzer extends Serializable {
+
+  /** Analyzer name as it appears in the metric key (e.g. "Mean"). */
+  def name: String
+
+  /** Aggregate expression producing a double for the given column. */
+  def expr(column: String): Column
+}
+
+object Analyzers {
+
+  /** Fraction of non-null values (reference: Deequ Completeness). */
+  case object Completeness extends ColumnAnalyzer {
+    val name = "Completeness"
+    def expr(c: String): Column =
+      (count(col(c)) / count(lit(1))).cast(DoubleType)
+  }
+
+  /** Arithmetic mean of a numeric column. */
+  case object Mean extends ColumnAnalyzer {
+    val name = "Mean"
+    def expr(c: String): Column = avg(col(c)).cast(DoubleType)
+  }
+
+  /** Sample standard deviation.
+    *
+    * graft standardizes on the sample estimator (n-1 denominator) —
+    * the ANSI SQL `stddev` default — for oracle parity across engines.
+    */
+  case object StandardDeviation extends ColumnAnalyzer {
+    val name = "StandardDeviation"
+    def expr(c: String): Column = stddev_samp(col(c)).cast(DoubleType)
+  }
+
+  case object Min extends ColumnAnalyzer {
+    val name = "Minimum"
+    def expr(c: String): Column = min(col(c)).cast(DoubleType)
+  }
+
+  case object Max extends ColumnAnalyzer {
+    val name = "Maximum"
+    def expr(c: String): Column = max(col(c)).cast(DoubleType)
+  }
+
+  case object Sum extends ColumnAnalyzer {
+    val name = "Sum"
+    def expr(c: String): Column = sum(col(c)).cast(DoubleType)
+  }
+
+  /** Exact interpolated percentile (correctness path; oracle-parity
+    * with ANSI `percentile_cont`). For 100 TB prefer [[ApproxQuantile]].
+    */
+  case class Quantile(q: Double) extends ColumnAnalyzer {
+    val name = s"Quantile-$q"
+    def expr(c: String): Column =
+      percentile(col(c), lit(q)).cast(DoubleType)
+  }
+
+  /** Approximate percentile (t-digest-style sketch, partial-aggregatable
+    * — the 100 TB path; reference: Deequ ApproxQuantiles).
+    */
+  case class ApproxQuantile(q: Double, accuracy: Int = 10000) extends ColumnAnalyzer {
+    val name = s"ApproxQuantile-$q"
+    def expr(c: String): Column =
+      percentile_approx(col(c), lit(q), lit(accuracy)).cast(DoubleType)
+  }
+
+  /** Exact distinct count (reference: Deequ CountDistinct). Exact
+    * distinct inside a wide agg requires expand+reshuffle; at 100 TB
+    * use [[ApproxCountDistinct]] (HLL++, sketch-mergeable).
+    */
+  case object CountDistinct extends ColumnAnalyzer {
+    val name = "CountDistinct"
+    def expr(c: String): Column = count_distinct(col(c)).cast(DoubleType)
+  }
+
+  /** HLL++ approximate distinct count — constant-size partial state,
+    * the scale path for distinctness profiling.
+    */
+  case class ApproxCountDistinct(rsd: Double = 0.01) extends ColumnAnalyzer {
+    val name = "ApproxCountDistinct"
+    def expr(c: String): Column =
+      approx_count_distinct(col(c), rsd).cast(DoubleType)
+  }
+
+  /** Dataset-scoped row count (reference: Deequ Size). */
+  case object Size extends ColumnAnalyzer {
+    val name = "Size"
+    def expr(c: String): Column = count(lit(1)).cast(DoubleType)
+  }
+
+  /** Ratio of distinct values to rows (Deequ Distinctness). */
+  case object Distinctness extends ColumnAnalyzer {
+    val name = "Distinctness"
+    def expr(c: String): Column =
+      (count_distinct(col(c)) / count(lit(1))).cast(DoubleType)
+  }
+}

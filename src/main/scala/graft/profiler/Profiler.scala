@@ -1,0 +1,189 @@
+package graft.profiler
+
+import graft.core.{Granularity, Metric}
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Maps a Spark type predicate to the analyzers applied to columns of
+  * that type (reference: thoth/profiler.py:32-83 `Type2Analyzers` +
+  * `ProfilingBuilder`).
+  */
+case class TypeMapping(appliesTo: DataType => Boolean, analyzers: Seq[ColumnAnalyzer])
+
+/** Builds the (metric, aggregate expression) set for a schema.
+  *
+  * The resulting plan is declarative: every analyzer is an aggregate
+  * `Column`, so Catalyst fuses them into one physical aggregation.
+  */
+class ProfilingBuilder(
+    val typeMappings: Seq[TypeMapping],
+    val datasetAnalyzers: Seq[ColumnAnalyzer] = Seq(Analyzers.Size)
+) extends Serializable {
+  require(
+    typeMappings.nonEmpty || datasetAnalyzers.nonEmpty,
+    "At least typeMappings or datasetAnalyzers must be provided."
+  )
+
+  /** All (metric key, aggregate expression) pairs for the given fields. */
+  def metricExprs(fields: Seq[StructField]): Seq[(Metric, Column)] = {
+    val columnMetrics = for {
+      field <- fields
+      mapping <- typeMappings if mapping.appliesTo(field.dataType)
+      analyzer <- mapping.analyzers
+    } yield Metric("Column", field.name, analyzer.name) -> analyzer.expr(field.name)
+    val datasetMetrics =
+      datasetAnalyzers.map(a => Metric("Dataset", "*", a.name) -> a.expr("*"))
+    columnMetrics ++ datasetMetrics
+  }
+}
+
+object ProfilingBuilder {
+  import Analyzers._
+
+  /** Default analyzer set — mirrors the reference's
+    * DefaultProfilingBuilder (thoth/profiler.py:86-112): numeric →
+    * Mean/StdDev/Quantiles(.25/.5/.75); everything → Completeness;
+    * string → CountDistinct; dataset → Size.
+    */
+  def default: ProfilingBuilder = new ProfilingBuilder(
+    typeMappings = Seq(
+      TypeMapping(
+        _.isInstanceOf[NumericType],
+        Seq(Mean, StandardDeviation, Quantile(0.25), Quantile(0.5), Quantile(0.75))
+      ),
+      TypeMapping(_ => true, Seq(Completeness)),
+      TypeMapping(_.isInstanceOf[StringType], Seq(CountDistinct))
+    ),
+    datasetAnalyzers = Seq(Size)
+  )
+
+  /** Minimal set — mirrors SimpleProfilingBuilder
+    * (thoth/profiler.py:115-135).
+    */
+  def simple: ProfilingBuilder = new ProfilingBuilder(
+    typeMappings = Seq(
+      TypeMapping(_.isInstanceOf[NumericType], Seq(Mean)),
+      TypeMapping(_ => true, Seq(Completeness))
+    ),
+    datasetAnalyzers = Seq(Size)
+  )
+
+  /** Scale-oriented set: sketch-only aggregates (HLL, approx
+    * percentiles) whose partial state is constant-size — the 100 TB
+    * configuration.
+    */
+  def sketch: ProfilingBuilder = new ProfilingBuilder(
+    typeMappings = Seq(
+      TypeMapping(
+        _.isInstanceOf[NumericType],
+        Seq(Mean, StandardDeviation, ApproxQuantile(0.25), ApproxQuantile(0.5), ApproxQuantile(0.75))
+      ),
+      TypeMapping(_ => true, Seq(Completeness)),
+      TypeMapping(_.isInstanceOf[StringType], Seq(ApproxCountDistinct()))
+    ),
+    datasetAnalyzers = Seq(Size)
+  )
+}
+
+/** Single-pass distributed profiler.
+  *
+  * Reference behavior (thoth/profiler.py:282-338): collect distinct
+  * timestamps to the driver, then run one profiling job per timestamp.
+  * graft instead truncates ts to the granularity and computes ALL
+  * metrics for ALL partitions in ONE `groupBy`: the shuffle is keyed on
+  * the truncated ts, every aggregate is partial-aggregatable, and the
+  * shuffled state per (day, metric) is O(1) (or sketch-sized). One job,
+  * any number of days — this is the shape that survives 100 TB.
+  */
+object Profiler {
+
+  /** Profile `df` into the long-format metrics table:
+    * `(ts, entity, instance, name, value)`.
+    *
+    * @param df          input data
+    * @param tsColumn    event-time column
+    * @param builder     analyzer configuration
+    * @param granularity partition grain (see [[graft.core.Granularity]])
+    */
+  def profile(
+      df: DataFrame,
+      tsColumn: String,
+      builder: ProfilingBuilder = ProfilingBuilder.default,
+      granularity: String = Granularity.Day
+  ): DataFrame = {
+    val fields = df.schema.fields.filterNot(_.name == tsColumn).toSeq
+    val metricExprs = builder.metricExprs(fields)
+    val aliased = metricExprs.zipWithIndex.map { case ((_, expr), i) => expr.as(s"_m$i") }
+    val wide = df
+      .withColumn("ts", date_trunc(Granularity.truncUnit(granularity), col(tsColumn)))
+      .groupBy(col("ts"))
+      .agg(aliased.head, aliased.tail: _*)
+    // Unpivot wide → long with a generated array-of-structs: stays a
+    // narrow (no-shuffle) projection on top of the single aggregation.
+    val entries = metricExprs.zipWithIndex.map { case ((m, _), i) =>
+      struct(
+        lit(m.entity).as("entity"),
+        lit(m.instance).as("instance"),
+        lit(m.name).as("name"),
+        col(s"_m$i").as("value")
+      )
+    }
+    wide
+      .select(col("ts"), explode(array(entries: _*)).as("pv"))
+      .select(
+        col("ts"),
+        col("pv.entity").as("entity"),
+        col("pv.instance").as("instance"),
+        col("pv.name").as("name"),
+        col("pv.value").as("value")
+      )
+  }
+
+  /** Distinctness + Uniqueness ratios per ts partition (Deequ-style;
+    * beyond the reference's analyzer set). These need value-frequency
+    * counts, i.e. a two-level aggregation — still two map-side-
+    * combinable shuffles, no driver loop:
+    * distinctness = |distinct values| / rows,
+    * uniqueness   = |values appearing exactly once| / rows.
+    */
+  def uniquenessProfile(
+      df: DataFrame,
+      tsColumn: String,
+      column: String,
+      granularity: String = Granularity.Day
+  ): DataFrame =
+    df.withColumn("ts", date_trunc(Granularity.truncUnit(granularity), col(tsColumn)))
+      .where(col(column).isNotNull)
+      .groupBy(col("ts"), col(column))
+      .agg(count(lit(1)).as("cnt"))
+      .groupBy(col("ts"))
+      .agg(
+        lit(column).as("instance"),
+        (count(lit(1)) / sum(col("cnt"))).as("distinctness"),
+        (sum(when(col("cnt") === 1, 1L).otherwise(0L)) / sum(col("cnt")))
+          .as("uniqueness")
+      )
+      .select("ts", "instance", "distinctness", "uniqueness")
+
+  /** Shannon entropy (nats) of a column's value distribution per ts
+    * partition, via the numerically stable ln(N) - sum(c*ln c)/N form.
+    */
+  def entropyProfile(
+      df: DataFrame,
+      tsColumn: String,
+      column: String,
+      granularity: String = Granularity.Day
+  ): DataFrame =
+    df.withColumn("ts", date_trunc(Granularity.truncUnit(granularity), col(tsColumn)))
+      .where(col(column).isNotNull)
+      .groupBy(col("ts"), col(column))
+      .agg(count(lit(1)).as("cnt"))
+      .groupBy(col("ts"))
+      .agg(
+        lit(column).as("instance"),
+        (log(sum(col("cnt"))) - sum(col("cnt") * log(col("cnt"))) / sum(col("cnt")))
+          .as("entropy")
+      )
+      .select("ts", "instance", "entropy")
+}

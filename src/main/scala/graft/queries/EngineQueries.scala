@@ -1,0 +1,183 @@
+package graft.queries
+
+import graft.Tables
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.types._
+
+/** Core analytics-engine queries (SURVEY §2.3) — the bench headliners.
+  *
+  * Plan notes for 100 TB: `q1` is a single map-side-combinable
+  * aggregation; `q3`/`q5` broadcast every dimension side (customer at
+  * TPC-H ratios is 1/10 of lineitem — still shuffled; region/nation/
+  * supplier/part always broadcast); top-k uses rank-over-partition with
+  * partial top-k pushdown via the window group limit optimizer rule
+  * (Spark 3.5+ WindowGroupLimit) rather than a global sort.
+  */
+object EngineQueries extends QueryPack {
+
+  private val q1 = Q(
+    fn = (s, d) =>
+      Tables
+        .lineitem(s, d)
+        .filter(col("l_shipdate") <= lit("1998-09-02"))
+        .groupBy(col("l_returnflag"), col("l_linestatus"))
+        .agg(
+          decSum2(col("l_quantity")).as("sum_qty"),
+          decSum2(col("l_extendedprice")).as("sum_base_price"),
+          decSum6(col("l_extendedprice") * (lit(1) - col("l_discount")))
+            .as("sum_disc_price"),
+          decSum6(
+            col("l_extendedprice") * (lit(1) - col("l_discount")) *
+              (lit(1) + col("l_tax"))
+          ).as("sum_charge"),
+          decAvg2(col("l_quantity")).as("avg_qty"),
+          decAvg2(col("l_extendedprice")).as("avg_price"),
+          decAvg2(col("l_discount")).as("avg_disc"),
+          count(lit(1)).as("count_order")
+        )
+        .orderBy(col("l_returnflag"), col("l_linestatus")),
+    oracle = Some(s"""
+      SELECT l_returnflag, l_linestatus,
+        ${sqlDecSum2("l_quantity")} AS sum_qty,
+        ${sqlDecSum2("l_extendedprice")} AS sum_base_price,
+        ${sqlDecSum6("l_extendedprice * (1 - l_discount)")} AS sum_disc_price,
+        ${sqlDecSum6("l_extendedprice * (1 - l_discount) * (1 + l_tax)")} AS sum_charge,
+        ${sqlDecAvg2("l_quantity")} AS avg_qty,
+        ${sqlDecAvg2("l_extendedprice")} AS avg_price,
+        ${sqlDecAvg2("l_discount")} AS avg_disc,
+        COUNT(*) AS count_order
+      FROM lineitem
+      WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+      GROUP BY l_returnflag, l_linestatus
+      ORDER BY l_returnflag, l_linestatus""")
+  )
+
+  private val q3 = Q(
+    fn = (s, d) => {
+      val cust = Tables
+        .customer(s, d)
+        .filter(col("c_mktsegment") === "BUILDING")
+        .select("c_custkey")
+      val ord = Tables
+        .orders(s, d)
+        .filter(col("o_orderdate") < lit("1995-03-15"))
+        .select("o_orderkey", "o_custkey", "o_orderdate", "o_orderpriority")
+      val li = Tables
+        .lineitem(s, d)
+        .filter(col("l_shipdate") > lit("1995-03-15"))
+        .select("l_orderkey", "l_extendedprice", "l_discount")
+      li.join(ord, col("l_orderkey") === col("o_orderkey"))
+        .join(broadcast(cust), col("o_custkey") === col("c_custkey"))
+        .groupBy(col("l_orderkey"), col("o_orderdate"), col("o_orderpriority"))
+        .agg(
+          decSum6(col("l_extendedprice") * (lit(1) - col("l_discount")))
+            .as("revenue")
+        )
+        .orderBy(col("revenue").desc, col("l_orderkey"))
+        .limit(10)
+    },
+    oracle = Some(s"""
+      SELECT l_orderkey, o_orderdate, o_orderpriority,
+        ${sqlDecSum6("l_extendedprice * (1 - l_discount)")} AS revenue
+      FROM lineitem
+      JOIN orders ON l_orderkey = o_orderkey
+      JOIN customer ON o_custkey = c_custkey
+      WHERE c_mktsegment = 'BUILDING'
+        AND o_orderdate < TIMESTAMP '1995-03-15 00:00:00'
+        AND l_shipdate > TIMESTAMP '1995-03-15 00:00:00'
+      GROUP BY l_orderkey, o_orderdate, o_orderpriority
+      ORDER BY revenue DESC, l_orderkey
+      LIMIT 10""")
+  )
+
+  private val q5 = Q(
+    fn = (s, d) => {
+      val sup = Tables.supplier(s, d).select("s_suppkey", "s_nationkey")
+      val nat = Tables.nation(s, d)
+      val reg = Tables.region(s, d).filter(col("r_name") === "ASIA")
+      val ord = Tables
+        .orders(s, d)
+        .filter(
+          col("o_orderdate") >= lit("1996-01-01") &&
+            col("o_orderdate") < lit("1998-01-01")
+        )
+        .select("o_orderkey")
+      Tables
+        .lineitem(s, d)
+        .select("l_orderkey", "l_suppkey", "l_extendedprice", "l_discount")
+        .join(ord, col("l_orderkey") === col("o_orderkey"))
+        .join(broadcast(sup), col("l_suppkey") === col("s_suppkey"))
+        .join(broadcast(nat), col("s_nationkey") === col("n_nationkey"))
+        .join(broadcast(reg), col("n_regionkey") === col("r_regionkey"))
+        .groupBy(col("n_name"))
+        .agg(
+          decSum6(col("l_extendedprice") * (lit(1) - col("l_discount")))
+            .as("revenue")
+        )
+        .orderBy(col("revenue").desc, col("n_name"))
+    },
+    oracle = Some(s"""
+      SELECT n_name,
+        ${sqlDecSum6("l_extendedprice * (1 - l_discount)")} AS revenue
+      FROM lineitem
+      JOIN orders ON l_orderkey = o_orderkey
+      JOIN supplier ON l_suppkey = s_suppkey
+      JOIN nation ON s_nationkey = n_nationkey
+      JOIN region ON n_regionkey = r_regionkey
+      WHERE r_name = 'ASIA'
+        AND o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+        AND o_orderdate < TIMESTAMP '1998-01-01 00:00:00'
+      GROUP BY n_name
+      ORDER BY revenue DESC, n_name""")
+  )
+
+  private val windowTopK = Q(
+    fn = (s, d) => {
+      val w = Window
+        .partitionBy(col("o_orderpriority"))
+        .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+      Tables
+        .orders(s, d)
+        .select(col("o_orderpriority"), col("o_orderkey"), col("o_totalprice"))
+        .withColumn("rank", row_number().over(w))
+        .filter(col("rank") <= 3)
+        .orderBy(col("o_orderpriority"), col("rank"))
+    },
+    oracle = Some("""
+      SELECT o_orderpriority, o_orderkey, o_totalprice, rank FROM (
+        SELECT o_orderpriority, o_orderkey, o_totalprice,
+          ROW_NUMBER() OVER (PARTITION BY o_orderpriority
+            ORDER BY o_totalprice DESC, o_orderkey) AS rank
+        FROM orders)
+      WHERE rank <= 3
+      ORDER BY o_orderpriority, rank""")
+  )
+
+  private val antiJoin = Q(
+    fn = (s, d) =>
+      Tables
+        .orders(s, d)
+        .join(
+          Tables.lineitem(s, d).select("l_orderkey"),
+          col("o_orderkey") === col("l_orderkey"),
+          "left_anti"
+        )
+        .select(col("o_orderkey"), col("o_totalprice"))
+        .orderBy(col("o_orderkey")),
+    oracle = Some("""
+      SELECT o_orderkey, o_totalprice
+      FROM orders
+      WHERE NOT EXISTS (
+        SELECT 1 FROM lineitem WHERE l_orderkey = o_orderkey)
+      ORDER BY o_orderkey""")
+  )
+
+  val queries: Map[String, Q] = Map(
+    "q1_agg" -> q1,
+    "q3_join" -> q3,
+    "q5_multi_join" -> q5,
+    "q_window_topk" -> windowTopK,
+    "q_anti_join" -> antiJoin
+  )
+}

@@ -1,0 +1,255 @@
+package graft.queries
+
+import graft.Tables
+import graft.core.Granularity
+import graft.profiler.{Analyzers, Profiler, ProfilingBuilder, TypeMapping}
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Profiler queries (SURVEY §2.1) over the `events` table.
+  *
+  * Every query is ONE `groupBy(day)` pass regardless of the number of
+  * days — contrast with the reference's job-per-timestamp loop
+  * (thoth/profiler.py:313-336). Oracle SQL mirrors each metric as a
+  * UNION ALL over the same day-truncated CTE.
+  */
+object ProfilerQueries extends QueryPack {
+
+  private val numericCols = Seq("event_id", "user_id", "value")
+  private val stringCols = Seq("event_type", "props")
+  private val allCols = Seq("event_id", "user_id", "event_type", "value", "props")
+
+  /** Long-format output, deterministically rounded + ordered. */
+  private def finish(df: DataFrame): DataFrame =
+    df.withColumn("value", round(col("value"), 6))
+      .orderBy("ts", "entity", "instance", "name")
+
+  /** One SELECT per (instance, name, sql expr), UNION ALL'd over the
+    * day-truncated events CTE — the DuckDB mirror of a profile pass.
+    */
+  private def oracle(metrics: Seq[(String, String, String)], entity: String = "Column"): String = {
+    val selects = metrics.map { case (instance, name, expr) =>
+      val ent = if (instance == "*") "Dataset" else entity
+      s"""SELECT ts, '$ent' AS entity, '$instance' AS instance, '$name' AS name,
+         round($expr, 6) AS value FROM e GROUP BY ts"""
+    }
+    s"""WITH e AS (SELECT ${sqlDay("ts")} AS ts, event_id, user_id, event_type, value, props FROM events)
+       ${selects.mkString("\nUNION ALL\n")}
+       ORDER BY ts, entity, instance, name"""
+  }
+
+  private def builderOf(analyzers: Analyzers.type => Seq[graft.profiler.ColumnAnalyzer], numeric: Boolean) =
+    new ProfilingBuilder(
+      typeMappings = Seq(
+        TypeMapping(
+          t => if (numeric) t.isInstanceOf[NumericType] else t.isInstanceOf[StringType],
+          analyzers(Analyzers)
+        )
+      ),
+      datasetAnalyzers = Seq()
+    )
+
+  private val size = Q(
+    fn = (s, d) =>
+      finish(
+        Profiler.profile(
+          Tables.events(s, d),
+          "ts",
+          new ProfilingBuilder(Seq(), Seq(Analyzers.Size))
+        )
+      ),
+    oracle = Some(oracle(Seq(("*", "Size", "CAST(COUNT(*) AS DOUBLE)"))))
+  )
+
+  private val completeness = Q(
+    fn = (s, d) =>
+      finish(
+        Profiler.profile(
+          Tables.events(s, d),
+          "ts",
+          new ProfilingBuilder(
+            Seq(TypeMapping(_ => true, Seq(Analyzers.Completeness))),
+            Seq()
+          )
+        )
+      ),
+    oracle = Some(
+      oracle(allCols.map(c => (c, "Completeness", s"CAST(COUNT($c) AS DOUBLE) / COUNT(*)")))
+    )
+  )
+
+  private val mean = Q(
+    fn = (s, d) =>
+      finish(Profiler.profile(Tables.events(s, d), "ts", builderOf(a => Seq(a.Mean), numeric = true))),
+    oracle = Some(oracle(numericCols.map(c => (c, "Mean", s"AVG($c)"))))
+  )
+
+  private val stddev = Q(
+    fn = (s, d) =>
+      finish(
+        Profiler.profile(
+          Tables.events(s, d),
+          "ts",
+          builderOf(a => Seq(a.StandardDeviation), numeric = true)
+        )
+      ),
+    oracle = Some(
+      oracle(numericCols.map(c => (c, "StandardDeviation", s"STDDEV_SAMP($c)")))
+    )
+  )
+
+  private val quantiles = Q(
+    fn = (s, d) =>
+      finish(
+        Profiler.profile(
+          Tables.events(s, d),
+          "ts",
+          builderOf(
+            a => Seq(a.Quantile(0.25), a.Quantile(0.5), a.Quantile(0.75)),
+            numeric = true
+          )
+        )
+      ),
+    oracle = Some(
+      oracle(for {
+        c <- numericCols
+        q <- Seq(0.25, 0.5, 0.75)
+      } yield (c, s"Quantile-$q", s"quantile_cont($c, $q)"))
+    )
+  )
+
+  private val countDistinct = Q(
+    fn = (s, d) =>
+      finish(
+        Profiler.profile(
+          Tables.events(s, d),
+          "ts",
+          builderOf(a => Seq(a.CountDistinct), numeric = false)
+        )
+      ),
+    oracle = Some(
+      oracle(stringCols.map(c => (c, "CountDistinct", s"CAST(COUNT(DISTINCT $c) AS DOUBLE)")))
+    )
+  )
+
+  private val approxDistinct = Q(
+    fn = (s, d) =>
+      finish(
+        Profiler.profile(
+          Tables.events(s, d),
+          "ts",
+          builderOf(a => Seq(a.ApproxCountDistinct()), numeric = false)
+        )
+      ),
+    oracle = None // HLL sketch values are engine-specific
+  )
+
+  private val minmax = Q(
+    fn = (s, d) =>
+      finish(
+        Profiler.profile(
+          Tables.events(s, d),
+          "ts",
+          builderOf(a => Seq(a.Min, a.Max, a.Sum), numeric = true)
+        )
+      ),
+    oracle = Some(
+      oracle(
+        numericCols.flatMap(c =>
+          Seq(
+            (c, "Minimum", s"CAST(MIN($c) AS DOUBLE)"),
+            (c, "Maximum", s"CAST(MAX($c) AS DOUBLE)"),
+            (c, "Sum", s"CAST(SUM($c) AS DOUBLE)")
+          )
+        )
+      )
+    )
+  )
+
+  private val uniqueness = Q(
+    fn = (s, d) =>
+      Profiler
+        .uniquenessProfile(Tables.events(s, d), "ts", "user_id")
+        .withColumn("distinctness", round(col("distinctness"), 6))
+        .withColumn("uniqueness", round(col("uniqueness"), 6))
+        .orderBy("ts"),
+    oracle = Some(s"""
+      WITH c AS (
+        SELECT ${sqlDay("ts")} AS ts, user_id, COUNT(*) AS cnt
+        FROM events WHERE user_id IS NOT NULL GROUP BY 1, 2)
+      SELECT ts, 'user_id' AS instance,
+        round(COUNT(*) / CAST(SUM(cnt) AS DOUBLE), 6) AS distinctness,
+        round(SUM(CASE WHEN cnt = 1 THEN 1 ELSE 0 END) / CAST(SUM(cnt) AS DOUBLE), 6) AS uniqueness
+      FROM c GROUP BY ts ORDER BY ts""")
+  )
+
+  private val entropy = Q(
+    fn = (s, d) =>
+      Profiler
+        .entropyProfile(Tables.events(s, d), "ts", "event_type")
+        .withColumn("entropy", round(col("entropy"), 6))
+        .orderBy("ts"),
+    oracle = Some(s"""
+      WITH c AS (
+        SELECT ${sqlDay("ts")} AS ts, event_type, COUNT(*) AS cnt
+        FROM events WHERE event_type IS NOT NULL GROUP BY 1, 2)
+      SELECT ts, 'event_type' AS instance,
+        round(ln(CAST(SUM(cnt) AS DOUBLE))
+          - SUM(cnt * ln(CAST(cnt AS DOUBLE))) / CAST(SUM(cnt) AS DOUBLE), 6) AS entropy
+      FROM c GROUP BY ts ORDER BY ts""")
+  )
+
+  private val report = Q(
+    fn = (s, d) => finish(Profiler.profile(Tables.events(s, d), "ts", ProfilingBuilder.default)),
+    oracle = Some(
+      oracle(
+        numericCols.flatMap(c =>
+          Seq(
+            (c, "Mean", s"AVG($c)"),
+            (c, "StandardDeviation", s"STDDEV_SAMP($c)"),
+            (c, "Quantile-0.25", s"quantile_cont($c, 0.25)"),
+            (c, "Quantile-0.5", s"quantile_cont($c, 0.5)"),
+            (c, "Quantile-0.75", s"quantile_cont($c, 0.75)")
+          )
+        ) ++ allCols.map(c => (c, "Completeness", s"CAST(COUNT($c) AS DOUBLE) / COUNT(*)"))
+          ++ stringCols.map(c => (c, "CountDistinct", s"CAST(COUNT(DISTINCT $c) AS DOUBLE)"))
+          ++ Seq(("*", "Size", "CAST(COUNT(*) AS DOUBLE)"))
+      )
+    )
+  )
+
+  private val granularityHour = Q(
+    fn = (s, d) =>
+      finish(
+        Profiler.profile(
+          Tables.events(s, d),
+          "ts",
+          builderOf(a => Seq(a.Mean), numeric = true),
+          Granularity.Hour
+        )
+      ),
+    oracle = Some(s"""
+      WITH e AS (SELECT ${sqlTrunc("hour", "ts")} AS ts, event_id, user_id, value FROM events)
+      ${numericCols
+        .map(c => s"""SELECT ts, 'Column' AS entity, '$c' AS instance, 'Mean' AS name,
+           round(AVG($c), 6) AS value FROM e GROUP BY ts""")
+        .mkString("\nUNION ALL\n")}
+      ORDER BY ts, entity, instance, name""")
+  )
+
+  val queries: Map[String, Q] = Map(
+    "profile_size" -> size,
+    "profile_completeness" -> completeness,
+    "profile_mean" -> mean,
+    "profile_stddev" -> stddev,
+    "profile_quantiles" -> quantiles,
+    "profile_count_distinct" -> countDistinct,
+    "profile_approx_distinct" -> approxDistinct,
+    "profile_minmax" -> minmax,
+    "profile_uniqueness" -> uniqueness,
+    "profile_entropy" -> entropy,
+    "profile_report" -> report,
+    "profile_granularity_hour" -> granularityHour
+  )
+}
