@@ -13,7 +13,8 @@ object SparkEntry {
 
   private val packs: Seq[QueryPack] = Seq(
     EngineQueries,
-    ProfilerQueries
+    ProfilerQueries,
+    AnomalyQueries
   )
 
   private lazy val registry: Map[String, Q] =

@@ -116,8 +116,10 @@ object Optimizer {
     val coverage = errors
       .select(
         (keyCols.map(col) :+ col("error") :+
-          (explode(sequence(lit(1), lit(g))).cast("double") / g).as("t")): _*
+          explode(sequence(lit(1), lit(g))).as("_g")): _*
       )
+      .withColumn("t", col("_g").cast("double") / g)
+      .drop("_g")
       .groupBy((keyCols :+ "t").map(col): _*)
       .agg(
         avg(when(col("error") <= col("t"), 1.0).otherwise(0.0))

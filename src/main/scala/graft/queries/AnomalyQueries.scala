@@ -1,0 +1,256 @@
+package graft.queries
+
+import graft.Tables
+import graft.anomaly._
+import graft.quality.Quality
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Anomaly-pipeline queries (SURVEY §2.2).
+  *
+  * The metric series under test is the profiler's natural output: the
+  * per-day mean of `events.value` per `event_type` (5 series x 30
+  * days), rounded identically on both engines so downstream window
+  * math starts from bit-identical inputs. Every query below runs the
+  * REAL distributed operators (Optimizer/Scorer/Quality) — the oracle
+  * re-derives the same semantics in portable SQL window functions.
+  */
+object AnomalyQueries extends QueryPack {
+
+  // ---- shared series (Spark side) -------------------------------------
+  private def series(s: SparkSession, d: String): DataFrame =
+    Tables
+      .events(s, d)
+      .groupBy(col("event_type"), date_trunc("day", col("ts")).as("ts"))
+      .agg(round(avg(col("value")), 6).as("value"))
+
+  private val seriesCols = Seq("event_type")
+
+  private def cfg(models: Seq[ForecastModel], confidence: Double = 0.95) =
+    Optimizer.Config(
+      models = models,
+      confidence = confidence,
+      startProportion = Some(0.4)
+    )
+
+  // ---- shared SQL fragments (oracle side) -----------------------------
+  private val seriesCte =
+    s"""WITH s AS (
+        SELECT event_type, ${sqlDay("ts")} AS ts, round(AVG(value), 6) AS value
+        FROM events GROUP BY 1, 2)"""
+
+  private def tmSql(w: Int): String = {
+    val win =
+      s"(PARTITION BY event_type ORDER BY ts ROWS BETWEEN $w PRECEDING AND 1 PRECEDING)"
+    s"CASE WHEN COUNT(value) OVER $win = $w THEN AVG(value) OVER $win END"
+  }
+
+  private def snSql(p: Int): String =
+    s"lag(value, $p) OVER (PARTITION BY event_type ORDER BY ts)"
+
+  private def ewmaSql(alpha: Double, horizon: Int): String = {
+    val lagw = "(PARTITION BY event_type ORDER BY ts)"
+    val terms = (1 to horizon).map { j =>
+      val w = s"($alpha * power(1 - $alpha, ${j - 1}))"
+      (
+        s"CASE WHEN lag(value, $j) OVER $lagw IS NOT NULL THEN lag(value, $j) OVER $lagw * $w ELSE 0.0 END",
+        s"CASE WHEN lag(value, $j) OVER $lagw IS NOT NULL THEN $w ELSE 0.0 END"
+      )
+    }
+    val num = terms.map(_._1).mkString("(", " + ", ")")
+    val den = terms.map(_._2).mkString("(", " + ", ")")
+    s"CASE WHEN $den > 0.0 THEN $num / $den END"
+  }
+
+  private val apeSql =
+    """CASE WHEN abs(value) < 0.0001 OR predicted IS NULL THEN NULL
+       ELSE least(abs(value - predicted) / abs(value), 1.0) END"""
+
+  /** Long error table for a set of (modelName, forecastExpr). */
+  private def errSql(models: Seq[(String, String)]): String =
+    models
+      .map { case (name, fexpr) =>
+        s"""SELECT event_type, ts, value, rn, n, '$name' AS model, predicted,
+            $apeSql AS error
+         FROM (SELECT event_type, ts, value,
+            row_number() OVER (PARTITION BY event_type ORDER BY ts) AS rn,
+            count(*) OVER (PARTITION BY event_type) AS n,
+            $fexpr AS predicted FROM s)"""
+      }
+      .mkString("\nUNION ALL\n")
+
+  private val validSql = "(rn - 1) >= floor(0.4 * n) AND error IS NOT NULL"
+
+  /** Per-(series, model) summary mirror of Optimizer.evaluate. */
+  private def summarySql(models: Seq[(String, String)], confidence: Double): String =
+    s""", err AS (${errSql(models)}),
+       v AS (SELECT * FROM err WHERE $validSql),
+       me AS (SELECT event_type, model, avg(error) AS mean_error,
+              count(*) AS n_validation FROM v GROUP BY 1, 2),
+       cells AS (SELECT event_type, model, t,
+              avg(CASE WHEN error <= t THEN 1.0 ELSE 0.0 END) AS below_proportion
+         FROM v CROSS JOIN (SELECT range / 100.0 AS t FROM range(1, 101))
+         GROUP BY 1, 2, 3),
+       th AS (SELECT event_type, model, min(t) AS threshold FROM cells
+              WHERE below_proportion >= $confidence GROUP BY 1, 2),
+       summary AS (
+         SELECT me.event_type, me.model, me.mean_error, me.n_validation,
+                th.threshold, c.below_proportion
+         FROM me JOIN th ON me.event_type = th.event_type AND me.model = th.model
+         JOIN cells c ON c.event_type = me.event_type AND c.model = me.model
+           AND c.t = th.threshold)"""
+
+  private val tmModels = Seq(3, 5, 7).map(w => (s"TrailingMean-$w", tmSql(w)))
+  private val bestModels = tmModels :+ ("SeasonalNaive-7", snSql(7))
+
+  private val bestModelSelSql =
+    s"""SELECT event_type, model AS best_model, greatest(threshold, 0.1) AS threshold,
+        mean_error, below_proportion
+      FROM (SELECT *, row_number() OVER (PARTITION BY event_type
+              ORDER BY threshold, mean_error, model) AS rk FROM summary)
+      WHERE rk = 1"""
+
+  // ---- queries --------------------------------------------------------
+
+  private def forecastQuery(model: ForecastModel, sqlExpr: String) = Q(
+    fn = (s, d) =>
+      Optimizer
+        .forecastErrors(series(s, d), seriesCols, cfg = cfg(Seq(model)))
+        .select(
+          col("event_type"),
+          col("ts"),
+          col("value"),
+          round(col("predicted"), 6).as("predicted"),
+          round(col("error"), 6).as("error")
+        )
+        .orderBy("event_type", "ts"),
+    oracle = Some(s"""$seriesCte, f AS (
+        SELECT event_type, ts, value, $sqlExpr AS predicted FROM s)
+      SELECT event_type, ts, value, round(predicted, 6) AS predicted,
+        round($apeSql, 6) AS error
+      FROM f ORDER BY event_type, ts""")
+  )
+
+  private val bestWindow = Q(
+    fn = (s, d) =>
+      Optimizer
+        .evaluate(series(s, d), seriesCols, cfg = cfg(Models.trailingMeans(Seq(3, 5, 7))))
+        .select(
+          col("event_type"),
+          col("model"),
+          round(col("mean_error"), 6).as("mean_error"),
+          col("n_validation")
+        )
+        .orderBy("event_type", "model"),
+    oracle = Some(s"""$seriesCte, err AS (${errSql(tmModels)})
+      SELECT event_type, model, round(avg(error), 6) AS mean_error,
+        count(*) AS n_validation
+      FROM err WHERE $validSql
+      GROUP BY event_type, model ORDER BY event_type, model""")
+  )
+
+  private val threshold = Q(
+    fn = (s, d) =>
+      Optimizer
+        .evaluate(series(s, d), seriesCols, cfg = cfg(Seq(TrailingMean(7))))
+        .select(
+          col("event_type"),
+          col("model"),
+          col("threshold"),
+          round(col("mean_error"), 6).as("mean_error"),
+          col("below_proportion")
+        )
+        .orderBy("event_type"),
+    oracle = Some(s"""$seriesCte ${summarySql(Seq(("TrailingMean-7", tmSql(7))), 0.95)}
+      SELECT event_type, model, threshold, round(mean_error, 6) AS mean_error,
+        below_proportion
+      FROM summary ORDER BY event_type""")
+  )
+
+  private val bestModel = Q(
+    fn = (s, d) =>
+      Optimizer
+        .optimize(
+          series(s, d),
+          seriesCols,
+          cfg = cfg(Models.trailingMeans(Seq(3, 5, 7)) :+ SeasonalNaive(7))
+        )
+        .select(
+          col("event_type"),
+          col("best_model"),
+          col("threshold"),
+          round(col("mean_error"), 6).as("mean_error"),
+          col("below_proportion")
+        )
+        .orderBy("event_type"),
+    oracle = Some(s"""$seriesCte ${summarySql(bestModels, 0.95)}
+      SELECT event_type, best_model, threshold, round(mean_error, 6) AS mean_error,
+        below_proportion
+      FROM ($bestModelSelSql) ORDER BY event_type""")
+  )
+
+  private def scoreDf(s: SparkSession, d: String): DataFrame = {
+    val ser = series(s, d)
+    val c = cfg(Models.trailingMeans(Seq(3, 5, 7)) :+ SeasonalNaive(7))
+    Scorer.score(ser, Optimizer.optimize(ser, seriesCols, cfg = c), seriesCols, cfg = c)
+  }
+
+  private val scoreSql =
+    s""", last AS (${errSql(bestModels)}),
+       scored AS (
+         SELECT l.event_type, l.ts, l.value, l.predicted, l.error AS score
+         FROM last l JOIN ($bestModelSelSql) b
+           ON l.event_type = b.event_type AND l.model = b.best_model
+         WHERE l.rn = l.n)"""
+
+  private val scoreLast = Q(
+    fn = (s, d) =>
+      scoreDf(s, d)
+        .select(
+          col("event_type"),
+          col("ts"),
+          col("value"),
+          round(col("predicted"), 6).as("predicted"),
+          round(col("score"), 6).as("score")
+        )
+        .orderBy("event_type"),
+    oracle = Some(s"""$seriesCte ${summarySql(bestModels, 0.95)} $scoreSql
+      SELECT event_type, ts, value, round(predicted, 6) AS predicted,
+        round(score, 6) AS score
+      FROM scored ORDER BY event_type""")
+  )
+
+  private val assess = Q(
+    fn = (s, d) => {
+      val ser = series(s, d)
+      val c = cfg(Models.trailingMeans(Seq(3, 5, 7)) :+ SeasonalNaive(7))
+      val opt = Optimizer.optimize(ser, seriesCols, cfg = c)
+      Quality
+        .assess(Scorer.score(ser, opt, seriesCols, cfg = c), opt, seriesCols)
+        .select(
+          col("event_type"),
+          col("ts"),
+          round(col("score"), 6).as("score"),
+          col("threshold"),
+          col("is_anomalous")
+        )
+        .orderBy("event_type")
+    },
+    oracle = Some(s"""$seriesCte ${summarySql(bestModels, 0.95)} $scoreSql
+      SELECT sc.event_type, sc.ts, round(sc.score, 6) AS score, b.threshold,
+        sc.score > b.threshold AS is_anomalous
+      FROM scored sc JOIN ($bestModelSelSql) b ON sc.event_type = b.event_type
+      ORDER BY sc.event_type""")
+  )
+
+  val queries: Map[String, Q] = Map(
+    "anomaly_forecast_simple" -> forecastQuery(TrailingMean(7), tmSql(7)),
+    "anomaly_forecast_seasonal" -> forecastQuery(SeasonalNaive(7), snSql(7)),
+    "anomaly_forecast_ewma" -> forecastQuery(Ewma(0.5, 8), ewmaSql(0.5, 8)),
+    "anomaly_best_window" -> bestWindow,
+    "anomaly_threshold" -> threshold,
+    "anomaly_best_model" -> bestModel,
+    "anomaly_score_last" -> scoreLast,
+    "quality_assess" -> assess
+  )
+}
