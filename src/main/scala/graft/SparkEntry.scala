@@ -14,7 +14,10 @@ object SparkEntry {
   private val packs: Seq[QueryPack] = Seq(
     EngineQueries,
     ProfilerQueries,
-    AnomalyQueries
+    AnomalyQueries,
+    TextQueries,
+    DedupQueries,
+    SimilarityQueries
   )
 
   private lazy val registry: Map[String, Q] =

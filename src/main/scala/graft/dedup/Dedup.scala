@@ -1,0 +1,190 @@
+package graft.dedup
+
+import graft.text.Text
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Deduplication operators for training-data pipelines (SURVEY §2.4).
+  *
+  * Scale design: every variant reduces to (1) a per-document signature
+  * computed scan-side with codegen'd expressions, (2) a shuffle keyed
+  * on a compact signature (never the document text), and (3) pairwise
+  * work only *within* signature buckets. No all-pairs comparison ever
+  * happens across buckets — that is what makes 100 TB feasible.
+  */
+object Dedup {
+
+  /** Exact dedup: keep the lowest id per key. The shuffle key is a
+    * 64-bit content hash, not the text itself; the window picks a
+    * deterministic survivor per group.
+    */
+  def exact(
+      df: DataFrame,
+      textCol: String,
+      idCol: String,
+      canonicalize: Column => Column = identity
+  ): DataFrame = {
+    val keyed = df.withColumn("_key", xxhash64(canonicalize(col(textCol))))
+    val w = Window.partitionBy(col("_key")).orderBy(col(idCol))
+    keyed
+      .withColumn("_rn", row_number().over(w))
+      .where(col("_rn") === 1)
+      .drop("_key", "_rn")
+  }
+
+  /** Exact dedup after normalization (case/punctuation/whitespace
+    * insensitive).
+    */
+  def exactNormalized(df: DataFrame, textCol: String, idCol: String): DataFrame =
+    exact(df, textCol, idCol, Text.normalize)
+
+  /** MinHash signature: for seed s, min over shingles of
+    * xxhash64(shingle, s). All `numHashes` mins are computed in one
+    * projection over the shingle array — scan-side, no shuffle.
+    */
+  def minhashSignature(shingles: Column, numHashes: Int): Column =
+    array((0 until numHashes).map { s =>
+      array_min(transform(shingles, sh => xxhash64(sh, lit(s))))
+    }: _*)
+
+  /** LSH band keys: the signature is cut into `bands` rows of
+    * `rowsPerBand`, each band hashed to one bucket key.
+    */
+  def bandHashes(sig: Column, bands: Int, rowsPerBand: Int): Column =
+    array((0 until bands).map { b =>
+      struct(
+        lit(b).as("band"),
+        xxhash64(
+          (lit(b) +: (0 until rowsPerBand).map(r =>
+            element_at(sig, b * rowsPerBand + r + 1)
+          )): _*
+        ).as("bucket")
+      )
+    }: _*)
+
+  /** MinHash-LSH near-duplicate candidate pairs, verified with exact
+    * shingle-set Jaccard.
+    *
+    * Pipeline: shingle -> minhash (scan-side) -> explode bands ->
+    * shuffle on (band, bucket) -> pairs within buckets -> distinct ->
+    * join signatures back -> exact Jaccard filter. Only documents
+    * agreeing on at least one band are ever paired.
+    *
+    * Output: id_a, id_b, jaccard (estimated from signature agreement).
+    */
+  def minhashLshPairs(
+      df: DataFrame,
+      textCol: String,
+      idCol: String,
+      shingleN: Int = 3,
+      numHashes: Int = 16,
+      bands: Int = 4,
+      threshold: Double = 0.5
+  ): DataFrame = {
+    val rowsPerBand = numHashes / bands
+    val sigs = df
+      .select(
+        col(idCol).as("id"),
+        minhashSignature(Text.wordShingles(col(textCol), shingleN), numHashes)
+          .as("sig")
+      )
+      .where(size(col("sig")) > 0)
+    val banded = sigs
+      .select(
+        col("id"),
+        explode(bandHashes(col("sig"), bands, rowsPerBand)).as("bh")
+      )
+      .select(col("id"), col("bh.band").as("band"), col("bh.bucket").as("bucket"))
+    val candidates = banded
+      .as("a")
+      .join(banded.as("b"), Seq("band", "bucket"))
+      .where(col("a.id") < col("b.id"))
+      .select(col("a.id").as("id_a"), col("b.id").as("id_b"))
+      .distinct()
+    // Signature-estimated Jaccard: fraction of agreeing minhash slots.
+    val simExpr = {
+      val za = zip_with(col("_sa"), col("_sb"), (x, y) => when(x === y, 1).otherwise(0))
+      aggregate(za, lit(0), (acc, v) => acc + v).cast("double") / numHashes
+    }
+    candidates
+      .join(sigs.select(col("id").as("id_a"), col("sig").as("_sa")), Seq("id_a"))
+      .join(sigs.select(col("id").as("id_b"), col("sig").as("_sb")), Seq("id_b"))
+      .withColumn("jaccard", simExpr)
+      .where(col("jaccard") >= threshold)
+      .select("id_a", "id_b", "jaccard")
+  }
+
+  /** 64-bit SimHash over a token array: bit j of the signature is the
+    * sign of sum(+1/-1 over tokens by bit j of xxhash64(token)).
+    * One expression tree per bit, all evaluated in a single projection.
+    */
+  def simhash64(toks: Column): Column =
+    (0 until 64)
+      .map { j =>
+        val vote = aggregate(
+          toks,
+          lit(0),
+          (acc, t) =>
+            acc + when(shiftright(xxhash64(t), j).bitwiseAND(1) === 1, 1)
+              .otherwise(-1)
+        )
+        when(vote > 0, lit(1L << j)).otherwise(lit(0L))
+      }
+      .reduce(_ + _) // disjoint bits: + == |
+
+  /** SimHash near-dup pairs with Hamming distance <= maxHamming.
+    *
+    * Candidate generation uses the pigeonhole principle: the 64-bit
+    * signature is split into maxHamming+1 chunks; any pair within
+    * maxHamming bits must agree exactly on at least one chunk, so the
+    * shuffle key is (chunk_id, chunk_value) and only chunk-colliding
+    * pairs are compared.
+    */
+  def simhashPairs(
+      df: DataFrame,
+      textCol: String,
+      idCol: String,
+      maxHamming: Int = 3
+  ): DataFrame = {
+    val chunks = maxHamming + 1
+    val bitsPerChunk = 64 / chunks
+    val sigs = df.select(
+      col(idCol).as("id"),
+      simhash64(Text.tokens(col(textCol))).as("sig")
+    )
+    val chunked = sigs.select(
+      col("id"),
+      col("sig"),
+      explode(array((0 until chunks).map { c =>
+        struct(
+          lit(c).as("chunk"),
+          shiftright(col("sig"), c * bitsPerChunk)
+            .bitwiseAND((1L << bitsPerChunk) - 1)
+            .as("ck")
+        )
+      }: _*)).as("ch")
+    )
+    val a = chunked.select(
+      col("ch.chunk").as("chunk"),
+      col("ch.ck").as("ck"),
+      col("id").as("id_a"),
+      col("sig").as("_siga")
+    )
+    val b = chunked.select(
+      col("ch.chunk").as("chunk"),
+      col("ch.ck").as("ck"),
+      col("id").as("id_b"),
+      col("sig").as("_sigb")
+    )
+    a.join(b, Seq("chunk", "ck"))
+      .where(col("id_a") < col("id_b"))
+      .select(
+        col("id_a"),
+        col("id_b"),
+        bit_count(col("_siga").bitwiseXOR(col("_sigb"))).as("hamming")
+      )
+      .where(col("hamming") <= maxHamming)
+      .distinct()
+  }
+}

@@ -22,7 +22,7 @@ object AnomalyQueries extends QueryPack {
     Tables
       .events(s, d)
       .groupBy(col("event_type"), date_trunc("day", col("ts")).as("ts"))
-      .agg(round(avg(col("value")), 6).as("value"))
+      .agg(round6(avg(col("value"))).as("value"))
 
   private val seriesCols = Seq("event_type")
 
@@ -120,8 +120,8 @@ object AnomalyQueries extends QueryPack {
           col("event_type"),
           col("ts"),
           col("value"),
-          round(col("predicted"), 6).as("predicted"),
-          round(col("error"), 6).as("error")
+          round6(col("predicted")).as("predicted"),
+          round6(col("error")).as("error")
         )
         .orderBy("event_type", "ts"),
     oracle = Some(s"""$seriesCte, f AS (
@@ -138,7 +138,7 @@ object AnomalyQueries extends QueryPack {
         .select(
           col("event_type"),
           col("model"),
-          round(col("mean_error"), 6).as("mean_error"),
+          round6(col("mean_error")).as("mean_error"),
           col("n_validation")
         )
         .orderBy("event_type", "model"),
@@ -157,7 +157,7 @@ object AnomalyQueries extends QueryPack {
           col("event_type"),
           col("model"),
           col("threshold"),
-          round(col("mean_error"), 6).as("mean_error"),
+          round6(col("mean_error")).as("mean_error"),
           col("below_proportion")
         )
         .orderBy("event_type"),
@@ -179,7 +179,7 @@ object AnomalyQueries extends QueryPack {
           col("event_type"),
           col("best_model"),
           col("threshold"),
-          round(col("mean_error"), 6).as("mean_error"),
+          round6(col("mean_error")).as("mean_error"),
           col("below_proportion")
         )
         .orderBy("event_type"),
@@ -210,8 +210,8 @@ object AnomalyQueries extends QueryPack {
           col("event_type"),
           col("ts"),
           col("value"),
-          round(col("predicted"), 6).as("predicted"),
-          round(col("score"), 6).as("score")
+          round6(col("predicted")).as("predicted"),
+          round6(col("score")).as("score")
         )
         .orderBy("event_type"),
     oracle = Some(s"""$seriesCte ${summarySql(bestModels, 0.95)} $scoreSql
@@ -230,7 +230,7 @@ object AnomalyQueries extends QueryPack {
         .select(
           col("event_type"),
           col("ts"),
-          round(col("score"), 6).as("score"),
+          round6(col("score")).as("score"),
           col("threshold"),
           col("is_anomalous")
         )

@@ -22,7 +22,7 @@ object ProfilerQueries extends QueryPack {
 
   /** Long-format output, deterministically rounded + ordered. */
   private def finish(df: DataFrame): DataFrame =
-    df.withColumn("value", round(col("value"), 6))
+    df.withColumn("value", round6(col("value")))
       .orderBy("ts", "entity", "instance", "name")
 
   /** One SELECT per (instance, name, sql expr), UNION ALL'd over the
@@ -171,8 +171,8 @@ object ProfilerQueries extends QueryPack {
     fn = (s, d) =>
       Profiler
         .uniquenessProfile(Tables.events(s, d), "ts", "user_id")
-        .withColumn("distinctness", round(col("distinctness"), 6))
-        .withColumn("uniqueness", round(col("uniqueness"), 6))
+        .withColumn("distinctness", round6(col("distinctness")))
+        .withColumn("uniqueness", round6(col("uniqueness")))
         .orderBy("ts"),
     oracle = Some(s"""
       WITH c AS (
@@ -188,7 +188,7 @@ object ProfilerQueries extends QueryPack {
     fn = (s, d) =>
       Profiler
         .entropyProfile(Tables.events(s, d), "ts", "event_type")
-        .withColumn("entropy", round(col("entropy"), 6))
+        .withColumn("entropy", round6(col("entropy")))
         .orderBy("ts"),
     oracle = Some(s"""
       WITH c AS (

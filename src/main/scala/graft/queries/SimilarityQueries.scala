@@ -1,0 +1,53 @@
+package graft.queries
+
+import graft.Tables
+import graft.similarity.Similarity
+import org.apache.spark.sql.functions._
+
+/** Similarity-search queries (SURVEY §2.5) over `embeddings`. */
+object SimilarityQueries extends QueryPack {
+
+  private val cosSql = """
+    list_sum(list_transform(range(1, len(q.embedding) + 1),
+      i -> CAST(q.embedding[i] AS DOUBLE) * CAST(c.embedding[i] AS DOUBLE)))
+    / (sqrt(list_sum(list_transform(range(1, len(q.embedding) + 1),
+         i -> CAST(q.embedding[i] AS DOUBLE) * CAST(q.embedding[i] AS DOUBLE))))
+     * sqrt(list_sum(list_transform(range(1, len(c.embedding) + 1),
+         i -> CAST(c.embedding[i] AS DOUBLE) * CAST(c.embedding[i] AS DOUBLE)))))"""
+
+  private val bruteForce = Q(
+    fn = (s, d) => {
+      val emb = Tables.embeddings(s, d)
+      Similarity
+        .bruteForceTopK(emb.filter(col("vec_id") < 5), emb, "vec_id", "embedding", 5)
+        .orderBy("query_id", "rank")
+    },
+    oracle = Some(s"""
+      WITH sims AS (
+        SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+          round($cosSql, 6) AS sim
+        FROM embeddings q JOIN embeddings c ON q.vec_id <> c.vec_id
+        WHERE q.vec_id < 5),
+      ranked AS (
+        SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+          ORDER BY sim DESC, neighbor_id) AS rank
+        FROM sims)
+      SELECT query_id, neighbor_id, sim, rank FROM ranked
+      WHERE rank <= 5 ORDER BY query_id, rank""")
+  )
+
+  private val lsh = Q(
+    fn = (s, d) => {
+      val emb = Tables.embeddings(s, d)
+      Similarity
+        .lshTopK(emb.filter(col("vec_id") < 5), emb, "vec_id", "embedding", 5)
+        .orderBy("query_id", "rank")
+    },
+    oracle = None // bucket assignment depends on engine hash planes
+  )
+
+  val queries: Map[String, Q] = Map(
+    "ann_bruteforce_topk" -> bruteForce,
+    "ann_lsh_topk" -> lsh
+  )
+}

@@ -1,0 +1,139 @@
+package graft.queries
+
+import graft.Tables
+import graft.text.Text
+import org.apache.spark.sql.functions._
+
+/** Text-analysis queries (SURVEY §2.6) over `documents`. */
+object TextQueries extends QueryPack {
+
+  private def inList(words: Seq[String]): String =
+    words.map(w => s"'$w'").mkString("(", ", ", ")")
+
+  private def swCountSql(lang: String): String =
+    s"len(list_filter(string_split(text, ' '), t -> t IN ${inList(Text.stopwords(lang))}))"
+
+  private val tokensQ = Q(
+    fn = (s, d) =>
+      Tables
+        .documents(s, d)
+        .select(
+          col("doc_id"),
+          Text.tokenCount(col("text")).as("n_tokens"),
+          length(col("text")).as("n_chars"),
+          Text.bpeTokenCount(col("text")).as("n_bpe_tokens"),
+          round6(Text.meanWordLen(col("text"))).as("mean_word_len")
+        )
+        .orderBy("doc_id"),
+    oracle = Some(s"""
+      SELECT doc_id,
+        len(string_split(text, ' ')) AS n_tokens,
+        length(text) AS n_chars,
+        len(regexp_extract_all(text, '[a-z]+|[0-9]+|[^a-z0-9 ]')) AS n_bpe_tokens,
+        ${sqlRound6("CAST(length(replace(text, ' ', '')) AS DOUBLE) / len(string_split(text, ' '))")} AS mean_word_len
+      FROM documents ORDER BY doc_id""")
+  )
+
+  private val qualityQ = Q(
+    fn = (s, d) =>
+      Tables
+        .documents(s, d)
+        .select(
+          col("doc_id"),
+          round6(Text.stopwordRatio(col("text"))).as("stopword_ratio"),
+          round6(Text.punctRatio(col("text"))).as("punct_ratio"),
+          round6(Text.qualityScore(col("text"))).as("quality")
+        )
+        .orderBy("doc_id"),
+    oracle = Some(s"""
+      WITH t AS (
+        SELECT doc_id,
+          CAST(${swCountSql("en")} AS DOUBLE) / len(string_split(text, ' ')) AS swr,
+          CAST(length(regexp_replace(text, '[a-z0-9 ]', '', 'g')) AS DOUBLE)
+            / length(text) AS pr,
+          len(string_split(text, ' ')) AS ntok,
+          CAST(length(replace(text, ' ', '')) AS DOUBLE)
+            / len(string_split(text, ' ')) AS mwl
+        FROM documents)
+      SELECT doc_id, ${sqlRound6("swr")} AS stopword_ratio,
+        ${sqlRound6("pr")} AS punct_ratio,
+        ${sqlRound6(
+        """0.3 * swr + 0.2 * (1.0 - pr)
+          + 0.3 * least(CAST(ntok AS DOUBLE) / 100.0, 1.0)
+          + 0.2 * least(mwl / 8.0, 1.0)"""
+      )} AS quality
+      FROM t ORDER BY doc_id""")
+  )
+
+  private val langidQ = Q(
+    fn = (s, d) =>
+      Tables
+        .documents(s, d)
+        .select(col("doc_id"), col("lang"), Text.langId(col("text")).as("predicted"))
+        .orderBy("doc_id"),
+    oracle = Some(s"""
+      WITH c AS (
+        SELECT doc_id, lang,
+          ${swCountSql("en")} AS c_en, ${swCountSql("de")} AS c_de,
+          ${swCountSql("fr")} AS c_fr, ${swCountSql("es")} AS c_es
+        FROM documents),
+      m AS (SELECT *, greatest(c_en, c_de, c_fr, c_es) AS mx FROM c)
+      SELECT doc_id, lang,
+        CASE WHEN c_en = mx AND mx > 0 THEN 'en'
+             WHEN c_de = mx AND mx > 0 THEN 'de'
+             WHEN c_fr = mx AND mx > 0 THEN 'fr'
+             WHEN c_es = mx AND mx > 0 THEN 'es'
+             ELSE 'und' END AS predicted
+      FROM m ORDER BY doc_id""")
+  )
+
+  private val fingerprintQ = Q(
+    fn = (s, d) =>
+      Tables
+        .documents(s, d)
+        .select(col("doc_id"), Text.fingerprint(col("text")).as("fingerprint"))
+        .orderBy("doc_id"),
+    oracle = Some("""
+      SELECT doc_id,
+        md5(trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9 ]', ' ', 'g'),
+          ' +', ' ', 'g'))) AS fingerprint
+      FROM documents ORDER BY doc_id""")
+  )
+
+  private val jaccardQ = Q(
+    fn = (s, d) => {
+      val docs = Tables.documents(s, d)
+      val a = docs.select(col("doc_id").as("id_a"), col("text").as("_ta"))
+      val b = docs.select(col("doc_id").as("id_b"), col("text").as("_tb"))
+      a.join(b, col("id_b") === col("id_a") + 1)
+        .select(
+          col("id_a"),
+          col("id_b"),
+          Text
+            .jaccard(Text.wordShingles(col("_ta"), 3), Text.wordShingles(col("_tb"), 3))
+            .as("jaccard")
+        )
+        .orderBy("id_a")
+    },
+    oracle = Some("""
+      WITH sh AS (
+        SELECT doc_id,
+          list_distinct(list_transform(range(1, len(string_split(text, ' ')) - 1),
+            i -> concat_ws(' ', string_split(text, ' ')[i],
+                 string_split(text, ' ')[i+1], string_split(text, ' ')[i+2]))) AS s
+        FROM documents)
+      SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+        CAST(len(list_intersect(a.s, b.s)) AS DOUBLE)
+          / len(list_distinct(list_concat(a.s, b.s))) AS jaccard
+      FROM sh a JOIN sh b ON b.doc_id = a.doc_id + 1
+      ORDER BY id_a""")
+  )
+
+  val queries: Map[String, Q] = Map(
+    "text_tokens" -> tokensQ,
+    "text_quality" -> qualityQ,
+    "text_langid" -> langidQ,
+    "text_fingerprint" -> fingerprintQ,
+    "text_ngram_jaccard" -> jaccardQ
+  )
+}

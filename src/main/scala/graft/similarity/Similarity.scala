@@ -1,0 +1,151 @@
+package graft.similarity
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Vector similarity operators over embedding columns (SURVEY §2.5).
+  *
+  * Embeddings are `array<float>`; all math is done in double via
+  * element-wise higher-order functions (codegen'd — no UDF). The dot
+  * product folds left-to-right over the index sequence, which makes the
+  * result bit-deterministic for a given pair on any engine that folds
+  * in order.
+  */
+object Similarity {
+
+  /** 6-dp rounding via multiply-round-divide — the same IEEE sequence
+    * DuckDB's round(x,6) takes, so oracle hash-compares are tie-stable
+    * (see graft.queries.round6).
+    */
+  private def round6(c: Column): Column = round(c * 1e6) / 1e6
+
+  /** Left-to-right fold of sum(a[i]*b[i]) in double. */
+  def dot(a: Column, b: Column): Column =
+    aggregate(
+      sequence(lit(1), size(a)),
+      lit(0.0),
+      (acc, i) =>
+        acc + element_at(a, i).cast("double") * element_at(b, i).cast("double")
+    )
+
+  def norm(a: Column): Column = sqrt(dot(a, a))
+
+  def cosine(a: Column, b: Column): Column = dot(a, b) / (norm(a) * norm(b))
+
+  /** Brute-force cosine top-k: every query row against the whole
+    * corpus. The query side is broadcast (it is the small side by
+    * construction); the corpus is scanned once — at 100 TB this is the
+    * correctness baseline and the right plan when k*|queries| is small.
+    * Ranking uses the ROUNDED similarity (6 dp) with the id as
+    * tie-break so the ordering is reproducible across engines.
+    *
+    * Output: query_id, neighbor_id, sim, rank.
+    */
+  def bruteForceTopK(
+      queries: DataFrame,
+      corpus: DataFrame,
+      idCol: String,
+      vecCol: String,
+      k: Int
+  ): DataFrame = {
+    val q = queries.select(col(idCol).as("query_id"), col(vecCol).as("_qv"))
+    val c = corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("_cv"))
+    val w = Window
+      .partitionBy(col("query_id"))
+      .orderBy(col("sim").desc, col("neighbor_id"))
+    c.join(broadcast(q), col("query_id") =!= col("neighbor_id"))
+      .withColumn("sim", round6(cosine(col("_qv"), col("_cv"))))
+      .withColumn("rank", row_number().over(w))
+      .where(col("rank") <= k)
+      .select("query_id", "neighbor_id", "sim", "rank")
+  }
+
+  /** Deterministic pseudo-random sign for (plane, dim) — a hash in
+    * place of a stored random hyperplane matrix, so the LSH needs no
+    * side state and any executor derives the same planes.
+    */
+  private def planeSign(plane: Int, i: Column): Column =
+    when(pmod(xxhash64(lit(plane), i), lit(2)) === 0, 1.0).otherwise(-1.0)
+
+  /** Sign of the projection of `v` onto pseudo-random hyperplane p. */
+  private def planeBit(v: Column, plane: Int): Column = {
+    val proj = aggregate(
+      sequence(lit(1), size(v)),
+      lit(0.0),
+      (acc, i) => acc + element_at(v, i).cast("double") * planeSign(plane, i)
+    )
+    when(proj >= 0, lit(1L << plane)).otherwise(lit(0L))
+  }
+
+  /** Random-hyperplane LSH bucket key (`nPlanes` sign bits packed into
+    * a long). Cosine-similar vectors collide with high probability.
+    */
+  def lshBucket(v: Column, nPlanes: Int): Column =
+    (0 until nPlanes).map(planeBit(v, _)).reduce(_ + _)
+
+  /** LSH-bucketed ANN: exact cosine ranking *within* each query's
+    * bucket. The corpus is hashed once and shuffled on the bucket key —
+    * the candidate set per query is |bucket| instead of |corpus|, the
+    * scale path for ANN joins. Queries whose bucket has < k neighbors
+    * return fewer rows (multi-probe left for r2).
+    */
+  def lshTopK(
+      queries: DataFrame,
+      corpus: DataFrame,
+      idCol: String,
+      vecCol: String,
+      k: Int,
+      nPlanes: Int = 8
+  ): DataFrame = {
+    val q = queries.select(
+      col(idCol).as("query_id"),
+      col(vecCol).as("_qv"),
+      lshBucket(col(vecCol), nPlanes).as("_bucket")
+    )
+    val c = corpus.select(
+      col(idCol).as("neighbor_id"),
+      col(vecCol).as("_cv"),
+      lshBucket(col(vecCol), nPlanes).as("_bucket")
+    )
+    val w = Window
+      .partitionBy(col("query_id"))
+      .orderBy(col("sim").desc, col("neighbor_id"))
+    c.join(broadcast(q), Seq("_bucket"))
+      .where(col("query_id") =!= col("neighbor_id"))
+      .withColumn("sim", round6(cosine(col("_qv"), col("_cv"))))
+      .withColumn("rank", row_number().over(w))
+      .where(col("rank") <= k)
+      .select("query_id", "neighbor_id", "sim", "rank")
+  }
+
+  /** Near-duplicate pairs by embedding cosine within a blocking key
+    * (label, LSH bucket, shard — any column that bounds the candidate
+    * set). Pairs are emitted once (idA < idB). This is the standard
+    * blocked all-pairs shape: shuffle on the blocking key, pairwise
+    * compare only within blocks.
+    */
+  def cosinePairs(
+      df: DataFrame,
+      idCol: String,
+      vecCol: String,
+      blockCol: String,
+      threshold: Double
+  ): DataFrame = {
+    val a = df.select(
+      col(blockCol).as("_blk"),
+      col(idCol).as("id_a"),
+      col(vecCol).as("_va")
+    )
+    val b = df.select(
+      col(blockCol).as("_blk"),
+      col(idCol).as("id_b"),
+      col(vecCol).as("_vb")
+    )
+    a.join(b, Seq("_blk"))
+      .where(col("id_a") < col("id_b"))
+      .withColumn("sim", round6(cosine(col("_va"), col("_vb"))))
+      .where(col("sim") >= threshold)
+      .select("id_a", "id_b", "sim")
+  }
+}

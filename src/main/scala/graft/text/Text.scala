@@ -1,0 +1,108 @@
+package graft.text
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** Text-analysis primitives for large-scale training-data pipelines
+  * (SURVEY §2.6). All pure `Column` expressions — codegen-friendly, no
+  * UDFs, so they run at full scan speed over 100 TB of documents.
+  */
+object Text {
+
+  /** Tiny fixed stopword lists per language — enough for a
+    * deterministic n-gram/stopword-hit language heuristic (a real
+    * deployment would swap in larger lists; the *operator shape* —
+    * argmax over per-language token-hit counts — is what scales).
+    */
+  val stopwords: Map[String, Seq[String]] = Map(
+    "en" -> Seq("the", "a", "an", "of", "to", "and", "in", "is", "it", "for",
+      "on", "with", "as", "at", "by", "from"),
+    "de" -> Seq("der", "die", "das", "und", "ist", "von", "zu", "mit", "den",
+      "auf", "für", "ein", "eine", "nicht", "im"),
+    "fr" -> Seq("le", "la", "les", "de", "et", "est", "un", "une", "dans",
+      "pour", "que", "qui", "sur", "pas", "au"),
+    "es" -> Seq("el", "la", "los", "de", "y", "es", "un", "una", "en", "por",
+      "que", "no", "con", "para", "su")
+  )
+
+  /** Whitespace tokens (single-space convention of the corpus). */
+  def tokens(c: Column): Column = split(c, " ")
+
+  def tokenCount(c: Column): Column = size(tokens(c))
+
+  /** BPE-ish subword count: alpha runs, digit runs, and individual
+    * punctuation each count as one token.
+    */
+  def bpeTokenCount(c: Column): Column =
+    regexp_count(c, lit("[a-z]+|[0-9]+|[^a-z0-9 ]"))
+
+  /** Canonical form for exact-dedup and fingerprinting: lowercase,
+    * strip non-alphanumerics, collapse whitespace.
+    */
+  def normalize(c: Column): Column =
+    trim(regexp_replace(regexp_replace(lower(c), "[^a-z0-9 ]", " "), " +", " "))
+
+  /** Deterministic document fingerprint (md5 of normalized text). */
+  def fingerprint(c: Column): Column = md5(normalize(c))
+
+  /** Count of tokens present in `words`. */
+  def hitCount(toks: Column, words: Seq[String]): Column =
+    size(filter(toks, t => t.isin(words: _*)))
+
+  def stopwordRatio(c: Column, words: Seq[String] = stopwords("en")): Column =
+    hitCount(tokens(c), words) / tokenCount(c)
+
+  /** Ratio of non-alphanumeric, non-space characters. */
+  def punctRatio(c: Column): Column =
+    length(regexp_replace(c, "[a-z0-9 ]", "")) / length(c)
+
+  def meanWordLen(c: Column): Column =
+    length(regexp_replace(c, " ", "")) / tokenCount(c)
+
+  /** Heuristic quality score in [0,1]: favors stopword-bearing prose of
+    * moderate length with few symbols — the classic cheap pre-filter
+    * before expensive model-based scoring.
+    */
+  def qualityScore(c: Column): Column = {
+    val lenTerm = least(tokenCount(c).cast("double") / 100.0, lit(1.0))
+    val wordTerm = least(meanWordLen(c) / 8.0, lit(1.0))
+    lit(0.3) * stopwordRatio(c) + lit(0.2) * (lit(1.0) - punctRatio(c)) +
+      lit(0.3) * lenTerm + lit(0.2) * wordTerm
+  }
+
+  /** Predicted language: argmax of per-language stopword hits, with a
+    * fixed preference order (en > de > fr > es) on ties and "und" (
+    * undetermined) when no list hits at all.
+    */
+  def langId(c: Column): Column = {
+    val toks = tokens(c)
+    val langs = Seq("en", "de", "fr", "es")
+    val counts = langs.map(l => l -> hitCount(toks, stopwords(l)))
+    // when-chain in language order => earlier language wins ties
+    val maxCount = counts.map(_._2).reduce((a, b) => greatest(a, b))
+    val pick = counts.foldRight(lit("und")) { case ((l, cc), acc) =>
+      when(cc === maxCount && maxCount > 0, lit(l)).otherwise(acc)
+    }
+    pick
+  }
+
+  /** Word n-gram shingles (empty array when too few tokens). */
+  def wordShingles(c: Column, n: Int): Column = {
+    val toks = tokens(c)
+    when(
+      size(toks) >= n,
+      transform(
+        sequence(lit(0), size(toks) - n),
+        i => concat_ws(" ", slice(toks, i + 1, lit(n)))
+      )
+    ).otherwise(array().cast("array<string>"))
+  }
+
+  /** Jaccard similarity of two string arrays (as distinct sets). */
+  def jaccard(a: Column, b: Column): Column = {
+    val da = array_distinct(a)
+    val db = array_distinct(b)
+    size(array_intersect(da, db)).cast("double") /
+      size(array_union(da, db))
+  }
+}
