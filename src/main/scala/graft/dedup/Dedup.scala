@@ -39,13 +39,16 @@ object Dedup {
   def exactNormalized(df: DataFrame, textCol: String, idCol: String): DataFrame =
     exact(df, textCol, idCol, Text.normalize)
 
-  /** MinHash signature: for seed s, min over shingles of
-    * xxhash64(shingle, s). All `numHashes` mins are computed in one
-    * projection over the shingle array — scan-side, no shuffle.
+  /** MinHash signature: for seed s, min over shingle hashes of
+    * xxhash64(shingleHash, s). Takes pre-hashed shingles (one long per
+    * shingle — see [[Text.shingleHashes]]) so the expensive string work
+    * happens exactly once per document; the per-seed re-hash is cheap
+    * long→long mixing. All `numHashes` mins are one projection over the
+    * hash array — scan-side, no shuffle.
     */
-  def minhashSignature(shingles: Column, numHashes: Int): Column =
+  def minhashSignature(shingleHashes: Column, numHashes: Int): Column =
     array((0 until numHashes).map { s =>
-      array_min(transform(shingles, sh => xxhash64(sh, lit(s))))
+      array_min(transform(shingleHashes, sh => xxhash64(sh, lit(s))))
     }: _*)
 
   /** LSH band keys: the signature is cut into `bands` rows of
@@ -83,13 +86,22 @@ object Dedup {
       threshold: Double = 0.5
   ): DataFrame = {
     val rowsPerBand = numHashes / bands
+    // Token-hash, shingle-hash, and 16-seed signature are SEPARATE
+    // projections so each array materializes once as an attribute before
+    // the next HOF consumes it (nested HOFs re-evaluate their inputs per
+    // element in interpreted mode — measured 16-40x slower). Signatures
+    // are persisted: they feed the band explode AND both sides of the
+    // candidate-pair join-back; at cluster scale this is the standard
+    // "materialize the signature table" step.
     val sigs = df
+      .select(col(idCol).as("id"), Text.tokenHashes(col(textCol)).as("_th"))
       .select(
-        col(idCol).as("id"),
-        minhashSignature(Text.wordShingles(col(textCol), shingleN), numHashes)
-          .as("sig")
+        col("id"),
+        Text.shingleHashesFromTokenHashes(col("_th"), shingleN).as("_sh")
       )
-      .where(size(col("sig")) > 0)
+      .where(size(col("_sh")) > 0)
+      .select(col("id"), minhashSignature(col("_sh"), numHashes).as("sig"))
+      .persist()
     val banded = sigs
       .select(
         col("id"),
@@ -115,19 +127,20 @@ object Dedup {
       .select("id_a", "id_b", "jaccard")
   }
 
-  /** 64-bit SimHash over a token array: bit j of the signature is the
-    * sign of sum(+1/-1 over tokens by bit j of xxhash64(token)).
-    * One expression tree per bit, all evaluated in a single projection.
+  /** 64-bit SimHash over a *materialized* token-hash array (see
+    * [[Text.tokenHashes]]): bit j of the signature is the sign of
+    * sum(+1/-1 over tokens by bit j of the token hash). One cheap
+    * bit-math expression tree per bit, all in a single projection —
+    * strings were hashed exactly once upstream.
     */
-  def simhash64(toks: Column): Column =
+  def simhash64(tokenHashes: Column): Column =
     (0 until 64)
       .map { j =>
         val vote = aggregate(
-          toks,
+          tokenHashes,
           lit(0),
-          (acc, t) =>
-            acc + when(shiftright(xxhash64(t), j).bitwiseAND(1) === 1, 1)
-              .otherwise(-1)
+          (acc, h) =>
+            acc + when(shiftright(h, j).bitwiseAND(1) === 1, 1).otherwise(-1)
         )
         when(vote > 0, lit(1L << j)).otherwise(lit(0L))
       }
@@ -149,10 +162,9 @@ object Dedup {
   ): DataFrame = {
     val chunks = maxHamming + 1
     val bitsPerChunk = 64 / chunks
-    val sigs = df.select(
-      col(idCol).as("id"),
-      simhash64(Text.tokens(col(textCol))).as("sig")
-    )
+    val sigs = df
+      .select(col(idCol).as("id"), Text.tokenHashes(col(textCol)).as("_th"))
+      .select(col("id"), simhash64(col("_th")).as("sig"))
     val chunked = sigs.select(
       col("id"),
       col("sig"),

@@ -36,13 +36,26 @@ object TextQueries extends QueryPack {
 
   private val qualityQ = Q(
     fn = (s, d) =>
+      // Components materialize once (mirrors the oracle CTE); quality is
+      // rebuilt from the attributes with the identical arithmetic order.
       Tables
         .documents(s, d)
         .select(
           col("doc_id"),
-          round6(Text.stopwordRatio(col("text"))).as("stopword_ratio"),
-          round6(Text.punctRatio(col("text"))).as("punct_ratio"),
-          round6(Text.qualityScore(col("text"))).as("quality")
+          Text.stopwordRatio(col("text")).as("_swr"),
+          Text.punctRatio(col("text")).as("_pr"),
+          Text.tokenCount(col("text")).as("_ntok"),
+          Text.meanWordLen(col("text")).as("_mwl")
+        )
+        .select(
+          col("doc_id"),
+          round6(col("_swr")).as("stopword_ratio"),
+          round6(col("_pr")).as("punct_ratio"),
+          round6(
+            lit(0.3) * col("_swr") + lit(0.2) * (lit(1.0) - col("_pr")) +
+              lit(0.3) * least(col("_ntok").cast("double") / 100.0, lit(1.0)) +
+              lit(0.2) * least(col("_mwl") / 8.0, lit(1.0))
+          ).as("quality")
         )
         .orderBy("doc_id"),
     oracle = Some(s"""

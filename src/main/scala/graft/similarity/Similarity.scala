@@ -49,13 +49,28 @@ object Similarity {
       vecCol: String,
       k: Int
   ): DataFrame = {
-    val q = queries.select(col(idCol).as("query_id"), col(vecCol).as("_qv"))
-    val c = corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("_cv"))
+    // Norms are materialized per ROW before the join — computing them
+    // inside the pair expression would redo |corpus| norm folds per
+    // query. Arithmetic shape dot/(na*nb) is unchanged (oracle-bit-
+    // identical); only the evaluation count drops.
+    val q = queries.select(
+      col(idCol).as("query_id"),
+      col(vecCol).as("_qv"),
+      norm(col(vecCol)).as("_qn")
+    )
+    val c = corpus.select(
+      col(idCol).as("neighbor_id"),
+      col(vecCol).as("_cv"),
+      norm(col(vecCol)).as("_cn")
+    )
     val w = Window
       .partitionBy(col("query_id"))
       .orderBy(col("sim").desc, col("neighbor_id"))
     c.join(broadcast(q), col("query_id") =!= col("neighbor_id"))
-      .withColumn("sim", round6(cosine(col("_qv"), col("_cv"))))
+      .withColumn(
+        "sim",
+        round6(dot(col("_qv"), col("_cv")) / (col("_qn") * col("_cn")))
+      )
       .withColumn("rank", row_number().over(w))
       .where(col("rank") <= k)
       .select("query_id", "neighbor_id", "sim", "rank")
@@ -101,11 +116,13 @@ object Similarity {
     val q = queries.select(
       col(idCol).as("query_id"),
       col(vecCol).as("_qv"),
+      norm(col(vecCol)).as("_qn"),
       lshBucket(col(vecCol), nPlanes).as("_bucket")
     )
     val c = corpus.select(
       col(idCol).as("neighbor_id"),
       col(vecCol).as("_cv"),
+      norm(col(vecCol)).as("_cn"),
       lshBucket(col(vecCol), nPlanes).as("_bucket")
     )
     val w = Window
@@ -113,7 +130,10 @@ object Similarity {
       .orderBy(col("sim").desc, col("neighbor_id"))
     c.join(broadcast(q), Seq("_bucket"))
       .where(col("query_id") =!= col("neighbor_id"))
-      .withColumn("sim", round6(cosine(col("_qv"), col("_cv"))))
+      .withColumn(
+        "sim",
+        round6(dot(col("_qv"), col("_cv")) / (col("_qn") * col("_cn")))
+      )
       .withColumn("rank", row_number().over(w))
       .where(col("rank") <= k)
       .select("query_id", "neighbor_id", "sim", "rank")
@@ -135,16 +155,21 @@ object Similarity {
     val a = df.select(
       col(blockCol).as("_blk"),
       col(idCol).as("id_a"),
-      col(vecCol).as("_va")
+      col(vecCol).as("_va"),
+      norm(col(vecCol)).as("_na")
     )
     val b = df.select(
       col(blockCol).as("_blk"),
       col(idCol).as("id_b"),
-      col(vecCol).as("_vb")
+      col(vecCol).as("_vb"),
+      norm(col(vecCol)).as("_nb")
     )
     a.join(b, Seq("_blk"))
       .where(col("id_a") < col("id_b"))
-      .withColumn("sim", round6(cosine(col("_va"), col("_vb"))))
+      .withColumn(
+        "sim",
+        round6(dot(col("_va"), col("_vb")) / (col("_na") * col("_nb")))
+      )
       .where(col("sim") >= threshold)
       .select("id_a", "id_b", "sim")
   }

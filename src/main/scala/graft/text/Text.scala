@@ -98,6 +98,28 @@ object Text {
     ).otherwise(array().cast("array<string>"))
   }
 
+  /** One 64-bit hash per token — the single pass that touches strings.
+    * Downstream shingle/minhash/simhash work is long→long mixing only.
+    */
+  def tokenHashes(c: Column): Column = transform(tokens(c), t => xxhash64(t))
+
+  /** 64-bit word-n-gram shingle hashes from a *materialized* token-hash
+    * array (pass an attribute, not a nested expression: HOFs are
+    * interpreted and there is no common-subexpression elimination
+    * inside lambda bodies, so a nested `th` would re-evaluate per
+    * element). Each shingle hash combines `n` consecutive token hashes
+    * (hash-of-hashes — any deterministic combiner works for MinHash /
+    * fingerprinting); empty array when too few tokens.
+    */
+  def shingleHashesFromTokenHashes(th: Column, n: Int): Column =
+    when(
+      size(th) >= n,
+      transform(
+        sequence(lit(1), size(th) - (n - 1)),
+        i => xxhash64((0 until n).map(j => element_at(th, i + j)): _*)
+      )
+    ).otherwise(array().cast("array<bigint>"))
+
   /** Jaccard similarity of two string arrays (as distinct sets). */
   def jaccard(a: Column, b: Column): Column = {
     val da = array_distinct(a)
