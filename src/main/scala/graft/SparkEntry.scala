@@ -17,7 +17,8 @@ object SparkEntry {
     AnomalyQueries,
     TextQueries,
     DedupQueries,
-    SimilarityQueries
+    SimilarityQueries,
+    MultimodalQueries
   )
 
   private lazy val registry: Map[String, Q] =

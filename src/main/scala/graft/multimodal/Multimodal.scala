@@ -1,0 +1,113 @@
+package graft.multimodal
+
+import org.apache.spark.sql.{DataFrame, Row}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Multimodal-column plumbing (SURVEY §2.7).
+  *
+  * Media (image/audio/video) travels through the pipeline as an opaque
+  * `binary` column plus a typed metadata struct — the engine never
+  * interprets the bytes except inside an explicit decode kernel. The
+  * Spark-side plumbing (schema, partition sizing, batched kernel
+  * invocation via `mapPartitions`) is real; the decode kernels
+  * themselves are DETERMINISTIC STUBS (this environment ships no image/
+  * audio codecs) marked `// STUB:` — swap the function body for a real
+  * decoder (JNI/FFI) without touching any plumbing.
+  */
+object Multimodal {
+
+  /** Typed metadata carried beside the raw bytes. */
+  val metaSchema: StructType = StructType(
+    Seq(
+      StructField("media_type", StringType),
+      StructField("n_bytes", LongType),
+      StructField("content_hash", LongType)
+    )
+  )
+
+  /** Wrap a binary column into (payload, meta). Pure column expressions
+    * — the scan computes size + hash without materializing copies.
+    */
+  def withMeta(df: DataFrame, binCol: String, mediaType: String): DataFrame =
+    df.withColumn(
+      "meta",
+      struct(
+        lit(mediaType).as("media_type"),
+        length(col(binCol)).cast("long").as("n_bytes"),
+        xxhash64(col(binCol)).as("content_hash")
+      )
+    )
+
+  /** Pretend "decoded frame" features. Output schema mirrors what a
+    * real image decode would produce; values are a deterministic
+    * function of the bytes so tests are stable.
+    */
+  val featureSchema: StructType = StructType(
+    Seq(
+      StructField("width", IntegerType),
+      StructField("height", IntegerType),
+      StructField("feature", ArrayType(FloatType))
+    )
+  )
+
+  /** Batched feature extraction over the binary payload.
+    *
+    * Plumbing is the production shape: one kernel call per PARTITION
+    * (not per row) so a real decoder amortizes model/codec setup, with
+    * `batchSize` bounding peak memory per executor thread. Partition
+    * sizing upstream (`spark.sql.files.maxPartitionBytes`) bounds how
+    * many media blobs co-reside in one task.
+    */
+  def extractFeatures(
+      df: DataFrame,
+      binCol: String,
+      featureDim: Int = 8,
+      batchSize: Int = 64
+  ): DataFrame = {
+    val inputSchema = df.schema
+    val binIdx = inputSchema.fieldIndex(binCol)
+    val outSchema = StructType(inputSchema.fields ++ featureSchema.fields)
+    val encoder = org.apache.spark.sql.Encoders.row(outSchema)
+    df.mapPartitions { rows =>
+      rows.grouped(batchSize).flatMap { batch =>
+        // STUB: a real kernel would decode `batch.map(_.getAs[Array[Byte]](binIdx))`
+        // in one vectorized call here. The deterministic fake below
+        // preserves the exact data flow and output shape.
+        batch.map { row =>
+          val bytes = row.getAs[Array[Byte]](binIdx)
+          val n = if (bytes == null) 0 else bytes.length
+          val width = 16 + (math.abs(java.util.Arrays.hashCode(bytes)) % 64)
+          val height = 16 + (n % 64)
+          val feature = Array.tabulate(featureDim) { j =>
+            if (n == 0) 0.0f
+            else bytes(j % n).toFloat / 128.0f
+          }
+          Row.fromSeq(row.toSeq ++ Seq(width, height, feature))
+        }
+      }
+    }(encoder)
+  }
+
+  /** Frame sampling over a "video" payload: emit every `stride`-th
+    * fixed-size chunk as its own row (payload, frame_idx, frame_bytes).
+    * The chunking arithmetic is the real plumbing; a real
+    * implementation replaces byte-slicing with codec frame extraction.
+    */
+  def sampleFrames(
+      df: DataFrame,
+      binCol: String,
+      frameBytes: Int = 256,
+      stride: Int = 4
+  ): DataFrame = {
+    val nFrames = floor(length(col(binCol)).cast("double") / frameBytes).cast("int")
+    df.withColumn(
+      "frame_idx",
+      explode(sequence(lit(0), greatest(nFrames - 1, lit(0)), lit(stride)))
+    ).withColumn(
+      "frame",
+      // STUB: byte-range slice stands in for codec frame decode.
+      col(binCol).substr(col("frame_idx") * frameBytes + 1, lit(frameBytes))
+    )
+  }
+}

@@ -1,0 +1,263 @@
+package graft.repository
+
+import graft.core.DatasetMeta
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Storage for profiling metrics, optimizations, and scorings
+  * (reference: thoth/repository.py — a SQLAlchemy store of pickled
+  * blobs keyed by (dataset, ts)).
+  *
+  * graft's repository is itself a Spark table family — at 10^5 datasets
+  * x columns x metrics x days the metrics ARE big data, so every store
+  * is a DataFrame with `dataset_uri` as the leading key and every read
+  * returns a DataFrame (never driver-side objects).
+  *
+  * Table shapes (SURVEY §4):
+  *  - profiling:    (dataset_uri, ts, entity, instance, name, value)
+  *  - optimization: (dataset_uri, entity, instance, name, best_model,
+  *                   threshold, mean_error)
+  *  - scoring:      (dataset_uri, ts, entity, instance, name, value,
+  *                   predicted, score)
+  *
+  * Upsert semantics: re-profiling a (dataset, ts) range replaces the
+  * previous rows for the same logical keys (reference upserts by
+  * primary key).
+  */
+trait MetricsRepository {
+  def registerDataset(meta: DatasetMeta): Unit
+  def getDataset(uri: String): Option[DatasetMeta]
+  def listDatasets(): Seq[DatasetMeta]
+
+  /** Upsert long-format profiling rows (ts, entity, instance, name,
+    * value) for a dataset.
+    */
+  def addProfiling(datasetUri: String, profiling: DataFrame): Unit
+
+  /** Profiling history for a dataset, optionally ts-bounded
+    * (inclusive).
+    */
+  def getProfiling(
+      datasetUri: String,
+      start: Option[java.sql.Timestamp] = None,
+      end: Option[java.sql.Timestamp] = None
+  ): DataFrame
+
+  /** Upsert per-metric optimization results (entity, instance, name,
+    * best_model, threshold, mean_error).
+    */
+  def addOptimization(datasetUri: String, optimization: DataFrame): Unit
+  def getOptimization(datasetUri: String): DataFrame
+
+  /** Upsert scoring rows (ts, entity, instance, name, value, predicted,
+    * score).
+    */
+  def addScoring(datasetUri: String, scoring: DataFrame): Unit
+  def getScoring(
+      datasetUri: String,
+      start: Option[java.sql.Timestamp] = None,
+      end: Option[java.sql.Timestamp] = None
+  ): DataFrame
+}
+
+object MetricsRepository {
+  val profilingKey: Seq[String] = Seq("ts", "entity", "instance", "name")
+  val optimizationKey: Seq[String] = Seq("entity", "instance", "name")
+  val scoringKey: Seq[String] = Seq("ts", "entity", "instance", "name")
+
+  private[repository] def tsBounded(
+      df: DataFrame,
+      start: Option[java.sql.Timestamp],
+      end: Option[java.sql.Timestamp]
+  ): DataFrame = {
+    val lower = start.map(col("ts") >= lit(_)).getOrElse(lit(true))
+    val upper = end.map(col("ts") <= lit(_)).getOrElse(lit(true))
+    df.where(lower && upper)
+  }
+}
+
+/** In-memory repository for tests and notebooks: plain upsert via
+  * anti-join + union, everything stays a DataFrame.
+  */
+class InMemoryRepository extends MetricsRepository {
+  import MetricsRepository._
+
+  private val datasets = scala.collection.mutable.LinkedHashMap.empty[String, DatasetMeta]
+  private var profiling = Map.empty[String, DataFrame]
+  private var optimization = Map.empty[String, DataFrame]
+  private var scoring = Map.empty[String, DataFrame]
+
+  def registerDataset(meta: DatasetMeta): Unit = synchronized {
+    datasets += meta.uri -> meta
+  }
+  def getDataset(uri: String): Option[DatasetMeta] = synchronized(datasets.get(uri))
+  def listDatasets(): Seq[DatasetMeta] = synchronized(datasets.values.toSeq)
+
+  private def upsert(
+      store: Map[String, DataFrame],
+      uri: String,
+      rows: DataFrame,
+      key: Seq[String]
+  ): Map[String, DataFrame] = {
+    val merged = store.get(uri) match {
+      case Some(old) => old.join(rows.select(key.map(col): _*), key, "left_anti").unionByName(rows)
+      case None      => rows
+    }
+    // Materialize: the in-memory store must not re-run caller lineage
+    // (which may read mutable sources) on every later read.
+    store + (uri -> merged.localCheckpoint(eager = true))
+  }
+
+  def addProfiling(uri: String, rows: DataFrame): Unit = synchronized {
+    profiling = upsert(profiling, uri, rows, profilingKey)
+  }
+  def getProfiling(
+      uri: String,
+      start: Option[java.sql.Timestamp],
+      end: Option[java.sql.Timestamp]
+  ): DataFrame =
+    tsBounded(profiling.getOrElse(uri, emptyProfiling()), start, end)
+
+  def addOptimization(uri: String, rows: DataFrame): Unit = synchronized {
+    optimization = upsert(optimization, uri, rows, optimizationKey)
+  }
+  def getOptimization(uri: String): DataFrame =
+    optimization.getOrElse(uri, emptyOptimization())
+
+  def addScoring(uri: String, rows: DataFrame): Unit = synchronized {
+    scoring = upsert(scoring, uri, rows, scoringKey)
+  }
+  def getScoring(
+      uri: String,
+      start: Option[java.sql.Timestamp],
+      end: Option[java.sql.Timestamp]
+  ): DataFrame =
+    tsBounded(scoring.getOrElse(uri, emptyScoring()), start, end)
+
+  private def spark = SparkSession.active
+  private def emptyOf(schema: StructType): DataFrame =
+    spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
+  private def emptyProfiling() = emptyOf(
+    StructType(
+      Seq(
+        StructField("ts", TimestampType),
+        StructField("entity", StringType),
+        StructField("instance", StringType),
+        StructField("name", StringType),
+        StructField("value", DoubleType)
+      )
+    )
+  )
+  private def emptyOptimization() = emptyOf(
+    StructType(
+      Seq(
+        StructField("entity", StringType),
+        StructField("instance", StringType),
+        StructField("name", StringType),
+        StructField("best_model", StringType),
+        StructField("threshold", DoubleType),
+        StructField("mean_error", DoubleType)
+      )
+    )
+  )
+  private def emptyScoring() = emptyOf(
+    StructType(
+      Seq(
+        StructField("ts", TimestampType),
+        StructField("entity", StringType),
+        StructField("instance", StringType),
+        StructField("name", StringType),
+        StructField("value", DoubleType),
+        StructField("predicted", DoubleType),
+        StructField("score", DoubleType)
+      )
+    )
+  )
+}
+
+/** Parquet-backed repository, partitioned by `dataset_uri`.
+  *
+  * Writes are APPEND-ONLY with a monotonically increasing `batch_seq`;
+  * reads resolve the latest row per logical key (merge-on-read,
+  * Delta-style without Delta). This is the shape that scales: an upsert
+  * never rewrites history, partition pruning on `dataset_uri` keeps
+  * every read local to one dataset, and compaction is an offline
+  * rewrite (planned r2). Dataset registrations live in a tiny JSON-line
+  * parquet alongside.
+  */
+class ParquetRepository(spark: SparkSession, basePath: String) extends MetricsRepository {
+  import MetricsRepository._
+
+  private val seq = new java.util.concurrent.atomic.AtomicLong(System.currentTimeMillis())
+
+  private def path(table: String) = s"$basePath/$table"
+
+  private def append(table: String, uri: String, rows: DataFrame): Unit =
+    rows
+      .withColumn("dataset_uri", lit(uri))
+      .withColumn("batch_seq", lit(seq.incrementAndGet()))
+      .write
+      .mode("append")
+      .partitionBy("dataset_uri")
+      .parquet(path(table))
+
+  /** Latest row per logical key within one dataset partition. The
+    * window shuffles only that dataset's slice (partition-pruned scan).
+    */
+  private def latest(table: String, uri: String, key: Seq[String], schema: => DataFrame): DataFrame = {
+    val exists = new java.io.File(s"${path(table)}/dataset_uri=$uri").exists() ||
+      new java.io.File(path(table)).exists()
+    if (!exists) schema
+    else {
+      val df = spark.read.parquet(path(table)).where(col("dataset_uri") === uri)
+      val w = Window.partitionBy(key.map(col): _*).orderBy(col("batch_seq").desc)
+      df.withColumn("_rn", row_number().over(w))
+        .where(col("_rn") === 1)
+        .drop("_rn", "batch_seq", "dataset_uri")
+    }
+  }
+
+  def registerDataset(meta: DatasetMeta): Unit = {
+    import spark.implicits._
+    Seq(meta).toDF().withColumn("batch_seq", lit(seq.incrementAndGet()))
+      .write.mode("append").parquet(path("datasets"))
+  }
+  def getDataset(uri: String): Option[DatasetMeta] = listDatasets().find(_.uri == uri)
+  def listDatasets(): Seq[DatasetMeta] = {
+    import spark.implicits._
+    if (!new java.io.File(path("datasets")).exists()) Seq.empty
+    else {
+      val w = Window.partitionBy(col("uri")).orderBy(col("batch_seq").desc)
+      spark.read
+        .parquet(path("datasets"))
+        .withColumn("_rn", row_number().over(w))
+        .where(col("_rn") === 1)
+        .drop("_rn", "batch_seq")
+        .as[DatasetMeta]
+        .collect()
+        .toSeq
+    }
+  }
+
+  def addProfiling(uri: String, rows: DataFrame): Unit = append("profiling", uri, rows)
+  def getProfiling(
+      uri: String,
+      start: Option[java.sql.Timestamp],
+      end: Option[java.sql.Timestamp]
+  ): DataFrame =
+    tsBounded(latest("profiling", uri, profilingKey, new InMemoryRepository().getProfiling(uri)), start, end)
+
+  def addOptimization(uri: String, rows: DataFrame): Unit = append("optimization", uri, rows)
+  def getOptimization(uri: String): DataFrame =
+    latest("optimization", uri, optimizationKey, new InMemoryRepository().getOptimization(uri))
+
+  def addScoring(uri: String, rows: DataFrame): Unit = append("scoring", uri, rows)
+  def getScoring(
+      uri: String,
+      start: Option[java.sql.Timestamp],
+      end: Option[java.sql.Timestamp]
+  ): DataFrame =
+    tsBounded(latest("scoring", uri, scoringKey, new InMemoryRepository().getScoring(uri)), start, end)
+}

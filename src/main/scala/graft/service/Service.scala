@@ -1,0 +1,181 @@
+package graft.service
+
+import graft.core.{DatasetMeta, Granularity, Metric}
+import graft.anomaly.{Optimizer, Scorer}
+import graft.profiler.{Profiler, ProfilingBuilder}
+import graft.quality.{AnomalousScore, LogHandler, NotificationHandler, Quality}
+import graft.repository.MetricsRepository
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Pipeline glue (reference: thoth/service_layer.py:157-509).
+  *
+  * Every pipeline is repo-in/repo-out DataFrames; the only driver-side
+  * data are the dataset registration and the (tiny) anomalous subset
+  * collected for notification.
+  */
+object Service {
+
+  /** The metric-series key used across optimize/score/assess. */
+  val seriesCols: Seq[String] = Seq("entity", "instance", "name")
+
+  /** Profile a batch and upsert the metrics into the repository,
+    * registering the dataset on first sight
+    * (reference `profile` + `profile_create`,
+    * service_layer.py:157-230).
+    */
+  def profileCreate(
+      df: DataFrame,
+      datasetUri: String,
+      tsColumn: String,
+      repo: MetricsRepository,
+      builder: ProfilingBuilder = ProfilingBuilder.default,
+      granularity: String = Granularity.Day
+  ): DataFrame = {
+    val profiling = Profiler.profile(df, tsColumn, builder, granularity)
+    if (repo.getDataset(datasetUri).isEmpty) {
+      val metrics = builder
+        .metricExprs(df.schema.fields.filterNot(_.name == tsColumn).toSeq)
+        .map(_._1)
+      repo.registerDataset(
+        DatasetMeta(
+          uri = datasetUri,
+          tsColumn = tsColumn,
+          columns = df.columns.filterNot(_ == tsColumn).toSeq,
+          granularity = granularity,
+          metrics = metrics
+        )
+      )
+    }
+    repo.addProfiling(datasetUri, profiling)
+    profiling
+  }
+
+  /** Optimize anomaly models for every metric series of a dataset from
+    * its stored profiling history (reference `optimize`,
+    * service_layer.py:232-291). Stores and returns
+    * (entity, instance, name, best_model, threshold, mean_error).
+    */
+  def optimize(
+      datasetUri: String,
+      repo: MetricsRepository,
+      cfg: Optimizer.Config = Optimizer.Config()
+  ): DataFrame = {
+    val history = repo.getProfiling(datasetUri)
+    val optimization = Optimizer
+      .optimize(history, seriesCols, cfg = cfg)
+      .select(
+        (seriesCols.map(col) :+ col("best_model") :+ col("threshold") :+
+          col("mean_error")): _*
+      )
+    repo.addOptimization(datasetUri, optimization)
+    optimization
+  }
+
+  /** Score the newest profiled point of every metric series against its
+    * optimized model (reference `score`, service_layer.py:293-343).
+    * Stores and returns (ts, entity, instance, name, value, predicted,
+    * score).
+    */
+  def score(
+      datasetUri: String,
+      repo: MetricsRepository,
+      cfg: Optimizer.Config = Optimizer.Config()
+  ): DataFrame = {
+    val history = repo.getProfiling(datasetUri)
+    val optimization = repo.getOptimization(datasetUri)
+    val scoring = Scorer
+      .score(history, optimization, seriesCols, cfg = cfg)
+      .select(
+        (Seq(col("ts")) ++ seriesCols.map(col) ++ Seq(
+          col("value"),
+          col("predicted"),
+          col("score")
+        )): _*
+      )
+    repo.addScoring(datasetUri, scoring)
+    scoring
+  }
+
+  /** Assessment outcome for one (dataset, ts): the anomalous subset
+    * (empty = healthy).
+    */
+  case class Assessment(
+      datasetUri: String,
+      ts: java.sql.Timestamp,
+      anomalous: Seq[AnomalousScore]
+  ) {
+    def isHealthy: Boolean = anomalous.isEmpty
+  }
+
+  /** Compare stored scores against optimized thresholds and notify on
+    * exceedance (reference `assess_quality`, service_layer.py:345-409).
+    * Only the anomalous subset (bounded by the metric count of one
+    * dataset) is collected.
+    */
+  def assessQuality(
+      datasetUri: String,
+      repo: MetricsRepository,
+      handlers: Seq[NotificationHandler] = Seq(LogHandler)
+  ): Assessment = {
+    val scoring = repo.getScoring(datasetUri)
+    val optimization = repo.getOptimization(datasetUri)
+    val assessed = Quality.assess(scoring, optimization, seriesCols)
+    val rows = assessed
+      .where(col("is_anomalous"))
+      .select(
+        (seriesCols.map(col) ++ Seq(col("ts"), col("score"), col("threshold"))): _*
+      )
+      .collect()
+    val ts = rows.headOption
+      .map(_.getTimestamp(3))
+      .getOrElse(new java.sql.Timestamp(0L))
+    val anomalous = rows.toSeq.map { r =>
+      AnomalousScore(
+        entity = r.getString(0),
+        instance = r.getString(1),
+        name = r.getString(2),
+        score = r.getDouble(4),
+        threshold = r.getDouble(5)
+      )
+    }
+    val assessment = Assessment(datasetUri, ts, anomalous)
+    if (anomalous.nonEmpty) handlers.foreach(_.notify(datasetUri, ts, anomalous))
+    assessment
+  }
+
+  /** profile + optimize in one call (reference
+    * `profile_create_optimize`, service_layer.py:411-459).
+    */
+  def profileCreateOptimize(
+      df: DataFrame,
+      datasetUri: String,
+      tsColumn: String,
+      repo: MetricsRepository,
+      builder: ProfilingBuilder = ProfilingBuilder.default,
+      granularity: String = Granularity.Day,
+      cfg: Optimizer.Config = Optimizer.Config()
+  ): DataFrame = {
+    profileCreate(df, datasetUri, tsColumn, repo, builder, granularity)
+    optimize(datasetUri, repo, cfg)
+  }
+
+  /** Full new-batch flow: profile the batch, score its newest point,
+    * assess, notify (reference `assess_new_ts`,
+    * service_layer.py:461-509).
+    */
+  def assessNewTs(
+      df: DataFrame,
+      datasetUri: String,
+      tsColumn: String,
+      repo: MetricsRepository,
+      builder: ProfilingBuilder = ProfilingBuilder.default,
+      granularity: String = Granularity.Day,
+      cfg: Optimizer.Config = Optimizer.Config(),
+      handlers: Seq[NotificationHandler] = Seq(LogHandler)
+  ): Assessment = {
+    profileCreate(df, datasetUri, tsColumn, repo, builder, granularity)
+    score(datasetUri, repo, cfg)
+    assessQuality(datasetUri, repo, handlers)
+  }
+}

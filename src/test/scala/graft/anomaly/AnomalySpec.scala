@@ -1,0 +1,108 @@
+package graft.anomaly
+
+import graft.SparkSpec
+import graft.testing.SyntheticSeries
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+class AnomalySpec extends SparkSpec {
+  import spark.implicits._
+
+  private def constantSeries(n: Int, value: Double = 50.0) =
+    SyntheticSeries
+      .daily(spark, n, trend = 0.0, seasonalAmp = 0.0, noiseAmp = 0.0, base = value)
+      .withColumn("series", lit("const"))
+
+  test("APE clamps to 1.0 and is NULL near zero / on null prediction") {
+    val df = Seq(
+      (100.0, Some(90.0)), // ape 0.1
+      (10.0, Some(100.0)), // ape 9 -> clamped 1.0
+      (0.00001, Some(1.0)), // |true| < 1e-4 -> null
+      (100.0, None) // no prediction -> null
+    ).toDF("t", "p")
+    val out = df.select(ErrorMetrics.ape($"t", $"p").as("ape")).collect().map(r => Option(r.getAs[java.lang.Double]("ape")))
+    assert(math.abs(out(0).get - 0.1) < 1e-9)
+    assert(out(1).get == 1.0)
+    assert(out(2).isEmpty && out(3).isEmpty)
+  }
+
+  test("TrailingMean forecasts the mean of the previous w points, null without full window") {
+    val series = Seq(1.0, 2.0, 3.0, 4.0, 5.0).zipWithIndex
+      .map { case (v, i) => (java.sql.Timestamp.valueOf(f"2025-01-${i + 1}%02d 00:00:00"), v) }
+      .toDF("ts", "value")
+      .withColumn("series", lit("s"))
+    val w = Window.partitionBy($"series").orderBy($"ts")
+    val out = series
+      .withColumn("f", TrailingMean(3).forecast($"value", w))
+      .orderBy("ts")
+      .select("f")
+      .collect()
+      .map(r => Option(r.getAs[java.lang.Double]("f")))
+    assert(out(0).isEmpty && out(1).isEmpty && out(2).isEmpty)
+    assert(out(3).contains(2.0)) // mean(1,2,3)
+    assert(out(4).contains(3.0)) // mean(2,3,4)
+  }
+
+  test("SeasonalNaive lags by the period; Ewma renormalizes over present lags") {
+    val series = (1 to 10)
+      .map(i => (java.sql.Timestamp.valueOf(f"2025-01-$i%02d 00:00:00"), i.toDouble))
+      .toDF("ts", "value")
+      .withColumn("series", lit("s"))
+    val w = Window.partitionBy($"series").orderBy($"ts")
+    val out = series
+      .withColumn("sn", SeasonalNaive(7).forecast($"value", w))
+      .withColumn("ew", Ewma(alpha = 0.5, horizon = 2).forecast($"value", w))
+      .orderBy("ts")
+      .collect()
+    assert(Option(out(7).getAs[java.lang.Double]("sn")).map(_.doubleValue).contains(1.0))
+    // row index 2 (value 3): lags 2,1 present -> (0.5*2 + 0.25*1)/0.75
+    val ew2 = out(2).getAs[Double]("ew")
+    assert(math.abs(ew2 - (0.5 * 2 + 0.25 * 1) / 0.75) < 1e-9)
+    // row index 1: only lag1 present -> renormalized = exactly value 1
+    assert(math.abs(out(1).getAs[Double]("ew") - 1.0) < 1e-9)
+  }
+
+  test("constant series: every model has zero error, threshold floors at minThreshold") {
+    val opt = Optimizer.optimize(constantSeries(40), Seq("series"))
+    val row = opt.collect().head
+    assert(row.getAs[Double]("mean_error") == 0.0)
+    assert(row.getAs[Double]("threshold") == 0.1) // min_threshold floor
+  }
+
+  test("optimizer prefers the seasonal model on a strongly weekly series") {
+    val series = SyntheticSeries
+      .daily(spark, 60, trend = 0.0, seasonalAmp = 0.5, noiseAmp = 0.0)
+      .withColumn("series", lit("weekly"))
+    val opt = Optimizer.optimize(series, Seq("series")).collect().head
+    assert(opt.getAs[String]("best_model") == "SeasonalNaive-7")
+    assert(opt.getAs[Double]("mean_error") < 1e-9)
+  }
+
+  test("scorer scores exactly the last point per series with its best model") {
+    val series = SyntheticSeries.multi(spark, Seq("a", "b"), 30)
+    val opt = Optimizer.optimize(series, Seq("series"))
+    val scores = Scorer.score(series, opt, Seq("series")).collect()
+    assert(scores.length == 2)
+    val lastTs = series.groupBy("series").agg(max("ts").as("ts")).collect()
+      .map(r => r.getString(0) -> r.getTimestamp(1)).toMap
+    scores.foreach { r =>
+      assert(r.getAs[java.sql.Timestamp]("ts") == lastTs(r.getAs[String]("series")))
+      assert(r.getAs[Double]("score") >= 0.0)
+    }
+  }
+
+  test("adaptive start proportion widens validation for long series") {
+    val short = Optimizer
+      .forecastErrors(constantSeries(20), Seq("series"))
+      .where($"is_validation")
+      .count()
+    val long = Optimizer
+      .forecastErrors(constantSeries(120), Seq("series"))
+      .where($"is_validation")
+      .count()
+    // n=20 -> start 0.8 -> 4 rows/model; n=120 -> start 0.1 -> 108 rows/model
+    val models = Models.default.size
+    assert(short == 4L * models)
+    assert(long == 108L * models)
+  }
+}

@@ -1,0 +1,77 @@
+package graft.dedup
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+class DedupSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val corpus = Seq(
+    (1L, "the quick brown fox jumps over the lazy dog and runs far away today"),
+    (2L, "the quick brown fox jumps over the lazy dog and runs far away today"), // exact dup of 1
+    (3L, "The quick brown fox JUMPS over the lazy dog, and runs far away today!"), // normalized dup of 1
+    (4L, "the quick brown fox jumps over the lazy cat and runs far away today"), // near-dup of 1 (1 word)
+    (5L, "completely different content about distributed query engines and shuffles here now"),
+    (6L, "a b") // too short for 3-shingles
+  ).toDF("doc_id", "text")
+
+  test("exact dedup keeps the lowest id per identical text") {
+    val ids = Dedup.exact(corpus, "text", "doc_id").select("doc_id").as[Long].collect().sorted
+    assert(ids.toSeq == Seq(1L, 3L, 4L, 5L, 6L))
+  }
+
+  test("normalized dedup also collapses case/punctuation variants") {
+    val ids = Dedup.exactNormalized(corpus, "text", "doc_id").select("doc_id").as[Long].collect().sorted
+    assert(ids.toSeq == Seq(1L, 4L, 5L, 6L))
+  }
+
+  test("minhash LSH finds exact and near duplicates, not unrelated docs") {
+    // 13-token docs differing by one word have shingle-jaccard ~0.57;
+    // 16 bands x 2 rows gives band-collision recall >99% at that
+    // similarity (4x4 would miss ~64% of the time), so the docs 1-4
+    // pair must surface while unrelated doc 5 stays unpaired.
+    val pairs = Dedup
+      .minhashLshPairs(corpus, "text", "doc_id", numHashes = 32, bands = 16, threshold = 0.4)
+      .select("id_a", "id_b")
+      .as[(Long, Long)]
+      .collect()
+      .toSet
+    assert(pairs.contains((1L, 2L))) // identical -> jaccard 1
+    assert(pairs.contains((1L, 4L)) || pairs.contains((2L, 4L))) // near-dup
+    assert(!pairs.exists(p => p._1 == 5L || p._2 == 5L)) // unrelated never paired
+  }
+
+  test("minhash estimated jaccard is 1.0 for identical docs") {
+    val j = Dedup
+      .minhashLshPairs(corpus, "text", "doc_id", threshold = 0.5)
+      .where($"id_a" === 1L && $"id_b" === 2L)
+      .select("jaccard")
+      .as[Double]
+      .collect()
+    assert(j.headOption.contains(1.0))
+  }
+
+  test("simhash pairs identical and near docs within hamming budget") {
+    val pairs = Dedup
+      .simhashPairs(corpus, "text", "doc_id", maxHamming = 3)
+      .collect()
+      .map(r => (r.getAs[Long]("id_a"), r.getAs[Long]("id_b"), r.getAs[Int]("hamming")))
+    val byPair = pairs.map(p => (p._1, p._2) -> p._3).toMap
+    assert(byPair.get((1L, 2L)).contains(0)) // identical text -> identical simhash
+    assert(!byPair.keySet.exists(p => p._1 == 5L || p._2 == 5L))
+  }
+
+  test("signatures are deterministic across evaluations") {
+    val s1 = Dedup
+      .minhashLshPairs(corpus, "text", "doc_id", threshold = 0.3)
+      .orderBy("id_a", "id_b")
+      .collect()
+      .toSeq
+    val s2 = Dedup
+      .minhashLshPairs(corpus, "text", "doc_id", threshold = 0.3)
+      .orderBy("id_a", "id_b")
+      .collect()
+      .toSeq
+    assert(s1 == s2)
+  }
+}

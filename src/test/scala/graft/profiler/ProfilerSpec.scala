@@ -1,0 +1,114 @@
+package graft.profiler
+
+import graft.SparkSpec
+import graft.core.Granularity
+import graft.testing.DataFrameAssertions.assertDataFrameEquality
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+class ProfilerSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def sample = Seq(
+    // (ts, num, str)
+    ("2025-01-01 10:00:00", Some(1.0), Some("a")),
+    ("2025-01-01 11:00:00", Some(3.0), Some("b")),
+    ("2025-01-01 12:00:00", None, Some("a")),
+    ("2025-01-02 09:00:00", Some(10.0), None),
+    ("2025-01-02 10:00:00", Some(20.0), Some("c"))
+  ).toDF("ts_raw", "num", "str")
+    .select(to_timestamp($"ts_raw").as("ts"), $"num", $"str")
+
+  test("default profile computes all metrics for all days in one pass") {
+    val out = Profiler.profile(sample, "ts").cache()
+    def v(day: String, entity: String, instance: String, name: String): Option[Double] =
+      out
+        .where(
+          $"ts" === to_timestamp(lit(day)) && $"entity" === entity &&
+            $"instance" === instance && $"name" === name
+        )
+        .collect()
+        .headOption
+        .map(r => Option(r.getAs[java.lang.Double]("value")).map(_.doubleValue).getOrElse(Double.NaN))
+
+    assert(v("2025-01-01", "Dataset", "*", "Size").contains(3.0))
+    assert(v("2025-01-02", "Dataset", "*", "Size").contains(2.0))
+    assert(v("2025-01-01", "Column", "num", "Mean").contains(2.0))
+    assert(v("2025-01-02", "Column", "num", "Mean").contains(15.0))
+    assert(math.abs(v("2025-01-01", "Column", "num", "Completeness").get - 2.0 / 3) < 1e-9)
+    assert(v("2025-01-02", "Column", "str", "Completeness").contains(0.5))
+    assert(v("2025-01-01", "Column", "str", "CountDistinct").contains(2.0))
+    // exact physical plan property: exactly one aggregate over the scan
+    val plan = Profiler.profile(sample, "ts").queryExecution.optimizedPlan.toString
+    assert(!plan.toLowerCase.contains("join"), "single-pass profile must not join")
+  }
+
+  test("quantiles match manual percentiles") {
+    val out = Profiler.profile(sample, "ts")
+    val q50 = out
+      .where($"name" === "ApproxQuantile-0.5" || $"name" === "Quantile-0.5")
+      .where($"ts" === to_timestamp(lit("2025-01-01")) && $"instance" === "num")
+      .select("value")
+      .as[Double]
+      .collect()
+    assert(q50.nonEmpty && math.abs(q50.head - 2.0) < 1e-9) // median of (1,3)
+  }
+
+  test("pluggable builder: custom analyzer set and type mapping") {
+    val builder = new ProfilingBuilder(
+      typeMappings = Seq(
+        TypeMapping(_.isInstanceOf[NumericType], Seq(Analyzers.Min, Analyzers.Max, Analyzers.Sum))
+      ),
+      datasetAnalyzers = Seq(Analyzers.Size)
+    )
+    val out = Profiler.profile(sample, "ts", builder)
+    val names = out.select("name").distinct().as[String].collect().toSet
+    assert(names == Set("Minimum", "Maximum", "Sum", "Size"))
+    val maxDay1 = out
+      .where($"ts" === to_timestamp(lit("2025-01-01")) && $"name" === "Maximum")
+      .select("value")
+      .as[Double]
+      .collect()
+      .head
+    assert(maxDay1 == 3.0)
+  }
+
+  test("hour granularity buckets by hour") {
+    val out = Profiler.profile(sample, "ts", ProfilingBuilder.simple, Granularity.Hour)
+    val sizes = out
+      .where($"name" === "Size")
+      .select("ts", "value")
+      .collect()
+      .map(r => r.getTimestamp(0).toString -> r.getDouble(1))
+      .toMap
+    assert(sizes("2025-01-01 10:00:00.0") == 1.0)
+    assert(sizes.size == 5)
+  }
+
+  test("uniqueness and entropy profiles") {
+    val u = Profiler
+      .uniquenessProfile(sample, "ts", "str")
+      .where($"ts" === to_timestamp(lit("2025-01-01")))
+      .collect()
+      .head
+    // day1 str values: a, b, a -> distinctness 2/3, uniqueness 1/3
+    assert(math.abs(u.getAs[Double]("distinctness") - 2.0 / 3) < 1e-9)
+    assert(math.abs(u.getAs[Double]("uniqueness") - 1.0 / 3) < 1e-9)
+
+    val e = Profiler
+      .entropyProfile(sample, "ts", "str")
+      .where($"ts" === to_timestamp(lit("2025-01-01")))
+      .collect()
+      .head
+    val expected = -(2.0 / 3 * math.log(2.0 / 3) + 1.0 / 3 * math.log(1.0 / 3))
+    assert(math.abs(e.getAs[Double]("entropy") - expected) < 1e-9)
+  }
+
+  test("assertDataFrameEquality detects equal and unequal frames") {
+    val a = Seq((1, 1.0), (2, 2.0)).toDF("id", "v")
+    val b = Seq((2, 2.0 + 1e-12), (1, 1.0)).toDF("id", "v")
+    assertDataFrameEquality(a, b, tol = 1e-9)
+    val c = Seq((1, 1.5), (2, 2.0)).toDF("id", "v")
+    intercept[IllegalArgumentException](assertDataFrameEquality(a, c, tol = 1e-9))
+  }
+}

@@ -1,0 +1,98 @@
+package graft.service
+
+import graft.SparkSpec
+import graft.core.DatasetMeta
+import graft.profiler.ProfilingBuilder
+import graft.quality.{AnomalousScore, NotificationHandler}
+import graft.repository.{InMemoryRepository, MetricsRepository, ParquetRepository}
+import graft.testing.SyntheticSeries
+import org.apache.spark.sql.functions._
+
+class ServiceSpec extends SparkSpec {
+  import spark.implicits._
+
+  /** A batch table: one row per (ts, value) -> profiled Mean == value. */
+  private def batches(n: Int, anomalies: Map[Int, Double] = Map.empty) =
+    SyntheticSeries.daily(spark, n, noiseAmp = 0.02, anomalies = anomalies)
+
+  private def newParquetRepo(): MetricsRepository = {
+    val dir = java.nio.file.Files.createTempDirectory("graft-repo").toString
+    new ParquetRepository(spark, dir)
+  }
+
+  for ((repoName, mkRepo) <- Seq(
+      "in-memory" -> (() => new InMemoryRepository(): MetricsRepository),
+      "parquet" -> (() => newParquetRepo())
+    )) {
+
+    test(s"[$repoName] profileCreate registers dataset and upserts metrics") {
+      val repo = mkRepo()
+      Service.profileCreate(batches(10), "ds://t1", "ts", repo, ProfilingBuilder.simple)
+      val meta = repo.getDataset("ds://t1")
+      assert(meta.exists(_.columns == Seq("value")))
+      val prof = repo.getProfiling("ds://t1")
+      assert(prof.where($"name" === "Mean").count() == 10)
+      // Re-profiling the same range must not duplicate rows (upsert).
+      Service.profileCreate(batches(10), "ds://t1", "ts", repo, ProfilingBuilder.simple)
+      assert(repo.getProfiling("ds://t1").where($"name" === "Mean").count() == 10)
+    }
+
+    test(s"[$repoName] optimize + score + assess: clean series is healthy") {
+      val repo = mkRepo()
+      Service.profileCreate(batches(40), "ds://clean", "ts", repo, ProfilingBuilder.simple)
+      val opt = Service.optimize("ds://clean", repo)
+      assert(opt.count() > 0)
+      val sc = Service.score("ds://clean", repo)
+      assert(sc.count() > 0)
+      val assessment = Service.assessQuality("ds://clean", repo, handlers = Nil)
+      assert(assessment.isHealthy)
+    }
+  }
+
+  test("assessNewTs flags an injected anomaly and notifies") {
+    val repo = new InMemoryRepository()
+    // History: 40 clean days; the new batch carries a 3x spike on its last day.
+    Service.profileCreateOptimize(
+      batches(40),
+      "ds://spiky",
+      "ts",
+      repo,
+      ProfilingBuilder.simple
+    )
+    var notified = Seq.empty[AnomalousScore]
+    val handler = new NotificationHandler {
+      def notify(uri: String, ts: java.sql.Timestamp, anomalous: Seq[AnomalousScore]): Unit =
+        notified = anomalous
+    }
+    val withSpike = batches(41, anomalies = Map(40 -> 3.0))
+    val assessment = Service.assessNewTs(
+      withSpike,
+      "ds://spiky",
+      "ts",
+      repo,
+      ProfilingBuilder.simple,
+      handlers = Seq(handler)
+    )
+    assert(!assessment.isHealthy)
+    assert(notified.exists(a => a.instance == "value" && a.name == "Mean"))
+    assert(notified.forall(a => a.score > a.threshold))
+  }
+
+  test("parquet repository round-trips dataset metadata and latest-wins upserts") {
+    val repo = newParquetRepo()
+    repo.registerDataset(DatasetMeta("u1", "ts", Seq("a"), "DAY", Seq.empty))
+    repo.registerDataset(DatasetMeta("u1", "ts", Seq("a", "b"), "DAY", Seq.empty))
+    assert(repo.getDataset("u1").exists(_.columns == Seq("a", "b")))
+    assert(repo.listDatasets().size == 1)
+
+    val t = java.sql.Timestamp.valueOf("2025-01-01 00:00:00")
+    val rows1 = Seq((t, "Column", "a", "Mean", 1.0)).toDF("ts", "entity", "instance", "name", "value")
+    val rows2 = Seq((t, "Column", "a", "Mean", 2.0)).toDF("ts", "entity", "instance", "name", "value")
+    repo.addProfiling("u1", rows1)
+    repo.addProfiling("u1", rows2)
+    val got = repo.getProfiling("u1").collect()
+    assert(got.length == 1 && got.head.getAs[Double]("value") == 2.0)
+    // ts range select
+    assert(repo.getProfiling("u1", start = Some(java.sql.Timestamp.valueOf("2025-01-02 00:00:00"))).count() == 0)
+  }
+}

@@ -1,0 +1,56 @@
+package graft.similarity
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+class SimilaritySpec extends SparkSpec {
+  import spark.implicits._
+
+  private val vecs = Seq(
+    (1L, Array(1.0f, 0.0f, 0.0f), "x"),
+    (2L, Array(0.9f, 0.1f, 0.0f), "x"),
+    (3L, Array(0.0f, 1.0f, 0.0f), "y"),
+    (4L, Array(0.0f, 0.95f, 0.05f), "y"),
+    (5L, Array(-1.0f, 0.0f, 0.0f), "x")
+  ).toDF("vec_id", "embedding", "label")
+
+  test("dot and cosine match manual math") {
+    val df = Seq((Array(1.0f, 2.0f), Array(3.0f, 4.0f))).toDF("a", "b")
+    val row = df.select(
+      Similarity.dot($"a", $"b").as("d"),
+      Similarity.cosine($"a", $"b").as("c")
+    ).collect().head
+    assert(math.abs(row.getAs[Double]("d") - 11.0) < 1e-9)
+    val expected = 11.0 / (math.sqrt(5.0) * math.sqrt(25.0))
+    assert(math.abs(row.getAs[Double]("c") - expected) < 1e-9)
+  }
+
+  test("brute-force top-k ranks nearest first with deterministic tie-break") {
+    val out = Similarity
+      .bruteForceTopK(vecs.where($"vec_id" === 1L), vecs, "vec_id", "embedding", 2)
+      .orderBy("rank")
+      .collect()
+    assert(out.length == 2)
+    assert(out(0).getAs[Long]("neighbor_id") == 2L) // most similar to e1
+    assert(out(0).getAs[Double]("sim") > 0.99)
+    assert(out(1).getAs[Long]("neighbor_id") == 3L || out(1).getAs[Long]("neighbor_id") == 4L)
+  }
+
+  test("lsh top-k buckets colinear vectors together and never pairs opposites") {
+    val out = Similarity
+      .lshTopK(vecs.where($"vec_id" === 1L), vecs, "vec_id", "embedding", 5, nPlanes = 4)
+      .collect()
+    val neighbors = out.map(_.getAs[Long]("neighbor_id")).toSet
+    assert(!neighbors.contains(5L)) // opposite vector lands in the complement bucket
+    assert(out.forall(_.getAs[Double]("sim") >= -1.0))
+  }
+
+  test("cosinePairs blocks by key and emits each pair once above threshold") {
+    val pairs = Similarity
+      .cosinePairs(vecs, "vec_id", "embedding", "label", 0.5)
+      .collect()
+      .map(r => (r.getAs[Long]("id_a"), r.getAs[Long]("id_b")))
+      .toSet
+    assert(pairs == Set((1L, 2L), (3L, 4L))) // within-label similar pairs only
+  }
+}

@@ -1,0 +1,66 @@
+package graft.text
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+class TextSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def one(c: org.apache.spark.sql.Column, text: String): Any =
+    Seq(text).toDF("t").select(c.as("v")).collect().head.get(0)
+
+  test("token counts: whitespace and BPE-ish") {
+    assert(one(Text.tokenCount($"t"), "the cat sat") == 3)
+    assert(one(Text.bpeTokenCount($"t"), "abc123 def!") == 4) // abc,123,def,!
+  }
+
+  test("normalize strips punctuation, case, extra whitespace") {
+    assert(one(Text.normalize($"t"), "Hello,   World!!") == "hello world")
+  }
+
+  test("fingerprint equals md5 of normalized text and collapses variants") {
+    val f1 = one(Text.fingerprint($"t"), "Hello, World!")
+    val f2 = one(Text.fingerprint($"t"), "hello world")
+    assert(f1 == f2)
+  }
+
+  test("language id picks the dominant stopword language, und when none") {
+    assert(one(Text.langId($"t"), "the cat is on the mat") == "en")
+    assert(one(Text.langId($"t"), "der hund ist nicht auf der couch") == "de")
+    assert(one(Text.langId($"t"), "le chat est dans la maison") == "fr")
+    assert(one(Text.langId($"t"), "el gato es un animal") == "es")
+    assert(one(Text.langId($"t"), "zzz qqq xxx") == "und")
+  }
+
+  test("word shingles and jaccard") {
+    val sh = one(Text.wordShingles($"t", 2), "a b c").asInstanceOf[scala.collection.Seq[String]]
+    assert(sh.toSeq == Seq("a b", "b c"))
+    val j = Seq(("a b c d", "a b c e"))
+      .toDF("x", "y")
+      .select(Text.jaccard(Text.wordShingles($"x", 2), Text.wordShingles($"y", 2)).as("j"))
+      .collect()
+      .head
+      .getDouble(0)
+    // shingles x: {a b, b c, c d}; y: {a b, b c, c e}; intersect 2, union 4
+    assert(math.abs(j - 0.5) < 1e-9)
+  }
+
+  test("shingle hashes from token hashes mirror wordShingles cardinality") {
+    val df = Seq("one two three four", "a b").toDF("t")
+    val out = df
+      .select(Text.tokenHashes($"t").as("th"), Text.wordShingles($"t", 3).as("ws"))
+      .select(size(Text.shingleHashesFromTokenHashes($"th", 3)).as("nh"), size($"ws").as("nw"))
+      .collect()
+    out.foreach(r => assert(r.getInt(0) == r.getInt(1)))
+  }
+
+  test("quality score is in [0,1] and favors prose over symbol soup") {
+    val q = Seq("the cat is on the mat and it is a fine day for all of us", "@#$% ^&*! ~~~")
+      .toDF("t")
+      .select(Text.qualityScore($"t").as("q"))
+      .collect()
+      .map(_.getDouble(0))
+    assert(q.forall(v => v >= 0.0 && v <= 1.0))
+    assert(q(0) > q(1))
+  }
+}
