@@ -112,8 +112,22 @@ object Optimizer {
     val meanErrors = errors
       .groupBy(keyCols.map(col): _*)
       .agg(avg(col("error")).as("mean_error"), count(lit(1)).as("n_validation"))
+    meanErrors.join(bestThresholds(errors, keyCols, cfg), keyCols, "left")
+  }
+
+  /** Smallest grid threshold per key with
+    * P(error <= t) >= confidence — the reference's
+    * `_find_best_threshold` (thoth/anomaly/optimization.py:103-138) run
+    * for every key at once. Input: keyCols* + `error` rows. Output:
+    * keyCols*, threshold, below_proportion.
+    */
+  def bestThresholds(
+      errors: DataFrame,
+      keyCols: Seq[String],
+      cfg: Config = Config()
+  ): DataFrame = {
     val g = cfg.thresholdGrid
-    val coverage = errors
+    errors
       .select(
         (keyCols.map(col) :+ col("error") :+
           explode(sequence(lit(1), lit(g))).as("_g")): _*
@@ -125,7 +139,6 @@ object Optimizer {
         avg(when(col("error") <= col("t"), 1.0).otherwise(0.0))
           .as("below_proportion")
       )
-    val thresholds = coverage
       .where(col("below_proportion") >= cfg.confidence)
       .groupBy(keyCols.map(col): _*)
       .agg(min(struct(col("t"), col("below_proportion"))).as("best"))
@@ -133,7 +146,6 @@ object Optimizer {
         (keyCols.map(col) :+ col("best.t").as("threshold") :+
           col("best.below_proportion").as("below_proportion")): _*
       )
-    meanErrors.join(thresholds, keyCols, "left")
   }
 
   /** Best model per series, by (threshold, mean_error) as in the
@@ -154,14 +166,24 @@ object Optimizer {
   ): DataFrame = {
     val w = Window
       .partitionBy(seriesCols.map(col): _*)
-      .orderBy(col("threshold"), col("mean_error"), col("model"))
+      .orderBy(
+        col("threshold").asc_nulls_last, // no-valid-error models lose
+        col("mean_error").asc_nulls_last,
+        col("model")
+      )
     evaluate(series, seriesCols, tsCol, valueCol, cfg)
       .withColumn("_rank", row_number().over(w))
       .where(col("_rank") === 1)
       .select(
         (seriesCols.map(col) :+ col("model").as("best_model") :+
           greatest(col("threshold"), lit(cfg.minThreshold)).as("threshold") :+
-          col("mean_error") :+ col("below_proportion")): _*
+          col("mean_error") :+ col("below_proportion") :+
+          // The reference RAISES OptimizationFailedError when even the
+          // best model needs threshold 1.0 (optimization.py:200-214);
+          // a distributed optimize over 10^5 series flags instead of
+          // throwing — callers filter/alert on this column.
+          (col("threshold").isNull || col("threshold") >= lit(1.0))
+            .as("optimization_failed")): _*
       )
   }
 }

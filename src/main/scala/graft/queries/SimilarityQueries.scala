@@ -46,8 +46,19 @@ object SimilarityQueries extends QueryPack {
     oracle = None // bucket assignment depends on engine hash planes
   )
 
+  private val ivf = Q(
+    fn = (s, d) => {
+      val emb = Tables.embeddings(s, d)
+      Similarity
+        .ivfTopK(emb.filter(col("vec_id") < 5), emb, "vec_id", "embedding", 5)
+        .orderBy("query_id", "rank")
+    },
+    oracle = None // k-means cell assignment is not SQL-expressible
+  )
+
   val queries: Map[String, Q] = Map(
     "ann_bruteforce_topk" -> bruteForce,
-    "ann_lsh_topk" -> lsh
+    "ann_lsh_topk" -> lsh,
+    "ann_ivf_topk" -> ivf
   )
 }

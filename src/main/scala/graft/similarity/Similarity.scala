@@ -139,6 +139,90 @@ object Similarity {
       .select("query_id", "neighbor_id", "sim", "rank")
   }
 
+  /** IVF-style ANN: an MLlib k-means coarse quantizer partitions the
+    * corpus into `nlist` inverted lists; each query probes its `nprobe`
+    * nearest centroids and ranks exact cosine only within those cells.
+    *
+    * Scale shape: centroids are tiny (nlist x dim) and live as literal
+    * expressions — no side state, any executor derives the same
+    * assignment. The corpus shuffles once on cell id; the candidate set
+    * per query is nprobe/nlist of the corpus. Cell ranking uses the
+    * standard |c|^2 - 2*v.c monotone form (|v|^2 is constant per row).
+    */
+  def ivfTopK(
+      queries: DataFrame,
+      corpus: DataFrame,
+      idCol: String,
+      vecCol: String,
+      k: Int,
+      nlist: Int = 16,
+      nprobe: Int = 4,
+      seed: Long = 42L
+  ): DataFrame = {
+    import org.apache.spark.ml.clustering.KMeans
+    import org.apache.spark.ml.functions.array_to_vector
+
+    val fv = array_to_vector(col(vecCol).cast("array<double>")).as("_fv")
+    val model = new KMeans()
+      .setK(nlist)
+      .setSeed(seed)
+      .setMaxIter(20)
+      .setFeaturesCol("_fv")
+      .fit(corpus.select(fv))
+    val cents = model.clusterCenters.map(_.toArray)
+
+    // -2*v.c + |c|^2 for centroid j — monotone in distance for fixed v.
+    def cellScore(v: Column, j: Int): Column = {
+      val c = cents(j)
+      val c2 = c.map(x => x * x).sum
+      val dot = aggregate(
+        sequence(lit(1), size(v)),
+        lit(0.0),
+        (acc, i) =>
+          acc + element_at(v, i).cast("double") * element_at(lit(c), i)
+      )
+      lit(c2) - lit(2.0) * dot
+    }
+    def cellStructs(v: Column): Column =
+      array(cents.indices.map(j => struct(cellScore(v, j).as("s"), lit(j).as("j"))): _*)
+    // nearest cell (min struct orders by score, then id: deterministic)
+    def nearestCell(v: Column): Column = array_min(cellStructs(v)).getField("j")
+    def probeCells(v: Column): Column =
+      transform(slice(array_sort(cellStructs(v)), 1, nprobe), s => s.getField("j"))
+
+    val c = corpus.select(
+      col(idCol).as("neighbor_id"),
+      col(vecCol).as("_cv"),
+      norm(col(vecCol)).as("_cn"),
+      nearestCell(col(vecCol)).as("_cell")
+    )
+    val q = queries
+      .select(
+        col(idCol).as("query_id"),
+        col(vecCol).as("_qv"),
+        norm(col(vecCol)).as("_qn"),
+        probeCells(col(vecCol)).as("_probes")
+      )
+      .select(
+        col("query_id"),
+        col("_qv"),
+        col("_qn"),
+        explode(col("_probes")).as("_cell")
+      )
+    val w = Window
+      .partitionBy(col("query_id"))
+      .orderBy(col("sim").desc, col("neighbor_id"))
+    c.join(broadcast(q), Seq("_cell"))
+      .where(col("query_id") =!= col("neighbor_id"))
+      .withColumn(
+        "sim",
+        round6(dot(col("_qv"), col("_cv")) / (col("_qn") * col("_cn")))
+      )
+      .withColumn("rank", row_number().over(w))
+      .where(col("rank") <= k)
+      .select("query_id", "neighbor_id", "sim", "rank")
+  }
+
   /** Near-duplicate pairs by embedding cosine within a blocking key
     * (label, LSH bucket, shard — any column that bounds the candidate
     * set). Pairs are emitted once (idA < idB). This is the standard

@@ -91,6 +91,42 @@ class AnomalySpec extends SparkSpec {
     }
   }
 
+  test("threshold grid matches the reference's _find_best_threshold cases") {
+    // reference tests/unit/thoth/test_anomaly/test_optimization.py:
+    // case 1: nine 0.1 errors + one 0.5, confidence 0.9 -> t=0.1, p=0.9
+    val case1 = (Seq.fill(9)(0.1) :+ 0.5).map(("m", _)).toDF("k", "error")
+    val t1 = Optimizer
+      .bestThresholds(case1, Seq("k"), Optimizer.Config(confidence = 0.9))
+      .collect()
+      .head
+    assert(t1.getAs[Double]("threshold") == 0.1)
+    assert(t1.getAs[Double]("below_proportion") == 0.9)
+    // case 2: errors (1.0, 1.0, 0.1), confidence 0.9 -> t=1.0, p=1.0
+    val case2 = Seq(1.0, 1.0, 0.1).map(("m", _)).toDF("k", "error")
+    val t2 = Optimizer
+      .bestThresholds(case2, Seq("k"), Optimizer.Config(confidence = 0.9))
+      .collect()
+      .head
+    assert(t2.getAs[Double]("threshold") == 1.0)
+    assert(t2.getAs[Double]("below_proportion") == 1.0)
+  }
+
+  test("optimization_failed flags series where even the best model needs threshold 1.0") {
+    // White noise around alternating extremes: every model's APE is
+    // frequently ~1.0, so no threshold below 1.0 reaches confidence .99
+    // (the reference raises OptimizationFailedError here).
+    val wild = (1 to 40)
+      .map(i => (java.sql.Timestamp.valueOf(f"2025-01-${(i % 28) + 1}%02d ${i / 28}%02d:00:00"),
+        if (i % 2 == 0) 1000.0 else 0.001))
+      .toDF("ts", "value")
+      .withColumn("series", lit("wild"))
+    val opt = Optimizer.optimize(wild, Seq("series")).collect().head
+    assert(opt.getAs[Boolean]("optimization_failed"))
+    // and the healthy constant series is not flagged
+    val ok = Optimizer.optimize(constantSeries(40), Seq("series")).collect().head
+    assert(!ok.getAs[Boolean]("optimization_failed"))
+  }
+
   test("adaptive start proportion widens validation for long series") {
     val short = Optimizer
       .forecastErrors(constantSeries(20), Seq("series"))

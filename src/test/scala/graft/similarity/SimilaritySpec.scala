@@ -45,6 +45,28 @@ class SimilaritySpec extends SparkSpec {
     assert(out.forall(_.getAs[Double]("sim") >= -1.0))
   }
 
+  test("ivf top-k recalls the nearest neighbor within the probed cells") {
+    // two well-separated clusters; nlist=2 must split them, so probing
+    // 1 cell still recalls the true nearest neighbor
+    val clustered = (
+      (0 until 20).map(i => (i.toLong, Array(10.0f + i * 0.01f, 0.1f * (i % 3), 0.0f))) ++
+        (20 until 40).map(i => (i.toLong, Array(0.0f, 10.0f + i * 0.01f, 0.1f * (i % 3))))
+    ).toDF("vec_id", "embedding")
+    val out = Similarity
+      .ivfTopK(clustered.where($"vec_id" === 0L), clustered, "vec_id", "embedding", 3, nlist = 2, nprobe = 1)
+      .orderBy("rank")
+      .collect()
+    assert(out.nonEmpty)
+    val bf = Similarity
+      .bruteForceTopK(clustered.where($"vec_id" === 0L), clustered, "vec_id", "embedding", 3)
+      .orderBy("rank")
+      .collect()
+    // top-1 agrees with brute force (same cluster, same cell)
+    assert(out.head.getAs[Long]("neighbor_id") == bf.head.getAs[Long]("neighbor_id"))
+    // ivf never returns a cross-cluster neighbor when probing one cell
+    assert(out.forall(_.getAs[Long]("neighbor_id") < 20L))
+  }
+
   test("cosinePairs blocks by key and emits each pair once above threshold") {
     val pairs = Similarity
       .cosinePairs(vecs, "vec_id", "embedding", "label", 0.5)
