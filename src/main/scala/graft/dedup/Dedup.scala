@@ -40,16 +40,16 @@ object Dedup {
     exact(df, textCol, idCol, Text.normalize)
 
   /** MinHash signature: for seed s, min over shingle hashes of
-    * xxhash64(shingleHash, s). Takes pre-hashed shingles (one long per
-    * shingle — see [[Text.shingleHashes]]) so the expensive string work
-    * happens exactly once per document; the per-seed re-hash is cheap
-    * long→long mixing. All `numHashes` mins are one projection over the
-    * hash array — scan-side, no shuffle.
+    * XXH64(shingleHash, seed=s). Takes pre-hashed shingles (one long
+    * per shingle — see [[Text.shingleHashesFromTokenHashes]]) so the
+    * expensive string work happens exactly once per document. Backed by
+    * the custom Catalyst expression
+    * [[graft.functions.hashExpressions.MinHashSignature]]: one tight
+    * loop per row instead of numHashes interpreted HOF traversals —
+    * scan-side, no shuffle.
     */
   def minhashSignature(shingleHashes: Column, numHashes: Int): Column =
-    array((0 until numHashes).map { s =>
-      array_min(transform(shingleHashes, sh => xxhash64(sh, lit(s))))
-    }: _*)
+    graft.functions.hashExpressions.minhashSignature(shingleHashes, numHashes)
 
   /** LSH band keys: the signature is cut into `bands` rows of
     * `rowsPerBand`, each band hashed to one bucket key.
@@ -89,10 +89,12 @@ object Dedup {
     // Token-hash, shingle-hash, and 16-seed signature are SEPARATE
     // projections so each array materializes once as an attribute before
     // the next HOF consumes it (nested HOFs re-evaluate their inputs per
-    // element in interpreted mode — measured 16-40x slower). Signatures
-    // are persisted: they feed the band explode AND both sides of the
-    // candidate-pair join-back; at cluster scale this is the standard
-    // "materialize the signature table" step.
+    // element in interpreted mode — measured 16-40x slower). The
+    // signature table is materialized EAGERLY (localCheckpoint): it
+    // feeds the band explode AND both sides of the candidate-pair
+    // join-back, and a lazy cache would still compute the subtree once
+    // per branch inside the single job. At cluster scale this is the
+    // standard "write the signature table" step of every LSH pipeline.
     val sigs = df
       .select(col(idCol).as("id"), Text.tokenHashes(col(textCol)).as("_th"))
       .select(
@@ -101,50 +103,48 @@ object Dedup {
       )
       .where(size(col("_sh")) > 0)
       .select(col("id"), minhashSignature(col("_sh"), numHashes).as("sig"))
-      .persist()
+      .localCheckpoint(eager = true)
+    // The signature (numHashes longs — 128 B at the default 16) rides
+    // along through the band explode, so the bucket self-join yields
+    // both signatures directly: no join-back stages. For much larger
+    // signatures, join the signature table back on id instead.
     val banded = sigs
       .select(
         col("id"),
+        col("sig"),
         explode(bandHashes(col("sig"), bands, rowsPerBand)).as("bh")
       )
-      .select(col("id"), col("bh.band").as("band"), col("bh.bucket").as("bucket"))
-    val candidates = banded
-      .as("a")
-      .join(banded.as("b"), Seq("band", "bucket"))
-      .where(col("a.id") < col("b.id"))
-      .select(col("a.id").as("id_a"), col("b.id").as("id_b"))
-      .distinct()
+      .select(col("id"), col("sig"), col("bh.band").as("band"), col("bh.bucket").as("bucket"))
     // Signature-estimated Jaccard: fraction of agreeing minhash slots.
     val simExpr = {
       val za = zip_with(col("_sa"), col("_sb"), (x, y) => when(x === y, 1).otherwise(0))
       aggregate(za, lit(0), (acc, v) => acc + v).cast("double") / numHashes
     }
-    candidates
-      .join(sigs.select(col("id").as("id_a"), col("sig").as("_sa")), Seq("id_a"))
-      .join(sigs.select(col("id").as("id_b"), col("sig").as("_sb")), Seq("id_b"))
+    banded
+      .as("a")
+      .join(banded.as("b"), Seq("band", "bucket"))
+      .where(col("a.id") < col("b.id"))
+      .select(
+        col("a.id").as("id_a"),
+        col("b.id").as("id_b"),
+        col("a.sig").as("_sa"),
+        col("b.sig").as("_sb")
+      )
       .withColumn("jaccard", simExpr)
       .where(col("jaccard") >= threshold)
       .select("id_a", "id_b", "jaccard")
+      .distinct()
   }
 
   /** 64-bit SimHash over a *materialized* token-hash array (see
     * [[Text.tokenHashes]]): bit j of the signature is the sign of
-    * sum(+1/-1 over tokens by bit j of the token hash). One cheap
-    * bit-math expression tree per bit, all in a single projection —
-    * strings were hashed exactly once upstream.
+    * sum(+1/-1 over tokens by bit j of the token hash). Backed by the
+    * custom Catalyst expression
+    * [[graft.functions.hashExpressions.SimHash64]]: one pass with 64
+    * counters per row — strings were hashed exactly once upstream.
     */
   def simhash64(tokenHashes: Column): Column =
-    (0 until 64)
-      .map { j =>
-        val vote = aggregate(
-          tokenHashes,
-          lit(0),
-          (acc, h) =>
-            acc + when(shiftright(h, j).bitwiseAND(1) === 1, 1).otherwise(-1)
-        )
-        when(vote > 0, lit(1L << j)).otherwise(lit(0L))
-      }
-      .reduce(_ + _) // disjoint bits: + == |
+    graft.functions.hashExpressions.simhash64(tokenHashes)
 
   /** SimHash near-dup pairs with Hamming distance <= maxHamming.
     *

@@ -163,45 +163,60 @@ object Similarity {
     import org.apache.spark.ml.functions.array_to_vector
 
     val fv = array_to_vector(col(vecCol).cast("array<double>")).as("_fv")
+    // Coarse centroids only need to partition space, not converge: cap
+    // the training set (IVF practice is a corpus sample) and the
+    // iteration count. At any corpus size this keeps the fit O(sample).
+    val maxTrain = 8192L
+    val corpusN = corpus.count()
+    val trainDf =
+      if (corpusN <= maxTrain) corpus.select(fv)
+      else corpus.select(fv).sample(withReplacement = false, maxTrain.toDouble / corpusN, seed)
     val model = new KMeans()
       .setK(nlist)
       .setSeed(seed)
-      .setMaxIter(20)
+      .setMaxIter(10)
       .setFeaturesCol("_fv")
-      .fit(corpus.select(fv))
+      .fit(trainDf)
     val cents = model.clusterCenters.map(_.toArray)
 
-    // -2*v.c + |c|^2 for centroid j — monotone in distance for fixed v.
-    def cellScore(v: Column, j: Int): Column = {
-      val c = cents(j)
-      val c2 = c.map(x => x * x).sum
-      val dot = aggregate(
-        sequence(lit(1), size(v)),
-        lit(0.0),
-        (acc, i) =>
-          acc + element_at(v, i).cast("double") * element_at(lit(c), i)
+    // Cell assignment runs through the model's own compiled predictor
+    // (vectorized BLAS distance loops); the query side probes its
+    // nprobe nearest centroids with the same math over the
+    // closure-broadcast centroid array. Both are embarrassingly
+    // parallel scans — no shuffle until the cell join below.
+    val c = model
+      .setPredictionCol("_cell")
+      .transform(
+        corpus.select(
+          col(idCol).as("neighbor_id"),
+          col(vecCol).as("_cv"),
+          norm(col(vecCol)).as("_cn"),
+          fv
+        )
       )
-      lit(c2) - lit(2.0) * dot
+      .drop("_fv")
+    val probeUdf = udf { (v: org.apache.spark.ml.linalg.Vector) =>
+      cents.indices
+        .map { j =>
+          var d = 0.0
+          var i = 0
+          val cj = cents(j)
+          while (i < cj.length) {
+            val diff = v(i) - cj(i); d += diff * diff; i += 1
+          }
+          (d, j)
+        }
+        .sortBy(identity)
+        .take(nprobe)
+        .map(_._2)
+        .toArray
     }
-    def cellStructs(v: Column): Column =
-      array(cents.indices.map(j => struct(cellScore(v, j).as("s"), lit(j).as("j"))): _*)
-    // nearest cell (min struct orders by score, then id: deterministic)
-    def nearestCell(v: Column): Column = array_min(cellStructs(v)).getField("j")
-    def probeCells(v: Column): Column =
-      transform(slice(array_sort(cellStructs(v)), 1, nprobe), s => s.getField("j"))
-
-    val c = corpus.select(
-      col(idCol).as("neighbor_id"),
-      col(vecCol).as("_cv"),
-      norm(col(vecCol)).as("_cn"),
-      nearestCell(col(vecCol)).as("_cell")
-    )
     val q = queries
       .select(
         col(idCol).as("query_id"),
         col(vecCol).as("_qv"),
         norm(col(vecCol)).as("_qn"),
-        probeCells(col(vecCol)).as("_probes")
+        probeUdf(array_to_vector(col(vecCol).cast("array<double>"))).as("_probes")
       )
       .select(
         col("query_id"),

@@ -98,27 +98,21 @@ object Text {
     ).otherwise(array().cast("array<string>"))
   }
 
-  /** One 64-bit hash per token — the single pass that touches strings.
-    * Downstream shingle/minhash/simhash work is long→long mixing only.
+  /** One 64-bit hash per whitespace token, computed directly over the
+    * UTF-8 bytes by a custom Catalyst expression — the single pass that
+    * touches strings. Downstream shingle/minhash/simhash work is
+    * long→long mixing only.
     */
-  def tokenHashes(c: Column): Column = transform(tokens(c), t => xxhash64(t))
+  def tokenHashes(c: Column): Column = graft.functions.hashExpressions.tokenHashes(c)
 
-  /** 64-bit word-n-gram shingle hashes from a *materialized* token-hash
-    * array (pass an attribute, not a nested expression: HOFs are
-    * interpreted and there is no common-subexpression elimination
-    * inside lambda bodies, so a nested `th` would re-evaluate per
-    * element). Each shingle hash combines `n` consecutive token hashes
-    * (hash-of-hashes — any deterministic combiner works for MinHash /
-    * fingerprinting); empty array when too few tokens.
+  /** 64-bit word-n-gram shingle hashes from a token-hash array: each
+    * shingle hash chains `n` consecutive token hashes (hash-of-hashes —
+    * any deterministic combiner works for MinHash / fingerprinting);
+    * empty array when too few tokens. Custom expression: one tight loop
+    * per row.
     */
   def shingleHashesFromTokenHashes(th: Column, n: Int): Column =
-    when(
-      size(th) >= n,
-      transform(
-        sequence(lit(1), size(th) - (n - 1)),
-        i => xxhash64((0 until n).map(j => element_at(th, i + j)): _*)
-      )
-    ).otherwise(array().cast("array<bigint>"))
+    graft.functions.hashExpressions.shingleHashes(th, n)
 
   /** Jaccard similarity of two string arrays (as distinct sets). */
   def jaccard(a: Column, b: Column): Column = {
