@@ -166,6 +166,67 @@ object Profiler {
       )
       .select("ts", "instance", "distinctness", "uniqueness")
 
+  /** Equi-width histogram of a numeric column per ts partition:
+    * `(ts, instance, bucket, count)`. Bucket = floor((v-min)/width)
+    * clamped into [0, nBuckets-1]; fixed [min,max) bounds keep the
+    * aggregation a single map-side-combinable groupBy (data-dependent
+    * bounds would need a prior pass — do that pass and feed the result
+    * here when bounds are unknown).
+    */
+  def histogramProfile(
+      df: DataFrame,
+      tsColumn: String,
+      column: String,
+      nBuckets: Int,
+      min: Double,
+      max: Double,
+      granularity: String = Granularity.Day
+  ): DataFrame = {
+    val width = (max - min) / nBuckets
+    df.withColumn("ts", date_trunc(Granularity.truncUnit(granularity), col(tsColumn)))
+      .where(col(column).isNotNull)
+      .withColumn(
+        "bucket",
+        least(
+          greatest(floor((col(column) - min) / width), lit(0L)),
+          lit(nBuckets - 1L)
+        )
+      )
+      .groupBy("ts", "bucket")
+      .agg(lit(column).as("instance"), count(lit(1)).as("count"))
+      .select("ts", "instance", "bucket", "count")
+  }
+
+  /** Pairwise Pearson correlation between numeric columns per ts
+    * partition, long format `(ts, col_a, col_b, corr)` — all pairs in
+    * ONE groupBy pass (corr is a partial-aggregatable moment sketch, so
+    * k*(k-1)/2 pairs still shuffle O(1) state per day).
+    */
+  def correlationProfile(
+      df: DataFrame,
+      tsColumn: String,
+      columns: Seq[String],
+      granularity: String = Granularity.Day
+  ): DataFrame = {
+    val pairs = for {
+      (a, i) <- columns.zipWithIndex
+      b <- columns.drop(i + 1)
+    } yield (a, b)
+    val aggs = pairs.zipWithIndex.map { case ((a, b), i) =>
+      corr(col(a), col(b)).as(s"_c$i")
+    }
+    val wide = df
+      .withColumn("ts", date_trunc(Granularity.truncUnit(granularity), col(tsColumn)))
+      .groupBy("ts")
+      .agg(aggs.head, aggs.tail: _*)
+    val entries = pairs.zipWithIndex.map { case ((a, b), i) =>
+      struct(lit(a).as("col_a"), lit(b).as("col_b"), col(s"_c$i").as("corr"))
+    }
+    wide
+      .select(col("ts"), explode(array(entries: _*)).as("p"))
+      .select(col("ts"), col("p.col_a"), col("p.col_b"), col("p.corr").as("corr"))
+  }
+
   /** Shannon entropy (nats) of a column's value distribution per ts
     * partition, via the numerically stable ln(N) - sum(c*ln c)/N form.
     */

@@ -173,11 +173,114 @@ object EngineQueries extends QueryPack {
       ORDER BY o_orderkey""")
   )
 
+  private val rollup = Q(
+    fn = (s, d) =>
+      Tables
+        .lineitem(s, d)
+        .rollup(col("l_returnflag"), col("l_linestatus"))
+        .agg(
+          decSum2(col("l_quantity")).as("sum_qty"),
+          count(lit(1)).as("n")
+        )
+        .orderBy(
+          col("l_returnflag").asc_nulls_first,
+          col("l_linestatus").asc_nulls_first
+        ),
+    oracle = Some(s"""
+      SELECT l_returnflag, l_linestatus,
+        ${sqlDecSum2("l_quantity")} AS sum_qty, COUNT(*) AS n
+      FROM lineitem
+      GROUP BY ROLLUP (l_returnflag, l_linestatus)
+      ORDER BY l_returnflag ASC NULLS FIRST, l_linestatus ASC NULLS FIRST""")
+  )
+
+  private val semiJoin = Q(
+    fn = (s, d) =>
+      Tables
+        .customer(s, d)
+        .join(
+          Tables
+            .orders(s, d)
+            .filter(col("o_totalprice") > 300000.0)
+            .select("o_custkey"),
+          col("c_custkey") === col("o_custkey"),
+          "left_semi"
+        )
+        .select(col("c_custkey"), col("c_mktsegment"))
+        .orderBy(col("c_custkey")),
+    oracle = Some("""
+      SELECT c_custkey, c_mktsegment
+      FROM customer
+      WHERE EXISTS (
+        SELECT 1 FROM orders
+        WHERE o_custkey = c_custkey AND o_totalprice > 300000.0)
+      ORDER BY c_custkey""")
+  )
+
+  private val runningSum = Q(
+    fn = (s, d) => {
+      val w = Window
+        .partitionBy(col("o_orderpriority"))
+        .orderBy(col("day"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      Tables
+        .orders(s, d)
+        .groupBy(
+          col("o_orderpriority"),
+          date_trunc("month", col("o_orderdate")).as("day")
+        )
+        .agg(decSum2(col("o_totalprice")).as("monthly"))
+        .withColumn("running_total", sum(col("monthly").cast(DecimalType(28, 2))).over(w).cast("double"))
+        .orderBy(col("o_orderpriority"), col("day"))
+    },
+    oracle = Some(s"""
+      WITH m AS (
+        SELECT o_orderpriority, ${sqlTrunc("month", "o_orderdate")} AS day,
+          ${sqlDecSum2("o_totalprice")} AS monthly,
+          SUM(SUM(CAST(o_totalprice AS DECIMAL(18,2)))) OVER (
+            PARTITION BY o_orderpriority ORDER BY ${sqlTrunc("month", "o_orderdate")}
+            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS rt
+        FROM orders GROUP BY o_orderpriority, day)
+      SELECT o_orderpriority, day, monthly, CAST(rt AS DOUBLE) AS running_total
+      FROM m ORDER BY o_orderpriority, day""")
+  )
+
+  /** Salted-join demo: result must hash-match the plain SQL join — the
+    * oracle proves salting preserves semantics while spreading hot keys
+    * over nSalts reducers.
+    */
+  private val skewSaltedJoin = Q(
+    fn = (s, d) =>
+      graft.operators.SkewJoin
+        .saltedInnerJoin(
+          Tables.lineitem(s, d).select("l_orderkey", "l_extendedprice", "l_discount"),
+          Tables.orders(s, d).select("o_orderkey", "o_orderpriority"),
+          Seq("l_orderkey" -> "o_orderkey"),
+          nSalts = 8
+        )
+        .groupBy(col("o_orderpriority"))
+        .agg(
+          decSum6(col("l_extendedprice") * (lit(1) - col("l_discount"))).as("revenue"),
+          count(lit(1)).as("n")
+        )
+        .orderBy(col("o_orderpriority")),
+    oracle = Some(s"""
+      SELECT o_orderpriority,
+        ${sqlDecSum6("l_extendedprice * (1 - l_discount)")} AS revenue,
+        COUNT(*) AS n
+      FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+      GROUP BY o_orderpriority ORDER BY o_orderpriority""")
+  )
+
   val queries: Map[String, Q] = Map(
     "q1_agg" -> q1,
     "q3_join" -> q3,
     "q5_multi_join" -> q5,
     "q_window_topk" -> windowTopK,
-    "q_anti_join" -> antiJoin
+    "q_anti_join" -> antiJoin,
+    "q_rollup" -> rollup,
+    "q_semi_join" -> semiJoin,
+    "q_running_sum" -> runningSum,
+    "q_skew_salted_join" -> skewSaltedJoin
   )
 }

@@ -238,6 +238,59 @@ object ProfilerQueries extends QueryPack {
       ORDER BY ts, entity, instance, name""")
   )
 
+  /** WEEK/MONTH truncations: same single-pass shape as the hour query
+    * (Spark and DuckDB both truncate weeks to Monday, months to the
+    * 1st).
+    */
+  private def granularityQ(gran: String, unit: String) = Q(
+    fn = (s, d) =>
+      finish(
+        Profiler.profile(
+          Tables.events(s, d),
+          "ts",
+          builderOf(a => Seq(a.Mean), numeric = true),
+          gran
+        )
+      ),
+    oracle = Some(s"""
+      WITH e AS (SELECT ${sqlTrunc(unit, "ts")} AS ts, event_id, user_id, value FROM events)
+      ${numericCols
+        .map(c => s"""SELECT ts, 'Column' AS entity, '$c' AS instance, 'Mean' AS name,
+           round(AVG($c), 6) AS value FROM e GROUP BY ts""")
+        .mkString("\nUNION ALL\n")}
+      ORDER BY ts, entity, instance, name""")
+  )
+
+  private val histogram = Q(
+    fn = (s, d) =>
+      Profiler
+        .histogramProfile(Tables.events(s, d), "ts", "value", nBuckets = 10, min = 0.0, max = 500.0)
+        .orderBy("ts", "bucket"),
+    oracle = Some(s"""
+      WITH e AS (SELECT ${sqlDay("ts")} AS ts, value FROM events WHERE value IS NOT NULL)
+      SELECT ts, 'value' AS instance,
+        least(greatest(CAST(floor(value / 50.0) AS BIGINT), 0), 9) AS bucket,
+        count(*) AS count
+      FROM e GROUP BY ts, bucket ORDER BY ts, bucket""")
+  )
+
+  private val correlation = Q(
+    fn = (s, d) =>
+      Profiler
+        .correlationProfile(Tables.events(s, d), "ts", numericCols)
+        .withColumn("corr", round6(col("corr")))
+        .orderBy("ts", "col_a", "col_b"),
+    oracle = Some(s"""
+      WITH e AS (SELECT ${sqlDay("ts")} AS ts, event_id, user_id, value FROM events)
+      ${Seq(("event_id", "user_id"), ("event_id", "value"), ("user_id", "value"))
+        .map { case (a, b) =>
+          s"""SELECT ts, '$a' AS col_a, '$b' AS col_b, round(corr($a, $b), 6) AS corr
+             FROM e GROUP BY ts"""
+        }
+        .mkString("\nUNION ALL\n")}
+      ORDER BY ts, col_a, col_b""")
+  )
+
   val queries: Map[String, Q] = Map(
     "profile_size" -> size,
     "profile_completeness" -> completeness,
@@ -250,6 +303,10 @@ object ProfilerQueries extends QueryPack {
     "profile_uniqueness" -> uniqueness,
     "profile_entropy" -> entropy,
     "profile_report" -> report,
-    "profile_granularity_hour" -> granularityHour
+    "profile_granularity_hour" -> granularityHour,
+    "profile_granularity_week" -> granularityQ(Granularity.Week, "week"),
+    "profile_granularity_month" -> granularityQ(Granularity.Month, "month"),
+    "profile_histogram" -> histogram,
+    "profile_correlation" -> correlation
   )
 }
