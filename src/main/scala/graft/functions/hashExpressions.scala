@@ -196,6 +196,63 @@ object hashExpressions {
       copy(child = newChild)
   }
 
+  /** `dotProduct(a, b)`: left-to-right fold of sum(a[i]*b[i]) in
+    * double — the SAME IEEE operation sequence as the HOF formulation
+    * (`aggregate(sequence..., acc + a[i]*b[i])`), so results are
+    * bitwise identical to the DuckDB oracle's list_sum/list_transform
+    * mirror; just ~100x cheaper per element than the interpreted
+    * lambda walk. Shorter array length bounds the fold (zip semantics).
+    */
+  case class DotProduct(left: Expression, right: Expression)
+      extends org.apache.spark.sql.catalyst.expressions.BinaryExpression
+      with CodegenFallback {
+
+    override def prettyName: String = "dot_product"
+    override def dataType: DataType = DoubleType
+
+    private def elemType(e: Expression) = e.dataType match {
+      case ArrayType(t, _) => t
+      case _               => NullType
+    }
+
+    override def checkInputDataTypes(): TypeCheckResult =
+      (elemType(left), elemType(right)) match {
+        case (FloatType | DoubleType, FloatType | DoubleType) =>
+          TypeCheckResult.TypeCheckSuccess
+        case _ =>
+          TypeCheckResult.TypeCheckFailure(
+            s"$prettyName requires two array<float|double> inputs"
+          )
+      }
+
+    override protected def nullSafeEval(a: Any, b: Any): Any = {
+      val xa = a.asInstanceOf[ArrayData]
+      val xb = b.asInstanceOf[ArrayData]
+      val la = elemType(left) == FloatType
+      val lb = elemType(right) == FloatType
+      val n = math.min(xa.numElements(), xb.numElements())
+      var acc = 0.0
+      var i = 0
+      while (i < n) {
+        val va = if (la) xa.getFloat(i).toDouble else xa.getDouble(i)
+        val vb = if (lb) xb.getFloat(i).toDouble else xb.getDouble(i)
+        acc += va * vb
+        i += 1
+      }
+      acc
+    }
+
+    override protected def withNewChildrenInternal(
+        newLeft: Expression,
+        newRight: Expression
+    ): DotProduct = copy(left = newLeft, right = newRight)
+  }
+
+  def dotProduct(a: Column, b: Column): Column =
+    GraftColumnBridge.column(
+      DotProduct(GraftColumnBridge.expression(a), GraftColumnBridge.expression(b))
+    )
+
   def tokenHashes(text: Column): Column =
     GraftColumnBridge.column(TokenHashes(GraftColumnBridge.expression(text)))
 

@@ -260,4 +260,39 @@ class ParquetRepository(spark: SparkSession, basePath: String) extends MetricsRe
       end: Option[java.sql.Timestamp]
   ): DataFrame =
     tsBounded(latest("scoring", uri, scoringKey, new InMemoryRepository().getScoring(uri)), start, end)
+
+  /** Compact one dataset's partition of a table: resolve merge-on-read
+    * down to the latest row per key and rewrite the partition as a
+    * single superseding batch. Reads stay O(live rows) afterwards.
+    * Offline maintenance (Delta OPTIMIZE-style) — run per dataset, no
+    * global lock; concurrent appends that land after the read simply
+    * win by batch_seq as usual.
+    */
+  def compact(uri: String): Unit = {
+    val tables = Seq(
+      ("profiling", profilingKey),
+      ("optimization", optimizationKey),
+      ("scoring", scoringKey)
+    )
+    tables.foreach { case (table, key) =>
+      val partDir = new java.io.File(s"${path(table)}/dataset_uri=$uri")
+      if (partDir.exists()) {
+        // Stage the resolved view first (this scan reads the original
+        // files), then swap the partition contents — never read and
+        // overwrite the same files in one job.
+        val staging = s"${path(table)}.staging_$uri".replaceAll("[^A-Za-z0-9_./-]", "_")
+        latest(table, uri, key, null).write.mode("overwrite").parquet(staging)
+        partDir.listFiles().foreach(_.delete())
+        spark.read
+          .parquet(staging)
+          .withColumn("batch_seq", lit(seq.incrementAndGet()))
+          .write
+          .mode("append")
+          .parquet(partDir.getPath)
+        val stagingDir = new java.io.File(staging)
+        stagingDir.listFiles().foreach(_.delete())
+        stagingDir.delete()
+      }
+    }
+  }
 }

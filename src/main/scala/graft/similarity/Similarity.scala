@@ -20,14 +20,13 @@ object Similarity {
     */
   private def round6(c: Column): Column = round(c * 1e6) / 1e6
 
-  /** Left-to-right fold of sum(a[i]*b[i]) in double. */
+  /** Left-to-right fold of sum(a[i]*b[i]) in double — backed by the
+    * custom expression [[graft.functions.hashExpressions.DotProduct]]
+    * (same IEEE operation order as the HOF formulation, one tight loop
+    * per pair).
+    */
   def dot(a: Column, b: Column): Column =
-    aggregate(
-      sequence(lit(1), size(a)),
-      lit(0.0),
-      (acc, i) =>
-        acc + element_at(a, i).cast("double") * element_at(b, i).cast("double")
-    )
+    graft.functions.hashExpressions.dotProduct(a, b)
 
   def norm(a: Column): Column = sqrt(dot(a, a))
 

@@ -78,6 +78,39 @@ class ServiceSpec extends SparkSpec {
     assert(notified.forall(a => a.score > a.threshold))
   }
 
+  test("parquet repository compaction preserves the resolved view and shrinks files") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-compact").toString
+    val repo = new ParquetRepository(spark, dir)
+    val t = java.sql.Timestamp.valueOf("2025-01-01 00:00:00")
+    // 5 upserts of the same key + one other key -> 6 batches on disk
+    (1 to 5).foreach { v =>
+      repo.addProfiling(
+        "u_c",
+        Seq((t, "Column", "a", "Mean", v.toDouble)).toDF("ts", "entity", "instance", "name", "value")
+      )
+    }
+    repo.addProfiling(
+      "u_c",
+      Seq((t, "Column", "b", "Mean", 9.0)).toDF("ts", "entity", "instance", "name", "value")
+    )
+    def files() = new java.io.File(s"$dir/profiling/dataset_uri=u_c")
+      .listFiles().count(_.getName.endsWith(".parquet"))
+    val before = files()
+    assert(before >= 6)
+    repo.compact("u_c")
+    assert(files() < before)
+    val got = repo.getProfiling("u_c").orderBy("instance").collect()
+    assert(got.length == 2)
+    assert(got.map(r => r.getAs[String]("instance") -> r.getAs[Double]("value")).toSeq ==
+      Seq("a" -> 5.0, "b" -> 9.0))
+    // upserts after compaction still win
+    repo.addProfiling(
+      "u_c",
+      Seq((t, "Column", "a", "Mean", 7.0)).toDF("ts", "entity", "instance", "name", "value")
+    )
+    assert(repo.getProfiling("u_c").where($"instance" === "a").collect().head.getAs[Double]("value") == 7.0)
+  }
+
   test("parquet repository round-trips dataset metadata and latest-wins upserts") {
     val repo = newParquetRepo()
     repo.registerDataset(DatasetMeta("u1", "ts", Seq("a"), "DAY", Seq.empty))
