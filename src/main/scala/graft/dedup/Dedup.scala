@@ -146,6 +146,39 @@ object Dedup {
   def simhash64(tokenHashes: Column): Column =
     graft.functions.hashExpressions.simhash64(tokenHashes)
 
+  /** Near-duplicate removal sweep: keep every document that is not the
+    * higher-id member of any near-dup pair (greedy keep-lowest-id — the
+    * standard single-pass sweep; exact connected-component dedup would
+    * need iterative label propagation and is rarely worth it in
+    * practice). One anti-join against the distinct flagged ids.
+    */
+  def nearDupSweep(
+      df: DataFrame,
+      pairs: DataFrame,
+      idCol: String
+  ): DataFrame =
+    df.join(
+      pairs.select(col("id_b")).distinct(),
+      df(idCol) === col("id_b"),
+      "left_anti"
+    )
+
+  /** MinHash-LSH dedup end-to-end: candidate pairs then sweep. */
+  def minhashDedup(
+      df: DataFrame,
+      textCol: String,
+      idCol: String,
+      shingleN: Int = 3,
+      numHashes: Int = 16,
+      bands: Int = 4,
+      threshold: Double = 0.5
+  ): DataFrame =
+    nearDupSweep(
+      df,
+      minhashLshPairs(df, textCol, idCol, shingleN, numHashes, bands, threshold),
+      idCol
+    )
+
   /** SimHash near-dup pairs with Hamming distance <= maxHamming.
     *
     * Candidate generation uses the pigeonhole principle: the 64-bit

@@ -79,8 +79,18 @@ object DedupQueries extends QueryPack {
       SELECT id_a, id_b, sim FROM p WHERE sim >= 0.3 ORDER BY id_a, id_b""")
   )
 
+  private val sweepQ = Q(
+    fn = (s, d) =>
+      Dedup
+        .minhashDedup(Tables.documents(s, d), "text", "doc_id", threshold = 0.5)
+        .select(col("doc_id"))
+        .orderBy("doc_id"),
+    oracle = None // pair generation is engine-hash-dependent
+  )
+
   val queries: Map[String, Q] = Map(
     "dedup_exact" -> exactQ,
+    "dedup_near_sweep" -> sweepQ,
     "dedup_exact_normalized" -> exactNormQ,
     "dedup_minhash_lsh" -> minhashQ,
     "dedup_simhash" -> simhashQ,

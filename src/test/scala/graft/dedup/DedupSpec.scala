@@ -61,6 +61,20 @@ class DedupSpec extends SparkSpec {
     assert(!byPair.keySet.exists(p => p._1 == 5L || p._2 == 5L))
   }
 
+  test("near-dup sweep keeps the lowest id per pair and all unpaired docs") {
+    val pairs = Dedup.minhashLshPairs(corpus, "text", "doc_id", numHashes = 32, bands = 16, threshold = 0.4)
+    val kept = Dedup
+      .nearDupSweep(corpus, pairs, "doc_id")
+      .select("doc_id")
+      .as[Long]
+      .collect()
+      .sorted
+      .toSeq
+    assert(kept.contains(1L)) // cluster representative survives
+    assert(!kept.contains(2L)) // exact dup of 1 swept
+    assert(kept.contains(5L) && kept.contains(6L)) // unpaired docs survive
+  }
+
   test("signatures are deterministic across evaluations") {
     val s1 = Dedup
       .minhashLshPairs(corpus, "text", "doc_id", threshold = 0.3)
