@@ -126,25 +126,40 @@ object Optimizer {
       keyCols: Seq[String],
       cfg: Config = Config()
   ): DataFrame = {
+    // Order-statistic form of the grid search — numerically identical
+    // to exploding the grid (coverage(t) = |{err <= t}|/n is monotone,
+    // so the smallest qualifying grid point is the smallest t at or
+    // above the k*-th smallest error, k* = min{k : k/n >= confidence}),
+    // but with NO 100x row amplification through the shuffle: one
+    // groupBy collecting each series' (bounded, ~days-sized) validation
+    // errors, then O(n + grid) per-series array math. All comparisons
+    // repeat the original int/int -> double divisions exactly, so grid
+    // ties break bit-identically to the exploded version and to the
+    // DuckDB oracle.
     val g = cfg.thresholdGrid
+    val grid = transform(sequence(lit(1), lit(g)), i => i.cast("double") / g)
     errors
-      .select(
-        (keyCols.map(col) :+ col("error") :+
-          explode(sequence(lit(1), lit(g))).as("_g")): _*
-      )
-      .withColumn("t", col("_g").cast("double") / g)
-      .drop("_g")
-      .groupBy((keyCols :+ "t").map(col): _*)
-      .agg(
-        avg(when(col("error") <= col("t"), 1.0).otherwise(0.0))
-          .as("below_proportion")
-      )
-      .where(col("below_proportion") >= cfg.confidence)
       .groupBy(keyCols.map(col): _*)
-      .agg(min(struct(col("t"), col("below_proportion"))).as("best"))
+      .agg(sort_array(collect_list(col("error"))).as("_sorted"))
+      .withColumn("_n", size(col("_sorted")))
+      .withColumn(
+        "_kstar",
+        array_min(
+          filter(
+            sequence(lit(1), col("_n")),
+            k => k.cast("double") / col("_n") >= cfg.confidence
+          )
+        )
+      )
+      .withColumn("_ek", element_at(col("_sorted"), col("_kstar")))
+      .withColumn("threshold", array_min(filter(grid, t => t >= col("_ek"))))
+      .withColumn(
+        "below_proportion",
+        size(filter(col("_sorted"), e => e <= col("threshold"))).cast("double") /
+          col("_n")
+      )
       .select(
-        (keyCols.map(col) :+ col("best.t").as("threshold") :+
-          col("best.below_proportion").as("below_proportion")): _*
+        (keyCols.map(col) :+ col("threshold") :+ col("below_proportion")): _*
       )
   }
 
