@@ -1,0 +1,97 @@
+package graft
+
+import graft.operators.SkewJoin
+import graft.dedup.Dedup
+import graft.text.Text
+import org.apache.spark.sql.functions._
+import scala.util.Random
+
+/** Randomized cross-operator invariants (seeded — deterministic). */
+class InvariantsSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("salted join is row-identical to the plain join on skewed random data") {
+    val rnd = new Random(7)
+    // power-law-ish keys: key 0 is hot
+    val probe = Seq.tabulate(2000) { i =>
+      val k = if (rnd.nextDouble() < 0.5) 0L else rnd.nextInt(50).toLong
+      (k, rnd.nextInt(1000))
+    }.toDF("k", "v")
+    val build = Seq.tabulate(50)(i => (i.toLong, s"name_$i")).toDF("bk", "name")
+
+    val salted = SkewJoin
+      .saltedInnerJoin(probe, build, Seq("k" -> "bk"), nSalts = 4)
+      .groupBy("k", "name")
+      .agg(count(lit(1)).as("n"), sum("v").as("sv"))
+    val plain = probe
+      .join(build, col("k") === col("bk"))
+      .groupBy("k", "name")
+      .agg(count(lit(1)).as("n"), sum("v").as("sv"))
+    graft.testing.DataFrameAssertions.assertDataFrameEquality(salted, plain)
+  }
+
+  test("minhash slot-agreement estimates true shingle jaccard within sampling error") {
+    val rnd = new Random(11)
+    val vocab = Vector.tabulate(50)(i => s"w$i")
+    def doc(): String = Seq.fill(60)(vocab(rnd.nextInt(vocab.size))).mkString(" ")
+    def mutate(s: String, p: Double): String =
+      s.split(" ").map(w => if (rnd.nextDouble() < p) vocab(rnd.nextInt(vocab.size)) else w).mkString(" ")
+    val docs = (0 until 20).flatMap { i =>
+      val base = doc()
+      Seq((i * 2L, base), (i * 2L + 1, mutate(base, 0.15)))
+    }.toDF("doc_id", "text")
+
+    val numHashes = 64
+    val pairs = Dedup
+      .minhashLshPairs(docs, "text", "doc_id", numHashes = numHashes, bands = 32, threshold = 0.0)
+      .where(col("id_b") === col("id_a") + 1 && pmod(col("id_a"), lit(2)) === 0)
+    val truth = {
+      val a = docs.select(col("doc_id").as("id_a"), Text.wordShingles(col("text"), 3).as("_sa"))
+      val b = docs.select(col("doc_id").as("id_b"), Text.wordShingles(col("text"), 3).as("_sb"))
+      a.join(b, col("id_b") === col("id_a") + 1)
+        .where(pmod(col("id_a"), lit(2)) === 0)
+        .select(col("id_a"), Text.jaccard(col("_sa"), col("_sb")).as("true_j"))
+    }
+    val joined = pairs.join(truth, "id_a").select("jaccard", "true_j").collect()
+    assert(joined.nonEmpty)
+    joined.foreach { r =>
+      val est = r.getDouble(0); val tj = r.getDouble(1)
+      // 64 Bernoulli slots: 4-sigma bound ~ 4*sqrt(j(1-j)/64) <= 0.25
+      assert(math.abs(est - tj) < 0.25, s"est=$est true=$tj")
+    }
+    // and the average estimation error is small
+    val meanAbs = joined.map(r => math.abs(r.getDouble(0) - r.getDouble(1))).sum / joined.length
+    assert(meanAbs < 0.08, s"mean |est-true| = $meanAbs")
+  }
+
+  test("profiler output equals a directly-computed groupBy on random data") {
+    val rnd = new Random(3)
+    val rows = Seq.tabulate(500) { i =>
+      (
+        java.sql.Timestamp.valueOf(f"2025-02-${rnd.nextInt(5) + 1}%02d ${rnd.nextInt(24)}%02d:00:00"),
+        if (rnd.nextDouble() < 0.1) None else Some(rnd.nextDouble() * 100),
+        s"cat_${rnd.nextInt(7)}"
+      )
+    }.toDF("ts", "num", "cat")
+    val profiled = graft.profiler.Profiler
+      .profile(rows, "ts", graft.profiler.ProfilingBuilder.default)
+      .where(col("name") === "Mean" && col("instance") === "num")
+      .select(col("ts"), col("value"))
+    val direct = rows
+      .groupBy(date_trunc("day", col("ts")).as("ts"))
+      .agg(avg("num").as("value"))
+    graft.testing.DataFrameAssertions.assertDataFrameEquality(profiled, direct, tol = 1e-9)
+  }
+
+  test("plan shapes: q1 pushes filters to the scan; profiler is join-free single-agg") {
+    val d = "/root/testdata/sf0.001"
+    val q1 = SparkEntry.queries("q1_agg")(spark, d)
+    val physical = q1.queryExecution.executedPlan.toString
+    assert(physical.contains("PushedFilters: [IsNotNull(l_shipdate)"), "filter must reach parquet")
+    assert(!physical.contains("ReadSchema: struct<l_orderkey"), "unused columns must be pruned")
+
+    val prof = SparkEntry.queries("profile_report")(spark, d)
+    val optimized = prof.queryExecution.optimizedPlan.toString.toLowerCase
+    assert(!optimized.contains("join"), "single-pass profile must not join")
+  }
+}
