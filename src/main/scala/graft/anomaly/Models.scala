@@ -82,6 +82,46 @@ case class Ewma(alpha: Double = 0.5, horizon: Int = 8) extends ForecastModel {
   }
 }
 
+/** Finite-horizon Holt linear trend: forecast = level + trend, where
+  * level is the EWMA of the last `horizon` values and trend the EWMA of
+  * their first differences (each renormalized over present lags). Fills
+  * the trend-aware slot of the reference's AutoML family with a
+  * deterministic window expression — on drifting series trailing means
+  * systematically lag, Holt does not.
+  */
+case class HoltLinear(alpha: Double = 0.5, beta: Double = 0.5, horizon: Int = 8)
+    extends ForecastModel {
+  val name = f"HoltLinear-$alpha%.2f-$beta%.2f-$horizon"
+  def forecast(value: Column, w: WindowSpec): Column = {
+    // level = EWMA of lagged values; on a sloped series that estimate
+    // sits meanLag steps behind the next point, so the forecast
+    // projects trend * meanLag forward (exact on a pure linear trend).
+    val levelTerms = (1 to horizon).map { j =>
+      val weight = alpha * math.pow(1 - alpha, j - 1)
+      val lagged = lag(value, j).over(w)
+      (
+        when(lagged.isNotNull, lagged * lit(weight)).otherwise(lit(0.0)),
+        when(lagged.isNotNull, lit(weight)).otherwise(lit(0.0)),
+        when(lagged.isNotNull, lit(weight * j)).otherwise(lit(0.0))
+      )
+    }
+    val levelDen = levelTerms.map(_._2).reduce(_ + _)
+    val level = levelTerms.map(_._1).reduce(_ + _) / levelDen
+    val meanLag = levelTerms.map(_._3).reduce(_ + _) / levelDen
+    val trendTerms = (1 to horizon).map { j =>
+      val weight = beta * math.pow(1 - beta, j - 1)
+      val d = lag(value, j).over(w) - lag(value, j + 1).over(w)
+      (
+        when(d.isNotNull, d * lit(weight)).otherwise(lit(0.0)),
+        when(d.isNotNull, lit(weight)).otherwise(lit(0.0))
+      )
+    }
+    val trendDen = trendTerms.map(_._2).reduce(_ + _)
+    val trend = trendTerms.map(_._1).reduce(_ + _) / trendDen
+    when(levelDen > lit(0.0), level + when(trendDen > lit(0.0), trend * meanLag).otherwise(lit(0.0)))
+  }
+}
+
 /** Model factory (reference: thoth/anomaly/models.py:244-277). */
 object Models {
   /** The reference SimpleModel's candidate windows. */
@@ -93,6 +133,9 @@ object Models {
   /** Default family: trailing means + seasonal-naive + EWMA. */
   def default: Seq[ForecastModel] =
     trailingMeans() ++ Seq(SeasonalNaive(7), Ewma())
+
+  /** Extended family: default + trend-aware Holt. */
+  def extended: Seq[ForecastModel] = default :+ HoltLinear()
 
   /** Simple family (reference SimpleModelFactory): trailing means only. */
   def simple: Seq[ForecastModel] = trailingMeans()

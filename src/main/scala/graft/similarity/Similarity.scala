@@ -99,10 +99,17 @@ object Similarity {
     (0 until nPlanes).map(planeBit(v, _)).reduce(_ + _)
 
   /** LSH-bucketed ANN: exact cosine ranking *within* each query's
-    * bucket. The corpus is hashed once and shuffled on the bucket key —
-    * the candidate set per query is |bucket| instead of |corpus|, the
-    * scale path for ANN joins. Queries whose bucket has < k neighbors
-    * return fewer rows (multi-probe left for r2).
+    * probed buckets. The corpus is hashed once and shuffled on the
+    * bucket key — the candidate set per query is |bucket| x probes
+    * instead of |corpus|, the scale path for ANN joins.
+    *
+    * Multi-probe: besides its own bucket, each query probes the
+    * `nPlanes` neighbor buckets at Hamming distance 1 (one sign bit
+    * flipped) — vectors near a hyperplane land on either side with
+    * ~equal probability, and probing the flip recovers them. Probing is
+    * query-side only: the corpus stays hashed once, so recall improves
+    * at the cost of (nPlanes+1) probe rows per query, not a bigger
+    * corpus shuffle.
     */
   def lshTopK(
       queries: DataFrame,
@@ -110,14 +117,20 @@ object Similarity {
       idCol: String,
       vecCol: String,
       k: Int,
-      nPlanes: Int = 8
+      nPlanes: Int = 8,
+      multiProbe: Boolean = true
   ): DataFrame = {
-    val q = queries.select(
-      col(idCol).as("query_id"),
-      col(vecCol).as("_qv"),
-      norm(col(vecCol)).as("_qn"),
-      lshBucket(col(vecCol), nPlanes).as("_bucket")
-    )
+    val own = lshBucket(col(vecCol), nPlanes)
+    val probes =
+      if (!multiProbe) array(own)
+      else array(own +: (0 until nPlanes).map(j => own.bitwiseXOR(lit(1L << j))): _*)
+    val q = queries
+      .select(
+        col(idCol).as("query_id"),
+        col(vecCol).as("_qv"),
+        norm(col(vecCol)).as("_qn"),
+        explode(probes).as("_bucket")
+      )
     val c = corpus.select(
       col(idCol).as("neighbor_id"),
       col(vecCol).as("_cv"),

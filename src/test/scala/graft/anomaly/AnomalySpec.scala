@@ -91,6 +91,32 @@ class AnomalySpec extends SparkSpec {
     }
   }
 
+  test("HoltLinear tracks a linear trend that trailing means lag behind") {
+    val series = (1 to 30)
+      .map(i => (java.sql.Timestamp.valueOf(f"2025-01-$i%02d 00:00:00"), 100.0 + 5.0 * i))
+      .toDF("ts", "value")
+      .withColumn("series", lit("trend"))
+    val w = org.apache.spark.sql.expressions.Window.partitionBy($"series").orderBy($"ts")
+    val out = series
+      .withColumn("holt", HoltLinear().forecast($"value", w))
+      .withColumn("tm", TrailingMean(7).forecast($"value", w))
+      .where($"holt".isNotNull && $"tm".isNotNull)
+      .select(
+        avg(abs($"value" - $"holt")).as("holt_err"),
+        avg(abs($"value" - $"tm")).as("tm_err")
+      )
+      .collect()
+      .head
+    assert(out.getAs[Double]("holt_err") < 0.5) // near-exact on pure trend
+    assert(out.getAs[Double]("tm_err") > 10.0) // trailing mean lags by ~4 steps
+    // and the optimizer picks Holt from the extended family
+    val opt = Optimizer
+      .optimize(series, Seq("series"), cfg = Optimizer.Config(models = Models.extended))
+      .collect()
+      .head
+    assert(opt.getAs[String]("best_model").startsWith("HoltLinear"))
+  }
+
   test("threshold grid matches the reference's _find_best_threshold cases") {
     // reference tests/unit/thoth/test_anomaly/test_optimization.py:
     // case 1: nine 0.1 errors + one 0.5, confidence 0.9 -> t=0.1, p=0.9

@@ -45,6 +45,25 @@ class SimilaritySpec extends SparkSpec {
     assert(out.forall(_.getAs[Double]("sim") >= -1.0))
   }
 
+  test("multi-probe lsh recall is a superset of single-probe") {
+    val rnd = new scala.util.Random(5)
+    val cloud = (0 until 200).map { i =>
+      (i.toLong, Array.fill(8)((rnd.nextDouble() * 2 - 1).toFloat))
+    }.toDF("vec_id", "embedding")
+    val qs = cloud.where($"vec_id" < 10)
+    def hits(multi: Boolean) = Similarity
+      .lshTopK(qs, cloud, "vec_id", "embedding", 10, nPlanes = 6, multiProbe = multi)
+      .select("query_id", "neighbor_id")
+      .as[(Long, Long)]
+      .collect()
+      .toSet
+    val single = hits(multi = false)
+    val multi = hits(multi = true)
+    assert(multi.size > single.size) // flipped-bit buckets add candidates
+    // single-probe results that survive ranking stay ranked correctly
+    assert(single.map(_._1).subsetOf(multi.map(_._1)))
+  }
+
   test("ivf top-k recalls the nearest neighbor within the probed cells") {
     // two well-separated clusters; nlist=2 must split them, so probing
     // 1 cell still recalls the true nearest neighbor

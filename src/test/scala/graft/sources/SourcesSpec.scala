@@ -1,0 +1,61 @@
+package graft.sources
+
+import graft.SparkSpec
+import graft.core.Granularity
+import graft.profiler.ProfilingBuilder
+import graft.streaming.StreamingProfiler
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+class SourcesSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("batch source validates and normalizes the event-time column") {
+    val df = Sources.batch(spark, "/root/testdata/sf0.001/orders.parquet", "o_orderdate")
+    assert(df.schema("o_orderdate").dataType == TimestampType)
+    intercept[IllegalArgumentException] {
+      Sources.batch(spark, "/root/testdata/sf0.001/orders.parquet", "no_such_column")
+    }
+  }
+
+  test("csv batch source casts string timestamps") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-src").toString
+    Seq(("2025-01-01 10:00:00", 1.0), ("2025-01-02 11:00:00", 2.0))
+      .toDF("ts", "value")
+      .write.option("header", "true").csv(s"$dir/csv")
+    val df = Sources.batch(
+      spark, s"$dir/csv", "ts",
+      format = "csv", options = Map("header" -> "true", "inferSchema" -> "true"))
+    assert(df.schema("ts").dataType == TimestampType)
+    assert(df.count() == 2)
+  }
+
+  test("streaming file source -> profiler -> parquet sink round trip") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-stream").toString
+    val schema = StructType(Seq(
+      StructField("ts", TimestampType), StructField("value", DoubleType)))
+    // seed one file before starting the stream
+    Seq((java.sql.Timestamp.valueOf("2025-01-01 10:10:00"), 4.0),
+        (java.sql.Timestamp.valueOf("2025-01-01 10:20:00"), 6.0))
+      .toDF("ts", "value").write.parquet(s"$dir/in")
+    val stream = Sources.stream(spark, s"$dir/in", "ts", schema)
+    val profiled = StreamingProfiler.profile(
+      stream, "ts", ProfilingBuilder.simple, Granularity.Hour, watermark = "0 seconds")
+    val q = Sources.metricsSink(profiled, s"$dir/out", s"$dir/chk")
+    try {
+      q.processAllAvailable()
+      // append another file: watermark passes hour 10, its window emits
+      Seq((java.sql.Timestamp.valueOf("2025-01-01 12:00:00"), 1.0))
+        .toDF("ts", "value").write.mode("append").parquet(s"$dir/in")
+      q.processAllAvailable()
+      Seq((java.sql.Timestamp.valueOf("2025-01-01 13:00:00"), 1.0))
+        .toDF("ts", "value").write.mode("append").parquet(s"$dir/in")
+      q.processAllAvailable()
+    } finally q.stop()
+    val out = spark.read.parquet(s"$dir/out")
+    val mean = out
+      .where($"ts" === to_timestamp(lit("2025-01-01 10:00:00")) && $"name" === "Mean")
+      .select("value").as[Double].collect()
+    assert(mean.toSeq == Seq(5.0))
+  }
+}
