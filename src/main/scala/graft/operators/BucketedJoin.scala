@@ -1,0 +1,61 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** Bucketed co-located joins — the zero-shuffle path for repeated
+  * fact-fact joins at 100 TB.
+  *
+  * A shuffle join moves BOTH fact tables across the network every time
+  * they meet. Writing each side bucketed (and sorted) by the join key
+  * pre-shuffles them ONCE at write time: every subsequent join on that
+  * key is a local sort-merge per bucket pair — no Exchange in the plan
+  * (asserted in BucketedJoinSpec). This is the standard layout for a
+  * lakehouse fact store where lineitem⋈orders-class joins run daily.
+  */
+object BucketedJoin {
+
+  /** Persist `df` as a bucketed+sorted table (idempotent overwrite —
+    * also clears an orphaned location left by a previous JVM, which a
+    * fresh in-memory catalog would otherwise refuse to overwrite).
+    */
+  def writeBucketed(
+      df: DataFrame,
+      table: String,
+      bucketCol: String,
+      numBuckets: Int
+  ): Unit = {
+    val spark = df.sparkSession
+    spark.sql(s"DROP TABLE IF EXISTS $table")
+    val loc = new java.io.File(
+      new java.net.URI(spark.conf.get("spark.sql.warehouse.dir")).getPath,
+      table.toLowerCase
+    )
+    if (loc.exists()) {
+      def rm(f: java.io.File): Unit = {
+        if (f.isDirectory) f.listFiles().foreach(rm)
+        f.delete()
+      }
+      rm(loc)
+    }
+    df.write
+      .mode("overwrite")
+      .bucketBy(numBuckets, bucketCol)
+      .sortBy(bucketCol)
+      .format("parquet")
+      .saveAsTable(table)
+  }
+
+  /** Inner-join two previously bucketed tables on their bucket keys.
+    * With matching bucket counts Spark plans a shuffle-free SMJ.
+    */
+  def join(
+      spark: SparkSession,
+      leftTable: String,
+      rightTable: String,
+      leftKey: String,
+      rightKey: String
+  ): DataFrame = {
+    import org.apache.spark.sql.functions.col
+    spark.table(leftTable).join(spark.table(rightTable), col(leftKey) === col(rightKey))
+  }
+}

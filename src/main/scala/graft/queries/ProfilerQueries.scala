@@ -291,8 +291,19 @@ object ProfilerQueries extends QueryPack {
       ORDER BY ts, col_a, col_b""")
   )
 
+  /** The 100 TB configuration: sketch-only analyzers (HLL, t-digest
+    * percentiles) whose partial state is O(1) per (day, column).
+    * Rows-only check (approx values legitimately differ from exact
+    * oracles); the exact twin `profile_report` carries the value gate.
+    */
+  private val reportSketch = Q(
+    fn = (s, d) => finish(Profiler.profile(Tables.events(s, d), "ts", ProfilingBuilder.sketch)),
+    oracle = None
+  )
+
   val queries: Map[String, Q] = Map(
     "profile_size" -> size,
+    "profile_report_sketch" -> reportSketch,
     "profile_completeness" -> completeness,
     "profile_mean" -> mean,
     "profile_stddev" -> stddev,
