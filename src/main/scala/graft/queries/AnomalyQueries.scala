@@ -62,6 +62,41 @@ object AnomalyQueries extends QueryPack {
     s"CASE WHEN $den > 0.0 THEN $num / $den END"
   }
 
+  /** Exact SQL mirror of [[graft.anomaly.HoltLinear]]: weight literals
+    * are the Scala-computed doubles (shortest-repr roundtrip), and
+    * every sum/divide repeats the Column expression's left-associative
+    * order, so both engines walk the identical IEEE sequence.
+    */
+  private def holtSql(alpha: Double, beta: Double, horizon: Int): String = {
+    val lagw = "(PARTITION BY event_type ORDER BY ts)"
+    def lagv(j: Int) = s"lag(value, $j) OVER $lagw"
+    val lt = (1 to horizon).map { j =>
+      val w = alpha * math.pow(1 - alpha, j - 1)
+      (
+        s"CASE WHEN ${lagv(j)} IS NOT NULL THEN ${lagv(j)} * $w ELSE 0.0 END",
+        s"CASE WHEN ${lagv(j)} IS NOT NULL THEN $w ELSE 0.0 END",
+        s"CASE WHEN ${lagv(j)} IS NOT NULL THEN ${w * j} ELSE 0.0 END"
+      )
+    }
+    val lnum = lt.map(_._1).mkString("(", " + ", ")")
+    val lden = lt.map(_._2).mkString("(", " + ", ")")
+    val jsum = lt.map(_._3).mkString("(", " + ", ")")
+    val tt = (1 to horizon).map { j =>
+      val w = beta * math.pow(1 - beta, j - 1)
+      val d = s"(${lagv(j)} - ${lagv(j + 1)})"
+      (
+        s"CASE WHEN $d IS NOT NULL THEN $d * $w ELSE 0.0 END",
+        s"CASE WHEN $d IS NOT NULL THEN $w ELSE 0.0 END"
+      )
+    }
+    val tnum = tt.map(_._1).mkString("(", " + ", ")")
+    val tden = tt.map(_._2).mkString("(", " + ", ")")
+    s"""CASE WHEN $lden > 0.0
+        THEN ($lnum / $lden) +
+          (CASE WHEN $tden > 0.0 THEN ($tnum / $tden) * ($jsum / $lden) ELSE 0.0 END)
+        END"""
+  }
+
   private val apeSql =
     """CASE WHEN abs(value) < 0.0001 OR predicted IS NULL THEN NULL
        ELSE least(abs(value - predicted) / abs(value), 1.0) END"""
@@ -247,6 +282,7 @@ object AnomalyQueries extends QueryPack {
     "anomaly_forecast_simple" -> forecastQuery(TrailingMean(7), tmSql(7)),
     "anomaly_forecast_seasonal" -> forecastQuery(SeasonalNaive(7), snSql(7)),
     "anomaly_forecast_ewma" -> forecastQuery(Ewma(0.5, 8), ewmaSql(0.5, 8)),
+    "anomaly_forecast_holt" -> forecastQuery(HoltLinear(0.5, 0.5, 8), holtSql(0.5, 0.5, 8)),
     "anomaly_best_window" -> bestWindow,
     "anomaly_threshold" -> threshold,
     "anomaly_best_model" -> bestModel,
