@@ -28,11 +28,27 @@ object Scorer {
       tsCol: String = "ts",
       valueCol: String = "value",
       cfg: Optimizer.Config = Optimizer.Config()
-  ): DataFrame = {
-    val lastPoints = Optimizer
-      .forecastErrors(series, seriesCols, tsCol, valueCol, cfg)
+  ): DataFrame =
+    scoreAll(series, optimization, seriesCols, tsCol, valueCol, cfg)
       .where(col("rn") === col("n"))
-    lastPoints
+      .drop("rn", "n")
+
+  /** Backfill scoring: every point of every series scored with its
+    * optimized model (reference has no equivalent — its per-metric
+    * loop makes history scoring prohibitive; here it is the same single
+    * window pass as last-point scoring). Output keeps `rn`/`n` so
+    * callers can slice.
+    */
+  def scoreAll(
+      series: DataFrame,
+      optimization: DataFrame,
+      seriesCols: Seq[String],
+      tsCol: String = "ts",
+      valueCol: String = "value",
+      cfg: Optimizer.Config = Optimizer.Config()
+  ): DataFrame =
+    Optimizer
+      .forecastErrors(series, seriesCols, tsCol, valueCol, cfg)
       .join(
         broadcast(optimization.select((seriesCols.map(col) :+ col("best_model")): _*)),
         seriesCols
@@ -40,7 +56,6 @@ object Scorer {
       .where(col("model") === col("best_model"))
       .select(
         (seriesCols.map(col) :+ col(tsCol) :+ col("value") :+
-          col("predicted") :+ col("error").as("score")): _*
+          col("predicted") :+ col("error").as("score") :+ col("rn") :+ col("n")): _*
       )
-  }
 }

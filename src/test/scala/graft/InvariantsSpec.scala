@@ -83,6 +83,53 @@ class InvariantsSpec extends SparkSpec {
     graft.testing.DataFrameAssertions.assertDataFrameEquality(profiled, direct, tol = 1e-9)
   }
 
+  test("streaming profiler emits exactly the batch profiler's metrics on the same data") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx = spark.sqlContext
+    val rnd = new Random(13)
+    val data = Seq.tabulate(300) { i =>
+      (
+        java.sql.Timestamp.valueOf(f"2025-03-${rnd.nextInt(4) + 1}%02d ${rnd.nextInt(24)}%02d:30:00"),
+        rnd.nextDouble() * 50
+      )
+    }
+    val batchDf = data.toDF("ts", "value")
+    val batch = graft.profiler.Profiler
+      .profile(batchDf, "ts", graft.profiler.ProfilingBuilder.simple)
+
+    val input = MemoryStream[(java.sql.Timestamp, Double)]
+    val streamed = graft.streaming.StreamingProfiler.profile(
+      input.toDF().toDF("ts", "value"),
+      "ts",
+      graft.profiler.ProfilingBuilder.simple,
+      graft.core.Granularity.Day,
+      watermark = "0 seconds"
+    )
+    val q = streamed.writeStream.format("memory").queryName("inv_stream").outputMode("append").start()
+    try {
+      // two micro-batches in event-time order (a 0s watermark drops
+      // late rows — ordered arrival keeps streaming lossless), then a
+      // far-future point to flush all windows
+      val (b1, b2) = data.sortBy(_._1.getTime).splitAt(150)
+      input.addData(b1: _*); q.processAllAvailable()
+      input.addData(b2: _*); q.processAllAvailable()
+      input.addData((java.sql.Timestamp.valueOf("2026-01-01 00:00:00"), 0.0))
+      q.processAllAvailable()
+      val got = spark.table("inv_stream").where($"ts" < to_timestamp(lit("2025-12-01")))
+      graft.testing.DataFrameAssertions.assertDataFrameEquality(got, batch, tol = 1e-9)
+    } finally q.stop()
+  }
+
+  test("scoreAll backfills every point and agrees with last-point scoring") {
+    val series = graft.testing.SyntheticSeries.multi(spark, Seq("x", "y"), 25)
+    val opt = graft.anomaly.Optimizer.optimize(series, Seq("series"))
+    val all = graft.anomaly.Scorer.scoreAll(series, opt, Seq("series"))
+    assert(all.count() == 50) // every point of both series
+    val last = graft.anomaly.Scorer.score(series, opt, Seq("series"))
+    val lastFromAll = all.where($"rn" === $"n").drop("rn", "n")
+    graft.testing.DataFrameAssertions.assertDataFrameEquality(last, lastFromAll)
+  }
+
   test("plan shapes: q1 pushes filters to the scan; profiler is join-free single-agg") {
     val d = "/root/testdata/sf0.001"
     val q1 = SparkEntry.queries("q1_agg")(spark, d)
