@@ -197,6 +197,32 @@ object Profiler {
       .select("ts", "instance", "bucket", "count")
   }
 
+  /** Top-k most frequent values of a column per ts partition (Deequ
+    * Histogram analog for categoricals): `(ts, instance, value_str,
+    * count, rank)`. Two map-side-combinable aggregations + a window
+    * rank; ties break on the value for determinism. At very high
+    * cardinality swap the exact count for a count-min sketch — rank
+    * semantics stay identical.
+    */
+  def topKValuesProfile(
+      df: DataFrame,
+      tsColumn: String,
+      column: String,
+      k: Int,
+      granularity: String = Granularity.Day
+  ): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("ts"))
+      .orderBy(col("count").desc, col("value_str"))
+    df.withColumn("ts", date_trunc(Granularity.truncUnit(granularity), col(tsColumn)))
+      .where(col(column).isNotNull)
+      .groupBy(col("ts"), col(column).cast("string").as("value_str"))
+      .agg(count(lit(1)).as("count"))
+      .withColumn("rank", row_number().over(w))
+      .where(col("rank") <= k)
+      .select(col("ts"), lit(column).as("instance"), col("value_str"), col("count"), col("rank"))
+  }
+
   /** Pairwise Pearson correlation between numeric columns per ts
     * partition, long format `(ts, col_a, col_b, corr)` — all pairs in
     * ONE groupBy pass (corr is a partial-aggregatable moment sketch, so

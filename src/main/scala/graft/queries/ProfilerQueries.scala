@@ -301,9 +301,26 @@ object ProfilerQueries extends QueryPack {
     oracle = None
   )
 
+  private val topkValues = Q(
+    fn = (s, d) =>
+      Profiler
+        .topKValuesProfile(Tables.events(s, d), "ts", "event_type", k = 3)
+        .orderBy("ts", "rank"),
+    oracle = Some(s"""
+      WITH c AS (
+        SELECT ${sqlDay("ts")} AS ts, CAST(event_type AS VARCHAR) AS value_str,
+          count(*) AS count
+        FROM events WHERE event_type IS NOT NULL GROUP BY 1, 2),
+      r AS (SELECT *, row_number() OVER (PARTITION BY ts
+              ORDER BY count DESC, value_str) AS rank FROM c)
+      SELECT ts, 'event_type' AS instance, value_str, count, rank
+      FROM r WHERE rank <= 3 ORDER BY ts, rank""")
+  )
+
   val queries: Map[String, Q] = Map(
     "profile_size" -> size,
     "profile_report_sketch" -> reportSketch,
+    "profile_topk_values" -> topkValues,
     "profile_completeness" -> completeness,
     "profile_mean" -> mean,
     "profile_stddev" -> stddev,
