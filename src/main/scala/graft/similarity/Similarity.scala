@@ -187,6 +187,9 @@ object Similarity {
       .setK(nlist)
       .setSeed(seed)
       .setMaxIter(10)
+      // random init: k-means|| costs ~5 extra corpus passes for init
+      // quality a coarse quantizer does not need
+      .setInitMode("random")
       .setFeaturesCol("_fv")
       .fit(trainDf)
     val cents = model.clusterCenters.map(_.toArray)
