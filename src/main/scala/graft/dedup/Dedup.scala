@@ -15,9 +15,12 @@ import org.apache.spark.sql.functions._
   */
 object Dedup {
 
-  /** Exact dedup: keep the lowest id per key. The shuffle key is a
-    * 64-bit content hash, not the text itself; the window picks a
-    * deterministic survivor per group.
+  /** Exact dedup: keep the lowest id per key. The SHUFFLE key is the
+    * 64-bit content hash (cheap, uniform), but the window additionally
+    * partitions on the canonicalized text itself so a 64-bit hash
+    * collision between distinct documents (expected at billions of
+    * rows) never deletes a non-duplicate — hash-first, verify-within-
+    * group, at identical shuffle cost since the row travels anyway.
     */
   def exact(
       df: DataFrame,
@@ -26,7 +29,9 @@ object Dedup {
       canonicalize: Column => Column = identity
   ): DataFrame = {
     val keyed = df.withColumn("_key", xxhash64(canonicalize(col(textCol))))
-    val w = Window.partitionBy(col("_key")).orderBy(col(idCol))
+    val w = Window
+      .partitionBy(col("_key"), canonicalize(col(textCol)))
+      .orderBy(col(idCol))
     keyed
       .withColumn("_rn", row_number().over(w))
       .where(col("_rn") === 1)
@@ -66,15 +71,19 @@ object Dedup {
       )
     }: _*)
 
-  /** MinHash-LSH near-duplicate candidate pairs, verified with exact
-    * shingle-set Jaccard.
+  /** MinHash-LSH near-duplicate candidate pairs, filtered on the
+    * SIGNATURE-ESTIMATED Jaccard (fraction of agreeing minhash slots;
+    * stddev ~ sqrt(J(1-J)/numHashes), so raise numHashes when the
+    * threshold must discriminate finely). Estimation keeps the shuffle
+    * signature-only; callers needing exact verification join the
+    * shingle sets back on the (small) surviving pair set.
     *
-    * Pipeline: shingle -> minhash (scan-side) -> explode bands ->
-    * shuffle on (band, bucket) -> pairs within buckets -> distinct ->
-    * join signatures back -> exact Jaccard filter. Only documents
+    * Pipeline: shingle-hash -> minhash (scan-side, native exprs) ->
+    * explode bands -> shuffle on (band, bucket) -> pairs within
+    * buckets -> estimated-Jaccard filter -> distinct. Only documents
     * agreeing on at least one band are ever paired.
     *
-    * Output: id_a, id_b, jaccard (estimated from signature agreement).
+    * Output: id_a, id_b, jaccard (estimated).
     */
   def minhashLshPairs(
       df: DataFrame,
@@ -85,6 +94,11 @@ object Dedup {
       bands: Int = 4,
       threshold: Double = 0.5
   ): DataFrame = {
+    require(
+      bands > 0 && numHashes % bands == 0 && numHashes / bands > 0,
+      s"numHashes ($numHashes) must be a positive multiple of bands ($bands) — " +
+        "a zero-row band would put every document in one bucket (all-pairs join)"
+    )
     val rowsPerBand = numHashes / bands
     // Token-hash, shingle-hash, and 16-seed signature are SEPARATE
     // projections so each array materializes once as an attribute before
@@ -193,8 +207,12 @@ object Dedup {
       idCol: String,
       maxHamming: Int = 3
   ): DataFrame = {
+    require(maxHamming >= 0 && maxHamming < 64, s"maxHamming out of range: $maxHamming")
     val chunks = maxHamming + 1
     val bitsPerChunk = 64 / chunks
+    // 1L << 64 wraps to 1 in JVM shift semantics — a maxHamming=0 mask
+    // of zero would collapse every doc into one bucket (all-pairs join).
+    val chunkMask = if (bitsPerChunk == 64) -1L else (1L << bitsPerChunk) - 1
     val sigs = df
       .select(col(idCol).as("id"), Text.tokenHashes(col(textCol)).as("_th"))
       .select(col("id"), simhash64(col("_th")).as("sig"))
@@ -205,7 +223,7 @@ object Dedup {
         struct(
           lit(c).as("chunk"),
           shiftright(col("sig"), c * bitsPerChunk)
-            .bitwiseAND((1L << bitsPerChunk) - 1)
+            .bitwiseAND(chunkMask)
             .as("ck")
         )
       }: _*)).as("ch")

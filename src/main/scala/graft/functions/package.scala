@@ -1,0 +1,18 @@
+package graft
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions.round
+
+package object functions {
+
+  /** Cross-engine-stable 6-dp rounding. DuckDB's `round(x,6)` computes
+    * `std::round(x*1e6)/1e6` — the x1e6 double multiply can itself
+    * round onto an exact .5 (0.43506249..996 x 1e6 == 435062.5
+    * exactly), while Spark's `round(x,6)` HALF_UPs the *exact* binary
+    * value and disagrees on such ties. Mirroring the multiply-round-
+    * divide sequence makes both engines take the identical IEEE path
+    * (fuzz-validated over 21k values incl. dyadic ties). The single
+    * definition for every operator and query pack.
+    */
+  def round6(c: Column): Column = round(c * 1e6) / 1e6
+}

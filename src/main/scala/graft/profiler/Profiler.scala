@@ -234,6 +234,7 @@ object Profiler {
       columns: Seq[String],
       granularity: String = Granularity.Day
   ): DataFrame = {
+    require(columns.size >= 2, s"correlation needs >= 2 columns, got $columns")
     val pairs = for {
       (a, i) <- columns.zipWithIndex
       b <- columns.drop(i + 1)

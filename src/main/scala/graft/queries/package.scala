@@ -54,15 +54,10 @@ package object queries {
   def sqlTrunc(unit: String, ts: String): String =
     s"CAST(date_trunc('$unit', $ts) AS TIMESTAMP)"
 
-  /** Cross-engine-stable 6-dp rounding, Spark side. DuckDB's `round(x,6)`
-    * computes `std::round(x*1e6)/1e6` — the ×1e6 double multiply can
-    * itself round onto an exact .5 (0.43506249..996×1e6 == 435062.5
-    * exactly), while Spark's `round(x,6)` HALF_UPs the *exact* binary
-    * value and disagrees on such ties. Mirroring the multiply-round-
-    * divide sequence makes both engines take the identical IEEE path
-    * (fuzz-validated over 21k values incl. dyadic ties).
+  /** Cross-engine-stable 6-dp rounding (see [[graft.functions.round6]]
+    * for the tie-stability rationale).
     */
-  def round6(c: Column): Column = round(c * 1e6) / 1e6
+  def round6(c: Column): Column = graft.functions.round6(c)
 
   /** DuckDB mirror of [[round6]] — duck's native round already is
     * multiply-round-divide.

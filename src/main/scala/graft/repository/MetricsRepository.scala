@@ -158,7 +158,8 @@ class InMemoryRepository extends MetricsRepository {
         StructField("name", StringType),
         StructField("best_model", StringType),
         StructField("threshold", DoubleType),
-        StructField("mean_error", DoubleType)
+        StructField("mean_error", DoubleType),
+        StructField("optimization_failed", BooleanType)
       )
     )
   )
@@ -194,6 +195,25 @@ class ParquetRepository(spark: SparkSession, basePath: String) extends MetricsRe
 
   private def path(table: String) = s"$basePath/$table"
 
+  /** Hadoop-FS existence check — works for any scheme (local, hdfs://,
+    * s3a://), unlike java.io.File which silently reports false on
+    * remote filesystems.
+    */
+  private def fsExists(p: String): Boolean = {
+    val hp = new org.apache.hadoop.fs.Path(p)
+    hp.getFileSystem(spark.sparkContext.hadoopConfiguration).exists(hp)
+  }
+
+  /** Partition directory for a dataset, with Spark's partition-value
+    * escaping (a URI-shaped key like "s3://lake/x" is written as
+    * dataset_uri=s3%3A%2F%2Flake%2Fx on disk).
+    */
+  private def partitionDir(table: String, uri: String): String = {
+    val escaped = org.apache.spark.sql.catalyst.catalog.ExternalCatalogUtils
+      .escapePathName(uri)
+    s"${path(table)}/dataset_uri=$escaped"
+  }
+
   private def append(table: String, uri: String, rows: DataFrame): Unit =
     rows
       .withColumn("dataset_uri", lit(uri))
@@ -207,9 +227,7 @@ class ParquetRepository(spark: SparkSession, basePath: String) extends MetricsRe
     * window shuffles only that dataset's slice (partition-pruned scan).
     */
   private def latest(table: String, uri: String, key: Seq[String], schema: => DataFrame): DataFrame = {
-    val exists = new java.io.File(s"${path(table)}/dataset_uri=$uri").exists() ||
-      new java.io.File(path(table)).exists()
-    if (!exists) schema
+    if (!fsExists(path(table))) schema
     else {
       val df = spark.read.parquet(path(table)).where(col("dataset_uri") === uri)
       val w = Window.partitionBy(key.map(col): _*).orderBy(col("batch_seq").desc)
@@ -227,7 +245,7 @@ class ParquetRepository(spark: SparkSession, basePath: String) extends MetricsRe
   def getDataset(uri: String): Option[DatasetMeta] = listDatasets().find(_.uri == uri)
   def listDatasets(): Seq[DatasetMeta] = {
     import spark.implicits._
-    if (!new java.io.File(path("datasets")).exists()) Seq.empty
+    if (!fsExists(path("datasets"))) Seq.empty
     else {
       val w = Window.partitionBy(col("uri")).orderBy(col("batch_seq").desc)
       spark.read
@@ -275,23 +293,24 @@ class ParquetRepository(spark: SparkSession, basePath: String) extends MetricsRe
       ("scoring", scoringKey)
     )
     tables.foreach { case (table, key) =>
-      val partDir = new java.io.File(s"${path(table)}/dataset_uri=$uri")
-      if (partDir.exists()) {
+      val partDir = partitionDir(table, uri)
+      if (fsExists(partDir)) {
         // Stage the resolved view first (this scan reads the original
         // files), then swap the partition contents — never read and
-        // overwrite the same files in one job.
-        val staging = s"${path(table)}.staging_$uri".replaceAll("[^A-Za-z0-9_./-]", "_")
+        // overwrite the same files in one job. All paths go through
+        // Hadoop FS so any scheme (local/hdfs/s3a) works.
+        val staging = s"${path(table)}.staging_${math.abs(uri.hashCode)}"
         latest(table, uri, key, null).write.mode("overwrite").parquet(staging)
-        partDir.listFiles().foreach(_.delete())
+        val hPart = new org.apache.hadoop.fs.Path(partDir)
+        val fs = hPart.getFileSystem(spark.sparkContext.hadoopConfiguration)
+        fs.listStatus(hPart).foreach(st => fs.delete(st.getPath, true))
         spark.read
           .parquet(staging)
           .withColumn("batch_seq", lit(seq.incrementAndGet()))
           .write
           .mode("append")
-          .parquet(partDir.getPath)
-        val stagingDir = new java.io.File(staging)
-        stagingDir.listFiles().foreach(_.delete())
-        stagingDir.delete()
+          .parquet(partDir)
+        fs.delete(new org.apache.hadoop.fs.Path(staging), true)
       }
     }
   }

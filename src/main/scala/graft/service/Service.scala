@@ -66,7 +66,7 @@ object Service {
       .optimize(history, seriesCols, cfg = cfg)
       .select(
         (seriesCols.map(col) :+ col("best_model") :+ col("threshold") :+
-          col("mean_error")): _*
+          col("mean_error") :+ col("optimization_failed")): _*
       )
     repo.addOptimization(datasetUri, optimization)
     optimization
@@ -108,40 +108,48 @@ object Service {
     def isHealthy: Boolean = anomalous.isEmpty
   }
 
-  /** Compare stored scores against optimized thresholds and notify on
-    * exceedance (reference `assess_quality`, service_layer.py:345-409).
-    * Only the anomalous subset (bounded by the metric count of one
-    * dataset) is collected.
+  /** Compare one timestamp's stored scores against optimized thresholds
+    * and notify on exceedance (reference `assess_quality`,
+    * service_layer.py:345-409 — which likewise assesses a single ts).
+    * Defaults to the NEWEST scored ts; without the bound every past
+    * anomaly would re-alert on every call. Only the anomalous subset
+    * (bounded by the metric count of one dataset) is collected.
     */
   def assessQuality(
       datasetUri: String,
       repo: MetricsRepository,
-      handlers: Seq[NotificationHandler] = Seq(LogHandler)
+      handlers: Seq[NotificationHandler] = Seq(LogHandler),
+      ts: Option[java.sql.Timestamp] = None
   ): Assessment = {
-    val scoring = repo.getScoring(datasetUri)
-    val optimization = repo.getOptimization(datasetUri)
-    val assessed = Quality.assess(scoring, optimization, seriesCols)
-    val rows = assessed
-      .where(col("is_anomalous"))
-      .select(
-        (seriesCols.map(col) ++ Seq(col("ts"), col("score"), col("threshold"))): _*
-      )
-      .collect()
-    val ts = rows.headOption
-      .map(_.getTimestamp(3))
-      .getOrElse(new java.sql.Timestamp(0L))
-    val anomalous = rows.toSeq.map { r =>
-      AnomalousScore(
-        entity = r.getString(0),
-        instance = r.getString(1),
-        name = r.getString(2),
-        score = r.getDouble(4),
-        threshold = r.getDouble(5)
-      )
+    val scoringAll = repo.getScoring(datasetUri)
+    val targetTs = ts.orElse(
+      scoringAll.agg(max(col("ts"))).collect().headOption.flatMap(r => Option(r.getTimestamp(0)))
+    )
+    targetTs match {
+      case None => Assessment(datasetUri, new java.sql.Timestamp(0L), Seq.empty)
+      case Some(t) =>
+        val scoring = scoringAll.where(col("ts") === lit(t))
+        val optimization = repo.getOptimization(datasetUri)
+        val assessed = Quality.assess(scoring, optimization, seriesCols)
+        val rows = assessed
+          .where(col("is_anomalous"))
+          .select(
+            (seriesCols.map(col) ++ Seq(col("score"), col("threshold"))): _*
+          )
+          .collect()
+        val anomalous = rows.toSeq.map { r =>
+          AnomalousScore(
+            entity = r.getString(0),
+            instance = r.getString(1),
+            name = r.getString(2),
+            score = r.getDouble(3),
+            threshold = r.getDouble(4)
+          )
+        }
+        val assessment = Assessment(datasetUri, t, anomalous)
+        if (anomalous.nonEmpty) handlers.foreach(_.notify(datasetUri, t, anomalous))
+        assessment
     }
-    val assessment = Assessment(datasetUri, ts, anomalous)
-    if (anomalous.nonEmpty) handlers.foreach(_.notify(datasetUri, ts, anomalous))
-    assessment
   }
 
   /** profile + optimize in one call (reference

@@ -14,11 +14,7 @@ import org.apache.spark.sql.functions._
   */
 object Similarity {
 
-  /** 6-dp rounding via multiply-round-divide — the same IEEE sequence
-    * DuckDB's round(x,6) takes, so oracle hash-compares are tie-stable
-    * (see graft.queries.round6).
-    */
-  private def round6(c: Column): Column = round(c * 1e6) / 1e6
+  import graft.functions.round6
 
   /** Left-to-right fold of sum(a[i]*b[i]) in double — backed by the
     * custom expression [[graft.functions.hashExpressions.DotProduct]]
@@ -75,28 +71,33 @@ object Similarity {
       .select("query_id", "neighbor_id", "sim", "rank")
   }
 
-  /** Deterministic pseudo-random sign for (plane, dim) — a hash in
-    * place of a stored random hyperplane matrix, so the LSH needs no
-    * side state and any executor derives the same planes.
+  /** Deterministic +-1 hyperplanes, derived by hash so the LSH needs no
+    * stored matrix — any executor (or a later job) rebuilds identical
+    * planes from (plane, dim index) alone.
     */
-  private def planeSign(plane: Int, i: Column): Column =
-    when(pmod(xxhash64(lit(plane), i), lit(2)) === 0, 1.0).otherwise(-1.0)
-
-  /** Sign of the projection of `v` onto pseudo-random hyperplane p. */
-  private def planeBit(v: Column, plane: Int): Column = {
-    val proj = aggregate(
-      sequence(lit(1), size(v)),
-      lit(0.0),
-      (acc, i) => acc + element_at(v, i).cast("double") * planeSign(plane, i)
-    )
-    when(proj >= 0, lit(1L << plane)).otherwise(lit(0L))
+  private[similarity] def planeSigns(nPlanes: Int, dim: Int): Array[Array[Double]] = {
+    import org.apache.spark.sql.catalyst.expressions.XXH64
+    Array.tabulate(nPlanes) { p =>
+      Array.tabulate(dim) { i =>
+        if ((XXH64.hashLong(p.toLong * 1000003L + i, 42L) & 1L) == 0L) 1.0 else -1.0
+      }
+    }
   }
 
   /** Random-hyperplane LSH bucket key (`nPlanes` sign bits packed into
     * a long). Cosine-similar vectors collide with high probability.
+    * The sign vectors are row-independent, so they live as literal
+    * arrays and each projection is one native dot product — not an
+    * interpreted per-element hash per row (measured 30-100x slower).
     */
-  def lshBucket(v: Column, nPlanes: Int): Column =
-    (0 until nPlanes).map(planeBit(v, _)).reduce(_ + _)
+  def lshBucket(v: Column, nPlanes: Int, dim: Int): Column = {
+    val signs = planeSigns(nPlanes, dim)
+    (0 until nPlanes)
+      .map { p =>
+        when(dot(v, lit(signs(p))) >= 0, lit(1L << p)).otherwise(lit(0L))
+      }
+      .reduce(_ + _)
+  }
 
   /** LSH-bucketed ANN: exact cosine ranking *within* each query's
     * probed buckets. The corpus is hashed once and shuffled on the
@@ -120,7 +121,10 @@ object Similarity {
       nPlanes: Int = 8,
       multiProbe: Boolean = true
   ): DataFrame = {
-    val own = lshBucket(col(vecCol), nPlanes)
+    // one-row peek for the vector dimensionality (plan-time constant
+    // needed to materialize the literal sign matrix)
+    val dim = corpus.select(size(col(vecCol))).head().getInt(0)
+    val own = lshBucket(col(vecCol), nPlanes, dim)
     val probes =
       if (!multiProbe) array(own)
       else array(own +: (0 until nPlanes).map(j => own.bitwiseXOR(lit(1L << j))): _*)
@@ -135,7 +139,7 @@ object Similarity {
       col(idCol).as("neighbor_id"),
       col(vecCol).as("_cv"),
       norm(col(vecCol)).as("_cn"),
-      lshBucket(col(vecCol), nPlanes).as("_bucket")
+      lshBucket(col(vecCol), nPlanes, dim).as("_bucket")
     )
     val w = Window
       .partitionBy(col("query_id"))

@@ -39,18 +39,22 @@ object StreamingProfiler {
       granularity: String = Granularity.Day,
       watermark: String = "1 hour"
   ): DataFrame = {
-    val windowDuration = Granularity.truncUnit(granularity) match {
-      case "hour"  => "1 hour"
-      case "day"   => "1 day"
-      case "week"  => "7 days"
-      case "month" => "30 days" // calendar months need sessionization; fixed 30d window
+    // startTime shifts the epoch-aligned tumbling windows: the epoch is
+    // a Thursday, so WEEK needs a +4 day offset to start windows on
+    // Monday — matching the batch profiler's date_trunc('week'). MONTH
+    // has no fixed-width equivalent and stays an approximation (30d).
+    val (windowDuration, startTime) = Granularity.truncUnit(granularity) match {
+      case "hour"  => ("1 hour", "0 seconds")
+      case "day"   => ("1 day", "0 seconds")
+      case "week"  => ("7 days", "4 days")
+      case "month" => ("30 days", "0 seconds") // calendar months are not fixed-width
     }
     val fields = df.schema.fields.filterNot(_.name == tsColumn).toSeq
     val metricExprs = builder.metricExprs(fields)
     val aliased = metricExprs.zipWithIndex.map { case ((_, e), i) => e.as(s"_m$i") }
     val wide = df
       .withWatermark(tsColumn, watermark)
-      .groupBy(window(col(tsColumn), windowDuration))
+      .groupBy(window(col(tsColumn), windowDuration, windowDuration, startTime))
       .agg(aliased.head, aliased.tail: _*)
     val entries = metricExprs.zipWithIndex.map { case ((m, _), i) =>
       struct(

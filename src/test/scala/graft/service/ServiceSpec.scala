@@ -78,6 +78,31 @@ class ServiceSpec extends SparkSpec {
     assert(notified.forall(a => a.score > a.threshold))
   }
 
+  test("assessQuality assesses one ts (newest by default) — past anomalies do not re-alert") {
+    val repo = new InMemoryRepository()
+    val t1 = java.sql.Timestamp.valueOf("2025-01-01 00:00:00")
+    val t2 = java.sql.Timestamp.valueOf("2025-01-02 00:00:00")
+    repo.addOptimization(
+      "ds://one-ts",
+      Seq(("Column", "value", "Mean", "TrailingMean-3", 0.2, 0.01, false))
+        .toDF("entity", "instance", "name", "best_model", "threshold", "mean_error", "optimization_failed")
+    )
+    repo.addScoring(
+      "ds://one-ts",
+      Seq(
+        (t1, "Column", "value", "Mean", 10.0, 5.0, 0.5), // anomalous day
+        (t2, "Column", "value", "Mean", 10.0, 9.9, 0.01) // healthy newest day
+      ).toDF("ts", "entity", "instance", "name", "value", "predicted", "score")
+    )
+    // default: newest ts only -> healthy, ts = t2
+    val latest = Service.assessQuality("ds://one-ts", repo, handlers = Nil)
+    assert(latest.isHealthy && latest.ts == t2)
+    // explicit ts: the anomalous day still assessable on demand
+    val past = Service.assessQuality("ds://one-ts", repo, handlers = Nil, ts = Some(t1))
+    assert(!past.isHealthy && past.ts == t1)
+    assert(past.anomalous.head.score == 0.5)
+  }
+
   test("parquet repository compaction preserves the resolved view and shrinks files") {
     val dir = java.nio.file.Files.createTempDirectory("graft-compact").toString
     val repo = new ParquetRepository(spark, dir)
