@@ -2,9 +2,9 @@ package graft.functions
 
 import org.apache.spark.sql.Column
 import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
-import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression, XXH64}
-import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
-import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
+import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.util.ArrayData
 import org.apache.spark.sql.GraftColumnBridge
 import org.apache.spark.sql.types._
 
@@ -13,110 +13,22 @@ import org.apache.spark.sql.types._
   * Higher-order functions (`transform`/`aggregate`) evaluate their
   * lambda per element through the interpreted expression walker —
   * measured ~0.6 ms/row for a 16-seed MinHash over ~50 shingles.
-  * These expressions do the same math in one tight JVM loop per row
-  * (~1 us/row), the preferred shape for scan-side signatures over
-  * 100 TB of documents. Semantics stay pure/deterministic so plans
-  * containing them remain freely re-computable by Spark.
+  * These expressions call one tight JVM loop per row (~1 us/row — see
+  * [[HashKernels]]), the preferred shape for scan-side signatures over
+  * 100 TB of documents, and implement `doGenCode` so surrounding
+  * whole-stage codegen stays fused (the generated Java calls the same
+  * static kernel the interpreted path uses — parity by construction).
   */
 object hashExpressions {
 
-  /** `minhashSignature(shingleHashes, n)`: for seed s in [0, n), the
-    * min over the input array of XXH64(elem, seed=s). One pass over the
-    * array, n running minima. Empty/all-null input yields
-    * Long.MaxValue slots (callers filter empty shingle sets upstream).
-    */
-  case class MinHashSignature(child: Expression, numHashes: Int)
-      extends UnaryExpression
-      with CodegenFallback {
-    require(numHashes > 0)
-
-    override def prettyName: String = "minhash_signature"
-    override def dataType: DataType = ArrayType(LongType, containsNull = false)
-
-    override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
-      case ArrayType(LongType, _) => TypeCheckResult.TypeCheckSuccess
-      case other =>
-        TypeCheckResult.TypeCheckFailure(
-          s"$prettyName requires array<bigint>, got ${other.catalogString}"
-        )
-    }
-
-    override protected def nullSafeEval(input: Any): Any = {
-      val arr = input.asInstanceOf[ArrayData]
-      val n = arr.numElements()
-      val mins = Array.fill(numHashes)(Long.MaxValue)
-      var i = 0
-      while (i < n) {
-        if (!arr.isNullAt(i)) {
-          val h = arr.getLong(i)
-          var s = 0
-          while (s < numHashes) {
-            val hs = XXH64.hashLong(h, s.toLong)
-            if (hs < mins(s)) mins(s) = hs
-            s += 1
-          }
-        }
-        i += 1
-      }
-      new GenericArrayData(mins)
-    }
-
-    override protected def withNewChildInternal(newChild: Expression): MinHashSignature =
-      copy(child = newChild)
-  }
-
-  /** `simhash64(tokenHashes)`: bit j of the result is set iff more
-    * input elements have bit j set than unset (ties -> 0), i.e. the
-    * sign of the per-bit +1/-1 vote. One pass, 64 counters.
-    */
-  case class SimHash64(child: Expression) extends UnaryExpression with CodegenFallback {
-
-    override def prettyName: String = "simhash64"
-    override def dataType: DataType = LongType
-
-    override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
-      case ArrayType(LongType, _) => TypeCheckResult.TypeCheckSuccess
-      case other =>
-        TypeCheckResult.TypeCheckFailure(
-          s"$prettyName requires array<bigint>, got ${other.catalogString}"
-        )
-    }
-
-    override protected def nullSafeEval(input: Any): Any = {
-      val arr = input.asInstanceOf[ArrayData]
-      val n = arr.numElements()
-      val votes = new Array[Int](64)
-      var i = 0
-      while (i < n) {
-        if (!arr.isNullAt(i)) {
-          val h = arr.getLong(i)
-          var j = 0
-          while (j < 64) {
-            if (((h >>> j) & 1L) == 1L) votes(j) += 1 else votes(j) -= 1
-            j += 1
-          }
-        }
-        i += 1
-      }
-      var sig = 0L
-      var j = 0
-      while (j < 64) {
-        if (votes(j) > 0) sig |= (1L << j)
-        j += 1
-      }
-      sig
-    }
-
-    override protected def withNewChildInternal(newChild: Expression): SimHash64 =
-      copy(child = newChild)
-  }
+  private val kernels = "graft.functions.HashKernels"
 
   /** `tokenHashes(text)`: one XXH64 per whitespace token, hashed
     * directly over the UTF-8 bytes — no token strings are ever
     * materialized. Split semantics match `split(text, " ")` with
     * unlimited limit (empty tokens between/after separators are kept).
     */
-  case class TokenHashes(child: Expression) extends UnaryExpression with CodegenFallback {
+  case class TokenHashes(child: Expression) extends UnaryExpression {
 
     override def prettyName: String = "token_hashes"
     override def dataType: DataType = ArrayType(LongType, containsNull = false)
@@ -129,23 +41,11 @@ object hashExpressions {
         )
     }
 
-    override protected def nullSafeEval(input: Any): Any = {
-      val s = input.asInstanceOf[org.apache.spark.unsafe.types.UTF8String]
-      val base = s.getBaseObject
-      val off = s.getBaseOffset
-      val n = s.numBytes()
-      val out = scala.collection.mutable.ArrayBuffer.empty[Long]
-      var start = 0
-      var i = 0
-      while (i <= n) {
-        if (i == n || org.apache.spark.unsafe.Platform.getByte(base, off + i) == ' '.toByte) {
-          out += XXH64.hashUnsafeBytes(base, off + start, i - start, 42L)
-          start = i + 1
-        }
-        i += 1
-      }
-      new GenericArrayData(out.toArray)
-    }
+    override protected def nullSafeEval(input: Any): Any =
+      HashKernels.tokenHashes(input.asInstanceOf[org.apache.spark.unsafe.types.UTF8String])
+
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+      nullSafeCodeGen(ctx, ev, c => s"${ev.value} = $kernels.tokenHashes($c);")
 
     override protected def withNewChildInternal(newChild: Expression): TokenHashes =
       copy(child = newChild)
@@ -155,9 +55,7 @@ object hashExpressions {
     * consecutive token hashes (chained XXH64 fold); empty array when
     * fewer than n tokens.
     */
-  case class ShingleHashes(child: Expression, n: Int)
-      extends UnaryExpression
-      with CodegenFallback {
+  case class ShingleHashes(child: Expression, n: Int) extends UnaryExpression {
     require(n > 0)
 
     override def prettyName: String = "shingle_hashes"
@@ -171,28 +69,69 @@ object hashExpressions {
         )
     }
 
-    override protected def nullSafeEval(input: Any): Any = {
-      val arr = input.asInstanceOf[ArrayData]
-      val m = arr.numElements()
-      if (m < n) new GenericArrayData(Array.empty[Long])
-      else {
-        val out = new Array[Long](m - n + 1)
-        var i = 0
-        while (i < out.length) {
-          var acc = 42L
-          var j = 0
-          while (j < n) {
-            acc = XXH64.hashLong(arr.getLong(i + j), acc)
-            j += 1
-          }
-          out(i) = acc
-          i += 1
-        }
-        new GenericArrayData(out)
-      }
-    }
+    override protected def nullSafeEval(input: Any): Any =
+      HashKernels.shingleHashes(input.asInstanceOf[ArrayData], n)
+
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+      nullSafeCodeGen(ctx, ev, c => s"${ev.value} = $kernels.shingleHashes($c, $n);")
 
     override protected def withNewChildInternal(newChild: Expression): ShingleHashes =
+      copy(child = newChild)
+  }
+
+  /** `minhashSignature(shingleHashes, n)`: for seed s in [0, n), the
+    * min over the input array of XXH64(elem, seed=s). One pass over the
+    * array, n running minima. Empty/all-null input yields
+    * Long.MaxValue slots (callers filter empty shingle sets upstream).
+    */
+  case class MinHashSignature(child: Expression, numHashes: Int) extends UnaryExpression {
+    require(numHashes > 0)
+
+    override def prettyName: String = "minhash_signature"
+    override def dataType: DataType = ArrayType(LongType, containsNull = false)
+
+    override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+      case ArrayType(LongType, _) => TypeCheckResult.TypeCheckSuccess
+      case other =>
+        TypeCheckResult.TypeCheckFailure(
+          s"$prettyName requires array<bigint>, got ${other.catalogString}"
+        )
+    }
+
+    override protected def nullSafeEval(input: Any): Any =
+      HashKernels.minhashSignature(input.asInstanceOf[ArrayData], numHashes)
+
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+      nullSafeCodeGen(ctx, ev, c => s"${ev.value} = $kernels.minhashSignature($c, $numHashes);")
+
+    override protected def withNewChildInternal(newChild: Expression): MinHashSignature =
+      copy(child = newChild)
+  }
+
+  /** `simhash64(tokenHashes)`: bit j of the result is set iff more
+    * input elements have bit j set than unset (ties -> 0), i.e. the
+    * sign of the per-bit +1/-1 vote. One pass, 64 counters.
+    */
+  case class SimHash64(child: Expression) extends UnaryExpression {
+
+    override def prettyName: String = "simhash64"
+    override def dataType: DataType = LongType
+
+    override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+      case ArrayType(LongType, _) => TypeCheckResult.TypeCheckSuccess
+      case other =>
+        TypeCheckResult.TypeCheckFailure(
+          s"$prettyName requires array<bigint>, got ${other.catalogString}"
+        )
+    }
+
+    override protected def nullSafeEval(input: Any): Any =
+      HashKernels.simhash64(input.asInstanceOf[ArrayData])
+
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+      nullSafeCodeGen(ctx, ev, c => s"${ev.value} = $kernels.simhash64($c);")
+
+    override protected def withNewChildInternal(newChild: Expression): SimHash64 =
       copy(child = newChild)
   }
 
@@ -204,8 +143,7 @@ object hashExpressions {
     * lambda walk. Shorter array length bounds the fold (zip semantics).
     */
   case class DotProduct(left: Expression, right: Expression)
-      extends org.apache.spark.sql.catalyst.expressions.BinaryExpression
-      with CodegenFallback {
+      extends org.apache.spark.sql.catalyst.expressions.BinaryExpression {
 
     override def prettyName: String = "dot_product"
     override def dataType: DataType = DoubleType
@@ -214,6 +152,9 @@ object hashExpressions {
       case ArrayType(t, _) => t
       case _               => NullType
     }
+
+    private def leftFloat = elemType(left) == FloatType
+    private def rightFloat = elemType(right) == FloatType
 
     override def checkInputDataTypes(): TypeCheckResult =
       (elemType(left), elemType(right)) match {
@@ -225,22 +166,20 @@ object hashExpressions {
           )
       }
 
-    override protected def nullSafeEval(a: Any, b: Any): Any = {
-      val xa = a.asInstanceOf[ArrayData]
-      val xb = b.asInstanceOf[ArrayData]
-      val la = elemType(left) == FloatType
-      val lb = elemType(right) == FloatType
-      val n = math.min(xa.numElements(), xb.numElements())
-      var acc = 0.0
-      var i = 0
-      while (i < n) {
-        val va = if (la) xa.getFloat(i).toDouble else xa.getDouble(i)
-        val vb = if (lb) xb.getFloat(i).toDouble else xb.getDouble(i)
-        acc += va * vb
-        i += 1
-      }
-      acc
-    }
+    override protected def nullSafeEval(a: Any, b: Any): Any =
+      HashKernels.dotProduct(
+        a.asInstanceOf[ArrayData],
+        b.asInstanceOf[ArrayData],
+        leftFloat,
+        rightFloat
+      )
+
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+      nullSafeCodeGen(
+        ctx,
+        ev,
+        (a, b) => s"${ev.value} = $kernels.dotProduct($a, $b, $leftFloat, $rightFloat);"
+      )
 
     override protected def withNewChildrenInternal(
         newLeft: Expression,
@@ -248,16 +187,16 @@ object hashExpressions {
     ): DotProduct = copy(left = newLeft, right = newRight)
   }
 
-  def dotProduct(a: Column, b: Column): Column =
-    GraftColumnBridge.column(
-      DotProduct(GraftColumnBridge.expression(a), GraftColumnBridge.expression(b))
-    )
-
   def tokenHashes(text: Column): Column =
     GraftColumnBridge.column(TokenHashes(GraftColumnBridge.expression(text)))
 
   def shingleHashes(tokenHashes: Column, n: Int): Column =
     GraftColumnBridge.column(ShingleHashes(GraftColumnBridge.expression(tokenHashes), n))
+
+  def dotProduct(a: Column, b: Column): Column =
+    GraftColumnBridge.column(
+      DotProduct(GraftColumnBridge.expression(a), GraftColumnBridge.expression(b))
+    )
 
   def minhashSignature(shingleHashes: Column, numHashes: Int): Column =
     GraftColumnBridge.column(
