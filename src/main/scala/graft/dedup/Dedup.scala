@@ -177,6 +177,70 @@ object Dedup {
       "left_anti"
     )
 
+  /** Connected components of the near-dup pair graph via distributed
+    * min-label propagation: each vertex repeatedly adopts the smallest
+    * label among itself and its neighbors until fixpoint (or maxIter).
+    * Output: (id, label) where label = min id of the component.
+    *
+    * The loop is a driver-side sequence of joins over the PAIR graph
+    * (edges << corpus rows); each iteration is one shuffle, lineage is
+    * truncated per iteration, and convergence needs at most
+    * O(log(diameter)) rounds on typical near-dup clusters (stars and
+    * short chains).
+    */
+  def connectedComponents(
+      pairs: DataFrame,
+      maxIter: Int = 10
+  ): DataFrame = {
+    val edges = pairs
+      .select(col("id_a").as("src"), col("id_b").as("dst"))
+      .unionByName(pairs.select(col("id_b").as("src"), col("id_a").as("dst")))
+      .localCheckpoint(eager = true)
+    var labels = edges
+      .select(col("src").as("id"))
+      .distinct()
+      .withColumn("label", col("id"))
+      .localCheckpoint(eager = true)
+    var iter = 0
+    var converged = false
+    while (!converged && iter < maxIter) {
+      val propagated = edges
+        .join(labels, edges("src") === labels("id"))
+        .select(col("dst").as("id"), col("label"))
+      val next = labels
+        .unionByName(propagated)
+        .groupBy("id")
+        .agg(min("label").as("label"))
+        .localCheckpoint(eager = true)
+      val changed = next
+        .join(labels.withColumnRenamed("label", "_old"), "id")
+        .where(col("label") =!= col("_old"))
+        .count()
+      labels = next
+      converged = changed == 0
+      iter += 1
+    }
+    labels
+  }
+
+  /** Exact cluster dedup: keep one document (the min id) per connected
+    * component of the pair graph. Stricter than [[nearDupSweep]]'s
+    * greedy pass — e.g. pairs (1,3),(2,3) leave greedy keeping {1,2}
+    * even though 1 and 2 are transitively near-dups; components keep
+    * only {1}.
+    */
+  def componentSweep(
+      df: DataFrame,
+      pairs: DataFrame,
+      idCol: String,
+      maxIter: Int = 10
+  ): DataFrame = {
+    val drop = connectedComponents(pairs, maxIter)
+      .where(col("id") =!= col("label"))
+      .select("id")
+    df.join(drop, df(idCol) === drop("id"), "left_anti")
+  }
+
   /** MinHash-LSH dedup end-to-end: candidate pairs then sweep. */
   def minhashDedup(
       df: DataFrame,

@@ -88,9 +88,25 @@ object DedupQueries extends QueryPack {
     oracle = None // pair generation is engine-hash-dependent
   )
 
+  private val componentQ = Q(
+    fn = (s, d) => {
+      val docs = Tables.documents(s, d)
+      Dedup
+        .componentSweep(
+          docs,
+          Dedup.minhashLshPairs(docs, "text", "doc_id", threshold = 0.5),
+          "doc_id"
+        )
+        .select(col("doc_id"))
+        .orderBy("doc_id")
+    },
+    oracle = None // pair generation is engine-hash-dependent
+  )
+
   val queries: Map[String, Q] = Map(
     "dedup_exact" -> exactQ,
     "dedup_near_sweep" -> sweepQ,
+    "dedup_component_sweep" -> componentQ,
     "dedup_exact_normalized" -> exactNormQ,
     "dedup_minhash_lsh" -> minhashQ,
     "dedup_simhash" -> simhashQ,

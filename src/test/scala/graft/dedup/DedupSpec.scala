@@ -75,6 +75,30 @@ class DedupSpec extends SparkSpec {
     assert(kept.contains(5L) && kept.contains(6L)) // unpaired docs survive
   }
 
+  test("connected-component sweep collapses transitive clusters the greedy sweep misses") {
+    val docs = (1L to 6L).map(i => (i, s"doc $i")).toDF("doc_id", "text")
+    // components: {1,2,3} via hub 3 (no 1-2 edge), {4,5}; 6 unpaired
+    val pairs = Seq((1L, 3L, 0.9), (2L, 3L, 0.9), (4L, 5L, 0.8))
+      .toDF("id_a", "id_b", "jaccard")
+    val cc = Dedup.connectedComponents(pairs).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(cc == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 4L, 5L -> 4L))
+
+    val exact = Dedup.componentSweep(docs, pairs, "doc_id")
+      .select("doc_id").as[Long].collect().sorted.toSeq
+    assert(exact == Seq(1L, 4L, 6L))
+    // greedy keeps 2 as well (it never appears as id_b)
+    val greedy = Dedup.nearDupSweep(docs, pairs, "doc_id")
+      .select("doc_id").as[Long].collect().sorted.toSeq
+    assert(greedy == Seq(1L, 2L, 4L, 6L))
+  }
+
+  test("connected components converge on a long chain") {
+    val chain = (1L until 20L).map(i => (i, i + 1, 1.0)).toDF("id_a", "id_b", "jaccard")
+    val cc = Dedup.connectedComponents(chain, maxIter = 30).collect()
+    assert(cc.forall(_.getLong(1) == 1L)) // single component labeled by min id
+  }
+
   test("signatures are deterministic across evaluations") {
     val s1 = Dedup
       .minhashLshPairs(corpus, "text", "doc_id", threshold = 0.3)
