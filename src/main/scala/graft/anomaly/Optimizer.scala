@@ -60,6 +60,15 @@ object Optimizer {
       valueCol: String = "value",
       cfg: Config = Config()
   ): DataFrame = {
+    val reserved =
+      Set("rn", "n", "is_validation", "model", "predicted", "error", "mf", "value")
+    val collisions = seriesCols.filter(reserved) ++
+      (if (valueCol != "value" && series.columns.contains("value")) Seq("value") else Nil)
+    require(
+      collisions.isEmpty,
+      s"series columns collide with internal names $collisions — rename them " +
+        s"(reserved: ${reserved.toSeq.sorted.mkString(", ")})"
+    )
     val w = Window.partitionBy(seriesCols.map(col): _*).orderBy(col(tsCol))
     val value = col(valueCol)
     val withForecasts = cfg.models.zipWithIndex
@@ -183,10 +192,13 @@ object Optimizer {
       .partitionBy(seriesCols.map(col): _*)
       .orderBy(
         col("threshold").asc_nulls_last, // no-valid-error models lose
-        col("mean_error").asc_nulls_last,
+        // 6-dp-quantized error as the tie-break: the raw avg() is
+        // summation-order-dependent in its last ulps, which would make
+        // best_model flip between runs/engines on grid-threshold ties.
+        graft.functions.round6(col("mean_error")).asc_nulls_last,
         col("model")
       )
-    evaluate(series, seriesCols, tsCol, valueCol, cfg)
+    val selected = evaluate(series, seriesCols, tsCol, valueCol, cfg)
       .withColumn("_rank", row_number().over(w))
       .where(col("_rank") === 1)
       .select(
@@ -199,6 +211,18 @@ object Optimizer {
           // throwing — callers filter/alert on this column.
           (col("threshold").isNull || col("threshold") >= lit(1.0))
             .as("optimization_failed")): _*
+      )
+    // A series where NO model ever produced a valid error (too short
+    // for every window, or values below the APE floor) has no rows in
+    // `selected` at all — surface it as a failed row rather than
+    // letting it silently vanish from monitoring.
+    series
+      .select(seriesCols.map(col): _*)
+      .distinct()
+      .join(selected, seriesCols, "left")
+      .withColumn(
+        "optimization_failed",
+        coalesce(col("optimization_failed"), lit(true))
       )
   }
 }

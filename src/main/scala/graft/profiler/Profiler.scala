@@ -98,6 +98,16 @@ object ProfilingBuilder {
   */
 object Profiler {
 
+  /** Day/hour/week/month truncation into a fresh `ts` column, with the
+    * original event-time column dropped first so an unrelated DATA
+    * column named "ts" cannot be clobbered (it would silently get
+    * profiled as truncated event-times otherwise).
+    */
+  private def truncated(df: DataFrame, tsColumn: String, granularity: String): DataFrame =
+    df.withColumn("_gts", date_trunc(Granularity.truncUnit(granularity), col(tsColumn)))
+      .drop(tsColumn)
+      .withColumnRenamed("_gts", "ts")
+
   /** Profile `df` into the long-format metrics table:
     * `(ts, entity, instance, name, value)`.
     *
@@ -114,11 +124,19 @@ object Profiler {
   ): DataFrame = {
     val fields = df.schema.fields.filterNot(_.name == tsColumn).toSeq
     val metricExprs = builder.metricExprs(fields)
+    require(
+      metricExprs.nonEmpty,
+      s"No analyzer applies to any column of ${df.schema.simpleString} — " +
+        "check the builder's type mappings"
+    )
     val aliased = metricExprs.zipWithIndex.map { case ((_, expr), i) => expr.as(s"_m$i") }
+    // the truncated event-time lives under an internal name so a DATA
+    // column named "ts" is still profiled as data, not clobbered
     val wide = df
-      .withColumn("ts", date_trunc(Granularity.truncUnit(granularity), col(tsColumn)))
-      .groupBy(col("ts"))
+      .withColumn("_gts", date_trunc(Granularity.truncUnit(granularity), col(tsColumn)))
+      .groupBy(col("_gts"))
       .agg(aliased.head, aliased.tail: _*)
+      .withColumnRenamed("_gts", "ts")
     // Unpivot wide → long with a generated array-of-structs: stays a
     // narrow (no-shuffle) projection on top of the single aggregation.
     val entries = metricExprs.zipWithIndex.map { case ((m, _), i) =>
@@ -153,7 +171,7 @@ object Profiler {
       column: String,
       granularity: String = Granularity.Day
   ): DataFrame =
-    df.withColumn("ts", date_trunc(Granularity.truncUnit(granularity), col(tsColumn)))
+    truncated(df, tsColumn, granularity)
       .where(col(column).isNotNull)
       .groupBy(col("ts"), col(column))
       .agg(count(lit(1)).as("cnt"))
@@ -182,8 +200,10 @@ object Profiler {
       max: Double,
       granularity: String = Granularity.Day
   ): DataFrame = {
+    require(nBuckets > 0, s"nBuckets must be positive, got $nBuckets")
+    require(max > min, s"empty bucket range [$min, $max)")
     val width = (max - min) / nBuckets
-    df.withColumn("ts", date_trunc(Granularity.truncUnit(granularity), col(tsColumn)))
+    truncated(df, tsColumn, granularity)
       .where(col(column).isNotNull)
       .withColumn(
         "bucket",
@@ -214,7 +234,7 @@ object Profiler {
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(col("ts"))
       .orderBy(col("count").desc, col("value_str"))
-    df.withColumn("ts", date_trunc(Granularity.truncUnit(granularity), col(tsColumn)))
+    truncated(df, tsColumn, granularity)
       .where(col(column).isNotNull)
       .groupBy(col("ts"), col(column).cast("string").as("value_str"))
       .agg(count(lit(1)).as("count"))
@@ -263,7 +283,7 @@ object Profiler {
       column: String,
       granularity: String = Granularity.Day
   ): DataFrame =
-    df.withColumn("ts", date_trunc(Granularity.truncUnit(granularity), col(tsColumn)))
+    truncated(df, tsColumn, granularity)
       .where(col(column).isNotNull)
       .groupBy(col("ts"), col(column))
       .agg(count(lit(1)).as("cnt"))

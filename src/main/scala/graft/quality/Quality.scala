@@ -37,6 +37,13 @@ object Quality {
   /** Per-series assessment rows: seriesCols*, score, threshold,
     * is_anomalous. Stays fully distributed; callers collect only the
     * (tiny) anomalous subset for notification.
+    *
+    * A NULL score means the point could not be scored at all — the
+    * metric collapsed below the APE's 1e-4 validity floor (e.g. a
+    * pipeline breaking a mean from 100 to ~0) or the model had no
+    * forecast. That is itself an alarm condition: NULL flags as
+    * anomalous rather than silently vanishing from `where(is_anomalous)`
+    * filters (the reference raises an error on the same condition).
     */
   def assess(
       scoring: DataFrame,
@@ -48,5 +55,8 @@ object Quality {
         broadcast(optimization.select((seriesCols.map(col) :+ col("threshold")): _*)),
         seriesCols
       )
-      .withColumn("is_anomalous", col("score") > col("threshold"))
+      .withColumn(
+        "is_anomalous",
+        coalesce(col("score") > col("threshold"), lit(true))
+      )
 }

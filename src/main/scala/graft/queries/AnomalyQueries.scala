@@ -142,7 +142,7 @@ object AnomalyQueries extends QueryPack {
     s"""SELECT event_type, model AS best_model, greatest(threshold, 0.1) AS threshold,
         mean_error, below_proportion
       FROM (SELECT *, row_number() OVER (PARTITION BY event_type
-              ORDER BY threshold, mean_error, model) AS rk FROM summary)
+              ORDER BY threshold, round(mean_error, 6), model) AS rk FROM summary)
       WHERE rk = 1"""
 
   // ---- queries --------------------------------------------------------
@@ -273,7 +273,7 @@ object AnomalyQueries extends QueryPack {
     },
     oracle = Some(s"""$seriesCte ${summarySql(bestModels, 0.95)} $scoreSql
       SELECT sc.event_type, sc.ts, round(sc.score, 6) AS score, b.threshold,
-        sc.score > b.threshold AS is_anomalous
+        coalesce(sc.score > b.threshold, true) AS is_anomalous
       FROM scored sc JOIN ($bestModelSelSql) b ON sc.event_type = b.event_type
       ORDER BY sc.event_type""")
   )

@@ -67,8 +67,11 @@ object EngineQueries extends QueryPack {
         .lineitem(s, d)
         .filter(col("l_shipdate") > lit("1995-03-15"))
         .select("l_orderkey", "l_extendedprice", "l_discount")
+      // customer is NOT hinted: at bench scale Catalyst auto-broadcasts
+      // it, at 100 TB (customer ~ lineitem/10) a forced broadcast would
+      // OOM — size-adaptive planning picks the right join per scale
       li.join(ord, col("l_orderkey") === col("o_orderkey"))
-        .join(broadcast(cust), col("o_custkey") === col("c_custkey"))
+        .join(cust, col("o_custkey") === col("c_custkey"))
         .groupBy(col("l_orderkey"), col("o_orderdate"), col("o_orderpriority"))
         .agg(
           decSum6(col("l_extendedprice") * (lit(1) - col("l_discount")))
@@ -107,7 +110,9 @@ object EngineQueries extends QueryPack {
         .lineitem(s, d)
         .select("l_orderkey", "l_suppkey", "l_extendedprice", "l_discount")
         .join(ord, col("l_orderkey") === col("o_orderkey"))
-        .join(broadcast(sup), col("l_suppkey") === col("s_suppkey"))
+        // supplier grows with SF (10k x SF rows) — size-adaptive, not
+        // hinted; nation (25) and region (5) are bounded: always hint
+        .join(sup, col("l_suppkey") === col("s_suppkey"))
         .join(broadcast(nat), col("s_nationkey") === col("n_nationkey"))
         .join(broadcast(reg), col("n_regionkey") === col("r_regionkey"))
         .groupBy(col("n_name"))

@@ -134,7 +134,11 @@ object Service {
         val rows = assessed
           .where(col("is_anomalous"))
           .select(
-            (seriesCols.map(col) ++ Seq(col("score"), col("threshold"))): _*
+            (seriesCols.map(col) ++ Seq(
+              // unscorable (NULL) points alert with a NaN score
+              coalesce(col("score"), lit(Double.NaN)).as("score"),
+              col("threshold")
+            )): _*
           )
           .collect()
         val anomalous = rows.toSeq.map { r =>

@@ -153,6 +153,30 @@ class AnomalySpec extends SparkSpec {
     assert(!ok.getAs[Boolean]("optimization_failed"))
   }
 
+  test("a series too short for every model still surfaces as a failed optimization row") {
+    val tiny = constantSeries(3) // TrailingMean-3 is the smallest simple model: never forecasts
+    val opt = Optimizer
+      .optimize(tiny, Seq("series"), cfg = Optimizer.Config(models = Models.simple))
+      .collect()
+    assert(opt.length == 1)
+    assert(opt.head.getAs[Boolean]("optimization_failed"))
+    assert(opt.head.getAs[String]("best_model") == null)
+  }
+
+  test("a NULL score (unscorable point) flags as anomalous instead of vanishing") {
+    val scoring = Seq(
+      ("s1", Some(0.05)), // healthy
+      ("s2", None) // metric collapsed below APE floor -> no score
+    ).toDF("series", "score")
+    val optimization = Seq(("s1", 0.2), ("s2", 0.2)).toDF("series", "threshold")
+    val out = graft.quality.Quality
+      .assess(scoring, optimization, Seq("series"))
+      .collect()
+      .map(r => r.getAs[String]("series") -> r.getAs[Boolean]("is_anomalous"))
+      .toMap
+    assert(out == Map("s1" -> false, "s2" -> true))
+  }
+
   test("adaptive start proportion widens validation for long series") {
     val short = Optimizer
       .forecastErrors(constantSeries(20), Seq("series"))
