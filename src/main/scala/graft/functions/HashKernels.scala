@@ -99,7 +99,8 @@ object HashKernels {
   }
 
   /** Left-to-right fold of sum(a[i]*b[i]) in double; `leftFloat` /
-    * `rightFloat` select the element accessor per side.
+    * `rightFloat` select the element accessor per side. Only valid for
+    * arrays whose schema guarantees non-null elements.
     */
   def dotProduct(
       xa: ArrayData,
@@ -117,5 +118,25 @@ object HashKernels {
       i += 1
     }
     acc
+  }
+
+  /** Null-aware variant for arrays whose elements MAY be null: a null
+    * slot makes the whole result null — matching the HOF
+    * (`aggregate(... acc + a[i]*b[i])`) and DuckDB list_transform
+    * semantics, where null propagates through the fold.
+    */
+  def dotProductBoxed(
+      xa: ArrayData,
+      xb: ArrayData,
+      leftFloat: Boolean,
+      rightFloat: Boolean
+  ): java.lang.Double = {
+    val n = math.min(xa.numElements(), xb.numElements())
+    var i = 0
+    while (i < n) {
+      if (xa.isNullAt(i) || xb.isNullAt(i)) return null
+      i += 1
+    }
+    dotProduct(xa, xb, leftFloat, rightFloat)
   }
 }

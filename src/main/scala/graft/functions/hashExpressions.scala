@@ -153,8 +153,18 @@ object hashExpressions {
       case _               => NullType
     }
 
+    private def elemNullable(e: Expression) = e.dataType match {
+      case ArrayType(_, n) => n
+      case _               => false
+    }
+
     private def leftFloat = elemType(left) == FloatType
     private def rightFloat = elemType(right) == FloatType
+    private def anyElemNullable = elemNullable(left) || elemNullable(right)
+
+    // a null ELEMENT nullifies the result (HOF/DuckDB parity), so the
+    // expression is nullable even over non-null array columns
+    override def nullable: Boolean = super.nullable || anyElemNullable
 
     override def checkInputDataTypes(): TypeCheckResult =
       (elemType(left), elemType(right)) match {
@@ -167,19 +177,41 @@ object hashExpressions {
       }
 
     override protected def nullSafeEval(a: Any, b: Any): Any =
-      HashKernels.dotProduct(
-        a.asInstanceOf[ArrayData],
-        b.asInstanceOf[ArrayData],
-        leftFloat,
-        rightFloat
-      )
+      if (anyElemNullable)
+        HashKernels.dotProductBoxed(
+          a.asInstanceOf[ArrayData],
+          b.asInstanceOf[ArrayData],
+          leftFloat,
+          rightFloat
+        )
+      else
+        HashKernels.dotProduct(
+          a.asInstanceOf[ArrayData],
+          b.asInstanceOf[ArrayData],
+          leftFloat,
+          rightFloat
+        )
 
     override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
-      nullSafeCodeGen(
-        ctx,
-        ev,
-        (a, b) => s"${ev.value} = $kernels.dotProduct($a, $b, $leftFloat, $rightFloat);"
-      )
+      if (!anyElemNullable)
+        nullSafeCodeGen(
+          ctx,
+          ev,
+          (a, b) => s"${ev.value} = $kernels.dotProduct($a, $b, $leftFloat, $rightFloat);"
+        )
+      else
+        nullSafeCodeGen(
+          ctx,
+          ev,
+          (a, b) => {
+            val tmp = ctx.freshName("dotBoxed")
+            s"""
+            java.lang.Double $tmp = $kernels.dotProductBoxed($a, $b, $leftFloat, $rightFloat);
+            ${ev.isNull} = ($tmp == null);
+            if (!${ev.isNull}) { ${ev.value} = $tmp.doubleValue(); }
+            """
+          }
+        )
 
     override protected def withNewChildrenInternal(
         newLeft: Expression,

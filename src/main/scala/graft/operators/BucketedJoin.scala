@@ -26,17 +26,14 @@ object BucketedJoin {
   ): Unit = {
     val spark = df.sparkSession
     spark.sql(s"DROP TABLE IF EXISTS $table")
-    val loc = new java.io.File(
-      new java.net.URI(spark.conf.get("spark.sql.warehouse.dir")).getPath,
+    // Hadoop-FS cleanup (works for local AND hdfs/s3a warehouse dirs —
+    // java.io.File would silently skip remote schemes)
+    val loc = new org.apache.hadoop.fs.Path(
+      spark.conf.get("spark.sql.warehouse.dir"),
       table.toLowerCase
     )
-    if (loc.exists()) {
-      def rm(f: java.io.File): Unit = {
-        if (f.isDirectory) f.listFiles().foreach(rm)
-        f.delete()
-      }
-      rm(loc)
-    }
+    val fs = loc.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (fs.exists(loc)) fs.delete(loc, true)
     df.write
       .mode("overwrite")
       .bucketBy(numBuckets, bucketCol)
@@ -55,7 +52,10 @@ object BucketedJoin {
       leftKey: String,
       rightKey: String
   ): DataFrame = {
-    import org.apache.spark.sql.functions.col
-    spark.table(leftTable).join(spark.table(rightTable), col(leftKey) === col(rightKey))
+    // frame-qualified refs: unqualified col(k) === col(k) is ambiguous
+    // when both tables use the same key name
+    val l = spark.table(leftTable)
+    val r = spark.table(rightTable)
+    l.join(r, l(leftKey) === r(rightKey))
   }
 }

@@ -30,6 +30,9 @@ object SkewJoin {
       joinKeys: Seq[(String, String)],
       nSalts: Int = 8
   ): DataFrame = {
+    // nSalts=0 would make pmod NULL (never-matching join) and a
+    // negative count would drop every build row — both silently empty
+    require(nSalts > 0, s"nSalts must be positive, got $nSalts")
     // Deterministic per-row salt: hash of all probe columns. Any
     // assignment is correct; a hash keeps re-runs identical.
     val saltExpr = pmod(

@@ -98,6 +98,34 @@ object ProfilingBuilder {
   */
 object Profiler {
 
+  /** Unpivot the wide one-row-per-ts aggregate into long format with a
+    * generated array-of-structs: stays a narrow (no-shuffle) projection
+    * on top of the single aggregation. Shared by the batch and
+    * streaming profilers so their output shapes cannot drift.
+    */
+  private[graft] def unpivotMetrics(
+      wide: DataFrame,
+      metricExprs: Seq[(Metric, Column)]
+  ): DataFrame = {
+    val entries = metricExprs.zipWithIndex.map { case ((m, _), i) =>
+      struct(
+        lit(m.entity).as("entity"),
+        lit(m.instance).as("instance"),
+        lit(m.name).as("name"),
+        col(s"_m$i").as("value")
+      )
+    }
+    wide
+      .select(col("ts"), explode(array(entries: _*)).as("pv"))
+      .select(
+        col("ts"),
+        col("pv.entity").as("entity"),
+        col("pv.instance").as("instance"),
+        col("pv.name").as("name"),
+        col("pv.value").as("value")
+      )
+  }
+
   /** Day/hour/week/month truncation into a fresh `ts` column, with the
     * original event-time column dropped first so an unrelated DATA
     * column named "ts" cannot be clobbered (it would silently get
@@ -137,25 +165,7 @@ object Profiler {
       .groupBy(col("_gts"))
       .agg(aliased.head, aliased.tail: _*)
       .withColumnRenamed("_gts", "ts")
-    // Unpivot wide → long with a generated array-of-structs: stays a
-    // narrow (no-shuffle) projection on top of the single aggregation.
-    val entries = metricExprs.zipWithIndex.map { case ((m, _), i) =>
-      struct(
-        lit(m.entity).as("entity"),
-        lit(m.instance).as("instance"),
-        lit(m.name).as("name"),
-        col(s"_m$i").as("value")
-      )
-    }
-    wide
-      .select(col("ts"), explode(array(entries: _*)).as("pv"))
-      .select(
-        col("ts"),
-        col("pv.entity").as("entity"),
-        col("pv.instance").as("instance"),
-        col("pv.name").as("name"),
-        col("pv.value").as("value")
-      )
+    unpivotMetrics(wide, metricExprs)
   }
 
   /** Distinctness + Uniqueness ratios per ts partition (Deequ-style;

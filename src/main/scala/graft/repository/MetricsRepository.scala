@@ -193,6 +193,15 @@ class ParquetRepository(spark: SparkSession, basePath: String) extends MetricsRe
 
   private val seq = new java.util.concurrent.atomic.AtomicLong(System.currentTimeMillis())
 
+  /** Monotonic per instance AND wall-clock-tracking across JVMs: a
+    * writer started earlier can never shadow a wall-clock-newer write
+    * from another process (same-millisecond cross-JVM ties remain
+    * nondeterministic — acceptable for metric upserts; a real
+    * multi-writer deployment would use a transactional table format).
+    */
+  private def nextSeq(): Long =
+    seq.updateAndGet(prev => math.max(prev + 1, System.currentTimeMillis()))
+
   private def path(table: String) = s"$basePath/$table"
 
   /** Hadoop-FS existence check — works for any scheme (local, hdfs://,
@@ -217,7 +226,7 @@ class ParquetRepository(spark: SparkSession, basePath: String) extends MetricsRe
   private def append(table: String, uri: String, rows: DataFrame): Unit =
     rows
       .withColumn("dataset_uri", lit(uri))
-      .withColumn("batch_seq", lit(seq.incrementAndGet()))
+      .withColumn("batch_seq", lit(nextSeq()))
       .write
       .mode("append")
       .partitionBy("dataset_uri")
@@ -239,7 +248,7 @@ class ParquetRepository(spark: SparkSession, basePath: String) extends MetricsRe
 
   def registerDataset(meta: DatasetMeta): Unit = {
     import spark.implicits._
-    Seq(meta).toDF().withColumn("batch_seq", lit(seq.incrementAndGet()))
+    Seq(meta).toDF().withColumn("batch_seq", lit(nextSeq()))
       .write.mode("append").parquet(path("datasets"))
   }
   def getDataset(uri: String): Option[DatasetMeta] = listDatasets().find(_.uri == uri)
@@ -280,11 +289,17 @@ class ParquetRepository(spark: SparkSession, basePath: String) extends MetricsRe
     tsBounded(latest("scoring", uri, scoringKey, new InMemoryRepository().getScoring(uri)), start, end)
 
   /** Compact one dataset's partition of a table: resolve merge-on-read
-    * down to the latest row per key and rewrite the partition as a
-    * single superseding batch. Reads stay O(live rows) afterwards.
-    * Offline maintenance (Delta OPTIMIZE-style) — run per dataset, no
-    * global lock; concurrent appends that land after the read simply
-    * win by batch_seq as usual.
+    * down to the latest row per key and rewrite the partition. Reads
+    * stay O(live rows) afterwards. Offline maintenance (Delta
+    * OPTIMIZE-style) — per dataset, no global lock.
+    *
+    * Concurrent-append safety: the file set is SNAPSHOTTED first, the
+    * resolved view reads exactly those files, each surviving row keeps
+    * its ORIGINAL batch_seq, and only the snapshotted files are
+    * deleted. A batch appended mid-compaction is neither deleted nor
+    * shadowed — its (wall-clock-later) batch_seq still wins merge-on-
+    * read against the rewritten rows. All paths go through Hadoop FS
+    * so any scheme (local/hdfs/s3a) works.
     */
   def compact(uri: String): Unit = {
     val tables = Seq(
@@ -295,22 +310,32 @@ class ParquetRepository(spark: SparkSession, basePath: String) extends MetricsRe
     tables.foreach { case (table, key) =>
       val partDir = partitionDir(table, uri)
       if (fsExists(partDir)) {
-        // Stage the resolved view first (this scan reads the original
-        // files), then swap the partition contents — never read and
-        // overwrite the same files in one job. All paths go through
-        // Hadoop FS so any scheme (local/hdfs/s3a) works.
-        val staging = s"${path(table)}.staging_${math.abs(uri.hashCode)}"
-        latest(table, uri, key, null).write.mode("overwrite").parquet(staging)
         val hPart = new org.apache.hadoop.fs.Path(partDir)
         val fs = hPart.getFileSystem(spark.sparkContext.hadoopConfiguration)
-        fs.listStatus(hPart).foreach(st => fs.delete(st.getPath, true))
-        spark.read
-          .parquet(staging)
-          .withColumn("batch_seq", lit(seq.incrementAndGet()))
-          .write
-          .mode("append")
-          .parquet(partDir)
-        fs.delete(new org.apache.hadoop.fs.Path(staging), true)
+        val snapshot = fs
+          .listStatus(hPart)
+          .map(_.getPath)
+          .filter(_.getName.endsWith(".parquet"))
+        if (snapshot.nonEmpty) {
+          // leaf-file read: no partition column, batch_seq retained
+          val df = spark.read.parquet(snapshot.map(_.toString).toSeq: _*)
+          val w = Window.partitionBy(key.map(col): _*).orderBy(col("batch_seq").desc)
+          val resolved = df
+            .withColumn("_rn", row_number().over(w))
+            .where(col("_rn") === 1)
+            .drop("_rn")
+          // staging key = the collision-free escaped partition value
+          val staging = s"${path(table)}.staging_" +
+            org.apache.spark.sql.catalyst.catalog.ExternalCatalogUtils.escapePathName(uri)
+          resolved.write.mode("overwrite").parquet(staging)
+          snapshot.foreach(fs.delete(_, false))
+          spark.read
+            .parquet(staging)
+            .write
+            .mode("append")
+            .parquet(partDir)
+          fs.delete(new org.apache.hadoop.fs.Path(staging), true)
+        }
       }
     }
   }

@@ -84,6 +84,13 @@ object Service {
   ): DataFrame = {
     val history = repo.getProfiling(datasetUri)
     val optimization = repo.getOptimization(datasetUri)
+    // The reference raises when scoring an un-optimized dataset; an
+    // empty inner join here would instead store nothing and let
+    // assessQuality report healthy forever on an un-modeled dataset.
+    require(
+      !optimization.isEmpty,
+      s"No optimization stored for $datasetUri — run optimize() first"
+    )
     val scoring = Scorer
       .score(history, optimization, seriesCols, cfg = cfg)
       .select(

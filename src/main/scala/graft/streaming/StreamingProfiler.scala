@@ -1,7 +1,7 @@
 package graft.streaming
 
 import graft.core.Granularity
-import graft.profiler.ProfilingBuilder
+import graft.profiler.{Profiler, ProfilingBuilder}
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
 
@@ -51,27 +51,18 @@ object StreamingProfiler {
     }
     val fields = df.schema.fields.filterNot(_.name == tsColumn).toSeq
     val metricExprs = builder.metricExprs(fields)
+    require(
+      metricExprs.nonEmpty,
+      s"No analyzer applies to any column of ${df.schema.simpleString} — " +
+        "check the builder's type mappings"
+    )
     val aliased = metricExprs.zipWithIndex.map { case ((_, e), i) => e.as(s"_m$i") }
     val wide = df
       .withWatermark(tsColumn, watermark)
       .groupBy(window(col(tsColumn), windowDuration, windowDuration, startTime))
       .agg(aliased.head, aliased.tail: _*)
-    val entries = metricExprs.zipWithIndex.map { case ((m, _), i) =>
-      struct(
-        lit(m.entity).as("entity"),
-        lit(m.instance).as("instance"),
-        lit(m.name).as("name"),
-        col(s"_m$i").as("value")
-      )
-    }
-    wide
-      .select(col("window.start").as("ts"), explode(array(entries: _*)).as("pv"))
-      .select(
-        col("ts"),
-        col("pv.entity").as("entity"),
-        col("pv.instance").as("instance"),
-        col("pv.name").as("name"),
-        col("pv.value").as("value")
-      )
+      .withColumn("ts", col("window.start"))
+      .drop("window")
+    Profiler.unpivotMetrics(wide, metricExprs)
   }
 }

@@ -18,7 +18,7 @@ import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode
 object StreamingScorer {
 
   case class MetricPoint(series: String, ts: java.sql.Timestamp, value: Double)
-  case class SeriesState(values: Seq[Double])
+  case class SeriesState(values: Seq[Double], lastTsMillis: Long = Long.MinValue)
   case class ScoredPoint(
       series: String,
       ts: java.sql.Timestamp,
@@ -45,24 +45,35 @@ object StreamingScorer {
         OutputMode.Append(),
         GroupStateTimeout.NoTimeout()
       ) { (series, rows, state: GroupState[SeriesState]) =>
-        var values = state.getOption.map(_.values.toVector).getOrElse(Vector.empty)
+        val prior = state.getOption.getOrElse(SeriesState(Vector.empty))
+        var values = prior.values.toVector
+        var lastTs = prior.lastTsMillis
         // Per-batch arrival order is not event-time order; sort the
-        // micro-batch so state evolves deterministically.
+        // micro-batch so state evolves deterministically. Points older
+        // than already-consumed event time (cross-batch stragglers)
+        // are emitted UNSCORED and excluded from state: scoring them
+        // against state that already contains their future would leak,
+        // and appending them would corrupt every later trailing window.
         val out = rows.toSeq.sortBy(_.ts.getTime).map { p =>
-          val predicted =
-            if (values.length >= window)
-              Some(values.takeRight(window).sum / window)
-            else None
-          values = (values :+ p.value).takeRight(window)
-          ScoredPoint(
-            series,
-            p.ts,
-            p.value,
-            predicted,
-            predicted.flatMap(ape(p.value, _))
-          )
+          if (p.ts.getTime <= lastTs) {
+            ScoredPoint(series, p.ts, p.value, None, None)
+          } else {
+            val predicted =
+              if (values.length >= window)
+                Some(values.takeRight(window).sum / window)
+              else None
+            values = (values :+ p.value).takeRight(window)
+            lastTs = p.ts.getTime
+            ScoredPoint(
+              series,
+              p.ts,
+              p.value,
+              predicted,
+              predicted.flatMap(ape(p.value, _))
+            )
+          }
         }
-        state.update(SeriesState(values))
+        state.update(SeriesState(values, lastTs))
         out.iterator
       }
   }

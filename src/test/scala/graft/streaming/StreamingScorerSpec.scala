@@ -51,6 +51,30 @@ class StreamingScorerSpec extends SparkSpec {
     } finally query.stop()
   }
 
+  test("a cross-batch late event is emitted unscored and does not corrupt state") {
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[(String, java.sql.Timestamp, Double)]
+    val scored = StreamingScorer.scoreDF(input.toDF().toDF("series", "ts", "value"), window = 2)
+    val query = scored.writeStream
+      .format("memory").queryName("stream_late").outputMode("append").start()
+    try {
+      def t(day: Int) = java.sql.Timestamp.valueOf(f"2025-01-$day%02d 00:00:00")
+      input.addData(("s", t(1), 10.0), ("s", t(2), 10.0), ("s", t(4), 10.0))
+      query.processAllAvailable()
+      // ts=3 arrives AFTER ts=4 was consumed: must not be scored
+      // against a window containing its future, must not enter state
+      input.addData(("s", t(3), 99.0), ("s", t(5), 10.0))
+      query.processAllAvailable()
+      val rows = spark.table("stream_late").orderBy("ts").collect()
+      val late = rows.find(_.getAs[java.sql.Timestamp]("ts") == t(3)).get
+      assert(late.getAs[java.lang.Double]("predicted") == null)
+      // day 5: state is (10,10) from days 2,4 — the late 99 never entered
+      val d5 = rows.find(_.getAs[java.sql.Timestamp]("ts") == t(5)).get
+      assert(d5.getAs[Double]("predicted") == 10.0)
+      assert(d5.getAs[Double]("score") == 0.0)
+    } finally query.stop()
+  }
+
   test("state is bounded per series and independent between series") {
     implicit val sqlCtx = spark.sqlContext
     val input = MemoryStream[(String, java.sql.Timestamp, Double)]
