@@ -8,9 +8,11 @@ import org.apache.spark.sql.types._
 /** Core analytics-engine queries (SURVEY §2.3) — the bench headliners.
   *
   * Plan notes for 100 TB: `q1` is a single map-side-combinable
-  * aggregation; `q3`/`q5` broadcast every dimension side (customer at
-  * TPC-H ratios is 1/10 of lineitem — still shuffled; region/nation/
-  * supplier/part always broadcast); top-k uses rank-over-partition with
+  * aggregation; joins are size-adaptive — only the BOUNDED dims
+  * (nation 25 rows, region 5) carry broadcast hints, everything that
+  * grows with SF (customer, supplier, orders) is left to Catalyst/AQE
+  * so the same declarative plan broadcasts at bench scale and
+  * shuffle-joins at 100 TB; top-k uses rank-over-partition with
   * partial top-k pushdown via the window group limit optimizer rule
   * (Spark 3.5+ WindowGroupLimit) rather than a global sort.
   */
@@ -277,8 +279,65 @@ object EngineQueries extends QueryPack {
       GROUP BY o_orderpriority ORDER BY o_orderpriority""")
   )
 
+  /** Gap-based sessionization with window functions: a new session
+    * starts when the gap to the previous event exceeds 30 min; session
+    * id = running count of session starts per user. Pure declarative
+    * windows — two window exchanges on the same (user) partitioning,
+    * reused by Catalyst.
+    */
+  private val sessionize = Q(
+    fn = (s, d) => {
+      val byUser = Window.partitionBy(col("user_id")).orderBy(col("ts"))
+      Tables
+        .events(s, d)
+        .withColumn("_prev", lag(col("ts"), 1).over(byUser))
+        .withColumn(
+          "_new_session",
+          when(
+            col("_prev").isNull ||
+              col("ts").cast("long") - col("_prev").cast("long") > 1800,
+            1L
+          ).otherwise(0L)
+        )
+        .withColumn("session_id", sum(col("_new_session")).over(byUser))
+        .groupBy(col("user_id"), col("session_id"))
+        .agg(
+          count(lit(1)).as("n_events"),
+          (max(col("ts")).cast("long") - min(col("ts")).cast("long"))
+            .as("duration_s")
+        )
+        .groupBy(col("user_id"))
+        .agg(
+          count(lit(1)).as("n_sessions"),
+          sum(col("n_events")).as("n_events"),
+          max(col("duration_s")).as("max_duration_s")
+        )
+        .orderBy("user_id")
+    },
+    oracle = Some("""
+      WITH marked AS (
+        SELECT user_id, ts,
+          CASE WHEN lag(ts) OVER w IS NULL
+                 OR CAST(floor(epoch(ts)) AS BIGINT) - CAST(floor(epoch(lag(ts) OVER w)) AS BIGINT) > 1800
+               THEN 1 ELSE 0 END AS new_session
+        FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts)),
+      sessions AS (
+        SELECT user_id, ts,
+          SUM(new_session) OVER (PARTITION BY user_id ORDER BY ts
+            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id
+        FROM marked),
+      agg AS (
+        SELECT user_id, session_id, count(*) AS n_events,
+          CAST(floor(epoch(max(ts))) AS BIGINT) - CAST(floor(epoch(min(ts))) AS BIGINT) AS duration_s
+        FROM sessions GROUP BY 1, 2)
+      SELECT user_id, count(*) AS n_sessions, SUM(n_events) AS n_events,
+        max(duration_s) AS max_duration_s
+      FROM agg GROUP BY user_id ORDER BY user_id""")
+  )
+
   val queries: Map[String, Q] = Map(
     "q1_agg" -> q1,
+    "q_sessionize" -> sessionize,
     "q3_join" -> q3,
     "q5_multi_join" -> q5,
     "q_window_topk" -> windowTopK,

@@ -91,4 +91,26 @@ object StreamingScorer {
       window
     ).toDF()
   }
+
+  /** Streaming quality assessment: scored stream joined against the
+    * (static, broadcast) optimization thresholds — the streaming
+    * completion of Quality.assess, with the same NULL-score-alerts
+    * semantics. Stream-static joins need no state; the alert stream is
+    * `where(is_anomalous)` ready for any sink.
+    */
+  def assessDF(
+      scored: DataFrame,
+      optimization: DataFrame,
+      seriesCol: String = "series"
+  ): DataFrame =
+    scored
+      .join(
+        org.apache.spark.sql.functions
+          .broadcast(optimization.select(col(seriesCol), col("threshold"))),
+        seriesCol
+      )
+      .withColumn(
+        "is_anomalous",
+        coalesce(col("score") > col("threshold"), lit(true))
+      )
 }

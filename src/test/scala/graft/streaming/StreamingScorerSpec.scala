@@ -75,6 +75,27 @@ class StreamingScorerSpec extends SparkSpec {
     } finally query.stop()
   }
 
+  test("streaming assessment joins static thresholds and alerts on exceedance and unscorable points") {
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[(String, java.sql.Timestamp, Double)]
+    val scored = StreamingScorer.scoreDF(input.toDF().toDF("series", "ts", "value"), window = 2)
+    val thresholds = Seq(("a", 0.1)).toDF("series", "threshold")
+    val assessed = StreamingScorer.assessDF(scored, thresholds)
+    val q = assessed.writeStream.format("memory").queryName("stream_assess").outputMode("append").start()
+    try {
+      def t(day: Int) = java.sql.Timestamp.valueOf(f"2025-01-$day%02d 00:00:00")
+      input.addData(("a", t(1), 10.0), ("a", t(2), 10.0), ("a", t(3), 10.0), ("a", t(4), 30.0))
+      q.processAllAvailable()
+      val rows = spark.table("stream_assess").orderBy("ts").collect()
+      // days 1-2: no forecast -> unscorable -> alerts (fail-loud)
+      assert(rows(0).getAs[Boolean]("is_anomalous"))
+      // day 3: forecast 10, value 10 -> score 0 -> healthy
+      assert(!rows(2).getAs[Boolean]("is_anomalous"))
+      // day 4: forecast 10, value 30 -> score ~0.667 > 0.1 -> alert
+      assert(rows(3).getAs[Boolean]("is_anomalous"))
+    } finally q.stop()
+  }
+
   test("state is bounded per series and independent between series") {
     implicit val sqlCtx = spark.sqlContext
     val input = MemoryStream[(String, java.sql.Timestamp, Double)]
