@@ -253,6 +253,43 @@ object Profiler {
       .select(col("ts"), lit(column).as("instance"), col("value_str"), col("count"), col("rank"))
   }
 
+  /** Tukey-fence outlier profile of a numeric column per ts partition:
+    * `(ts, instance, n, n_outliers, lo, hi)` with fences at
+    * q1/q3 -+ k*IQR. Two aggregations over the same day keying — the
+    * per-day fences (one tiny row per day) broadcast back onto the
+    * second scan; no driver loop.
+    */
+  def outlierProfile(
+      df: DataFrame,
+      tsColumn: String,
+      column: String,
+      k: Double = 1.5,
+      granularity: String = Granularity.Day
+  ): DataFrame = {
+    val days = truncated(df, tsColumn, granularity).where(col(column).isNotNull)
+    val fences = days
+      .groupBy("ts")
+      .agg(
+        percentile(col(column), lit(0.25)).as("_q1"),
+        percentile(col(column), lit(0.75)).as("_q3")
+      )
+      .withColumn("lo", col("_q1") - (col("_q3") - col("_q1")) * k)
+      .withColumn("hi", col("_q3") + (col("_q3") - col("_q1")) * k)
+      .select("ts", "lo", "hi")
+    days
+      .join(broadcast(fences), "ts")
+      .groupBy("ts")
+      .agg(
+        lit(column).as("instance"),
+        count(lit(1)).as("n"),
+        sum(when(col(column) < col("lo") || col(column) > col("hi"), 1L).otherwise(0L))
+          .as("n_outliers"),
+        first(col("lo")).as("lo"),
+        first(col("hi")).as("hi")
+      )
+      .select("ts", "instance", "n", "n_outliers", "lo", "hi")
+  }
+
   /** Pairwise Pearson correlation between numeric columns per ts
     * partition, long format `(ts, col_a, col_b, corr)` — all pairs in
     * ONE groupBy pass (corr is a partial-aggregatable moment sketch, so

@@ -317,10 +317,30 @@ object ProfilerQueries extends QueryPack {
       FROM r WHERE rank <= 3 ORDER BY ts, rank""")
   )
 
+  private val outliers = Q(
+    fn = (s, d) =>
+      Profiler
+        .outlierProfile(Tables.events(s, d), "ts", "value")
+        .withColumn("lo", round6(col("lo")))
+        .withColumn("hi", round6(col("hi")))
+        .orderBy("ts"),
+    oracle = Some(s"""
+      WITH e AS (SELECT ${sqlDay("ts")} AS ts, value FROM events WHERE value IS NOT NULL),
+      f AS (
+        SELECT ts, quantile_cont(value, 0.25) AS q1, quantile_cont(value, 0.75) AS q3
+        FROM e GROUP BY ts),
+      b AS (SELECT ts, q1 - (q3 - q1) * 1.5 AS lo, q3 + (q3 - q1) * 1.5 AS hi FROM f)
+      SELECT e.ts, 'value' AS instance, count(*) AS n,
+        SUM(CASE WHEN value < lo OR value > hi THEN 1 ELSE 0 END) AS n_outliers,
+        round(any_value(lo), 6) AS lo, round(any_value(hi), 6) AS hi
+      FROM e JOIN b ON e.ts = b.ts GROUP BY e.ts ORDER BY e.ts""")
+  )
+
   val queries: Map[String, Q] = Map(
     "profile_size" -> size,
     "profile_report_sketch" -> reportSketch,
     "profile_topk_values" -> topkValues,
+    "profile_outliers" -> outliers,
     "profile_completeness" -> completeness,
     "profile_mean" -> mean,
     "profile_stddev" -> stddev,
