@@ -53,7 +53,10 @@ object hashExpressions {
 
   /** `shingleHashes(tokenHashes, n)`: hash of each window of n
     * consecutive token hashes (chained XXH64 fold); empty array when
-    * fewer than n tokens.
+    * fewer than n tokens. Requires non-null elements (a shingle is a
+    * window of CONSECUTIVE hashes — the kernel reads raw longs, so a
+    * null slot would silently hash as 0); `filter(a, x -> x IS NOT
+    * NULL)` upstream if the input may contain nulls.
     */
   case class ShingleHashes(child: Expression, n: Int) extends UnaryExpression {
     require(n > 0)
@@ -62,7 +65,12 @@ object hashExpressions {
     override def dataType: DataType = ArrayType(LongType, containsNull = false)
 
     override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
-      case ArrayType(LongType, _) => TypeCheckResult.TypeCheckSuccess
+      case ArrayType(LongType, false) => TypeCheckResult.TypeCheckSuccess
+      case ArrayType(LongType, true) =>
+        TypeCheckResult.TypeCheckFailure(
+          s"$prettyName requires array<bigint> with non-null elements; " +
+            "filter nulls out upstream"
+        )
       case other =>
         TypeCheckResult.TypeCheckFailure(
           s"$prettyName requires array<bigint>, got ${other.catalogString}"

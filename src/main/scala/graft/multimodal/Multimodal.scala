@@ -103,7 +103,12 @@ object Multimodal {
     val nFrames = floor(length(col(binCol)).cast("double") / frameBytes).cast("int")
     df.withColumn(
       "frame_idx",
-      explode(sequence(lit(0), greatest(nFrames - 1, lit(0)), lit(stride)))
+      // a payload shorter than one frame yields NO rows (explode of an
+      // empty sequence), not a truncated partial frame
+      explode(
+        when(nFrames > 0, sequence(lit(0), nFrames - 1, lit(stride)))
+          .otherwise(lit(Array.empty[Int]))
+      )
     ).withColumn(
       "frame",
       // STUB: byte-range slice stands in for codec frame decode.

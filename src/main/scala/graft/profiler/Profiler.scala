@@ -126,15 +126,16 @@ object Profiler {
       )
   }
 
-  /** Day/hour/week/month truncation into a fresh `ts` column, with the
-    * original event-time column dropped first so an unrelated DATA
-    * column named "ts" cannot be clobbered (it would silently get
-    * profiled as truncated event-times otherwise).
+  /** Day/hour/week/month truncation into the internal `_gts` column
+    * (original event-time column dropped). `_gts` stays internal
+    * through each profile's aggregations and is renamed to `ts` only in
+    * the final select — renaming earlier would collide with a DATA
+    * column literally named "ts" next to a differently-named event-time
+    * column (ambiguous-reference failures downstream).
     */
   private def truncated(df: DataFrame, tsColumn: String, granularity: String): DataFrame =
     df.withColumn("_gts", date_trunc(Granularity.truncUnit(granularity), col(tsColumn)))
       .drop(tsColumn)
-      .withColumnRenamed("_gts", "ts")
 
   /** Profile `df` into the long-format metrics table:
     * `(ts, entity, instance, name, value)`.
@@ -183,16 +184,16 @@ object Profiler {
   ): DataFrame =
     truncated(df, tsColumn, granularity)
       .where(col(column).isNotNull)
-      .groupBy(col("ts"), col(column))
+      .groupBy(col("_gts"), col(column))
       .agg(count(lit(1)).as("cnt"))
-      .groupBy(col("ts"))
+      .groupBy(col("_gts"))
       .agg(
         lit(column).as("instance"),
         (count(lit(1)) / sum(col("cnt"))).as("distinctness"),
         (sum(when(col("cnt") === 1, 1L).otherwise(0L)) / sum(col("cnt")))
           .as("uniqueness")
       )
-      .select("ts", "instance", "distinctness", "uniqueness")
+      .select(col("_gts").as("ts"), col("instance"), col("distinctness"), col("uniqueness"))
 
   /** Equi-width histogram of a numeric column per ts partition:
     * `(ts, instance, bucket, count)`. Bucket = floor((v-min)/width)
@@ -222,9 +223,9 @@ object Profiler {
           lit(nBuckets - 1L)
         )
       )
-      .groupBy("ts", "bucket")
+      .groupBy("_gts", "bucket")
       .agg(lit(column).as("instance"), count(lit(1)).as("count"))
-      .select("ts", "instance", "bucket", "count")
+      .select(col("_gts").as("ts"), col("instance"), col("bucket"), col("count"))
   }
 
   /** Top-k most frequent values of a column per ts partition (Deequ
@@ -242,15 +243,21 @@ object Profiler {
       granularity: String = Granularity.Day
   ): DataFrame = {
     val w = org.apache.spark.sql.expressions.Window
-      .partitionBy(col("ts"))
+      .partitionBy(col("_gts"))
       .orderBy(col("count").desc, col("value_str"))
     truncated(df, tsColumn, granularity)
       .where(col(column).isNotNull)
-      .groupBy(col("ts"), col(column).cast("string").as("value_str"))
+      .groupBy(col("_gts"), col(column).cast("string").as("value_str"))
       .agg(count(lit(1)).as("count"))
       .withColumn("rank", row_number().over(w))
       .where(col("rank") <= k)
-      .select(col("ts"), lit(column).as("instance"), col("value_str"), col("count"), col("rank"))
+      .select(
+        col("_gts").as("ts"),
+        lit(column).as("instance"),
+        col("value_str"),
+        col("count"),
+        col("rank")
+      )
   }
 
   /** Tukey-fence outlier profile of a numeric column per ts partition:
@@ -268,26 +275,33 @@ object Profiler {
   ): DataFrame = {
     val days = truncated(df, tsColumn, granularity).where(col(column).isNotNull)
     val fences = days
-      .groupBy("ts")
+      .groupBy("_gts")
       .agg(
         percentile(col(column), lit(0.25)).as("_q1"),
         percentile(col(column), lit(0.75)).as("_q3")
       )
-      .withColumn("lo", col("_q1") - (col("_q3") - col("_q1")) * k)
-      .withColumn("hi", col("_q3") + (col("_q3") - col("_q1")) * k)
-      .select("ts", "lo", "hi")
+      .withColumn("_lo", col("_q1") - (col("_q3") - col("_q1")) * k)
+      .withColumn("_hi", col("_q3") + (col("_q3") - col("_q1")) * k)
+      .select("_gts", "_lo", "_hi")
     days
-      .join(broadcast(fences), "ts")
-      .groupBy("ts")
+      .join(broadcast(fences), "_gts")
+      .groupBy("_gts")
       .agg(
         lit(column).as("instance"),
         count(lit(1)).as("n"),
-        sum(when(col(column) < col("lo") || col(column) > col("hi"), 1L).otherwise(0L))
+        sum(when(col(column) < col("_lo") || col(column) > col("_hi"), 1L).otherwise(0L))
           .as("n_outliers"),
-        first(col("lo")).as("lo"),
-        first(col("hi")).as("hi")
+        first(col("_lo")).as("lo"),
+        first(col("_hi")).as("hi")
       )
-      .select("ts", "instance", "n", "n_outliers", "lo", "hi")
+      .select(
+        col("_gts").as("ts"),
+        col("instance"),
+        col("n"),
+        col("n_outliers"),
+        col("lo"),
+        col("hi")
+      )
   }
 
   /** Pairwise Pearson correlation between numeric columns per ts
@@ -310,14 +324,14 @@ object Profiler {
       corr(col(a), col(b)).as(s"_c$i")
     }
     val wide = df
-      .withColumn("ts", date_trunc(Granularity.truncUnit(granularity), col(tsColumn)))
-      .groupBy("ts")
+      .withColumn("_gts", date_trunc(Granularity.truncUnit(granularity), col(tsColumn)))
+      .groupBy("_gts")
       .agg(aggs.head, aggs.tail: _*)
     val entries = pairs.zipWithIndex.map { case ((a, b), i) =>
       struct(lit(a).as("col_a"), lit(b).as("col_b"), col(s"_c$i").as("corr"))
     }
     wide
-      .select(col("ts"), explode(array(entries: _*)).as("p"))
+      .select(col("_gts").as("ts"), explode(array(entries: _*)).as("p"))
       .select(col("ts"), col("p.col_a"), col("p.col_b"), col("p.corr").as("corr"))
   }
 

@@ -330,7 +330,7 @@ object EngineQueries extends QueryPack {
         SELECT user_id, session_id, count(*) AS n_events,
           CAST(floor(epoch(max(ts))) AS BIGINT) - CAST(floor(epoch(min(ts))) AS BIGINT) AS duration_s
         FROM sessions GROUP BY 1, 2)
-      SELECT user_id, count(*) AS n_sessions, SUM(n_events) AS n_events,
+      SELECT user_id, count(*) AS n_sessions, CAST(SUM(n_events) AS BIGINT) AS n_events,
         max(duration_s) AS max_duration_s
       FROM agg GROUP BY user_id ORDER BY user_id""")
   )

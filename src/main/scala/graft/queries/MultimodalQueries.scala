@@ -58,10 +58,10 @@ object MultimodalQueries extends QueryPack {
     oracle = Some("""
       WITH f AS (
         SELECT doc_id, octet_length(encode(text)) AS nb,
-          unnest(range(0, greatest(CAST(floor(octet_length(encode(text)) / 256.0) AS BIGINT) - 1, 0) + 1, 4)) AS frame_idx
+          unnest(range(0, CAST(floor(octet_length(encode(text)) / 256.0) AS BIGINT), 4)) AS frame_idx
         FROM documents)
       SELECT doc_id, count(*) AS n_frames,
-        SUM(least(256, nb - frame_idx * 256)) AS sampled_bytes
+        CAST(SUM(least(256, nb - frame_idx * 256)) AS BIGINT) AS sampled_bytes
       FROM f GROUP BY doc_id ORDER BY doc_id""")
   )
 

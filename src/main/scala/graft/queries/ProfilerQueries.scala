@@ -331,7 +331,7 @@ object ProfilerQueries extends QueryPack {
         FROM e GROUP BY ts),
       b AS (SELECT ts, q1 - (q3 - q1) * 1.5 AS lo, q3 + (q3 - q1) * 1.5 AS hi FROM f)
       SELECT e.ts, 'value' AS instance, count(*) AS n,
-        SUM(CASE WHEN value < lo OR value > hi THEN 1 ELSE 0 END) AS n_outliers,
+        CAST(SUM(CASE WHEN value < lo OR value > hi THEN 1 ELSE 0 END) AS BIGINT) AS n_outliers,
         round(any_value(lo), 6) AS lo, round(any_value(hi), 6) AS hi
       FROM e JOIN b ON e.ts = b.ts GROUP BY e.ts ORDER BY e.ts""")
   )

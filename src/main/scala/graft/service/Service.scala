@@ -138,6 +138,21 @@ object Service {
         val scoring = scoringAll.where(col("ts") === lit(t))
         val optimization = repo.getOptimization(datasetUri)
         val assessed = Quality.assess(scoring, optimization, seriesCols)
+        // Series whose optimization failed (null best_model) produce NO
+        // scoring rows at all — Scorer's join on best_model drops them —
+        // so an inner-join assessment would report the dataset healthy
+        // while those metrics go unmonitored. The reference raises
+        // OptimizationFailedError on this condition; here every
+        // optimized series with no score at the assessed ts alerts with
+        // a NaN score instead of vanishing.
+        val unmonitored = optimization
+          .join(scoring.select(seriesCols.map(col): _*), seriesCols, "left_anti")
+          .select(
+            (seriesCols.map(col) ++ Seq(
+              lit(Double.NaN).as("score"),
+              coalesce(col("threshold"), lit(Double.NaN)).as("threshold")
+            )): _*
+          )
         val rows = assessed
           .where(col("is_anomalous"))
           .select(
@@ -147,6 +162,7 @@ object Service {
               col("threshold")
             )): _*
           )
+          .unionByName(unmonitored)
           .collect()
         val anomalous = rows.toSeq.map { r =>
           AnomalousScore(

@@ -55,9 +55,9 @@ class MultimodalSpec extends SparkSpec {
     // id=1: 800 bytes -> frames 0,1,2 (floor(800/256)=3), stride 2 -> idx 0,2
     val f1 = out(1L).map(r => (r.getInt(1), r.getInt(2))).sortBy(_._1)
     assert(f1.toSeq == Seq((0, 256), (2, 256)))
-    // id=2: short payload -> single partial frame
-    val f2 = out(2L).map(r => (r.getInt(1), r.getInt(2)))
-    assert(f2.toSeq == Seq((0, 2)))
+    // id=2: payload shorter than one frame -> NO rows (not a truncated
+    // partial slice)
+    assert(!out.contains(2L))
     // id=3: exactly 256 bytes -> one full frame
     val f3 = out(3L).map(r => (r.getInt(1), r.getInt(2)))
     assert(f3.toSeq == Seq((0, 256)))

@@ -104,6 +104,39 @@ class ProfilerSpec extends SparkSpec {
     assert(math.abs(e.getAs[Double]("entropy") - expected) < 1e-9)
   }
 
+  test("a DATA column literally named 'ts' next to another event-time column profiles cleanly") {
+    // the event-time column is "event_time"; "ts" is ordinary data
+    val tricky = sample
+      .withColumnRenamed("ts", "event_time")
+      .withColumn("ts", coalesce($"num", lit(0.0)) * 2)
+    val day1 = to_timestamp(lit("2025-01-01"))
+
+    val u = Profiler.uniquenessProfile(tricky, "event_time", "str").where($"ts" === day1)
+    assert(u.count() == 1) // no ambiguous-reference failure, one day row
+
+    val h = Profiler
+      .histogramProfile(tricky, "event_time", "ts", nBuckets = 4, min = 0.0, max = 40.0)
+      .where($"ts" === day1)
+    assert(h.count() > 0) // the DATA ts column is itself profileable
+
+    val o = Profiler.outlierProfile(tricky, "event_time", "num").where($"ts" === day1)
+    assert(o.count() == 1)
+
+    val e = Profiler.entropyProfile(tricky, "event_time", "str").where($"ts" === day1)
+    assert(e.count() == 1)
+
+    val t = Profiler.topKValuesProfile(tricky, "event_time", "str", k = 2).where($"ts" === day1)
+    assert(t.count() == 2)
+
+    val c = Profiler
+      .correlationProfile(tricky, "event_time", Seq("num", "ts"))
+      .where($"ts" === day1)
+    assert(c.count() == 1)
+
+    val p = Profiler.profile(tricky, "event_time").where($"ts" === day1)
+    assert(p.where($"instance" === "ts").count() > 0)
+  }
+
   test("assertDataFrameEquality detects equal and unequal frames") {
     val a = Seq((1, 1.0), (2, 2.0)).toDF("id", "v")
     val b = Seq((2, 2.0 + 1e-12), (1, 1.0)).toDF("id", "v")

@@ -78,6 +78,27 @@ class ServiceSpec extends SparkSpec {
     assert(notified.forall(a => a.score > a.threshold))
   }
 
+  test("assessQuality alerts on failed-optimization series instead of reporting healthy") {
+    val repo = new InMemoryRepository()
+    def day(i: Int) = java.sql.Timestamp.valueOf(f"2024-01-${i + 1}%02d 00:00:00")
+    val healthy = (0 until 25).map(i => (day(i), "Column", "value", "Mean", 10.0))
+    // Too short for every candidate window: no model yields a valid
+    // error, so best_model is NULL and Scorer produces NO scoring rows
+    // for this series — it must alert, not silently pass as healthy.
+    val broken = Seq(23, 24).map(i => (day(i), "Column", "broken", "Mean", 5.0))
+    val profiling = (healthy ++ broken).toDF("ts", "entity", "instance", "name", "value")
+    repo.addProfiling("ds://failed", profiling)
+    val opt = Service.optimize("ds://failed", repo)
+    assert(opt.where($"instance" === "broken" && $"optimization_failed").count() == 1)
+    Service.score("ds://failed", repo)
+    val assessment = Service.assessQuality("ds://failed", repo, handlers = Nil)
+    assert(!assessment.isHealthy)
+    val alerts = assessment.anomalous.filter(_.instance == "broken")
+    assert(alerts.nonEmpty && alerts.forall(_.score.isNaN))
+    // the healthy constant series must not be dragged into the alert
+    assert(!assessment.anomalous.exists(_.instance == "value"))
+  }
+
   test("assessQuality assesses one ts (newest by default) — past anomalies do not re-alert") {
     val repo = new InMemoryRepository()
     val t1 = java.sql.Timestamp.valueOf("2025-01-01 00:00:00")

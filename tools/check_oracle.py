@@ -48,6 +48,21 @@ def main():
             )
             got_cols = [d[0] for d in got_rel.description]
             got = got_rel.fetchall()
+            # the driver materializes via pandas, where HUGEINT/DECIMAL
+            # become float64/object and stringify differently than
+            # Spark's BIGINT/DOUBLE — an uncasted SUM(int) is a latent
+            # hash mismatch even when fetchall() compares equal (r1:
+            # profile_outliers, q_sessionize, multimodal_frame_sample).
+            rel = con.sql(sql)
+            bad = [
+                (c, str(t))
+                for c, t in zip(rel.columns, rel.types)
+                if str(t).upper().startswith(("HUGEINT", "UHUGEINT", "DECIMAL"))
+            ]
+            if bad:
+                print(f"FAIL {name}: oracle emits pandas-unstable types {bad}; CAST them")
+                n_fail += 1
+                continue
             exp_rel = con.execute(sql)
             exp_cols = [d[0] for d in exp_rel.description]
             exp = exp_rel.fetchall()
