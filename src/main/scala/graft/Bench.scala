@@ -17,15 +17,26 @@ object Bench {
       SparkEntry.entry(spark).count()
       SparkEntry.queries("text_quality")(spark, sfDir).count()
     } catch { case _: Throwable => () }
+    // A query that throws must be visibly red: its wall-time is recorded
+    // as -1 and its name lands in "errors" — never a fake timing.
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
       val t0 = System.nanoTime()
-      try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
-      name -> (System.nanoTime() - t0) / 1e9
+      try {
+        fn(spark, sfDir).count()
+        (name, (System.nanoTime() - t0) / 1e9, None: Option[String])
+      } catch {
+        case e: Throwable => (name, -1.0, Some(e.getClass.getSimpleName))
+      }
     }
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
+    val qs = results.map { case (k, v, _) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
-    val total = results.map(_._2).sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    val errors = results.collect { case (k, _, Some(_)) => "\"" + k + "\"" }
+      .mkString("[", ",", "]")
+    val total = results.map(_._2).filter(_ >= 0).sum
+    println(
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$errors,"sf":"$sfDir"}"""
+    )
     spark.stop()
+    if (results.exists(_._3.isDefined)) sys.exit(1)
   }
 }

@@ -33,7 +33,13 @@ object Optimizer {
       confidence: Double = 0.99,
       minThreshold: Double = 0.1,
       startProportion: Option[Double] = None,
-      thresholdGrid: Int = 100
+      thresholdGrid: Int = 100,
+      // A model qualifies only with at least this many valid validation
+      // errors — a threshold "optimized" over 1-2 points is noise, and
+      // the reference raises OptimizationFailedError on such series
+      // (optimization.py:200-214). Series where no model qualifies get
+      // optimization_failed=true.
+      minValidationPoints: Int = 3
   )
 
   /** Adaptive validation start proportion
@@ -199,6 +205,7 @@ object Optimizer {
         col("model")
       )
     val selected = evaluate(series, seriesCols, tsCol, valueCol, cfg)
+      .where(col("n_validation") >= cfg.minValidationPoints)
       .withColumn("_rank", row_number().over(w))
       .where(col("_rank") === 1)
       .select(

@@ -104,20 +104,23 @@ object Dedup {
     // projections so each array materializes once as an attribute before
     // the next HOF consumes it (nested HOFs re-evaluate their inputs per
     // element in interpreted mode — measured 16-40x slower). The
-    // signature table is materialized EAGERLY (localCheckpoint): it
-    // feeds the band explode AND both sides of the candidate-pair
-    // join-back, and a lazy cache would still compute the subtree once
-    // per branch inside the single job. At cluster scale this is the
-    // standard "write the signature table" step of every LSH pipeline.
-    val sigs = df
-      .select(col(idCol).as("id"), Text.tokenHashes(col(textCol)).as("_th"))
-      .select(
-        col("id"),
-        Text.shingleHashesFromTokenHashes(col("_th"), shingleN).as("_sh")
-      )
-      .where(size(col("_sh")) > 0)
-      .select(col("id"), minhashSignature(col("_sh"), numHashes).as("sig"))
-      .localCheckpoint(eager = true)
+    // signature table is materialized EAGERLY (graft.functions
+    // .materialize: localCheckpoint by default, reliable checkpoint
+    // under graft.checkpoint.reliable=true): it feeds the band explode
+    // AND both sides of the candidate-pair join-back, and a lazy cache
+    // would still compute the subtree once per branch inside the single
+    // job. At cluster scale this is the standard "write the signature
+    // table" step of every LSH pipeline.
+    val sigs = graft.functions.materialize(
+      df
+        .select(col(idCol).as("id"), Text.tokenHashes(col(textCol)).as("_th"))
+        .select(
+          col("id"),
+          Text.shingleHashesFromTokenHashes(col("_th"), shingleN).as("_sh")
+        )
+        .where(size(col("_sh")) > 0)
+        .select(col("id"), minhashSignature(col("_sh"), numHashes).as("sig"))
+    )
     // The signature (numHashes longs — 128 B at the default 16) rides
     // along through the band explode, so the bucket self-join yields
     // both signatures directly: no join-back stages. For much larger
@@ -192,26 +195,29 @@ object Dedup {
       pairs: DataFrame,
       maxIter: Int = 10
   ): DataFrame = {
-    val edges = pairs
-      .select(col("id_a").as("src"), col("id_b").as("dst"))
-      .unionByName(pairs.select(col("id_b").as("src"), col("id_a").as("dst")))
-      .localCheckpoint(eager = true)
-    var labels = edges
-      .select(col("src").as("id"))
-      .distinct()
-      .withColumn("label", col("id"))
-      .localCheckpoint(eager = true)
+    val edges = graft.functions.materialize(
+      pairs
+        .select(col("id_a").as("src"), col("id_b").as("dst"))
+        .unionByName(pairs.select(col("id_b").as("src"), col("id_a").as("dst")))
+    )
+    var labels = graft.functions.materialize(
+      edges
+        .select(col("src").as("id"))
+        .distinct()
+        .withColumn("label", col("id"))
+    )
     var iter = 0
     var converged = false
     while (!converged && iter < maxIter) {
       val propagated = edges
         .join(labels, edges("src") === labels("id"))
         .select(col("dst").as("id"), col("label"))
-      val next = labels
-        .unionByName(propagated)
-        .groupBy("id")
-        .agg(min("label").as("label"))
-        .localCheckpoint(eager = true)
+      val next = graft.functions.materialize(
+        labels
+          .unionByName(propagated)
+          .groupBy("id")
+          .agg(min("label").as("label"))
+      )
       val changed = next
         .join(labels.withColumnRenamed("label", "_old"), "id")
         .where(col("label") =!= col("_old"))

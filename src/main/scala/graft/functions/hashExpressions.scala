@@ -55,8 +55,10 @@ object hashExpressions {
     * consecutive token hashes (chained XXH64 fold); empty array when
     * fewer than n tokens. Requires non-null elements (a shingle is a
     * window of CONSECUTIVE hashes — the kernel reads raw longs, so a
-    * null slot would silently hash as 0); `filter(a, x -> x IS NOT
-    * NULL)` upstream if the input may contain nulls.
+    * null slot would silently hash as 0). To narrow a nullable-element
+    * input use `array_compact(a)` — its result type IS
+    * containsNull=false; note `filter(a, x -> x IS NOT NULL)` does NOT
+    * narrow the type and still fails this check.
     */
   case class ShingleHashes(child: Expression, n: Int) extends UnaryExpression {
     require(n > 0)
@@ -69,7 +71,8 @@ object hashExpressions {
       case ArrayType(LongType, true) =>
         TypeCheckResult.TypeCheckFailure(
           s"$prettyName requires array<bigint> with non-null elements; " +
-            "filter nulls out upstream"
+            "use array_compact(...) upstream — it narrows the element " +
+            "type to non-null (filter(a, x -> x IS NOT NULL) does not)"
         )
       case other =>
         TypeCheckResult.TypeCheckFailure(
@@ -89,8 +92,11 @@ object hashExpressions {
 
   /** `minhashSignature(shingleHashes, n)`: for seed s in [0, n), the
     * min over the input array of XXH64(elem, seed=s). One pass over the
-    * array, n running minima. Empty/all-null input yields
-    * Long.MaxValue slots (callers filter empty shingle sets upstream).
+    * array, n running minima. Nullable-element inputs are accepted —
+    * the kernel SKIPS null slots (a null shingle contributes no
+    * minimum), unlike [[ShingleHashes]] where a null would corrupt
+    * neighboring windows. Empty/all-null input yields Long.MaxValue
+    * slots (callers filter empty shingle sets upstream).
     */
   case class MinHashSignature(child: Expression, numHashes: Int) extends UnaryExpression {
     require(numHashes > 0)
@@ -119,6 +125,8 @@ object hashExpressions {
   /** `simhash64(tokenHashes)`: bit j of the result is set iff more
     * input elements have bit j set than unset (ties -> 0), i.e. the
     * sign of the per-bit +1/-1 vote. One pass, 64 counters.
+    * Nullable-element inputs are accepted — the kernel SKIPS null
+    * slots (a null token casts no vote).
     */
   case class SimHash64(child: Expression) extends UnaryExpression {
 

@@ -5,6 +5,23 @@ import org.apache.spark.sql.functions.round
 
 package object functions {
 
+  /** Eagerly materialize an intermediate that is (a) consumed by
+    * multiple plan branches or (b) an iteration step whose lineage must
+    * be truncated. Default is `localCheckpoint` (executor-local blocks,
+    * no configured dir needed) — fine on local[*] and for short-lived
+    * jobs, but the blocks die with an executor. On a real cluster set
+    * `graft.checkpoint.reliable=true` (plus
+    * `sparkContext.setCheckpointDir(...)`) to write reliable HDFS/
+    * object-store checkpoints that survive executor loss — the standard
+    * hardening for long LSH/connected-components pipelines at 100 TB.
+    */
+  def materialize(df: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
+    val reliable = df.sparkSession.conf
+      .getOption("graft.checkpoint.reliable")
+      .exists(_.toBoolean)
+    if (reliable) df.checkpoint(eager = true) else df.localCheckpoint(eager = true)
+  }
+
   /** Cross-engine-stable 6-dp rounding. DuckDB's `round(x,6)` computes
     * `std::round(x*1e6)/1e6` — the x1e6 double multiply can itself
     * round onto an exact .5 (0.43506249..996 x 1e6 == 435062.5

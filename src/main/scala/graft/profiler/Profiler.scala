@@ -346,13 +346,13 @@ object Profiler {
   ): DataFrame =
     truncated(df, tsColumn, granularity)
       .where(col(column).isNotNull)
-      .groupBy(col("ts"), col(column))
+      .groupBy(col("_gts"), col(column))
       .agg(count(lit(1)).as("cnt"))
-      .groupBy(col("ts"))
+      .groupBy(col("_gts"))
       .agg(
         lit(column).as("instance"),
         (log(sum(col("cnt"))) - sum(col("cnt") * log(col("cnt"))) / sum(col("cnt")))
           .as("entropy")
       )
-      .select("ts", "instance", "entropy")
+      .select(col("_gts").as("ts"), col("instance"), col("entropy"))
 }

@@ -142,10 +142,14 @@ object Service {
         // scoring rows at all — Scorer's join on best_model drops them —
         // so an inner-join assessment would report the dataset healthy
         // while those metrics go unmonitored. The reference raises
-        // OptimizationFailedError on this condition; here every
-        // optimized series with no score at the assessed ts alerts with
-        // a NaN score instead of vanishing.
+        // OptimizationFailedError on this condition; here each FAILED
+        // series with no score at the assessed ts alerts with a NaN
+        // score instead of vanishing. Healthy series are deliberately
+        // excluded: Scorer only scores the newest point per series, so
+        // an anti-join over ALL optimized series would NaN-alert every
+        // healthy series whenever a past ts is assessed.
         val unmonitored = optimization
+          .where(col("optimization_failed") || col("best_model").isNull)
           .join(scoring.select(seriesCols.map(col): _*), seriesCols, "left_anti")
           .select(
             (seriesCols.map(col) ++ Seq(

@@ -173,7 +173,8 @@ object Similarity {
       k: Int,
       nlist: Int = 16,
       nprobe: Int = 4,
-      seed: Long = 42L
+      seed: Long = 42L,
+      trainFraction: Option[Double] = None
   ): DataFrame = {
     import org.apache.spark.ml.clustering.KMeans
     import org.apache.spark.ml.functions.array_to_vector
@@ -181,12 +182,18 @@ object Similarity {
     val fv = array_to_vector(col(vecCol).cast("array<double>")).as("_fv")
     // Coarse centroids only need to partition space, not converge: cap
     // the training set (IVF practice is a corpus sample) and the
-    // iteration count. At any corpus size this keeps the fit O(sample).
-    val maxTrain = 8192L
-    val corpusN = corpus.count()
-    val trainDf =
-      if (corpusN <= maxTrain) corpus.select(fv)
-      else corpus.select(fv).sample(withReplacement = false, maxTrain.toDouble / corpusN, seed)
+    // iteration count. COUNT-FREE sizing: LocalLimit stops each scan
+    // task once maxTrain rows exist, so the fit reads O(maxTrain) rows
+    // at any corpus size — the r2 corpus.count() was an entire extra
+    // full-corpus pass whose only purpose was computing a fraction.
+    // For corpora whose storage order is correlated with vector space,
+    // pass trainFraction (e.g. 8192/estimated_n) to decorrelate; the
+    // read stays bounded at ~maxTrain/fraction rows.
+    val maxTrain = 8192
+    val base = corpus.select(fv)
+    val trainDf = trainFraction
+      .fold(base)(f => base.sample(withReplacement = false, f, seed))
+      .limit(maxTrain)
     val model = new KMeans()
       .setK(nlist)
       .setSeed(seed)

@@ -99,6 +99,28 @@ class DedupSpec extends SparkSpec {
     assert(cc.forall(_.getLong(1) == 1L)) // single component labeled by min id
   }
 
+  test("graft.checkpoint.reliable=true routes iterations through reliable checkpoints") {
+    val ckDir = java.nio.file.Files.createTempDirectory("graft-ck").toString
+    spark.sparkContext.setCheckpointDir(ckDir)
+    spark.conf.set("graft.checkpoint.reliable", "true")
+    try {
+      val pairs = Seq((1L, 3L, 0.9), (2L, 3L, 0.9), (4L, 5L, 0.8))
+        .toDF("id_a", "id_b", "jaccard")
+      val cc = Dedup.connectedComponents(pairs).collect()
+        .map(r => r.getLong(0) -> r.getLong(1)).toMap
+      // identical result to the localCheckpoint path...
+      assert(cc == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 4L, 5L -> 4L))
+      // ...but the intermediates now live in the reliable checkpoint dir
+      def rddFiles(f: java.io.File): Int =
+        Option(f.listFiles()).toSeq.flatten
+          .map(c => (if (c.isDirectory) rddFiles(c) else 0) + (if (c.getName.startsWith("rdd-") || c.getName.startsWith("part-")) 1 else 0))
+          .sum
+      assert(rddFiles(new java.io.File(ckDir)) > 0, "no reliable checkpoint files written")
+    } finally {
+      spark.conf.unset("graft.checkpoint.reliable")
+    }
+  }
+
   test("signatures are deterministic across evaluations") {
     val s1 = Dedup
       .minhashLshPairs(corpus, "text", "doc_id", threshold = 0.3)

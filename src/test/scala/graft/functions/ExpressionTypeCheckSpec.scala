@@ -24,6 +24,35 @@ class ExpressionTypeCheckSpec extends SparkSpec {
     )
   }
 
+  test("array_compact is the documented remediation — it narrows containsNull") {
+    // filter(a, x -> x IS NOT NULL) keeps containsNull=true and still
+    // fails analysis; array_compact's result type is containsNull=false
+    val nullable = Seq((1L, Seq[java.lang.Long](1L, null, 3L, 4L)))
+      .toDF("id", "hashes")
+    val out = nullable
+      .select(hashExpressions.shingleHashes(array_compact(col("hashes")), 2).as("s"))
+      .collect()
+    assert(out.head.getSeq[Long](0).length == 2)
+  }
+
+  test("minhash/simhash skip null slots instead of hashing them as zero") {
+    val df = Seq(
+      (1L, Seq[java.lang.Long](7L, null, 9L)),
+      (2L, Seq[java.lang.Long](7L, 9L))
+    ).toDF("id", "hashes")
+    val rows = df
+      .select(
+        col("id"),
+        hashExpressions.minhashSignature(col("hashes"), 4).as("mh"),
+        hashExpressions.simhash64(col("hashes")).as("sh")
+      )
+      .orderBy("id")
+      .collect()
+    // a null slot contributes nothing: signatures equal the null-free row's
+    assert(rows(0).getSeq[Long](1) == rows(1).getSeq[Long](1))
+    assert(rows(0).getLong(2) == rows(1).getLong(2))
+  }
+
   test("shingleHashes accepts non-null-element arrays (tokenHashes output)") {
     val out = Seq((1L, "a b c d"))
       .toDF("id", "text")
