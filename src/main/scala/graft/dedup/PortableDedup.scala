@@ -1,0 +1,206 @@
+package graft.dedup
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Cross-engine-portable near-dup signatures (SURVEY §2.4).
+  *
+  * The default dedup family ([[Dedup]]) computes signatures with
+  * XXH64 kernels — the throughput path, but engine-specific: no other
+  * SQL engine reproduces Spark's XXH64, so those queries cannot be
+  * oracle-checked. This family derives every signature from `md5`,
+  * which Spark and DuckDB (and Postgres, Trino, ...) implement
+  * identically over UTF-8 bytes with lowercase-hex output — so the
+  * ENTIRE pipeline (signatures, LSH bands, candidate pairs, sweeps) is
+  * reproducible as portable SQL and sits under the driver's
+  * hash-compare oracle gate.
+  *
+  *  - MinHash slot k = min over shingles of md5("k:" ++ shingle); the
+  *    min is lexicographic over fixed-width hex strings == numeric min
+  *    of the 128-bit values, so it is a valid uniform MinHash family.
+  *  - SimHash uses the first 60 bits (15 hex nibbles) of md5(token) —
+  *    60 instead of 64 keeps the packed signature inside a positive
+  *    BIGINT on engines without unsigned 64-bit types.
+  *
+  * Scale shape is the same as [[Dedup]]: signatures are per-row
+  * projections or one partial-aggregatable groupBy, the only wide
+  * shuffle is keyed on compact band/chunk keys, and pairwise work
+  * happens only within buckets. md5 costs ~3-5x an XXH64 kernel per
+  * shingle — use [[Dedup]] when raw throughput matters and this family
+  * when cross-engine verifiability does.
+  */
+object PortableDedup {
+
+  /** `(id, shingle)` rows: space-split tokens, `n`-token shingles
+    * joined with single spaces. Documents with fewer than `n` tokens
+    * produce no rows (mirrors [[Dedup.minhashLshPairs]]'s empty-shingle
+    * filter).
+    */
+  def shingleRows(df: DataFrame, textCol: String, idCol: String, n: Int): DataFrame = {
+    require(n > 0, s"shingle size must be positive, got $n")
+    df.select(col(idCol).as("id"), split(col(textCol), " ").as("_toks"))
+      .where(size(col("_toks")) >= n)
+      .select(
+        col("id"),
+        col("_toks"),
+        explode(sequence(lit(1), size(col("_toks")) - (n - 1))).as("_i")
+      )
+      .select(
+        col("id"),
+        array_join(slice(col("_toks"), col("_i"), lit(n)), " ").as("shingle")
+      )
+  }
+
+  /** Wide signature table `(id, _s0 .. _s{numHashes-1})` — one
+    * partial-aggregatable groupBy (numHashes running string-minima per
+    * id travel the shuffle, not the shingles).
+    */
+  def minhashSignatures(
+      df: DataFrame,
+      textCol: String,
+      idCol: String,
+      shingleN: Int,
+      numHashes: Int
+  ): DataFrame = {
+    val aggs = (0 until numHashes).map { k =>
+      min(md5(concat(lit(s"$k:"), col("shingle")))).as(s"_s$k")
+    }
+    shingleRows(df, textCol, idCol, shingleN)
+      .groupBy("id")
+      .agg(aggs.head, aggs.tail: _*)
+  }
+
+  /** MinHash-LSH candidate pairs on the portable family — same
+    * pipeline as [[Dedup.minhashLshPairs]] (band the signature, shuffle
+    * on (band, bucket), pair within buckets, estimate Jaccard from
+    * agreeing slots) with md5-derived slots and buckets.
+    *
+    * Output: id_a, id_b, jaccard (estimated, k/numHashes — exact in
+    * binary, no rounding needed).
+    */
+  def minhashLshPairs(
+      df: DataFrame,
+      textCol: String,
+      idCol: String,
+      shingleN: Int = 3,
+      numHashes: Int = 16,
+      bands: Int = 4,
+      threshold: Double = 0.5
+  ): DataFrame = {
+    require(
+      bands > 0 && numHashes % bands == 0 && numHashes / bands > 0,
+      s"numHashes ($numHashes) must be a positive multiple of bands ($bands)"
+    )
+    val r = numHashes / bands
+    val sigs = minhashSignatures(df, textCol, idCol, shingleN, numHashes)
+    val sigArr = array((0 until numHashes).map(k => col(s"_s$k")): _*)
+    val bandStructs = array((0 until bands).map { b =>
+      struct(
+        lit(b).as("band"),
+        md5(concat_ws("|", (0 until r).map(j => col(s"_s${b * r + j}")): _*)).as("bucket")
+      )
+    }: _*)
+    val banded = sigs
+      .select(col("id"), sigArr.as("sig"), explode(bandStructs).as("bh"))
+      .select(
+        col("id"),
+        col("sig"),
+        col("bh.band").as("band"),
+        col("bh.bucket").as("bucket")
+      )
+    val agree = (0 until numHashes)
+      .map(k => when(element_at(col("_sa"), k + 1) === element_at(col("_sb"), k + 1), 1).otherwise(0))
+      .reduce(_ + _)
+    banded
+      .as("a")
+      .join(banded.as("b"), Seq("band", "bucket"))
+      .where(col("a.id") < col("b.id"))
+      .select(
+        col("a.id").as("id_a"),
+        col("b.id").as("id_b"),
+        col("a.sig").as("_sa"),
+        col("b.sig").as("_sb")
+      )
+      .withColumn("jaccard", agree.cast("double") / numHashes)
+      .where(col("jaccard") >= threshold)
+      .select("id_a", "id_b", "jaccard")
+      .distinct()
+  }
+
+  /** Portable 60-bit SimHash signatures `(id, sig)`: bit j of the
+    * signature is the sign of the per-token +-1 vote on bit j of
+    * md5(token) (bit j = bit (j%4) of hex nibble j/4). Explode tokens →
+    * 60 codegen'd CASE sums in one partial-aggregatable groupBy → pack.
+    */
+  def simhashSignatures(df: DataFrame, textCol: String, idCol: String): DataFrame = {
+    val h = md5(col("tok"))
+    val votes = (0 until 60).map { j =>
+      val nib = conv(substring(h, j / 4 + 1, 1), 16, 10).cast("int")
+      val bit = shiftright(nib, j % 4).bitwiseAND(lit(1))
+      sum(when(bit === 1, 1).otherwise(-1)).as(s"_v$j")
+    }
+    val sig = (0 until 60)
+      .map(j => when(col(s"_v$j") > 0, lit(1L << j)).otherwise(lit(0L)))
+      .reduce(_ + _)
+    df.select(col(idCol).as("id"), explode(split(col(textCol), " ")).as("tok"))
+      .groupBy("id")
+      .agg(votes.head, votes.tail: _*)
+      .select(col("id"), sig.as("sig"))
+  }
+
+  /** Portable SimHash near-dup pairs, Hamming distance <= maxHamming
+    * over the 60-bit signatures. Same pigeonhole candidate generation
+    * as [[Dedup.simhashPairs]]: maxHamming+1 chunks — any pair within
+    * maxHamming bits agrees exactly on at least one chunk, so the
+    * shuffle key is (chunk, chunk_value), never all-pairs.
+    *
+    * Output: id_a, id_b, hamming.
+    */
+  def simhashPairs(
+      df: DataFrame,
+      textCol: String,
+      idCol: String,
+      maxHamming: Int = 3
+  ): DataFrame = {
+    require(maxHamming >= 0 && maxHamming < 60, s"maxHamming out of range: $maxHamming")
+    val chunks = maxHamming + 1
+    // chunk c covers bits [c*60/chunks, (c+1)*60/chunks) — uneven
+    // chunk widths still cover all 60 bits, which is all the
+    // pigeonhole argument needs
+    val bounds = (0 to chunks).map(c => c * 60 / chunks)
+    val sigs = simhashSignatures(df, textCol, idCol)
+    val chunked = sigs.select(
+      col("id"),
+      col("sig"),
+      explode(array((0 until chunks).map { c =>
+        val lo = bounds(c)
+        val width = bounds(c + 1) - lo
+        struct(
+          lit(c).as("chunk"),
+          shiftright(col("sig"), lo).bitwiseAND(lit((1L << width) - 1)).as("ck")
+        )
+      }: _*)).as("ch")
+    )
+    val a = chunked.select(
+      col("ch.chunk").as("chunk"),
+      col("ch.ck").as("ck"),
+      col("id").as("id_a"),
+      col("sig").as("_siga")
+    )
+    val b = chunked.select(
+      col("ch.chunk").as("chunk"),
+      col("ch.ck").as("ck"),
+      col("id").as("id_b"),
+      col("sig").as("_sigb")
+    )
+    a.join(b, Seq("chunk", "ck"))
+      .where(col("id_a") < col("id_b"))
+      .select(
+        col("id_a"),
+        col("id_b"),
+        bit_count(col("_siga").bitwiseXOR(col("_sigb"))).as("hamming")
+      )
+      .where(col("hamming") <= maxHamming)
+      .distinct()
+  }
+}

@@ -1,16 +1,19 @@
 package graft.queries
 
 import graft.Tables
-import graft.dedup.Dedup
+import graft.dedup.{Dedup, PortableDedup}
 import graft.similarity.Similarity
 import org.apache.spark.sql.functions._
 
 /** Deduplication queries (SURVEY §2.4) over `documents`/`embeddings`.
   *
-  * MinHash-LSH and SimHash signatures depend on engine hash functions
-  * (xxhash64) that DuckDB cannot reproduce — those two are rows-only
-  * checks; their correctness is covered by ScalaTest specs with
-  * hand-built duplicate corpora.
+  * The LSH/SimHash queries run the PORTABLE md5-derived signature
+  * family ([[graft.dedup.PortableDedup]]), whose entire pipeline —
+  * signatures, bands, candidate pairs, sweeps — a DuckDB oracle
+  * reproduces exactly, so all four sit under the driver's hash-compare
+  * gate. The XXH64 throughput family ([[graft.dedup.Dedup]]) computes
+  * the same pipeline shapes with engine-native kernels and is covered
+  * by ScalaTest exactness specs (DedupSpec) instead.
   */
 object DedupQueries extends QueryPack {
 
@@ -41,21 +44,137 @@ object DedupQueries extends QueryPack {
       ORDER BY doc_id""")
   )
 
+  // ---- portable-minhash oracle CTE chain ------------------------------
+  // Mirrors PortableDedup.minhashLshPairs step by step: shingles →
+  // per-seed md5 minima → band buckets → bucket self-join → slot-
+  // agreement Jaccard. `mp` = (id_a, id_b, jaccard). Emitted as WITH
+  // RECURSIVE so the component query can extend the same chain with a
+  // recursive reachability CTE.
+  private def minhashCte(shingleN: Int, numHashes: Int, bands: Int): String = {
+    val r = numHashes / bands
+    val slots = (0 until numHashes)
+      .map(k => s"min(md5('$k:' || shingle)) AS s$k")
+      .mkString(", ")
+    val sigList = (0 until numHashes).map(k => s"s$k").mkString("[", ", ", "]")
+    val bandSelects = (0 until bands)
+      .map { b =>
+        val cat = (0 until r).map(j => s"s${b * r + j}").mkString(", ")
+        s"SELECT doc_id, $b AS band, md5(concat_ws('|', $cat)) AS bucket, $sigList AS sig FROM sig"
+      }
+      .mkString("\nUNION ALL\n")
+    val agree = (1 to numHashes)
+      .map(k => s"CASE WHEN sa[$k] = sb[$k] THEN 1 ELSE 0 END")
+      .mkString(" + ")
+    s"""WITH RECURSIVE docs AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+      idx AS (SELECT doc_id, toks, unnest(range(1, len(toks) - ${shingleN - 2})) AS i
+              FROM docs WHERE len(toks) >= $shingleN),
+      sh AS (SELECT doc_id,
+               array_to_string(list_slice(toks, i, i + ${shingleN - 1}), ' ') AS shingle
+             FROM idx),
+      sig AS (SELECT doc_id, $slots FROM sh GROUP BY doc_id),
+      banded AS ($bandSelects),
+      cand AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b, a.sig AS sa, b.sig AS sb
+        FROM banded a JOIN banded b
+          ON a.band = b.band AND a.bucket = b.bucket AND a.doc_id < b.doc_id),
+      mp AS (SELECT id_a, id_b, ($agree) / ${numHashes}.0 AS jaccard FROM cand)"""
+  }
+
   private val minhashQ = Q(
     fn = (s, d) =>
-      Dedup
+      PortableDedup
         .minhashLshPairs(Tables.documents(s, d), "text", "doc_id", threshold = 0.3)
-        .withColumn("jaccard", round6(col("jaccard")))
         .orderBy("id_a", "id_b"),
-    oracle = None // engine-hash-dependent signatures
+    oracle = Some(s"""${minhashCte(3, 16, 4)}
+      SELECT id_a, id_b, jaccard FROM mp WHERE jaccard >= 0.3 ORDER BY id_a, id_b""")
   )
+
+  private val sweepQ = Q(
+    fn = (s, d) => {
+      val docs = Tables.documents(s, d)
+      Dedup
+        .nearDupSweep(
+          docs,
+          PortableDedup.minhashLshPairs(docs, "text", "doc_id", threshold = 0.5),
+          "doc_id"
+        )
+        .select(col("doc_id"))
+        .orderBy("doc_id")
+    },
+    oracle = Some(s"""${minhashCte(3, 16, 4)}
+      SELECT doc_id FROM documents
+      WHERE doc_id NOT IN (SELECT id_b FROM mp WHERE jaccard >= 0.5)
+      ORDER BY doc_id""")
+  )
+
+  private val componentQ = Q(
+    fn = (s, d) => {
+      val docs = Tables.documents(s, d)
+      Dedup
+        .componentSweep(
+          docs,
+          PortableDedup.minhashLshPairs(docs, "text", "doc_id", threshold = 0.5),
+          "doc_id"
+        )
+        .select(col("doc_id"))
+        .orderBy("doc_id")
+    },
+    // min-label connected components as a recursive reachability CTE:
+    // label(v) = min over all vertices reachable from v (incl. v)
+    oracle = Some(s"""${minhashCte(3, 16, 4)},
+      pr AS (SELECT id_a, id_b FROM mp WHERE jaccard >= 0.5),
+      edges AS (SELECT id_a AS src, id_b AS dst FROM pr
+                UNION SELECT id_b, id_a FROM pr),
+      reach AS (SELECT src AS id, src AS r FROM edges
+                UNION
+                SELECT e.src, reach.r FROM edges e JOIN reach ON e.dst = reach.id),
+      lbl AS (SELECT id, min(r) AS label FROM reach GROUP BY id)
+      SELECT doc_id FROM documents
+      WHERE doc_id NOT IN (SELECT id FROM lbl WHERE id <> label)
+      ORDER BY doc_id""")
+  )
+
+  // ---- portable-simhash oracle --------------------------------------
+  // Mirrors PortableDedup.simhashPairs: 60-bit signature from md5
+  // nibbles, pigeonhole chunking, chunk-join, popcount filter.
+  private def simhashSql(maxHamming: Int): String = {
+    val chunks = maxHamming + 1
+    val bounds = (0 to chunks).map(c => c * 60 / chunks)
+    val votes = (0 until 60)
+      .map { j =>
+        val p = j / 4 + 1
+        val s = j % 4
+        s"sum(CASE WHEN (((instr('0123456789abcdef', substr(h, $p, 1)) - 1) >> $s) & 1) = 1 " +
+          s"THEN 1 ELSE -1 END) AS v$j"
+      }
+      .mkString(", ")
+    val sig = (0 until 60)
+      .map(j => s"CASE WHEN v$j > 0 THEN ${1L << j} ELSE 0 END")
+      .mkString(" + ")
+    val chunkSelects = (0 until chunks)
+      .map { c =>
+        val lo = bounds(c)
+        val mask = (1L << (bounds(c + 1) - lo)) - 1
+        s"SELECT doc_id, sig, $c AS chunk, (sig >> $lo) & $mask AS ck FROM sigs"
+      }
+      .mkString("\nUNION ALL\n")
+    s"""WITH toks AS (SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents),
+      th AS (SELECT doc_id, md5(tok) AS h FROM toks),
+      votes AS (SELECT doc_id, $votes FROM th GROUP BY doc_id),
+      sigs AS (SELECT doc_id, CAST($sig AS BIGINT) AS sig FROM votes),
+      ch AS ($chunkSelects),
+      sp AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b,
+               CAST(bit_count(xor(a.sig, b.sig)) AS INT) AS hamming
+        FROM ch a JOIN ch b ON a.chunk = b.chunk AND a.ck = b.ck AND a.doc_id < b.doc_id
+        WHERE bit_count(xor(a.sig, b.sig)) <= $maxHamming)
+      SELECT id_a, id_b, hamming FROM sp ORDER BY id_a, id_b"""
+  }
 
   private val simhashQ = Q(
     fn = (s, d) =>
-      Dedup
+      PortableDedup
         .simhashPairs(Tables.documents(s, d), "text", "doc_id", maxHamming = 3)
         .orderBy("id_a", "id_b"),
-    oracle = None // engine-hash-dependent signatures
+    oracle = Some(simhashSql(3))
   )
 
   private val embCosQ = Q(
@@ -79,28 +198,24 @@ object DedupQueries extends QueryPack {
       SELECT id_a, id_b, sim FROM p WHERE sim >= 0.3 ORDER BY id_a, id_b""")
   )
 
-  private val sweepQ = Q(
+  // The XXH64 throughput family stays exercised by the driver as
+  // rows-only checks through these two variants; exactness is asserted
+  // in DedupSpec against plain-JVM recomputation of the kernels.
+  private val minhashFastQ = Q(
     fn = (s, d) =>
       Dedup
-        .minhashDedup(Tables.documents(s, d), "text", "doc_id", threshold = 0.5)
-        .select(col("doc_id"))
-        .orderBy("doc_id"),
-    oracle = None // pair generation is engine-hash-dependent
+        .minhashLshPairs(Tables.documents(s, d), "text", "doc_id", threshold = 0.3)
+        .withColumn("jaccard", round6(col("jaccard")))
+        .orderBy("id_a", "id_b"),
+    oracle = None // XXH64 signatures — spec-covered (DedupSpec)
   )
 
-  private val componentQ = Q(
-    fn = (s, d) => {
-      val docs = Tables.documents(s, d)
+  private val simhashFastQ = Q(
+    fn = (s, d) =>
       Dedup
-        .componentSweep(
-          docs,
-          Dedup.minhashLshPairs(docs, "text", "doc_id", threshold = 0.5),
-          "doc_id"
-        )
-        .select(col("doc_id"))
-        .orderBy("doc_id")
-    },
-    oracle = None // pair generation is engine-hash-dependent
+        .simhashPairs(Tables.documents(s, d), "text", "doc_id", maxHamming = 3)
+        .orderBy("id_a", "id_b"),
+    oracle = None // XXH64 signatures — spec-covered (DedupSpec)
   )
 
   val queries: Map[String, Q] = Map(
@@ -110,6 +225,8 @@ object DedupQueries extends QueryPack {
     "dedup_exact_normalized" -> exactNormQ,
     "dedup_minhash_lsh" -> minhashQ,
     "dedup_simhash" -> simhashQ,
+    "dedup_minhash_lsh_xxh64" -> minhashFastQ,
+    "dedup_simhash_xxh64" -> simhashFastQ,
     "dedup_embedding_cosine" -> embCosQ
   )
 }

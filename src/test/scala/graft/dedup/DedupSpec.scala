@@ -121,6 +121,85 @@ class DedupSpec extends SparkSpec {
     }
   }
 
+  test("XXH64 minhash-LSH pairs exactly match a plain-JVM recomputation") {
+    // Independent exactness check for the non-oracle family: recompute
+    // every signature with direct HashKernels calls (no Spark), derive
+    // the expected pair set by brute force — a pair is expected iff the
+    // signatures agree on at least one FULL band (band-bucket equality
+    // == band-content equality modulo a ~2^-64 hash collision) and the
+    // slot-agreement Jaccard clears the threshold.
+    import graft.functions.HashKernels
+    import org.apache.spark.unsafe.types.UTF8String
+    val numHashes = 32; val bands = 16; val rpb = numHashes / bands
+    val threshold = 0.4
+    val docs = corpus.select("doc_id", "text").as[(Long, String)].collect()
+    val sigs = docs.flatMap { case (id, text) =>
+      val th = HashKernels.tokenHashes(UTF8String.fromString(text))
+      val sh = HashKernels.shingleHashes(th, 3)
+      if (sh.numElements() == 0) None
+      else Some(id -> HashKernels.minhashSignature(sh, numHashes).toLongArray())
+    }.toMap
+    val expected = (for {
+      (a, sa) <- sigs; (b, sb) <- sigs if a < b
+      bandHit = (0 until bands).exists(bd =>
+        (0 until rpb).forall(j => sa(bd * rpb + j) == sb(bd * rpb + j)))
+      jac = (0 until numHashes).count(k => sa(k) == sb(k)).toDouble / numHashes
+      if bandHit && jac >= threshold
+    } yield (a, b, jac)).toSet
+    val got = Dedup
+      .minhashLshPairs(corpus, "text", "doc_id", numHashes = numHashes, bands = bands, threshold = threshold)
+      .as[(Long, Long, Double)]
+      .collect()
+      .toSet
+    assert(got == expected, s"got $got expected $expected")
+    assert(expected.nonEmpty) // the corpus plants near-dups; empty = vacuous
+  }
+
+  test("XXH64 simhash pairs exactly match brute-force Hamming over JVM signatures") {
+    // Validates the pigeonhole chunk join recalls EVERY pair within
+    // maxHamming — expected set is all-pairs popcount, no chunking.
+    import graft.functions.HashKernels
+    import org.apache.spark.unsafe.types.UTF8String
+    val maxHamming = 3
+    val docs = corpus.select("doc_id", "text").as[(Long, String)].collect()
+    val sigs = docs.map { case (id, text) =>
+      id -> HashKernels.simhash64(HashKernels.tokenHashes(UTF8String.fromString(text)))
+    }.toMap
+    val expected = (for {
+      (a, sa) <- sigs; (b, sb) <- sigs if a < b
+      h = java.lang.Long.bitCount(sa ^ sb)
+      if h <= maxHamming
+    } yield (a, b, h)).toSet
+    val got = Dedup
+      .simhashPairs(corpus, "text", "doc_id", maxHamming = maxHamming)
+      .as[(Long, Long, Int)]
+      .collect()
+      .toSet
+    assert(got == expected, s"got $got expected $expected")
+  }
+
+  test("portable md5 family finds the same planted near-dups as the XXH64 family") {
+    val pairs = graft.dedup.PortableDedup
+      .minhashLshPairs(corpus, "text", "doc_id", numHashes = 32, bands = 16, threshold = 0.4)
+      .select("id_a", "id_b")
+      .as[(Long, Long)]
+      .collect()
+      .toSet
+    // exact dup 1-2 and near-dups of 1 must surface; unrelated 5 must not
+    assert(pairs.contains((1L, 2L)))
+    assert(pairs.exists(p => p._1 == 1L && p._2 == 4L) || pairs.contains((2L, 4L)))
+    assert(!pairs.exists(p => p._1 == 5L || p._2 == 5L))
+  }
+
+  test("portable simhash pairs exact dups at Hamming 0") {
+    val pairs = graft.dedup.PortableDedup
+      .simhashPairs(corpus, "text", "doc_id", maxHamming = 3)
+      .as[(Long, Long, Int)]
+      .collect()
+    assert(pairs.exists(p => p._1 == 1L && p._2 == 2L && p._3 == 0))
+    assert(pairs.forall(p => p._3 <= 3))
+  }
+
   test("signatures are deterministic across evaluations") {
     val s1 = Dedup
       .minhashLshPairs(corpus, "text", "doc_id", threshold = 0.3)
