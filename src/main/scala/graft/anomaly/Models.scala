@@ -122,6 +122,49 @@ case class HoltLinear(alpha: Double = 0.5, beta: Double = 0.5, horizon: Int = 8)
   }
 }
 
+/** Learned-seasonality forecast: fills the reference's AutoML slot
+  * (AutoSarima/AutoProphet, thoth/anomaly/models.py:184-241) with a
+  * model that LEARNS its seasonality period per series — as a pure
+  * window expression, so "fitting" 10^5 series is still one window
+  * exchange, no per-series driver training.
+  *
+  * Per row: each candidate period p is scored by the mean absolute
+  * seasonal difference over the last `h` steps,
+  * score(p) = mean_{j=1..h} |value(t-j) - value(t-j-p)| — the
+  * discrete analog of picking the autocorrelation-maximizing lag; the
+  * lowest score wins (ties -> earlier candidate). Forecast =
+  * value(t-p*) + drift*p*, where drift is the mean first difference
+  * over the last h steps ((value(t-1) - value(t-h-1))/h, telescoped) —
+  * so a series with seasonality AND linear trend is forecast exactly,
+  * where plain SeasonalNaive lags by slope*period. NULL until
+  * h + max(candidates) points of history exist.
+  */
+case class AutoSeasonal(candidates: Seq[Int] = Seq(7, 14), h: Int = 7)
+    extends ForecastModel {
+  require(candidates.nonEmpty && candidates.forall(_ > 0) && h > 0)
+  val name = s"AutoSeasonal-${candidates.mkString("_")}-$h"
+  def forecast(value: Column, w: WindowSpec): Column = {
+    val need = h + candidates.max
+    def lagv(j: Int) = lag(value, j).over(w)
+    val haveAll = count(value).over(w.rowsBetween(-need, -1)) === lit(need)
+    val drift = (lagv(1) - lagv(h + 1)) / h
+    val scores = candidates.map { p =>
+      p -> (1 to h).map(j => abs(lagv(j) - lagv(j + p))).reduce(_ + _) / h
+    }
+    // argmin with first-candidate tie preference: candidate i wins when
+    // its score is <= every later candidate's score
+    val pick = scores.zipWithIndex.foldRight(lit(null).cast("double")) {
+      case (((p, s), i), elseCol) =>
+        val cond = scores
+          .drop(i + 1)
+          .map(_._2)
+          .foldLeft(lit(true))((acc, s2) => acc && s <= s2)
+        when(cond, lagv(p) + drift * p).otherwise(elseCol)
+    }
+    when(haveAll, pick)
+  }
+}
+
 /** Model factory (reference: thoth/anomaly/models.py:244-277). */
 object Models {
   /** The reference SimpleModel's candidate windows. */
@@ -134,8 +177,10 @@ object Models {
   def default: Seq[ForecastModel] =
     trailingMeans() ++ Seq(SeasonalNaive(7), Ewma())
 
-  /** Extended family: default + trend-aware Holt. */
-  def extended: Seq[ForecastModel] = default :+ HoltLinear()
+  /** Extended family: default + trend-aware Holt + learned-period
+    * seasonal (the AutoML slot).
+    */
+  def extended: Seq[ForecastModel] = default ++ Seq(HoltLinear(), AutoSeasonal())
 
   /** Simple family (reference SimpleModelFactory): trailing means only. */
   def simple: Seq[ForecastModel] = trailingMeans()

@@ -43,6 +43,10 @@ object Quickstart {
     println(s"=== assessment: healthy=${assessment.isHealthy} ===")
     assessment.anomalous.foreach(a => println(s"  ANOMALY: $a"))
 
+    // D: static HTML dashboard (the reference UI's views, server-less).
+    val report = graft.report.HtmlReport.write(repo, uri, "/tmp/graft-quickstart-report.html")
+    println(s"=== report written: $report ===")
+
     spark.stop()
   }
 }

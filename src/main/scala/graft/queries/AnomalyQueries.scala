@@ -97,6 +97,32 @@ object AnomalyQueries extends QueryPack {
         END"""
   }
 
+  /** Exact SQL mirror of [[graft.anomaly.AutoSeasonal]] — candidate
+    * scores, tie-preferring argmin CASE chain, drift term and history
+    * guard all repeat the Column expression's operation order.
+    */
+  private def autoSeasonalSql(candidates: Seq[Int], h: Int): String = {
+    val lagw = "(PARTITION BY event_type ORDER BY ts)"
+    def lagv(j: Int) = s"lag(value, $j) OVER $lagw"
+    val need = h + candidates.max
+    val drift = s"((${lagv(1)} - ${lagv(h + 1)}) / $h)"
+    val scores = candidates.map { p =>
+      p -> (1 to h)
+        .map(j => s"abs(${lagv(j)} - ${lagv(j + p)})")
+        .mkString("(", " + ", s") / $h")
+    }
+    val whens = scores.zipWithIndex
+      .map { case ((p, s), i) =>
+        val cond = (Seq("TRUE") ++ scores.drop(i + 1).map { case (_, s2) => s"($s) <= ($s2)" })
+          .mkString(" AND ")
+        s"WHEN $cond THEN (${lagv(p)} + $drift * $p)"
+      }
+      .mkString(" ")
+    s"""CASE WHEN count(value) OVER (PARTITION BY event_type ORDER BY ts
+        ROWS BETWEEN $need PRECEDING AND 1 PRECEDING) = $need
+        THEN (CASE $whens END) END"""
+  }
+
   private val apeSql =
     """CASE WHEN abs(value) < 0.0001 OR predicted IS NULL THEN NULL
        ELSE least(abs(value - predicted) / abs(value), 1.0) END"""
@@ -136,7 +162,13 @@ object AnomalyQueries extends QueryPack {
            AND c.t = th.threshold)"""
 
   private val tmModels = Seq(3, 5, 7).map(w => (s"TrailingMean-$w", tmSql(w)))
-  private val bestModels = tmModels :+ ("SeasonalNaive-7", snSql(7))
+  // candidates {2,7} with h=4 keep the history requirement (h+7=11)
+  // inside the 30-day series' 12-point training prefix
+  private val autoModel = AutoSeasonal(Seq(2, 7), 4)
+  private val bestModels = tmModels ++
+    Seq(("SeasonalNaive-7", snSql(7)), (autoModel.name, autoSeasonalSql(Seq(2, 7), 4)))
+  private val bestModelSet = Models.trailingMeans(Seq(3, 5, 7)) ++
+    Seq(SeasonalNaive(7), autoModel)
 
   private val bestModelSelSql =
     s"""SELECT event_type, model AS best_model, greatest(threshold, 0.1) AS threshold,
@@ -208,7 +240,7 @@ object AnomalyQueries extends QueryPack {
         .optimize(
           series(s, d),
           seriesCols,
-          cfg = cfg(Models.trailingMeans(Seq(3, 5, 7)) :+ SeasonalNaive(7))
+          cfg = cfg(bestModelSet)
         )
         .select(
           col("event_type"),
@@ -226,7 +258,7 @@ object AnomalyQueries extends QueryPack {
 
   private def scoreDf(s: SparkSession, d: String): DataFrame = {
     val ser = series(s, d)
-    val c = cfg(Models.trailingMeans(Seq(3, 5, 7)) :+ SeasonalNaive(7))
+    val c = cfg(bestModelSet)
     Scorer.score(ser, Optimizer.optimize(ser, seriesCols, cfg = c), seriesCols, cfg = c)
   }
 
@@ -258,7 +290,7 @@ object AnomalyQueries extends QueryPack {
   private val assess = Q(
     fn = (s, d) => {
       val ser = series(s, d)
-      val c = cfg(Models.trailingMeans(Seq(3, 5, 7)) :+ SeasonalNaive(7))
+      val c = cfg(bestModelSet)
       val opt = Optimizer.optimize(ser, seriesCols, cfg = c)
       Quality
         .assess(Scorer.score(ser, opt, seriesCols, cfg = c), opt, seriesCols)
@@ -283,6 +315,7 @@ object AnomalyQueries extends QueryPack {
     "anomaly_forecast_seasonal" -> forecastQuery(SeasonalNaive(7), snSql(7)),
     "anomaly_forecast_ewma" -> forecastQuery(Ewma(0.5, 8), ewmaSql(0.5, 8)),
     "anomaly_forecast_holt" -> forecastQuery(HoltLinear(0.5, 0.5, 8), holtSql(0.5, 0.5, 8)),
+    "anomaly_forecast_auto" -> forecastQuery(autoModel, autoSeasonalSql(Seq(2, 7), 4)),
     "anomaly_best_window" -> bestWindow,
     "anomaly_threshold" -> threshold,
     "anomaly_best_model" -> bestModel,

@@ -1,0 +1,199 @@
+package graft.report
+
+import graft.repository.MetricsRepository
+import org.apache.spark.sql.functions._
+
+/** Static HTML report over a dataset's stored metrics, optimizations
+  * and scores — the server-less equivalent of the reference's
+  * Streamlit dashboard (ui.py:97-294: profiling charts per instance,
+  * optimization summary with best model + threshold, scoring view with
+  * per-metric anomaly flags).
+  *
+  * Rendering is DRIVER-side by design: the inputs are the repository's
+  * per-dataset aggregates (days x metrics — already small; the same
+  * frames the reference UI loads into browser memory), capped at
+  * `maxPointsPerSeries` newest points per series and `maxSeries`
+  * series. Charts are inline SVG — the report is one self-contained
+  * file with zero external assets, viewable anywhere.
+  */
+object HtmlReport {
+
+  private def esc(s: String): String =
+    s.replace("&", "&amp;").replace("<", "&lt;").replace(">", "&gt;").replace("\"", "&quot;")
+
+  /** Inline SVG line chart; `threshold` draws a dashed red rule at that
+    * y (scores view). Points arrive oldest-first.
+    */
+  private[report] def svgLine(
+      points: Seq[(java.sql.Timestamp, Double)],
+      threshold: Option[Double] = None,
+      w: Int = 560,
+      h: Int = 120
+  ): String = {
+    val vals = points.map(_._2) ++ threshold.toSeq
+    if (points.isEmpty) return "<svg class='chart' width='560' height='24'></svg>"
+    val (lo0, hi0) = (vals.min, vals.max)
+    val pad = math.max((hi0 - lo0) * 0.08, 1e-9)
+    val (lo, hi) = (lo0 - pad, hi0 + pad)
+    def x(i: Int) = if (points.size == 1) w / 2.0 else i.toDouble * (w - 20) / (points.size - 1) + 10
+    def y(v: Double) = h - 10 - (v - lo) / (hi - lo) * (h - 20)
+    val path = points.zipWithIndex
+      .map { case ((_, v), i) => f"${x(i)}%.1f,${y(v)}%.1f" }
+      .mkString(" ")
+    val rule = threshold
+      .map(t =>
+        f"""<line x1="10" y1="${y(t)}%.1f" x2="${w - 10}" y2="${y(t)}%.1f"
+            stroke="#c0392b" stroke-dasharray="4,3"/>""")
+      .getOrElse("")
+    val labels =
+      f"""<text x="2" y="12" class="axis">${hi0}%.4g</text>
+          <text x="2" y="${h - 2}" class="axis">${lo0}%.4g</text>"""
+    s"""<svg class="chart" width="$w" height="$h" viewBox="0 0 $w $h">
+        <polyline fill="none" stroke="#2c6e91" stroke-width="1.5" points="$path"/>
+        $rule$labels</svg>"""
+  }
+
+  /** Render the full report HTML for one dataset. */
+  def render(
+      repo: MetricsRepository,
+      datasetUri: String,
+      maxPointsPerSeries: Int = 500,
+      maxSeries: Int = 200
+  ): String = {
+    val meta = repo.getDataset(datasetUri)
+    val profiling = repo
+      .getProfiling(datasetUri)
+      .orderBy(col("entity"), col("instance"), col("name"), col("ts"))
+      .collect()
+      .map(r =>
+        (
+          (r.getAs[String]("entity"), r.getAs[String]("instance"), r.getAs[String]("name")),
+          (r.getAs[java.sql.Timestamp]("ts"), r.getAs[Double]("value"))
+        ))
+      .groupBy(_._1)
+      .view
+      .mapValues(_.map(_._2).toSeq.sortBy(_._1.getTime).takeRight(maxPointsPerSeries))
+      .toSeq
+      .sortBy(_._1)
+      .take(maxSeries)
+
+    val optimization =
+      try
+        repo
+          .getOptimization(datasetUri)
+          .orderBy("entity", "instance", "name")
+          .collect()
+          .toSeq
+      catch { case _: Exception => Seq.empty }
+
+    val scoring =
+      try
+        repo
+          .getScoring(datasetUri)
+          .orderBy(col("entity"), col("instance"), col("name"), col("ts"))
+          .collect()
+          .toSeq
+      catch { case _: Exception => Seq.empty }
+
+    val thresholds = optimization.map { r =>
+      (r.getAs[String]("entity"), r.getAs[String]("instance"), r.getAs[String]("name")) ->
+        r.getAs[Double]("threshold")
+    }.toMap
+
+    val metaHtml = meta
+      .map(m => s"""<ul>
+        <li>ts column: <code>${esc(m.tsColumn)}</code></li>
+        <li>granularity: <code>${esc(m.granularity)}</code></li>
+        <li>columns: ${m.columns.map(c => s"<code>${esc(c)}</code>").mkString(", ")}</li>
+        <li>${m.metrics.size} registered metrics</li></ul>""")
+      .getOrElse("<p>(no registered metadata)</p>")
+
+    val profilingHtml = profiling
+      .map { case ((entity, instance, name), pts) =>
+        s"""<div class="metric"><h4>${esc(entity)} / ${esc(instance)} / ${esc(name)}</h4>
+            ${svgLine(pts)}
+            <p class="stats">n=${pts.size} last=${pts.lastOption.map(_._2).getOrElse(Double.NaN)}</p></div>"""
+      }
+      .mkString("\n")
+
+    val optHtml =
+      if (optimization.isEmpty) "<p>⚠ No optimization stored for this dataset.</p>"
+      else {
+        val rows = optimization
+          .map { r =>
+            val failed = r.getAs[Boolean]("optimization_failed")
+            val cls = if (failed) " class=\"failed\"" else ""
+            s"""<tr$cls><td>${esc(r.getAs[String]("instance"))}</td>
+              <td>${esc(r.getAs[String]("name"))}</td>
+              <td><code>${Option(r.getAs[String]("best_model")).map(esc).getOrElse("—")}</code></td>
+              <td>${r.getAs[Any]("threshold")}</td>
+              <td>${r.getAs[Any]("mean_error")}</td>
+              <td>${if (failed) "FAILED" else "ok"}</td></tr>"""
+          }
+          .mkString("\n")
+        s"""<table><tr><th>instance</th><th>metric</th><th>best model</th>
+            <th>threshold</th><th>mean error</th><th>status</th></tr>$rows</table>"""
+      }
+
+    val scoringBySeries = scoring
+      .map(r =>
+        (
+          (r.getAs[String]("entity"), r.getAs[String]("instance"), r.getAs[String]("name")),
+          (r.getAs[java.sql.Timestamp]("ts"), r.getAs[Double]("score"))
+        ))
+      .groupBy(_._1)
+      .view
+      .mapValues(_.map(_._2).sortBy(_._1.getTime).takeRight(maxPointsPerSeries))
+      .toSeq
+      .sortBy(_._1)
+      .take(maxSeries)
+
+    val scoringHtml =
+      if (scoringBySeries.isEmpty) "<p>⚠ No scoring stored for this dataset.</p>"
+      else
+        scoringBySeries
+          .map { case (key @ (entity, instance, name), pts) =>
+            val t = thresholds.get(key)
+            val (lastTs, lastScore) = pts.last
+            val anomalous = t.exists(th => lastScore.isNaN || lastScore > th)
+            val flag =
+              if (anomalous) s"""<p class="alert">🔴 anomaly at $lastTs (score=$lastScore)</p>"""
+              else s"""<p class="ok">🟢 $lastTs within expectations (score=$lastScore)</p>"""
+            s"""<div class="metric"><h4>${esc(entity)} / ${esc(instance)} / ${esc(name)}
+                ${t.map(v => f"(threshold $v%.3f)").getOrElse("")}</h4>
+                $flag${svgLine(pts, threshold = t)}</div>"""
+          }
+          .mkString("\n")
+
+    s"""<!DOCTYPE html><html><head><meta charset="utf-8">
+      <title>graft report — ${esc(datasetUri)}</title>
+      <style>
+        body { font-family: sans-serif; margin: 2em; max-width: 72em; }
+        h2 { border-bottom: 1px solid #ccc; padding-bottom: 4px; }
+        table { border-collapse: collapse; } td, th { border: 1px solid #ccc; padding: 4px 8px; }
+        tr.failed { background: #fdecea; }
+        .alert { color: #c0392b; font-weight: bold; } .ok { color: #1e8449; }
+        .metric { margin-bottom: 1em; } .stats, .axis { color: #666; font-size: 11px; }
+      </style></head><body>
+      <h1>graft quality report</h1>
+      <h2>Dataset <code>${esc(datasetUri)}</code></h2>$metaHtml
+      <h2>Profiling metrics</h2>$profilingHtml
+      <h2>Anomaly optimization</h2>$optHtml
+      <h2>Anomaly scoring</h2>$scoringHtml
+      </body></html>"""
+  }
+
+  /** Render and write the report; returns the written path. */
+  def write(
+      repo: MetricsRepository,
+      datasetUri: String,
+      path: String,
+      maxPointsPerSeries: Int = 500,
+      maxSeries: Int = 200
+  ): java.nio.file.Path = {
+    val p = java.nio.file.Paths.get(path)
+    Option(p.getParent).foreach(java.nio.file.Files.createDirectories(_))
+    java.nio.file.Files.writeString(p, render(repo, datasetUri, maxPointsPerSeries, maxSeries))
+    p
+  }
+}

@@ -109,12 +109,40 @@ class AnomalySpec extends SparkSpec {
       .head
     assert(out.getAs[Double]("holt_err") < 0.5) // near-exact on pure trend
     assert(out.getAs[Double]("tm_err") > 10.0) // trailing mean lags by ~4 steps
-    // and the optimizer picks Holt from the extended family
+    // and the optimizer picks a trend-aware model from the extended
+    // family (Holt and AutoSeasonal are both exact on a pure trend;
+    // the deterministic name tie-break decides between them)
     val opt = Optimizer
       .optimize(series, Seq("series"), cfg = Optimizer.Config(models = Models.extended))
       .collect()
       .head
-    assert(opt.getAs[String]("best_model").startsWith("HoltLinear"))
+    val best = opt.getAs[String]("best_model")
+    assert(best.startsWith("HoltLinear") || best.startsWith("AutoSeasonal"), best)
+  }
+
+  test("AutoSeasonal learns the period and beats SeasonalNaive-7 on weekly+trend") {
+    // Weekly multiplicative seasonality on a linear trend: plain
+    // seasonal-naive lags by slope*period; AutoSeasonal's drift term
+    // compensates (h=7 keeps the drift estimate phase-aligned).
+    val series = graft.testing.SyntheticSeries
+      .daily(spark, 70, trend = 0.5, period = 7, seasonalAmp = 0.1, noiseAmp = 0.005)
+      .withColumn("series", lit("weekly"))
+    val cfg = Optimizer.Config(models = Seq(SeasonalNaive(7), AutoSeasonal()))
+    val errs = Optimizer
+      .evaluate(series, Seq("series"), cfg = cfg)
+      .collect()
+      .map(r => r.getAs[String]("model") -> r.getAs[Double]("mean_error"))
+      .toMap
+    val auto = errs.collect { case (m, e) if m.startsWith("AutoSeasonal") => e }.head
+    val sn = errs("SeasonalNaive-7")
+    assert(auto < sn, s"AutoSeasonal $auto !< SeasonalNaive $sn")
+    // and it wins model selection from the full extended family
+    val best = Optimizer
+      .optimize(series, Seq("series"), cfg = Optimizer.Config(models = Models.extended))
+      .collect()
+      .head
+      .getAs[String]("best_model")
+    assert(best.startsWith("AutoSeasonal"), best)
   }
 
   test("threshold grid matches the reference's _find_best_threshold cases") {

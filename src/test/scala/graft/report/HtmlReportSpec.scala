@@ -1,0 +1,67 @@
+package graft.report
+
+import graft.SparkSpec
+import graft.profiler.ProfilingBuilder
+import graft.repository.InMemoryRepository
+import graft.service.Service
+import graft.testing.SyntheticSeries
+
+class HtmlReportSpec extends SparkSpec {
+
+  test("report renders metadata, profiling charts, optimization table and score flags") {
+    val repo = new InMemoryRepository()
+    val uri = "ds://report"
+    val history = SyntheticSeries.daily(spark, 40)
+    Service.profileCreate(history, uri, "ts", repo, ProfilingBuilder.simple)
+    Service.optimize(uri, repo)
+    Service.score(uri, repo)
+    val html = HtmlReport.render(repo, uri)
+    assert(html.contains("ds://report"))
+    assert(html.contains("granularity"))
+    // profiling charts: Mean + Completeness + Size series each get an SVG
+    assert(html.contains("Column / value / Mean"))
+    assert("<svg".r.findAllIn(html).size >= 3)
+    // optimization table with a selected model and status column
+    assert(html.contains("best model") && html.contains("TrailingMean") || html.contains("Ewma") || html.contains("SeasonalNaive"))
+    assert(html.contains("<td>ok</td>") || html.contains("ok"))
+    // scoring section with the healthy flag and the threshold rule
+    assert(html.contains("within expectations"))
+    assert(html.contains("stroke-dasharray"))
+  }
+
+  test("report flags anomalies and failed optimizations") {
+    import spark.implicits._
+    val repo = new InMemoryRepository()
+    val uri = "ds://report-bad"
+    def day(i: Int) = java.sql.Timestamp.valueOf(f"2024-01-${i + 1}%02d 00:00:00")
+    val good = (0 until 25).map(i => (day(i), "Column", "value", "Mean", 10.0))
+    val short = Seq(23, 24).map(i => (day(i), "Column", "broken", "Mean", 5.0))
+    repo.addProfiling(uri, (good ++ short).toDF("ts", "entity", "instance", "name", "value"))
+    Service.optimize(uri, repo)
+    Service.score(uri, repo)
+    // inject an anomalous score above threshold for the healthy series
+    repo.addScoring(
+      uri,
+      Seq((day(25), "Column", "value", "Mean", 30.0, 10.0, 0.9))
+        .toDF("ts", "entity", "instance", "name", "value", "predicted", "score")
+    )
+    val html = HtmlReport.render(repo, uri)
+    assert(html.contains("FAILED")) // the too-short series in the table
+    assert(html.contains("anomaly at")) // red flag on the injected score
+  }
+
+  test("report degrades gracefully with no optimization or scoring") {
+    val repo = new InMemoryRepository()
+    val uri = "ds://bare"
+    Service.profileCreate(
+      SyntheticSeries.daily(spark, 5),
+      uri,
+      "ts",
+      repo,
+      ProfilingBuilder.simple
+    )
+    val html = HtmlReport.render(repo, uri)
+    assert(html.contains("No optimization stored"))
+    assert(html.contains("No scoring stored"))
+  }
+}
