@@ -289,9 +289,12 @@ class ParquetRepository(spark: SparkSession, basePath: String) extends MetricsRe
     tsBounded(latest("scoring", uri, scoringKey, new InMemoryRepository().getScoring(uri)), start, end)
 
   /** Compact one dataset's partition of a table: resolve merge-on-read
-    * down to the latest row per key and rewrite the partition. Reads
-    * stay O(live rows) afterwards. Offline maintenance (Delta
-    * OPTIMIZE-style) — per dataset, no global lock.
+    * down to the latest row per key and rewrite the partition AS ONE
+    * FILE. Reads stay O(live rows) afterwards. Offline maintenance
+    * (Delta OPTIMIZE-style) — per dataset, no global lock.
+    * `retainSince` additionally drops rows with ts before the cutoff
+    * from the ts-keyed tables (profiling, scoring) — the retention
+    * sweep that keeps a years-long metric history bounded.
     *
     * Concurrent-append safety: the file set is SNAPSHOTTED first, the
     * resolved view reads exactly those files, each surviving row keeps
@@ -301,7 +304,7 @@ class ParquetRepository(spark: SparkSession, basePath: String) extends MetricsRe
     * read against the rewritten rows. All paths go through Hadoop FS
     * so any scheme (local/hdfs/s3a) works.
     */
-  def compact(uri: String): Unit = {
+  def compact(uri: String, retainSince: Option[java.sql.Timestamp] = None): Unit = {
     val tables = Seq(
       ("profiling", profilingKey),
       ("optimization", optimizationKey),
@@ -324,10 +327,15 @@ class ParquetRepository(spark: SparkSession, basePath: String) extends MetricsRe
             .withColumn("_rn", row_number().over(w))
             .where(col("_rn") === 1)
             .drop("_rn")
+          val retained = retainSince match {
+            case Some(cut) if df.columns.contains("ts") =>
+              resolved.where(col("ts") >= lit(cut))
+            case _ => resolved
+          }
           // staging key = the collision-free escaped partition value
           val staging = s"${path(table)}.staging_" +
             org.apache.spark.sql.catalyst.catalog.ExternalCatalogUtils.escapePathName(uri)
-          resolved.write.mode("overwrite").parquet(staging)
+          retained.coalesce(1).write.mode("overwrite").parquet(staging)
           snapshot.foreach(fs.delete(_, false))
           spark.read
             .parquet(staging)
@@ -338,5 +346,30 @@ class ParquetRepository(spark: SparkSession, basePath: String) extends MetricsRe
         }
       }
     }
+  }
+
+  /** File-count-gated maintenance: compact this dataset when any table
+    * partition holds more than `maxFiles` batch files. The check is one
+    * directory listing per table — cheap enough to call after every
+    * upsert, which keeps a year of daily appends permanently bounded at
+    * ~maxFiles files per partition instead of 365. Returns whether a
+    * compaction ran.
+    */
+  def maintain(
+      uri: String,
+      maxFiles: Int = 16,
+      retainSince: Option[java.sql.Timestamp] = None
+  ): Boolean = {
+    require(maxFiles > 0, s"maxFiles must be positive, got $maxFiles")
+    val needs = Seq("profiling", "optimization", "scoring").exists { table =>
+      val dir = partitionDir(table, uri)
+      fsExists(dir) && {
+        val hp = new org.apache.hadoop.fs.Path(dir)
+        val fs = hp.getFileSystem(spark.sparkContext.hadoopConfiguration)
+        fs.listStatus(hp).count(_.getPath.getName.endsWith(".parquet")) > maxFiles
+      }
+    }
+    if (needs) compact(uri, retainSince)
+    needs
   }
 }

@@ -130,6 +130,51 @@ class InvariantsSpec extends SparkSpec {
     graft.testing.DataFrameAssertions.assertDataFrameEquality(last, lastFromAll)
   }
 
+  test("custom hash expressions fuse into whole-stage codegen, calling the kernels directly") {
+    // Guards the doGenCode work: if an expression silently regressed to
+    // CodegenFallback, the projection would still run (interpreted,
+    // ~100x slower per row) and no functional spec would notice.
+    import graft.functions.hashExpressions
+    // spark.range source: a local Seq would be constant-folded into a
+    // LocalTableScan, leaving no codegen stage to inspect
+    val df = spark
+      .range(4)
+      .select(
+        concat_ws(" ", lit("a"), col("id").cast("string"), lit("b c d")).as("text"),
+        array(col("id").cast("float"), lit(2f), lit(3f)).as("va"),
+        array(lit(0.5f), lit(1f), col("id").cast("float")).as("vb")
+      )
+      .select(
+        hashExpressions
+          .minhashSignature(
+            hashExpressions.shingleHashes(hashExpressions.tokenHashes(col("text")), 2),
+            8
+          )
+          .as("mh"),
+        hashExpressions.simhash64(hashExpressions.tokenHashes(col("text"))).as("sh"),
+        hashExpressions.dotProduct(col("va"), col("vb")).as("dp")
+      )
+    val plan = df.queryExecution.executedPlan
+    val wsc = plan.collect { case w: org.apache.spark.sql.execution.WholeStageCodegenExec => w }
+    assert(wsc.nonEmpty, s"no WholeStageCodegen stage in:\n$plan")
+    // the Project carrying the signature expressions must live INSIDE a
+    // codegen stage (outside = the stage boundary broke around them)
+    val fused = wsc.exists(_.exists {
+      case p: org.apache.spark.sql.execution.ProjectExec =>
+        p.projectList.exists(_.exists(_.isInstanceOf[hashExpressions.MinHashSignature]))
+      case _ => false
+    })
+    assert(fused, s"signature Project not inside WholeStageCodegen:\n$plan")
+    // and the generated Java calls the static kernels — proof the
+    // expressions emitted real doGenCode, not a fallback wrapper
+    val gen = org.apache.spark.sql.execution.debug.codegenString(plan)
+    assert(gen.contains("graft.functions.HashKernels"), "kernels absent from generated code")
+    // the generated code must also actually compile and run
+    val rows = df.collect()
+    assert(rows.length == 4)
+    assert(rows.forall(r => r.getSeq[Long](0).length == 8 && !r.isNullAt(2)))
+  }
+
   test("plan shapes: q1 pushes filters to the scan; profiler is join-free single-agg") {
     val d = "/root/testdata/sf0.001"
     val q1 = SparkEntry.queries("q1_agg")(spark, d)

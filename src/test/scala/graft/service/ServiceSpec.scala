@@ -157,6 +157,39 @@ class ServiceSpec extends SparkSpec {
     assert(repo.getProfiling("u_c").where($"instance" === "a").collect().head.getAs[Double]("value") == 7.0)
   }
 
+  test("maintain keeps a long run of daily upserts bounded and retention drops old ts") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-maintain").toString
+    val repo = new ParquetRepository(spark, dir)
+    def day(i: Int) = java.sql.Timestamp.valueOf(f"2024-01-${i}%02d 00:00:00")
+    def files() = new java.io.File(s"$dir/profiling/dataset_uri=u_m")
+      .listFiles().count(_.getName.endsWith(".parquet"))
+    // a month of daily upserts with maintenance after each: the file
+    // count must stay bounded at maxFiles+1 (one compacted file plus
+    // at most maxFiles fresh batches), never reach 20
+    (1 to 20).foreach { i =>
+      repo.addProfiling(
+        "u_m",
+        Seq((day(i), "Column", "a", "Mean", i.toDouble))
+          .toDF("ts", "entity", "instance", "name", "value")
+      )
+      repo.maintain("u_m", maxFiles = 5)
+      assert(files() <= 6, s"day $i: ${files()} files")
+    }
+    // resolved view intact: all 20 days, latest values
+    assert(repo.getProfiling("u_m").count() == 20)
+    // retention: compact away everything before day 15
+    repo.compact("u_m", retainSince = Some(day(15)))
+    val kept = repo.getProfiling("u_m").orderBy("ts").collect()
+    assert(kept.length == 6 && kept.head.getAs[java.sql.Timestamp]("ts") == day(15))
+    // upserts after a retention compact still work
+    repo.addProfiling(
+      "u_m",
+      Seq((day(15), "Column", "a", "Mean", 99.0)).toDF("ts", "entity", "instance", "name", "value")
+    )
+    assert(repo.getProfiling("u_m").where($"ts" === day(15)).collect()
+      .head.getAs[Double]("value") == 99.0)
+  }
+
   test("parquet repository round-trips dataset metadata and latest-wins upserts") {
     val repo = newParquetRepo()
     repo.registerDataset(DatasetMeta("u1", "ts", Seq("a"), "DAY", Seq.empty))
