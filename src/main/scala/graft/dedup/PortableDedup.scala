@@ -35,25 +35,39 @@ object PortableDedup {
     * joined with single spaces. Documents with fewer than `n` tokens
     * produce no rows (mirrors [[Dedup.minhashLshPairs]]'s empty-shingle
     * filter).
+    *
+    * Shape note: shingles are rebuilt with `lead` over a posexploded
+    * token stream rather than `explode(positions)` + `slice(toks, i,
+    * n)` — the latter copies the WHOLE token array into every exploded
+    * row's unsafe buffer (O(tokens^2) bytes per document), which
+    * dominated the scan at bench scale. The window shuffles one small
+    * (id, pos, token) row per token instead.
     */
   def shingleRows(df: DataFrame, textCol: String, idCol: String, n: Int): DataFrame = {
     require(n > 0, s"shingle size must be positive, got $n")
-    df.select(col(idCol).as("id"), split(col(textCol), " ").as("_toks"))
-      .where(size(col("_toks")) >= n)
-      .select(
-        col("id"),
-        col("_toks"),
-        explode(sequence(lit(1), size(col("_toks")) - (n - 1))).as("_i")
+    val w = org.apache.spark.sql.expressions.Window.partitionBy("id").orderBy("pos")
+    val parts = col("tok") +: (1 until n).map(j => lead(col("tok"), j).over(w))
+    df.select(
+        col(idCol).as("id"),
+        posexplode(split(col(textCol), " ")).as(Seq("pos", "tok"))
       )
-      .select(
-        col("id"),
-        array_join(slice(col("_toks"), col("_i"), lit(n)), " ").as("shingle")
-      )
+      // the last n-1 positions have no full window; empty-string tokens
+      // are NOT null, so lead-null exactly marks the document tail
+      .select(col("id"), concat_ws(" ", parts: _*).as("shingle"), parts.last.as("_tail"))
+      .where(col("_tail").isNotNull)
+      .select(col("id"), col("shingle"))
   }
 
   /** Wide signature table `(id, _s0 .. _s{numHashes-1})` — one
     * partial-aggregatable groupBy (numHashes running string-minima per
     * id travel the shuffle, not the shingles).
+    *
+    * Each md5 yields FOUR independent 32-bit slots (disjoint 8-hex-char
+    * substrings of the uniformly mixed 128-bit digest), so numHashes
+    * slots cost ceil(numHashes/4) digests per shingle instead of
+    * numHashes — a 4x cut of the dominant scan cost. 32-bit slots keep
+    * min-collisions negligible at realistic shingle counts
+    * (P ~ shingles/2^32 per slot).
     */
   def minhashSignatures(
       df: DataFrame,
@@ -62,10 +76,14 @@ object PortableDedup {
       shingleN: Int,
       numHashes: Int
   ): DataFrame = {
+    val digests = (0 until (numHashes + 3) / 4).map { g =>
+      md5(concat(lit(s"$g:"), col("shingle"))).as(s"_d$g")
+    }
     val aggs = (0 until numHashes).map { k =>
-      min(md5(concat(lit(s"$k:"), col("shingle")))).as(s"_s$k")
+      min(substring(col(s"_d${k / 4}"), (k % 4) * 8 + 1, 8)).as(s"_s$k")
     }
     shingleRows(df, textCol, idCol, shingleN)
+      .select(col("id") +: digests: _*)
       .groupBy("id")
       .agg(aggs.head, aggs.tail: _*)
   }

@@ -52,8 +52,9 @@ object DedupQueries extends QueryPack {
   // recursive reachability CTE.
   private def minhashCte(shingleN: Int, numHashes: Int, bands: Int): String = {
     val r = numHashes / bands
+    // 4 slots per digest — mirrors PortableDedup.minhashSignatures
     val slots = (0 until numHashes)
-      .map(k => s"min(md5('$k:' || shingle)) AS s$k")
+      .map(k => s"min(substr(md5('${k / 4}:' || shingle), ${(k % 4) * 8 + 1}, 8)) AS s$k")
       .mkString(", ")
     val sigList = (0 until numHashes).map(k => s"s$k").mkString("[", ", ", "]")
     val bandSelects = (0 until bands)
