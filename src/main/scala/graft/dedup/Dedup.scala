@@ -180,26 +180,34 @@ object Dedup {
       "left_anti"
     )
 
-  /** Connected components of the near-dup pair graph via distributed
-    * min-label propagation: each vertex repeatedly adopts the smallest
-    * label among itself and its neighbors until fixpoint (or maxIter).
-    * Output: (id, label) where label = min id of the component.
+  /** Connected components of the near-dup pair graph via min-label
+    * propagation. Output: (id, label) where label = min id of the
+    * component.
     *
-    * The loop is a driver-side sequence of joins over the PAIR graph
-    * (edges << corpus rows); each iteration is one shuffle, lineage is
-    * truncated per iteration, and convergence needs at most
-    * O(log(diameter)) rounds on typical near-dup clusters (stars and
-    * short chains).
+    * Hybrid execution: the pair graph after LSH blocking is usually
+    * MANY orders of magnitude smaller than the corpus, and when it
+    * fits comfortably on the driver (<= `driverThreshold` directed
+    * edges) an exact union-find there replaces ~maxIter shuffle+count
+    * jobs with one collect — the same trade GraphX/GraphFrames make
+    * for small graphs. Larger graphs run the distributed loop: each
+    * vertex repeatedly adopts the smallest label among itself and its
+    * neighbors until fixpoint (or maxIter); one shuffle per iteration,
+    * lineage truncated (reliable checkpoints under
+    * graft.checkpoint.reliable=true), O(log diameter) rounds on
+    * typical near-dup clusters.
     */
   def connectedComponents(
       pairs: DataFrame,
-      maxIter: Int = 10
+      maxIter: Int = 10,
+      driverThreshold: Long = 1L << 20
   ): DataFrame = {
     val edges = graft.functions.materialize(
       pairs
         .select(col("id_a").as("src"), col("id_b").as("dst"))
         .unionByName(pairs.select(col("id_b").as("src"), col("id_a").as("dst")))
     )
+    val nEdges = edges.count() // free: edges are already materialized
+    if (nEdges <= driverThreshold) return driverComponents(edges)
     var labels = graft.functions.materialize(
       edges
         .select(col("src").as("id"))
@@ -227,6 +235,35 @@ object Dedup {
       iter += 1
     }
     labels
+  }
+
+  /** Exact driver-side union-find (path compression + union by min)
+    * over a collected edge list — the small-graph path of
+    * [[connectedComponents]].
+    */
+  private def driverComponents(edges: DataFrame): DataFrame = {
+    val spark = edges.sparkSession
+    import spark.implicits._
+    val es = edges.select(col("src").cast("long"), col("dst").cast("long")).as[(Long, Long)].collect()
+    val parent = scala.collection.mutable.HashMap.empty[Long, Long]
+    def find(x: Long): Long = {
+      var r = x
+      while (parent.getOrElse(r, r) != r) r = parent.getOrElse(r, r)
+      var c = x
+      while (parent.getOrElse(c, c) != c) { val n = parent(c); parent(c) = r; c = n }
+      r
+    }
+    es.foreach { case (a, b) =>
+      parent.getOrElseUpdate(a, a); parent.getOrElseUpdate(b, b)
+      val (ra, rb) = (find(a), find(b))
+      if (ra != rb) { if (ra < rb) parent(rb) = ra else parent(ra) = rb }
+    }
+    val out = parent.keys.toSeq.map { id =>
+      // union-by-min makes every root the minimum of its class, so
+      // find(id) IS the component's min id
+      (id, find(id))
+    }
+    out.toDF("id", "label")
   }
 
   /** Exact cluster dedup: keep one document (the min id) per connected

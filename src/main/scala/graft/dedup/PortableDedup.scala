@@ -151,16 +151,22 @@ object PortableDedup {
     * 60 codegen'd CASE sums in one partial-aggregatable groupBy → pack.
     */
   def simhashSignatures(df: DataFrame, textCol: String, idCol: String): DataFrame = {
+    // nibbles are projected ONCE per token row — inlining
+    // conv(substring(md5)) into each of the 60 vote aggregates would
+    // redo the digest parse 4x per nibble per row
     val h = md5(col("tok"))
+    val nibbles = (0 until 15).map { p =>
+      conv(substring(h, p + 1, 1), 16, 10).cast("int").as(s"_n$p")
+    }
     val votes = (0 until 60).map { j =>
-      val nib = conv(substring(h, j / 4 + 1, 1), 16, 10).cast("int")
-      val bit = shiftright(nib, j % 4).bitwiseAND(lit(1))
+      val bit = shiftright(col(s"_n${j / 4}"), j % 4).bitwiseAND(lit(1))
       sum(when(bit === 1, 1).otherwise(-1)).as(s"_v$j")
     }
     val sig = (0 until 60)
       .map(j => when(col(s"_v$j") > 0, lit(1L << j)).otherwise(lit(0L)))
       .reduce(_ + _)
     df.select(col(idCol).as("id"), explode(split(col(textCol), " ")).as("tok"))
+      .select(col("id") +: nibbles: _*)
       .groupBy("id")
       .agg(votes.head, votes.tail: _*)
       .select(col("id"), sig.as("sig"))

@@ -140,12 +140,12 @@ object DedupQueries extends QueryPack {
   private def simhashSql(maxHamming: Int): String = {
     val chunks = maxHamming + 1
     val bounds = (0 to chunks).map(c => c * 60 / chunks)
+    val nibbles = (0 until 15)
+      .map(p => s"(instr('0123456789abcdef', substr(h, ${p + 1}, 1)) - 1) AS n$p")
+      .mkString(", ")
     val votes = (0 until 60)
       .map { j =>
-        val p = j / 4 + 1
-        val s = j % 4
-        s"sum(CASE WHEN (((instr('0123456789abcdef', substr(h, $p, 1)) - 1) >> $s) & 1) = 1 " +
-          s"THEN 1 ELSE -1 END) AS v$j"
+        s"sum(CASE WHEN ((n${j / 4} >> ${j % 4}) & 1) = 1 THEN 1 ELSE -1 END) AS v$j"
       }
       .mkString(", ")
     val sig = (0 until 60)
@@ -160,7 +160,8 @@ object DedupQueries extends QueryPack {
       .mkString("\nUNION ALL\n")
     s"""WITH toks AS (SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents),
       th AS (SELECT doc_id, md5(tok) AS h FROM toks),
-      votes AS (SELECT doc_id, $votes FROM th GROUP BY doc_id),
+      nib AS (SELECT doc_id, $nibbles FROM th),
+      votes AS (SELECT doc_id, $votes FROM nib GROUP BY doc_id),
       sigs AS (SELECT doc_id, CAST($sig AS BIGINT) AS sig FROM votes),
       ch AS ($chunkSelects),
       sp AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b,

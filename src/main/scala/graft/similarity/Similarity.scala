@@ -197,7 +197,10 @@ object Similarity {
     val model = new KMeans()
       .setK(nlist)
       .setSeed(seed)
-      .setMaxIter(10)
+      // 5 iterations: a coarse quantizer needs space partitioned, not
+      // converged — each extra iteration is 1-2 scheduled jobs of
+      // fixed overhead and moves recall imperceptibly
+      .setMaxIter(5)
       // random init: k-means|| costs ~5 extra corpus passes for init
       // quality a coarse quantizer does not need
       .setInitMode("random")

@@ -93,10 +93,14 @@ class DedupSpec extends SparkSpec {
     assert(greedy == Seq(1L, 2L, 4L, 6L))
   }
 
-  test("connected components converge on a long chain") {
+  test("connected components converge on a long chain — driver and distributed paths agree") {
     val chain = (1L until 20L).map(i => (i, i + 1, 1.0)).toDF("id_a", "id_b", "jaccard")
+    // small graph takes the driver union-find path
     val cc = Dedup.connectedComponents(chain, maxIter = 30).collect()
     assert(cc.forall(_.getLong(1) == 1L)) // single component labeled by min id
+    // driverThreshold=0 forces the distributed label-propagation loop
+    val dist = Dedup.connectedComponents(chain, maxIter = 30, driverThreshold = 0).collect()
+    assert(dist.toSet == cc.toSet)
   }
 
   test("graft.checkpoint.reliable=true routes iterations through reliable checkpoints") {
