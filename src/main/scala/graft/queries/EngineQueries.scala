@@ -55,6 +55,44 @@ object EngineQueries extends QueryPack {
       ORDER BY l_returnflag, l_linestatus""")
   )
 
+  private val q14 = Q(
+    fn = (s, d) => {
+      val li = Tables
+        .lineitem(s, d)
+        .filter(
+          col("l_shipdate") >= lit("1995-09-01") && col("l_shipdate") < lit("1995-10-01")
+        )
+        .select(
+          col("l_partkey"),
+          (col("l_extendedprice") * (lit(1) - col("l_discount"))).as("rev")
+        )
+      // part grows with SF — no broadcast hint, AQE decides (broadcasts
+      // here, shuffle-joins at 100 TB)
+      val part = Tables.part(s, d).select(col("p_partkey"), col("p_type"))
+      li.join(part, col("l_partkey") === col("p_partkey"))
+        .agg(
+          round6(
+            lit(100.0) *
+              sum(
+                when(col("p_type").startsWith("PROMO"), col("rev"))
+                  .otherwise(lit(0.0))
+                  .cast(DecimalType(28, 6))
+              ).cast(DoubleType) /
+              sum(col("rev").cast(DecimalType(28, 6))).cast(DoubleType)
+          ).as("promo_revenue")
+        )
+    },
+    oracle = Some("""
+      SELECT round(100.0 *
+        CAST(SUM(CAST(CASE WHEN p_type LIKE 'PROMO%'
+          THEN l_extendedprice * (1 - l_discount) ELSE 0.0 END AS DECIMAL(28,6))) AS DOUBLE)
+        / CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(28,6))) AS DOUBLE),
+        6) AS promo_revenue
+      FROM lineitem JOIN part ON l_partkey = p_partkey
+      WHERE l_shipdate >= TIMESTAMP '1995-09-01 00:00:00'
+        AND l_shipdate < TIMESTAMP '1995-10-01 00:00:00'""")
+  )
+
   private val q3 = Q(
     fn = (s, d) => {
       val cust = Tables
@@ -337,6 +375,7 @@ object EngineQueries extends QueryPack {
 
   val queries: Map[String, Q] = Map(
     "q1_agg" -> q1,
+    "q14_promo_revenue" -> q14,
     "q_sessionize" -> sessionize,
     "q3_join" -> q3,
     "q5_multi_join" -> q5,

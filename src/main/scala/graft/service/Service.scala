@@ -59,7 +59,8 @@ object Service {
   def optimize(
       datasetUri: String,
       repo: MetricsRepository,
-      cfg: Optimizer.Config = Optimizer.Config()
+      cfg: Optimizer.Config = Optimizer.Config(),
+      failOnError: Boolean = false
   ): DataFrame = {
     val history = repo.getProfiling(datasetUri)
     val optimization = Optimizer
@@ -68,6 +69,20 @@ object Service {
         (seriesCols.map(col) :+ col("best_model") :+ col("threshold") :+
           col("mean_error") :+ col("optimization_failed")): _*
       )
+    // Strict mode mirrors the reference's OptimizationFailedError
+    // (optimization.py:200-214); the default keeps the distributed
+    // flag-don't-throw semantics. Only the (bounded) failed key set is
+    // collected.
+    if (failOnError) {
+      val failed = optimization
+        .where(col("optimization_failed"))
+        .select(concat_ws("/", seriesCols.map(col): _*))
+        .collect()
+        .map(_.getString(0))
+        .toSeq
+      if (failed.nonEmpty)
+        throw new graft.core.OptimizationFailedException(datasetUri, failed)
+    }
     repo.addOptimization(datasetUri, optimization)
     optimization
   }
@@ -87,10 +102,8 @@ object Service {
     // The reference raises when scoring an un-optimized dataset; an
     // empty inner join here would instead store nothing and let
     // assessQuality report healthy forever on an un-modeled dataset.
-    require(
-      !optimization.isEmpty,
-      s"No optimization stored for $datasetUri — run optimize() first"
-    )
+    if (optimization.isEmpty)
+      throw new graft.core.UnoptimizedDatasetException(datasetUri)
     val scoring = Scorer
       .score(history, optimization, seriesCols, cfg = cfg)
       .select(

@@ -157,6 +157,29 @@ class ServiceSpec extends SparkSpec {
     assert(repo.getProfiling("u_c").where($"instance" === "a").collect().head.getAs[Double]("value") == 7.0)
   }
 
+  test("typed errors: unoptimized scoring throws; strict optimize surfaces failed series") {
+    val repo = new InMemoryRepository()
+    def day(i: Int) = java.sql.Timestamp.valueOf(f"2024-01-${i + 1}%02d 00:00:00")
+    val healthy = (0 until 25).map(i => (day(i), "Column", "value", "Mean", 10.0))
+    val broken = Seq(23, 24).map(i => (day(i), "Column", "broken", "Mean", 5.0))
+    repo.addProfiling("ds://typed", (healthy ++ broken).toDF("ts", "entity", "instance", "name", "value"))
+    // scoring before optimize: typed failure, not a bare require
+    val ex = intercept[graft.core.UnoptimizedDatasetException] {
+      Service.score("ds://typed", repo)
+    }
+    assert(ex.datasetUri == "ds://typed")
+    // strict mode mirrors the reference's OptimizationFailedError
+    val fail = intercept[graft.core.OptimizationFailedException] {
+      Service.optimize("ds://typed", repo, failOnError = true)
+    }
+    assert(fail.series == Seq("Column/broken/Mean"))
+    // and nothing was stored by the failed strict attempt
+    assert(repo.getOptimization("ds://typed").isEmpty)
+    // default mode still flags instead of throwing
+    val opt = Service.optimize("ds://typed", repo)
+    assert(opt.where($"optimization_failed").count() == 1)
+  }
+
   test("maintain keeps a long run of daily upserts bounded and retention drops old ts") {
     val dir = java.nio.file.Files.createTempDirectory("graft-maintain").toString
     val repo = new ParquetRepository(spark, dir)
