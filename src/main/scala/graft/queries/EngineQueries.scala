@@ -323,6 +323,33 @@ object EngineQueries extends QueryPack {
     * windows — two window exchanges on the same (user) partitioning,
     * reused by Catalyst.
     */
+  private val asofQ = Q(
+    fn = (s, d) => {
+      val ev = Tables.events(s, d)
+      val purchases = ev
+        .where(col("event_type") === "purchase")
+        .select(col("event_id"), col("user_id"), col("ts"), col("value"))
+      // dedup the reference side per (key, time) so the as-of pick is
+      // deterministic on both engines
+      val views = ev
+        .where(col("event_type") === "view")
+        .groupBy(col("user_id"), col("ts"))
+        .agg(max(col("value")).as("view_value"))
+        .withColumnRenamed("ts", "view_ts")
+      graft.operators.AsOfJoin
+        .asOf(purchases, views, Seq("user_id"), "ts", "view_ts", Seq("view_value"))
+        .orderBy("event_id")
+    },
+    oracle = Some("""
+      WITH p AS (SELECT event_id, user_id, ts, value FROM events
+                 WHERE event_type = 'purchase'),
+        v AS (SELECT user_id, ts AS view_ts, max(value) AS view_value
+              FROM events WHERE event_type = 'view' GROUP BY 1, 2)
+      SELECT p.event_id, p.user_id, p.ts, p.value, v.view_ts, v.view_value
+      FROM p ASOF LEFT JOIN v ON p.user_id = v.user_id AND p.ts >= v.view_ts
+      ORDER BY p.event_id""")
+  )
+
   private val sessionize = Q(
     fn = (s, d) => {
       val byUser = Window.partitionBy(col("user_id")).orderBy(col("ts"))
@@ -377,6 +404,7 @@ object EngineQueries extends QueryPack {
     "q1_agg" -> q1,
     "q14_promo_revenue" -> q14,
     "q_sessionize" -> sessionize,
+    "q_asof_join" -> asofQ,
     "q3_join" -> q3,
     "q5_multi_join" -> q5,
     "q_window_topk" -> windowTopK,

@@ -1,0 +1,65 @@
+package graft.operators
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+class AsOfJoinSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def t(s: String) = java.sql.Timestamp.valueOf(s)
+
+  private val quotes = Seq(
+    (1L, t("2025-01-01 10:00:00"), 100.0),
+    (1L, t("2025-01-01 10:05:00"), 101.0),
+    (2L, t("2025-01-01 10:02:00"), 200.0)
+  ).toDF("k", "qts", "px")
+
+  private val trades = Seq(
+    (10L, 1L, t("2025-01-01 10:00:00"), 5.0), // equal ts -> inclusive match
+    (11L, 1L, t("2025-01-01 10:03:00"), 6.0), // between quotes -> 10:00 quote
+    (12L, 1L, t("2025-01-01 10:07:00"), 7.0), // after both -> 10:05 quote
+    (13L, 2L, t("2025-01-01 10:01:00"), 8.0), // before any quote -> null
+    (14L, 3L, t("2025-01-01 10:00:00"), 9.0)  // key with no quotes -> null
+  ).toDF("id", "k", "tts", "amt")
+
+  test("as-of join attaches the latest reference row at or before each probe row") {
+    val got = AsOfJoin
+      .asOf(trades, quotes, Seq("k"), "tts", "qts", Seq("px"))
+      .orderBy("id")
+      .select("id", "qts", "px")
+      .collect()
+      .map(r => (r.getLong(0), Option(r.getTimestamp(1)).map(_.toString), if (r.isNullAt(2)) None else Some(r.getDouble(2))))
+    assert(got.toSeq == Seq(
+      (10L, Some("2025-01-01 10:00:00.0"), Some(100.0)),
+      (11L, Some("2025-01-01 10:00:00.0"), Some(100.0)),
+      (12L, Some("2025-01-01 10:05:00.0"), Some(101.0)),
+      (13L, None, None),
+      (14L, None, None)
+    ))
+  }
+
+  test("tolerance nulls out stale matches") {
+    val got = AsOfJoin
+      .asOf(trades, quotes, Seq("k"), "tts", "qts", Seq("px"),
+        tolerance = Some(expr("INTERVAL 2 MINUTES")))
+      .orderBy("id")
+      .collect()
+      .map(r => r.getLong(0) -> !r.isNullAt(5))
+    // trade 12 is 2min after the 10:05 quote (within), trade 11 is 3min
+    // after the 10:00 quote (stale)
+    assert(got.toSeq == Seq(10L -> true, 11L -> false, 12L -> true, 13L -> false, 14L -> false))
+  }
+
+  test("all left columns and rows are preserved (left-join semantics)") {
+    val out = AsOfJoin.asOf(trades, quotes, Seq("k"), "tts", "qts", Seq("px"))
+    assert(out.columns.toSeq == Seq("id", "k", "tts", "amt", "qts", "px"))
+    assert(out.count() == trades.count())
+  }
+
+  test("colliding right payload names are rejected") {
+    val ex = intercept[IllegalArgumentException] {
+      AsOfJoin.asOf(trades, quotes.withColumnRenamed("px", "amt"), Seq("k"), "tts", "qts", Seq("amt"))
+    }
+    assert(ex.getMessage.contains("collides"))
+  }
+}
