@@ -350,6 +350,33 @@ object EngineQueries extends QueryPack {
       ORDER BY p.event_id""")
   )
 
+  private val rangeQ = Q(
+    fn = (s, d) => {
+      // price bands derived from part sizes: centers 1000 apart, width
+      // 500 — non-overlapping, so each lineitem hits at most one band
+      val bands = Tables
+        .part(s, d)
+        .select(
+          col("p_size").as("band_id"),
+          (col("p_size") * 1000.0 - 250).as("lo"),
+          (col("p_size") * 1000.0 + 250).as("hi")
+        )
+        .distinct()
+      val li = Tables.lineitem(s, d).select(col("l_extendedprice").as("price"))
+      graft.operators.RangeJoin
+        .intervalJoin(li, bands, "price", "lo", "hi", bucketWidth = 500.0)
+        .groupBy("band_id")
+        .agg(count(lit(1)).as("n"), decSum2(col("price")).as("sum_price"))
+        .orderBy("band_id")
+    },
+    oracle = Some(s"""
+      WITH bands AS (SELECT DISTINCT p_size AS band_id,
+          p_size * 1000.0 - 250 AS lo, p_size * 1000.0 + 250 AS hi FROM part)
+      SELECT band_id, COUNT(*) AS n, ${sqlDecSum2("l_extendedprice")} AS sum_price
+      FROM lineitem JOIN bands ON l_extendedprice >= lo AND l_extendedprice <= hi
+      GROUP BY band_id ORDER BY band_id""")
+  )
+
   private val sessionize = Q(
     fn = (s, d) => {
       val byUser = Window.partitionBy(col("user_id")).orderBy(col("ts"))
@@ -405,6 +432,7 @@ object EngineQueries extends QueryPack {
     "q14_promo_revenue" -> q14,
     "q_sessionize" -> sessionize,
     "q_asof_join" -> asofQ,
+    "q_range_join" -> rangeQ,
     "q3_join" -> q3,
     "q5_multi_join" -> q5,
     "q_window_topk" -> windowTopK,
