@@ -142,7 +142,32 @@ object TextQueries extends QueryPack {
       ORDER BY id_a""")
   )
 
+  private val tfidfQ = Q(
+    fn = (s, d) =>
+      Text
+        .tfIdfTopK(Tables.documents(s, d), "text", "doc_id", k = 5)
+        .withColumnRenamed("id", "doc_id")
+        .orderBy("doc_id", "rank"),
+    oracle = Some("""
+      WITH toks AS (SELECT doc_id,
+          unnest(string_split(trim(regexp_replace(regexp_replace(lower(text),
+            '[^a-z0-9 ]', ' ', 'g'), ' +', ' ', 'g')), ' ')) AS term
+        FROM documents),
+      t AS (SELECT doc_id, term, count(*) AS tf FROM toks
+            WHERE term <> '' GROUP BY 1, 2),
+      d AS (SELECT term, count(*) AS df FROM t GROUP BY 1),
+      n AS (SELECT count(*) AS n FROM documents),
+      sc AS (SELECT doc_id, t.term,
+               round((tf * ((n - df) + 0.5)) / (df + 0.5), 6) AS score
+             FROM t JOIN d ON t.term = d.term CROSS JOIN n),
+      r AS (SELECT *, row_number() OVER (PARTITION BY doc_id
+              ORDER BY score DESC, term) AS rank FROM sc)
+      SELECT doc_id, term, score, rank FROM r WHERE rank <= 5
+      ORDER BY doc_id, rank""")
+  )
+
   val queries: Map[String, Q] = Map(
+    "text_tfidf" -> tfidfQ,
     "text_tokens" -> tokensQ,
     "text_quality" -> qualityQ,
     "text_langid" -> langidQ,

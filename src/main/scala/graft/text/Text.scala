@@ -121,4 +121,52 @@ object Text {
     size(array_intersect(da, db)).cast("double") /
       size(array_union(da, db))
   }
+
+  /** Top-k salient terms per document by TF-IDF:
+    * `(id, term, score, rank)`.
+    *
+    * Terms are normalized tokens; score = tf * (N - df + 0.5) /
+    * (df + 0.5) — the BM25 idf ratio WITHOUT the log. Rationale: ln()
+    * may differ between engines in the last ulp (libm-dependent),
+    * which breaks hash-exact oracle comparison; the rational form is
+    * pure arithmetic (bit-identical everywhere) and a strictly
+    * monotone transform of the classic idf in df, so per-term
+    * down-weighting of common terms is preserved.
+    *
+    * Shape: explode tokens → two partial-aggregatable groupBys
+    * (per-doc tf, corpus df) → broadcast the 1-row corpus count → one
+    * windowed top-k per doc. The df table is |vocabulary| rows — the
+    * only state that grows sublinearly with the corpus.
+    */
+  def tfIdfTopK(
+      df: org.apache.spark.sql.DataFrame,
+      textCol: String,
+      idCol: String,
+      k: Int
+  ): org.apache.spark.sql.DataFrame = {
+    require(k > 0, s"k must be positive, got $k")
+    val toks = df
+      .select(
+        col(idCol).as("id"),
+        explode(split(normalize(col(textCol)), " ")).as("term")
+      )
+      .where(col("term") =!= "")
+    val tf = toks.groupBy("id", "term").agg(count(lit(1)).as("tf"))
+    val dfreq = tf.groupBy("term").agg(count(lit(1)).as("df"))
+    val n = df.agg(count(lit(1)).as("_n"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("id")
+      .orderBy(col("score").desc, col("term"))
+    tf.join(dfreq, "term")
+      .crossJoin(broadcast(n))
+      .withColumn(
+        "score",
+        graft.functions.round6(
+          (col("tf") * ((col("_n") - col("df")) + 0.5)) / (col("df") + 0.5)
+        )
+      )
+      .withColumn("rank", row_number().over(w))
+      .where(col("rank") <= k)
+      .select(col("id"), col("term"), col("score"), col("rank"))
+  }
 }

@@ -54,6 +54,27 @@ class TextSpec extends SparkSpec {
     out.foreach(r => assert(r.getInt(0) == r.getInt(1)))
   }
 
+  test("tf-idf surfaces rare terms over ubiquitous ones") {
+    val docs = Seq(
+      (1L, "the cat sat on the mat"),
+      (2L, "the dog sat on the rug"),
+      (3L, "the bird flew over the zephyr")
+    ).toDF("doc_id", "text")
+    val top = Text
+      .tfIdfTopK(docs, "text", "doc_id", k = 2)
+      .collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getInt(3)))
+    // "the" appears in every doc (df=3, N=3) -> heavily down-weighted;
+    // each doc's top terms must be its distinctive words
+    assert(!top.exists(_._2 == "the"))
+    assert(top.filter(_._1 == 3L).map(_._2).toSet.subsetOf(Set("bird", "flew", "zephyr")))
+    // rank is deterministic: score desc then term asc
+    val r3 = Text.tfIdfTopK(docs, "text", "doc_id", k = 2).where($"id" === 3L)
+      .orderBy("rank").select("term").as[String].collect()
+    assert(r3.sameElements(Text.tfIdfTopK(docs, "text", "doc_id", k = 2).where($"id" === 3L)
+      .orderBy("rank").select("term").as[String].collect()))
+  }
+
   test("quality score is in [0,1] and favors prose over symbol soup") {
     val q = Seq("the cat is on the mat and it is a fine day for all of us", "@#$% ^&*! ~~~")
       .toDF("t")
