@@ -152,12 +152,17 @@ object Text {
       )
       .where(col("term") =!= "")
     val tf = toks.groupBy("id", "term").agg(count(lit(1)).as("tf"))
-    val dfreq = tf.groupBy("term").agg(count(lit(1)).as("df"))
+    // df as a count-over-term window on the tf table — a groupBy +
+    // self-join formulation would scan the token-explode subtree twice
+    val wTerm = org.apache.spark.sql.expressions.Window.partitionBy("term")
+    // 1-row broadcast cross join is the distributed way to attach a
+    // corpus-level scalar (it plans as a BNL over a single build row —
+    // O(rows), not all-pairs)
     val n = df.agg(count(lit(1)).as("_n"))
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy("id")
       .orderBy(col("score").desc, col("term"))
-    tf.join(dfreq, "term")
+    tf.withColumn("df", count(lit(1)).over(wTerm))
       .crossJoin(broadcast(n))
       .withColumn(
         "score",
