@@ -1,0 +1,91 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Deterministic sampling & dataset splitting — the reproducibility
+  * primitives of a training-data pipeline. `df.sample()` /
+  * `randomSplit()` depend on partition layout and reshuffle between
+  * runs; these operators derive membership purely from a content hash,
+  * so the same row lands in the same split on any cluster, any
+  * partitioning, any engine, forever.
+  *
+  * Mechanics: u(row) = first 8 hex chars of md5(id ":" salt) — a
+  * uniform 32-bit value. Membership compares the HEX STRING against
+  * precomputed hex thresholds: lexicographic order on fixed-width
+  * lowercase hex equals numeric order, so no engine-specific hex->int
+  * conversion is needed and the exact same predicate runs in any SQL
+  * dialect (md5 is universal). Scan-side projection, zero shuffle,
+  * trivially codegen'd.
+  */
+object Sampling {
+
+  private def bucketHex(idCol: Column, salt: String): Column =
+    substring(md5(concat(idCol.cast("string"), lit(s":$salt"))), 1, 8)
+
+  /** Hex threshold for a fraction of the 32-bit space. Fraction 1.0
+    * returns "g" — lexicographically above every hex string, so
+    * `bucket < threshold` is always true (2^32 itself does not fit in
+    * 8 hex chars).
+    */
+  private[operators] def thresholdHex(fraction: Double): String = {
+    val f = math.min(math.max(fraction, 0.0), 1.0)
+    if (f >= 1.0) "g" else f"${(f * 4294967296d).toLong}%08x"
+  }
+
+  /** Add a `split` column assigning each row to one of the named
+    * fractions, e.g. `Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1)`.
+    * Fractions must sum to 1 (+-1e-9); assignment is by cumulative
+    * threshold, so enlarging an earlier fraction only MOVES the
+    * boundary — rows never swap between non-adjacent splits.
+    */
+  def hashSplit(
+      df: DataFrame,
+      idCol: String,
+      fractions: Seq[(String, Double)],
+      salt: String = "graft"
+  ): DataFrame = {
+    require(fractions.nonEmpty && fractions.forall(_._2 >= 0))
+    require(
+      math.abs(fractions.map(_._2).sum - 1.0) < 1e-9,
+      s"fractions must sum to 1, got ${fractions.map(_._2).sum}"
+    )
+    val cum = fractions.scanLeft(0.0) { case (acc, (_, f)) => acc + f }.tail
+    val b = bucketHex(col(idCol), salt)
+    val expr = fractions
+      .zip(cum)
+      .dropRight(1)
+      .foldRight(lit(fractions.last._1)) { case (((name, _), c), elseCol) =>
+        when(b < lit(thresholdHex(c)), lit(name)).otherwise(elseCol)
+      }
+    df.withColumn("split", expr)
+  }
+
+  /** Keep a deterministic `fraction` of rows (uniform within every
+    * stratum by construction — hash membership is independent of any
+    * other column).
+    */
+  def deterministicSample(
+      df: DataFrame,
+      idCol: String,
+      fraction: Double,
+      salt: String = "graft"
+  ): DataFrame = {
+    require(fraction >= 0.0 && fraction <= 1.0, s"fraction out of range: $fraction")
+    df.where(bucketHex(col(idCol), salt) < lit(thresholdHex(fraction)))
+  }
+
+  /** SQL fragment computing the same split column — for oracle /
+    * cross-engine parity (any dialect with md5, substr, ||).
+    */
+  def hashSplitSql(idExpr: String, fractions: Seq[(String, Double)], salt: String = "graft"): String = {
+    val cum = fractions.scanLeft(0.0) { case (acc, (_, f)) => acc + f }.tail
+    val b = s"substr(md5(CAST($idExpr AS VARCHAR) || ':$salt'), 1, 8)"
+    val whens = fractions
+      .zip(cum)
+      .dropRight(1)
+      .map { case ((name, _), c) => s"WHEN $b < '${thresholdHex(c)}' THEN '$name'" }
+      .mkString(" ")
+    s"CASE $whens ELSE '${fractions.last._1}' END"
+  }
+}

@@ -377,6 +377,23 @@ object EngineQueries extends QueryPack {
       GROUP BY band_id ORDER BY band_id""")
   )
 
+  private val splitQ = Q(
+    fn = (s, d) =>
+      graft.operators.Sampling
+        .hashSplit(
+          Tables.documents(s, d),
+          "doc_id",
+          Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1)
+        )
+        .select(col("doc_id"), col("split"))
+        .orderBy("doc_id"),
+    oracle = Some(s"""
+      SELECT doc_id,
+        ${graft.operators.Sampling
+        .hashSplitSql("doc_id", Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1))} AS split
+      FROM documents ORDER BY doc_id""")
+  )
+
   private val sessionize = Q(
     fn = (s, d) => {
       val byUser = Window.partitionBy(col("user_id")).orderBy(col("ts"))
@@ -433,6 +450,7 @@ object EngineQueries extends QueryPack {
     "q_sessionize" -> sessionize,
     "q_asof_join" -> asofQ,
     "q_range_join" -> rangeQ,
+    "q_hash_split" -> splitQ,
     "q3_join" -> q3,
     "q5_multi_join" -> q5,
     "q_window_topk" -> windowTopK,

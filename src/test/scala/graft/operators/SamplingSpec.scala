@@ -1,0 +1,51 @@
+package graft.operators
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+class SamplingSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val rows = (1L to 2000L).map(i => (i, s"payload $i")).toDF("id", "payload")
+
+  test("hashSplit is deterministic, exhaustive, and near the requested fractions") {
+    val fr = Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1)
+    val s1 = Sampling.hashSplit(rows, "id", fr).groupBy("split").count()
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(s1.keySet == Set("train", "val", "test"))
+    assert(s1.values.sum == 2000)
+    // binomial 4-sigma bounds at n=2000
+    assert(math.abs(s1("train") - 1600) < 72, s1)
+    assert(math.abs(s1("val") - 200) < 54, s1)
+    // repartitioning the input must not move a single row
+    val a = Sampling.hashSplit(rows, "id", fr).select("id", "split").collect().toSet
+    val b = Sampling.hashSplit(rows.repartition(13), "id", fr).select("id", "split").collect().toSet
+    assert(a == b)
+  }
+
+  test("growing an early fraction only moves the boundary — no split churn") {
+    val before = Sampling.hashSplit(rows, "id", Seq("train" -> 0.8, "rest" -> 0.2))
+      .where($"split" === "train").select("id").as[Long].collect().toSet
+    val after = Sampling.hashSplit(rows, "id", Seq("train" -> 0.9, "rest" -> 0.1))
+      .where($"split" === "train").select("id").as[Long].collect().toSet
+    assert(before.subsetOf(after)) // train only ever gains rows
+  }
+
+  test("deterministicSample is a stable subset and nests by fraction") {
+    val p10 = Sampling.deterministicSample(rows, "id", 0.1).select("id").as[Long].collect().toSet
+    val p20 = Sampling.deterministicSample(rows, "id", 0.2).select("id").as[Long].collect().toSet
+    assert(p10.subsetOf(p20)) // smaller samples nest inside larger ones
+    assert(math.abs(p10.size - 200) < 54)
+    // different salt -> different (independent) sample
+    val other = Sampling.deterministicSample(rows, "id", 0.1, salt = "x").select("id").as[Long].collect().toSet
+    assert(p10 != other)
+  }
+
+  test("thresholdHex maps fractions to the 32-bit hex space") {
+    assert(Sampling.thresholdHex(0.0) == "00000000")
+    assert(Sampling.thresholdHex(0.5) == "80000000")
+    // 1.0 -> above every hex string, so fraction-1.0 keeps every row
+    assert(Sampling.thresholdHex(1.0) == "g")
+    assert(Sampling.deterministicSample(rows, "id", 1.0).count() == 2000)
+  }
+}
