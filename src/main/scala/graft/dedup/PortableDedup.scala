@@ -185,14 +185,21 @@ object PortableDedup {
       textCol: String,
       idCol: String,
       maxHamming: Int = 3
-  ): DataFrame = {
+  ): DataFrame =
+    hammingPairs60(simhashSignatures(df, textCol, idCol), maxHamming)
+
+  /** Near-dup pairs with Hamming distance <= maxHamming over ANY
+    * 60-bit signature table `(id, sig)` — the pigeonhole chunk-join
+    * shared by text simhash and multimodal perceptual hashes.
+    * Output: id_a, id_b, hamming.
+    */
+  def hammingPairs60(sigs: DataFrame, maxHamming: Int): DataFrame = {
     require(maxHamming >= 0 && maxHamming < 60, s"maxHamming out of range: $maxHamming")
     val chunks = maxHamming + 1
     // chunk c covers bits [c*60/chunks, (c+1)*60/chunks) — uneven
     // chunk widths still cover all 60 bits, which is all the
     // pigeonhole argument needs
     val bounds = (0 to chunks).map(c => c * 60 / chunks)
-    val sigs = simhashSignatures(df, textCol, idCol)
     val chunked = sigs.select(
       col("id"),
       col("sig"),

@@ -115,4 +115,50 @@ object Multimodal {
       col(binCol).substr(col("frame_idx") * frameBytes + 1, lit(frameBytes))
     )
   }
+
+  /** 60-bit average-hash perceptual signature `(id, sig)` over a
+    * binary payload: 60 evenly spaced payload bytes are sampled and
+    * bit i is set iff sample i exceeds the sample mean — the aHash
+    * construction, with evenly-spaced raw bytes standing in for the
+    * decoded 8x8 luma grid (STUB decode, real signature/pairing
+    * plumbing; swap the byte sampler for a decoder+downscale kernel to
+    * get true pHash). Similar payloads produce nearby signatures, so
+    * near-duplicate media pairs come out of the same pigeonhole
+    * chunk-join used for text simhash
+    * ([[graft.dedup.PortableDedup.hammingPairs60]]) — never all-pairs.
+    *
+    * Cross-engine portable: byte access goes through `hex(payload)`
+    * (identical uppercase hex in Spark and DuckDB), so the whole
+    * pipeline is oracle-checkable. Empty payloads yield NULL.
+    */
+  def averageHash60(df: DataFrame, binCol: String, idCol: String): DataFrame = {
+    val n = length(col(binCol)) // byte length of binary
+    val hx = hex(col(binCol))
+    // three explicit projection stages: inlining the mean into all 60
+    // bit expressions would square the expression-tree size
+    val bytes = (0 until 60).map { i =>
+      val byteIdx = floor((lit(i) * col("_n")) / 60.0).cast("int")
+      conv(col("_hx").substr(byteIdx * 2 + 1, lit(2)), 16, 10).cast("int").as(s"_b$i")
+    }
+    val mean = ((0 until 60).map(i => col(s"_b$i")).reduce(_ + _) / 60.0).as("_mean")
+    val sig = (0 until 60)
+      .map(i => when(col(s"_b$i") > col("_mean"), lit(1L << i)).otherwise(lit(0L)))
+      .reduce(_ + _)
+    df.select(col(idCol).as("id"), n.as("_n"), hx.as("_hx"))
+      .where(col("_n") > 0)
+      .select(col("id") +: bytes: _*)
+      .select(col("id") +: mean +: (0 until 60).map(i => col(s"_b$i")): _*)
+      .select(col("id"), sig.as("sig"))
+  }
+
+  /** Perceptual near-duplicate media pairs: average-hash signatures +
+    * pigeonhole Hamming join. Output: id_a, id_b, hamming.
+    */
+  def phashPairs(
+      df: DataFrame,
+      binCol: String,
+      idCol: String,
+      maxHamming: Int = 8
+  ): DataFrame =
+    graft.dedup.PortableDedup.hammingPairs60(averageHash60(df, binCol, idCol), maxHamming)
 }

@@ -65,8 +65,63 @@ object MultimodalQueries extends QueryPack {
       FROM f GROUP BY doc_id ORDER BY doc_id""")
   )
 
+  /** Perceptual-hash near-dup oracle: mirrors
+    * Multimodal.averageHash60 + PortableDedup.hammingPairs60 step by
+    * step — byte sampling via hex(payload) (identical uppercase hex on
+    * both engines), mean threshold bits, pigeonhole chunk join.
+    */
+  private def phashSql(maxHamming: Int): String = {
+    val hexdig = "'0123456789ABCDEF'"
+    def byteSql(i: Int): String = {
+      val pos = s"CAST(floor(($i * n) / 60.0) AS INT) * 2"
+      s"(instr($hexdig, substr(hx, $pos + 1, 1)) - 1) * 16 + " +
+        s"(instr($hexdig, substr(hx, $pos + 2, 1)) - 1) AS b$i"
+    }
+    val bytes = (0 until 60).map(byteSql).mkString(", ")
+    val mean = (0 until 60).map(i => s"b$i").mkString("(", " + ", ") / 60.0")
+    val sig = (0 until 60)
+      .map(i => s"CASE WHEN b$i > mean THEN ${1L << i} ELSE 0 END")
+      .mkString(" + ")
+    val chunks = maxHamming + 1
+    val bounds = (0 to chunks).map(c => c * 60 / chunks)
+    val chunkSelects = (0 until chunks)
+      .map { c =>
+        val lo = bounds(c)
+        val mask = (1L << (bounds(c + 1) - lo)) - 1
+        s"SELECT doc_id, sig, $c AS chunk, (sig >> $lo) & $mask AS ck FROM sigs"
+      }
+      .mkString("\nUNION ALL\n")
+    s"""WITH p AS (SELECT doc_id, octet_length(encode(text)) AS n, hex(encode(text)) AS hx
+        FROM documents WHERE octet_length(encode(text)) > 0),
+      by AS (SELECT doc_id, $bytes FROM p),
+      m AS (SELECT *, $mean AS mean FROM by),
+      sigs AS (SELECT doc_id, CAST($sig AS BIGINT) AS sig FROM m),
+      ch AS ($chunkSelects),
+      sp AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b,
+               CAST(bit_count(xor(a.sig, b.sig)) AS INT) AS hamming
+        FROM ch a JOIN ch b ON a.chunk = b.chunk AND a.ck = b.ck AND a.doc_id < b.doc_id
+        WHERE bit_count(xor(a.sig, b.sig)) <= $maxHamming)
+      SELECT id_a, id_b, hamming FROM sp ORDER BY id_a, id_b"""
+  }
+
+  private val phashQ = Q(
+    fn = (s, d) =>
+      Multimodal
+        .phashPairs(
+          Tables
+            .documents(s, d)
+            .withColumn("payload", encode(col("text"), "UTF-8")),
+          "payload",
+          "doc_id",
+          maxHamming = 8
+        )
+        .orderBy("id_a", "id_b"),
+    oracle = Some(phashSql(8))
+  )
+
   val queries: Map[String, Q] = Map(
     "multimodal_binary_meta" -> binaryMetaQ,
-    "multimodal_frame_sample" -> frameSampleQ
+    "multimodal_frame_sample" -> frameSampleQ,
+    "multimodal_phash_pairs" -> phashQ
   )
 }

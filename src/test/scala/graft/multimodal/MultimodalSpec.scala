@@ -46,6 +46,26 @@ class MultimodalSpec extends SparkSpec {
     assert(key(rows) == key(again))
   }
 
+  test("perceptual average-hash: identical payloads at Hamming 0, perturbed ones nearby") {
+    import org.apache.spark.sql.functions.encode
+    val base = ("x" * 50) + ("A" * 400) + ("z" * 50) // structured bytes
+    val docs = Seq(
+      (1L, base),
+      (2L, base),                            // identical -> hamming 0
+      (3L, base.replace("AAAA", "AABA")),    // tiny local edit -> small hamming
+      (4L, scala.util.Random.javaRandomToRandom(new java.util.Random(7)).alphanumeric.take(500).mkString)
+    ).toDF("id", "text").withColumn("payload", encode($"text", "UTF-8"))
+    val sigs = Multimodal.averageHash60(docs, "payload", "id").collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(sigs(1L) == sigs(2L))
+    val nearHamming = java.lang.Long.bitCount(sigs(1L) ^ sigs(3L))
+    assert(nearHamming <= 8, s"near-dup hamming $nearHamming")
+    val pairs = Multimodal.phashPairs(docs, "payload", "id", maxHamming = 8)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2)))
+    assert(pairs.exists(p => p._1 == 1L && p._2 == 2L && p._3 == 0))
+    assert(pairs.exists(p => p._1 == 1L && p._2 == 3L))
+  }
+
   test("sampleFrames chunk/stride arithmetic") {
     val out = Multimodal
       .sampleFrames(media, "payload", frameBytes = 256, stride = 2)
