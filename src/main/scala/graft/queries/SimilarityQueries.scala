@@ -56,8 +56,42 @@ object SimilarityQueries extends QueryPack {
     oracle = None // k-means cell assignment is not SQL-expressible
   )
 
+  private val quantized = Q(
+    fn = (s, d) => {
+      val emb = Tables.embeddings(s, d)
+      Similarity
+        .quantizedTopK(emb.filter(col("vec_id") < 5), emb, "vec_id", "embedding", 5)
+        .orderBy("query_id", "rank")
+    },
+    oracle = Some("""
+      WITH z AS (SELECT vec_id,
+          list_max(list_transform(embedding, x -> abs(CAST(x AS DOUBLE)))) / 127.0 AS s
+        FROM embeddings),
+      qv AS (SELECT e.vec_id,
+          CASE WHEN s > 0
+            THEN list_transform(e.embedding, x -> floor(CAST(x AS DOUBLE) / s + 0.5))
+            ELSE list_transform(e.embedding, x -> 0.0) END AS q
+        FROM embeddings e JOIN z ON e.vec_id = z.vec_id),
+      sims AS (
+        SELECT a.vec_id AS query_id, b.vec_id AS neighbor_id,
+          round(
+            list_sum(list_transform(range(1, len(a.q) + 1), i -> a.q[i] * b.q[i]))
+            / (sqrt(list_sum(list_transform(range(1, len(a.q) + 1), i -> a.q[i] * a.q[i])))
+             * sqrt(list_sum(list_transform(range(1, len(b.q) + 1), i -> b.q[i] * b.q[i])))),
+          6) AS sim
+        FROM qv a JOIN qv b ON a.vec_id <> b.vec_id
+        WHERE a.vec_id < 5),
+      ranked AS (
+        SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+          ORDER BY sim DESC, neighbor_id) AS rank
+        FROM sims)
+      SELECT query_id, neighbor_id, sim, rank FROM ranked
+      WHERE rank <= 5 ORDER BY query_id, rank""")
+  )
+
   val queries: Map[String, Q] = Map(
     "ann_bruteforce_topk" -> bruteForce,
+    "ann_quantized_topk" -> quantized,
     "ann_lsh_topk" -> lsh,
     "ann_ivf_topk" -> ivf
   )

@@ -86,6 +86,38 @@ class SimilaritySpec extends SparkSpec {
     assert(out.forall(_.getAs[Long]("neighbor_id") < 20L))
   }
 
+  test("int8 quantization bounds reconstruction error and preserves top-k ranking") {
+    val rnd = new scala.util.Random(5)
+    val dim = 32
+    val embs = (0L until 60L).map { i =>
+      (i, Array.fill(dim)((rnd.nextDouble() * 2 - 1).toFloat))
+    }.toDF("vec_id", "embedding")
+    // per-element reconstruction error <= scale/2
+    val errs = embs
+      .select($"embedding", Similarity.quantizeInt8($"embedding").as("z"))
+      .collect()
+      .map { r =>
+        val v = r.getSeq[Float](0)
+        val scale = r.getStruct(1).getDouble(0)
+        val q = r.getStruct(1).getSeq[Int](1)
+        v.zip(q).map { case (x, qi) => math.abs(x - qi * scale) }.max -> scale
+      }
+    errs.foreach { case (maxErr, scale) => assert(maxErr <= scale / 2 + 1e-12) }
+    // quantized top-5 recalls most of the exact top-5
+    val exact = Similarity
+      .bruteForceTopK(embs.where($"vec_id" < 5), embs, "vec_id", "embedding", 5)
+      .select("query_id", "neighbor_id").as[(Long, Long)].collect().toSet
+    val quant = Similarity
+      .quantizedTopK(embs.where($"vec_id" < 5), embs, "vec_id", "embedding", 5)
+      .select("query_id", "neighbor_id").as[(Long, Long)].collect().toSet
+    val recall = exact.intersect(quant).size.toDouble / exact.size
+    assert(recall >= 0.8, s"quantized recall $recall")
+    // zero vector quantizes to all-zero, no NaN scale blowup
+    val z = Seq((99L, Array.fill(dim)(0f))).toDF("vec_id", "embedding")
+      .select(Similarity.quantizeInt8($"embedding").as("z")).collect().head.getStruct(0)
+    assert(z.getSeq[Int](1).forall(_ == 0))
+  }
+
   test("cosinePairs blocks by key and emits each pair once above threshold") {
     val pairs = Similarity
       .cosinePairs(vecs, "vec_id", "embedding", "label", 0.5)
