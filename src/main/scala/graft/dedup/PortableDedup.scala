@@ -200,7 +200,12 @@ object PortableDedup {
     // chunk widths still cover all 60 bits, which is all the
     // pigeonhole argument needs
     val bounds = (0 to chunks).map(c => c * 60 / chunks)
-    val chunked = sigs.select(
+    // materialize: both sides of the chunk self-join consume the
+    // signature table — without this the full signature subtree
+    // (explode + wide aggregate) computes twice, and its large
+    // generated code compiles twice (measured ~2x end-to-end)
+    val mat = graft.functions.materialize(sigs)
+    val chunked = mat.select(
       col("id"),
       col("sig"),
       explode(array((0 until chunks).map { c =>

