@@ -1,0 +1,59 @@
+package graft.examples
+
+import graft.dedup.Dedup
+import graft.operators.Sampling
+import graft.similarity.Similarity
+import graft.text.Text
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+
+/** Training-data-pipeline quickstart — the LLM-corpus flow graft adds
+  * beyond the reference's monitoring surface:
+  *
+  *  A. text quality scoring + language filtering,
+  *  B. exact then MinHash-LSH near-duplicate removal,
+  *  C. deterministic train/val/test split (stable across runs),
+  *  D. TF-IDF salient terms + int8-quantized similarity search.
+  *
+  * Run: sbt "runMain graft.examples.PipelineQuickstart [sfDir]"
+  */
+object PipelineQuickstart {
+  def main(args: Array[String]): Unit = {
+    val sfDir = args.headOption.getOrElse("/root/testdata/sf0.001")
+    val spark = SparkSession.builder()
+      .master("local[4]")
+      .config("spark.sql.shuffle.partitions", 4)
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+
+    val docs = spark.read.parquet(s"$sfDir/documents.parquet")
+    println(s"corpus: ${docs.count()} documents")
+
+    // A: keep high-quality, language-identified docs
+    val scored = docs.withColumn("quality", Text.qualityScore(col("text")))
+      .withColumn("lang", Text.langId(col("text")))
+    val kept = scored.where(col("quality") > 0.3)
+    println(s"after quality filter: ${kept.count()}")
+
+    // B: exact dedup, then near-dup sweep over MinHash-LSH pairs
+    val exact = Dedup.exactNormalized(kept, "text", "doc_id")
+    val deduped = Dedup.minhashDedup(exact, "text", "doc_id", threshold = 0.5)
+    println(s"after dedup: ${deduped.count()}")
+
+    // C: stable splits — rerunning on a recomputed corpus keeps every
+    // surviving doc in its split
+    val split = Sampling.hashSplit(
+      deduped, "doc_id", Seq("train" -> 0.9, "val" -> 0.05, "test" -> 0.05))
+    split.groupBy("split").count().orderBy("split").show()
+
+    // D: salient terms of the train split; quantized ANN over embeddings
+    Text.tfIdfTopK(split.where(col("split") === "train"), "text", "doc_id", k = 3)
+      .orderBy("id", "rank").show(9, truncate = false)
+    val emb = spark.read.parquet(s"$sfDir/embeddings.parquet")
+    Similarity.quantizedTopK(emb.limit(2), emb, "vec_id", "embedding", k = 3)
+      .show(truncate = false)
+
+    spark.stop()
+  }
+}
