@@ -323,6 +323,26 @@ object EngineQueries extends QueryPack {
     * windows — two window exchanges on the same (user) partitioning,
     * reused by Catalyst.
     */
+  private val pivotQ = Q(
+    fn = (s, d) =>
+      Tables
+        .events(s, d)
+        .groupBy(date_trunc("day", col("ts")).as("ts"))
+        // explicit value list: an unpinned pivot would add a distinct
+        // scan AND make the column set data-dependent
+        .pivot("event_type", Seq("click", "error", "purchase", "signup", "view"))
+        .agg(round6(avg(col("value"))))
+        .orderBy("ts"),
+    oracle = Some(s"""
+      SELECT ${sqlDay("ts")} AS ts,
+        round(AVG(CASE WHEN event_type = 'click' THEN value END), 6) AS click,
+        round(AVG(CASE WHEN event_type = 'error' THEN value END), 6) AS error,
+        round(AVG(CASE WHEN event_type = 'purchase' THEN value END), 6) AS purchase,
+        round(AVG(CASE WHEN event_type = 'signup' THEN value END), 6) AS signup,
+        round(AVG(CASE WHEN event_type = 'view' THEN value END), 6) AS view
+      FROM events GROUP BY 1 ORDER BY ts""")
+  )
+
   private val asofQ = Q(
     fn = (s, d) => {
       val ev = Tables.events(s, d)
@@ -451,6 +471,7 @@ object EngineQueries extends QueryPack {
     "q_asof_join" -> asofQ,
     "q_range_join" -> rangeQ,
     "q_hash_split" -> splitQ,
+    "q_pivot" -> pivotQ,
     "q3_join" -> q3,
     "q5_multi_join" -> q5,
     "q_window_topk" -> windowTopK,
