@@ -130,6 +130,33 @@ class InvariantsSpec extends SparkSpec {
     graft.testing.DataFrameAssertions.assertDataFrameEquality(last, lastFromAll)
   }
 
+  test("as-of join equals the naive latest-at-or-before lookup on random data") {
+    val rnd = new Random(17)
+    def ts(m: Int) = java.sql.Timestamp.valueOf(f"2025-03-01 ${m / 60}%02d:${m % 60}%02d:00")
+    // duplicate timestamps on the left, sparse right, some keys missing
+    val left = Seq.tabulate(400) { i =>
+      (i.toLong, rnd.nextInt(8).toLong, ts(rnd.nextInt(600)), rnd.nextDouble())
+    }.toDF("id", "k", "t", "x")
+    val right = Seq.tabulate(120) { i =>
+      (rnd.nextInt(6).toLong, ts(rnd.nextInt(600)), i.toDouble)
+    }.toDF("k", "rt", "rv")
+      .groupBy("k", "rt").agg(max("rv").as("rv")) // unique (k, rt)
+    val got = graft.operators.AsOfJoin
+      .asOf(left, right, Seq("k"), "t", "rt", Seq("rv"))
+      .select("id", "rt", "rv")
+      .collect()
+      .map(r => r.getLong(0) -> (Option(r.getTimestamp(1)), if (r.isNullAt(2)) None else Some(r.getDouble(2))))
+      .toMap
+    // naive reference: driver-side max-scan per left row
+    val rs = right.collect().map(r => (r.getLong(0), r.getTimestamp(1), r.getDouble(2)))
+    val ls = left.collect().map(r => (r.getLong(0), r.getLong(1), r.getTimestamp(2)))
+    assert(got.size == ls.length)
+    ls.foreach { case (id, k, t) =>
+      val best = rs.filter(r => r._1 == k && !r._2.after(t)).sortBy(_._2.getTime).lastOption
+      assert(got(id) == (best.map(_._2), best.map(_._3)), s"row $id")
+    }
+  }
+
   test("custom hash expressions fuse into whole-stage codegen, calling the kernels directly") {
     // Guards the doGenCode work: if an expression silently regressed to
     // CodegenFallback, the projection would still run (interpreted,
