@@ -100,6 +100,56 @@ object Analyzers {
       approx_count_distinct(col(c), rsd).cast(DoubleType)
   }
 
+  /** Population skewness from raw moments:
+    * (m3 - 3*m1*m2 + 2*m1^3) / (m2 - m1^2)^1.5 with m_k = avg(x^k).
+    *
+    * Built explicitly from avg() moments rather than the engine
+    * `skewness()` built-in: engines disagree on sample-vs-population
+    * correction factors (Spark = population, DuckDB = sample-adjusted),
+    * while the moment formula is plain arithmetic with identical
+    * results everywhere — and each avg is partial-aggregatable, so the
+    * analyzer stays single-pass. NULL for constant columns (zero
+    * variance).
+    */
+  case object Skewness extends ColumnAnalyzer {
+    val name = "Skewness"
+    def expr(c: String): Column = {
+      val x = col(c).cast(DoubleType)
+      val m1 = avg(x)
+      val m2 = avg(x * x)
+      val m3 = avg(x * x * x)
+      val variance = m2 - m1 * m1
+      // variance^1.5 as v*sqrt(v): IEEE sqrt is correctly rounded on
+      // every engine, pow() is not — pow would leak last-ulp
+      // differences into the oracle hash
+      when(
+        variance > 0,
+        (m3 - lit(3) * m1 * m2 + lit(2) * m1 * m1 * m1) / (variance * sqrt(variance))
+      )
+    }
+  }
+
+  /** Excess kurtosis from raw moments:
+    * (m4 - 4*m1*m3 + 6*m1^2*m2 - 3*m1^4) / (m2 - m1^2)^2 - 3.
+    * Same moment-arithmetic rationale as [[Skewness]].
+    */
+  case object Kurtosis extends ColumnAnalyzer {
+    val name = "Kurtosis"
+    def expr(c: String): Column = {
+      val x = col(c).cast(DoubleType)
+      val m1 = avg(x)
+      val m2 = avg(x * x)
+      val m3 = avg(x * x * x)
+      val m4 = avg(x * x * x * x)
+      val variance = m2 - m1 * m1
+      when(
+        variance > 0,
+        (m4 - lit(4) * m1 * m3 + lit(6) * m1 * m1 * m2 - lit(3) * m1 * m1 * m1 * m1) /
+          (variance * variance) - lit(3)
+      )
+    }
+  }
+
   /** Dataset-scoped row count (reference: Deequ Size). */
   case object Size extends ColumnAnalyzer {
     val name = "Size"

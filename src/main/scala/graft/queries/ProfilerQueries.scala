@@ -20,9 +20,13 @@ object ProfilerQueries extends QueryPack {
   private val stringCols = Seq("event_type", "props")
   private val allCols = Seq("event_id", "user_id", "event_type", "value", "props")
 
-  /** Long-format output, deterministically rounded + ordered. */
+  /** Long-format output, deterministically rounded + ordered. The
+    * `+ 0.0` after rounding normalizes IEEE negative zero (a
+    * near-zero-from-below skewness rounds to -0.0, which hash-compares
+    * differently from +0.0); it is the identity for every other value.
+    */
   private def finish(df: DataFrame): DataFrame =
-    df.withColumn("value", round6(col("value")))
+    df.withColumn("value", round6(col("value")) + lit(0.0))
       .orderBy("ts", "entity", "instance", "name")
 
   /** One SELECT per (instance, name, sql expr), UNION ALL'd over the
@@ -32,7 +36,7 @@ object ProfilerQueries extends QueryPack {
     val selects = metrics.map { case (instance, name, expr) =>
       val ent = if (instance == "*") "Dataset" else entity
       s"""SELECT ts, '$ent' AS entity, '$instance' AS instance, '$name' AS name,
-         round($expr, 6) AS value FROM e GROUP BY ts"""
+         round($expr, 6) + 0 AS value FROM e GROUP BY ts"""
     }
     s"""WITH e AS (SELECT ${sqlDay("ts")} AS ts, event_id, user_id, event_type, value, props FROM events)
        ${selects.mkString("\nUNION ALL\n")}
@@ -83,6 +87,42 @@ object ProfilerQueries extends QueryPack {
     fn = (s, d) =>
       finish(Profiler.profile(Tables.events(s, d), "ts", builderOf(a => Seq(a.Mean), numeric = true))),
     oracle = Some(oracle(numericCols.map(c => (c, "Mean", s"AVG($c)"))))
+  )
+
+  /** Skew/kurtosis oracle mirrors the analyzer's raw-moment arithmetic
+    * exactly (incl. v*sqrt(v) instead of pow — see Analyzers.Skewness).
+    */
+  private def skewSql(c: String): String = {
+    val (m1, m2, m3) = (s"AVG(CAST($c AS DOUBLE))", s"AVG(CAST($c AS DOUBLE) * $c)", s"AVG(CAST($c AS DOUBLE) * $c * $c)")
+    val v = s"($m2 - $m1 * $m1)"
+    s"CASE WHEN $v > 0 THEN ($m3 - 3 * $m1 * $m2 + 2 * $m1 * $m1 * $m1) / ($v * sqrt($v)) END"
+  }
+
+  private def kurtSql(c: String): String = {
+    val x = s"CAST($c AS DOUBLE)"
+    val (m1, m2, m3, m4) =
+      (s"AVG($x)", s"AVG($x * $c)", s"AVG($x * $c * $c)", s"AVG($x * $c * $c * $c)")
+    val v = s"($m2 - $m1 * $m1)"
+    s"""CASE WHEN $v > 0 THEN
+        ($m4 - 4 * $m1 * $m3 + 6 * $m1 * $m1 * $m2 - 3 * $m1 * $m1 * $m1 * $m1) /
+        ($v * $v) - 3 END"""
+  }
+
+  private val skewkurt = Q(
+    fn = (s, d) =>
+      finish(
+        Profiler.profile(
+          Tables.events(s, d),
+          "ts",
+          builderOf(a => Seq(a.Skewness, a.Kurtosis), numeric = true)
+        )
+      ),
+    oracle = Some(
+      oracle(
+        numericCols.map(c => (c, "Kurtosis", kurtSql(c))) ++
+          numericCols.map(c => (c, "Skewness", skewSql(c)))
+      )
+    )
   )
 
   private val stddev = Q(
@@ -343,6 +383,7 @@ object ProfilerQueries extends QueryPack {
     "profile_outliers" -> outliers,
     "profile_completeness" -> completeness,
     "profile_mean" -> mean,
+    "profile_skewkurt" -> skewkurt,
     "profile_stddev" -> stddev,
     "profile_quantiles" -> quantiles,
     "profile_count_distinct" -> countDistinct,
