@@ -73,6 +73,35 @@ class ProfilerSpec extends SparkSpec {
     assert(maxDay1 == 3.0)
   }
 
+  test("skewness/kurtosis analyzers match closed-form values and flag asymmetry") {
+    // one day, values with known moments: exponential-ish right tail
+    val rows = (Seq.fill(90)(1.0) ++ Seq.fill(9)(5.0) ++ Seq.fill(1)(50.0))
+      .zipWithIndex
+      .map { case (v, i) => (java.sql.Timestamp.valueOf("2025-01-01 00:00:00"), v) }
+      .toDF("ts", "value")
+    val builder = new ProfilingBuilder(
+      typeMappings = Seq(
+        TypeMapping(_.isInstanceOf[NumericType], Seq(Analyzers.Skewness, Analyzers.Kurtosis))
+      ),
+      datasetAnalyzers = Seq()
+    )
+    val out = Profiler.profile(rows, "ts", builder).collect()
+      .map(r => r.getAs[String]("name") -> r.getAs[Double]("value")).toMap
+    // closed-form population moments computed directly
+    val xs = Seq.fill(90)(1.0) ++ Seq.fill(9)(5.0) ++ Seq.fill(1)(50.0)
+    def m(k: Int) = xs.map(x => math.pow(x, k)).sum / xs.size
+    val v = m(2) - m(1) * m(1)
+    val expSkew = (m(3) - 3 * m(1) * m(2) + 2 * math.pow(m(1), 3)) / (v * math.sqrt(v))
+    val expKurt = (m(4) - 4 * m(1) * m(3) + 6 * m(1) * m(1) * m(2) - 3 * math.pow(m(1), 4)) / (v * v) - 3
+    assert(math.abs(out("Skewness") - expSkew) < 1e-9, s"${out("Skewness")} vs $expSkew")
+    assert(math.abs(out("Kurtosis") - expKurt) < 1e-9)
+    assert(out("Skewness") > 2.0) // heavy right tail
+    // constant column -> NULL (no crash, no division by zero)
+    val const = Seq.fill(5)((java.sql.Timestamp.valueOf("2025-01-01 00:00:00"), 7.0)).toDF("ts", "value")
+    val c = Profiler.profile(const, "ts", builder).collect()
+    assert(c.forall(_.isNullAt(4)))
+  }
+
   test("hour granularity buckets by hour") {
     val out = Profiler.profile(sample, "ts", ProfilingBuilder.simple, Granularity.Hour)
     val sizes = out
