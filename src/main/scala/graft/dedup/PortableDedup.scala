@@ -145,6 +145,63 @@ object PortableDedup {
       .distinct()
   }
 
+  /** Cross-corpus MinHash-LSH pairs — the DECONTAMINATION shape: find
+    * every (left, right) document pair above the similarity threshold
+    * across two different corpora (e.g. a benchmark/eval set vs the
+    * training corpus), without ever comparing all pairs. Both sides are
+    * banded with the same hash family; only the (band, bucket) join
+    * crosses corpora, so cost is driven by bucket collisions, not
+    * |left| x |right|. The (small) left side's banded signatures
+    * broadcast under AQE; the corpus is scanned once.
+    *
+    * Output: id_l, id_r, jaccard (estimated).
+    */
+  def crossMinhashPairs(
+      left: DataFrame,
+      right: DataFrame,
+      textCol: String,
+      idCol: String,
+      shingleN: Int = 3,
+      numHashes: Int = 16,
+      bands: Int = 4,
+      threshold: Double = 0.5
+  ): DataFrame = {
+    require(
+      bands > 0 && numHashes % bands == 0 && numHashes / bands > 0,
+      s"numHashes ($numHashes) must be a positive multiple of bands ($bands)"
+    )
+    val r = numHashes / bands
+    def banded(df: DataFrame) = {
+      val sigs = minhashSignatures(df, textCol, idCol, shingleN, numHashes)
+      val sigArr = array((0 until numHashes).map(k => col(s"_s$k")): _*)
+      val bandStructs = array((0 until bands).map { b =>
+        struct(
+          lit(b).as("band"),
+          md5(concat_ws("|", (0 until r).map(j => col(s"_s${b * r + j}")): _*)).as("bucket")
+        )
+      }: _*)
+      sigs
+        .select(col("id"), sigArr.as("sig"), explode(bandStructs).as("bh"))
+        .select(col("id"), col("sig"), col("bh.band").as("band"), col("bh.bucket").as("bucket"))
+    }
+    val agree = (0 until numHashes)
+      .map(k => when(element_at(col("_sa"), k + 1) === element_at(col("_sb"), k + 1), 1).otherwise(0))
+      .reduce(_ + _)
+    banded(left)
+      .as("a")
+      .join(banded(right).as("b"), Seq("band", "bucket"))
+      .select(
+        col("a.id").as("id_l"),
+        col("b.id").as("id_r"),
+        col("a.sig").as("_sa"),
+        col("b.sig").as("_sb")
+      )
+      .withColumn("jaccard", agree.cast("double") / numHashes)
+      .where(col("jaccard") >= threshold)
+      .select("id_l", "id_r", "jaccard")
+      .distinct()
+  }
+
   /** Portable 60-bit SimHash signatures `(id, sig)`: bit j of the
     * signature is the sign of the per-token +-1 vote on bit j of
     * md5(token) (bit j = bit (j%4) of hex nibble j/4). Explode tokens →

@@ -50,7 +50,13 @@ object DedupQueries extends QueryPack {
   // agreement Jaccard. `mp` = (id_a, id_b, jaccard). Emitted as WITH
   // RECURSIVE so the component query can extend the same chain with a
   // recursive reachability CTE.
-  private def minhashCte(shingleN: Int, numHashes: Int, bands: Int): String = {
+  private def agreeSql(numHashes: Int): String =
+    (1 to numHashes)
+      .map(k => s"CASE WHEN sa[$k] = sb[$k] THEN 1 ELSE 0 END")
+      .mkString(" + ")
+
+  /** Shared CTE chain up to `banded` (doc_id, band, bucket, sig). */
+  private def minhashBandedCte(shingleN: Int, numHashes: Int, bands: Int): String = {
     val r = numHashes / bands
     // 4 slots per digest — mirrors PortableDedup.minhashSignatures
     val slots = (0 until numHashes)
@@ -63,9 +69,6 @@ object DedupQueries extends QueryPack {
         s"SELECT doc_id, $b AS band, md5(concat_ws('|', $cat)) AS bucket, $sigList AS sig FROM sig"
       }
       .mkString("\nUNION ALL\n")
-    val agree = (1 to numHashes)
-      .map(k => s"CASE WHEN sa[$k] = sb[$k] THEN 1 ELSE 0 END")
-      .mkString(" + ")
     s"""WITH RECURSIVE docs AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
       idx AS (SELECT doc_id, toks, unnest(range(1, len(toks) - ${shingleN - 2})) AS i
               FROM docs WHERE len(toks) >= $shingleN),
@@ -73,12 +76,15 @@ object DedupQueries extends QueryPack {
                array_to_string(list_slice(toks, i, i + ${shingleN - 1}), ' ') AS shingle
              FROM idx),
       sig AS (SELECT doc_id, $slots FROM sh GROUP BY doc_id),
-      banded AS ($bandSelects),
+      banded AS ($bandSelects)"""
+  }
+
+  private def minhashCte(shingleN: Int, numHashes: Int, bands: Int): String =
+    s"""${minhashBandedCte(shingleN, numHashes, bands)},
       cand AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b, a.sig AS sa, b.sig AS sb
         FROM banded a JOIN banded b
           ON a.band = b.band AND a.bucket = b.bucket AND a.doc_id < b.doc_id),
-      mp AS (SELECT id_a, id_b, ($agree) / ${numHashes}.0 AS jaccard FROM cand)"""
-  }
+      mp AS (SELECT id_a, id_b, (${agreeSql(numHashes)}) / ${numHashes}.0 AS jaccard FROM cand)"""
 
   private val minhashQ = Q(
     fn = (s, d) =>
@@ -132,6 +138,31 @@ object DedupQueries extends QueryPack {
       SELECT doc_id FROM documents
       WHERE doc_id NOT IN (SELECT id FROM lbl WHERE id <> label)
       ORDER BY doc_id""")
+  )
+
+  /** Decontamination: flag training-corpus docs near-duplicating a
+    * benchmark/eval set. Benchmark side = doc_id % 20 == 0 (a stand-in
+    * holdout); corpus side = the rest.
+    */
+  private val decontaminateQ = Q(
+    fn = (s, d) => {
+      val docs = Tables.documents(s, d)
+      PortableDedup
+        .crossMinhashPairs(
+          docs.where(col("doc_id") % 20 === 0),
+          docs.where(col("doc_id") % 20 =!= 0),
+          "text",
+          "doc_id",
+          threshold = 0.5
+        )
+        .orderBy("id_l", "id_r")
+    },
+    oracle = Some(s"""${minhashBandedCte(3, 16, 4)},
+      cand AS (SELECT DISTINCT a.doc_id AS id_l, b.doc_id AS id_r, a.sig AS sa, b.sig AS sb
+        FROM banded a JOIN banded b ON a.band = b.band AND a.bucket = b.bucket
+        WHERE a.doc_id % 20 = 0 AND b.doc_id % 20 <> 0),
+      mp AS (SELECT id_l, id_r, (${agreeSql(16)}) / 16.0 AS jaccard FROM cand)
+      SELECT id_l, id_r, jaccard FROM mp WHERE jaccard >= 0.5 ORDER BY id_l, id_r""")
   )
 
   // ---- portable-simhash oracle --------------------------------------
@@ -226,6 +257,7 @@ object DedupQueries extends QueryPack {
     "dedup_component_sweep" -> componentQ,
     "dedup_exact_normalized" -> exactNormQ,
     "dedup_minhash_lsh" -> minhashQ,
+    "dedup_decontaminate" -> decontaminateQ,
     "dedup_simhash" -> simhashQ,
     "dedup_minhash_lsh_xxh64" -> minhashFastQ,
     "dedup_simhash_xxh64" -> simhashFastQ,

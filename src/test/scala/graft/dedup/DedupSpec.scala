@@ -195,6 +195,22 @@ class DedupSpec extends SparkSpec {
     assert(!pairs.exists(p => p._1 == 5L || p._2 == 5L))
   }
 
+  test("cross-corpus minhash pairs find contamination, never within-side pairs") {
+    // "benchmark" holds doc 1; corpus holds its exact dup (2), near-dup
+    // (4), and unrelated docs — decontamination must surface 2 and 4
+    val benchmark = corpus.where($"doc_id" === 1L)
+    val train = corpus.where($"doc_id" =!= 1L)
+    val pairs = graft.dedup.PortableDedup
+      .crossMinhashPairs(benchmark, train, "text", "doc_id",
+        numHashes = 32, bands = 16, threshold = 0.4)
+      .as[(Long, Long, Double)]
+      .collect()
+    assert(pairs.forall(_._1 == 1L)) // left side is only ever the benchmark
+    val flagged = pairs.map(_._2).toSet
+    assert(flagged.contains(2L) && flagged.contains(4L), s"flagged $flagged")
+    assert(!flagged.contains(5L)) // unrelated doc is not contaminated
+  }
+
   test("portable simhash pairs exact dups at Hamming 0") {
     val pairs = graft.dedup.PortableDedup
       .simhashPairs(corpus, "text", "doc_id", maxHamming = 3)
