@@ -153,6 +153,68 @@ object Dedup {
       .distinct()
   }
 
+  /** Cross-corpus MinHash-LSH pairs (XXH64 throughput family) — the
+    * decontamination shape: every (left, right) pair above the
+    * estimated-Jaccard threshold ACROSS two corpora (benchmark vs
+    * training set). Both sides are banded with the same signature
+    * pipeline; only the (band, bucket) join crosses corpora, so cost
+    * tracks bucket collisions, never |left| x |right|. See
+    * [[graft.dedup.PortableDedup.crossMinhashPairs]] for the
+    * oracle-verifiable md5 variant.
+    *
+    * Output: id_l, id_r, jaccard (estimated).
+    */
+  def crossMinhashPairs(
+      left: DataFrame,
+      right: DataFrame,
+      textCol: String,
+      idCol: String,
+      shingleN: Int = 3,
+      numHashes: Int = 16,
+      bands: Int = 4,
+      threshold: Double = 0.5
+  ): DataFrame = {
+    require(
+      bands > 0 && numHashes % bands == 0 && numHashes / bands > 0,
+      s"numHashes ($numHashes) must be a positive multiple of bands ($bands)"
+    )
+    val rowsPerBand = numHashes / bands
+    def banded(df: DataFrame) =
+      graft.functions
+        .materialize(
+          df.select(col(idCol).as("id"), Text.tokenHashes(col(textCol)).as("_th"))
+            .select(
+              col("id"),
+              Text.shingleHashesFromTokenHashes(col("_th"), shingleN).as("_sh")
+            )
+            .where(size(col("_sh")) > 0)
+            .select(col("id"), minhashSignature(col("_sh"), numHashes).as("sig"))
+        )
+        .select(
+          col("id"),
+          col("sig"),
+          explode(bandHashes(col("sig"), bands, rowsPerBand)).as("bh")
+        )
+        .select(col("id"), col("sig"), col("bh.band").as("band"), col("bh.bucket").as("bucket"))
+    val simExpr = {
+      val za = zip_with(col("_sa"), col("_sb"), (x, y) => when(x === y, 1).otherwise(0))
+      aggregate(za, lit(0), (acc, v) => acc + v).cast("double") / numHashes
+    }
+    banded(left)
+      .as("a")
+      .join(banded(right).as("b"), Seq("band", "bucket"))
+      .select(
+        col("a.id").as("id_l"),
+        col("b.id").as("id_r"),
+        col("a.sig").as("_sa"),
+        col("b.sig").as("_sb")
+      )
+      .withColumn("jaccard", simExpr)
+      .where(col("jaccard") >= threshold)
+      .select("id_l", "id_r", "jaccard")
+      .distinct()
+  }
+
   /** 64-bit SimHash over a *materialized* token-hash array (see
     * [[Text.tokenHashes]]): bit j of the signature is the sign of
     * sum(+1/-1 over tokens by bit j of the token hash). Backed by the

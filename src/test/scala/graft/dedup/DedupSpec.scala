@@ -211,6 +211,18 @@ class DedupSpec extends SparkSpec {
     assert(!flagged.contains(5L)) // unrelated doc is not contaminated
   }
 
+  test("XXH64 cross-corpus pairs agree with the portable family on planted contamination") {
+    val benchmark = corpus.where($"doc_id" === 1L)
+    val train = corpus.where($"doc_id" =!= 1L)
+    val fast = Dedup
+      .crossMinhashPairs(benchmark, train, "text", "doc_id",
+        numHashes = 32, bands = 16, threshold = 0.4)
+      .select("id_l", "id_r").as[(Long, Long)].collect().toSet
+    assert(fast.forall(_._1 == 1L))
+    assert(fast.map(_._2).contains(2L) && fast.map(_._2).contains(4L))
+    assert(!fast.map(_._2).contains(5L))
+  }
+
   test("portable simhash pairs exact dups at Hamming 0") {
     val pairs = graft.dedup.PortableDedup
       .simhashPairs(corpus, "text", "doc_id", maxHamming = 3)
