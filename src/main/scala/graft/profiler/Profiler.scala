@@ -69,6 +69,33 @@ object ProfilingBuilder {
     datasetAnalyzers = Seq(Size)
   )
 
+  /** Everything-on set: default plus min/max/sum, distribution shape
+    * (skewness/kurtosis from raw moments) and distinctness — all still
+    * partial-aggregatable, so the report stays ONE groupBy pass.
+    */
+  def extended: ProfilingBuilder = new ProfilingBuilder(
+    typeMappings = Seq(
+      TypeMapping(
+        _.isInstanceOf[NumericType],
+        Seq(
+          Mean,
+          StandardDeviation,
+          Min,
+          Max,
+          Sum,
+          Skewness,
+          Kurtosis,
+          Quantile(0.25),
+          Quantile(0.5),
+          Quantile(0.75)
+        )
+      ),
+      TypeMapping(_ => true, Seq(Completeness)),
+      TypeMapping(_.isInstanceOf[StringType], Seq(CountDistinct, Distinctness))
+    ),
+    datasetAnalyzers = Seq(Size)
+  )
+
   /** Scale-oriented set: sketch-only aggregates (HLL, approx
     * percentiles) whose partial state is constant-size — the 100 TB
     * configuration.

@@ -102,6 +102,21 @@ class ProfilerSpec extends SparkSpec {
     assert(c.forall(_.isNullAt(4)))
   }
 
+  test("extended builder emits the full analyzer family in one pass") {
+    val out = Profiler.profile(sample, "ts", ProfilingBuilder.extended)
+    val names = out.select("name").distinct().as[String].collect().toSet
+    assert(
+      Set("Mean", "StandardDeviation", "Minimum", "Maximum", "Sum",
+        "Skewness", "Kurtosis", "Completeness", "Size").subsetOf(names),
+      names.toString
+    )
+    // still a single-aggregation (join-free) plan
+    val optimized = Profiler
+      .profile(sample, "ts", ProfilingBuilder.extended)
+      .queryExecution.optimizedPlan.toString.toLowerCase
+    assert(!optimized.contains("join"))
+  }
+
   test("hour granularity buckets by hour") {
     val out = Profiler.profile(sample, "ts", ProfilingBuilder.simple, Granularity.Hour)
     val sizes = out
