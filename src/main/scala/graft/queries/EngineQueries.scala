@@ -323,6 +323,41 @@ object EngineQueries extends QueryPack {
     * windows — two window exchanges on the same (user) partitioning,
     * reused by Catalyst.
     */
+  private val cubeQ = Q(
+    fn = (s, d) =>
+      Tables
+        .lineitem(s, d)
+        .cube(col("l_returnflag"), col("l_linestatus"))
+        .agg(decSum2(col("l_quantity")).as("sum_qty"), count(lit(1)).as("n"))
+        .orderBy(
+          col("l_returnflag").asc_nulls_first,
+          col("l_linestatus").asc_nulls_first
+        ),
+    oracle = Some(s"""
+      SELECT l_returnflag, l_linestatus,
+        ${sqlDecSum2("l_quantity")} AS sum_qty, COUNT(*) AS n
+      FROM lineitem GROUP BY CUBE (l_returnflag, l_linestatus)
+      ORDER BY l_returnflag NULLS FIRST, l_linestatus NULLS FIRST"""),
+  )
+
+  private val unpivotQ = Q(
+    fn = (s, d) =>
+      Tables
+        .part(s, d)
+        .unpivot(
+          Array(col("p_partkey")),
+          Array(col("p_size").cast("double"), col("p_retailprice")),
+          "attr",
+          "val"
+        )
+        .orderBy("p_partkey", "attr"),
+    oracle = Some("""
+      SELECT p_partkey, 'p_size' AS attr, CAST(p_size AS DOUBLE) AS val FROM part
+      UNION ALL
+      SELECT p_partkey, 'p_retailprice', p_retailprice FROM part
+      ORDER BY p_partkey, attr""")
+  )
+
   private val pivotQ = Q(
     fn = (s, d) =>
       Tables
@@ -472,6 +507,8 @@ object EngineQueries extends QueryPack {
     "q_range_join" -> rangeQ,
     "q_hash_split" -> splitQ,
     "q_pivot" -> pivotQ,
+    "q_cube" -> cubeQ,
+    "q_unpivot" -> unpivotQ,
     "q3_join" -> q3,
     "q5_multi_join" -> q5,
     "q_window_topk" -> windowTopK,
