@@ -157,6 +157,40 @@ class InvariantsSpec extends SparkSpec {
     }
   }
 
+  test("interval join equals the naive non-equi join on random intervals and widths") {
+    val rnd = new Random(23)
+    val vals = Seq.tabulate(300)(i => (i.toLong, rnd.nextDouble() * 100)).toDF("id", "v")
+    val ranges = Seq.tabulate(60) { i =>
+      val lo = rnd.nextDouble() * 100
+      (i.toLong, lo, lo + rnd.nextDouble() * 25) // width 0..25, overlapping
+    }.toDF("rid", "lo", "hi")
+    val naive = vals
+      .join(ranges, col("v") >= col("lo") && col("v") <= col("hi"))
+      .select("id", "rid").as[(Long, Long)].collect().toSet
+    // multiple bucket widths, incl. ones far from the interval widths
+    for (w <- Seq(1.0, 7.3, 26.0, 100.0)) {
+      val got = graft.operators.RangeJoin
+        .intervalJoin(vals, ranges, "v", "lo", "hi", w)
+        .select("id", "rid").as[(Long, Long)].collect().toSet
+      assert(got == naive, s"bucketWidth $w")
+    }
+  }
+
+  test("hash splits stay exhaustive and disjoint for random fraction vectors") {
+    val rnd = new Random(29)
+    val rows = (1L to 500L).map(i => (i, i)).toDF("id", "x")
+    for (_ <- 1 to 5) {
+      val raw = Seq.fill(2 + rnd.nextInt(3))(rnd.nextDouble() + 0.05)
+      val fr = raw.zipWithIndex.map { case (f, i) => s"s$i" -> f / raw.sum }
+      // force exact sum-to-1 on the last fraction
+      val fixed = fr.dropRight(1) :+ (fr.last._1 -> (1.0 - fr.dropRight(1).map(_._2).sum))
+      val out = graft.operators.Sampling.hashSplit(rows, "id", fixed)
+      assert(out.count() == 500) // every row assigned exactly once
+      val labels = out.select("split").distinct().as[String].collect().toSet
+      assert(labels.subsetOf(fixed.map(_._1).toSet))
+    }
+  }
+
   test("custom hash expressions fuse into whole-stage codegen, calling the kernels directly") {
     // Guards the doGenCode work: if an expression silently regressed to
     // CodegenFallback, the projection would still run (interpreted,
