@@ -85,14 +85,32 @@ object Dedup {
     *
     * Output: id_a, id_b, jaccard (estimated).
     */
-  def minhashLshPairs(
+  /** Banded signature rows `(id, sig, band, bucket)` — the shared
+    * front half of the self-join and cross-corpus pair pipelines.
+    *
+    * Token-hash, shingle-hash, and signature are SEPARATE projections
+    * so each array materializes once as an attribute before the next
+    * HOF consumes it (nested HOFs re-evaluate their inputs per element
+    * in interpreted mode — measured 16-40x slower). The signature table
+    * is materialized EAGERLY (graft.functions.materialize:
+    * localCheckpoint by default, reliable checkpoint under
+    * graft.checkpoint.reliable=true): it feeds the band explode AND
+    * both sides of the candidate-pair join, and a lazy cache would
+    * still compute the subtree once per branch inside the single job.
+    * At cluster scale this is the standard "write the signature table"
+    * step of every LSH pipeline. The signature (numHashes longs —
+    * 128 B at the default 16) rides along through the band explode, so
+    * the bucket join yields both signatures directly: no join-back
+    * stages. For much larger signatures, join the signature table back
+    * on id instead.
+    */
+  private def bandedMinhash(
       df: DataFrame,
       textCol: String,
       idCol: String,
-      shingleN: Int = 3,
-      numHashes: Int = 16,
-      bands: Int = 4,
-      threshold: Double = 0.5
+      shingleN: Int,
+      numHashes: Int,
+      bands: Int
   ): DataFrame = {
     require(
       bands > 0 && numHashes % bands == 0 && numHashes / bands > 0,
@@ -100,17 +118,6 @@ object Dedup {
         "a zero-row band would put every document in one bucket (all-pairs join)"
     )
     val rowsPerBand = numHashes / bands
-    // Token-hash, shingle-hash, and 16-seed signature are SEPARATE
-    // projections so each array materializes once as an attribute before
-    // the next HOF consumes it (nested HOFs re-evaluate their inputs per
-    // element in interpreted mode — measured 16-40x slower). The
-    // signature table is materialized EAGERLY (graft.functions
-    // .materialize: localCheckpoint by default, reliable checkpoint
-    // under graft.checkpoint.reliable=true): it feeds the band explode
-    // AND both sides of the candidate-pair join-back, and a lazy cache
-    // would still compute the subtree once per branch inside the single
-    // job. At cluster scale this is the standard "write the signature
-    // table" step of every LSH pipeline.
     val sigs = graft.functions.materialize(
       df
         .select(col(idCol).as("id"), Text.tokenHashes(col(textCol)).as("_th"))
@@ -121,22 +128,33 @@ object Dedup {
         .where(size(col("_sh")) > 0)
         .select(col("id"), minhashSignature(col("_sh"), numHashes).as("sig"))
     )
-    // The signature (numHashes longs — 128 B at the default 16) rides
-    // along through the band explode, so the bucket self-join yields
-    // both signatures directly: no join-back stages. For much larger
-    // signatures, join the signature table back on id instead.
-    val banded = sigs
+    sigs
       .select(
         col("id"),
         col("sig"),
         explode(bandHashes(col("sig"), bands, rowsPerBand)).as("bh")
       )
       .select(col("id"), col("sig"), col("bh.band").as("band"), col("bh.bucket").as("bucket"))
-    // Signature-estimated Jaccard: fraction of agreeing minhash slots.
-    val simExpr = {
-      val za = zip_with(col("_sa"), col("_sb"), (x, y) => when(x === y, 1).otherwise(0))
-      aggregate(za, lit(0), (acc, v) => acc + v).cast("double") / numHashes
-    }
+  }
+
+  /** Signature-estimated Jaccard: fraction of agreeing minhash slots
+    * between the `_sa` and `_sb` signature arrays.
+    */
+  private def estJaccard(numHashes: Int) = {
+    val za = zip_with(col("_sa"), col("_sb"), (x, y) => when(x === y, 1).otherwise(0))
+    aggregate(za, lit(0), (acc, v) => acc + v).cast("double") / numHashes
+  }
+
+  def minhashLshPairs(
+      df: DataFrame,
+      textCol: String,
+      idCol: String,
+      shingleN: Int = 3,
+      numHashes: Int = 16,
+      bands: Int = 4,
+      threshold: Double = 0.5
+  ): DataFrame = {
+    val banded = bandedMinhash(df, textCol, idCol, shingleN, numHashes, bands)
     banded
       .as("a")
       .join(banded.as("b"), Seq("band", "bucket"))
@@ -147,7 +165,7 @@ object Dedup {
         col("a.sig").as("_sa"),
         col("b.sig").as("_sb")
       )
-      .withColumn("jaccard", simExpr)
+      .withColumn("jaccard", estJaccard(numHashes))
       .where(col("jaccard") >= threshold)
       .select("id_a", "id_b", "jaccard")
       .distinct()
@@ -173,47 +191,23 @@ object Dedup {
       numHashes: Int = 16,
       bands: Int = 4,
       threshold: Double = 0.5
-  ): DataFrame = {
-    require(
-      bands > 0 && numHashes % bands == 0 && numHashes / bands > 0,
-      s"numHashes ($numHashes) must be a positive multiple of bands ($bands)"
-    )
-    val rowsPerBand = numHashes / bands
-    def banded(df: DataFrame) =
-      graft.functions
-        .materialize(
-          df.select(col(idCol).as("id"), Text.tokenHashes(col(textCol)).as("_th"))
-            .select(
-              col("id"),
-              Text.shingleHashesFromTokenHashes(col("_th"), shingleN).as("_sh")
-            )
-            .where(size(col("_sh")) > 0)
-            .select(col("id"), minhashSignature(col("_sh"), numHashes).as("sig"))
-        )
-        .select(
-          col("id"),
-          col("sig"),
-          explode(bandHashes(col("sig"), bands, rowsPerBand)).as("bh")
-        )
-        .select(col("id"), col("sig"), col("bh.band").as("band"), col("bh.bucket").as("bucket"))
-    val simExpr = {
-      val za = zip_with(col("_sa"), col("_sb"), (x, y) => when(x === y, 1).otherwise(0))
-      aggregate(za, lit(0), (acc, v) => acc + v).cast("double") / numHashes
-    }
-    banded(left)
+  ): DataFrame =
+    bandedMinhash(left, textCol, idCol, shingleN, numHashes, bands)
       .as("a")
-      .join(banded(right).as("b"), Seq("band", "bucket"))
+      .join(
+        bandedMinhash(right, textCol, idCol, shingleN, numHashes, bands).as("b"),
+        Seq("band", "bucket")
+      )
       .select(
         col("a.id").as("id_l"),
         col("b.id").as("id_r"),
         col("a.sig").as("_sa"),
         col("b.sig").as("_sb")
       )
-      .withColumn("jaccard", simExpr)
+      .withColumn("jaccard", estJaccard(numHashes))
       .where(col("jaccard") >= threshold)
       .select("id_l", "id_r", "jaccard")
       .distinct()
-  }
 
   /** 64-bit SimHash over a *materialized* token-hash array (see
     * [[Text.tokenHashes]]): bit j of the signature is the sign of
@@ -269,7 +263,16 @@ object Dedup {
         .unionByName(pairs.select(col("id_b").as("src"), col("id_a").as("dst")))
     )
     val nEdges = edges.count() // free: edges are already materialized
-    if (nEdges <= driverThreshold) return driverComponents(edges)
+    // the driver union-find stores ids as longs — non-integral id
+    // types (e.g. string doc ids) stay on the type-agnostic
+    // distributed path regardless of size
+    val integralIds = edges.schema("src").dataType match {
+      case org.apache.spark.sql.types.LongType | org.apache.spark.sql.types.IntegerType |
+          org.apache.spark.sql.types.ShortType | org.apache.spark.sql.types.ByteType =>
+        true
+      case _ => false
+    }
+    if (integralIds && nEdges <= driverThreshold) return driverComponents(edges)
     var labels = graft.functions.materialize(
       edges
         .select(col("src").as("id"))

@@ -88,6 +88,46 @@ object PortableDedup {
       .agg(aggs.head, aggs.tail: _*)
   }
 
+  /** Banded signature rows `(id, sig, band, bucket)` — the shared
+    * front half of the self-join and cross-corpus pair pipelines.
+    */
+  private def bandedSignatures(
+      df: DataFrame,
+      textCol: String,
+      idCol: String,
+      shingleN: Int,
+      numHashes: Int,
+      bands: Int
+  ): DataFrame = {
+    require(
+      bands > 0 && numHashes % bands == 0 && numHashes / bands > 0,
+      s"numHashes ($numHashes) must be a positive multiple of bands ($bands)"
+    )
+    val r = numHashes / bands
+    val sigs = minhashSignatures(df, textCol, idCol, shingleN, numHashes)
+    val sigArr = array((0 until numHashes).map(k => col(s"_s$k")): _*)
+    val bandStructs = array((0 until bands).map { b =>
+      struct(
+        lit(b).as("band"),
+        md5(concat_ws("|", (0 until r).map(j => col(s"_s${b * r + j}")): _*)).as("bucket")
+      )
+    }: _*)
+    sigs
+      .select(col("id"), sigArr.as("sig"), explode(bandStructs).as("bh"))
+      .select(
+        col("id"),
+        col("sig"),
+        col("bh.band").as("band"),
+        col("bh.bucket").as("bucket")
+      )
+  }
+
+  /** Slot-agreement count between `_sa` and `_sb` signature arrays. */
+  private def slotAgreement(numHashes: Int) =
+    (0 until numHashes)
+      .map(k => when(element_at(col("_sa"), k + 1) === element_at(col("_sb"), k + 1), 1).otherwise(0))
+      .reduce(_ + _)
+
   /** MinHash-LSH candidate pairs on the portable family — same
     * pipeline as [[Dedup.minhashLshPairs]] (band the signature, shuffle
     * on (band, bucket), pair within buckets, estimate Jaccard from
@@ -105,30 +145,7 @@ object PortableDedup {
       bands: Int = 4,
       threshold: Double = 0.5
   ): DataFrame = {
-    require(
-      bands > 0 && numHashes % bands == 0 && numHashes / bands > 0,
-      s"numHashes ($numHashes) must be a positive multiple of bands ($bands)"
-    )
-    val r = numHashes / bands
-    val sigs = minhashSignatures(df, textCol, idCol, shingleN, numHashes)
-    val sigArr = array((0 until numHashes).map(k => col(s"_s$k")): _*)
-    val bandStructs = array((0 until bands).map { b =>
-      struct(
-        lit(b).as("band"),
-        md5(concat_ws("|", (0 until r).map(j => col(s"_s${b * r + j}")): _*)).as("bucket")
-      )
-    }: _*)
-    val banded = sigs
-      .select(col("id"), sigArr.as("sig"), explode(bandStructs).as("bh"))
-      .select(
-        col("id"),
-        col("sig"),
-        col("bh.band").as("band"),
-        col("bh.bucket").as("bucket")
-      )
-    val agree = (0 until numHashes)
-      .map(k => when(element_at(col("_sa"), k + 1) === element_at(col("_sb"), k + 1), 1).otherwise(0))
-      .reduce(_ + _)
+    val banded = bandedSignatures(df, textCol, idCol, shingleN, numHashes, bands)
     banded
       .as("a")
       .join(banded.as("b"), Seq("band", "bucket"))
@@ -139,7 +156,7 @@ object PortableDedup {
         col("a.sig").as("_sa"),
         col("b.sig").as("_sb")
       )
-      .withColumn("jaccard", agree.cast("double") / numHashes)
+      .withColumn("jaccard", slotAgreement(numHashes).cast("double") / numHashes)
       .where(col("jaccard") >= threshold)
       .select("id_a", "id_b", "jaccard")
       .distinct()
@@ -165,42 +182,23 @@ object PortableDedup {
       numHashes: Int = 16,
       bands: Int = 4,
       threshold: Double = 0.5
-  ): DataFrame = {
-    require(
-      bands > 0 && numHashes % bands == 0 && numHashes / bands > 0,
-      s"numHashes ($numHashes) must be a positive multiple of bands ($bands)"
-    )
-    val r = numHashes / bands
-    def banded(df: DataFrame) = {
-      val sigs = minhashSignatures(df, textCol, idCol, shingleN, numHashes)
-      val sigArr = array((0 until numHashes).map(k => col(s"_s$k")): _*)
-      val bandStructs = array((0 until bands).map { b =>
-        struct(
-          lit(b).as("band"),
-          md5(concat_ws("|", (0 until r).map(j => col(s"_s${b * r + j}")): _*)).as("bucket")
-        )
-      }: _*)
-      sigs
-        .select(col("id"), sigArr.as("sig"), explode(bandStructs).as("bh"))
-        .select(col("id"), col("sig"), col("bh.band").as("band"), col("bh.bucket").as("bucket"))
-    }
-    val agree = (0 until numHashes)
-      .map(k => when(element_at(col("_sa"), k + 1) === element_at(col("_sb"), k + 1), 1).otherwise(0))
-      .reduce(_ + _)
-    banded(left)
+  ): DataFrame =
+    bandedSignatures(left, textCol, idCol, shingleN, numHashes, bands)
       .as("a")
-      .join(banded(right).as("b"), Seq("band", "bucket"))
+      .join(
+        bandedSignatures(right, textCol, idCol, shingleN, numHashes, bands).as("b"),
+        Seq("band", "bucket")
+      )
       .select(
         col("a.id").as("id_l"),
         col("b.id").as("id_r"),
         col("a.sig").as("_sa"),
         col("b.sig").as("_sb")
       )
-      .withColumn("jaccard", agree.cast("double") / numHashes)
+      .withColumn("jaccard", slotAgreement(numHashes).cast("double") / numHashes)
       .where(col("jaccard") >= threshold)
       .select("id_l", "id_r", "jaccard")
       .distinct()
-  }
 
   /** Portable 60-bit SimHash signatures `(id, sig)`: bit j of the
     * signature is the sign of the per-token +-1 vote on bit j of

@@ -67,14 +67,20 @@ object AsOfJoin {
         lit(null).cast(rPayloadType).as("_r")
       ): _*
     )
-    val rp = right.select(
-      keyCols.map(col) ++ Seq(
-        col(rightTimeCol).as("_t"),
-        lit(0).as("_side"),
-        lit(null).cast(lStructType).as("_l"),
-        rPayload.as("_r")
-      ): _*
-    )
+    // A NULL join key never matches (join/ASOF semantics) — but
+    // Window.partitionBy groups NULL keys together, so null-key right
+    // rows must be dropped BEFORE the union; null-key left rows then
+    // sweep an empty partition and keep their left-join NULL payload.
+    val rp = right
+      .where(keyCols.map(col(_).isNotNull).reduce(_ && _))
+      .select(
+        keyCols.map(col) ++ Seq(
+          col(rightTimeCol).as("_t"),
+          lit(0).as("_side"),
+          lit(null).cast(lStructType).as("_l"),
+          rPayload.as("_r")
+        ): _*
+      )
     val w = Window
       .partitionBy(keyCols.map(col): _*)
       .orderBy(col("_t"), col("_side"))

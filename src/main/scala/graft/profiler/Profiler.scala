@@ -70,8 +70,12 @@ object ProfilingBuilder {
   )
 
   /** Everything-on set: default plus min/max/sum, distribution shape
-    * (skewness/kurtosis from raw moments) and distinctness — all still
-    * partial-aggregatable, so the report stays ONE groupBy pass.
+    * (skewness/kurtosis from raw moments) and distinctness. Still one
+    * join-free aggregation, but note the EXACT distincts
+    * (CountDistinct/Distinctness) are not constant-state partials —
+    * Spark plans Expand + an extra exchange for them; at 100 TB swap
+    * them for [[Analyzers.ApproxCountDistinct]] (the `sketch` builder's
+    * choice).
     */
   def extended: ProfilingBuilder = new ProfilingBuilder(
     typeMappings = Seq(

@@ -170,11 +170,16 @@ object AnomalyQueries extends QueryPack {
   private val bestModelSet = Models.trailingMeans(Seq(3, 5, 7)) ++
     Seq(SeasonalNaive(7), autoModel)
 
+  // mirrors Optimizer.optimize incl. the minValidationPoints qualifier
+  // (Optimizer.scala — models with < 3 valid validation errors never
+  // qualify; without this filter the oracle would select a model the
+  // Spark side rejects whenever a model has only 1-2 valid errors)
   private val bestModelSelSql =
     s"""SELECT event_type, model AS best_model, greatest(threshold, 0.1) AS threshold,
         mean_error, below_proportion
       FROM (SELECT *, row_number() OVER (PARTITION BY event_type
-              ORDER BY threshold, round(mean_error, 6), model) AS rk FROM summary)
+              ORDER BY threshold, round(mean_error, 6), model) AS rk
+            FROM summary WHERE n_validation >= 3)
       WHERE rk = 1"""
 
   // ---- queries --------------------------------------------------------

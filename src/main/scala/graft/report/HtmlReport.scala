@@ -61,8 +61,11 @@ object HtmlReport {
       maxSeries: Int = 200
   ): String = {
     val meta = repo.getDataset(datasetUri)
+    // NULL metric values (e.g. skewness of a constant column) are
+    // dropped from the series rather than unboxed to 0.0
     val profiling = repo
       .getProfiling(datasetUri)
+      .where(col("value").isNotNull)
       .orderBy(col("entity"), col("instance"), col("name"), col("ts"))
       .collect()
       .map(r =>
@@ -77,27 +80,30 @@ object HtmlReport {
       .sortBy(_._1)
       .take(maxSeries)
 
-    val optimization =
-      try
-        repo
-          .getOptimization(datasetUri)
-          .orderBy("entity", "instance", "name")
-          .collect()
-          .toSeq
-      catch { case _: Exception => Seq.empty }
+    // absence is an EMPTY DataFrame from both repository impls — a
+    // read failure must propagate, not render as "no data stored"
+    val optimization = repo
+      .getOptimization(datasetUri)
+      .orderBy("entity", "instance", "name")
+      .collect()
+      .toSeq
 
-    val scoring =
-      try
-        repo
-          .getScoring(datasetUri)
-          .orderBy(col("entity"), col("instance"), col("name"), col("ts"))
-          .collect()
-          .toSeq
-      catch { case _: Exception => Seq.empty }
+    val scoring = repo
+      .getScoring(datasetUri)
+      .orderBy(col("entity"), col("instance"), col("name"), col("ts"))
+      .collect()
+      .toSeq
 
-    val thresholds = optimization.map { r =>
-      (r.getAs[String]("entity"), r.getAs[String]("instance"), r.getAs[String]("name")) ->
-        r.getAs[Double]("threshold")
+    // failed-optimization rows carry NULL thresholds — they must not
+    // unbox to 0.0 (which would flag every positive score anomalous)
+    val thresholds = optimization.flatMap { r =>
+      val i = r.fieldIndex("threshold")
+      if (r.isNullAt(i)) None
+      else
+        Some(
+          (r.getAs[String]("entity"), r.getAs[String]("instance"), r.getAs[String]("name")) ->
+            r.getDouble(i)
+        )
     }.toMap
 
     val metaHtml = meta
@@ -123,11 +129,13 @@ object HtmlReport {
           .map { r =>
             val failed = r.getAs[Boolean]("optimization_failed")
             val cls = if (failed) " class=\"failed\"" else ""
+            def cell(name: String) =
+              if (r.isNullAt(r.fieldIndex(name))) "—" else r.getAs[Any](name).toString
             s"""<tr$cls><td>${esc(r.getAs[String]("instance"))}</td>
               <td>${esc(r.getAs[String]("name"))}</td>
               <td><code>${Option(r.getAs[String]("best_model")).map(esc).getOrElse("—")}</code></td>
-              <td>${r.getAs[Any]("threshold")}</td>
-              <td>${r.getAs[Any]("mean_error")}</td>
+              <td>${cell("threshold")}</td>
+              <td>${cell("mean_error")}</td>
               <td>${if (failed) "FAILED" else "ok"}</td></tr>"""
           }
           .mkString("\n")
@@ -136,11 +144,15 @@ object HtmlReport {
       }
 
     val scoringBySeries = scoring
-      .map(r =>
+      .map { r =>
+        // an unscorable (NULL) score renders as NaN — the anomaly flag
+        // treats NaN as alert-worthy, matching Service.assessQuality
+        val si = r.fieldIndex("score")
         (
           (r.getAs[String]("entity"), r.getAs[String]("instance"), r.getAs[String]("name")),
-          (r.getAs[java.sql.Timestamp]("ts"), r.getAs[Double]("score"))
-        ))
+          (r.getAs[java.sql.Timestamp]("ts"), if (r.isNullAt(si)) Double.NaN else r.getDouble(si))
+        )
+      }
       .groupBy(_._1)
       .view
       .mapValues(_.map(_._2).sortBy(_._1.getTime).takeRight(maxPointsPerSeries))

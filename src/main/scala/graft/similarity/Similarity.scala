@@ -189,6 +189,9 @@ object Similarity {
     // For corpora whose storage order is correlated with vector space,
     // pass trainFraction (e.g. 8192/estimated_n) to decorrelate; the
     // read stays bounded at ~maxTrain/fraction rows.
+    trainFraction.foreach(f =>
+      require(f > 0.0 && f <= 1.0, s"trainFraction must be in (0, 1], got $f")
+    )
     val maxTrain = 8192
     val base = corpus.select(fv)
     val trainDf = trainFraction

@@ -56,6 +56,22 @@ class AsOfJoinSpec extends SparkSpec {
     assert(out.count() == trades.count())
   }
 
+  test("NULL join keys never match (join semantics), left rows preserved") {
+    val l = Seq(
+      (1L, Some(1L), t("2025-01-01 10:00:00"), 1.0),
+      (2L, None: Option[Long], t("2025-01-01 10:00:00"), 2.0) // null key
+    ).toDF("id", "k", "tts", "amt")
+    val r = Seq(
+      (Some(1L), t("2025-01-01 09:00:00"), 10.0),
+      (None: Option[Long], t("2025-01-01 09:00:00"), 99.0) // null-key ref row
+    ).toDF("k", "qts", "px")
+    val got = AsOfJoin.asOf(l, r, Seq("k"), "tts", "qts", Seq("px"))
+      .orderBy("id").collect()
+    assert(got.length == 2) // left-join: the null-key left row survives...
+    assert(got(0).getDouble(5) == 10.0)
+    assert(got(1).isNullAt(5)) // ...but never matches a null-key reference
+  }
+
   test("colliding right payload names are rejected") {
     val ex = intercept[IllegalArgumentException] {
       AsOfJoin.asOf(trades, quotes.withColumnRenamed("px", "amt"), Seq("k"), "tts", "qts", Seq("amt"))

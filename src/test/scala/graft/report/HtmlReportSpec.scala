@@ -22,7 +22,11 @@ class HtmlReportSpec extends SparkSpec {
     assert(html.contains("Column / value / Mean"))
     assert("<svg".r.findAllIn(html).size >= 3)
     // optimization table with a selected model and status column
-    assert(html.contains("best model") && html.contains("TrailingMean") || html.contains("Ewma") || html.contains("SeasonalNaive"))
+    assert(html.contains("best model"))
+    assert(
+      html.contains("TrailingMean") || html.contains("Ewma") ||
+        html.contains("SeasonalNaive") || html.contains("AutoSeasonal")
+    )
     assert(html.contains("<td>ok</td>") || html.contains("ok"))
     // scoring section with the healthy flag and the threshold rule
     assert(html.contains("within expectations"))
