@@ -323,6 +323,39 @@ object EngineQueries extends QueryPack {
     * windows — two window exchanges on the same (user) partitioning,
     * reused by Catalyst.
     */
+  /** TPC-H Q19 shape: disjunctive multi-predicate join (OR of ANDs
+    * across both sides). Catalyst extracts the common l_partkey =
+    * p_partkey equi-condition so the join stays hash-based with the
+    * disjunction as a post-join filter — the optimizer behavior this
+    * query exists to pin.
+    */
+  private val q19 = Q(
+    fn = (s, d) => {
+      val li = Tables.lineitem(s, d)
+      val part = Tables.part(s, d)
+      li.join(part, col("l_partkey") === col("p_partkey"))
+        .where(
+          (col("p_brand") === "Brand#12" && col("p_size").between(1, 15) &&
+            col("l_quantity").between(1, 11)) ||
+            (col("p_brand") === "Brand#23" && col("p_size").between(1, 25) &&
+              col("l_quantity").between(10, 20)) ||
+            (col("p_brand") === "Brand#34" && col("p_size").between(1, 35) &&
+              col("l_quantity").between(20, 30))
+        )
+        .agg(
+          decSum6(col("l_extendedprice") * (lit(1) - col("l_discount"))).as("revenue"),
+          count(lit(1)).as("n")
+        )
+    },
+    oracle = Some(s"""
+      SELECT ${sqlDecSum6("l_extendedprice * (1 - l_discount)")} AS revenue,
+        COUNT(*) AS n
+      FROM lineitem JOIN part ON l_partkey = p_partkey
+      WHERE (p_brand = 'Brand#12' AND p_size BETWEEN 1 AND 15 AND l_quantity BETWEEN 1 AND 11)
+         OR (p_brand = 'Brand#23' AND p_size BETWEEN 1 AND 25 AND l_quantity BETWEEN 10 AND 20)
+         OR (p_brand = 'Brand#34' AND p_size BETWEEN 1 AND 35 AND l_quantity BETWEEN 20 AND 30)""")
+  )
+
   private val cubeQ = Q(
     fn = (s, d) =>
       Tables
@@ -502,6 +535,7 @@ object EngineQueries extends QueryPack {
   val queries: Map[String, Q] = Map(
     "q1_agg" -> q1,
     "q14_promo_revenue" -> q14,
+    "q19_disjunctive_join" -> q19,
     "q_sessionize" -> sessionize,
     "q_asof_join" -> asofQ,
     "q_range_join" -> rangeQ,

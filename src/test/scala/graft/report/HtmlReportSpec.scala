@@ -52,6 +52,9 @@ class HtmlReportSpec extends SparkSpec {
     val html = HtmlReport.render(repo, uri)
     assert(html.contains("FAILED")) // the too-short series in the table
     assert(html.contains("anomaly at")) // red flag on the injected score
+    // the failed series' NULL threshold renders as "—", and its absence
+    // from the thresholds map must not flag scores against 0.0
+    assert(html.contains("<td>—</td>"))
   }
 
   test("report degrades gracefully with no optimization or scoring") {
