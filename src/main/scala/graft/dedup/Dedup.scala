@@ -309,6 +309,7 @@ object Dedup {
   private def driverComponents(edges: DataFrame): DataFrame = {
     val spark = edges.sparkSession
     import spark.implicits._
+    val idType = edges.schema("src").dataType
     val es = edges.select(col("src").cast("long"), col("dst").cast("long")).as[(Long, Long)].collect()
     val parent = scala.collection.mutable.HashMap.empty[Long, Long]
     def find(x: Long): Long = {
@@ -328,7 +329,9 @@ object Dedup {
       // find(id) IS the component's min id
       (id, find(id))
     }
-    out.toDF("id", "label")
+    // cast back to the input id type — otherwise the result schema
+    // would depend on which path (driver vs distributed) ran
+    out.toDF("id", "label").select(col("id").cast(idType).as("id"), col("label").cast(idType).as("label"))
   }
 
   /** Exact cluster dedup: keep one document (the min id) per connected

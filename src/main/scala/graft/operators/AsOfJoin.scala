@@ -54,6 +54,15 @@ object AsOfJoin {
       payloadCols.intersect(leftCols).isEmpty,
       s"right payload ${payloadCols.intersect(leftCols)} collides with left columns — rename upstream"
     )
+    // the sweep introduces scratch columns _t/_side/_l/_r/_m alongside
+    // the key columns; a user column with one of those names would
+    // silently shadow them
+    val scratch = Seq("_t", "_side", "_l", "_r", "_m")
+    val userCols = (leftCols ++ payloadCols ++ keyCols).distinct
+    require(
+      userCols.intersect(scratch).isEmpty,
+      s"columns ${userCols.intersect(scratch)} collide with AsOfJoin scratch names ${scratch.mkString("/")} — rename upstream"
+    )
     val rPayload = struct(payloadCols.map(col): _*)
     val rPayloadType = right.select(rPayload).schema.head.dataType
     val lStruct = struct(leftCols.map(col): _*)

@@ -23,20 +23,44 @@ import org.apache.spark.sql.functions._
   */
 object RangeJoin {
 
+  /** @param maxBucketsPerInterval hard ceiling on how many bucket rows
+    *   a single interval may explode to — an interval that is very wide
+    *   relative to `bucketWidth` would otherwise materialize an
+    *   enormous per-row array (memory blows long before Spark's 2^31
+    *   element hard error). Exceeding it raises at execution time:
+    *   choose a larger `bucketWidth` for such data.
+    */
   def intervalJoin(
       left: DataFrame,
       right: DataFrame,
       valueCol: String,
       loCol: String,
       hiCol: String,
-      bucketWidth: Double
+      bucketWidth: Double,
+      maxBucketsPerInterval: Long = 1 << 16
   ): DataFrame = {
     require(bucketWidth > 0, s"bucketWidth must be positive, got $bucketWidth")
+    require(maxBucketsPerInterval > 0, "maxBucketsPerInterval must be positive")
+    val loB = floor(col(loCol) / bucketWidth)
+    val hiB = floor(col(hiCol) / bucketWidth)
     val lb = left.withColumn("_bucket", floor(col(valueCol) / bucketWidth))
-    val rb = right.withColumn(
-      "_bucket",
-      explode(sequence(floor(col(loCol) / bucketWidth), floor(col(hiCol) / bucketWidth)))
-    )
+    // inverted intervals (lo > hi) match nothing — drop them BEFORE the
+    // explode, where sequence() would otherwise generate a descending
+    // bucket range only filtered out post-join
+    val rb = right
+      .where(col(loCol) <= col(hiCol))
+      .withColumn(
+        "_bucket",
+        explode(
+          when(hiB - loB < lit(maxBucketsPerInterval), sequence(loB, hiB))
+            .otherwise(raise_error(format_string(
+              "RangeJoin: interval [%s, %s] spans more than " +
+                s"$maxBucketsPerInterval buckets of width $bucketWidth — " +
+                "increase bucketWidth or maxBucketsPerInterval",
+              col(loCol),
+              col(hiCol)
+            ))))
+      )
     lb.join(
         rb,
         lb("_bucket") === rb("_bucket") &&

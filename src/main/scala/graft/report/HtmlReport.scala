@@ -1,6 +1,8 @@
 package graft.report
 
 import graft.repository.MetricsRepository
+import org.apache.spark.sql.{DataFrame, Row}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Static HTML report over a dataset's stored metrics, optimizations
@@ -53,6 +55,28 @@ object HtmlReport {
         $rule$labels</svg>"""
   }
 
+  /** Apply the report's caps BEFORE collecting: keep the newest
+    * `maxPointsPerSeries` rows per (entity, instance, name) series and
+    * at most `maxSeries` series (first in key order) — a years-long
+    * history with many series must never reach the driver whole.
+    * Runs as a window + a broadcast semi-join on the limited key set.
+    */
+  private def cappedSeries(df: DataFrame, maxPointsPerSeries: Int, maxSeries: Int): Array[Row] = {
+    val perSeries = Window
+      .partitionBy("entity", "instance", "name")
+      .orderBy(col("ts").desc)
+    val keys = df
+      .select("entity", "instance", "name")
+      .distinct()
+      .orderBy("entity", "instance", "name")
+      .limit(maxSeries)
+    df.withColumn("_rn", row_number().over(perSeries))
+      .where(col("_rn") <= maxPointsPerSeries)
+      .drop("_rn")
+      .join(broadcast(keys), Seq("entity", "instance", "name"), "left_semi")
+      .collect()
+  }
+
   /** Render the full report HTML for one dataset. */
   def render(
       repo: MetricsRepository,
@@ -63,11 +87,11 @@ object HtmlReport {
     val meta = repo.getDataset(datasetUri)
     // NULL metric values (e.g. skewness of a constant column) are
     // dropped from the series rather than unboxed to 0.0
-    val profiling = repo
-      .getProfiling(datasetUri)
-      .where(col("value").isNotNull)
-      .orderBy(col("entity"), col("instance"), col("name"), col("ts"))
-      .collect()
+    val profiling = cappedSeries(
+      repo.getProfiling(datasetUri).where(col("value").isNotNull),
+      maxPointsPerSeries,
+      maxSeries
+    )
       .map(r =>
         (
           (r.getAs[String]("entity"), r.getAs[String]("instance"), r.getAs[String]("name")),
@@ -75,24 +99,22 @@ object HtmlReport {
         ))
       .groupBy(_._1)
       .view
-      .mapValues(_.map(_._2).toSeq.sortBy(_._1.getTime).takeRight(maxPointsPerSeries))
+      .mapValues(_.map(_._2).toSeq.sortBy(_._1.getTime))
       .toSeq
       .sortBy(_._1)
-      .take(maxSeries)
 
     // absence is an EMPTY DataFrame from both repository impls — a
     // read failure must propagate, not render as "no data stored"
+    // one row per series — capped to the same first-maxSeries key
+    // window the charts use, so thresholds stay aligned with them
     val optimization = repo
       .getOptimization(datasetUri)
       .orderBy("entity", "instance", "name")
+      .limit(maxSeries)
       .collect()
       .toSeq
 
-    val scoring = repo
-      .getScoring(datasetUri)
-      .orderBy(col("entity"), col("instance"), col("name"), col("ts"))
-      .collect()
-      .toSeq
+    val scoring = cappedSeries(repo.getScoring(datasetUri), maxPointsPerSeries, maxSeries).toSeq
 
     // failed-optimization rows carry NULL thresholds — they must not
     // unbox to 0.0 (which would flag every positive score anomalous)
@@ -155,10 +177,9 @@ object HtmlReport {
       }
       .groupBy(_._1)
       .view
-      .mapValues(_.map(_._2).sortBy(_._1.getTime).takeRight(maxPointsPerSeries))
+      .mapValues(_.map(_._2).sortBy(_._1.getTime))
       .toSeq
       .sortBy(_._1)
-      .take(maxSeries)
 
     val scoringHtml =
       if (scoringBySeries.isEmpty) "<p>⚠ No scoring stored for this dataset.</p>"

@@ -103,6 +103,14 @@ class DedupSpec extends SparkSpec {
     assert(dist.toSet == cc.toSet)
   }
 
+  test("connected-component schema preserves the input id type on both paths") {
+    val intEdges = Seq((1, 2, 1.0), (2, 3, 1.0)).toDF("id_a", "id_b", "jaccard")
+    val driverPath = Dedup.connectedComponents(intEdges, maxIter = 10)
+    val distPath = Dedup.connectedComponents(intEdges, maxIter = 10, driverThreshold = 0)
+    assert(driverPath.schema.map(_.dataType) == distPath.schema.map(_.dataType))
+    assert(driverPath.collect().toSet == distPath.collect().toSet)
+  }
+
   test("graft.checkpoint.reliable=true routes iterations through reliable checkpoints") {
     val ckDir = java.nio.file.Files.createTempDirectory("graft-ck").toString
     spark.sparkContext.setCheckpointDir(ckDir)

@@ -78,4 +78,22 @@ class AsOfJoinSpec extends SparkSpec {
     }
     assert(ex.getMessage.contains("collides"))
   }
+
+  test("left or key columns named like scratch columns are rejected") {
+    val ex = intercept[IllegalArgumentException] {
+      AsOfJoin.asOf(trades.withColumnRenamed("amt", "_m"), quotes, Seq("k"), "tts", "qts", Seq("px"))
+    }
+    assert(ex.getMessage.contains("scratch"))
+    val ex2 = intercept[IllegalArgumentException] {
+      AsOfJoin.asOf(
+        trades.withColumnRenamed("k", "_t"),
+        quotes.withColumnRenamed("k", "_t"),
+        Seq("_t"),
+        "tts",
+        "qts",
+        Seq("px")
+      )
+    }
+    assert(ex2.getMessage.contains("scratch"))
+  }
 }

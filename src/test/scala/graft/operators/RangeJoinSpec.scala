@@ -43,6 +43,30 @@ class RangeJoinSpec extends SparkSpec {
     assert(got == Set("lo-edge", "hi-edge"))
   }
 
+  test("inverted intervals (lo > hi) are dropped before the explode and match nothing") {
+    val rs = Seq(("ok", 0.0, 10.0), ("inverted", 30.0, 3.0)).toDF("r", "lo", "hi")
+    val got = RangeJoin
+      .intervalJoin(values, rs, "v", "lo", "hi", 7.0)
+      .select("id", "r")
+      .as[(Long, String)]
+      .collect()
+      .toSet
+    assert(got == Set((1L, "ok")))
+  }
+
+  test("an interval spanning more buckets than the ceiling raises instead of exploding") {
+    val rs = Seq(("huge", 0.0, 1e9)).toDF("r", "lo", "hi")
+    val ex = intercept[Exception] {
+      RangeJoin.intervalJoin(values, rs, "v", "lo", "hi", 1.0, maxBucketsPerInterval = 1000).collect()
+    }
+    def messages(t: Throwable): Seq[String] =
+      Option(t).toSeq.flatMap(e => Option(e.getMessage).toSeq ++ messages(e.getCause))
+    assert(messages(ex).exists(_.contains("RangeJoin")), ex.toString)
+    // the same data passes with a bucket width sized to the intervals
+    val ok = RangeJoin.intervalJoin(values, rs, "v", "lo", "hi", 1e7).select("id").collect()
+    assert(ok.length == 4)
+  }
+
   test("plans as an equi-join, not a broadcast nested loop") {
     val plan = RangeJoin
       .intervalJoin(values, ranges, "v", "lo", "hi", 7.0)

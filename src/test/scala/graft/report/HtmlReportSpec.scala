@@ -57,6 +57,28 @@ class HtmlReportSpec extends SparkSpec {
     assert(html.contains("<td>—</td>"))
   }
 
+  test("caps are applied before collect: maxSeries and maxPointsPerSeries bound the charts") {
+    import spark.implicits._
+    val repo = new InMemoryRepository()
+    val uri = "ds://capped"
+    def day(i: Int) = java.sql.Timestamp.valueOf(f"2024-01-${i + 1}%02d 00:00:00")
+    val rows = for {
+      inst <- Seq("a", "b", "c")
+      i <- 0 until 20
+    } yield (day(i), "Column", inst, "Mean", i.toDouble)
+    repo.addProfiling(uri, rows.toDF("ts", "entity", "instance", "name", "value"))
+    val html = HtmlReport.render(repo, uri, maxPointsPerSeries = 5, maxSeries = 2)
+    // first two series in key order survive, third is dropped
+    assert(html.contains("Column / a / Mean"))
+    assert(html.contains("Column / b / Mean"))
+    assert(!html.contains("Column / c / Mean"))
+    // newest 5 points per series: n=5 in the stats line, and the kept
+    // window is the NEWEST (last value 19.0), not the oldest
+    assert(html.contains("n=5"))
+    assert(!html.contains("n=20"))
+    assert(html.contains("last=19.0"))
+  }
+
   test("report degrades gracefully with no optimization or scoring") {
     val repo = new InMemoryRepository()
     val uri = "ds://bare"
