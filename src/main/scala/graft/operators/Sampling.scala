@@ -75,6 +75,52 @@ object Sampling {
     df.where(bucketHex(col(idCol), salt) < lit(thresholdHex(fraction)))
   }
 
+  /** Deterministic per-stratum sampling: each stratum value gets its
+    * own keep-fraction (class rebalancing — downsample the dominant
+    * class, keep all of a rare one). Same content-hash membership as
+    * [[deterministicSample]], so raising a stratum's fraction only ADDS
+    * rows (prefix property per stratum) and results are stable across
+    * runs, partitionings and engines. Scan-side filter, zero shuffle.
+    *
+    * `fractions` maps stratum (as string) to fraction; unlisted strata
+    * use `defaultFraction`.
+    */
+  def stratifiedSample(
+      df: DataFrame,
+      idCol: String,
+      strataCol: String,
+      fractions: Seq[(String, Double)],
+      defaultFraction: Double = 0.0,
+      salt: String = "graft"
+  ): DataFrame = {
+    require(
+      (defaultFraction +: fractions.map(_._2)).forall(f => f >= 0.0 && f <= 1.0),
+      "fractions must be in [0, 1]"
+    )
+    val thr = fractions.foldRight(lit(thresholdHex(defaultFraction))) {
+      case ((k, f), elseCol) =>
+        when(col(strataCol).cast("string") === k, lit(thresholdHex(f))).otherwise(elseCol)
+    }
+    df.where(bucketHex(col(idCol), salt) < thr)
+  }
+
+  /** SQL mirror of [[stratifiedSample]]'s predicate. */
+  def stratifiedSampleSql(
+      idExpr: String,
+      strataExpr: String,
+      fractions: Seq[(String, Double)],
+      defaultFraction: Double = 0.0,
+      salt: String = "graft"
+  ): String = {
+    val b = s"substr(md5(CAST($idExpr AS VARCHAR) || ':$salt'), 1, 8)"
+    val whens = fractions
+      .map { case (k, f) =>
+        s"WHEN CAST($strataExpr AS VARCHAR) = '$k' THEN '${thresholdHex(f)}'"
+      }
+      .mkString(" ")
+    s"$b < CASE $whens ELSE '${thresholdHex(defaultFraction)}' END"
+  }
+
   /** SQL fragment computing the same split column — for oracle /
     * cross-engine parity (any dialect with md5, substr, ||).
     */

@@ -482,6 +482,30 @@ object EngineQueries extends QueryPack {
       FROM documents ORDER BY doc_id""")
   )
 
+  private val stratifiedQ = {
+    // downsample the dominant strata, keep more of 0; unlisted labels
+    // fall back to the default fraction
+    val fr = Seq("0" -> 0.8, "1" -> 0.25)
+    Q(
+      fn = (s, d) =>
+        graft.operators.Sampling
+          .stratifiedSample(
+            Tables.embeddings(s, d),
+            "vec_id",
+            "label",
+            fr,
+            defaultFraction = 0.1
+          )
+          .select(col("vec_id"), col("label"))
+          .orderBy("vec_id"),
+      oracle = Some(s"""
+        SELECT vec_id, label FROM embeddings
+        WHERE ${graft.operators.Sampling
+          .stratifiedSampleSql("vec_id", "label", fr, defaultFraction = 0.1)}
+        ORDER BY vec_id""")
+    )
+  }
+
   private val sessionize = Q(
     fn = (s, d) => {
       val byUser = Window.partitionBy(col("user_id")).orderBy(col("ts"))
@@ -540,6 +564,7 @@ object EngineQueries extends QueryPack {
     "q_asof_join" -> asofQ,
     "q_range_join" -> rangeQ,
     "q_hash_split" -> splitQ,
+    "q_stratified_sample" -> stratifiedQ,
     "q_pivot" -> pivotQ,
     "q_cube" -> cubeQ,
     "q_unpivot" -> unpivotQ,

@@ -89,7 +89,27 @@ object SimilarityQueries extends QueryPack {
       WHERE rank <= 5 ORDER BY query_id, rank""")
   )
 
+  private val centroidQ = Q(
+    fn = (s, d) =>
+      Similarity
+        .centroids(Tables.embeddings(s, d), "embedding", "label")
+        .withColumnRenamed("key", "label")
+        .orderBy("label", "pos"),
+    oracle = Some("""
+      WITH ex AS (
+        SELECT label, unnest(generate_series(1, len(embedding))) AS i, embedding
+        FROM embeddings),
+      c AS (
+        SELECT label, i - 1 AS pos,
+          CAST(SUM(CAST(CAST(embedding[i] AS DOUBLE) AS DECIMAL(38,10))) AS DOUBLE) AS s,
+          COUNT(*) AS n
+        FROM ex GROUP BY 1, 2)
+      SELECT label, pos, round(s / n, 6) AS centroid, n
+      FROM c ORDER BY label, pos""")
+  )
+
   val queries: Map[String, Q] = Map(
+    "embed_centroid" -> centroidQ,
     "ann_bruteforce_topk" -> bruteForce,
     "ann_quantized_topk" -> quantized,
     "ann_lsh_topk" -> lsh,

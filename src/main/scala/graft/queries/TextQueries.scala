@@ -166,7 +166,73 @@ object TextQueries extends QueryPack {
       ORDER BY doc_id, rank""")
   )
 
+  private val repetitionQ = Q(
+    fn = (s, d) =>
+      Text
+        .repetitionSignals(Tables.documents(s, d), "text", "doc_id")
+        .withColumnRenamed("id", "doc_id")
+        .orderBy("doc_id"),
+    oracle = Some(s"""
+      WITH toks AS (
+        SELECT doc_id, 1 AS n, unnest(string_split(text, ' ')) AS g FROM documents),
+      bis AS (
+        SELECT doc_id, 2 AS n,
+          unnest(list_transform(range(1, len(string_split(text, ' '))),
+            i -> concat_ws(' ', string_split(text, ' ')[i],
+                 string_split(text, ' ')[i+1]))) AS g
+        FROM documents WHERE len(string_split(text, ' ')) >= 2),
+      tris AS (
+        SELECT doc_id, 3 AS n,
+          unnest(list_transform(range(1, len(string_split(text, ' ')) - 1),
+            i -> concat_ws(' ', string_split(text, ' ')[i],
+                 string_split(text, ' ')[i+1], string_split(text, ' ')[i+2]))) AS g
+        FROM documents WHERE len(string_split(text, ' ')) >= 3),
+      allg AS (SELECT * FROM toks UNION ALL SELECT * FROM bis
+               UNION ALL SELECT * FROM tris),
+      c AS (SELECT doc_id, n, g, count(*) AS cnt FROM allg GROUP BY 1, 2, 3),
+      st AS (SELECT doc_id,
+              CAST(sum(CASE WHEN n = 1 THEN cnt END) AS BIGINT) AS n_tokens,
+              count(CASE WHEN n = 1 THEN 1 END) AS n_dist,
+              max(CASE WHEN n = 1 THEN cnt END) AS top_cnt,
+              sum(CASE WHEN n = 2 THEN cnt END) AS n_bi,
+              sum(CASE WHEN n = 2 AND cnt > 1 THEN cnt END) AS dup_bi,
+              sum(CASE WHEN n = 3 AND cnt > 1 THEN cnt * length(g) END) AS dup_tri_chars
+            FROM c GROUP BY 1)
+      SELECT d.doc_id, st.n_tokens,
+        ${sqlRound6("CAST(n_dist AS DOUBLE) / n_tokens")} AS distinct_token_ratio,
+        ${sqlRound6("CAST(top_cnt AS DOUBLE) / n_tokens")} AS top_token_frac,
+        CASE WHEN n_bi IS NULL THEN 0.0
+             ELSE ${sqlRound6("CAST(COALESCE(dup_bi, 0) AS DOUBLE) / n_bi")}
+        END AS dup_bigram_frac,
+        ${sqlRound6("CAST(COALESCE(dup_tri_chars, 0) AS DOUBLE) / length(d.text)")}
+          AS dup_trigram_char_frac
+      FROM documents d JOIN st ON d.doc_id = st.doc_id
+      ORDER BY d.doc_id""")
+  )
+
+  private val redactQ = Q(
+    fn = (s, d) =>
+      // events.props carries embedded numeric identifiers (the PII
+      // stand-in this synthetic corpus has); full pattern family
+      // (email/phone/ipv4) is spec-covered on crafted strings
+      Tables
+        .events(s, d)
+        .select(
+          col("event_id"),
+          Text.redactionCount(col("props"), "[0-9]+").as("n_redactions"),
+          Text.redact(col("props"), Seq("number" -> "[0-9]+")).as("redacted")
+        )
+        .orderBy("event_id"),
+    oracle = Some("""
+      SELECT event_id,
+        len(regexp_extract_all(props, '[0-9]+')) AS n_redactions,
+        regexp_replace(props, '[0-9]+', '[NUMBER]', 'g') AS redacted
+      FROM events ORDER BY event_id""")
+  )
+
   val queries: Map[String, Q] = Map(
+    "text_redact" -> redactQ,
+    "text_repetition" -> repetitionQ,
     "text_tfidf" -> tfidfQ,
     "text_tokens" -> tokensQ,
     "text_quality" -> qualityQ,

@@ -343,4 +343,34 @@ object Similarity {
       .where(col("sim") >= threshold)
       .select("id_a", "id_b", "sim")
   }
+
+  /** Per-group embedding centroids in long format:
+    * `(key, pos, centroid, n)` — one row per (group, dimension).
+    *
+    * The class-prototype primitive: centroids feed nearest-centroid
+    * classification, IVF coarse quantizers, diversity pruning, and
+    * drift monitoring between corpus snapshots.
+    *
+    * Shape: posexplode → ONE `groupBy(key, pos)` — partial-aggregatable
+    * (map-side combine reduces each partition to |groups| × dim rows),
+    * a single shuffle whose width is groups × dimensions regardless of
+    * corpus size. Per-dimension sums go through DECIMAL(38, 10):
+    * decimal addition is exact and order-independent, so the centroid
+    * is bit-identical on any engine and any partitioning (double sums
+    * would differ in the last ulps between runs).
+    */
+  def centroids(df: DataFrame, vecCol: String, keyCol: String): DataFrame =
+    df.select(col(keyCol).as("key"), posexplode(col(vecCol)))
+      .groupBy("key", "pos")
+      .agg(
+        sum(col("col").cast("double").cast(org.apache.spark.sql.types.DecimalType(38, 10)))
+          .as("_s"),
+        count(lit(1)).as("n")
+      )
+      .select(
+        col("key"),
+        col("pos"),
+        round6(col("_s").cast("double") / col("n")).as("centroid"),
+        col("n")
+      )
 }

@@ -122,6 +122,103 @@ object Text {
       size(array_union(da, db))
   }
 
+  /** Default redaction patterns for training-corpus PII scrubbing.
+    * Order matters: specific shapes (email, phone, ip) are replaced
+    * before the generic digit-run fallback. Patterns stick to portable
+    * regex (character classes + bounded repetition — identical
+    * semantics in Java regex and RE2-style engines).
+    */
+  val redactionPatterns: Seq[(String, String)] = Seq(
+    "email" -> "[a-zA-Z0-9._%+-]+@[a-zA-Z0-9.-]+\\.[a-zA-Z]{2,}",
+    // token name must stay digit-free — the generic number fallback
+    // runs later and would rewrite digits inside the tag itself
+    "ip" -> "[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}",
+    "phone" -> "\\+?[0-9][0-9()\\- ]{6,}[0-9]",
+    "number" -> "[0-9]+"
+  )
+
+  /** Matches of `pattern` in the column (for redaction accounting). */
+  def redactionCount(c: Column, pattern: String): Column =
+    regexp_count(c, lit(pattern))
+
+  /** Replace every match of each (name, pattern) with `[NAME]`, in
+    * order. Pure scan-side `regexp_replace` chain — codegen'd, no
+    * shuffle, so scrubbing rides the first read of the corpus.
+    */
+  def redact(c: Column, patterns: Seq[(String, String)] = redactionPatterns): Column =
+    patterns.foldLeft(c) { case (acc, (name, pat)) =>
+      regexp_replace(acc, pat, s"[${name.toUpperCase}]")
+    }
+
+  /** Per-document repetition signals — the classic cheap quality
+    * filters for web-scale training corpora (fraction of repeated
+    * content; heavily templated/spammy documents score high):
+    *
+    *   - `distinct_token_ratio` — distinct / total tokens (low = repetitive)
+    *   - `top_token_frac`       — occurrences of the most frequent token / total
+    *   - `dup_bigram_frac`      — fraction of bigram occurrences whose
+    *                              bigram appears more than once
+    *   - `dup_trigram_char_frac`— characters covered by all occurrences
+    *                              of repeated trigrams / document chars
+    *                              (overlaps counted, so it can exceed 1)
+    *
+    * Shape: one union of token/bigram/trigram explodes tagged by gram
+    * size → ONE `groupBy(id, n, gram)` count (map-side combinable) →
+    * one per-doc conditional aggregation → join back to the documents
+    * for char counts. Two shuffles total regardless of corpus size; no
+    * per-doc state beyond gram counts.
+    */
+  def repetitionSignals(
+      df: org.apache.spark.sql.DataFrame,
+      textCol: String,
+      idCol: String
+  ): org.apache.spark.sql.DataFrame = {
+    val docs = df.select(
+      col(idCol).as("id"),
+      col(textCol).as("_text"),
+      length(col(textCol)).as("n_chars")
+    )
+    def grams(n: Int) = {
+      val g = if (n == 1) tokens(col("_text")) else wordShingles(col("_text"), n)
+      docs.select(col("id"), lit(n).as("_n"), explode(g).as("_g"))
+    }
+    val counts = grams(1)
+      .unionByName(grams(2))
+      .unionByName(grams(3))
+      .groupBy("id", "_n", "_g")
+      .agg(count(lit(1)).as("_cnt"))
+    val stats = counts
+      .groupBy("id")
+      .agg(
+        sum(when(col("_n") === 1, col("_cnt"))).as("n_tokens"),
+        count(when(col("_n") === 1, lit(1))).as("_n_distinct"),
+        max(when(col("_n") === 1, col("_cnt"))).as("_top_cnt"),
+        sum(when(col("_n") === 2, col("_cnt"))).as("_n_bi"),
+        sum(when(col("_n") === 2 && col("_cnt") > 1, col("_cnt"))).as("_dup_bi"),
+        sum(when(col("_n") === 3 && col("_cnt") > 1, col("_cnt") * length(col("_g"))))
+          .as("_dup_tri_chars")
+      )
+    docs
+      .join(stats, Seq("id"))
+      .select(
+        col("id"),
+        col("n_tokens"),
+        graft.functions.round6(col("_n_distinct").cast("double") / col("n_tokens"))
+          .as("distinct_token_ratio"),
+        graft.functions.round6(col("_top_cnt").cast("double") / col("n_tokens"))
+          .as("top_token_frac"),
+        when(col("_n_bi").isNull, lit(0.0))
+          .otherwise(
+            graft.functions
+              .round6(coalesce(col("_dup_bi"), lit(0L)).cast("double") / col("_n_bi"))
+          )
+          .as("dup_bigram_frac"),
+        graft.functions
+          .round6(coalesce(col("_dup_tri_chars"), lit(0L)).cast("double") / col("n_chars"))
+          .as("dup_trigram_char_frac")
+      )
+  }
+
   /** Top-k salient terms per document by TF-IDF:
     * `(id, term, score, rank)`.
     *

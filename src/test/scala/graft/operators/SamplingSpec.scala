@@ -41,6 +41,27 @@ class SamplingSpec extends SparkSpec {
     assert(p10 != other)
   }
 
+  test("stratifiedSample honors per-stratum fractions and stays hash-consistent") {
+    val strata = (1L to 3000L).map(i => (i, (i % 3).toString)).toDF("id", "cls")
+    val kept = Sampling
+      .stratifiedSample(strata, "id", "cls", Seq("0" -> 0.8, "1" -> 0.2), defaultFraction = 0.0)
+    val byCls = kept.groupBy("cls").count().collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    // 1000 per stratum: binomial 4-sigma bounds
+    assert(math.abs(byCls("0") - 800) < 51, byCls)
+    assert(math.abs(byCls("1") - 200) < 51, byCls)
+    assert(!byCls.contains("2")) // default fraction 0 drops unlisted strata
+    // membership is the same hash as deterministicSample — a stratum at
+    // fraction f keeps exactly the rows the plain sample at f keeps
+    val viaStrat = kept.where($"cls" === "1").select("id").as[Long].collect().toSet
+    val viaPlain = Sampling
+      .deterministicSample(strata.where($"cls" === "1"), "id", 0.2)
+      .select("id")
+      .as[Long]
+      .collect()
+      .toSet
+    assert(viaStrat == viaPlain)
+  }
+
   test("thresholdHex maps fractions to the 32-bit hex space") {
     assert(Sampling.thresholdHex(0.0) == "00000000")
     assert(Sampling.thresholdHex(0.5) == "80000000")

@@ -126,4 +126,27 @@ class SimilaritySpec extends SparkSpec {
       .toSet
     assert(pairs == Set((1L, 2L), (3L, 4L))) // within-label similar pairs only
   }
+
+  test("centroids compute per-group element-wise means in long format") {
+    import spark.implicits._
+    val vecs = Seq(
+      (1L, "a", Array(1.0f, 2.0f)),
+      (2L, "a", Array(3.0f, 6.0f)),
+      (3L, "b", Array(10.0f, 0.0f))
+    ).toDF("id", "cls", "embedding")
+    val got = Similarity
+      .centroids(vecs, "embedding", "cls")
+      .orderBy("key", "pos")
+      .collect()
+      .map(r => (r.getString(0), r.getInt(1), r.getDouble(2), r.getLong(3)))
+    assert(
+      got.toSeq == Seq(("a", 0, 2.0, 2L), ("a", 1, 4.0, 2L), ("b", 0, 10.0, 1L), ("b", 1, 0.0, 1L)))
+    // partitioning must not change a single bit (decimal sums)
+    val re = Similarity
+      .centroids(vecs.repartition(7), "embedding", "cls")
+      .orderBy("key", "pos")
+      .collect()
+      .map(r => (r.getString(0), r.getInt(1), r.getDouble(2), r.getLong(3)))
+    assert(re.sameElements(got))
+  }
 }

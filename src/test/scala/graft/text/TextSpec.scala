@@ -75,6 +75,42 @@ class TextSpec extends SparkSpec {
       .orderBy("rank").select("term").as[String].collect()))
   }
 
+  test("repetition signals match hand-computed values") {
+    val docs = Seq(
+      (1L, "a a b"),
+      (2L, "x y x y x y")
+    ).toDF("doc_id", "text")
+    val got = Text
+      .repetitionSignals(docs, "text", "doc_id")
+      .orderBy("id")
+      .collect()
+      .map(r =>
+        (r.getLong(0), r.getLong(1), r.getDouble(2), r.getDouble(3), r.getDouble(4), r.getDouble(5)))
+    // doc 1: tokens a,a,b -> distinct 2/3, top 2/3; bigrams "a a","a b"
+    // both unique -> 0; single trigram -> 0
+    assert(got(0) == ((1L, 3L, 0.666667, 0.666667, 0.0, 0.0)))
+    // doc 2: 6 tokens of 2 kinds -> distinct 1/3, top 1/2; all 5 bigram
+    // occurrences are repeats -> 1.0; trigrams "x y x" x2 + "y x y" x2,
+    // 4 occurrences x 5 chars = 20 over 11 chars -> 1.818182 (>1 by
+    // design: overlapping occurrences both count)
+    assert(got(1) == ((2L, 6L, 0.333333, 0.5, 1.0, 1.818182)))
+  }
+
+  test("redaction scrubs emails, phones, ips and digit runs in pattern order") {
+    val got = one(
+      Text.redact($"t"),
+      "mail john.doe@example.com or +1 (555) 123-4567, host 10.0.0.1, id 42"
+    )
+    assert(got == "mail [EMAIL] or [PHONE], host [IP], id [NUMBER]")
+    val counts = Seq("a@b.io c@d.io none")
+      .toDF("t")
+      .select(Text.redactionCount($"t", Text.redactionPatterns.head._2).as("n"))
+      .collect()
+      .head
+      .getInt(0)
+    assert(counts == 2)
+  }
+
   test("quality score is in [0,1] and favors prose over symbol soup") {
     val q = Seq("the cat is on the mat and it is a fine day for all of us", "@#$% ^&*! ~~~")
       .toDF("t")
