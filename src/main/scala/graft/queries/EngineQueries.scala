@@ -55,6 +55,95 @@ object EngineQueries extends QueryPack {
       ORDER BY l_returnflag, l_linestatus""")
   )
 
+  // TPC-H Q6 shape: pure scan + filter + scalar aggregate — the
+  // pushdown benchmark (every predicate reaches the parquet reader,
+  // zero shuffle beyond the final partial-agg exchange)
+  private val q6 = Q(
+    fn = (s, d) =>
+      Tables
+        .lineitem(s, d)
+        .filter(
+          col("l_shipdate") >= lit("1996-01-01") && col("l_shipdate") < lit("1997-01-01") &&
+            col("l_discount") >= 0.05 && col("l_discount") <= 0.07 && col("l_quantity") < 24
+        )
+        .agg(
+          decSum6(col("l_extendedprice") * col("l_discount")).as("revenue"),
+          count(lit(1)).as("n_rows")
+        ),
+    oracle = Some(s"""
+      SELECT ${sqlDecSum6("l_extendedprice * l_discount")} AS revenue,
+        COUNT(*) AS n_rows
+      FROM lineitem
+      WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+        AND l_shipdate < TIMESTAMP '1997-01-01 00:00:00'
+        AND l_discount BETWEEN 0.05 AND 0.07 AND l_quantity < 24""")
+  )
+
+  // TPC-H Q18 shape (large-volume customers): the HAVING-subquery is a
+  // single lineitem aggregation whose result (order key + summed qty)
+  // joins straight back — one pass over the fact table, no second scan
+  private val q18 = Q(
+    fn = (s, d) => {
+      val big = Tables
+        .lineitem(s, d)
+        .groupBy(col("l_orderkey"))
+        .agg(decSum2(col("l_quantity")).as("sum_qty"))
+        .where(col("sum_qty") > 250)
+      Tables
+        .orders(s, d)
+        .join(big, col("o_orderkey") === col("l_orderkey"))
+        .join(Tables.customer(s, d), col("o_custkey") === col("c_custkey"))
+        .select(
+          col("c_name"),
+          col("o_custkey"),
+          col("o_orderkey"),
+          col("o_orderdate"),
+          col("o_totalprice"),
+          col("sum_qty")
+        )
+        .orderBy(col("o_totalprice").desc, col("o_orderdate"), col("o_orderkey"))
+        .limit(100)
+    },
+    oracle = Some(s"""
+      WITH big AS (
+        SELECT l_orderkey, ${sqlDecSum2("l_quantity")} AS sum_qty
+        FROM lineitem GROUP BY 1
+        HAVING ${sqlDecSum2("l_quantity")} > 250)
+      SELECT c_name, o_custkey, o_orderkey, o_orderdate, o_totalprice, sum_qty
+      FROM orders JOIN big ON o_orderkey = l_orderkey
+      JOIN customer ON o_custkey = c_custkey
+      ORDER BY o_totalprice DESC, o_orderdate, o_orderkey
+      LIMIT 100""")
+  )
+
+  // bloom semi-join reduction: lineitem rows are pre-filtered by a
+  // fixed-size bloom over the urgent orders' keys before the join
+  // shuffle; the oracle is the PLAIN join — proving false positives
+  // never change results, only shuffled volume
+  private val bloomQ = Q(
+    fn = (s, d) => {
+      val dim = Tables
+        .orders(s, d)
+        .where(col("o_orderpriority") === "1-URGENT")
+        .select(col("o_orderkey"), col("o_orderdate"))
+      graft.operators.BloomJoin
+        .bloomReducedJoin(Tables.lineitem(s, d), dim, "l_orderkey", "o_orderkey")
+        .groupBy(date_trunc("month", col("o_orderdate")).as("month"))
+        .agg(
+          count(lit(1)).as("n_items"),
+          decSum6(col("l_extendedprice") * (lit(1) - col("l_discount"))).as("revenue")
+        )
+        .orderBy("month")
+    },
+    oracle = Some(s"""
+      SELECT ${sqlTrunc("month", "o_orderdate")} AS month,
+        COUNT(*) AS n_items,
+        ${sqlDecSum6("l_extendedprice * (1 - l_discount)")} AS revenue
+      FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+      WHERE o_orderpriority = '1-URGENT'
+      GROUP BY 1 ORDER BY 1""")
+  )
+
   private val q14 = Q(
     fn = (s, d) => {
       val li = Tables
@@ -558,6 +647,9 @@ object EngineQueries extends QueryPack {
 
   val queries: Map[String, Q] = Map(
     "q1_agg" -> q1,
+    "q6_filter_agg" -> q6,
+    "q18_top_customers" -> q18,
+    "q_bloom_join" -> bloomQ,
     "q14_promo_revenue" -> q14,
     "q19_disjunctive_join" -> q19,
     "q_sessionize" -> sessionize,
