@@ -30,8 +30,8 @@ object Granularity {
   val Week = "WEEK"
   val Month = "MONTH"
 
-  /** date_trunc unit for a granularity key. */
-  def truncUnit(granularity: String): String = granularity match {
+  /** date_trunc unit for a granularity key (case-insensitive). */
+  def truncUnit(granularity: String): String = granularity.toUpperCase match {
     case Hour  => "hour"
     case Day   => "day"
     case Week  => "week"

@@ -376,7 +376,38 @@ object ProfilerQueries extends QueryPack {
       FROM e JOIN b ON e.ts = b.ts GROUP BY e.ts ORDER BY e.ts""")
   )
 
+  // profiled once at DAY grain, rolled up to WEEK purely from the
+  // stored partials — the raw table is scanned exactly once; the
+  // oracle computes the weekly profile directly from raw, proving the
+  // merge is exact (decimal sums), not approximate
+  private val reaggQ = Q(
+    fn = (s, d) => {
+      val daily = graft.profiler.Moments
+        .partials(Tables.events(s, d), "ts", Seq("value"), "day")
+      graft.profiler.Moments
+        .finalizeProfile(graft.profiler.Moments.reaggregate(daily, "week"))
+        .orderBy("ts", "instance")
+    },
+    oracle = Some(s"""
+      SELECT ${sqlTrunc("week", "ts")} AS ts, 'value' AS instance,
+        COUNT(value) AS n,
+        ${sqlRound6("CAST(SUM(CAST(value AS DECIMAL(38,6))) AS DOUBLE) / COUNT(value)")}
+          AS mean,
+        CASE WHEN COUNT(value) > 1 THEN
+          ${sqlRound6(
+        """sqrt(greatest(
+             (CAST(SUM(CAST(value * value AS DECIMAL(38,12))) AS DOUBLE)
+              - CAST(SUM(CAST(value AS DECIMAL(38,6))) AS DOUBLE)
+                * CAST(SUM(CAST(value AS DECIMAL(38,6))) AS DOUBLE) / COUNT(value))
+             / (COUNT(value) - 1), 0.0))"""
+      )}
+        END AS stddev,
+        min(value) AS min, max(value) AS max
+      FROM events GROUP BY 1 ORDER BY 1, 2""")
+  )
+
   val queries: Map[String, Q] = Map(
+    "profile_reaggregate" -> reaggQ,
     "profile_size" -> size,
     "profile_report_sketch" -> reportSketch,
     "profile_topk_values" -> topkValues,
