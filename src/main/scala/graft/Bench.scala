@@ -9,7 +9,9 @@ object Bench {
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.ui.enabled", "false")
       .getOrCreate()
-    spark.sparkContext.setLogLevel("WARN")
+    // ERROR, not WARN: the bench JSON line must stay parseable in a
+    // bounded output tail, so routine executor warnings are silenced.
+    spark.sparkContext.setLogLevel("ERROR")
     // Untimed warmup: JIT + classloading + parquet footer caches would
     // otherwise be billed to whichever query happens to run first.
     try {
@@ -28,13 +30,35 @@ object Bench {
         case e: Throwable => (name, -1.0, Some(e.getClass.getSimpleName))
       }
     }
-    val qs = results.map { case (k, v, _) => s"\"" + k + "\":" + v }
-      .mkString("{", ",", "}")
+    def ms(v: Double): String = if (v < 0) "-1" else f"$v%.3f"
     val errors = results.collect { case (k, _, Some(_)) => "\"" + k + "\"" }
       .mkString("[", ",", "]")
     val total = results.map(_._2).filter(_ >= 0).sum
+    // Full per-query detail: too long for a bounded (~2 kB) output-tail
+    // capture with ~80 queries, so it goes to a file plus a '#'-prefixed
+    // stdout line that no JSON-line scanner will pick up by mistake.
+    val detail = results.map { case (k, v, _) => s"\"" + k + "\":" + ms(v) }
+      .mkString("{", ",", "}")
+    val detailJson =
+      s"""{"metric":"total","value":${ms(total)},"unit":"sec","queries":$detail,"errors":$errors,"sf":"$sfDir"}"""
+    java.nio.file.Files.writeString(
+      java.nio.file.Paths.get("bench_detail.json"), detailJson + "\n")
+    println(s"# bench detail: $detailJson")
+    // The parseable metric line is printed LAST and kept compact: total
+    // plus a fixed headline subset spanning every operator family.
+    val headline = Seq(
+      "q1_agg", "q3_join", "q5_multi_join", "q_window_topk",
+      "q_skew_salted_join", "profile_report", "profile_report_sketch",
+      "anomaly_best_model", "anomaly_score_last", "quality_assess",
+      "dedup_exact", "dedup_minhash_lsh", "dedup_near_sweep",
+      "ann_bruteforce_topk", "ann_ivf_topk", "text_tfidf",
+      "multimodal_phash_pairs"
+    )
+    val byName = results.map { case (k, v, _) => k -> v }.toMap
+    val qs = headline.flatMap(k => byName.get(k).map(v => s"\"" + k + "\":" + ms(v)))
+      .mkString("{", ",", "}")
     println(
-      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$errors,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":${ms(total)},"unit":"sec","queries":$qs,"n_queries":${results.size},"detail":"bench_detail.json","errors":$errors,"sf":"$sfDir"}"""
     )
     spark.stop()
     if (results.exists(_._3.isDefined)) sys.exit(1)
