@@ -13,6 +13,7 @@ object SparkEntry {
 
   private val packs: Seq[QueryPack] = Seq(
     EngineQueries,
+    DecorrelatedQueries,
     ProfilerQueries,
     AnomalyQueries,
     TextQueries,

@@ -425,4 +425,92 @@ object Dedup {
       .where(col("hamming") <= maxHamming)
       .distinct()
   }
+
+  /** Exact duplicated word-spans across documents — the fixed-width
+    * shingle approximation of suffix-array substring dedup (the method
+    * of Lee et al. 2021, "Deduplicating Training Data Makes Language
+    * Models Better", which removes repeated >= 50-token substrings):
+    * every `spanWords`-word sliding window is hashed, and a span whose
+    * hash occurs in >= `minDocs` distinct documents is reported with
+    * its document- and occurrence-counts.
+    *
+    * Scale shape: one corpus scan emits (span_hash, doc_id) pairs —
+    * the shuffle key is the 16-byte hash, never the span text — and
+    * the aggregate is map-side combinable per hash. Output is only the
+    * duplicated-span table (empirically orders of magnitude smaller
+    * than the corpus), so downstream joins against it are
+    * broadcast-or-bounded.
+    */
+  def duplicateSpans(
+      df: DataFrame,
+      textCol: String,
+      idCol: String,
+      spanWords: Int = 8,
+      minDocs: Int = 2
+  ): DataFrame = {
+    require(spanWords >= 1, s"spanWords must be >= 1, got $spanWords")
+    require(minDocs >= 2, s"minDocs must be >= 2, got $minDocs")
+    df.select(
+        col(idCol),
+        explode(Text.wordShingles(col(textCol), spanWords)).as("_span")
+      )
+      .select(col(idCol), md5(col("_span")).as("span_hash"))
+      .groupBy(col("span_hash"))
+      .agg(
+        countDistinct(col(idCol)).as("n_docs"),
+        count(lit(1)).as("n_occurrences")
+      )
+      .where(col("n_docs") >= minDocs)
+  }
+
+  /** Per-document duplicated-span statistics: how much of each document
+    * is made of spans that also occur in >= `minDocs` documents — the
+    * "duplicated n-gram fraction" filter signal of large-corpus
+    * pipelines (cf. Penedo et al. 2023, RefinedWeb §3.3). Documents
+    * shorter than one span report zero spans and fraction 0.0.
+    *
+    * Two passes over the span stream (count duplicates, then flag each
+    * document's spans against the duplicated-hash table) — the second
+    * pass joins on span_hash against the much-smaller duplicate table,
+    * a keyed shuffle that AQE can turn into a broadcast when the
+    * duplicate set is small.
+    */
+  def dupSpanStats(
+      df: DataFrame,
+      textCol: String,
+      idCol: String,
+      spanWords: Int = 8,
+      minDocs: Int = 2
+  ): DataFrame = {
+    val spans = df
+      .select(
+        col(idCol),
+        explode(Text.wordShingles(col(textCol), spanWords)).as("_span")
+      )
+      .select(col(idCol), md5(col("_span")).as("span_hash"))
+    val dupHashes = duplicateSpans(df, textCol, idCol, spanWords, minDocs)
+      .select(col("span_hash").as("_dup_hash"))
+    val perDoc = spans
+      .join(dupHashes, col("span_hash") === col("_dup_hash"), "left_outer")
+      .groupBy(col(idCol))
+      .agg(
+        count(lit(1)).as("n_spans"),
+        count(col("_dup_hash")).as("n_dup_spans")
+      )
+    df.select(col(idCol))
+      .join(perDoc, Seq(idCol), "left_outer")
+      .select(
+        col(idCol),
+        coalesce(col("n_spans"), lit(0L)).as("n_spans"),
+        coalesce(col("n_dup_spans"), lit(0L)).as("n_dup_spans"),
+        when(
+          coalesce(col("n_spans"), lit(0L)) === 0,
+          lit(0.0)
+        ).otherwise(
+          graft.functions.round6(
+            col("n_dup_spans").cast("double") / col("n_spans")
+          )
+        ).as("dup_fraction")
+      )
+  }
 }

@@ -1,0 +1,329 @@
+package graft.queries
+
+import graft.Tables
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+
+/** TPC-H correlated-subquery shapes (Q4/Q13/Q15/Q17/Q21/Q22),
+  * re-expressed as the decorrelated join/aggregate plans a distributed
+  * engine actually runs, plus keep-latest-per-key compaction.
+  *
+  * Why these six: each exercises a distinct decorrelation pattern the
+  * reference's SQL surface relies on — EXISTS → left-semi with a
+  * cross-side predicate (Q4), COUNT over LEFT JOIN with an ON-clause
+  * filter (Q13), scalar aggregate subquery → 1-row broadcast join
+  * (Q15, Q22), correlated per-group average → grouped pre-aggregate
+  * joined back (Q17), and stacked EXISTS / NOT EXISTS on the same
+  * relation → semi + anti self-joins (Q21).
+  *
+  * Scale notes (100 TB): every subquery becomes a keyed shuffle or a
+  * broadcast of a provably-bounded side (1-row scalars, the 25-row
+  * nation set, a per-part aggregate that is |part|-sized). Nothing
+  * re-executes per outer row — the classic correlated-subquery
+  * scaling trap — and no nested-loop join appears in any plan. The
+  * schema here lacks l_commitdate/l_receiptdate/c_phone, so the Q4/Q21
+  * "late" predicate is l_shipdate vs o_orderdate and Q22's country
+  * prefix is a nation-key set; the plan shapes are unchanged.
+  */
+object DecorrelatedQueries extends QueryPack {
+
+  // TPC-H Q4 shape: EXISTS(correlated, cross-side predicate) → LEFT
+  // SEMI join whose condition references both sides. One shuffle on
+  // orderkey; the semi join short-circuits per order (no fan-out).
+  private val q4 = Q(
+    fn = (s, d) => {
+      val ord = Tables
+        .orders(s, d)
+        .filter(
+          col("o_orderdate") >= lit("1996-01-01") &&
+            col("o_orderdate") < lit("1996-07-01")
+        )
+      val li = Tables.lineitem(s, d).select("l_orderkey", "l_shipdate")
+      ord
+        .join(
+          li,
+          col("o_orderkey") === col("l_orderkey") &&
+            col("l_shipdate") > col("o_orderdate"),
+          "left_semi"
+        )
+        .groupBy(col("o_orderpriority"))
+        .agg(count(lit(1)).as("order_count"))
+        .orderBy(col("o_orderpriority"))
+    },
+    oracle = Some("""
+      SELECT o_orderpriority, COUNT(*) AS order_count
+      FROM orders o
+      WHERE o.o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+        AND o.o_orderdate < TIMESTAMP '1996-07-01 00:00:00'
+        AND EXISTS (SELECT 1 FROM lineitem l
+                    WHERE l.l_orderkey = o.o_orderkey
+                      AND l.l_shipdate > o.o_orderdate)
+      GROUP BY o_orderpriority
+      ORDER BY o_orderpriority""")
+  )
+
+  // TPC-H Q13 shape: LEFT OUTER join with the filter in the ON clause
+  // (NOT pushed to WHERE — customers with zero matching orders must
+  // survive with count 0), then a count-of-counts distribution. Two
+  // keyed shuffles (custkey, then c_count) — both map-side combinable.
+  private val q13 = Q(
+    fn = (s, d) => {
+      val cust = Tables.customer(s, d).select("c_custkey")
+      val ord = Tables
+        .orders(s, d)
+        .filter(col("o_orderpriority") =!= "1-URGENT")
+        .select("o_custkey", "o_orderkey")
+      cust
+        .join(ord, col("c_custkey") === col("o_custkey"), "left_outer")
+        .groupBy(col("c_custkey"))
+        .agg(count(col("o_orderkey")).as("c_count"))
+        .groupBy(col("c_count"))
+        .agg(count(lit(1)).as("custdist"))
+        .orderBy(col("custdist").desc, col("c_count").desc)
+    },
+    oracle = Some("""
+      SELECT c_count, COUNT(*) AS custdist FROM (
+        SELECT c.c_custkey, COUNT(o.o_orderkey) AS c_count
+        FROM customer c LEFT OUTER JOIN orders o
+          ON c.c_custkey = o.o_custkey AND o.o_orderpriority <> '1-URGENT'
+        GROUP BY c.c_custkey)
+      GROUP BY c_count
+      ORDER BY custdist DESC, c_count DESC""")
+  )
+
+  // TPC-H Q15 shape: aggregate view + scalar MAX subquery → the view
+  // is computed ONCE, its 1-row max is broadcast back onto it via an
+  // equi-join on a literal key (never a nested loop, never a
+  // recompute). Revenue sums ride DECIMAL for cross-engine exactness,
+  // so the `revenue = max` equality is bit-safe.
+  private val q15 = Q(
+    fn = (s, d) => {
+      val revenue = Tables
+        .lineitem(s, d)
+        .filter(
+          col("l_shipdate") >= lit("1996-01-01") &&
+            col("l_shipdate") < lit("1996-04-01")
+        )
+        .groupBy(col("l_suppkey"))
+        .agg(
+          decSum6(col("l_extendedprice") * (lit(1) - col("l_discount")))
+            .as("total_revenue")
+        )
+      val maxRev = revenue
+        .agg(max(col("total_revenue")).as("_max_rev"))
+        .withColumn("_k", lit(1))
+      val top = revenue
+        .withColumn("_k", lit(1))
+        .join(broadcast(maxRev), "_k")
+        .where(col("total_revenue") === col("_max_rev"))
+      Tables
+        .supplier(s, d)
+        .select("s_suppkey", "s_name")
+        .join(top, col("s_suppkey") === col("l_suppkey"))
+        .select("s_suppkey", "s_name", "total_revenue")
+        .orderBy("s_suppkey")
+    },
+    oracle = Some(s"""
+      WITH revenue AS (
+        SELECT l_suppkey,
+          ${sqlDecSum6("l_extendedprice * (1 - l_discount)")} AS total_revenue
+        FROM lineitem
+        WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+          AND l_shipdate < TIMESTAMP '1996-04-01 00:00:00'
+        GROUP BY l_suppkey)
+      SELECT s_suppkey, s_name, total_revenue
+      FROM supplier JOIN revenue ON s_suppkey = l_suppkey
+      WHERE total_revenue = (SELECT MAX(total_revenue) FROM revenue)
+      ORDER BY s_suppkey""")
+  )
+
+  // TPC-H Q17 shape: correlated per-part AVG subquery → a grouped
+  // pre-aggregate over ONLY the parts that can match (semi-filtered
+  // through the dim predicate first — at 100 TB that prunes the
+  // per-part aggregate from |part| to |selected parts|), joined back
+  // and compared. Threshold arithmetic is exact-decimal-sum / count,
+  // identical both engines.
+  private val q17 = Q(
+    fn = (s, d) => {
+      val parts = Tables
+        .part(s, d)
+        .filter(col("p_brand") === "Brand#7" && col("p_type") === "ECONOMY")
+        .select("p_partkey")
+      val li = Tables
+        .lineitem(s, d)
+        .select("l_partkey", "l_quantity", "l_extendedprice")
+        .join(parts, col("l_partkey") === col("p_partkey"), "left_semi")
+      val perPart = li
+        .groupBy(col("l_partkey").as("_avg_partkey"))
+        .agg(decAvg2(col("l_quantity")).as("_avg_qty"))
+      li.join(perPart, col("l_partkey") === col("_avg_partkey"))
+        .where(col("l_quantity") < lit(0.2) * col("_avg_qty"))
+        .agg(
+          (decSum2(col("l_extendedprice")) / lit(7.0)).as("avg_yearly"),
+          count(lit(1)).as("n_rows")
+        )
+    },
+    oracle = Some(s"""
+      SELECT ${sqlDecSum2("l_extendedprice")} / 7.0 AS avg_yearly,
+        COUNT(*) AS n_rows
+      FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey
+      WHERE p.p_brand = 'Brand#7' AND p.p_type = 'ECONOMY'
+        AND l.l_quantity < 0.2 * (
+          SELECT ${sqlDecAvg2("l2.l_quantity")}
+          FROM lineitem l2 WHERE l2.l_partkey = l.l_partkey)""")
+  )
+
+  // TPC-H Q21 shape: EXISTS + NOT EXISTS stacked on the same relation
+  // → one "late lineitems of F-orders" build reused three ways: as the
+  // probe, as a left-semi (another supplier shipped on the order), and
+  // as a left-anti (no OTHER supplier was late). Self-joins key on
+  // orderkey — each is one shuffle of the bounded late-subset, not of
+  // lineitem.
+  private val q21 = Q(
+    fn = (s, d) => {
+      val ordF = Tables
+        .orders(s, d)
+        .filter(col("o_orderstatus") === "F")
+        .select("o_orderkey", "o_orderdate")
+      val li = Tables.lineitem(s, d).select("l_orderkey", "l_suppkey")
+      val late = Tables
+        .lineitem(s, d)
+        .select("l_orderkey", "l_suppkey", "l_shipdate")
+        .join(ordF, col("l_orderkey") === col("o_orderkey"))
+        .where(col("l_shipdate") > col("o_orderdate") + expr("INTERVAL 60 DAYS"))
+        .select("l_orderkey", "l_suppkey")
+      val l2 = li.select(
+        col("l_orderkey").as("_l2_orderkey"),
+        col("l_suppkey").as("_l2_suppkey")
+      )
+      val l3 = late.select(
+        col("l_orderkey").as("_l3_orderkey"),
+        col("l_suppkey").as("_l3_suppkey")
+      )
+      val waiting = late
+        .join(
+          l2,
+          col("l_orderkey") === col("_l2_orderkey") &&
+            col("l_suppkey") =!= col("_l2_suppkey"),
+          "left_semi"
+        )
+        .join(
+          l3,
+          col("l_orderkey") === col("_l3_orderkey") &&
+            col("l_suppkey") =!= col("_l3_suppkey"),
+          "left_anti"
+        )
+      Tables
+        .supplier(s, d)
+        .select("s_suppkey", "s_name")
+        .join(waiting, col("s_suppkey") === col("l_suppkey"))
+        .groupBy(col("s_name"))
+        .agg(count(lit(1)).as("numwait"))
+        .orderBy(col("numwait").desc, col("s_name"))
+        .limit(20)
+    },
+    oracle = Some("""
+      SELECT s_name, COUNT(*) AS numwait
+      FROM supplier, lineitem l1, orders o
+      WHERE s_suppkey = l1.l_suppkey AND o.o_orderkey = l1.l_orderkey
+        AND o.o_orderstatus = 'F'
+        AND l1.l_shipdate > o.o_orderdate + INTERVAL 60 DAY
+        AND EXISTS (SELECT 1 FROM lineitem l2
+                    WHERE l2.l_orderkey = l1.l_orderkey
+                      AND l2.l_suppkey <> l1.l_suppkey)
+        AND NOT EXISTS (SELECT 1 FROM lineitem l3, orders o3
+                        WHERE l3.l_orderkey = l1.l_orderkey
+                          AND l3.l_suppkey <> l1.l_suppkey
+                          AND o3.o_orderkey = l3.l_orderkey
+                          AND o3.o_orderstatus = 'F'
+                          AND l3.l_shipdate > o3.o_orderdate + INTERVAL 60 DAY)
+      GROUP BY s_name
+      ORDER BY numwait DESC, s_name
+      LIMIT 20""")
+  )
+
+  // TPC-H Q22 shape: scalar AVG subquery + NOT EXISTS → the 1-row
+  // average broadcast-joined on a literal key, then a left-anti against
+  // orders. The nation-key set plays Q22's phone-prefix role (schema
+  // has no c_phone).
+  private val natSet = Seq(1, 5, 9, 13, 17, 21)
+
+  private val q22 = Q(
+    fn = (s, d) => {
+      val cust = Tables
+        .customer(s, d)
+        .filter(col("c_nationkey").isin(natSet: _*))
+        .select("c_custkey", "c_nationkey", "c_acctbal")
+      val avgBal = cust
+        .where(col("c_acctbal") > 0)
+        .agg(decAvg2(col("c_acctbal")).as("_avg_bal"))
+        .withColumn("_k", lit(1))
+      // "idle" = no order since the cutoff — the date predicate pushes
+      // into the orders scan, shrinking the anti-join build side
+      val ord = Tables
+        .orders(s, d)
+        .filter(col("o_orderdate") >= lit("2000-01-01"))
+        .select("o_custkey")
+      cust
+        .withColumn("_k", lit(1))
+        .join(broadcast(avgBal), "_k")
+        .where(col("c_acctbal") > col("_avg_bal"))
+        .join(ord, col("c_custkey") === col("o_custkey"), "left_anti")
+        .groupBy(col("c_nationkey"))
+        .agg(
+          count(lit(1)).as("numcust"),
+          decSum2(col("c_acctbal")).as("totacctbal")
+        )
+        .orderBy(col("c_nationkey"))
+    },
+    oracle = Some(s"""
+      SELECT c_nationkey, COUNT(*) AS numcust,
+        ${sqlDecSum2("c_acctbal")} AS totacctbal
+      FROM customer c
+      WHERE c_nationkey IN (${natSet.mkString(", ")})
+        AND c_acctbal > (
+          SELECT ${sqlDecAvg2("c2.c_acctbal")}
+          FROM customer c2
+          WHERE c2.c_acctbal > 0 AND c2.c_nationkey IN (${natSet.mkString(", ")}))
+        AND NOT EXISTS (SELECT 1 FROM orders o
+                        WHERE o.o_custkey = c.c_custkey
+                          AND o.o_orderdate >= TIMESTAMP '2000-01-01 00:00:00')
+      GROUP BY c_nationkey
+      ORDER BY c_nationkey""")
+  )
+
+  // Keep-latest-per-key compaction (SCD-style "current view" of an
+  // event stream): rank-over-partition with a deterministic tiebreak,
+  // pruned by the WindowGroupLimit rule to a per-partition top-1 —
+  // never a global sort, never a groupBy+join-back double scan.
+  private val latestQ = Q(
+    fn = (s, d) => {
+      val w = Window
+        .partitionBy(col("user_id"))
+        .orderBy(col("ts").desc, col("event_id").desc)
+      Tables
+        .events(s, d)
+        .withColumn("_rn", row_number().over(w))
+        .where(col("_rn") === 1)
+        .select("user_id", "event_id", "ts", "event_type", "value")
+        .orderBy("user_id")
+    },
+    oracle = Some("""
+      SELECT user_id, event_id, ts, event_type, value FROM (
+        SELECT *, row_number() OVER (
+          PARTITION BY user_id ORDER BY ts DESC, event_id DESC) AS rn
+        FROM events)
+      WHERE rn = 1
+      ORDER BY user_id""")
+  )
+
+  val queries: Map[String, Q] = Map(
+    "q4_order_priority" -> q4,
+    "q13_custdist" -> q13,
+    "q15_top_supplier" -> q15,
+    "q17_small_qty_revenue" -> q17,
+    "q21_late_suppliers" -> q21,
+    "q22_idle_customers" -> q22,
+    "q_dedup_latest" -> latestQ
+  )
+}

@@ -251,7 +251,34 @@ object DedupQueries extends QueryPack {
     oracle = None // XXH64 signatures — spec-covered (DedupSpec)
   )
 
+  // Cross-document duplicated 8-word spans (Lee-et-al-style substring
+  // dedup, fixed-width approximation). Shuffle key = 16-byte md5 of
+  // the span — identical in DuckDB, so fully oracle-gated.
+  private val spanExactQ = Q(
+    fn = (s, d) =>
+      Dedup
+        .duplicateSpans(
+          Tables.documents(s, d),
+          "text",
+          "doc_id",
+          spanWords = 8,
+          minDocs = 2
+        )
+        .orderBy("span_hash"),
+    oracle = Some("""
+      WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+      s AS (SELECT doc_id, array_to_string(toks[i:i+7], ' ') AS span
+            FROM t, unnest(generate_series(1, len(toks) - 7)) AS u(i)
+            WHERE len(toks) >= 8)
+      SELECT md5(span) AS span_hash,
+        COUNT(DISTINCT doc_id) AS n_docs,
+        COUNT(*) AS n_occurrences
+      FROM s GROUP BY md5(span) HAVING COUNT(DISTINCT doc_id) >= 2
+      ORDER BY span_hash""")
+  )
+
   val queries: Map[String, Q] = Map(
+    "dedup_span_exact" -> spanExactQ,
     "dedup_exact" -> exactQ,
     "dedup_near_sweep" -> sweepQ,
     "dedup_component_sweep" -> componentQ,

@@ -230,7 +230,88 @@ object TextQueries extends QueryPack {
       FROM events ORDER BY event_id""")
   )
 
+  // Gopher-rule document filter: keep/drop with the first failing rule
+  // as the reason. All signals are single-division ratios — bit-equal
+  // across engines, no rounding needed on the comparisons themselves.
+  private val gopherQ = Q(
+    fn = (s, d) =>
+      Tables
+        .documents(s, d)
+        .select(
+          col("doc_id"),
+          Text.tokenCount(col("text")).as("n_words"),
+          round6(Text.meanWordLen(col("text"))).as("mean_word_len"),
+          round6(Text.punctRatio(col("text"))).as("symbol_ratio"),
+          Text
+            .hitCount(Text.tokens(col("text")), Text.stopwords("en"))
+            .as("stopword_hits"),
+          Text.gopherReason(col("text")).as("reason")
+        )
+        .withColumn("keep", col("reason") === "ok")
+        .orderBy("doc_id"),
+    oracle = Some(s"""
+      WITH t AS (
+        SELECT doc_id,
+          len(string_split(text, ' ')) AS n_words,
+          CAST(length(replace(text, ' ', '')) AS DOUBLE)
+            / len(string_split(text, ' ')) AS mwl,
+          CAST(length(regexp_replace(text, '[a-z0-9 ]', '', 'g')) AS DOUBLE)
+            / length(text) AS pr,
+          ${swCountSql("en")} AS sw_hits
+        FROM documents),
+      r AS (
+        SELECT *,
+          CASE WHEN n_words < 40 THEN 'too_short'
+               WHEN n_words > 100000 THEN 'too_long'
+               WHEN mwl < 3.0 OR mwl > 10.0 THEN 'word_len'
+               WHEN pr > 0.1 THEN 'symbol_ratio'
+               WHEN sw_hits < 2 THEN 'few_stopwords'
+               ELSE 'ok' END AS reason
+        FROM t)
+      SELECT doc_id, n_words, ${sqlRound6("mwl")} AS mean_word_len,
+        ${sqlRound6("pr")} AS symbol_ratio, sw_hits AS stopword_hits,
+        reason, reason = 'ok' AS keep
+      FROM r ORDER BY doc_id""")
+  )
+
+  // Per-document duplicated-span fraction (RefinedWeb-style filter
+  // signal): how much of the document is corpus-duplicated 8-word
+  // spans.
+  private val dupSpanFractionQ = Q(
+    fn = (s, d) =>
+      graft.dedup.Dedup
+        .dupSpanStats(
+          Tables.documents(s, d),
+          "text",
+          "doc_id",
+          spanWords = 8,
+          minDocs = 2
+        )
+        .orderBy("doc_id"),
+    oracle = Some("""
+      WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+      s AS (SELECT doc_id, md5(array_to_string(toks[i:i+7], ' ')) AS h
+            FROM t, unnest(generate_series(1, len(toks) - 7)) AS u(i)
+            WHERE len(toks) >= 8),
+      dup AS (SELECT h FROM s GROUP BY h HAVING COUNT(DISTINCT doc_id) >= 2),
+      per AS (
+        SELECT s.doc_id, COUNT(*) AS n_spans,
+          COUNT(dup.h) AS n_dup_spans
+        FROM s LEFT OUTER JOIN dup ON s.h = dup.h
+        GROUP BY s.doc_id)
+      SELECT d.doc_id,
+        COALESCE(per.n_spans, 0) AS n_spans,
+        COALESCE(per.n_dup_spans, 0) AS n_dup_spans,
+        CASE WHEN COALESCE(per.n_spans, 0) = 0 THEN 0.0
+             ELSE round(CAST(per.n_dup_spans AS DOUBLE) / per.n_spans, 6)
+        END AS dup_fraction
+      FROM documents d LEFT OUTER JOIN per ON d.doc_id = per.doc_id
+      ORDER BY d.doc_id""")
+  )
+
   val queries: Map[String, Q] = Map(
+    "text_gopher_filter" -> gopherQ,
+    "text_dup_span_fraction" -> dupSpanFractionQ,
     "text_redact" -> redactQ,
     "text_repetition" -> repetitionQ,
     "text_tfidf" -> tfidfQ,

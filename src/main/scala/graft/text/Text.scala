@@ -70,6 +70,39 @@ object Text {
       lit(0.3) * lenTerm + lit(0.2) * wordTerm
   }
 
+  /** Gopher-style rule filter (Rae et al. 2021, "Scaling Language
+    * Models: Methods, Analysis & Insights from Training Gopher",
+    * Appendix A1.1, adapted to the signals available here): a document
+    * is kept only when word count, mean word length, symbol ratio and
+    * stopword presence all sit in prose-like ranges. Returns the FIRST
+    * failing rule name in a fixed evaluation order, or "ok" — keep ==
+    * (reason = "ok"). Pure Column arithmetic (each ratio is a single
+    * division, bit-identical across engines), no UDF, so the whole
+    * filter rides one codegen'd projection at scan time — the shape
+    * that lets 100 TB be rule-filtered in the same pass that reads it.
+    */
+  def gopherReason(
+      c: Column,
+      minWords: Int = 40,
+      maxWords: Int = 100000,
+      minMeanWordLen: Double = 3.0,
+      maxMeanWordLen: Double = 10.0,
+      maxSymbolRatio: Double = 0.1,
+      minStopwordHits: Int = 2
+  ): Column = {
+    val nWords = tokenCount(c)
+    val mwl = meanWordLen(c)
+    when(nWords < minWords, lit("too_short"))
+      .when(nWords > maxWords, lit("too_long"))
+      .when(mwl < minMeanWordLen || mwl > maxMeanWordLen, lit("word_len"))
+      .when(punctRatio(c) > maxSymbolRatio, lit("symbol_ratio"))
+      .when(
+        hitCount(tokens(c), stopwords("en")) < minStopwordHits,
+        lit("few_stopwords")
+      )
+      .otherwise(lit("ok"))
+  }
+
   /** Predicted language: argmax of per-language stopword hits, with a
     * fixed preference order (en > de > fr > es) on ties and "und" (
     * undetermined) when no list hits at all.

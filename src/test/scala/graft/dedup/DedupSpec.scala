@@ -240,6 +240,41 @@ class DedupSpec extends SparkSpec {
     assert(pairs.forall(p => p._3 <= 3))
   }
 
+  test("duplicate spans: shared windows across docs are found, within-doc repeats are not double-counted as docs") {
+    val docs = Seq(
+      (1L, "alpha beta gamma delta epsilon"),
+      (2L, "zzz alpha beta gamma delta qqq"),   // shares the 4-gram "alpha beta gamma delta" with 1
+      (3L, "one two three one two three one two"), // repeats spans only WITHIN itself
+      (4L, "tiny doc")                          // shorter than one span
+    ).toDF("doc_id", "text")
+    val dup = Dedup
+      .duplicateSpans(docs, "text", "doc_id", spanWords = 4, minDocs = 2)
+      .collect()
+    // exactly one cross-doc span: "alpha beta gamma delta" (docs 1, 2)
+    assert(dup.length == 1)
+    assert(dup.head.getAs[Long]("n_docs") == 2L)
+    assert(dup.head.getAs[Long]("n_occurrences") == 2L)
+  }
+
+  test("dup-span stats: fraction math, zero-span docs report 0.0") {
+    val docs = Seq(
+      (1L, "alpha beta gamma delta epsilon"), // 2 spans, 1 duplicated
+      (2L, "zzz alpha beta gamma delta qqq"), // 3 spans, 1 duplicated
+      (3L, "tiny")                            // 0 spans
+    ).toDF("doc_id", "text")
+    val stats = Dedup
+      .dupSpanStats(docs, "text", "doc_id", spanWords = 4, minDocs = 2)
+      .collect()
+      .map(r =>
+        r.getAs[Long]("doc_id") ->
+          ((r.getAs[Long]("n_spans"), r.getAs[Long]("n_dup_spans"), r.getAs[Double]("dup_fraction")))
+      )
+      .toMap
+    assert(stats(1L) == ((2L, 1L, 0.5)))
+    assert(stats(2L) == ((3L, 1L, 0.333333)))
+    assert(stats(3L) == ((0L, 0L, 0.0)))
+  }
+
   test("signatures are deterministic across evaluations") {
     val s1 = Dedup
       .minhashLshPairs(corpus, "text", "doc_id", threshold = 0.3)

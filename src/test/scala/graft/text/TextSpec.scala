@@ -111,6 +111,25 @@ class TextSpec extends SparkSpec {
     assert(counts == 2)
   }
 
+  test("gopher filter: first failing rule wins in fixed order, prose passes") {
+    def reason(t: String, minWords: Int = 5): String =
+      Seq(t)
+        .toDF("t")
+        .select(Text.gopherReason($"t", minWords = minWords).as("r"))
+        .collect()
+        .head
+        .getString(0)
+    // too_short fires before few_stopwords even though both fail
+    assert(reason("zzz qqq") == "too_short")
+    // length passes, mean word length out of [3,10] range
+    assert(reason("aa bb cc dd ee ff") == "word_len")
+    // symbol_ratio fires before few_stopwords (evaluation order)
+    assert(reason("@#$%! ^&*() ~~~+= [][] {}{}") == "symbol_ratio")
+    // word-len ok, no english stopwords
+    assert(reason("gato perro casa mesa silla libro") == "few_stopwords")
+    assert(reason("the cat sat on the mat with all of them") == "ok")
+  }
+
   test("quality score is in [0,1] and favors prose over symbol soup") {
     val q = Seq("the cat is on the mat and it is a fine day for all of us", "@#$% ^&*! ~~~")
       .toDF("t")
