@@ -58,4 +58,60 @@ object Scorer {
         (seriesCols.map(col) :+ col(tsCol) :+ col("value") :+
           col("predicted") :+ col("error").as("score") :+ col("rn") :+ col("n")): _*
       )
+
+  /** Model-free robust z-score of the newest point per series:
+    * z = (y - median(history)) / (1.4826 * MAD(history) + eps), where
+    * MAD is the median absolute deviation and 1.4826 scales it to a
+    * Gaussian sigma (Iglewicz & Hoaglin's modified z-score). The
+    * median/MAD pair is immune to the outliers that corrupt a
+    * mean/stddev z-score — the right default when no model has been
+    * optimized yet.
+    *
+    * Distributed shape: two grouped EXACT percentile aggregates over
+    * the (small) per-series history plus one join back — all keyed on
+    * the series columns, no window over raw data, no driver loop. With
+    * millions of series the aggregates stay map-side-combinable; at
+    * petabyte raw scale the series table this runs on is already
+    * grain-level (the profiler's output), not raw rows.
+    *
+    * @return seriesCols*, ts, value, median, mad, zscore,
+    *         is_anomaly (|z| > zThreshold)
+    */
+  def robustZLast(
+      series: DataFrame,
+      seriesCols: Seq[String],
+      tsCol: String = "ts",
+      valueCol: String = "value",
+      zThreshold: Double = 3.5,
+      eps: Double = 1e-9
+  ): DataFrame = {
+    val keys = seriesCols.map(col)
+    val lastTs = series
+      .groupBy(keys: _*)
+      .agg(max(col(tsCol)).as("_last_ts"))
+    val hist = series
+      .join(lastTs, seriesCols)
+      .where(col(tsCol) < col("_last_ts"))
+    val med = hist
+      .groupBy(keys: _*)
+      .agg(percentile(col(valueCol), lit(0.5)).as("median"))
+    val mad = hist
+      .join(med, seriesCols)
+      .groupBy(keys: _*)
+      .agg(
+        percentile(abs(col(valueCol) - col("median")), lit(0.5)).as("mad")
+      )
+    val z = (col(valueCol) - col("median")) /
+      (lit(1.4826) * col("mad") + lit(eps))
+    series
+      .join(lastTs, seriesCols)
+      .where(col(tsCol) === col("_last_ts"))
+      .join(med, seriesCols)
+      .join(mad, seriesCols)
+      .select(
+        (keys :+ col(tsCol) :+ col(valueCol) :+ col("median") :+ col("mad") :+
+          graft.functions.round6(z).as("zscore") :+
+          (abs(z) > zThreshold).as("is_anomaly")): _*
+      )
+  }
 }

@@ -315,7 +315,36 @@ object AnomalyQueries extends QueryPack {
       ORDER BY sc.event_type""")
   )
 
+  // Model-free robust z-score of the newest point per series: exact
+  // median/MAD (Spark percentile == DuckDB quantile_cont bit-exactly),
+  // so only the final z ratio needs round6.
+  private val robustZ = Q(
+    fn = (s, d) =>
+      graft.anomaly.Scorer
+        .robustZLast(series(s, d), seriesCols)
+        .orderBy("event_type"),
+    oracle = Some(s"""
+      $seriesCte,
+      last AS (SELECT event_type, max(ts) AS last_ts FROM s GROUP BY 1),
+      hist AS (SELECT s.* FROM s JOIN last USING (event_type)
+               WHERE s.ts < last.last_ts),
+      med AS (SELECT event_type, quantile_cont(value, 0.5) AS median
+              FROM hist GROUP BY 1),
+      mad AS (SELECT h.event_type,
+                quantile_cont(abs(h.value - m.median), 0.5) AS mad
+              FROM hist h JOIN med m USING (event_type) GROUP BY 1)
+      SELECT s.event_type, s.ts, s.value, med.median, mad.mad,
+        round((s.value - med.median) / (1.4826 * mad.mad + 1e-9), 6) AS zscore,
+        abs((s.value - med.median) / (1.4826 * mad.mad + 1e-9)) > 3.5 AS is_anomaly
+      FROM s
+      JOIN last ON s.event_type = last.event_type AND s.ts = last.last_ts
+      JOIN med ON s.event_type = med.event_type
+      JOIN mad ON s.event_type = mad.event_type
+      ORDER BY s.event_type""")
+  )
+
   val queries: Map[String, Q] = Map(
+    "anomaly_score_robust" -> robustZ,
     "anomaly_forecast_simple" -> forecastQuery(TrailingMean(7), tmSql(7)),
     "anomaly_forecast_seasonal" -> forecastQuery(SeasonalNaive(7), snSql(7)),
     "anomaly_forecast_ewma" -> forecastQuery(Ewma(0.5, 8), ewmaSql(0.5, 8)),

@@ -645,7 +645,215 @@ object EngineQueries extends QueryPack {
       FROM agg GROUP BY user_id ORDER BY user_id""")
   )
 
+  // TPC-H Q7 shape: two roles of the same dim (supplier nation vs
+  // customer nation). Both nation sides are pre-filtered to the 2-name
+  // set BEFORE joining (an IN + inequality replaces Q7's OR-of-ANDs —
+  // equivalent on a 2-element set, and it prunes the dim scan instead
+  // of post-filtering the fact join).
+  private val q7Nations = Seq("NATION_1", "NATION_2")
+  private val q7 = Q(
+    fn = (s, d) => {
+      val n1 = Tables
+        .nation(s, d)
+        .filter(col("n_name").isin(q7Nations: _*))
+        .select(col("n_nationkey").as("_n1_key"), col("n_name").as("supp_nation"))
+      val n2 = Tables
+        .nation(s, d)
+        .filter(col("n_name").isin(q7Nations: _*))
+        .select(col("n_nationkey").as("_n2_key"), col("n_name").as("cust_nation"))
+      val li = Tables
+        .lineitem(s, d)
+        .filter(
+          col("l_shipdate") >= lit("1996-01-01") &&
+            col("l_shipdate") <= lit("1997-12-31")
+        )
+      li.join(Tables.supplier(s, d), col("l_suppkey") === col("s_suppkey"))
+        .join(broadcast(n1), col("s_nationkey") === col("_n1_key"))
+        .join(Tables.orders(s, d), col("l_orderkey") === col("o_orderkey"))
+        .join(Tables.customer(s, d), col("o_custkey") === col("c_custkey"))
+        .join(broadcast(n2), col("c_nationkey") === col("_n2_key"))
+        .where(col("supp_nation") =!= col("cust_nation"))
+        .groupBy(
+          col("supp_nation"),
+          col("cust_nation"),
+          year(col("l_shipdate")).as("l_year")
+        )
+        .agg(
+          decSum6(col("l_extendedprice") * (lit(1) - col("l_discount")))
+            .as("revenue")
+        )
+        .orderBy("supp_nation", "cust_nation", "l_year")
+    },
+    oracle = Some(s"""
+      SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+        EXTRACT(year FROM l_shipdate) AS l_year,
+        ${sqlDecSum6("l_extendedprice * (1 - l_discount)")} AS revenue
+      FROM lineitem
+      JOIN supplier ON l_suppkey = s_suppkey
+      JOIN nation n1 ON s_nationkey = n1.n_nationkey
+      JOIN orders ON l_orderkey = o_orderkey
+      JOIN customer ON o_custkey = c_custkey
+      JOIN nation n2 ON c_nationkey = n2.n_nationkey
+      WHERE n1.n_name IN ('${q7Nations.mkString("', '")}')
+        AND n2.n_name IN ('${q7Nations.mkString("', '")}')
+        AND n1.n_name <> n2.n_name
+        AND l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+        AND l_shipdate <= TIMESTAMP '1997-12-31 00:00:00'
+      GROUP BY 1, 2, 3 ORDER BY 1, 2, 3""")
+  )
+
+  // TPC-H Q8 shape: market share = conditional-sum / sum over a
+  // 6-table join. Region restricts the CUSTOMER side; the share is the
+  // SUPPLIER nation's. Both sums ride one aggregation in DECIMAL, and
+  // the final ratio is one double division — bit-equal both engines.
+  private val q8 = Q(
+    fn = (s, d) => {
+      val amPart = Tables
+        .part(s, d)
+        .filter(col("p_type") === "ECONOMY")
+        .select("p_partkey")
+      val amNation = Tables
+        .nation(s, d)
+        .join(
+          Tables.region(s, d).filter(col("r_name") === "AMERICA"),
+          col("n_regionkey") === col("r_regionkey")
+        )
+        .select(col("n_nationkey").as("_cn_key"))
+      val suppNation = Tables
+        .nation(s, d)
+        .select(col("n_nationkey").as("_sn_key"), col("n_name").as("_supp_nation"))
+      val vol = decSum6(col("l_extendedprice") * (lit(1) - col("l_discount")))
+      val volBrazil = decSum6(
+        when(
+          col("_supp_nation") === "NATION_5",
+          col("l_extendedprice") * (lit(1) - col("l_discount"))
+        ).otherwise(lit(0.0))
+      )
+      Tables
+        .lineitem(s, d)
+        .join(amPart, col("l_partkey") === col("p_partkey"), "left_semi")
+        .join(
+          Tables
+            .orders(s, d)
+            .filter(
+              col("o_orderdate") >= lit("1996-01-01") &&
+                col("o_orderdate") <= lit("1997-12-31")
+            ),
+          col("l_orderkey") === col("o_orderkey")
+        )
+        .join(Tables.customer(s, d), col("o_custkey") === col("c_custkey"))
+        .join(broadcast(amNation), col("c_nationkey") === col("_cn_key"), "left_semi")
+        .join(Tables.supplier(s, d), col("l_suppkey") === col("s_suppkey"))
+        .join(broadcast(suppNation), col("s_nationkey") === col("_sn_key"))
+        .groupBy(year(col("o_orderdate")).as("o_year"))
+        .agg((volBrazil / vol).as("mkt_share"), count(lit(1)).as("n_rows"))
+        .orderBy("o_year")
+    },
+    oracle = Some(s"""
+      SELECT EXTRACT(year FROM o_orderdate) AS o_year,
+        ${sqlDecSum6(
+        "CASE WHEN n2.n_name = 'NATION_5' THEN l_extendedprice * (1 - l_discount) ELSE 0.0 END"
+      )} / ${sqlDecSum6("l_extendedprice * (1 - l_discount)")} AS mkt_share,
+        COUNT(*) AS n_rows
+      FROM lineitem
+      JOIN part ON l_partkey = p_partkey
+      JOIN orders ON l_orderkey = o_orderkey
+      JOIN customer ON o_custkey = c_custkey
+      JOIN nation n1 ON c_nationkey = n1.n_nationkey
+      JOIN region ON n1.n_regionkey = r_regionkey
+      JOIN supplier ON l_suppkey = s_suppkey
+      JOIN nation n2 ON s_nationkey = n2.n_nationkey
+      WHERE p_type = 'ECONOMY' AND r_name = 'AMERICA'
+        AND o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+        AND o_orderdate <= TIMESTAMP '1997-12-31 00:00:00'
+      GROUP BY 1 ORDER BY 1""")
+  )
+
+  // TPC-H Q10 shape: returned-item revenue ranking — 4-table join,
+  // grouped revenue, deterministic top-20 (revenue desc, custkey
+  // tiebreak). TakeOrderedAndProject, not a global sort.
+  private val q10 = Q(
+    fn = (s, d) =>
+      Tables
+        .customer(s, d)
+        .join(
+          Tables
+            .orders(s, d)
+            .filter(
+              col("o_orderdate") >= lit("1996-01-01") &&
+                col("o_orderdate") < lit("1996-07-01")
+            ),
+          col("c_custkey") === col("o_custkey")
+        )
+        .join(
+          Tables.lineitem(s, d).filter(col("l_returnflag") === "R"),
+          col("o_orderkey") === col("l_orderkey")
+        )
+        .join(broadcast(Tables.nation(s, d)), col("c_nationkey") === col("n_nationkey"))
+        .groupBy(col("c_custkey"), col("c_name"), col("c_acctbal"), col("n_name"))
+        .agg(
+          decSum6(col("l_extendedprice") * (lit(1) - col("l_discount")))
+            .as("revenue")
+        )
+        .orderBy(col("revenue").desc, col("c_custkey"))
+        .limit(20),
+    oracle = Some(s"""
+      SELECT c_custkey, c_name, c_acctbal, n_name,
+        ${sqlDecSum6("l_extendedprice * (1 - l_discount)")} AS revenue
+      FROM customer
+      JOIN orders ON c_custkey = o_custkey
+      JOIN lineitem ON o_orderkey = l_orderkey
+      JOIN nation ON c_nationkey = n_nationkey
+      WHERE o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+        AND o_orderdate < TIMESTAMP '1996-07-01 00:00:00'
+        AND l_returnflag = 'R'
+      GROUP BY c_custkey, c_name, c_acctbal, n_name
+      ORDER BY revenue DESC, c_custkey
+      LIMIT 20""")
+  )
+
+  // TPC-H Q12 shape: join + CASE-bucketed conditional counts (the
+  // schema has no l_shipmode/l_commitdate, so the buckets are order
+  // priorities among severely-late shipments — same plan shape: one
+  // join, one aggregation, the CASE arithmetic rides the partial agg).
+  private val q12 = Q(
+    fn = (s, d) => {
+      val highSet = Seq("1-URGENT", "2-HIGH")
+      Tables
+        .lineitem(s, d)
+        .filter(
+          col("l_shipdate") >= lit("1997-01-01") &&
+            col("l_shipdate") < lit("1998-01-01")
+        )
+        .join(Tables.orders(s, d), col("l_orderkey") === col("o_orderkey"))
+        .where(col("l_shipdate") > col("o_orderdate") + expr("INTERVAL 90 DAYS"))
+        .groupBy(col("l_returnflag"))
+        .agg(
+          sum(when(col("o_orderpriority").isin(highSet: _*), 1L).otherwise(0L))
+            .as("high_line_count"),
+          sum(when(col("o_orderpriority").isin(highSet: _*), 0L).otherwise(1L))
+            .as("low_line_count")
+        )
+        .orderBy("l_returnflag")
+    },
+    oracle = Some("""
+      SELECT l_returnflag,
+        CAST(SUM(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+                 THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+        CAST(SUM(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+                 THEN 0 ELSE 1 END) AS BIGINT) AS low_line_count
+      FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+      WHERE l_shipdate >= TIMESTAMP '1997-01-01 00:00:00'
+        AND l_shipdate < TIMESTAMP '1998-01-01 00:00:00'
+        AND l_shipdate > o_orderdate + INTERVAL 90 DAY
+      GROUP BY l_returnflag ORDER BY l_returnflag""")
+  )
+
   val queries: Map[String, Q] = Map(
+    "q7_volume_shipping" -> q7,
+    "q8_market_share" -> q8,
+    "q10_returned_items" -> q10,
+    "q12_priority_buckets" -> q12,
     "q1_agg" -> q1,
     "q6_filter_agg" -> q6,
     "q18_top_customers" -> q18,

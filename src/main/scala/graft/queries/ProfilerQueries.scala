@@ -406,7 +406,62 @@ object ProfilerQueries extends QueryPack {
       FROM events GROUP BY 1 ORDER BY 1, 2""")
   )
 
+  // Day-over-day PSI drift of events.value: global-edge equi-width
+  // bins, eps-clamped proportions, ln-based index. round6 masks libm
+  // last-ulp ln differences between engines.
+  private val psiDriftQ = Q(
+    fn = (s, d) =>
+      graft.profiler.Drift
+        .psiDrift(Tables.events(s, d), "ts", "value", bins = 10, eps = 1e-6)
+        .orderBy("ts"),
+    oracle = Some(s"""
+      WITH e AS (
+        SELECT ${sqlDay("ts")} AS day, value FROM events
+        WHERE value IS NOT NULL),
+      g AS (SELECT min(value) AS mn, max(value) AS mx FROM e),
+      b AS (SELECT day,
+              CASE WHEN mx = mn THEN 0
+                   ELSE least(CAST(floor((value - mn) / (mx - mn) * 10) AS INT), 9)
+              END AS bin
+            FROM e, g),
+      c AS (SELECT day, bin, COUNT(*) AS n FROM b GROUP BY 1, 2),
+      t AS (SELECT day, SUM(n) AS nt FROM c GROUP BY 1),
+      grid AS (SELECT t.day, t.nt, u.i AS bin
+               FROM t, unnest(generate_series(0, 9)) AS u(i)),
+      p AS (SELECT grid.day, grid.bin,
+              greatest(CAST(COALESCE(c.n, 0) AS DOUBLE) / grid.nt, 1e-6) AS p
+            FROM grid LEFT JOIN c ON c.day = grid.day AND c.bin = grid.bin),
+      pq AS (SELECT a.day, a.p, b.p AS q
+             FROM p a JOIN p b
+               ON b.day = a.day - INTERVAL 1 DAY AND b.bin = a.bin)
+      SELECT day AS ts, round(SUM((p - q) * (ln(p) - ln(q))), 6) AS psi
+      FROM pq GROUP BY day ORDER BY day""")
+  )
+
+  // Silent-partition detector: calendar days with no events per user
+  // within the dataset's global day span.
+  private val missingDaysQ = Q(
+    fn = (s, d) =>
+      graft.profiler.Drift
+        .missingDays(Tables.events(s, d), "ts", Seq("user_id"))
+        .orderBy("user_id", "missing_day"),
+    oracle = Some(s"""
+      WITH o AS (
+        SELECT DISTINCT user_id, ${sqlDay("ts")} AS d FROM events),
+      span AS (SELECT min(d) AS mn, max(d) AS mx FROM o),
+      keys AS (SELECT DISTINCT user_id FROM o),
+      expected AS (
+        SELECT user_id, CAST(u.gd AS TIMESTAMP) AS d
+        FROM keys, span, unnest(generate_series(mn, mx, INTERVAL 1 DAY)) AS u(gd))
+      SELECT e.user_id, e.d AS missing_day
+      FROM expected e LEFT JOIN o ON o.user_id = e.user_id AND o.d = e.d
+      WHERE o.user_id IS NULL
+      ORDER BY e.user_id, e.d""")
+  )
+
   val queries: Map[String, Q] = Map(
+    "profile_psi_drift" -> psiDriftQ,
+    "profile_missing_days" -> missingDaysQ,
     "profile_reaggregate" -> reaggQ,
     "profile_size" -> size,
     "profile_report_sketch" -> reportSketch,

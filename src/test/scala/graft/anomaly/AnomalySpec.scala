@@ -205,6 +205,26 @@ class AnomalySpec extends SparkSpec {
     assert(out == Map("s1" -> false, "s2" -> true))
   }
 
+  test("robust z-score: median/MAD resist an outlier history, last point flagged only when far") {
+    import java.sql.Timestamp
+    def t(d: Int) = Timestamp.valueOf(f"2024-01-$d%02d 00:00:00")
+    // history 1..9 constant 10.0 except one wild outlier; last = 10.1
+    val calm = (1 to 8).map(d => ("s1", t(d), 10.0)) :+ (("s1", t(9), 1000.0)) :+ (("s1", t(10), 10.1))
+    // second series: clear last-point break
+    val broken = (1 to 9).map(d => ("s2", t(d), (d % 3).toDouble)) :+ (("s2", t(10), 50.0))
+    val out = graft.anomaly.Scorer
+      .robustZLast((calm ++ broken).toDF("series", "ts", "value"), Seq("series"))
+      .collect()
+      .map(r => r.getAs[String]("series") -> r)
+      .toMap
+    // s1: median 10, MAD 0 -> eps floor; tiny delta over eps is huge z, but
+    // the MEDIAN ignored the 1000.0 outlier (a mean/stddev z would not flag)
+    assert(out("s1").getAs[Double]("median") == 10.0)
+    assert(out("s1").getAs[Double]("mad") == 0.0)
+    assert(out("s2").getAs[Boolean]("is_anomaly"))
+    assert(math.abs(out("s2").getAs[Double]("median") - 1.0) < 1e-9)
+  }
+
   test("adaptive start proportion widens validation for long series") {
     val short = Optimizer
       .forecastErrors(constantSeries(20), Seq("series"))

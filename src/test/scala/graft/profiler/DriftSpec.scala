@@ -1,0 +1,55 @@
+package graft.profiler
+
+import graft.SparkSpec
+import java.sql.Timestamp
+
+class DriftSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def ts(day: Int, h: Int = 0): Timestamp =
+    Timestamp.valueOf(f"2024-01-$day%02d $h%02d:00:00")
+
+  test("psi is ~0 for identical day distributions and large for a shifted one") {
+    // days 1 and 2: identical values; day 3: shifted to the top bin
+    val rows =
+      (1 to 2).flatMap(d => Seq.fill(50)((ts(d), 1.0)) ++ Seq.fill(50)((ts(d), 2.0))) ++
+        Seq.fill(100)((ts(3), 10.0))
+    val df = rows.toDF("ts", "value")
+    val psi = Drift
+      .psiDrift(df, "ts", "value", bins = 10)
+      .collect()
+      .map(r => r.getTimestamp(0).toString.take(10) -> r.getDouble(1))
+      .toMap
+    assert(psi.size == 2) // day 2 vs 1, day 3 vs 2
+    assert(psi("2024-01-02") == 0.0) // identical distributions
+    assert(psi("2024-01-03") > 1.0) // mass moved to a different bin
+  }
+
+  test("psi pairs only consecutive calendar days") {
+    val rows = Seq.fill(10)((ts(1), 1.0)) ++ Seq.fill(10)((ts(5), 2.0))
+    val out = Drift.psiDrift(rows.toDF("ts", "value")).collect()
+    assert(out.isEmpty) // day 5 has no day-4 partner
+  }
+
+  test("missing days reports per-key calendar gaps inside the global span") {
+    val rows = Seq(
+      (ts(1), "a"),
+      (ts(2), "a"),
+      (ts(4), "a"), // a missing day 3
+      (ts(1), "b"),
+      (ts(4, 23), "b") // b missing days 2, 3
+    )
+    val got = Drift
+      .missingDays(rows.toDF("ts", "k"), "ts", Seq("k"))
+      .collect()
+      .map(r => (r.getString(0), r.getTimestamp(1).toString.take(10)))
+      .toSet
+    assert(
+      got == Set(
+        ("a", "2024-01-03"),
+        ("b", "2024-01-02"),
+        ("b", "2024-01-03")
+      )
+    )
+  }
+}
