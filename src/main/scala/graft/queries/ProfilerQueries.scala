@@ -459,7 +459,31 @@ object ProfilerQueries extends QueryPack {
       ORDER BY e.user_id, e.d""")
   )
 
+  // Misra-Gries heavy hitters per day over event_type. k=10 exceeds
+  // the 5-value domain, so the sketch runs in its exact regime —
+  // estimates equal true counts and the DuckDB oracle can gate it.
+  // The approximate regime (large domains, the 100 TB path) is
+  // bound-verified in HeavyHittersSpec.
+  private val heavyHittersQ = Q(
+    fn = (s, d) =>
+      Tables
+        .events(s, d)
+        .groupBy(date_trunc("day", col("ts")).as("ts"))
+        .agg(
+          graft.profiler.HeavyHitters
+            .sketch(10)(col("event_type"))
+            .as("_hh")
+        )
+        .select(col("ts"), explode(col("_hh")).as(Seq("item", "est_count")))
+        .orderBy("ts", "item"),
+    oracle = Some(s"""
+      SELECT ${sqlDay("ts")} AS ts, event_type AS item,
+        COUNT(*) AS est_count
+      FROM events GROUP BY 1, 2 ORDER BY 1, 2""")
+  )
+
   val queries: Map[String, Q] = Map(
+    "profile_heavy_hitters" -> heavyHittersQ,
     "profile_psi_drift" -> psiDriftQ,
     "profile_missing_days" -> missingDaysQ,
     "profile_reaggregate" -> reaggQ,

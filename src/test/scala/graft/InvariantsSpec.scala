@@ -247,4 +247,35 @@ class InvariantsSpec extends SparkSpec {
     val optimized = prof.queryExecution.optimizedPlan.toString.toLowerCase
     assert(!optimized.contains("join"), "single-pass profile must not join")
   }
+
+  test("plan shapes: r5 operators keep their scale guarantees") {
+    val d = "/root/testdata/sf0.001"
+    // keep-latest compaction: per-partition top-1 pruning, no global sort
+    val latest = SparkEntry.queries("q_dedup_latest")(spark, d)
+    val latestPlan = latest.queryExecution.executedPlan.toString
+    assert(latestPlan.contains("WindowGroupLimit"), "top-1 must prune before the window")
+
+    // Q10 top-20: TakeOrderedAndProject, never a global sort of the aggregate
+    val q10 = SparkEntry.queries("q10_returned_items")(spark, d)
+    assert(
+      q10.queryExecution.executedPlan.toString.contains("TakeOrderedAndProject"),
+      "bounded top-k must use TakeOrderedAndProject"
+    )
+
+    // Q4 EXISTS decorrelation: a semi join, not an inner join + distinct
+    val q4 = SparkEntry.queries("q4_order_priority")(spark, d)
+    val q4Plan = q4.queryExecution.executedPlan.toString
+    assert(q4Plan.contains("LeftSemi"), "EXISTS must stay a semi join")
+    assert(!q4Plan.contains("CartesianProduct") && !q4Plan.contains("BroadcastNestedLoop"))
+
+    // gopher filter: pure scan-side projection — no shuffle at all
+    // before the presentation sort
+    val gopher = graft.Tables
+      .documents(spark, d)
+      .select(Text.gopherReason(col("text")).as("reason"))
+    assert(
+      !gopher.queryExecution.executedPlan.toString.contains("Exchange"),
+      "rule filter must ride the scan projection, shuffle-free"
+    )
+  }
 }
