@@ -1,17 +1,10 @@
 package graft
-import org.apache.spark.sql.SparkSession
 object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
-    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
-    val spark = SparkSession.builder()
-      .master(s"local[$cpus]")
-      .config("spark.sql.shuffle.partitions", cpus)
-      .config("spark.ui.enabled", "false")
-      .getOrCreate()
     // ERROR, not WARN: the bench JSON line must stay parseable in a
     // bounded output tail, so routine executor warnings are silenced.
-    spark.sparkContext.setLogLevel("ERROR")
+    val spark = LocalSession.create("ERROR")
     // Untimed warmup: JIT + classloading + parquet footer caches would
     // otherwise be billed to whichever query happens to run first.
     try {

@@ -1,7 +1,5 @@
 package graft
 
-import org.apache.spark.sql.SparkSession
-
 /** Plan-audit helper: print the executed plan of registered queries.
   *
   * Usage: runMain graft.Explain <sfDir> [queryName...] — with no names,
@@ -11,35 +9,34 @@ import org.apache.spark.sql.SparkSession
   */
 object Explain {
   def main(args: Array[String]): Unit = {
+    require(args.nonEmpty, "usage: graft.Explain <sfDir> [queryName...]")
     val sfDir = args.head
     val names = args.drop(1).toSeq
-    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "8")
-    val spark = SparkSession
-      .builder()
-      .master(s"local[$cpus]")
-      .config("spark.sql.shuffle.partitions", cpus)
-      .config("spark.sql.session.timeZone", "UTC")
-      .config("spark.ui.enabled", "false")
-      .getOrCreate()
-    spark.sparkContext.setLogLevel("ERROR")
-    val selected =
-      if (names.isEmpty) SparkEntry.queries.toSeq.sortBy(_._1)
-      else names.map(n => n -> SparkEntry.queries(n))
-    val bad = Seq("BroadcastNestedLoopJoin", "CartesianProduct")
-    selected.foreach { case (name, fn) =>
-      try {
-        val plan = fn(spark, sfDir).queryExecution.executedPlan.toString
-        val hits = bad.filter(plan.contains)
-        if (names.nonEmpty) {
-          println(s"==== $name ====")
-          println(plan)
+    val unknown = names.filterNot(SparkEntry.queries.contains)
+    require(
+      unknown.isEmpty,
+      s"unknown queries: ${unknown.mkString(", ")} — known: ${SparkEntry.queries.keys.toSeq.sorted.mkString(", ")}"
+    )
+    val spark = LocalSession.create("ERROR")
+    try {
+      val selected =
+        if (names.isEmpty) SparkEntry.queries.toSeq.sortBy(_._1)
+        else names.map(n => n -> SparkEntry.queries(n))
+      val bad = Seq("BroadcastNestedLoopJoin", "CartesianProduct")
+      selected.foreach { case (name, fn) =>
+        try {
+          val plan = fn(spark, sfDir).queryExecution.executedPlan.toString
+          val hits = bad.filter(plan.contains)
+          if (names.nonEmpty) {
+            println(s"==== $name ====")
+            println(plan)
+          }
+          if (hits.nonEmpty) println(s"[antipattern] $name: ${hits.mkString(", ")}")
+          else if (names.isEmpty) println(s"[ok] $name")
+        } catch {
+          case e: Throwable => println(s"[error] $name: ${e.getMessage}")
         }
-        if (hits.nonEmpty) println(s"[antipattern] $name: ${hits.mkString(", ")}")
-        else if (names.isEmpty) println(s"[ok] $name")
-      } catch {
-        case e: Throwable => println(s"[error] $name: ${e.getMessage}")
       }
-    }
-    spark.stop()
+    } finally spark.stop()
   }
 }

@@ -103,15 +103,19 @@ object Scorer {
       )
     val z = (col(valueCol) - col("median")) /
       (lit(1.4826) * col("mad") + lit(eps))
+    // LEFT joins: a series with no history (single point, or every row
+    // at the newest ts) must surface as an explicit insufficient-
+    // history row (null median/mad/zscore, is_anomaly=false), not
+    // silently vanish from the monitoring output.
     series
       .join(lastTs, seriesCols)
       .where(col(tsCol) === col("_last_ts"))
-      .join(med, seriesCols)
-      .join(mad, seriesCols)
+      .join(med, seriesCols, "left_outer")
+      .join(mad, seriesCols, "left_outer")
       .select(
         (keys :+ col(tsCol) :+ col(valueCol) :+ col("median") :+ col("mad") :+
           graft.functions.round6(z).as("zscore") :+
-          (abs(z) > zThreshold).as("is_anomaly")): _*
+          coalesce(abs(z) > zThreshold, lit(false)).as("is_anomaly")): _*
       )
   }
 }

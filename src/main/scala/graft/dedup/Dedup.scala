@@ -435,11 +435,18 @@ object Dedup {
     * its document- and occurrence-counts.
     *
     * Scale shape: one corpus scan emits (span_hash, doc_id) pairs —
-    * the shuffle key is the 16-byte hash, never the span text — and
-    * the aggregate is map-side combinable per hash. Output is only the
+    * the shuffle key is the hash, never the span text — and the
+    * aggregate is map-side combinable per hash. Output is only the
     * duplicated-span table (empirically orders of magnitude smaller
     * than the corpus), so downstream joins against it are
     * broadcast-or-bounded.
+    *
+    * This is the PORTABLE family (md5 over the materialized span
+    * string, 32-char hex key — computable in any engine, which is what
+    * lets the driver oracle-gate it). The 100 TB path is
+    * [[duplicateSpansFast]]: same plan, but spans never materialize as
+    * strings — one codegen'd token-hash pass and long-to-long shingle
+    * chaining, with an 8-byte shuffle key.
     */
   def duplicateSpans(
       df: DataFrame,
@@ -455,6 +462,38 @@ object Dedup {
         explode(Text.wordShingles(col(textCol), spanWords)).as("_span")
       )
       .select(col(idCol), md5(col("_span")).as("span_hash"))
+      .groupBy(col("span_hash"))
+      .agg(
+        countDistinct(col(idCol)).as("n_docs"),
+        count(lit(1)).as("n_occurrences")
+      )
+      .where(col("n_docs") >= minDocs)
+  }
+
+  /** XXH64 throughput family of [[duplicateSpans]]: span hashes chain
+    * 64-bit token hashes (graft.functions.hashExpressions — codegen'd,
+    * zero span-string materialization, 8-byte shuffle key). Same
+    * output semantics up to hash collisions; spec-verified to group
+    * identically to the portable family on planted duplicates.
+    */
+  def duplicateSpansFast(
+      df: DataFrame,
+      textCol: String,
+      idCol: String,
+      spanWords: Int = 8,
+      minDocs: Int = 2
+  ): DataFrame = {
+    require(spanWords >= 1, s"spanWords must be >= 1, got $spanWords")
+    require(minDocs >= 2, s"minDocs must be >= 2, got $minDocs")
+    df.select(
+        col(idCol),
+        explode(
+          Text.shingleHashesFromTokenHashes(
+            Text.tokenHashes(col(textCol)),
+            spanWords
+          )
+        ).as("span_hash")
+      )
       .groupBy(col("span_hash"))
       .agg(
         countDistinct(col(idCol)).as("n_docs"),

@@ -34,7 +34,10 @@ object HeavyHitters {
     def zero: MGState = MGState(Map.empty)
 
     def reduce(s: MGState, item: String): MGState =
-      s.counters.get(item) match {
+      // null values are skipped, matching count()/groupBy profiler
+      // semantics — a null Map key would also crash Catalyst's MapType
+      if (item == null) s
+      else s.counters.get(item) match {
         case Some(c) => MGState(s.counters.updated(item, c + 1))
         case None if s.counters.size < k - 1 =>
           MGState(s.counters.updated(item, 1L))

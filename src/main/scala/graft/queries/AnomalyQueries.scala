@@ -335,11 +335,12 @@ object AnomalyQueries extends QueryPack {
               FROM hist h JOIN med m USING (event_type) GROUP BY 1)
       SELECT s.event_type, s.ts, s.value, med.median, mad.mad,
         round((s.value - med.median) / (1.4826 * mad.mad + 1e-9), 6) AS zscore,
-        abs((s.value - med.median) / (1.4826 * mad.mad + 1e-9)) > 3.5 AS is_anomaly
+        COALESCE(abs((s.value - med.median) / (1.4826 * mad.mad + 1e-9)) > 3.5,
+                 false) AS is_anomaly
       FROM s
       JOIN last ON s.event_type = last.event_type AND s.ts = last.last_ts
-      JOIN med ON s.event_type = med.event_type
-      JOIN mad ON s.event_type = mad.event_type
+      LEFT JOIN med ON s.event_type = med.event_type
+      LEFT JOIN mad ON s.event_type = mad.event_type
       ORDER BY s.event_type""")
   )
 

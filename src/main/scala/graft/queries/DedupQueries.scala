@@ -277,8 +277,26 @@ object DedupQueries extends QueryPack {
       ORDER BY span_hash""")
   )
 
+  // XXH64 span family: engine-specific hash kernel, so rows-only at
+  // the driver gate; DedupSpec proves it groups identically to the
+  // oracle-gated md5 family.
+  private val spanFastQ = Q(
+    fn = (s, d) =>
+      Dedup
+        .duplicateSpansFast(
+          Tables.documents(s, d),
+          "text",
+          "doc_id",
+          spanWords = 8,
+          minDocs = 2
+        )
+        .orderBy("span_hash"),
+    oracle = None
+  )
+
   val queries: Map[String, Q] = Map(
     "dedup_span_exact" -> spanExactQ,
+    "dedup_span_exact_xxh64" -> spanFastQ,
     "dedup_exact" -> exactQ,
     "dedup_near_sweep" -> sweepQ,
     "dedup_component_sweep" -> componentQ,

@@ -8,28 +8,32 @@ import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode
   * semantics (a >gap silence closes the session) as an incremental
   * `flatMapGroupsWithState` with EVENT-TIME timeouts.
   *
-  * State per key is one open session (start, last, count) — O(1)
-  * bytes, unbounded keys TTL'd by the timeout. A session is emitted
-  * when a same-key event arrives more than `gap` after the previous
-  * one, or when the WATERMARK passes last+gap (the open session can
-  * no longer be extended by any non-late event — this is what makes
-  * the streaming output converge to the batch answer instead of
-  * holding the last session forever).
+  * State per key is the set of OPEN session intervals — the classic
+  * session-window merge algorithm: an event lands in every interval it
+  * is within `gap` of (bridging two intervals merges them), otherwise
+  * it opens a new interval. Holding intervals rather than a single
+  * open session is what keeps within-watermark OUT-OF-ORDER events
+  * correct: a late event that belongs to an earlier, still-open
+  * interval extends that interval — it can never fuse two intervals
+  * separated by more than `gap` into one session. An interval is
+  * emitted only once the WATERMARK passes its end+gap, i.e. once no
+  * non-late event can still extend or bridge it — so the emitted
+  * sessions equal the batch answer for any watermark delay.
   *
-  * Scale shape: one shuffle keyed on the session key; per-key state
-  * is constant-size; the timeout sweep is Structured Streaming's own
+  * State is O(open intervals) per key, bounded by (watermark delay /
+  * gap) + 1 — constant for a fixed config. One shuffle keyed on the
+  * session key; the timeout sweep is Structured Streaming's own
   * state-store scan, not a job over the stream history.
   *
   * Late-data contract: events older than the watermark are dropped by
   * the ENGINE before they reach the state function (standard
-  * watermarked-stateful semantics) — a session closed by timeout is
-  * final. Within-watermark out-of-order events extend the open
-  * session correctly (min/max, not first/last).
+  * watermarked-stateful semantics) — an emitted session is final.
   */
 object StreamingSessionize {
 
   case class Event(user_id: Long, ts: java.sql.Timestamp)
-  case class OpenSession(startMillis: Long, lastMillis: Long, n: Long)
+  case class Interval(startMillis: Long, lastMillis: Long, n: Long)
+  case class OpenSessions(intervals: Seq[Interval])
   case class Session(
       user_id: Long,
       session_start: java.sql.Timestamp,
@@ -37,7 +41,7 @@ object StreamingSessionize {
       n_events: Long
   )
 
-  private def close(uid: Long, s: OpenSession): Session =
+  private def close(uid: Long, s: Interval): Session =
     Session(
       uid,
       new java.sql.Timestamp(s.startMillis),
@@ -45,9 +49,42 @@ object StreamingSessionize {
       s.n
     )
 
-  /** @param events    watermarked event stream (call
-    *                  `.withWatermark("ts", ...)` upstream — required
-    *                  for EventTimeTimeout)
+  private def insert(intervals: Seq[Interval], t: Long, gap: Long): Seq[Interval] = {
+    val (touching, apart) =
+      intervals.partition(iv => t >= iv.startMillis - gap && t <= iv.lastMillis + gap)
+    val merged =
+      if (touching.isEmpty) Interval(t, t, 1)
+      else
+        Interval(
+          (touching.map(_.startMillis) :+ t).min,
+          (touching.map(_.lastMillis) :+ t).max,
+          touching.map(_.n).sum + 1
+        )
+    (apart :+ merged).sortBy(_.startMillis)
+  }
+
+  /** Emit every interval the watermark has sealed (end+gap <=
+    * watermark), keep the rest as state with the next timeout at the
+    * earliest still-open end+gap.
+    */
+  private def sweep(
+      uid: Long,
+      intervals: Seq[Interval],
+      gap: Long,
+      state: GroupState[OpenSessions]
+  ): Iterator[Session] = {
+    val wm = state.getCurrentWatermarkMs()
+    val (ripe, open) = intervals.partition(_.lastMillis + gap <= wm)
+    if (open.isEmpty) state.remove()
+    else {
+      state.update(OpenSessions(open))
+      state.setTimeoutTimestamp(open.map(_.lastMillis).min + gap)
+    }
+    ripe.sortBy(_.startMillis).map(close(uid, _)).iterator
+  }
+
+  /** @param events    event stream — `sessionsDF` applies the
+    *                  watermark (required for EventTimeTimeout)
     * @param gapMillis silence that closes a session
     */
   def sessions(
@@ -58,49 +95,21 @@ object StreamingSessionize {
     require(gapMillis > 0, s"gapMillis must be positive, got $gapMillis")
     events
       .groupByKey(_.user_id)
-      .flatMapGroupsWithState[OpenSession, Session](
+      .flatMapGroupsWithState[OpenSessions, Session](
         OutputMode.Append(),
         GroupStateTimeout.EventTimeTimeout()
-      ) { (uid, rows, state: GroupState[OpenSession]) =>
-        if (state.hasTimedOut) {
-          // watermark passed last+gap: nothing can extend this session
-          val done = state.get
-          state.remove()
-          Iterator.single(close(uid, done))
-        } else {
-          // micro-batch arrival order is not event-time order
-          val sorted = rows.toSeq.sortBy(_.ts.getTime)
-          var open = state.getOption
-          val closed = Seq.newBuilder[Session]
-          sorted.foreach { e =>
-            val t = e.ts.getTime
-            open match {
-              case Some(s) if t - s.lastMillis > gapMillis =>
-                closed += close(uid, s)
-                open = Some(OpenSession(t, t, 1))
-              case Some(s) =>
-                // a within-gap event extends; a late (out-of-order
-                // across batches) event still counts into the open
-                // session but cannot move its end backwards
-                open = Some(
-                  OpenSession(s.startMillis min t, s.lastMillis max t, s.n + 1)
-                )
-              case None =>
-                open = Some(OpenSession(t, t, 1))
-            }
-          }
-          open.foreach { s =>
-            state.update(s)
-            state.setTimeoutTimestamp(s.lastMillis + gapMillis)
-          }
-          closed.result().iterator
-        }
+      ) { (uid, rows, state: GroupState[OpenSessions]) =>
+        val prior = state.getOption.map(_.intervals).getOrElse(Seq.empty)
+        val merged =
+          if (state.hasTimedOut) prior
+          else rows.foldLeft(prior)((ivs, e) => insert(ivs, e.ts.getTime, gapMillis))
+        sweep(uid, merged, gapMillis, state)
       }
   }
 
   /** DataFrame adapter: (user_id, ts) in, closed-session stream out.
-    * The watermark is (re)applied AFTER the projection — a select/cast
-    * produces fresh attributes without the upstream watermark tag, and
+    * The watermark is applied AFTER the projection — a select/cast
+    * produces fresh attributes without any upstream watermark tag, and
     * EventTimeTimeout refuses to run unwatermarked.
     */
   def sessionsDF(

@@ -225,6 +225,18 @@ class AnomalySpec extends SparkSpec {
     assert(math.abs(out("s2").getAs[Double]("median") - 1.0) < 1e-9)
   }
 
+  test("robust z-score: a history-less series surfaces with null stats, not silently dropped") {
+    import java.sql.Timestamp
+    val single = Seq(("solo", Timestamp.valueOf("2024-01-01 00:00:00"), 5.0))
+    val out = graft.anomaly.Scorer
+      .robustZLast(single.toDF("series", "ts", "value"), Seq("series"))
+      .collect()
+    assert(out.length == 1)
+    assert(out.head.isNullAt(out.head.fieldIndex("median")))
+    assert(out.head.isNullAt(out.head.fieldIndex("zscore")))
+    assert(!out.head.getAs[Boolean]("is_anomaly"))
+  }
+
   test("adaptive start proportion widens validation for long series") {
     val short = Optimizer
       .forecastErrors(constantSeries(20), Seq("series"))

@@ -256,6 +256,24 @@ class DedupSpec extends SparkSpec {
     assert(dup.head.getAs[Long]("n_occurrences") == 2L)
   }
 
+  test("xxh64 span family groups identically to the portable md5 family") {
+    val docs = Seq(
+      (1L, "alpha beta gamma delta epsilon zeta"),
+      (2L, "zzz alpha beta gamma delta qqq"),
+      (3L, "one alpha beta gamma delta eight"),
+      (4L, "unrelated words only here nothing shared")
+    ).toDF("doc_id", "text")
+    def counts(df: org.apache.spark.sql.DataFrame) = df
+      .select("n_docs", "n_occurrences")
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+      .sorted
+      .toSeq
+    val slow = counts(Dedup.duplicateSpans(docs, "text", "doc_id", 4, 2))
+    val fast = counts(Dedup.duplicateSpansFast(docs, "text", "doc_id", 4, 2))
+    assert(slow.nonEmpty && slow == fast)
+  }
+
   test("dup-span stats: fraction math, zero-span docs report 0.0") {
     val docs = Seq(
       (1L, "alpha beta gamma delta epsilon"), // 2 spans, 1 duplicated

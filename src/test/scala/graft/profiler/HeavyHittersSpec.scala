@@ -19,6 +19,17 @@ class HeavyHittersSpec extends SparkSpec {
     assert(got == Map("v0" -> 75L, "v1" -> 75L, "v2" -> 75L, "v3" -> 75L))
   }
 
+  test("null values are skipped, not inserted as map keys") {
+    val got = Seq(Some("a"), None, Some("a"), None, Some("b"))
+      .toDF("x")
+      .agg(HeavyHitters.sketch(5)(col("x")).as("hh"))
+      .selectExpr("explode(hh) as (item, est)")
+      .collect()
+      .map(r => r.getString(0) -> r.getLong(1))
+      .toMap
+    assert(got == Map("a" -> 2L, "b" -> 1L))
+  }
+
   test("MG bound holds under partial aggregation and merge on skewed data") {
     val rnd = new Random(42)
     val k = 20

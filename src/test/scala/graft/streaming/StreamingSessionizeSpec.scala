@@ -60,6 +60,51 @@ class StreamingSessionizeSpec extends SparkSpec {
     } finally query.stop()
   }
 
+  test("a within-watermark late event cannot fuse sessions across a gap (delay > gap)") {
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[(Long, java.sql.Timestamp)]
+    val sessions = StreamingSessionize.sessionsDF(
+      input.toDF().toDF("user_id", "ts"),
+      gapMillis = 10 * 60 * 1000,
+      delayThreshold = "2 hours"
+    )
+    val query = sessions.writeStream
+      .format("memory")
+      .queryName("stream_sessions_late")
+      .outputMode("append")
+      .start()
+    try {
+      input.addData((1L, t("2025-01-01 10:00:00")))
+      query.processAllAvailable()
+      input.addData((1L, t("2025-01-01 12:00:00")))
+      query.processAllAvailable()
+      // late but within the 2h watermark delay; 30min after session 1,
+      // 90min before session 2 — must become its OWN session, never
+      // bridge [10:00] and [12:00]
+      input.addData((1L, t("2025-01-01 10:30:00")))
+      query.processAllAvailable()
+      // advance the watermark far enough to seal everything
+      input.addData((99L, t("2025-01-01 15:00:00")))
+      query.processAllAvailable()
+      input.addData((99L, t("2025-01-01 15:01:00")))
+      query.processAllAvailable()
+
+      val got = spark
+        .table("stream_sessions_late")
+        .where($"user_id" === 1L)
+        .collect()
+        .map(r => (r.get(1).toString, r.get(2).toString, r.getAs[Long]("n_events")))
+        .toSet
+      assert(
+        got == Set(
+          ("2025-01-01 10:00:00.0", "2025-01-01 10:00:00.0", 1L),
+          ("2025-01-01 10:30:00.0", "2025-01-01 10:30:00.0", 1L),
+          ("2025-01-01 12:00:00.0", "2025-01-01 12:00:00.0", 1L)
+        )
+      )
+    } finally query.stop()
+  }
+
   test("streaming session boundaries equal the batch gap-sessionization on the same data") {
     implicit val sqlCtx = spark.sqlContext
     val events = Seq(
