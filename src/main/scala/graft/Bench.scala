@@ -45,7 +45,11 @@ object Bench {
       "anomaly_best_model", "anomaly_score_last", "quality_assess",
       "dedup_exact", "dedup_minhash_lsh", "dedup_near_sweep",
       "ann_bruteforce_topk", "ann_ivf_topk", "text_tfidf",
-      "multimodal_phash_pairs"
+      "multimodal_phash_pairs",
+      // r5 representatives: decorrelation, span dedup (both hash
+      // families), distribution drift
+      "q17_small_qty_revenue", "q21_late_suppliers", "dedup_span_exact",
+      "dedup_span_exact_xxh64", "profile_psi_drift"
     )
     val byName = results.map { case (k, v, _) => k -> v }.toMap
     val qs = headline.flatMap(k => byName.get(k).map(v => s"\"" + k + "\":" + ms(v)))

@@ -10,8 +10,8 @@ import org.apache.spark.sql.functions._
 /** Training-data-pipeline quickstart — the LLM-corpus flow graft adds
   * beyond the reference's monitoring surface:
   *
-  *  A. text quality scoring + language filtering,
-  *  B. exact then MinHash-LSH near-duplicate removal,
+  *  A. rule + score quality filtering (Gopher rules, then score),
+  *  B. exact, span-level and MinHash-LSH near-duplicate removal,
   *  C. deterministic train/val/test split (stable across runs),
   *  D. TF-IDF salient terms + int8-quantized similarity search.
   *
@@ -30,15 +30,24 @@ object PipelineQuickstart {
     val docs = spark.read.parquet(s"$sfDir/documents.parquet")
     println(s"corpus: ${docs.count()} documents")
 
-    // A: keep high-quality, language-identified docs
-    val scored = docs.withColumn("quality", Text.qualityScore(col("text")))
+    // A: rule filter first (cheap, scan-side), then score filter
+    val ruled = docs
+      .withColumn("gopher_reason", Text.gopherReason(col("text"), minWords = 20))
+      .where(col("gopher_reason") === "ok")
+    val scored = ruled.withColumn("quality", Text.qualityScore(col("text")))
       .withColumn("lang", Text.langId(col("text")))
     val kept = scored.where(col("quality") > 0.3)
-    println(s"after quality filter: ${kept.count()}")
+    println(s"after rule + quality filters: ${kept.count()}")
 
-    // B: exact dedup, then near-dup sweep over MinHash-LSH pairs
+    // B: exact dedup, drop span-heavy boilerplate docs, then near-dup
+    // sweep over MinHash-LSH pairs
     val exact = Dedup.exactNormalized(kept, "text", "doc_id")
-    val deduped = Dedup.minhashDedup(exact, "text", "doc_id", threshold = 0.5)
+    val spanStats = Dedup.dupSpanStats(exact, "text", "doc_id", spanWords = 8)
+    val spanClean = exact.join(
+      spanStats.where(col("dup_fraction") <= 0.5).select("doc_id"),
+      "doc_id"
+    )
+    val deduped = Dedup.minhashDedup(spanClean, "text", "doc_id", threshold = 0.5)
     println(s"after dedup: ${deduped.count()}")
 
     // C: stable splits — rerunning on a recomputed corpus keeps every

@@ -849,7 +849,49 @@ object EngineQueries extends QueryPack {
       GROUP BY l_returnflag ORDER BY l_returnflag""")
   )
 
+  // TPC-H Q9 shape: profit by (supplier nation, year) over a 5-table
+  // join with an arithmetic measure spanning two tables. The schema
+  // has no partsupp, so ps_supplycost is proxied by a fixed fraction
+  // of p_retailprice — the plan shape (part-name filter pruning the
+  // part dim, fact-fact join on (orderkey), measure combining
+  // lineitem and part columns, group on dim attributes) is unchanged.
+  private val q9 = Q(
+    fn = (s, d) => {
+      val redParts = Tables
+        .part(s, d)
+        .filter(col("p_name").contains("red"))
+        .select("p_partkey", "p_retailprice")
+      Tables
+        .lineitem(s, d)
+        .join(redParts, col("l_partkey") === col("p_partkey"))
+        .join(Tables.supplier(s, d), col("l_suppkey") === col("s_suppkey"))
+        .join(broadcast(Tables.nation(s, d)), col("s_nationkey") === col("n_nationkey"))
+        .join(Tables.orders(s, d), col("l_orderkey") === col("o_orderkey"))
+        .groupBy(col("n_name").as("nation"), year(col("o_orderdate")).as("o_year"))
+        .agg(
+          decSum6(
+            col("l_extendedprice") * (lit(1) - col("l_discount")) -
+              lit(0.6) * col("p_retailprice") * col("l_quantity")
+          ).as("sum_profit")
+        )
+        .orderBy(col("nation"), col("o_year").desc)
+    },
+    oracle = Some(s"""
+      SELECT n_name AS nation, EXTRACT(year FROM o_orderdate) AS o_year,
+        ${sqlDecSum6(
+        "l_extendedprice * (1 - l_discount) - 0.6 * p_retailprice * l_quantity"
+      )} AS sum_profit
+      FROM lineitem
+      JOIN part ON l_partkey = p_partkey
+      JOIN supplier ON l_suppkey = s_suppkey
+      JOIN nation ON s_nationkey = n_nationkey
+      JOIN orders ON l_orderkey = o_orderkey
+      WHERE p_name LIKE '%red%'
+      GROUP BY 1, 2 ORDER BY nation, o_year DESC""")
+  )
+
   val queries: Map[String, Q] = Map(
+    "q9_product_profit" -> q9,
     "q7_volume_shipping" -> q7,
     "q8_market_share" -> q8,
     "q10_returned_items" -> q10,
