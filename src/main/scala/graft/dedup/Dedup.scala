@@ -502,6 +502,54 @@ object Dedup {
       .where(col("n_docs") >= minDocs)
   }
 
+  /** Exact cross-corpus span overlap — the EXACT companion to the
+    * MinHash [[crossMinhashPairs]] decontamination: report every
+    * (benchmark doc, corpus doc) pair sharing >= `minShared` distinct
+    * `spanWords`-word spans, with containment = shared / benchmark-doc
+    * spans (the n-gram-overlap contamination test of open-LM eval
+    * hygiene, e.g. GPT-3's 13-gram and PaLM's 8-gram checks).
+    *
+    * Scale shape: both sides reduce to distinct (id, span_hash) pairs
+    * scan-side; the join keys on the hash with the BENCHMARK side
+    * orders of magnitude smaller (eval suites vs a training corpus) —
+    * AQE broadcasts it, and the per-pair aggregate is map-side
+    * combinable. Nothing is all-pairs.
+    */
+  def crossSpanOverlap(
+      bench: DataFrame,
+      corpus: DataFrame,
+      textCol: String,
+      idCol: String,
+      spanWords: Int = 8,
+      minShared: Long = 1
+  ): DataFrame = {
+    require(spanWords >= 1, s"spanWords must be >= 1, got $spanWords")
+    require(minShared >= 1, s"minShared must be >= 1, got $minShared")
+    def spans(df: DataFrame, as: String) = df
+      .select(
+        col(idCol).as(as),
+        explode(Text.wordShingles(col(textCol), spanWords)).as("_span")
+      )
+      .select(col(as), md5(col("_span")).as("_h"))
+      .distinct()
+    val bs = spans(bench, "id_l")
+    val cs = spans(corpus, "id_r")
+    val btot = bs.groupBy(col("id_l")).agg(count(lit(1)).as("_n_bench"))
+    bs.join(cs, "_h")
+      .groupBy(col("id_l"), col("id_r"))
+      .agg(count(lit(1)).as("n_shared"))
+      .where(col("n_shared") >= minShared)
+      .join(btot, "id_l")
+      .select(
+        col("id_l"),
+        col("id_r"),
+        col("n_shared"),
+        graft.functions
+          .round6(col("n_shared").cast("double") / col("_n_bench"))
+          .as("containment")
+      )
+  }
+
   /** Per-document duplicated-span statistics: how much of each document
     * is made of spans that also occur in >= `minDocs` documents — the
     * "duplicated n-gram fraction" filter signal of large-corpus

@@ -294,9 +294,44 @@ object DedupQueries extends QueryPack {
     oracle = None
   )
 
+  // Exact n-gram decontamination: benchmark = doc_id % 20 == 0 (same
+  // split as the MinHash variant), 6-word spans, >= 2 shared.
+  private val spanDecontaminateQ = Q(
+    fn = (s, d) => {
+      val docs = Tables.documents(s, d)
+      Dedup
+        .crossSpanOverlap(
+          docs.where(col("doc_id") % 20 === 0),
+          docs.where(col("doc_id") % 20 =!= 0),
+          "text",
+          "doc_id",
+          spanWords = 6,
+          minShared = 2
+        )
+        .orderBy("id_l", "id_r")
+    },
+    oracle = Some("""
+      WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+      sp AS (SELECT DISTINCT doc_id,
+               md5(array_to_string(toks[i:i+5], ' ')) AS h
+             FROM t, unnest(generate_series(1, len(toks) - 5)) AS u(i)
+             WHERE len(toks) >= 6),
+      bs AS (SELECT doc_id AS id_l, h FROM sp WHERE doc_id % 20 = 0),
+      cs AS (SELECT doc_id AS id_r, h FROM sp WHERE doc_id % 20 <> 0),
+      btot AS (SELECT id_l, COUNT(*) AS n_bench FROM bs GROUP BY 1),
+      shared AS (SELECT id_l, id_r, COUNT(*) AS n_shared
+                 FROM bs JOIN cs USING (h) GROUP BY 1, 2
+                 HAVING COUNT(*) >= 2)
+      SELECT s.id_l, s.id_r, s.n_shared,
+        round(CAST(s.n_shared AS DOUBLE) / b.n_bench, 6) AS containment
+      FROM shared s JOIN btot b USING (id_l)
+      ORDER BY id_l, id_r""")
+  )
+
   val queries: Map[String, Q] = Map(
     "dedup_span_exact" -> spanExactQ,
     "dedup_span_exact_xxh64" -> spanFastQ,
+    "dedup_decontaminate_exact" -> spanDecontaminateQ,
     "dedup_exact" -> exactQ,
     "dedup_near_sweep" -> sweepQ,
     "dedup_component_sweep" -> componentQ,

@@ -75,11 +75,16 @@ object Similarity {
     * stored matrix — any executor (or a later job) rebuilds identical
     * planes from (plane, dim index) alone.
     */
-  private[similarity] def planeSigns(nPlanes: Int, dim: Int): Array[Array[Double]] = {
+  private[similarity] def planeSigns(
+      nPlanes: Int,
+      dim: Int,
+      planeOffset: Int = 0
+  ): Array[Array[Double]] = {
     import org.apache.spark.sql.catalyst.expressions.XXH64
     Array.tabulate(nPlanes) { p =>
       Array.tabulate(dim) { i =>
-        if ((XXH64.hashLong(p.toLong * 1000003L + i, 42L) & 1L) == 0L) 1.0 else -1.0
+        if ((XXH64.hashLong((p + planeOffset).toLong * 1000003L + i, 42L) & 1L) == 0L) 1.0
+        else -1.0
       }
     }
   }
@@ -90,8 +95,8 @@ object Similarity {
     * arrays and each projection is one native dot product — not an
     * interpreted per-element hash per row (measured 30-100x slower).
     */
-  def lshBucket(v: Column, nPlanes: Int, dim: Int): Column = {
-    val signs = planeSigns(nPlanes, dim)
+  def lshBucket(v: Column, nPlanes: Int, dim: Int, planeOffset: Int = 0): Column = {
+    val signs = planeSigns(nPlanes, dim, planeOffset)
     (0 until nPlanes)
       .map { p =>
         when(dot(v, lit(signs(p))) >= 0, lit(1L << p)).otherwise(lit(0L))
@@ -119,33 +124,62 @@ object Similarity {
       vecCol: String,
       k: Int,
       nPlanes: Int = 8,
-      multiProbe: Boolean = true
+      multiProbe: Boolean = true,
+      nTables: Int = 1
   ): DataFrame = {
+    require(nTables >= 1, s"nTables must be >= 1, got $nTables")
     // one-row peek for the vector dimensionality (plan-time constant
     // needed to materialize the literal sign matrix)
     val dim = corpus.select(size(col(vecCol))).head().getInt(0)
-    val own = lshBucket(col(vecCol), nPlanes, dim)
-    val probes =
-      if (!multiProbe) array(own)
-      else array(own +: (0 until nPlanes).map(j => own.bitwiseXOR(lit(1L << j))): _*)
+    // nTables is the recall dial orthogonal to multi-probe: L
+    // INDEPENDENT hyperplane sets, a candidate needs to collide in ANY
+    // one. Recall 1-(1-p)^L for per-table collision p, at the cost of
+    // an L-times-larger corpus bucket table — the standard trade
+    // (Indyk-Motwani LSH with L tables).
+    def tableEntries(bucketFor: Int => Column) = explode(
+      array((0 until nTables).map { t =>
+        struct(lit(t).as("_tbl"), bucketFor(t).as("_bucket"))
+      }: _*)
+    )
     val q = queries
       .select(
         col(idCol).as("query_id"),
         col(vecCol).as("_qv"),
         norm(col(vecCol)).as("_qn"),
-        explode(probes).as("_bucket")
+        tableEntries { t =>
+          val own = lshBucket(col(vecCol), nPlanes, dim, t * nPlanes)
+          if (!multiProbe) array(own)
+          else array(own +: (0 until nPlanes).map(j => own.bitwiseXOR(lit(1L << j))): _*)
+        }.as("_e")
       )
-    val c = corpus.select(
-      col(idCol).as("neighbor_id"),
-      col(vecCol).as("_cv"),
-      norm(col(vecCol)).as("_cn"),
-      lshBucket(col(vecCol), nPlanes, dim).as("_bucket")
-    )
+      .select(
+        col("query_id"),
+        col("_qv"),
+        col("_qn"),
+        col("_e._tbl").as("_tbl"),
+        explode(col("_e._bucket")).as("_bucket")
+      )
+    val c = corpus
+      .select(
+        col(idCol).as("neighbor_id"),
+        col(vecCol).as("_cv"),
+        norm(col(vecCol)).as("_cn"),
+        tableEntries(t => lshBucket(col(vecCol), nPlanes, dim, t * nPlanes)).as("_e")
+      )
+      .select(
+        col("neighbor_id"),
+        col("_cv"),
+        col("_cn"),
+        col("_e._tbl").as("_tbl"),
+        col("_e._bucket").as("_bucket")
+      )
     val w = Window
       .partitionBy(col("query_id"))
       .orderBy(col("sim").desc, col("neighbor_id"))
-    c.join(broadcast(q), Seq("_bucket"))
+    c.join(broadcast(q), Seq("_tbl", "_bucket"))
       .where(col("query_id") =!= col("neighbor_id"))
+      // a pair can meet in several tables — dedupe before ranking
+      .dropDuplicates("query_id", "neighbor_id")
       .withColumn(
         "sim",
         round6(dot(col("_qv"), col("_cv")) / (col("_qn") * col("_cn")))

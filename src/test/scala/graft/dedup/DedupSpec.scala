@@ -274,6 +274,27 @@ class DedupSpec extends SparkSpec {
     assert(slow.nonEmpty && slow == fast)
   }
 
+  test("cross-span overlap finds planted contamination with exact containment, never within-side pairs") {
+    val bench = Seq(
+      (100L, "the exact eval answer phrase appears here verbatim"),
+      (101L, "totally clean benchmark question nothing shared at all")
+    ).toDF("doc_id", "text")
+    val corpusDocs = Seq(
+      (1L, "prefix words the exact eval answer phrase appears here verbatim suffix"),
+      (2L, "the exact eval answer phrase appears here verbatim"),
+      (3L, "unrelated training document with its own words entirely")
+    ).toDF("doc_id", "text")
+    val got = Dedup
+      .crossSpanOverlap(bench, corpusDocs, "text", "doc_id", spanWords = 4, minShared = 1)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> ((r.getLong(2), r.getDouble(3))))
+      .toMap
+    // bench 100 has 5 distinct 4-word spans, all contained in docs 1 and 2
+    assert(got.keySet == Set((100L, 1L), (100L, 2L)))
+    assert(got((100L, 2L)) == ((5L, 1.0)))
+    assert(got((100L, 1L)) == ((5L, 1.0)))
+  }
+
   test("dup-span stats: fraction math, zero-span docs report 0.0") {
     val docs = Seq(
       (1L, "alpha beta gamma delta epsilon"), // 2 spans, 1 duplicated

@@ -118,6 +118,57 @@ class SimilaritySpec extends SparkSpec {
     assert(z.getSeq[Int](1).forall(_ == 0))
   }
 
+  test("measured recall@5 on planted near-duplicate clusters: LSH tables and IVF vs brute force") {
+    // ANN's contract is finding vectors that ARE close. Plant 20
+    // clusters of 8 high-cosine copies (base + small noise) — the
+    // regime LSH/IVF exist for. (The driver's synthetic embeddings
+    // have top-10 cosines of only ~0.3, where no sublinear method can
+    // win — measured and documented rather than asserted against.)
+    val rnd = new scala.util.Random(7)
+    def base() = Array.fill(64)(rnd.nextGaussian())
+    val vecs = (0 until 20).flatMap { c =>
+      val b = base()
+      (0 until 8).map { j =>
+        val noisy = b.map(_ + 0.08 * rnd.nextGaussian())
+        ((c * 8 + j).toLong, noisy.map(_.toFloat))
+      }
+    }
+    val emb = vecs.toDF("vec_id", "embedding")
+    val queries = emb.where($"vec_id" % 8 === 0) // one probe per cluster
+    def topSet(df: org.apache.spark.sql.DataFrame) = df
+      .collect()
+      .map(r => r.getAs[Long]("query_id") -> r.getAs[Long]("neighbor_id"))
+      .groupBy(_._1)
+      .view
+      .mapValues(_.map(_._2).toSet)
+      .toMap
+    val exact = topSet(
+      Similarity.bruteForceTopK(queries, emb, "vec_id", "embedding", k = 5)
+    )
+    def recall(approx: Map[Long, Set[Long]]): Double = {
+      val per = exact.map { case (q, t) =>
+        approx.getOrElse(q, Set.empty).intersect(t).size.toDouble / t.size
+      }
+      per.sum / per.size
+    }
+    val lsh1 = recall(
+      topSet(Similarity.lshTopK(queries, emb, "vec_id", "embedding", k = 5))
+    )
+    val lsh4 = recall(
+      topSet(
+        Similarity.lshTopK(queries, emb, "vec_id", "embedding", k = 5, nTables = 4)
+      )
+    )
+    val ivf = recall(
+      topSet(Similarity.ivfTopK(queries, emb, "vec_id", "embedding", k = 5))
+    )
+    // deterministic (seeded data, hash-derived hyperplanes, seeded
+    // k-means): pin quality floors so a blocking regression is caught
+    assert(lsh4 >= 0.9, s"4-table LSH recall@5 degraded: $lsh4")
+    assert(lsh4 >= lsh1, s"more tables must not lose recall: $lsh4 < $lsh1")
+    assert(ivf >= 0.9, s"IVF recall@5 degraded: $ivf")
+  }
+
   test("cosinePairs blocks by key and emits each pair once above threshold") {
     val pairs = Similarity
       .cosinePairs(vecs, "vec_id", "embedding", "label", 0.5)
