@@ -196,6 +196,71 @@ object Service {
     }
   }
 
+  /** Distribution-drift assessment over a raw batch: day-over-day PSI
+    * per numeric column ([[graft.profiler.Drift.psiDrift]]), stored as
+    * ordinary profiling metrics (entity="column", instance=col,
+    * name="psi_drift") — so drift series flow through the SAME
+    * repository, HtmlReport charts and history queries as every other
+    * metric, no new surface — and alerted through the standard
+    * notification handlers when psi exceeds `threshold` (0.25 = the
+    * common "action" level).
+    *
+    * Returns the long-format psi metrics. Driver-side data is only the
+    * (tiny) alerting subset, same contract as assessQuality.
+    */
+  def assessDrift(
+      df: DataFrame,
+      datasetUri: String,
+      tsColumn: String,
+      repo: MetricsRepository,
+      columns: Seq[String] = Seq.empty,
+      bins: Int = 10,
+      threshold: Double = 0.25,
+      handlers: Seq[NotificationHandler] = Seq(LogHandler)
+  ): DataFrame = {
+    import org.apache.spark.sql.types.NumericType
+    val targets =
+      if (columns.nonEmpty) columns
+      else
+        df.schema.fields
+          .filter(f => f.dataType.isInstanceOf[NumericType] && f.name != tsColumn)
+          .map(_.name)
+          .toSeq
+    require(targets.nonEmpty, "assessDrift: no numeric columns to assess")
+    val psi = targets
+      .map { c =>
+        graft.profiler.Drift
+          .psiDrift(df, tsColumn, c, bins)
+          .select(
+            col("ts"),
+            lit("column").as("entity"),
+            lit(c).as("instance"),
+            lit("psi_drift").as("name"),
+            col("psi").as("value")
+          )
+      }
+      .reduce(_ unionByName _)
+    repo.addProfiling(datasetUri, psi)
+    val alerts = psi
+      .where(col("value") > threshold)
+      .collect()
+      .toSeq
+      .map { r =>
+        AnomalousScore(
+          entity = r.getString(1),
+          instance = r.getString(2),
+          name = r.getString(3),
+          score = r.getDouble(4),
+          threshold = threshold
+        )
+      }
+    if (alerts.nonEmpty) {
+      val newest = psi.agg(max(col("ts"))).collect().head.getTimestamp(0)
+      handlers.foreach(_.notify(datasetUri, newest, alerts))
+    }
+    psi
+  }
+
   /** profile + optimize in one call (reference
     * `profile_create_optimize`, service_layer.py:411-459).
     */

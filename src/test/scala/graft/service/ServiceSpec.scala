@@ -230,4 +230,30 @@ class ServiceSpec extends SparkSpec {
     // ts range select
     assert(repo.getProfiling("u1", start = Some(java.sql.Timestamp.valueOf("2025-01-02 00:00:00"))).count() == 0)
   }
+
+  test("assessDrift stores psi as ordinary profiling metrics and alerts on a shifted day") {
+    def day(d: Int, v: Double) =
+      (java.sql.Timestamp.valueOf(f"2025-03-$d%02d 12:00:00"), v)
+    // days 1-2 identical; day 3 mass jumps to the far end of the range
+    val rows =
+      (1 to 2).flatMap(d => Seq.fill(60)(day(d, 1.0)) ++ Seq.fill(60)(day(d, 2.0))) ++
+        Seq.fill(120)(day(3, 10.0))
+    val df = rows.toDF("ts", "value")
+    val repo = new InMemoryRepository()
+    var notified = Seq.empty[AnomalousScore]
+    val handler = new NotificationHandler {
+      def notify(uri: String, ts: java.sql.Timestamp, anomalous: Seq[AnomalousScore]): Unit =
+        notified = anomalous
+    }
+    Service.assessDrift(df, "ds://drifty", "ts", repo, handlers = Seq(handler))
+    // stored through the SAME profiling surface as every other metric
+    val stored = repo
+      .getProfiling("ds://drifty")
+      .where(col("name") === "psi_drift")
+      .collect()
+    assert(stored.length == 2) // day2 vs day1, day3 vs day2
+    assert(notified.nonEmpty)
+    assert(notified.head.instance == "value" && notified.head.name == "psi_drift")
+    assert(notified.head.score > 0.25)
+  }
 }
