@@ -890,7 +890,39 @@ object EngineQueries extends QueryPack {
       GROUP BY 1, 2 ORDER BY nation, o_year DESC""")
   )
 
+  // Per-group relative ranking (percent_rank + quartile buckets) —
+  // the stratification primitive for per-segment feature engineering.
+  // The window partitions on nation (25 groups), so no single global
+  // sort exists at any scale; the custkey tiebreak makes the total
+  // order — and thus every rank — deterministic cross-engine.
+  private val percentRank = Q(
+    fn = (s, d) => {
+      val w = Window
+        .partitionBy(col("c_nationkey"))
+        .orderBy(col("c_acctbal"), col("c_custkey"))
+      Tables
+        .customer(s, d)
+        .select(
+          col("c_custkey"),
+          col("c_nationkey"),
+          col("c_acctbal"),
+          round6(percent_rank().over(w)).as("bal_pct"),
+          ntile(4).over(w).as("bal_quartile")
+        )
+        .orderBy("c_custkey")
+    },
+    oracle = Some(s"""
+      SELECT c_custkey, c_nationkey, c_acctbal,
+        ${sqlRound6(
+        "percent_rank() OVER (PARTITION BY c_nationkey ORDER BY c_acctbal, c_custkey)"
+      )} AS bal_pct,
+        ntile(4) OVER (PARTITION BY c_nationkey ORDER BY c_acctbal, c_custkey)
+          AS bal_quartile
+      FROM customer ORDER BY c_custkey""")
+  )
+
   val queries: Map[String, Q] = Map(
+    "q_percent_rank" -> percentRank,
     "q9_product_profit" -> q9,
     "q7_volume_shipping" -> q7,
     "q8_market_share" -> q8,

@@ -61,6 +61,70 @@ object Sources {
     }
   }
 
+  /** One schema-contract violation (the Deequ-style schema check the
+    * profiling reference leaves to callers).
+    */
+  case class SchemaViolation(column: String, kind: String, detail: String)
+
+  class SchemaContractException(val violations: Seq[SchemaViolation])
+      extends IllegalArgumentException(
+        s"schema contract violated: ${violations.mkString("; ")}"
+      )
+
+  /** Diff a frame against an expected schema: `missing` (expected
+    * column absent), `type_mismatch` (same name, different DataType —
+    * nullability is NOT part of the contract), and, unless
+    * `allowExtra`, `unexpected` (column the contract doesn't know).
+    * Plan-time metadata only — no job runs.
+    */
+  def validateSchema(
+      df: DataFrame,
+      expected: StructType,
+      allowExtra: Boolean = false
+  ): Seq[SchemaViolation] = {
+    val actual = df.schema.map(f => f.name -> f.dataType).toMap
+    val missing = expected.flatMap { f =>
+      actual.get(f.name) match {
+        case None =>
+          Some(SchemaViolation(f.name, "missing", s"expected ${f.dataType.simpleString}"))
+        case Some(dt) if dt != f.dataType =>
+          Some(
+            SchemaViolation(
+              f.name,
+              "type_mismatch",
+              s"expected ${f.dataType.simpleString}, got ${dt.simpleString}"
+            )
+          )
+        case _ => None
+      }
+    }
+    val extras =
+      if (allowExtra) Seq.empty
+      else {
+        val known = expected.map(_.name).toSet
+        df.schema.collect {
+          case f if !known.contains(f.name) =>
+            SchemaViolation(f.name, "unexpected", f.dataType.simpleString)
+        }
+      }
+    missing ++ extras
+  }
+
+  /** Enforce the contract: throw a typed [[SchemaContractException]]
+    * carrying EVERY violation (not just the first), or return the
+    * frame projected to the contract's columns in contract order —
+    * so downstream code can rely on position as well as name.
+    */
+  def enforceSchema(
+      df: DataFrame,
+      expected: StructType,
+      allowExtra: Boolean = false
+  ): DataFrame = {
+    val violations = validateSchema(df, expected, allowExtra)
+    if (violations.nonEmpty) throw new SchemaContractException(violations)
+    df.select(expected.map(f => col(f.name)): _*)
+  }
+
   /** Start writing a (streaming) long-format metrics frame to parquet —
     * the streaming-profiler-to-repository sink. Append mode composes
     * with the watermarked windowed aggregation upstream.

@@ -58,4 +58,50 @@ class SourcesSpec extends SparkSpec {
       .select("value").as[Double].collect()
     assert(mean.toSeq == Seq(5.0))
   }
+
+  test("schema contract: reports every violation class, enforce projects to contract order") {
+    import org.apache.spark.sql.types._
+    val expected = StructType(Seq(
+      StructField("ts", TimestampType),
+      StructField("value", DoubleType),
+      StructField("gone", StringType)
+    ))
+    val df = Seq((1.0f, java.sql.Timestamp.valueOf("2025-01-01 00:00:00"), "x"))
+      .toDF("value", "ts", "surprise") // value is FLOAT, gone absent, surprise extra
+    val v = Sources.validateSchema(df, expected)
+    assert(v.map(x => (x.column, x.kind)).toSet ==
+      Set(("value", "type_mismatch"), ("gone", "missing"), ("surprise", "unexpected")))
+    // allowExtra drops only the unexpected class
+    assert(!Sources.validateSchema(df, expected, allowExtra = true)
+      .exists(_.kind == "unexpected"))
+    val ex = intercept[Sources.SchemaContractException] {
+      Sources.enforceSchema(df, expected)
+    }
+    assert(ex.violations.size == 3)
+    // a conforming frame comes back in contract column order
+    val ok = Seq(("a", 1.0, java.sql.Timestamp.valueOf("2025-01-01 00:00:00")))
+      .toDF("gone", "value", "ts")
+    assert(Sources.enforceSchema(ok, expected).columns.toSeq == Seq("ts", "value", "gone"))
+  }
+
+  test("csv batch ingestion honors the explicit schema and event-time contract") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-csv").toString
+    java.nio.file.Files.writeString(
+      java.nio.file.Paths.get(s"$dir/data.csv"),
+      "ts,value\n2025-01-01 10:00:00,5.0\n2025-01-01 11:00:00,7.0\n"
+    )
+    import org.apache.spark.sql.types._
+    val schema = StructType(Seq(
+      StructField("ts", StringType), // deliberately string: batch() must cast
+      StructField("value", DoubleType)
+    ))
+    val df = Sources.batch(
+      spark, dir, "ts",
+      format = "csv",
+      schema = Some(schema),
+      options = Map("header" -> "true")
+    )
+    assert(df.schema("ts").dataType == TimestampType)
+    assert(df.count() == 2)
+  }
 }
