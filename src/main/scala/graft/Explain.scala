@@ -23,6 +23,20 @@ object Explain {
         if (names.isEmpty) SparkEntry.queries.toSeq.sortBy(_._1)
         else names.map(n => n -> SparkEntry.queries(n))
       val bad = Seq("BroadcastNestedLoopJoin", "CartesianProduct")
+      // Audited exceptions: each of these queries attaches a PROVABLY
+      // 1-row (or k-row query-side) broadcast — a scalar subquery in
+      // join clothing, O(N) with no shuffle. Catalyst constant-folds
+      // the literal join key into a BNL, but the work is what a
+      // ScalarSubquery node would do. Any query NOT in this set that
+      // plans a BNL/cartesian is a real regression.
+      val boundedBroadcast = Set(
+        "ann_bruteforce_topk", // k-row query side vs one corpus scan
+        "ann_quantized_topk", // same, over int8-quantized vectors
+        "text_tfidf", // 1-row corpus doc-count
+        "q22_idle_customers", // 1-row global average
+        "profile_psi_drift", // 1-row global min/max bin edges
+        "profile_missing_days" // 1-row global day span
+      )
       selected.foreach { case (name, fn) =>
         try {
           val plan = fn(spark, sfDir).queryExecution.executedPlan.toString
@@ -31,7 +45,10 @@ object Explain {
             println(s"==== $name ====")
             println(plan)
           }
-          if (hits.nonEmpty) println(s"[antipattern] $name: ${hits.mkString(", ")}")
+          if (hits.nonEmpty && !boundedBroadcast(name))
+            println(s"[antipattern] $name: ${hits.mkString(", ")}")
+          else if (hits.nonEmpty)
+            println(s"[bounded-bnl] $name: audited 1-row/k-row broadcast")
           else if (names.isEmpty) println(s"[ok] $name")
         } catch {
           case e: Throwable => println(s"[error] $name: ${e.getMessage}")

@@ -1,0 +1,61 @@
+package graft.text
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+import scala.util.Random
+
+class PackingSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("packing invariants: exhaustive, budget-respecting, dense, oversize flagged") {
+    val rnd = new Random(11)
+    val budget = 100L
+    val docs = (1L to 400L).map(id => (id, (rnd.nextInt(60) + 5).toLong)) ++
+      Seq((900L, 250L), (901L, 101L)) // oversize
+    val df = docs.toDF("doc_id", "n_tokens").repartition(4)
+    val packed = Packing.packGreedy(df, "doc_id", "n_tokens", budget).cache()
+
+    // every doc in exactly one pack
+    assert(packed.count() == docs.size)
+    assert(packed.select("doc_id").distinct().count() == docs.size)
+
+    val perPack = packed
+      .groupBy("pack_id")
+      .agg(
+        sum("n_tokens").as("used"),
+        max(col("oversize").cast("int")).as("over"),
+        count(lit(1)).as("n")
+      )
+      .collect()
+
+    // no non-oversize pack exceeds the budget
+    assert(perPack.filter(_.getAs[Int]("over") == 0).forall(_.getAs[Long]("used") <= budget))
+    // oversize docs are singleton packs, flagged
+    val overPacks = perPack.filter(_.getAs[Int]("over") == 1)
+    assert(overPacks.length == 2 && overPacks.forall(_.getAs[Long]("n") == 1L))
+
+    // density: at most one pack PER PARTITION may be <= half full
+    // (first-fit: two half-empty packs would have been merged)
+    val sparse = perPack.filter(r =>
+      r.getAs[Int]("over") == 0 && r.getAs[Long]("used") * 2 <= budget
+    )
+    val partitionsUsed = packed
+      .where(!col("oversize"))
+      .select(split(col("pack_id"), "-").getItem(0))
+      .distinct()
+      .count()
+    assert(sparse.length <= partitionsUsed)
+
+    packed.unpersist()
+  }
+
+  test("packing runs shuffle-free") {
+    val df = (1L to 50L).map(id => (id, 10L)).toDF("doc_id", "n_tokens")
+    val plan = Packing
+      .packGreedy(df, "doc_id", "n_tokens", 100)
+      .queryExecution
+      .executedPlan
+      .toString
+    assert(!plan.contains("Exchange"), "packing must not shuffle")
+  }
+}
