@@ -532,7 +532,10 @@ object Dedup {
       )
       .select(col(as), md5(col("_span")).as("_h"))
       .distinct()
-    val bs = spans(bench, "id_l")
+    // the benchmark span set feeds BOTH the join and the denominator —
+    // materialize once instead of tokenizing/exploding/distincting the
+    // bench corpus twice
+    val bs = graft.functions.materialize(spans(bench, "id_l"))
     val cs = spans(corpus, "id_r")
     val btot = bs.groupBy(col("id_l")).agg(count(lit(1)).as("_n_bench"))
     bs.join(cs, "_h")

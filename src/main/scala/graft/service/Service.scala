@@ -227,7 +227,12 @@ object Service {
           .map(_.name)
           .toSeq
     require(targets.nonEmpty, "assessDrift: no numeric columns to assess")
-    val psi = targets
+    // ONE evaluation: psi output is grain-level (|days| x |columns|
+    // rows — a metric table, not data), so it is collected once and
+    // both the stored metrics and the alerts derive from that same
+    // snapshot. Re-evaluating the lineage per consumer could let a
+    // concurrently-appended source store one psi and alert on another.
+    val rows = targets
       .map { c =>
         graft.profiler.Drift
           .psiDrift(df, tsColumn, c, bins)
@@ -240,24 +245,40 @@ object Service {
           )
       }
       .reduce(_ unionByName _)
-    repo.addProfiling(datasetUri, psi)
-    val alerts = psi
-      .where(col("value") > threshold)
       .collect()
       .toSeq
-      .map { r =>
-        AnomalousScore(
-          entity = r.getString(1),
-          instance = r.getString(2),
-          name = r.getString(3),
-          score = r.getDouble(4),
-          threshold = threshold
-        )
+    val spark = df.sparkSession
+    val psi = spark
+      .createDataFrame(
+        spark.sparkContext.parallelize(rows, 1),
+        org.apache.spark.sql.types.StructType(Seq(
+          org.apache.spark.sql.types.StructField("ts", org.apache.spark.sql.types.TimestampType),
+          org.apache.spark.sql.types.StructField("entity", org.apache.spark.sql.types.StringType),
+          org.apache.spark.sql.types.StructField("instance", org.apache.spark.sql.types.StringType),
+          org.apache.spark.sql.types.StructField("name", org.apache.spark.sql.types.StringType),
+          org.apache.spark.sql.types.StructField("value", org.apache.spark.sql.types.DoubleType)
+        ))
+      )
+    repo.addProfiling(datasetUri, psi)
+    // alert PER DRIFTED DAY — an alert must name the day the
+    // distribution moved, not the batch's newest day
+    rows
+      .filter(r => r.getDouble(4) > threshold)
+      .groupBy(_.getTimestamp(0))
+      .toSeq
+      .sortBy(_._1.getTime)
+      .foreach { case (ts, dayRows) =>
+        val alerts = dayRows.map { r =>
+          AnomalousScore(
+            entity = r.getString(1),
+            instance = r.getString(2),
+            name = r.getString(3),
+            score = r.getDouble(4),
+            threshold = threshold
+          )
+        }
+        handlers.foreach(_.notify(datasetUri, ts, alerts))
       }
-    if (alerts.nonEmpty) {
-      val newest = psi.agg(max(col("ts"))).collect().head.getTimestamp(0)
-      handlers.foreach(_.notify(datasetUri, newest, alerts))
-    }
     psi
   }
 

@@ -176,10 +176,15 @@ object Similarity {
     val w = Window
       .partitionBy(col("query_id"))
       .orderBy(col("sim").desc, col("neighbor_id"))
-    c.join(broadcast(q), Seq("_tbl", "_bucket"))
+    val joined = c
+      .join(broadcast(q), Seq("_tbl", "_bucket"))
       .where(col("query_id") =!= col("neighbor_id"))
-      // a pair can meet in several tables — dedupe before ranking
-      .dropDuplicates("query_id", "neighbor_id")
+    // with one table a pair can meet at most once (one bucket per
+    // corpus row, distinct probe values) — skip the dedup exchange
+    val candidates =
+      if (nTables > 1) joined.dropDuplicates("query_id", "neighbor_id")
+      else joined
+    candidates
       .withColumn(
         "sim",
         round6(dot(col("_qv"), col("_cv")) / (col("_qn") * col("_cn")))

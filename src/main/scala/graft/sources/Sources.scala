@@ -82,8 +82,21 @@ object Sources {
       expected: StructType,
       allowExtra: Boolean = false
   ): Seq[SchemaViolation] = {
-    val actual = df.schema.map(f => f.name -> f.dataType).toMap
-    val missing = expected.flatMap { f =>
+    // duplicate names first — a name->type Map would silently keep one
+    // of them, hiding violations and making enforce's select ambiguous
+    val dupes = df.schema
+      .groupBy(_.name)
+      .collect {
+        case (n, fs) if fs.size > 1 =>
+          SchemaViolation(n, "duplicate", fs.map(_.dataType.simpleString).mkString(" and "))
+      }
+      .toSeq
+    val dupeNames = dupes.map(_.column).toSet
+    val actual = df.schema
+      .filterNot(f => dupeNames.contains(f.name))
+      .map(f => f.name -> f.dataType)
+      .toMap
+    val missing = expected.filterNot(f => dupeNames.contains(f.name)).flatMap { f =>
       actual.get(f.name) match {
         case None =>
           Some(SchemaViolation(f.name, "missing", s"expected ${f.dataType.simpleString}"))
@@ -103,11 +116,11 @@ object Sources {
       else {
         val known = expected.map(_.name).toSet
         df.schema.collect {
-          case f if !known.contains(f.name) =>
+          case f if !known.contains(f.name) && !dupeNames.contains(f.name) =>
             SchemaViolation(f.name, "unexpected", f.dataType.simpleString)
         }
       }
-    missing ++ extras
+    dupes ++ missing ++ extras
   }
 
   /** Enforce the contract: throw a typed [[SchemaContractException]]

@@ -5,11 +5,11 @@ import org.apache.spark.sql.functions._
 
 /** Sequence packing: assign documents to fixed-token-budget packs (the
   * training-example assembly step — concatenate-and-split wastes
-  * document boundaries, padding wastes compute; first-fit packing of
+  * document boundaries, padding wastes compute; best-fit packing of
   * whole documents is the standard middle ground).
   *
   * Scale shape: ZERO shuffle — each partition packs its own documents
-  * with a first-fit-decreasing pass inside `mapPartitions`, and pack
+  * with a best-fit-decreasing pass inside `mapPartitions`, and pack
   * ids are namespaced by partition id. Packing quality is a local
   * property; global coordination would buy a few percent of fill for
   * a full shuffle of the corpus — the wrong trade at 100 TB.
@@ -21,7 +21,7 @@ import org.apache.spark.sql.functions._
   * rather than a cross-engine oracle query: every doc lands in exactly
   * one pack, no non-oversize pack exceeds the budget, and every pack
   * except possibly one per partition is more than half full (the
-  * classical first-fit bound).
+  * classical any-fit bound).
   */
 object Packing {
 
@@ -36,6 +36,20 @@ object Packing {
       budget: Long
   ): DataFrame = {
     require(budget > 0, s"budget must be positive, got $budget")
+    // fail fast at plan time — a silent cast would turn a string id
+    // into null and die mid-job with an opaque encoder NPE
+    import org.apache.spark.sql.types._
+    require(
+      Set[DataType](ByteType, ShortType, IntegerType, LongType)
+        .contains(df.schema(idCol).dataType),
+      s"packGreedy: id column '$idCol' must be integral, got " +
+        df.schema(idCol).dataType.simpleString
+    )
+    require(
+      df.schema(tokenCountCol).dataType.isInstanceOf[NumericType],
+      s"packGreedy: token-count column '$tokenCountCol' must be numeric, got " +
+        df.schema(tokenCountCol).dataType.simpleString
+    )
     val spark = df.sparkSession
     import spark.implicits._
     val prepared = df
@@ -46,27 +60,48 @@ object Packing {
       .as[(Long, Long)]
     prepared.rdd
       .mapPartitionsWithIndex { (pid, it) =>
-        // first-fit-decreasing: sort the partition's docs by size desc,
-        // place each into the first open pack with room
+        // best-fit-decreasing: sort the partition's docs by size desc,
+        // place each into the fullest pack that still fits (smallest
+        // sufficient remaining capacity). A TreeMap over remaining
+        // capacities makes each placement O(log packs) — O(n log n)
+        // per partition, so a billion-doc partition is CPU-feasible
+        // where a linear first-fit scan (O(n x packs)) is not. Same
+        // density guarantee as first-fit: at most one open pack per
+        // partition can end <= half full.
         val sorted = it.toArray.sortBy { case (id, n) => (-n, id) }
-        val packs = scala.collection.mutable.ArrayBuffer
-          .empty[(scala.collection.mutable.ArrayBuffer[(Long, Long)], Long)]
+        val members =
+          scala.collection.mutable.ArrayBuffer.empty[scala.collection.mutable.ArrayBuffer[(Long, Long)]]
+        val used = scala.collection.mutable.ArrayBuffer.empty[Long]
+        // remaining capacity -> pack indices with exactly that remaining
+        val byRemaining = new java.util.TreeMap[Long, scala.collection.mutable.ArrayBuffer[Int]]()
+        def insert(remaining: Long, idx: Int): Unit = {
+          val b = byRemaining.get(remaining)
+          if (b == null) {
+            val nb = scala.collection.mutable.ArrayBuffer(idx)
+            byRemaining.put(remaining, nb)
+          } else b += idx
+        }
         val oversize = scala.collection.mutable.ArrayBuffer.empty[(Long, Long)]
         sorted.foreach { case (id, n) =>
           if (n > budget) oversize += ((id, n))
           else {
-            val slot = packs.indexWhere { case (_, used) => used + n <= budget }
-            if (slot < 0)
-              packs += ((scala.collection.mutable.ArrayBuffer((id, n)), n))
-            else {
-              val (members, used) = packs(slot)
-              members += ((id, n))
-              packs(slot) = (members, used + n)
+            val e = byRemaining.ceilingEntry(n)
+            if (e == null) {
+              members += scala.collection.mutable.ArrayBuffer((id, n))
+              used += n
+              insert(budget - n, members.size - 1)
+            } else {
+              val bucket = e.getValue
+              val idx = bucket.remove(bucket.size - 1)
+              if (bucket.isEmpty) byRemaining.remove(e.getKey)
+              members(idx) += ((id, n))
+              used(idx) += n
+              insert(budget - used(idx), idx)
             }
           }
         }
-        packs.iterator.zipWithIndex.flatMap { case ((members, _), i) =>
-          members.iterator.map { case (id, n) => (s"p$pid-$i", id, n, false) }
+        members.iterator.zipWithIndex.flatMap { case (ms, i) =>
+          ms.iterator.map { case (id, n) => (s"p$pid-$i", id, n, false) }
         } ++ oversize.iterator.zipWithIndex.map { case ((id, n), i) =>
           (s"p$pid-oversize-$i", id, n, true)
         }

@@ -82,6 +82,14 @@ class SourcesSpec extends SparkSpec {
     val ok = Seq(("a", 1.0, java.sql.Timestamp.valueOf("2025-01-01 00:00:00")))
       .toDF("gone", "value", "ts")
     assert(Sources.enforceSchema(ok, expected).columns.toSeq == Seq("ts", "value", "gone"))
+    // duplicate names surface as their own violation class (a name->
+    // type map would hide one and make enforce's select ambiguous)
+    val dup = ok.select(col("*"), col("value").cast("int"))
+    val dv = Sources.validateSchema(dup, expected)
+    assert(dv.exists(v => v.column == "value" && v.kind == "duplicate"))
+    intercept[Sources.SchemaContractException] {
+      Sources.enforceSchema(dup, expected)
+    }
   }
 
   test("csv batch ingestion honors the explicit schema and event-time contract") {

@@ -35,7 +35,7 @@ class PackingSpec extends SparkSpec {
     assert(overPacks.length == 2 && overPacks.forall(_.getAs[Long]("n") == 1L))
 
     // density: at most one pack PER PARTITION may be <= half full
-    // (first-fit: two half-empty packs would have been merged)
+    // (any-fit: two half-empty packs would have been merged)
     val sparse = perPack.filter(r =>
       r.getAs[Int]("over") == 0 && r.getAs[Long]("used") * 2 <= budget
     )
