@@ -195,32 +195,62 @@ object Text {
     *                              of repeated trigrams / document chars
     *                              (overlaps counted, so it can exceed 1)
     *
-    * Shape: one union of token/bigram/trigram explodes tagged by gram
-    * size → ONE `groupBy(id, n, gram)` count (map-side combinable) →
-    * one per-doc conditional aggregation → join back to the documents
-    * for char counts. Two shuffles total regardless of corpus size; no
-    * per-doc state beyond gram counts.
+    * Shape: ONE corpus scan. All three gram sizes are generated as a
+    * single array of `(n, xxhash64(gram), len(gram))` structs inside
+    * the scan projection and exploded once — the gram STRINGS never
+    * leave the scan stage; the shuffle carries 8-byte hashes. One
+    * `groupBy(id, n, hash)` count (map-side combinable) → one per-doc
+    * conditional aggregation. Two compact shuffles total, no
+    * join-back scan: `n_chars` rides the gram rows as an int.
+    *
+    * Grouping on `xxhash64(gram)` instead of the gram string merges
+    * two DIFFERENT grams of one document only on a 64-bit collision
+    * (~n_grams^2 / 2^64 per doc — vanishing for any real document).
     */
   def repetitionSignals(
       df: org.apache.spark.sql.DataFrame,
       textCol: String,
       idCol: String
   ): org.apache.spark.sql.DataFrame = {
-    val docs = df.select(
+    // tokenize ONCE in its own projection: higher-order functions run
+    // interpreted, where every Column reference re-evaluates its whole
+    // subtree — referencing the split() inside the per-element lambdas
+    // would re-split the document O(tokens) times. An attribute read is
+    // cheap, and CollapseProject keeps the stages separate precisely
+    // because inlining would duplicate a non-trivial expression.
+    val toksDf = df.select(
       col(idCol).as("id"),
-      col(textCol).as("_text"),
-      length(col(textCol)).as("n_chars")
+      length(col(textCol)).as("_nc"),
+      tokens(col(textCol)).as("_toks")
     )
-    def grams(n: Int) = {
-      val g = if (n == 1) tokens(col("_text")) else wordShingles(col("_text"), n)
-      docs.select(col("id"), lit(n).as("_n"), explode(g).as("_g"))
-    }
-    val counts = grams(1)
-      .unionByName(grams(2))
-      .unionByName(grams(3))
-      .groupBy("id", "_n", "_g")
-      .agg(count(lit(1)).as("_cnt"))
-    val stats = counts
+    val toks = col("_toks")
+    def gramStrs(n: Int): Column =
+      if (n == 1) toks
+      else
+        when(
+          size(toks) >= n,
+          transform(
+            sequence(lit(0), size(toks) - n),
+            i => concat_ws(" ", slice(toks, i + 1, lit(n)))
+          )
+        ).otherwise(array().cast("array<string>"))
+    // second transform binds the gram to a lambda VARIABLE, so hash and
+    // length each read an already-computed value instead of rebuilding
+    // the shingle string per struct field
+    def gramStructs(n: Int): Column =
+      transform(
+        gramStrs(n),
+        g => struct(lit(n).as("n"), xxhash64(g).as("h"), length(g).as("len"))
+      )
+    val grams = toksDf.select(
+      col("id"),
+      col("_nc"),
+      explode(concat(gramStructs(1), gramStructs(2), gramStructs(3))).as("_g")
+    )
+    val counts = grams
+      .groupBy(col("id"), col("_g.n").as("_n"), col("_g.h").as("_h"))
+      .agg(count(lit(1)).as("_cnt"), max(col("_g.len")).as("_len"), max(col("_nc")).as("_ncg"))
+    counts
       .groupBy("id")
       .agg(
         sum(when(col("_n") === 1, col("_cnt"))).as("n_tokens"),
@@ -228,11 +258,10 @@ object Text {
         max(when(col("_n") === 1, col("_cnt"))).as("_top_cnt"),
         sum(when(col("_n") === 2, col("_cnt"))).as("_n_bi"),
         sum(when(col("_n") === 2 && col("_cnt") > 1, col("_cnt"))).as("_dup_bi"),
-        sum(when(col("_n") === 3 && col("_cnt") > 1, col("_cnt") * length(col("_g"))))
-          .as("_dup_tri_chars")
+        sum(when(col("_n") === 3 && col("_cnt") > 1, col("_cnt") * col("_len")))
+          .as("_dup_tri_chars"),
+        max(col("_ncg")).as("n_chars")
       )
-    docs
-      .join(stats, Seq("id"))
       .select(
         col("id"),
         col("n_tokens"),
