@@ -3,6 +3,7 @@ package graft.queries
 import graft.Tables
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.types.{DecimalType, DoubleType}
 
 /** TPC-H correlated-subquery shapes (Q4/Q13/Q15/Q17/Q21/Q22),
   * re-expressed as the decorrelated join/aggregate plans a distributed
@@ -317,11 +318,247 @@ object DecorrelatedQueries extends QueryPack {
       ORDER BY user_id""")
   )
 
+  // ---- derived part-supplier relation --------------------------------
+  // The synthetic schema has no partsupp table; Q2/Q11/Q16/Q20 run over
+  // the relation derived from lineitem: one row per (partkey, suppkey)
+  // with supplycost = MIN(l_extendedprice) (order-independent, exact in
+  // double) and availqty = SUM(l_quantity) through DECIMAL. One keyed
+  // map-side-combinable shuffle; at 100 TB this is the same shape as
+  // scanning a real partsupp table bucketed by partkey.
+  private def partsupp(
+      s: org.apache.spark.sql.SparkSession,
+      d: String
+  ): org.apache.spark.sql.DataFrame =
+    Tables
+      .lineitem(s, d)
+      .groupBy(col("l_partkey").as("ps_partkey"), col("l_suppkey").as("ps_suppkey"))
+      .agg(
+        min(col("l_extendedprice")).as("ps_supplycost"),
+        decSum2(col("l_quantity")).as("ps_availqty")
+      )
+
+  private val psSql: String =
+    """ps AS (
+        SELECT l_partkey AS ps_partkey, l_suppkey AS ps_suppkey,
+               MIN(l_extendedprice) AS ps_supplycost,
+               CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS ps_availqty
+        FROM lineitem GROUP BY 1, 2)"""
+
+  // TPC-H Q2 shape: correlated scalar MIN subquery ("cheapest supplier
+  // of this part within the region") → decorrelated as a grouped MIN
+  // over the region-restricted partsupp joined back on
+  // (partkey, cost = min_cost). Dims (supplier x nation x region) are
+  // bounded → broadcast; the min-table join reuses the partkey shuffle.
+  // Double equality on the join is safe: both sides carry the SAME
+  // stored values and MIN is exact.
+  private val q2 = Q(
+    fn = (s, d) => {
+      val eu = Tables
+        .supplier(s, d)
+        .join(
+          broadcast(Tables.nation(s, d)),
+          col("s_nationkey") === col("n_nationkey")
+        )
+        .join(
+          broadcast(Tables.region(s, d).filter(col("r_name") === "EUROPE")),
+          col("n_regionkey") === col("r_regionkey")
+        )
+        .select("s_suppkey", "s_name", "s_acctbal", "n_name")
+      val rs = partsupp(s, d).join(broadcast(eu), col("ps_suppkey") === col("s_suppkey"))
+      val mn = rs.groupBy("ps_partkey").agg(min(col("ps_supplycost")).as("_min_cost"))
+      val prt = Tables
+        .part(s, d)
+        .filter(col("p_size") === 15 && col("p_type") === "ECONOMY")
+        .select("p_partkey", "p_name")
+      rs.join(mn, Seq("ps_partkey"))
+        .where(col("ps_supplycost") === col("_min_cost"))
+        .join(broadcast(prt), col("ps_partkey") === col("p_partkey"))
+        .select(
+          col("s_acctbal"),
+          col("s_name"),
+          col("n_name"),
+          col("p_partkey"),
+          col("p_name"),
+          col("ps_supplycost")
+        )
+        .orderBy(col("s_acctbal").desc, col("n_name"), col("s_name"), col("p_partkey"))
+        .limit(100)
+    },
+    oracle = Some(s"""
+      WITH $psSql,
+      eu AS (SELECT s_suppkey, s_name, s_acctbal, n_name
+             FROM supplier
+             JOIN nation ON s_nationkey = n_nationkey
+             JOIN region ON n_regionkey = r_regionkey AND r_name = 'EUROPE'),
+      rs AS (SELECT ps.*, eu.s_name, eu.s_acctbal, eu.n_name
+             FROM ps JOIN eu ON ps_suppkey = s_suppkey),
+      mn AS (SELECT ps_partkey, MIN(ps_supplycost) AS min_cost FROM rs GROUP BY 1)
+      SELECT s_acctbal, s_name, n_name, p_partkey, p_name, ps_supplycost
+      FROM rs
+      JOIN mn ON rs.ps_partkey = mn.ps_partkey AND ps_supplycost = min_cost
+      JOIN part ON p_partkey = rs.ps_partkey AND p_size = 15 AND p_type = 'ECONOMY'
+      ORDER BY s_acctbal DESC, n_name, s_name, p_partkey
+      LIMIT 100""")
+  )
+
+  // TPC-H Q11 shape: GROUP BY ... HAVING value > fraction-of-total,
+  // where the total is a scalar subquery over the same aggregate → the
+  // per-part value table is computed ONCE, its 1-row total broadcast
+  // back. The threshold compare is cross-multiplied in DECIMAL
+  // (value * cnt > 3 * total) so both engines decide the boundary on
+  // exact arithmetic, never on a double division.
+  private val q11 = Q(
+    fn = (s, d) => {
+      val natSupp = Tables
+        .supplier(s, d)
+        .join(
+          broadcast(Tables.nation(s, d).filter(col("n_name") === "NATION_0")),
+          col("s_nationkey") === col("n_nationkey")
+        )
+        .select("s_suppkey")
+      val value = partsupp(s, d)
+        .join(broadcast(natSupp), col("ps_suppkey") === col("s_suppkey"))
+        .groupBy("ps_partkey")
+        .agg(
+          sum(
+            col("ps_supplycost").cast(DecimalType(18, 2)) *
+              col("ps_availqty").cast(DecimalType(18, 2))
+          ).as("_value_dec")
+        )
+      val tot = value
+        .agg(sum(col("_value_dec")).as("_total"), count(lit(1)).as("_cnt"))
+        .withColumn("_k", lit(1))
+      value
+        .withColumn("_k", lit(1))
+        .join(broadcast(tot), "_k")
+        .where(col("_value_dec") * col("_cnt") > col("_total") * lit(3))
+        .select(col("ps_partkey"), col("_value_dec").cast(DoubleType).as("value"))
+        .orderBy(col("value").desc, col("ps_partkey"))
+    },
+    oracle = Some(s"""
+      WITH $psSql,
+      v AS (SELECT ps_partkey,
+              SUM(CAST(ps_supplycost AS DECIMAL(18,2)) *
+                  CAST(ps_availqty AS DECIMAL(18,2))) AS value_d
+            FROM ps
+            JOIN supplier ON ps_suppkey = s_suppkey
+            JOIN nation ON s_nationkey = n_nationkey AND n_name = 'NATION_0'
+            GROUP BY 1),
+      t AS (SELECT SUM(value_d) AS total, COUNT(*) AS cnt FROM v)
+      SELECT ps_partkey, CAST(value_d AS DOUBLE) AS value
+      FROM v, t
+      WHERE value_d * cnt > 3 * total
+      ORDER BY value DESC, ps_partkey""")
+  )
+
+  // TPC-H Q16 shape: NOT IN (subquery) → broadcast LEFT ANTI join
+  // against the excluded-supplier set, then COUNT(DISTINCT suppkey) per
+  // (brand, type, size). The distinct-count shuffles the already
+  // part-filtered partsupp — never the corpus — and the supplier
+  // exclusion list is |supplier|-bounded.
+  private val q16 = Q(
+    fn = (s, d) => {
+      val excluded = Tables
+        .supplier(s, d)
+        .filter(col("s_acctbal") < 500)
+        .select(col("s_suppkey"))
+      val prt = Tables
+        .part(s, d)
+        .filter(
+          col("p_brand") =!= "Brand#13" && col("p_type") =!= "MEDIUM" &&
+            col("p_size").isin(1, 4, 9, 14, 19, 25, 36, 49)
+        )
+        .select("p_partkey", "p_brand", "p_type", "p_size")
+      partsupp(s, d)
+        .join(broadcast(excluded), col("ps_suppkey") === col("s_suppkey"), "left_anti")
+        .join(broadcast(prt), col("ps_partkey") === col("p_partkey"))
+        .groupBy("p_brand", "p_type", "p_size")
+        .agg(countDistinct(col("ps_suppkey")).as("supplier_cnt"))
+        .orderBy(col("supplier_cnt").desc, col("p_brand"), col("p_type"), col("p_size"))
+    },
+    oracle = Some(s"""
+      WITH $psSql
+      SELECT p_brand, p_type, p_size, COUNT(DISTINCT ps_suppkey) AS supplier_cnt
+      FROM ps
+      JOIN part ON p_partkey = ps_partkey
+      WHERE p_brand <> 'Brand#13' AND p_type <> 'MEDIUM'
+        AND p_size IN (1, 4, 9, 14, 19, 25, 36, 49)
+        AND ps_suppkey NOT IN (SELECT s_suppkey FROM supplier WHERE s_acctbal < 500)
+      GROUP BY 1, 2, 3
+      ORDER BY supplier_cnt DESC, p_brand, p_type, p_size""")
+  )
+
+  // TPC-H Q20 shape: nested correlated subqueries ("suppliers whose
+  // stock of a named part exceeds half of what they shipped in the
+  // window") → the shipped-quantity aggregate groups on the SAME
+  // (partkey, suppkey) key as the derived partsupp, so the correlation
+  // join is co-partitioned; the qualifying-supplier set then drives a
+  // LEFT SEMI join on the bounded supplier table. The half-of-shipped
+  // threshold cross-multiplies in DECIMAL (2*avail > shipped) to stay
+  // engine-exact.
+  private val q20 = Q(
+    fn = (s, d) => {
+      val shipped = Tables
+        .lineitem(s, d)
+        .filter(
+          col("l_shipdate") >= lit("1996-01-01") &&
+            col("l_shipdate") < lit("1996-07-01")
+        )
+        .groupBy(col("l_partkey"), col("l_suppkey"))
+        .agg(decSum2(col("l_quantity")).as("_qty"))
+      val redParts = Tables
+        .part(s, d)
+        .filter(col("p_name").like("red%"))
+        .select(col("p_partkey"))
+      val cand = partsupp(s, d)
+        .join(broadcast(redParts), col("ps_partkey") === col("p_partkey"), "left_semi")
+        .join(
+          shipped,
+          col("ps_partkey") === col("l_partkey") && col("ps_suppkey") === col("l_suppkey")
+        )
+        .where(
+          col("ps_availqty").cast(DecimalType(18, 2)) * lit(2) >
+            col("_qty").cast(DecimalType(18, 2))
+        )
+        .select(col("ps_suppkey"))
+      Tables
+        .supplier(s, d)
+        .join(
+          broadcast(Tables.nation(s, d).filter(col("n_name") === "NATION_0")),
+          col("s_nationkey") === col("n_nationkey")
+        )
+        .join(cand, col("s_suppkey") === col("ps_suppkey"), "left_semi")
+        .select(col("s_name"), col("s_acctbal"))
+        .orderBy(col("s_name"))
+    },
+    oracle = Some(s"""
+      WITH $psSql,
+      shipped AS (SELECT l_partkey, l_suppkey,
+                    CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS qty
+                  FROM lineitem
+                  WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+                    AND l_shipdate < TIMESTAMP '1996-07-01 00:00:00'
+                  GROUP BY 1, 2),
+      cand AS (SELECT ps_suppkey FROM ps
+               JOIN shipped ON l_partkey = ps_partkey AND l_suppkey = ps_suppkey
+               WHERE ps_partkey IN (SELECT p_partkey FROM part WHERE p_name LIKE 'red%')
+                 AND CAST(ps_availqty AS DECIMAL(18,2)) * 2 > CAST(qty AS DECIMAL(18,2)))
+      SELECT s_name, s_acctbal
+      FROM supplier
+      JOIN nation ON s_nationkey = n_nationkey AND n_name = 'NATION_0'
+      WHERE s_suppkey IN (SELECT ps_suppkey FROM cand)
+      ORDER BY s_name""")
+  )
+
   val queries: Map[String, Q] = Map(
+    "q2_min_cost_supplier" -> q2,
     "q4_order_priority" -> q4,
+    "q11_important_stock" -> q11,
     "q13_custdist" -> q13,
     "q15_top_supplier" -> q15,
+    "q16_supplier_cnt" -> q16,
     "q17_small_qty_revenue" -> q17,
+    "q20_excess_stock" -> q20,
     "q21_late_suppliers" -> q21,
     "q22_idle_customers" -> q22,
     "q_dedup_latest" -> latestQ

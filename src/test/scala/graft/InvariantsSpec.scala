@@ -278,4 +278,36 @@ class InvariantsSpec extends SparkSpec {
       "rule filter must ride the scan projection, shuffle-free"
     )
   }
+
+  test("plan shapes: partsupp-family TPC-H shapes decorrelate without nested loops") {
+    val d = "/root/testdata/sf0.001"
+    // Q2: correlated MIN → grouped min joined back; all dim joins
+    // broadcast, never a cartesian/BNL re-execution per part
+    val q2 = SparkEntry.queries("q2_min_cost_supplier")(spark, d)
+    val q2Plan = q2.queryExecution.executedPlan.toString
+    assert(!q2Plan.contains("CartesianProduct") && !q2Plan.contains("BroadcastNestedLoop"))
+    assert(q2Plan.contains("BroadcastHashJoin"), "bounded dims must broadcast")
+
+    // Q11: the scalar total attaches as a 1-row broadcast. The literal
+    // join key constant-folds away, so this legitimately plans as a
+    // BNL whose build side is ONE row (the audited scalar-attach
+    // pattern, same as q15/tfidf) — O(rows), not all-pairs. Only a
+    // CartesianProduct would be a real regression.
+    val q11 = SparkEntry.queries("q11_important_stock")(spark, d)
+    val q11Plan = q11.queryExecution.executedPlan.toString
+    assert(!q11Plan.contains("CartesianProduct"))
+
+    // Q16: NOT IN stays a broadcast anti join
+    val q16 = SparkEntry.queries("q16_supplier_cnt")(spark, d)
+    assert(
+      q16.queryExecution.executedPlan.toString.contains("LeftAnti"),
+      "NOT IN must plan as an anti join"
+    )
+
+    // Q20: both nesting levels resolve to semi joins
+    val q20 = SparkEntry.queries("q20_excess_stock")(spark, d)
+    val q20Plan = q20.queryExecution.executedPlan.toString
+    assert(q20Plan.contains("LeftSemi"), "IN-subquery must stay a semi join")
+    assert(!q20Plan.contains("CartesianProduct") && !q20Plan.contains("BroadcastNestedLoop"))
+  }
 }
