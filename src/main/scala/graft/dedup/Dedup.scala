@@ -457,9 +457,11 @@ object Dedup {
   ): DataFrame = {
     require(spanWords >= 1, s"spanWords must be >= 1, got $spanWords")
     require(minDocs >= 2, s"minDocs must be >= 2, got $minDocs")
-    df.select(
+    // tokenize in its own projection — see Text.wordShingles scaladoc
+    df.select(col(idCol), Text.tokens(col(textCol)).as("_toks"))
+      .select(
         col(idCol),
-        explode(Text.wordShingles(col(textCol), spanWords)).as("_span")
+        explode(Text.wordShinglesFromTokens(col("_toks"), spanWords)).as("_span")
       )
       .select(col(idCol), md5(col("_span")).as("span_hash"))
       .groupBy(col("span_hash"))
@@ -526,9 +528,10 @@ object Dedup {
     require(spanWords >= 1, s"spanWords must be >= 1, got $spanWords")
     require(minShared >= 1, s"minShared must be >= 1, got $minShared")
     def spans(df: DataFrame, as: String) = df
+      .select(col(idCol).as(as), Text.tokens(col(textCol)).as("_toks"))
       .select(
-        col(idCol).as(as),
-        explode(Text.wordShingles(col(textCol), spanWords)).as("_span")
+        col(as),
+        explode(Text.wordShinglesFromTokens(col("_toks"), spanWords)).as("_span")
       )
       .select(col(as), md5(col("_span")).as("_h"))
       .distinct()
@@ -573,9 +576,10 @@ object Dedup {
       minDocs: Int = 2
   ): DataFrame = {
     val spans = df
+      .select(col(idCol), Text.tokens(col(textCol)).as("_toks"))
       .select(
         col(idCol),
-        explode(Text.wordShingles(col(textCol), spanWords)).as("_span")
+        explode(Text.wordShinglesFromTokens(col("_toks"), spanWords)).as("_span")
       )
       .select(col(idCol), md5(col("_span")).as("span_hash"))
     val dupHashes = duplicateSpans(df, textCol, idCol, spanWords, minDocs)

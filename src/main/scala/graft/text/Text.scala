@@ -119,9 +119,22 @@ object Text {
     pick
   }
 
-  /** Word n-gram shingles (empty array when too few tokens). */
-  def wordShingles(c: Column, n: Int): Column = {
-    val toks = tokens(c)
+  /** Word n-gram shingles (empty array when too few tokens).
+    *
+    * PERFORMANCE: pass an already-projected token-array ATTRIBUTE via
+    * [[wordShinglesFromTokens]] whenever the caller controls the plan.
+    * Higher-order functions evaluate interpreted, re-running every
+    * Column subtree per element — handing this function a raw split()
+    * re-tokenizes the document once per shingle position (O(tokens²)
+    * splits). Tokenize in a separate projection first; CollapseProject
+    * keeps the stages apart because inlining would duplicate a
+    * non-trivial expression.
+    */
+  def wordShingles(c: Column, n: Int): Column =
+    wordShinglesFromTokens(tokens(c), n)
+
+  /** [[wordShingles]] over a pre-tokenized array column. */
+  def wordShinglesFromTokens(toks: Column, n: Int): Column =
     when(
       size(toks) >= n,
       transform(
@@ -129,7 +142,6 @@ object Text {
         i => concat_ws(" ", slice(toks, i + 1, lit(n)))
       )
     ).otherwise(array().cast("array<string>"))
-  }
 
   /** One 64-bit hash per whitespace token, computed directly over the
     * UTF-8 bytes by a custom Catalyst expression — the single pass that
