@@ -288,6 +288,40 @@ object EngineQueries extends QueryPack {
       ORDER BY o_orderpriority, rank""")
   )
 
+  // Same result as q_window_topk, computed by the bounded-heap
+  // aggregate (graft.functions.TopKByAgg) instead of a window rank:
+  // each map task reduces its slice of a group to <= k entries BEFORE
+  // the exchange, so the shuffle is O(partitions * k) per group where
+  // the window formulation shuffles and sorts EVERY row. The shared
+  // oracle with q_window_topk doubles as an equivalence proof.
+  private val groupTopKAgg = Q(
+    fn = (s, d) =>
+      Tables
+        .orders(s, d)
+        .groupBy(col("o_orderpriority"))
+        .agg(
+          graft.functions.topkAggregate
+            .topKBy(col("o_totalprice"), col("o_orderkey"), 3)
+            .as("_top")
+        )
+        .select(col("o_orderpriority"), posexplode(col("_top")).as(Seq("_pos", "_e")))
+        .select(
+          col("o_orderpriority"),
+          col("_e.id").as("o_orderkey"),
+          col("_e.metric").as("o_totalprice"),
+          (col("_pos") + 1).as("rank")
+        )
+        .orderBy(col("o_orderpriority"), col("rank")),
+    oracle = Some("""
+      SELECT o_orderpriority, o_orderkey, o_totalprice, rank FROM (
+        SELECT o_orderpriority, o_orderkey, o_totalprice,
+          ROW_NUMBER() OVER (PARTITION BY o_orderpriority
+            ORDER BY o_totalprice DESC, o_orderkey) AS rank
+        FROM orders)
+      WHERE rank <= 3
+      ORDER BY o_orderpriority, rank""")
+  )
+
   private val antiJoin = Q(
     fn = (s, d) =>
       Tables
@@ -945,6 +979,7 @@ object EngineQueries extends QueryPack {
     "q3_join" -> q3,
     "q5_multi_join" -> q5,
     "q_window_topk" -> windowTopK,
+    "q_group_topk_agg" -> groupTopKAgg,
     "q_anti_join" -> antiJoin,
     "q_rollup" -> rollup,
     "q_semi_join" -> semiJoin,
