@@ -1,0 +1,93 @@
+package graft
+
+import org.apache.spark.sql.SparkSessionExtensions
+import org.apache.spark.sql.catalyst.FunctionIdentifier
+import org.apache.spark.sql.catalyst.analysis.FunctionRegistry.FunctionBuilder
+import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo, Literal}
+import org.apache.spark.sql.types.IntegerType
+
+import graft.functions.hashExpressions._
+import graft.functions.TopKByAgg
+
+/** SparkSessionExtensions entry point: registers graft's custom
+  * Catalyst expressions as SQL functions, so `spark.sql` users get the
+  * same codegen'd kernels the Column API uses:
+  *
+  * {{{
+  * spark.sql("SELECT simhash64(token_hashes(text)) FROM docs")
+  * spark.sql("SELECT g, topk_by(score, id, 5) FROM t GROUP BY g")
+  * }}}
+  *
+  * Activate with
+  * `.config("spark.sql.extensions", "graft.GraftExtensions")` — the
+  * standard mechanism a cluster admin enables once for every session
+  * (works with Spark Connect and plain submit alike; no code changes
+  * for SQL-only users).
+  */
+class GraftExtensions extends (SparkSessionExtensions => Unit) {
+
+  private def intLit(e: Expression, fn: String, arg: String): Int = e match {
+    case Literal(v: Int, IntegerType) => v
+    case other =>
+      throw new IllegalArgumentException(
+        s"$fn expects a literal INT $arg, got: $other"
+      )
+  }
+
+  private def info(name: String, usage: String): ExpressionInfo =
+    new ExpressionInfo(classOf[GraftExtensions].getName, null, name, usage, "")
+
+  private def fn(
+      name: String,
+      usage: String,
+      builder: Seq[Expression] => Expression
+  ): (FunctionIdentifier, ExpressionInfo, FunctionBuilder) =
+    (FunctionIdentifier(name), info(name, usage), builder)
+
+  override def apply(ext: SparkSessionExtensions): Unit = {
+    ext.injectFunction(
+      fn(
+        "token_hashes",
+        "token_hashes(text) - one XXH64 per whitespace token, hashed over UTF-8 bytes",
+        args => TokenHashes(args.head)
+      )
+    )
+    ext.injectFunction(
+      fn(
+        "shingle_hashes",
+        "shingle_hashes(token_hashes, n) - chained XXH64 of each n-token window",
+        args => ShingleHashes(args.head, intLit(args(1), "shingle_hashes", "n"))
+      )
+    )
+    ext.injectFunction(
+      fn(
+        "minhash_signature",
+        "minhash_signature(shingle_hashes, k) - k-seed MinHash signature",
+        args => MinHashSignature(args.head, intLit(args(1), "minhash_signature", "k"))
+      )
+    )
+    ext.injectFunction(
+      fn(
+        "simhash64",
+        "simhash64(token_hashes) - 64-bit SimHash from per-token hash votes",
+        args => SimHash64(args.head)
+      )
+    )
+    ext.injectFunction(
+      fn(
+        "dot_product",
+        "dot_product(a, b) - dot product of two float arrays",
+        args => DotProduct(args.head, args(1))
+      )
+    )
+    ext.injectFunction(
+      fn(
+        "topk_by",
+        "topk_by(metric, id, k) - aggregate: k largest (metric, id) per group, bounded-heap partials",
+        args =>
+          TopKByAgg(args.head, args(1), intLit(args(2), "topk_by", "k"))
+            .toAggregateExpression()
+      )
+    )
+  }
+}

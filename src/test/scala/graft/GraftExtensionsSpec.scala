@@ -1,0 +1,63 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.scalatest.funsuite.AnyFunSuite
+
+class GraftExtensionsSpec extends AnyFunSuite {
+
+  test("spark.sql sees the registered kernels and the topk_by aggregate") {
+    val base = SparkSpec.spark // ensures the shared SparkContext exists
+    SparkSession.clearActiveSession()
+    SparkSession.clearDefaultSession()
+    // new session over the SAME SparkContext, with extensions applied
+    val s = SparkSession
+      .builder()
+      .master("local[4]")
+      .withExtensions(new GraftExtensions)
+      .getOrCreate()
+    try {
+      assert(s ne base, "extensions need a fresh session to apply")
+      s.range(1).createOrReplaceTempView("one")
+      // kernels via SQL == kernels via the Column API
+      val viaSql = s
+        .sql("SELECT simhash64(token_hashes('a b c')) AS h, " +
+          "dot_product(array(CAST(1.0 AS FLOAT), CAST(2.0 AS FLOAT)), " +
+          "array(CAST(3.0 AS FLOAT), CAST(4.0 AS FLOAT))) AS d FROM one")
+        .collect()
+        .head
+      import org.apache.spark.sql.functions._
+      val viaCol = s
+        .sql("SELECT 1")
+        .select(
+          graft.functions.hashExpressions
+            .simhash64(graft.functions.hashExpressions.tokenHashes(lit("a b c")))
+            .as("h")
+        )
+        .collect()
+        .head
+      assert(viaSql.getLong(0) == viaCol.getLong(0))
+      assert(math.abs(viaSql.getDouble(1) - 11.0) < 1e-6)
+
+      // the aggregate registers with partial support intact
+      val rows = s
+        .sql(
+          "SELECT g, topk_by(CAST(m AS DOUBLE), CAST(id AS BIGINT), 2) AS t FROM VALUES " +
+            "('a', 1.0, 1), ('a', 3.0, 2), ('a', 2.0, 3), ('b', 5.0, 4) AS v(g, m, id) " +
+            "GROUP BY g ORDER BY g"
+        )
+        .collect()
+      val a = rows(0).getSeq[org.apache.spark.sql.Row](1)
+      assert(a.map(r => (r.getDouble(0), r.getLong(1))) == Seq((3.0, 2L), (2.0, 3L)))
+      assert(rows(1).getSeq[org.apache.spark.sql.Row](1).length == 1)
+
+      // literal-k misuse fails analysis with a clear message
+      val e = intercept[Exception](s.sql("SELECT topk_by(1.0, 1L, id) FROM one").collect())
+      assert(e.getMessage.contains("literal INT"))
+    } finally {
+      SparkSession.clearActiveSession()
+      SparkSession.clearDefaultSession()
+      SparkSession.setDefaultSession(base)
+      SparkSession.setActiveSession(base)
+    }
+  }
+}
