@@ -134,4 +134,54 @@ object Sampling {
       .mkString(" ")
     s"CASE $whens ELSE '${fractions.last._1}' END"
   }
+
+  /** Deterministic weighted sample WITHOUT replacement: the k rows per
+    * group with the largest Efraimidis–Spirakis keys
+    * u^(1/w) (Inf. Proc. Letters 97(5), 2006) — every row's inclusion
+    * probability is proportional to its weight, yet membership is a
+    * pure function of (id, salt), so the same rows are drawn on any
+    * cluster, any partitioning, any engine. The training-data mixture
+    * primitive: "k documents per source, weighted by length/quality".
+    *
+    * Mechanics: u = (md5-52-bit-uniform + 1) / 2^52 in (0, 1];
+    * rank key = round6(ln(u)/w) (monotone in u^(1/w); round6 keeps the
+    * boundary engine-exact — ties resolve by id). Selection runs
+    * through [[graft.functions.TopKByAgg]], so each map task reduces
+    * its slice of a group to <= k candidates BEFORE the exchange —
+    * O(partitions*k) shuffle rows per group, no corpus sort.
+    *
+    * Rows with NULL id or weight <= 0 (or NULL) are excluded.
+    * Output: group columns, `rank` (1 = strongest), the id column,
+    * `sample_key`.
+    */
+  def weightedSamplePerGroup(
+      df: DataFrame,
+      groupCols: Seq[String],
+      idCol: String,
+      weight: Column,
+      k: Int,
+      salt: String = "graft"
+  ): DataFrame = {
+    require(groupCols.nonEmpty, "at least one group column required")
+    require(k > 0, s"k must be positive, got $k")
+    val u = (conv(
+      substring(md5(concat(col(idCol).cast("string"), lit(s":$salt"))), 1, 13),
+      16,
+      10
+    ).cast("long") + 1) / lit(4503599627370496.0) // 2^52
+    val key = graft.functions.round6(log(u) / weight)
+    df.where(weight > 0)
+      .groupBy(groupCols.map(col): _*)
+      .agg(graft.functions.topkAggregate.topKBy(key, col(idCol), k).as("_top"))
+      .select(
+        groupCols.map(col) :+ posexplode(col("_top")).as(Seq("_pos", "_e")): _*
+      )
+      .select(
+        groupCols.map(col) ++ Seq(
+          (col("_pos") + 1).as("rank"),
+          col("_e.id").as(idCol),
+          col("_e.metric").as("sample_key")
+        ): _*
+      )
+  }
 }

@@ -629,6 +629,48 @@ object EngineQueries extends QueryPack {
     )
   }
 
+  // Weighted sample-without-replacement (Efraimidis–Spirakis keys over
+  // md5 uniforms), k docs per source weighted by length. The DuckDB
+  // mirror decodes the 13 hex chars with a CASE chain (no hex->int
+  // builtin), then ranks the identical round6(ln(u)/w) key — ln parity
+  // Java vs duckdb probed bit-exact over the md5-uniform range.
+  private val weightedSampleQ = {
+    def hexDigit(e: String): String =
+      "(CASE " + "0123456789abcdef"
+        .map(c => s"WHEN $e = '$c' THEN ${Integer.parseInt(c.toString, 16)}")
+        .mkString(" ") + " END)"
+    val digits = (0 until 13)
+      .map(i => s"CAST(${hexDigit(s"substr(h, ${i + 1}, 1)")} AS BIGINT) * ${1L << (4 * (12 - i))}")
+      .mkString(" + ")
+    Q(
+      fn = (s, d) =>
+        graft.operators.Sampling
+          .weightedSamplePerGroup(
+            Tables.documents(s, d),
+            Seq("source"),
+            "doc_id",
+            greatest(col("n_chars"), lit(1)).cast("double"),
+            k = 5,
+            salt = "wsample"
+          )
+          .orderBy("source", "rank"),
+      oracle = Some(s"""
+        WITH d AS (SELECT doc_id, source,
+                     CAST(greatest(n_chars, 1) AS DOUBLE) AS w,
+                     md5(CAST(doc_id AS VARCHAR) || ':wsample') AS h
+                   FROM documents),
+        u AS (SELECT doc_id, source,
+                round(ln((($digits) + 1) / 4503599627370496.0) / w, 6) AS sample_key
+              FROM d),
+        r AS (SELECT source, doc_id, sample_key,
+                ROW_NUMBER() OVER (PARTITION BY source
+                  ORDER BY sample_key DESC, doc_id) AS rank
+              FROM u)
+        SELECT source, rank, doc_id, sample_key FROM r
+        WHERE rank <= 5 ORDER BY source, rank""")
+    )
+  }
+
   private val sessionize = Q(
     fn = (s, d) => {
       val byUser = Window.partitionBy(col("user_id")).orderBy(col("ts"))
@@ -973,6 +1015,7 @@ object EngineQueries extends QueryPack {
     "q_range_join" -> rangeQ,
     "q_hash_split" -> splitQ,
     "q_stratified_sample" -> stratifiedQ,
+    "q_weighted_sample" -> weightedSampleQ,
     "q_pivot" -> pivotQ,
     "q_cube" -> cubeQ,
     "q_unpivot" -> unpivotQ,

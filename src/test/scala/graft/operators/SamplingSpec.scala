@@ -69,4 +69,67 @@ class SamplingSpec extends SparkSpec {
     assert(Sampling.thresholdHex(1.0) == "g")
     assert(Sampling.deterministicSample(rows, "id", 1.0).count() == 2000)
   }
+
+  /** The exact Efraimidis–Spirakis key the operator computes, redone
+    * independently in plain JVM code (MessageDigest + math.log).
+    */
+  private def esKey(id: Long, salt: String, w: Double): Double = {
+    val md = java.security.MessageDigest.getInstance("MD5")
+    val hex = md
+      .digest(s"$id:$salt".getBytes("UTF-8"))
+      .map("%02x".format(_))
+      .mkString
+    val u = (java.lang.Long.parseLong(hex.substring(0, 13), 16) + 1).toDouble / 4503599627370496.0
+    math.round(math.log(u) / w * 1e6) / 1e6
+  }
+
+  test("weightedSamplePerGroup matches an independent JVM recomputation exactly") {
+    val data = (0 until 40).flatMap { g =>
+      (0L until 30L).map(i => (s"g$g", g * 100L + i, 1.0 + (i % 7)))
+    }
+    val df = data.toDF("g", "id", "w").repartition(11)
+    val got = Sampling
+      .weightedSamplePerGroup(df, Seq("g"), "id", col("w"), k = 4, salt = "s1")
+      .select("g", "rank", "id")
+      .as[(String, Int, Long)]
+      .collect()
+      .toSet
+    val want = data
+      .groupBy(_._1)
+      .flatMap { case (g, rs) =>
+        rs.map { case (_, id, w) => (id, esKey(id, "s1", w)) }
+          .sortBy { case (id, key) => (-key, id) }
+          .take(4)
+          .zipWithIndex
+          .map { case ((id, _), i) => (g, i + 1, id) }
+      }
+      .toSet
+    assert(got == want)
+  }
+
+  test("weightedSamplePerGroup favors heavy weights and is partition-invariant") {
+    // planted: per group, item 0 carries 1000x the weight of items 1..19
+    val data = (0 until 100).flatMap { g =>
+      (0L until 20L).map(i => (s"g$g", g * 1000L + i, if (i == 0) 1000.0 else 1.0))
+    }
+    val df = data.toDF("g", "id", "w")
+    def run(parts: Int): Set[(String, Long)] = Sampling
+      .weightedSamplePerGroup(df.repartition(parts), Seq("g"), "id", col("w"), k = 3)
+      .select("g", "id")
+      .as[(String, Long)]
+      .collect()
+      .toSet
+    val a = run(3)
+    assert(run(17) == a, "membership must not depend on partitioning")
+    val heavyHit = (0 until 100).count(g => a.contains((s"g$g", g * 1000L)))
+    assert(heavyHit >= 95, s"1000x-weight item picked in only $heavyHit/100 groups")
+    // zero/negative/null weights are excluded outright
+    val withBad = data ++ Seq(("g0", 999999L, 0.0), ("g1", 999998L, -5.0))
+    val b = Sampling
+      .weightedSamplePerGroup(withBad.toDF("g", "id", "w"), Seq("g"), "id", col("w"), k = 3)
+      .select("id")
+      .as[Long]
+      .collect()
+    assert(!b.contains(999999L) && !b.contains(999998L))
+  }
 }
