@@ -671,6 +671,51 @@ object EngineQueries extends QueryPack {
     )
   }
 
+  // Z-order layout: per-slice min/max of every clustered dimension —
+  // exactly the statistics a scan uses for file skipping. The oracle
+  // recomputes the full interleave in SQL with the same double-exact
+  // affine bucketing, proving key portability row-for-row.
+  private val zorderQ = {
+    val bits = 8
+    def sqlBucket(x: String, mn: String, mx: String): String =
+      s"CAST(floor((CAST($x - $mn AS DOUBLE) * ${1L << bits}) / CAST($mx - $mn + 1 AS DOUBLE)) AS BIGINT)"
+    val sqlInterleave = (0 until bits)
+      .flatMap { j =>
+        Seq(
+          s"((sx >> $j) & 1) * ${1L << (j * 2)}",
+          s"((sy >> $j) & 1) * ${1L << (j * 2 + 1)}"
+        )
+      }
+      .mkString(" + ")
+    Q(
+      fn = (s, d) =>
+        graft.operators.Layout
+          .zorderKeyed(Tables.lineitem(s, d), Seq("l_partkey", "l_suppkey"), bits)
+          .groupBy(shiftright(col("zkey"), bits).as("z_slice"))
+          .agg(
+            count(lit(1)).as("n_rows"),
+            min(col("l_partkey")).as("min_part"),
+            max(col("l_partkey")).as("max_part"),
+            min(col("l_suppkey")).as("min_supp"),
+            max(col("l_suppkey")).as("max_supp")
+          )
+          .orderBy("z_slice"),
+      oracle = Some(s"""
+        WITH b AS (SELECT min(l_partkey) AS mnx, max(l_partkey) AS mxx,
+                          min(l_suppkey) AS mny, max(l_suppkey) AS mxy
+                   FROM lineitem),
+        k AS (SELECT l_partkey, l_suppkey,
+                ${sqlBucket("l_partkey", "mnx", "mxx")} AS sx,
+                ${sqlBucket("l_suppkey", "mny", "mxy")} AS sy
+              FROM lineitem, b),
+        z AS (SELECT l_partkey, l_suppkey, ($sqlInterleave) AS zkey FROM k)
+        SELECT (zkey >> $bits) AS z_slice, COUNT(*) AS n_rows,
+          min(l_partkey) AS min_part, max(l_partkey) AS max_part,
+          min(l_suppkey) AS min_supp, max(l_suppkey) AS max_supp
+        FROM z GROUP BY 1 ORDER BY z_slice""")
+    )
+  }
+
   private val sessionize = Q(
     fn = (s, d) => {
       val byUser = Window.partitionBy(col("user_id")).orderBy(col("ts"))
@@ -1016,6 +1061,7 @@ object EngineQueries extends QueryPack {
     "q_hash_split" -> splitQ,
     "q_stratified_sample" -> stratifiedQ,
     "q_weighted_sample" -> weightedSampleQ,
+    "q_zorder_stats" -> zorderQ,
     "q_pivot" -> pivotQ,
     "q_cube" -> cubeQ,
     "q_unpivot" -> unpivotQ,
