@@ -63,6 +63,28 @@ object PipelineQuickstart {
     Similarity.quantizedTopK(emb.limit(2), emb, "vec_id", "embedding", k = 3)
       .show(truncate = false)
 
+    // E: mixture sampling — k docs per source, weighted by length
+    // (deterministic: rerunning reproduces the same sample), and a
+    // Z-ordered layout so the written files prune on (source-hash,
+    // length) filters alike
+    Sampling
+      .weightedSamplePerGroup(
+        split.where(col("split") === "train"),
+        Seq("source"),
+        "doc_id",
+        greatest(col("n_chars"), lit(1)).cast("double"),
+        k = 2
+      )
+      .orderBy("source", "rank")
+      .show(6, truncate = false)
+    val laidOut = graft.operators.Layout.clusterByZOrder(
+      split.withColumn("_src_bucket", pmod(xxhash64(col("source")), lit(64L))),
+      Seq("_src_bucket", "n_chars"),
+      bits = 6,
+      numPartitions = 4
+    )
+    println(s"z-ordered layout partitions: ${laidOut.rdd.getNumPartitions}")
+
     spark.stop()
   }
 }
