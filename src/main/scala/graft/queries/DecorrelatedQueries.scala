@@ -318,6 +318,43 @@ object DecorrelatedQueries extends QueryPack {
       ORDER BY user_id""")
   )
 
+  // CDC companion to keep-latest: SCD2 validity intervals. Each change
+  // event becomes a versioned row [valid_from, valid_to) with the open
+  // interval flagged current — temporal-table construction from a
+  // change log in ONE keyed window (shuffle on user, sort within), no
+  // self-join. At 100 TB this is the minimal-cost shape: the same
+  // partitioning serves both the lead() and any as-of lookup built on
+  // the result.
+  private val scd2Q = Q(
+    fn = (s, d) => {
+      val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+      Tables
+        .events(s, d)
+        .select(col("user_id"), col("event_id"), col("ts"), col("event_type"), col("value"))
+        .withColumn("valid_from", col("ts"))
+        .withColumn("valid_to", lead(col("ts"), 1).over(w))
+        .withColumn("is_current", col("valid_to").isNull)
+        .select(
+          col("user_id"),
+          col("event_id"),
+          col("valid_from"),
+          col("valid_to"),
+          col("is_current"),
+          col("event_type"),
+          col("value")
+        )
+        .orderBy("user_id", "valid_from", "event_id")
+    },
+    oracle = Some("""
+      SELECT user_id, event_id, ts AS valid_from,
+        lead(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS valid_to,
+        (lead(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL)
+          AS is_current,
+        event_type, value
+      FROM events
+      ORDER BY user_id, valid_from, event_id""")
+  )
+
   // ---- derived part-supplier relation --------------------------------
   // The synthetic schema has no partsupp table; Q2/Q11/Q16/Q20 run over
   // the relation derived from lineitem: one row per (partkey, suppkey)
@@ -561,6 +598,7 @@ object DecorrelatedQueries extends QueryPack {
     "q20_excess_stock" -> q20,
     "q21_late_suppliers" -> q21,
     "q22_idle_customers" -> q22,
-    "q_dedup_latest" -> latestQ
+    "q_dedup_latest" -> latestQ,
+    "q_scd2_intervals" -> scd2Q
   )
 }
