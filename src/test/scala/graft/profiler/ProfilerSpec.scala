@@ -117,6 +117,42 @@ class ProfilerSpec extends SparkSpec {
     assert(!optimized.contains("join"))
   }
 
+  test("sketch builder: the quantile triple shares ONE sketch per column") {
+    val prof = Profiler.profile(sample, "ts", ProfilingBuilder.sketch)
+    // three ApproxQuantile metrics materialize per numeric column...
+    val names = prof.select("name").distinct().as[String].collect().toSet
+    assert(
+      Set("ApproxQuantile-0.25", "ApproxQuantile-0.5", "ApproxQuantile-0.75")
+        .subsetOf(names),
+      names.toString
+    )
+    // ...but the plan carries one percentile_approx aggregate per
+    // column: PhysicalAggregation dedupes the structurally-identical
+    // array-percentile calls the shared analyzers emit
+    val numericCols = 1 // `sample` has a single numeric data column
+    val plan = prof.queryExecution.executedPlan.toString
+    val occurrences = "percentile_approx".r.findAllIn(plan).size
+    // each aggregate appears twice in the plan string (partial + final)
+    assert(
+      occurrences <= 2 * numericCols,
+      s"expected one shared sketch per column, plan has $occurrences mentions:\n$plan"
+    )
+    // values agree with the independent single-q analyzer
+    val single = Profiler.profile(
+      sample,
+      "ts",
+      new ProfilingBuilder(
+        Seq(TypeMapping(_.isInstanceOf[org.apache.spark.sql.types.NumericType],
+          Seq(Analyzers.ApproxQuantile(0.5)))),
+        datasetAnalyzers = Seq()
+      )
+    )
+    val a = prof.where($"name" === "ApproxQuantile-0.5").select("ts", "value")
+      .as[(java.sql.Timestamp, Double)].collect().toMap
+    val b = single.select("ts", "value").as[(java.sql.Timestamp, Double)].collect().toMap
+    assert(a == b)
+  }
+
   test("hour granularity buckets by hour") {
     val out = Profiler.profile(sample, "ts", ProfilingBuilder.simple, Granularity.Hour)
     val sizes = out
