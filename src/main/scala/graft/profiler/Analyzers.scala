@@ -66,11 +66,36 @@ object Analyzers {
 
   /** Exact interpolated percentile (correctness path; oracle-parity
     * with ANSI `percentile_cont`). For 100 TB prefer [[ApproxQuantile]].
+    * For several quantiles of one column use [[Quantiles]] — one
+    * shared sorted-counts aggregate instead of one per quantile.
     */
   case class Quantile(q: Double) extends ColumnAnalyzer {
     val name = s"Quantile-$q"
     def expr(c: String): Column =
       percentile(col(c), lit(q)).cast(DoubleType)
+  }
+
+  /** A set of exact percentiles served by ONE shared aggregate — the
+    * same PhysicalAggregation dedup as [[ApproxQuantiles]], applied to
+    * the exact `percentile` (its sorted value-counts state is built
+    * once per column instead of once per quantile). Values are
+    * IDENTICAL to independent [[Quantile]] analyzers, so oracle-gated
+    * outputs do not move.
+    */
+  object Quantiles {
+    def apply(qs: Seq[Double]): Seq[ColumnAnalyzer] = {
+      require(qs.nonEmpty, "at least one quantile required")
+      qs.map(q => QuantileShared(q, qs))
+    }
+  }
+
+  /** One quantile of a shared exact-percentile set — see [[Quantiles]]. */
+  case class QuantileShared(q: Double, all: Seq[Double]) extends ColumnAnalyzer {
+    require(all.contains(q), s"quantile $q missing from the shared set $all")
+    val name = s"Quantile-$q"
+    def expr(c: String): Column =
+      element_at(percentile(col(c), array(all.map(lit): _*)), all.indexOf(q) + 1)
+        .cast(DoubleType)
   }
 
   /** Approximate percentile (t-digest-style sketch, partial-aggregatable

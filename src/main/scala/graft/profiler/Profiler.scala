@@ -50,7 +50,7 @@ object ProfilingBuilder {
     typeMappings = Seq(
       TypeMapping(
         _.isInstanceOf[NumericType],
-        Seq(Mean, StandardDeviation, Quantile(0.25), Quantile(0.5), Quantile(0.75))
+        Seq(Mean, StandardDeviation) ++ Quantiles(Seq(0.25, 0.5, 0.75))
       ),
       TypeMapping(_ => true, Seq(Completeness)),
       TypeMapping(_.isInstanceOf[StringType], Seq(CountDistinct))
@@ -88,11 +88,8 @@ object ProfilingBuilder {
           Max,
           Sum,
           Skewness,
-          Kurtosis,
-          Quantile(0.25),
-          Quantile(0.5),
-          Quantile(0.75)
-        )
+          Kurtosis
+        ) ++ Quantiles(Seq(0.25, 0.5, 0.75))
       ),
       TypeMapping(_ => true, Seq(Completeness)),
       TypeMapping(_.isInstanceOf[StringType], Seq(CountDistinct, Distinctness))

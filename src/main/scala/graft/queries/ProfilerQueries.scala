@@ -146,7 +146,7 @@ object ProfilerQueries extends QueryPack {
           Tables.events(s, d),
           "ts",
           builderOf(
-            a => Seq(a.Quantile(0.25), a.Quantile(0.5), a.Quantile(0.75)),
+            a => a.Quantiles(Seq(0.25, 0.5, 0.75)),
             numeric = true
           )
         )
