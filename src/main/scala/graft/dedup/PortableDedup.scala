@@ -36,26 +36,21 @@ object PortableDedup {
     * produce no rows (mirrors [[Dedup.minhashLshPairs]]'s empty-shingle
     * filter).
     *
-    * Shape note: shingles are rebuilt with `lead` over a posexploded
-    * token stream rather than `explode(positions)` + `slice(toks, i,
-    * n)` — the latter copies the WHOLE token array into every exploded
-    * row's unsafe buffer (O(tokens^2) bytes per document), which
-    * dominated the scan at bench scale. The window shuffles one small
-    * (id, pos, token) row per token instead.
+    * Shape note: shingles build SHUFFLE-FREE inside the scan — tokens
+    * are projected once as an attribute (see Text.wordShingles scaladoc
+    * for the interpreted-HOF re-eval trap) and a transform slices each
+    * n-token window, O(tokens*n) work per document. Earlier shapes
+    * paid either a full token-stream window shuffle (lead over
+    * posexplode) or O(tokens^2) buffer copies (slice AFTER explode);
+    * this pays neither.
     */
   def shingleRows(df: DataFrame, textCol: String, idCol: String, n: Int): DataFrame = {
     require(n > 0, s"shingle size must be positive, got $n")
-    val w = org.apache.spark.sql.expressions.Window.partitionBy("id").orderBy("pos")
-    val parts = col("tok") +: (1 until n).map(j => lead(col("tok"), j).over(w))
-    df.select(
-        col(idCol).as("id"),
-        posexplode(split(col(textCol), " ")).as(Seq("pos", "tok"))
+    df.select(col(idCol).as("id"), graft.text.Text.tokens(col(textCol)).as("_toks"))
+      .select(
+        col("id"),
+        explode(graft.text.Text.wordShinglesFromTokens(col("_toks"), n)).as("shingle")
       )
-      // the last n-1 positions have no full window; empty-string tokens
-      // are NOT null, so lead-null exactly marks the document tail
-      .select(col("id"), concat_ws(" ", parts: _*).as("shingle"), parts.last.as("_tail"))
-      .where(col("_tail").isNotNull)
-      .select(col("id"), col("shingle"))
   }
 
   /** Wide signature table `(id, _s0 .. _s{numHashes-1})` — one
