@@ -22,51 +22,19 @@ object Explain {
       val selected =
         if (names.isEmpty) SparkEntry.queries.toSeq.sortBy(_._1)
         else names.map(n => n -> SparkEntry.queries(n))
-      import org.apache.spark.sql.execution.SparkPlan
-      import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec
-      import org.apache.spark.sql.execution.joins.{BroadcastNestedLoopJoinExec, CartesianProductExec}
-      import org.apache.spark.sql.execution.aggregate.BaseAggregateExec
-      import org.apache.spark.sql.execution.{GlobalLimitExec, LocalLimitExec}
-      // A nested-loop/cartesian join is tolerable ONLY when one side is
-      // provably bounded — a global (group-less) aggregate or an
-      // explicit limit somewhere below it. That is a scalar subquery in
-      // join clothing: O(N) work, no shuffle, the same as a
-      // ScalarSubquery node. The check is STRUCTURAL, not a name
-      // allowlist — if a formerly-bounded query regresses to
-      // broadcasting an unbounded side, it fails the sweep.
-      def bounded(p: SparkPlan): Boolean = p.collectFirst {
-        case a: BaseAggregateExec if a.groupingExpressions.isEmpty => ()
-        case _: GlobalLimitExec => ()
-        case _: LocalLimitExec => ()
-      }.isDefined
-      // Brute-force ANN is deliberately query-set x corpus: the
-      // broadcast side's boundedness is the OPERATOR's contract (the
-      // caller passes a small query set — here a filter on 5 ids the
-      // structural check can't prove bounded). Only these two carry a
-      // contract-level exemption; everything else must prove it in
-      // the plan.
-      val contractBounded = Set("ann_bruteforce_topk", "ann_quantized_topk")
+      // audit logic lives in PlanAudit (shared with PlanAuditSpec, which
+      // enforces the same sweep on every sbt test)
       selected.foreach { case (name, fn) =>
         try {
-          val rootPlan = fn(spark, sfDir).queryExecution.executedPlan
-          val physical = rootPlan match {
-            case a: AdaptiveSparkPlanExec => a.executedPlan
-            case p => p
-          }
-          val nlJoins = physical.collect {
-            case b: BroadcastNestedLoopJoinExec => ("BroadcastNestedLoopJoin", b.left, b.right)
-            case cj: CartesianProductExec => ("CartesianProduct", cj.left, cj.right)
-          }
-          val unboundedHits =
-            nlJoins.filterNot { case (_, l, r) => bounded(l) || bounded(r) }
+          val df = fn(spark, sfDir)
+          val nlJoins = PlanAudit.nestedLoopJoins(df)
+          val unboundedKinds = PlanAudit.unboundedJoins(df)
           if (names.nonEmpty) {
             println(s"==== $name ====")
-            println(physical.toString)
+            println(df.queryExecution.executedPlan.toString)
           }
-          if (unboundedHits.nonEmpty && !contractBounded(name))
-            println(
-              s"[antipattern] $name: ${unboundedHits.map(_._1).distinct.mkString(", ")}"
-            )
+          if (unboundedKinds.nonEmpty && !PlanAudit.contractBounded(name))
+            println(s"[antipattern] $name: ${unboundedKinds.distinct.mkString(", ")}")
           else if (nlJoins.nonEmpty)
             println(s"[bounded-bnl] $name: ${nlJoins.size} nested-loop join(s), bounded by plan structure or operator contract")
           else if (names.isEmpty) println(s"[ok] $name")

@@ -1,0 +1,60 @@
+package graft
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.execution.SparkPlan
+import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec
+import org.apache.spark.sql.execution.aggregate.BaseAggregateExec
+import org.apache.spark.sql.execution.joins.{BroadcastNestedLoopJoinExec, CartesianProductExec}
+import org.apache.spark.sql.execution.{GlobalLimitExec, LocalLimitExec}
+
+/** Structural scale-anti-pattern audit over physical plans — the core
+  * shared by the [[Explain]] CLI sweep and the test-suite invariant
+  * (PlanAuditSpec), so "no unbounded nested-loop/cartesian join in any
+  * registered query" is enforced on every `sbt test`, not just when
+  * someone remembers to run the tool.
+  */
+object PlanAudit {
+
+  /** Kind + both children of every nested-loop-family join in the plan. */
+  def nestedLoopJoins(df: DataFrame): Seq[(String, SparkPlan, SparkPlan)] = {
+    val rootPlan = df.queryExecution.executedPlan
+    val physical = rootPlan match {
+      case a: AdaptiveSparkPlanExec => a.executedPlan
+      case p => p
+    }
+    physical.collect {
+      case b: BroadcastNestedLoopJoinExec => ("BroadcastNestedLoopJoin", b.left, b.right)
+      case cj: CartesianProductExec => ("CartesianProduct", cj.left, cj.right)
+    }
+  }
+
+  /** A nested-loop/cartesian join is tolerable ONLY when one side is
+    * provably bounded — a global (group-less) aggregate or an explicit
+    * limit somewhere below it. That is a scalar subquery in join
+    * clothing: O(N) work, no shuffle, the same as a ScalarSubquery
+    * node. The check is STRUCTURAL, not a name allowlist — if a
+    * formerly-bounded query regresses to broadcasting an unbounded
+    * side, it fails the sweep.
+    */
+  def bounded(p: SparkPlan): Boolean = p.collectFirst {
+    case a: BaseAggregateExec if a.groupingExpressions.isEmpty => ()
+    case _: GlobalLimitExec => ()
+    case _: LocalLimitExec => ()
+  }.isDefined
+
+  /** Brute-force ANN is deliberately query-set x corpus: the broadcast
+    * side's boundedness is the OPERATOR's contract (the caller passes a
+    * small query set — a filter on a handful of ids the structural
+    * check can't prove bounded). Only these carry a contract-level
+    * exemption; everything else must prove boundedness in the plan.
+    */
+  val contractBounded: Set[String] = Set("ann_bruteforce_topk", "ann_quantized_topk")
+
+  /** Names of nested-loop joins in `df` whose boundedness neither side
+    * proves (empty = the plan passes the audit).
+    */
+  def unboundedJoins(df: DataFrame): Seq[String] =
+    nestedLoopJoins(df).collect {
+      case (kind, l, r) if !bounded(l) && !bounded(r) => kind
+    }
+}
