@@ -81,6 +81,40 @@ class TopKAggregateSpec extends SparkSpec {
     assert(!plan.contains("Window"), "must not fall back to a window")
   }
 
+  test("works under Structured Streaming: per-group top-k across micro-batches") {
+    implicit val sqlCtx = spark.sqlContext
+    val input = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[(String, Long, Double)]
+    val agg = input
+      .toDF()
+      .toDF("g", "id", "m")
+      .groupBy("g")
+      .agg(topkAggregate.topKBy(col("m"), col("id"), 2).as("t"))
+    val query = agg.writeStream
+      .format("memory")
+      .queryName("stream_topk")
+      .outputMode("complete")
+      .start()
+    try {
+      input.addData(("a", 1L, 1.0), ("a", 2L, 5.0))
+      query.processAllAvailable()
+      // a later batch introduces a stronger entry: state must merge,
+      // evicting the weakest of the kept pair
+      input.addData(("a", 3L, 9.0), ("b", 4L, 2.0))
+      query.processAllAvailable()
+      val out = spark
+        .table("stream_topk")
+        .select(col("g"), col("t"))
+        .collect()
+        .map(r =>
+          r.getString(0) ->
+            r.getSeq[org.apache.spark.sql.Row](1).map(e => (e.getDouble(0), e.getLong(1)))
+        )
+        .toMap
+      assert(out("a") == Seq((9.0, 3L), (5.0, 2L)))
+      assert(out("b") == Seq((2.0, 4L)))
+    } finally query.stop()
+  }
+
   test("buffer round-trips through serialization") {
     val b = new TopKBuffer(3)
     Seq((1.0, 10L), (5.0, 2L), (3.0, 7L), (4.0, 1L), (5.0, 1L)).foreach { case (m, i) =>
