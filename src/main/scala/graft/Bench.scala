@@ -49,7 +49,11 @@ object Bench {
       // r5 representatives: decorrelation, span dedup (both hash
       // families), distribution drift
       "q17_small_qty_revenue", "q21_late_suppliers", "dedup_span_exact",
-      "dedup_span_exact_xxh64", "profile_psi_drift"
+      "dedup_span_exact_xxh64", "profile_psi_drift",
+      // r5 additions: partsupp-family TPC-H, heap top-k vs window twin,
+      // weighted mixture sampling, multi-dim layout
+      "q2_min_cost_supplier", "q_group_topk_agg", "q_weighted_sample",
+      "q_zorder_stats"
     )
     val byName = results.map { case (k, v, _) => k -> v }.toMap
     val qs = headline.flatMap(k => byName.get(k).map(v => s"\"" + k + "\":" + ms(v)))
