@@ -40,15 +40,25 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
   private def fn(
       name: String,
       usage: String,
+      arity: Int,
       builder: Seq[Expression] => Expression
-  ): (FunctionIdentifier, ExpressionInfo, FunctionBuilder) =
-    (FunctionIdentifier(name), info(name, usage), builder)
+  ): (FunctionIdentifier, ExpressionInfo, FunctionBuilder) = {
+    val checked: FunctionBuilder = args => {
+      if (args.size != arity)
+        throw new IllegalArgumentException(
+          s"$name expects $arity argument(s), got ${args.size} — usage: $usage"
+        )
+      builder(args)
+    }
+    (FunctionIdentifier(name), info(name, usage), checked)
+  }
 
   override def apply(ext: SparkSessionExtensions): Unit = {
     ext.injectFunction(
       fn(
         "token_hashes",
         "token_hashes(text) - one XXH64 per whitespace token, hashed over UTF-8 bytes",
+        1,
         args => TokenHashes(args.head)
       )
     )
@@ -56,6 +66,7 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       fn(
         "shingle_hashes",
         "shingle_hashes(token_hashes, n) - chained XXH64 of each n-token window",
+        2,
         args => ShingleHashes(args.head, intLit(args(1), "shingle_hashes", "n"))
       )
     )
@@ -63,6 +74,7 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       fn(
         "minhash_signature",
         "minhash_signature(shingle_hashes, k) - k-seed MinHash signature",
+        2,
         args => MinHashSignature(args.head, intLit(args(1), "minhash_signature", "k"))
       )
     )
@@ -70,6 +82,7 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       fn(
         "simhash64",
         "simhash64(token_hashes) - 64-bit SimHash from per-token hash votes",
+        1,
         args => SimHash64(args.head)
       )
     )
@@ -77,6 +90,7 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       fn(
         "dot_product",
         "dot_product(a, b) - dot product of two float arrays",
+        2,
         args => DotProduct(args.head, args(1))
       )
     )
@@ -84,6 +98,7 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       fn(
         "topk_by",
         "topk_by(metric, id, k) - aggregate: k largest (metric, id) per group, bounded-heap partials",
+        3,
         args =>
           TopKByAgg(args.head, args(1), intLit(args(2), "topk_by", "k"))
             .toAggregateExpression()

@@ -14,8 +14,12 @@ object TimeQuery {
     val sfDir = args(0)
     val names = args.drop(1).toSeq
     val spark = LocalSession.create("ERROR")
-    spark.range(1000000).selectExpr("sum(id)").count()
-    SparkEntry.queries("text_quality")(spark, sfDir).count()
+    // guarded like Bench's warmup: a data dir without the documents
+    // table must not kill the tool before any timing runs
+    try {
+      spark.range(1000000).selectExpr("sum(id)").count()
+      SparkEntry.queries("text_quality")(spark, sfDir).count()
+    } catch { case _: Throwable => () }
     names.foreach { n =>
       val fn = SparkEntry.queries(n)
       fn(spark, sfDir).count() // warm the exact query path once

@@ -50,12 +50,18 @@ object Layout {
   /** Add a `zkey` column interleaving `cols` (integral columns) at
     * `bits` bits per dimension. Global per-column min/max ride a 1-row
     * broadcast; rows where any clustered column is NULL get a NULL key
-    * (sorted last by clusterBy).
+    * (clusterByZOrder sorts them into the LAST slice via nulls-last).
     */
   def zorderKeyed(df: DataFrame, cols: Seq[String], bits: Int = 8): DataFrame = {
     require(cols.size >= 2, s"z-order needs >= 2 columns, got ${cols.size}")
     require(bits >= 1 && bits <= 16, s"bits must be in [1,16], got $bits")
     require(cols.size * bits <= 62, s"total key width ${cols.size * bits} exceeds 62 bits")
+    val reserved = "zkey" +: cols.indices.flatMap(i => Seq(s"_mn$i", s"_mx$i"))
+    val clash = df.columns.toSeq.intersect(reserved)
+    require(
+      clash.isEmpty,
+      s"columns $clash collide with z-order scratch/output names — rename upstream"
+    )
     val aggs = cols.zipWithIndex.flatMap { case (c, i) =>
       Seq(min(col(c)).as(s"_mn$i"), max(col(c)).as(s"_mx$i"))
     }
@@ -80,6 +86,6 @@ object Layout {
       numPartitions: Int = 200
   ): DataFrame =
     zorderKeyed(df, cols, bits)
-      .repartitionByRange(numPartitions, col("zkey"))
-      .sortWithinPartitions("zkey")
+      .repartitionByRange(numPartitions, col("zkey").asc_nulls_last)
+      .sortWithinPartitions(col("zkey").asc_nulls_last)
 }

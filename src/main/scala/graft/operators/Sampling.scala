@@ -150,7 +150,12 @@ object Sampling {
     * its slice of a group to <= k candidates BEFORE the exchange —
     * O(partitions*k) shuffle rows per group, no corpus sort.
     *
-    * Rows with NULL id or weight <= 0 (or NULL) are excluded.
+    * Rows with NULL id or weight <= 0 (NULL or NaN) are excluded.
+    * `idCol` must be a ROW KEY (unique per row): the ES key is a pure
+    * function of (id, salt, weight), so duplicate ids carry correlated
+    * keys and could occupy several top-k slots — without-replacement
+    * semantics hold per distinct id, as with every id-hash-membership
+    * operator in this file.
     * Output: group columns, `rank` (1 = strongest), the id column,
     * `sample_key`.
     */
@@ -170,7 +175,9 @@ object Sampling {
       10
     ).cast("long") + 1) / lit(4503599627370496.0) // 2^52
     val key = graft.functions.round6(log(u) / weight)
-    df.where(weight > 0)
+    // NaN > 0 is true under Spark's NaN-greatest ordering and a NaN
+    // rank key would sort above every finite key — exclude explicitly
+    df.where(weight > 0 && !isnan(weight))
       .groupBy(groupCols.map(col): _*)
       .agg(graft.functions.topkAggregate.topKBy(key, col(idCol), k).as("_top"))
       .select(

@@ -237,15 +237,7 @@ object Text {
     )
     val toks = col("_toks")
     def gramStrs(n: Int): Column =
-      if (n == 1) toks
-      else
-        when(
-          size(toks) >= n,
-          transform(
-            sequence(lit(0), size(toks) - n),
-            i => concat_ws(" ", slice(toks, i + 1, lit(n)))
-          )
-        ).otherwise(array().cast("array<string>"))
+      if (n == 1) toks else wordShinglesFromTokens(toks, n)
     // second transform binds the gram to a lambda VARIABLE, so hash and
     // length each read an already-computed value instead of rebuilding
     // the shingle string per struct field

@@ -53,6 +53,13 @@ class GraftExtensionsSpec extends AnyFunSuite {
       // literal-k misuse fails analysis with a clear message
       val e = intercept[Exception](s.sql("SELECT topk_by(1.0, 1L, id) FROM one").collect())
       assert(e.getMessage.contains("literal INT"))
+
+      // wrong arity names the function and its usage, not a raw
+      // head-of-empty-list crash
+      val e2 = intercept[Exception](s.sql("SELECT token_hashes()").collect())
+      assert(e2.getMessage.contains("token_hashes expects 1 argument"), e2.getMessage)
+      val e3 = intercept[Exception](s.sql("SELECT shingle_hashes('a b')").collect())
+      assert(e3.getMessage.contains("shingle_hashes expects 2 argument"), e3.getMessage)
     } finally {
       SparkSession.clearActiveSession()
       SparkSession.clearDefaultSession()

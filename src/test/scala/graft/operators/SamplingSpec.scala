@@ -123,13 +123,16 @@ class SamplingSpec extends SparkSpec {
     assert(run(17) == a, "membership must not depend on partitioning")
     val heavyHit = (0 until 100).count(g => a.contains((s"g$g", g * 1000L)))
     assert(heavyHit >= 95, s"1000x-weight item picked in only $heavyHit/100 groups")
-    // zero/negative/null weights are excluded outright
-    val withBad = data ++ Seq(("g0", 999999L, 0.0), ("g1", 999998L, -5.0))
+    // zero/negative/NaN weights are excluded outright — NaN would
+    // otherwise pass `> 0` under Spark's NaN-greatest ordering and
+    // rank above every finite key
+    val withBad =
+      data ++ Seq(("g0", 999999L, 0.0), ("g1", 999998L, -5.0), ("g2", 999997L, Double.NaN))
     val b = Sampling
       .weightedSamplePerGroup(withBad.toDF("g", "id", "w"), Seq("g"), "id", col("w"), k = 3)
       .select("id")
       .as[Long]
       .collect()
-    assert(!b.contains(999999L) && !b.contains(999998L))
+    assert(!b.contains(999999L) && !b.contains(999998L) && !b.contains(999997L))
   }
 }
