@@ -48,7 +48,8 @@ object PlanAudit {
     * check can't prove bounded). Only these carry a contract-level
     * exemption; everything else must prove boundedness in the plan.
     */
-  val contractBounded: Set[String] = Set("ann_bruteforce_topk", "ann_quantized_topk")
+  val contractBounded: Set[String] =
+    Set("ann_bruteforce_topk", "ann_quantized_topk", "dedup_embedding_decontaminate")
 
   /** Names of nested-loop joins in `df` whose boundedness neither side
     * proves (empty = the plan passes the audit).

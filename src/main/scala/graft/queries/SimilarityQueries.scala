@@ -108,11 +108,30 @@ object SimilarityQueries extends QueryPack {
       FROM c ORDER BY label, pos""")
   )
 
+  // Embedding-space decontamination: benchmark rows (vec_id < 5, the
+  // same bounded bench set the ANN queries use) against the corpus at
+  // cosine >= 0.2 — broadcast bench, one corpus scan, no window.
+  private val embDecontaminateQ = Q(
+    fn = (s, d) => {
+      val emb = Tables.embeddings(s, d)
+      Similarity
+        .crossCosineAbove(emb.filter(col("vec_id") < 5), emb, "vec_id", "embedding", 0.2)
+        .orderBy("id_bench", "id_corpus")
+    },
+    oracle = Some(s"""
+      SELECT q.vec_id AS id_bench, c.vec_id AS id_corpus,
+        round($cosSql, 6) AS sim
+      FROM embeddings q JOIN embeddings c ON q.vec_id <> c.vec_id
+      WHERE q.vec_id < 5 AND round($cosSql, 6) >= 0.2
+      ORDER BY id_bench, id_corpus""")
+  )
+
   val queries: Map[String, Q] = Map(
     "embed_centroid" -> centroidQ,
     "ann_bruteforce_topk" -> bruteForce,
     "ann_quantized_topk" -> quantized,
     "ann_lsh_topk" -> lsh,
-    "ann_ivf_topk" -> ivf
+    "ann_ivf_topk" -> ivf,
+    "dedup_embedding_decontaminate" -> embDecontaminateQ
   )
 }

@@ -71,6 +71,49 @@ object Similarity {
       .select("query_id", "neighbor_id", "sim", "rank")
   }
 
+  /** Cross-corpus embedding decontamination: every (benchmark doc,
+    * corpus doc) pair whose embedding cosine is >= `threshold` — the
+    * semantic companion to the n-gram overlap check
+    * ([[graft.dedup.Dedup.crossSpanOverlap]]): paraphrased or
+    * re-embedded eval items that share no exact span still surface
+    * here.
+    *
+    * Scale shape: the benchmark side is orders of magnitude smaller
+    * than the training corpus (an eval suite vs 100 TB) — it
+    * broadcasts, the corpus is scanned ONCE with per-row norms
+    * materialized scan-side, and the threshold filter keeps only
+    * flagged pairs. No top-k window is needed, so there is no shuffle
+    * at all beyond the broadcast.
+    *
+    * Output: id_bench, id_corpus, sim (round6, engine-reproducible).
+    */
+  def crossCosineAbove(
+      bench: DataFrame,
+      corpus: DataFrame,
+      idCol: String,
+      vecCol: String,
+      threshold: Double
+  ): DataFrame = {
+    require(threshold > 0.0, s"threshold must be positive, got $threshold")
+    val b = bench.select(
+      col(idCol).as("id_bench"),
+      col(vecCol).as("_bv"),
+      norm(col(vecCol)).as("_bn")
+    )
+    val c = corpus.select(
+      col(idCol).as("id_corpus"),
+      col(vecCol).as("_cv"),
+      norm(col(vecCol)).as("_cn")
+    )
+    c.join(broadcast(b), col("id_bench") =!= col("id_corpus"))
+      .withColumn(
+        "sim",
+        round6(dot(col("_bv"), col("_cv")) / (col("_bn") * col("_cn")))
+      )
+      .where(col("sim") >= threshold)
+      .select("id_bench", "id_corpus", "sim")
+  }
+
   /** Deterministic +-1 hyperplanes, derived by hash so the LSH needs no
     * stored matrix — any executor (or a later job) rebuilds identical
     * planes from (plane, dim index) alone.
