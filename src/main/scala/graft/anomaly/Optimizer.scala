@@ -124,10 +124,23 @@ object Optimizer {
     val keyCols = seriesCols :+ "model"
     val errors = forecastErrors(series, seriesCols, tsCol, valueCol, cfg)
       .where(col("is_validation") && col("error").isNotNull)
-    val meanErrors = errors
+    // ONE groupBy carries mean/count AND the sorted error list — the
+    // forecast-errors subtree (scan + per-series window + model
+    // explode) previously computed twice, once per aggregate, plus a
+    // join to glue them back. Same keys, same rows, one pass; the
+    // former left join was an inner self-equivalence (both aggregates
+    // came from the identical error set).
+    val agged = errors
       .groupBy(keyCols.map(col): _*)
-      .agg(avg(col("error")).as("mean_error"), count(lit(1)).as("n_validation"))
-    meanErrors.join(bestThresholds(errors, keyCols, cfg), keyCols, "left")
+      .agg(
+        avg(col("error")).as("mean_error"),
+        count(lit(1)).as("n_validation"),
+        sort_array(collect_list(col("error"))).as("_sorted")
+      )
+    thresholdFromSorted(agged, cfg).select(
+      (keyCols.map(col) :+ col("mean_error") :+ col("n_validation") :+
+        col("threshold") :+ col("below_proportion")): _*
+    )
   }
 
   /** Smallest grid threshold per key with
@@ -151,12 +164,23 @@ object Optimizer {
     // repeat the original int/int -> double divisions exactly, so grid
     // ties break bit-identically to the exploded version and to the
     // DuckDB oracle.
-    val g = cfg.thresholdGrid
-    val grid = transform(sequence(lit(1), lit(g)), i => i.cast("double") / g)
     errors
       .groupBy(keyCols.map(col): _*)
       .agg(sort_array(collect_list(col("error"))).as("_sorted"))
-      .withColumn("_n", size(col("_sorted")))
+      .transform(df => thresholdFromSorted(df, cfg))
+      .select(
+        (keyCols.map(col) :+ col("threshold") :+ col("below_proportion")): _*
+      )
+  }
+
+  /** Threshold/coverage math over a frame carrying a `_sorted` error
+    * array — shared by [[bestThresholds]] and the single-pass
+    * [[evaluate]] so the two can never drift.
+    */
+  private def thresholdFromSorted(df: DataFrame, cfg: Config): DataFrame = {
+    val g = cfg.thresholdGrid
+    val grid = transform(sequence(lit(1), lit(g)), i => i.cast("double") / g)
+    df.withColumn("_n", size(col("_sorted")))
       .withColumn(
         "_kstar",
         array_min(
@@ -172,9 +196,6 @@ object Optimizer {
         "below_proportion",
         size(filter(col("_sorted"), e => e <= col("threshold"))).cast("double") /
           col("_n")
-      )
-      .select(
-        (keyCols.map(col) :+ col("threshold") :+ col("below_proportion")): _*
       )
   }
 
