@@ -24,6 +24,8 @@ object PipelineQuickstart {
       .master("local[4]")
       .config("spark.sql.shuffle.partitions", 4)
       .config("spark.ui.enabled", "false")
+      // the production wiring is spark.sql.extensions=graft.GraftExtensions
+      .withExtensions(new graft.GraftExtensions)
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
 
@@ -84,6 +86,14 @@ object PipelineQuickstart {
       numPartitions = 4
     )
     println(s"z-ordered layout partitions: ${laidOut.rdd.getNumPartitions}")
+
+    // F: the same kernels straight from SQL (GraftExtensions) — what a
+    // SQL-only consumer of the cluster sees
+    split.createOrReplaceTempView("corpus")
+    spark
+      .sql("""SELECT source, topk_by(CAST(n_chars AS DOUBLE), doc_id, 2) AS longest
+              FROM corpus GROUP BY source ORDER BY source LIMIT 3""")
+      .show(truncate = false)
 
     spark.stop()
   }

@@ -64,4 +64,18 @@ class ExpressionTypeCheckSpec extends SparkSpec {
       .collect()
     assert(out.head.getSeq[Long](0).length == 3)
   }
+
+  test("topKBy rejects wrong input types and non-positive k at analysis time") {
+    val df = Seq(("a", 1L, 2.0)).toDF("g", "id", "m")
+    // metric must be double, id bigint — a swapped argument order is
+    // the likely caller mistake and must fail analysis, not corrupt
+    val swapped = intercept[Exception] {
+      df.groupBy("g").agg(topkAggregate.topKBy(col("id"), col("m"), 3)).collect()
+    }
+    assert(swapped.getMessage.contains("requires (double, bigint)"), swapped.getMessage)
+    val badK = intercept[Exception] {
+      df.groupBy("g").agg(topkAggregate.topKBy(col("m"), col("id"), 0)).collect()
+    }
+    assert(badK.getMessage.contains("k > 0"), badK.getMessage)
+  }
 }
