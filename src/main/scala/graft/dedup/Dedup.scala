@@ -28,14 +28,26 @@ object Dedup {
       idCol: String,
       canonicalize: Column => Column = identity
   ): DataFrame = {
-    val keyed = df.withColumn("_key", xxhash64(canonicalize(col(textCol))))
+    // A REAL canonicalization is projected once as `_canon` — as a raw
+    // expression it would be re-evaluated in the hash key, the exchange
+    // partitioning and the window sort (regex normalization 3x/row).
+    // The identity case keys on the text column itself instead, so the
+    // shuffle does not carry the document twice.
+    val canonExpr = canonicalize(col(textCol))
+    val isIdentity = org.apache.spark.sql.GraftColumnBridge
+      .expression(canonExpr)
+      .semanticEquals(org.apache.spark.sql.GraftColumnBridge.expression(col(textCol)))
+    val canonCol = if (isIdentity) col(textCol) else col("_canon")
+    val keyed =
+      (if (isIdentity) df else df.withColumn("_canon", canonExpr))
+        .withColumn("_key", xxhash64(canonCol))
     val w = Window
-      .partitionBy(col("_key"), canonicalize(col(textCol)))
+      .partitionBy(col("_key"), canonCol)
       .orderBy(col(idCol))
     keyed
       .withColumn("_rn", row_number().over(w))
       .where(col("_rn") === 1)
-      .drop("_key", "_rn")
+      .drop("_canon", "_key", "_rn")
   }
 
   /** Exact dedup after normalization (case/punctuation/whitespace
