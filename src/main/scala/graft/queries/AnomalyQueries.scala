@@ -262,7 +262,11 @@ object AnomalyQueries extends QueryPack {
   )
 
   private def scoreDf(s: SparkSession, d: String): DataFrame = {
-    val ser = series(s, d)
+    // the grain-level series feeds BOTH optimize and score — eagerly
+    // materialized so the raw-events aggregation runs once, mirroring
+    // production where the profiler output is persisted before
+    // modeling (the series table is metric-sized, not data-sized)
+    val ser = graft.functions.materialize(series(s, d))
     val c = cfg(bestModelSet)
     Scorer.score(ser, Optimizer.optimize(ser, seriesCols, cfg = c), seriesCols, cfg = c)
   }
@@ -294,7 +298,9 @@ object AnomalyQueries extends QueryPack {
 
   private val assess = Q(
     fn = (s, d) => {
-      val ser = series(s, d)
+      // materialized for the same optimize+score double-consumption as
+      // scoreDf
+      val ser = graft.functions.materialize(series(s, d))
       val c = cfg(bestModelSet)
       val opt = Optimizer.optimize(ser, seriesCols, cfg = c)
       Quality
