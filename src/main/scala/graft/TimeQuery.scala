@@ -19,7 +19,7 @@ object TimeQuery {
     try {
       spark.range(1000000).selectExpr("sum(id)").count()
       SparkEntry.queries("text_quality")(spark, sfDir).count()
-    } catch { case _: Throwable => () }
+    } catch { case scala.util.control.NonFatal(_) => () }
     names.foreach { n =>
       val fn = SparkEntry.queries(n)
       fn(spark, sfDir).count() // warm the exact query path once

@@ -33,6 +33,11 @@ object Dedup {
     // partitioning and the window sort (regex normalization 3x/row).
     // The identity case keys on the text column itself instead, so the
     // shuffle does not carry the document twice.
+    val scratch = df.columns.toSeq.intersect(Seq("_canon", "_key", "_rn"))
+    require(
+      scratch.isEmpty,
+      s"columns $scratch collide with exact-dedup scratch names _canon/_key/_rn — rename upstream"
+    )
     val canonExpr = canonicalize(col(textCol))
     val isIdentity = org.apache.spark.sql.GraftColumnBridge
       .expression(canonExpr)
