@@ -5,7 +5,7 @@ import org.apache.spark.sql.execution.SparkPlan
 import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec
 import org.apache.spark.sql.execution.aggregate.BaseAggregateExec
 import org.apache.spark.sql.execution.joins.{BroadcastNestedLoopJoinExec, CartesianProductExec}
-import org.apache.spark.sql.execution.{GlobalLimitExec, LocalLimitExec}
+import org.apache.spark.sql.execution.GlobalLimitExec
 
 /** Structural scale-anti-pattern audit over physical plans — the core
   * shared by the [[Explain]] CLI sweep and the test-suite invariant
@@ -38,8 +38,10 @@ object PlanAudit {
     */
   def bounded(p: SparkPlan): Boolean = p.collectFirst {
     case a: BaseAggregateExec if a.groupingExpressions.isEmpty => ()
+    // LocalLimitExec deliberately does NOT count: a local limit caps
+    // rows PER PARTITION, so the side still carries limit*numPartitions
+    // rows — unbounded in the sense this audit cares about.
     case _: GlobalLimitExec => ()
-    case _: LocalLimitExec => ()
   }.isDefined
 
   /** Brute-force ANN is deliberately query-set x corpus: the broadcast

@@ -122,6 +122,75 @@ case class HoltLinear(alpha: Double = 0.5, beta: Double = 0.5, horizon: Int = 8)
   }
 }
 
+/** Holt-Winters-style seasonal+trend forecast in finite-lag form — the
+  * seasonal-and-trend slot of the reference's AutoML family
+  * (AutoSarima/AutoProphet, thoth/anomaly/models.py:184-241), as a
+  * deterministic window expression like the rest of the family.
+  *
+  * The classic recursive triple smoothing is inherently sequential and
+  * cannot be a window expression; this decomposition keeps its three
+  * components but estimates each from a fixed set of lags, chosen so
+  * seasonality CANCELS out of the level and trend estimates instead of
+  * contaminating them (grafting a seasonal term onto [[HoltLinear]]'s
+  * level double-counts the wave its EWMA already half-tracks):
+  *
+  *   - level: trailing mean of the last full period — a mean over
+  *     exactly one period is seasonality-free by construction, and on
+  *     a linear trend sits (period+1)/2 steps behind the next point;
+  *   - trend: the telescoped SAME-PHASE drift
+  *     (value(t-1) - value(t-period-1)) / period — both endpoints share
+  *     a phase, so the seasonal component subtracts out exactly;
+  *   - seasonal: an exponentially weighted average (weight
+  *     gamma*(1-gamma)^(m-1), renormalized over seasons present) of the
+  *     phase deviations one, two, ... `nSeasons` periods back:
+  *     dev_m = value(t-m*period) - centeredPeriodMean(t-m*period). The
+  *     CENTERED one-period mean removes level and (exactly, on a linear
+  *     trend) trend at that point; a trailing mean would bias every
+  *     deviation by slope*(period-1)/2. A deviation only counts when
+  *     its full period window exists (count == period).
+  *
+  * forecast = periodMean + drift*(period+1)/2 + seasonal — EXACT on any
+  * noiseless additive linear-trend + period-seasonal series once one
+  * full seasonal window exists, and exact on a pure linear trend (the
+  * deviations vanish). NULL until the period mean and the drift lag
+  * exist.
+  */
+case class HoltWinters(
+    gamma: Double = 0.5,
+    period: Int = 7,
+    nSeasons: Int = 2
+) extends ForecastModel {
+  require(period > 1, s"period must be > 1, got $period")
+  require(nSeasons > 0, s"nSeasons must be positive, got $nSeasons")
+  val name = f"HoltWinters-$gamma%.2f-$period-$nSeasons"
+  def forecast(value: Column, w: WindowSpec): Column = {
+    val pmFrame = w.rowsBetween(-period, -1)
+    val pm = avg(value).over(pmFrame)
+    val havePm = count(value).over(pmFrame) === lit(period)
+    val prev = lag(value, period + 1).over(w)
+    val drift = (lag(value, 1).over(w) - prev) / period
+    val seasonalTerms = (1 to nSeasons).map { m =>
+      val weight = gamma * math.pow(1 - gamma, m - 1)
+      val lo = m * period + (period - 1) / 2
+      val hi = m * period - period / 2
+      val frame = w.rowsBetween(-lo, -hi)
+      val phase = lag(value, m * period).over(w)
+      val have = phase.isNotNull && (count(value).over(frame) === lit(period))
+      (
+        when(have, (phase - avg(value).over(frame)) * lit(weight)).otherwise(lit(0.0)),
+        when(have, lit(weight)).otherwise(lit(0.0))
+      )
+    }
+    val sNum = seasonalTerms.map(_._1).reduce(_ + _)
+    val sDen = seasonalTerms.map(_._2).reduce(_ + _)
+    when(
+      havePm && prev.isNotNull,
+      pm + drift * lit((period + 1) / 2.0) +
+        when(sDen > lit(0.0), sNum / sDen).otherwise(lit(0.0))
+    )
+  }
+}
+
 /** Learned-seasonality forecast: fills the reference's AutoML slot
   * (AutoSarima/AutoProphet, thoth/anomaly/models.py:184-241) with a
   * model that LEARNS its seasonality period per series — as a pure
@@ -178,9 +247,10 @@ object Models {
     trailingMeans() ++ Seq(SeasonalNaive(7), Ewma())
 
   /** Extended family: default + trend-aware Holt + learned-period
-    * seasonal (the AutoML slot).
+    * seasonal + seasonal-and-trend Holt-Winters (the AutoML slots).
     */
-  def extended: Seq[ForecastModel] = default ++ Seq(HoltLinear(), AutoSeasonal())
+  def extended: Seq[ForecastModel] =
+    default ++ Seq(HoltLinear(), AutoSeasonal(), HoltWinters())
 
   /** Simple family (reference SimpleModelFactory): trailing means only. */
   def simple: Seq[ForecastModel] = trailingMeans()

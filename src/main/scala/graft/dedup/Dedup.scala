@@ -253,21 +253,25 @@ object Dedup {
       "left_anti"
     )
 
-  /** Connected components of the near-dup pair graph via min-label
-    * propagation. Output: (id, label) where label = min id of the
-    * component.
+  /** Connected components of the near-dup pair graph. Output:
+    * (id, label) where label = min id of the component.
     *
     * Hybrid execution: the pair graph after LSH blocking is usually
     * MANY orders of magnitude smaller than the corpus, and when it
     * fits comfortably on the driver (<= `driverThreshold` directed
-    * edges) an exact union-find there replaces ~maxIter shuffle+count
-    * jobs with one collect — the same trade GraphX/GraphFrames make
-    * for small graphs. Larger graphs run the distributed loop: each
-    * vertex repeatedly adopts the smallest label among itself and its
-    * neighbors until fixpoint (or maxIter); one shuffle per iteration,
-    * lineage truncated (reliable checkpoints under
-    * graft.checkpoint.reliable=true), O(log diameter) rounds on
-    * typical near-dup clusters.
+    * edges) an exact union-find there replaces iterative shuffle jobs
+    * with one collect — the same trade GraphX/GraphFrames make for
+    * small graphs. Larger graphs run the distributed
+    * LARGE-STAR/SMALL-STAR alternation (Kiveris et al., "Connected
+    * Components in MapReduce and Beyond", SoCC'14): each round
+    * re-points edges at per-node minima, contracting every component
+    * to a star on its min id in O(log^2 n) rounds REGARDLESS OF
+    * DIAMETER — plain min-label propagation needs O(diameter) rounds,
+    * so a million-document chain of pairwise near-dups would need a
+    * million shuffles where this needs ~20. Every round is two
+    * partial-aggregated groupBys + joins on the (shrinking) edge set;
+    * lineage is truncated per round (reliable checkpoints under
+    * graft.checkpoint.reliable=true). `maxIter` bounds the rounds.
     */
   def connectedComponents(
       pairs: DataFrame,
@@ -290,33 +294,70 @@ object Dedup {
       case _ => false
     }
     if (integralIds && nEdges <= driverThreshold) return driverComponents(edges)
-    var labels = graft.functions.materialize(
-      edges
-        .select(col("src").as("id"))
+
+    // both directions of an edge set (the star ops group by node)
+    def directed(e: DataFrame): DataFrame =
+      e.unionByName(e.select(col("dst").as("src"), col("src").as("dst")))
+    // large-star: every neighbor v > u re-points at m(u) = min(N(u) ∪ {u})
+    def largeStar(e: DataFrame): DataFrame = {
+      val d = directed(e)
+      val m = d
+        .groupBy("src")
+        .agg(min("dst").as("_mn"))
+        .select(col("src"), least(col("_mn"), col("src")).as("_m"))
+      d.join(m, "src")
+        .where(col("dst") > col("src"))
+        .select(col("dst").as("src"), col("_m").as("dst"))
+        .where(col("src") =!= col("dst"))
         .distinct()
-        .withColumn("label", col("id"))
+    }
+    // small-star: u and every smaller neighbor re-point at the min of
+    // u's smaller neighborhood
+    def smallStar(e: DataFrame): DataFrame = {
+      val d = directed(e).where(col("dst") < col("src"))
+      val m = d.groupBy("src").agg(min("dst").as("_m"))
+      val vEdges = d
+        .join(m, "src")
+        .where(col("dst") =!= col("_m"))
+        .select(col("dst").as("src"), col("_m").as("dst"))
+      val uEdges = m.select(col("src"), col("_m").as("dst"))
+      vEdges.unionByName(uEdges).where(col("src") =!= col("dst")).distinct()
+    }
+    // order-independent fixpoint signature: stable (count, hash-sum)
+    // across a round ⇒ the edge set reproduced itself exactly. The sum
+    // runs in DECIMAL(38,0) — a long sum of 2^63-scale hashes overflows
+    // under ANSI mode on the second edge.
+    def signature(e: DataFrame): (Long, String) = {
+      val r = e
+        .agg(
+          count(lit(1)).as("_n"),
+          sum(
+            xxhash64(col("src"), col("dst"))
+              .cast(org.apache.spark.sql.types.DecimalType(38, 0))).as("_h"))
+        .collect()
+        .head
+      (r.getLong(0), String.valueOf(r.get(1)))
+    }
+
+    var e = graft.functions.materialize(
+      edges.where(col("src") < col("dst")).distinct()
     )
+    var sig = signature(e)
     var iter = 0
     var converged = false
     while (!converged && iter < maxIter) {
-      val propagated = edges
-        .join(labels, edges("src") === labels("id"))
-        .select(col("dst").as("id"), col("label"))
-      val next = graft.functions.materialize(
-        labels
-          .unionByName(propagated)
-          .groupBy("id")
-          .agg(min("label").as("label"))
-      )
-      val changed = next
-        .join(labels.withColumnRenamed("label", "_old"), "id")
-        .where(col("label") =!= col("_old"))
-        .count()
-      labels = next
-      converged = changed == 0
+      e = graft.functions.materialize(smallStar(largeStar(e)))
+      val next = signature(e)
+      converged = next == sig
+      sig = next
       iter += 1
     }
-    labels
+    // at fixpoint every non-root carries exactly (v, root); the root's
+    // own min-neighbor is a member > root, so least(...) keeps it
+    directed(e)
+      .groupBy("src")
+      .agg(min("dst").as("_mn"))
+      .select(col("src").as("id"), least(col("_mn"), col("src")).as("label"))
   }
 
   /** Exact driver-side union-find (path compression + union by min)

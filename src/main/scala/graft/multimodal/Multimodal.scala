@@ -8,14 +8,66 @@ import org.apache.spark.sql.types._
   *
   * Media (image/audio/video) travels through the pipeline as an opaque
   * `binary` column plus a typed metadata struct — the engine never
-  * interprets the bytes except inside an explicit decode kernel. The
-  * Spark-side plumbing (schema, partition sizing, batched kernel
-  * invocation via `mapPartitions`) is real; the decode kernels
-  * themselves are DETERMINISTIC STUBS (this environment ships no image/
-  * audio codecs) marked `// STUB:` — swap the function body for a real
-  * decoder (JNI/FFI) without touching any plumbing.
+  * interprets the bytes except inside an explicit decode kernel.
+  *
+  * IMAGE payloads decode for real: the kernels route PNG/JPEG/GIF/BMP
+  * bytes through the JDK's built-in `javax.imageio` (no external
+  * codec dependency), yielding true dimensions, luma features and
+  * perceptual hashes. Bytes no installed reader accepts fall back to
+  * a DETERMINISTIC byte-derived surrogate (marked `// FALLBACK:`) so
+  * audio/video payloads — whose codecs the JDK does not ship — keep
+  * flowing through the same plumbing with stable test values.
   */
 object Multimodal {
+
+  /** ImageIO's default scratch-file cache costs a disk round-trip per
+    * decode — executor kernels want pure in-memory decoding.
+    */
+  private lazy val imageioConfigured: Unit =
+    javax.imageio.ImageIO.setUseCache(false)
+
+  /** Decode image bytes via the JDK's ImageIO; None when `bytes` is
+    * null/empty or no installed reader recognizes the format.
+    */
+  private[multimodal] def readImage(
+      bytes: Array[Byte]
+  ): Option[java.awt.image.BufferedImage] =
+    if (bytes == null || bytes.isEmpty) None
+    else {
+      imageioConfigured
+      val in = new java.io.ByteArrayInputStream(bytes)
+      try Option(javax.imageio.ImageIO.read(in))
+      catch { case scala.util.control.NonFatal(_) => None }
+      finally in.close()
+    }
+
+  /** Rescale to exactly (w x h) and return per-cell luma (ITU-R BT.601
+    * integer weights, 0..255). Deterministic: nearest-neighbor sampling
+    * by explicit pixel arithmetic, no Graphics2D filtering involved.
+    */
+  private[multimodal] def lumaGrid(
+      img: java.awt.image.BufferedImage,
+      w: Int,
+      h: Int
+  ): Array[Int] = {
+    val out = new Array[Int](w * h)
+    var cy = 0
+    while (cy < h) {
+      val sy = (cy.toLong * img.getHeight / h).toInt
+      var cx = 0
+      while (cx < w) {
+        val sx = (cx.toLong * img.getWidth / w).toInt
+        val rgb = img.getRGB(sx, sy)
+        val r = (rgb >> 16) & 0xff
+        val g = (rgb >> 8) & 0xff
+        val b = rgb & 0xff
+        out(cy * w + cx) = (299 * r + 587 * g + 114 * b) / 1000
+        cx += 1
+      }
+      cy += 1
+    }
+    out
+  }
 
   /** Typed metadata carried beside the raw bytes. */
   val metaSchema: StructType = StructType(
@@ -39,14 +91,14 @@ object Multimodal {
       )
     )
 
-  /** Pretend "decoded frame" features. Output schema mirrors what a
-    * real image decode would produce; values are a deterministic
-    * function of the bytes so tests are stable.
+  /** Decoded-frame features. `decoded` records whether the payload went
+    * through a real image decode or the byte-derived fallback.
     */
   val featureSchema: StructType = StructType(
     Seq(
       StructField("width", IntegerType),
       StructField("height", IntegerType),
+      StructField("decoded", BooleanType),
       StructField("feature", ArrayType(FloatType))
     )
   )
@@ -58,6 +110,12 @@ object Multimodal {
     * `batchSize` bounding peak memory per executor thread. Partition
     * sizing upstream (`spark.sql.files.maxPartitionBytes`) bounds how
     * many media blobs co-reside in one task.
+    *
+    * Image payloads (PNG/JPEG/GIF/BMP) DECODE FOR REAL via the JDK's
+    * ImageIO: width/height are the true pixel dimensions and the
+    * feature vector is the luma (0..1) of `featureDim` equal image
+    * cells in row-major order — a real, comparable embedding of the
+    * picture. Undecodable payloads take the deterministic fallback.
     */
   def extractFeatures(
       df: DataFrame,
@@ -69,21 +127,33 @@ object Multimodal {
     val binIdx = inputSchema.fieldIndex(binCol)
     val outSchema = StructType(inputSchema.fields ++ featureSchema.fields)
     val encoder = org.apache.spark.sql.Encoders.row(outSchema)
+    // featureDim cells as close to square as the dim allows (8 -> 4x2)
+    val gw = math.max(1, math.sqrt(featureDim.toDouble).ceil.toInt)
+    val gh = math.max(1, featureDim / gw + (if (featureDim % gw == 0) 0 else 1))
     df.mapPartitions { rows =>
       rows.grouped(batchSize).flatMap { batch =>
-        // STUB: a real kernel would decode `batch.map(_.getAs[Array[Byte]](binIdx))`
-        // in one vectorized call here. The deterministic fake below
-        // preserves the exact data flow and output shape.
         batch.map { row =>
           val bytes = row.getAs[Array[Byte]](binIdx)
-          val n = if (bytes == null) 0 else bytes.length
-          val width = 16 + (math.abs(java.util.Arrays.hashCode(bytes)) % 64)
-          val height = 16 + (n % 64)
-          val feature = Array.tabulate(featureDim) { j =>
-            if (n == 0) 0.0f
-            else bytes(j % n).toFloat / 128.0f
+          readImage(bytes) match {
+            case Some(img) =>
+              val grid = lumaGrid(img, gw, gh)
+              val feature =
+                Array.tabulate(featureDim)(j => grid(j % grid.length) / 255.0f)
+              Row.fromSeq(
+                row.toSeq ++ Seq(img.getWidth, img.getHeight, true, feature))
+            case None =>
+              // FALLBACK: deterministic byte-derived surrogate for
+              // payloads with no JDK codec (audio/video/unknown) —
+              // preserves the data flow and output shape.
+              val n = if (bytes == null) 0 else bytes.length
+              val width = 16 + (math.abs(java.util.Arrays.hashCode(bytes)) % 64)
+              val height = 16 + (n % 64)
+              val feature = Array.tabulate(featureDim) { j =>
+                if (n == 0) 0.0f
+                else bytes(j % n).toFloat / 128.0f
+              }
+              Row.fromSeq(row.toSeq ++ Seq(width, height, false, feature))
           }
-          Row.fromSeq(row.toSeq ++ Seq(width, height, feature))
         }
       }
     }(encoder)
@@ -167,4 +237,61 @@ object Multimodal {
       maxHamming: Int = 4
   ): DataFrame =
     graft.dedup.PortableDedup.hammingPairs60(averageHash60(df, binCol, idCol), maxHamming)
+
+  /** TRUE perceptual hash `(id, sig)` over decodable images: decode via
+    * ImageIO, nearest-neighbor-downscale to a 10x6 luma grid, and set
+    * bit i iff cell i's luma exceeds the grid mean — the aHash
+    * construction over real pixels, 60 bits wide so the signatures feed
+    * the same pigeonhole Hamming join as the byte-level
+    * [[averageHash60]]. Payloads no JDK reader decodes are DROPPED
+    * (they have no pixels to hash — route them through
+    * [[averageHash60]] instead).
+    *
+    * Scale shape: one scan, decode kernel per partition via
+    * mapPartitions, output is 8-byte signatures — everything
+    * downstream (banding, joins) is byte-identical to the text simhash
+    * path.
+    */
+  def decodedAHash60(
+      df: DataFrame,
+      binCol: String,
+      idCol: String,
+      batchSize: Int = 64
+  ): DataFrame = {
+    val projected = df.select(col(idCol).as("id"), col(binCol).as("_payload"))
+    val outSchema = StructType(
+      Seq(projected.schema.fields(0).copy(name = "id"), StructField("sig", LongType)))
+    val encoder = org.apache.spark.sql.Encoders.row(outSchema)
+    projected
+      .mapPartitions { rows =>
+        rows.grouped(batchSize).flatMap { batch =>
+          batch.flatMap { row =>
+            readImage(row.getAs[Array[Byte]]("_payload")).map { img =>
+              val grid = lumaGrid(img, 10, 6)
+              val mean = grid.sum.toDouble / grid.length
+              var sig = 0L
+              var i = 0
+              while (i < 60) {
+                if (grid(i) > mean) sig |= (1L << i)
+                i += 1
+              }
+              Row(row.get(0), sig)
+            }
+          }
+        }
+      }(encoder)
+  }
+
+  /** Near-duplicate IMAGE pairs over real decoded pixels: [[decodedAHash60]]
+    * signatures + the pigeonhole Hamming join. Output: id_a, id_b, hamming.
+    */
+  def decodedPhashPairs(
+      df: DataFrame,
+      binCol: String,
+      idCol: String,
+      maxHamming: Int = 4,
+      batchSize: Int = 64
+  ): DataFrame =
+    graft.dedup.PortableDedup
+      .hammingPairs60(decodedAHash60(df, binCol, idCol, batchSize), maxHamming)
 }

@@ -41,11 +41,38 @@ object Layout {
     terms.reduce(_ + _)
   }
 
-  /** Affine bucket of `x` into [0, 2^bits) given inclusive bounds. */
-  private[operators] def bucket(x: Column, mn: Column, mx: Column, bits: Int): Column =
-    floor(
-      ((x - mn).cast("double") * (1L << bits)) / (mx - mn + 1).cast("double")
-    ).cast("long")
+  /** Widest range (exclusive) for which the double-precision affine
+    * bucket math is exact — see [[bucket]]'s guard.
+    */
+  private[operators] val MaxExactRange: Double = math.pow(2, 40)
+
+  /** Affine bucket of `x` into [0, 2^bits) given inclusive bounds.
+    *
+    * All three operands widen to long BEFORE subtracting — `x - mn` in
+    * the source integral type overflows silently for an IntegerType
+    * column spanning more than Int range (min near Int.MinValue, max
+    * near Int.MaxValue). The documented <2^40 exactness range is
+    * ENFORCED: a wider range raises at evaluation time instead of
+    * returning buckets quantized by double rounding. The range check
+    * runs in double (cannot overflow even for extreme longs).
+    */
+  private[operators] def bucket(x: Column, mn: Column, mx: Column, bits: Int): Column = {
+    val xl = x.cast("long")
+    val mnl = mn.cast("long")
+    val mxl = mx.cast("long")
+    val rangeOk = (mx.cast("double") - mn.cast("double")) < lit(MaxExactRange)
+    when(
+      !rangeOk,
+      raise_error(lit(
+        s"z-order bucket: column range exceeds 2^40 — double bucketing " +
+          "would be inexact; pre-scale the column (e.g. divide to a coarser unit)"
+      )).cast("long")
+    ).otherwise(
+      floor(
+        ((xl - mnl).cast("double") * (1L << bits)) / (mxl - mnl + 1).cast("double")
+      ).cast("long")
+    )
+  }
 
   /** Add a `zkey` column interleaving `cols` (integral columns) at
     * `bits` bits per dimension. Global per-column min/max ride a 1-row

@@ -67,6 +67,11 @@ object AnomalyQueries extends QueryPack {
     * every sum/divide repeats the Column expression's left-associative
     * order, so both engines walk the identical IEEE sequence.
     */
+  /** Exact SQL mirror of [[graft.anomaly.HoltLinear]]: weight literals
+    * are the Scala-computed doubles (shortest-repr roundtrip), and
+    * every sum/divide repeats the Column expression's left-associative
+    * order, so both engines walk the identical IEEE sequence.
+    */
   private def holtSql(alpha: Double, beta: Double, horizon: Int): String = {
     val lagw = "(PARTITION BY event_type ORDER BY ts)"
     def lagv(j: Int) = s"lag(value, $j) OVER $lagw"
@@ -94,6 +99,40 @@ object AnomalyQueries extends QueryPack {
     s"""CASE WHEN $lden > 0.0
         THEN ($lnum / $lden) +
           (CASE WHEN $tden > 0.0 THEN ($tnum / $tden) * ($jsum / $lden) ELSE 0.0 END)
+        END"""
+  }
+
+  /** Exact SQL mirror of [[graft.anomaly.HoltWinters]] — period-mean
+    * level, telescoped same-phase drift, and the renormalized
+    * phase-deviation seasonal term over centered one-period means, in
+    * the Column expression's operation order.
+    */
+  private def hwSql(gamma: Double, period: Int, nSeasons: Int): String = {
+    val lagw = "(PARTITION BY event_type ORDER BY ts)"
+    val pmFrame =
+      s"(PARTITION BY event_type ORDER BY ts ROWS BETWEEN $period PRECEDING AND 1 PRECEDING)"
+    val pm = s"avg(value) OVER $pmFrame"
+    val havePm = s"count(value) OVER $pmFrame = $period"
+    val prev = s"lag(value, ${period + 1}) OVER $lagw"
+    val drift = s"((lag(value, 1) OVER $lagw - $prev) / $period)"
+    val st = (1 to nSeasons).map { m =>
+      val w = gamma * math.pow(1 - gamma, m - 1)
+      val lo = m * period + (period - 1) / 2
+      val hi = m * period - period / 2
+      val frame =
+        s"(PARTITION BY event_type ORDER BY ts ROWS BETWEEN $lo PRECEDING AND $hi PRECEDING)"
+      val phase = s"lag(value, ${m * period}) OVER $lagw"
+      val have = s"$phase IS NOT NULL AND count(value) OVER $frame = $period"
+      (
+        s"CASE WHEN $have THEN ($phase - avg(value) OVER $frame) * $w ELSE 0.0 END",
+        s"CASE WHEN $have THEN $w ELSE 0.0 END"
+      )
+    }
+    val snum = st.map(_._1).mkString("(", " + ", ")")
+    val sden = st.map(_._2).mkString("(", " + ", ")")
+    s"""CASE WHEN $havePm AND $prev IS NOT NULL
+        THEN $pm + $drift * ${(period + 1) / 2.0} +
+          (CASE WHEN $sden > 0.0 THEN ($snum / $sden) ELSE 0.0 END)
         END"""
   }
 
@@ -356,6 +395,9 @@ object AnomalyQueries extends QueryPack {
     "anomaly_forecast_seasonal" -> forecastQuery(SeasonalNaive(7), snSql(7)),
     "anomaly_forecast_ewma" -> forecastQuery(Ewma(0.5, 8), ewmaSql(0.5, 8)),
     "anomaly_forecast_holt" -> forecastQuery(HoltLinear(0.5, 0.5, 8), holtSql(0.5, 0.5, 8)),
+    "anomaly_forecast_hw" -> forecastQuery(
+      HoltWinters(0.5, 7, 2),
+      hwSql(0.5, 7, 2)),
     "anomaly_forecast_auto" -> forecastQuery(autoModel, autoSeasonalSql(Seq(2, 7), 4)),
     "anomaly_best_window" -> bestWindow,
     "anomaly_threshold" -> threshold,

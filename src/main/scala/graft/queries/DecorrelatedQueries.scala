@@ -465,10 +465,26 @@ object DecorrelatedQueries extends QueryPack {
       val tot = value
         .agg(sum(col("_value_dec")).as("_total"), count(lit(1)).as("_cnt"))
         .withColumn("_k", lit(1))
+      // Cross-multiplied threshold stays exact, but DECIMAL(38,4) * cnt
+      // can exceed precision 38 (≈34 integer digits / group count) and
+      // Spark's non-ANSI overflow answer is NULL — which a bare filter
+      // would silently drop. Both operands are non-null by construction
+      // (sums/counts over non-null inputs), so a NULL product can ONLY
+      // mean overflow: fail loudly instead of losing qualifying rows.
+      val lhs = col("_value_dec") * col("_cnt")
+      val rhs = col("_total") * lit(3)
       value
         .withColumn("_k", lit(1))
         .join(broadcast(tot), "_k")
-        .where(col("_value_dec") * col("_cnt") > col("_total") * lit(3))
+        .where(
+          when(
+            lhs.isNull || rhs.isNull,
+            raise_error(lit(
+              "q11: decimal overflow in threshold cross-multiply — " +
+                "value*cnt exceeded DECIMAL(38,4); rescale the inputs"
+            )).cast("boolean")
+          ).otherwise(lhs > rhs)
+        )
         .select(col("ps_partkey"), col("_value_dec").cast(DoubleType).as("value"))
         .orderBy(col("value").desc, col("ps_partkey"))
     },

@@ -115,7 +115,16 @@ object SimilarityQueries extends QueryPack {
     fn = (s, d) => {
       val emb = Tables.embeddings(s, d)
       Similarity
-        .crossCosineAbove(emb.filter(col("vec_id") < 5), emb, "vec_id", "embedding", 0.2)
+        .crossCosineAbove(
+          emb.filter(col("vec_id") < 5),
+          emb,
+          "vec_id",
+          "embedding",
+          0.2,
+          // bench here IS a slice of the corpus (same id space), so a
+          // same-id pair is a row against itself — exclude it.
+          excludeSameId = true
+        )
         .orderBy("id_bench", "id_corpus")
     },
     oracle = Some(s"""

@@ -77,6 +77,21 @@ object HtmlReport {
       .collect()
   }
 
+  /** Per-series thresholds from stored optimization rows.
+    * Failed-optimization rows carry NULL thresholds — they must not
+    * unbox to 0.0 (which would flag every positive score anomalous).
+    */
+  private def thresholdMap(optimization: Seq[Row]): Map[(String, String, String), Double] =
+    optimization.flatMap { r =>
+      val i = r.fieldIndex("threshold")
+      if (r.isNullAt(i)) None
+      else
+        Some(
+          (r.getAs[String]("entity"), r.getAs[String]("instance"), r.getAs[String]("name")) ->
+            r.getDouble(i)
+        )
+    }.toMap
+
   /** Render the full report HTML for one dataset. */
   def render(
       repo: MetricsRepository,
@@ -116,17 +131,7 @@ object HtmlReport {
 
     val scoring = cappedSeries(repo.getScoring(datasetUri), maxPointsPerSeries, maxSeries).toSeq
 
-    // failed-optimization rows carry NULL thresholds — they must not
-    // unbox to 0.0 (which would flag every positive score anomalous)
-    val thresholds = optimization.flatMap { r =>
-      val i = r.fieldIndex("threshold")
-      if (r.isNullAt(i)) None
-      else
-        Some(
-          (r.getAs[String]("entity"), r.getAs[String]("instance"), r.getAs[String]("name")) ->
-            r.getDouble(i)
-        )
-    }.toMap
+    val thresholds = thresholdMap(optimization)
 
     val metaHtml = meta
       .map(m => s"""<ul>
@@ -228,5 +233,100 @@ object HtmlReport {
     Option(p.getParent).foreach(java.nio.file.Files.createDirectories(_))
     java.nio.file.Files.writeString(p, render(repo, datasetUri, maxPointsPerSeries, maxSeries))
     p
+  }
+
+  /** Filesystem-safe per-dataset report filename stem. */
+  private[report] def slug(uri: String): String =
+    uri.replaceAll("[^A-Za-z0-9._-]", "_")
+
+  /** Index page across every registered dataset — the server-less
+    * equivalent of the reference dashboard's home page (ui.py:311
+    * `home_page`: dataset browser with per-dataset health at a
+    * glance). One row per dataset: granularity, registered metric
+    * count, scored series count, newest scored timestamp, and a
+    * health badge (any series whose NEWEST score breaches its stored
+    * threshold — or is NULL/unscorable — flags the dataset), linking
+    * to the per-dataset report file.
+    *
+    * Work per dataset is the same driver-side aggregate reads `render`
+    * does (small by contract); only the newest score per series is
+    * collected, via the same window-cap pattern as the charts.
+    */
+  def renderIndex(
+      repo: MetricsRepository,
+      reportHref: String => String = u => s"${slug(u)}.html"
+  ): String = {
+    val datasets = repo.listDatasets().sortBy(_.uri)
+    val rows = datasets.map { m =>
+      val thresholds = thresholdMap(
+        repo.getOptimization(m.uri).orderBy("entity", "instance", "name").collect().toSeq)
+      val newestPerSeries = Window
+        .partitionBy("entity", "instance", "name")
+        .orderBy(col("ts").desc)
+      val latest = repo
+        .getScoring(m.uri)
+        .withColumn("_rn", row_number().over(newestPerSeries))
+        .where(col("_rn") === 1)
+        .collect()
+      val anomalous = latest.count { r =>
+        val key =
+          (r.getAs[String]("entity"), r.getAs[String]("instance"), r.getAs[String]("name"))
+        val si = r.fieldIndex("score")
+        val score = if (r.isNullAt(si)) Double.NaN else r.getDouble(si)
+        thresholds.get(key).exists(th => score.isNaN || score > th)
+      }
+      val lastTs =
+        latest.map(_.getAs[java.sql.Timestamp]("ts")).sortBy(_.getTime).lastOption
+      val badge =
+        if (latest.isEmpty) """<span class="na">no scoring</span>"""
+        else if (anomalous > 0) s"""<span class="alert">🔴 $anomalous anomalous</span>"""
+        else """<span class="ok">🟢 healthy</span>"""
+      s"""<tr><td><a href="${esc(reportHref(m.uri))}"><code>${esc(m.uri)}</code></a></td>
+          <td>${esc(m.granularity)}</td><td>${m.metrics.size}</td><td>${latest.length}</td>
+          <td>${lastTs.map(t => esc(t.toString)).getOrElse("—")}</td><td>$badge</td></tr>"""
+    }
+    val table =
+      if (rows.isEmpty) "<p>⚠ No datasets registered in this repository.</p>"
+      else
+        s"""<table><tr><th>dataset</th><th>granularity</th><th>metrics</th>
+            <th>series scored</th><th>latest score ts</th><th>health</th></tr>
+            ${rows.mkString("\n")}</table>"""
+    s"""<!DOCTYPE html><html><head><meta charset="utf-8">
+      <title>graft reports — datasets</title>
+      <style>
+        body { font-family: sans-serif; margin: 2em; max-width: 72em; }
+        table { border-collapse: collapse; } td, th { border: 1px solid #ccc; padding: 4px 8px; }
+        .alert { color: #c0392b; font-weight: bold; } .ok { color: #1e8449; }
+        .na { color: #666; }
+      </style></head><body>
+      <h1>graft quality reports</h1>
+      <p>${datasets.size} dataset${if (datasets.size == 1) "" else "s"}</p>
+      $table
+      </body></html>"""
+  }
+
+  /** Write the dataset index plus one report per registered dataset
+    * into `dir` (index.html + `slug(uri)`.html each); returns index
+    * first, then the per-dataset paths in uri order.
+    */
+  def writeAll(
+      repo: MetricsRepository,
+      dir: String,
+      maxPointsPerSeries: Int = 500,
+      maxSeries: Int = 200
+  ): Seq[java.nio.file.Path] = {
+    val dirP = java.nio.file.Paths.get(dir)
+    java.nio.file.Files.createDirectories(dirP)
+    val pages = repo.listDatasets().sortBy(_.uri).map { m =>
+      write(
+        repo,
+        m.uri,
+        dirP.resolve(s"${slug(m.uri)}.html").toString,
+        maxPointsPerSeries,
+        maxSeries)
+    }
+    val idx = dirP.resolve("index.html")
+    java.nio.file.Files.writeString(idx, renderIndex(repo))
+    idx +: pages
   }
 }

@@ -85,6 +85,18 @@ object Similarity {
     * flagged pairs. No top-k window is needed, so there is no shuffle
     * at all beyond the broadcast.
     *
+    * `excludeSameId` drops pairs whose ids are equal. It is OFF by
+    * default: bench and corpus are normally two independent tables
+    * whose id spaces can collide, and an implicit `id <> id` filter
+    * would silently suppress a genuine contamination hit. Turn it on
+    * only when bench is a subset of the corpus itself (same id space),
+    * where a same-id pair is the row matched against itself.
+    *
+    * Zero-norm embeddings are excluded scan-side on BOTH inputs: their
+    * cosine is 0/0 = NaN, and Spark orders NaN greater than any number,
+    * so `NaN >= threshold` would flag a zero vector against every
+    * counterpart.
+    *
     * Output: id_bench, id_corpus, sim (round6, engine-reproducible).
     */
   def crossCosineAbove(
@@ -92,20 +104,27 @@ object Similarity {
       corpus: DataFrame,
       idCol: String,
       vecCol: String,
-      threshold: Double
+      threshold: Double,
+      excludeSameId: Boolean = false
   ): DataFrame = {
     require(threshold > 0.0, s"threshold must be positive, got $threshold")
-    val b = bench.select(
-      col(idCol).as("id_bench"),
-      col(vecCol).as("_bv"),
-      norm(col(vecCol)).as("_bn")
-    )
-    val c = corpus.select(
-      col(idCol).as("id_corpus"),
-      col(vecCol).as("_cv"),
-      norm(col(vecCol)).as("_cn")
-    )
-    c.join(broadcast(b), col("id_bench") =!= col("id_corpus"))
+    val b = bench
+      .select(
+        col(idCol).as("id_bench"),
+        col(vecCol).as("_bv"),
+        norm(col(vecCol)).as("_bn")
+      )
+      .where(col("_bn") > 0d)
+    val c = corpus
+      .select(
+        col(idCol).as("id_corpus"),
+        col(vecCol).as("_cv"),
+        norm(col(vecCol)).as("_cn")
+      )
+      .where(col("_cn") > 0d)
+    val cond =
+      if (excludeSameId) col("id_bench") =!= col("id_corpus") else lit(true)
+    c.join(broadcast(b), cond)
       .withColumn(
         "sim",
         round6(dot(col("_bv"), col("_cv")) / (col("_bn") * col("_cn")))

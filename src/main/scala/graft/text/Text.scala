@@ -296,10 +296,21 @@ object Text {
     * monotone transform of the classic idf in df, so per-term
     * down-weighting of common terms is preserved.
     *
-    * Shape: explode tokens → two partial-aggregatable groupBys
-    * (per-doc tf, corpus df) → broadcast the 1-row corpus count → one
-    * windowed top-k per doc. The df table is |vocabulary| rows — the
-    * only state that grows sublinearly with the corpus.
+    * Shape: explode tokens → per-doc tf groupBy, MATERIALIZED once →
+    * corpus df as a second partial-aggregated groupBy over the tf
+    * table, equi-joined back on term → broadcast the 1-row corpus
+    * count → one windowed top-k per doc (partitioned on `id`, which is
+    * high-cardinality and k-bounded, so it never concentrates).
+    *
+    * Why df is a groupBy+join and NOT a count-over-`term` window: a
+    * window partitioned on raw `term` pins EVERY (doc, term) row of a
+    * stopword-class term into one partition — at 100 TB that single
+    * partition is a straggler no config can split. The groupBy form
+    * map-side-combines the hot term down to one row per partition
+    * before the shuffle, and the join back is an equi-join whose build
+    * side carries exactly ONE row per term — AQE skew-join can split
+    * the probe side freely. The tf table is materialized so the
+    * token-explode subtree is scanned once, not once per consumer.
     */
   def tfIdfTopK(
       df: org.apache.spark.sql.DataFrame,
@@ -314,10 +325,10 @@ object Text {
         explode(split(normalize(col(textCol)), " ")).as("term")
       )
       .where(col("term") =!= "")
-    val tf = toks.groupBy("id", "term").agg(count(lit(1)).as("tf"))
-    // df as a count-over-term window on the tf table — a groupBy +
-    // self-join formulation would scan the token-explode subtree twice
-    val wTerm = org.apache.spark.sql.expressions.Window.partitionBy("term")
+    val tf = graft.functions.materialize(
+      toks.groupBy("id", "term").agg(count(lit(1)).as("tf"))
+    )
+    val dfTab = tf.groupBy("term").agg(count(lit(1)).as("df"))
     // 1-row broadcast cross join is the distributed way to attach a
     // corpus-level scalar (it plans as a BNL over a single build row —
     // O(rows), not all-pairs)
@@ -325,7 +336,7 @@ object Text {
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy("id")
       .orderBy(col("score").desc, col("term"))
-    tf.withColumn("df", count(lit(1)).over(wTerm))
+    tf.join(dfTab, "term")
       .crossJoin(broadcast(n))
       .withColumn(
         "score",

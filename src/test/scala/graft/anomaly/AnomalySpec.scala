@@ -120,6 +120,58 @@ class AnomalySpec extends SparkSpec {
     assert(best.startsWith("HoltLinear") || best.startsWith("AutoSeasonal"), best)
   }
 
+  test("HoltWinters is exact on a noiseless additive trend+seasonal series") {
+    // value(i) = 50 + 2i + 10*sin(2*pi*i/7): the period mean cancels the
+    // sine exactly, the same-phase drift telescopes to the slope, and
+    // the phase deviation IS the seasonal offset — forecast == value.
+    val rows = (0 until 40).map { i =>
+      (
+        java.sql.Timestamp.valueOf(java.time.LocalDate.of(2025, 1, 1).plusDays(i).atStartOfDay),
+        50.0 + 2.0 * i + 10.0 * math.sin(2 * math.Pi * i / 7)
+      )
+    }
+    val series = rows.toDF("ts", "value").withColumn("series", lit("hw"))
+    val w = org.apache.spark.sql.expressions.Window.partitionBy($"series").orderBy($"ts")
+    val scored = series
+      .withColumn("rn", org.apache.spark.sql.functions.row_number().over(w))
+      .withColumn("hw", HoltWinters().forecast($"value", w))
+    // NULL until period+1 lags exist (period mean + drift endpoint)
+    assert(scored.where($"rn" <= 8 && $"hw".isNotNull).count() == 0)
+    assert(scored.where($"rn" === 9 && $"hw".isNull).count() == 0)
+    // exact (to fp roundoff) once one full seasonal window exists
+    // (m=1 deviation needs period + (period-1)/2 = 10 preceding rows)
+    val maxErr = scored
+      .where($"rn" > 11)
+      .select(max(abs($"value" - $"hw")).as("e"))
+      .collect()
+      .head
+      .getAs[Double]("e")
+    assert(maxErr < 1e-9, s"expected exact forecast, max abs error $maxErr")
+  }
+
+  test("HoltWinters beats HoltLinear on a noisy multiplicative seasonal+trend series") {
+    val series = SyntheticSeries
+      .daily(spark, 70, trend = 0.3, period = 7, seasonalAmp = 0.15, noiseAmp = 0.005)
+      .withColumn("series", lit("hw"))
+    val w = org.apache.spark.sql.expressions.Window.partitionBy($"series").orderBy($"ts")
+    val scored = series
+      .withColumn("rn", org.apache.spark.sql.functions.row_number().over(w))
+      .withColumn("hw", HoltWinters().forecast($"value", w))
+      .withColumn("holt", HoltLinear().forecast($"value", w))
+    // Once seasons are visible, phase deviations absorb the weekly
+    // pattern HoltLinear treats as error.
+    val errs = scored
+      .where($"hw".isNotNull && $"holt".isNotNull && $"rn" > 21)
+      .select(
+        avg(abs($"value" - $"hw")).as("hw_err"),
+        avg(abs($"value" - $"holt")).as("holt_err")
+      )
+      .collect()
+      .head
+    val (hwErr, holtErr) = (errs.getAs[Double]("hw_err"), errs.getAs[Double]("holt_err"))
+    assert(hwErr < holtErr * 0.3, s"HoltWinters $hwErr !< 0.3 * HoltLinear $holtErr")
+  }
+
   test("AutoSeasonal learns the period and beats SeasonalNaive-7 on weekly+trend") {
     // Weekly multiplicative seasonality on a linear trend: plain
     // seasonal-naive lags by slope*period; AutoSeasonal's drift term
@@ -136,13 +188,15 @@ class AnomalySpec extends SparkSpec {
     val auto = errs.collect { case (m, e) if m.startsWith("AutoSeasonal") => e }.head
     val sn = errs("SeasonalNaive-7")
     assert(auto < sn, s"AutoSeasonal $auto !< SeasonalNaive $sn")
-    // and it wins model selection from the full extended family
+    // and a seasonal-aware model wins selection from the full extended
+    // family (AutoSeasonal and HoltWinters are both near-exact here;
+    // which edges out is a rounding contest, not the point)
     val best = Optimizer
       .optimize(series, Seq("series"), cfg = Optimizer.Config(models = Models.extended))
       .collect()
       .head
       .getAs[String]("best_model")
-    assert(best.startsWith("AutoSeasonal"), best)
+    assert(best.startsWith("AutoSeasonal") || best.startsWith("HoltWinters"), best)
   }
 
   test("threshold grid matches the reference's _find_best_threshold cases") {

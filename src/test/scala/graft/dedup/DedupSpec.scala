@@ -103,6 +103,17 @@ class DedupSpec extends SparkSpec {
     assert(dist.toSet == cc.toSet)
   }
 
+  test("star alternation converges on a chain far deeper than the round budget") {
+    // diameter 299 with maxIter=10: min-label propagation would stall
+    // 10 hops in; large-star/small-star contracts the whole chain to a
+    // star on node 1 in O(log n) rounds.
+    val n = 300L
+    val chain = (1L until n).map(i => (i, i + 1, 1.0)).toDF("id_a", "id_b", "jaccard")
+    val cc = Dedup.connectedComponents(chain, maxIter = 10, driverThreshold = 0).collect()
+    assert(cc.length == n)
+    assert(cc.forall(_.getLong(1) == 1L))
+  }
+
   test("connected-component schema preserves the input id type on both paths") {
     val intEdges = Seq((1, 2, 1.0), (2, 3, 1.0)).toDF("id_a", "id_b", "jaccard")
     val driverPath = Dedup.connectedComponents(intEdges, maxIter = 10)

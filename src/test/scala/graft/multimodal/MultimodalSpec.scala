@@ -28,7 +28,7 @@ class MultimodalSpec extends SparkSpec {
 
   test("extractFeatures preserves input columns, adds deterministic feature batch output") {
     val out = Multimodal.extractFeatures(media, "payload", featureDim = 4, batchSize = 2)
-    assert(out.columns.toSeq == Seq("id", "payload", "width", "height", "feature"))
+    assert(out.columns.toSeq == Seq("id", "payload", "width", "height", "decoded", "feature"))
     val rows = out.collect()
     assert(rows.length == 3)
     rows.foreach { r =>
@@ -64,6 +64,54 @@ class MultimodalSpec extends SparkSpec {
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2)))
     assert(pairs.exists(p => p._1 == 1L && p._2 == 2L && p._3 == 0))
     assert(pairs.exists(p => p._1 == 1L && p._2 == 3L))
+  }
+
+  test("image payloads decode for real: true dimensions, luma features, pixel phash pairs") {
+    def png(w: Int, h: Int, f: (Int, Int) => Int): Array[Byte] = {
+      val img =
+        new java.awt.image.BufferedImage(w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
+      for (y <- 0 until h; x <- 0 until w) img.setRGB(x, y, f(x, y))
+      val out = new java.io.ByteArrayOutputStream()
+      javax.imageio.ImageIO.write(img, "png", out)
+      out.toByteArray
+    }
+    def gray(v: Int) = (v << 16) | (v << 8) | v
+    val base = png(32, 20, (x, _) => gray(x * 255 / 31)) // dark->bright gradient
+    val near = png(32, 20, (x, y) => gray(math.min(255, x * 255 / 31 + ((x + y) % 3))))
+    val far = png(32, 20, (x, _) => gray(255 - x * 255 / 31)) // inverted
+    val imgs = Seq(
+      (1L, base),
+      (2L, near),
+      (3L, far),
+      (4L, "definitely not an image".getBytes("UTF-8"))
+    ).toDF("id", "payload")
+    val feats = Multimodal
+      .extractFeatures(imgs, "payload", featureDim = 8)
+      .collect()
+      .map(r => r.getAs[Long]("id") -> r)
+      .toMap
+    // real dimensions from the PNG header, not byte-derived surrogates
+    assert(feats(1L).getAs[Int]("width") == 32 && feats(1L).getAs[Int]("height") == 20)
+    assert(feats(1L).getAs[Boolean]("decoded"))
+    assert(!feats(4L).getAs[Boolean]("decoded")) // fallback path flagged
+    // luma features see the gradient: leftmost cell darker than rightmost
+    // in the first grid row (row-major cells)
+    val f1 = feats(1L).getAs[scala.collection.Seq[Float]]("feature")
+    assert(f1.head < f1(2), s"expected left<right luma, got $f1")
+    // pixel-space phash: the jittered gradient pairs with the original,
+    // the inverted one is ~maximally distant; non-images are dropped
+    val sigIds = Multimodal
+      .decodedAHash60(imgs, "payload", "id")
+      .collect()
+      .map(_.getAs[Long]("id"))
+      .toSet
+    assert(sigIds == Set(1L, 2L, 3L))
+    val pairs = Multimodal
+      .decodedPhashPairs(imgs, "payload", "id", maxHamming = 8)
+      .collect()
+      .map(r => (r.getAs[Long]("id_a"), r.getAs[Long]("id_b")))
+    assert(pairs.contains((1L, 2L)), s"near-dup images should pair, got ${pairs.toSeq}")
+    assert(!pairs.contains((1L, 3L)), "inverted image must not pair with the original")
   }
 
   test("sampleFrames chunk/stride arithmetic") {

@@ -30,6 +30,29 @@ class LayoutSpec extends SparkSpec {
     }
   }
 
+  test("bucket widens to long before subtracting — full-Int-span columns don't overflow") {
+    val df = Seq(Int.MinValue, 0, Int.MaxValue).toDF("x")
+    val got = df
+      .select(
+        Layout
+          .bucket(col("x"), lit(Int.MinValue), lit(Int.MaxValue), 4)
+          .as("b"))
+      .as[Long]
+      .collect()
+      .toSeq
+    // Int.MaxValue - Int.MinValue in int wraps to -1; in long it is
+    // 2^32 - 1 and the buckets land monotonically in [0, 16).
+    assert(got == Seq(0L, 8L, 15L), s"got $got")
+  }
+
+  test("bucket raises on ranges past the 2^40 double-exactness bound") {
+    val df = Seq(0L).toDF("x")
+    val err = intercept[Exception] {
+      df.select(Layout.bucket(col("x"), lit(0L), lit(1L << 41), 4)).collect()
+    }
+    assert(err.getMessage.contains("2^40") || err.getCause != null)
+  }
+
   test("z-order layout bounds BOTH dimensions; a single-column sort bounds only one") {
     val rnd = new scala.util.Random(3)
     val rows = (0 until 20000).map(_ => (rnd.nextInt(1 << 10).toLong, rnd.nextInt(1 << 10).toLong))

@@ -79,6 +79,68 @@ class HtmlReportSpec extends SparkSpec {
     assert(html.contains("last=19.0"))
   }
 
+  test("index page browses datasets with health badges and writeAll emits every file") {
+    import spark.implicits._
+    val repo = new InMemoryRepository()
+    // healthy dataset: full pipeline, scores within threshold
+    val healthy = "ds://warehouse/healthy"
+    Service.profileCreate(
+      SyntheticSeries.daily(spark, 40),
+      healthy,
+      "ts",
+      repo,
+      ProfilingBuilder.simple)
+    Service.optimize(healthy, repo)
+    Service.score(healthy, repo)
+    // anomalous dataset: newest score breaches its stored threshold
+    val bad = "ds://warehouse/bad"
+    Service.profileCreate(
+      SyntheticSeries.daily(spark, 40),
+      bad,
+      "ts",
+      repo,
+      ProfilingBuilder.simple)
+    Service.optimize(bad, repo)
+    Service.score(bad, repo)
+    // newest-dated score (the synthetic series runs through 2025)
+    repo.addScoring(
+      bad,
+      Seq(
+        (
+          java.sql.Timestamp.valueOf("2026-01-01 00:00:00"),
+          "Column",
+          "value",
+          "Mean",
+          30.0,
+          10.0,
+          0.99))
+        .toDF("ts", "entity", "instance", "name", "value", "predicted", "score")
+    )
+    // registered but never profiled: must render, not crash
+    val empty = "ds://warehouse/empty"
+    repo.registerDataset(
+      graft.core.DatasetMeta(empty, "ts", Seq("value"), "DAY", Seq.empty))
+
+    val html = HtmlReport.renderIndex(repo)
+    assert(html.contains("3 datasets"))
+    // each dataset links to its slugged report file
+    assert(html.contains("href=\"" + HtmlReport.slug(healthy) + ".html\""))
+    assert(html.contains("🟢 healthy"))
+    assert(html.contains("anomalous"))
+    assert(html.contains("no scoring"))
+
+    val dir = java.nio.file.Files.createTempDirectory("graft-report").toString
+    val written = HtmlReport.writeAll(repo, dir)
+    assert(written.length == 4) // index + 3 datasets
+    assert(written.head.getFileName.toString == "index.html")
+    assert(written.forall(java.nio.file.Files.exists(_)))
+    // the index's hrefs resolve against the files actually written
+    val idx = java.nio.file.Files.readString(written.head)
+    written.tail.foreach { p =>
+      assert(idx.contains(s"""href="${p.getFileName}""""), p.toString)
+    }
+  }
+
   test("report degrades gracefully with no optimization or scoring") {
     val repo = new InMemoryRepository()
     val uri = "ds://bare"

@@ -200,4 +200,41 @@ class SimilaritySpec extends SparkSpec {
       .map(r => (r.getString(0), r.getInt(1), r.getDouble(2), r.getLong(3)))
     assert(re.sameElements(got))
   }
+
+  test("crossCosineAbove keeps colliding ids across independent corpora by default") {
+    // Two INDEPENDENT tables that happen to share id 1 on near-identical
+    // vectors: the collision is a genuine contamination hit, not a
+    // self-pair, and must survive the default (no same-id exclusion).
+    val bench = Seq((1L, Array(1.0f, 0.0f))).toDF("vec_id", "embedding")
+    val corpus = Seq(
+      (1L, Array(0.99f, 0.01f)),
+      (2L, Array(0.0f, 1.0f))
+    ).toDF("vec_id", "embedding")
+    val defaultPairs = Similarity
+      .crossCosineAbove(bench, corpus, "vec_id", "embedding", 0.9)
+      .collect()
+      .map(r => (r.getAs[Long]("id_bench"), r.getAs[Long]("id_corpus")))
+    assert(defaultPairs.toSeq == Seq((1L, 1L)))
+    val excluded = Similarity
+      .crossCosineAbove(bench, corpus, "vec_id", "embedding", 0.9, excludeSameId = true)
+      .collect()
+    assert(excluded.isEmpty) // subset-of-corpus mode drops the self id
+  }
+
+  test("crossCosineAbove never flags zero-norm embeddings") {
+    // cosine with a zero vector is 0/0 = NaN, and Spark sorts NaN above
+    // every number — without the scan-side norm guard the zero vector
+    // would pass `sim >= threshold` against ALL counterparts.
+    val bench = Seq((10L, Array(0.0f, 0.0f)), (11L, Array(1.0f, 0.0f)))
+      .toDF("vec_id", "embedding")
+    val corpus = Seq(
+      (20L, Array(1.0f, 0.0f)),
+      (21L, Array(0.0f, 0.0f))
+    ).toDF("vec_id", "embedding")
+    val pairs = Similarity
+      .crossCosineAbove(bench, corpus, "vec_id", "embedding", 0.5)
+      .collect()
+      .map(r => (r.getAs[Long]("id_bench"), r.getAs[Long]("id_corpus")))
+    assert(pairs.toSeq == Seq((11L, 20L)))
+  }
 }
