@@ -53,7 +53,9 @@ object Bench {
       // r5 additions: partsupp-family TPC-H, heap top-k vs window twin,
       // weighted mixture sampling, multi-dim layout
       "q2_min_cost_supplier", "q_group_topk_agg", "q_weighted_sample",
-      "q_zorder_stats"
+      "q_zorder_stats",
+      // r6 addition: seasonal+trend forecast
+      "anomaly_forecast_hw"
     )
     val byName = results.map { case (k, v, _) => k -> v }.toMap
     val qs = headline.flatMap(k => byName.get(k).map(v => s"\"" + k + "\":" + ms(v)))

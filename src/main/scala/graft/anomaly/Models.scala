@@ -146,8 +146,11 @@ case class HoltLinear(alpha: Double = 0.5, beta: Double = 0.5, horizon: Int = 8)
   *     dev_m = value(t-m*period) - centeredPeriodMean(t-m*period). The
   *     CENTERED one-period mean removes level and (exactly, on a linear
   *     trend) trend at that point; a trailing mean would bias every
-  *     deviation by slope*(period-1)/2. A deviation only counts when
-  *     its full period window exists (count == period).
+  *     deviation by slope*(period-1)/2. Odd periods center on integer
+  *     offsets directly; even periods average the two windows offset by
+  *     one (the classic 2xMA centering — their +-0.5 mean offsets
+  *     cancel), so neither parity carries a slope bias. A deviation
+  *     only counts when its full window(s) exist (count == period).
   *
   * forecast = periodMean + drift*(period+1)/2 + seasonal — EXACT on any
   * noiseless additive linear-trend + period-seasonal series once one
@@ -175,11 +178,23 @@ case class HoltWinters(
       val hi = m * period - period / 2
       val frame = w.rowsBetween(-lo, -hi)
       val phase = lag(value, m * period).over(w)
-      val have = phase.isNotNull && (count(value).over(frame) === lit(period))
-      (
-        when(have, (phase - avg(value).over(frame)) * lit(weight)).otherwise(lit(0.0)),
-        when(have, lit(weight)).otherwise(lit(0.0))
-      )
+      if (period % 2 == 1) {
+        val have = phase.isNotNull && (count(value).over(frame) === lit(period))
+        (
+          when(have, (phase - avg(value).over(frame)) * lit(weight)).otherwise(lit(0.0)),
+          when(have, lit(weight)).otherwise(lit(0.0))
+        )
+      } else {
+        val frame2 = w.rowsBetween(-(lo + 1), -(hi + 1))
+        val have = phase.isNotNull &&
+          (count(value).over(frame) === lit(period)) &&
+          (count(value).over(frame2) === lit(period))
+        val base = (avg(value).over(frame) + avg(value).over(frame2)) / 2
+        (
+          when(have, (phase - base) * lit(weight)).otherwise(lit(0.0)),
+          when(have, lit(weight)).otherwise(lit(0.0))
+        )
+      }
     }
     val sNum = seasonalTerms.map(_._1).reduce(_ + _)
     val sDen = seasonalTerms.map(_._2).reduce(_ + _)

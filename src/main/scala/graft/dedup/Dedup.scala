@@ -324,9 +324,12 @@ object Dedup {
       vEdges.unionByName(uEdges).where(col("src") =!= col("dst")).distinct()
     }
     // order-independent fixpoint signature: stable (count, hash-sum)
-    // across a round ⇒ the edge set reproduced itself exactly. The sum
-    // runs in DECIMAL(38,0) — a long sum of 2^63-scale hashes overflows
-    // under ANSI mode on the second edge.
+    // across a round ⇒ the edge set ALMOST CERTAINLY reproduced itself.
+    // The sum runs in DECIMAL(38,0) — a long sum of 2^63-scale hashes
+    // overflows under ANSI mode on the second edge. A signature match
+    // is only a trigger: convergence is then CONFIRMED with one exact
+    // set-difference, so a 2^-64 hash-sum collision costs one extra
+    // check, never a wrong early exit.
     def signature(e: DataFrame): (Long, String) = {
       val r = e
         .agg(
@@ -346,18 +349,28 @@ object Dedup {
     var iter = 0
     var converged = false
     while (!converged && iter < maxIter) {
+      val prev = e
       e = graft.functions.materialize(smallStar(largeStar(e)))
       val next = signature(e)
-      converged = next == sig
+      converged =
+        next == sig && e.exceptAll(prev).limit(1).count() == 0
       sig = next
       iter += 1
     }
     // at fixpoint every non-root carries exactly (v, root); the root's
-    // own min-neighbor is a member > root, so least(...) keeps it
-    directed(e)
+    // own min-neighbor is a member > root, so least(...) keeps it.
+    // Nodes whose ONLY pairs were self-pairs (id_a == id_b) never enter
+    // the star edge set — re-attach every original node so both
+    // execution paths cover the identical node set.
+    val starLabels = directed(e)
       .groupBy("src")
       .agg(min("dst").as("_mn"))
       .select(col("src").as("id"), least(col("_mn"), col("src")).as("label"))
+    edges
+      .select(col("src").as("id"))
+      .distinct()
+      .join(starLabels, Seq("id"), "left_outer")
+      .select(col("id"), coalesce(col("label"), col("id")).as("label"))
   }
 
   /** Exact driver-side union-find (path compression + union by min)

@@ -43,9 +43,10 @@ object Quickstart {
     println(s"=== assessment: healthy=${assessment.isHealthy} ===")
     assessment.anomalous.foreach(a => println(s"  ANOMALY: $a"))
 
-    // D: static HTML dashboard (the reference UI's views, server-less).
-    val report = graft.report.HtmlReport.write(repo, uri, "/tmp/graft-quickstart-report.html")
-    println(s"=== report written: $report ===")
+    // D: static HTML dashboard (the reference UI's views, server-less):
+    // the dataset browser index plus one report page per dataset.
+    val pages = graft.report.HtmlReport.writeAll(repo, "/tmp/graft-quickstart-report")
+    println(s"=== reports written: ${pages.mkString(", ")} ===")
 
     spark.stop()
   }

@@ -127,9 +127,13 @@ object Multimodal {
     val binIdx = inputSchema.fieldIndex(binCol)
     val outSchema = StructType(inputSchema.fields ++ featureSchema.fields)
     val encoder = org.apache.spark.sql.Encoders.row(outSchema)
-    // featureDim cells as close to square as the dim allows (8 -> 4x2)
-    val gw = math.max(1, math.sqrt(featureDim.toDouble).ceil.toInt)
-    val gh = math.max(1, featureDim / gw + (if (featureDim % gw == 0) 0 else 1))
+    // exactly featureDim cells, as close to square as its divisors
+    // allow (8 -> 4x2, 9 -> 3x3, 12 -> 4x3; primes degrade to a 1-row
+    // strip) — every computed cell lands in the feature, none dropped
+    val gw = (math.sqrt(featureDim.toDouble).ceil.toInt to featureDim)
+      .find(featureDim % _ == 0)
+      .getOrElse(featureDim)
+    val gh = featureDim / gw
     df.mapPartitions { rows =>
       rows.grouped(batchSize).flatMap { batch =>
         batch.map { row =>
@@ -137,8 +141,7 @@ object Multimodal {
           readImage(bytes) match {
             case Some(img) =>
               val grid = lumaGrid(img, gw, gh)
-              val feature =
-                Array.tabulate(featureDim)(j => grid(j % grid.length) / 255.0f)
+              val feature = Array.tabulate(featureDim)(j => grid(j) / 255.0f)
               Row.fromSeq(
                 row.toSeq ++ Seq(img.getWidth, img.getHeight, true, feature))
             case None =>

@@ -67,11 +67,6 @@ object AnomalyQueries extends QueryPack {
     * every sum/divide repeats the Column expression's left-associative
     * order, so both engines walk the identical IEEE sequence.
     */
-  /** Exact SQL mirror of [[graft.anomaly.HoltLinear]]: weight literals
-    * are the Scala-computed doubles (shortest-repr roundtrip), and
-    * every sum/divide repeats the Column expression's left-associative
-    * order, so both engines walk the identical IEEE sequence.
-    */
   private def holtSql(alpha: Double, beta: Double, horizon: Int): String = {
     val lagw = "(PARTITION BY event_type ORDER BY ts)"
     def lagv(j: Int) = s"lag(value, $j) OVER $lagw"
@@ -119,14 +114,27 @@ object AnomalyQueries extends QueryPack {
       val w = gamma * math.pow(1 - gamma, m - 1)
       val lo = m * period + (period - 1) / 2
       val hi = m * period - period / 2
-      val frame =
-        s"(PARTITION BY event_type ORDER BY ts ROWS BETWEEN $lo PRECEDING AND $hi PRECEDING)"
+      def fr(l: Int, h: Int) =
+        s"(PARTITION BY event_type ORDER BY ts ROWS BETWEEN $l PRECEDING AND $h PRECEDING)"
+      val frame = fr(lo, hi)
       val phase = s"lag(value, ${m * period}) OVER $lagw"
-      val have = s"$phase IS NOT NULL AND count(value) OVER $frame = $period"
-      (
-        s"CASE WHEN $have THEN ($phase - avg(value) OVER $frame) * $w ELSE 0.0 END",
-        s"CASE WHEN $have THEN $w ELSE 0.0 END"
-      )
+      if (period % 2 == 1) {
+        val have = s"$phase IS NOT NULL AND count(value) OVER $frame = $period"
+        (
+          s"CASE WHEN $have THEN ($phase - avg(value) OVER $frame) * $w ELSE 0.0 END",
+          s"CASE WHEN $have THEN $w ELSE 0.0 END"
+        )
+      } else {
+        val frame2 = fr(lo + 1, hi + 1)
+        val have =
+          s"""$phase IS NOT NULL AND count(value) OVER $frame = $period
+              AND count(value) OVER $frame2 = $period"""
+        val base = s"((avg(value) OVER $frame + avg(value) OVER $frame2) / 2)"
+        (
+          s"CASE WHEN $have THEN ($phase - $base) * $w ELSE 0.0 END",
+          s"CASE WHEN $have THEN $w ELSE 0.0 END"
+        )
+      }
     }
     val snum = st.map(_._1).mkString("(", " + ", ")")
     val sden = st.map(_._2).mkString("(", " + ", ")")
@@ -204,10 +212,16 @@ object AnomalyQueries extends QueryPack {
   // candidates {2,7} with h=4 keep the history requirement (h+7=11)
   // inside the 30-day series' 12-point training prefix
   private val autoModel = AutoSeasonal(Seq(2, 7), 4)
+  // HW needs period + (period-1)/2 = 10 preceding rows for its first
+  // seasonal deviation — inside the 12-point training prefix too
+  private val hwModel = HoltWinters(0.5, 7, 2)
   private val bestModels = tmModels ++
-    Seq(("SeasonalNaive-7", snSql(7)), (autoModel.name, autoSeasonalSql(Seq(2, 7), 4)))
+    Seq(
+      ("SeasonalNaive-7", snSql(7)),
+      (autoModel.name, autoSeasonalSql(Seq(2, 7), 4)),
+      (hwModel.name, hwSql(0.5, 7, 2)))
   private val bestModelSet = Models.trailingMeans(Seq(3, 5, 7)) ++
-    Seq(SeasonalNaive(7), autoModel)
+    Seq(SeasonalNaive(7), autoModel, hwModel)
 
   // mirrors Optimizer.optimize incl. the minValidationPoints qualifier
   // (Optimizer.scala — models with < 3 valid validation errors never

@@ -235,9 +235,18 @@ object HtmlReport {
     p
   }
 
-  /** Filesystem-safe per-dataset report filename stem. */
-  private[report] def slug(uri: String): String =
-    uri.replaceAll("[^A-Za-z0-9._-]", "_")
+  /** Filesystem-safe per-dataset report filename stem. The sanitized
+    * uri is suffixed with 8 hex chars of its md5 so distinct uris that
+    * sanitize identically ("ds://a/b" vs "ds://a_b") can never clobber
+    * each other's report file.
+    */
+  private[report] def slug(uri: String): String = {
+    val digest = java.security.MessageDigest
+      .getInstance("MD5")
+      .digest(uri.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    val hex = digest.take(4).map(b => f"$b%02x").mkString
+    s"${uri.replaceAll("[^A-Za-z0-9._-]", "_")}-$hex"
+  }
 
   /** Index page across every registered dataset — the server-less
     * equivalent of the reference dashboard's home page (ui.py:311
@@ -258,8 +267,7 @@ object HtmlReport {
   ): String = {
     val datasets = repo.listDatasets().sortBy(_.uri)
     val rows = datasets.map { m =>
-      val thresholds = thresholdMap(
-        repo.getOptimization(m.uri).orderBy("entity", "instance", "name").collect().toSeq)
+      val thresholds = thresholdMap(repo.getOptimization(m.uri).collect().toSeq)
       val newestPerSeries = Window
         .partitionBy("entity", "instance", "name")
         .orderBy(col("ts").desc)

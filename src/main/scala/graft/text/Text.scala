@@ -309,8 +309,11 @@ object Text {
     * map-side-combines the hot term down to one row per partition
     * before the shuffle, and the join back is an equi-join whose build
     * side carries exactly ONE row per term — AQE skew-join can split
-    * the probe side freely. The tf table is materialized so the
-    * token-explode subtree is scanned once, not once per consumer.
+    * the probe side freely. The tf table is LAZILY cached so the
+    * token-explode subtree computes once, not once per consumer —
+    * persist() (not an eager checkpoint) keeps plan construction free
+    * of jobs (EXPLAIN stays an explain) and the full subtree visible
+    * to plan audits.
     */
   def tfIdfTopK(
       df: org.apache.spark.sql.DataFrame,
@@ -325,9 +328,7 @@ object Text {
         explode(split(normalize(col(textCol)), " ")).as("term")
       )
       .where(col("term") =!= "")
-    val tf = graft.functions.materialize(
-      toks.groupBy("id", "term").agg(count(lit(1)).as("tf"))
-    )
+    val tf = toks.groupBy("id", "term").agg(count(lit(1)).as("tf")).persist()
     val dfTab = tf.groupBy("term").agg(count(lit(1)).as("df"))
     // 1-row broadcast cross join is the distributed way to attach a
     // corpus-level scalar (it plans as a BNL over a single build row —

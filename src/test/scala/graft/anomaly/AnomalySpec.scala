@@ -149,6 +149,30 @@ class AnomalySpec extends SparkSpec {
     assert(maxErr < 1e-9, s"expected exact forecast, max abs error $maxErr")
   }
 
+  test("HoltWinters stays exact for EVEN periods via the two-window centering") {
+    // period 4 has no symmetric integer window: a single "centered"
+    // window is off by half a step and would bias every deviation by
+    // slope/2 — the averaged offset-by-one windows cancel that exactly.
+    val s4 = Seq(3.0, -1.0, 4.0, -6.0) // zero-sum seasonal pattern
+    val rows = (0 until 30).map { i =>
+      (
+        java.sql.Timestamp.valueOf(java.time.LocalDate.of(2025, 1, 1).plusDays(i).atStartOfDay),
+        10.0 + 1.5 * i + s4(i % 4)
+      )
+    }
+    val series = rows.toDF("ts", "value").withColumn("series", lit("hw4"))
+    val w = org.apache.spark.sql.expressions.Window.partitionBy($"series").orderBy($"ts")
+    val maxErr = series
+      .withColumn("rn", org.apache.spark.sql.functions.row_number().over(w))
+      .withColumn("hw", HoltWinters(period = 4).forecast($"value", w))
+      .where($"rn" > 9)
+      .select(max(abs($"value" - $"hw")).as("e"))
+      .collect()
+      .head
+      .getAs[Double]("e")
+    assert(maxErr < 1e-9, s"expected exact even-period forecast, max abs error $maxErr")
+  }
+
   test("HoltWinters beats HoltLinear on a noisy multiplicative seasonal+trend series") {
     val series = SyntheticSeries
       .daily(spark, 70, trend = 0.3, period = 7, seasonalAmp = 0.15, noiseAmp = 0.005)
