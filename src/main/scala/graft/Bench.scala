@@ -16,12 +16,22 @@ object Bench {
     // as -1 and its name lands in "errors" — never a fake timing.
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
       val t0 = System.nanoTime()
-      try {
-        fn(spark, sfDir).count()
-        (name, (System.nanoTime() - t0) / 1e9, None: Option[String])
-      } catch {
-        case e: Throwable => (name, -1.0, Some(e.getClass.getSimpleName))
-      }
+      val r =
+        try {
+          fn(spark, sfDir).count()
+          (name, (System.nanoTime() - t0) / 1e9, None: Option[String])
+        } catch {
+          case e: Throwable => (name, -1.0, Some(e.getClass.getSimpleName))
+        }
+      // UNTIMED hygiene between queries: queries that persist()/
+      // localCheckpoint intermediates leave blocks behind, and 100+
+      // queries of accumulation show up as multi-second GC spikes on
+      // whichever query the collector lands on — exactly the single-
+      // shot outliers past rounds chased. Dropping caches and hinting
+      // a GC outside the timed window keeps each measurement isolated.
+      spark.catalog.clearCache()
+      System.gc()
+      r
     }
     def ms(v: Double): String = if (v < 0) "-1" else f"$v%.3f"
     val errors = results.collect { case (k, _, Some(_)) => "\"" + k + "\"" }
