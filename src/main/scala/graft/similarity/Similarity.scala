@@ -256,15 +256,66 @@ object Similarity {
       .select("query_id", "neighbor_id", "sim", "rank")
   }
 
-  /** IVF-style ANN: an MLlib k-means coarse quantizer partitions the
-    * corpus into `nlist` inverted lists; each query probes its `nprobe`
+  /** Local Lloyd's iterations over a collected sample — the IVF coarse
+    * quantizer fit. nlist x dim x iters driver flops on <= maxTrain
+    * vectors: microseconds of math that MLlib's KMeans spent ~10
+    * scheduled cluster jobs orchestrating (measured ~2 s of fixed
+    * overhead per bench run). Deterministic: init picks evenly spaced
+    * sample rows; an emptied cluster keeps its previous centroid.
+    */
+  private[similarity] def localKMeans(
+      sample: Array[Array[Double]],
+      k: Int,
+      iters: Int
+  ): Array[Array[Double]] = {
+    require(sample.nonEmpty, "IVF fit: empty training sample")
+    val dim = sample.head.length
+    val n = sample.length
+    val cents =
+      Array.tabulate(math.min(k, n))(j => sample(((j.toLong * n) / k).toInt).clone())
+    var it = 0
+    while (it < iters) {
+      val sums = Array.fill(cents.length)(new Array[Double](dim))
+      val counts = new Array[Long](cents.length)
+      var r = 0
+      while (r < n) {
+        val v = sample(r)
+        var best = 0; var bestD = Double.MaxValue; var j = 0
+        while (j < cents.length) {
+          var d = 0.0; var i = 0
+          val cj = cents(j)
+          while (i < dim) { val diff = v(i) - cj(i); d += diff * diff; i += 1 }
+          if (d < bestD) { bestD = d; best = j }
+          j += 1
+        }
+        val s = sums(best); var i = 0
+        while (i < dim) { s(i) += v(i); i += 1 }
+        counts(best) += 1
+        r += 1
+      }
+      var j = 0
+      while (j < cents.length) {
+        if (counts(j) > 0) {
+          var i = 0
+          while (i < dim) { cents(j)(i) = sums(j)(i) / counts(j); i += 1 }
+        }
+        j += 1
+      }
+      it += 1
+    }
+    cents
+  }
+
+  /** IVF-style ANN: a k-means coarse quantizer partitions the corpus
+    * into `nlist` inverted lists; each query probes its `nprobe`
     * nearest centroids and ranks exact cosine only within those cells.
     *
-    * Scale shape: centroids are tiny (nlist x dim) and live as literal
-    * expressions — no side state, any executor derives the same
-    * assignment. The corpus shuffles once on cell id; the candidate set
-    * per query is nprobe/nlist of the corpus. Cell ranking uses the
-    * standard |c|^2 - 2*v.c monotone form (|v|^2 is constant per row).
+    * Scale shape: centroids are tiny (nlist x dim) and live in the
+    * task closure — no side state, any executor derives the same
+    * assignment. The FIT is bounded driver math over a <= maxTrain
+    * sample ([[localKMeans]]); the scans stay embarrassingly parallel
+    * and nothing shuffles until the cell join. The candidate set per
+    * query is ~nprobe/nlist of the corpus.
     */
   def ivfTopK(
       queries: DataFrame,
@@ -277,10 +328,6 @@ object Similarity {
       seed: Long = 42L,
       trainFraction: Option[Double] = None
   ): DataFrame = {
-    import org.apache.spark.ml.clustering.KMeans
-    import org.apache.spark.ml.functions.array_to_vector
-
-    val fv = array_to_vector(col(vecCol).cast("array<double>")).as("_fv")
     // Coarse centroids only need to partition space, not converge: cap
     // the training set (IVF practice is a corpus sample) and the
     // iteration count. COUNT-FREE sizing: LocalLimit stops each scan
@@ -294,41 +341,18 @@ object Similarity {
       require(f > 0.0 && f <= 1.0, s"trainFraction must be in (0, 1], got $f")
     )
     val maxTrain = 8192
-    val base = corpus.select(fv)
-    val trainDf = trainFraction
+    val base = corpus.select(col(vecCol).cast("array<double>").as("_v"))
+    val sample = trainFraction
       .fold(base)(f => base.sample(withReplacement = false, f, seed))
       .limit(maxTrain)
-    val model = new KMeans()
-      .setK(nlist)
-      .setSeed(seed)
-      // 5 iterations: a coarse quantizer needs space partitioned, not
-      // converged — each extra iteration is 1-2 scheduled jobs of
-      // fixed overhead and moves recall imperceptibly
-      .setMaxIter(5)
-      // random init: k-means|| costs ~5 extra corpus passes for init
-      // quality a coarse quantizer does not need
-      .setInitMode("random")
-      .setFeaturesCol("_fv")
-      .fit(trainDf)
-    val cents = model.clusterCenters.map(_.toArray)
+      .collect()
+      .map(_.getSeq[Double](0).toArray)
+    val cents = localKMeans(sample, nlist, iters = 5)
 
-    // Cell assignment runs through the model's own compiled predictor
-    // (vectorized BLAS distance loops); the query side probes its
-    // nprobe nearest centroids with the same math over the
-    // closure-broadcast centroid array. Both are embarrassingly
-    // parallel scans — no shuffle until the cell join below.
-    val c = model
-      .setPredictionCol("_cell")
-      .transform(
-        corpus.select(
-          col(idCol).as("neighbor_id"),
-          col(vecCol).as("_cv"),
-          norm(col(vecCol)).as("_cn"),
-          fv
-        )
-      )
-      .drop("_fv")
-    val probeUdf = udf { (v: org.apache.spark.ml.linalg.Vector) =>
+    // nearest-`take` centroid ids for one vector — the same closure
+    // serves corpus cell assignment (take=1) and query probing
+    // (take=nprobe); embarrassingly parallel scans, no shuffle yet.
+    def cellsUdf(take: Int) = udf { (v: scala.collection.Seq[Double]) =>
       cents.indices
         .map { j =>
           var d = 0.0
@@ -340,16 +364,25 @@ object Similarity {
           (d, j)
         }
         .sortBy(identity)
-        .take(nprobe)
+        .take(take)
         .map(_._2)
         .toArray
     }
+    val c = corpus
+      .select(
+        col(idCol).as("neighbor_id"),
+        col(vecCol).as("_cv"),
+        norm(col(vecCol)).as("_cn"),
+        cellsUdf(1)(col(vecCol).cast("array<double>")).as("_cells")
+      )
+      .withColumn("_cell", col("_cells")(0))
+      .drop("_cells")
     val q = queries
       .select(
         col(idCol).as("query_id"),
         col(vecCol).as("_qv"),
         norm(col(vecCol)).as("_qn"),
-        probeUdf(array_to_vector(col(vecCol).cast("array<double>"))).as("_probes")
+        cellsUdf(nprobe)(col(vecCol).cast("array<double>")).as("_probes")
       )
       .select(
         col("query_id"),
