@@ -46,7 +46,25 @@ object Scorer {
       tsCol: String = "ts",
       valueCol: String = "value",
       cfg: Optimizer.Config = Optimizer.Config()
-  ): DataFrame =
+  ): DataFrame = {
+    // The stored best_model is matched BY NAME against cfg.models'
+    // forecasts: a model selected at optimize time but absent from the
+    // scoring family would silently drop its series from the output
+    // (inner join + filter). Fail loudly instead — the check runs on
+    // the distinct model names of the tiny optimization table.
+    val known = cfg.models.map(_.name).toSet
+    val missing = optimization
+      .where(col("best_model").isNotNull)
+      .select("best_model")
+      .distinct()
+      .collect()
+      .map(_.getString(0))
+      .filterNot(known)
+    require(
+      missing.isEmpty,
+      s"scoring model family lacks ${missing.mkString(", ")} selected by the stored " +
+        "optimization — pass the same cfg.models used to optimize (e.g. Models.extended)"
+    )
     Optimizer
       .forecastErrors(series, seriesCols, tsCol, valueCol, cfg)
       .join(
@@ -58,6 +76,7 @@ object Scorer {
         (seriesCols.map(col) :+ col(tsCol) :+ col("value") :+
           col("predicted") :+ col("error").as("score") :+ col("rn") :+ col("n")): _*
       )
+  }
 
   /** Model-free robust z-score of the newest point per series:
     * z = (y - median(history)) / (1.4826 * MAD(history) + eps), where

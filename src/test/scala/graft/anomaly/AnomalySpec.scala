@@ -91,6 +91,26 @@ class AnomalySpec extends SparkSpec {
     }
   }
 
+  test("scoring with a smaller model family than optimize used fails loudly, not silently") {
+    val series = SyntheticSeries
+      .daily(spark, 70, trend = 0.3, period = 7, seasonalAmp = 0.15, noiseAmp = 0.005)
+      .withColumn("series", lit("weekly"))
+    val opt = Optimizer
+      .optimize(series, Seq("series"), cfg = Optimizer.Config(models = Models.extended))
+    // the seasonal series selects an extended-family model that the
+    // default scoring family cannot forecast — the old inner join
+    // dropped the series from the output without a trace
+    val err = intercept[IllegalArgumentException] {
+      Scorer.score(series, opt, Seq("series")).collect()
+    }
+    assert(err.getMessage.contains("model family"), err.getMessage)
+    // same family scores fine
+    val scored = Scorer
+      .score(series, opt, Seq("series"), cfg = Optimizer.Config(models = Models.extended))
+      .collect()
+    assert(scored.length == 1)
+  }
+
   test("HoltLinear tracks a linear trend that trailing means lag behind") {
     val series = (1 to 30)
       .map(i => (java.sql.Timestamp.valueOf(f"2025-01-$i%02d 00:00:00"), 100.0 + 5.0 * i))
