@@ -114,6 +114,20 @@ class DedupSpec extends SparkSpec {
     assert(cc.forall(_.getLong(1) == 1L))
   }
 
+  test("star alternation equals driver union-find on random graphs") {
+    val rnd = new scala.util.Random(11)
+    for (trial <- 1 to 3) {
+      val pairs = Seq
+        .fill(80)((rnd.nextInt(60).toLong, rnd.nextInt(60).toLong))
+        .map { case (a, b) => (a, b, 1.0) }
+        .toDF("id_a", "id_b", "jaccard")
+      val driver = Dedup.connectedComponents(pairs).collect().toSet
+      val dist =
+        Dedup.connectedComponents(pairs, maxIter = 15, driverThreshold = 0).collect().toSet
+      assert(dist == driver, s"trial $trial: paths diverged")
+    }
+  }
+
   test("connected-component schema preserves the input id type on both paths") {
     val intEdges = Seq((1, 2, 1.0), (2, 3, 1.0)).toDF("id_a", "id_b", "jaccard")
     val driverPath = Dedup.connectedComponents(intEdges, maxIter = 10)
