@@ -241,6 +241,69 @@ object Multimodal {
   ): DataFrame =
     graft.dedup.PortableDedup.hammingPairs60(averageHash60(df, binCol, idCol), maxHamming)
 
+  /** Nearest-neighbor RGB resize to exactly (w x h) — the same explicit
+    * pixel arithmetic as [[lumaGrid]] (no Graphics2D filtering), so the
+    * result is deterministic for a given JDK.
+    */
+  private[multimodal] def resizeRgb(
+      img: java.awt.image.BufferedImage,
+      w: Int,
+      h: Int
+  ): java.awt.image.BufferedImage = {
+    val out =
+      new java.awt.image.BufferedImage(w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
+    var y = 0
+    while (y < h) {
+      val sy = (y.toLong * img.getHeight / h).toInt
+      var x = 0
+      while (x < w) {
+        val sx = (x.toLong * img.getWidth / w).toInt
+        out.setRGB(x, y, img.getRGB(sx, sy) & 0xffffff)
+        x += 1
+      }
+      y += 1
+    }
+    out
+  }
+
+  /** Batched image resize over the binary payload: decodable images are
+    * nearest-neighbor-resized to (width x height) and re-encoded as
+    * PNG into a new `resized` binary column (`was_resized` = true);
+    * payloads no JDK reader decodes pass through with a NULL `resized`
+    * and the flag false — same mapPartitions batch plumbing as
+    * [[extractFeatures]], so a real codec swap touches only the kernel.
+    */
+  def resizeImages(
+      df: DataFrame,
+      binCol: String,
+      width: Int,
+      height: Int,
+      batchSize: Int = 64
+  ): DataFrame = {
+    require(width > 0 && height > 0, s"target dims must be positive, got ${width}x$height")
+    val inputSchema = df.schema
+    val binIdx = inputSchema.fieldIndex(binCol)
+    val outSchema = StructType(
+      inputSchema.fields ++ Seq(
+        StructField("resized", BinaryType),
+        StructField("was_resized", BooleanType)))
+    val encoder = org.apache.spark.sql.Encoders.row(outSchema)
+    df.mapPartitions { rows =>
+      rows.grouped(batchSize).flatMap { batch =>
+        batch.map { row =>
+          readImage(row.getAs[Array[Byte]](binIdx)) match {
+            case Some(img) =>
+              val bos = new java.io.ByteArrayOutputStream()
+              javax.imageio.ImageIO.write(resizeRgb(img, width, height), "png", bos)
+              Row.fromSeq(row.toSeq ++ Seq(bos.toByteArray, true))
+            case None =>
+              Row.fromSeq(row.toSeq ++ Seq(null, false))
+          }
+        }
+      }
+    }(encoder)
+  }
+
   /** TRUE perceptual hash `(id, sig)` over decodable images: decode via
     * ImageIO, nearest-neighbor-downscale to a 10x6 luma grid, and set
     * bit i iff cell i's luma exceeds the grid mean — the aHash

@@ -114,6 +114,43 @@ class MultimodalSpec extends SparkSpec {
     assert(!pairs.contains((1L, 3L)), "inverted image must not pair with the original")
   }
 
+  test("resizeImages produces decodable PNGs at the target dims, passes non-images through") {
+    def png(w: Int, h: Int, f: (Int, Int) => Int): Array[Byte] = {
+      val img =
+        new java.awt.image.BufferedImage(w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
+      for (y <- 0 until h; x <- 0 until w) img.setRGB(x, y, f(x, y))
+      val out = new java.io.ByteArrayOutputStream()
+      javax.imageio.ImageIO.write(img, "png", out)
+      out.toByteArray
+    }
+    val src = png(32, 20, (x, _) => ((x * 255 / 31) << 16) | 0x30)
+    val rows = Seq((1L, src), (2L, "not an image".getBytes("UTF-8"))).toDF("id", "payload")
+    val out = Multimodal
+      .resizeImages(rows, "payload", width = 8, height = 8)
+      .collect()
+      .map(r => r.getAs[Long]("id") -> r)
+      .toMap
+    assert(out(1L).getAs[Boolean]("was_resized"))
+    val resized = Multimodal.readImage(out(1L).getAs[Array[Byte]]("resized")).get
+    assert(resized.getWidth == 8 && resized.getHeight == 8)
+    // nearest-neighbor: output pixel (x,0) carries source pixel (x*32/8, 0)
+    val expectedLeft = ((0 * 255 / 31) << 16) | 0x30
+    assert((resized.getRGB(0, 0) & 0xffffff) == expectedLeft)
+    val expectedRight = ((28 * 255 / 31) << 16) | 0x30
+    assert((resized.getRGB(7, 0) & 0xffffff) == expectedRight)
+    // non-images pass through with NULL resized bytes and the flag false
+    assert(!out(2L).getAs[Boolean]("was_resized"))
+    assert(out(2L).getAs[Array[Byte]]("resized") == null)
+    // resized output feeds the pixel phash path directly
+    val sigs = Multimodal
+      .decodedAHash60(
+        Multimodal.resizeImages(rows, "payload", 20, 12).where($"was_resized"),
+        "resized",
+        "id")
+      .collect()
+    assert(sigs.length == 1)
+  }
+
   test("sampleFrames chunk/stride arithmetic") {
     val out = Multimodal
       .sampleFrames(media, "payload", frameBytes = 256, stride = 2)
