@@ -353,20 +353,22 @@ object Similarity {
     // serves corpus cell assignment (take=1) and query probing
     // (take=nprobe); embarrassingly parallel scans, no shuffle yet.
     def cellsUdf(take: Int) = udf { (v: scala.collection.Seq[Double]) =>
-      cents.indices
-        .map { j =>
-          var d = 0.0
-          var i = 0
-          val cj = cents(j)
-          while (i < cj.length) {
-            val diff = v(i) - cj(i); d += diff * diff; i += 1
+      if (v == null) null
+      else
+        cents.indices
+          .map { j =>
+            var d = 0.0
+            var i = 0
+            val cj = cents(j)
+            while (i < cj.length) {
+              val diff = v(i) - cj(i); d += diff * diff; i += 1
+            }
+            (d, j)
           }
-          (d, j)
-        }
-        .sortBy(identity)
-        .take(take)
-        .map(_._2)
-        .toArray
+          .sortBy(identity)
+          .take(take)
+          .map(_._2)
+          .toArray
     }
     val c = corpus
       .select(
