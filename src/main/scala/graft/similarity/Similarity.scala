@@ -271,8 +271,11 @@ object Similarity {
     require(sample.nonEmpty, "IVF fit: empty training sample")
     val dim = sample.head.length
     val n = sample.length
-    val cents =
-      Array.tabulate(math.min(k, n))(j => sample(((j.toLong * n) / k).toInt).clone())
+    // spacing divides by the EFFECTIVE centroid count: dividing by a
+    // requested k > n would map several j to the same sample row and
+    // permanently freeze the duplicate cells empty
+    val kk = math.min(k, n)
+    val cents = Array.tabulate(kk)(j => sample(((j.toLong * n) / kk).toInt).clone())
     var it = 0
     while (it < iters) {
       val sums = Array.fill(cents.length)(new Array[Double](dim))
@@ -315,7 +318,9 @@ object Similarity {
     * assignment. The FIT is bounded driver math over a <= maxTrain
     * sample ([[localKMeans]]); the scans stay embarrassingly parallel
     * and nothing shuffles until the cell join. The candidate set per
-    * query is ~nprobe/nlist of the corpus.
+    * query is ~nprobe/nlist of the corpus. `seed` only affects the
+    * optional `trainFraction` sampling — centroid init itself is
+    * deterministic (evenly spaced sample rows).
     */
   def ivfTopK(
       queries: DataFrame,
@@ -344,16 +349,25 @@ object Similarity {
     val base = corpus.select(col(vecCol).cast("array<double>").as("_v"))
     val sample = trainFraction
       .fold(base)(f => base.sample(withReplacement = false, f, seed))
+      .where(col("_v").isNotNull) // a NULL embedding would NPE the fit
       .limit(maxTrain)
       .collect()
       .map(_.getSeq[Double](0).toArray)
     val cents = localKMeans(sample, nlist, iters = 5)
+    val dim = cents.head.length
 
     // nearest-`take` centroid ids for one vector — the same closure
     // serves corpus cell assignment (take=1) and query probing
     // (take=nprobe); embarrassingly parallel scans, no shuffle yet.
+    // NULL/empty/ragged vectors map to NULL and drop out of the inner
+    // cell join. Marked NON-deterministic deliberately: the function
+    // is pure, but the marker stops the optimizer from substituting
+    // the UDF into join-key isnotnull filters pushed below the
+    // projection — Filter and Project don't share subexpressions, so
+    // that substitution ran the O(nlist*dim) distance loop twice per
+    // corpus row (visible in the executed plan).
     def cellsUdf(take: Int) = udf { (v: scala.collection.Seq[Double]) =>
-      if (v == null) null
+      if (v == null || v.length < dim) null
       else
         cents.indices
           .map { j =>
@@ -369,7 +383,7 @@ object Similarity {
           .take(take)
           .map(_._2)
           .toArray
-    }
+    }.asNondeterministic()
     val c = corpus
       .select(
         col(idCol).as("neighbor_id"),

@@ -99,11 +99,17 @@ class AnomalySpec extends SparkSpec {
       .optimize(series, Seq("series"), cfg = Optimizer.Config(models = Models.extended))
     // the seasonal series selects an extended-family model that the
     // default scoring family cannot forecast — the old inner join
-    // dropped the series from the output without a trace
-    val err = intercept[IllegalArgumentException] {
+    // dropped the series from the output without a trace. The guard is
+    // lazy (raise_error in the broadcast projection), so it surfaces at
+    // execution, wrapped by Spark.
+    val err = intercept[Exception] {
       Scorer.score(series, opt, Seq("series")).collect()
     }
-    assert(err.getMessage.contains("model family"), err.getMessage)
+    def messages(t: Throwable): Seq[String] =
+      if (t == null) Seq.empty else String.valueOf(t.getMessage) +: messages(t.getCause)
+    assert(
+      messages(err).exists(_.contains("model family lacks")),
+      messages(err).mkString(" | "))
     // same family scores fine
     val scored = Scorer
       .score(series, opt, Seq("series"), cfg = Optimizer.Config(models = Models.extended))
