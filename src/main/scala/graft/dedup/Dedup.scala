@@ -98,7 +98,10 @@ object Dedup {
     * Pipeline: shingle-hash -> minhash (scan-side, native exprs) ->
     * explode bands -> shuffle on (band, bucket) -> pairs within
     * buckets -> estimated-Jaccard filter -> distinct. Only documents
-    * agreeing on at least one band are ever paired.
+    * agreeing on at least one band are ever paired, and hot buckets
+    * (> `bucketCap` members — boilerplate clusters) emit a bounded
+    * STAR instead of |bucket|^2 pairs; see [[BucketJoin.selfPairs]]
+    * for the exact semantics and the recall trade (0 disables).
     *
     * Output: id_a, id_b, jaccard (estimated).
     */
@@ -169,19 +172,12 @@ object Dedup {
       shingleN: Int = 3,
       numHashes: Int = 16,
       bands: Int = 4,
-      threshold: Double = 0.5
+      threshold: Double = 0.5,
+      bucketCap: Int = 1024
   ): DataFrame = {
     val banded = bandedMinhash(df, textCol, idCol, shingleN, numHashes, bands)
-    banded
-      .as("a")
-      .join(banded.as("b"), Seq("band", "bucket"))
-      .where(col("a.id") < col("b.id"))
-      .select(
-        col("a.id").as("id_a"),
-        col("b.id").as("id_b"),
-        col("a.sig").as("_sa"),
-        col("b.sig").as("_sb")
-      )
+    BucketJoin
+      .selfPairs(banded, Seq("band", "bucket"), "sig", bucketCap)
       .withColumn("jaccard", estJaccard(numHashes))
       .where(col("jaccard") >= threshold)
       .select("id_a", "id_b", "jaccard")
@@ -193,7 +189,9 @@ object Dedup {
     * estimated-Jaccard threshold ACROSS two corpora (benchmark vs
     * training set). Both sides are banded with the same signature
     * pipeline; only the (band, bucket) join crosses corpora, so cost
-    * tracks bucket collisions, never |left| x |right|. See
+    * tracks bucket collisions, never |left| x |right|, and a hot
+    * bucket compares each corpus doc against at most `leftBucketCap`
+    * benchmark docs (see [[BucketJoin.crossPairs]]; 0 disables). See
     * [[graft.dedup.PortableDedup.crossMinhashPairs]] for the
     * oracle-verifiable md5 variant.
     *
@@ -207,19 +205,16 @@ object Dedup {
       shingleN: Int = 3,
       numHashes: Int = 16,
       bands: Int = 4,
-      threshold: Double = 0.5
+      threshold: Double = 0.5,
+      leftBucketCap: Int = 1024
   ): DataFrame =
-    bandedMinhash(left, textCol, idCol, shingleN, numHashes, bands)
-      .as("a")
-      .join(
-        bandedMinhash(right, textCol, idCol, shingleN, numHashes, bands).as("b"),
-        Seq("band", "bucket")
-      )
-      .select(
-        col("a.id").as("id_l"),
-        col("b.id").as("id_r"),
-        col("a.sig").as("_sa"),
-        col("b.sig").as("_sb")
+    BucketJoin
+      .crossPairs(
+        bandedMinhash(left, textCol, idCol, shingleN, numHashes, bands),
+        bandedMinhash(right, textCol, idCol, shingleN, numHashes, bands),
+        Seq("band", "bucket"),
+        "sig",
+        leftBucketCap
       )
       .withColumn("jaccard", estJaccard(numHashes))
       .where(col("jaccard") >= threshold)
@@ -431,11 +426,12 @@ object Dedup {
       shingleN: Int = 3,
       numHashes: Int = 16,
       bands: Int = 4,
-      threshold: Double = 0.5
+      threshold: Double = 0.5,
+      bucketCap: Int = 1024
   ): DataFrame =
     nearDupSweep(
       df,
-      minhashLshPairs(df, textCol, idCol, shingleN, numHashes, bands, threshold),
+      minhashLshPairs(df, textCol, idCol, shingleN, numHashes, bands, threshold, bucketCap),
       idCol
     )
 
@@ -445,13 +441,15 @@ object Dedup {
     * signature is split into maxHamming+1 chunks; any pair within
     * maxHamming bits must agree exactly on at least one chunk, so the
     * shuffle key is (chunk_id, chunk_value) and only chunk-colliding
-    * pairs are compared.
+    * pairs are compared. Hot chunks (> `bucketCap` members) emit a
+    * bounded star — see [[BucketJoin.selfPairs]] (0 disables).
     */
   def simhashPairs(
       df: DataFrame,
       textCol: String,
       idCol: String,
-      maxHamming: Int = 3
+      maxHamming: Int = 3,
+      bucketCap: Int = 1024
   ): DataFrame = {
     require(maxHamming >= 0 && maxHamming < 64, s"maxHamming out of range: $maxHamming")
     val chunks = maxHamming + 1
@@ -473,25 +471,13 @@ object Dedup {
             .as("ck")
         )
       }: _*)).as("ch")
-    )
-    val a = chunked.select(
-      col("ch.chunk").as("chunk"),
-      col("ch.ck").as("ck"),
-      col("id").as("id_a"),
-      col("sig").as("_siga")
-    )
-    val b = chunked.select(
-      col("ch.chunk").as("chunk"),
-      col("ch.ck").as("ck"),
-      col("id").as("id_b"),
-      col("sig").as("_sigb")
-    )
-    a.join(b, Seq("chunk", "ck"))
-      .where(col("id_a") < col("id_b"))
+    ).select(col("id"), col("sig"), col("ch.chunk").as("chunk"), col("ch.ck").as("ck"))
+    BucketJoin
+      .selfPairs(chunked, Seq("chunk", "ck"), "sig", bucketCap)
       .select(
         col("id_a"),
         col("id_b"),
-        bit_count(col("_siga").bitwiseXOR(col("_sigb"))).as("hamming")
+        bit_count(col("_sa").bitwiseXOR(col("_sb"))).as("hamming")
       )
       .where(col("hamming") <= maxHamming)
       .distinct()

@@ -138,19 +138,12 @@ object PortableDedup {
       shingleN: Int = 3,
       numHashes: Int = 16,
       bands: Int = 4,
-      threshold: Double = 0.5
+      threshold: Double = 0.5,
+      bucketCap: Int = 1024
   ): DataFrame = {
     val banded = bandedSignatures(df, textCol, idCol, shingleN, numHashes, bands)
-    banded
-      .as("a")
-      .join(banded.as("b"), Seq("band", "bucket"))
-      .where(col("a.id") < col("b.id"))
-      .select(
-        col("a.id").as("id_a"),
-        col("b.id").as("id_b"),
-        col("a.sig").as("_sa"),
-        col("b.sig").as("_sb")
-      )
+    BucketJoin
+      .selfPairs(banded, Seq("band", "bucket"), "sig", bucketCap)
       .withColumn("jaccard", slotAgreement(numHashes).cast("double") / numHashes)
       .where(col("jaccard") >= threshold)
       .select("id_a", "id_b", "jaccard")
@@ -176,19 +169,16 @@ object PortableDedup {
       shingleN: Int = 3,
       numHashes: Int = 16,
       bands: Int = 4,
-      threshold: Double = 0.5
+      threshold: Double = 0.5,
+      leftBucketCap: Int = 1024
   ): DataFrame =
-    bandedSignatures(left, textCol, idCol, shingleN, numHashes, bands)
-      .as("a")
-      .join(
-        bandedSignatures(right, textCol, idCol, shingleN, numHashes, bands).as("b"),
-        Seq("band", "bucket")
-      )
-      .select(
-        col("a.id").as("id_l"),
-        col("b.id").as("id_r"),
-        col("a.sig").as("_sa"),
-        col("b.sig").as("_sb")
+    BucketJoin
+      .crossPairs(
+        bandedSignatures(left, textCol, idCol, shingleN, numHashes, bands),
+        bandedSignatures(right, textCol, idCol, shingleN, numHashes, bands),
+        Seq("band", "bucket"),
+        "sig",
+        leftBucketCap
       )
       .withColumn("jaccard", slotAgreement(numHashes).cast("double") / numHashes)
       .where(col("jaccard") >= threshold)
@@ -234,16 +224,19 @@ object PortableDedup {
       df: DataFrame,
       textCol: String,
       idCol: String,
-      maxHamming: Int = 3
+      maxHamming: Int = 3,
+      bucketCap: Int = 1024
   ): DataFrame =
-    hammingPairs60(simhashSignatures(df, textCol, idCol), maxHamming)
+    hammingPairs60(simhashSignatures(df, textCol, idCol), maxHamming, bucketCap)
 
   /** Near-dup pairs with Hamming distance <= maxHamming over ANY
     * 60-bit signature table `(id, sig)` — the pigeonhole chunk-join
-    * shared by text simhash and multimodal perceptual hashes.
+    * shared by text simhash and multimodal perceptual hashes. Hot
+    * chunks (> `bucketCap` members) emit a bounded star — see
+    * [[BucketJoin.selfPairs]] (0 disables).
     * Output: id_a, id_b, hamming.
     */
-  def hammingPairs60(sigs: DataFrame, maxHamming: Int): DataFrame = {
+  def hammingPairs60(sigs: DataFrame, maxHamming: Int, bucketCap: Int = 1024): DataFrame = {
     require(maxHamming >= 0 && maxHamming < 60, s"maxHamming out of range: $maxHamming")
     val chunks = maxHamming + 1
     // chunk c covers bits [c*60/chunks, (c+1)*60/chunks) — uneven
@@ -266,25 +259,13 @@ object PortableDedup {
           shiftright(col("sig"), lo).bitwiseAND(lit((1L << width) - 1)).as("ck")
         )
       }: _*)).as("ch")
-    )
-    val a = chunked.select(
-      col("ch.chunk").as("chunk"),
-      col("ch.ck").as("ck"),
-      col("id").as("id_a"),
-      col("sig").as("_siga")
-    )
-    val b = chunked.select(
-      col("ch.chunk").as("chunk"),
-      col("ch.ck").as("ck"),
-      col("id").as("id_b"),
-      col("sig").as("_sigb")
-    )
-    a.join(b, Seq("chunk", "ck"))
-      .where(col("id_a") < col("id_b"))
+    ).select(col("id"), col("sig"), col("ch.chunk").as("chunk"), col("ch.ck").as("ck"))
+    BucketJoin
+      .selfPairs(chunked, Seq("chunk", "ck"), "sig", bucketCap)
       .select(
         col("id_a"),
         col("id_b"),
-        bit_count(col("_siga").bitwiseXOR(col("_sigb"))).as("hamming")
+        bit_count(col("_sa").bitwiseXOR(col("_sb"))).as("hamming")
       )
       .where(col("hamming") <= maxHamming)
       .distinct()

@@ -237,9 +237,11 @@ object Multimodal {
       df: DataFrame,
       binCol: String,
       idCol: String,
-      maxHamming: Int = 4
+      maxHamming: Int = 4,
+      bucketCap: Int = 1024
   ): DataFrame =
-    graft.dedup.PortableDedup.hammingPairs60(averageHash60(df, binCol, idCol), maxHamming)
+    graft.dedup.PortableDedup
+      .hammingPairs60(averageHash60(df, binCol, idCol), maxHamming, bucketCap)
 
   /** Nearest-neighbor RGB resize to exactly (w x h) — the same explicit
     * pixel arithmetic as [[lumaGrid]] (no Graphics2D filtering), so the
@@ -356,8 +358,9 @@ object Multimodal {
       binCol: String,
       idCol: String,
       maxHamming: Int = 4,
-      batchSize: Int = 64
+      batchSize: Int = 64,
+      bucketCap: Int = 1024
   ): DataFrame =
     graft.dedup.PortableDedup
-      .hammingPairs60(decodedAHash60(df, binCol, idCol, batchSize), maxHamming)
+      .hammingPairs60(decodedAHash60(df, binCol, idCol, batchSize), maxHamming, bucketCap)
 }
