@@ -18,36 +18,54 @@ object Bench {
     System.gc()
     // A query that throws must be visibly red: its wall-time is recorded
     // as -1 and its name lands in "errors" — never a fake timing.
+    //
+    // Each query is timed `reps` times and the MEDIAN is reported:
+    // single-shot numbers swing 4-8x on whichever query JIT
+    // recompilation or a GC pause lands on (two prior rounds burned
+    // review time on phantom "regressions"), and the median of three
+    // is immune to one bad run in either direction.
+    val reps = math.max(1, sys.env.getOrElse("SPARK_GRAFT_BENCH_REPS", "3").toInt)
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
-      val t0 = System.nanoTime()
-      val r =
+      val times = Array.ofDim[Double](reps)
+      var err: Option[String] = None
+      var i = 0
+      while (i < reps && err.isEmpty) {
+        val t0 = System.nanoTime()
         try {
           fn(spark, sfDir).count()
-          (name, (System.nanoTime() - t0) / 1e9, None: Option[String])
+          times(i) = (System.nanoTime() - t0) / 1e9
         } catch {
-          case e: Throwable => (name, -1.0, Some(e.getClass.getSimpleName))
+          case e: Throwable => err = Some(e.getClass.getSimpleName)
         }
-      // UNTIMED hygiene between queries: queries that persist()/
-      // localCheckpoint intermediates leave blocks behind, and 100+
-      // queries of accumulation show up as multi-second GC spikes on
-      // whichever query the collector lands on — exactly the single-
-      // shot outliers past rounds chased. Dropping caches and hinting
-      // a GC outside the timed window keeps each measurement isolated.
-      spark.catalog.clearCache()
-      System.gc()
-      r
+        // UNTIMED hygiene between runs: queries that persist()/
+        // localCheckpoint intermediates leave blocks behind, and 100+
+        // queries of accumulation show up as multi-second GC spikes on
+        // whichever query the collector lands on — exactly the single-
+        // shot outliers past rounds chased. Dropping caches and hinting
+        // a GC outside the timed window keeps each measurement isolated.
+        spark.catalog.clearCache()
+        System.gc()
+        i += 1
+      }
+      val median = if (err.isDefined) -1.0 else times.sorted.apply(reps / 2)
+      (name, median, err, times.take(i).toSeq)
     }
     def ms(v: Double): String = if (v < 0) "-1" else f"$v%.3f"
-    val errors = results.collect { case (k, _, Some(_)) => "\"" + k + "\"" }
+    val errors = results.collect { case (k, _, Some(_), _) => "\"" + k + "\"" }
       .mkString("[", ",", "]")
     val total = results.map(_._2).filter(_ >= 0).sum
     // Full per-query detail: too long for a bounded (~2 kB) output-tail
     // capture with ~80 queries, so it goes to a file plus a '#'-prefixed
     // stdout line that no JSON-line scanner will pick up by mistake.
-    val detail = results.map { case (k, v, _) => s"\"" + k + "\":" + ms(v) }
+    // "queries" carries the medians; "runs" keeps every raw timing so a
+    // suspicious median can be checked against its own spread.
+    val detail = results.map { case (k, v, _, _) => s"\"" + k + "\":" + ms(v) }
+      .mkString("{", ",", "}")
+    val runsDetail = results
+      .map { case (k, _, _, ts) => "\"" + k + "\":" + ts.map(ms).mkString("[", ",", "]") }
       .mkString("{", ",", "}")
     val detailJson =
-      s"""{"metric":"total","value":${ms(total)},"unit":"sec","queries":$detail,"errors":$errors,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":${ms(total)},"unit":"sec","reps":$reps,"queries":$detail,"runs":$runsDetail,"errors":$errors,"sf":"$sfDir"}"""
     java.nio.file.Files.writeString(
       java.nio.file.Paths.get("bench_detail.json"), detailJson + "\n")
     println(s"# bench detail: $detailJson")
@@ -71,11 +89,11 @@ object Bench {
       // r6 addition: seasonal+trend forecast
       "anomaly_forecast_hw"
     )
-    val byName = results.map { case (k, v, _) => k -> v }.toMap
+    val byName = results.map { case (k, v, _, _) => k -> v }.toMap
     val qs = headline.flatMap(k => byName.get(k).map(v => s"\"" + k + "\":" + ms(v)))
       .mkString("{", ",", "}")
     println(
-      s"""{"metric":"total","value":${ms(total)},"unit":"sec","queries":$qs,"n_queries":${results.size},"detail":"bench_detail.json","errors":$errors,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":${ms(total)},"unit":"sec","reps":$reps,"queries":$qs,"n_queries":${results.size},"detail":"bench_detail.json","errors":$errors,"sf":"$sfDir"}"""
     )
     spark.stop()
     if (results.exists(_._3.isDefined)) sys.exit(1)
