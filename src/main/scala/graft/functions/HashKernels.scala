@@ -139,4 +139,54 @@ object HashKernels {
     }
     dotProduct(xa, xb, leftFloat, rightFloat)
   }
+
+  /** Ids of the `take` nearest centroids to `v` by squared L2 — the
+    * IVF coarse-quantizer cell assignment. `cents` is the centroid
+    * matrix flattened row-major with stride `dim` (bound once into the
+    * generated code as a reference object, not per-row). Vectors
+    * shorter than `dim` or containing a null slot in the first `dim`
+    * positions return null (no meaningful cell); longer vectors use
+    * their first `dim` components. Ties break toward the lower cell
+    * id. `take` is clamped to the centroid count.
+    */
+  def nearestCells(v: ArrayData, cents: Array[Double], dim: Int, take: Int): ArrayData = {
+    if (v.numElements() < dim) return null
+    val vv = new Array[Double](dim)
+    var i = 0
+    while (i < dim) {
+      if (v.isNullAt(i)) return null
+      vv(i) = v.getDouble(i)
+      i += 1
+    }
+    val nlist = cents.length / dim
+    val ds = new Array[Double](nlist)
+    var j = 0
+    while (j < nlist) {
+      var d = 0.0
+      var k = 0
+      val off = j * dim
+      while (k < dim) { val diff = vv(k) - cents(off + k); d += diff * diff; k += 1 }
+      ds(j) = d
+      j += 1
+    }
+    // selection of the t smallest: t is 1..nprobe (tiny), so a linear
+    // scan per slot beats building a heap
+    val t = math.min(take, nlist)
+    val out = new Array[Int](t)
+    val used = new Array[Boolean](nlist)
+    var s = 0
+    while (s < t) {
+      var best = -1
+      var bestD = Double.PositiveInfinity
+      var j2 = 0
+      while (j2 < nlist) {
+        if (!used(j2) && ds(j2) < bestD) { bestD = ds(j2); best = j2 }
+        j2 += 1
+      }
+      used(best) = true
+      out(s) = best
+      s += 1
+    }
+    new GenericArrayData(out)
+  }
 }

@@ -235,6 +235,79 @@ object hashExpressions {
     ): DotProduct = copy(left = newLeft, right = newRight)
   }
 
+  /** `nearestCells(vec)`: ids of the `take` nearest centroids by
+    * squared L2 — the IVF coarse-quantizer assignment
+    * ([[graft.similarity.Similarity.ivfTopK]]). The centroid matrix is
+    * a PLAN-TIME constant (fit on a bounded sample before the query is
+    * built) carried as an expression field: interpreted eval reads it
+    * directly, generated code binds it once via `addReferenceObj` —
+    * never serialized per row. This replaced a per-row Scala UDF whose
+    * `.asNondeterministic()` marker existed only to stop the optimizer
+    * double-evaluating it; a native expression keeps whole-stage
+    * codegen fused and needs no such workaround (a pushed-down
+    * isnotnull on the join key may still re-evaluate the kernel in a
+    * scan filter, but at nlist*dim flops in tight JVM code that is
+    * noise, where the boxed UDF round-trip was not).
+    *
+    * Returns null for vectors shorter than the centroid dim or with a
+    * null slot among the first dim elements (no meaningful cell).
+    */
+  case class NearestCells(
+      child: Expression,
+      centroids: Array[Array[Double]],
+      take: Int
+  ) extends UnaryExpression {
+    require(centroids.nonEmpty && take > 0, "nearestCells needs centroids and take > 0")
+
+    private val dim = centroids.head.length
+    // row-major flat matrix: one reference object in generated code
+    private lazy val flat: Array[Double] = {
+      val f = new Array[Double](centroids.length * dim)
+      var j = 0
+      while (j < centroids.length) {
+        System.arraycopy(centroids(j), 0, f, j * dim, dim)
+        j += 1
+      }
+      f
+    }
+
+    override def prettyName: String = "nearest_cells"
+    override def dataType: DataType = ArrayType(IntegerType, containsNull = false)
+    // null for ragged/null-slot vectors even when the input is non-null
+    override def nullable: Boolean = true
+
+    override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+      case ArrayType(DoubleType, _) => TypeCheckResult.TypeCheckSuccess
+      case other =>
+        TypeCheckResult.TypeCheckFailure(
+          s"$prettyName requires array<double>, got ${other.catalogString}"
+        )
+    }
+
+    override protected def nullSafeEval(input: Any): Any =
+      HashKernels.nearestCells(input.asInstanceOf[ArrayData], flat, dim, take)
+
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+      val centsRef = ctx.addReferenceObj("ivfCentroids", flat, "double[]")
+      nullSafeCodeGen(
+        ctx,
+        ev,
+        c => {
+          val tmp = ctx.freshName("cells")
+          s"""
+          org.apache.spark.sql.catalyst.util.ArrayData $tmp =
+            $kernels.nearestCells($c, $centsRef, $dim, $take);
+          ${ev.isNull} = ($tmp == null);
+          if (!${ev.isNull}) { ${ev.value} = $tmp; }
+          """
+        }
+      )
+    }
+
+    override protected def withNewChildInternal(newChild: Expression): NearestCells =
+      copy(child = newChild)
+  }
+
   def tokenHashes(text: Column): Column =
     GraftColumnBridge.column(TokenHashes(GraftColumnBridge.expression(text)))
 
@@ -253,4 +326,9 @@ object hashExpressions {
 
   def simhash64(tokenHashes: Column): Column =
     GraftColumnBridge.column(SimHash64(GraftColumnBridge.expression(tokenHashes)))
+
+  def nearestCells(vec: Column, centroids: Array[Array[Double]], take: Int): Column =
+    GraftColumnBridge.column(
+      NearestCells(GraftColumnBridge.expression(vec), centroids, take)
+    )
 }

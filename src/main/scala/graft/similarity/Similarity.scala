@@ -347,49 +347,37 @@ object Similarity {
     )
     val maxTrain = 8192
     val base = corpus.select(col(vecCol).cast("array<double>").as("_v"))
-    val sample = trainFraction
+    // The fit tolerates exactly what the scan-side kernel tolerates:
+    // null vectors, null SLOTS, and ragged lengths are dropped from
+    // the training sample (the kernel maps them to NULL cell, so they
+    // never join) — a single dirty row must not crash the fit.
+    val collected = trainFraction
       .fold(base)(f => base.sample(withReplacement = false, f, seed))
       .where(col("_v").isNotNull) // a NULL embedding would NPE the fit
       .limit(maxTrain)
       .collect()
-      .map(_.getSeq[Double](0).toArray)
+      .map(_.getSeq[java.lang.Double](0))
+      .filter(s => s != null && s.forall(_ ne null))
+    val sample = collected.headOption
+      .map(h => collected.filter(_.length == h.length).map(_.map(_.doubleValue()).toArray))
+      .getOrElse(Array.empty[Array[Double]])
     val cents = localKMeans(sample, nlist, iters = 5)
-    val dim = cents.head.length
 
-    // nearest-`take` centroid ids for one vector — the same closure
-    // serves corpus cell assignment (take=1) and query probing
-    // (take=nprobe); embarrassingly parallel scans, no shuffle yet.
+    // nearest-`take` centroid ids per vector — a codegen'd Catalyst
+    // expression (graft.functions.hashExpressions.NearestCells) with
+    // the fitted centroids bound as a plan-time constant; the same
+    // kernel serves corpus cell assignment (take=1) and query probing
+    // (take=nprobe). Embarrassingly parallel scans, no shuffle yet;
     // NULL/empty/ragged vectors map to NULL and drop out of the inner
-    // cell join. Marked NON-deterministic deliberately: the function
-    // is pure, but the marker stops the optimizer from substituting
-    // the UDF into join-key isnotnull filters pushed below the
-    // projection — Filter and Project don't share subexpressions, so
-    // that substitution ran the O(nlist*dim) distance loop twice per
-    // corpus row (visible in the executed plan).
-    def cellsUdf(take: Int) = udf { (v: scala.collection.Seq[Double]) =>
-      if (v == null || v.length < dim) null
-      else
-        cents.indices
-          .map { j =>
-            var d = 0.0
-            var i = 0
-            val cj = cents(j)
-            while (i < cj.length) {
-              val diff = v(i) - cj(i); d += diff * diff; i += 1
-            }
-            (d, j)
-          }
-          .sortBy(identity)
-          .take(take)
-          .map(_._2)
-          .toArray
-    }.asNondeterministic()
+    // cell join.
+    def cells(v: Column, take: Int): Column =
+      graft.functions.hashExpressions.nearestCells(v.cast("array<double>"), cents, take)
     val c = corpus
       .select(
         col(idCol).as("neighbor_id"),
         col(vecCol).as("_cv"),
         norm(col(vecCol)).as("_cn"),
-        cellsUdf(1)(col(vecCol).cast("array<double>")).as("_cells")
+        cells(col(vecCol), 1).as("_cells")
       )
       .withColumn("_cell", col("_cells")(0))
       .drop("_cells")
@@ -398,7 +386,7 @@ object Similarity {
         col(idCol).as("query_id"),
         col(vecCol).as("_qv"),
         norm(col(vecCol)).as("_qn"),
-        cellsUdf(nprobe)(col(vecCol).cast("array<double>")).as("_probes")
+        cells(col(vecCol), nprobe).as("_probes")
       )
       .select(
         col("query_id"),

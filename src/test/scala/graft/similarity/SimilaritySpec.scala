@@ -86,6 +86,60 @@ class SimilaritySpec extends SparkSpec {
     assert(out.forall(_.getAs[Long]("neighbor_id") < 20L))
   }
 
+  test("ivf plans carry no ScalaUDF — cell assignment is the native expression") {
+    val clustered = (0 until 40)
+      .map(i => (i.toLong, Array(i.toFloat, 1.0f, 0.0f)))
+      .toDF("vec_id", "embedding")
+    val out = Similarity
+      .ivfTopK(clustered.limit(2), clustered, "vec_id", "embedding", 3, nlist = 4, nprobe = 2)
+    val plans = Seq(out.queryExecution.optimizedPlan, out.queryExecution.analyzed)
+    val hasUdf = plans.exists(_.collect { case p =>
+      p.expressions.exists(_.exists(
+        _.isInstanceOf[org.apache.spark.sql.catalyst.expressions.ScalaUDF]))
+    }.exists(identity))
+    assert(!hasUdf, "IVF plan still contains a ScalaUDF node")
+    // the optimized plan over a local Seq collapses to LocalRelation
+    // (the expression ran at plan time — itself proof it's native and
+    // foldable-safe); the analyzed plan must carry the expression node
+    assert(out.queryExecution.analyzed.toString.contains("nearest_cells"))
+  }
+
+  test("ivf fit and scan tolerate dirty embeddings the same way") {
+    // null vector, null slot, ragged short vector — all must survive
+    // the fit (dropped from the sample) and map to NULL cell scan-side
+    val dirty = Seq(
+      (100L, null.asInstanceOf[Array[java.lang.Float]]),
+      (101L, Array[java.lang.Float](1.0f, null, 0.0f)),
+      (102L, Array[java.lang.Float](5.0f))
+    ).toDF("vec_id", "embedding")
+    val clean = (0 until 20)
+      .map(i => (i.toLong, Array[java.lang.Float](10.0f + i, 1.0f, 0.0f)))
+      .toDF("vec_id", "embedding")
+    val corpus = clean.unionByName(dirty)
+    val out = Similarity
+      .ivfTopK(clean.limit(1), corpus, "vec_id", "embedding", 5, nlist = 2, nprobe = 2)
+      .collect()
+    assert(out.nonEmpty)
+    // dirty rows have no cell, so they can never be returned as neighbors
+    assert(out.forall(_.getAs[Long]("neighbor_id") < 100L))
+  }
+
+  test("nearestCells kernel: ragged/null-slot inputs yield null, ties break low") {
+    import org.apache.spark.sql.catalyst.util.GenericArrayData
+    val cents = Array(0.0, 0.0, 4.0, 0.0, 0.0, 4.0) // 3 centroids, dim 2
+    def run(v: Array[java.lang.Double], take: Int) =
+      graft.functions.HashKernels.nearestCells(
+        new GenericArrayData(v.map(x => if (x == null) null else x.doubleValue())),
+        cents, 2, take)
+    assert(run(Array(1.0), 1) == null) // ragged
+    assert(run(Array(null, 1.0), 1) == null) // null slot
+    val two = run(Array(0.0, 0.0), 2).toIntArray().toSeq
+    assert(two == Seq(0, 1) || two == Seq(0, 2)) // nearest first; tie (cells 1,2) breaks low
+    assert(two.head == 0 && two(1) == 1)
+    // extra elements beyond dim are ignored
+    assert(run(Array(4.0, 0.0, 99.0), 1).toIntArray().toSeq == Seq(1))
+  }
+
   test("int8 quantization bounds reconstruction error and preserves top-k ranking") {
     val rnd = new scala.util.Random(5)
     val dim = 32
