@@ -266,11 +266,17 @@ object Dedup {
     * million shuffles where this needs ~20. Every round is two
     * partial-aggregated groupBys + joins on the (shrinking) edge set;
     * lineage is truncated per round (reliable checkpoints under
-    * graft.checkpoint.reliable=true). `maxIter` bounds the rounds.
+    * graft.checkpoint.reliable=true). `maxIter` bounds the rounds;
+    * exhausting it RAISES rather than returning the partially
+    * contracted edge set as labels (silently inconsistent output is
+    * the one unacceptable failure mode of a dedup sweep). The default
+    * budget of 30 covers ~billion-node graphs with room to spare —
+    * post-convergence rounds cost nothing because the loop exits on
+    * the first fixpoint signature match.
     */
   def connectedComponents(
       pairs: DataFrame,
-      maxIter: Int = 10,
+      maxIter: Int = 30,
       driverThreshold: Long = 1L << 20
   ): DataFrame = {
     val edges = graft.functions.materialize(
@@ -352,6 +358,13 @@ object Dedup {
       sig = next
       iter += 1
     }
+    if (!converged)
+      throw new IllegalStateException(
+        s"connectedComponents: star alternation did not reach a fixpoint within " +
+          s"$maxIter rounds — labels read off a partially contracted edge set would " +
+          "be inconsistent. Raise maxIter (converged rounds are free; the loop " +
+          "exits on the first fixpoint)."
+      )
     // at fixpoint every non-root carries exactly (v, root); the root's
     // own min-neighbor is a member > root, so least(...) keeps it.
     // Nodes whose ONLY pairs were self-pairs (id_a == id_b) never enter
@@ -410,7 +423,7 @@ object Dedup {
       df: DataFrame,
       pairs: DataFrame,
       idCol: String,
-      maxIter: Int = 10
+      maxIter: Int = 30
   ): DataFrame = {
     val drop = connectedComponents(pairs, maxIter)
       .where(col("id") =!= col("label"))

@@ -42,17 +42,22 @@ object Layout {
   }
 
   /** Widest range (exclusive) for which the double-precision affine
-    * bucket math is exact — see [[bucket]]'s guard.
+    * bucket math is exact at `bits` output bits — see [[bucket]]'s
+    * guard. The numerator (x - mn) * 2^bits must stay under 2^53 (the
+    * double mantissa) for floor(N/D) to be exact; a flat 2^40 bound
+    * was NOT sufficient for bits > 13 (e.g. bits=16 over a range in
+    * [2^37, 2^40) puts the numerator past 2^53 and boundary values
+    * land one bucket off).
     */
-  private[operators] val MaxExactRange: Double = math.pow(2, 40)
+  private[operators] def maxExactRange(bits: Int): Double = math.pow(2, 53 - bits)
 
   /** Affine bucket of `x` into [0, 2^bits) given inclusive bounds.
     *
     * All three operands widen to long BEFORE subtracting — `x - mn` in
     * the source integral type overflows silently for an IntegerType
     * column spanning more than Int range (min near Int.MinValue, max
-    * near Int.MaxValue). The documented <2^40 exactness range is
-    * ENFORCED: a wider range raises at evaluation time instead of
+    * near Int.MaxValue). The documented <2^(53-bits) exactness range
+    * is ENFORCED: a wider range raises at evaluation time instead of
     * returning buckets quantized by double rounding. The range check
     * runs in double (cannot overflow even for extreme longs).
     */
@@ -60,12 +65,13 @@ object Layout {
     val xl = x.cast("long")
     val mnl = mn.cast("long")
     val mxl = mx.cast("long")
-    val rangeOk = (mx.cast("double") - mn.cast("double")) < lit(MaxExactRange)
+    val rangeOk = (mx.cast("double") - mn.cast("double")) < lit(maxExactRange(bits))
     when(
       !rangeOk,
       raise_error(lit(
-        s"z-order bucket: column range exceeds 2^40 — double bucketing " +
-          "would be inexact; pre-scale the column (e.g. divide to a coarser unit)"
+        s"z-order bucket: column range exceeds 2^${53 - bits} — double bucketing " +
+          s"at $bits bits would be inexact; pre-scale the column (e.g. divide to " +
+          "a coarser unit) or lower bits"
       )).cast("long")
     ).otherwise(
       floor(

@@ -92,6 +92,13 @@ object Similarity {
     * only when bench is a subset of the corpus itself (same id space),
     * where a same-id pair is the row matched against itself.
     *
+    * MIGRATION NOTE (behavior change vs the first release of this
+    * function): the original implementation always filtered
+    * `id_bench != id_corpus`. Callers who relied on that implicit
+    * filter — i.e. whose bench rows are drawn from the corpus itself —
+    * must now pass `excludeSameId = true` explicitly or they will see
+    * additional same-id rows at sim ~1.0.
+    *
     * Zero-norm embeddings are excluded scan-side on BOTH inputs: their
     * cosine is 0/0 = NaN, and Spark orders NaN greater than any number,
     * so `NaN >= threshold` would flag a zero vector against every

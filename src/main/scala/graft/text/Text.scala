@@ -314,6 +314,14 @@ object Text {
     * persist() (not an eager checkpoint) keeps plan construction free
     * of jobs (EXPLAIN stays an explain) and the full subtree visible
     * to plan audits.
+    *
+    * CACHE LIFETIME IS CALLER-OWNED: the returned plan references the
+    * cached tf table, so this function cannot unpersist it (the blocks
+    * materialize only when the CALLER runs an action). After consuming
+    * the result, drop the blocks with `spark.catalog.clearCache()` —
+    * or rely on the ContextCleaner, which frees them when the plan is
+    * garbage-collected. Repeated invocations in a long-lived session
+    * accumulate storage until one of those happens.
     */
   def tfIdfTopK(
       df: org.apache.spark.sql.DataFrame,

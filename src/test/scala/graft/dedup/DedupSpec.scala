@@ -103,6 +103,14 @@ class DedupSpec extends SparkSpec {
     assert(dist.toSet == cc.toSet)
   }
 
+  test("star alternation raises instead of returning unconverged labels") {
+    val chain = (1L until 300L).map(i => (i, i + 1, 1.0)).toDF("id_a", "id_b", "jaccard")
+    val err = intercept[IllegalStateException] {
+      Dedup.connectedComponents(chain, maxIter = 1, driverThreshold = 0).collect()
+    }
+    assert(err.getMessage.contains("fixpoint"))
+  }
+
   test("star alternation converges on a chain far deeper than the round budget") {
     // diameter 299 with maxIter=10: min-label propagation would stall
     // 10 hops in; large-star/small-star contracts the whole chain to a

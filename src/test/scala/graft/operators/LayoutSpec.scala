@@ -45,12 +45,21 @@ class LayoutSpec extends SparkSpec {
     assert(got == Seq(0L, 8L, 15L), s"got $got")
   }
 
-  test("bucket raises on ranges past the 2^40 double-exactness bound") {
+  test("bucket raises on ranges past the 2^(53-bits) double-exactness bound") {
     val df = Seq(0L).toDF("x")
     val err = intercept[Exception] {
-      df.select(Layout.bucket(col("x"), lit(0L), lit(1L << 41), 4)).collect()
+      df.select(Layout.bucket(col("x"), lit(0L), lit(1L << 50), 4)).collect()
     }
-    assert(err.getMessage.contains("2^40") || err.getCause != null)
+    assert(err.getMessage.contains("2^49") || err.getCause != null)
+    // the flat 2^40 bound missed this: bits=16 with a 2^38 range puts
+    // the numerator past 2^53
+    val err16 = intercept[Exception] {
+      df.select(Layout.bucket(col("x"), lit(0L), lit(1L << 38), 16)).collect()
+    }
+    assert(err16.getMessage.contains("2^37") || err16.getCause != null)
+    // in-bounds widths still bucket fine at the same bits
+    val ok = df.select(Layout.bucket(col("x"), lit(0L), lit((1L << 36) - 1), 16)).collect()
+    assert(ok.head.getLong(0) == 0L)
   }
 
   test("z-order layout bounds BOTH dimensions; a single-column sort bounds only one") {
