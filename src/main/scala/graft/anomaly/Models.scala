@@ -261,11 +261,31 @@ object Models {
   def default: Seq[ForecastModel] =
     trailingMeans() ++ Seq(SeasonalNaive(7), Ewma())
 
+  /** Holt-Winters hyperparameter grid — the honest stand-in for the
+    * reference's per-series AutoML fit (AutoSarima/AutoProphet,
+    * thoth/anomaly/models.py:184-241, which tune hyperparameters per
+    * series via Merlion): every grid point is one window expression,
+    * the optimizer's forward-chaining CV scores ALL of them per series
+    * in a single window exchange, and selection picks the winning
+    * configuration per series. Grid search, not gradient fitting — but
+    * per-series, distributed, and deterministic. Models whose period
+    * exceeds the available history forecast NULL everywhere and are
+    * disqualified by the optimizer's min-validation-points rule, so a
+    * wide grid is safe on short series.
+    */
+  def hwGrid(
+      gammas: Seq[Double] = Seq(0.3, 0.7),
+      periods: Seq[Int] = Seq(7, 14, 30),
+      nSeasonsList: Seq[Int] = Seq(2)
+  ): Seq[ForecastModel] =
+    for { p <- periods; g <- gammas; n <- nSeasonsList } yield HoltWinters(g, p, n)
+
   /** Extended family: default + trend-aware Holt + learned-period
-    * seasonal + seasonal-and-trend Holt-Winters (the AutoML slots).
+    * seasonal (weekly/biweekly/monthly candidates) + the seasonal-and-
+    * trend Holt-Winters grid (the AutoML slots).
     */
   def extended: Seq[ForecastModel] =
-    default ++ Seq(HoltLinear(), AutoSeasonal(), HoltWinters())
+    default ++ Seq(HoltLinear(), AutoSeasonal(Seq(7, 14, 30)), HoltWinters()) ++ hwGrid()
 
   /** Simple family (reference SimpleModelFactory): trailing means only. */
   def simple: Seq[ForecastModel] = trailingMeans()

@@ -213,15 +213,22 @@ object AnomalyQueries extends QueryPack {
   // inside the 30-day series' 12-point training prefix
   private val autoModel = AutoSeasonal(Seq(2, 7), 4)
   // HW needs period + (period-1)/2 = 10 preceding rows for its first
-  // seasonal deviation — inside the 12-point training prefix too
+  // seasonal deviation — inside the 12-point training prefix too.
+  // The grid points mirror Models.hwGrid's AutoML-slot search (period
+  // 30 is omitted: it needs ~45 rows of history, more than the 30-day
+  // series carries, so it would forecast NULL on both engines — the
+  // hwGrid scaladoc's disqualification rule, exercised in specs
+  // instead)
   private val hwModel = HoltWinters(0.5, 7, 2)
+  private val hwGridModels = Seq(HoltWinters(0.3, 7, 2), HoltWinters(0.5, 14, 2))
   private val bestModels = tmModels ++
     Seq(
       ("SeasonalNaive-7", snSql(7)),
       (autoModel.name, autoSeasonalSql(Seq(2, 7), 4)),
-      (hwModel.name, hwSql(0.5, 7, 2)))
+      (hwModel.name, hwSql(0.5, 7, 2))) ++
+    hwGridModels.map(m => (m.name, hwSql(m.gamma, m.period, m.nSeasons)))
   private val bestModelSet = Models.trailingMeans(Seq(3, 5, 7)) ++
-    Seq(SeasonalNaive(7), autoModel, hwModel)
+    Seq(SeasonalNaive(7), autoModel, hwModel) ++ hwGridModels
 
   // mirrors Optimizer.optimize incl. the minValidationPoints qualifier
   // (Optimizer.scala — models with < 3 valid validation errors never

@@ -249,6 +249,34 @@ class AnomalySpec extends SparkSpec {
     assert(best.startsWith("AutoSeasonal") || best.startsWith("HoltWinters"), best)
   }
 
+  test("hyperparameter grid: a period-30 seasonal series selects a period-30 model") {
+    // monthly SPIKE train on a linear trend: a smooth sine is easy for
+    // short-lag models (a 30-day wave barely moves day to day), but a
+    // sharp monthly spike is only forecastable by a model that carries
+    // period-30 structure — the per-series CV must pick a period-30
+    // grid point, the reference's AutoML intent (per-series
+    // hyperparameter fit) done as distributed grid search. HW-30 is
+    // exact here: its same-phase drift telescopes across spikes and
+    // any 30-row mean contains exactly one spike.
+    val series = spark.range(150).select(
+      date_add(to_date(lit("2025-01-01")), col("id").cast("int"))
+        .cast("timestamp").as("ts"),
+      (lit(100.0) + col("id").cast("double") * 0.2 +
+        when(col("id") % 30 === 0, 100.0).otherwise(0.0)).as("value")
+    ).withColumn("series", lit("monthly"))
+    val best = Optimizer
+      .optimize(series, Seq("series"), cfg = Optimizer.Config(models = Models.extended))
+      .collect().head.getAs[String]("best_model")
+    assert(
+      best.matches(".*(-|_)30.*") && !best.startsWith("TrailingMean"),
+      s"expected a period-30-capable model, got $best")
+    // restricted to the HW grid alone, the period-30 point must win
+    val hwBest = Optimizer
+      .optimize(series, Seq("series"), cfg = Optimizer.Config(models = Models.hwGrid()))
+      .collect().head.getAs[String]("best_model")
+    assert(hwBest.matches("HoltWinters-0\\.[37]0-30-2"), hwBest)
+  }
+
   test("threshold grid matches the reference's _find_best_threshold cases") {
     // reference tests/unit/thoth/test_anomaly/test_optimization.py:
     // case 1: nine 0.1 errors + one 0.5, confidence 0.9 -> t=0.1, p=0.9
