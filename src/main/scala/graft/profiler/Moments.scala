@@ -65,6 +65,80 @@ object Moments {
         max("max").as("max")
       )
 
+  /** Mergeable QUANTILE partials: per (bucket, column) an equi-probable
+    * grid of `gridSize`+1 approximate quantiles (probs 0, 1/g, ...,
+    * 1) plus the bucket count — the quantile analogue of the moment
+    * partials, sized O(gridSize) per (day, column) regardless of row
+    * count, so the metrics repository can persist them (array column)
+    * and any coarser grain re-aggregates WITHOUT rescanning raw data.
+    *
+    * `(ts, instance, n, qgrid: array<double>)`. Buckets with no
+    * non-null values carry a NULL grid (they merge as zero mass).
+    */
+  def quantilePartials(
+      df: DataFrame,
+      tsColumn: String,
+      valueCols: Seq[String],
+      granularity: String = "day",
+      gridSize: Int = 128,
+      accuracy: Int = 10000
+  ): DataFrame = {
+    require(valueCols.nonEmpty, "at least one value column")
+    require(gridSize >= 2, s"gridSize must be >= 2, got $gridSize")
+    val probs = array((0 to gridSize).map(i => lit(i.toDouble / gridSize)): _*)
+    df.unpivot(
+        Array(date_trunc(unit(granularity), col(tsColumn)).as("ts")),
+        valueCols.map(col).toArray,
+        "instance",
+        "_v"
+      )
+      .groupBy("ts", "instance")
+      .agg(
+        count(col("_v")).as("n"),
+        percentile_approx(col("_v"), probs, lit(accuracy)).as("qgrid")
+      )
+  }
+
+  /** Merge quantile partials into a coarser grain: each grid point
+    * stands for n/|grid| rows of its bucket, the coarse quantile is
+    * the weighted quantile of the pooled points. Rank error is bounded
+    * by ~1/gridSize of each source bucket's mass plus the
+    * approx-percentile error — spec-verified against an exact
+    * recompute. Output: `(ts, instance, q<p*100> ...)`.
+    *
+    * Scale shape: the pooled-point table is buckets x columns x
+    * gridSize rows (metrics-sized, not data-sized); the window
+    * partitions on (coarse bucket, column) — thousands of small
+    * partitions, never a data-sized one.
+    */
+  def reaggregateQuantiles(
+      partials: DataFrame,
+      granularity: String,
+      probs: Seq[Double] = Seq(0.25, 0.5, 0.75)
+  ): DataFrame = {
+    require(probs.nonEmpty && probs.forall(p => p > 0 && p <= 1), s"bad probs: $probs")
+    def nameOf(p: Double) = "q" + BigDecimal(p * 100).underlying.stripTrailingZeros.toPlainString
+    require(probs.map(nameOf).distinct.size == probs.size, s"probs collide in names: $probs")
+    val pts = partials
+      .where(col("qgrid").isNotNull)
+      .select(
+        date_trunc(unit(granularity), col("ts")).as("ts"),
+        col("instance"),
+        (col("n").cast("double") / size(col("qgrid"))).as("_w"),
+        explode(col("qgrid")).as("_q")
+      )
+    val wOrd = org.apache.spark.sql.expressions.Window
+      .partitionBy("ts", "instance")
+      .orderBy("_q")
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)
+    val wAll = org.apache.spark.sql.expressions.Window.partitionBy("ts", "instance")
+    val cum = pts
+      .withColumn("_cw", sum(col("_w")).over(wOrd))
+      .withColumn("_tw", sum(col("_w")).over(wAll))
+    val aggs = probs.map(p => min(when(col("_cw") >= col("_tw") * p, col("_q"))).as(nameOf(p)))
+    cum.groupBy("ts", "instance").agg(aggs.head, aggs.tail: _*)
+  }
+
   /** Render partials as profile metrics:
     * `(ts, instance, n, mean, stddev, min, max)` — sample stddev from
     * the exact sums, NULL below 2 points.

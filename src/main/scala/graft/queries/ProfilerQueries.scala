@@ -406,6 +406,29 @@ object ProfilerQueries extends QueryPack {
       FROM events GROUP BY 1 ORDER BY 1, 2""")
   )
 
+  // Weekly quantiles re-aggregated from persisted daily quantile-grid
+  // partials — no raw rescan. Rows-only: the merged estimate is
+  // sketch-valued (grid discretization + approx_percentile state), so
+  // no engine-portable SQL reproduces it; the error bound vs an exact
+  // recompute is spec-verified (MomentsSpec).
+  private val reaggQuantilesQ = Q(
+    fn = (s, d) => {
+      val daily = graft.profiler.Moments
+        .quantilePartials(Tables.events(s, d), "ts", Seq("value"), "day")
+      graft.profiler.Moments
+        .reaggregateQuantiles(daily, "week")
+        .select(
+          col("ts"),
+          col("instance"),
+          round6(col("q25")).as("q25"),
+          round6(col("q50")).as("q50"),
+          round6(col("q75")).as("q75")
+        )
+        .orderBy("ts", "instance")
+    },
+    oracle = None
+  )
+
   // Day-over-day PSI drift of events.value: global-edge equi-width
   // bins, eps-clamped proportions, ln-based index. round6 masks libm
   // last-ulp ln differences between engines.
@@ -487,6 +510,7 @@ object ProfilerQueries extends QueryPack {
     "profile_psi_drift" -> psiDriftQ,
     "profile_missing_days" -> missingDaysQ,
     "profile_reaggregate" -> reaggQ,
+    "profile_reaggregate_quantiles" -> reaggQuantilesQ,
     "profile_size" -> size,
     "profile_report_sketch" -> reportSketch,
     "profile_topk_values" -> topkValues,

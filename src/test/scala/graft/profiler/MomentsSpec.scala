@@ -27,6 +27,73 @@ class MomentsSpec extends SparkSpec {
     }
   }
 
+  test("quantile partials re-aggregate within rank-error bounds of an exact recompute") {
+    // 90 days, values drift upward with per-day spread — weekly/monthly
+    // quantiles from merged daily grids must sit close IN RANK to the
+    // exact percentiles over the raw rows
+    val df = spark.range(90L * 200)
+      .select(
+        (to_timestamp(lit("2024-01-01 00:00:00")) + make_dt_interval(col("id") / 200))
+          .as("ts"),
+        (col("id") / 200 * 1.5 + (col("id") % 200) * 0.1 +
+          sin(col("id").cast("double")) * 3.0).as("value")
+      )
+    val daily = Moments.quantilePartials(df, "ts", Seq("value"), "day")
+    // partial size is O(grid): 129 points per (day, column)
+    assert(daily.select(max(size(col("qgrid")))).head().getInt(0) == 129)
+    for (coarse <- Seq("week", "month")) {
+      val est = Moments.reaggregateQuantiles(daily, coarse)
+        .collect()
+        .map(r => (r.getTimestamp(0), r.getDouble(2), r.getDouble(3), r.getDouble(4)))
+      assert(est.nonEmpty)
+      val raw = df
+        .groupBy(date_trunc(coarse, col("ts")).as("ts"))
+        .agg(
+          count(lit(1)).as("n"),
+          collect_list(col("value")).as("vs")
+        )
+        .collect()
+        .map(r => r.getTimestamp(0) -> r.getSeq[Double](2).sorted)
+        .toMap
+      est.foreach { case (ts, q25, q50, q75) =>
+        val vs = raw(ts)
+        def rankOf(x: Double) = vs.count(_ <= x).toDouble / vs.size
+        // grid discretization (1/128 per day) + approx_percentile error
+        assert(math.abs(rankOf(q25) - 0.25) <= 0.03, s"$coarse $ts q25 rank ${rankOf(q25)}")
+        assert(math.abs(rankOf(q50) - 0.50) <= 0.03, s"$coarse $ts q50 rank ${rankOf(q50)}")
+        assert(math.abs(rankOf(q75) - 0.75) <= 0.03, s"$coarse $ts q75 rank ${rankOf(q75)}")
+      }
+    }
+  }
+
+  test("quantile partials survive a parquet repository round-trip") {
+    val dir = java.nio.file.Files.createTempDirectory("qpartials").toString
+    val daily = Moments.quantilePartials(sample, "ts", Seq("a", "b"), "day")
+    daily.write.mode("overwrite").parquet(dir)
+    val back = spark.read.parquet(dir)
+    val est = Moments.reaggregateQuantiles(back, "month")
+      .orderBy("ts", "instance")
+      .collect()
+    val direct = Moments.reaggregateQuantiles(daily, "month")
+      .orderBy("ts", "instance")
+      .collect()
+    assert(est.toSeq == direct.toSeq)
+  }
+
+  test("empty buckets (all-null values) merge as zero mass, not poison") {
+    val withNulls = Seq(
+      ("2024-01-01 01:00:00", Some(1.0)),
+      ("2024-01-02 01:00:00", None),
+      ("2024-01-03 01:00:00", Some(3.0))
+    ).toDF("raw_ts", "v")
+      .select(to_timestamp($"raw_ts").as("ts"), $"v".as("a"))
+    val daily = Moments.quantilePartials(withNulls, "ts", Seq("a"), "day")
+    assert(daily.where(col("qgrid").isNull).count() == 1)
+    val merged = Moments.reaggregateQuantiles(daily, "month").collect()
+    assert(merged.length == 1)
+    assert(merged.head.getDouble(3) == 2.0 || merged.head.getDouble(3) == 1.0) // q50 from {1,3}
+  }
+
   test("finalizeProfile computes mean/stddev matching Spark's avg/stddev_samp") {
     val got = Moments
       .finalizeProfile(Moments.partials(sample, "ts", Seq("a"), "month"))
