@@ -94,6 +94,50 @@ class LayoutSpec extends SparkSpec {
     info(f"avg spans over 1024 domain: z-order x=$zx%.0f y=$zy%.0f; x-sort x=$sx%.0f y=$sy%.0f")
   }
 
+  test("z-ordered parquet actually skips row groups on a 2-dim range predicate") {
+    // The payoff proof: write the SAME data z-ordered vs randomly
+    // laid out, read each with a 2-dim range predicate, and compare
+    // how many rows the parquet scan MATERIALIZES (scan numOutputRows
+    // = rows surviving row-group stats pruning, before Spark's
+    // residual filter). Z-order must skip most of the data; the
+    // random layout reads ~everything.
+    val n = 40000
+    val rnd = new scala.util.Random(7)
+    val rows = (0 until n).map(_ => (rnd.nextInt(1 << 10).toLong, rnd.nextInt(1 << 10).toLong))
+    val df = rows.toDF("x", "y")
+    val base = java.nio.file.Files.createTempDirectory("zskip").toString
+    Layout
+      .clusterByZOrder(df, Seq("x", "y"), bits = 8, numPartitions = 64)
+      .drop("zkey")
+      .write.mode("overwrite").parquet(s"$base/zordered")
+    df.repartition(64) // round-robin: every file spans the whole domain
+      .write.mode("overwrite").parquet(s"$base/random")
+
+    def scannedRows(dir: String): Long = {
+      // collect() on a scan+filter plan (no exchange, so no AQE
+      // wrapper) and read the leaf scan's numOutputRows metric
+      val q = spark.read
+        .parquet(dir)
+        .where(col("x") >= 100 && col("x") < 228 && col("y") >= 600 && col("y") < 728)
+      val matched = q.collect().length
+      // ~ (128/1024)^2 of the domain
+      assert(matched > 0 && matched < n / 32)
+      q.queryExecution.executedPlan
+        .collectLeaves()
+        .collect { case s if s.metrics.contains("numOutputRows") => s.metrics("numOutputRows").value }
+        .sum
+    }
+    val zScanned = scannedRows(s"$base/zordered")
+    val rScanned = scannedRows(s"$base/random")
+    info(s"scan materialized: z-ordered $zScanned rows vs random-layout $rScanned of $n")
+    assert(rScanned > n * 9L / 10, s"random layout should read ~everything, read $rScanned")
+    assert(
+      zScanned < n / 4,
+      s"z-ordered layout should row-group-prune most of the data, read $zScanned"
+    )
+    assert(zScanned * 4 < rScanned, "z-order must beat the random layout by 4x+")
+  }
+
   test("clusterByZOrder keeps rows intact and sorts within partitions") {
     val df = (0 until 5000).map(i => (i.toLong % 97, i.toLong % 89)).toDF("x", "y")
     val out = Layout.clusterByZOrder(df, Seq("x", "y"), bits = 6, numPartitions = 8)
