@@ -141,11 +141,33 @@ object HtmlReport {
         <li>${m.metrics.size} registered metrics</li></ul>""")
       .getOrElse("<p>(no registered metadata)</p>")
 
-    val profilingHtml = profiling
-      .map { case ((entity, instance, name), pts) =>
-        s"""<div class="metric"><h4>${esc(entity)} / ${esc(instance)} / ${esc(name)}</h4>
-            ${svgLine(pts)}
-            <p class="stats">n=${pts.size} last=${pts.lastOption.map(_._2).getOrElse(Double.NaN)}</p></div>"""
+    // Per-instance drill-down — the static equivalent of the reference
+    // dashboard's selected_instances multiselect (ui.py:97-123): every
+    // instance (column) gets its own anchored section and the nav at
+    // the top filters by a click instead of a widget.
+    val instances = profiling.map(_._1._2).distinct.sorted
+    val instanceNav =
+      if (instances.isEmpty) ""
+      else
+        s"""<nav class="instances"><b>columns:</b> ${instances
+            .map(i => s"""<a href="#${instanceAnchor(i)}">${esc(i)}</a>""")
+            .mkString(" · ")}</nav>"""
+
+    val profilingHtml = instances
+      .map { inst =>
+        val charts = profiling
+          .filter(_._1._2 == inst)
+          .map { case ((entity, instance, name), pts) =>
+            s"""<div class="metric"><h4>${esc(entity)} / ${esc(instance)} / ${esc(name)}</h4>
+                ${svgLine(pts)}
+                <p class="stats">n=${pts.size} last=${pts.lastOption.map(_._2).getOrElse(Double.NaN)}</p></div>"""
+          }
+          .mkString("\n")
+        s"""<section id="${instanceAnchor(inst)}">
+            <h3>column <code>${esc(inst)}</code>
+              <a class="mini" href="#scoring-${instanceAnchor(inst)}">scores ↓</a></h3>
+            $charts
+            <p class="stats"><a href="#top">↑ all columns</a></p></section>"""
       }
       .mkString("\n")
 
@@ -190,16 +212,26 @@ object HtmlReport {
       if (scoringBySeries.isEmpty) "<p>⚠ No scoring stored for this dataset.</p>"
       else
         scoringBySeries
-          .map { case (key @ (entity, instance, name), pts) =>
-            val t = thresholds.get(key)
-            val (lastTs, lastScore) = pts.last
-            val anomalous = t.exists(th => lastScore.isNaN || lastScore > th)
-            val flag =
-              if (anomalous) s"""<p class="alert">🔴 anomaly at $lastTs (score=$lastScore)</p>"""
-              else s"""<p class="ok">🟢 $lastTs within expectations (score=$lastScore)</p>"""
-            s"""<div class="metric"><h4>${esc(entity)} / ${esc(instance)} / ${esc(name)}
-                ${t.map(v => f"(threshold $v%.3f)").getOrElse("")}</h4>
-                $flag${svgLine(pts, threshold = t)}</div>"""
+          .map(_._1._2)
+          .distinct
+          .sorted
+          .map { inst =>
+            val divs = scoringBySeries
+              .filter(_._1._2 == inst)
+              .map { case (key @ (entity, instance, name), pts) =>
+                val t = thresholds.get(key)
+                val (lastTs, lastScore) = pts.last
+                val anomalous = t.exists(th => lastScore.isNaN || lastScore > th)
+                val flag =
+                  if (anomalous)
+                    s"""<p class="alert">🔴 anomaly at $lastTs (score=$lastScore)</p>"""
+                  else s"""<p class="ok">🟢 $lastTs within expectations (score=$lastScore)</p>"""
+                s"""<div class="metric"><h4>${esc(entity)} / ${esc(instance)} / ${esc(name)}
+                    ${t.map(v => f"(threshold $v%.3f)").getOrElse("")}</h4>
+                    $flag${svgLine(pts, threshold = t)}</div>"""
+              }
+              .mkString("\n")
+            s"""<section id="scoring-${instanceAnchor(inst)}">$divs</section>"""
           }
           .mkString("\n")
 
@@ -212,9 +244,11 @@ object HtmlReport {
         tr.failed { background: #fdecea; }
         .alert { color: #c0392b; font-weight: bold; } .ok { color: #1e8449; }
         .metric { margin-bottom: 1em; } .stats, .axis { color: #666; font-size: 11px; }
+        nav.instances a { margin-right: 2px; } .mini { font-size: 11px; font-weight: normal; }
       </style></head><body>
-      <h1>graft quality report</h1>
+      <h1 id="top">graft quality report</h1>
       <h2>Dataset <code>${esc(datasetUri)}</code></h2>$metaHtml
+      $instanceNav
       <h2>Profiling metrics</h2>$profilingHtml
       <h2>Anomaly optimization</h2>$optHtml
       <h2>Anomaly scoring</h2>$scoringHtml
@@ -247,6 +281,11 @@ object HtmlReport {
     val hex = digest.take(4).map(b => f"$b%02x").mkString
     s"${uri.replaceAll("[^A-Za-z0-9._-]", "_")}-$hex"
   }
+
+  /** Stable per-instance (column) anchor id inside a dataset report —
+    * shared by the report's own nav and the index page's deep links.
+    */
+  private[report] def instanceAnchor(instance: String): String = s"inst-${slug(instance)}"
 
   /** Index page across every registered dataset — the server-less
     * equivalent of the reference dashboard's home page (ui.py:311
@@ -289,14 +328,26 @@ object HtmlReport {
         if (latest.isEmpty) """<span class="na">no scoring</span>"""
         else if (anomalous > 0) s"""<span class="alert">🔴 $anomalous anomalous</span>"""
         else """<span class="ok">🟢 healthy</span>"""
+      // per-column deep links into the report's instance anchors — the
+      // index-level face of the selected_instances drill-down
+      val colLinks = {
+        val shown = m.columns.take(12).map { c =>
+          s"""<a href="${esc(reportHref(m.uri))}#${instanceAnchor(c)}">${esc(c)}</a>"""
+        }
+        val more =
+          if (m.columns.size > 12) s""" <span class="na">+${m.columns.size - 12} more</span>"""
+          else ""
+        shown.mkString(", ") + more
+      }
       s"""<tr><td><a href="${esc(reportHref(m.uri))}"><code>${esc(m.uri)}</code></a></td>
-          <td>${esc(m.granularity)}</td><td>${m.metrics.size}</td><td>${latest.length}</td>
+          <td>${esc(m.granularity)}</td><td>${m.metrics.size}</td><td>$colLinks</td>
+          <td>${latest.length}</td>
           <td>${lastTs.map(t => esc(t.toString)).getOrElse("—")}</td><td>$badge</td></tr>"""
     }
     val table =
       if (rows.isEmpty) "<p>⚠ No datasets registered in this repository.</p>"
       else
-        s"""<table><tr><th>dataset</th><th>granularity</th><th>metrics</th>
+        s"""<table><tr><th>dataset</th><th>granularity</th><th>metrics</th><th>columns</th>
             <th>series scored</th><th>latest score ts</th><th>health</th></tr>
             ${rows.mkString("\n")}</table>"""
     s"""<!DOCTYPE html><html><head><meta charset="utf-8">

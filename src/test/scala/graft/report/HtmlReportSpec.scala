@@ -141,6 +141,41 @@ class HtmlReportSpec extends SparkSpec {
     }
   }
 
+  test("per-instance anchors: one section per column, nav + index deep links") {
+    import spark.implicits._
+    val repo = new InMemoryRepository()
+    val uri = "ds://anchors"
+    def day(i: Int) = java.sql.Timestamp.valueOf(f"2024-01-${i + 1}%02d 00:00:00")
+    val rows = for {
+      inst <- Seq("price", "qty")
+      i <- 0 until 5
+    } yield (day(i), "Column", inst, "Mean", i.toDouble)
+    repo.addProfiling(uri, rows.toDF("ts", "entity", "instance", "name", "value"))
+    repo.registerDataset(
+      graft.core.DatasetMeta(uri, "ts", Seq("price", "qty"), "DAY", Seq.empty))
+    val html = HtmlReport.render(repo, uri)
+    // exactly one anchored section per instance
+    for (inst <- Seq("price", "qty")) {
+      val anchor = HtmlReport.instanceAnchor(inst)
+      assert(
+        s"""id="$anchor"""".r.findAllIn(html).size == 1,
+        s"expected exactly one section anchor for $inst")
+      // nav links to it
+      assert(html.contains(s"""<a href="#$anchor">$inst</a>"""))
+    }
+    // anchors are md5-suffixed, so instances that sanitize identically
+    // cannot collide
+    assert(HtmlReport.instanceAnchor("a/b") != HtmlReport.instanceAnchor("a_b"))
+    // the index deep-links every registered column to its anchor
+    val idx = HtmlReport.renderIndex(repo)
+    for (inst <- Seq("price", "qty")) {
+      val anchor = HtmlReport.instanceAnchor(inst)
+      assert(
+        idx.contains(s"""href="${HtmlReport.slug(uri)}.html#$anchor""""),
+        s"index missing deep link for $inst")
+    }
+  }
+
   test("report degrades gracefully with no optimization or scoring") {
     val repo = new InMemoryRepository()
     val uri = "ds://bare"
