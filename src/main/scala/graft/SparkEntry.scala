@@ -19,7 +19,8 @@ object SparkEntry {
     TextQueries,
     DedupQueries,
     SimilarityQueries,
-    MultimodalQueries
+    MultimodalQueries,
+    PipelineQueries
   )
 
   private lazy val registry: Map[String, Q] =

@@ -1,0 +1,205 @@
+package graft.pipelines
+
+import graft.operators.Sampling
+import graft.text.Text
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** End-to-end corpus preparation — the composition layer over the
+  * individual training-data operators (text rules, langid, dedup,
+  * sampling). The reference exposes each analysis step separately
+  * (thoth/profiler.py, the thoth.anomaly modules); a training-data pipeline
+  * additionally needs them CHAINED with per-stage accounting, and at
+  * 100 TB that accounting must not cost one action per stage.
+  *
+  * Design: single-pass funnel. Instead of filtering after every stage
+  * (N jobs, N scans — the driver-loop shape this library exists to
+  * avoid), every row is tagged with the FIRST stage that would drop
+  * it. One scan computes all scan-side signals, one fingerprint
+  * shuffle resolves duplicates, and both the surviving corpus and the
+  * per-stage loss report read from the same annotated frame — funnel
+  * stats cost one extra aggregation of an already-computed column, not
+  * a rescan of the corpus.
+  */
+object Corpus {
+
+  /** First-failing-stage annotation. Each stage is `(name, dropWhen)`;
+    * the result column holds the name of the first stage whose
+    * predicate fires, NULL for survivors. Pure scan-side projection —
+    * zero shuffle, rides whole-stage codegen with the read.
+    */
+  def firstFailing(stages: Seq[(String, Column)]): Column =
+    coalesce(
+      stages.map { case (name, drop) => when(drop, lit(name)) } :+
+        lit(null).cast("string"): _*
+    )
+
+  /** The standard prepare recipe over a documents table: Gopher rule
+    * filter -> language gate -> exact near-order dedup, with
+    * first-failing accounting.
+    *
+    * Output: idCol, `predicted` (language), `drop_reason`
+    * ("too_short" | "too_long" | "word_len" | "symbol_ratio" |
+    * "few_stopwords" | "non_english" | "duplicate" | "kept"),
+    * `kept` boolean.
+    *
+    * Duplicate resolution honors the stage ORDER: only documents that
+    * survive the scan-side stages compete for a fingerprint's
+    * canonical slot. That is one `row_number` window partitioned by
+    * fingerprint with rule-failed rows ordered LAST — a dropped
+    * boilerplate page never shadows a clean duplicate of itself, and
+    * the window costs exactly the one shuffle exact-dedup needs
+    * anyway. Exact-duplicate groups stream through `row_number`
+    * without buffering, so a hot fingerprint (the million-copy
+    * boilerplate page) is one streaming task, not a blowup.
+    */
+  def prepareFunnel(
+      docs: DataFrame,
+      textCol: String = "text",
+      idCol: String = "doc_id",
+      keepLang: String = "en"
+  ): DataFrame = {
+    // tokenize ONCE into an attribute: every downstream signal
+    // (gopher, langid) runs lambdas over the tokens, and interpreted
+    // lambdas re-evaluate their input subtree per element
+    val toks = docs
+      .withColumn("_toks", Text.tokens(col(textCol)))
+      .select(
+        col(idCol),
+        Text.langIdFromTokens(col("_toks")).as("predicted"),
+        Text.gopherReasonFromTokens(col(textCol), col("_toks")).as("_gopher"),
+        Text.fingerprint(col(textCol)).as("_fp")
+      )
+    // same shape as [[firstFailing]], but the gopher stage contributes
+    // its per-rule reason rather than a single stage name — the rule
+    // name IS the account line
+    val withPre = toks.withColumn(
+      "_pre",
+      coalesce(
+        when(col("_gopher") =!= "ok", col("_gopher")),
+        when(col("predicted") =!= keepLang, lit("non_english"))
+      )
+    )
+    val w = Window
+      .partitionBy("_fp")
+      .orderBy(col("_pre").isNotNull.cast("int"), col(idCol))
+    withPre
+      .withColumn("_rn", row_number().over(w))
+      .select(
+        col(idCol),
+        col("predicted"),
+        coalesce(
+          col("_pre"),
+          when(col("_rn") > 1, lit("duplicate")),
+          lit("kept")
+        ).as("drop_reason")
+      )
+      .withColumn("kept", col("drop_reason") === "kept")
+  }
+
+  /** Per-stage loss report from a funnel frame: documents and
+    * character volume lost at each stage. One aggregation of columns
+    * the funnel already computed.
+    */
+  def funnelStats(
+      funnel: DataFrame,
+      reasonCol: String = "drop_reason"
+  ): DataFrame =
+    funnel
+      .groupBy(col(reasonCol))
+      .agg(count(lit(1)).as("n_docs"))
+      .orderBy(col(reasonCol))
+
+  /** Deterministic domain-mixture sampling: draw a corpus whose
+    * per-domain composition follows `weights` (target shares summing
+    * to 1) at a total budget of ~`budget` rows, regardless of the
+    * corpus's own skew. The training-data mixing primitive: "sample
+    * 200B tokens at 60% web / 30% books / 10% code" from a corpus
+    * that is 95% web.
+    *
+    * Per-domain keep-fraction f_d = min(1, budget * w_d / count_d);
+    * membership is the same content-hash predicate as
+    * [[graft.operators.Sampling]] (md5 hex-prefix compare), so the
+    * draw is reproducible across runs, partitionings and engines, and
+    * raising the budget only ADDS rows (prefix property). Domains
+    * absent from `weights` get weight 0 and drop entirely.
+    *
+    * Cost model at scale: one map-side-combined count per domain
+    * (output rows = |domains|), thresholds derived IN-PLAN from the
+    * counts (no driver round-trip, no literal baking), broadcast back,
+    * and the corpus itself is touched by exactly one scan-side filter
+    * — no shuffle of the data being sampled. A domain under-supplied
+    * for its target (f_d capped at 1) keeps everything it has; the
+    * shortfall is visible by comparing the output's domain counts to
+    * budget * w_d.
+    */
+  def mixtureSample(
+      df: DataFrame,
+      idCol: String,
+      strataCol: String,
+      weights: Seq[(String, Double)],
+      budget: Long,
+      salt: String = "graft"
+  ): DataFrame = {
+    require(weights.nonEmpty && weights.forall(_._2 >= 0), "weights must be >= 0")
+    require(
+      math.abs(weights.map(_._2).sum - 1.0) < 1e-9,
+      s"weights must sum to 1, got ${weights.map(_._2).sum}"
+    )
+    require(budget > 0, s"budget must be positive, got $budget")
+    val wCol = weights.foldRight(lit(0.0)) { case ((k, v), e) =>
+      when(col(strataCol) === k, lit(v)).otherwise(e)
+    }
+    // f and its hex threshold are computed with engine-portable double
+    // arithmetic (mul, div, floor — all exactly rounded IEEE ops), so
+    // an oracle in any md5-capable SQL dialect lands on the identical
+    // row set; "g" sorts above every hex digit => keep-all when f >= 1
+    val f = least(lit(1.0), (lit(budget.toDouble) * wCol) / col("_cnt").cast("double"))
+    val thr = df
+      .groupBy(col(strataCol))
+      .agg(count(lit(1)).as("_cnt"))
+      .select(
+        col(strataCol),
+        when(f >= 1.0, lit("g"))
+          .otherwise(format_string("%08x", floor(f * lit(4294967296.0))))
+          .as("_thr")
+      )
+    val bucket =
+      substring(md5(concat(col(idCol).cast("string"), lit(s":$salt"))), 1, 8)
+    df.join(broadcast(thr), Seq(strataCol))
+      .where(bucket < col("_thr"))
+      .drop("_thr")
+  }
+
+  /** SQL mirror of [[mixtureSample]]'s threshold table + predicate,
+    * for oracle parity (same shape as [[Sampling.stratifiedSampleSql]]
+    * but with in-query thresholds). Returns (thresholdCteSql,
+    * predicateSql) to splice into a WITH ... WHERE query; the CTE is
+    * named `_thr`.
+    */
+  def mixtureSampleSql(
+      table: String,
+      idExpr: String,
+      strataExpr: String,
+      weights: Seq[(String, Double)],
+      budget: Long,
+      salt: String = "graft"
+  ): (String, String) = {
+    val wSql = weights
+      .map { case (k, v) => s"WHEN '$k' THEN CAST($v AS DOUBLE)" }
+      .mkString(s"CASE $strataExpr ", " ", " ELSE 0.0 END")
+    val fSql =
+      s"least(1.0, (CAST($budget AS DOUBLE) * $wSql) / CAST(count(*) AS DOUBLE))"
+    val cte =
+      s"""_thr AS (
+         |  SELECT $strataExpr AS _stratum,
+         |    CASE WHEN $fSql >= 1.0 THEN 'g'
+         |         ELSE printf('%08x', CAST(floor($fSql * 4294967296.0) AS BIGINT))
+         |    END AS _th
+         |  FROM $table GROUP BY $strataExpr)""".stripMargin
+    val pred =
+      s"substr(md5(CAST($idExpr AS VARCHAR) || ':$salt'), 1, 8) < _thr._th"
+    (cte, pred)
+  }
+}

@@ -1,0 +1,112 @@
+package graft.queries
+
+import graft.Tables
+import graft.pipelines.Corpus
+import graft.text.Text
+import org.apache.spark.sql.functions._
+
+/** Corpus-preparation pipeline queries (SURVEY §2.6/§2.4 composition):
+  * the chained funnel (rules -> language -> dedup) with first-failing
+  * accounting, and deterministic domain-mixture sampling. Oracles
+  * compose the already-gated per-stage SQL (gopher, langid,
+  * fingerprint) so the CHAIN is hash-verified end to end, not just its
+  * pieces.
+  */
+object PipelineQueries extends QueryPack {
+
+  private def inList(words: Seq[String]): String =
+    words.map(w => s"'$w'").mkString("(", ", ", ")")
+
+  private def swCountSql(lang: String): String =
+    s"len(list_filter(string_split(text, ' '), t -> t IN ${inList(Text.stopwords(lang))}))"
+
+  // shared funnel SQL: per-row first-failing drop reason, mirroring
+  // Corpus.prepareFunnel stage for stage (gopher rules in evaluation
+  // order, then the language gate, then canonical-slot dedup with
+  // rule-failed rows ordered last)
+  private def funnelSql: String = s"""
+      WITH t AS (
+        SELECT doc_id,
+          len(string_split(text, ' ')) AS n_words,
+          CAST(length(replace(text, ' ', '')) AS DOUBLE)
+            / len(string_split(text, ' ')) AS mwl,
+          CAST(length(regexp_replace(text, '[a-z0-9 ]', '', 'g')) AS DOUBLE)
+            / length(text) AS pr,
+          ${swCountSql("en")} AS c_en, ${swCountSql("de")} AS c_de,
+          ${swCountSql("fr")} AS c_fr, ${swCountSql("es")} AS c_es,
+          md5(trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9 ]', ' ', 'g'),
+            ' +', ' ', 'g'))) AS fp
+        FROM documents),
+      g AS (SELECT *, greatest(c_en, c_de, c_fr, c_es) AS mx FROM t),
+      p AS (SELECT doc_id, fp,
+        CASE WHEN c_en = mx AND mx > 0 THEN 'en'
+             WHEN c_de = mx AND mx > 0 THEN 'de'
+             WHEN c_fr = mx AND mx > 0 THEN 'fr'
+             WHEN c_es = mx AND mx > 0 THEN 'es'
+             ELSE 'und' END AS predicted,
+        CASE WHEN n_words < 40 THEN 'too_short'
+             WHEN n_words > 100000 THEN 'too_long'
+             WHEN mwl < 3.0 OR mwl > 10.0 THEN 'word_len'
+             WHEN pr > 0.1 THEN 'symbol_ratio'
+             WHEN c_en < 2 THEN 'few_stopwords'
+             ELSE NULL END AS g_reason
+        FROM g),
+      q AS (SELECT *, COALESCE(g_reason,
+              CASE WHEN predicted <> 'en' THEN 'non_english' END) AS pre
+            FROM p),
+      r AS (SELECT *, row_number() OVER (PARTITION BY fp
+              ORDER BY CASE WHEN pre IS NOT NULL THEN 1 ELSE 0 END, doc_id) AS rn
+            FROM q),
+      funnel AS (
+        SELECT doc_id, predicted,
+          COALESCE(pre, CASE WHEN rn > 1 THEN 'duplicate' END, 'kept') AS drop_reason,
+          COALESCE(pre, CASE WHEN rn > 1 THEN 'duplicate' END) IS NULL AS kept
+        FROM r)"""
+
+  private val funnelQ = Q(
+    fn = (s, d) => Corpus.prepareFunnel(Tables.documents(s, d)).orderBy("doc_id"),
+    oracle = Some(s"""
+      $funnelSql
+      SELECT doc_id, predicted, drop_reason, kept FROM funnel ORDER BY doc_id""")
+  )
+
+  private val statsQ = Q(
+    fn = (s, d) => Corpus.funnelStats(Corpus.prepareFunnel(Tables.documents(s, d))),
+    oracle = Some(s"""
+      $funnelSql
+      SELECT drop_reason, count(*) AS n_docs FROM funnel
+      GROUP BY drop_reason ORDER BY drop_reason""")
+  )
+
+  // exact-binary-representable weights so the Scala literal and the
+  // SQL decimal cast land on the identical double; budget 60 makes
+  // src0 hit the f >= 1 keep-all branch at sf0.01 (25 docs/source)
+  // while the other strata exercise the fractional threshold
+  private val mixWeights =
+    Seq("src0" -> 0.5, "src1" -> 0.25, "src2" -> 0.125, "src3" -> 0.125)
+  private val mixBudget = 60L
+
+  private val mixtureQ = Q(
+    fn = (s, d) =>
+      Corpus
+        .mixtureSample(Tables.documents(s, d), "doc_id", "source", mixWeights, mixBudget)
+        .select(col("doc_id"), col("source"))
+        .orderBy("doc_id"),
+    oracle = Some {
+      val (cte, pred) =
+        Corpus.mixtureSampleSql("documents", "doc_id", "source", mixWeights, mixBudget)
+      s"""
+      WITH $cte
+      SELECT d.doc_id, d.source
+      FROM documents d JOIN _thr ON d.source = _thr._stratum
+      WHERE $pred
+      ORDER BY doc_id"""
+    }
+  )
+
+  val queries: Map[String, Q] = Map(
+    "pipeline_corpus_funnel" -> funnelQ,
+    "pipeline_corpus_stats" -> statsQ,
+    "pipeline_mixture_sample" -> mixtureQ
+  )
+}

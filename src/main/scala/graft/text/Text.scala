@@ -89,15 +89,42 @@ object Text {
       maxMeanWordLen: Double = 10.0,
       maxSymbolRatio: Double = 0.1,
       minStopwordHits: Int = 2
+  ): Column = gopherReasonFromTokens(
+    c,
+    tokens(c),
+    minWords,
+    maxWords,
+    minMeanWordLen,
+    maxMeanWordLen,
+    maxSymbolRatio,
+    minStopwordHits
+  )
+
+  /** [[gopherReason]] over a pre-projected token-array ATTRIBUTE.
+    * `hitCount` is a lambda over the tokens; handing it the inline
+    * `split()` expression re-tokenizes per element when the filter
+    * evaluates interpreted (see [[wordShingles]]) — callers that
+    * control the plan should tokenize in a separate projection and
+    * pass the attribute here.
+    */
+  def gopherReasonFromTokens(
+      c: Column,
+      toks: Column,
+      minWords: Int = 40,
+      maxWords: Int = 100000,
+      minMeanWordLen: Double = 3.0,
+      maxMeanWordLen: Double = 10.0,
+      maxSymbolRatio: Double = 0.1,
+      minStopwordHits: Int = 2
   ): Column = {
-    val nWords = tokenCount(c)
-    val mwl = meanWordLen(c)
+    val nWords = size(toks)
+    val mwl = length(regexp_replace(c, " ", "")) / nWords
     when(nWords < minWords, lit("too_short"))
       .when(nWords > maxWords, lit("too_long"))
       .when(mwl < minMeanWordLen || mwl > maxMeanWordLen, lit("word_len"))
       .when(punctRatio(c) > maxSymbolRatio, lit("symbol_ratio"))
       .when(
-        hitCount(tokens(c), stopwords("en")) < minStopwordHits,
+        hitCount(toks, stopwords("en")) < minStopwordHits,
         lit("few_stopwords")
       )
       .otherwise(lit("ok"))
@@ -107,8 +134,12 @@ object Text {
     * fixed preference order (en > de > fr > es) on ties and "und" (
     * undetermined) when no list hits at all.
     */
-  def langId(c: Column): Column = {
-    val toks = tokens(c)
+  def langId(c: Column): Column = langIdFromTokens(tokens(c))
+
+  /** [[langId]] over a pre-projected token-array attribute (same
+    * interpreted-lambda rationale as [[gopherReasonFromTokens]]).
+    */
+  def langIdFromTokens(toks: Column): Column = {
     val langs = Seq("en", "de", "fr", "es")
     val counts = langs.map(l => l -> hitCount(toks, stopwords(l)))
     // when-chain in language order => earlier language wins ties

@@ -1,0 +1,158 @@
+package graft.pipelines
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+class CorpusSpec extends SparkSpec {
+  import spark.implicits._
+
+  // 60 prose-like words with plenty of English stopwords: passes every
+  // gopher rule and language-ids as "en"
+  private val goodText: String =
+    Iterator
+      .continually(Seq("the", "quick", "brown", "fox", "and", "the", "lazy", "dog",
+        "walked", "over", "a", "hill"))
+      .flatten
+      .take(60)
+      .mkString(" ")
+
+  test("prepareFunnel tags the first failing stage, in stage order") {
+    val docs = Seq(
+      (1L, goodText), // kept
+      (2L, "short text only"), // too_short fires before everything else
+      (3L, Iterator.continually("xxxxxxxxxxxxxxxx").take(60).mkString(" ")), // word_len
+      (4L, Iterator.continually("der und die das ist ein nicht mit sich auf").take(6).mkString(" ")) // non_english (gopher-ok via shared stopword floor? -> see assert)
+    ).toDF("doc_id", "text")
+    val out = Corpus.prepareFunnel(docs).orderBy("doc_id").collect()
+    assert(out.map(_.getString(2)).take(3).toSeq ===
+      Seq("kept", "too_short", "word_len"))
+    // doc 4 has zero English stopword hits: gopher's few_stopwords
+    // fires BEFORE the language gate ever sees it — first-failing
+    // means the reason is few_stopwords, not non_english
+    assert(out(3).getString(2) === "few_stopwords")
+    assert(out.map(_.getBoolean(3)).toSeq === Seq(true, false, false, false))
+  }
+
+  test("language gate fires for a rule-passing non-English document") {
+    // German prose long enough and punctuation-free, with two English
+    // stopwords planted so the gopher floor passes — the first failing
+    // stage is then the language gate
+    val deWords = Seq("der", "hund", "und", "die", "katze", "ist", "nicht",
+      "mit", "sich", "auf", "ein", "haus")
+    val deText = (Iterator.continually(deWords).flatten.take(58) ++ Iterator("the", "and"))
+      .mkString(" ")
+    val docs = Seq((1L, goodText), (2L, deText)).toDF("doc_id", "text")
+    val out = Corpus.prepareFunnel(docs).orderBy("doc_id").collect()
+    assert(out(1).getString(1) === "de")
+    assert(out(1).getString(2) === "non_english")
+  }
+
+  test("duplicates keep the lowest surviving id; failed rows never claim the slot") {
+    // doc 5 is a normalized duplicate of doc 1: trailing punctuation
+    // disappears under fingerprint normalization but leaves every
+    // scan-side rule passing (one extra short "token" barely moves the
+    // ratios). doc 0 is unrelated and rule-dropped.
+    val dupOfGood = goodText + " ..." // normalizes to the same fingerprint
+    val docs = Seq(
+      (0L, "the quick brown"), // too_short, different fingerprint
+      (1L, goodText),
+      (5L, dupOfGood)
+    ).toDF("doc_id", "text")
+    val out = Corpus.prepareFunnel(docs).orderBy("doc_id").collect()
+    assert(out(1).getString(2) === "kept") // lowest surviving id wins
+    assert(out(2).getString(2) === "duplicate")
+  }
+
+  test("a rule-failed copy does not shadow a clean duplicate with a higher id") {
+    // doc 1 fails word_len? craft: identical normalized text, but doc 1
+    // with symbols pushing symbol_ratio over the limit while doc 2 is
+    // clean. fingerprint strips symbols, so both share a fingerprint;
+    // doc 1 (lower id) is rule-dropped and doc 2 must stay kept.
+    val noisy = goodText.split(" ").map(w => w + "!!!").mkString(" ")
+    val docs = Seq((1L, noisy), (2L, goodText)).toDF("doc_id", "text")
+    val out = Corpus.prepareFunnel(docs).orderBy("doc_id").collect()
+    assert(out(0).getString(2) === "symbol_ratio")
+    assert(out(1).getString(2) === "kept")
+  }
+
+  test("funnelStats accounts every document exactly once") {
+    val docs = Seq(
+      (1L, goodText),
+      (2L, goodText + " ..."),
+      (3L, "short")
+    ).toDF("doc_id", "text")
+    val stats = Corpus
+      .funnelStats(Corpus.prepareFunnel(docs))
+      .as[(String, Long)]
+      .collect()
+      .toMap
+    assert(stats === Map("kept" -> 1L, "duplicate" -> 1L, "too_short" -> 1L))
+  }
+
+  test("mixtureSample follows the target mixture and caps under-supplied domains") {
+    val docs = (1 to 1000)
+      .map(i => (i.toLong, if (i <= 800) "web" else if (i <= 990) "books" else "code"))
+      .toDF("doc_id", "source")
+    val out = Corpus
+      .mixtureSample(docs, "doc_id", "source",
+        Seq("web" -> 0.5, "books" -> 0.25, "code" -> 0.25), budget = 200L)
+      .groupBy("source")
+      .count()
+      .as[(String, Long)]
+      .collect()
+      .toMap
+    // web: f = 100/800 = 0.125 -> ~100; books: 50/190 -> ~50;
+    // code under-supplied: f = 50/10 capped at 1 -> exactly all 10
+    assert(out("code") === 10L)
+    assert(math.abs(out("web") - 100L) < 30, s"web=${out("web")}")
+    assert(math.abs(out("books") - 50L) < 25, s"books=${out("books")}")
+  }
+
+  test("mixtureSample is deterministic and budget-monotone (prefix property)") {
+    val docs = (1 to 500)
+      .map(i => (i.toLong, if (i % 2 == 0) "a" else "b"))
+      .toDF("doc_id", "source")
+    val weights = Seq("a" -> 0.5, "b" -> 0.5)
+    def ids(budget: Long): Set[Long] =
+      Corpus
+        .mixtureSample(docs, "doc_id", "source", weights, budget)
+        .select("doc_id")
+        .as[Long]
+        .collect()
+        .toSet
+    val small = ids(100L)
+    assert(ids(100L) === small, "same budget must redraw the identical sample")
+    assert(small.subsetOf(ids(200L)), "raising the budget must only add rows")
+  }
+
+  test("domains absent from the weights are dropped entirely") {
+    val docs = (1 to 100)
+      .map(i => (i.toLong, if (i % 2 == 0) "keep" else "junk"))
+      .toDF("doc_id", "source")
+    val out = Corpus
+      .mixtureSample(docs, "doc_id", "source", Seq("keep" -> 1.0), budget = 100L)
+      .select(collect_set("source"))
+      .as[Seq[String]]
+      .head()
+    assert(out === Seq("keep"))
+  }
+
+  test("mixtureSample validates weights and budget") {
+    val docs = Seq((1L, "a")).toDF("doc_id", "source")
+    intercept[IllegalArgumentException] {
+      Corpus.mixtureSample(docs, "doc_id", "source", Seq("a" -> 0.5), 10L)
+    }
+    intercept[IllegalArgumentException] {
+      Corpus.mixtureSample(docs, "doc_id", "source", Seq("a" -> 1.0), 0L)
+    }
+  }
+
+  test("firstFailing returns NULL for rows passing every stage") {
+    val df = Seq((1, 10), (2, 200), (3, -5)).toDF("id", "v")
+    val reason = Corpus.firstFailing(
+      Seq("negative" -> (col("v") < 0), "too_big" -> (col("v") > 100))
+    )
+    val out = df.select(col("id"), reason.as("r")).orderBy("id").as[(Int, Option[String])].collect()
+    assert(out === Array((1, None), (2, Some("too_big")), (3, Some("negative"))))
+  }
+}
