@@ -340,35 +340,7 @@ object Similarity {
       seed: Long = 42L,
       trainFraction: Option[Double] = None
   ): DataFrame = {
-    // Coarse centroids only need to partition space, not converge: cap
-    // the training set (IVF practice is a corpus sample) and the
-    // iteration count. COUNT-FREE sizing: LocalLimit stops each scan
-    // task once maxTrain rows exist, so the fit reads O(maxTrain) rows
-    // at any corpus size — the r2 corpus.count() was an entire extra
-    // full-corpus pass whose only purpose was computing a fraction.
-    // For corpora whose storage order is correlated with vector space,
-    // pass trainFraction (e.g. 8192/estimated_n) to decorrelate; the
-    // read stays bounded at ~maxTrain/fraction rows.
-    trainFraction.foreach(f =>
-      require(f > 0.0 && f <= 1.0, s"trainFraction must be in (0, 1], got $f")
-    )
-    val maxTrain = 8192
-    val base = corpus.select(col(vecCol).cast("array<double>").as("_v"))
-    // The fit tolerates exactly what the scan-side kernel tolerates:
-    // null vectors, null SLOTS, and ragged lengths are dropped from
-    // the training sample (the kernel maps them to NULL cell, so they
-    // never join) — a single dirty row must not crash the fit.
-    val collected = trainFraction
-      .fold(base)(f => base.sample(withReplacement = false, f, seed))
-      .where(col("_v").isNotNull) // a NULL embedding would NPE the fit
-      .limit(maxTrain)
-      .collect()
-      .map(_.getSeq[java.lang.Double](0))
-      .filter(s => s != null && s.forall(_ ne null))
-    val sample = collected.headOption
-      .map(h => collected.filter(_.length == h.length).map(_.map(_.doubleValue()).toArray))
-      .getOrElse(Array.empty[Array[Double]])
-    val cents = localKMeans(sample, nlist, iters = 5)
+    val cents = fitIvfCentroids(corpus, vecCol, nlist, seed, trainFraction)
 
     // nearest-`take` centroid ids per vector — a codegen'd Catalyst
     // expression (graft.functions.hashExpressions.NearestCells) with
@@ -401,6 +373,16 @@ object Similarity {
         col("_qn"),
         explode(col("_probes")).as("_cell")
       )
+    rankWithinCells(c, q, k)
+  }
+
+  /** The IVF probe tail shared by [[ivfTopK]] and [[ivfQueryIndex]]:
+    * broadcast the exploded (query, probe-cell) side against the
+    * cell-assigned corpus, exact cosine within the probed cells only,
+    * bounded per-query top-k. `c`: (neighbor_id, _cv, _cn, _cell);
+    * `q`: (query_id, _qv, _qn, _cell).
+    */
+  private def rankWithinCells(c: DataFrame, q: DataFrame, k: Int): DataFrame = {
     val w = Window
       .partitionBy(col("query_id"))
       .orderBy(col("sim").desc, col("neighbor_id"))
@@ -413,6 +395,142 @@ object Similarity {
       .withColumn("rank", row_number().over(w))
       .where(col("rank") <= k)
       .select("query_id", "neighbor_id", "sim", "rank")
+  }
+
+  /** IVF coarse-quantizer fit: bounded driver math over a capped
+    * corpus sample. COUNT-FREE sizing: LocalLimit stops each scan
+    * task once maxTrain rows exist, so the fit reads O(maxTrain) rows
+    * at any corpus size (the r2 corpus.count() was an entire extra
+    * full-corpus pass whose only purpose was computing a fraction).
+    * For corpora whose storage order is correlated with vector space,
+    * pass trainFraction (e.g. 8192/estimated_n) to decorrelate; the
+    * read stays bounded at ~maxTrain/fraction rows.
+    *
+    * The fit tolerates exactly what the scan-side kernel tolerates:
+    * null vectors, null SLOTS, and ragged lengths are dropped from
+    * the training sample (the kernel maps them to NULL cell, so they
+    * never join) — a single dirty row must not crash the fit.
+    */
+  private[similarity] def fitIvfCentroids(
+      corpus: DataFrame,
+      vecCol: String,
+      nlist: Int,
+      seed: Long,
+      trainFraction: Option[Double]
+  ): Array[Array[Double]] = {
+    trainFraction.foreach(f =>
+      require(f > 0.0 && f <= 1.0, s"trainFraction must be in (0, 1], got $f")
+    )
+    val maxTrain = 8192
+    val base = corpus.select(col(vecCol).cast("array<double>").as("_v"))
+    val collected = trainFraction
+      .fold(base)(f => base.sample(withReplacement = false, f, seed))
+      .where(col("_v").isNotNull) // a NULL embedding would NPE the fit
+      .limit(maxTrain)
+      .collect()
+      .map(_.getSeq[java.lang.Double](0))
+      .filter(s => s != null && s.forall(_ ne null))
+    val sample = collected.headOption
+      .map(h => collected.filter(_.length == h.length).map(_.map(_.doubleValue()).toArray))
+      .getOrElse(Array.empty[Array[Double]])
+    localKMeans(sample, nlist, iters = 5)
+  }
+
+  /** Persist a fitted IVF index: fit once, probe forever. Layout:
+    *
+    *   path/centroids/  — (cell, centroid) parquet, nlist rows
+    *   path/cells/      — corpus partitioned BY CELL (id, vector,
+    *                      precomputed norm), parquet directory per cell
+    *
+    * The partitioned layout is the scale payoff: a probe reads ONLY
+    * its nprobe cell directories (planning-time partition pruning in
+    * [[ivfQueryIndex]]), so query cost is ~nprobe/nlist of the corpus
+    * IN I/O, not just in compute — and the fit+assignment pass is paid
+    * once, not per query batch. Norms ride the index so probing never
+    * touches the raw corpus.
+    *
+    * Rows whose vector the kernel rejects (NULL, empty, ragged) land
+    * in the null-cell partition and are never probed — same semantics
+    * as [[ivfTopK]]'s inner cell join.
+    */
+  def ivfWriteIndex(
+      corpus: DataFrame,
+      idCol: String,
+      vecCol: String,
+      path: String,
+      nlist: Int = 16,
+      seed: Long = 42L,
+      trainFraction: Option[Double] = None
+  ): Unit = {
+    val cents = fitIvfCentroids(corpus, vecCol, nlist, seed, trainFraction)
+    val spark = corpus.sparkSession
+    import spark.implicits._
+    cents.zipWithIndex
+      .map { case (c, i) => (i, c.toSeq) }
+      .toSeq
+      .toDF("cell", "centroid")
+      .coalesce(1)
+      .write
+      .mode("overwrite")
+      .parquet(s"$path/centroids")
+    corpus
+      .select(
+        col(idCol).as("neighbor_id"),
+        col(vecCol).cast("array<double>").as("_cv"),
+        norm(col(vecCol)).as("_cn"),
+        graft.functions.hashExpressions
+          .nearestCells(col(vecCol).cast("array<double>"), cents, 1)(0)
+          .as("cell")
+      )
+      .write
+      .mode("overwrite")
+      .partitionBy("cell")
+      .parquet(s"$path/cells")
+  }
+
+  /** Probe a persisted IVF index ([[ivfWriteIndex]] layout) — same
+    * semantics as [[ivfTopK]] with the fit and corpus assignment
+    * amortized away.
+    *
+    * Pruning is PLANNING-TIME, not left to dynamic runtime filters:
+    * the distinct probe cells are collected first (bounded — there are
+    * at most nlist of them, and the probe projection is a scan of the
+    * usually-small query side) and pushed as a literal IN partition
+    * filter, so the parquet listing itself skips every unprobed cell
+    * directory. The probed-cells scan then joins the broadcast query
+    * side exactly like [[ivfTopK]].
+    */
+  def ivfQueryIndex(
+      queries: DataFrame,
+      idCol: String,
+      vecCol: String,
+      path: String,
+      k: Int,
+      nprobe: Int = 4
+  ): DataFrame = {
+    val spark = queries.sparkSession
+    val cents = spark.read
+      .parquet(s"$path/centroids")
+      .orderBy("cell")
+      .collect() // nlist rows by construction
+      .map(_.getSeq[Double](1).toArray)
+    require(cents.nonEmpty, s"no centroids found under $path/centroids")
+    val q = queries
+      .select(
+        col(idCol).as("query_id"),
+        col(vecCol).cast("array<double>").as("_qv"),
+        norm(col(vecCol)).as("_qn"),
+        explode(
+          graft.functions.hashExpressions
+            .nearestCells(col(vecCol).cast("array<double>"), cents, nprobe)
+        ).as("_cell")
+      )
+    val probed = q.select("_cell").distinct().collect().map(_.getInt(0)) // <= nlist values
+    val c = spark.read
+      .parquet(s"$path/cells")
+      .where(col("cell").isin(probed.toIndexedSeq: _*))
+      .withColumnRenamed("cell", "_cell")
+    rankWithinCells(c, q, k)
   }
 
   /** Symmetric int8 quantization of an embedding — the 4x storage/

@@ -1,0 +1,86 @@
+package graft.similarity
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+/** Persisted IVF index: fit-once reuse and the partition-pruning
+  * payoff — a probe must READ only its probed cell directories, not
+  * the whole corpus (the I/O-side scale claim of the cell-partitioned
+  * layout).
+  */
+class IvfIndexSpec extends SparkSpec {
+  import spark.implicits._
+
+  // two well-separated clusters, 200 vectors each
+  private def clustered = (
+    (0 until 200).map(i => (i.toLong, Array(10.0 + i * 0.01, 0.1 * (i % 5), 0.0))) ++
+      (200 until 400).map(i => (i.toLong, Array(0.0, 10.0 + i * 0.01, 0.1 * (i % 5))))
+  ).toDF("vec_id", "embedding")
+
+  test("ivfQueryIndex matches ivfTopK (same fit, same probes)") {
+    val dir = java.nio.file.Files.createTempDirectory("ivfidx").toString
+    val corpus = clustered
+    Similarity.ivfWriteIndex(corpus, "vec_id", "embedding", dir, nlist = 4)
+    val queries = corpus.where($"vec_id".isin(0L, 250L))
+    val fromIndex = Similarity
+      .ivfQueryIndex(queries, "vec_id", "embedding", dir, k = 5, nprobe = 2)
+      .orderBy("query_id", "rank")
+      .collect()
+      .toSeq
+    val live = Similarity
+      .ivfTopK(queries, corpus, "vec_id", "embedding", k = 5, nlist = 4, nprobe = 2)
+      .orderBy("query_id", "rank")
+      .collect()
+      .toSeq
+    assert(fromIndex === live)
+  }
+
+  test("a probe scans only the probed cell partitions") {
+    val dir = java.nio.file.Files.createTempDirectory("ivfidx2").toString
+    val corpus = clustered
+    Similarity.ivfWriteIndex(corpus, "vec_id", "embedding", dir, nlist = 8)
+    // one query from one cluster, probing 1 cell: the opposite
+    // cluster's partitions must never be materialized
+    val queries = corpus.where($"vec_id" === 0L)
+    val out = Similarity.ivfQueryIndex(queries, "vec_id", "embedding", dir, k = 3, nprobe = 1)
+    assert(out.collect().nonEmpty)
+    // 1) the probe query itself plans a non-empty partition filter on
+    //    the cell column (the literal IN from the collected probes)
+    val planStr = out.queryExecution.executedPlan.toString
+      .split("== Initial Plan ==").head
+    val scanLine = planStr.linesIterator
+      .find(l => l.contains("/cells") && l.contains("PartitionFilters"))
+      .getOrElse(fail(s"no partitioned cells scan in plan:\n$planStr"))
+    assert(
+      "PartitionFilters: \\[[^\\]]*cell".r.findFirstIn(scanLine).isDefined,
+      s"cells scan has an empty partition filter: $scanLine"
+    )
+    // 2) the layout delivers the I/O: a single-cell scan materializes
+    //    only that directory's rows (AQE-free plan so the leaf metric
+    //    is readable — same technique as LayoutSpec)
+    val oneCell = spark.read.parquet(s"$dir/cells").where(col("cell") === 0)
+    val cellRows = oneCell.collect().length
+    val scanned = oneCell.queryExecution.executedPlan
+      .collectLeaves()
+      .collect {
+        case s if s.metrics.contains("numOutputRows") => s.metrics("numOutputRows").value
+      }
+      .sum
+    info(s"cell-0 scan materialized $scanned rows of 400 (cell size $cellRows)")
+    assert(scanned == cellRows && scanned > 0 && scanned < 200,
+      s"partition pruning failed: scanned $scanned of 400 rows for one cell")
+  }
+
+  test("dirty vectors land in the null partition and are never returned") {
+    val dir = java.nio.file.Files.createTempDirectory("ivfidx3").toString
+    val dirty = clustered
+      .union(Seq((999L, null.asInstanceOf[Array[Double]])).toDF("vec_id", "embedding"))
+    Similarity.ivfWriteIndex(dirty, "vec_id", "embedding", dir, nlist = 4)
+    val out = Similarity
+      .ivfQueryIndex(clustered.where($"vec_id" === 0L), "vec_id", "embedding", dir, k = 400, nprobe = 4)
+      .select("neighbor_id")
+      .as[Long]
+      .collect()
+    assert(!out.contains(999L))
+  }
+}
