@@ -52,6 +52,24 @@ object PipelineQuickstart {
     val deduped = Dedup.minhashDedup(spanClean, "text", "doc_id", threshold = 0.5)
     println(s"after dedup: ${deduped.count()}")
 
+    // B': the rule/language/dedup stages above, as ONE single-pass
+    // funnel with first-failing accounting — and a domain-mixture
+    // draw at a row budget over the survivors
+    val funnel = graft.pipelines.Corpus.prepareFunnel(docs)
+    graft.pipelines.Corpus.funnelStats(funnel).show()
+    graft.pipelines.Corpus
+      .mixtureSample(
+        docs.join(funnel.where(col("kept")).select("doc_id"), "doc_id"),
+        "doc_id",
+        "source",
+        Seq("src0" -> 0.5, "src1" -> 0.25, "src2" -> 0.25),
+        budget = 20L
+      )
+      .groupBy("source")
+      .count()
+      .orderBy("source")
+      .show()
+
     // C: stable splits — rerunning on a recomputed corpus keeps every
     // surviving doc in its split
     val split = Sampling.hashSplit(
@@ -63,6 +81,13 @@ object PipelineQuickstart {
       .orderBy("id", "rank").show(9, truncate = false)
     val emb = spark.read.parquet(s"$sfDir/embeddings.parquet")
     Similarity.quantizedTopK(emb.limit(2), emb, "vec_id", "embedding", k = 3)
+      .show(truncate = false)
+    // persisted IVF index: fit + cell assignment paid once, probes
+    // read only their cell partitions
+    val idxDir = java.nio.file.Files.createTempDirectory("ivf-quickstart").toString
+    Similarity.ivfWriteIndex(emb, "vec_id", "embedding", idxDir, nlist = 8)
+    Similarity
+      .ivfQueryIndex(emb.limit(2), "vec_id", "embedding", idxDir, k = 3, nprobe = 2)
       .show(truncate = false)
 
     // E: mixture sampling — k docs per source, weighted by length

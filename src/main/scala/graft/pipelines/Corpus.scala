@@ -62,15 +62,19 @@ object Corpus {
   ): DataFrame = {
     // tokenize ONCE into an attribute: every downstream signal
     // (gopher, langid) runs lambdas over the tokens, and interpreted
-    // lambdas re-evaluate their input subtree per element
+    // lambdas re-evaluate their input subtree per element. Original
+    // columns ride along so `where(kept)` IS the prepared corpus —
+    // the dedup shuffle has to carry the documents anyway if the
+    // documents are to come out the other side.
     val toks = docs
       .withColumn("_toks", Text.tokens(col(textCol)))
-      .select(
-        col(idCol),
-        Text.langIdFromTokens(col("_toks")).as("predicted"),
-        Text.gopherReasonFromTokens(col(textCol), col("_toks")).as("_gopher"),
-        Text.fingerprint(col(textCol)).as("_fp")
+      .withColumn("predicted", Text.langIdFromTokens(col("_toks")))
+      .withColumn(
+        "_gopher",
+        Text.gopherReasonFromTokens(col(textCol), col("_toks"))
       )
+      .withColumn("_fp", Text.fingerprint(col(textCol)))
+      .drop("_toks")
     // same shape as [[firstFailing]], but the gopher stage contributes
     // its per-rule reason rather than a single stage name — the rule
     // name IS the account line
@@ -86,16 +90,16 @@ object Corpus {
       .orderBy(col("_pre").isNotNull.cast("int"), col(idCol))
     withPre
       .withColumn("_rn", row_number().over(w))
-      .select(
-        col(idCol),
-        col("predicted"),
+      .withColumn(
+        "drop_reason",
         coalesce(
           col("_pre"),
           when(col("_rn") > 1, lit("duplicate")),
           lit("kept")
-        ).as("drop_reason")
+        )
       )
       .withColumn("kept", col("drop_reason") === "kept")
+      .drop("_gopher", "_fp", "_pre", "_rn")
   }
 
   /** Per-stage loss report from a funnel frame: documents and

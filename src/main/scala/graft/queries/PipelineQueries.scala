@@ -64,7 +64,11 @@ object PipelineQueries extends QueryPack {
         FROM r)"""
 
   private val funnelQ = Q(
-    fn = (s, d) => Corpus.prepareFunnel(Tables.documents(s, d)).orderBy("doc_id"),
+    fn = (s, d) =>
+      Corpus
+        .prepareFunnel(Tables.documents(s, d))
+        .select("doc_id", "predicted", "drop_reason", "kept")
+        .orderBy("doc_id"),
     oracle = Some(s"""
       $funnelSql
       SELECT doc_id, predicted, drop_reason, kept FROM funnel ORDER BY doc_id""")

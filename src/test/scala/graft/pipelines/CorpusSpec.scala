@@ -24,13 +24,13 @@ class CorpusSpec extends SparkSpec {
       (4L, Iterator.continually("der und die das ist ein nicht mit sich auf").take(6).mkString(" ")) // non_english (gopher-ok via shared stopword floor? -> see assert)
     ).toDF("doc_id", "text")
     val out = Corpus.prepareFunnel(docs).orderBy("doc_id").collect()
-    assert(out.map(_.getString(2)).take(3).toSeq ===
+    assert(out.map(_.getAs[String]("drop_reason")).take(3).toSeq ===
       Seq("kept", "too_short", "word_len"))
     // doc 4 has zero English stopword hits: gopher's few_stopwords
     // fires BEFORE the language gate ever sees it — first-failing
     // means the reason is few_stopwords, not non_english
-    assert(out(3).getString(2) === "few_stopwords")
-    assert(out.map(_.getBoolean(3)).toSeq === Seq(true, false, false, false))
+    assert(out(3).getAs[String]("drop_reason") === "few_stopwords")
+    assert(out.map(_.getAs[Boolean]("kept")).toSeq === Seq(true, false, false, false))
   }
 
   test("language gate fires for a rule-passing non-English document") {
@@ -43,8 +43,8 @@ class CorpusSpec extends SparkSpec {
       .mkString(" ")
     val docs = Seq((1L, goodText), (2L, deText)).toDF("doc_id", "text")
     val out = Corpus.prepareFunnel(docs).orderBy("doc_id").collect()
-    assert(out(1).getString(1) === "de")
-    assert(out(1).getString(2) === "non_english")
+    assert(out(1).getAs[String]("predicted") === "de")
+    assert(out(1).getAs[String]("drop_reason") === "non_english")
   }
 
   test("duplicates keep the lowest surviving id; failed rows never claim the slot") {
@@ -59,8 +59,8 @@ class CorpusSpec extends SparkSpec {
       (5L, dupOfGood)
     ).toDF("doc_id", "text")
     val out = Corpus.prepareFunnel(docs).orderBy("doc_id").collect()
-    assert(out(1).getString(2) === "kept") // lowest surviving id wins
-    assert(out(2).getString(2) === "duplicate")
+    assert(out(1).getAs[String]("drop_reason") === "kept") // lowest surviving id wins
+    assert(out(2).getAs[String]("drop_reason") === "duplicate")
   }
 
   test("a rule-failed copy does not shadow a clean duplicate with a higher id") {
@@ -71,8 +71,18 @@ class CorpusSpec extends SparkSpec {
     val noisy = goodText.split(" ").map(w => w + "!!!").mkString(" ")
     val docs = Seq((1L, noisy), (2L, goodText)).toDF("doc_id", "text")
     val out = Corpus.prepareFunnel(docs).orderBy("doc_id").collect()
-    assert(out(0).getString(2) === "symbol_ratio")
-    assert(out(1).getString(2) === "kept")
+    assert(out(0).getAs[String]("drop_reason") === "symbol_ratio")
+    assert(out(1).getAs[String]("drop_reason") === "kept")
+  }
+
+  test("prepareFunnel carries the original columns — where(kept) IS the corpus") {
+    val docs = Seq((1L, goodText, "web"), (2L, "short", "web"))
+      .toDF("doc_id", "text", "source")
+    val out = Corpus.prepareFunnel(docs)
+    assert(out.columns.toSeq ===
+      Seq("doc_id", "text", "source", "predicted", "drop_reason", "kept"))
+    val kept = out.where(col("kept")).select("doc_id", "text", "source").collect()
+    assert(kept.map(r => (r.getLong(0), r.getString(2))).toSeq === Seq((1L, "web")))
   }
 
   test("funnelStats accounts every document exactly once") {
