@@ -176,6 +176,90 @@ object Corpus {
       .drop("_thr")
   }
 
+  /** [[mixtureSample]] with the budget measured in a WEIGHT column's
+    * units instead of rows — the actual LLM-mixing contract is "this
+    * many TOKENS per domain", not "this many documents". Per-domain
+    * keep-fraction f_d = min(1, budget * w_d / sum(weight)_d); hash
+    * membership is uniform and independent of the weight, so the
+    * sampled set's weight total concentrates on budget * w_d (exact
+    * only in expectation — documented, not hidden). Same single
+    * map-side-combined aggregation + broadcast + scan-filter shape as
+    * the row-budget variant; the weight sum runs through DECIMAL so
+    * the threshold arithmetic stays engine-exact for the oracle.
+    */
+  def mixtureSampleByWeight(
+      df: DataFrame,
+      idCol: String,
+      strataCol: String,
+      weightCol: String,
+      weights: Seq[(String, Double)],
+      budget: Long,
+      salt: String = "graft"
+  ): DataFrame = {
+    require(weights.nonEmpty && weights.forall(_._2 >= 0), "weights must be >= 0")
+    require(
+      math.abs(weights.map(_._2).sum - 1.0) < 1e-9,
+      s"weights must sum to 1, got ${weights.map(_._2).sum}"
+    )
+    require(budget > 0, s"budget must be positive, got $budget")
+    val wCol = weights.foldRight(lit(0.0)) { case ((k, v), e) =>
+      when(col(strataCol) === k, lit(v)).otherwise(e)
+    }
+    val f = least(
+      lit(1.0),
+      (lit(budget.toDouble) * wCol) / col("_wsum").cast("double")
+    )
+    val thr = df
+      .groupBy(col(strataCol))
+      .agg(
+        sum(col(weightCol).cast(org.apache.spark.sql.types.DecimalType(38, 0)))
+          .as("_wsum")
+      )
+      .where(col("_wsum") > 0)
+      .select(
+        col(strataCol),
+        when(f >= 1.0, lit("g"))
+          .otherwise(format_string("%08x", floor(f * lit(4294967296.0))))
+          .as("_thr")
+      )
+    val bucket =
+      substring(md5(concat(col(idCol).cast("string"), lit(s":$salt"))), 1, 8)
+    df.join(broadcast(thr), Seq(strataCol))
+      .where(bucket < col("_thr"))
+      .drop("_thr")
+  }
+
+  /** SQL mirror of [[mixtureSampleByWeight]]'s threshold CTE +
+    * predicate (DECIMAL(38,0) weight sums for exact cross-engine
+    * totals). CTE is named `_thr`.
+    */
+  def mixtureSampleByWeightSql(
+      table: String,
+      idExpr: String,
+      strataExpr: String,
+      weightExpr: String,
+      weights: Seq[(String, Double)],
+      budget: Long,
+      salt: String = "graft"
+  ): (String, String) = {
+    val wSql = weights
+      .map { case (k, v) => s"WHEN '$k' THEN CAST($v AS DOUBLE)" }
+      .mkString(s"CASE $strataExpr ", " ", " ELSE 0.0 END")
+    val fSql =
+      s"least(1.0, (CAST($budget AS DOUBLE) * $wSql) / CAST(SUM(CAST($weightExpr AS DECIMAL(38,0))) AS DOUBLE))"
+    val cte =
+      s"""_thr AS (
+         |  SELECT $strataExpr AS _stratum,
+         |    CASE WHEN $fSql >= 1.0 THEN 'g'
+         |         ELSE printf('%08x', CAST(floor($fSql * 4294967296.0) AS BIGINT))
+         |    END AS _th
+         |  FROM $table GROUP BY $strataExpr
+         |  HAVING SUM(CAST($weightExpr AS DECIMAL(38,0))) > 0)""".stripMargin
+    val pred =
+      s"substr(md5(CAST($idExpr AS VARCHAR) || ':$salt'), 1, 8) < _thr._th"
+    (cte, pred)
+  }
+
   /** SQL mirror of [[mixtureSample]]'s threshold table + predicate,
     * for oracle parity (same shape as [[Sampling.stratifiedSampleSql]]
     * but with in-query thresholds). Returns (thresholdCteSql,

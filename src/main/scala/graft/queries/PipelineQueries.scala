@@ -108,9 +108,44 @@ object PipelineQueries extends QueryPack {
     }
   )
 
+  // weight-budgeted variant: budget in CHARACTERS (the token-budget
+  // contract) against the n_chars column; 20000 puts src0 over the
+  // f >= 1 keep-all cap at sf0.01 while the others stay fractional
+  private val mixtureTokensQ = Q(
+    fn = (s, d) =>
+      Corpus
+        .mixtureSampleByWeight(
+          Tables.documents(s, d),
+          "doc_id",
+          "source",
+          "n_chars",
+          mixWeights,
+          budget = 20000L
+        )
+        .select(col("doc_id"), col("source"), col("n_chars"))
+        .orderBy("doc_id"),
+    oracle = Some {
+      val (cte, pred) = Corpus.mixtureSampleByWeightSql(
+        "documents",
+        "doc_id",
+        "source",
+        "n_chars",
+        mixWeights,
+        budget = 20000L
+      )
+      s"""
+      WITH $cte
+      SELECT d.doc_id, d.source, d.n_chars
+      FROM documents d JOIN _thr ON d.source = _thr._stratum
+      WHERE $pred
+      ORDER BY doc_id"""
+    }
+  )
+
   val queries: Map[String, Q] = Map(
     "pipeline_corpus_funnel" -> funnelQ,
     "pipeline_corpus_stats" -> statsQ,
-    "pipeline_mixture_sample" -> mixtureQ
+    "pipeline_mixture_sample" -> mixtureQ,
+    "pipeline_mixture_tokens" -> mixtureTokensQ
   )
 }

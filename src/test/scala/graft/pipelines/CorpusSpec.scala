@@ -147,6 +147,35 @@ class CorpusSpec extends SparkSpec {
     assert(out === Seq("keep"))
   }
 
+  test("mixtureSampleByWeight hits the budget share in weight units, not rows") {
+    // domain "long" has few huge docs, "short" many tiny ones: a
+    // 50/50 ROW draw would be weight-lopsided; the weight-budget draw
+    // must split the weight mass evenly instead
+    val docs = ((1 to 100).map(i => (i.toLong, "long", 1000L)) ++
+      (101 to 1100).map(i => (i.toLong, "short", 10L)))
+      .toDF("doc_id", "source", "n_tok")
+    val out = Corpus
+      .mixtureSampleByWeight(docs, "doc_id", "source", "n_tok",
+        Seq("long" -> 0.5, "short" -> 0.5), budget = 10000L)
+      .groupBy("source")
+      .agg(sum("n_tok").as("w"))
+      .as[(String, Long)]
+      .collect()
+      .toMap
+    // each domain targets 5000 weight units (f: long 5000/100000 = 0.05,
+    // short 5000/10000 = 0.5); hash draw concentrates around the target
+    assert(math.abs(out("long") - 5000L) < 3000, s"long=${out("long")}")
+    assert(math.abs(out("short") - 5000L) < 2000, s"short=${out("short")}")
+    // an all-zero-weight domain is dropped rather than divided by zero
+    val zeroed = ((1 to 10).map(i => (i.toLong, "z", 0L)) ++
+      (11 to 20).map(i => (i.toLong, "a", 5L))).toDF("doc_id", "source", "n_tok")
+    val kept = Corpus
+      .mixtureSampleByWeight(zeroed, "doc_id", "source", "n_tok",
+        Seq("z" -> 0.5, "a" -> 0.5), budget = 100L)
+      .select(collect_set("source")).as[Seq[String]].head()
+    assert(kept === Seq("a"))
+  }
+
   test("mixtureSample validates weights and budget") {
     val docs = Seq((1L, "a")).toDF("doc_id", "source")
     intercept[IllegalArgumentException] {
@@ -155,6 +184,24 @@ class CorpusSpec extends SparkSpec {
     intercept[IllegalArgumentException] {
       Corpus.mixtureSample(docs, "doc_id", "source", Seq("a" -> 1.0), 0L)
     }
+  }
+
+  test("prepareFunnel shuffles exactly once — the fingerprint exchange") {
+    // the whole funnel must be scan-side projection + ONE hash
+    // exchange on the fingerprint for the dedup window; a second real
+    // exchange would mean per-stage jobs crept back in
+    val docs = (1 to 50)
+      .map(i => (i.toLong, if (i % 7 == 0) goodText else s"$goodText extra token$i"))
+      .toDF("doc_id", "text")
+    val funnel = Corpus.prepareFunnel(docs)
+    assert(funnel.collect().nonEmpty)
+    val finalPlan = funnel.queryExecution.executedPlan.toString
+      .split("== Initial Plan ==").head
+    val real = finalPlan.linesIterator
+      .filter(l => l.contains("Exchange") && !l.contains("ReusedExchange"))
+      .toSeq
+    assert(real.size == 1, s"expected one exchange, got ${real.size}:\n${real.mkString("\n")}")
+    assert(real.head.contains("_fp"), s"the single exchange must be the fingerprint shuffle: ${real.head}")
   }
 
   test("firstFailing returns NULL for rows passing every stage") {
