@@ -39,10 +39,17 @@ object Corpus {
     * filter -> language gate -> exact near-order dedup, with
     * first-failing accounting.
     *
-    * Output: idCol, `predicted` (language), `drop_reason`
-    * ("too_short" | "too_long" | "word_len" | "symbol_ratio" |
-    * "few_stopwords" | "non_english" | "duplicate" | "kept"),
-    * `kept` boolean.
+    * Output: the input columns plus `predicted` (language),
+    * `drop_reason` ("too_short" | "too_long" | "word_len" |
+    * "symbol_ratio" | "few_stopwords" | "non_english" |
+    * "contaminated" | "duplicate" | "kept"), `kept` boolean.
+    *
+    * `decontaminateAgainst` inserts a benchmark-decontamination stage
+    * between the language gate and dedup: a surviving document
+    * sharing >= `minShared` exact `spanWords`-word spans with ANY
+    * benchmark document is tagged "contaminated"
+    * ([[graft.dedup.Dedup.crossSpanOverlap]] semantics — the GPT-3/
+    * PaLM-style n-gram overlap test).
     *
     * Duplicate resolution honors the stage ORDER: only documents that
     * survive the scan-side stages compete for a fingerprint's
@@ -58,7 +65,10 @@ object Corpus {
       docs: DataFrame,
       textCol: String = "text",
       idCol: String = "doc_id",
-      keepLang: String = "en"
+      keepLang: String = "en",
+      decontaminateAgainst: Option[DataFrame] = None,
+      spanWords: Int = 8,
+      minShared: Long = 1
   ): DataFrame = {
     // tokenize ONCE into an attribute: every downstream signal
     // (gopher, langid) runs lambdas over the tokens, and interpreted
@@ -78,13 +88,47 @@ object Corpus {
     // same shape as [[firstFailing]], but the gopher stage contributes
     // its per-rule reason rather than a single stage name — the rule
     // name IS the account line
-    val withPre = toks.withColumn(
-      "_pre",
+    val rulePre = toks.withColumn(
+      "_rulePre",
       coalesce(
         when(col("_gopher") =!= "ok", col("_gopher")),
         when(col("predicted") =!= keepLang, lit("non_english"))
       )
     )
+    // optional benchmark-decontamination stage between the language
+    // gate and dedup (the real prepare order: cheap scan rules first,
+    // then the one cross-corpus span join, then dedup). The span join
+    // runs only over rule-surviving docs — first-failing means a
+    // rule-dropped doc's contamination is never consulted, so skipping
+    // its spans changes nothing but the work. The flag set is doc ids
+    // only (small — AQE broadcasts it back).
+    val withPre = decontaminateAgainst match {
+      case None =>
+        rulePre.withColumn("_pre", col("_rulePre"))
+      case Some(bench) =>
+        val contaminated = graft.dedup.Dedup
+          .crossSpanOverlap(
+            bench,
+            rulePre.where(col("_rulePre").isNull).select(col(idCol), col(textCol)),
+            textCol,
+            idCol,
+            spanWords,
+            minShared
+          )
+          .select(col("id_r").as(idCol))
+          .distinct()
+          .withColumn("_contaminated", lit(true))
+        rulePre
+          .join(contaminated, Seq(idCol), "left")
+          .withColumn(
+            "_pre",
+            coalesce(
+              col("_rulePre"),
+              when(col("_contaminated"), lit("contaminated"))
+            )
+          )
+          .drop("_contaminated")
+    }
     val w = Window
       .partitionBy("_fp")
       .orderBy(col("_pre").isNotNull.cast("int"), col(idCol))
@@ -99,7 +143,7 @@ object Corpus {
         )
       )
       .withColumn("kept", col("drop_reason") === "kept")
-      .drop("_gopher", "_fp", "_pre", "_rn")
+      .drop("_gopher", "_fp", "_pre", "_rulePre", "_rn")
   }
 
   /** Per-stage loss report from a funnel frame: documents and

@@ -82,6 +82,73 @@ object PipelineQueries extends QueryPack {
       GROUP BY drop_reason ORDER BY drop_reason""")
   )
 
+  // funnel with the benchmark-decontamination stage: corpus = docs
+  // outside the benchmark split, bench = every 20th doc (same split as
+  // dedup_decontaminate_exact); span params small enough to fire at
+  // sf0.01
+  private val funnelDeconQ = Q(
+    fn = (s, d) => {
+      val docs = Tables.documents(s, d)
+      Corpus
+        .prepareFunnel(
+          docs.where(col("doc_id") % 20 =!= 0),
+          decontaminateAgainst = Some(docs.where(col("doc_id") % 20 === 0)),
+          spanWords = 6,
+          minShared = 2
+        )
+        .select("doc_id", "predicted", "drop_reason", "kept")
+        .orderBy("doc_id")
+    },
+    oracle = Some(s"""
+      WITH t AS (
+        SELECT doc_id,
+          len(string_split(text, ' ')) AS n_words,
+          CAST(length(replace(text, ' ', '')) AS DOUBLE)
+            / len(string_split(text, ' ')) AS mwl,
+          CAST(length(regexp_replace(text, '[a-z0-9 ]', '', 'g')) AS DOUBLE)
+            / length(text) AS pr,
+          ${swCountSql("en")} AS c_en, ${swCountSql("de")} AS c_de,
+          ${swCountSql("fr")} AS c_fr, ${swCountSql("es")} AS c_es,
+          md5(trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9 ]', ' ', 'g'),
+            ' +', ' ', 'g'))) AS fp
+        FROM documents WHERE doc_id % 20 <> 0),
+      tok AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+      sp AS (SELECT DISTINCT doc_id, md5(array_to_string(toks[i:i+5], ' ')) AS h
+             FROM tok, unnest(generate_series(1, len(toks) - 5)) AS u(i)
+             WHERE len(toks) >= 6),
+      shared AS (
+        SELECT cs.doc_id
+        FROM (SELECT doc_id AS bench_id, h FROM sp WHERE doc_id % 20 = 0) bs
+        JOIN (SELECT doc_id, h FROM sp WHERE doc_id % 20 <> 0) cs ON bs.h = cs.h
+        GROUP BY bs.bench_id, cs.doc_id HAVING COUNT(*) >= 2),
+      contaminated AS (SELECT DISTINCT doc_id FROM shared),
+      g AS (SELECT *, greatest(c_en, c_de, c_fr, c_es) AS mx FROM t),
+      p AS (SELECT doc_id, fp,
+        CASE WHEN c_en = mx AND mx > 0 THEN 'en'
+             WHEN c_de = mx AND mx > 0 THEN 'de'
+             WHEN c_fr = mx AND mx > 0 THEN 'fr'
+             WHEN c_es = mx AND mx > 0 THEN 'es'
+             ELSE 'und' END AS predicted,
+        CASE WHEN n_words < 40 THEN 'too_short'
+             WHEN n_words > 100000 THEN 'too_long'
+             WHEN mwl < 3.0 OR mwl > 10.0 THEN 'word_len'
+             WHEN pr > 0.1 THEN 'symbol_ratio'
+             WHEN c_en < 2 THEN 'few_stopwords'
+             ELSE NULL END AS g_reason
+        FROM g),
+      q AS (SELECT p.*, COALESCE(g_reason,
+              CASE WHEN predicted <> 'en' THEN 'non_english' END,
+              CASE WHEN c.doc_id IS NOT NULL THEN 'contaminated' END) AS pre
+            FROM p LEFT OUTER JOIN contaminated c ON p.doc_id = c.doc_id),
+      r AS (SELECT *, row_number() OVER (PARTITION BY fp
+              ORDER BY CASE WHEN pre IS NOT NULL THEN 1 ELSE 0 END, doc_id) AS rn
+            FROM q)
+      SELECT doc_id, predicted,
+        COALESCE(pre, CASE WHEN rn > 1 THEN 'duplicate' END, 'kept') AS drop_reason,
+        COALESCE(pre, CASE WHEN rn > 1 THEN 'duplicate' END) IS NULL AS kept
+      FROM r ORDER BY doc_id""")
+  )
+
   // exact-binary-representable weights so the Scala literal and the
   // SQL decimal cast land on the identical double; budget 60 makes
   // src0 hit the f >= 1 keep-all branch at sf0.01 (25 docs/source)
@@ -145,6 +212,7 @@ object PipelineQueries extends QueryPack {
   val queries: Map[String, Q] = Map(
     "pipeline_corpus_funnel" -> funnelQ,
     "pipeline_corpus_stats" -> statsQ,
+    "pipeline_corpus_decon" -> funnelDeconQ,
     "pipeline_mixture_sample" -> mixtureQ,
     "pipeline_mixture_tokens" -> mixtureTokensQ
   )

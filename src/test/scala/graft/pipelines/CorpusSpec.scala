@@ -99,6 +99,42 @@ class CorpusSpec extends SparkSpec {
     assert(stats === Map("kept" -> 1L, "duplicate" -> 1L, "too_short" -> 1L))
   }
 
+  test("decontamination stage tags benchmark overlap and never claims the dedup slot") {
+    // doc 2 embeds an 8-word benchmark span verbatim; doc 3 is a clean
+    // normalized duplicate of doc 1
+    val benchSpan = "alpha beta gamma delta epsilon zeta eta theta"
+    val contaminatedText =
+      goodText.split(" ").take(26).mkString(" ") + " " + benchSpan + " " +
+        goodText.split(" ").drop(34).mkString(" ")
+    val bench = Seq((100L, s"benchmark question about $benchSpan and more context here"))
+      .toDF("doc_id", "text")
+    val docs = Seq(
+      (1L, goodText),
+      (2L, contaminatedText),
+      (3L, goodText + " ...")
+    ).toDF("doc_id", "text")
+    val out = Corpus
+      .prepareFunnel(docs, decontaminateAgainst = Some(bench), spanWords = 8)
+      .orderBy("doc_id")
+      .collect()
+    assert(out.map(_.getAs[String]("drop_reason")).toSeq ===
+      Seq("kept", "contaminated", "duplicate"))
+
+    // a contaminated EXACT DUPLICATE must not shadow the clean copy:
+    // doc 1 (clean, higher id than the contaminated 0) stays kept
+    val docs2 = Seq(
+      (0L, contaminatedText),
+      (1L, contaminatedText) // same fingerprint, also contaminated
+    ).toDF("doc_id", "text")
+    val out2 = Corpus
+      .prepareFunnel(docs2, decontaminateAgainst = Some(bench), spanWords = 8)
+      .orderBy("doc_id")
+      .collect()
+    // both contaminated — neither survives, neither is "duplicate"
+    assert(out2.map(_.getAs[String]("drop_reason")).toSeq ===
+      Seq("contaminated", "contaminated"))
+  }
+
   test("mixtureSample follows the target mixture and caps under-supplied domains") {
     val docs = (1 to 1000)
       .map(i => (i.toLong, if (i <= 800) "web" else if (i <= 990) "books" else "code"))
