@@ -287,6 +287,51 @@ object HtmlReport {
     */
   private[report] def instanceAnchor(instance: String): String = s"inst-${slug(instance)}"
 
+  /** Standalone corpus-funnel loss report: one self-contained page for
+    * a [[graft.pipelines.Corpus.funnelStats]] result — stage table
+    * (docs, share) plus proportional loss bars, "kept" highlighted.
+    * Input is the already-aggregated stats (one row per drop reason,
+    * bounded by the funnel's reason vocabulary), so rendering is
+    * driver-side string work over a handful of rows.
+    */
+  def renderFunnel(
+      stats: Seq[(String, Long)],
+      title: String = "Corpus funnel"
+  ): String = {
+    val total = stats.map(_._2).sum.max(1L)
+    val rows = stats.sortBy { case (r, n) => (if (r == "kept") 0 else 1, -n) }
+    val trs = rows
+      .map { case (reason, n) =>
+        val pct = 100.0 * n / total
+        val cls = if (reason == "kept") "ok" else ""
+        f"""<tr><td class="$cls">${esc(reason)}</td><td style="text-align:right">$n</td>
+           |<td style="text-align:right">$pct%.1f%%</td>
+           |<td><div style="background:${if (reason == "kept") "#1e8449" else "#c0392b"};height:10px;width:${math.max(1, (pct * 3).toInt)}px"></div></td></tr>""".stripMargin
+      }
+      .mkString("\n")
+    s"""<!DOCTYPE html><html><head><meta charset="utf-8"><title>${esc(title)}</title>
+       |<style>
+       |  body { font-family: sans-serif; margin: 2em; max-width: 72em; }
+       |  h2 { border-bottom: 1px solid #ccc; padding-bottom: 4px; }
+       |  table { border-collapse: collapse; } td, th { border: 1px solid #ccc; padding: 4px 8px; }
+       |  .ok { color: #1e8449; font-weight: bold; }
+       |</style></head><body>
+       |<h2>${esc(title)}</h2>
+       |<p>$total documents in; ${rows.collectFirst { case ("kept", n) => n }.getOrElse(0L)} kept.</p>
+       |<table><tr><th>stage</th><th>docs</th><th>share</th><th></th></tr>
+       |$trs
+       |</table></body></html>""".stripMargin
+  }
+
+  /** [[renderFunnel]] over the funnelStats DataFrame (collects one row
+    * per drop reason — bounded by construction).
+    */
+  def renderFunnel(stats: org.apache.spark.sql.DataFrame): String =
+    renderFunnel(
+      stats.collect().toSeq.map(r => (r.getString(0), r.getLong(1))),
+      "Corpus funnel"
+    )
+
   /** Index page across every registered dataset — the server-less
     * equivalent of the reference dashboard's home page (ui.py:311
     * `home_page`: dataset browser with per-dataset health at a

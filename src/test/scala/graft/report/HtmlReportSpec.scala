@@ -190,4 +190,23 @@ class HtmlReportSpec extends SparkSpec {
     assert(html.contains("No optimization stored"))
     assert(html.contains("No scoring stored"))
   }
+
+  test("funnel report renders stage table with shares and kept count") {
+    import spark.implicits._
+    val stats = graft.pipelines.Corpus.funnelStats(
+      graft.pipelines.Corpus.prepareFunnel(
+        Seq(
+          (1L, Iterator.continually("the quick brown fox and a dog ran over hills").take(7).mkString(" ")),
+          (2L, "short")
+        ).toDF("doc_id", "text")
+      )
+    )
+    val html = HtmlReport.renderFunnel(stats)
+    assert(html.contains("2 documents in; 1 kept"))
+    assert(html.contains("kept") && html.contains("too_short"))
+    assert(html.contains("50.0%"))
+    // reasons are HTML-escaped on the string-input path
+    val crafted = HtmlReport.renderFunnel(Seq("<script>" -> 1L, "kept" -> 1L), "t")
+    assert(!crafted.contains("<script>") && crafted.contains("&lt;script&gt;"))
+  }
 }
