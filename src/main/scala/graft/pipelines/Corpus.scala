@@ -1,6 +1,5 @@
 package graft.pipelines
 
-import graft.operators.Sampling
 import graft.text.Text
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
@@ -146,9 +145,9 @@ object Corpus {
       .drop("_gopher", "_fp", "_pre", "_rulePre", "_rn")
   }
 
-  /** Per-stage loss report from a funnel frame: documents and
-    * character volume lost at each stage. One aggregation of columns
-    * the funnel already computed.
+  /** Per-stage loss report from a funnel frame: documents lost at
+    * each stage. One aggregation of a column the funnel already
+    * computed — never a rescan of the corpus.
     */
   def funnelStats(
       funnel: DataFrame,
@@ -171,7 +170,10 @@ object Corpus {
     * [[graft.operators.Sampling]] (md5 hex-prefix compare), so the
     * draw is reproducible across runs, partitionings and engines, and
     * raising the budget only ADDS rows (prefix property). Domains
-    * absent from `weights` get weight 0 and drop entirely.
+    * absent from `weights` get weight 0 and drop entirely; rows with
+    * a NULL domain or NULL id never match the threshold join/filter
+    * and are excluded, like every id-hash operator in
+    * [[graft.operators.Sampling]].
     *
     * Cost model at scale: one map-side-combined count per domain
     * (output rows = |domains|), thresholds derived IN-PLAN from the
