@@ -158,6 +158,44 @@ object Corpus {
       .agg(count(lit(1)).as("n_docs"))
       .orderBy(col(reasonCol))
 
+  /** Adaptive quality cut: keep the top `keepTop` fraction of rows by
+    * `scoreCol`, with the threshold computed FROM THE DATA in the same
+    * job — the usual pipeline contract is "drop the worst 20%", not a
+    * hand-tuned absolute cutoff that silently rots as the corpus
+    * shifts. Optionally per group (e.g. per language: each language
+    * keeps its own top fraction, so a high-resource language's score
+    * distribution doesn't starve the others).
+    *
+    * One exact-percentile aggregation (rows out = |groups|, map-side
+    * partials), broadcast back, one scan-side `>=` filter — the
+    * corpus never shuffles. Exact `percentile` keeps the operator
+    * oracle-checkable (Spark `percentile` == DuckDB `quantile_cont`
+    * bit-for-bit); swap in `percentile_approx` for the sketch-sized
+    * state at extreme cardinality — same plan, approximate boundary.
+    * Ties AT the threshold are kept (>=), so the kept fraction can
+    * slightly exceed `keepTop` on discrete scores. NULL scores never
+    * pass the filter.
+    */
+  def qualityCut(
+      df: DataFrame,
+      scoreCol: String,
+      keepTop: Double,
+      groupCols: Seq[String] = Nil
+  ): DataFrame = {
+    require(keepTop > 0.0 && keepTop <= 1.0, s"keepTop must be in (0, 1], got $keepTop")
+    val q = 1.0 - keepTop
+    val thrAgg = percentile(col(scoreCol), lit(q)).as("_q_thr")
+    if (groupCols.isEmpty) {
+      val thr = df.agg(thrAgg)
+      df.join(broadcast(thr)).where(col(scoreCol) >= col("_q_thr")).drop("_q_thr")
+    } else {
+      val thr = df.groupBy(groupCols.map(col): _*).agg(thrAgg)
+      df.join(broadcast(thr), groupCols)
+        .where(col(scoreCol) >= col("_q_thr"))
+        .drop("_q_thr")
+    }
+  }
+
   /** Deterministic domain-mixture sampling: draw a corpus whose
     * per-domain composition follows `weights` (target shares summing
     * to 1) at a total budget of ~`budget` rows, regardless of the

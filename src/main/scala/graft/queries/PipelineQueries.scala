@@ -209,11 +209,51 @@ object PipelineQueries extends QueryPack {
     }
   )
 
+  // adaptive per-language quality cut: keep each language's top half
+  // by the (6-dp-rounded) quality score; the threshold is an exact
+  // in-plan percentile (Spark percentile == DuckDB quantile_cont)
+  private val qualityCutQ = Q(
+    fn = (s, d) => {
+      val scored = Tables
+        .documents(s, d)
+        .select(
+          col("doc_id"),
+          col("lang"),
+          round6(Text.qualityScore(col("text"))).as("quality")
+        )
+      Corpus
+        .qualityCut(scored, "quality", keepTop = 0.5, groupCols = Seq("lang"))
+        .select("doc_id", "lang", "quality")
+        .orderBy("doc_id")
+    },
+    oracle = Some(s"""
+      WITH t AS (
+        SELECT doc_id, lang,
+          CAST(${swCountSql("en")} AS DOUBLE) / len(string_split(text, ' ')) AS swr,
+          CAST(length(regexp_replace(text, '[a-z0-9 ]', '', 'g')) AS DOUBLE)
+            / length(text) AS pr,
+          len(string_split(text, ' ')) AS ntok,
+          CAST(length(replace(text, ' ', '')) AS DOUBLE)
+            / len(string_split(text, ' ')) AS mwl
+        FROM documents),
+      sc AS (SELECT doc_id, lang, ${sqlRound6(
+        """0.3 * swr + 0.2 * (1.0 - pr)
+          + 0.3 * least(CAST(ntok AS DOUBLE) / 100.0, 1.0)
+          + 0.2 * least(mwl / 8.0, 1.0)"""
+      )} AS quality FROM t),
+      thr AS (SELECT lang, quantile_cont(quality, 0.5) AS q FROM sc GROUP BY lang)
+      SELECT sc.doc_id, sc.lang, sc.quality
+      FROM sc JOIN thr ON sc.lang = thr.lang
+      WHERE sc.quality >= thr.q
+      ORDER BY sc.doc_id""")
+  )
+
   val queries: Map[String, Q] = Map(
     "pipeline_corpus_funnel" -> funnelQ,
     "pipeline_corpus_stats" -> statsQ,
     "pipeline_corpus_decon" -> funnelDeconQ,
     "pipeline_mixture_sample" -> mixtureQ,
-    "pipeline_mixture_tokens" -> mixtureTokensQ
+    "pipeline_mixture_tokens" -> mixtureTokensQ,
+    "pipeline_quality_cut" -> qualityCutQ
   )
 }

@@ -212,6 +212,39 @@ class CorpusSpec extends SparkSpec {
     assert(kept === Seq("a"))
   }
 
+  test("qualityCut keeps each group's own top fraction") {
+    // group a scores 1..100, group b scores 1001..1100: a global cut
+    // at 50% would drop ALL of a; the per-group cut keeps each top half
+    val docs = ((1 to 100).map(i => (i.toLong, "a", i.toDouble)) ++
+      (1 to 100).map(i => (100L + i, "b", 1000.0 + i)))
+      .toDF("doc_id", "grp", "score")
+    val out = Corpus
+      .qualityCut(docs, "score", keepTop = 0.5, groupCols = Seq("grp"))
+      .groupBy("grp")
+      .count()
+      .as[(String, Long)]
+      .collect()
+      .toMap
+    // 50th percentile of 1..100 is 50.5; >= keeps 51..100
+    assert(out === Map("a" -> 50L, "b" -> 50L))
+    val global = Corpus.qualityCut(docs, "score", keepTop = 0.5)
+    assert(global.where($"grp" === "a").count() === 0L)
+    // NULL scores never pass, even at keepTop = 1.0
+    val withNull = Seq[(Long, String, java.lang.Double)](
+      (1L, "a", 5.0),
+      (2L, "a", null)
+    ).toDF("doc_id", "grp", "score")
+    val kept = Corpus
+      .qualityCut(withNull, "score", keepTop = 1.0, groupCols = Seq("grp"))
+      .select("doc_id")
+      .as[Long]
+      .collect()
+    assert(kept.toSeq === Seq(1L))
+    intercept[IllegalArgumentException] {
+      Corpus.qualityCut(docs, "score", keepTop = 0.0)
+    }
+  }
+
   test("mixtureSample validates weights and budget") {
     val docs = Seq((1L, "a")).toDF("doc_id", "source")
     intercept[IllegalArgumentException] {
