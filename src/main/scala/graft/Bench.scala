@@ -87,7 +87,9 @@ object Bench {
       "q2_min_cost_supplier", "q_group_topk_agg", "q_weighted_sample",
       "q_zorder_stats",
       // r6 addition: seasonal+trend forecast
-      "anomaly_forecast_hw"
+      "anomaly_forecast_hw",
+      // r7 addition: the composed prepare funnel
+      "pipeline_corpus_funnel"
     )
     val byName = results.map { case (k, v, _, _) => k -> v }.toMap
     val qs = headline.flatMap(k => byName.get(k).map(v => s"\"" + k + "\":" + ms(v)))

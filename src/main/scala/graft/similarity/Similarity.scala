@@ -488,6 +488,43 @@ object Similarity {
       .parquet(s"$path/cells")
   }
 
+  /** Incrementally add documents to a persisted IVF index: assign
+    * cells with the STORED centroids (read once, nlist rows) and
+    * append to the cell partitions — the steady-state ingest path.
+    * The quantizer is deliberately not refit (coarse centroids only
+    * partition space; IVF practice refits offline when the
+    * distribution drifts, because refitting would invalidate every
+    * existing cell assignment). Probes see appended rows immediately
+    * — partition dirs gain files, the listing stays pruned.
+    */
+  def ivfAppendToIndex(
+      newDocs: DataFrame,
+      idCol: String,
+      vecCol: String,
+      path: String
+  ): Unit = {
+    val spark = newDocs.sparkSession
+    val cents = spark.read
+      .parquet(s"$path/centroids")
+      .orderBy("cell")
+      .collect()
+      .map(_.getSeq[Double](1).toArray)
+    require(cents.nonEmpty, s"no centroids found under $path/centroids")
+    newDocs
+      .select(
+        col(idCol).as("neighbor_id"),
+        col(vecCol).cast("array<double>").as("_cv"),
+        norm(col(vecCol)).as("_cn"),
+        graft.functions.hashExpressions
+          .nearestCells(col(vecCol).cast("array<double>"), cents, 1)(0)
+          .as("cell")
+      )
+      .write
+      .mode("append")
+      .partitionBy("cell")
+      .parquet(s"$path/cells")
+  }
+
   /** Probe a persisted IVF index ([[ivfWriteIndex]] layout) — same
     * semantics as [[ivfTopK]] with the fit and corpus assignment
     * amortized away.

@@ -71,6 +71,28 @@ class IvfIndexSpec extends SparkSpec {
       s"partition pruning failed: scanned $scanned of 400 rows for one cell")
   }
 
+  test("appended documents are probed immediately with the stored quantizer") {
+    val dir = java.nio.file.Files.createTempDirectory("ivfidx4").toString
+    val corpus = clustered
+    Similarity.ivfWriteIndex(corpus, "vec_id", "embedding", dir, nlist = 4)
+    // a new doc exactly collinear with query 0 (several corpus docs
+    // tie at cosine 1.0; rank ties break by ascending id, so the
+    // newcomer's id sits below every corpus id) — after append it
+    // must take over the top rank for that query
+    val newcomer = Seq((-1L, Array(10.0, 0.0, 0.0)))
+      .toDF("vec_id", "embedding")
+    val queries = corpus.where($"vec_id" === 0L)
+    val before = Similarity
+      .ivfQueryIndex(queries, "vec_id", "embedding", dir, k = 1, nprobe = 1)
+      .select("neighbor_id").as[Long].head()
+    Similarity.ivfAppendToIndex(newcomer, "vec_id", "embedding", dir)
+    val after = Similarity
+      .ivfQueryIndex(queries, "vec_id", "embedding", dir, k = 1, nprobe = 1)
+      .select("neighbor_id").as[Long].head()
+    assert(before !== -1L)
+    assert(after === -1L)
+  }
+
   test("dirty vectors land in the null partition and are never returned") {
     val dir = java.nio.file.Files.createTempDirectory("ivfidx3").toString
     val dirty = clustered
