@@ -128,6 +128,71 @@ object Service {
     def isHealthy: Boolean = anomalous.isEmpty
   }
 
+  /** Register a corpus-prepare batch's funnel losses as metric series
+    * — the bridge between the pipeline and monitoring halves of this
+    * library: each [[graft.pipelines.Corpus.prepareFunnel]] batch
+    * becomes two series per stage (document count and share) under
+    * entity "funnel", so the existing optimize / score / assessQuality
+    * flow watches corpus preparation like any other dataset. "kept
+    * share collapsed today" then alerts through the same notification
+    * path as any data-quality anomaly.
+    *
+    * The share series is the health signal (scale-free — ingest volume
+    * varies batch to batch); the count series carries the volume. A
+    * stage with zero losses in a batch emits NO row for that ts (same
+    * sparse semantics as profiling metrics; `Drift.missingDays` finds
+    * gaps). One aggregation of the funnel's reason column — never a
+    * rescan of the corpus.
+    */
+  def profileFunnel(
+      funnel: DataFrame,
+      datasetUri: String,
+      ts: java.sql.Timestamp,
+      repo: MetricsRepository,
+      reasonCol: String = "drop_reason"
+  ): DataFrame = {
+    val stats = funnel.groupBy(col(reasonCol)).agg(count(lit(1)).as("_n"))
+    val tot = stats.agg(sum("_n").as("_tot"))
+    val rows = stats
+      .crossJoin(broadcast(tot))
+      .select(
+        lit(ts).as("ts"),
+        lit("funnel").as("entity"),
+        col(reasonCol).cast("string").as("instance"),
+        explode(
+          array(
+            struct(lit("n_docs").as("name"), col("_n").cast("double").as("value")),
+            struct(
+              lit("share").as("name"),
+              (col("_n").cast("double") / col("_tot").cast("double")).as("value")
+            )
+          )
+        ).as("_m")
+      )
+      .select(
+        col("ts"),
+        col("entity"),
+        col("instance"),
+        col("_m.name").as("name"),
+        col("_m.value").as("value")
+      )
+    if (repo.getDataset(datasetUri).isEmpty) {
+      repo.registerDataset(
+        DatasetMeta(
+          uri = datasetUri,
+          tsColumn = "ts",
+          columns = Seq(reasonCol),
+          granularity = Granularity.Day,
+          // instances are the data-dependent drop reasons — "*" marks
+          // the per-reason fan-out in the registered metadata
+          metrics = Seq(Metric("funnel", "*", "n_docs"), Metric("funnel", "*", "share"))
+        )
+      )
+    }
+    repo.addProfiling(datasetUri, rows)
+    rows
+  }
+
   /** Compare one timestamp's stored scores against optimized thresholds
     * and notify on exceedance (reference `assess_quality`,
     * service_layer.py:345-409 — which likewise assesses a single ts).

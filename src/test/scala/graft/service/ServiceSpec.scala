@@ -256,4 +256,34 @@ class ServiceSpec extends SparkSpec {
     assert(notified.head.instance == "value" && notified.head.name == "psi_drift")
     assert(notified.head.score > 0.25)
   }
+
+  test("funnel health rides the monitoring flow: a kept-share collapse alerts") {
+    import org.apache.spark.sql.functions._
+    val repo = new InMemoryRepository()
+    val uri = "ds://corpus-prepare"
+    def funnelDay(kept: Int, dropped: Int) =
+      ((1 to kept).map(_ => "kept") ++ (1 to dropped).map(_ => "too_short"))
+        .toDF("drop_reason")
+    // thirty healthy batches at 80% kept, then a collapse to 20%
+    // (enough history for the optimizer's validation-point floor)
+    (1 to 30).foreach { d =>
+      Service.profileFunnel(
+        funnelDay(80, 20), uri,
+        java.sql.Timestamp.valueOf(f"2025-01-$d%02d 00:00:00"), repo)
+    }
+    assert(repo.getDataset(uri).nonEmpty)
+    // optimize on the healthy history, THEN the collapsed batch
+    // arrives and the newest ts is scored — the assess_new_ts order
+    Service.optimize(uri, repo)
+    Service.profileFunnel(
+      funnelDay(20, 80), uri,
+      java.sql.Timestamp.valueOf("2025-01-31 00:00:00"), repo)
+    val stored = repo.getProfiling(uri)
+    assert(stored.where(col("name") === "share").count() === 62L) // 2 reasons x 31 days
+    Service.score(uri, repo)
+    val assessment = Service.assessQuality(uri, repo, handlers = Nil)
+    val flagged = assessment.anomalous.map(a => (a.instance, a.name)).toSet
+    assert(flagged.contains(("kept", "share")),
+      s"kept-share collapse must alert, got $flagged")
+  }
 }
