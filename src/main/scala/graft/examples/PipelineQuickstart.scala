@@ -56,7 +56,18 @@ object PipelineQuickstart {
     // funnel with first-failing accounting — and a domain-mixture
     // draw at a row budget over the survivors
     val funnel = graft.pipelines.Corpus.prepareFunnel(docs)
-    graft.pipelines.Corpus.funnelStats(funnel).show()
+    graft.pipelines.Corpus.funnelStats(funnel, weightCol = Some("n_chars")).show()
+    // the funnel's losses double as metric series: the monitoring half
+    // of the library (optimize/score/assess) then watches corpus
+    // preparation like any other dataset
+    val funnelRepo = new graft.repository.InMemoryRepository()
+    graft.service.Service.profileFunnel(
+      funnel,
+      "ds://quickstart-prepare",
+      java.sql.Timestamp.valueOf("2025-01-01 00:00:00"),
+      funnelRepo
+    )
+    println(s"funnel metrics stored: ${funnelRepo.getProfiling("ds://quickstart-prepare").count()}")
     graft.pipelines.Corpus
       .mixtureSample(
         docs.join(funnel.where(col("kept")).select("doc_id"), "doc_id"),

@@ -146,17 +146,28 @@ object Corpus {
   }
 
   /** Per-stage loss report from a funnel frame: documents lost at
-    * each stage. One aggregation of a column the funnel already
-    * computed — never a rescan of the corpus.
+    * each stage, plus (with `weightCol`) the volume lost in that
+    * column's units — "dedup dropped 4% of documents but 31% of
+    * characters" is the report that actually matters when stages
+    * correlate with document size. One aggregation of columns the
+    * funnel already computed — never a rescan of the corpus.
     */
   def funnelStats(
       funnel: DataFrame,
-      reasonCol: String = "drop_reason"
-  ): DataFrame =
+      reasonCol: String = "drop_reason",
+      weightCol: Option[String] = None
+  ): DataFrame = {
+    val aggs = count(lit(1)).as("n_docs") +:
+      weightCol.toSeq.map(w =>
+        sum(col(w).cast(org.apache.spark.sql.types.DecimalType(38, 0)))
+          .cast("long")
+          .as(s"sum_$w")
+      )
     funnel
       .groupBy(col(reasonCol))
-      .agg(count(lit(1)).as("n_docs"))
+      .agg(aggs.head, aggs.tail: _*)
       .orderBy(col(reasonCol))
+  }
 
   /** Adaptive quality cut: keep the top `keepTop` fraction of rows by
     * `scoreCol`, with the threshold computed FROM THE DATA in the same

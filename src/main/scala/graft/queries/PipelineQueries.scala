@@ -26,7 +26,7 @@ object PipelineQueries extends QueryPack {
   // rule-failed rows ordered last)
   private def funnelSql: String = s"""
       WITH t AS (
-        SELECT doc_id,
+        SELECT doc_id, n_chars,
           len(string_split(text, ' ')) AS n_words,
           CAST(length(replace(text, ' ', '')) AS DOUBLE)
             / len(string_split(text, ' ')) AS mwl,
@@ -38,7 +38,7 @@ object PipelineQueries extends QueryPack {
             ' +', ' ', 'g'))) AS fp
         FROM documents),
       g AS (SELECT *, greatest(c_en, c_de, c_fr, c_es) AS mx FROM t),
-      p AS (SELECT doc_id, fp,
+      p AS (SELECT doc_id, n_chars, fp,
         CASE WHEN c_en = mx AND mx > 0 THEN 'en'
              WHEN c_de = mx AND mx > 0 THEN 'de'
              WHEN c_fr = mx AND mx > 0 THEN 'fr'
@@ -58,7 +58,7 @@ object PipelineQueries extends QueryPack {
               ORDER BY CASE WHEN pre IS NOT NULL THEN 1 ELSE 0 END, doc_id) AS rn
             FROM q),
       funnel AS (
-        SELECT doc_id, predicted,
+        SELECT doc_id, n_chars, predicted,
           COALESCE(pre, CASE WHEN rn > 1 THEN 'duplicate' END, 'kept') AS drop_reason,
           COALESCE(pre, CASE WHEN rn > 1 THEN 'duplicate' END) IS NULL AS kept
         FROM r)"""
@@ -75,10 +75,16 @@ object PipelineQueries extends QueryPack {
   )
 
   private val statsQ = Q(
-    fn = (s, d) => Corpus.funnelStats(Corpus.prepareFunnel(Tables.documents(s, d))),
+    fn = (s, d) =>
+      Corpus.funnelStats(
+        Corpus.prepareFunnel(Tables.documents(s, d)),
+        weightCol = Some("n_chars")
+      ),
     oracle = Some(s"""
       $funnelSql
-      SELECT drop_reason, count(*) AS n_docs FROM funnel
+      SELECT drop_reason, count(*) AS n_docs,
+        CAST(SUM(CAST(n_chars AS DECIMAL(38,0))) AS BIGINT) AS sum_n_chars
+      FROM funnel
       GROUP BY drop_reason ORDER BY drop_reason""")
   )
 

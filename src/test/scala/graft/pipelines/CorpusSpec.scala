@@ -97,6 +97,18 @@ class CorpusSpec extends SparkSpec {
       .collect()
       .toMap
     assert(stats === Map("kept" -> 1L, "duplicate" -> 1L, "too_short" -> 1L))
+    // weighted variant: volume lost per stage in the weight column's units
+    val weighted = Corpus
+      .funnelStats(
+        Corpus.prepareFunnel(docs).withColumn("n_chars", length($"text")),
+        weightCol = Some("n_chars")
+      )
+      .as[(String, Long, Long)]
+      .collect()
+      .map(r => r._1 -> r._3)
+      .toMap
+    assert(weighted("too_short") === 5L) // "short"
+    assert(weighted("duplicate") === goodText.length + 4L) // " ..." suffix
   }
 
   test("decontamination stage tags benchmark overlap and never claims the dedup slot") {
