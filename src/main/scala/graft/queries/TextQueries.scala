@@ -309,7 +309,24 @@ object TextQueries extends QueryPack {
       ORDER BY d.doc_id""")
   )
 
+  // corpus-wide top bigrams: vocab induction / boilerplate discovery
+  private val topNgramsQ = Q(
+    fn = (s, d) =>
+      Text
+        .topNgrams(Tables.documents(s, d), "text", n = 2, k = 20)
+        .orderBy("rank"),
+    oracle = Some("""
+      WITH toks AS (SELECT string_split(text, ' ') AS t FROM documents),
+      bi AS (SELECT concat_ws(' ', t[i], t[i+1]) AS ngram
+             FROM toks, unnest(generate_series(1, len(t) - 1)) AS u(i)
+             WHERE len(t) >= 2),
+      c AS (SELECT ngram, count(*) AS count FROM bi GROUP BY ngram),
+      r AS (SELECT *, row_number() OVER (ORDER BY count DESC, ngram) AS rank FROM c)
+      SELECT ngram, count, rank FROM r WHERE rank <= 20 ORDER BY rank""")
+  )
+
   val queries: Map[String, Q] = Map(
+    "text_top_ngrams" -> topNgramsQ,
     "text_gopher_filter" -> gopherQ,
     "text_dup_span_fraction" -> dupSpanFractionQ,
     "text_redact" -> redactQ,

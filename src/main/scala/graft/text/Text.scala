@@ -165,6 +165,34 @@ object Text {
     wordShinglesFromTokens(tokens(c), n)
 
   /** [[wordShingles]] over a pre-tokenized array column. */
+  /** Corpus-wide most frequent word n-grams — the vocabulary-induction
+    * / boilerplate-discovery signal ("which 5-grams dominate this
+    * crawl"). Shape: scan-side shingle explode, map-side-combined
+    * count per n-gram (the vocabulary-sized intermediate is the
+    * operator's inherent state, same as tf-idf's df), then a global
+    * row_number top-k that Catalyst rewrites to TakeOrderedAndProject
+    * (per-partition bounded heap of k, single merge — verified in the
+    * executed plan) — no vocabulary-sized sort ships anywhere. Ties
+    * break by n-gram text for engine-exact determinism.
+    */
+  def topNgrams(
+      df: org.apache.spark.sql.DataFrame,
+      textCol: String,
+      n: Int,
+      k: Int
+  ): org.apache.spark.sql.DataFrame = {
+    require(n >= 1, s"n must be >= 1, got $n")
+    require(k >= 1, s"k must be >= 1, got $k")
+    val w = org.apache.spark.sql.expressions.Window
+      .orderBy(col("count").desc, col("ngram"))
+    df.select(tokens(col(textCol)).as("_toks"))
+      .select(explode(wordShinglesFromTokens(col("_toks"), n)).as("ngram"))
+      .groupBy("ngram")
+      .agg(count(lit(1)).as("count"))
+      .withColumn("rank", row_number().over(w))
+      .where(col("rank") <= k)
+  }
+
   def wordShinglesFromTokens(toks: Column, n: Int): Column =
     when(
       size(toks) >= n,
