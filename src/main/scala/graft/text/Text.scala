@@ -164,7 +164,6 @@ object Text {
   def wordShingles(c: Column, n: Int): Column =
     wordShinglesFromTokens(tokens(c), n)
 
-  /** [[wordShingles]] over a pre-tokenized array column. */
   /** Corpus-wide most frequent word n-grams — the vocabulary-induction
     * / boilerplate-discovery signal ("which 5-grams dominate this
     * crawl"). Shape: scan-side shingle explode, map-side-combined
@@ -193,6 +192,7 @@ object Text {
       .where(col("rank") <= k)
   }
 
+  /** [[wordShingles]] over a pre-tokenized array column. */
   def wordShinglesFromTokens(toks: Column, n: Int): Column =
     when(
       size(toks) >= n,
