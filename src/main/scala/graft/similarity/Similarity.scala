@@ -525,6 +525,36 @@ object Similarity {
       .parquet(s"$path/cells")
   }
 
+  /** Compact a persisted IVF index's cell partitions: steady-state
+    * [[ivfAppendToIndex]] ingest accumulates one small file per
+    * append batch per cell, and probe cost degrades from "read
+    * nprobe directories" to "open hundreds of tiny footers". Rewrites
+    * the cell table clustered by cell (one shuffle of the index — the
+    * same cost as building it) into a fresh directory, then swaps it
+    * in; the swap is the only non-atomic moment, so run compaction
+    * from the ingest owner, not concurrently with appends.
+    */
+  def ivfCompactIndex(spark: org.apache.spark.sql.SparkSession, path: String): Unit = {
+    val cells = spark.read.parquet(s"$path/cells")
+    val tmp = s"$path/cells_compacting"
+    cells
+      .repartition(col("cell"))
+      .write
+      .mode("overwrite")
+      .partitionBy("cell")
+      .parquet(tmp)
+    val fs = org.apache.hadoop.fs.FileSystem.get(
+      new java.net.URI(tmp),
+      spark.sparkContext.hadoopConfiguration
+    )
+    val dst = new org.apache.hadoop.fs.Path(s"$path/cells")
+    fs.delete(dst, true)
+    require(
+      fs.rename(new org.apache.hadoop.fs.Path(tmp), dst),
+      s"compaction rename failed: $tmp -> $dst"
+    )
+  }
+
   /** Probe a persisted IVF index ([[ivfWriteIndex]] layout) — same
     * semantics as [[ivfTopK]] with the fit and corpus assignment
     * amortized away.

@@ -93,6 +93,31 @@ class IvfIndexSpec extends SparkSpec {
     assert(after === -1L)
   }
 
+  test("compaction collapses append-fragmented cells without changing results") {
+    val dir = java.nio.file.Files.createTempDirectory("ivfidx5").toString
+    val corpus = clustered
+    Similarity.ivfWriteIndex(corpus, "vec_id", "embedding", dir, nlist = 4)
+    // fragment: five append batches
+    (1 to 5).foreach { b =>
+      Similarity.ivfAppendToIndex(
+        Seq((1000L + b, Array(10.0 + b * 0.001, 0.0, 0.0))).toDF("vec_id", "embedding"),
+        "vec_id", "embedding", dir)
+    }
+    val queries = corpus.where($"vec_id" === 0L)
+    def results() = Similarity
+      .ivfQueryIndex(queries, "vec_id", "embedding", dir, k = 10, nprobe = 2)
+      .orderBy("rank").collect().toSeq
+    def nFiles() = spark.read.parquet(s"$dir/cells").inputFiles.length
+    val before = results()
+    val filesBefore = nFiles()
+    Similarity.ivfCompactIndex(spark, dir)
+    val after = results()
+    val filesAfter = nFiles()
+    info(s"cell files: $filesBefore -> $filesAfter")
+    assert(after === before, "compaction must not change probe results")
+    assert(filesAfter < filesBefore, "compaction must reduce the file count")
+  }
+
   test("dirty vectors land in the null partition and are never returned") {
     val dir = java.nio.file.Files.createTempDirectory("ivfidx3").toString
     val dirty = clustered
