@@ -43,6 +43,12 @@ object Corpus {
     * "symbol_ratio" | "few_stopwords" | "non_english" |
     * "contaminated" | "duplicate" | "kept"), `kept` boolean.
     *
+    * `extraStages` appends caller-defined scan-side stages after the
+    * built-in rules (each is (reasonName, dropWhen) over the input
+    * columns — a quality floor, a URL blocklist, a PII flag); they
+    * participate in first-failing accounting and the dedup ordering
+    * like the built-ins.
+    *
     * `decontaminateAgainst` inserts a benchmark-decontamination stage
     * between the language gate and dedup: a surviving document
     * sharing >= `minShared` exact `spanWords`-word spans with ANY
@@ -67,7 +73,8 @@ object Corpus {
       keepLang: String = "en",
       decontaminateAgainst: Option[DataFrame] = None,
       spanWords: Int = 8,
-      minShared: Long = 1
+      minShared: Long = 1,
+      extraStages: Seq[(String, Column)] = Nil
   ): DataFrame = {
     // tokenize ONCE into an attribute: every downstream signal
     // (gopher, langid) runs lambdas over the tokens, and interpreted
@@ -87,11 +94,17 @@ object Corpus {
     // same shape as [[firstFailing]], but the gopher stage contributes
     // its per-rule reason rather than a single stage name — the rule
     // name IS the account line
+    // user stages slot in AFTER the built-in rule stages, before
+    // decontamination/dedup — arbitrary Column predicates over the
+    // input columns (a quality floor, a URL blocklist, a PII flag),
+    // first-failing like everything else and still scan-side
     val rulePre = toks.withColumn(
       "_rulePre",
       coalesce(
-        when(col("_gopher") =!= "ok", col("_gopher")),
-        when(col("predicted") =!= keepLang, lit("non_english"))
+        Seq(
+          when(col("_gopher") =!= "ok", col("_gopher")),
+          when(col("predicted") =!= keepLang, lit("non_english"))
+        ) ++ extraStages.map { case (name, drop) => when(drop, lit(name)) }: _*
       )
     )
     // optional benchmark-decontamination stage between the language

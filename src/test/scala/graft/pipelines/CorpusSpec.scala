@@ -111,6 +111,23 @@ class CorpusSpec extends SparkSpec {
     assert(weighted("duplicate") === goodText.length + 4L) // " ..." suffix
   }
 
+  test("extraStages slot in after the built-in rules, first-failing, dedup-aware") {
+    val docs = Seq(
+      (1L, goodText, "good.example"),
+      (2L, goodText + " ...", "spam.example"), // blocklisted AND a duplicate
+      (3L, "short", "spam.example") // too_short fires before the blocklist
+    ).toDF("doc_id", "text", "domain")
+    val out = Corpus
+      .prepareFunnel(
+        docs,
+        extraStages = Seq("blocklisted_domain" -> col("domain").endsWith("spam.example"))
+      )
+      .orderBy("doc_id")
+      .collect()
+    assert(out.map(_.getAs[String]("drop_reason")).toSeq ===
+      Seq("kept", "blocklisted_domain", "too_short"))
+  }
+
   test("decontamination stage tags benchmark overlap and never claims the dedup slot") {
     // doc 2 embeds an 8-word benchmark span verbatim; doc 3 is a clean
     // normalized duplicate of doc 1
