@@ -593,7 +593,9 @@ object Dedup {
       textCol: String,
       idCol: String,
       spanWords: Int = 8,
-      minShared: Long = 1
+      minShared: Long = 1,
+      benchBloomBits: Long = 0L,
+      benchBloomItems: Long = 1L << 20
   ): DataFrame = {
     require(spanWords >= 1, s"spanWords must be >= 1, got $spanWords")
     require(minShared >= 1, s"minShared must be >= 1, got $minShared")
@@ -609,7 +611,20 @@ object Dedup {
     // materialize once instead of tokenizing/exploding/distincting the
     // bench corpus twice
     val bs = graft.functions.materialize(spans(bench, "id_l"))
-    val cs = spans(corpus, "id_r")
+    // benchBloomBits > 0 pre-reduces the CORPUS span stream with a
+    // fixed-size bloom over the (materialized) bench span hashes
+    // before anything shuffles: at web scale the corpus has ~10^6x
+    // more spans than the benchmark, and almost none of them can
+    // match — the bloom drops them at scan time for numBits/8 bytes
+    // of broadcast, and false positives are removed by the exact
+    // equi-join, so results are bit-identical (oracle-proven).
+    val cs0 = spans(corpus, "id_r")
+    val cs =
+      if (benchBloomBits > 0L) {
+        val bloom = graft.operators.BloomJoin
+          .buildBloom(bs, "_h", benchBloomItems, benchBloomBits)
+        cs0.where(graft.operators.BloomJoin.mightContain(bloom, col("_h")))
+      } else cs0
     val btot = bs.groupBy(col("id_l")).agg(count(lit(1)).as("_n_bench"))
     bs.join(cs, "_h")
       .groupBy(col("id_l"), col("id_r"))

@@ -125,7 +125,12 @@ object Corpus {
             textCol,
             idCol,
             spanWords,
-            minShared
+            minShared,
+            // 1 MiB bloom over the bench spans drops the overwhelming
+            // non-matching majority of corpus spans before the join
+            // shuffle; exact join removes false positives, results
+            // bit-identical (the decon oracle stays hash-exact)
+            benchBloomBits = 8L * 1024 * 1024
           )
           .select(col("id_r").as(idCol))
           .distinct()

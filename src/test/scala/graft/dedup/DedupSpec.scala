@@ -328,6 +328,26 @@ class DedupSpec extends SparkSpec {
     assert(got((100L, 1L)) == ((5L, 1.0)))
   }
 
+  test("bloom-prefiltered cross-span overlap is bit-identical to the plain join") {
+    val bench = Seq(
+      (100L, "the exact eval answer phrase appears here verbatim")
+    ).toDF("doc_id", "text")
+    val corpusDocs = (1 to 200)
+      .map(i => (i.toLong, s"unrelated training document number $i with its own words entirely"))
+      .toDF("doc_id", "text")
+      .union(Seq((500L, "prefix words the exact eval answer phrase appears here verbatim suffix"))
+        .toDF("doc_id", "text"))
+    def run(bloomBits: Long) = Dedup
+      .crossSpanOverlap(bench, corpusDocs, "text", "doc_id",
+        spanWords = 4, minShared = 1, benchBloomBits = bloomBits)
+      .orderBy("id_l", "id_r")
+      .collect()
+      .toSeq
+    val plain = run(0L)
+    val bloomed = run(1L << 20)
+    assert(plain.nonEmpty && bloomed === plain)
+  }
+
   test("dup-span stats: fraction math, zero-span docs report 0.0") {
     val docs = Seq(
       (1L, "alpha beta gamma delta epsilon"), // 2 spans, 1 duplicated
