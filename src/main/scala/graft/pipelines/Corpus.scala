@@ -23,6 +23,42 @@ import org.apache.spark.sql.functions._
   */
 object Corpus {
 
+  /** Predefined `extraStages` building blocks for [[prepareFunnel]] —
+    * each returns the (reasonName, dropWhen) pair the funnel's
+    * first-failing machinery consumes. All pure scan-side Column
+    * predicates.
+    */
+  object Stages {
+
+    /** Drop documents from blocklisted domains (suffix match — a
+      * blocklist entry "spam.example" also catches its subdomains).
+      */
+    def blocklistedDomain(domainCol: Column, suffixes: Seq[String]): (String, Column) = {
+      require(suffixes.nonEmpty, "blocklist needs at least one suffix")
+      "blocklisted_domain" -> suffixes
+        .map(sfx => domainCol === sfx || domainCol.endsWith("." + sfx))
+        .reduce(_ || _)
+    }
+
+    /** Drop documents carrying long digit runs (phone/account/SSN-ish
+      * identifiers) — the cheap scan-side PII tripwire ahead of a real
+      * redaction pass ([[graft.text.Text.redact]]).
+      */
+    def piiDigits(textCol: Column, minRunLen: Int = 9): (String, Column) = {
+      require(minRunLen >= 1, s"minRunLen must be >= 1, got $minRunLen")
+      "pii_digits" -> (regexp_count(textCol, lit(s"[0-9]{$minRunLen,}")) > 0)
+    }
+
+    /** Drop documents over a hard character budget (the Gopher word
+      * ceiling guards tokens; this guards raw bytes — a 500 MB
+      * pathological "document" should die before tokenization cost).
+      */
+    def maxChars(textCol: Column, max: Int): (String, Column) = {
+      require(max >= 1, s"max must be >= 1, got $max")
+      "too_many_chars" -> (length(textCol) > max)
+    }
+  }
+
   /** First-failing-stage annotation. Each stage is `(name, dropWhen)`;
     * the result column holds the name of the first stage whose
     * predicate fires, NULL for survivors. Pure scan-side projection —

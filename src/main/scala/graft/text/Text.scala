@@ -136,12 +136,24 @@ object Text {
     */
   def langId(c: Column): Column = langIdFromTokens(tokens(c))
 
+  /** The default language roster: preference-ordered (earlier wins
+    * ties) with the built-in mini stopword lists. Swap in larger
+    * lists or more languages via [[langIdFromTokens]]'s `lists`
+    * parameter — the operator shape (argmax of per-language hit
+    * counts, one scan) is independent of the roster.
+    */
+  def defaultLangLists: Seq[(String, Seq[String])] =
+    Seq("en", "de", "fr", "es").map(l => l -> stopwords(l))
+
   /** [[langId]] over a pre-projected token-array attribute (same
     * interpreted-lambda rationale as [[gopherReasonFromTokens]]).
     */
-  def langIdFromTokens(toks: Column): Column = {
-    val langs = Seq("en", "de", "fr", "es")
-    val counts = langs.map(l => l -> hitCount(toks, stopwords(l)))
+  def langIdFromTokens(
+      toks: Column,
+      lists: Seq[(String, Seq[String])] = defaultLangLists
+  ): Column = {
+    require(lists.nonEmpty, "langId needs at least one language list")
+    val counts = lists.map { case (l, words) => l -> hitCount(toks, words) }
     // when-chain in language order => earlier language wins ties
     val maxCount = counts.map(_._2).reduce((a, b) => greatest(a, b))
     val pick = counts.foldRight(lit("und")) { case ((l, cc), acc) =>

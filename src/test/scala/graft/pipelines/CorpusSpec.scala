@@ -128,6 +128,48 @@ class CorpusSpec extends SparkSpec {
       Seq("kept", "blocklisted_domain", "too_short"))
   }
 
+  test("predefined Stages compose: blocklist suffix match, PII digits, char budget") {
+    val docs = Seq(
+      (1L, goodText, "good.example"),
+      (2L, goodText, "sub.spam.example"), // subdomain of a blocklisted suffix
+      (3L, goodText + " 123456789", "good.example"), // 9-digit run
+      (4L, goodText, "spamexample.com") // NOT a suffix match
+    ).toDF("doc_id", "text", "domain")
+    val out = Corpus
+      .prepareFunnel(
+        docs,
+        extraStages = Seq(
+          Corpus.Stages.blocklistedDomain(col("domain"), Seq("spam.example")),
+          Corpus.Stages.piiDigits(col("text")),
+          Corpus.Stages.maxChars(col("text"), max = 10000)
+        )
+      )
+      .orderBy("doc_id")
+      .collect()
+      .map(_.getAs[String]("drop_reason"))
+    // docs 1/2/4 share a fingerprint: 1 keeps the slot, 2 is
+    // blocklisted first-failing, 4 (clean domain) dedups against 1
+    assert(out.toSeq === Seq("kept", "blocklisted_domain", "pii_digits", "duplicate"))
+  }
+
+  test("custom language roster changes the gate, default unchanged") {
+    val lists = Seq(
+      "xx" -> Seq("zorp", "blee"),
+      "en" -> graft.text.Text.stopwords("en")
+    )
+    val toks = graft.text.Text.tokens(col("text"))
+    val docs = Seq(
+      (1L, "zorp blee zorp blee zorp"),
+      (2L, "the cat and the dog sat")
+    ).toDF("doc_id", "text")
+    val out = docs
+      .select(col("doc_id"), graft.text.Text.langIdFromTokens(toks, lists).as("p"))
+      .orderBy("doc_id")
+      .as[(Long, String)]
+      .collect()
+    assert(out.toSeq === Seq((1L, "xx"), (2L, "en")))
+  }
+
   test("decontamination stage tags benchmark overlap and never claims the dedup slot") {
     // doc 2 embeds an 8-word benchmark span verbatim; doc 3 is a clean
     // normalized duplicate of doc 1
