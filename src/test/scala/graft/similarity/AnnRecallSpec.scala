@@ -1,0 +1,88 @@
+package graft.similarity
+
+import graft.SparkSpec
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Recall harness: every approximate ANN path measured against the
+  * brute-force ground truth on one deterministic clustered cloud —
+  * the quality dial each path trades I/O for, pinned as floors so a
+  * refactor can't silently trash retrieval quality.
+  */
+class AnnRecallSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val k = 10
+  private val nQueries = 15
+
+  // deterministic clustered cloud: 12 centers in 8 dims, 100 points
+  // each, fixed-seed jitter
+  private lazy val cloud: DataFrame = {
+    val rnd = new scala.util.Random(1234)
+    val centers = Array.fill(12, 8)(rnd.nextDouble() * 20.0 - 10.0)
+    (0 until 1200)
+      .map { i =>
+        val c = centers(i % 12)
+        (i.toLong, c.map(x => x + rnd.nextGaussian() * 0.8))
+      }
+      .toDF("vec_id", "embedding")
+  }
+
+  private lazy val queries = cloud.where($"vec_id" < nQueries)
+
+  private def neighborSets(df: DataFrame): Map[Long, Set[Long]] =
+    df.select("query_id", "neighbor_id")
+      .as[(Long, Long)]
+      .collect()
+      .groupBy(_._1)
+      .view
+      .mapValues(_.map(_._2).toSet)
+      .toMap
+
+  private lazy val truth = neighborSets(
+    Similarity.bruteForceTopK(queries, cloud, "vec_id", "embedding", k)
+  )
+
+  private def recallOf(df: DataFrame): Double = {
+    val got = neighborSets(df)
+    val per = truth.map { case (q, t) =>
+      got.getOrElse(q, Set.empty).count(t).toDouble / t.size
+    }
+    per.sum / per.size
+  }
+
+  test("int8-quantized recall is near-exact") {
+    val r = recallOf(Similarity.quantizedTopK(queries, cloud, "vec_id", "embedding", k))
+    info(f"quantized recall@$k = $r%.3f")
+    assert(r >= 0.9, f"quantized recall collapsed: $r%.3f")
+  }
+
+  test("IVF recall clears its floor at nprobe=4/nlist=16") {
+    val r = recallOf(
+      Similarity.ivfTopK(queries, cloud, "vec_id", "embedding", k, nlist = 16, nprobe = 4)
+    )
+    info(f"ivf recall@$k = $r%.3f")
+    assert(r >= 0.7, f"ivf recall collapsed: $r%.3f")
+  }
+
+  test("IVF recall is monotone in nprobe") {
+    val r1 = recallOf(
+      Similarity.ivfTopK(queries, cloud, "vec_id", "embedding", k, nlist = 16, nprobe = 1)
+    )
+    val r8 = recallOf(
+      Similarity.ivfTopK(queries, cloud, "vec_id", "embedding", k, nlist = 16, nprobe = 8)
+    )
+    info(f"ivf recall@$k: nprobe=1 $r1%.3f, nprobe=8 $r8%.3f")
+    assert(r8 >= r1, "probing more cells must not lose neighbors")
+    assert(r8 >= 0.85, f"ivf@nprobe=8 recall collapsed: $r8%.3f")
+  }
+
+  test("multi-probe multi-table LSH clears its floor") {
+    val r = recallOf(
+      Similarity.lshTopK(queries, cloud, "vec_id", "embedding", k,
+        nPlanes = 8, multiProbe = true, nTables = 4)
+    )
+    info(f"lsh recall@$k = $r%.3f")
+    assert(r >= 0.5, f"lsh recall collapsed: $r%.3f")
+  }
+}
