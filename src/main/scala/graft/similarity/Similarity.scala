@@ -473,6 +473,15 @@ object Similarity {
       .write
       .mode("overwrite")
       .parquet(s"$path/centroids")
+    // self-describing index: (format version, effective nlist, dim) —
+    // read back by loaders for a friendly integrity check instead of
+    // a downstream shape error
+    Seq((1, cents.length, cents.head.length))
+      .toDF("format_version", "nlist", "dim")
+      .coalesce(1)
+      .write
+      .mode("overwrite")
+      .parquet(s"$path/meta")
     corpus
       .select(
         col(idCol).as("neighbor_id"),
@@ -486,6 +495,33 @@ object Similarity {
       .mode("overwrite")
       .partitionBy("cell")
       .parquet(s"$path/cells")
+  }
+
+  /** Load and validate a persisted index's centroids against its meta
+    * file (when present — older indexes without one load unchecked).
+    */
+  private def loadCentroids(
+      spark: org.apache.spark.sql.SparkSession,
+      path: String
+  ): Array[Array[Double]] = {
+    val cents = spark.read
+      .parquet(s"$path/centroids")
+      .orderBy("cell")
+      .collect() // nlist rows by construction
+      .map(_.getSeq[Double](1).toArray)
+    require(cents.nonEmpty, s"no centroids found under $path/centroids")
+    val metaPath = new org.apache.hadoop.fs.Path(s"$path/meta")
+    val fs = metaPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (fs.exists(metaPath)) {
+      val m = spark.read.parquet(s"$path/meta").head
+      val (nlist, dim) = (m.getAs[Int]("nlist"), m.getAs[Int]("dim"))
+      require(
+        cents.length == nlist && cents.forall(_.length == dim),
+        s"corrupt IVF index at $path: meta says nlist=$nlist dim=$dim, " +
+          s"centroids have ${cents.length} cells of dims ${cents.map(_.length).distinct.mkString(",")}"
+      )
+    }
+    cents
   }
 
   /** Incrementally add documents to a persisted IVF index: assign
@@ -504,12 +540,7 @@ object Similarity {
       path: String
   ): Unit = {
     val spark = newDocs.sparkSession
-    val cents = spark.read
-      .parquet(s"$path/centroids")
-      .orderBy("cell")
-      .collect()
-      .map(_.getSeq[Double](1).toArray)
-    require(cents.nonEmpty, s"no centroids found under $path/centroids")
+    val cents = loadCentroids(spark, path)
     newDocs
       .select(
         col(idCol).as("neighbor_id"),
@@ -576,12 +607,7 @@ object Similarity {
       nprobe: Int = 4
   ): DataFrame = {
     val spark = queries.sparkSession
-    val cents = spark.read
-      .parquet(s"$path/centroids")
-      .orderBy("cell")
-      .collect() // nlist rows by construction
-      .map(_.getSeq[Double](1).toArray)
-    require(cents.nonEmpty, s"no centroids found under $path/centroids")
+    val cents = loadCentroids(spark, path)
     val q = queries
       .select(
         col(idCol).as("query_id"),

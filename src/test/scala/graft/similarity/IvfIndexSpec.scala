@@ -118,6 +118,26 @@ class IvfIndexSpec extends SparkSpec {
     assert(filesAfter < filesBefore, "compaction must reduce the file count")
   }
 
+  test("index meta validates integrity; a corrupted centroid table fails loudly") {
+    val dir = java.nio.file.Files.createTempDirectory("ivfidx6").toString
+    Similarity.ivfWriteIndex(clustered, "vec_id", "embedding", dir, nlist = 4)
+    val meta = spark.read.parquet(s"$dir/meta").head
+    assert(meta.getAs[Int]("nlist") === 4 && meta.getAs[Int]("dim") === 3)
+    // corrupt: drop a centroid row behind the meta's back
+    spark.read.parquet(s"$dir/centroids").where($"cell" =!= 0)
+      .write.mode("overwrite").parquet(s"$dir/centroids2")
+    val fs = org.apache.hadoop.fs.FileSystem.get(
+      new java.net.URI(dir), spark.sparkContext.hadoopConfiguration)
+    fs.delete(new org.apache.hadoop.fs.Path(s"$dir/centroids"), true)
+    fs.rename(new org.apache.hadoop.fs.Path(s"$dir/centroids2"),
+      new org.apache.hadoop.fs.Path(s"$dir/centroids"))
+    val e = intercept[IllegalArgumentException] {
+      Similarity.ivfQueryIndex(
+        clustered.where($"vec_id" === 0L), "vec_id", "embedding", dir, k = 1)
+    }
+    assert(e.getMessage.contains("corrupt IVF index"))
+  }
+
   test("dirty vectors land in the null partition and are never returned") {
     val dir = java.nio.file.Files.createTempDirectory("ivfidx3").toString
     val dirty = clustered
