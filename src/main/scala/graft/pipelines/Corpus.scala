@@ -57,6 +57,25 @@ object Corpus {
       require(max >= 1, s"max must be >= 1, got $max")
       "too_many_chars" -> (length(textCol) > max)
     }
+
+    /** Drop documents whose duplicated-bigram fraction exceeds
+      * `maxFrac` — the scan-side repetition ceiling (looping spam,
+      * keyword stuffing). `toksCol` MUST be the funnel's pre-projected
+      * `col("_toks")` (see [[prepareFunnel]]); fraction =
+      * 1 - distinct/total over word bigrams, native ArrayDistinct,
+      * no shuffle. Documents with fewer than two tokens have no
+      * bigrams and never trip the ceiling.
+      */
+    def repetitionCeiling(toksCol: Column, maxFrac: Double): (String, Column) = {
+      require(
+        maxFrac > 0.0 && maxFrac < 1.0,
+        s"maxFrac must be in (0, 1), got $maxFrac"
+      )
+      val bi = Text.wordShinglesFromTokens(toksCol, 2)
+      val frac = lit(1.0) -
+        size(array_distinct(bi)).cast("double") / size(bi).cast("double")
+      "repetitive" -> (size(bi) > 0 && frac > maxFrac)
+    }
   }
 
   /** First-failing-stage annotation. Each stage is `(name, dropWhen)`;
@@ -83,7 +102,11 @@ object Corpus {
     * built-in rules (each is (reasonName, dropWhen) over the input
     * columns — a quality floor, a URL blocklist, a PII flag); they
     * participate in first-failing accounting and the dedup ordering
-    * like the built-ins.
+    * like the built-ins. Stages may also reference `col("_toks")`,
+    * the funnel's pre-projected token array — token-level stages
+    * (e.g. [[Stages.repetitionCeiling]]) MUST use it instead of
+    * re-splitting, or every interpreted lambda re-tokenizes the
+    * document per element.
     *
     * `decontaminateAgainst` inserts a benchmark-decontamination stage
     * between the language gate and dedup: a surviving document
@@ -126,7 +149,6 @@ object Corpus {
         Text.gopherReasonFromTokens(col(textCol), col("_toks"))
       )
       .withColumn("_fp", Text.fingerprint(col(textCol)))
-      .drop("_toks")
     // same shape as [[firstFailing]], but the gopher stage contributes
     // its per-rule reason rather than a single stage name — the rule
     // name IS the account line
@@ -134,15 +156,20 @@ object Corpus {
     // decontamination/dedup — arbitrary Column predicates over the
     // input columns (a quality floor, a URL blocklist, a PII flag),
     // first-failing like everything else and still scan-side
-    val rulePre = toks.withColumn(
-      "_rulePre",
-      coalesce(
-        Seq(
-          when(col("_gopher") =!= "ok", col("_gopher")),
-          when(col("predicted") =!= keepLang, lit("non_english"))
-        ) ++ extraStages.map { case (name, drop) => when(drop, lit(name)) }: _*
+    val rulePre = toks
+      .withColumn(
+        "_rulePre",
+        coalesce(
+          Seq(
+            when(col("_gopher") =!= "ok", col("_gopher")),
+            when(col("predicted") =!= keepLang, lit("non_english"))
+          ) ++ extraStages.map { case (name, drop) => when(drop, lit(name)) }: _*
+        )
       )
-    )
+      // every consumer of the token array (built-ins + extraStages) has
+      // been projected — drop it HERE so the document-sized array never
+      // rides the fingerprint exchange
+      .drop("_toks")
     // optional benchmark-decontamination stage between the language
     // gate and dedup (the real prepare order: cheap scan rules first,
     // then the one cross-corpus span join, then dedup). The span join

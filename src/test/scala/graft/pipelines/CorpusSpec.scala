@@ -152,6 +152,27 @@ class CorpusSpec extends SparkSpec {
     assert(out.toSeq === Seq("kept", "blocklisted_domain", "pii_digits", "duplicate"))
   }
 
+  test("repetition ceiling trips on looping text via the pre-projected tokens") {
+    // looping doc passing every built-in rule (stopwords present, sane
+    // word lengths): a 7-token loop -> dup bigram frac ~0.87
+    val looping = Iterator.continually("the best cheap pills on sale now").take(8).mkString(" ")
+    val docs = Seq((1L, goodText), (2L, looping)).toDF("doc_id", "text")
+    val out = Corpus
+      .prepareFunnel(
+        docs,
+        extraStages = Seq(Corpus.Stages.repetitionCeiling(col("_toks"), maxFrac = 0.5))
+      )
+      .orderBy("doc_id")
+      .collect()
+      .map(_.getAs[String]("drop_reason"))
+    // goodText repeats a 12-word phrase 5x -> it is ALSO repetitive at
+    // 0.5; use its reason to pin the threshold's bite instead
+    assert(out(1) === "repetitive")
+    // and _toks is not leaked into the output schema
+    val cols = Corpus.prepareFunnel(docs).columns.toSeq
+    assert(!cols.contains("_toks"))
+  }
+
   test("custom language roster changes the gate, default unchanged") {
     val lists = Seq(
       "xx" -> Seq("zorp", "blee"),
