@@ -556,6 +556,22 @@ object Similarity {
       .parquet(s"$path/cells")
   }
 
+  /** Per-cell population of a persisted index — the nlist-tuning
+    * signal (target ~sqrt(corpus) cells; a dominant cell means the
+    * quantizer under-partitions its region, an empty one wastes a
+    * probe). Counts read no data columns (parquet row-group counts),
+    * so this is a metadata-priced scan.
+    */
+  def ivfIndexStats(
+      spark: org.apache.spark.sql.SparkSession,
+      path: String
+  ): DataFrame =
+    spark.read
+      .parquet(s"$path/cells")
+      .groupBy("cell")
+      .agg(count(lit(1)).as("n_vectors"))
+      .orderBy("cell")
+
   /** Compact a persisted IVF index's cell partitions: steady-state
     * [[ivfAppendToIndex]] ingest accumulates one small file per
     * append batch per cell, and probe cost degrades from "read

@@ -209,4 +209,24 @@ class HtmlReportSpec extends SparkSpec {
     val crafted = HtmlReport.renderFunnel(Seq("<script>" -> 1L, "kept" -> 1L), "t")
     assert(!crafted.contains("<script>") && crafted.contains("&lt;script&gt;"))
   }
+
+  test("a profileFunnel-fed dataset renders funnel trend charts") {
+    import spark.implicits._
+    val repo = new graft.repository.InMemoryRepository()
+    val uri = "ds://funnel-trend"
+    (1 to 3).foreach { d =>
+      graft.service.Service.profileFunnel(
+        ((1 to 70).map(_ => "kept") ++ (1 to 30).map(_ => "too_short")).toDF("drop_reason"),
+        uri,
+        java.sql.Timestamp.valueOf(s"2025-02-0$d 00:00:00"),
+        repo
+      )
+    }
+    val html = HtmlReport.render(repo, uri)
+    // per-reason share/count series chart as any other profiled metric
+    assert(html.contains("funnel"))
+    assert(html.contains("share") && html.contains("n_docs"))
+    assert(html.contains("too_short") && html.contains("kept"))
+    assert(html.contains("<svg"), "expected trend charts for the funnel series")
+  }
 }

@@ -118,6 +118,15 @@ class IvfIndexSpec extends SparkSpec {
     assert(filesAfter < filesBefore, "compaction must reduce the file count")
   }
 
+  test("index stats account every vector once per cell") {
+    val dir = java.nio.file.Files.createTempDirectory("ivfidx7").toString
+    Similarity.ivfWriteIndex(clustered, "vec_id", "embedding", dir, nlist = 4)
+    val stats = Similarity.ivfIndexStats(spark, dir)
+      .as[(Int, Long)].collect()
+    assert(stats.map(_._2).sum === 400L)
+    assert(stats.forall(_._2 > 0))
+  }
+
   test("index meta validates integrity; a corrupted centroid table fails loudly") {
     val dir = java.nio.file.Files.createTempDirectory("ivfidx6").toString
     Similarity.ivfWriteIndex(clustered, "vec_id", "embedding", dir, nlist = 4)
