@@ -363,6 +363,20 @@ class CorpusSpec extends SparkSpec {
       .toSeq
     assert(real.size == 1, s"expected one exchange, got ${real.size}:\n${real.mkString("\n")}")
     assert(real.head.contains("_fp"), s"the single exchange must be the fingerprint shuffle: ${real.head}")
+    // the shuffle must not carry the document-sized token array: the
+    // dedup window's input attribute set IS what the fingerprint
+    // exchange ships (exchanges are only materialized at execution, so
+    // inspect the window node in the physical plan)
+    val wins = funnel.queryExecution.sparkPlan.collect {
+      case w: org.apache.spark.sql.execution.window.WindowExec => w
+    }
+    assert(wins.nonEmpty, "no window node in the physical plan")
+    wins.foreach { w =>
+      assert(
+        !w.child.output.map(_.name).contains("_toks"),
+        s"token array rides the fingerprint shuffle: ${w.child.output.map(_.name)}"
+      )
+    }
   }
 
   test("firstFailing returns NULL for rows passing every stage") {
