@@ -602,6 +602,124 @@ object Similarity {
     )
   }
 
+  /** Refit trigger signal for a persisted index: true when the largest
+    * cell holds more than `factor` times its fair share of vectors
+    * (n / nlist) or when over half the cells are empty — the two ways
+    * a drifted quantizer costs probes (a dominant cell makes every
+    * probe into it scan ~the corpus; empty cells burn nprobe slots for
+    * nothing). Driver math over the [[ivfIndexStats]] result (<= nlist
+    * rows, metadata-priced scan); the NULL cell (dirty vectors) never
+    * counts toward balance.
+    *
+    * `factor` is a share multiple, not an absolute: 4.0 tolerates the
+    * natural spread of real corpora (cells are clusters, not hash
+    * buckets) while still firing on an append stream that piles a new
+    * domain into one old cell.
+    */
+  def ivfRefitNeeded(
+      spark: org.apache.spark.sql.SparkSession,
+      path: String,
+      factor: Double = 4.0
+  ): Boolean = {
+    require(factor >= 1.0, s"factor is a fair-share multiple, got $factor")
+    val nlist = loadCentroids(spark, path).length
+    val counts = ivfIndexStats(spark, path)
+      .where(col("cell").isNotNull)
+      .select(col("n_vectors").cast("long"))
+      .collect()
+      .map(_.getLong(0))
+    if (counts.isEmpty) false // an empty index has nothing to rebalance
+    else {
+      val n = counts.sum
+      val emptyCells = nlist - counts.length
+      counts.max.toDouble > factor * (n.toDouble / nlist) ||
+      emptyCells * 2 > nlist
+    }
+  }
+
+  /** Refit the coarse quantizer FROM the index's own stored vectors and
+    * rewrite every cell assignment — the offline rebalance for when
+    * steady-state [[ivfAppendToIndex]] ingest has drifted the corpus
+    * away from the original fit (signal: [[ivfRefitNeeded]] /
+    * [[ivfIndexStats]]). `nlist` defaults to the stored cell count;
+    * pass a new value to re-size the quantizer (target ~sqrt(corpus)).
+    *
+    * The training sample must NOT be a prefix read here: the cell
+    * layout is clustered BY VECTOR SPACE, so LocalLimit would train on
+    * one cell's region and collapse the quantizer. The fraction sample
+    * (sized ~4x maxTrain from the index's metadata-priced row count)
+    * decorrelates storage order from vector space; the fit stays
+    * bounded driver math.
+    *
+    * Rewrite cost is one full pass over the index (the same price as
+    * building it); stored norms are reused, the raw corpus is never
+    * touched. The new tree is written complete to `_refit_tmp` and
+    * swapped in dir-by-dir — same single non-atomic moment as
+    * [[ivfCompactIndex]], so run it from the ingest owner. NULL/ragged
+    * vectors re-land in the null-cell partition unchanged.
+    */
+  def ivfRefitIndex(
+      spark: org.apache.spark.sql.SparkSession,
+      path: String,
+      nlist: Option[Int] = None,
+      seed: Long = 42L
+  ): Unit = {
+    import spark.implicits._
+    val effNlist = nlist.getOrElse(loadCentroids(spark, path).length)
+    require(effNlist > 0, s"nlist must be positive, got $effNlist")
+    val cells = spark.read.parquet(s"$path/cells")
+    val n = cells.count() // count(*) over parquet: row-group metadata only
+    require(n > 0, s"refusing to refit an empty index at $path")
+    val frac = math.min(1.0, 4.0 * 8192 / n.toDouble)
+    val cents = fitIvfCentroids(
+      cells.select(col("_cv")), "_cv", effNlist, seed, Some(frac))
+    val tmp = s"$path/_refit_tmp"
+    cents.zipWithIndex
+      .map { case (c, i) => (i, c.toSeq) }
+      .toSeq
+      .toDF("cell", "centroid")
+      .coalesce(1)
+      .write
+      .mode("overwrite")
+      .parquet(s"$tmp/centroids")
+    Seq((1, cents.length, cents.head.length))
+      .toDF("format_version", "nlist", "dim")
+      .coalesce(1)
+      .write
+      .mode("overwrite")
+      .parquet(s"$tmp/meta")
+    // reassign with the new quantizer; norms ride over unchanged. The
+    // write fully materializes from the old dirs BEFORE any delete.
+    cells
+      .select(
+        col("neighbor_id"),
+        col("_cv"),
+        col("_cn"),
+        graft.functions.hashExpressions
+          .nearestCells(col("_cv"), cents, 1)(0)
+          .as("cell")
+      )
+      .write
+      .mode("overwrite")
+      .partitionBy("cell")
+      .parquet(s"$tmp/cells")
+    val fs = org.apache.hadoop.fs.FileSystem.get(
+      new java.net.URI(tmp),
+      spark.sparkContext.hadoopConfiguration
+    )
+    Seq("centroids", "meta", "cells").foreach { d =>
+      fs.delete(new org.apache.hadoop.fs.Path(s"$path/$d"), true)
+      require(
+        fs.rename(
+          new org.apache.hadoop.fs.Path(s"$tmp/$d"),
+          new org.apache.hadoop.fs.Path(s"$path/$d")
+        ),
+        s"refit rename failed: $tmp/$d -> $path/$d"
+      )
+    }
+    fs.delete(new org.apache.hadoop.fs.Path(tmp), true)
+  }
+
   /** Probe a persisted IVF index ([[ivfWriteIndex]] layout) — same
     * semantics as [[ivfTopK]] with the fit and corpus assignment
     * amortized away.

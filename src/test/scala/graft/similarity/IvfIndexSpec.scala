@@ -147,6 +147,64 @@ class IvfIndexSpec extends SparkSpec {
     assert(e.getMessage.contains("corrupt IVF index"))
   }
 
+  test("append drift triggers the refit signal; refit rebalances and stays exact") {
+    val dir = java.nio.file.Files.createTempDirectory("ivfidx8").toString
+    // initial corpus: four tight, well-separated subclusters of 100 —
+    // the evenly-spaced init lands one centroid per subcluster, so the
+    // fresh index is genuinely balanced (100/100/100/100)
+    val centersA = Seq((10.0, 0.0), (0.0, 10.0), (10.0, 10.0), (20.0, 0.0))
+    val regionA = (0 until 400)
+      .map { i =>
+        val (cx, cy) = centersA(i / 100)
+        (i.toLong, Array(cx + 0.001 * (i % 10), cy + 0.001 * (i / 10 % 10), 0.0))
+      }
+      .toDF("vec_id", "embedding")
+    Similarity.ivfWriteIndex(regionA, "vec_id", "embedding", dir, nlist = 4)
+    assert(!Similarity.ivfRefitNeeded(spark, dir, factor = 2.0),
+      "a freshly fit index must not demand a refit")
+    // drift: a new domain 3x the original size — every vector lands in
+    // whichever old cell happens to be nearest, piling up one cell
+    val regionB = (1000 until 2200)
+      .map(i => (i.toLong, Array(0.0, 0.1 * (i % 7), 50.0 + 0.01 * (i % 30))))
+      .toDF("vec_id", "embedding")
+    Similarity.ivfAppendToIndex(regionB, "vec_id", "embedding", dir)
+    def shares() = Similarity.ivfIndexStats(spark, dir)
+      .where($"cell".isNotNull)
+      .select($"n_vectors".cast("long")).as[Long].collect()
+    val before = shares()
+    assert(Similarity.ivfRefitNeeded(spark, dir, factor = 2.0),
+      s"drifted index must trigger the signal (cells ${before.mkString(",")})")
+    Similarity.ivfRefitIndex(spark, dir)
+    val after = shares()
+    info(s"cell sizes: before ${before.sorted.mkString(",")} -> after ${after.sorted.mkString(",")}")
+    assert(after.sum === 1600L, "refit must keep every vector")
+    assert(after.max < before.max, "refit must shrink the dominant cell")
+    assert(!Similarity.ivfRefitNeeded(spark, dir, factor = 2.0),
+      s"refit index still triggers (cells ${after.mkString(",")})")
+    // a full probe (nprobe = nlist) over the refit index is EXACT —
+    // refit changed the layout, never the answers
+    val all = regionA.union(regionB)
+    val queries = all.where($"vec_id".isin(0L, 1000L))
+    val fromIndex = Similarity
+      .ivfQueryIndex(queries, "vec_id", "embedding", dir, k = 3, nprobe = 4)
+      .orderBy("query_id", "rank").collect().toSeq
+    val brute = Similarity
+      .bruteForceTopK(queries, all, "vec_id", "embedding", k = 3)
+      .orderBy("query_id", "rank").collect().toSeq
+    assert(fromIndex === brute)
+  }
+
+  test("refit can resize the quantizer; meta and centroids follow") {
+    val dir = java.nio.file.Files.createTempDirectory("ivfidx9").toString
+    Similarity.ivfWriteIndex(clustered, "vec_id", "embedding", dir, nlist = 4)
+    Similarity.ivfRefitIndex(spark, dir, nlist = Some(8))
+    val meta = spark.read.parquet(s"$dir/meta").head
+    assert(meta.getAs[Int]("nlist") === 8 && meta.getAs[Int]("dim") === 3)
+    assert(spark.read.parquet(s"$dir/centroids").count() === 8L)
+    val stats = Similarity.ivfIndexStats(spark, dir).as[(Int, Long)].collect()
+    assert(stats.map(_._2).sum === 400L)
+  }
+
   test("dirty vectors land in the null partition and are never returned") {
     val dir = java.nio.file.Files.createTempDirectory("ivfidx3").toString
     val dirty = clustered
