@@ -1,0 +1,107 @@
+package graft.pipelines
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+/** Checkpoint/restart contract for multi-day prepares: commit markers
+  * gate visibility, re-runs are idempotent and skip committed work,
+  * and each batch dedups against everything previously KEPT.
+  */
+class IncrementalSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def prose(words: Seq[String]): String =
+    Iterator.continually(words).flatten.take(60).mkString(" ")
+
+  // two distinct rule-passing English documents
+  private val textA = prose(Seq("the", "quick", "brown", "fox", "and",
+    "the", "lazy", "dog", "walked", "over", "a", "hill"))
+  private val textB = prose(Seq("a", "small", "boat", "sailed", "on",
+    "the", "wide", "river", "and", "it", "was", "calm"))
+
+  test("markers gate visibility; re-runs skip; later batches dedup against kept") {
+    val root = java.nio.file.Files.createTempDirectory("increm").toString
+    val b1 = Seq((1L, textA), (2L, "short text only")).toDF("doc_id", "text")
+    assert(Incremental.prepareBatch(b1, root, "2026-01-01") === true)
+    assert(Incremental.isCommitted(spark, root, "2026-01-01"))
+    assert(Incremental.prepareBatch(b1, root, "2026-01-01") === false,
+      "a committed batch must be skipped, not recomputed")
+    assert(Incremental.committedBatches(spark, root) === Seq("2026-01-01"))
+
+    // batch 2: a prior-dup of batch 1's kept doc, a fresh doc, a
+    // rule-failed doc, and a second in-batch copy of the prior-dup
+    val b2 = Seq(
+      (10L, textA), // duplicate_prior (kept by batch 1)
+      (11L, textB), // kept
+      (12L, "short text only"), // too_short — rule reason wins
+      (13L, textA) // within-batch duplicate of 10 (rn=2)
+    ).toDF("doc_id", "text")
+    assert(Incremental.prepareBatch(b2, root, "2026-01-02") === true)
+    val out2 = spark.read
+      .parquet(s"$root/batches/batch=2026-01-02")
+      .orderBy("doc_id")
+      .collect()
+    assert(out2.map(_.getAs[String]("drop_reason")).toSeq ===
+      Seq("duplicate_prior", "kept", "too_short", "duplicate"))
+
+    // the prepared corpus is exactly the kept rows of committed batches
+    val corpus = Incremental.preparedCorpus(spark, root)
+      .select("batch", "doc_id").as[(String, Long)].collect().toSet
+    assert(corpus === Set(("2026-01-01", 1L), ("2026-01-02", 11L)))
+
+    // kept fingerprints are disjoint across batches by construction
+    val fp1 = spark.read.parquet(s"$root/fingerprints/batch=2026-01-01")
+      .as[String].collect().toSet
+    val fp2 = spark.read.parquet(s"$root/fingerprints/batch=2026-01-02")
+      .as[String].collect().toSet
+    assert(fp1.nonEmpty && fp2.nonEmpty && fp1.intersect(fp2).isEmpty)
+
+    // per-batch loss report surfaces the cross-batch dedup line
+    val stats = Incremental.funnelStatsByBatch(spark, root)
+      .as[(String, String, Long)].collect().toSeq
+    assert(stats.contains(("2026-01-02", "duplicate_prior", 1L)))
+    assert(stats.contains(("2026-01-01", "kept", 1L)))
+  }
+
+  test("a crashed (uncommitted) batch is invisible and the re-run restores it") {
+    val root = java.nio.file.Files.createTempDirectory("increm2").toString
+    val b1 = Seq((1L, textA)).toDF("doc_id", "text")
+    val b2 = Seq((2L, textB)).toDF("doc_id", "text")
+    assert(Incremental.prepareBatch(b1, root, "d1"))
+    assert(Incremental.prepareBatch(b2, root, "d2"))
+    // simulate a crash between the parquet writes and the marker: the
+    // directories exist, the marker does not
+    val fs = org.apache.hadoop.fs.FileSystem.get(
+      new java.net.URI(root), spark.sparkContext.hadoopConfiguration)
+    fs.delete(new org.apache.hadoop.fs.Path(s"$root/_manifest/d2"), false)
+    assert(!Incremental.isCommitted(spark, root, "d2"))
+    assert(Incremental.committedBatches(spark, root) === Seq("d1"))
+    assert(Incremental.preparedCorpus(spark, root)
+      .select("doc_id").as[Long].collect().toSeq === Seq(1L))
+    // a batch prepared NOW must not dedup against the uncommitted dir:
+    // textB was kept by the crashed d2, and d3 keeps it again
+    val b3 = Seq((3L, textB)).toDF("doc_id", "text")
+    assert(Incremental.prepareBatch(b3, root, "d3"))
+    val d3 = spark.read.parquet(s"$root/batches/batch=d3").collect()
+    assert(d3.map(_.getAs[String]("drop_reason")).toSeq === Seq("kept"))
+    // re-running the crashed batch overwrites and commits it; its doc
+    // is now a duplicate_prior of d3's kept copy
+    assert(Incremental.prepareBatch(b2, root, "d2") === true)
+    assert(Incremental.committedBatches(spark, root) === Seq("d1", "d2", "d3"))
+    val d2 = spark.read.parquet(s"$root/batches/batch=d2").collect()
+    assert(d2.map(_.getAs[String]("drop_reason")).toSeq === Seq("duplicate_prior"))
+    assert(Incremental.preparedCorpus(spark, root)
+      .select("doc_id").as[Long].collect().sorted.toSeq === Seq(1L, 3L))
+  }
+
+  test("batch ids are path-safe or rejected") {
+    val root = java.nio.file.Files.createTempDirectory("increm3").toString
+    val b = Seq((1L, textA)).toDF("doc_id", "text")
+    intercept[IllegalArgumentException] {
+      Incremental.prepareBatch(b, root, "../escape")
+    }
+    intercept[IllegalArgumentException] {
+      Incremental.prepareBatch(b, root, "")
+    }
+  }
+}
