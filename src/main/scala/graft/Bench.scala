@@ -7,6 +7,7 @@ object Bench {
     val spark = LocalSession.create("ERROR")
     // Untimed warmup: JIT + classloading + parquet footer caches would
     // otherwise be billed to whichever query happens to run first.
+    val tWarm0 = System.nanoTime()
     try {
       spark.range(1000000).selectExpr("sum(id)").count()
       SparkEntry.entry(spark).count()
@@ -16,6 +17,8 @@ object Bench {
     // must not inherit the warmup's cache blocks or garbage
     spark.catalog.clearCache()
     System.gc()
+    val warmupSec = (System.nanoTime() - tWarm0) / 1e9
+    var hygieneSec = 0.0
     // A query that throws must be visibly red: its wall-time is recorded
     // as -1 and its name lands in "errors" — never a fake timing.
     //
@@ -43,8 +46,10 @@ object Bench {
         // whichever query the collector lands on — exactly the single-
         // shot outliers past rounds chased. Dropping caches and hinting
         // a GC outside the timed window keeps each measurement isolated.
+        val tHyg0 = System.nanoTime()
         spark.catalog.clearCache()
         System.gc()
+        hygieneSec += (System.nanoTime() - tHyg0) / 1e9
         i += 1
       }
       val median = if (err.isDefined) -1.0 else times.sorted.apply(reps / 2)
@@ -64,8 +69,35 @@ object Bench {
     val runsDetail = results
       .map { case (k, _, _, ts) => "\"" + k + "\":" + ts.map(ms).mkString("[", ",", "]") }
       .mkString("{", ",", "}")
+    // Per-family subtotals: a regression in the total should localize
+    // to a module in one glance, not a 119-entry diff. Families follow
+    // the query-key prefixes (the registration convention since r1).
+    def family(name: String): String = name match {
+      case n if n.startsWith("profile_") => "profiler"
+      case n if n.startsWith("anomaly_") || n.startsWith("quality_") => "anomaly"
+      case n if n.startsWith("dedup_") => "dedup"
+      case n if n.startsWith("ann_") || n.startsWith("embed_") => "similarity"
+      case n if n.startsWith("text_") => "text"
+      case n if n.startsWith("multimodal_") => "multimodal"
+      case n if n.startsWith("pipeline_") => "pipelines"
+      case _ => "engine"
+    }
+    val families = results
+      .groupBy { case (k, _, _, _) => family(k) }
+      .toSeq
+      .sortBy(_._1)
+      .map { case (fam, rs) =>
+        "\"" + fam + "\":" + ms(rs.map(_._2).filter(_ >= 0).sum)
+      }
+      .mkString("{", ",", "}")
+    // Phase accounting: timed medians vs the harness's own untimed
+    // work (warmup + between-run cache/GC hygiene), so bench WALL time
+    // is attributable — "the bench took 5 min but queries sum to 70 s"
+    // should not need a profiler to explain.
+    val phases =
+      s"""{"warmup":${ms(warmupSec)},"hygiene":${ms(hygieneSec)}}"""
     val detailJson =
-      s"""{"metric":"total","value":${ms(total)},"unit":"sec","reps":$reps,"queries":$detail,"runs":$runsDetail,"errors":$errors,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":${ms(total)},"unit":"sec","reps":$reps,"queries":$detail,"runs":$runsDetail,"families":$families,"phases":$phases,"errors":$errors,"sf":"$sfDir"}"""
     java.nio.file.Files.writeString(
       java.nio.file.Paths.get("bench_detail.json"), detailJson + "\n")
     println(s"# bench detail: $detailJson")
@@ -95,7 +127,7 @@ object Bench {
     val qs = headline.flatMap(k => byName.get(k).map(v => s"\"" + k + "\":" + ms(v)))
       .mkString("{", ",", "}")
     println(
-      s"""{"metric":"total","value":${ms(total)},"unit":"sec","reps":$reps,"queries":$qs,"n_queries":${results.size},"detail":"bench_detail.json","errors":$errors,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":${ms(total)},"unit":"sec","reps":$reps,"queries":$qs,"families":$families,"n_queries":${results.size},"detail":"bench_detail.json","errors":$errors,"sf":"$sfDir"}"""
     )
     spark.stop()
     if (results.exists(_._3.isDefined)) sys.exit(1)
