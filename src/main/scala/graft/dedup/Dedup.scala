@@ -131,6 +131,49 @@ object Dedup {
       shingleN: Int,
       numHashes: Int,
       bands: Int
+  ): DataFrame =
+    bandedFromSigs(
+      graft.functions.materialize(
+        minhashSignatureTable(df, textCol, idCol, shingleN, numHashes)
+      ),
+      numHashes,
+      bands
+    )
+
+  /** The storable (id, sig) half of the banded pipeline: scan-side
+    * token-hash -> shingle-hash -> minhash signature, one row per
+    * document with at least one shingle. This is the table an
+    * incremental corpus persists per batch (~8 B x numHashes per doc)
+    * so later batches can near-dup against it WITHOUT re-reading prior
+    * text — re-band with [[crossMinhashPairsFromSigs]]. Signatures are
+    * deterministic (XXH64 chain), so a stored table and a recomputation
+    * of the same text under the same (shingleN, numHashes) are
+    * interchangeable.
+    */
+  def minhashSignatureTable(
+      df: DataFrame,
+      textCol: String,
+      idCol: String,
+      shingleN: Int = 3,
+      numHashes: Int = 16
+  ): DataFrame =
+    df
+      .select(col(idCol).as("id"), Text.tokenHashes(col(textCol)).as("_th"))
+      .select(
+        col("id"),
+        Text.shingleHashesFromTokenHashes(col("_th"), shingleN).as("_sh")
+      )
+      .where(size(col("_sh")) > 0)
+      .select(col("id"), minhashSignature(col("_sh"), numHashes).as("sig"))
+
+  /** Band-explode a signature table ((id, sig) -> (id, sig, band,
+    * bucket)) — pure column math, shared by the live pipelines and the
+    * stored-signature joins.
+    */
+  private def bandedFromSigs(
+      sigs: DataFrame,
+      numHashes: Int,
+      bands: Int
   ): DataFrame = {
     require(
       bands > 0 && numHashes % bands == 0 && numHashes / bands > 0,
@@ -138,16 +181,6 @@ object Dedup {
         "a zero-row band would put every document in one bucket (all-pairs join)"
     )
     val rowsPerBand = numHashes / bands
-    val sigs = graft.functions.materialize(
-      df
-        .select(col(idCol).as("id"), Text.tokenHashes(col(textCol)).as("_th"))
-        .select(
-          col("id"),
-          Text.shingleHashesFromTokenHashes(col("_th"), shingleN).as("_sh")
-        )
-        .where(size(col("_sh")) > 0)
-        .select(col("id"), minhashSignature(col("_sh"), numHashes).as("sig"))
-    )
     sigs
       .select(
         col("id"),
@@ -211,6 +244,41 @@ object Dedup {
     BucketJoin
       .crossPairs(
         bandedMinhash(left, textCol, idCol, shingleN, numHashes, bands),
+        bandedMinhash(right, textCol, idCol, shingleN, numHashes, bands),
+        Seq("band", "bucket"),
+        "sig",
+        leftBucketCap
+      )
+      .withColumn("jaccard", estJaccard(numHashes))
+      .where(col("jaccard") >= threshold)
+      .select("id_l", "id_r", "jaccard")
+      .distinct()
+
+  /** [[crossMinhashPairs]] where the LEFT side is a PRECOMPUTED
+    * signature table ((id, sig) — [[minhashSignatureTable]] rows, e.g.
+    * read back from parquet). The incremental-corpus shape: today's
+    * batch near-dups against every prior batch by joining ~136 B/doc
+    * of stored signatures instead of re-shingling terabytes of prior
+    * text. `numHashes`/`bands` must match the stored signatures —
+    * callers persisting tables should persist the parameters beside
+    * them (see [[graft.pipelines.Incremental]]).
+    *
+    * Output: id_l (stored side), id_r (new side), jaccard (estimated).
+    */
+  def crossMinhashPairsFromSigs(
+      leftSigs: DataFrame,
+      right: DataFrame,
+      textCol: String,
+      idCol: String,
+      shingleN: Int = 3,
+      numHashes: Int = 16,
+      bands: Int = 4,
+      threshold: Double = 0.5,
+      leftBucketCap: Int = 1024
+  ): DataFrame =
+    BucketJoin
+      .crossPairs(
+        bandedFromSigs(leftSigs.select(col("id"), col("sig")), numHashes, bands),
         bandedMinhash(right, textCol, idCol, shingleN, numHashes, bands),
         Seq("band", "bucket"),
         "sig",

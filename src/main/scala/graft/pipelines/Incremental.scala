@@ -13,6 +13,8 @@ import org.apache.spark.sql.functions._
   * {{{
   *   batches/batch=<id>/        full funnel output for the batch
   *   fingerprints/batch=<id>/   (fp) of the batch's KEPT docs only
+  *   signatures/batch=<id>/     (id, sig) minhash of KEPT docs
+  *   signatures/_meta           pinned (shingle_n, num_hashes, bands)
   *   _manifest/<id>             zero-byte marker, written LAST
   * }}}
   *
@@ -88,9 +90,55 @@ object Incremental {
     if (paths.isEmpty) None else Some(spark.read.parquet(paths: _*))
   }
 
+  /** Kept-doc minhash signature tables of every committed batch,
+    * validated against the stored `signatures/_meta` parameters — a
+    * batch near-dupped with different (shingleN, numHashes, bands)
+    * than the stored tables would silently compare apples to oranges,
+    * so a mismatch fails loudly instead.
+    */
+  private def priorSignatures(
+      spark: SparkSession,
+      root: String,
+      shingleN: Int,
+      numHashes: Int,
+      bands: Int
+  ): Option[DataFrame] = {
+    val f = fs(spark, root)
+    val metaPath = new org.apache.hadoop.fs.Path(s"$root/signatures/_meta")
+    if (f.exists(metaPath)) {
+      val m = spark.read.parquet(s"$root/signatures/_meta").head
+      require(
+        m.getAs[Int]("shingle_n") == shingleN &&
+          m.getAs[Int]("num_hashes") == numHashes &&
+          m.getAs[Int]("bands") == bands,
+        s"stored signatures under $root/signatures were built with " +
+          s"(shingleN=${m.getAs[Int]("shingle_n")}, numHashes=${m.getAs[Int]("num_hashes")}, " +
+          s"bands=${m.getAs[Int]("bands")}); this batch requested " +
+          s"($shingleN, $numHashes, $bands) — parameters must match across a root"
+      )
+    }
+    val paths = committedBatches(spark, root)
+      .map(id => s"$root/signatures/batch=$id")
+      .filter(p => f.exists(new org.apache.hadoop.fs.Path(p)))
+    if (paths.isEmpty) None else Some(spark.read.parquet(paths: _*))
+  }
+
   /** Prepare one batch under the checkpoint contract. Returns false
     * (and does NOTHING) when the batch is already committed; true when
     * it ran. Parameters mirror [[Corpus.prepareFunnel]].
+    *
+    * `nearDupThreshold` adds a cross-batch NEAR-dup stage after the
+    * exact one: a would-be-kept doc whose estimated Jaccard against
+    * ANY prior batch's kept doc reaches the threshold is demoted to
+    * `near_duplicate_prior`. Prior batches are represented by their
+    * STORED minhash signature tables (~136 B/doc at the defaults) —
+    * no prior text is ever re-read. Signatures are persisted for every
+    * batch regardless of the flag (so near-dup can be switched on
+    * later without a backfill), with the (shingleN, numHashes, bands)
+    * parameters pinned in `signatures/_meta` — a mismatched later run
+    * fails loudly. Near-dup WITHIN a batch is out of scope here (the
+    * funnel dedups exact only); run [[graft.dedup.Dedup.nearDupSweep]]
+    * on a batch first if in-batch near-dups matter.
     */
   def prepareBatch(
       docs: DataFrame,
@@ -102,9 +150,16 @@ object Incremental {
       decontaminateAgainst: Option[DataFrame] = None,
       spanWords: Int = 8,
       minShared: Long = 1,
-      extraStages: Seq[(String, Column)] = Nil
+      extraStages: Seq[(String, Column)] = Nil,
+      nearDupThreshold: Option[Double] = None,
+      shingleN: Int = 3,
+      numHashes: Int = 16,
+      bands: Int = 4,
+      priorBucketCap: Int = 1024
   ): Boolean = {
     requireValidId(batchId)
+    nearDupThreshold.foreach(t =>
+      require(t > 0.0 && t <= 1.0, s"nearDupThreshold must be in (0, 1], got $t"))
     val spark = docs.sparkSession
     if (isCommitted(spark, root, batchId)) return false
     val funnel = Corpus.prepareFunnel(
@@ -131,18 +186,58 @@ object Incremental {
           .withColumn("kept", col("drop_reason") === "kept")
           .drop("_fp", "_dup_prior")
     }
-    withPrior.write.mode("overwrite").parquet(s"$root/batches/batch=$batchId")
-    // fingerprints are derived from the WRITTEN output (one cheap scan
-    // of kept rows), not from the live plan — deriving from the plan
-    // would re-execute the whole funnel a second time
-    spark.read
+    // optional cross-batch near-dup: the funnel frame feeds BOTH the
+    // candidate side of the signature join and the final write, so it
+    // is materialized once instead of executing twice
+    val withNear = nearDupThreshold
+      .flatMap(thr => priorSignatures(spark, root, shingleN, numHashes, bands).map((_, thr)))
+      .fold(withPrior) { case (sigs, thr) =>
+        val once = graft.functions.materialize(withPrior)
+        val nearIds = graft.dedup.Dedup
+          .crossMinhashPairsFromSigs(
+            sigs,
+            once.where(col("kept")).select(col(idCol), col(textCol)),
+            textCol, idCol, shingleN, numHashes, bands, thr, priorBucketCap)
+          .select(col("id_r").as(idCol))
+          .distinct()
+          .withColumn("_near_prior", lit(true))
+        once
+          .join(nearIds, Seq(idCol), "left")
+          .withColumn(
+            "drop_reason",
+            when(col("kept") && col("_near_prior"), lit("near_duplicate_prior"))
+              .otherwise(col("drop_reason"))
+          )
+          .withColumn("kept", col("drop_reason") === "kept")
+          .drop("_near_prior")
+      }
+    withNear.write.mode("overwrite").parquet(s"$root/batches/batch=$batchId")
+    // fingerprints and signatures are derived from the WRITTEN output
+    // (cheap scans of kept rows), not from the live plan — deriving
+    // from the plan would re-execute the whole funnel again
+    val kept = spark.read
       .parquet(s"$root/batches/batch=$batchId")
       .where(col("kept"))
+    kept
       .select(graft.text.Text.fingerprint(col(textCol)).as("fp"))
       .write
       .mode("overwrite")
       .parquet(s"$root/fingerprints/batch=$batchId")
+    graft.dedup.Dedup
+      .minhashSignatureTable(kept, textCol, idCol, shingleN, numHashes)
+      .write
+      .mode("overwrite")
+      .parquet(s"$root/signatures/batch=$batchId")
     val f = fs(spark, root)
+    if (!f.exists(new org.apache.hadoop.fs.Path(s"$root/signatures/_meta"))) {
+      import spark.implicits._
+      Seq((shingleN, numHashes, bands))
+        .toDF("shingle_n", "num_hashes", "bands")
+        .coalesce(1)
+        .write
+        .mode("overwrite")
+        .parquet(s"$root/signatures/_meta")
+    }
     f.mkdirs(new org.apache.hadoop.fs.Path(s"$root/_manifest"))
     f.create(marker(root, batchId), true).close()
     true

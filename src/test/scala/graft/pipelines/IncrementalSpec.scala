@@ -94,6 +94,51 @@ class IncrementalSpec extends SparkSpec {
       .select("doc_id").as[Long].collect().sorted.toSeq === Seq(1L, 3L))
   }
 
+  test("cross-batch NEAR-dup demotes from stored signatures; exact dedup alone misses it") {
+    // textA2: textA with one word swapped — different fingerprint
+    // (exact dedup blind), high shingle overlap
+    val textA2 = textA.replaceFirst("quick brown", "big brown")
+    val b1 = Seq((1L, textA)).toDF("doc_id", "text")
+    val b2 = Seq((2L, textA2), (3L, textB)).toDF("doc_id", "text")
+
+    // control root: without the flag, the near-dup sails through
+    val rootExact = java.nio.file.Files.createTempDirectory("increm4a").toString
+    assert(Incremental.prepareBatch(b1, rootExact, "d1"))
+    assert(Incremental.prepareBatch(b2, rootExact, "d2"))
+    val exactOnly = spark.read.parquet(s"$rootExact/batches/batch=d2")
+      .orderBy("doc_id").collect()
+    assert(exactOnly.map(_.getAs[String]("drop_reason")).toSeq === Seq("kept", "kept"))
+
+    val root = java.nio.file.Files.createTempDirectory("increm4").toString
+    assert(Incremental.prepareBatch(b1, root, "d1", nearDupThreshold = Some(0.5)))
+    // signatures are persisted and the parameters pinned
+    assert(spark.read.parquet(s"$root/signatures/batch=d1").count() === 1L)
+    assert(spark.read.parquet(s"$root/signatures/_meta")
+      .head.getAs[Int]("num_hashes") === 16)
+
+    // with the flag, the stored d1 signature catches it; textB stays
+    assert(Incremental.prepareBatch(b2, root, "d2", nearDupThreshold = Some(0.5)))
+    val out = spark.read.parquet(s"$root/batches/batch=d2")
+      .orderBy("doc_id").collect()
+    assert(out.map(_.getAs[String]("drop_reason")).toSeq ===
+      Seq("near_duplicate_prior", "kept"))
+    // only the kept doc's signature lands in d2's table
+    assert(spark.read.parquet(s"$root/signatures/batch=d2")
+      .select("id").as[Long].collect().toSeq === Seq(3L))
+  }
+
+  test("mismatched signature parameters fail loudly instead of comparing junk") {
+    val root = java.nio.file.Files.createTempDirectory("increm5").toString
+    val b1 = Seq((1L, textA)).toDF("doc_id", "text")
+    assert(Incremental.prepareBatch(b1, root, "d1"))
+    val b2 = Seq((2L, textB)).toDF("doc_id", "text")
+    val e = intercept[IllegalArgumentException] {
+      Incremental.prepareBatch(b2, root, "d2",
+        nearDupThreshold = Some(0.5), numHashes = 32, bands = 8)
+    }
+    assert(e.getMessage.contains("parameters must match"))
+  }
+
   test("batch ids are path-safe or rejected") {
     val root = java.nio.file.Files.createTempDirectory("increm3").toString
     val b = Seq((1L, textA)).toDF("doc_id", "text")
