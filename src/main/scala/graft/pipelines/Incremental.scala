@@ -165,27 +165,8 @@ object Incremental {
     val funnel = Corpus.prepareFunnel(
       docs, textCol, idCol, keepLang,
       decontaminateAgainst, spanWords, minShared, extraStages)
-    // demote would-be-kept rows whose fingerprint an earlier committed
-    // batch already kept; everything else keeps its first-failing
-    // reason untouched
-    val withPrior = priorFingerprints(spark, root) match {
-      case None => funnel
-      case Some(prior) =>
-        funnel
-          .withColumn("_fp", graft.text.Text.fingerprint(col(textCol)))
-          .join(
-            prior.select(col("fp").as("_fp")).withColumn("_dup_prior", lit(true)),
-            Seq("_fp"),
-            "left"
-          )
-          .withColumn(
-            "drop_reason",
-            when(col("kept") && col("_dup_prior"), lit("duplicate_prior"))
-              .otherwise(col("drop_reason"))
-          )
-          .withColumn("kept", col("drop_reason") === "kept")
-          .drop("_fp", "_dup_prior")
-    }
+    val withPrior = priorFingerprints(spark, root)
+      .fold(funnel)(prior => demotePriorDuplicates(funnel, prior, textCol))
     // optional cross-batch near-dup: the funnel frame feeds BOTH the
     // candidate side of the signature join and the final write, so it
     // is materialized once instead of executing twice
@@ -243,6 +224,36 @@ object Incremental {
     true
   }
 
+  /** The pure-plan core of the incremental EXACT dedup, shared by
+    * [[prepareBatch]] and the oracle-gated `pipeline_dedup_prior`
+    * query: demote `funnel` rows that would be kept but whose
+    * normalized fingerprint appears in `priorFps` (an `fp` column —
+    * the kept fingerprints of earlier batches) to `duplicate_prior`.
+    * Rule-failed and within-batch-duplicate rows keep their
+    * first-failing reason. `priorFps` is unique by construction
+    * (at most one KEPT doc per fingerprint per batch, disjoint across
+    * batches), so the left join never multiplies rows.
+    */
+  def demotePriorDuplicates(
+      funnel: DataFrame,
+      priorFps: DataFrame,
+      textCol: String = "text"
+  ): DataFrame =
+    funnel
+      .withColumn("_fp", graft.text.Text.fingerprint(col(textCol)))
+      .join(
+        priorFps.select(col("fp").as("_fp")).withColumn("_dup_prior", lit(true)),
+        Seq("_fp"),
+        "left"
+      )
+      .withColumn(
+        "drop_reason",
+        when(col("kept") && col("_dup_prior"), lit("duplicate_prior"))
+          .otherwise(col("drop_reason"))
+      )
+      .withColumn("kept", col("drop_reason") === "kept")
+      .drop("_fp", "_dup_prior")
+
   /** The prepared corpus so far: kept rows of every committed batch,
     * with the `batch` partition column riding along. Uncommitted
     * directories are invisible.
@@ -254,6 +265,31 @@ object Incremental {
       .option("basePath", s"$root/batches")
       .parquet(paths: _*)
       .where(col("kept"))
+  }
+
+  /** Delete crash debris: per-batch directories whose batch has no
+    * commit marker (a prepare that died between its writes and the
+    * marker). Committed batches are never touched. Run it from the
+    * prepare owner while no batch is in flight — an in-flight batch
+    * is indistinguishable from debris until its marker lands.
+    * Returns the deleted relative paths.
+    */
+  def cleanUncommitted(spark: SparkSession, root: String): Seq[String] = {
+    val f = fs(spark, root)
+    val committed = committedBatches(spark, root).toSet
+    val removed = Seq.newBuilder[String]
+    Seq("batches", "fingerprints", "signatures").foreach { sub =>
+      val dir = new org.apache.hadoop.fs.Path(s"$root/$sub")
+      if (f.exists(dir)) f.listStatus(dir).foreach { st =>
+        val name = st.getPath.getName
+        if (name.startsWith("batch=") &&
+          !committed.contains(name.stripPrefix("batch="))) {
+          f.delete(st.getPath, true)
+          removed += s"$sub/$name"
+        }
+      }
+    }
+    removed.result()
   }
 
   /** Per-batch funnel loss report over every committed batch — the

@@ -23,8 +23,9 @@ object PipelineQueries extends QueryPack {
   // shared funnel SQL: per-row first-failing drop reason, mirroring
   // Corpus.prepareFunnel stage for stage (gopher rules in evaluation
   // order, then the language gate, then canonical-slot dedup with
-  // rule-failed rows ordered last)
-  private def funnelSql: String = s"""
+  // rule-failed rows ordered last). `where` restricts the input (the
+  // incremental-batch oracle instantiates the chain per batch).
+  private def funnelSql(where: String = ""): String = s"""
       WITH t AS (
         SELECT doc_id, n_chars,
           len(string_split(text, ' ')) AS n_words,
@@ -36,7 +37,7 @@ object PipelineQueries extends QueryPack {
           ${swCountSql("fr")} AS c_fr, ${swCountSql("es")} AS c_es,
           md5(trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9 ]', ' ', 'g'),
             ' +', ' ', 'g'))) AS fp
-        FROM documents),
+        FROM documents$where),
       g AS (SELECT *, greatest(c_en, c_de, c_fr, c_es) AS mx FROM t),
       p AS (SELECT doc_id, n_chars, fp,
         CASE WHEN c_en = mx AND mx > 0 THEN 'en'
@@ -58,7 +59,7 @@ object PipelineQueries extends QueryPack {
               ORDER BY CASE WHEN pre IS NOT NULL THEN 1 ELSE 0 END, doc_id) AS rn
             FROM q),
       funnel AS (
-        SELECT doc_id, n_chars, predicted,
+        SELECT doc_id, n_chars, predicted, fp,
           COALESCE(pre, CASE WHEN rn > 1 THEN 'duplicate' END, 'kept') AS drop_reason,
           COALESCE(pre, CASE WHEN rn > 1 THEN 'duplicate' END) IS NULL AS kept
         FROM r)"""
@@ -70,7 +71,7 @@ object PipelineQueries extends QueryPack {
         .select("doc_id", "predicted", "drop_reason", "kept")
         .orderBy("doc_id"),
     oracle = Some(s"""
-      $funnelSql
+      ${funnelSql()}
       SELECT doc_id, predicted, drop_reason, kept FROM funnel ORDER BY doc_id""")
   )
 
@@ -81,7 +82,7 @@ object PipelineQueries extends QueryPack {
         weightCol = Some("n_chars")
       ),
     oracle = Some(s"""
-      $funnelSql
+      ${funnelSql()}
       SELECT drop_reason, count(*) AS n_docs,
         CAST(SUM(CAST(n_chars AS DECIMAL(38,0))) AS BIGINT) AS sum_n_chars
       FROM funnel
@@ -153,6 +154,44 @@ object PipelineQueries extends QueryPack {
         COALESCE(pre, CASE WHEN rn > 1 THEN 'duplicate' END, 'kept') AS drop_reason,
         COALESCE(pre, CASE WHEN rn > 1 THEN 'duplicate' END) IS NULL AS kept
       FROM r ORDER BY doc_id""")
+  )
+
+  // incremental-prepare exact dedup (pipelines.Incremental semantics,
+  // path-free): batch 1 = doc_id < 250, batch 2 = doc_id >= 200 — the
+  // [200, 250) overlap models re-crawled content across days, so batch
+  // 2's copies of batch-1-kept docs demote to duplicate_prior while
+  // rule-failed rows keep their first-failing reason. Exercises
+  // Incremental.demotePriorDuplicates, the exact plan prepareBatch runs.
+  private val dedupPriorQ = Q(
+    fn = (s, d) => {
+      val docs = Tables.documents(s, d)
+      val priorKept = Corpus
+        .prepareFunnel(docs.where(col("doc_id") < 250))
+        .where(col("kept"))
+        .select(Text.fingerprint(col("text")).as("fp"))
+      graft.pipelines.Incremental
+        .demotePriorDuplicates(
+          Corpus.prepareFunnel(docs.where(col("doc_id") >= 200)),
+          priorKept
+        )
+        .select("doc_id", "predicted", "drop_reason", "kept")
+        .orderBy("doc_id")
+    },
+    oracle = Some(s"""
+      WITH prior AS (
+        SELECT fp FROM (
+          ${funnelSql(" WHERE doc_id < 250")}
+          SELECT fp FROM funnel WHERE kept)),
+      b2 AS (
+        SELECT doc_id, predicted, fp, drop_reason, kept FROM (
+          ${funnelSql(" WHERE doc_id >= 200")}
+          SELECT doc_id, predicted, fp, drop_reason, kept FROM funnel))
+      SELECT b2.doc_id, b2.predicted,
+        CASE WHEN b2.kept AND p.fp IS NOT NULL THEN 'duplicate_prior'
+             ELSE b2.drop_reason END AS drop_reason,
+        (b2.kept AND p.fp IS NULL) AS kept
+      FROM b2 LEFT OUTER JOIN prior p ON b2.fp = p.fp
+      ORDER BY b2.doc_id""")
   )
 
   // exact-binary-representable weights so the Scala literal and the
@@ -258,6 +297,7 @@ object PipelineQueries extends QueryPack {
     "pipeline_corpus_funnel" -> funnelQ,
     "pipeline_corpus_stats" -> statsQ,
     "pipeline_corpus_decon" -> funnelDeconQ,
+    "pipeline_dedup_prior" -> dedupPriorQ,
     "pipeline_mixture_sample" -> mixtureQ,
     "pipeline_mixture_tokens" -> mixtureTokensQ,
     "pipeline_quality_cut" -> qualityCutQ

@@ -78,6 +78,12 @@ class IncrementalSpec extends SparkSpec {
     assert(Incremental.committedBatches(spark, root) === Seq("d1"))
     assert(Incremental.preparedCorpus(spark, root)
       .select("doc_id").as[Long].collect().toSeq === Seq(1L))
+    // cleanup removes exactly the uncommitted batch's directories
+    val removed = Incremental.cleanUncommitted(spark, root)
+    assert(removed.forall(_.endsWith("batch=d2")) && removed.nonEmpty,
+      s"unexpected cleanup set: $removed")
+    assert(spark.read.parquet(s"$root/batches/batch=d1").count() === 1L,
+      "cleanup must never touch a committed batch")
     // a batch prepared NOW must not dedup against the uncommitted dir:
     // textB was kept by the crashed d2, and d3 keeps it again
     val b3 = Seq((3L, textB)).toDF("doc_id", "text")
