@@ -124,6 +124,16 @@ object Corpus {
     * anyway. Exact-duplicate groups stream through `row_number`
     * without buffering, so a hot fingerprint (the million-copy
     * boilerplate page) is one streaming task, not a blowup.
+    *
+    * `keepFpCol` retains the normalized content fingerprint under the
+    * given name instead of dropping it. Besides saving downstream
+    * consumers the md5 recompute, it preserves a PLAN property: the
+    * funnel's output is hash-partitioned by the fingerprint (the dedup
+    * window's exchange), and a later equi-join on the retained column
+    * — the incremental prior-batch dedup — reuses that partitioning
+    * instead of shuffling the documents a second time
+    * ([[graft.pipelines.Incremental.demotePriorDuplicates]];
+    * spec-asserted).
     */
   def prepareFunnel(
       docs: DataFrame,
@@ -133,8 +143,14 @@ object Corpus {
       decontaminateAgainst: Option[DataFrame] = None,
       spanWords: Int = 8,
       minShared: Long = 1,
-      extraStages: Seq[(String, Column)] = Nil
+      extraStages: Seq[(String, Column)] = Nil,
+      keepFpCol: Option[String] = None
   ): DataFrame = {
+    keepFpCol.foreach(name =>
+      require(
+        !docs.columns.contains(name) && name != "_fp",
+        s"keepFpCol '$name' collides with an input column"
+      ))
     // tokenize ONCE into an attribute: every downstream signal
     // (gopher, langid) runs lambdas over the tokens, and interpreted
     // lambdas re-evaluate their input subtree per element. Original
@@ -212,7 +228,7 @@ object Corpus {
     val w = Window
       .partitionBy("_fp")
       .orderBy(col("_pre").isNotNull.cast("int"), col(idCol))
-    withPre
+    val tagged = withPre
       .withColumn("_rn", row_number().over(w))
       .withColumn(
         "drop_reason",
@@ -223,7 +239,8 @@ object Corpus {
         )
       )
       .withColumn("kept", col("drop_reason") === "kept")
-      .drop("_gopher", "_fp", "_pre", "_rulePre", "_rn")
+      .drop("_gopher", "_pre", "_rulePre", "_rn")
+    keepFpCol.fold(tagged.drop("_fp"))(tagged.withColumnRenamed("_fp", _))
   }
 
   /** Per-stage loss report from a funnel frame: documents lost at

@@ -162,11 +162,17 @@ object Incremental {
       require(t > 0.0 && t <= 1.0, s"nearDupThreshold must be in (0, 1], got $t"))
     val spark = docs.sparkSession
     if (isCommitted(spark, root, batchId)) return false
+    // the funnel retains its fingerprint: the batch output carries it
+    // for free (consumers and the fingerprint table need no recompute)
+    // and the prior-dedup join below reuses the dedup window's
+    // hash-partitioning instead of shuffling the documents again
     val funnel = Corpus.prepareFunnel(
       docs, textCol, idCol, keepLang,
-      decontaminateAgainst, spanWords, minShared, extraStages)
+      decontaminateAgainst, spanWords, minShared, extraStages,
+      keepFpCol = Some("fp"))
     val withPrior = priorFingerprints(spark, root)
-      .fold(funnel)(prior => demotePriorDuplicates(funnel, prior, textCol))
+      .fold(funnel)(prior =>
+        demotePriorDuplicates(funnel, prior, textCol, fpCol = Some("fp")))
     // optional cross-batch near-dup: the funnel frame feeds BOTH the
     // candidate side of the signature join and the final write, so it
     // is materialized once instead of executing twice
@@ -200,7 +206,7 @@ object Incremental {
       .parquet(s"$root/batches/batch=$batchId")
       .where(col("kept"))
     kept
-      .select(graft.text.Text.fingerprint(col(textCol)).as("fp"))
+      .select(col("fp"))
       .write
       .mode("overwrite")
       .parquet(s"$root/fingerprints/batch=$batchId")
@@ -233,14 +239,24 @@ object Incremental {
     * first-failing reason. `priorFps` is unique by construction
     * (at most one KEPT doc per fingerprint per batch, disjoint across
     * batches), so the left join never multiplies rows.
+    *
+    * Pass `fpCol` when the funnel RETAINED its fingerprint
+    * (`prepareFunnel(keepFpCol = ...)`): the join then keys on the
+    * column the dedup window already hash-partitioned the documents
+    * by, so only the (small) fingerprint side shuffles — recomputing
+    * the fingerprint here would discard that partitioning and shuffle
+    * the whole batch a second time.
     */
   def demotePriorDuplicates(
       funnel: DataFrame,
       priorFps: DataFrame,
-      textCol: String = "text"
+      textCol: String = "text",
+      fpCol: Option[String] = None
   ): DataFrame =
     funnel
-      .withColumn("_fp", graft.text.Text.fingerprint(col(textCol)))
+      .withColumn(
+        "_fp",
+        fpCol.fold(graft.text.Text.fingerprint(col(textCol)))(col))
       .join(
         priorFps.select(col("fp").as("_fp")).withColumn("_dup_prior", lit(true)),
         Seq("_fp"),

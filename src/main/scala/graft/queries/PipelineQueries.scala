@@ -166,13 +166,14 @@ object PipelineQueries extends QueryPack {
     fn = (s, d) => {
       val docs = Tables.documents(s, d)
       val priorKept = Corpus
-        .prepareFunnel(docs.where(col("doc_id") < 250))
+        .prepareFunnel(docs.where(col("doc_id") < 250), keepFpCol = Some("fp"))
         .where(col("kept"))
-        .select(Text.fingerprint(col("text")).as("fp"))
+        .select(col("fp"))
       graft.pipelines.Incremental
         .demotePriorDuplicates(
-          Corpus.prepareFunnel(docs.where(col("doc_id") >= 200)),
-          priorKept
+          Corpus.prepareFunnel(docs.where(col("doc_id") >= 200), keepFpCol = Some("fp")),
+          priorKept,
+          fpCol = Some("fp")
         )
         .select("doc_id", "predicted", "drop_reason", "kept")
         .orderBy("doc_id")

@@ -145,6 +145,42 @@ class IncrementalSpec extends SparkSpec {
     assert(e.getMessage.contains("parameters must match"))
   }
 
+  test("prior-dedup join reuses the funnel window's fingerprint partitioning") {
+    // force the merge-join path: at real scale the prior fingerprint
+    // union is far past any broadcast threshold, and the claim under
+    // test is that ONLY the fingerprint side shuffles for it
+    val oldThr = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    spark.conf.set("spark.sql.adaptive.autoBroadcastJoinThreshold", "-1")
+    try {
+      val docs = (0 until 100)
+        .map(i => (i.toLong, if (i % 3 == 0) textA + s" extra$i" else textB + s" extra$i"))
+        .toDF("doc_id", "text")
+      val prior = Corpus
+        .prepareFunnel(Seq((1000L, textA)).toDF("doc_id", "text"), keepFpCol = Some("fp"))
+        .where($"kept").select($"fp")
+      val out = Incremental.demotePriorDuplicates(
+        Corpus.prepareFunnel(docs, keepFpCol = Some("fp")), prior, fpCol = Some("fp"))
+      assert(out.collect().length === 100)
+      val finalPlan = out.queryExecution.executedPlan.toString
+        .split("== Initial Plan ==").head
+      val fpExchanges = finalPlan.linesIterator
+        .filter(l => l.contains("Exchange hashpartitioning(_fp") ||
+          l.contains("Exchange hashpartitioning(fp"))
+        .filterNot(_.contains("ReusedExchange"))
+        .toSeq
+      // one exchange under the dedup window (shared with the join's
+      // document side) + one for the fingerprint side — a third would
+      // mean the documents shuffled twice
+      assert(fpExchanges.size == 2,
+        s"expected 2 fingerprint exchanges (window + prior side), got " +
+          s"${fpExchanges.size}:\n${fpExchanges.mkString("\n")}\n$finalPlan")
+    } finally {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", oldThr)
+      spark.conf.unset("spark.sql.adaptive.autoBroadcastJoinThreshold")
+    }
+  }
+
   test("batch ids are path-safe or rejected") {
     val root = java.nio.file.Files.createTempDirectory("increm3").toString
     val b = Seq((1L, textA)).toDF("doc_id", "text")
