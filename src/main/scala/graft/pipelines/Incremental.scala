@@ -308,6 +308,76 @@ object Incremental {
     removed.result()
   }
 
+  /** Store every committed batch's funnel losses as profiling metric
+    * series (one ts per batch) — the bridge from an incremental root
+    * into the standard monitoring flow: optimize thresholds over the
+    * stored series, score new batches, and a kept-share collapse
+    * alerts like any data-quality anomaly. Same metric shape as
+    * [[graft.service.Service.profileFunnel]] (entity "funnel",
+    * instance = drop reason, n_docs + share per batch), but computed
+    * in ONE aggregation over all batches — never a per-batch driver
+    * loop. Batch ids must be date-shaped (`to_timestamp`-parseable,
+    * e.g. `2026-01-01`); a non-parseable id raises rather than
+    * silently dropping its batch.
+    */
+  def profileBatches(
+      spark: SparkSession,
+      root: String,
+      datasetUri: String,
+      repo: graft.repository.MetricsRepository
+  ): DataFrame = {
+    val stats = funnelStatsByBatch(spark, root)
+    val w = org.apache.spark.sql.expressions.Window.partitionBy("batch")
+    val rows = stats
+      .withColumn("_tot", sum(col("n_docs")).over(w))
+      // try_to_timestamp, not to_timestamp: under ANSI an unparseable
+      // id would throw a bare SparkDateTimeException from inside the
+      // scan — the NULL check below turns it into a named-batch error
+      .withColumn("ts", try_to_timestamp(col("batch")))
+      .select(
+        col("ts"),
+        col("batch"),
+        lit("funnel").as("entity"),
+        col("drop_reason").cast("string").as("instance"),
+        explode(
+          array(
+            struct(lit("n_docs").as("name"), col("n_docs").cast("double").as("value")),
+            struct(
+              lit("share").as("name"),
+              (col("n_docs").cast("double") / col("_tot").cast("double")).as("value")
+            )
+          )
+        ).as("_m")
+      )
+      .select(
+        col("ts"), col("batch"), col("entity"), col("instance"),
+        col("_m.name").as("name"), col("_m.value").as("value")
+      )
+    val bad = rows.where(col("ts").isNull).select("batch").distinct().limit(5)
+      .collect().map(_.getString(0))
+    require(
+      bad.isEmpty,
+      s"batch ids must be to_timestamp-parseable to profile as a series; got: ${bad.mkString(", ")}"
+    )
+    val out = rows.drop("batch")
+    if (repo.getDataset(datasetUri).isEmpty) {
+      repo.registerDataset(
+        graft.core.DatasetMeta(
+          uri = datasetUri,
+          tsColumn = "ts",
+          columns = Seq("drop_reason"),
+          granularity = graft.core.Granularity.Day,
+          metrics = Seq(
+            graft.core.Metric("funnel", "*", "n_docs"),
+            graft.core.Metric("funnel", "*", "share")
+          )
+        )
+      )
+    }
+    repo.addProfiling(datasetUri, out)
+    out
+  }
+
   /** Per-batch funnel loss report over every committed batch — the
     * trend input ("dedup loss is climbing day over day") for
     * [[graft.service.Service.profileFunnel]] / the HTML funnel page.

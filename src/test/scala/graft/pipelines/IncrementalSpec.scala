@@ -181,6 +181,36 @@ class IncrementalSpec extends SparkSpec {
     }
   }
 
+  test("profileBatches stores the per-day loss series in the monitoring repo") {
+    val root = java.nio.file.Files.createTempDirectory("increm6").toString
+    Incremental.prepareBatch(Seq((1L, textA), (2L, "short text only"))
+      .toDF("doc_id", "text"), root, "2026-01-01")
+    Incremental.prepareBatch(Seq((3L, textA), (4L, textB))
+      .toDF("doc_id", "text"), root, "2026-01-02")
+    val repo = new graft.repository.InMemoryRepository
+    val rows = Incremental.profileBatches(spark, root, "prep://corpus", repo)
+    val stored = repo.getProfiling("prep://corpus")
+      .select("ts", "instance", "name", "value")
+      .as[(java.sql.Timestamp, String, String, Double)].collect()
+    assert(stored.map(_._1).distinct.length === 2, "one ts per batch")
+    // day 2: doc 3 is a duplicate_prior, doc 4 kept -> share 0.5 each
+    val d2 = stored.filter(_._1.toString.startsWith("2026-01-02"))
+    assert(d2.filter(r => r._2 == "kept" && r._3 == "share").map(_._4).toSeq === Seq(0.5))
+    assert(d2.filter(r => r._2 == "duplicate_prior" && r._3 == "n_docs").map(_._4).toSeq === Seq(1.0))
+    assert(repo.getDataset("prep://corpus").nonEmpty, "dataset auto-registered")
+    assert(rows.columns.toSeq === Seq("ts", "entity", "instance", "name", "value"))
+  }
+
+  test("profileBatches rejects non-date batch ids instead of dropping them") {
+    val root = java.nio.file.Files.createTempDirectory("increm7").toString
+    Incremental.prepareBatch(Seq((1L, textA)).toDF("doc_id", "text"), root, "notadate")
+    val e = intercept[IllegalArgumentException] {
+      Incremental.profileBatches(spark, root, "prep://x",
+        new graft.repository.InMemoryRepository)
+    }
+    assert(e.getMessage.contains("notadate"))
+  }
+
   test("batch ids are path-safe or rejected") {
     val root = java.nio.file.Files.createTempDirectory("increm3").toString
     val b = Seq((1L, textA)).toDF("doc_id", "text")
