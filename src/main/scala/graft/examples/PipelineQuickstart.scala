@@ -81,6 +81,24 @@ object PipelineQuickstart {
       .orderBy("source")
       .show()
 
+    // B'': the same prepare as a MULTI-DAY incremental run — each
+    // day's batch commits atomically (crash-safe restart), dedups
+    // exact + NEAR against everything previously kept via stored
+    // fingerprints/signatures, and the per-day losses feed the same
+    // monitoring flow
+    val prepRoot = java.nio.file.Files.createTempDirectory("prep-quickstart").toString
+    val (day1, day2) = (docs.where(col("doc_id") < 250), docs.where(col("doc_id") >= 200))
+    graft.pipelines.Incremental.prepareBatch(
+      day1, prepRoot, "2025-01-01", nearDupThreshold = Some(0.8))
+    graft.pipelines.Incremental.prepareBatch(
+      day2, prepRoot, "2025-01-02", nearDupThreshold = Some(0.8))
+    graft.pipelines.Incremental
+      .funnelStatsByBatch(spark, prepRoot, weightCol = Some("n_chars")).show()
+    graft.pipelines.Incremental.profileBatches(
+      spark, prepRoot, "ds://quickstart-incremental", funnelRepo)
+    println(s"incremental corpus so far: " +
+      s"${graft.pipelines.Incremental.preparedCorpus(spark, prepRoot).count()} docs")
+
     // C: stable splits — rerunning on a recomputed corpus keeps every
     // surviving doc in its split
     val split = Sampling.hashSplit(
