@@ -20,10 +20,10 @@ import org.apache.spark.sql.functions._
   *
   * The marker is the commit point: a batch is visible to
   * [[preparedCorpus]], [[committedBatches]] and later batches' dedup
-  * ONLY once its marker exists, and the marker is written after both
-  * parquet trees are fully materialized. A crash anywhere earlier
-  * leaves an uncommitted directory that the re-run overwrites —
-  * [[prepareBatch]] is idempotent per (root, batchId).
+  * ONLY once its marker exists, and the marker is written after all
+  * three parquet trees are fully materialized. A crash anywhere
+  * earlier leaves an uncommitted directory that the re-run overwrites
+  * — [[prepareBatch]] is idempotent per (root, batchId).
   *
   * Cross-batch dedup: a doc whose fingerprint was kept by ANY earlier
   * committed batch is demoted to `drop_reason = "duplicate_prior"`.
@@ -37,8 +37,10 @@ import org.apache.spark.sql.functions._
   *
   * Scale shape: each batch pays its own funnel (one scan + the one
   * fingerprint shuffle dedup needs) plus one equi-join against the
-  * prior fingerprint table — 16-byte md5 keys, no document payload on
-  * the build side, ~N_kept rows after any number of batches. Batches
+  * prior fingerprint table — 32-byte md5 hex keys, no document payload
+  * on the build side, ~N_kept rows after any number of batches, and
+  * the document side rides the funnel's existing fingerprint exchange
+  * (see [[demotePriorDuplicates]]). Batches
   * are sequential by contract (each must see its predecessors'
   * fingerprints); run one prepare at a time per root.
   */
@@ -125,7 +127,9 @@ object Incremental {
 
   /** Prepare one batch under the checkpoint contract. Returns false
     * (and does NOTHING) when the batch is already committed; true when
-    * it ran. Parameters mirror [[Corpus.prepareFunnel]].
+    * it ran. Parameters mirror [[Corpus.prepareFunnel]]. The batch
+    * output claims an `fp` column (the retained content fingerprint),
+    * so the input must not already carry one.
     *
     * `nearDupThreshold` adds a cross-batch NEAR-dup stage after the
     * exact one: a would-be-kept doc whose estimated Jaccard against
