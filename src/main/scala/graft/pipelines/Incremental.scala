@@ -274,17 +274,59 @@ object Incremental {
       .withColumn("kept", col("drop_reason") === "kept")
       .drop("_fp", "_dup_prior")
 
-  /** The prepared corpus so far: kept rows of every committed batch,
-    * with the `batch` partition column riding along. Uncommitted
-    * directories are invisible.
+  /** Committed batch ids whose OUTPUT directory is still present —
+    * [[dropBatchOutputs]] may have retired older outputs while their
+    * dedup state (fingerprints/signatures) lives on.
+    */
+  private def batchesWithOutput(spark: SparkSession, root: String): Seq[String] = {
+    val f = fs(spark, root)
+    committedBatches(spark, root)
+      .filter(id => f.exists(new org.apache.hadoop.fs.Path(s"$root/batches/batch=$id")))
+  }
+
+  /** The prepared corpus so far: kept rows of every committed batch
+    * whose output is still retained, with the `batch` partition column
+    * riding along. Uncommitted directories are invisible; outputs
+    * retired by [[dropBatchOutputs]] are skipped.
     */
   def preparedCorpus(spark: SparkSession, root: String): DataFrame = {
-    val paths = committedBatches(spark, root).map(id => s"$root/batches/batch=$id")
-    require(paths.nonEmpty, s"no committed batches under $root")
+    val paths = batchesWithOutput(spark, root).map(id => s"$root/batches/batch=$id")
+    require(paths.nonEmpty, s"no committed batch outputs under $root")
     spark.read
       .option("basePath", s"$root/batches")
       .parquet(paths: _*)
       .where(col("kept"))
+  }
+
+  /** Retire the BULKY half of consumed batches: delete the full
+    * funnel outputs (document payloads) of the named committed
+    * batches while keeping their commit markers, fingerprints and
+    * minhash signatures — the dedup memory MUST outlive the outputs,
+    * or a re-crawl of a retired batch's content would re-enter the
+    * corpus. The typical lifecycle: prepare a day, export its kept
+    * rows downstream, then retire the output; later batches still
+    * dedup against everything ever kept. A retired batch stays
+    * committed (`prepareBatch` still skips it) and disappears from
+    * [[preparedCorpus]]/[[funnelStatsByBatch]]. Unknown or
+    * uncommitted ids raise — retiring debris is [[cleanUncommitted]]'s
+    * job, with opposite semantics.
+    */
+  def dropBatchOutputs(
+      spark: SparkSession,
+      root: String,
+      batchIds: Seq[String]
+  ): Unit = {
+    batchIds.foreach(requireValidId)
+    val committed = committedBatches(spark, root).toSet
+    val unknown = batchIds.filterNot(committed)
+    require(
+      unknown.isEmpty,
+      s"not committed (use cleanUncommitted for debris): ${unknown.mkString(", ")}"
+    )
+    val f = fs(spark, root)
+    batchIds.foreach { id =>
+      f.delete(new org.apache.hadoop.fs.Path(s"$root/batches/batch=$id"), true)
+    }
   }
 
   /** Delete crash debris: per-batch directories whose batch has no
@@ -392,8 +434,8 @@ object Incremental {
       root: String,
       weightCol: Option[String] = None
   ): DataFrame = {
-    val paths = committedBatches(spark, root).map(id => s"$root/batches/batch=$id")
-    require(paths.nonEmpty, s"no committed batches under $root")
+    val paths = batchesWithOutput(spark, root).map(id => s"$root/batches/batch=$id")
+    require(paths.nonEmpty, s"no committed batch outputs under $root")
     val all = spark.read.option("basePath", s"$root/batches").parquet(paths: _*)
     val aggs = count(lit(1)).as("n_docs") +:
       weightCol.toSeq.map(w =>

@@ -211,6 +211,29 @@ class IncrementalSpec extends SparkSpec {
     assert(e.getMessage.contains("notadate"))
   }
 
+  test("retiring a consumed batch output keeps its dedup memory alive") {
+    val root = java.nio.file.Files.createTempDirectory("increm8").toString
+    assert(Incremental.prepareBatch(Seq((1L, textA)).toDF("doc_id", "text"), root, "d1"))
+    assert(Incremental.prepareBatch(Seq((2L, textB)).toDF("doc_id", "text"), root, "d2"))
+    Incremental.dropBatchOutputs(spark, root, Seq("d1"))
+    // still committed: a re-run must skip, not recompute
+    assert(Incremental.prepareBatch(Seq((1L, textA)).toDF("doc_id", "text"), root, "d1") === false)
+    // corpus and stats cover only retained outputs
+    assert(Incremental.preparedCorpus(spark, root)
+      .select("doc_id").as[Long].collect().toSeq === Seq(2L))
+    assert(Incremental.funnelStatsByBatch(spark, root)
+      .select("batch").distinct().as[String].collect().toSeq === Seq("d2"))
+    // the dedup memory outlives the output: a re-crawl of d1's doc in
+    // a NEW batch is still a duplicate_prior
+    assert(Incremental.prepareBatch(Seq((3L, textA)).toDF("doc_id", "text"), root, "d3"))
+    val d3 = spark.read.parquet(s"$root/batches/batch=d3").collect()
+    assert(d3.map(_.getAs[String]("drop_reason")).toSeq === Seq("duplicate_prior"))
+    // retiring debris or unknown ids is refused
+    intercept[IllegalArgumentException] {
+      Incremental.dropBatchOutputs(spark, root, Seq("never-ran"))
+    }
+  }
+
   test("batch ids are path-safe or rejected") {
     val root = java.nio.file.Files.createTempDirectory("increm3").toString
     val b = Seq((1L, textA)).toDF("doc_id", "text")
