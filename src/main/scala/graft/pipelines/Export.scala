@@ -1,0 +1,137 @@
+package graft.pipelines
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Deterministic shuffle-shard export — the LAST step of a
+  * training-data pipeline: globally shuffle the prepared corpus and
+  * write it as N shards a data loader streams in order. (The reference
+  * pipeline stops at metrics; this is part of graft's LLM-pipeline
+  * extension surface, like [[Corpus.mixtureSample]].)
+  *
+  * A training run needs the corpus (a) shuffled so no loader sees a
+  * crawl-order or domain-order prefix, (b) split into shards that map
+  * to loader workers, (c) REPRODUCIBLY — the same corpus must yield
+  * byte-identical shard membership and order on any cluster, any
+  * partitioning, any engine, or "resume from shard 37, row 12 008"
+  * is meaningless. `df.repartition(n).write` gives none of that:
+  * round-robin assignment depends on the input partitioning and
+  * changes run to run.
+  *
+  * Mechanics — one md5 per row drives everything:
+  * {{{
+  *   h       = md5(id ":" salt)              32 hex chars
+  *   shard   = floor(u(h[1..8])  * nShards      / 2^32)
+  *   file_no = floor(u(h[25..32]) * filesPerShard / 2^32)
+  *   ord     = h[9..24]                      intra-file sort key
+  * }}}
+  * where u(x) is the hex value (a uniform 32-bit integer). The
+  * products stay far below 2^53, and the divisor is a power of two,
+  * so the double arithmetic is EXACT — any md5-capable engine computes
+  * the identical assignment ([[shardSql]] emits the DuckDB mirror; the
+  * `pipeline_shuffle_shards` oracle hash-verifies membership per
+  * shard). Hash order IS the shuffle: sorting by an md5 substring is
+  * a deterministic random permutation of the corpus.
+  *
+  * At 100 TB: assignment is a scan-side projection (zero shuffle,
+  * codegen'd md5/conv); [[exportShards]] performs exactly ONE
+  * exchange — the hash repartition a global shuffle provably needs —
+  * and a LOCAL per-task sort. No global sort, no driver
+  * participation. `filesPerShard` bounds file size (corpus bytes /
+  * (nShards * filesPerShard)), so shards scale past single-file
+  * limits; a loader reads `shard=i/file_no=j` directories in
+  * lexicographic order and gets the full deterministic permutation.
+  *
+  * NULL ids hash as the empty string: membership stays deterministic
+  * (they cluster in one (shard, file) cell), but their relative order
+  * within the cell is not defined — ids are expected to be row keys,
+  * as everywhere else in this library.
+  */
+object Export {
+
+  private val Two32 = 4294967296d // 2^32
+
+  private def md5Col(idCol: Column, salt: String): Column =
+    md5(concat(coalesce(idCol.cast("string"), lit("")), lit(s":$salt")))
+
+  /** floor(hexValue(8 chars) * k / 2^32) — exact in double for
+    * k <= 2^20 (product < 2^52; power-of-two division only shifts the
+    * exponent).
+    */
+  private def hashCell(h: Column, pos: Int, k: Int): Column =
+    floor(
+      conv(substring(h, pos, 8), 16, 10).cast("long") * lit(k.toDouble) / lit(Two32)
+    ).cast("int")
+
+  /** Annotate `df` with the deterministic export coordinates:
+    * `shard` in [0, nShards), `file_no` in [0, filesPerShard), and the
+    * 16-hex-char `ord` sort key. Pure scan-side projection — call it
+    * directly for analysis/verification; [[exportShards]] adds the
+    * write clustering.
+    */
+  def shuffleShards(
+      df: DataFrame,
+      idCol: String,
+      nShards: Int,
+      filesPerShard: Int = 1,
+      salt: String = "graft"
+  ): DataFrame = {
+    require(nShards > 0 && nShards <= (1 << 20), s"nShards out of range: $nShards")
+    require(
+      filesPerShard > 0 && filesPerShard <= (1 << 20),
+      s"filesPerShard out of range: $filesPerShard"
+    )
+    val h = md5Col(col(idCol), salt)
+    df.withColumn("_h", h)
+      .withColumn("shard", hashCell(col("_h"), 1, nShards))
+      .withColumn("file_no", hashCell(col("_h"), 25, filesPerShard))
+      .withColumn("ord", substring(col("_h"), 9, 16))
+      .drop("_h")
+  }
+
+  /** Write the shuffled corpus as `shard=i/file_no=j` parquet
+    * directories, rows inside every file ascending by `ord`. One
+    * exchange (hash repartition on the cell), one local sort; the
+    * dynamic-partition writer's required ordering is a prefix of the
+    * sort we already did, so it does not re-sort. Reading the
+    * directories in lexicographic (shard, file_no) order and files
+    * top to bottom replays the full deterministic permutation.
+    */
+  def exportShards(
+      df: DataFrame,
+      idCol: String,
+      outDir: String,
+      nShards: Int,
+      filesPerShard: Int = 1,
+      salt: String = "graft"
+  ): Unit =
+    shuffleShards(df, idCol, nShards, filesPerShard, salt)
+      .repartition(nShards * filesPerShard, col("shard"), col("file_no"))
+      .sortWithinPartitions(col("shard"), col("file_no"), col("ord"))
+      .write
+      .partitionBy("shard", "file_no")
+      .mode("overwrite")
+      .parquet(outDir)
+
+  /** SQL decode of an 8-hex-char slice of `hExpr` (1-based `pos`) as a
+    * BIGINT — dialect-portable hex->int via a digit CASE chain (DuckDB
+    * has no `conv`).
+    */
+  private def hexValSql(hExpr: String, pos: Int): String = {
+    def digit(e: String): String =
+      "(CASE " + "0123456789abcdef"
+        .map(c => s"WHEN $e = '$c' THEN ${Integer.parseInt(c.toString, 16)}")
+        .mkString(" ") + " END)"
+    (0 until 8)
+      .map(i =>
+        s"CAST(${digit(s"substr($hExpr, ${pos + i}, 1)")} AS BIGINT) * ${1L << (4 * (7 - i))}"
+      )
+      .mkString("(", " + ", ")")
+  }
+
+  /** SQL mirror of one [[hashCell]]: the shard / file_no expression
+    * over a precomputed md5 column, for oracle parity.
+    */
+  def cellSql(hExpr: String, pos: Int, k: Int): String =
+    s"CAST(floor(${hexValSql(hExpr, pos)} * CAST($k AS DOUBLE) / $Two32) AS INT)"
+}

@@ -294,8 +294,46 @@ object PipelineQueries extends QueryPack {
       ORDER BY sc.doc_id""")
   )
 
+  // shuffle-shard export coordinates: per-shard membership signature
+  // (count + exact id sum), file fanout and ord-key range — the DuckDB
+  // mirror recomputes the md5-cell arithmetic digit for digit, so
+  // shard assignment is hash-verified engine-portable
+  private val shuffleShardsQ = {
+    val (nShards, filesPerShard, salt) = (8, 4, "shards")
+    Q(
+      fn = (s, d) =>
+        graft.pipelines.Export
+          .shuffleShards(Tables.documents(s, d), "doc_id", nShards, filesPerShard, salt)
+          .groupBy("shard")
+          .agg(
+            count(lit(1)).as("n_docs"),
+            sum(col("doc_id").cast(org.apache.spark.sql.types.DecimalType(38, 0)))
+              .cast("long")
+              .as("id_sum"),
+            countDistinct(col("file_no")).as("n_files"),
+            min(col("ord")).as("first_ord"),
+            max(col("ord")).as("last_ord")
+          )
+          .orderBy("shard"),
+      oracle = Some(s"""
+        WITH s AS (SELECT doc_id,
+            md5(CAST(doc_id AS VARCHAR) || ':$salt') AS h FROM documents),
+        t AS (SELECT doc_id,
+            ${graft.pipelines.Export.cellSql("h", 1, nShards)} AS shard,
+            ${graft.pipelines.Export.cellSql("h", 25, filesPerShard)} AS file_no,
+            substr(h, 9, 16) AS ord
+          FROM s)
+        SELECT shard, COUNT(*) AS n_docs,
+          CAST(SUM(CAST(doc_id AS DECIMAL(38,0))) AS BIGINT) AS id_sum,
+          COUNT(DISTINCT file_no) AS n_files,
+          MIN(ord) AS first_ord, MAX(ord) AS last_ord
+        FROM t GROUP BY shard ORDER BY shard""")
+    )
+  }
+
   val queries: Map[String, Q] = Map(
     "pipeline_corpus_funnel" -> funnelQ,
+    "pipeline_shuffle_shards" -> shuffleShardsQ,
     "pipeline_corpus_stats" -> statsQ,
     "pipeline_corpus_decon" -> funnelDeconQ,
     "pipeline_dedup_prior" -> dedupPriorQ,

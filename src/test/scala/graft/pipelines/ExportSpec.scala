@@ -1,0 +1,86 @@
+package graft.pipelines
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+class ExportSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def docs(n: Int) =
+    (1 to n).map(i => (i.toLong, s"doc $i")).toDF("doc_id", "text")
+
+  test("shard/file/ord assignment is a pure function of (id, salt)") {
+    val a = Export
+      .shuffleShards(docs(500), "doc_id", 8, filesPerShard = 4)
+      .select("doc_id", "shard", "file_no", "ord")
+    val b = Export
+      .shuffleShards(docs(500).repartition(7).orderBy(rand(42)), "doc_id", 8, filesPerShard = 4)
+      .select("doc_id", "shard", "file_no", "ord")
+    assert(a.exceptAll(b).isEmpty && b.exceptAll(a).isEmpty)
+    // different salt => different permutation
+    val c = Export.shuffleShards(docs(500), "doc_id", 8, 4, salt = "other")
+    assert(a.join(c.withColumnRenamed("ord", "ord2"), "doc_id")
+      .where(col("ord") === col("ord2")).count() === 0)
+  }
+
+  test("shards and files cover their ranges and are roughly balanced") {
+    val s = Export.shuffleShards(docs(8000), "doc_id", 8, filesPerShard = 4)
+    val counts = s.groupBy("shard").count().collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
+    assert(counts.keySet === (0 until 8).toSet)
+    // uniform 1000/shard expected; 3-sigma ~ +-90
+    assert(counts.values.forall(c => c > 700 && c < 1300), counts.toString)
+    val files = s.select("file_no").distinct().as[Int].collect().toSet
+    assert(files === (0 until 4).toSet)
+  }
+
+  test("exportShards writes ord-sorted files whose union is the corpus") {
+    val dir = java.nio.file.Files.createTempDirectory("shards").toString
+    Export.exportShards(docs(2000), "doc_id", dir, nShards = 4, filesPerShard = 2)
+    val back = spark.read.parquet(dir)
+    // lossless: every row exactly once, coordinates intact
+    assert(back.count() === 2000)
+    assert(back.select("doc_id").distinct().count() === 2000)
+    assert(back.select("shard").distinct().count() === 4)
+    // per-FILE ordering: within every physical file, ord ascends
+    val perFile = back
+      .withColumn("_f", input_file_name())
+      .withColumn("_rn", row_number().over(
+        org.apache.spark.sql.expressions.Window.partitionBy("_f").orderBy(monotonically_increasing_id())))
+    val violations = perFile
+      .withColumn("_prev", lag(col("ord"), 1).over(
+        org.apache.spark.sql.expressions.Window.partitionBy("_f").orderBy("_rn")))
+      .where(col("_prev") > col("ord"))
+      .count()
+    assert(violations === 0, "rows inside a file must ascend by ord")
+    // one file per (shard, file_no) cell at this size
+    val cells = back.withColumn("_f", input_file_name())
+      .groupBy("shard", "file_no").agg(countDistinct("_f").as("nf"))
+    assert(cells.where(col("nf") =!= 1).count() === 0)
+  }
+
+  test("membership matches the documents-table oracle key at tiny scale") {
+    // same arithmetic the pipeline_shuffle_shards oracle runs: recompute
+    // shard from the md5 hex by hand for a few ids
+    val rows = Export
+      .shuffleShards(docs(32), "doc_id", 8, filesPerShard = 4, salt = "shards")
+      .select("doc_id", "shard", "file_no", "ord")
+      .collect()
+    rows.foreach { r =>
+      val h = java.security.MessageDigest
+        .getInstance("MD5")
+        .digest(s"${r.getLong(0)}:shards".getBytes("UTF-8"))
+        .map("%02x".format(_))
+        .mkString
+      val u1 = java.lang.Long.parseLong(h.substring(0, 8), 16)
+      val u2 = java.lang.Long.parseLong(h.substring(24, 32), 16)
+      assert(r.getInt(1) === math.floor(u1 * 8.0 / 4294967296d).toInt)
+      assert(r.getInt(2) === math.floor(u2 * 4.0 / 4294967296d).toInt)
+      assert(r.getString(3) === h.substring(8, 24))
+    }
+  }
+
+  test("invalid shard counts are rejected") {
+    intercept[IllegalArgumentException](Export.shuffleShards(docs(1), "doc_id", 0))
+    intercept[IllegalArgumentException](Export.shuffleShards(docs(1), "doc_id", 4, 0))
+  }
+}
