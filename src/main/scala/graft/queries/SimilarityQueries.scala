@@ -135,8 +135,30 @@ object SimilarityQueries extends QueryPack {
       ORDER BY id_bench, id_corpus""")
   )
 
+  // SemDeDup semantic dedup sweep: k-means blocking + within-cell
+  // cosine + connected components. Rows-only (cell assignment is the
+  // fitted quantizer, not SQL-expressible — same declared design as
+  // ann_ivf_topk); the planted-paraphrase-cluster spec carries the
+  // correctness weight.
+  private val semanticSweepQ = Q(
+    fn = (s, d) =>
+      Similarity
+        .semanticDedupSweep(
+          Tables.embeddings(s, d),
+          "vec_id",
+          "embedding",
+          threshold = 0.5,
+          nlist = 8,
+          nAssign = 2
+        )
+        .select("vec_id", "label")
+        .orderBy("vec_id"),
+    oracle = None // k-means cell assignment is not SQL-expressible
+  )
+
   val queries: Map[String, Q] = Map(
     "embed_centroid" -> centroidQ,
+    "dedup_semantic_sweep" -> semanticSweepQ,
     "ann_bruteforce_topk" -> bruteForce,
     "ann_quantized_topk" -> quantized,
     "ann_lsh_topk" -> lsh,

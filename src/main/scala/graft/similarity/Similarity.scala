@@ -834,6 +834,100 @@ object Similarity {
       .select("id_a", "id_b", "sim")
   }
 
+  /** SEMANTIC near-duplicate pairs, SemDeDup-style (Abbas et al.,
+    * "SemDeDup: Data-efficient learning at web-scale through semantic
+    * deduplication", arXiv:2303.09540): k-means clusters the embedding
+    * space, and cosine is compared only WITHIN a cluster — semantic
+    * duplicates (paraphrases, re-encodings, boilerplate variants of
+    * the same content) land in the same cluster, so the all-pairs
+    * problem collapses to per-cluster blocks. This catches what
+    * lexical MinHash cannot: documents saying the same thing in
+    * different words.
+    *
+    * Composition of the library's existing scale machinery:
+    *   - cluster fit = [[fitIvfCentroids]] — bounded driver math over
+    *     a <= 8192-row LocalLimit-capped sample, O(1) in corpus size;
+    *   - assignment = the codegen'd
+    *     [[graft.functions.hashExpressions.NearestCells]] expression,
+    *     centroids bound as a plan-time literal — scan-side, no UDF,
+    *     no shuffle;
+    *   - pairs = [[graft.dedup.BucketJoin.selfPairs]] keyed on the
+    *     cell, so a degenerate cluster (all-identical embeddings)
+    *     emits O(m) star candidates instead of m², same hot-bucket
+    *     bound as the lexical LSH path.
+    *
+    * `nAssign` > 1 assigns each document to its `nAssign` nearest
+    * cells, recovering pairs that straddle a cluster boundary (the
+    * paper's within-cluster-only trade) at proportional candidate
+    * cost; duplicate emissions via shared cells are distinct'd away.
+    * Zero-norm and NULL/ragged embeddings drop out (cosine is
+    * undefined for them) — same tolerance as every other vector path
+    * here. Output: id_a < id_b, sim (round6, engine-reproducible).
+    */
+  def semanticDedupPairs(
+      df: DataFrame,
+      idCol: String,
+      vecCol: String,
+      threshold: Double,
+      nlist: Int = 64,
+      nAssign: Int = 1,
+      bucketCap: Int = 1024,
+      seed: Long = 42L,
+      trainFraction: Option[Double] = None
+  ): DataFrame = {
+    require(threshold > 0.0 && threshold <= 1.0, s"threshold out of (0,1]: $threshold")
+    require(nAssign >= 1 && nAssign <= nlist, s"nAssign out of [1, nlist]: $nAssign")
+    val cents = fitIvfCentroids(df, vecCol, nlist, seed, trainFraction)
+    val rows = df
+      .select(col(idCol).as("id"), col(vecCol).cast("array<double>").as("_v"))
+      .withColumn("_n", norm(col("_v")))
+      .where(col("_n") > 0d)
+      .withColumn(
+        "_cells",
+        graft.functions.hashExpressions.nearestCells(col("_v"), cents, nAssign)
+      )
+      .where(col("_cells").isNotNull)
+      .select(
+        col("id"),
+        explode(col("_cells")).as("_cell"),
+        struct(col("_v").as("v"), col("_n").as("n")).as("sig")
+      )
+    val pairs = graft.dedup.BucketJoin
+      .selfPairs(rows, Seq("_cell"), "sig", bucketCap)
+      .withColumn(
+        "sim",
+        round6(dot(col("_sa.v"), col("_sb.v")) / (col("_sa.n") * col("_sb.n")))
+      )
+      .where(col("sim") >= threshold)
+      .select("id_a", "id_b", "sim")
+    if (nAssign == 1) pairs else pairs.distinct()
+  }
+
+  /** Semantic dedup end-to-end: keep one document per connected
+    * component of the [[semanticDedupPairs]] graph (min id wins, via
+    * [[graft.dedup.Dedup.componentSweep]]'s large-star/small-star
+    * alternation — transitive paraphrase chains collapse to one
+    * representative, which greedy pair-sweeping would not guarantee).
+    */
+  def semanticDedupSweep(
+      df: DataFrame,
+      idCol: String,
+      vecCol: String,
+      threshold: Double,
+      nlist: Int = 64,
+      nAssign: Int = 1,
+      bucketCap: Int = 1024,
+      seed: Long = 42L,
+      trainFraction: Option[Double] = None,
+      maxIter: Int = 30
+  ): DataFrame =
+    graft.dedup.Dedup.componentSweep(
+      df,
+      semanticDedupPairs(df, idCol, vecCol, threshold, nlist, nAssign, bucketCap, seed, trainFraction),
+      idCol,
+      maxIter
+    )
+
   /** Per-group embedding centroids in long format:
     * `(key, pos, centroid, n)` — one row per (group, dimension).
     *
