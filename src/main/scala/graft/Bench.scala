@@ -63,6 +63,40 @@ object Bench {
       (name, median, err, times.take(i).toSeq)
     }
     def ms(v: Double): String = if (v < 0) "-1" else f"$v%.3f"
+    // Multi-day incremental prepare: the one pipeline the per-query map
+    // cannot represent — it WRITES per-batch state and dedups each day
+    // against every PRIOR day's fingerprints and minhash signatures, so
+    // its cost is a function of the accumulated state, not one scan.
+    // Three hash-split "days" of the documents table run through
+    // pipelines.Incremental end to end (exact + near-dup vs prior on),
+    // then the prepared corpus is read back. Timed once (it is a
+    // pipeline benchmark, not a micro query; a median would triple the
+    // state churn for a number that is already multi-second and stable).
+    val incrementalJson = {
+      import org.apache.spark.sql.functions.{col, pmod, lit}
+      val t0 = System.nanoTime()
+      try {
+        val root = java.nio.file.Files.createTempDirectory("bench_increm").toString
+        val docs = Tables.documents(spark, sfDir)
+        (0 until 3).foreach { b =>
+          graft.pipelines.Incremental.prepareBatch(
+            docs.where(pmod(col("doc_id"), lit(3)) === b),
+            root,
+            s"day$b",
+            nearDupThreshold = Some(0.5)
+          )
+        }
+        val kept = graft.pipelines.Incremental.preparedCorpus(spark, root).count()
+        val sec = (System.nanoTime() - t0) / 1e9
+        val p = new org.apache.hadoop.fs.Path(root)
+        p.getFileSystem(spark.sparkContext.hadoopConfiguration).delete(p, true)
+        spark.catalog.clearCache()
+        System.gc()
+        s"""{"sec":${ms(sec)},"batches":3,"kept":$kept}"""
+      } catch {
+        case e: Throwable => s"""{"error":"${e.getClass.getSimpleName}"}"""
+      }
+    }
     val errors = results.collect { case (k, _, Some(_), _) => "\"" + k + "\"" }
       .mkString("[", ",", "]")
     val total = results.map(_._2).filter(_ >= 0).sum
@@ -104,7 +138,7 @@ object Bench {
     val phases =
       s"""{"warmup":${ms(warmupSec)},"hygiene":${ms(hygieneSec)}}"""
     val detailJson =
-      s"""{"metric":"total","value":${ms(total)},"unit":"sec","reps":$reps,"queries":$detail,"runs":$runsDetail,"families":$families,"phases":$phases,"errors":$errors,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":${ms(total)},"unit":"sec","reps":$reps,"queries":$detail,"runs":$runsDetail,"families":$families,"phases":$phases,"incremental":$incrementalJson,"errors":$errors,"sf":"$sfDir"}"""
     java.nio.file.Files.writeString(
       java.nio.file.Paths.get("bench_detail.json"), detailJson + "\n")
     println(s"# bench detail: $detailJson")
@@ -134,7 +168,7 @@ object Bench {
     val qs = headline.flatMap(k => byName.get(k).map(v => s"\"" + k + "\":" + ms(v)))
       .mkString("{", ",", "}")
     println(
-      s"""{"metric":"total","value":${ms(total)},"unit":"sec","reps":$reps,"queries":$qs,"families":$families,"n_queries":${results.size},"detail":"bench_detail.json","errors":$errors,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":${ms(total)},"unit":"sec","reps":$reps,"queries":$qs,"families":$families,"incremental":$incrementalJson,"n_queries":${results.size},"detail":"bench_detail.json","errors":$errors,"sf":"$sfDir"}"""
     )
     spark.stop()
     if (results.exists(_._3.isDefined)) sys.exit(1)
