@@ -720,6 +720,159 @@ object Similarity {
     fs.delete(new org.apache.hadoop.fs.Path(tmp), true)
   }
 
+  /** What an [[ivfRefitInPlace]] actually touched. */
+  final case class RefitReport(cellsRewritten: Int, cellsTotal: Int, rowsMoved: Long)
+
+  /** Match a freshly fitted set of centroids onto the OLD cell id
+    * space: greedy minimum-distance assignment (nlist^2 driver math).
+    * K-means ids are arbitrary — without this, an identical refit
+    * would renumber every cell and force a full rewrite.
+    */
+  private def matchCentroids(
+      oldC: Array[Array[Double]],
+      newC: Array[Array[Double]]
+  ): Array[Array[Double]] = {
+    val k = oldC.length
+    val pairs = for (i <- 0 until k; j <- 0 until k) yield {
+      val a = newC(i); val b = oldC(j)
+      var d = 0.0; var t = 0
+      val len = math.min(a.length, b.length)
+      while (t < len) { val x = a(t) - b(t); d += x * x; t += 1 }
+      (d, i, j)
+    }
+    val out = Array.ofDim[Array[Double]](k)
+    val usedNew = new Array[Boolean](k)
+    val usedOld = new Array[Boolean](k)
+    pairs.sortBy(_._1).foreach { case (_, i, j) =>
+      if (!usedNew(i) && !usedOld(j)) {
+        usedNew(i) = true; usedOld(j) = true; out(j) = newC(i)
+      }
+    }
+    out
+  }
+
+  /** [[ivfRefitIndex]] without the full rewrite: refit the quantizer,
+    * keep cell ids stable (new centroids greedy-matched onto the old id
+    * space), detect which vectors change assignment, and rewrite ONLY
+    * the affected cell partitions. Steady-state drift is localized —
+    * an append stream piles a new domain into a few cells — so most of
+    * a big index's partitions survive a refit byte-identical and are
+    * never written (or even re-read: the rewrite's scan filters on the
+    * partition column, so planning-time pruning skips every untouched
+    * directory).
+    *
+    * Cost shape at scale: ONE full read for change detection (every
+    * vector must be checked against the new quantizer — irreducible),
+    * then a read+write of only the affected partitions. The full
+    * rewrite's write amplification — the expensive half on a 100 TB
+    * index — is replaced by write-what-moved. A refit that moves
+    * nothing leaves the index completely untouched.
+    *
+    * In-place refit keeps the stored nlist (resizing renumbers every
+    * cell by construction — use [[ivfRefitIndex]]). Same single
+    * non-atomic swap moment per AFFECTED partition as the full refit;
+    * run from the ingest owner. Returns what was touched.
+    */
+  def ivfRefitInPlace(
+      spark: org.apache.spark.sql.SparkSession,
+      path: String,
+      seed: Long = 42L
+  ): RefitReport = {
+    import spark.implicits._
+    val oldCents = loadCentroids(spark, path)
+    val nlist = oldCents.length
+    val cells = spark.read.parquet(s"$path/cells")
+    val n = cells.count() // row-group metadata only
+    require(n > 0, s"refusing to refit an empty index at $path")
+    val frac = math.min(1.0, 4.0 * 8192 / n.toDouble)
+    val raw = fitIvfCentroids(cells.select(col("_cv")), "_cv", nlist, seed, Some(frac))
+    require(
+      raw.length == nlist,
+      s"fit produced ${raw.length} centroids for a $nlist-cell index — " +
+        "in-place refit cannot resize; use ivfRefitIndex"
+    )
+    val cents = matchCentroids(oldCents, raw)
+    val annotated = cells.withColumn(
+      "_newCell",
+      graft.functions.hashExpressions.nearestCells(col("_cv"), cents, 1)(0)
+    )
+    // one aggregate: how many rows move, and which cells they leave /
+    // enter (collect_set is bounded by nlist). Dirty vectors sit in the
+    // null partition, map to NULL again, and never count as moved.
+    val agg = annotated
+      .where(!(col("cell") <=> col("_newCell")))
+      .agg(
+        count(lit(1)).as("n"),
+        collect_set(col("cell")).as("olds"),
+        collect_set(col("_newCell")).as("news")
+      )
+      .head
+    val rowsMoved = agg.getLong(0)
+    if (rowsMoved == 0) return RefitReport(0, nlist, 0L)
+    val affected =
+      (agg.getSeq[Int](1) ++ agg.getSeq[Int](2)).distinct.sorted
+    val tmp = s"$path/_refit_tmp"
+    cents.zipWithIndex
+      .map { case (c, i) => (i, c.toSeq) }
+      .toSeq
+      .toDF("cell", "centroid")
+      .coalesce(1)
+      .write
+      .mode("overwrite")
+      .parquet(s"$tmp/centroids")
+    Seq((1, nlist, cents.head.length))
+      .toDF("format_version", "nlist", "dim")
+      .coalesce(1)
+      .write
+      .mode("overwrite")
+      .parquet(s"$tmp/meta")
+    // partition-pruned rewrite: only affected directories are read.
+    // Every written row lands in an affected cell by construction — an
+    // unmoved row in an affected dir keeps its id, a moved row's target
+    // is in the affected set.
+    spark.read
+      .parquet(s"$path/cells")
+      .where(col("cell").isin(affected: _*))
+      .select(
+        col("neighbor_id"),
+        col("_cv"),
+        col("_cn"),
+        graft.functions.hashExpressions.nearestCells(col("_cv"), cents, 1)(0).as("cell")
+      )
+      .write
+      .mode("overwrite")
+      .partitionBy("cell")
+      .parquet(s"$tmp/cells")
+    val fs = org.apache.hadoop.fs.FileSystem.get(
+      new java.net.URI(tmp),
+      spark.sparkContext.hadoopConfiguration
+    )
+    Seq("centroids", "meta").foreach { d =>
+      fs.delete(new org.apache.hadoop.fs.Path(s"$path/$d"), true)
+      require(
+        fs.rename(
+          new org.apache.hadoop.fs.Path(s"$tmp/$d"),
+          new org.apache.hadoop.fs.Path(s"$path/$d")
+        ),
+        s"refit rename failed: $tmp/$d -> $path/$d"
+      )
+    }
+    affected.foreach { c =>
+      fs.delete(new org.apache.hadoop.fs.Path(s"$path/cells/cell=$c"), true)
+      val src = new org.apache.hadoop.fs.Path(s"$tmp/cells/cell=$c")
+      // a fully drained cell writes no partition — deleting the old
+      // dir IS the update
+      if (fs.exists(src)) {
+        require(
+          fs.rename(src, new org.apache.hadoop.fs.Path(s"$path/cells/cell=$c")),
+          s"refit rename failed: $src -> $path/cells/cell=$c"
+        )
+      }
+    }
+    fs.delete(new org.apache.hadoop.fs.Path(tmp), true)
+    RefitReport(affected.length, nlist, rowsMoved)
+  }
+
   /** Probe a persisted IVF index ([[ivfWriteIndex]] layout) — same
     * semantics as [[ivfTopK]] with the fit and corpus assignment
     * amortized away.
