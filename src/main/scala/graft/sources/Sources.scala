@@ -2,7 +2,7 @@ package graft.sources
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.types.{StructType, TimestampType}
+import org.apache.spark.sql.types.{StringType, StructField, StructType, TimestampType}
 
 /** Ingestion entry points: thin, schema-validated wrappers over
   * `spark.read` / `spark.readStream` so every pipeline starts from a
@@ -59,6 +59,64 @@ object Sources {
       case TimestampType => df
       case _             => df.withColumn(tsColumn, col(tsColumn).cast(TimestampType))
     }
+  }
+
+  /** JSONL corpus ingest — the lingua franca of LLM training corpora
+    * (one JSON document per line; Spark's text-based json source reads
+    * .gz et al. transparently). PERMISSIVE parse with explicit
+    * quarantine: a malformed line lands in `_corrupt_record` instead
+    * of killing a 100 TB read, and the caller gets BOTH sides —
+    * `(clean, quarantined)` — so loss is observable, never silent.
+    * The id/text contract is checked at plan time on the clean side.
+    *
+    * Pass `schema` in production: inference is an extra full scan of
+    * the corpus (fine at exploration scale, wrong at 100 TB). The
+    * quarantine frame carries every parsed column (null for a corrupt
+    * line) plus the raw line, so a triage query can group failures by
+    * file or prefix.
+    */
+  def corpusJsonl(
+      spark: SparkSession,
+      path: String,
+      idCol: String = "doc_id",
+      textCol: String = "text",
+      schema: Option[StructType] = None,
+      options: Map[String, String] = Map.empty
+  ): (DataFrame, DataFrame) = {
+    val base = schema.getOrElse(spark.read.options(options).json(path).schema)
+    val withCorrupt = StructType(
+      base.fields.filterNot(_.name == "_corrupt_record").toSeq :+
+        StructField("_corrupt_record", StringType, nullable = true)
+    )
+    Seq(idCol, textCol).foreach(c =>
+      require(
+        withCorrupt.fieldNames.contains(c),
+        s"corpus contract column '$c' not found in ${withCorrupt.fieldNames.mkString(", ")}"
+      )
+    )
+    // text source + from_json rather than the json file source: the
+    // parse is then an ordinary codegen'd expression, exempt from the
+    // file-source rule that a query may not reference only the corrupt
+    // column (which would forbid exactly the quarantine read), and the
+    // raw line is available verbatim. Blank lines are skipped, as the
+    // json source would.
+    val parsed = spark.read
+      .text(path)
+      .where(length(trim(col("value"))) > 0)
+      .select(
+        from_json(
+          col("value"),
+          withCorrupt,
+          options ++ Map(
+            "mode" -> "PERMISSIVE",
+            "columnNameOfCorruptRecord" -> "_corrupt_record"
+          )
+        ).as("j")
+      )
+    val clean =
+      parsed.where(col("j._corrupt_record").isNull).select("j.*").drop("_corrupt_record")
+    val quarantined = parsed.where(col("j._corrupt_record").isNotNull).select("j.*")
+    (clean, quarantined)
   }
 
   /** One schema-contract violation (the Deequ-style schema check the

@@ -112,4 +112,44 @@ class SourcesSpec extends SparkSpec {
     assert(df.schema("ts").dataType == TimestampType)
     assert(df.count() == 2)
   }
+
+  test("jsonl corpus ingest quarantines malformed lines instead of failing") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-jsonl").toString
+    java.nio.file.Files.writeString(
+      java.nio.file.Paths.get(s"$dir/part0.jsonl"),
+      """{"doc_id": 1, "text": "hello world", "source": "a"}
+        |{"doc_id": 2, "text": "second doc", "source": "b"}
+        |{"doc_id": 3, "text": "unterminated
+        |not json at all
+        |{"doc_id": 4, "text": "fourth", "source": "a"}
+        |""".stripMargin
+    )
+    val (clean, bad) = Sources.corpusJsonl(spark, dir)
+    assert(clean.select("doc_id").as[Long](org.apache.spark.sql.Encoders.scalaLong)
+      .collect().sorted.toSeq === Seq(1L, 2L, 4L))
+    assert(!clean.columns.contains("_corrupt_record"))
+    val rawLines = bad.select("_corrupt_record").collect().map(_.getString(0)).toSeq
+    assert(rawLines.length === 2)
+    assert(rawLines.exists(_.contains("not json at all")), rawLines.toString)
+  }
+
+  test("jsonl corpus ingest with an explicit schema skips inference") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-jsonl2").toString
+    java.nio.file.Files.writeString(
+      java.nio.file.Paths.get(s"$dir/d.jsonl"),
+      """{"doc_id": 7, "text": "with schema"}""" + "\n"
+    )
+    import org.apache.spark.sql.types._
+    val schema = StructType(Seq(
+      StructField("doc_id", LongType),
+      StructField("text", StringType)
+    ))
+    val (clean, bad) = Sources.corpusJsonl(spark, dir, schema = Some(schema))
+    assert(clean.count() === 1 && bad.count() === 0)
+    // contract columns must exist — a schema without text fails fast
+    intercept[IllegalArgumentException] {
+      Sources.corpusJsonl(spark, dir,
+        schema = Some(StructType(Seq(StructField("doc_id", LongType)))))
+    }
+  }
 }
