@@ -79,6 +79,15 @@ class ExportSpec extends SparkSpec {
     }
   }
 
+  test("shard assignment is a scan-side projection — no exchange in the plan") {
+    val plan = Export
+      .shuffleShards(docs(100), "doc_id", 8, filesPerShard = 4)
+      .queryExecution
+      .executedPlan
+      .toString
+    assert(!plan.contains("Exchange"), plan)
+  }
+
   test("invalid shard counts are rejected") {
     intercept[IllegalArgumentException](Export.shuffleShards(docs(1), "doc_id", 0))
     intercept[IllegalArgumentException](Export.shuffleShards(docs(1), "doc_id", 4, 0))
