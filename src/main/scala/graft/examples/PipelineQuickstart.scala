@@ -141,6 +141,20 @@ object PipelineQuickstart {
     )
     println(s"z-ordered layout partitions: ${laidOut.rdd.getNumPartitions}")
 
+    // E2: ship it — deterministic shuffle-shard export of the train
+    // split: one md5 per row fixes shard membership, file fanout and
+    // within-file order on any engine, so "resume from shard 3,
+    // row 12008" means the same bytes forever
+    val shardDir = java.nio.file.Files.createTempDirectory("shards-quickstart").toString
+    graft.pipelines.Export.exportShards(
+      split.where(col("split") === "train"),
+      "doc_id",
+      shardDir,
+      nShards = 4,
+      filesPerShard = 2
+    )
+    spark.read.parquet(shardDir).groupBy("shard").count().orderBy("shard").show()
+
     // F: the same kernels straight from SQL (GraftExtensions) — what a
     // SQL-only consumer of the cluster sees
     split.createOrReplaceTempView("corpus")

@@ -104,7 +104,14 @@ object Export {
       nShards: Int,
       filesPerShard: Int = 1,
       salt: String = "graft"
-  ): Unit =
+  ): Unit = {
+    // the repartition width is the PRODUCT — two individually-valid
+    // args can overflow Int (2^20 * 2^20); and a million-way shuffle
+    // is a config error, not a layout
+    require(
+      nShards.toLong * filesPerShard <= (1L << 20),
+      s"nShards * filesPerShard must be <= 2^20, got ${nShards.toLong * filesPerShard}"
+    )
     shuffleShards(df, idCol, nShards, filesPerShard, salt)
       .repartition(nShards * filesPerShard, col("shard"), col("file_no"))
       .sortWithinPartitions(col("shard"), col("file_no"), col("ord"))
@@ -112,6 +119,7 @@ object Export {
       .partitionBy("shard", "file_no")
       .mode("overwrite")
       .parquet(outDir)
+  }
 
   /** SQL decode of an 8-hex-char slice of `hExpr` (1-based `pos`) as a
     * BIGINT — dialect-portable hex->int via a digit CASE chain (DuckDB

@@ -91,5 +91,9 @@ class ExportSpec extends SparkSpec {
   test("invalid shard counts are rejected") {
     intercept[IllegalArgumentException](Export.shuffleShards(docs(1), "doc_id", 0))
     intercept[IllegalArgumentException](Export.shuffleShards(docs(1), "doc_id", 4, 0))
+    // product overflow: both args individually valid
+    intercept[IllegalArgumentException](
+      Export.exportShards(docs(1), "doc_id", "/tmp/never", 1 << 20, 1 << 20)
+    )
   }
 }
