@@ -108,6 +108,47 @@ object SimilarityQueries extends QueryPack {
       FROM c ORDER BY label, pos""")
   )
 
+  // Embedding drift between two snapshots (vec_id parity split): the
+  // DuckDB mirror recomputes both centroid sets with the same DECIMAL
+  // means and the same 6-dp L2 rounding
+  private val centroidShiftQ = Q(
+    fn = (s, d) => {
+      val emb = Tables.embeddings(s, d)
+      Similarity
+        .centroidShift(
+          emb.filter(col("vec_id") % 2 === 0),
+          emb.filter(col("vec_id") % 2 === 1),
+          "embedding",
+          "label"
+        )
+        .withColumnRenamed("key", "label")
+        .orderBy("label")
+    },
+    oracle = Some("""
+      WITH ex AS (
+        SELECT vec_id, label,
+          unnest(generate_series(1, len(embedding))) AS i, embedding
+        FROM embeddings),
+      ca AS (
+        SELECT label, i - 1 AS pos,
+          round(CAST(SUM(CAST(CAST(embedding[i] AS DOUBLE) AS DECIMAL(38,10))) AS DOUBLE)
+                / COUNT(*), 6) AS c,
+          COUNT(*) AS n
+        FROM ex WHERE vec_id % 2 = 0 GROUP BY 1, 2),
+      cb AS (
+        SELECT label, i - 1 AS pos,
+          round(CAST(SUM(CAST(CAST(embedding[i] AS DOUBLE) AS DECIMAL(38,10))) AS DOUBLE)
+                / COUNT(*), 6) AS c,
+          COUNT(*) AS n
+        FROM ex WHERE vec_id % 2 = 1 GROUP BY 1, 2)
+      SELECT COALESCE(ca.label, cb.label) AS label,
+        COUNT(*) AS dim,
+        round(sqrt(SUM((ca.c - cb.c) * (ca.c - cb.c))), 6) AS shift,
+        MAX(ca.n) AS n_a, MAX(cb.n) AS n_b
+      FROM ca FULL OUTER JOIN cb ON ca.label = cb.label AND ca.pos = cb.pos
+      GROUP BY 1 ORDER BY label""")
+  )
+
   // Embedding-space decontamination: benchmark rows (vec_id < 5, the
   // same bounded bench set the ANN queries use) against the corpus at
   // cosine >= 0.2 — broadcast bench, one corpus scan, no window.
@@ -158,6 +199,7 @@ object SimilarityQueries extends QueryPack {
 
   val queries: Map[String, Q] = Map(
     "embed_centroid" -> centroidQ,
+    "embed_centroid_shift" -> centroidShiftQ,
     "dedup_semantic_sweep" -> semanticSweepQ,
     "ann_bruteforce_topk" -> bruteForce,
     "ann_quantized_topk" -> quantized,

@@ -1096,6 +1096,44 @@ object Similarity {
     * is bit-identical on any engine and any partitioning (double sums
     * would differ in the last ulps between runs).
     */
+  /** Embedding drift between two corpus snapshots: per-group L2 shift
+    * of the [[centroids]], plus per-side counts — the embedding-space
+    * analogue of the profiler's scalar PSI drift. A retrain-data
+    * refresh that silently moves a domain's semantic center is exactly
+    * the regression this flags.
+    *
+    * Every centroid coordinate is an exact DECIMAL mean rounded
+    * identically on both engines, and the L2 accumulation is a
+    * <= dim-term double sum rounded at 6 dp (error ~1e-13 << 5e-7),
+    * so the shift is engine-reproducible and oracle-gated. Keys
+    * present on only one side surface with a NULL shift — a new or
+    * vanished group IS drift signal, not a row to drop.
+    *
+    * Scale shape: two partial-aggregated groupBys of width
+    * |groups| x dim and one join of that same width — independent of
+    * either corpus size. Output: key, dim, shift, n_a, n_b.
+    */
+  def centroidShift(
+      a: DataFrame,
+      b: DataFrame,
+      vecCol: String,
+      keyCol: String
+  ): DataFrame = {
+    def side(df: DataFrame, c: String, n: String) =
+      centroids(df, vecCol, keyCol)
+        .select(col("key"), col("pos"), col("centroid").as(c), col("n").as(n))
+    side(a, "_ca", "n_a")
+      .join(side(b, "_cb", "n_b"), Seq("key", "pos"), "full_outer")
+      .groupBy("key")
+      .agg(
+        count(lit(1)).as("dim"),
+        round6(sqrt(sum((col("_ca") - col("_cb")) * (col("_ca") - col("_cb")))))
+          .as("shift"),
+        max(col("n_a")).as("n_a"),
+        max(col("n_b")).as("n_b")
+      )
+  }
+
   def centroids(df: DataFrame, vecCol: String, keyCol: String): DataFrame =
     df.select(col(keyCol).as("key"), posexplode(col(vecCol)))
       .groupBy("key", "pos")

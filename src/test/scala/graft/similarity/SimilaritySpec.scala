@@ -14,6 +14,34 @@ class SimilaritySpec extends SparkSpec {
     (5L, Array(-1.0f, 0.0f, 0.0f), "x")
   ).toDF("vec_id", "embedding", "label")
 
+  test("centroid shift measures planted drift and keeps one-sided groups") {
+    val snapA = Seq(
+      (1L, Array(1.0f, 0.0f), "g"),
+      (2L, Array(3.0f, 0.0f), "g"),
+      (3L, Array(5.0f, 5.0f), "lonely")
+    ).toDF("vec_id", "embedding", "label")
+    val snapB = Seq(
+      (4L, Array(2.0f, 4.0f), "g"),
+      (5L, Array(2.0f, 2.0f), "g")
+    ).toDF("vec_id", "embedding", "label")
+    val out = Similarity
+      .centroidShift(snapA, snapB, "embedding", "label")
+      .orderBy("key")
+      .collect()
+    assert(out.length === 2)
+    val g = out(0)
+    // A centroid (2,0), B centroid (2,3) -> L2 shift exactly 3
+    assert(g.getAs[String]("key") === "g")
+    assert(g.getAs[Long]("dim") === 2L)
+    assert(g.getAs[Double]("shift") === 3.0)
+    assert(g.getAs[Long]("n_a") === 2L && g.getAs[Long]("n_b") === 2L)
+    val lonely = out(1)
+    // vanished group: NULL shift is the signal, the row must survive
+    assert(lonely.getAs[String]("key") === "lonely")
+    assert(lonely.isNullAt(lonely.fieldIndex("shift")))
+    assert(lonely.isNullAt(lonely.fieldIndex("n_b")))
+  }
+
   test("dot and cosine match manual math") {
     val df = Seq((Array(1.0f, 2.0f), Array(3.0f, 4.0f))).toDF("a", "b")
     val row = df.select(
