@@ -347,6 +347,75 @@ object Service {
     psi
   }
 
+  /** Embedding-space drift assessment: per-group centroid shift
+    * between a reference snapshot and the current corpus
+    * ([[graft.similarity.Similarity.centroidShift]]), stored as
+    * ordinary profiling metrics (entity "embedding_group", metric
+    * `centroid_shift`, instance = group key) at the observation
+    * timestamp `ts` — so embedding drift rides the same repository,
+    * report, and history surfaces as every scalar metric. Alerts fire
+    * through the standard handlers when a group's shift exceeds
+    * `threshold`, and ALWAYS for one-sided groups (appeared or
+    * vanished — reported with score = +Infinity, since no finite
+    * threshold should mute a domain disappearing from the corpus).
+    *
+    * The shift table is |groups| rows — collected once so the stored
+    * metrics and the alerts derive from the same snapshot, same as
+    * [[assessDrift]].
+    */
+  def assessEmbeddingDrift(
+      reference: DataFrame,
+      current: DataFrame,
+      datasetUri: String,
+      ts: java.sql.Timestamp,
+      vecCol: String,
+      keyCol: String,
+      repo: MetricsRepository,
+      threshold: Double = 0.25,
+      handlers: Seq[NotificationHandler] = Seq(LogHandler)
+  ): DataFrame = {
+    val rows = graft.similarity.Similarity
+      .centroidShift(reference, current, vecCol, keyCol)
+      .select(
+        lit(ts).as("ts"),
+        lit("embedding_group").as("entity"),
+        col("key").cast("string").as("instance"),
+        lit("centroid_shift").as("name"),
+        col("shift").as("value")
+      )
+      .collect()
+      .toSeq
+    val spark = reference.sparkSession
+    val metrics = spark.createDataFrame(
+      spark.sparkContext.parallelize(rows, 1),
+      org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("ts", org.apache.spark.sql.types.TimestampType),
+        org.apache.spark.sql.types.StructField("entity", org.apache.spark.sql.types.StringType),
+        org.apache.spark.sql.types.StructField("instance", org.apache.spark.sql.types.StringType),
+        org.apache.spark.sql.types.StructField("name", org.apache.spark.sql.types.StringType),
+        org.apache.spark.sql.types.StructField("value", org.apache.spark.sql.types.DoubleType)
+      ))
+    )
+    repo.addProfiling(datasetUri, metrics)
+    val alerts = rows.flatMap { r =>
+      val shifted = !r.isNullAt(4) && r.getDouble(4) > threshold
+      val oneSided = r.isNullAt(4)
+      if (shifted || oneSided)
+        Some(
+          AnomalousScore(
+            entity = r.getString(1),
+            instance = r.getString(2),
+            name = r.getString(3),
+            score = if (oneSided) Double.PositiveInfinity else r.getDouble(4),
+            threshold = threshold
+          )
+        )
+      else None
+    }
+    if (alerts.nonEmpty) handlers.foreach(_.notify(datasetUri, ts, alerts))
+    metrics
+  }
+
   /** profile + optimize in one call (reference
     * `profile_create_optimize`, service_layer.py:411-459).
     */

@@ -257,6 +257,41 @@ class ServiceSpec extends SparkSpec {
     assert(notified.head.score > 0.25)
   }
 
+  test("assessEmbeddingDrift stores shifts as metrics and alerts on moved or vanished groups") {
+    val snapA = Seq(
+      (1L, Array(1.0f, 0.0f), "stable"),
+      (2L, Array(1.0f, 0.0f), "stable"),
+      (3L, Array(2.0f, 0.0f), "moving"),
+      (4L, Array(4.0f, 0.0f), "moving"),
+      (5L, Array(9.0f, 9.0f), "vanishing")
+    ).toDF("vec_id", "embedding", "label")
+    val snapB = Seq(
+      (6L, Array(1.0f, 0.0f), "stable"),
+      (7L, Array(3.0f, 4.0f), "moving"), // centroid (3,0) -> (3,4): shift 4
+      (8L, Array(3.0f, 4.0f), "moving")
+    ).toDF("vec_id", "embedding", "label")
+    val repo = new InMemoryRepository()
+    var notified = Seq.empty[AnomalousScore]
+    val handler = new NotificationHandler {
+      def notify(uri: String, ts: java.sql.Timestamp, anomalous: Seq[AnomalousScore]): Unit =
+        notified = anomalous
+    }
+    val ts = java.sql.Timestamp.valueOf("2025-06-01 00:00:00")
+    Service.assessEmbeddingDrift(
+      snapA, snapB, "ds://emb", ts, "embedding", "label", repo,
+      threshold = 1.0, handlers = Seq(handler))
+    val stored = repo
+      .getProfiling("ds://emb")
+      .where(col("name") === "centroid_shift")
+      .collect()
+    assert(stored.length === 3)
+    val byInstance = notified.map(a => a.instance -> a.score).toMap
+    assert(byInstance.keySet === Set("moving", "vanishing"))
+    assert(byInstance("moving") === 4.0)
+    assert(byInstance("vanishing").isPosInfinity,
+      "a vanished group must alert regardless of threshold")
+  }
+
   test("funnel health rides the monitoring flow: a kept-share collapse alerts") {
     import org.apache.spark.sql.functions._
     val repo = new InMemoryRepository()
