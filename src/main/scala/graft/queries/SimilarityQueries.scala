@@ -108,6 +108,32 @@ object SimilarityQueries extends QueryPack {
       FROM c ORDER BY label, pos""")
   )
 
+  // Correctness anchor for the semantic-dedup machinery: at nlist=1
+  // the k-means blocking is trivial (every row in cell 0), so the
+  // WHOLE pipeline — fit, NearestCells assignment, BucketJoin pairs,
+  // cosine threshold — must reproduce plain all-pairs cosine, which
+  // DuckDB recomputes exactly. The production path (nlist>1) differs
+  // only in the blocking; its recall is spec-pinned.
+  private val semanticPairsQ = Q(
+    fn = (s, d) =>
+      Similarity
+        .semanticDedupPairs(
+          Tables.embeddings(s, d).filter(col("vec_id") < 300),
+          "vec_id",
+          "embedding",
+          threshold = 0.2,
+          nlist = 1,
+          bucketCap = 0
+        )
+        .orderBy("id_a", "id_b"),
+    oracle = Some(s"""
+      SELECT q.vec_id AS id_a, c.vec_id AS id_b, round($cosSql, 6) AS sim
+      FROM embeddings q JOIN embeddings c ON q.vec_id < c.vec_id
+      WHERE q.vec_id < 300 AND c.vec_id < 300
+        AND round($cosSql, 6) >= 0.2
+      ORDER BY id_a, id_b""")
+  )
+
   // Embedding drift between two snapshots (vec_id parity split): the
   // DuckDB mirror recomputes both centroid sets with the same DECIMAL
   // means and the same 6-dp L2 rounding
@@ -201,6 +227,7 @@ object SimilarityQueries extends QueryPack {
     "embed_centroid" -> centroidQ,
     "embed_centroid_shift" -> centroidShiftQ,
     "dedup_semantic_sweep" -> semanticSweepQ,
+    "dedup_semantic_pairs" -> semanticPairsQ,
     "ann_bruteforce_topk" -> bruteForce,
     "ann_quantized_topk" -> quantized,
     "ann_lsh_topk" -> lsh,
