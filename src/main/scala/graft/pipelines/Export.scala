@@ -121,6 +121,73 @@ object Export {
       .parquet(outDir)
   }
 
+  /** Curriculum variant of [[exportShards]]: shard membership stays
+    * the deterministic hash (every loader still gets an unbiased,
+    * reproducible slice of the corpus), but WITHIN a shard the replay
+    * order follows `curriculumCol` ascending (easy-to-hard when the
+    * column is a difficulty score) instead of the random permutation.
+    * `file_no` boundaries come from corpus-wide EXACT percentiles of
+    * the curriculum column (one |thresholds|-row aggregate, broadcast
+    * into the scan filter), so reading `file_no` ascending, files top
+    * to bottom, replays the curriculum — with hash-assigned files that
+    * property would hold only within a file. Ties order by the hash
+    * key, keeping the layout fully deterministic.
+    *
+    * Same cost shape as the shuffled export: one exchange + a local
+    * sort; the threshold aggregate touches one column. Rows with a
+    * NULL curriculum value sort first (Spark NULLS FIRST) and land in
+    * file 0 — flag or drop them upstream if that is not the intent.
+    */
+  def exportShardsCurriculum(
+      df: DataFrame,
+      idCol: String,
+      outDir: String,
+      nShards: Int,
+      curriculumCol: String,
+      filesPerShard: Int = 1,
+      salt: String = "graft"
+  ): Unit = {
+    require(
+      nShards.toLong * filesPerShard <= (1L << 20),
+      s"nShards * filesPerShard must be <= 2^20, got ${nShards.toLong * filesPerShard}"
+    )
+    val base = shuffleShards(df, idCol, nShards, 1, salt).drop("file_no")
+    val withFile =
+      if (filesPerShard == 1) base.withColumn("file_no", lit(0))
+      else {
+        val probs = (1 until filesPerShard).map(_.toDouble / filesPerShard)
+        val thr = df
+          .agg(
+            expr(
+              s"percentile($curriculumCol, array(${probs.mkString(",")}))"
+            ).as("_thr")
+          )
+        base
+          .join(broadcast(thr))
+          .withColumn(
+            "file_no",
+            aggregate(
+              col("_thr"),
+              lit(0),
+              (acc, t) => acc + when(col(curriculumCol) > t, 1).otherwise(0)
+            )
+          )
+          .drop("_thr")
+      }
+    withFile
+      .repartition(nShards * filesPerShard, col("shard"), col("file_no"))
+      .sortWithinPartitions(
+        col("shard"),
+        col("file_no"),
+        col(curriculumCol),
+        col("ord")
+      )
+      .write
+      .partitionBy("shard", "file_no")
+      .mode("overwrite")
+      .parquet(outDir)
+  }
+
   /** SQL decode of an 8-hex-char slice of `hExpr` (1-based `pos`) as a
     * BIGINT — dialect-portable hex->int via a digit CASE chain (DuckDB
     * has no `conv`).

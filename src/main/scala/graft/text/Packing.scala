@@ -108,4 +108,45 @@ object Packing {
       }
       .toDF("pack_id", "doc_id", "n_tokens", "oversize")
   }
+
+  /** Packing-efficiency report over [[packGreedy]] output: one row per
+    * fill decile (0 = under 10% full ... 9 = 90-100%; decile 10 holds
+    * the oversize singletons), with pack/doc/token counts and the
+    * decile's mean fill. The histogram answers the tuning question a
+    * single mean hides: a budget that leaves every pack 55% full wastes
+    * almost half the context window of every training step, and only
+    * the distribution shows whether that's a long tail or the norm.
+    *
+    * Shape: one groupBy(pack_id) (partial-aggregated; |packs| rows)
+    * then an 11-row reduction — no corpus re-scan, no sort. Inherits
+    * [[packGreedy]]'s partitioning-dependence, so API + spec, like the
+    * packing itself.
+    */
+  def packStats(packed: DataFrame, budget: Long): DataFrame = {
+    require(budget > 0, s"budget must be positive, got $budget")
+    val per = packed
+      .groupBy(col("pack_id"))
+      .agg(
+        sum(col("n_tokens")).as("pack_tokens"),
+        count(lit(1)).as("n_docs"),
+        max(col("oversize").cast("int")).as("_ov")
+      )
+    per
+      .select(
+        when(col("_ov") === 1, lit(10L))
+          .otherwise(least(lit(9L), floor(col("pack_tokens") * 10 / budget)))
+          .as("fill_decile"),
+        col("pack_tokens"),
+        col("n_docs")
+      )
+      .groupBy("fill_decile")
+      .agg(
+        count(lit(1)).as("n_packs"),
+        sum(col("n_docs")).as("n_docs"),
+        sum(col("pack_tokens")).as("tokens"),
+        graft.functions.round6(avg(col("pack_tokens").cast("double") / budget))
+          .as("mean_fill")
+      )
+      .orderBy("fill_decile")
+  }
 }

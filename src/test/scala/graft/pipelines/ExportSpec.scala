@@ -79,6 +79,32 @@ class ExportSpec extends SparkSpec {
     }
   }
 
+  test("curriculum export orders within shards by the column, files by quantile") {
+    val dir = java.nio.file.Files.createTempDirectory("curr").toString
+    // difficulty = doc_id: percentile boundary at the median
+    val df = (1 to 1000).map(i => (i.toLong, i.toDouble)).toDF("doc_id", "difficulty")
+    Export.exportShardsCurriculum(df, "doc_id", dir, nShards = 2,
+      curriculumCol = "difficulty", filesPerShard = 2)
+    val back = spark.read.parquet(dir)
+    assert(back.count() === 1000)
+    // file 0 holds the easy half, file 1 the hard half — in EVERY shard
+    val f0max = back.where(col("file_no") === 0).agg(max("difficulty")).head.getDouble(0)
+    val f1min = back.where(col("file_no") === 1).agg(min("difficulty")).head.getDouble(0)
+    assert(f0max <= f1min, s"file 0 max $f0max must not exceed file 1 min $f1min")
+    // within every physical file, difficulty ascends
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("_f").orderBy(monotonically_increasing_id())
+    val violations = back
+      .withColumn("_f", input_file_name())
+      .withColumn("_prev", lag(col("difficulty"), 1).over(w))
+      .where(col("_prev") > col("difficulty"))
+      .count()
+    assert(violations === 0, "rows inside a file must ascend by difficulty")
+    // shard membership identical to the shuffled export's hash
+    val shuffled = Export.shuffleShards(df, "doc_id", 2).select(col("doc_id"), col("shard").as("s2"))
+    assert(back.join(shuffled, "doc_id").where(col("shard") =!= col("s2")).count() === 0)
+  }
+
   test("shard assignment is a scan-side projection — no exchange in the plan") {
     val plan = Export
       .shuffleShards(docs(100), "doc_id", 8, filesPerShard = 4)

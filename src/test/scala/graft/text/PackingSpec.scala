@@ -58,4 +58,25 @@ class PackingSpec extends SparkSpec {
       .toString
     assert(!plan.contains("Exchange"), "packing must not shuffle")
   }
+
+  test("packStats buckets fills by decile and isolates oversize") {
+    // hand-built packed frame: full pack (100), half pack (55),
+    // near-empty pack (5), one oversize singleton (150)
+    val packed = Seq(
+      ("a", 1L, 60L, false), ("a", 2L, 40L, false),
+      ("b", 3L, 55L, false),
+      ("c", 4L, 5L, false),
+      ("ov", 5L, 150L, true)
+    ).toDF("pack_id", "doc_id", "n_tokens", "oversize")
+    val stats = Packing.packStats(packed, budget = 100).collect()
+    val byDecile = stats.map(r => r.getLong(0) -> r).toMap
+    assert(byDecile.keySet === Set(0L, 5L, 9L, 10L))
+    assert(byDecile(9L).getAs[Long]("n_packs") === 1L) // the full pack
+    assert(byDecile(9L).getAs[Long]("n_docs") === 2L)
+    assert(byDecile(9L).getAs[Double]("mean_fill") === 1.0)
+    assert(byDecile(5L).getAs[Double]("mean_fill") === 0.55)
+    assert(byDecile(0L).getAs[Long]("tokens") === 5L)
+    assert(byDecile(10L).getAs[Long]("n_packs") === 1L) // oversize bucket
+    assert(byDecile(10L).getAs[Double]("mean_fill") === 1.5)
+  }
 }
