@@ -285,6 +285,45 @@ object Corpus {
     * slightly exceed `keepTop` on discrete scores. NULL scores never
     * pass the filter.
     */
+  /** SemDeDup as a funnel post-stage: demote kept rows that lose the
+    * semantic-dedup sweep to `drop_reason = "semantic_duplicate"`,
+    * preserving the funnel's first-failing accounting (rows already
+    * dropped keep their original reason — lexical verdicts are
+    * cheaper and ran first, and a rule-failed doc must not consume
+    * the semantic slot of a clean paraphrase). Runs
+    * [[graft.similarity.Similarity.semanticDedupSweep]] over the KEPT
+    * rows only, so the expensive embedding pass prices at the
+    * post-funnel survivor count, not the crawl size.
+    *
+    * `prepared` is [[prepareFunnel]] output that also carries an
+    * embedding column; returns the same frame with demotions applied
+    * — `funnelStats` picks the new reason up unchanged.
+    */
+  def semanticDedupStage(
+      prepared: DataFrame,
+      vecCol: String,
+      idCol: String = "doc_id",
+      threshold: Double = 0.95,
+      nlist: Int = 64,
+      nAssign: Int = 1,
+      bucketCap: Int = 1024,
+      seed: Long = 42L
+  ): DataFrame = {
+    val kept = prepared.where(col("kept"))
+    val survivors = graft.similarity.Similarity
+      .semanticDedupSweep(kept, idCol, vecCol, threshold, nlist, nAssign, bucketCap, seed)
+      .select(col(idCol).as("_sem_keep"))
+    prepared
+      .join(survivors, prepared(idCol) === col("_sem_keep"), "left_outer")
+      .withColumn(
+        "drop_reason",
+        when(col("kept") && col("_sem_keep").isNull, lit("semantic_duplicate"))
+          .otherwise(col("drop_reason"))
+      )
+      .withColumn("kept", col("drop_reason") === "kept")
+      .drop("_sem_keep")
+  }
+
   def qualityCut(
       df: DataFrame,
       scoreCol: String,

@@ -33,6 +33,29 @@ class CorpusSpec extends SparkSpec {
     assert(out.map(_.getAs[Boolean]("kept")).toSeq === Seq(true, false, false, false))
   }
 
+  test("semantic dedup stage demotes kept paraphrases only") {
+    // two lexically DIFFERENT texts (distinct fingerprints — exact
+    // dedup keeps both) with near-identical embeddings; a rule-failed
+    // doc shares the embedding but must keep its lexical reason and
+    // must not consume the semantic slot; an orthogonal doc survives
+    val textB = goodText.replace("fox", "wolf")
+    val docs = Seq(
+      (1L, goodText, Array(1.0f, 0.0f)),
+      (2L, textB, Array(0.999f, 0.01f)),
+      (3L, "short text only", Array(1.0f, 0.0f)),
+      (4L, goodText.replace("dog", "cat"), Array(0.0f, 1.0f))
+    ).toDF("doc_id", "text", "embedding")
+    val out = Corpus
+      .semanticDedupStage(
+        Corpus.prepareFunnel(docs), "embedding", threshold = 0.9, nlist = 1)
+      .orderBy("doc_id")
+      .collect()
+    assert(out.map(_.getAs[String]("drop_reason")).toSeq ===
+      Seq("kept", "semantic_duplicate", "too_short", "kept"))
+    assert(out.map(_.getAs[Boolean]("kept")).toSeq ===
+      Seq(true, false, false, true))
+  }
+
   test("language gate fires for a rule-passing non-English document") {
     // German prose long enough and punctuation-free, with two English
     // stopwords planted so the gopher floor passes — the first failing
