@@ -324,6 +324,47 @@ object Corpus {
       .drop("_sem_keep")
   }
 
+  /** Semantic decontamination as a funnel post-stage: demote kept
+    * rows whose embedding is within `threshold` cosine of ANY
+    * benchmark embedding to `drop_reason = "semantic_contaminated"` —
+    * the paraphrase-robust complement of the exact-span decon stage
+    * (a reworded eval question shares no 8-gram but keeps its
+    * semantic neighborhood). Same accounting contract as
+    * [[semanticDedupStage]]: lexical verdicts keep precedence, the
+    * cosine join ([[graft.similarity.Similarity.crossCosineAbove]] —
+    * broadcast bench, one survivor scan) prices at the post-funnel
+    * survivor count.
+    */
+  def semanticDecontaminationStage(
+      prepared: DataFrame,
+      bench: DataFrame,
+      vecCol: String,
+      idCol: String = "doc_id",
+      benchIdCol: String = "doc_id",
+      threshold: Double = 0.95
+  ): DataFrame = {
+    val kept = prepared.where(col("kept"))
+    val contaminated = graft.similarity.Similarity
+      .crossCosineAbove(
+        bench.select(col(benchIdCol).as("id"), col(vecCol)),
+        kept.select(col(idCol).as("id"), col(vecCol)),
+        "id",
+        vecCol,
+        threshold
+      )
+      .select(col("id_corpus").as("_sem_hit"))
+      .distinct()
+    prepared
+      .join(contaminated, prepared(idCol) === col("_sem_hit"), "left_outer")
+      .withColumn(
+        "drop_reason",
+        when(col("kept") && col("_sem_hit").isNotNull, lit("semantic_contaminated"))
+          .otherwise(col("drop_reason"))
+      )
+      .withColumn("kept", col("drop_reason") === "kept")
+      .drop("_sem_hit")
+  }
+
   def qualityCut(
       df: DataFrame,
       scoreCol: String,

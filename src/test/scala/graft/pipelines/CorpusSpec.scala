@@ -56,6 +56,23 @@ class CorpusSpec extends SparkSpec {
       Seq(true, false, false, true))
   }
 
+  test("semantic decontamination stage demotes kept near-benchmark docs only") {
+    val docs = Seq(
+      (1L, goodText, Array(1.0f, 0.0f)), // semantically = benchmark
+      (2L, goodText.replace("fox", "owl"), Array(0.0f, 1.0f)), // clean
+      (3L, "short text only", Array(1.0f, 0.0f)) // rule-failed twin
+    ).toDF("doc_id", "text", "embedding")
+    val bench = Seq((100L, Array(0.999f, 0.01f))).toDF("doc_id", "embedding")
+    val out = Corpus
+      .semanticDecontaminationStage(
+        Corpus.prepareFunnel(docs), bench, "embedding", threshold = 0.9)
+      .orderBy("doc_id")
+      .collect()
+    assert(out.map(_.getAs[String]("drop_reason")).toSeq ===
+      Seq("semantic_contaminated", "kept", "too_short"))
+    assert(out.map(_.getAs[Boolean]("kept")).toSeq === Seq(false, true, false))
+  }
+
   test("language gate fires for a rule-passing non-English document") {
     // German prose long enough and punctuation-free, with two English
     // stopwords planted so the gopher floor passes — the first failing
