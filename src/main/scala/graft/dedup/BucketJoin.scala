@@ -28,12 +28,19 @@ import org.apache.spark.sql.functions._
   * with the bucket root passes the similarity threshold and both
   * [[Dedup.nearDupSweep]] (root survives, members flagged) and
   * [[Dedup.componentSweep]] (star edges connect the whole cluster)
-  * behave as if all pairs had been emitted. The documented recall
-  * trade is on DIRECT pair output only: member-member pairs of a hot
-  * bucket are not emitted unless another (non-hot) bucket pairs them,
-  * and a member whose similarity to the root falls below the
-  * threshold loses its chance to pair with other members via this
-  * bucket. Set bucketCap = 0 to disable (exact, unbounded).
+  * behave as if all pairs had been emitted — EXACTLY so for
+  * identical-content clusters (spec-pinned). For NEAR-identical
+  * variants the trade is larger than direct pair output: a member
+  * whose noisy estimated similarity to the bucket root misses the
+  * threshold also loses the member-member edges that would have
+  * caught it, so the sweep can MISS a small fraction of duplicates.
+  * Measured in BucketCapSpec's recall study (300 one-word-mutation
+  * variants, cap 16, 16 hashes): direct-pair recall 6.5%, sweep left
+  * +5 extra survivors (1.7% of the family) — one-sided (the cap never
+  * over-deletes; capped survivors are a superset of exact survivors).
+  * Size the cap a few multiples above the largest LEGITIMATE
+  * near-dup family, not at the bench-friendly minimum. Set
+  * bucketCap = 0 to disable (exact, unbounded).
   *
   * Cost shape: bucket stats come from one window over the same
   * (keys) partitioning the join itself needs, so the exchange is

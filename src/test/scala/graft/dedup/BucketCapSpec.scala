@@ -106,6 +106,50 @@ class BucketCapSpec extends SparkSpec {
     pairs.unpersist()
   }
 
+  test("recall study: near-identical boilerplate under a tight cap — bounded, one-sided loss") {
+    // the cap's trade on NEAR-identical variants (each doc mutates one
+    // word of a shared template — the realistic boilerplate shape), as
+    // MEASURED rather than assumed: direct pairs drop to the star
+    // core, and the sweep can leave a few extra survivors — a member
+    // whose noisy estimated similarity to its bucket root misses the
+    // threshold loses the member-member edges that would have caught
+    // it (the BucketJoin docstring's documented trade). The loss is
+    // one-sided (never over-deletes) and small; this spec pins both.
+    val template = ("all rights reserved this page is auto generated boilerplate " +
+      "content please contact the site administrator for removal requests today").split(" ")
+    val family = (1 to 300).map { i =>
+      val w = template.clone(); w(i % template.length) = s"variant$i"
+      (i.toLong, w.mkString(" "))
+    }
+    val clean = Seq(
+      (9001L, "completely different content about distributed query engines and shuffles here now"))
+    val corpus = (family ++ clean).toDF("doc_id", "text")
+    def pairs(cap: Int) = Dedup
+      .minhashLshPairs(corpus, "text", "doc_id", threshold = 0.5, bucketCap = cap)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    val exact = pairs(0)
+    val capped = pairs(16)
+    assert(capped.subsetOf(exact), "cap must never invent pairs")
+    val pairRecall = capped.size.toDouble / exact.size
+    info(f"direct-pair recall under cap 16: $pairRecall%.3f (${capped.size}/${exact.size})")
+    assert(pairRecall < 1.0, "a tight cap on a 300-doc family must drop direct pairs")
+    assert(pairRecall > 0.05, "the star must retain a non-trivial pair core")
+    // sweep-level: the capped sweep may MISS duplicates (extra
+    // survivors) but must never delete a doc the exact sweep keeps
+    def survivors(cap: Int) = Dedup
+      .componentSweep(corpus, Dedup.minhashLshPairs(
+        corpus, "text", "doc_id", threshold = 0.5, bucketCap = cap), "doc_id")
+      .select("doc_id").as[Long].collect().toSet
+    val exactSurv = survivors(0)
+    val cappedSurv = survivors(16)
+    assert(exactSurv.subsetOf(cappedSurv),
+      "the cap must only MISS duplicates, never over-delete")
+    val extra = cappedSurv.size - exactSurv.size
+    info(s"sweep survivors: uncapped ${exactSurv.size}, capped ${cappedSurv.size} (+$extra)")
+    assert(extra <= 15, // <= 5% of the 300-doc family
+      s"capped sweep left $extra extra survivors — recall loss beyond the documented trade")
+  }
+
   test("portable family honors the cap with identical star semantics") {
     val pairs = PortableDedup
       .minhashLshPairs(corpus, "text", "doc_id", threshold = 0.5, bucketCap = 64)
