@@ -121,6 +121,45 @@ object Export {
       .parquet(outDir)
   }
 
+  /** Incremental companion to [[exportShards]]: append a NEW batch of
+    * documents into an existing shard layout under the same hash
+    * contract. Appended rows land in `shard=i/file_no=j/batch=<id>`
+    * subdirectories — the extra partition level is what keeps replay
+    * deterministic across appends (a plain append-mode write would
+    * interleave same-named part files from different writes with no
+    * stable order): a loader replays (shard, file_no) dirs in order
+    * and batches within them lexicographically, so ids must be chosen
+    * monotone (dates, zero-padded sequence numbers — same contract as
+    * [[Incremental]] batch dirs). Shard membership is the pure hash,
+    * so a document's shard never depends on which batch delivered it.
+    */
+  def appendShards(
+      df: DataFrame,
+      idCol: String,
+      outDir: String,
+      nShards: Int,
+      batchId: String,
+      filesPerShard: Int = 1,
+      salt: String = "graft"
+  ): Unit = {
+    require(
+      batchId.nonEmpty && batchId.forall(c => c.isLetterOrDigit || c == '-' || c == '_' || c == '.'),
+      s"batch id must be path-safe, got '$batchId'"
+    )
+    require(
+      nShards.toLong * filesPerShard <= (1L << 20),
+      s"nShards * filesPerShard must be <= 2^20, got ${nShards.toLong * filesPerShard}"
+    )
+    shuffleShards(df, idCol, nShards, filesPerShard, salt)
+      .withColumn("batch", lit(batchId))
+      .repartition(nShards * filesPerShard, col("shard"), col("file_no"))
+      .sortWithinPartitions(col("shard"), col("file_no"), col("ord"))
+      .write
+      .partitionBy("shard", "file_no", "batch")
+      .mode("append")
+      .parquet(outDir)
+  }
+
   /** Curriculum variant of [[exportShards]]: shard membership stays
     * the deterministic hash (every loader still gets an unbiased,
     * reproducible slice of the corpus), but WITHIN a shard the replay

@@ -105,6 +105,27 @@ class ExportSpec extends SparkSpec {
     assert(back.join(shuffled, "doc_id").where(col("shard") =!= col("s2")).count() === 0)
   }
 
+  test("appendShards adds batches under stable shard dirs with hash-pure membership") {
+    val dir = java.nio.file.Files.createTempDirectory("appshards").toString
+    Export.appendShards(docs(400), "doc_id", dir, nShards = 4, batchId = "2025-01-01")
+    Export.appendShards(
+      (401 to 800).map(i => (i.toLong, s"doc $i")).toDF("doc_id", "text"),
+      "doc_id", dir, nShards = 4, batchId = "2025-01-02")
+    val back = spark.read.parquet(dir)
+    assert(back.count() === 800)
+    assert(back.select("batch").distinct().count() === 2)
+    // membership must match the pure hash regardless of delivering batch
+    val expect = Export.shuffleShards(
+      (1 to 800).map(i => (i.toLong, s"doc $i")).toDF("doc_id", "text"),
+      "doc_id", 4).select(col("doc_id"), col("shard").as("s2"))
+    assert(back.join(expect, "doc_id").where(col("shard") =!= col("s2")).count() === 0)
+    // batch dirs nest under (shard, file_no)
+    val f = new java.io.File(s"$dir/shard=0/file_no=0")
+    assert(f.listFiles().map(_.getName).count(_.startsWith("batch=")) === 2)
+    intercept[IllegalArgumentException](
+      Export.appendShards(docs(1), "doc_id", dir, 4, batchId = "../evil"))
+  }
+
   test("shard assignment is a scan-side projection — no exchange in the plan") {
     val plan = Export
       .shuffleShards(docs(100), "doc_id", 8, filesPerShard = 4)
