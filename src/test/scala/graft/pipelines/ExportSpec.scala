@@ -135,6 +135,35 @@ class ExportSpec extends SparkSpec {
     assert(!plan.contains("Exchange"), plan)
   }
 
+  test("shard assignment is streaming-safe — writeStream partitions by the same hash") {
+    implicit val sqlCtx = spark.sqlContext
+    val input = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[(Long, String)]
+    val dir = java.nio.file.Files.createTempDirectory("streamshards").toString
+    val ckpt = java.nio.file.Files.createTempDirectory("streamshards-ckpt").toString
+    // a pure projection needs no watermark, no state, no output mode
+    // gymnastics: the same assignment runs per micro-batch
+    val query = Export
+      .shuffleShards(input.toDF().toDF("doc_id", "text"), "doc_id", 4)
+      .writeStream
+      .format("parquet")
+      .option("path", dir)
+      .option("checkpointLocation", ckpt)
+      .partitionBy("shard")
+      .start()
+    try {
+      input.addData((1 to 200).map(i => (i.toLong, s"doc $i")): _*)
+      query.processAllAvailable()
+      input.addData((201 to 400).map(i => (i.toLong, s"doc $i")): _*)
+      query.processAllAvailable()
+    } finally query.stop()
+    val back = spark.read.parquet(dir)
+    assert(back.count() === 400)
+    val expect = Export
+      .shuffleShards(docs(400), "doc_id", 4)
+      .select(col("doc_id"), col("shard").as("s2"))
+    assert(back.join(expect, "doc_id").where(col("shard") =!= col("s2")).count() === 0)
+  }
+
   test("invalid shard counts are rejected") {
     intercept[IllegalArgumentException](Export.shuffleShards(docs(1), "doc_id", 0))
     intercept[IllegalArgumentException](Export.shuffleShards(docs(1), "doc_id", 4, 0))
