@@ -206,7 +206,7 @@ object Dedup {
       numHashes: Int = 16,
       bands: Int = 4,
       threshold: Double = 0.5,
-      bucketCap: Int = 1024
+      bucketCap: Int = 0
   ): DataFrame = {
     val banded = bandedMinhash(df, textCol, idCol, shingleN, numHashes, bands)
     BucketJoin
@@ -239,7 +239,7 @@ object Dedup {
       numHashes: Int = 16,
       bands: Int = 4,
       threshold: Double = 0.5,
-      leftBucketCap: Int = 1024
+      leftBucketCap: Int = 0
   ): DataFrame =
     BucketJoin
       .crossPairs(
@@ -274,7 +274,7 @@ object Dedup {
       numHashes: Int = 16,
       bands: Int = 4,
       threshold: Double = 0.5,
-      leftBucketCap: Int = 1024
+      leftBucketCap: Int = 0
   ): DataFrame =
     BucketJoin
       .crossPairs(
@@ -508,7 +508,7 @@ object Dedup {
       numHashes: Int = 16,
       bands: Int = 4,
       threshold: Double = 0.5,
-      bucketCap: Int = 1024
+      bucketCap: Int = 0
   ): DataFrame =
     nearDupSweep(
       df,
@@ -530,7 +530,7 @@ object Dedup {
       textCol: String,
       idCol: String,
       maxHamming: Int = 3,
-      bucketCap: Int = 1024
+      bucketCap: Int = 0
   ): DataFrame = {
     require(maxHamming >= 0 && maxHamming < 64, s"maxHamming out of range: $maxHamming")
     val chunks = maxHamming + 1

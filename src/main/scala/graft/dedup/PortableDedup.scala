@@ -139,7 +139,7 @@ object PortableDedup {
       numHashes: Int = 16,
       bands: Int = 4,
       threshold: Double = 0.5,
-      bucketCap: Int = 1024
+      bucketCap: Int = 0
   ): DataFrame = {
     val banded = bandedSignatures(df, textCol, idCol, shingleN, numHashes, bands)
     BucketJoin
@@ -170,7 +170,7 @@ object PortableDedup {
       numHashes: Int = 16,
       bands: Int = 4,
       threshold: Double = 0.5,
-      leftBucketCap: Int = 1024
+      leftBucketCap: Int = 0
   ): DataFrame =
     BucketJoin
       .crossPairs(
@@ -225,7 +225,7 @@ object PortableDedup {
       textCol: String,
       idCol: String,
       maxHamming: Int = 3,
-      bucketCap: Int = 1024
+      bucketCap: Int = 0
   ): DataFrame =
     hammingPairs60(simhashSignatures(df, textCol, idCol), maxHamming, bucketCap)
 
@@ -236,7 +236,7 @@ object PortableDedup {
     * [[BucketJoin.selfPairs]] (0 disables).
     * Output: id_a, id_b, hamming.
     */
-  def hammingPairs60(sigs: DataFrame, maxHamming: Int, bucketCap: Int = 1024): DataFrame = {
+  def hammingPairs60(sigs: DataFrame, maxHamming: Int, bucketCap: Int = 0): DataFrame = {
     require(maxHamming >= 0 && maxHamming < 60, s"maxHamming out of range: $maxHamming")
     val chunks = maxHamming + 1
     // chunk c covers bits [c*60/chunks, (c+1)*60/chunks) — uneven

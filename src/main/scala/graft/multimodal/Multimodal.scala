@@ -238,7 +238,7 @@ object Multimodal {
       binCol: String,
       idCol: String,
       maxHamming: Int = 4,
-      bucketCap: Int = 1024
+      bucketCap: Int = 0
   ): DataFrame =
     graft.dedup.PortableDedup
       .hammingPairs60(averageHash60(df, binCol, idCol), maxHamming, bucketCap)
@@ -359,7 +359,7 @@ object Multimodal {
       idCol: String,
       maxHamming: Int = 4,
       batchSize: Int = 64,
-      bucketCap: Int = 1024
+      bucketCap: Int = 0
   ): DataFrame =
     graft.dedup.PortableDedup
       .hammingPairs60(decodedAHash60(df, binCol, idCol, batchSize), maxHamming, bucketCap)

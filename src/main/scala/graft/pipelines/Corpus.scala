@@ -306,7 +306,7 @@ object Corpus {
       threshold: Double = 0.95,
       nlist: Int = 64,
       nAssign: Int = 1,
-      bucketCap: Int = 1024,
+      bucketCap: Int = 0,
       seed: Long = 42L
   ): DataFrame = {
     val kept = prepared.where(col("kept"))

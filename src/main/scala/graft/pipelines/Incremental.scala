@@ -92,19 +92,21 @@ object Incremental {
     if (paths.isEmpty) None else Some(spark.read.parquet(paths: _*))
   }
 
-  /** Kept-doc minhash signature tables of every committed batch,
-    * validated against the stored `signatures/_meta` parameters — a
-    * batch near-dupped with different (shingleN, numHashes, bands)
-    * than the stored tables would silently compare apples to oranges,
-    * so a mismatch fails loudly instead.
+  /** Validate the requested signature parameters against the pinned
+    * `signatures/_meta`, writing the pin on first use. Runs on EVERY
+    * [[prepareBatch]] — not just when near-dup is on — because every
+    * batch persists a signature table into the shared tree: a batch
+    * written with different (shingleN, numHashes, bands) would poison
+    * later near-dup runs that pass the _meta check yet band/compare
+    * mismatched signatures, producing wrong Jaccard estimates.
     */
-  private def priorSignatures(
+  private def validateOrPinSignatureMeta(
       spark: SparkSession,
       root: String,
       shingleN: Int,
       numHashes: Int,
       bands: Int
-  ): Option[DataFrame] = {
+  ): Unit = {
     val f = fs(spark, root)
     val metaPath = new org.apache.hadoop.fs.Path(s"$root/signatures/_meta")
     if (f.exists(metaPath)) {
@@ -118,7 +120,27 @@ object Incremental {
           s"bands=${m.getAs[Int]("bands")}); this batch requested " +
           s"($shingleN, $numHashes, $bands) — parameters must match across a root"
       )
+    } else {
+      import spark.implicits._
+      Seq((shingleN, numHashes, bands))
+        .toDF("shingle_n", "num_hashes", "bands")
+        .coalesce(1)
+        .write
+        .mode("overwrite")
+        .parquet(s"$root/signatures/_meta")
     }
+  }
+
+  /** Kept-doc minhash signature tables of every committed batch.
+    * Parameter compatibility with the stored tables is enforced by
+    * [[validateOrPinSignatureMeta]] at the top of every
+    * [[prepareBatch]], before anything is persisted or joined.
+    */
+  private def priorSignatures(
+      spark: SparkSession,
+      root: String
+  ): Option[DataFrame] = {
+    val f = fs(spark, root)
     val paths = committedBatches(spark, root)
       .map(id => s"$root/signatures/batch=$id")
       .filter(p => f.exists(new org.apache.hadoop.fs.Path(p)))
@@ -159,13 +181,18 @@ object Incremental {
       shingleN: Int = 3,
       numHashes: Int = 16,
       bands: Int = 4,
-      priorBucketCap: Int = 1024
+      priorBucketCap: Int = 0
   ): Boolean = {
     requireValidId(batchId)
     nearDupThreshold.foreach(t =>
       require(t > 0.0 && t <= 1.0, s"nearDupThreshold must be in (0, 1], got $t"))
     val spark = docs.sparkSession
     if (isCommitted(spark, root, batchId)) return false
+    // pin-or-check BEFORE any work: this batch will persist a
+    // signature table with these parameters whether or not near-dup
+    // is on, so incompatible params must fail here, not surface as
+    // wrong Jaccard estimates in a later near-dup run
+    validateOrPinSignatureMeta(spark, root, shingleN, numHashes, bands)
     // the funnel retains its fingerprint: the batch output carries it
     // for free (consumers and the fingerprint table need no recompute)
     // and the prior-dedup join below reuses the dedup window's
@@ -181,7 +208,7 @@ object Incremental {
     // candidate side of the signature join and the final write, so it
     // is materialized once instead of executing twice
     val withNear = nearDupThreshold
-      .flatMap(thr => priorSignatures(spark, root, shingleN, numHashes, bands).map((_, thr)))
+      .flatMap(thr => priorSignatures(spark, root).map((_, thr)))
       .fold(withPrior) { case (sigs, thr) =>
         val once = graft.functions.materialize(withPrior)
         val nearIds = graft.dedup.Dedup
@@ -220,15 +247,6 @@ object Incremental {
       .mode("overwrite")
       .parquet(s"$root/signatures/batch=$batchId")
     val f = fs(spark, root)
-    if (!f.exists(new org.apache.hadoop.fs.Path(s"$root/signatures/_meta"))) {
-      import spark.implicits._
-      Seq((shingleN, numHashes, bands))
-        .toDF("shingle_n", "num_hashes", "bands")
-        .coalesce(1)
-        .write
-        .mode("overwrite")
-        .parquet(s"$root/signatures/_meta")
-    }
     f.mkdirs(new org.apache.hadoop.fs.Path(s"$root/_manifest"))
     f.create(marker(root, batchId), true).close()
     true

@@ -1024,7 +1024,7 @@ object Similarity {
       threshold: Double,
       nlist: Int = 64,
       nAssign: Int = 1,
-      bucketCap: Int = 1024,
+      bucketCap: Int = 0,
       seed: Long = 42L,
       trainFraction: Option[Double] = None
   ): DataFrame = {
@@ -1069,7 +1069,7 @@ object Similarity {
       threshold: Double,
       nlist: Int = 64,
       nAssign: Int = 1,
-      bucketCap: Int = 1024,
+      bucketCap: Int = 0,
       seed: Long = 42L,
       trainFraction: Option[Double] = None,
       maxIter: Int = 30

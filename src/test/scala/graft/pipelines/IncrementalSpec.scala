@@ -145,6 +145,25 @@ class IncrementalSpec extends SparkSpec {
     assert(e.getMessage.contains("parameters must match"))
   }
 
+  test("mismatched parameters fail even with near-dup OFF — no silent signature poisoning") {
+    // every batch persists a signature table into the shared tree, so
+    // a near-dup-off batch with different params must be rejected up
+    // front: it would otherwise pass the _meta check in a LATER
+    // near-dup run while its stored signatures band/compare junk
+    val root = java.nio.file.Files.createTempDirectory("increm5b").toString
+    val b1 = Seq((1L, textA)).toDF("doc_id", "text")
+    assert(Incremental.prepareBatch(b1, root, "d1"))
+    val b2 = Seq((2L, textB)).toDF("doc_id", "text")
+    val e = intercept[IllegalArgumentException] {
+      Incremental.prepareBatch(b2, root, "d2", numHashes = 32)
+    }
+    assert(e.getMessage.contains("parameters must match"))
+    // the rejected batch persisted nothing and a matching re-run works
+    assert(!Incremental.isCommitted(spark, root, "d2"))
+    assert(Incremental.prepareBatch(b2, root, "d2"))
+    assert(spark.read.parquet(s"$root/signatures/batch=d2").count() === 1L)
+  }
+
   test("prior-dedup join reuses the funnel window's fingerprint partitioning") {
     // force the merge-join path: at real scale the prior fingerprint
     // union is far past any broadcast threshold, and the claim under
