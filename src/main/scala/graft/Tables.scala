@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.types.LongType
+import org.apache.spark.sql.types.{LongType, TimestampNTZType}
 
 /** Parquet table loader for the driver-provided TPC-H-ish test data. */
 object Tables {
@@ -12,10 +12,26 @@ object Tables {
     // timestamp below (truncation — matches DuckDB's ns→us handling).
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     val df = spark.read.parquet(s"$sfDir/$name.parquet")
-    if (name == "events" && df.schema("ts").dataType == LongType)
-      df.withColumn("ts", timestamp_micros(expr("ts div 1000")))
-    else df
+    if (name == "events") normalizeEventTime(df, "ts") else df
   }
+
+  /** Normalize an event-time column to session-zone TimestampType no
+    * matter which parquet logical type the writer chose. The generator
+    * has shipped both TIMESTAMP(NANOS) (read as raw long nanos under
+    * nanosAsLong) and TIMESTAMP(MICROS, isAdjustedToUTC=false) (read as
+    * TIMESTAMP_NTZ by Spark 4) across regenerations; downstream
+    * queries assume a plain TIMESTAMP they can cast to long. The
+    * session timezone is UTC (LocalSession), so the NTZ→LTZ cast is
+    * value-preserving and matches DuckDB's naive-timestamp reading.
+    */
+  def normalizeEventTime(df: DataFrame, colName: String): DataFrame =
+    df.schema(colName).dataType match {
+      case LongType =>
+        df.withColumn(colName, timestamp_micros(expr(s"`$colName` div 1000")))
+      case TimestampNTZType =>
+        df.withColumn(colName, col(colName).cast("timestamp"))
+      case _ => df
+    }
 
   def lineitem(s: SparkSession, d: String): DataFrame = table(s, d, "lineitem")
   def orders(s: SparkSession, d: String): DataFrame = table(s, d, "orders")

@@ -49,6 +49,19 @@ import org.apache.spark.sql.functions._
   */
 private[graft] object BucketJoin {
 
+  /** Default hot-bucket cap for PIPELINE entry points
+    * ([[graft.pipelines.Corpus.semanticDedupStage]],
+    * [[graft.pipelines.Incremental.prepareBatch]]). The low-level pair
+    * APIs stay exact-by-default (cap 0) — capping is an opt-in recall
+    * trade, and for decontamination a false NEGATIVE is the costly
+    * direction — but the "run this over a whole crawl" surfaces must
+    * not inherit an unbounded |bucket|^2 blowup from a boilerplate
+    * cluster the caller never saw. 4096 sits a few multiples above
+    * any legitimate near-dup family (see the recall study above)
+    * while bounding a hot bucket to ~4096·m candidate rows.
+    */
+  val PipelineDefaultCap = 4096
+
   /** Within-bucket self-pairs of `rows` (columns: keys..., `id`,
     * `sigCol`), id_a < id_b, bounded per bucket by `bucketCap`
     * (0 = unbounded). Output: id_a, id_b, _sa, _sb.

@@ -298,6 +298,15 @@ object Corpus {
     * `prepared` is [[prepareFunnel]] output that also carries an
     * embedding column; returns the same frame with demotions applied
     * — `funnelStats` picks the new reason up unchanged.
+    *
+    * Unlike the low-level [[graft.similarity.Similarity
+    * .semanticDedupPairs]] (exact by default), this PIPELINE entry
+    * point defaults `bucketCap` to
+    * [[graft.dedup.BucketJoin.PipelineDefaultCap]]: a degenerate
+    * embedding cluster in an unvetted crawl must cost O(m), not m^2.
+    * Pass 0 for the exact uncapped sweep. Rows with a NULL `idCol`
+    * skip semantic dedup (pass through undemoted) — identity-based
+    * demotion cannot track them.
     */
   def semanticDedupStage(
       prepared: DataFrame,
@@ -306,7 +315,7 @@ object Corpus {
       threshold: Double = 0.95,
       nlist: Int = 64,
       nAssign: Int = 1,
-      bucketCap: Int = 0,
+      bucketCap: Int = graft.dedup.BucketJoin.PipelineDefaultCap,
       seed: Long = 42L
   ): DataFrame = {
     val kept = prepared.where(col("kept"))
@@ -317,8 +326,15 @@ object Corpus {
       .join(survivors, prepared(idCol) === col("_sem_keep"), "left_outer")
       .withColumn(
         "drop_reason",
-        when(col("kept") && col("_sem_keep").isNull, lit("semantic_duplicate"))
-          .otherwise(col("drop_reason"))
+        // NULL-id guard: a null id can never equi-join the survivor
+        // side, so without it every null-id kept row would be demoted
+        // — silent data loss where all other funnel stages pass
+        // null-id rows through. Null ids skip semantic dedup instead
+        // (they are untrackable by identity, same as the decon stage).
+        when(
+          col("kept") && col(idCol).isNotNull && col("_sem_keep").isNull,
+          lit("semantic_duplicate")
+        ).otherwise(col("drop_reason"))
       )
       .withColumn("kept", col("drop_reason") === "kept")
       .drop("_sem_keep")
@@ -333,7 +349,10 @@ object Corpus {
     * [[semanticDedupStage]]: lexical verdicts keep precedence, the
     * cosine join ([[graft.similarity.Similarity.crossCosineAbove]] —
     * broadcast bench, one survivor scan) prices at the post-funnel
-    * survivor count.
+    * survivor count. Cost is |bench|·|survivors| by construction (no
+    * bucketing to cap — the bench side broadcasts whole). Rows with a
+    * NULL `idCol` pass through undemoted, same as the dedup stage:
+    * identity-based demotion cannot track them.
     */
   def semanticDecontaminationStage(
       prepared: DataFrame,

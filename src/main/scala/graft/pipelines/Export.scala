@@ -132,6 +132,16 @@ object Export {
     * monotone (dates, zero-padded sequence numbers — same contract as
     * [[Incremental]] batch dirs). Shard membership is the pure hash,
     * so a document's shard never depends on which batch delivered it.
+    *
+    * Batch ids are WRITE-ONCE, enforced by a commit marker
+    * (`_batches/<id>`, written after the data — the same pattern as
+    * [[Incremental]]'s `_manifest`): a second append with an
+    * already-committed id returns false and writes NOTHING, because in
+    * append mode it would interleave new part files into the same
+    * `batch=<id>` leaves and silently break the deterministic replay
+    * order the batch sublevel exists to guarantee. A crashed attempt
+    * (data written, no marker) is cleaned up and rewritten on retry.
+    * Returns true when this call appended the batch.
     */
   def appendShards(
       df: DataFrame,
@@ -141,7 +151,7 @@ object Export {
       batchId: String,
       filesPerShard: Int = 1,
       salt: String = "graft"
-  ): Unit = {
+  ): Boolean = {
     require(
       batchId.nonEmpty && batchId.forall(c => c.isLetterOrDigit || c == '-' || c == '_' || c == '.'),
       s"batch id must be path-safe, got '$batchId'"
@@ -150,6 +160,19 @@ object Export {
       nShards.toLong * filesPerShard <= (1L << 20),
       s"nShards * filesPerShard must be <= 2^20, got ${nShards.toLong * filesPerShard}"
     )
+    val spark = df.sparkSession
+    val fs = org.apache.hadoop.fs.FileSystem.get(
+      new java.net.URI(outDir),
+      spark.sparkContext.hadoopConfiguration
+    )
+    val marker = new org.apache.hadoop.fs.Path(s"$outDir/_batches/$batchId")
+    if (fs.exists(marker)) return false
+    // no marker but batch=<id> leaves on disk = a crashed attempt;
+    // delete its leaves so the rewrite cannot double-append rows
+    Option(
+      fs.globStatus(new org.apache.hadoop.fs.Path(s"$outDir/*/*/batch=$batchId"))
+    ).getOrElse(Array.empty)
+      .foreach(s => fs.delete(s.getPath, true))
     shuffleShards(df, idCol, nShards, filesPerShard, salt)
       .withColumn("batch", lit(batchId))
       .repartition(nShards * filesPerShard, col("shard"), col("file_no"))
@@ -158,6 +181,9 @@ object Export {
       .partitionBy("shard", "file_no", "batch")
       .mode("append")
       .parquet(outDir)
+    fs.mkdirs(new org.apache.hadoop.fs.Path(s"$outDir/_batches"))
+    fs.create(marker, true).close()
+    true
   }
 
   /** Curriculum variant of [[exportShards]]: shard membership stays

@@ -99,6 +99,19 @@ object Incremental {
     * written with different (shingleN, numHashes, bands) would poison
     * later near-dup runs that pass the _meta check yet band/compare
     * mismatched signatures, producing wrong Jaccard estimates.
+    *
+    * The pin only BINDS once a batch has committed: if the pinning
+    * batch failed mid-run (meta written, no committed data), a retry
+    * with different parameters re-pins instead of being spuriously
+    * rejected — the stale pin describes signatures that do not exist.
+    *
+    * Concurrency contract: a root has a SINGLE WRITER (the same
+    * contract the `_manifest` commit markers assume — two drivers
+    * preparing batches into one root can interleave marker and data
+    * writes arbitrarily). As a cheap tripwire for the first-pin race,
+    * the pin is re-read after writing and must match the requested
+    * parameters; the overwrite loser fails here instead of committing
+    * signatures that mismatch the surviving pin.
     */
   private def validateOrPinSignatureMeta(
       spark: SparkSession,
@@ -109,18 +122,11 @@ object Incremental {
   ): Unit = {
     val f = fs(spark, root)
     val metaPath = new org.apache.hadoop.fs.Path(s"$root/signatures/_meta")
-    if (f.exists(metaPath)) {
+    def readPin(): (Int, Int, Int) = {
       val m = spark.read.parquet(s"$root/signatures/_meta").head
-      require(
-        m.getAs[Int]("shingle_n") == shingleN &&
-          m.getAs[Int]("num_hashes") == numHashes &&
-          m.getAs[Int]("bands") == bands,
-        s"stored signatures under $root/signatures were built with " +
-          s"(shingleN=${m.getAs[Int]("shingle_n")}, numHashes=${m.getAs[Int]("num_hashes")}, " +
-          s"bands=${m.getAs[Int]("bands")}); this batch requested " +
-          s"($shingleN, $numHashes, $bands) — parameters must match across a root"
-      )
-    } else {
+      (m.getAs[Int]("shingle_n"), m.getAs[Int]("num_hashes"), m.getAs[Int]("bands"))
+    }
+    def writePin(): Unit = {
       import spark.implicits._
       Seq((shingleN, numHashes, bands))
         .toDF("shingle_n", "num_hashes", "bands")
@@ -128,6 +134,27 @@ object Incremental {
         .write
         .mode("overwrite")
         .parquet(s"$root/signatures/_meta")
+      val back = readPin()
+      require(
+        back == ((shingleN, numHashes, bands)),
+        s"signature _meta read-back mismatch under $root: wrote " +
+          s"($shingleN, $numHashes, $bands), found $back — concurrent " +
+          s"first-time writers? A root must have a single writer."
+      )
+    }
+    if (!f.exists(metaPath)) writePin()
+    else {
+      val pinned = readPin()
+      if (pinned != ((shingleN, numHashes, bands))) {
+        if (committedBatches(spark, root).isEmpty) writePin() // stale pin from a failed first batch
+        else
+          throw new IllegalArgumentException(
+            s"stored signatures under $root/signatures were built with " +
+              s"(shingleN=${pinned._1}, numHashes=${pinned._2}, bands=${pinned._3}); " +
+              s"this batch requested ($shingleN, $numHashes, $bands) — " +
+              s"parameters must match across a root"
+          )
+      }
     }
   }
 
@@ -165,6 +192,13 @@ object Incremental {
     * fails loudly. Near-dup WITHIN a batch is out of scope here (the
     * funnel dedups exact only); run [[graft.dedup.Dedup.nearDupSweep]]
     * on a batch first if in-batch near-dups matter.
+    *
+    * `priorBucketCap` defaults to
+    * [[graft.dedup.BucketJoin.PipelineDefaultCap]] (unlike the
+    * low-level pair APIs, which are exact by default): this is a
+    * long-lived, every-batch entry point over unvetted crawl data, and
+    * one boilerplate band bucket shared by 10^6 prior docs must not
+    * become a quadratic join. Pass 0 for the exact uncapped join.
     */
   def prepareBatch(
       docs: DataFrame,
@@ -181,7 +215,7 @@ object Incremental {
       shingleN: Int = 3,
       numHashes: Int = 16,
       bands: Int = 4,
-      priorBucketCap: Int = 0
+      priorBucketCap: Int = graft.dedup.BucketJoin.PipelineDefaultCap
   ): Boolean = {
     requireValidId(batchId)
     nearDupThreshold.foreach(t =>

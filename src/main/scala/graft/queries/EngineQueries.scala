@@ -726,7 +726,8 @@ object EngineQueries extends QueryPack {
           "_new_session",
           when(
             col("_prev").isNull ||
-              col("ts").cast("long") - col("_prev").cast("long") > 1800,
+              col("ts").cast("timestamp").cast("long") -
+              col("_prev").cast("timestamp").cast("long") > 1800,
             1L
           ).otherwise(0L)
         )
@@ -734,7 +735,8 @@ object EngineQueries extends QueryPack {
         .groupBy(col("user_id"), col("session_id"))
         .agg(
           count(lit(1)).as("n_events"),
-          (max(col("ts")).cast("long") - min(col("ts")).cast("long"))
+          (max(col("ts")).cast("timestamp").cast("long") -
+            min(col("ts")).cast("timestamp").cast("long"))
             .as("duration_s")
         )
         .groupBy(col("user_id"))

@@ -42,7 +42,8 @@ object Similarity {
       corpus: DataFrame,
       idCol: String,
       vecCol: String,
-      k: Int
+      k: Int,
+      excludeSelfMatch: Boolean = true
   ): DataFrame = {
     // Norms are materialized per ROW before the join — computing them
     // inside the pair expression would redo |corpus| norm folds per
@@ -61,7 +62,9 @@ object Similarity {
     val w = Window
       .partitionBy(col("query_id"))
       .orderBy(col("sim").desc, col("neighbor_id"))
-    c.join(broadcast(q), col("query_id") =!= col("neighbor_id"))
+    val cond =
+      if (excludeSelfMatch) col("query_id") =!= col("neighbor_id") else lit(true)
+    c.join(broadcast(q), cond)
       .withColumn(
         "sim",
         round6(dot(col("_qv"), col("_cv")) / (col("_qn") * col("_cn")))
@@ -338,7 +341,8 @@ object Similarity {
       nlist: Int = 16,
       nprobe: Int = 4,
       seed: Long = 42L,
-      trainFraction: Option[Double] = None
+      trainFraction: Option[Double] = None,
+      excludeSelfMatch: Boolean = true
   ): DataFrame = {
     val cents = fitIvfCentroids(corpus, vecCol, nlist, seed, trainFraction)
 
@@ -373,7 +377,7 @@ object Similarity {
         col("_qn"),
         explode(col("_probes")).as("_cell")
       )
-    rankWithinCells(c, q, k)
+    rankWithinCells(c, q, k, excludeSelfMatch)
   }
 
   /** The IVF probe tail shared by [[ivfTopK]] and [[ivfQueryIndex]]:
@@ -382,12 +386,22 @@ object Similarity {
     * bounded per-query top-k. `c`: (neighbor_id, _cv, _cn, _cell);
     * `q`: (query_id, _qv, _qn, _cell).
     */
-  private def rankWithinCells(c: DataFrame, q: DataFrame, k: Int): DataFrame = {
+  private def rankWithinCells(
+      c: DataFrame,
+      q: DataFrame,
+      k: Int,
+      excludeSelf: Boolean
+  ): DataFrame = {
     val w = Window
       .partitionBy(col("query_id"))
       .orderBy(col("sim").desc, col("neighbor_id"))
-    c.join(broadcast(q), Seq("_cell"))
-      .where(col("query_id") =!= col("neighbor_id"))
+    val joined = c.join(broadcast(q), Seq("_cell"))
+    // Self-match suppression is only correct when queries and corpus
+    // share an id space (self-ANN). An EXTERNAL query set can reuse an
+    // id that belongs to an unrelated corpus row; dropping that pair
+    // would silently suppress a genuine nearest neighbor.
+    (if (excludeSelf) joined.where(col("query_id") =!= col("neighbor_id"))
+     else joined)
       .withColumn(
         "sim",
         round6(dot(col("_qv"), col("_cv")) / (col("_qn") * col("_cn")))
@@ -884,6 +898,13 @@ object Similarity {
     * filter, so the parquet listing itself skips every unprobed cell
     * directory. The probed-cells scan then joins the broadcast query
     * side exactly like [[ivfTopK]].
+    *
+    * `excludeSelfMatch` defaults OFF here (the opposite of
+    * [[ivfTopK]]): a persisted index is typically probed by EXTERNAL
+    * query sets whose id space is unrelated to the index's, and an
+    * accidental id collision must not suppress a genuine neighbor.
+    * Flip it on when probing an index with rows of the indexed corpus
+    * itself (self-ANN over a persisted index).
     */
   def ivfQueryIndex(
       queries: DataFrame,
@@ -891,7 +912,8 @@ object Similarity {
       vecCol: String,
       path: String,
       k: Int,
-      nprobe: Int = 4
+      nprobe: Int = 4,
+      excludeSelfMatch: Boolean = false
   ): DataFrame = {
     val spark = queries.sparkSession
     val cents = loadCentroids(spark, path)
@@ -910,7 +932,7 @@ object Similarity {
       .parquet(s"$path/cells")
       .where(col("cell").isin(probed.toIndexedSeq: _*))
       .withColumnRenamed("cell", "_cell")
-    rankWithinCells(c, q, k)
+    rankWithinCells(c, q, k, excludeSelfMatch)
   }
 
   /** Symmetric int8 quantization of an embedding — the 4x storage/

@@ -56,6 +56,50 @@ class CorpusSpec extends SparkSpec {
       Seq(true, false, false, true))
   }
 
+  test("null-id kept rows pass through both semantic stages undemoted") {
+    // r7 ADVICE defect: a kept row with NULL id can never equi-join
+    // the survivor side, so the dedup stage demoted it unconditionally
+    // — silent data loss where every other stage passes null ids
+    // through. Null ids now SKIP semantic dedup instead.
+    val docs = Seq(
+      (java.lang.Long.valueOf(1L), goodText, Array(1.0f, 0.0f)),
+      (null.asInstanceOf[java.lang.Long], goodText.replace("fox", "owl"), Array(0.0f, 1.0f))
+    ).toDF("doc_id", "text", "embedding")
+    val prepared = Corpus.prepareFunnel(docs)
+    val deduped = Corpus
+      .semanticDedupStage(prepared, "embedding", threshold = 0.9, nlist = 1)
+      .collect()
+    assert(deduped.forall(_.getAs[String]("drop_reason") === "kept"),
+      deduped.map(r => (r.get(0), r.getAs[String]("drop_reason"))).toSeq.toString)
+    val bench = Seq((100L, Array(0.0f, 1.0f))).toDF("doc_id", "embedding")
+    val decon = Corpus
+      .semanticDecontaminationStage(prepared, bench, "embedding", threshold = 0.9)
+      .collect()
+    // the null-id row IS semantically near the bench vector, but
+    // identity-based demotion cannot track it: documented pass-through
+    val nullRow = decon.find(_.isNullAt(0)).get
+    assert(nullRow.getAs[String]("drop_reason") === "kept")
+  }
+
+  test("a planted hot embedding cluster stays O(m) through the funnel's semantic stage") {
+    // 5000 identical-embedding docs: uncapped, the within-cell join
+    // would emit ~12.5M pairs; with the pipeline default cap the star
+    // fallback emits m-1. Identical-content clusters collapse EXACTLY
+    // (star semantics) — one survivor, min id wins.
+    val m = 5000
+    assert(m > graft.dedup.BucketJoin.PipelineDefaultCap)
+    val rows = (0 until m).map(i => (i.toLong, Array(1.0f, 0.0f)))
+    val df = rows.toDF("vec_id", "embedding")
+    val pairs = graft.similarity.Similarity
+      .semanticDedupPairs(df, "vec_id", "embedding", threshold = 0.9,
+        nlist = 1, bucketCap = graft.dedup.BucketJoin.PipelineDefaultCap)
+    assert(pairs.count() === (m - 1).toLong, "hot cell must emit star pairs, not m^2")
+    val survivors = graft.similarity.Similarity
+      .semanticDedupSweep(df, "vec_id", "embedding", threshold = 0.9,
+        nlist = 1, bucketCap = graft.dedup.BucketJoin.PipelineDefaultCap)
+    assert(survivors.count() === 1L)
+  }
+
   test("semantic decontamination stage demotes kept near-benchmark docs only") {
     val docs = Seq(
       (1L, goodText, Array(1.0f, 0.0f)), // semantically = benchmark

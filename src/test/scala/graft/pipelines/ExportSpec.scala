@@ -126,6 +126,29 @@ class ExportSpec extends SparkSpec {
       Export.appendShards(docs(1), "doc_id", dir, 4, batchId = "../evil"))
   }
 
+  test("appendShards is write-once per batch id — a reused id is a committed no-op") {
+    val dir = java.nio.file.Files.createTempDirectory("appshards-once").toString
+    assert(Export.appendShards(docs(100), "doc_id", dir, nShards = 2, batchId = "b01"))
+    val firstFiles = spark.read.parquet(dir).inputFiles.sorted.toSeq
+    // reusing the id must write NOTHING: in append mode it would
+    // interleave part files inside the same batch leaves and break
+    // deterministic replay
+    assert(!Export.appendShards(docs(100), "doc_id", dir, nShards = 2, batchId = "b01"))
+    assert(spark.read.parquet(dir).inputFiles.sorted.toSeq === firstFiles)
+    assert(spark.read.parquet(dir).count() === 100)
+    // a crashed attempt (leaves on disk, no marker) is cleaned and rewritten
+    val fs = org.apache.hadoop.fs.FileSystem.get(
+      new java.net.URI(dir), spark.sparkContext.hadoopConfiguration)
+    fs.delete(new org.apache.hadoop.fs.Path(s"$dir/_batches/b02"), false)
+      : Unit // ensure absent
+    assert(Export.appendShards(docs(150), "doc_id", dir, nShards = 2, batchId = "b02"))
+    fs.delete(new org.apache.hadoop.fs.Path(s"$dir/_batches/b02"), false)
+    assert(Export.appendShards(docs(150), "doc_id", dir, nShards = 2, batchId = "b02"),
+      "retry after crash (no marker) must rewrite the batch")
+    assert(spark.read.parquet(dir).where(col("batch") === "b02").count() === 150)
+    assert(spark.read.parquet(dir).count() === 250)
+  }
+
   test("shard assignment is a scan-side projection — no exchange in the plan") {
     val plan = Export
       .shuffleShards(docs(100), "doc_id", 8, filesPerShard = 4)

@@ -164,6 +164,27 @@ class IncrementalSpec extends SparkSpec {
     assert(spark.read.parquet(s"$root/signatures/batch=d2").count() === 1L)
   }
 
+  test("a stale pin from a failed first batch re-pins; a committed pin binds") {
+    // failure mode: the pinning batch wrote _meta, then died before
+    // committing any data. The pin describes signatures that do not
+    // exist, so a retry with different parameters must re-pin, not be
+    // spuriously rejected.
+    val root = java.nio.file.Files.createTempDirectory("increm-repin").toString
+    Seq((99, 99, 9)).toDF("shingle_n", "num_hashes", "bands")
+      .coalesce(1).write.parquet(s"$root/signatures/_meta")
+    val b1 = Seq((1L, textA)).toDF("doc_id", "text")
+    assert(Incremental.prepareBatch(b1, root, "d1")) // defaults != stale pin
+    val m = spark.read.parquet(s"$root/signatures/_meta").head
+    assert((m.getAs[Int]("shingle_n"), m.getAs[Int]("num_hashes"), m.getAs[Int]("bands")) === ((3, 16, 4)),
+      "retry must overwrite the unbacked pin with its own parameters")
+    // once a batch HAS committed, the pin binds: mismatch now fails
+    val e = intercept[IllegalArgumentException] {
+      Incremental.prepareBatch(Seq((2L, textB)).toDF("doc_id", "text"),
+        root, "d2", numHashes = 32)
+    }
+    assert(e.getMessage.contains("parameters must match"))
+  }
+
   test("prior-dedup join reuses the funnel window's fingerprint partitioning") {
     // force the merge-join path: at real scale the prior fingerprint
     // union is far past any broadcast threshold, and the claim under

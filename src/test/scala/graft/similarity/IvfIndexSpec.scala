@@ -23,7 +23,8 @@ class IvfIndexSpec extends SparkSpec {
     Similarity.ivfWriteIndex(corpus, "vec_id", "embedding", dir, nlist = 4)
     val queries = corpus.where($"vec_id".isin(0L, 250L))
     val fromIndex = Similarity
-      .ivfQueryIndex(queries, "vec_id", "embedding", dir, k = 5, nprobe = 2)
+      .ivfQueryIndex(queries, "vec_id", "embedding", dir, k = 5, nprobe = 2,
+        excludeSelfMatch = true) // self-ANN: queries ARE corpus rows
       .orderBy("query_id", "rank")
       .collect()
       .toSeq
@@ -33,6 +34,28 @@ class IvfIndexSpec extends SparkSpec {
       .collect()
       .toSeq
     assert(fromIndex === live)
+  }
+
+  test("an external query id colliding with an unrelated corpus id still gets that neighbor") {
+    // r7 ADVICE defect: the shared probe tail unconditionally dropped
+    // query_id == neighbor_id, so an EXTERNAL query set reusing id 0
+    // silently lost corpus row 0 even when it was the true nearest
+    // neighbor. ivfQueryIndex now defaults excludeSelfMatch = false.
+    val dir = java.nio.file.Files.createTempDirectory("ivfidx-collide").toString
+    Similarity.ivfWriteIndex(clustered, "vec_id", "embedding", dir, nlist = 4)
+    // external query: same id as corpus row 0, vector aimed straight at
+    // corpus row 0's direction (10, 0, 0) — row 0 is a cosine-1.0 match
+    val external = Seq((0L, Array(20.0, 0.0, 0.0))).toDF("vec_id", "embedding")
+    val out = Similarity
+      .ivfQueryIndex(external, "vec_id", "embedding", dir, k = 5, nprobe = 2)
+      .select("neighbor_id").as[Long].collect()
+    assert(out.contains(0L), s"corpus row 0 suppressed by id collision: ${out.toSeq}")
+    // and the self-ANN flavor still excludes the genuine self-row
+    val self = Similarity
+      .ivfQueryIndex(clustered.where($"vec_id" === 0L), "vec_id", "embedding",
+        dir, k = 5, nprobe = 2, excludeSelfMatch = true)
+      .select("neighbor_id").as[Long].collect()
+    assert(!self.contains(0L))
   }
 
   test("a probe scans only the probed cell partitions") {
@@ -186,7 +209,8 @@ class IvfIndexSpec extends SparkSpec {
     val all = regionA.union(regionB)
     val queries = all.where($"vec_id".isin(0L, 1000L))
     val fromIndex = Similarity
-      .ivfQueryIndex(queries, "vec_id", "embedding", dir, k = 3, nprobe = 4)
+      .ivfQueryIndex(queries, "vec_id", "embedding", dir, k = 3, nprobe = 4,
+        excludeSelfMatch = true) // self-ANN: queries ARE corpus rows
       .orderBy("query_id", "rank").collect().toSeq
     val brute = Similarity
       .bruteForceTopK(queries, all, "vec_id", "embedding", k = 3)

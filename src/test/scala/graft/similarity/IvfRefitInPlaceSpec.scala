@@ -87,7 +87,8 @@ class IvfRefitInPlaceSpec extends SparkSpec {
     val all = base.union(blob)
     val queries = all.where($"vec_id".isin(0L, 1000L))
     val fromIndex = Similarity
-      .ivfQueryIndex(queries, "vec_id", "embedding", dir, k = 3, nprobe = 4)
+      .ivfQueryIndex(queries, "vec_id", "embedding", dir, k = 3, nprobe = 4,
+        excludeSelfMatch = true) // self-ANN: queries ARE corpus rows
       .orderBy("query_id", "rank").collect().toSeq
     val brute = Similarity
       .bruteForceTopK(queries, all, "vec_id", "embedding", k = 3)

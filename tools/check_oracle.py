@@ -7,6 +7,7 @@ Usage: python3 tools/check_oracle.py <sfDir> <verifyOutDir> [query ...]
 import glob
 import json
 import math
+import os
 import sys
 
 import duckdb
@@ -34,6 +35,40 @@ def main():
         con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'")
     oracle = json.load(open(f"{out_dir}/oracle_sql.json"))
     n_pass = n_fail = 0
+    # Every key Verify could not produce is RED here, whether or not it
+    # has an oracle: r8's q_sessionize broke at analysis time, vanished
+    # from the correctness file, and read as "123 keys, all green"
+    # instead of a failure. verify_errors.json is written by Verify for
+    # exactly this purpose.
+    try:
+        verify_errors = json.load(open(f"{out_dir}/verify_errors.json"))
+    except FileNotFoundError:
+        verify_errors = {}
+    for name, err in sorted(verify_errors.items()):
+        if only and name not in only:
+            continue
+        print(f"FAIL {name}: verify error: {err[:200]}")
+        n_fail += 1
+    # Rows-only keys (output dir, no oracle — declared non-SQL ops)
+    # still gate on rows > 0, mirroring the driver's weaker check.
+    produced = {
+        os.path.basename(d)
+        for d in glob.glob(f"{out_dir}/*")
+        if os.path.isdir(d)
+    }
+    for name in sorted(produced - set(oracle) - set(verify_errors)):
+        if only and name not in only:
+            continue
+        files = sorted(glob.glob(f"{out_dir}/{name}/*.parquet"))
+        n = con.execute(
+            "SELECT count(*) FROM read_parquet([" + ",".join(f"'{f}'" for f in files) + "])"
+        ).fetchone()[0] if files else 0
+        if n > 0:
+            print(f"PASS {name} (rows-only, {n} rows)")
+            n_pass += 1
+        else:
+            print(f"FAIL {name}: rows-only key produced 0 rows")
+            n_fail += 1
     for name, sql in sorted(oracle.items()):
         if only and name not in only:
             continue
