@@ -101,11 +101,18 @@ object Bench {
         }
         val kept = graft.pipelines.Incremental.preparedCorpus(spark, root).count()
         val sec = (System.nanoTime() - t0) / 1e9
+        // dedup-state compaction priced separately: the op a long-lived
+        // root runs periodically, not per batch
+        val tc0 = System.nanoTime()
+        val compacted = graft.pipelines.Incremental
+          .compactState(spark, root, targetFiles = 4)
+          .map(r => s""","compact_sec":${ms((System.nanoTime() - tc0) / 1e9)},"compact_upto":"${r.upto}"""")
+          .getOrElse("")
         val p = new org.apache.hadoop.fs.Path(root)
         p.getFileSystem(spark.sparkContext.hadoopConfiguration).delete(p, true)
         spark.catalog.clearCache()
         System.gc()
-        s"""{"sec":${ms(sec)},"batches":3,"kept":$kept}"""
+        s"""{"sec":${ms(sec)},"batches":3,"kept":$kept$compacted}"""
       } catch {
         case e: Throwable => s"""{"error":"${e.getClass.getSimpleName}"}"""
       }

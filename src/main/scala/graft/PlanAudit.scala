@@ -51,7 +51,16 @@ object PlanAudit {
     * exemption; everything else must prove boundedness in the plan.
     */
   val contractBounded: Set[String] =
-    Set("ann_bruteforce_topk", "ann_quantized_topk", "dedup_embedding_decontaminate")
+    Set(
+      "ann_bruteforce_topk",
+      "ann_quantized_topk",
+      "dedup_embedding_decontaminate",
+      // PQ's candidate pass broadcasts the query side's (id, ADC
+      // table) against the corpus CODES — same contract as brute
+      // force, at m ints per corpus row instead of the float vector
+      "ann_pq_topk",
+      "ann_pq_topk_exact"
+    )
 
   /** Names of nested-loop joins in `df` whose boundedness neither side
     * proves (empty = the plan passes the audit).

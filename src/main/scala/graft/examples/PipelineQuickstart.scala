@@ -118,6 +118,12 @@ object PipelineQuickstart {
     Similarity
       .ivfQueryIndex(emb.limit(2), "vec_id", "embedding", idxDir, k = 3, nprobe = 2)
       .show(truncate = false)
+    // IVF-PQ sidecar: probes scan m ints + a norm per row in the
+    // probed cells, exact-cosine rerank recovers full precision
+    Similarity.ivfAttachPq(spark, idxDir, m = 8, ksub = 32)
+    Similarity
+      .ivfPqQueryIndex(emb.limit(2), "vec_id", "embedding", idxDir, k = 3, nprobe = 2)
+      .show(truncate = false)
 
     // E: mixture sampling — k docs per source, weighted by length
     // (deterministic: rerunning reproduces the same sample), and a

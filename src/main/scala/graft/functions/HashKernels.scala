@@ -189,4 +189,99 @@ object HashKernels {
     }
     new GenericArrayData(out)
   }
+
+  /** Copy the first `dim` doubles of `v` out, or null for ragged /
+    * null-slot vectors — the shared dirty-input contract of every
+    * vector kernel here ([[nearestCells]], the PQ family).
+    */
+  private def densePrefix(v: ArrayData, dim: Int): Array[Double] = {
+    if (v.numElements() < dim) return null
+    val vv = new Array[Double](dim)
+    var i = 0
+    while (i < dim) {
+      if (v.isNullAt(i)) return null
+      vv(i) = v.getDouble(i)
+      i += 1
+    }
+    vv
+  }
+
+  /** Product-quantization encode: for each of the `m` subspaces of
+    * width `subDim`, the id of the nearest (squared L2) of its `ksub`
+    * sub-centroids. `books` is the codebook tensor flattened
+    * subspace-major: entry (mi, kj, d) at mi*ksub*subDim + kj*subDim
+    * + d. Output: m codes in [0, ksub). Null for ragged/null-slot
+    * vectors (same contract as [[nearestCells]]).
+    */
+  def pqEncode(v: ArrayData, books: Array[Double], m: Int, ksub: Int, subDim: Int): ArrayData = {
+    val vv = densePrefix(v, m * subDim)
+    if (vv == null) return null
+    val out = new Array[Int](m)
+    var mi = 0
+    while (mi < m) {
+      val vOff = mi * subDim
+      var best = 0
+      var bestD = Double.PositiveInfinity
+      var kj = 0
+      while (kj < ksub) {
+        val bOff = (mi * ksub + kj) * subDim
+        var d = 0.0
+        var i = 0
+        while (i < subDim) {
+          val diff = vv(vOff + i) - books(bOff + i)
+          d += diff * diff
+          i += 1
+        }
+        if (d < bestD) { bestD = d; best = kj }
+        kj += 1
+      }
+      out(mi) = best
+      mi += 1
+    }
+    new GenericArrayData(out)
+  }
+
+  /** Asymmetric-distance table for one query vector: dot products of
+    * each query subvector with every sub-centroid, flattened like the
+    * codebook (entry (mi, kj) at mi*ksub + kj). One table per QUERY
+    * row; candidate scoring is then `m` lookups ([[pqAdcDot]]) instead
+    * of a `dim`-wide float dot — the PQ bandwidth win.
+    */
+  def pqAdcTable(v: ArrayData, books: Array[Double], m: Int, ksub: Int, subDim: Int): ArrayData = {
+    val vv = densePrefix(v, m * subDim)
+    if (vv == null) return null
+    val out = new Array[Double](m * ksub)
+    var mi = 0
+    while (mi < m) {
+      val vOff = mi * subDim
+      var kj = 0
+      while (kj < ksub) {
+        val bOff = (mi * ksub + kj) * subDim
+        var s = 0.0
+        var i = 0
+        while (i < subDim) { s += vv(vOff + i) * books(bOff + i); i += 1 }
+        out(mi * ksub + kj) = s
+        kj += 1
+      }
+      mi += 1
+    }
+    new GenericArrayData(out)
+  }
+
+  /** ADC score: sum over subspaces of the query table entry for the
+    * candidate's code — dot(query, reconstruction(codes)) in m adds.
+    * `codes` comes from [[pqEncode]], `table` from [[pqAdcTable]]
+    * built with the same codebooks, so bounds hold by construction.
+    */
+  def pqAdcDot(codes: ArrayData, table: ArrayData, ksub: Int): Double = {
+    val m = codes.numElements()
+    var s = 0.0
+    var mi = 0
+    while (mi < m) {
+      s += table.getDouble(mi * ksub + codes.getInt(mi))
+      mi += 1
+    }
+    s
+  }
+
 }

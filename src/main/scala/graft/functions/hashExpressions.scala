@@ -331,4 +331,178 @@ object hashExpressions {
     GraftColumnBridge.column(
       NearestCells(GraftColumnBridge.expression(vec), centroids, take)
     )
+
+  /** Shared shape of the PQ codebook-bound expressions: the codebook
+    * tensor `books(m)(ksub)(subDim)` is a PLAN-TIME constant (fit on a
+    * bounded driver sample, like [[NearestCells]]'s centroids),
+    * flattened subspace-major and bound once into generated code via
+    * `addReferenceObj` — never serialized per row.
+    */
+  private[functions] trait PqCodebooks {
+    def books: Array[Array[Array[Double]]]
+    require(
+      books.nonEmpty && books.forall(_.length == books.head.length) &&
+        books.head.nonEmpty && books.flatten.forall(_.length == books.head.head.length),
+      "PQ codebooks must be a non-empty rectangular (m, ksub, subDim) tensor"
+    )
+    protected final val m: Int = books.length
+    protected final val ksub: Int = books.head.length
+    protected final val subDim: Int = books.head.head.length
+    protected final lazy val flat: Array[Double] = {
+      val f = new Array[Double](m * ksub * subDim)
+      var mi = 0
+      while (mi < m) {
+        var kj = 0
+        while (kj < ksub) {
+          System.arraycopy(books(mi)(kj), 0, f, (mi * ksub + kj) * subDim, subDim)
+          kj += 1
+        }
+        mi += 1
+      }
+      f
+    }
+  }
+
+  /** `pqEncode(vec)`: the m nearest-sub-centroid codes of a vector —
+    * the product-quantization compression step
+    * ([[graft.similarity.Similarity.pqTopK]]). Null for ragged/
+    * null-slot vectors, same contract as [[NearestCells]].
+    */
+  case class PqEncode(child: Expression, books: Array[Array[Array[Double]]])
+      extends UnaryExpression
+      with PqCodebooks {
+
+    override def prettyName: String = "pq_encode"
+    override def dataType: DataType = ArrayType(IntegerType, containsNull = false)
+    override def nullable: Boolean = true
+
+    override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+      case ArrayType(DoubleType, _) => TypeCheckResult.TypeCheckSuccess
+      case other =>
+        TypeCheckResult.TypeCheckFailure(
+          s"$prettyName requires array<double>, got ${other.catalogString}"
+        )
+    }
+
+    override protected def nullSafeEval(input: Any): Any =
+      HashKernels.pqEncode(input.asInstanceOf[ArrayData], flat, m, ksub, subDim)
+
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+      val booksRef = ctx.addReferenceObj("pqBooks", flat, "double[]")
+      nullSafeCodeGen(
+        ctx,
+        ev,
+        c => {
+          val tmp = ctx.freshName("codes")
+          s"""
+          org.apache.spark.sql.catalyst.util.ArrayData $tmp =
+            $kernels.pqEncode($c, $booksRef, $m, $ksub, $subDim);
+          ${ev.isNull} = ($tmp == null);
+          if (!${ev.isNull}) { ${ev.value} = $tmp; }
+          """
+        }
+      )
+    }
+
+    override protected def withNewChildInternal(newChild: Expression): PqEncode =
+      copy(child = newChild)
+  }
+
+  /** `pqAdcTable(vec)`: the asymmetric-distance table of a QUERY
+    * vector — dot of each query subvector with every sub-centroid
+    * (m·ksub doubles). Computed once per query row on the broadcast
+    * side; candidate scoring then costs m array lookups
+    * ([[PqAdcDot]]).
+    */
+  case class PqAdcTable(child: Expression, books: Array[Array[Array[Double]]])
+      extends UnaryExpression
+      with PqCodebooks {
+
+    override def prettyName: String = "pq_adc_table"
+    override def dataType: DataType = ArrayType(DoubleType, containsNull = false)
+    override def nullable: Boolean = true
+
+    override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+      case ArrayType(DoubleType, _) => TypeCheckResult.TypeCheckSuccess
+      case other =>
+        TypeCheckResult.TypeCheckFailure(
+          s"$prettyName requires array<double>, got ${other.catalogString}"
+        )
+    }
+
+    override protected def nullSafeEval(input: Any): Any =
+      HashKernels.pqAdcTable(input.asInstanceOf[ArrayData], flat, m, ksub, subDim)
+
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+      val booksRef = ctx.addReferenceObj("pqBooks", flat, "double[]")
+      nullSafeCodeGen(
+        ctx,
+        ev,
+        c => {
+          val tmp = ctx.freshName("adcTab")
+          s"""
+          org.apache.spark.sql.catalyst.util.ArrayData $tmp =
+            $kernels.pqAdcTable($c, $booksRef, $m, $ksub, $subDim);
+          ${ev.isNull} = ($tmp == null);
+          if (!${ev.isNull}) { ${ev.value} = $tmp; }
+          """
+        }
+      )
+    }
+
+    override protected def withNewChildInternal(newChild: Expression): PqAdcTable =
+      copy(child = newChild)
+  }
+
+  /** `pqAdcDot(codes, table)`: sum of the table entries the codes
+    * select — dot(query, reconstruction(candidate)) in m adds. `ksub`
+    * must be the codebook width both inputs were built with.
+    */
+  case class PqAdcDot(left: Expression, right: Expression, ksub: Int)
+      extends org.apache.spark.sql.catalyst.expressions.BinaryExpression {
+    require(ksub > 0, "pqAdcDot needs ksub > 0")
+
+    override def prettyName: String = "pq_adc_dot"
+    override def dataType: DataType = DoubleType
+
+    override def checkInputDataTypes(): TypeCheckResult =
+      (left.dataType, right.dataType) match {
+        case (ArrayType(IntegerType, _), ArrayType(DoubleType, _)) =>
+          TypeCheckResult.TypeCheckSuccess
+        case _ =>
+          TypeCheckResult.TypeCheckFailure(
+            s"$prettyName requires (array<int> codes, array<double> table)"
+          )
+      }
+
+    override protected def nullSafeEval(a: Any, b: Any): Any =
+      HashKernels.pqAdcDot(a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData], ksub)
+
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+      nullSafeCodeGen(
+        ctx,
+        ev,
+        (a, b) => s"${ev.value} = $kernels.pqAdcDot($a, $b, $ksub);"
+      )
+
+    override protected def withNewChildrenInternal(
+        newLeft: Expression,
+        newRight: Expression
+    ): PqAdcDot = copy(left = newLeft, right = newRight)
+  }
+
+  def pqEncode(vec: Column, books: Array[Array[Array[Double]]]): Column =
+    GraftColumnBridge.column(PqEncode(GraftColumnBridge.expression(vec), books))
+
+  def pqAdcTable(vec: Column, books: Array[Array[Array[Double]]]): Column =
+    GraftColumnBridge.column(PqAdcTable(GraftColumnBridge.expression(vec), books))
+
+  def pqAdcDot(codes: Column, table: Column, ksub: Int): Column =
+    GraftColumnBridge.column(
+      PqAdcDot(
+        GraftColumnBridge.expression(codes),
+        GraftColumnBridge.expression(table),
+        ksub
+      )
+    )
 }

@@ -77,18 +77,61 @@ object Incremental {
     else f.listStatus(dir).map(_.getPath.getName).toSeq.sorted
   }
 
+  /** The newest COMMITTED compaction under `tree` (`fingerprints` or
+    * `signatures`): the `_compacted/upto=<id>` directory with the
+    * highest id that carries Spark's `_SUCCESS` marker — a crashed
+    * compaction write has no `_SUCCESS` and is invisible. Returns
+    * (upto, path).
+    */
+  private def latestCompaction(
+      spark: SparkSession,
+      root: String,
+      tree: String
+  ): Option[(String, String)] = {
+    val f = fs(spark, root)
+    val dir = new org.apache.hadoop.fs.Path(s"$root/$tree/_compacted")
+    if (!f.exists(dir)) None
+    else
+      f.listStatus(dir)
+        .map(_.getPath)
+        .filter(p => p.getName.startsWith("upto=") &&
+          f.exists(new org.apache.hadoop.fs.Path(p, "_SUCCESS")))
+        .map(p => (p.getName.stripPrefix("upto="), p.toString))
+        .sortBy(_._1)
+        .lastOption
+  }
+
+  /** Committed per-batch directories of `tree` NOT covered by the
+    * given compaction watermark — the tail a reader unions on top of
+    * the compacted table.
+    */
+  private def tailPaths(
+      spark: SparkSession,
+      root: String,
+      tree: String,
+      after: Option[String]
+  ): Seq[String] = {
+    val f = fs(spark, root)
+    committedBatches(spark, root)
+      .filter(id => after.forall(id > _))
+      .map(id => s"$root/$tree/batch=$id")
+      .filter(p => f.exists(new org.apache.hadoop.fs.Path(p)))
+  }
+
   /** Kept-doc fingerprints of every committed batch — read by explicit
     * committed paths, so an uncommitted (crashed) directory can never
-    * leak into dedup.
+    * leak into dedup. When a [[compactState]] overlay exists, the
+    * compacted table stands in for every batch at or below its
+    * watermark: one directory instead of hundreds, the small-files
+    * fix for long-lived roots.
     */
   private def priorFingerprints(
       spark: SparkSession,
       root: String
   ): Option[DataFrame] = {
-    val f = fs(spark, root)
-    val paths = committedBatches(spark, root)
-      .map(id => s"$root/fingerprints/batch=$id")
-      .filter(p => f.exists(new org.apache.hadoop.fs.Path(p)))
+    val compacted = latestCompaction(spark, root, "fingerprints")
+    val paths = compacted.map(_._2).toSeq ++
+      tailPaths(spark, root, "fingerprints", compacted.map(_._1))
     if (paths.isEmpty) None else Some(spark.read.parquet(paths: _*))
   }
 
@@ -167,10 +210,9 @@ object Incremental {
       spark: SparkSession,
       root: String
   ): Option[DataFrame] = {
-    val f = fs(spark, root)
-    val paths = committedBatches(spark, root)
-      .map(id => s"$root/signatures/batch=$id")
-      .filter(p => f.exists(new org.apache.hadoop.fs.Path(p)))
+    val compacted = latestCompaction(spark, root, "signatures")
+    val paths = compacted.map(_._2).toSeq ++
+      tailPaths(spark, root, "signatures", compacted.map(_._1))
     if (paths.isEmpty) None else Some(spark.read.parquet(paths: _*))
   }
 
@@ -379,6 +421,106 @@ object Incremental {
     batchIds.foreach { id =>
       f.delete(new org.apache.hadoop.fs.Path(s"$root/batches/batch=$id"), true)
     }
+  }
+
+  /** One compaction's outcome: the covered watermark, how many batch
+    * dirs it folded, and the file counts of the compacted tables.
+    */
+  case class CompactReport(
+      upto: String,
+      batchesCovered: Int,
+      fpFiles: Int,
+      sigFiles: Int,
+      inputsDropped: Boolean
+  )
+
+  /** Fold the per-batch dedup state (fingerprints + minhash
+    * signatures) of every committed batch into ONE compacted table
+    * per tree — the small-files fix for long-lived roots. After ~1000
+    * daily batches, [[prepareBatch]]'s prior join otherwise unions
+    * ~1000 tiny parquet directories per tree: a listing + footer read
+    * per batch per prepare, and a task per under-filled file. The
+    * compacted overlay makes the prior read `1 + |tail|` directories
+    * regardless of history length.
+    *
+    * Layout: `<tree>/_compacted/upto=<lastBatchId>/` (underscore
+    * prefix: plain parquet reads of the tree never pick it up).
+    * Readers take the newest compaction that has Spark's `_SUCCESS`
+    * and union only batch dirs ABOVE its watermark, so:
+    *   - a crashed compaction write (no `_SUCCESS`) is invisible —
+    *     readers fall back to the previous overlay or the raw dirs;
+    *   - re-running compaction overwrites the same `upto=` dir
+    *     idempotently;
+    *   - batches committed AFTER a compaction are picked up by the
+    *     tail union without recompacting.
+    * Older `upto=` dirs are deleted once the new one is committed.
+    *
+    * `dropInputs = true` additionally deletes the covered per-batch
+    * fingerprint/signature directories (NOT the batch outputs —
+    * [[dropBatchOutputs]] owns those): the compacted table then IS
+    * the dedup memory for those batches. Leave it false to keep
+    * per-batch state re-derivable.
+    *
+    * Same single-writer-per-root contract as [[prepareBatch]]; run
+    * compaction between prepares, not concurrently with one. Returns
+    * None when there is nothing new to compact.
+    */
+  def compactState(
+      spark: SparkSession,
+      root: String,
+      targetFiles: Int = 16,
+      dropInputs: Boolean = false
+  ): Option[CompactReport] = {
+    require(targetFiles > 0, s"targetFiles must be positive, got $targetFiles")
+    val committed = committedBatches(spark, root)
+    if (committed.isEmpty) return None
+    val upto = committed.last
+    val trees = Seq("fingerprints", "signatures")
+    val allCurrent = trees.forall(t =>
+      latestCompaction(spark, root, t).exists(_._1 == upto))
+    if (allCurrent && !dropInputs) return None
+    val f = fs(spark, root)
+    val fileCounts = trees.map { tree =>
+      val existing = latestCompaction(spark, root, tree)
+      val paths = existing.map(_._2).toSeq ++
+        tailPaths(spark, root, tree, existing.map(_._1))
+      if (paths.isEmpty) tree -> 0
+      else {
+        val outPath = s"$root/$tree/_compacted/upto=$upto"
+        if (!existing.exists(_._1 == upto)) {
+          spark.read
+            .parquet(paths: _*)
+            .coalesce(targetFiles)
+            .write
+            .mode("overwrite")
+            .parquet(outPath)
+        }
+        // the new overlay is committed (_SUCCESS in place): retire
+        // superseded overlays
+        Option(f.listStatus(new org.apache.hadoop.fs.Path(s"$root/$tree/_compacted")))
+          .getOrElse(Array.empty)
+          .map(_.getPath)
+          .filter(p => p.getName.startsWith("upto=") && p.getName.stripPrefix("upto=") != upto)
+          .foreach(p => f.delete(p, true))
+        tree -> f
+          .listStatus(new org.apache.hadoop.fs.Path(outPath))
+          .count(_.getPath.getName.endsWith(".parquet"))
+      }
+    }.toMap
+    if (dropInputs) {
+      trees.foreach { tree =>
+        committed.filter(_ <= upto).foreach { id =>
+          f.delete(new org.apache.hadoop.fs.Path(s"$root/$tree/batch=$id"), true)
+        }
+      }
+    }
+    Some(CompactReport(
+      upto,
+      committed.length,
+      fileCounts("fingerprints"),
+      fileCounts("signatures"),
+      dropInputs
+    ))
   }
 
   /** Delete crash debris: per-batch directories whose batch has no

@@ -56,6 +56,47 @@ object SimilarityQueries extends QueryPack {
     oracle = None // k-means cell assignment is not SQL-expressible
   )
 
+  private val pq = Q(
+    fn = (s, d) => {
+      val emb = Tables.embeddings(s, d)
+      Similarity
+        .pqTopK(emb.filter(col("vec_id") < 5), emb, "vec_id", "embedding", 5,
+          m = 8, ksub = 16, rerankFactor = 4)
+        .orderBy("query_id", "rank")
+    },
+    oracle = None // k-means sub-codebook fit is not SQL-expressible
+  )
+
+  // Correctness anchor for the PQ machinery, same pattern as the
+  // dedup_semantic_pairs nlist=1 anchor: with rerankFactor large
+  // enough that the short list covers the whole corpus, the exact
+  // rerank provably reproduces brute-force cosine top-k REGARDLESS of
+  // what the fitted codebooks look like — so encode, ADC scoring,
+  // short-listing and rerank all sit on the oracle path. The
+  // production configuration (bounded short list) differs only in the
+  // approximate cut; its recall is spec-pinned (AnnRecallSpec).
+  private val pqExact = Q(
+    fn = (s, d) => {
+      val emb = Tables.embeddings(s, d)
+      Similarity
+        .pqTopK(emb.filter(col("vec_id") < 5), emb, "vec_id", "embedding", 5,
+          m = 8, ksub = 16, rerankFactor = 1000)
+        .orderBy("query_id", "rank")
+    },
+    oracle = Some(s"""
+      WITH sims AS (
+        SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+          round($cosSql, 6) AS sim
+        FROM embeddings q JOIN embeddings c ON q.vec_id <> c.vec_id
+        WHERE q.vec_id < 5),
+      ranked AS (
+        SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+          ORDER BY sim DESC, neighbor_id) AS rank
+        FROM sims)
+      SELECT query_id, neighbor_id, sim, rank FROM ranked
+      WHERE rank <= 5 ORDER BY query_id, rank""")
+  )
+
   private val quantized = Q(
     fn = (s, d) => {
       val emb = Tables.embeddings(s, d)
@@ -232,6 +273,8 @@ object SimilarityQueries extends QueryPack {
     "ann_quantized_topk" -> quantized,
     "ann_lsh_topk" -> lsh,
     "ann_ivf_topk" -> ivf,
+    "ann_pq_topk" -> pq,
+    "ann_pq_topk_exact" -> pqExact,
     "dedup_embedding_decontaminate" -> embDecontaminateQ
   )
 }

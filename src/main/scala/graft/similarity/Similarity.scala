@@ -935,6 +935,203 @@ object Similarity {
     rankWithinCells(c, q, k, excludeSelfMatch)
   }
 
+  /** Listing-only fingerprint of the cells tree: md5 over the sorted
+    * (relative path, length, mtime) of every data file. One metadata
+    * listing — no data read — so the PQ sidecar can cheaply prove it
+    * describes THIS cells snapshot. Conservative by design: a rewrite
+    * with identical content (e.g. [[ivfCompactIndex]]) changes mtimes
+    * and invalidates the sidecar, which errs on re-attach, never on
+    * serving codes for vectors that moved.
+    */
+  private def cellsFingerprint(
+      spark: org.apache.spark.sql.SparkSession,
+      path: String
+  ): String = {
+    val root = new org.apache.hadoop.fs.Path(s"$path/cells")
+    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val entries = scala.collection.mutable.ArrayBuffer.empty[String]
+    val it = fs.listFiles(root, true)
+    while (it.hasNext) {
+      val s = it.next()
+      val name = s.getPath.toString.stripPrefix(root.toString)
+      if (!name.endsWith("_SUCCESS"))
+        entries += s"$name:${s.getLen}:${s.getModificationTime}"
+    }
+    val md = java.security.MessageDigest.getInstance("MD5")
+    entries.sorted.foreach(e => md.update(e.getBytes("UTF-8")))
+    md.digest().map("%02x".format(_)).mkString
+  }
+
+  /** Attach a product-quantization sidecar to a persisted IVF index
+    * ([[ivfWriteIndex]] layout) — IVF-PQ at rest:
+    *
+    *   path/pq/books/  — (m_idx, k_idx, centroid) sub-codebook rows
+    *   path/pq/meta/   — (m, ksub, sub_dim, cells_fingerprint)
+    *   path/pq/codes/  — BY CELL: (neighbor_id, _cn, _code)
+    *
+    * Codes are a PARALLEL table: the float cells stay byte-identical
+    * (every existing probe/append/refit/compact contract is
+    * untouched), and [[ivfPqQueryIndex]] scans m ints + one norm per
+    * row in the probed cells instead of the float vectors — the
+    * bandwidth product of the IVF partition pruning (read nprobe/nlist
+    * of the corpus) and PQ compression (read ~dim·8/(4m+8) : 1 less of
+    * what remains). The stored `cells_fingerprint` pins the snapshot:
+    * after any append/refit/compaction the sidecar no longer matches
+    * and probes fail loudly until `ivfAttachPq` is re-run (a cells
+    * scan — the same cost the maintenance op itself just paid).
+    */
+  def ivfAttachPq(
+      spark: org.apache.spark.sql.SparkSession,
+      path: String,
+      m: Int = 8,
+      ksub: Int = 256,
+      seed: Long = 42L,
+      trainFraction: Option[Double] = None
+  ): Unit = {
+    import spark.implicits._
+    val fp = cellsFingerprint(spark, path)
+    val cells = spark.read.parquet(s"$path/cells")
+    val books = fitPqCodebooks(cells, "_cv", m, ksub, seed, trainFraction)
+    books.zipWithIndex
+      .flatMap { case (sub, mi) =>
+        sub.zipWithIndex.map { case (c, kj) => (mi, kj, c.toSeq) }
+      }
+      .toSeq
+      .toDF("m_idx", "k_idx", "centroid")
+      .coalesce(1)
+      .write
+      .mode("overwrite")
+      .parquet(s"$path/pq/books")
+    cells
+      .select(
+        col("cell"),
+        col("neighbor_id"),
+        col("_cn"),
+        graft.functions.hashExpressions.pqEncode(col("_cv"), books).as("_code")
+      )
+      .where(col("_code").isNotNull)
+      .write
+      .mode("overwrite")
+      .partitionBy("cell")
+      .parquet(s"$path/pq/codes")
+    Seq((m, books.head.length, books.head.head.length, fp))
+      .toDF("m", "ksub", "sub_dim", "cells_fingerprint")
+      .coalesce(1)
+      .write
+      .mode("overwrite")
+      .parquet(s"$path/pq/meta")
+  }
+
+  private def loadPqBooks(
+      spark: org.apache.spark.sql.SparkSession,
+      path: String
+  ): (Array[Array[Array[Double]]], Int, String) = {
+    val meta = spark.read.parquet(s"$path/pq/meta").head
+    val (m, ksub, subDim) =
+      (meta.getAs[Int]("m"), meta.getAs[Int]("ksub"), meta.getAs[Int]("sub_dim"))
+    val rows = spark.read
+      .parquet(s"$path/pq/books")
+      .orderBy("m_idx", "k_idx")
+      .collect()
+      .map(r => (r.getInt(0), r.getInt(1), r.getSeq[Double](2).toArray))
+    require(
+      rows.length == m * ksub && rows.forall(_._3.length == subDim),
+      s"corrupt PQ sidecar at $path/pq: meta says (m=$m, ksub=$ksub, subDim=$subDim), " +
+        s"books have ${rows.length} rows of dims ${rows.map(_._3.length).distinct.mkString(",")}"
+    )
+    val books = Array.tabulate(m, ksub)((mi, kj) => rows(mi * ksub + kj)._3)
+    (books, ksub, meta.getAs[String]("cells_fingerprint"))
+  }
+
+  /** Probe a persisted IVF index through its PQ sidecar
+    * ([[ivfAttachPq]]): partition-pruned CODES scan → ADC short list →
+    * exact-cosine rerank against the (equally pruned) float cells.
+    * Same output schema and tie rules as [[ivfQueryIndex]]; with a
+    * saturated `rerankFactor` the result equals the float probe
+    * exactly (spec-anchored), and the production configuration trades
+    * the approximate cut for reading ~(4m+8)/(8·dim) of the probed
+    * bytes. Fails loudly when the sidecar predates the current cells
+    * snapshot (fingerprint mismatch) — re-run [[ivfAttachPq]] after
+    * append/refit/compaction.
+    *
+    * `excludeSelfMatch` defaults OFF like [[ivfQueryIndex]] (external
+    * query sets; an id collision must not suppress a neighbor).
+    */
+  def ivfPqQueryIndex(
+      queries: DataFrame,
+      idCol: String,
+      vecCol: String,
+      path: String,
+      k: Int,
+      nprobe: Int = 4,
+      rerankFactor: Int = 4,
+      excludeSelfMatch: Boolean = false
+  ): DataFrame = {
+    require(k > 0, s"k must be positive, got $k")
+    require(rerankFactor >= 1, s"rerankFactor must be >= 1, got $rerankFactor")
+    val spark = queries.sparkSession
+    val cents = loadCentroids(spark, path)
+    val (books, ksub, storedFp) = loadPqBooks(spark, path)
+    val currentFp = cellsFingerprint(spark, path)
+    require(
+      storedFp == currentFp,
+      s"stale PQ sidecar at $path/pq: cells changed since ivfAttachPq " +
+        "(append/refit/compaction?) — re-attach before probing"
+    )
+    val px = graft.functions.hashExpressions
+    val q = queries
+      .select(
+        col(idCol).as("query_id"),
+        norm(col(vecCol)).as("_qn"),
+        px.pqAdcTable(col(vecCol).cast("array<double>"), books).as("_tab"),
+        explode(
+          px.nearestCells(col(vecCol).cast("array<double>"), cents, nprobe)
+        ).as("_cell")
+      )
+      .where(col("_tab").isNotNull && col("_qn") > 0d)
+    val probed = q.select("_cell").distinct().collect().map(_.getInt(0))
+    val codes = spark.read
+      .parquet(s"$path/pq/codes")
+      .where(col("cell").isin(probed.toIndexedSeq: _*))
+      .withColumnRenamed("cell", "_cell")
+    val cond =
+      if (excludeSelfMatch) col("query_id") =!= col("neighbor_id") else lit(true)
+    val wApprox = Window
+      .partitionBy(col("query_id"))
+      .orderBy(col("_approx").desc, col("neighbor_id"))
+    val shortlist = codes
+      .join(broadcast(q), Seq("_cell"))
+      .where(cond)
+      .withColumn(
+        "_approx",
+        px.pqAdcDot(col("_code"), col("_tab"), ksub) / (col("_qn") * col("_cn"))
+      )
+      .withColumn("_arank", row_number().over(wApprox))
+      .where(col("_arank") <= k * rerankFactor)
+      .select("query_id", "neighbor_id")
+    val qv = queries.select(
+      col(idCol).as("query_id"),
+      col(vecCol).cast("array<double>").as("_qv"),
+      norm(col(vecCol)).as("_qn")
+    )
+    val cv = spark.read
+      .parquet(s"$path/cells")
+      .where(col("cell").isin(probed.toIndexedSeq: _*))
+      .select(col("neighbor_id"), col("_cv"), col("_cn"))
+    val wExact = Window
+      .partitionBy(col("query_id"))
+      .orderBy(col("sim").desc, col("neighbor_id"))
+    cv.join(broadcast(shortlist), Seq("neighbor_id"))
+      .join(broadcast(qv), Seq("query_id"))
+      .withColumn(
+        "sim",
+        round6(dot(col("_qv"), col("_cv")) / (col("_qn") * col("_cn")))
+      )
+      .withColumn("rank", row_number().over(wExact))
+      .where(col("rank") <= k)
+      .select("query_id", "neighbor_id", "sim", "rank")
+  }
+
   /** Symmetric int8 quantization of an embedding — the 4x storage/
     * shuffle-bandwidth reduction of the 100 TB ANN path. scale =
     * max|x| / 127; q_i = floor(x_i / scale + 0.5). The half-up floor
@@ -972,6 +1169,155 @@ object Similarity {
       df.select(col(idCol), quantizeInt8(col(vecCol)).as("_z"))
         .select(col(idCol), col("_z.q").cast("array<double>").as("_qv"))
     bruteForceTopK(qz(queries), qz(corpus), idCol, "_qv", k)
+  }
+
+  /** Product-quantization codebook fit: split the embedding space into
+    * `m` subspaces of dim/m dims and k-means each independently
+    * (`ksub` sub-centroids per subspace) over the same bounded driver
+    * sample as the IVF fit. dim must divide evenly by m. Returns the
+    * (m, ksub, subDim) codebook tensor — a plan-time constant for the
+    * [[graft.functions.hashExpressions.PqEncode]] family.
+    */
+  private[similarity] def fitPqCodebooks(
+      corpus: DataFrame,
+      vecCol: String,
+      m: Int,
+      ksub: Int,
+      seed: Long,
+      trainFraction: Option[Double]
+  ): Array[Array[Array[Double]]] = {
+    require(m > 0, s"m must be positive, got $m")
+    require(ksub > 1, s"ksub must be > 1, got $ksub")
+    trainFraction.foreach(f =>
+      require(f > 0.0 && f <= 1.0, s"trainFraction must be in (0, 1], got $f")
+    )
+    val maxTrain = 8192
+    val base = corpus.select(col(vecCol).cast("array<double>").as("_v"))
+    val collected = trainFraction
+      .fold(base)(f => base.sample(withReplacement = false, f, seed))
+      .where(col("_v").isNotNull)
+      .limit(maxTrain)
+      .collect()
+      .map(_.getSeq[java.lang.Double](0))
+      .filter(s => s != null && s.forall(_ ne null))
+    val sample = collected.headOption
+      .map(h => collected.filter(_.length == h.length).map(_.map(_.doubleValue()).toArray))
+      .getOrElse(Array.empty[Array[Double]])
+    require(sample.nonEmpty, "PQ fit: no clean training vectors")
+    val dim = sample.head.length
+    require(
+      dim % m == 0,
+      s"embedding dim $dim must divide evenly into m=$m subspaces"
+    )
+    val subDim = dim / m
+    Array.tabulate(m) { mi =>
+      val sub = sample.map(v => java.util.Arrays.copyOfRange(v, mi * subDim, (mi + 1) * subDim))
+      val cents = localKMeans(sub, ksub, iters = 5)
+      // localKMeans clamps k to the sample size; the codebook tensor
+      // must stay rectangular (ksub wide) for the flat plan constant,
+      // so pad by repeating — duplicate centroids are harmless (codes
+      // just never select the copies).
+      if (cents.length == ksub) cents
+      else Array.tabulate(ksub)(j => cents(j % cents.length).clone())
+    }
+  }
+
+  /** Product-quantization ANN (Jégou et al., "Product Quantization
+    * for Nearest Neighbor Search", TPAMI 2011): compress each corpus
+    * vector to `m` sub-centroid codes (m·4 bytes as array<int> —
+    * ~dim·8/m·4 : 1 vs the float64 vector, e.g. 64x for dim=256,
+    * m=8), score candidates with m table lookups against a per-query
+    * ADC table, then RERANK the per-query short list with exact
+    * cosine over the float vectors.
+    *
+    * Scale shape: the fit is bounded driver math (same contract as
+    * [[fitIvfCentroids]]); encoding is a scan-side codegen'd
+    * projection; the candidate pass broadcasts the query side's
+    * (id, ADC table) — |queries|·m·ksub doubles — and scans CODES,
+    * never float vectors, so the 100 TB corpus contributes m ints per
+    * row to the pass. Only the short list (|queries|·rerankFactor·k
+    * rows) rejoins the float corpus for exact scores. Output schema
+    * and tie rules match [[bruteForceTopK]]: (query_id, neighbor_id,
+    * sim round6, rank), so with rerank on and a clean short list the
+    * result is exactly the brute-force answer whenever the true top-k
+    * survives the approximate cut (recall floor spec-pinned).
+    *
+    * `excludeSelfMatch` as in [[bruteForceTopK]]: default ON (self-
+    * ANN); turn OFF for external query sets whose ids may collide
+    * with corpus ids.
+    */
+  def pqTopK(
+      queries: DataFrame,
+      corpus: DataFrame,
+      idCol: String,
+      vecCol: String,
+      k: Int,
+      m: Int = 8,
+      ksub: Int = 256,
+      rerankFactor: Int = 4,
+      seed: Long = 42L,
+      trainFraction: Option[Double] = None,
+      excludeSelfMatch: Boolean = true
+  ): DataFrame = {
+    require(k > 0, s"k must be positive, got $k")
+    require(rerankFactor >= 1, s"rerankFactor must be >= 1, got $rerankFactor")
+    val books = fitPqCodebooks(corpus, vecCol, m, ksub, seed, trainFraction)
+    val px = graft.functions.hashExpressions
+    // the EXACT norm rides the encode scan (one double next to the m
+    // ints — negligible data, strictly better approx ranking than a
+    // reconstruction norm: PQ then approximates only the numerator)
+    val c = corpus
+      .select(
+        col(idCol).as("neighbor_id"),
+        px.pqEncode(col(vecCol).cast("array<double>"), books).as("_code"),
+        norm(col(vecCol)).as("_cn")
+      )
+      .where(col("_code").isNotNull && col("_cn") > 0d)
+    val q = queries
+      .select(
+        col(idCol).as("query_id"),
+        norm(col(vecCol)).as("_qn"),
+        px.pqAdcTable(col(vecCol).cast("array<double>"), books).as("_tab")
+      )
+      .where(col("_tab").isNotNull && col("_qn") > 0d)
+    val cond =
+      if (excludeSelfMatch) col("query_id") =!= col("neighbor_id") else lit(true)
+    val wApprox = Window
+      .partitionBy(col("query_id"))
+      .orderBy(col("_approx").desc, col("neighbor_id"))
+    val shortlist = c
+      .join(broadcast(q), cond)
+      .withColumn(
+        "_approx",
+        px.pqAdcDot(col("_code"), col("_tab"), ksub) / (col("_qn") * col("_cn"))
+      )
+      .withColumn("_arank", row_number().over(wApprox))
+      .where(col("_arank") <= k * rerankFactor)
+      .select("query_id", "neighbor_id")
+    // exact rerank: only the short list touches float vectors again;
+    // both rejoined sides broadcast (|queries| and |queries|·R rows)
+    val qv = queries.select(
+      col(idCol).as("query_id"),
+      col(vecCol).cast("array<double>").as("_qv"),
+      norm(col(vecCol)).as("_qn")
+    )
+    val cv = corpus.select(
+      col(idCol).as("neighbor_id"),
+      col(vecCol).cast("array<double>").as("_cv"),
+      norm(col(vecCol)).as("_cn")
+    )
+    val wExact = Window
+      .partitionBy(col("query_id"))
+      .orderBy(col("sim").desc, col("neighbor_id"))
+    cv.join(broadcast(shortlist), Seq("neighbor_id"))
+      .join(broadcast(qv), Seq("query_id"))
+      .withColumn(
+        "sim",
+        round6(dot(col("_qv"), col("_cv")) / (col("_qn") * col("_cn")))
+      )
+      .withColumn("rank", row_number().over(wExact))
+      .where(col("rank") <= k)
+      .select("query_id", "neighbor_id", "sim", "rank")
   }
 
   /** Near-duplicate pairs by embedding cosine within a blocking key

@@ -185,6 +185,75 @@ class IncrementalSpec extends SparkSpec {
     assert(e.getMessage.contains("parameters must match"))
   }
 
+  test("compactState folds per-batch dedup state; dedup semantics survive, tails still read") {
+    val root = java.nio.file.Files.createTempDirectory("increm-compact").toString
+    val textC = prose(Seq("green", "hills", "rolled", "to", "the", "sea",
+      "where", "white", "birds", "turned", "in", "the", "wind"))
+    assert(Incremental.prepareBatch(Seq((1L, textA)).toDF("doc_id", "text"), root, "d1",
+      nearDupThreshold = Some(0.5)))
+    assert(Incremental.prepareBatch(Seq((2L, textB)).toDF("doc_id", "text"), root, "d2",
+      nearDupThreshold = Some(0.5)))
+    val report = Incremental.compactState(spark, root, targetFiles = 1).get
+    assert(report.upto === "d2" && report.batchesCovered === 2)
+    assert(report.fpFiles === 1 && report.sigFiles === 1)
+    // idempotent: nothing new to compact
+    assert(Incremental.compactState(spark, root).isEmpty)
+    // a re-crawled doc from a COMPACTED batch is still demoted via the overlay
+    assert(Incremental.prepareBatch(Seq((3L, textA), (4L, textC)).toDF("doc_id", "text"),
+      root, "d3", nearDupThreshold = Some(0.5)))
+    val d3 = spark.read.parquet(s"$root/batches/batch=d3").orderBy("doc_id").collect()
+    assert(d3.map(_.getAs[String]("drop_reason")).toSeq ===
+      Seq("duplicate_prior", "kept"))
+    // the post-compaction batch d3 rides the TAIL: a new duplicate of
+    // d3's kept doc is demoted without recompacting
+    assert(Incremental.prepareBatch(Seq((5L, textC)).toDF("doc_id", "text"), root, "d4",
+      nearDupThreshold = Some(0.5)))
+    val d4 = spark.read.parquet(s"$root/batches/batch=d4").collect()
+    assert(d4.map(_.getAs[String]("drop_reason")).toSeq === Seq("duplicate_prior"))
+    // recompact over overlay + tail, dropping covered inputs: per-batch
+    // state dirs go away, dedup memory lives on in the overlay
+    val r2 = Incremental.compactState(spark, root, targetFiles = 1, dropInputs = true).get
+    assert(r2.upto === "d4" && r2.batchesCovered === 4)
+    val f = org.apache.hadoop.fs.FileSystem.get(
+      new java.net.URI(root), spark.sparkContext.hadoopConfiguration)
+    Seq("d1", "d2", "d3", "d4").foreach { id =>
+      assert(!f.exists(new org.apache.hadoop.fs.Path(s"$root/fingerprints/batch=$id")))
+      assert(!f.exists(new org.apache.hadoop.fs.Path(s"$root/signatures/batch=$id")))
+    }
+    assert(Incremental.prepareBatch(Seq((6L, textA)).toDF("doc_id", "text"), root, "d5",
+      nearDupThreshold = Some(0.5)))
+    val d5 = spark.read.parquet(s"$root/batches/batch=d5").collect()
+    assert(d5.map(_.getAs[String]("drop_reason")).toSeq === Seq("duplicate_prior"))
+    // superseded overlays were retired: exactly one upto= dir per tree
+    Seq("fingerprints", "signatures").foreach { tree =>
+      val dirs = f.listStatus(new org.apache.hadoop.fs.Path(s"$root/$tree/_compacted"))
+        .map(_.getPath.getName).filter(_.startsWith("upto=")).toSeq
+      assert(dirs === Seq("upto=d4"), s"$tree: $dirs")
+    }
+    // batch OUTPUTS are untouched by compaction
+    assert(Incremental.preparedCorpus(spark, root).count() === 3L) // textA(d1), textB(d2), textC(d3)
+  }
+
+  test("a crashed compaction write (no _SUCCESS) is invisible to readers") {
+    val root = java.nio.file.Files.createTempDirectory("increm-compact2").toString
+    assert(Incremental.prepareBatch(Seq((1L, textA)).toDF("doc_id", "text"), root, "d1"))
+    // simulate a crashed compactor: data files but no _SUCCESS
+    Seq("fingerprints", "signatures").foreach { tree =>
+      spark.read.parquet(s"$root/$tree/batch=d1")
+        .write.parquet(s"$root/$tree/_compacted/upto=d1")
+      val f = org.apache.hadoop.fs.FileSystem.get(
+        new java.net.URI(root), spark.sparkContext.hadoopConfiguration)
+      f.delete(new org.apache.hadoop.fs.Path(s"$root/$tree/_compacted/upto=d1/_SUCCESS"), false)
+    }
+    // the prior join must still see d1's state via the raw batch dirs
+    assert(Incremental.prepareBatch(Seq((2L, textA)).toDF("doc_id", "text"), root, "d2"))
+    val d2 = spark.read.parquet(s"$root/batches/batch=d2").collect()
+    assert(d2.map(_.getAs[String]("drop_reason")).toSeq === Seq("duplicate_prior"))
+    // and a real compaction overwrites the debris idempotently
+    val r = Incremental.compactState(spark, root, targetFiles = 1)
+    assert(r.exists(_.upto === "d2"))
+  }
+
   test("prior-dedup join reuses the funnel window's fingerprint partitioning") {
     // force the merge-join path: at real scale the prior fingerprint
     // union is far past any broadcast threshold, and the claim under

@@ -77,6 +77,28 @@ class AnnRecallSpec extends SparkSpec {
     assert(r8 >= 0.85, f"ivf@nprobe=8 recall collapsed: $r8%.3f")
   }
 
+  test("PQ + exact rerank clears its floor, and recall is monotone in rerankFactor") {
+    // codebooks must resolve WITHIN-cluster structure or all cluster
+    // mates quantize to identical codes and the approximate ranking
+    // degenerates to id order: m=8 (2-dim subspaces) x ksub=64 leaves
+    // k-means centroids to spare inside each cluster. The residual
+    // blindness of coarse PQ is inherent (IVF-PQ encodes residuals
+    // for exactly this reason); the rerank dial is the recovery path.
+    def pqAt(rf: Int) = recallOf(
+      Similarity.pqTopK(queries, cloud, "vec_id", "embedding", k,
+        m = 8, ksub = 64, rerankFactor = rf)
+    )
+    val r2 = pqAt(2)
+    val r8 = pqAt(8)
+    info(f"pq recall@$k: rerank x2 $r2%.3f, x8 $r8%.3f")
+    assert(r8 >= r2, "a longer rerank short list must not lose neighbors")
+    // measured 0.653 / 0.993: x2's shortfall is the within-cluster
+    // near-tie regime (true top-10 among ~80 mates whose codes nearly
+    // collide) — the rerank dial, not the codebooks, is the recovery
+    assert(r2 >= 0.6, f"pq@x2 recall collapsed: $r2%.3f")
+    assert(r8 >= 0.95, f"pq@x8 recall collapsed: $r8%.3f")
+  }
+
   test("multi-probe multi-table LSH clears its floor") {
     val r = recallOf(
       Similarity.lshTopK(queries, cloud, "vec_id", "embedding", k,
