@@ -166,6 +166,27 @@ object TextQueries extends QueryPack {
       ORDER BY doc_id, rank""")
   )
 
+  private val unigramQ = Q(
+    fn = (s, d) =>
+      Text
+        .unigramLogProb(Tables.documents(s, d), "text", "doc_id")
+        .withColumnRenamed("id", "doc_id")
+        .orderBy("doc_id"),
+    oracle = Some("""
+      WITH toks AS (SELECT doc_id,
+          unnest(string_split(trim(regexp_replace(regexp_replace(lower(text),
+            '[^a-z0-9 ]', ' ', 'g'), ' +', ' ', 'g')), ' ')) AS term
+        FROM documents),
+      t AS (SELECT doc_id, term, count(*) AS tf FROM toks
+            WHERE term <> '' GROUP BY 1, 2),
+      c AS (SELECT term, sum(tf) AS cnt FROM t GROUP BY 1),
+      n AS (SELECT sum(cnt) AS total FROM c)
+      SELECT doc_id, CAST(sum(tf) AS BIGINT) AS n_terms,
+        round(sum(tf * (ln(cnt) - ln(total))) / sum(tf), 6) AS avg_logprob
+      FROM t JOIN c ON t.term = c.term CROSS JOIN n
+      GROUP BY doc_id ORDER BY doc_id""")
+  )
+
   private val repetitionQ = Q(
     fn = (s, d) =>
       Text
@@ -332,6 +353,7 @@ object TextQueries extends QueryPack {
     "text_redact" -> redactQ,
     "text_repetition" -> repetitionQ,
     "text_tfidf" -> tfidfQ,
+    "text_unigram_logprob" -> unigramQ,
     "text_tokens" -> tokensQ,
     "text_quality" -> qualityQ,
     "text_langid" -> langidQ,

@@ -428,4 +428,52 @@ object Text {
       .where(col("rank") <= k)
       .select(col("id"), col("term"), col("score"), col("rank"))
   }
+
+  /** Unigram language-model quality score, the CCNet-style LM filter
+    * (Wenzek et al., "CCNet: Extracting High Quality Monolingual
+    * Datasets from Web Crawl Data", LREC 2020 — there a KenLM 5-gram;
+    * here the unigram self-corpus variant, which needs no external
+    * model): every document scored by the mean log-probability of its
+    * tokens under the corpus's own unigram distribution,
+    *
+    *   avg_logprob = sum_t tf(t) * ln(count(t) / total) / n_terms.
+    *
+    * Gibberish, character noise, and off-domain boilerplate are built
+    * from rare tokens and score far below prose; feed the score to
+    * [[graft.pipelines.Corpus.qualityCut]] (keep the top fraction) or
+    * an `extraStages` threshold. Every scored token exists in the
+    * corpus, so counts are >= 1 and no smoothing term is needed.
+    *
+    * Scale shape, same as [[tfIdfTopK]]: one explode into (doc, term)
+    * counts (map-side combined), a vocabulary-sized term-count table
+    * joined back on the DISTINCT doc-term pairs (not the raw token
+    * stream — the stopword-class hot terms stay off the join), and a
+    * 1-row broadcast for the corpus total. Output: (id, n_terms,
+    * avg_logprob round6).
+    */
+  def unigramLogProb(
+      df: org.apache.spark.sql.DataFrame,
+      textCol: String,
+      idCol: String
+  ): org.apache.spark.sql.DataFrame = {
+    val toks = df
+      .select(
+        col(idCol).as("id"),
+        explode(split(normalize(col(textCol)), " ")).as("term")
+      )
+      .where(col("term") =!= "")
+    val tf = toks.groupBy("id", "term").agg(count(lit(1)).as("tf"))
+    val termCounts = tf.groupBy("term").agg(sum(col("tf")).as("cnt"))
+    val total = termCounts.agg(sum(col("cnt")).as("_total"))
+    tf.join(termCounts, "term")
+      .crossJoin(broadcast(total))
+      .groupBy("id")
+      .agg(
+        sum(col("tf")).as("n_terms"),
+        graft.functions.round6(
+          sum(col("tf") * (log(col("cnt")) - log(col("_total")))) /
+            sum(col("tf"))
+        ).as("avg_logprob")
+      )
+  }
 }

@@ -139,4 +139,21 @@ class TextSpec extends SparkSpec {
     assert(q.forall(v => v >= 0.0 && v <= 1.0))
     assert(q(0) > q(1))
   }
+
+  test("unigram log-prob ranks gibberish below common prose, exactly as computed by hand") {
+    // corpus: "the cat" twice, "zq wx" once. Counts: the=2, cat=2,
+    // zq=1, wx=1, total=6. Prose docs: avg ln(2/6); gibberish doc:
+    // avg ln(1/6).
+    val docs = Seq((1L, "the cat"), (2L, "The cat!"), (3L, "zq wx"))
+      .toDF("doc_id", "text")
+    val out = Text.unigramLogProb(docs, "text", "doc_id")
+      .orderBy("id").collect()
+    assert(out.map(_.getAs[Long]("n_terms")).toSeq === Seq(2L, 2L, 2L))
+    val scores = out.map(_.getAs[Double]("avg_logprob"))
+    def r6(x: Double) = math.floor(x * 1e6 + 0.5) / 1e6
+    assert(scores(0) === scores(1)) // normalization: case + punct
+    assert(math.abs(scores(0) - r6(math.log(2.0 / 6.0))) < 2e-6)
+    assert(math.abs(scores(2) - r6(math.log(1.0 / 6.0))) < 2e-6)
+    assert(scores(2) < scores(0), "rare-token doc must score below prose")
+  }
 }
