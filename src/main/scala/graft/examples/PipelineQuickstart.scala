@@ -115,14 +115,18 @@ object PipelineQuickstart {
     // read only their cell partitions
     val idxDir = java.nio.file.Files.createTempDirectory("ivf-quickstart").toString
     Similarity.ivfWriteIndex(emb, "vec_id", "embedding", idxDir, nlist = 8)
+    // excludeSelfMatch: these probes reuse corpus rows as queries
+    // (self-ANN), so the row's own index entry must not claim a slot
     Similarity
-      .ivfQueryIndex(emb.limit(2), "vec_id", "embedding", idxDir, k = 3, nprobe = 2)
+      .ivfQueryIndex(emb.limit(2), "vec_id", "embedding", idxDir, k = 3, nprobe = 2,
+        excludeSelfMatch = true)
       .show(truncate = false)
     // IVF-PQ sidecar: probes scan m ints + a norm per row in the
     // probed cells, exact-cosine rerank recovers full precision
     Similarity.ivfAttachPq(spark, idxDir, m = 8, ksub = 32)
     Similarity
-      .ivfPqQueryIndex(emb.limit(2), "vec_id", "embedding", idxDir, k = 3, nprobe = 2)
+      .ivfPqQueryIndex(emb.limit(2), "vec_id", "embedding", idxDir, k = 3, nprobe = 2,
+        excludeSelfMatch = true)
       .show(truncate = false)
 
     // E: mixture sampling — k docs per source, weighted by length

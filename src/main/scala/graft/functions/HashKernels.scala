@@ -150,14 +150,8 @@ object HashKernels {
     * id. `take` is clamped to the centroid count.
     */
   def nearestCells(v: ArrayData, cents: Array[Double], dim: Int, take: Int): ArrayData = {
-    if (v.numElements() < dim) return null
-    val vv = new Array[Double](dim)
-    var i = 0
-    while (i < dim) {
-      if (v.isNullAt(i)) return null
-      vv(i) = v.getDouble(i)
-      i += 1
-    }
+    val vv = densePrefix(v, dim)
+    if (vv == null) return null
     val nlist = cents.length / dim
     val ds = new Array[Double](nlist)
     var j = 0

@@ -78,42 +78,59 @@ object Incremental {
   }
 
   /** The newest COMMITTED compaction under `tree` (`fingerprints` or
-    * `signatures`): the `_compacted/upto=<id>` directory with the
-    * highest id that carries Spark's `_SUCCESS` marker — a crashed
-    * compaction write has no `_SUCCESS` and is invisible. Returns
-    * (upto, path).
+    * `signatures`): the `_compacted/gen=<n>` directory with the
+    * highest generation that carries BOTH Spark's `_SUCCESS` marker
+    * and the `_covered` manifest — a crashed compaction write lacks
+    * one of them and is invisible. Returns (covered batch ids, path).
+    *
+    * Coverage is the EXPLICIT id set from `_covered`, never an
+    * ordering predicate over batch ids: ids are only
+    * lexicographically meaningful when the caller zero-pads them
+    * (b9/b10 does not sort like day-shaped ids), and a coverage rule
+    * built on `id > watermark` would silently drop a committed
+    * batch's dedup state the first time ids and lex order disagree.
+    * The generation number (zero-padded covered-set size — strictly
+    * growing, so collision-free) orders overlays and guarantees a
+    * recompaction never overwrites the directory it is reading.
     */
   private def latestCompaction(
       spark: SparkSession,
       root: String,
       tree: String
-  ): Option[(String, String)] = {
+  ): Option[(Set[String], String)] = {
     val f = fs(spark, root)
     val dir = new org.apache.hadoop.fs.Path(s"$root/$tree/_compacted")
     if (!f.exists(dir)) None
     else
       f.listStatus(dir)
         .map(_.getPath)
-        .filter(p => p.getName.startsWith("upto=") &&
-          f.exists(new org.apache.hadoop.fs.Path(p, "_SUCCESS")))
-        .map(p => (p.getName.stripPrefix("upto="), p.toString))
-        .sortBy(_._1)
+        .filter(p => p.getName.startsWith("gen=") &&
+          f.exists(new org.apache.hadoop.fs.Path(p, "_SUCCESS")) &&
+          f.exists(new org.apache.hadoop.fs.Path(p, "_covered")))
+        .sortBy(_.getName.stripPrefix("gen="))
         .lastOption
+        .map { p =>
+          val in = f.open(new org.apache.hadoop.fs.Path(p, "_covered"))
+          val ids = try {
+            scala.io.Source.fromInputStream(in, "UTF-8").getLines().filter(_.nonEmpty).toSet
+          } finally in.close()
+          (ids, p.toString)
+        }
   }
 
   /** Committed per-batch directories of `tree` NOT covered by the
-    * given compaction watermark — the tail a reader unions on top of
+    * given compaction's id set — the tail a reader unions on top of
     * the compacted table.
     */
   private def tailPaths(
       spark: SparkSession,
       root: String,
       tree: String,
-      after: Option[String]
+      covered: Set[String]
   ): Seq[String] = {
     val f = fs(spark, root)
     committedBatches(spark, root)
-      .filter(id => after.forall(id > _))
+      .filterNot(covered)
       .map(id => s"$root/$tree/batch=$id")
       .filter(p => f.exists(new org.apache.hadoop.fs.Path(p)))
   }
@@ -131,7 +148,7 @@ object Incremental {
   ): Option[DataFrame] = {
     val compacted = latestCompaction(spark, root, "fingerprints")
     val paths = compacted.map(_._2).toSeq ++
-      tailPaths(spark, root, "fingerprints", compacted.map(_._1))
+      tailPaths(spark, root, "fingerprints", compacted.fold(Set.empty[String])(_._1))
     if (paths.isEmpty) None else Some(spark.read.parquet(paths: _*))
   }
 
@@ -212,7 +229,7 @@ object Incremental {
   ): Option[DataFrame] = {
     val compacted = latestCompaction(spark, root, "signatures")
     val paths = compacted.map(_._2).toSeq ++
-      tailPaths(spark, root, "signatures", compacted.map(_._1))
+      tailPaths(spark, root, "signatures", compacted.fold(Set.empty[String])(_._1))
     if (paths.isEmpty) None else Some(spark.read.parquet(paths: _*))
   }
 
@@ -443,17 +460,23 @@ object Incremental {
     * compacted overlay makes the prior read `1 + |tail|` directories
     * regardless of history length.
     *
-    * Layout: `<tree>/_compacted/upto=<lastBatchId>/` (underscore
-    * prefix: plain parquet reads of the tree never pick it up).
-    * Readers take the newest compaction that has Spark's `_SUCCESS`
-    * and union only batch dirs ABOVE its watermark, so:
-    *   - a crashed compaction write (no `_SUCCESS`) is invisible —
-    *     readers fall back to the previous overlay or the raw dirs;
-    *   - re-running compaction overwrites the same `upto=` dir
-    *     idempotently;
-    *   - batches committed AFTER a compaction are picked up by the
-    *     tail union without recompacting.
-    * Older `upto=` dirs are deleted once the new one is committed.
+    * Layout: `<tree>/_compacted/gen=<covered-count>/` (underscore
+    * prefix: plain parquet reads of the tree never pick it up), plus
+    * a `_covered` manifest inside the overlay listing the EXACT batch
+    * ids it folded — coverage is set membership, never an ordering
+    * predicate against batch ids (ids like b9/b10 do not sort
+    * lexicographically, and a `> watermark` rule would silently drop
+    * a committed batch's dedup state). Readers take the newest
+    * generation that has Spark's `_SUCCESS` AND the manifest, and
+    * union only batch dirs outside the covered set, so:
+    *   - a crashed compaction write (either marker missing) is
+    *     invisible — readers fall back to the previous overlay or the
+    *     raw dirs;
+    *   - a recompaction writes the NEXT generation (it never
+    *     overwrites the overlay it reads) and retires older ones
+    *     once committed.
+    * Batches committed AFTER a compaction are picked up by the tail
+    * union without recompacting.
     *
     * `dropInputs = true` additionally deletes the covered per-batch
     * fingerprint/signature directories (NOT the batch outputs —
@@ -475,32 +498,40 @@ object Incremental {
     val committed = committedBatches(spark, root)
     if (committed.isEmpty) return None
     val upto = committed.last
+    val committedSet = committed.toSet
     val trees = Seq("fingerprints", "signatures")
     val allCurrent = trees.forall(t =>
-      latestCompaction(spark, root, t).exists(_._1 == upto))
+      latestCompaction(spark, root, t).exists(_._1 == committedSet))
     if (allCurrent && !dropInputs) return None
     val f = fs(spark, root)
+    val gen = f"gen=${committed.length}%08d"
     val fileCounts = trees.map { tree =>
       val existing = latestCompaction(spark, root, tree)
       val paths = existing.map(_._2).toSeq ++
-        tailPaths(spark, root, tree, existing.map(_._1))
+        tailPaths(spark, root, tree, existing.fold(Set.empty[String])(_._1))
       if (paths.isEmpty) tree -> 0
       else {
-        val outPath = s"$root/$tree/_compacted/upto=$upto"
-        if (!existing.exists(_._1 == upto)) {
+        val outPath = s"$root/$tree/_compacted/$gen"
+        if (!existing.exists(_._1 == committedSet)) {
+          // the generation name is strictly above the input overlay's,
+          // so this write NEVER overwrites the directory it reads
           spark.read
             .parquet(paths: _*)
             .coalesce(targetFiles)
             .write
             .mode("overwrite")
             .parquet(outPath)
+          // the manifest commits the overlay: written LAST, and
+          // readers require it alongside _SUCCESS
+          val cov = f.create(new org.apache.hadoop.fs.Path(s"$outPath/_covered"), true)
+          try cov.write(committed.mkString("", "\n", "\n").getBytes("UTF-8"))
+          finally cov.close()
         }
-        // the new overlay is committed (_SUCCESS in place): retire
-        // superseded overlays
+        // the new overlay is committed: retire superseded overlays
         Option(f.listStatus(new org.apache.hadoop.fs.Path(s"$root/$tree/_compacted")))
           .getOrElse(Array.empty)
           .map(_.getPath)
-          .filter(p => p.getName.startsWith("upto=") && p.getName.stripPrefix("upto=") != upto)
+          .filter(p => p.getName.startsWith("gen=") && p.getName != gen)
           .foreach(p => f.delete(p, true))
         tree -> f
           .listStatus(new org.apache.hadoop.fs.Path(outPath))
@@ -509,7 +540,7 @@ object Incremental {
     }.toMap
     if (dropInputs) {
       trees.foreach { tree =>
-        committed.filter(_ <= upto).foreach { id =>
+        committed.foreach { id =>
           f.delete(new org.apache.hadoop.fs.Path(s"$root/$tree/batch=$id"), true)
         }
       }

@@ -78,9 +78,15 @@ object SimilarityQueries extends QueryPack {
   private val pqExact = Q(
     fn = (s, d) => {
       val emb = Tables.embeddings(s, d)
+      // saturation must hold at ANY plausible testdata regeneration:
+      // the cut binds at k*rerankFactor = 1M candidates, ~500x the
+      // sf0.1 embeddings table, and an unsaturated cut would make the
+      // "exact" anchor quietly approximate (gate flake, not a clean
+      // failure). The filter itself is free — rank <= N on the same
+      // window either way.
       Similarity
         .pqTopK(emb.filter(col("vec_id") < 5), emb, "vec_id", "embedding", 5,
-          m = 8, ksub = 16, rerankFactor = 1000)
+          m = 8, ksub = 16, rerankFactor = 200000)
         .orderBy("query_id", "rank")
     },
     oracle = Some(s"""

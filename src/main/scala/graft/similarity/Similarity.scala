@@ -949,11 +949,16 @@ object Similarity {
   ): String = {
     val root = new org.apache.hadoop.fs.Path(s"$path/cells")
     val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    // strip the QUALIFIED root (listFiles returns fully-qualified
+    // URIs): the entries must be root-relative so attaching via
+    // "/data/idx" and probing via "file:///data/idx" fingerprint
+    // identically
+    val rootPrefix = fs.makeQualified(root).toString
     val entries = scala.collection.mutable.ArrayBuffer.empty[String]
     val it = fs.listFiles(root, true)
     while (it.hasNext) {
       val s = it.next()
-      val name = s.getPath.toString.stripPrefix(root.toString)
+      val name = s.getPath.toString.stripPrefix(rootPrefix)
       if (!name.endsWith("_SUCCESS"))
         entries += s"$name:${s.getLen}:${s.getModificationTime}"
     }
@@ -1009,7 +1014,10 @@ object Similarity {
         col("_cn"),
         graft.functions.hashExpressions.pqEncode(col("_cv"), books).as("_code")
       )
-      .where(col("_code").isNotNull)
+      // same dirty-input contract as pqTopK: unencodable AND zero-norm
+      // rows never enter the codes table — a 0 denominator would put
+      // an Infinity/NaN approx score at the top of every shortlist
+      .where(col("_code").isNotNull && col("_cn") > 0d)
       .write
       .mode("overwrite")
       .partitionBy("cell")

@@ -224,26 +224,50 @@ class IncrementalSpec extends SparkSpec {
       nearDupThreshold = Some(0.5)))
     val d5 = spark.read.parquet(s"$root/batches/batch=d5").collect()
     assert(d5.map(_.getAs[String]("drop_reason")).toSeq === Seq("duplicate_prior"))
-    // superseded overlays were retired: exactly one upto= dir per tree
+    // superseded overlays were retired: exactly one generation per tree
     Seq("fingerprints", "signatures").foreach { tree =>
       val dirs = f.listStatus(new org.apache.hadoop.fs.Path(s"$root/$tree/_compacted"))
-        .map(_.getPath.getName).filter(_.startsWith("upto=")).toSeq
-      assert(dirs === Seq("upto=d4"), s"$tree: $dirs")
+        .map(_.getPath.getName).filter(_.startsWith("gen=")).toSeq
+      assert(dirs === Seq("gen=00000004"), s"$tree: $dirs")
     }
     // batch OUTPUTS are untouched by compaction
     assert(Incremental.preparedCorpus(spark, root).count() === 3L) // textA(d1), textB(d2), textC(d3)
   }
 
+  test("compaction coverage is the explicit id set — non-lexicographic ids survive") {
+    // "b10" < "b9" lexicographically: an ordering-based watermark
+    // (id > upto) would exclude b10 from BOTH the overlay and the
+    // tail, silently losing its dedup state. Coverage is the
+    // _covered manifest instead, so id spelling cannot matter.
+    val root = java.nio.file.Files.createTempDirectory("increm-lex").toString
+    val textC = prose(Seq("tall", "pines", "lined", "the", "old", "road",
+      "and", "a", "fox", "crossed", "it", "at", "dusk"))
+    assert(Incremental.prepareBatch(Seq((1L, textA)).toDF("doc_id", "text"), root, "b9"))
+    assert(Incremental.compactState(spark, root, targetFiles = 1).isDefined)
+    // committed AFTER the compaction, sorts BELOW the overlay name
+    assert(Incremental.prepareBatch(Seq((2L, textC)).toDF("doc_id", "text"), root, "b10"))
+    // b10's kept doc must still demote a re-crawl (it rides the tail)
+    assert(Incremental.prepareBatch(Seq((3L, textC)).toDF("doc_id", "text"), root, "b11"))
+    val d11 = spark.read.parquet(s"$root/batches/batch=b11").collect()
+    assert(d11.map(_.getAs[String]("drop_reason")).toSeq === Seq("duplicate_prior"))
+    // recompacting folds b10/b11 in; dedup memory intact afterwards
+    assert(Incremental.compactState(spark, root, targetFiles = 1, dropInputs = true).isDefined)
+    assert(Incremental.prepareBatch(Seq((4L, textC)).toDF("doc_id", "text"), root, "b12"))
+    val d12 = spark.read.parquet(s"$root/batches/batch=b12").collect()
+    assert(d12.map(_.getAs[String]("drop_reason")).toSeq === Seq("duplicate_prior"))
+  }
+
   test("a crashed compaction write (no _SUCCESS) is invisible to readers") {
     val root = java.nio.file.Files.createTempDirectory("increm-compact2").toString
     assert(Incremental.prepareBatch(Seq((1L, textA)).toDF("doc_id", "text"), root, "d1"))
-    // simulate a crashed compactor: data files but no _SUCCESS
+    // simulate a crashed compactor: data files but neither _SUCCESS
+    // nor the _covered manifest
     Seq("fingerprints", "signatures").foreach { tree =>
       spark.read.parquet(s"$root/$tree/batch=d1")
-        .write.parquet(s"$root/$tree/_compacted/upto=d1")
+        .write.parquet(s"$root/$tree/_compacted/gen=00000001")
       val f = org.apache.hadoop.fs.FileSystem.get(
         new java.net.URI(root), spark.sparkContext.hadoopConfiguration)
-      f.delete(new org.apache.hadoop.fs.Path(s"$root/$tree/_compacted/upto=d1/_SUCCESS"), false)
+      f.delete(new org.apache.hadoop.fs.Path(s"$root/$tree/_compacted/gen=00000001/_SUCCESS"), false)
     }
     // the prior join must still see d1's state via the raw batch dirs
     assert(Incremental.prepareBatch(Seq((2L, textA)).toDF("doc_id", "text"), root, "d2"))

@@ -86,6 +86,27 @@ class IvfPqSpec extends SparkSpec {
     assert(out.nonEmpty && top400.contains(1000L))
   }
 
+  test("a zero-norm corpus vector never enters the codes table or any shortlist") {
+    // without the _cn > 0 filter at attach time, the zero vector's
+    // approx score is Infinity (x/0 in double) and its rerank sim is
+    // NaN — both of which SORT FIRST descending and displace a real
+    // neighbor at rank 1
+    val dir = java.nio.file.Files.createTempDirectory("ivfpq-zero").toString
+    val withZero = clustered.union(
+      Seq((9000L, Array(0.0, 0.0, 0.0))).toDF("vec_id", "embedding"))
+    Similarity.ivfWriteIndex(withZero, "vec_id", "embedding", dir, nlist = 4)
+    Similarity.ivfAttachPq(spark, dir, m = 3, ksub = 8)
+    assert(!spark.read.parquet(s"$dir/pq/codes")
+      .where($"neighbor_id" === 9000L).head(1).nonEmpty)
+    val out = Similarity
+      .ivfPqQueryIndex(clustered.where($"vec_id" === 0L), "vec_id", "embedding",
+        dir, k = 5, nprobe = 4)
+      .collect()
+    assert(out.nonEmpty)
+    assert(!out.exists(_.getAs[Long]("neighbor_id") == 9000L))
+    assert(out.forall(r => !r.getAs[Double]("sim").isNaN))
+  }
+
   test("external-id collision is served by default, excluded for self-ANN") {
     val dir = freshIndex()
     Similarity.ivfAttachPq(spark, dir, m = 3, ksub = 8)
