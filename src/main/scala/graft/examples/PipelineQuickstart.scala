@@ -108,6 +108,10 @@ object PipelineQuickstart {
     // D: salient terms of the train split; quantized ANN over embeddings
     Text.tfIdfTopK(split.where(col("split") === "train"), "text", "doc_id", k = 3)
       .orderBy("id", "rank").show(9, truncate = false)
+    // unigram LM quality: gibberish scores far below prose — the
+    // CCNet-style filter, feedable to Corpus.qualityCut
+    Text.unigramLogProb(deduped, "text", "doc_id")
+      .orderBy(col("avg_logprob")).show(3, truncate = false)
     val emb = spark.read.parquet(s"$sfDir/embeddings.parquet")
     Similarity.quantizedTopK(emb.limit(2), emb, "vec_id", "embedding", k = 3)
       .show(truncate = false)

@@ -274,4 +274,36 @@ object Export {
     */
   def cellSql(hExpr: String, pos: Int, k: Int): String =
     s"CAST(floor(${hexValSql(hExpr, pos)} * CAST($k AS DOUBLE) / $Two32) AS INT)"
+
+  /** Read a shard layout ([[exportShards]], [[appendShards]], or
+    * [[exportShardsCurriculum]]) back with the replay contract made
+    * executable: each row carries `shard_pos`, its 1-based position in
+    * its shard's deterministic replay order — (file_no [, batch], ord)
+    * ascending, exactly the order a loader walking the directories
+    * lexicographically and files top-to-bottom observes. "Resume from
+    * shard 37, row 12 008" is then `where(shard = 37 and shard_pos >
+    * 12008)`.
+    *
+    * Scale shape: ONE window partitioned by shard (parallel across
+    * shards — there is deliberately no global position column, which
+    * would be a single-partition sort; the global order is (shard,
+    * shard_pos) by construction). The `batch` level participates in
+    * the order when present, so appended batches replay after earlier
+    * ones within every (shard, file_no), matching the write-once
+    * append contract.
+    */
+  def readShards(
+      spark: org.apache.spark.sql.SparkSession,
+      dir: String
+  ): DataFrame = {
+    val df = spark.read.parquet(dir)
+    val orderCols =
+      if (df.columns.contains("batch"))
+        Seq(col("file_no"), col("batch"), col("ord"))
+      else Seq(col("file_no"), col("ord"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("shard"))
+      .orderBy(orderCols: _*)
+    df.withColumn("shard_pos", row_number().over(w))
+  }
 }

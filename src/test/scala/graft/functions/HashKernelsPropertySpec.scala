@@ -83,4 +83,72 @@ class HashKernelsPropertySpec extends AnyFunSuite {
       boxed != null && boxed.doubleValue() == HashKernels.dotProduct(a, b, true, true)
     })
   }
+
+  // --- PQ kernels: random (m, ksub, subDim) geometry and vectors ---
+
+  private val pqCase = for {
+    m <- Gen.chooseNum(1, 6)
+    ksub <- Gen.chooseNum(2, 12)
+    subDim <- Gen.chooseNum(1, 5)
+    flat <- Gen.listOfN(m * ksub * subDim, Gen.chooseNum(-10.0, 10.0)).map(_.toArray)
+    vec <- Gen.listOfN(m * subDim, Gen.chooseNum(-10.0, 10.0)).map(_.toArray)
+  } yield (m, ksub, subDim, flat, vec)
+
+  test("pqEncode emits m codes in [0, ksub), each the per-subspace argmin") {
+    check(Prop.forAll(pqCase) { case (m, ksub, subDim, flat, vec) =>
+      val codes = HashKernels
+        .pqEncode(new GenericArrayData(vec), flat, m, ksub, subDim)
+        .toIntArray()
+      codes.length == m && codes.zipWithIndex.forall { case (c, mi) =>
+        def d2(kj: Int): Double = {
+          var s = 0.0
+          var i = 0
+          while (i < subDim) {
+            val diff = vec(mi * subDim + i) - flat((mi * ksub + kj) * subDim + i)
+            s += diff * diff
+            i += 1
+          }
+          s
+        }
+        c >= 0 && c < ksub && (0 until ksub).forall(kj => d2(c) <= d2(kj))
+      }
+    })
+  }
+
+  test("ADC via table lookup equals the direct dot with the reconstruction") {
+    val twoVecs = for {
+      (m, ksub, subDim, flat, q) <- pqCase
+      cand <- Gen.listOfN(m * subDim, Gen.chooseNum(-10.0, 10.0)).map(_.toArray)
+    } yield (m, ksub, subDim, flat, q, cand)
+    check(Prop.forAll(twoVecs) { case (m, ksub, subDim, flat, q, cand) =>
+      val codes = HashKernels.pqEncode(new GenericArrayData(cand), flat, m, ksub, subDim)
+      val tab = HashKernels.pqAdcTable(new GenericArrayData(q), flat, m, ksub, subDim)
+      val adc = HashKernels.pqAdcDot(codes, tab, ksub)
+      val direct = codes.toIntArray().zipWithIndex.foldLeft(0.0) { case (acc, (code, mi)) =>
+        var s = 0.0
+        var i = 0
+        while (i < subDim) {
+          s += q(mi * subDim + i) * flat((mi * ksub + code) * subDim + i)
+          i += 1
+        }
+        acc + s
+      }
+      adc == direct // same per-subspace accumulation order: bit-exact
+    })
+  }
+
+  test("pqEncode and pqAdcTable reject ragged and null-slot vectors with null") {
+    check(Prop.forAll(pqCase) { case (m, ksub, subDim, flat, vec) =>
+      val short = new GenericArrayData(vec.dropRight(1))
+      val nullSlot = new GenericArrayData(
+        (null +: vec.drop(1).map(Double.box)).toArray[Any])
+      val shortOk = vec.length == 0 ||
+        (HashKernels.pqEncode(short, flat, m, ksub, subDim) == null &&
+          HashKernels.pqAdcTable(short, flat, m, ksub, subDim) == null)
+      val nullOk =
+        HashKernels.pqEncode(nullSlot, flat, m, ksub, subDim) == null &&
+          HashKernels.pqAdcTable(nullSlot, flat, m, ksub, subDim) == null
+      shortOk && nullOk
+    })
+  }
 }

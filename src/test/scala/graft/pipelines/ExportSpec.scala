@@ -126,6 +126,49 @@ class ExportSpec extends SparkSpec {
       Export.appendShards(docs(1), "doc_id", dir, 4, batchId = "../evil"))
   }
 
+  test("readShards assigns dense per-shard replay positions in directory order") {
+    val dir = java.nio.file.Files.createTempDirectory("readshards").toString
+    Export.exportShards(docs(300), "doc_id", dir, nShards = 3, filesPerShard = 2)
+    val back = Export.readShards(spark, dir)
+    assert(back.count() === 300)
+    // positions are dense 1..n within every shard
+    val perShard = back.groupBy("shard")
+      .agg(count(lit(1)).as("n"), max("shard_pos").as("mx"), min("shard_pos").as("mn"))
+      .collect()
+    assert(perShard.forall(r => r.getAs[Int]("mn") == 1 &&
+      r.getAs[Long]("n") == r.getAs[Int]("mx").toLong))
+    // position order IS (file_no, ord) order
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("shard")).orderBy(col("shard_pos"))
+    val disordered = back
+      .withColumn("_pf", lag(col("file_no"), 1).over(w))
+      .withColumn("_po", lag(col("ord"), 1).over(w))
+      .where(col("_pf").isNotNull &&
+        (col("_pf") > col("file_no") ||
+          (col("_pf") === col("file_no") && col("_po") > col("ord"))))
+      .count()
+    assert(disordered === 0L)
+  }
+
+  test("readShards replays appended batches after earlier ones within a cell") {
+    val dir = java.nio.file.Files.createTempDirectory("readshards-app").toString
+    assert(Export.appendShards(docs(100), "doc_id", dir, nShards = 2, batchId = "b01"))
+    assert(Export.appendShards(
+      (101 to 200).map(i => (i.toLong, s"doc $i")).toDF("doc_id", "text"),
+      "doc_id", dir, nShards = 2, batchId = "b02"))
+    val back = Export.readShards(spark, dir)
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("shard")).orderBy(col("shard_pos"))
+    // within a (shard, file_no) run, batch never decreases with position
+    val regressions = back
+      .withColumn("_pf", lag(col("file_no"), 1).over(w))
+      .withColumn("_pb", lag(col("batch"), 1).over(w))
+      .where(col("_pf") === col("file_no") && col("_pb") > col("batch"))
+      .count()
+    assert(regressions === 0L)
+    assert(back.count() === 200)
+  }
+
   test("appendShards is write-once per batch id — a reused id is a committed no-op") {
     val dir = java.nio.file.Files.createTempDirectory("appshards-once").toString
     assert(Export.appendShards(docs(100), "doc_id", dir, nShards = 2, batchId = "b01"))

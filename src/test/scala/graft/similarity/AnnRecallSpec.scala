@@ -99,6 +99,21 @@ class AnnRecallSpec extends SparkSpec {
     assert(r8 >= 0.95, f"pq@x8 recall collapsed: $r8%.3f")
   }
 
+  test("persisted IVF-PQ probe clears its floor at production settings") {
+    // pruning (nprobe 4/nlist 8) x compression (m=4, ksub=64) x a
+    // rerank short list: the full at-rest path, graded on the same
+    // clustered cloud as the in-memory variants
+    val dir = java.nio.file.Files.createTempDirectory("ivfpq-recall").toString
+    Similarity.ivfWriteIndex(cloud, "vec_id", "embedding", dir, nlist = 8)
+    Similarity.ivfAttachPq(spark, dir, m = 4, ksub = 64)
+    val r = recallOf(
+      Similarity.ivfPqQueryIndex(queries, "vec_id", "embedding", dir, k,
+        nprobe = 4, rerankFactor = 8, excludeSelfMatch = true)
+    )
+    info(f"ivf-pq recall@$k = $r%.3f")
+    assert(r >= 0.85, f"ivf-pq recall collapsed: $r%.3f")
+  }
+
   test("multi-probe multi-table LSH clears its floor") {
     val r = recallOf(
       Similarity.lshTopK(queries, cloud, "vec_id", "embedding", k,
