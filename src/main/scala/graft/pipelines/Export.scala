@@ -167,6 +167,17 @@ object Export {
     )
     val marker = new org.apache.hadoop.fs.Path(s"$outDir/_batches/$batchId")
     if (fs.exists(marker)) return false
+    // an append tree is append-only from its FIRST batch: a flat
+    // exportShards layout puts part files directly under file_no dirs,
+    // and parquet partition discovery rejects leaves at two depths —
+    // fail here with a usable message instead of at first read
+    require(
+      Option(fs.globStatus(new org.apache.hadoop.fs.Path(s"$outDir/*/*/part-*")))
+        .getOrElse(Array.empty)
+        .isEmpty,
+      s"$outDir holds a flat exportShards layout; appendShards needs an " +
+        "append-only tree (batch= sublevels) — export to a fresh directory"
+    )
     // no marker but batch=<id> leaves on disk = a crashed attempt;
     // delete its leaves so the rewrite cannot double-append rows
     Option(
@@ -275,32 +286,48 @@ object Export {
   def cellSql(hExpr: String, pos: Int, k: Int): String =
     s"CAST(floor(${hexValSql(hExpr, pos)} * CAST($k AS DOUBLE) / $Two32) AS INT)"
 
-  /** Read a shard layout ([[exportShards]], [[appendShards]], or
-    * [[exportShardsCurriculum]]) back with the replay contract made
-    * executable: each row carries `shard_pos`, its 1-based position in
-    * its shard's deterministic replay order — (file_no [, batch], ord)
-    * ascending, exactly the order a loader walking the directories
-    * lexicographically and files top-to-bottom observes. "Resume from
-    * shard 37, row 12 008" is then `where(shard = 37 and shard_pos >
-    * 12008)`.
+  /** Read a shard layout ([[exportShards]] or [[appendShards]]) back
+    * with the replay contract made executable: each row carries
+    * `shard_pos`, its 1-based position in its shard's deterministic
+    * replay order — (file_no [, batch], `withinFileOrder`) ascending,
+    * the order a loader walking partitions in NUMERIC file_no order
+    * (zero-pad the names if your walker is lexicographic — 10 sorts
+    * before 2 otherwise) and files top-to-bottom observes. "Resume
+    * from shard 37, row 12 008" is then `where(shard = 37 and
+    * shard_pos > 12008)`.
+    *
+    * `withinFileOrder` defaults to the hash sort key `ord` (the
+    * [[exportShards]]/[[appendShards]] physical order); for an
+    * [[exportShardsCurriculum]] layout pass
+    * `Seq(curriculumCol, "ord")` — its files are physically sorted by
+    * the curriculum column first, and numbering by `ord` alone would
+    * disagree with the file order a loader consumes.
+    *
+    * Append layouts are detected from the DIRECTORY structure
+    * (`batch=` path segments), not from a column name — a corpus that
+    * carries its own `batch` data column is not mistaken for one.
     *
     * Scale shape: ONE window partitioned by shard (parallel across
     * shards — there is deliberately no global position column, which
     * would be a single-partition sort; the global order is (shard,
-    * shard_pos) by construction). The `batch` level participates in
+    * shard_pos) by construction). Size `nShards` so a shard stays
+    * well under 2^31 rows — `shard_pos` is an int like the
+    * `row_number` it comes from. The `batch` level participates in
     * the order when present, so appended batches replay after earlier
     * ones within every (shard, file_no), matching the write-once
     * append contract.
     */
   def readShards(
       spark: org.apache.spark.sql.SparkSession,
-      dir: String
+      dir: String,
+      withinFileOrder: Seq[String] = Seq("ord")
   ): DataFrame = {
+    require(withinFileOrder.nonEmpty, "withinFileOrder must name at least one column")
     val df = spark.read.parquet(dir)
+    val isAppendLayout = df.inputFiles.headOption.exists(_.contains("/batch="))
     val orderCols =
-      if (df.columns.contains("batch"))
-        Seq(col("file_no"), col("batch"), col("ord"))
-      else Seq(col("file_no"), col("ord"))
+      (if (isAppendLayout) Seq(col("file_no"), col("batch"))
+       else Seq(col("file_no"))) ++ withinFileOrder.map(col)
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(col("shard"))
       .orderBy(orderCols: _*)

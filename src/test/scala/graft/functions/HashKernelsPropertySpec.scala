@@ -142,9 +142,9 @@ class HashKernelsPropertySpec extends AnyFunSuite {
       val short = new GenericArrayData(vec.dropRight(1))
       val nullSlot = new GenericArrayData(
         (null +: vec.drop(1).map(Double.box)).toArray[Any])
-      val shortOk = vec.length == 0 ||
-        (HashKernels.pqEncode(short, flat, m, ksub, subDim) == null &&
-          HashKernels.pqAdcTable(short, flat, m, ksub, subDim) == null)
+      val shortOk =
+        HashKernels.pqEncode(short, flat, m, ksub, subDim) == null &&
+          HashKernels.pqAdcTable(short, flat, m, ksub, subDim) == null
       val nullOk =
         HashKernels.pqEncode(nullSlot, flat, m, ksub, subDim) == null &&
           HashKernels.pqAdcTable(nullSlot, flat, m, ksub, subDim) == null

@@ -150,6 +150,54 @@ class ExportSpec extends SparkSpec {
     assert(disordered === 0L)
   }
 
+  test("readShards honors curriculum file order via withinFileOrder") {
+    val dir = java.nio.file.Files.createTempDirectory("readshards-cur").toString
+    val df = (1 to 200)
+      .map(i => (i.toLong, s"doc $i", (i * 37 % 100).toDouble))
+      .toDF("doc_id", "text", "difficulty")
+    Export.exportShardsCurriculum(df, "doc_id", dir, nShards = 2, "difficulty",
+      filesPerShard = 2)
+    // curriculum files are physically sorted by (difficulty, ord):
+    // positions numbered that way never descend in difficulty inside a file
+    val back = Export.readShards(spark, dir, withinFileOrder = Seq("difficulty", "ord"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("shard")).orderBy(col("shard_pos"))
+    val descents = back
+      .withColumn("_pf", lag(col("file_no"), 1).over(w))
+      .withColumn("_pd", lag(col("difficulty"), 1).over(w))
+      .where(col("_pf") === col("file_no") && col("_pd") > col("difficulty"))
+      .count()
+    assert(descents === 0L)
+  }
+
+  test("readShards is not fooled by a user data column named batch") {
+    val dir = java.nio.file.Files.createTempDirectory("readshards-ubatch").toString
+    val df = (1 to 100)
+      .map(i => (i.toLong, s"doc $i", s"crawl-${i % 3}"))
+      .toDF("doc_id", "text", "batch") // user column, NOT the partition level
+    Export.exportShards(df, "doc_id", dir, nShards = 2)
+    val back = Export.readShards(spark, dir)
+    assert(back.count() === 100)
+    // order must be (file_no, ord) — numbering by the user batch column
+    // first would break ord-monotonicity within files
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("shard")).orderBy(col("shard_pos"))
+    val disordered = back
+      .withColumn("_pf", lag(col("file_no"), 1).over(w))
+      .withColumn("_po", lag(col("ord"), 1).over(w))
+      .where(col("_pf") === col("file_no") && col("_po") > col("ord"))
+      .count()
+    assert(disordered === 0L)
+  }
+
+  test("appendShards refuses a flat exportShards layout instead of corrupting it") {
+    val dir = java.nio.file.Files.createTempDirectory("appshards-flat").toString
+    Export.exportShards(docs(50), "doc_id", dir, nShards = 2)
+    val e = intercept[IllegalArgumentException](
+      Export.appendShards(docs(10), "doc_id", dir, nShards = 2, batchId = "b01"))
+    assert(e.getMessage.contains("flat exportShards layout"))
+  }
+
   test("readShards replays appended batches after earlier ones within a cell") {
     val dir = java.nio.file.Files.createTempDirectory("readshards-app").toString
     assert(Export.appendShards(docs(100), "doc_id", dir, nShards = 2, batchId = "b01"))
