@@ -61,6 +61,109 @@ object Dedup {
   def exactNormalized(df: DataFrame, textCol: String, idCol: String): DataFrame =
     exact(df, textCol, idCol, Text.normalize)
 
+  /** Corpus-level SEGMENT dedup (C4-style line dedup, Raffel et al.
+    * 2020 §2.2 — C4 drops every later occurrence of a three-sentence
+    * span corpus-wide): documents are segmented (`w`-token windows
+    * here; newline segmentation for corpora with line structure — see
+    * [[Text.tokenSegments]]/[[Text.lineSegments]]), each segment keeps
+    * only its GLOBAL first occurrence ordered by (id, position), and
+    * documents are reassembled from their surviving segments.
+    *
+    * Returns one row per input document: `idCol`, `n_segments`,
+    * `n_kept`, and `text_hash` (md5 of the rebuilt text — compact
+    * proof of WHAT survived without shipping the text back).
+    *
+    * Scale shape: explode is scan-side; first-occurrence election is a
+    * map-side-combinable `min(struct(id, pos))` per segment — NOT a
+    * window, so a boilerplate segment with 10^8 occurrences costs a
+    * partial-agg tree, never a single-task sort. The join back on the
+    * segment key has exactly one row on the winners side per key, so
+    * hot keys stream. Reassembly groups by document (bounded by doc
+    * length). Two shuffles total, both on compact keys.
+    */
+  def segmentDedupSweep(
+      df: DataFrame,
+      textCol: String,
+      idCol: String,
+      segmentTokens: Int = 8
+  ): DataFrame = {
+    val segsArr = Text.tokenSegments(col(textCol), segmentTokens)
+    val base = df.select(
+      col(idCol).as("_id"),
+      posexplode(segsArr).as(Seq("_pos", "_seg"))
+    )
+    // shuffle key is the 64-bit segment hash; the segment text rides
+    // along for collision verification (same hash-first,
+    // verify-within-group rule as `exact`), but the JOIN key stays the
+    // 8-byte hash — equality on the text is a post-join filter, so
+    // partitioning and probing never touch long strings
+    val hashed = base.withColumn("_k", xxhash64(col("_seg")))
+    val firsts = hashed
+      .groupBy(col("_k"), col("_seg"))
+      .agg(min(struct(col("_id").as("_fid"), col("_pos").as("_fpos"))).as("_f"))
+      .select(col("_k"), col("_seg").as("_fseg"), col("_f"))
+    val kept = hashed
+      .join(firsts, Seq("_k"))
+      .where(
+        col("_seg") === col("_fseg") &&
+          col("_id") === col("_f._fid") && col("_pos") === col("_f._fpos")
+      )
+    val rebuilt = kept
+      .groupBy(col("_id"))
+      .agg(
+        count(lit(1)).as("n_kept"),
+        array_join(
+          transform(
+            array_sort(collect_list(struct(col("_pos"), col("_seg")))),
+            s => s.getField("_seg")
+          ),
+          " "
+        ).as("_txt")
+      )
+    df.select(col(idCol).as("_id"), size(segsArr).cast("long").as("n_segments"))
+      .join(rebuilt, Seq("_id"), "left_outer")
+      .select(
+        col("_id").as(idCol),
+        col("n_segments"),
+        coalesce(col("n_kept"), lit(0L)).as("n_kept"),
+        md5(coalesce(col("_txt"), lit(""))).as("text_hash")
+      )
+  }
+
+  /** Canonical-document selection: per exact-duplicate cluster
+    * (fingerprint of normalized text), elect the single best document
+    * by `rankCol` (highest wins; ties broken by lowest id) — the
+    * quality-aware alternative to `exact`'s keep-lowest-id rule, so a
+    * cluster keeps its longest/highest-quality copy instead of an
+    * arbitrary one. Returns (fingerprint, canonical id, group_size).
+    *
+    * Scale shape: argmax via map-side-combinable `min(struct(-rank,
+    * id))` per fingerprint — one shuffle on a 32-hex key, no window,
+    * hot clusters (the 10^6-copy boilerplate case) cost a partial-agg
+    * tree.
+    */
+  def canonicalPick(
+      df: DataFrame,
+      textCol: String,
+      idCol: String,
+      rankCol: String
+  ): DataFrame =
+    df.select(
+        Text.fingerprint(col(textCol)).as("fingerprint"),
+        col(idCol).as("_id"),
+        col(rankCol).cast("double").as("_r")
+      )
+      .groupBy("fingerprint")
+      .agg(
+        min(struct((-col("_r")).as("_nr"), col("_id").as("_cid"))).as("_w"),
+        count(lit(1)).as("group_size")
+      )
+      .select(
+        col("fingerprint"),
+        col("_w._cid").as("canonical_id"),
+        col("group_size")
+      )
+
   /** MinHash signature: for seed s, min over shingle hashes of
     * XXH64(shingleHash, seed=s). Takes pre-hashed shingles (one long
     * per shingle — see [[Text.shingleHashesFromTokenHashes]]) so the

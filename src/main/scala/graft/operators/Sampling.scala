@@ -61,6 +61,22 @@ object Sampling {
     df.withColumn("split", expr)
   }
 
+  /** Leakage-safe GROUP-aware split: membership is derived from the
+    * hash of `groupCol`, so every row of a group (all documents of one
+    * duplicate cluster, all events of one user) lands in the SAME
+    * split — the train/test-contamination guard that a row-level split
+    * cannot give (near-identical rows of one entity straddling the
+    * boundary is leakage, not evaluation). Fractions apportion GROUPS,
+    * so realized row fractions track group sizes; same scan-side
+    * zero-shuffle predicate as [[hashSplit]].
+    */
+  def groupSplit(
+      df: DataFrame,
+      groupCol: String,
+      fractions: Seq[(String, Double)],
+      salt: String = "graft"
+  ): DataFrame = hashSplit(df, groupCol, fractions, salt)
+
   /** Keep a deterministic `fraction` of rows (uniform within every
     * stratum by construction — hash membership is independent of any
     * other column).

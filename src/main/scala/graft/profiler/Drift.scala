@@ -1,6 +1,7 @@
 package graft.profiler
 
 import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Distribution-drift detection over a time-partitioned dataset —
@@ -98,6 +99,82 @@ object Drift {
         graft.functions
           .round6(sum((col("_p") - col("_q")) * (log(col("_p")) - log(col("_q")))))
           .as("psi")
+      )
+  }
+
+  /** Day-over-day two-sample Kolmogorov-Smirnov statistic of a numeric
+    * column — the nonparametric companion to [[psiDrift]]: no binning
+    * choice, sensitive to ANY distribution change (location, scale,
+    * shape), KS(d) = sup_x |F_d(x) - F_{d-1}(x)| against the previous
+    * calendar day. A day with no predecessor data yields no row.
+    *
+    * Scale shape: one scan collapses raw rows to per-(day, value)
+    * counts (map-side combinable — the CDF only needs counts at each
+    * distinct value); each day's counts are then replayed twice, once
+    * as the "current" side of its own pair and once as the "previous"
+    * side of the next day's pair, via a union — no self-join of raw
+    * data. The only ordered step is a cumulative sum over DISTINCT
+    * values within one (day-pair) partition — value-grain, not
+    * row-grain, so a 100 TB day with bounded value cardinality costs
+    * |values| per partition. For unbounded-cardinality doubles at
+    * extreme scale, quantize first (the profiler's quantile grid) —
+    * the operator is exact on whatever grain it is fed.
+    *
+    * Interpretation: KS in [0,1]; with day sizes n, m the 95%
+    * rejection threshold is ~1.358*sqrt((n+m)/(n*m)).
+    */
+  def ksDrift(
+      df: DataFrame,
+      tsCol: String = "ts",
+      valueCol: String = "value"
+  ): DataFrame = {
+    val c = df
+      .where(col(valueCol).isNotNull)
+      .groupBy(
+        date_trunc("day", col(tsCol)).as("_day"),
+        col(valueCol).as("_v")
+      )
+      .agg(count(lit(1)).as("_n"))
+    // replay each day's counts onto both sides of its adjacent pairs:
+    // keyed by the CURRENT day of the pair (_pday)
+    val merged = c
+      .select(
+        (col("_day") + expr("INTERVAL 1 DAY")).as("_pday"),
+        col("_v"),
+        col("_n").as("_na"),
+        lit(0L).as("_nb")
+      )
+      .unionAll(
+        c.select(col("_day").as("_pday"), col("_v"), lit(0L).as("_na"), col("_n").as("_nb"))
+      )
+      .groupBy("_pday", "_v")
+      .agg(sum(col("_na")).as("_na"), sum(col("_nb")).as("_nb"))
+    val totals = merged
+      .groupBy("_pday")
+      .agg(sum(col("_na")).as("_nat"), sum(col("_nb")).as("_nbt"))
+      .where(col("_nat") > 0 && col("_nbt") > 0)
+    val w = Window.partitionBy("_pday").orderBy("_v")
+    merged
+      .join(totals, "_pday")
+      .select(
+        col("_pday"),
+        col("_nat"),
+        col("_nbt"),
+        sum(col("_na")).over(w).as("_ca"),
+        sum(col("_nb")).over(w).as("_cb")
+      )
+      .groupBy(col("_pday").as("ts"))
+      .agg(
+        graft.functions
+          .round6(
+            max(abs(
+              col("_ca").cast("double") / col("_nat") -
+                col("_cb").cast("double") / col("_nbt")
+            ))
+          )
+          .as("ks"),
+        max(col("_nat")).as("n_prev"),
+        max(col("_nbt")).as("n_cur")
       )
   }
 

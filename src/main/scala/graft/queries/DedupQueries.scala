@@ -44,6 +44,67 @@ object DedupQueries extends QueryPack {
       ORDER BY doc_id""")
   )
 
+  // C4-style corpus-level segment dedup: 8-token windows, global
+  // first occurrence by (doc_id, pos), docs rebuilt from survivors.
+  // The md5 of the rebuilt text pins the EXACT surviving content and
+  // order, not just counts.
+  private val segmentDedupQ = {
+    val w = 8
+    Q(
+      fn = (s, d) =>
+        Dedup
+          .segmentDedupSweep(Tables.documents(s, d), "text", "doc_id", segmentTokens = w)
+          .orderBy("doc_id"),
+      oracle = Some(s"""
+        WITH toks AS (
+          SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+        segs AS (
+          SELECT doc_id, i - 1 AS pos,
+            array_to_string(list_slice(t, (i - 1) * $w + 1, i * $w), ' ') AS seg
+          FROM toks, LATERAL unnest(
+            generate_series(1, CAST(ceil(len(t) / CAST($w AS DOUBLE)) AS BIGINT))) AS u(i)),
+        k AS (
+          SELECT doc_id, pos, seg,
+            ROW_NUMBER() OVER (PARTITION BY seg ORDER BY doc_id, pos) AS rn
+          FROM segs),
+        reb AS (
+          SELECT doc_id, COUNT(*) AS n_kept,
+            string_agg(seg, ' ' ORDER BY pos) AS txt
+          FROM k WHERE rn = 1 GROUP BY doc_id),
+        ns AS (
+          SELECT doc_id,
+            CAST(ceil(len(t) / CAST($w AS DOUBLE)) AS BIGINT) AS n_segments
+          FROM toks)
+        SELECT ns.doc_id, ns.n_segments,
+          COALESCE(reb.n_kept, 0) AS n_kept,
+          md5(COALESCE(reb.txt, '')) AS text_hash
+        FROM ns LEFT JOIN reb ON ns.doc_id = reb.doc_id
+        ORDER BY ns.doc_id""")
+    )
+  }
+
+  // Quality-aware canonical election per exact-dup cluster: longest
+  // copy wins, ties to lowest id.
+  private val canonicalPickQ = Q(
+    fn = (s, d) =>
+      Dedup
+        .canonicalPick(Tables.documents(s, d), "text", "doc_id", "n_chars")
+        .orderBy("fingerprint"),
+    oracle = Some("""
+      WITH f AS (
+        SELECT md5(trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9 ]', ' ', 'g'),
+          ' +', ' ', 'g'))) AS fingerprint, doc_id, n_chars
+        FROM documents),
+      r AS (
+        SELECT fingerprint, doc_id,
+          ROW_NUMBER() OVER (PARTITION BY fingerprint
+            ORDER BY n_chars DESC, doc_id) AS rn,
+          COUNT(*) OVER (PARTITION BY fingerprint) AS gs
+        FROM f)
+      SELECT fingerprint, doc_id AS canonical_id, gs AS group_size
+      FROM r WHERE rn = 1 ORDER BY fingerprint""")
+  )
+
   // ---- portable-minhash oracle CTE chain ------------------------------
   // Mirrors PortableDedup.minhashLshPairs step by step: shingles →
   // per-seed md5 minima → band buckets → bucket self-join → slot-
@@ -336,6 +397,8 @@ object DedupQueries extends QueryPack {
     "dedup_near_sweep" -> sweepQ,
     "dedup_component_sweep" -> componentQ,
     "dedup_exact_normalized" -> exactNormQ,
+    "dedup_segment_sweep" -> segmentDedupQ,
+    "dedup_canonical_pick" -> canonicalPickQ,
     "dedup_minhash_lsh" -> minhashQ,
     "dedup_decontaminate" -> decontaminateQ,
     "dedup_simhash" -> simhashQ,

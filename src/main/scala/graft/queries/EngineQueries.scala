@@ -605,6 +605,25 @@ object EngineQueries extends QueryPack {
       FROM documents ORDER BY doc_id""")
   )
 
+  // Leakage-safe split: every event of a user lands in one split
+  // (split by hash of user_id, not event_id)
+  private val groupSplitQ = Q(
+    fn = (s, d) =>
+      graft.operators.Sampling
+        .groupSplit(
+          Tables.events(s, d),
+          "user_id",
+          Seq("train" -> 0.9, "test" -> 0.1)
+        )
+        .select(col("event_id"), col("user_id"), col("split"))
+        .orderBy("event_id"),
+    oracle = Some(s"""
+      SELECT event_id, user_id,
+        ${graft.operators.Sampling
+        .hashSplitSql("user_id", Seq("train" -> 0.9, "test" -> 0.1))} AS split
+      FROM events ORDER BY event_id""")
+  )
+
   private val stratifiedQ = {
     // downsample the dominant strata, keep more of 0; unlisted labels
     // fall back to the default fraction
@@ -1061,6 +1080,7 @@ object EngineQueries extends QueryPack {
     "q_asof_join" -> asofQ,
     "q_range_join" -> rangeQ,
     "q_hash_split" -> splitQ,
+    "q_group_split" -> groupSplitQ,
     "q_stratified_sample" -> stratifiedQ,
     "q_weighted_sample" -> weightedSampleQ,
     "q_zorder_stats" -> zorderQ,

@@ -461,6 +461,40 @@ object ProfilerQueries extends QueryPack {
       FROM pq GROUP BY day ORDER BY day""")
   )
 
+  // Day-over-day two-sample KS statistic: per-(day, value) counts,
+  // each day replayed as prev/cur side of its adjacent pairs, one
+  // cumulative-sum window over distinct values per pair. Cum counts
+  // are exact integers; the division + abs + max is identical IEEE
+  // arithmetic in both engines; round6 guards the final ulp.
+  private val ksDriftQ = Q(
+    fn = (s, d) =>
+      graft.profiler.Drift
+        .ksDrift(Tables.events(s, d), "ts", "value")
+        .orderBy("ts"),
+    oracle = Some(s"""
+      WITH e AS (
+        SELECT ${sqlDay("ts")} AS day, value AS v FROM events
+        WHERE value IS NOT NULL),
+      c AS (SELECT day, v, COUNT(*) AS n FROM e GROUP BY 1, 2),
+      m AS (
+        SELECT day + INTERVAL 1 DAY AS pday, v, n AS na, 0 AS nb FROM c
+        UNION ALL
+        SELECT day AS pday, v, 0 AS na, n AS nb FROM c),
+      g AS (SELECT pday, v, SUM(na) AS na, SUM(nb) AS nb FROM m GROUP BY 1, 2),
+      t AS (SELECT pday, SUM(na) AS nat, SUM(nb) AS nbt FROM g GROUP BY 1
+            HAVING SUM(na) > 0 AND SUM(nb) > 0),
+      cum AS (
+        SELECT g.pday, t.nat, t.nbt,
+          SUM(g.na) OVER (PARTITION BY g.pday ORDER BY g.v) AS ca,
+          SUM(g.nb) OVER (PARTITION BY g.pday ORDER BY g.v) AS cb
+        FROM g JOIN t ON g.pday = t.pday)
+      SELECT pday AS ts,
+        round(MAX(ABS(CAST(ca AS DOUBLE) / nat - CAST(cb AS DOUBLE) / nbt)), 6) AS ks,
+        CAST(MAX(nat) AS BIGINT) AS n_prev,
+        CAST(MAX(nbt) AS BIGINT) AS n_cur
+      FROM cum GROUP BY 1 ORDER BY ts""")
+  )
+
   // Silent-partition detector: calendar days with no events per user
   // within the dataset's global day span.
   private val missingDaysQ = Q(
@@ -508,6 +542,7 @@ object ProfilerQueries extends QueryPack {
   val queries: Map[String, Q] = Map(
     "profile_heavy_hitters" -> heavyHittersQ,
     "profile_psi_drift" -> psiDriftQ,
+    "profile_ks_drift" -> ksDriftQ,
     "profile_missing_days" -> missingDaysQ,
     "profile_reaggregate" -> reaggQ,
     "profile_reaggregate_quantiles" -> reaggQuantilesQ,

@@ -36,6 +36,29 @@ object Text {
   def bpeTokenCount(c: Column): Column =
     regexp_count(c, lit("[a-z]+|[0-9]+|[^a-z0-9 ]"))
 
+  /** Split a document into consecutive non-overlapping segments of
+    * `w` tokens each (last segment may be shorter), as an array of
+    * segment strings — the segmentation unit for corpus-level segment
+    * dedup ([[graft.dedup.Dedup.segmentDedupSweep]]). Production
+    * corpora with real line structure should segment on newlines
+    * instead ([[lineSegments]]); this corpus is single-line, so a
+    * fixed token window is the deterministic stand-in. Pure `Column`
+    * expression (sequence + transform + slice), codegen'd.
+    */
+  def tokenSegments(c: Column, w: Int): Column = {
+    require(w >= 1, s"segment width must be >= 1, got $w")
+    val t = tokens(c)
+    transform(
+      sequence(lit(1), ceil(size(t) / lit(w.toDouble)).cast("int")),
+      i => array_join(slice(t, (i - lit(1)) * w + lit(1), lit(w)), " ")
+    )
+  }
+
+  /** Newline segmentation — the C4-style unit for corpora with real
+    * line structure.
+    */
+  def lineSegments(c: Column): Column = split(c, "\n")
+
   /** Canonical form for exact-dedup and fingerprinting: lowercase,
     * strip non-alphanumerics, collapse whitespace.
     */

@@ -25,6 +25,55 @@ class DedupSpec extends SparkSpec {
     assert(ids.toSeq == Seq(1L, 4L, 5L, 6L))
   }
 
+  test("segment dedup keeps global first occurrences and rebuilds docs in order") {
+    // w=2 segments: doc 1 = [a b][c d], doc 2 repeats [a b] then new
+    // [e f], doc 3 is entirely doc 1's segments -> fully dropped
+    val df = Seq(
+      (1L, "a b c d"),
+      (2L, "a b e f"),
+      (3L, "c d a b")
+    ).toDF("doc_id", "text")
+    val out = Dedup
+      .segmentDedupSweep(df, "text", "doc_id", segmentTokens = 2)
+      .orderBy("doc_id")
+      .collect()
+    assert(out.map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq ==
+      Seq((1L, 2L, 2L), (2L, 2L, 1L), (3L, 2L, 0L)))
+    // doc 2's rebuilt text is just its surviving segment
+    val h2 = out(1).getString(3)
+    val expected = spark.sql("SELECT md5('e f')").collect().head.getString(0)
+    assert(h2 == expected)
+    // doc 3 rebuilt as empty string
+    val empty = spark.sql("SELECT md5('')").collect().head.getString(0)
+    assert(out(2).getString(3) == empty)
+  }
+
+  test("segment dedup: a short tail segment is its own dedup unit") {
+    val df = Seq((1L, "a b c"), (2L, "c")).toDF("doc_id", "text")
+    val out = Dedup
+      .segmentDedupSweep(df, "text", "doc_id", segmentTokens = 2)
+      .orderBy("doc_id")
+      .collect()
+    // doc 1 = [a b][c]; doc 2 = [c] which duplicates doc 1's tail
+    assert(out.map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq ==
+      Seq((1L, 2L, 2L), (2L, 1L, 0L)))
+  }
+
+  test("canonical pick elects the highest-rank copy, ties to lowest id") {
+    val df = Seq(
+      (1L, "same text here", 10L),
+      (2L, "same text here", 30L), // highest rank wins
+      (3L, "same text here", 30L), // tie -> lower id (2) wins
+      (4L, "other text now", 5L)
+    ).toDF("doc_id", "text", "quality")
+    val out = Dedup
+      .canonicalPick(df, "text", "doc_id", "quality")
+      .collect()
+      .map(r => (r.getLong(1), r.getLong(2)))
+      .toSet
+    assert(out == Set((2L, 3L), (4L, 1L)))
+  }
+
   test("minhash LSH finds exact and near duplicates, not unrelated docs") {
     // 13-token docs differing by one word have shingle-jaccard ~0.57;
     // 16 bands x 2 rows gives band-collision recall >99% at that

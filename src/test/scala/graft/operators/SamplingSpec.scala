@@ -31,6 +31,21 @@ class SamplingSpec extends SparkSpec {
     assert(before.subsetOf(after)) // train only ever gains rows
   }
 
+  test("groupSplit never straddles a group across splits and matches hashSplit on the group key") {
+    val evs = (1L to 3000L).map(i => (i, i % 97)).toDF("event_id", "user_id")
+    val fr = Seq("train" -> 0.9, "test" -> 0.1)
+    val out = Sampling.groupSplit(evs, "user_id", fr)
+    // leakage guard: one split per user
+    val perUser = out.groupBy("user_id").agg(countDistinct("split").as("n"))
+      .where(col("n") > 1).count()
+    assert(perUser == 0)
+    // group membership equals hashSplit of the bare key list
+    val keySplit = Sampling.hashSplit((0L to 96L).toDF("user_id"), "user_id", fr)
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    val rowsBad = out.collect().count(r => keySplit(r.getLong(1)) != r.getString(2))
+    assert(rowsBad == 0)
+  }
+
   test("deterministicSample is a stable subset and nests by fraction") {
     val p10 = Sampling.deterministicSample(rows, "id", 0.1).select("id").as[Long].collect().toSet
     val p20 = Sampling.deterministicSample(rows, "id", 0.2).select("id").as[Long].collect().toSet

@@ -31,6 +31,33 @@ class DriftSpec extends SparkSpec {
     assert(out.isEmpty) // day 5 has no day-4 partner
   }
 
+  test("ks is 0 for identical days, 1 for disjoint supports, exact for a known shift") {
+    // day 1 == day 2 (identical); day 3 disjoint from day 2;
+    // day 4 vs day 3: half the mass moved from 10.0 to 20.0 -> KS = 0.5
+    val rows =
+      (1 to 2).flatMap(d => Seq.fill(30)((ts(d), 1.0)) ++ Seq.fill(30)((ts(d), 2.0))) ++
+        Seq.fill(60)((ts(3), 10.0)) ++
+        (Seq.fill(30)((ts(4), 10.0)) ++ Seq.fill(30)((ts(4), 20.0)))
+    val ks = Drift
+      .ksDrift(rows.toDF("ts", "value"))
+      .collect()
+      .map(r => r.getTimestamp(0).toString.take(10) -> r.getDouble(1))
+      .toMap
+    assert(ks.size == 3)
+    assert(ks("2024-01-02") == 0.0)
+    assert(ks("2024-01-03") == 1.0)
+    assert(ks("2024-01-04") == 0.5)
+  }
+
+  test("ks pairs only consecutive calendar days and reports day sizes") {
+    val rows = Seq.fill(7)((ts(1), 1.0)) ++ Seq.fill(9)((ts(2), 1.0)) ++
+      Seq.fill(4)((ts(6), 2.0))
+    val out = Drift.ksDrift(rows.toDF("ts", "value")).collect()
+    assert(out.length == 1) // only day 2 has a day-1 partner
+    assert(out.head.getTimestamp(0).toString.startsWith("2024-01-02"))
+    assert(out.head.getLong(2) == 7L && out.head.getLong(3) == 9L)
+  }
+
   test("missing days reports per-key calendar gaps inside the global span") {
     val rows = Seq(
       (ts(1), "a"),
