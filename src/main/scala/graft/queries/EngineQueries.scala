@@ -624,6 +624,64 @@ object EngineQueries extends QueryPack {
       FROM events ORDER BY event_id""")
   )
 
+  // Exact fuzzy self-join on part names at lev <= 2: symmetric-delete
+  // blocking + thresholded verification must reproduce DuckDB's
+  // exhaustive all-pairs levenshtein filter exactly.
+  private val fuzzyJoinQ = Q(
+    fn = (s, d) =>
+      graft.operators.FuzzyJoin
+        .fuzzySelfPairs(Tables.part(s, d), "p_name", "p_partkey", maxEdits = 2)
+        .orderBy("id_a", "id_b"),
+    oracle = Some("""
+      SELECT a.p_partkey AS id_a, b.p_partkey AS id_b,
+        levenshtein(a.p_name, b.p_name) AS dist
+      FROM part a JOIN part b ON a.p_partkey < b.p_partkey
+      WHERE levenshtein(a.p_name, b.p_name) <= 2
+      ORDER BY id_a, id_b""")
+  )
+
+  // Entity resolution over part names: fuzzy pairs -> connected
+  // components -> canonical election by retail price. Oracle rebuilds
+  // the transitive closure with a recursive reachability CTE over the
+  // exhaustive levenshtein pair set.
+  private val entityResolutionQ = Q(
+    fn = (s, d) =>
+      graft.operators.FuzzyJoin
+        .resolveEntities(
+          Tables.part(s, d),
+          "p_name",
+          "p_partkey",
+          maxEdits = 2,
+          rankCol = "p_retailprice"
+        )
+        .orderBy("p_partkey"),
+    oracle = Some("""
+      WITH RECURSIVE pr AS (
+        SELECT a.p_partkey AS id_a, b.p_partkey AS id_b
+        FROM part a JOIN part b ON a.p_partkey < b.p_partkey
+        WHERE levenshtein(a.p_name, b.p_name) <= 2),
+      edges AS (SELECT id_a AS src, id_b AS dst FROM pr
+                UNION SELECT id_b, id_a FROM pr),
+      reach AS (SELECT src AS id, src AS r FROM edges
+                UNION
+                SELECT e.src, reach.r FROM edges e JOIN reach ON e.dst = reach.id),
+      lbl AS (SELECT id, min(r) AS label FROM reach GROUP BY id),
+      ent AS (
+        SELECT p.p_partkey AS id, COALESCE(l.label, p.p_partkey) AS entity_id,
+          p.p_retailprice AS rk
+        FROM part p LEFT JOIN lbl l ON p.p_partkey = l.id),
+      w AS (
+        SELECT id, entity_id, rk,
+          ROW_NUMBER() OVER (PARTITION BY entity_id ORDER BY rk DESC, id) AS rn,
+          COUNT(*) OVER (PARTITION BY entity_id) AS nm
+        FROM ent),
+      can AS (SELECT entity_id, id AS canonical_id FROM w WHERE rn = 1)
+      SELECT w.id AS p_partkey, w.entity_id, can.canonical_id,
+        CAST(w.nm AS BIGINT) AS n_members
+      FROM w JOIN can ON w.entity_id = can.entity_id
+      ORDER BY p_partkey""")
+  )
+
   private val stratifiedQ = {
     // downsample the dominant strata, keep more of 0; unlisted labels
     // fall back to the default fraction
@@ -1081,6 +1139,8 @@ object EngineQueries extends QueryPack {
     "q_range_join" -> rangeQ,
     "q_hash_split" -> splitQ,
     "q_group_split" -> groupSplitQ,
+    "q_fuzzy_join" -> fuzzyJoinQ,
+    "q_entity_resolution" -> entityResolutionQ,
     "q_stratified_sample" -> stratifiedQ,
     "q_weighted_sample" -> weightedSampleQ,
     "q_zorder_stats" -> zorderQ,
