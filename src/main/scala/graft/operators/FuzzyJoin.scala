@@ -57,11 +57,53 @@ object FuzzyJoin {
     array_distinct(acc)
   }
 
+  /** Representatives of each DISTINCT string: (`_s`, `_nid` = min id
+    * among rows carrying it). All expensive work (variant explosion,
+    * candidate join, distance kernel) runs at DISTINCT-STRING grain —
+    * entity data repeats heavily (64 distinct part names across 20k
+    * rows here; the same ratio holds for real name/SKU columns), and
+    * a row-grain candidate join would re-verify every copy of a hot
+    * string against every copy of its neighbors.
+    */
+  private def reps(df: DataFrame, strCol: String, idCol: String): DataFrame =
+    df.groupBy(col(strCol).as("_s")).agg(min(col(idCol)).as("_nid"))
+
+  /** Verified DISTINCT-string pairs within `maxEdits`: (_sa, _sb,
+    * id_a, id_b, dist) where id_a/id_b are the representative (min)
+    * row ids and _sa != _sb (dist >= 1).
+    */
+  private def repStrPairs(r: DataFrame, maxEdits: Int, bucketCap: Int): DataFrame = {
+    val rows = r.select(
+      explode(deletionVariants(col("_s"), maxEdits)).as("_variant"),
+      col("_nid").as("id"),
+      col("_s")
+    )
+    BucketJoin
+      .selfPairs(rows, Seq("_variant"), "_s", bucketCap)
+      .select(col("id_a"), col("id_b"), col("_sa"), col("_sb"))
+      .distinct()
+      .select(
+        col("_sa"),
+        col("_sb"),
+        col("id_a"),
+        col("id_b"),
+        levenshtein(col("_sa"), col("_sb"), maxEdits).as("dist")
+      )
+      .where(col("dist") >= 0)
+  }
+
   /** All pairs (id_a < id_b) with lev(str_a, str_b) <= maxEdits, plus
     * the exact distance. Exact by construction: lossless symmetric-
     * delete blocking, then exact (thresholded) Levenshtein
     * verification — a pair is emitted if and only if it is within the
     * budget.
+    *
+    * Candidate generation, verification and the distance kernel all
+    * run once per DISTINCT STRING PAIR; the result is then expanded to
+    * row-id pairs by two equi-joins on the string (plus the in-group
+    * dist-0 pairs of rows sharing a string). The expansion is
+    * output-sized — the quadratic part of a hot identical-string group
+    * exists in the ANSWER, never in the candidate stage.
     *
     * `bucketCap` bounds a hot variant bucket via [[BucketJoin]]'s star
     * fallback (0 = exact/unbounded, the default — capping trades
@@ -75,23 +117,26 @@ object FuzzyJoin {
       bucketCap: Int = 0
   ): DataFrame = {
     require(maxEdits >= 0, s"maxEdits must be >= 0, got $maxEdits")
-    val rows = df
+    val strPairs = repStrPairs(reps(df, strCol, idCol), maxEdits, bucketCap)
+      .select(col("_sa"), col("_sb"), col("dist"))
+    // expand verified string pairs to row-id pairs
+    val a = df.select(col(strCol).as("_sa"), col(idCol).as("_ia"))
+    val b = df.select(col(strCol).as("_sb"), col(idCol).as("_ib"))
+    val cross = strPairs
+      .join(a, "_sa")
+      .join(b, "_sb")
       .select(
-        explode(deletionVariants(col(strCol), maxEdits)).as("_variant"),
-        col(idCol).as("id"),
-        col(strCol).as("_s")
+        least(col("_ia"), col("_ib")).as("id_a"),
+        greatest(col("_ia"), col("_ib")).as("id_b"),
+        col("dist")
       )
-    val candidates = BucketJoin
-      .selfPairs(rows, Seq("_variant"), "_s", bucketCap)
-      .select(col("id_a"), col("id_b"), col("_sa"), col("_sb"))
-      .distinct()
-    candidates
-      .select(
-        col("id_a"),
-        col("id_b"),
-        levenshtein(col("_sa"), col("_sb"), maxEdits).as("dist")
-      )
-      .where(col("dist") >= 0)
+    // rows sharing one string: distance 0 by definition, no kernel run
+    val same = df
+      .select(col(strCol).as("_s"), col(idCol).as("_ia"))
+      .join(df.select(col(strCol).as("_s"), col(idCol).as("_ib")), "_s")
+      .where(col("_ia") < col("_ib"))
+      .select(col("_ia").as("id_a"), col("_ib").as("id_b"), lit(0).as("dist"))
+    cross.unionByName(same)
   }
 
   /** End-to-end entity resolution: fuzzy-match rows within `maxEdits`,
@@ -104,10 +149,15 @@ object FuzzyJoin {
     * entity's min member id; rows matching nothing are their own
     * singleton entity), `canonical_id`, `n_members`.
     *
-    * Composition of exact pieces: [[fuzzySelfPairs]] (lossless
-    * blocking + exact verification), [[graft.dedup.Dedup.connectedComponents]]
-    * (large-star/small-star at scale), and the map-side-combinable
-    * argmax election of [[graft.dedup.Dedup.canonicalPick]].
+    * Composition of exact pieces: [[repStrPairs]] (lossless blocking +
+    * exact verification at DISTINCT-STRING grain),
+    * [[graft.dedup.Dedup.connectedComponents]] over the STRING-level
+    * graph (nodes = distinct strings keyed by their min row id — a
+    * million-row identical-name group is ONE node, and its rows
+    * inherit the label through the representative join, so the
+    * component computation never sees the quadratic pair expansion),
+    * and the map-side-combinable argmax election of
+    * [[graft.dedup.Dedup.canonicalPick]].
     */
   def resolveEntities(
       df: DataFrame,
@@ -117,14 +167,16 @@ object FuzzyJoin {
       rankCol: String,
       bucketCap: Int = 0
   ): DataFrame = {
-    val pairs = fuzzySelfPairs(df, strCol, idCol, maxEdits, bucketCap)
+    val r = reps(df, strCol, idCol)
+    val edges = repStrPairs(r, maxEdits, bucketCap).select(col("id_a"), col("id_b"))
     val labels = graft.dedup.Dedup
-      .connectedComponents(pairs)
+      .connectedComponents(edges)
       .select(col("id").as("_lid"), col("label").as("_lbl"))
     val ent = df
-      .select(col(idCol).as("_id"), col(rankCol).cast("double").as("_r"))
-      .join(labels, col("_id") === col("_lid"), "left_outer")
-      .select(col("_id"), coalesce(col("_lbl"), col("_id")).as("entity_id"), col("_r"))
+      .select(col(strCol).as("_s"), col(idCol).as("_id"), col(rankCol).cast("double").as("_r"))
+      .join(r, "_s")
+      .join(labels, col("_nid") === col("_lid"), "left_outer")
+      .select(col("_id"), coalesce(col("_lbl"), col("_nid")).as("entity_id"), col("_r"))
     val canon = ent
       .groupBy("entity_id")
       .agg(
