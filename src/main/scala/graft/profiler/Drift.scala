@@ -178,6 +178,57 @@ object Drift {
       )
   }
 
+  /** Repair a day-grain metric series by last-observation-carried-
+    * forward: densify each key's series over ITS OWN [first, last]
+    * observed day span and fill the gaps with the most recent observed
+    * value, flagging filled rows. The repair companion to
+    * [[missingDays]] (which only detects) — forecast models
+    * ([[graft.anomaly.Models]]) assume contiguous series; a silent
+    * 3-day pipeline outage would otherwise shift every seasonal lag
+    * after it.
+    *
+    * Contract: one row per (keys, day) in the input (the profiler's
+    * long-format metric tables satisfy this by construction); `tsCol`
+    * is truncated to day. Leading gaps cannot exist — each key's spine
+    * starts at its first observation.
+    *
+    * Scale shape: the spine explodes from a per-key 1-row span
+    * aggregate (|keys| × span rows — metric-grain, not raw-grain); the
+    * fill is one window per key ordered by day, whose partition is the
+    * series length. Raw data is never rescanned.
+    */
+  def gapFill(
+      series: DataFrame,
+      tsCol: String,
+      valueCol: String,
+      keyCols: Seq[String]
+  ): DataFrame = {
+    require(keyCols.nonEmpty, "gapFill needs at least one key column")
+    val day = date_trunc("day", col(tsCol))
+    val obs = series.select(
+      keyCols.map(col) :+ day.as("_day") :+ col(valueCol).as("_v"): _*
+    )
+    val spine = obs
+      .groupBy(keyCols.map(col): _*)
+      .agg(min(col("_day")).as("_mn"), max(col("_day")).as("_mx"))
+      .select(
+        keyCols.map(col) :+
+          explode(sequence(col("_mn"), col("_mx"), expr("INTERVAL 1 DAY"))).as("_day"): _*
+      )
+    val w = Window
+      .partitionBy(keyCols.map(col): _*)
+      .orderBy(col("_day"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    spine
+      .join(obs, keyCols :+ "_day", "left_outer")
+      .select(
+        keyCols.map(col) :+
+          col("_day").as(tsCol) :+
+          last(col("_v"), ignoreNulls = true).over(w).as(valueCol) :+
+          col("_v").isNull.as("filled"): _*
+      )
+  }
+
   /** Calendar days with NO rows per key, within the dataset's global
     * [min day, max day] span — the "silent partition" detector (a
     * pipeline that stops delivering for one key is invisible to

@@ -495,6 +495,38 @@ object ProfilerQueries extends QueryPack {
       FROM cum GROUP BY 1 ORDER BY ts""")
   )
 
+  // LOCF gap-fill of per-user daily value sums: decimal day-sums
+  // (order-independent, identical both engines), per-key spine,
+  // last-non-null window fill.
+  private val gapFillQ = Q(
+    fn = (s, d) => {
+      val daily = Tables
+        .events(s, d)
+        .groupBy(col("user_id"), date_trunc("day", col("ts")).as("day"))
+        .agg(decSum6(col("value")).as("value"))
+      graft.profiler.Drift
+        .gapFill(daily, "day", "value", Seq("user_id"))
+        .orderBy("user_id", "day")
+    },
+    oracle = Some(s"""
+      WITH s AS (
+        SELECT user_id, ${sqlDay("ts")} AS d, ${sqlDecSum6("value")} AS v
+        FROM events GROUP BY 1, 2),
+      sp AS (SELECT user_id, min(d) AS mn, max(d) AS mx FROM s GROUP BY 1),
+      spine AS (
+        SELECT user_id, CAST(u.gd AS TIMESTAMP) AS d
+        FROM sp, unnest(generate_series(mn, mx, INTERVAL 1 DAY)) AS u(gd)),
+      j AS (
+        SELECT spine.user_id, spine.d, s.v
+        FROM spine LEFT JOIN s ON s.user_id = spine.user_id AND s.d = spine.d)
+      SELECT user_id, d AS day,
+        last_value(v IGNORE NULLS) OVER (
+          PARTITION BY user_id ORDER BY d
+          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS value,
+        v IS NULL AS filled
+      FROM j ORDER BY user_id, day""")
+  )
+
   // Silent-partition detector: calendar days with no events per user
   // within the dataset's global day span.
   private val missingDaysQ = Q(
@@ -544,6 +576,7 @@ object ProfilerQueries extends QueryPack {
     "profile_psi_drift" -> psiDriftQ,
     "profile_ks_drift" -> ksDriftQ,
     "profile_missing_days" -> missingDaysQ,
+    "profile_gapfill" -> gapFillQ,
     "profile_reaggregate" -> reaggQ,
     "profile_reaggregate_quantiles" -> reaggQuantilesQ,
     "profile_size" -> size,

@@ -58,6 +58,28 @@ class DriftSpec extends SparkSpec {
     assert(out.head.getLong(2) == 7L && out.head.getLong(3) == 9L)
   }
 
+  test("gapFill carries the last observation forward within each key's own span") {
+    val rows = Seq(
+      (ts(1), "a", 10.0),
+      (ts(2), "a", 20.0),
+      (ts(5), "a", 50.0), // a: days 3, 4 filled with 20.0
+      (ts(3), "b", 7.0) // b: single day, nothing to fill
+    ).toDF("ts", "key", "value")
+    val out = Drift
+      .gapFill(rows, "ts", "value", Seq("key"))
+      .collect()
+      .map(r => (r.getString(0), r.getTimestamp(1).toString.take(10), r.getDouble(2), r.getBoolean(3)))
+      .sortBy(t => (t._1, t._2))
+    assert(out.toSeq == Seq(
+      ("a", "2024-01-01", 10.0, false),
+      ("a", "2024-01-02", 20.0, false),
+      ("a", "2024-01-03", 20.0, true),
+      ("a", "2024-01-04", 20.0, true),
+      ("a", "2024-01-05", 50.0, false),
+      ("b", "2024-01-03", 7.0, false)
+    ))
+  }
+
   test("missing days reports per-key calendar gaps inside the global span") {
     val rows = Seq(
       (ts(1), "a"),
