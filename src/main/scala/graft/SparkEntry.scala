@@ -20,7 +20,8 @@ object SparkEntry {
     DedupQueries,
     SimilarityQueries,
     MultimodalQueries,
-    PipelineQueries
+    PipelineQueries,
+    EventQueries
   )
 
   private lazy val registry: Map[String, Q] =

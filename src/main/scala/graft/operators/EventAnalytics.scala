@@ -1,0 +1,263 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Product-analytics operators over an event stream: ordered funnels,
+  * retention cohorts, rolling distinct actors, and touch attribution.
+  *
+  * Reference scope: thoth profiles metric SERIES but has no event-grain
+  * analytics; these are the companion operators a clickstream/telemetry
+  * corpus needs at scale (the same shapes BI engines special-case).
+  * Every operator here is one or two shuffles keyed on the actor id —
+  * no self-join of the raw event table, no driver-side state:
+  *
+  *   - funnel: one groupBy(user) carrying a sorted (ts, step) array,
+  *     folded by a codegen'd higher-order `aggregate` — the per-user
+  *     array holds only FUNNEL-step events, not the whole history.
+  *   - retention: distinct activity grain (user, day), first-day via
+  *     re-aggregation of that same grain (the join rides the exchange
+  *     the distinct already produced).
+  *   - rolling distinct: exact path expands the (user, day) grain by
+  *     the window length (×W rows of the DISTINCT grain, not the raw
+  *     events); sketch path keeps one HLL per day — mergeable, so the
+  *     window union is day-grain tiny no matter how many actors.
+  *   - attribution: a single ROWS-frame window max per user — the
+  *     as-of "most recent touch" without a range self-join.
+  */
+object EventAnalytics {
+
+  /** Ordered-funnel conversion: for each prefix of `steps`, how many
+    * users performed those steps in strict timestamp order. A step
+    * counts only if it happens strictly AFTER the previous step's
+    * earliest valid completion (chained-min semantics: t1 = min ts of
+    * step1; t_i = min ts of step_i with ts > t_{i-1}) — equivalent to
+    * the greedy walk this implements, and deterministic under
+    * same-timestamp ties because an event at ts == t_{i-1} never
+    * advances.
+    *
+    * Emits one row per step (missing conversions count 0), so the
+    * report shape is stable even on corpora where nobody converts.
+    */
+  def funnelSteps(
+      events: DataFrame,
+      userCol: String,
+      typeCol: String,
+      tsCol: String,
+      steps: Seq[String]
+  ): DataFrame = {
+    require(steps.nonEmpty, "funnelSteps: steps must be non-empty")
+    require(steps.distinct == steps, "funnelSteps: steps must be distinct")
+    val spark = events.sparkSession
+
+    val stepIdx = steps.zipWithIndex.foldLeft(lit(-1)) { case (acc, (s, i)) =>
+      when(col(typeCol) === s, lit(i)).otherwise(acc)
+    }
+    // Sorted per-user walk: state = (steps reached, ts of last advance).
+    // sort_array orders the struct lexicographically (ts first), so the
+    // fold sees events in time order; equal-ts order is irrelevant under
+    // the strict `>` advance condition.
+    val perUser = events
+      .filter(col(typeCol).isin(steps: _*))
+      .select(
+        col(userCol).as("_u"),
+        struct(col(tsCol).as("ts"), stepIdx.as("step")).as("_e")
+      )
+      .groupBy("_u")
+      .agg(sort_array(collect_list(col("_e"))).as("_evs"))
+      .select(
+        aggregate(
+          col("_evs"),
+          struct(
+            lit(0).as("reached"),
+            lit(null).cast("timestamp").as("last_ts")
+          ),
+          (st, e) =>
+            when(
+              e.getField("step") === st.getField("reached") &&
+                (st.getField("reached") === 0 ||
+                  e.getField("ts") > st.getField("last_ts")),
+              struct(
+                (st.getField("reached") + 1).as("reached"),
+                e.getField("ts").as("last_ts")
+              )
+            ).otherwise(st)
+        ).getField("reached").as("_reached")
+      )
+
+    // A user who reached step k contributes to steps 1..k; explode at
+    // user grain (≤ |steps| rows each), then count — fully distributed,
+    // no running-sum window over the tiny result needed.
+    val counts = perUser
+      .filter(col("_reached") >= 1)
+      .select(explode(sequence(lit(1), col("_reached"))).as("step_idx"))
+      .groupBy("step_idx")
+      .agg(count(lit(1)).as("users"))
+
+    // Stable spine: every step appears, zero-filled.
+    import spark.implicits._
+    val spine = steps.zipWithIndex
+      .map { case (s, i) => (i + 1, s) }
+      .toDF("step_idx", "step")
+    spine
+      .join(counts, Seq("step_idx"), "left")
+      .select(
+        col("step_idx"),
+        col("step"),
+        coalesce(col("users"), lit(0L)).as("users")
+      )
+      .orderBy("step_idx")
+  }
+
+  /** Retention cohort matrix: users grouped by their first active day,
+    * counted on each later day they return (day offsets 0..maxOffsetDays).
+    * Activity is de-duplicated to (user, day) grain first, so a chatty
+    * user counts once per day; the first-day aggregate and the join
+    * back both ride the user-keyed exchange that distinct produced.
+    */
+  def retentionCohorts(
+      events: DataFrame,
+      userCol: String,
+      tsCol: String,
+      maxOffsetDays: Int
+  ): DataFrame = {
+    val act = events
+      .select(
+        col(userCol).as("_u"),
+        date_trunc("day", col(tsCol)).as("_d")
+      )
+      .distinct()
+    val first = act.groupBy("_u").agg(min("_d").as("cohort_day"))
+    act
+      .join(first, "_u")
+      .select(
+        col("cohort_day"),
+        datediff(col("_d"), col("cohort_day")).cast("long").as("offset_day")
+      )
+      .filter(col("offset_day") <= maxOffsetDays)
+      .groupBy("cohort_day", "offset_day")
+      .agg(count(lit(1)).as("users"))
+      .orderBy("cohort_day", "offset_day")
+  }
+
+  /** Exact trailing-window distinct actors per day: for each observed
+    * activity day, how many distinct users were active in the trailing
+    * `windowDays`-day window ending that day. The expansion runs at the
+    * DISTINCT (user, day) grain — each such row fans out to the ≤W
+    * window-end days it can serve — so cost is W × |user-days|, not
+    * W × |events|. Output days are restricted to days with activity.
+    */
+  def rollingDistinct(
+      events: DataFrame,
+      userCol: String,
+      tsCol: String,
+      windowDays: Int
+  ): DataFrame = {
+    require(windowDays >= 1, "rollingDistinct: windowDays must be >= 1")
+    val du = events
+      .select(
+        col(userCol).as("_u"),
+        date_trunc("day", col(tsCol)).as("_d")
+      )
+      .distinct()
+    val horizon = expr(s"INTERVAL ${windowDays - 1} DAYS")
+    val expanded = du
+      .select(
+        explode(
+          sequence(col("_d"), col("_d") + horizon, expr("INTERVAL 1 DAY"))
+        ).as("day"),
+        col("_u")
+      )
+      .distinct()
+    val observed = du.select(col("_d").as("day")).distinct()
+    expanded
+      .join(observed, Seq("day"), "left_semi")
+      .groupBy("day")
+      .agg(count(lit(1)).as(s"users_${windowDays}d"))
+      .orderBy("day")
+  }
+
+  /** Sketch-based trailing-window distinct: one HLL sketch per day
+    * (the only pass over the raw events), then a day-grain window
+    * union. At 100 TB the daily state is |days| × ~1 KB regardless of
+    * actor cardinality — this is the mergeable path the exact operator
+    * trades precision for. Estimates are rounded to whole actors.
+    */
+  def rollingDistinctHll(
+      events: DataFrame,
+      userCol: String,
+      tsCol: String,
+      windowDays: Int,
+      lgConfigK: Int = 12
+  ): DataFrame = {
+    require(windowDays >= 1, "rollingDistinctHll: windowDays must be >= 1")
+    // Same fan-out shape as the exact path, but at DAY grain: each daily
+    // sketch serves the ≤W window-end days ahead of it, so the union is
+    // an equi-keyed hash aggregate — no range join (a range join here
+    // plans a nested-loop, which the plan audit bans even when tiny).
+    val daily = events
+      .groupBy(date_trunc("day", col(tsCol)).as("_d"))
+      .agg(hll_sketch_agg(col(userCol), lit(lgConfigK)).as("_sk"))
+    val horizon = expr(s"INTERVAL ${windowDays - 1} DAYS")
+    val expanded = daily.select(
+      explode(
+        sequence(col("_d"), col("_d") + horizon, expr("INTERVAL 1 DAY"))
+      ).as("day"),
+      col("_sk")
+    )
+    val observed = daily.select(col("_d").as("day"))
+    expanded
+      .join(observed, Seq("day"), "left_semi")
+      .groupBy("day")
+      .agg(
+        hll_sketch_estimate(hll_union_agg(col("_sk")))
+          .as(s"approx_users_${windowDays}d")
+      )
+      .orderBy("day")
+  }
+
+  /** Last-touch attribution: each conversion event is attributed to the
+    * same user's most recent `touchType` event strictly before it (by
+    * the total order (ts, idCol) — deterministic under ties) and within
+    * `windowSec`. One ROWS-frame window per user; no range self-join.
+    * Lag is in microseconds (exact integer on both engines).
+    */
+  def lastTouchAttribution(
+      events: DataFrame,
+      userCol: String,
+      idCol: String,
+      typeCol: String,
+      tsCol: String,
+      touchType: String,
+      convType: String,
+      windowSec: Long
+  ): DataFrame = {
+    val w = Window
+      .partitionBy(col(userCol))
+      .orderBy(col("_ts_us"), col(idCol))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    events
+      .select(
+        col(idCol),
+        col(userCol),
+        col(typeCol),
+        unix_micros(col(tsCol)).as("_ts_us")
+      )
+      .filter(col(typeCol).isin(touchType, convType))
+      .withColumn(
+        "_touch_us",
+        max(when(col(typeCol) === touchType, col("_ts_us"))).over(w)
+      )
+      .filter(col(typeCol) === convType)
+      .select(
+        col(idCol),
+        col(userCol),
+        (col("_ts_us") - col("_touch_us")).as("touch_lag_us"),
+        (col("_touch_us").isNotNull &&
+          col("_ts_us") - col("_touch_us") <= windowSec * 1000000L)
+          .as("attributed")
+      )
+      .orderBy(idCol)
+  }
+}

@@ -1,0 +1,128 @@
+package graft.queries
+
+import graft.Tables
+import graft.operators.EventAnalytics
+
+/** Event-grain product analytics (SURVEY §2.3 rows 30p-30t): ordered
+  * funnel, retention cohorts, rolling distinct actors (exact + HLL
+  * sketch), and last-touch attribution over the `events` table. The
+  * sketch variant is rows-only (estimates have no exact SQL mirror);
+  * everything else is oracle-gated.
+  */
+object EventQueries extends QueryPack {
+
+  private val funnelStepList = Seq("view", "click", "purchase")
+
+  // Chained-min semantics: t1 = min ts of step1; t_i = min ts of step_i
+  // strictly after t_{i-1}. The UNION spine keeps all steps present
+  // (zero-filled) exactly like the Spark side's literal spine.
+  private val funnelQ = Q(
+    fn = (s, d) =>
+      EventAnalytics.funnelSteps(
+        Tables.events(s, d),
+        "user_id",
+        "event_type",
+        "ts",
+        funnelStepList
+      ),
+    oracle = Some("""
+      WITH t1 AS (SELECT user_id, min(ts) AS ts1 FROM events
+                  WHERE event_type = 'view' GROUP BY 1),
+      t2 AS (SELECT e.user_id, min(e.ts) AS ts2 FROM events e
+             JOIN t1 ON e.user_id = t1.user_id
+             WHERE e.event_type = 'click' AND e.ts > t1.ts1 GROUP BY 1),
+      t3 AS (SELECT e.user_id, min(e.ts) AS ts3 FROM events e
+             JOIN t2 ON e.user_id = t2.user_id
+             WHERE e.event_type = 'purchase' AND e.ts > t2.ts2 GROUP BY 1)
+      SELECT * FROM (
+        SELECT 1 AS step_idx, 'view' AS step, count(*) AS users FROM t1
+        UNION ALL SELECT 2, 'click', count(*) FROM t2
+        UNION ALL SELECT 3, 'purchase', count(*) FROM t3
+      ) ORDER BY step_idx""")
+  )
+
+  private val retentionQ = Q(
+    fn = (s, d) =>
+      EventAnalytics.retentionCohorts(
+        Tables.events(s, d),
+        "user_id",
+        "ts",
+        maxOffsetDays = 7
+      ),
+    oracle = Some(s"""
+      WITH act AS (SELECT DISTINCT user_id AS u,
+                     ${sqlDay("ts")} AS d FROM events),
+      f AS (SELECT u, min(d) AS cohort_day FROM act GROUP BY 1)
+      SELECT f.cohort_day,
+        CAST(date_diff('day', f.cohort_day, act.d) AS BIGINT) AS offset_day,
+        count(*) AS users
+      FROM act JOIN f ON act.u = f.u
+      WHERE date_diff('day', f.cohort_day, act.d) <= 7
+      GROUP BY 1, 2 ORDER BY 1, 2""")
+  )
+
+  private val rollingDistinctQ = Q(
+    fn = (s, d) =>
+      EventAnalytics.rollingDistinct(
+        Tables.events(s, d),
+        "user_id",
+        "ts",
+        windowDays = 7
+      ),
+    oracle = Some(s"""
+      WITH du AS (SELECT DISTINCT user_id AS u,
+                    ${sqlDay("ts")} AS d FROM events),
+      days AS (SELECT DISTINCT d AS day FROM du)
+      SELECT days.day, count(DISTINCT du.u) AS users_7d
+      FROM days JOIN du
+        ON du.d BETWEEN days.day - INTERVAL 6 DAY AND days.day
+      GROUP BY 1 ORDER BY 1""")
+  )
+
+  // Rows-only: HLL estimates are engine-specific; the EventAnalyticsSpec
+  // pins the estimate within tolerance of the exact operator above.
+  private val rollingHllQ = Q(
+    fn = (s, d) =>
+      EventAnalytics.rollingDistinctHll(
+        Tables.events(s, d),
+        "user_id",
+        "ts",
+        windowDays = 7
+      ),
+    oracle = None
+  )
+
+  private val attributionQ = Q(
+    fn = (s, d) =>
+      EventAnalytics.lastTouchAttribution(
+        Tables.events(s, d),
+        userCol = "user_id",
+        idCol = "event_id",
+        typeCol = "event_type",
+        tsCol = "ts",
+        touchType = "click",
+        convType = "purchase",
+        windowSec = 604800L
+      ),
+    oracle = Some("""
+      WITH t AS (SELECT event_id, user_id, event_type, epoch_us(ts) AS ts_us
+                 FROM events WHERE event_type IN ('click', 'purchase')),
+      m AS (SELECT *, max(CASE WHEN event_type = 'click' THEN ts_us END)
+              OVER (PARTITION BY user_id ORDER BY ts_us, event_id
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+              AS touch_us
+            FROM t)
+      SELECT event_id, user_id, ts_us - touch_us AS touch_lag_us,
+        (touch_us IS NOT NULL AND ts_us - touch_us <= 604800000000)
+          AS attributed
+      FROM m WHERE event_type = 'purchase' ORDER BY event_id""")
+  )
+
+  val queries: Map[String, Q] = Map(
+    "q_funnel_steps" -> funnelQ,
+    "q_retention_cohorts" -> retentionQ,
+    "q_rolling_distinct" -> rollingDistinctQ,
+    "q_rolling_distinct_hll" -> rollingHllQ,
+    "q_attribution" -> attributionQ
+  )
+}

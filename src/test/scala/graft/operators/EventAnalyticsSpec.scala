@@ -1,0 +1,128 @@
+package graft.operators
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+class EventAnalyticsSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def t(s: String) = java.sql.Timestamp.valueOf(s)
+
+  // user 1: full ordered funnel; user 2: click before view (click must
+  // not count until re-clicked — it never is, so stops at view);
+  // user 3: view+click at the SAME instant (strict order -> click does
+  // not advance); user 4: no funnel events at all.
+  private val funnelEvents = Seq(
+    (1L, 1L, "view", t("2025-01-01 10:00:00")),
+    (2L, 1L, "click", t("2025-01-01 10:01:00")),
+    (3L, 1L, "purchase", t("2025-01-01 10:02:00")),
+    (4L, 2L, "click", t("2025-01-01 09:00:00")),
+    (5L, 2L, "view", t("2025-01-01 09:30:00")),
+    (6L, 2L, "purchase", t("2025-01-01 09:45:00")),
+    (7L, 3L, "view", t("2025-01-01 08:00:00")),
+    (8L, 3L, "click", t("2025-01-01 08:00:00")),
+    (9L, 4L, "error", t("2025-01-01 07:00:00"))
+  ).toDF("event_id", "user_id", "event_type", "ts")
+
+  test("funnel advances only on strictly time-ordered steps") {
+    val got = EventAnalytics
+      .funnelSteps(funnelEvents, "user_id", "event_type", "ts",
+        Seq("view", "click", "purchase"))
+      .collect()
+      .map(r => (r.getInt(0), r.getString(1), r.getLong(2)))
+    assert(got.toSeq == Seq((1, "view", 3L), (2, "click", 1L), (3, "purchase", 1L)))
+  }
+
+  test("funnel emits zero-filled rows when nobody converts") {
+    val got = EventAnalytics
+      .funnelSteps(funnelEvents, "user_id", "event_type", "ts",
+        Seq("purchase", "error", "signup"))
+      .collect()
+      .map(r => (r.getString(1), r.getLong(2)))
+    assert(got.toSeq == Seq(("purchase", 2L), ("error", 0L), ("signup", 0L)))
+  }
+
+  private val retEvents = Seq(
+    // user 1 first active day 1, returns day 2 and day 4 (twice - dedup)
+    (1L, t("2025-03-01 10:00:00")),
+    (1L, t("2025-03-02 09:00:00")),
+    (1L, t("2025-03-04 09:00:00")),
+    (1L, t("2025-03-04 23:00:00")),
+    // user 2 first active day 2 only
+    (2L, t("2025-03-02 12:00:00"))
+  ).toDF("user_id", "ts")
+
+  test("retention cohorts count each returning user once per day") {
+    val got = EventAnalytics
+      .retentionCohorts(retEvents, "user_id", "ts", maxOffsetDays = 7)
+      .collect()
+      .map(r => (r.getTimestamp(0).toString, r.getLong(1), r.getLong(2)))
+    assert(got.toSeq == Seq(
+      ("2025-03-01 00:00:00.0", 0L, 1L),
+      ("2025-03-01 00:00:00.0", 1L, 1L),
+      ("2025-03-01 00:00:00.0", 3L, 1L),
+      ("2025-03-02 00:00:00.0", 0L, 1L)
+    ))
+  }
+
+  test("rolling distinct counts trailing-window users on observed days only") {
+    val got = EventAnalytics
+      .rollingDistinct(retEvents, "user_id", "ts", windowDays = 3)
+      .collect()
+      .map(r => (r.getTimestamp(0).toString, r.getLong(1)))
+    // day 1: {u1}; day 2: {u1,u2}; day 4: window [2,4] -> {u1,u2}
+    assert(got.toSeq == Seq(
+      ("2025-03-01 00:00:00.0", 1L),
+      ("2025-03-02 00:00:00.0", 2L),
+      ("2025-03-04 00:00:00.0", 2L)
+    ))
+  }
+
+  test("HLL rolling distinct tracks the exact operator within tolerance") {
+    val events = graft.Tables.events(spark, "/root/testdata/sf0.001")
+    val exact = EventAnalytics
+      .rollingDistinct(events, "user_id", "ts", windowDays = 7)
+      .collect()
+      .map(r => r.getTimestamp(0) -> r.getLong(1))
+      .toMap
+    val approx = EventAnalytics
+      .rollingDistinctHll(events, "user_id", "ts", windowDays = 7)
+      .collect()
+      .map(r => r.getTimestamp(0) -> r.getLong(1).toDouble)
+    assert(approx.nonEmpty && approx.length == exact.size)
+    approx.foreach { case (day, est) =>
+      val ex = exact(day).toDouble
+      assert(math.abs(est - ex) / ex <= 0.05, s"day $day: est $est vs exact $ex")
+    }
+  }
+
+  private val attrEvents = Seq(
+    // purchase 3 attributes to click 2 (latest before it, within window)
+    (1L, 1L, "click", t("2025-01-01 10:00:00")),
+    (2L, 1L, "click", t("2025-01-01 10:30:00")),
+    (3L, 1L, "purchase", t("2025-01-01 10:40:00")),
+    // purchase 5 outside the 1h window -> not attributed (lag present)
+    (4L, 2L, "click", t("2025-01-01 08:00:00")),
+    (5L, 2L, "purchase", t("2025-01-01 09:30:00")),
+    // purchase 6 with no prior click -> null lag, not attributed
+    (6L, 3L, "purchase", t("2025-01-01 09:00:00")),
+    // same-instant click (id 7 < id 8) IS "before" under (ts, id) order
+    (7L, 4L, "click", t("2025-01-01 11:00:00")),
+    (8L, 4L, "purchase", t("2025-01-01 11:00:00"))
+  ).toDF("event_id", "user_id", "event_type", "ts")
+
+  test("last-touch attribution picks the latest prior touch within the window") {
+    val got = EventAnalytics
+      .lastTouchAttribution(attrEvents, "user_id", "event_id", "event_type",
+        "ts", "click", "purchase", windowSec = 3600L)
+      .collect()
+      .map(r => (r.getLong(0),
+        if (r.isNullAt(2)) None else Some(r.getLong(2)), r.getBoolean(3)))
+    assert(got.toSeq == Seq(
+      (3L, Some(600L * 1000000L), true),
+      (5L, Some(5400L * 1000000L), false),
+      (6L, None, false),
+      (8L, Some(0L), true)
+    ))
+  }
+}
