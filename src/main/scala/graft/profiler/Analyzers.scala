@@ -219,4 +219,44 @@ object Analyzers {
     def expr(c: String): Column =
       (count_distinct(col(c)) / count(lit(1))).cast(DoubleType)
   }
+
+  /** Fraction of rows satisfying a row-level predicate (Deequ
+    * Compliance). A NULL predicate result counts as non-compliant,
+    * matching Deequ's `sum(if(predicate,1,0))/count(*)`. The predicate
+    * may reference any columns, so the bound column name is ignored —
+    * register as a dataset analyzer (instance `*`).
+    */
+  case class Compliance(constraint: String, predicate: Column) extends ColumnAnalyzer {
+    val name = s"Compliance($constraint)"
+    def expr(c: String): Column =
+      (sum(when(predicate, 1L).otherwise(0L)) / count(lit(1))).cast(DoubleType)
+  }
+
+  /** Fraction of rows whose value contains a regex match (Deequ
+    * PatternMatch); NULLs count as non-matching. Unanchored find
+    * semantics on both engines (Spark `rlike`, DuckDB
+    * `regexp_matches`) — anchor the pattern for full-match checks.
+    */
+  case class PatternMatch(pattern: String) extends ColumnAnalyzer {
+    val name = s"PatternMatch($pattern)"
+    def expr(c: String): Column =
+      (sum(when(col(c).rlike(pattern), 1L).otherwise(0L)) / count(lit(1)))
+        .cast(DoubleType)
+  }
+
+  /** Shortest value length of a string column (Deequ MinLength);
+    * NULLs ignored.
+    */
+  case object MinLength extends ColumnAnalyzer {
+    val name = "MinLength"
+    def expr(c: String): Column = min(length(col(c))).cast(DoubleType)
+  }
+
+  /** Longest value length of a string column (Deequ MaxLength);
+    * NULLs ignored.
+    */
+  case object MaxLength extends ColumnAnalyzer {
+    val name = "MaxLength"
+    def expr(c: String): Column = max(length(col(c))).cast(DoubleType)
+  }
 }

@@ -571,7 +571,82 @@ object ProfilerQueries extends QueryPack {
       FROM events GROUP BY 1, 2 ORDER BY 1, 2""")
   )
 
+  // Deequ Compliance: fraction of rows satisfying a row-level rule.
+  // Registered as dataset analyzers (the predicate may span columns).
+  private val complianceQ = Q(
+    fn = (s, d) =>
+      finish(
+        Profiler.profile(
+          Tables.events(s, d),
+          "ts",
+          new ProfilingBuilder(
+            Seq(),
+            Seq(
+              Analyzers.Compliance("value_in_range", col("value").between(0, 100)),
+              Analyzers
+                .Compliance("engagement_type", col("event_type").isin("view", "click"))
+            )
+          )
+        )
+      ),
+    oracle = Some(
+      oracle(
+        Seq(
+          (
+            "*",
+            "Compliance(value_in_range)",
+            "CAST(SUM(CASE WHEN value BETWEEN 0 AND 100 THEN 1 ELSE 0 END) AS DOUBLE) / COUNT(*)"
+          ),
+          (
+            "*",
+            "Compliance(engagement_type)",
+            "CAST(SUM(CASE WHEN event_type IN ('view', 'click') THEN 1 ELSE 0 END) AS DOUBLE) / COUNT(*)"
+          )
+        )
+      )
+    )
+  )
+
+  // Deequ PatternMatch + MinLength/MaxLength over the string columns —
+  // unanchored find semantics on both engines.
+  private val propsPattern = "\"k\": [0-9]{2}"
+  private val stringShapeQ = Q(
+    fn = (s, d) =>
+      finish(
+        Profiler.profile(
+          Tables.events(s, d),
+          "ts",
+          builderOf(
+            a =>
+              Seq(
+                a.PatternMatch(propsPattern),
+                a.MinLength,
+                a.MaxLength
+              ),
+            numeric = false
+          )
+        )
+      ),
+    oracle = Some(
+      oracle(
+        stringCols.flatMap(c =>
+          Seq(
+            (
+              c,
+              s"PatternMatch($propsPattern)",
+              s"CAST(SUM(CASE WHEN regexp_matches($c, '$propsPattern') THEN 1 ELSE 0 END) AS DOUBLE) / COUNT(*)"
+            ),
+            (c, "MinLength", s"CAST(MIN(LENGTH($c)) AS DOUBLE)"),
+            (c, "MaxLength", s"CAST(MAX(LENGTH($c)) AS DOUBLE)")
+          )
+        )
+      )
+    )
+  )
+
   val queries: Map[String, Q] = Map(
+    "profile_compliance" -> complianceQ,
+    "profile_string_shape" -> stringShapeQ,
     "profile_heavy_hitters" -> heavyHittersQ,
     "profile_psi_drift" -> psiDriftQ,
     "profile_ks_drift" -> ksDriftQ,

@@ -165,6 +165,35 @@ class ProfilerSpec extends SparkSpec {
     assert(sizes.size == 5)
   }
 
+  test("compliance, pattern-match, and length analyzers") {
+    val builder = new ProfilingBuilder(
+      typeMappings = Seq(
+        TypeMapping(
+          _.isInstanceOf[StringType],
+          Seq(Analyzers.PatternMatch("^[ab]$"), Analyzers.MinLength, Analyzers.MaxLength)
+        )
+      ),
+      datasetAnalyzers =
+        Seq(Analyzers.Compliance("num_le_5", $"num" <= 5.0))
+    )
+    val out = Profiler.profile(sample, "ts", builder).cache()
+    def v(day: String, name: String): Double =
+      out
+        .where($"ts" === to_timestamp(lit(day)) && $"name" === name)
+        .select("value")
+        .as[Double]
+        .collect()
+        .head
+    // day 1: num values 1, 3, null -> null predicate counts non-compliant
+    assert(v("2025-01-01", "Compliance(num_le_5)") == 2.0 / 3.0)
+    assert(v("2025-01-02", "Compliance(num_le_5)") == 0.0)
+    // day 1 strs: a, b, a all match ^[ab]$; day 2: null, c -> 0 of 2
+    assert(v("2025-01-01", "PatternMatch(^[ab]$)") == 1.0)
+    assert(v("2025-01-02", "PatternMatch(^[ab]$)") == 0.0)
+    assert(v("2025-01-01", "MinLength") == 1.0)
+    assert(v("2025-01-02", "MaxLength") == 1.0)
+  }
+
   test("uniqueness and entropy profiles") {
     val u = Profiler
       .uniquenessProfile(sample, "ts", "str")
