@@ -812,6 +812,69 @@ object Dedup {
       )
   }
 
+  /** Per-corpus-document contamination score against a benchmark span
+    * set: the fraction of each document's DISTINCT `spanWords`-word
+    * spans that appear anywhere in the benchmark corpus — the SCORED
+    * companion of [[crossSpanOverlap]]. Pair-level containment answers
+    * "which eval doc leaked"; this answers "how contaminated is this
+    * training doc", the signal thresholded when filtering a corpus.
+    * Documents with fewer than `spanWords` tokens have no spans and
+    * score 0.0 over 0 spans (kept, not dropped — the filter decision
+    * belongs to the caller).
+    *
+    * Scale shape: the benchmark reduces to one distinct span-hash SET
+    * (deduped across bench docs — eval suites are tiny next to a
+    * training corpus), so the probe join broadcasts and corpus spans
+    * never shuffle; the only wide exchange is the per-doc count
+    * groupBy, map-side combinable.
+    */
+  def contaminationScore(
+      bench: DataFrame,
+      corpus: DataFrame,
+      textCol: String,
+      idCol: String,
+      spanWords: Int = 8
+  ): DataFrame = {
+    require(spanWords >= 1, s"spanWords must be >= 1, got $spanWords")
+    // explode_outer keeps zero-span docs as one (id, null-hash) row, so
+    // they survive to the report with n_spans = 0
+    val cs = corpus
+      .select(col(idCol), Text.tokens(col(textCol)).as("_toks"))
+      .select(
+        col(idCol),
+        explode_outer(Text.wordShinglesFromTokens(col("_toks"), spanWords))
+          .as("_span")
+      )
+      .select(col(idCol), md5(col("_span")).as("_h"))
+      .distinct()
+    val bs = bench
+      .select(Text.tokens(col(textCol)).as("_toks"))
+      .select(
+        explode(Text.wordShinglesFromTokens(col("_toks"), spanWords)).as("_span")
+      )
+      .select(md5(col("_span")).as("_h"))
+      .distinct()
+    cs.join(bs.withColumn("_hit", lit(1L)), Seq("_h"), "left")
+      .groupBy(col(idCol))
+      .agg(
+        count(col("_h")).as("n_spans"),
+        coalesce(sum(col("_hit")), lit(0L)).as("n_contaminated")
+      )
+      .select(
+        col(idCol),
+        col("n_spans"),
+        col("n_contaminated"),
+        graft.functions
+          .round6(
+            when(
+              col("n_spans") > 0,
+              col("n_contaminated").cast("double") / col("n_spans")
+            ).otherwise(lit(0.0))
+          )
+          .as("contamination")
+      )
+  }
+
   /** Per-document duplicated-span statistics: how much of each document
     * is made of spans that also occur in >= `minDocs` documents — the
     * "duplicated n-gram fraction" filter signal of large-corpus

@@ -207,4 +207,30 @@ object Sampling {
         ): _*
       )
   }
+
+  /** Cap rows per group at `k`, keeping the top-k by `rankMetric`
+    * (descending, id ascending tiebreak) — the per-domain document cap
+    * of web-corpus curation (no single domain may dominate the
+    * mixture). Selection runs through the bounded-heap top-k aggregate:
+    * O(groups × k) shuffled state instead of a per-group full sort, so
+    * a hot domain with 10^8 pages costs the same shuffle as a cold one.
+    * Kept ids then semi-join back to preserve the full original rows.
+    */
+  def capPerGroup(
+      df: DataFrame,
+      groupCols: Seq[String],
+      idCol: String,
+      rankMetric: Column,
+      k: Int
+  ): DataFrame = {
+    require(groupCols.nonEmpty, "at least one group column required")
+    require(k > 0, s"k must be positive, got $k")
+    val kept = df
+      .groupBy(groupCols.map(col): _*)
+      .agg(
+        graft.functions.topkAggregate.topKBy(rankMetric, col(idCol), k).as("_top")
+      )
+      .select(explode(col("_top.id")).as("_keep_id"))
+    df.join(kept, col(idCol) === col("_keep_id"), "left_semi")
+  }
 }

@@ -389,7 +389,45 @@ object DedupQueries extends QueryPack {
       ORDER BY id_l, id_r""")
   )
 
+  // Scored contamination: per-corpus-doc fraction of distinct 6-word
+  // spans present anywhere in the benchmark slice (doc_id % 20 == 0).
+  private val contaminationQ = Q(
+    fn = (s, d) => {
+      val docs = Tables.documents(s, d)
+      Dedup
+        .contaminationScore(
+          docs.where(col("doc_id") % 20 === 0),
+          docs.where(col("doc_id") % 20 =!= 0),
+          "text",
+          "doc_id",
+          spanWords = 6
+        )
+        .orderBy("doc_id")
+    },
+    oracle = Some("""
+      WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+      sp AS (SELECT DISTINCT doc_id,
+               md5(array_to_string(toks[i:i+5], ' ')) AS h
+             FROM t, unnest(generate_series(1, len(toks) - 5)) AS u(i)
+             WHERE len(toks) >= 6),
+      bs AS (SELECT DISTINCT h FROM sp WHERE doc_id % 20 = 0),
+      cs AS (SELECT doc_id, h FROM sp WHERE doc_id % 20 <> 0),
+      j AS (SELECT cs.doc_id, COUNT(*) AS n_spans,
+              CAST(SUM(CASE WHEN bs.h IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
+                AS n_contaminated
+            FROM cs LEFT JOIN bs ON cs.h = bs.h GROUP BY 1),
+      d AS (SELECT doc_id FROM documents WHERE doc_id % 20 <> 0)
+      SELECT d.doc_id,
+        coalesce(j.n_spans, 0) AS n_spans,
+        coalesce(j.n_contaminated, 0) AS n_contaminated,
+        round(CASE WHEN coalesce(j.n_spans, 0) > 0
+          THEN CAST(j.n_contaminated AS DOUBLE) / j.n_spans
+          ELSE 0.0 END, 6) AS contamination
+      FROM d LEFT JOIN j USING (doc_id) ORDER BY doc_id""")
+  )
+
   val queries: Map[String, Q] = Map(
+    "dedup_contamination_score" -> contaminationQ,
     "dedup_span_exact" -> spanExactQ,
     "dedup_span_exact_xxh64" -> spanFastQ,
     "dedup_decontaminate_exact" -> spanDecontaminateQ,

@@ -331,7 +331,32 @@ object PipelineQueries extends QueryPack {
     )
   }
 
+  // Per-domain document cap: no source may contribute more than k docs,
+  // keeping the largest (n_chars desc, doc_id tiebreak) — bounded-heap
+  // selection, O(sources × k) shuffled state.
+  private val sourceCapQ = Q(
+    fn = (s, d) =>
+      graft.operators.Sampling
+        .capPerGroup(
+          Tables.documents(s, d),
+          Seq("source"),
+          "doc_id",
+          org.apache.spark.sql.functions.col("n_chars").cast("double"),
+          k = 10
+        )
+        .select("doc_id", "source", "n_chars")
+        .orderBy("doc_id"),
+    oracle = Some("""
+      SELECT doc_id, source, n_chars FROM (
+        SELECT doc_id, source, n_chars,
+          ROW_NUMBER() OVER (PARTITION BY source
+            ORDER BY n_chars DESC, doc_id) AS rn
+        FROM documents)
+      WHERE rn <= 10 ORDER BY doc_id""")
+  )
+
   val queries: Map[String, Q] = Map(
+    "pipeline_source_cap" -> sourceCapQ,
     "pipeline_corpus_funnel" -> funnelQ,
     "pipeline_shuffle_shards" -> shuffleShardsQ,
     "pipeline_corpus_stats" -> statsQ,

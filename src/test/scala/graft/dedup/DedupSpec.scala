@@ -377,6 +377,31 @@ class DedupSpec extends SparkSpec {
     assert(got((100L, 1L)) == ((5L, 1.0)))
   }
 
+  test("contamination score: fraction of doc spans found in the bench set, zero-span docs score 0") {
+    val bench = Seq(
+      (100L, "the exact eval answer phrase appears here verbatim")
+    ).toDF("doc_id", "text")
+    val corpusDocs = Seq(
+      // fully contained -> all its spans are bench spans
+      (1L, "the exact eval answer phrase appears here verbatim"),
+      // 10 tokens -> 7 distinct spans, the 5 bench spans among them
+      (2L, "prefix words the exact eval answer phrase appears here verbatim"),
+      // no overlap
+      (3L, "unrelated training document with its own words entirely"),
+      // shorter than one span -> 0 spans, score 0.0
+      (4L, "too short")
+    ).toDF("doc_id", "text")
+    val got = Dedup
+      .contaminationScore(bench, corpusDocs, "text", "doc_id", spanWords = 4)
+      .collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getDouble(3))))
+      .toMap
+    assert(got(1L) == ((5L, 5L, 1.0)))
+    assert(got(2L) == ((7L, 5L, math.rint(5.0 / 7.0 * 1e6) / 1e6)))
+    assert(got(3L)._2 == 0L && got(3L)._3 == 0.0)
+    assert(got(4L) == ((0L, 0L, 0.0)))
+  }
+
   test("bloom-prefiltered cross-span overlap is bit-identical to the plain join") {
     val bench = Seq(
       (100L, "the exact eval answer phrase appears here verbatim")

@@ -150,4 +150,19 @@ class SamplingSpec extends SparkSpec {
       .collect()
     assert(!b.contains(999999L) && !b.contains(999998L) && !b.contains(999997L))
   }
+
+  test("capPerGroup keeps exactly the top-k rows per group with deterministic tiebreak") {
+    val docs = Seq(
+      ("a", 1L, 10.0), ("a", 2L, 30.0), ("a", 3L, 20.0), ("a", 4L, 30.0),
+      ("b", 5L, 1.0)
+    ).toDF("g", "id", "m")
+    val kept = Sampling
+      .capPerGroup(docs, Seq("g"), "id", col("m"), k = 2)
+      .select("id")
+      .as[Long]
+      .collect()
+      .sorted
+    // group a: 30.0 ties broken by id asc -> ids 2, 4; group b: id 5
+    assert(kept.toSeq == Seq(2L, 4L, 5L))
+  }
 }
