@@ -217,6 +217,37 @@ object EventAnalytics {
       .orderBy("day")
   }
 
+  /** First-order transition matrix over each user's event sequence:
+    * counts and row-normalized probabilities of (previous event type →
+    * next event type), ordered by the (ts, idCol) total order — the
+    * Markov-chain view of user behavior. One lag window per user is
+    * the only event-grain pass; normalization windows over the
+    * |types|² aggregated matrix, not the events.
+    */
+  def eventTransitions(
+      events: DataFrame,
+      userCol: String,
+      idCol: String,
+      typeCol: String,
+      tsCol: String
+  ): DataFrame = {
+    val w = Window.partitionBy(col(userCol)).orderBy(col(tsCol), col(idCol))
+    val counts = events
+      .select(col(userCol), col(idCol), col(typeCol), col(tsCol))
+      .withColumn("_prev", lag(col(typeCol), 1).over(w))
+      .filter(col("_prev").isNotNull)
+      .select(col("_prev").as("from_type"), col(typeCol).as("to_type"))
+      .groupBy("from_type", "to_type")
+      .agg(count(lit(1)).as("n"))
+    val byFrom = Window.partitionBy(col("from_type"))
+    counts
+      .withColumn(
+        "prob",
+        graft.functions.round6(col("n") / sum(col("n")).over(byFrom))
+      )
+      .orderBy("from_type", "to_type")
+  }
+
   /** Last-touch attribution: each conversion event is attributed to the
     * same user's most recent `touchType` event strictly before it (by
     * the total order (ts, idCol) — deterministic under ties) and within

@@ -65,6 +65,50 @@ object Moments {
         max("max").as("max")
       )
 
+  /** Mergeable DISTINCT-COUNT partials: one HLL sketch per (bucket,
+    * column) — the cardinality analogue of the moment partials. The
+    * sketch binary is ~2^lgConfigK bytes per (day, column) regardless
+    * of row count, so the metrics repository can persist it and any
+    * coarser grain (week, month) re-aggregates by sketch UNION without
+    * rescanning raw data — exactly what exact COUNT(DISTINCT) cannot
+    * do (distinct counts don't add across days).
+    *
+    * `(ts, instance, n, sketch: binary)`.
+    */
+  def distinctPartials(
+      df: DataFrame,
+      tsColumn: String,
+      valueCols: Seq[String],
+      granularity: String = "day",
+      lgConfigK: Int = 12
+  ): DataFrame = {
+    require(valueCols.nonEmpty, "at least one value column")
+    df.unpivot(
+        Array(date_trunc(unit(granularity), col(tsColumn)).as("ts")),
+        valueCols.map(col(_).cast("string")).toArray,
+        "instance",
+        "_v"
+      )
+      .groupBy("ts", "instance")
+      .agg(
+        count(col("_v")).as("n"),
+        hll_sketch_agg(col("_v"), lit(lgConfigK)).as("sketch")
+      )
+  }
+
+  /** Merge distinct-count partials into a coarser grain and estimate:
+    * `(ts, instance, n, approx_distinct)`. Union of the fine-grain
+    * sketches — no raw rescan, no exact-distinct Expand exchange.
+    */
+  def reaggregateDistinct(partials: DataFrame, granularity: String): DataFrame =
+    partials
+      .groupBy(date_trunc(unit(granularity), col("ts")).as("ts"), col("instance"))
+      .agg(
+        sum("n").cast("long").as("n"),
+        hll_sketch_estimate(hll_union_agg(col("sketch")))
+          .as("approx_distinct")
+      )
+
   /** Mergeable QUANTILE partials: per (bucket, column) an equi-probable
     * grid of `gridSize`+1 approximate quantiles (probs 0, 1/g, ...,
     * 1) plus the bucket count — the quantile analogue of the moment

@@ -118,7 +118,32 @@ object EventQueries extends QueryPack {
       FROM m WHERE event_type = 'purchase' ORDER BY event_id""")
   )
 
+  private val transitionsQ = Q(
+    fn = (s, d) =>
+      EventAnalytics.eventTransitions(
+        Tables.events(s, d),
+        userCol = "user_id",
+        idCol = "event_id",
+        typeCol = "event_type",
+        tsCol = "ts"
+      ),
+    oracle = Some("""
+      WITH seq AS (
+        SELECT user_id, event_type,
+          lag(event_type) OVER (PARTITION BY user_id
+            ORDER BY ts, event_id) AS prev_type
+        FROM events),
+      c AS (SELECT prev_type AS from_type, event_type AS to_type,
+              count(*) AS n
+            FROM seq WHERE prev_type IS NOT NULL GROUP BY 1, 2)
+      SELECT from_type, to_type, n,
+        round(CAST(n AS DOUBLE) /
+          SUM(n) OVER (PARTITION BY from_type), 6) AS prob
+      FROM c ORDER BY from_type, to_type""")
+  )
+
   val queries: Map[String, Q] = Map(
+    "q_event_transitions" -> transitionsQ,
     "q_funnel_steps" -> funnelQ,
     "q_retention_cohorts" -> retentionQ,
     "q_rolling_distinct" -> rollingDistinctQ,

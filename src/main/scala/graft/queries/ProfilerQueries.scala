@@ -429,6 +429,20 @@ object ProfilerQueries extends QueryPack {
     oracle = None
   )
 
+  // Daily HLL sketches rolled up to weekly distinct estimates — no raw
+  // rescan, no exact-distinct Expand exchange. Rows-only (estimates);
+  // MomentsSpec pins the estimate against exact weekly distincts.
+  private val reaggDistinctQ = Q(
+    fn = (s, d) => {
+      val daily = graft.profiler.Moments
+        .distinctPartials(Tables.events(s, d), "ts", Seq("user_id", "event_type"), "day")
+      graft.profiler.Moments
+        .reaggregateDistinct(daily, "week")
+        .orderBy("ts", "instance")
+    },
+    oracle = None
+  )
+
   // Day-over-day PSI drift of events.value: global-edge equi-width
   // bins, eps-clamped proportions, ln-based index. round6 masks libm
   // last-ulp ln differences between engines.
@@ -654,6 +668,7 @@ object ProfilerQueries extends QueryPack {
     "profile_gapfill" -> gapFillQ,
     "profile_reaggregate" -> reaggQ,
     "profile_reaggregate_quantiles" -> reaggQuantilesQ,
+    "profile_reaggregate_distinct" -> reaggDistinctQ,
     "profile_size" -> size,
     "profile_report_sketch" -> reportSketch,
     "profile_topk_values" -> topkValues,

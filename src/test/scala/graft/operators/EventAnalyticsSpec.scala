@@ -111,6 +111,26 @@ class EventAnalyticsSpec extends SparkSpec {
     (8L, 4L, "purchase", t("2025-01-01 11:00:00"))
   ).toDF("event_id", "user_id", "event_type", "ts")
 
+  test("event transitions count ordered pairs per user and row-normalize") {
+    // user 1: view->click->view ; user 2: view->click
+    val ev = Seq(
+      (1L, 1L, "view", t("2025-01-01 10:00:00")),
+      (2L, 1L, "click", t("2025-01-01 10:01:00")),
+      (3L, 1L, "view", t("2025-01-01 10:02:00")),
+      (4L, 2L, "view", t("2025-01-01 09:00:00")),
+      (5L, 2L, "click", t("2025-01-01 09:01:00"))
+    ).toDF("event_id", "user_id", "event_type", "ts")
+    val got = EventAnalytics
+      .eventTransitions(ev, "user_id", "event_id", "event_type", "ts")
+      .collect()
+      .map(r => (r.getString(0), r.getString(1)) -> ((r.getLong(2), r.getDouble(3))))
+      .toMap
+    assert(got == Map(
+      ("view", "click") -> ((2L, 1.0)),
+      ("click", "view") -> ((1L, 1.0))
+    ))
+  }
+
   test("last-touch attribution picks the latest prior touch within the window") {
     val got = EventAnalytics
       .lastTouchAttribution(attrEvents, "user_id", "event_id", "event_type",

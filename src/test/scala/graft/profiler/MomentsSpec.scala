@@ -135,4 +135,47 @@ class MomentsSpec extends SparkSpec {
     assert(row.getAs[Long]("n") == 2L)
     assert(row.getAs[Double]("mean") == 2.0)
   }
+
+  test("distinct partials union to grain estimates matching exact weekly distincts") {
+    val events = graft.Tables.events(spark, "/root/testdata/sf0.001")
+    val daily = Moments.distinctPartials(events, "ts", Seq("user_id", "event_type"), "day")
+    val weekly = Moments
+      .reaggregateDistinct(daily, "week")
+      .collect()
+      .map(r => (r.getTimestamp(0), r.getString(1)) -> r.getLong(3))
+      .toMap
+    val exact = events
+      .select(date_trunc("week", col("ts")).as("ts"), col("user_id").cast("string").as("user_id"), col("event_type"))
+      .unpivot(Array(col("ts")), Array(col("user_id"), col("event_type")), "instance", "_v")
+      .groupBy("ts", "instance")
+      .agg(count_distinct(col("_v")).as("d"))
+      .collect()
+      .map(r => (r.getTimestamp(0), r.getString(1)) -> r.getLong(2))
+      .toMap
+    assert(weekly.keySet == exact.keySet && weekly.nonEmpty)
+    weekly.foreach { case (k, est) =>
+      val ex = exact(k).toDouble
+      assert(math.abs(est - ex) / ex <= 0.05, s"$k: est $est vs exact $ex")
+    }
+    // the same daily sketches also merge to any other grain: month
+    // estimates from day partials stay within tolerance of exact
+    val monthly = Moments
+      .reaggregateDistinct(daily, "month")
+      .collect()
+      .map(r => (r.getTimestamp(0), r.getString(1)) -> r.getLong(3))
+      .toMap
+    val exactMonth = events
+      .select(date_trunc("month", col("ts")).as("ts"), col("user_id").cast("string").as("user_id"), col("event_type"))
+      .unpivot(Array(col("ts")), Array(col("user_id"), col("event_type")), "instance", "_v")
+      .groupBy("ts", "instance")
+      .agg(count_distinct(col("_v")).as("d"))
+      .collect()
+      .map(r => (r.getTimestamp(0), r.getString(1)) -> r.getLong(2))
+      .toMap
+    assert(monthly.keySet == exactMonth.keySet)
+    monthly.foreach { case (k, est) =>
+      val ex = exactMonth(k).toDouble
+      assert(math.abs(est - ex) / ex <= 0.05, s"$k: est $est vs exact $ex")
+    }
+  }
 }
