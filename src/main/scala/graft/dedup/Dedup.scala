@@ -812,6 +812,110 @@ object Dedup {
       )
   }
 
+  /** EXACT token-set similarity self-join at a Jaccard threshold, via
+    * prefix filtering (Chaudhuri et al. ICDE'06 / Bayardo et al.
+    * WWW'07 "all-pairs"): every pair with Jaccard(tokensA, tokensB) >=
+    * `threshold`, with the exact score — no LSH probability of missing
+    * a pair (the deterministic companion to [[minhashPairs]]).
+    *
+    * Candidate generation is LOSSLESS: tokens get a canonical global
+    * order (document frequency ascending, rarest first, token-string
+    * tiebreak); a set of size s keeps only its first
+    * s - ceil(t*s) + 1 tokens as its PREFIX, and any pair meeting the
+    * threshold provably shares a token in both prefixes. The inverted
+    * index is built over prefixes only — and because prefixes take the
+    * RAREST tokens, hot stopword posting lists never enter the join
+    * (the skew mitigation is inherent, not a cap; truly identical
+    * documents still share full prefixes, so run [[exact]] dedup first
+    * on corpora with massive literal-duplicate clusters). A size
+    * filter (t*sb <= sa <= sb/t) prunes candidates that cannot meet
+    * the threshold on cardinality alone. Verification joins the
+    * candidate pairs back to the sorted token arrays and computes the
+    * exact intersection scan-side.
+    *
+    * Shuffles: token df count, per-doc re-sort, prefix-token join,
+    * pair distinct, two verification joins — all equi-keyed, nothing
+    * all-pairs.
+    */
+  def jaccardThresholdJoin(
+      df: DataFrame,
+      textCol: String,
+      idCol: String,
+      threshold: Double
+  ): DataFrame = {
+    require(
+      threshold > 0 && threshold <= 1,
+      s"threshold must be in (0, 1], got $threshold"
+    )
+    val toks = df.select(
+      col(idCol),
+      array_distinct(Text.tokens(col(textCol))).as("_ts")
+    )
+    val exploded = toks.select(col(idCol), explode(col("_ts")).as("_tok"))
+    val freq = exploded.groupBy("_tok").agg(count(lit(1)).as("_df"))
+    // canonical order: (df asc, token asc) — recollect each doc's set
+    // sorted by that order, so the array prefix IS the rarest-first
+    // prefix
+    val ordered = exploded
+      .join(freq, "_tok")
+      .groupBy(col(idCol))
+      .agg(
+        sort_array(collect_list(struct(col("_df"), col("_tok")))).as("_ord")
+      )
+      .select(
+        col(idCol),
+        transform(col("_ord"), e => e.getField("_tok")).as("_ts"),
+        size(col("_ord")).cast("long").as("_sz")
+      )
+    val prefLen =
+      (col("_sz") - ceil(lit(threshold) * col("_sz")) + 1).cast("int")
+    val prefTok = ordered
+      .select(
+        col(idCol),
+        col("_sz"),
+        explode(slice(col("_ts"), lit(1), prefLen)).as("_tok")
+      )
+    val a = prefTok.select(
+      col("_tok"),
+      col(idCol).as("id_a"),
+      col("_sz").as("_sa")
+    )
+    val b = prefTok.select(
+      col("_tok"),
+      col(idCol).as("id_b"),
+      col("_sz").as("_sb")
+    )
+    val cands = a
+      .join(b, Seq("_tok"))
+      .where(
+        col("id_a") < col("id_b") &&
+          col("_sa") >= lit(threshold) * col("_sb") &&
+          col("_sb") >= lit(threshold) * col("_sa")
+      )
+      .select("id_a", "id_b")
+      .distinct()
+    val sets = ordered.select(col(idCol), col("_ts"))
+    cands
+      .join(sets.select(col(idCol).as("id_a"), col("_ts").as("_ta")), "id_a")
+      .join(sets.select(col(idCol).as("id_b"), col("_ts").as("_tb")), "id_b")
+      .withColumn(
+        "n_intersection",
+        size(array_intersect(col("_ta"), col("_tb"))).cast("long")
+      )
+      .withColumn(
+        "_j",
+        col("n_intersection") /
+          (size(col("_ta")) + size(col("_tb")) - col("n_intersection"))
+      )
+      .where(col("_j") >= threshold)
+      .select(
+        col("id_a"),
+        col("id_b"),
+        col("n_intersection"),
+        graft.functions.round6(col("_j")).as("jaccard")
+      )
+  }
+
   /** Per-corpus-document contamination score against a benchmark span
     * set: the fraction of each document's DISTINCT `spanWords`-word
     * spans that appear anywhere in the benchmark corpus — the SCORED

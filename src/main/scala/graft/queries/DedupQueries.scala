@@ -426,7 +426,43 @@ object DedupQueries extends QueryPack {
       FROM d LEFT JOIN j USING (doc_id) ORDER BY doc_id""")
   )
 
+  // Exact all-pairs Jaccard >= 0.5 via prefix filtering; the oracle is
+  // the BRUTE-FORCE token-set join, so the hash compare proves the
+  // prefix filter lossless on real data.
+  // The key runs on the doc_id % 10 slice at threshold 0.9: the
+  // synthetic corpus draws from a tiny vocabulary, so lower thresholds
+  // emit hundreds of thousands of genuinely-similar pairs — correct,
+  // but pointless to hash-compare wholesale.
+  private val jaccardJoinQ = Q(
+    fn = (s, d) =>
+      Dedup
+        .jaccardThresholdJoin(
+          Tables.documents(s, d).where(col("doc_id") % 10 === 0),
+          "text",
+          "doc_id",
+          0.9
+        )
+        .orderBy("id_a", "id_b"),
+    oracle = Some("""
+      WITH tk AS (SELECT doc_id, unnest(list_distinct(string_split(text, ' '))) AS tok
+                  FROM documents WHERE doc_id % 10 = 0),
+      sz AS (SELECT doc_id, count(*) AS s FROM tk GROUP BY 1),
+      pairs AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+                  CAST(count(*) AS BIGINT) AS n_intersection
+                FROM tk a JOIN tk b ON a.tok = b.tok AND a.doc_id < b.doc_id
+                GROUP BY 1, 2),
+      j AS (SELECT id_a, id_b, n_intersection,
+              CAST(n_intersection AS DOUBLE) /
+                (sa.s + sb.s - n_intersection) AS jac
+            FROM pairs
+            JOIN sz sa ON sa.doc_id = id_a
+            JOIN sz sb ON sb.doc_id = id_b)
+      SELECT id_a, id_b, n_intersection, round(jac, 6) AS jaccard
+      FROM j WHERE jac >= 0.9 ORDER BY id_a, id_b""")
+  )
+
   val queries: Map[String, Q] = Map(
+    "dedup_jaccard_join" -> jaccardJoinQ,
     "dedup_contamination_score" -> contaminationQ,
     "dedup_span_exact" -> spanExactQ,
     "dedup_span_exact_xxh64" -> spanFastQ,

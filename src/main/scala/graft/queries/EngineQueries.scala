@@ -413,6 +413,48 @@ object EngineQueries extends QueryPack {
       FROM m ORDER BY o_orderpriority, day""")
   )
 
+  // Time-RANGE windowed aggregate — the calendar-aware companion to
+  // q_running_sum's ROWS frame: rolling 28-day revenue per priority,
+  // where sparse days shrink the window (a ROWS frame would silently
+  // span calendar gaps). The range frame runs at DAILY grain AFTER
+  // aggregation, so the window scans |priorities × days| rows, never
+  // the fact table; DECIMAL rolling sums keep the frame-order
+  // arithmetic exact on both engines.
+  private val rollingTimeRange = Q(
+    fn = (s, d) => {
+      val w = Window
+        .partitionBy(col("o_orderpriority"))
+        .orderBy(col("day_num"))
+        .rangeBetween(-27, 0)
+      Tables
+        .orders(s, d)
+        .groupBy(
+          col("o_orderpriority"),
+          datediff(col("o_orderdate").cast("date"), to_date(lit("1970-01-01")))
+            .cast("long")
+            .as("day_num")
+        )
+        .agg(decSum2(col("o_totalprice")).as("daily"))
+        .withColumn(
+          "rolling_28d",
+          sum(col("daily").cast(DecimalType(28, 2))).over(w).cast("double")
+        )
+        .orderBy(col("o_orderpriority"), col("day_num"))
+    },
+    oracle = Some(s"""
+      WITH m AS (
+        SELECT o_orderpriority,
+          CAST(date_diff('day', DATE '1970-01-01', o_orderdate) AS BIGINT) AS day_num,
+          ${sqlDecSum2("o_totalprice")} AS daily,
+          SUM(SUM(CAST(o_totalprice AS DECIMAL(18,2)))) OVER (
+            PARTITION BY o_orderpriority
+            ORDER BY CAST(date_diff('day', DATE '1970-01-01', o_orderdate) AS BIGINT)
+            RANGE BETWEEN 27 PRECEDING AND CURRENT ROW) AS r
+        FROM orders GROUP BY 1, 2)
+      SELECT o_orderpriority, day_num, daily, CAST(r AS DOUBLE) AS rolling_28d
+      FROM m ORDER BY o_orderpriority, day_num""")
+  )
+
   /** Salted-join demo: result must hash-match the plain SQL join — the
     * oracle proves salting preserves semantics while spreading hot keys
     * over nSalts reducers.
@@ -1155,6 +1197,7 @@ object EngineQueries extends QueryPack {
     "q_rollup" -> rollup,
     "q_semi_join" -> semiJoin,
     "q_running_sum" -> runningSum,
+    "q_rolling_time_range" -> rollingTimeRange,
     "q_skew_salted_join" -> skewSaltedJoin
   )
 }

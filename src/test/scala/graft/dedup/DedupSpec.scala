@@ -377,6 +377,32 @@ class DedupSpec extends SparkSpec {
     assert(got((100L, 1L)) == ((5L, 1.0)))
   }
 
+  test("jaccard threshold join equals brute force on random corpora (prefix filter lossless)") {
+    val rnd = new scala.util.Random(42)
+    val vocab = (0 until 40).map(i => s"w$i")
+    for (trial <- 0 until 3) {
+      val thr = Seq(0.5, 0.7, 0.9)(trial)
+      val docs = (0 until 60).map { i =>
+        val n = 3 + rnd.nextInt(10)
+        (i.toLong, rnd.shuffle(vocab).take(n).mkString(" "))
+      }
+      val df = docs.toDF("doc_id", "text")
+      val got = Dedup
+        .jaccardThresholdJoin(df, "text", "doc_id", thr)
+        .collect()
+        .map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2))
+        .toMap
+      val sets = docs.map { case (id, t) => id -> t.split(" ").toSet }.toMap
+      val brute = (for {
+        a <- docs.map(_._1); b <- docs.map(_._1) if a < b
+        inter = (sets(a) & sets(b)).size
+        uni = (sets(a) | sets(b)).size
+        if uni > 0 && inter.toDouble / uni >= thr
+      } yield (a, b) -> inter.toLong).toMap
+      assert(got == brute, s"trial $trial thr $thr")
+    }
+  }
+
   test("contamination score: fraction of doc spans found in the bench set, zero-span docs score 0") {
     val bench = Seq(
       (100L, "the exact eval answer phrase appears here verbatim")
