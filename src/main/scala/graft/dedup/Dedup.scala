@@ -130,6 +130,78 @@ object Dedup {
       )
   }
 
+  /** Corpus-level boilerplate stripping: any segment appearing in at
+    * least `minDocFrac` of documents (distinct-doc frequency — license
+    * headers, cookie banners, templated navigation) is removed from
+    * EVERY document, and documents are rebuilt from the surviving
+    * segments in order. The frequency-threshold companion to
+    * [[segmentDedupSweep]] (which keeps first occurrences): boilerplate
+    * is noise in every copy, so no occurrence survives.
+    *
+    * Output `(idCol, n_segments, n_kept, text_hash)` — same contract
+    * as the segment sweep; a fully-boilerplate document keeps 0
+    * segments and hashes the empty string.
+    *
+    * Scale shape: segment frequency is one distinct-count aggregation
+    * on the 8-byte segment hash (segment text rides along only for
+    * collision verification); the corpus total arrives as a 1-row
+    * broadcast on a literal key (never a nested-loop); the hot-set
+    * anti join keys on (hash, segment) so a hash collision with a
+    * boilerplate segment cannot strip an innocent one.
+    */
+  def stripBoilerplate(
+      df: DataFrame,
+      textCol: String,
+      idCol: String,
+      segmentTokens: Int = 8,
+      minDocFrac: Double = 0.05
+  ): DataFrame = {
+    require(
+      minDocFrac > 0 && minDocFrac <= 1,
+      s"minDocFrac must be in (0, 1], got $minDocFrac"
+    )
+    val segsArr = Text.tokenSegments(col(textCol), segmentTokens)
+    val base = df.select(
+      col(idCol).as("_id"),
+      posexplode(segsArr).as(Seq("_pos", "_seg"))
+    )
+    val hashed = base.withColumn("_k", xxhash64(col("_seg")))
+    val nDocs = df
+      .agg(count(lit(1)).as("_ndocs"))
+      .withColumn("_one", lit(1))
+    val hot = hashed
+      .groupBy(col("_k"), col("_seg"))
+      .agg(count_distinct(col("_id")).as("_docs"))
+      .withColumn("_one", lit(1))
+      .join(nDocs, "_one")
+      .where(col("_docs") >= lit(minDocFrac) * col("_ndocs"))
+      .select(col("_k"), col("_seg"))
+    // anti join on (hash, segment): collision-safe — an innocent
+    // segment sharing a boilerplate segment's hash differs on the
+    // string and survives; keyed by the hash, the string is tiebreak
+    val kept = hashed.join(hot, Seq("_k", "_seg"), "left_anti")
+    val rebuilt = kept
+      .groupBy(col("_id"))
+      .agg(
+        count(lit(1)).as("n_kept"),
+        array_join(
+          transform(
+            array_sort(collect_list(struct(col("_pos"), col("_seg")))),
+            s => s.getField("_seg")
+          ),
+          " "
+        ).as("_txt")
+      )
+    df.select(col(idCol).as("_id"), size(segsArr).cast("long").as("n_segments"))
+      .join(rebuilt, Seq("_id"), "left_outer")
+      .select(
+        col("_id").as(idCol),
+        col("n_segments"),
+        coalesce(col("n_kept"), lit(0L)).as("n_kept"),
+        md5(coalesce(col("_txt"), lit(""))).as("text_hash")
+      )
+  }
+
   /** Canonical-document selection: per exact-duplicate cluster
     * (fingerprint of normalized text), elect the single best document
     * by `rankCol` (highest wins; ties broken by lowest id) — the

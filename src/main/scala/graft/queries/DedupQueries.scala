@@ -83,6 +83,54 @@ object DedupQueries extends QueryPack {
     )
   }
 
+  // Boilerplate stripping at 2% distinct-doc frequency; rebuilt-text
+  // md5 pins exact surviving content + order.
+  private val stripBoilerplateQ = {
+    val w = 8
+    val frac = 0.02
+    Q(
+      fn = (s, d) =>
+        Dedup
+          .stripBoilerplate(
+            Tables.documents(s, d),
+            "text",
+            "doc_id",
+            segmentTokens = w,
+            minDocFrac = frac
+          )
+          .orderBy("doc_id"),
+      oracle = Some(s"""
+        WITH toks AS (
+          SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+        segs AS (
+          SELECT doc_id, i - 1 AS pos,
+            array_to_string(list_slice(t, (i - 1) * $w + 1, i * $w), ' ') AS seg
+          FROM toks, LATERAL unnest(
+            generate_series(1, CAST(ceil(len(t) / CAST($w AS DOUBLE)) AS BIGINT))) AS u(i)),
+        n AS (SELECT COUNT(*) AS ndocs FROM documents),
+        hot AS (
+          SELECT seg FROM segs, n
+          GROUP BY seg, ndocs
+          HAVING COUNT(DISTINCT doc_id) >= $frac * ndocs),
+        kept AS (
+          SELECT doc_id, pos, seg FROM segs
+          WHERE seg NOT IN (SELECT seg FROM hot)),
+        reb AS (
+          SELECT doc_id, COUNT(*) AS n_kept,
+            string_agg(seg, ' ' ORDER BY pos) AS txt
+          FROM kept GROUP BY doc_id),
+        ns AS (
+          SELECT doc_id,
+            CAST(ceil(len(t) / CAST($w AS DOUBLE)) AS BIGINT) AS n_segments
+          FROM toks)
+        SELECT ns.doc_id, ns.n_segments,
+          COALESCE(reb.n_kept, 0) AS n_kept,
+          md5(COALESCE(reb.txt, '')) AS text_hash
+        FROM ns LEFT JOIN reb ON ns.doc_id = reb.doc_id
+        ORDER BY ns.doc_id""")
+    )
+  }
+
   // Quality-aware canonical election per exact-dup cluster: longest
   // copy wins, ties to lowest id.
   private val canonicalPickQ = Q(
@@ -472,6 +520,7 @@ object DedupQueries extends QueryPack {
     "dedup_component_sweep" -> componentQ,
     "dedup_exact_normalized" -> exactNormQ,
     "dedup_segment_sweep" -> segmentDedupQ,
+    "text_strip_boilerplate" -> stripBoilerplateQ,
     "dedup_canonical_pick" -> canonicalPickQ,
     "dedup_minhash_lsh" -> minhashQ,
     "dedup_decontaminate" -> decontaminateQ,

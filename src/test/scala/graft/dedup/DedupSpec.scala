@@ -377,6 +377,36 @@ class DedupSpec extends SparkSpec {
     assert(got((100L, 1L)) == ((5L, 1.0)))
   }
 
+  test("boilerplate stripping removes every occurrence of hot segments, keeps the rest in order") {
+    // segment width 2; "cookie banner" appears in 3 of 4 docs (75%)
+    val docs = Seq(
+      (1L, "cookie banner real content one"),
+      (2L, "cookie banner real content two"),
+      (3L, "other words cookie banner"),
+      (4L, "cookie banner") // fully boilerplate -> empty rebuild
+    ).toDF("doc_id", "text")
+    // 0.6 threshold: "cookie banner" (4/4 docs) is hot; "real content"
+    // (2/4 = 0.5) survives
+    val got = Dedup
+      .stripBoilerplate(docs, "text", "doc_id", segmentTokens = 2, minDocFrac = 0.6)
+      .collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getString(3))))
+      .toMap
+    def md5Of(s: String) =
+      java.security.MessageDigest
+        .getInstance("MD5")
+        .digest(s.getBytes("UTF-8"))
+        .map("%02x".format(_))
+        .mkString
+    // docs 1-2: segments (cookie banner | real content | one/two) keep
+    // their unique tails; doc 3's "cookie banner" sits at position 1
+    // and is stripped there too; doc 4 rebuilds to the empty string
+    assert(got(1L) == ((3L, 2L, md5Of("real content one"))))
+    assert(got(2L) == ((3L, 2L, md5Of("real content two"))))
+    assert(got(3L) == ((2L, 1L, md5Of("other words"))))
+    assert(got(4L) == ((1L, 0L, md5Of(""))))
+  }
+
   test("jaccard threshold join equals brute force on random corpora (prefix filter lossless)") {
     val rnd = new scala.util.Random(42)
     val vocab = (0 until 40).map(i => s"w$i")
