@@ -110,6 +110,83 @@ object EventAnalytics {
       .orderBy("step_idx")
   }
 
+  /** Per-day ordered-funnel conversion: [[funnelSteps]] with the walk
+    * scoped to each (user, day) — the daily conversion series a
+    * monitoring pipeline tracks (see
+    * [[graft.service.Service.profileEventFunnel]]). Days are the
+    * days with at least one funnel-step event; every (day, step) pair
+    * is emitted, zero-filled. Same chained-min semantics, same single
+    * walk shuffle (keyed on (day, user) instead of user).
+    */
+  def funnelStepsDaily(
+      events: DataFrame,
+      userCol: String,
+      typeCol: String,
+      tsCol: String,
+      steps: Seq[String]
+  ): DataFrame = {
+    require(steps.nonEmpty, "funnelStepsDaily: steps must be non-empty")
+    require(steps.distinct == steps, "funnelStepsDaily: steps must be distinct")
+    val stepIdx = steps.zipWithIndex.foldLeft(lit(-1)) { case (acc, (s, i)) =>
+      when(col(typeCol) === s, lit(i)).otherwise(acc)
+    }
+    val filtered = events
+      .filter(col(typeCol).isin(steps: _*))
+      .select(
+        date_trunc("day", col(tsCol)).as("day"),
+        col(userCol).as("_u"),
+        struct(col(tsCol).as("ts"), stepIdx.as("step")).as("_e")
+      )
+    val perUserDay = filtered
+      .groupBy("day", "_u")
+      .agg(sort_array(collect_list(col("_e"))).as("_evs"))
+      .select(
+        col("day"),
+        aggregate(
+          col("_evs"),
+          struct(
+            lit(0).as("reached"),
+            lit(null).cast("timestamp").as("last_ts")
+          ),
+          (st, e) =>
+            when(
+              e.getField("step") === st.getField("reached") &&
+                (st.getField("reached") === 0 ||
+                  e.getField("ts") > st.getField("last_ts")),
+              struct(
+                (st.getField("reached") + 1).as("reached"),
+                e.getField("ts").as("last_ts")
+              )
+            ).otherwise(st)
+        ).getField("reached").as("_reached")
+      )
+    val counts = perUserDay
+      .filter(col("_reached") >= 1)
+      .select(col("day"), explode(sequence(lit(1), col("_reached"))).as("step_idx"))
+      .groupBy("day", "step_idx")
+      .agg(count(lit(1)).as("users"))
+    // (observed day × step) spine by exploding a LITERAL step array per
+    // day row — no join (a literal-keyed join constant-folds into a
+    // nested loop, which the plan audit bans)
+    val stepLits = steps.zipWithIndex.map { case (s, i) =>
+      struct(lit(i + 1).as("step_idx"), lit(s).as("step"))
+    }
+    val spine = filtered
+      .select(col("day"))
+      .distinct()
+      .select(col("day"), explode(array(stepLits: _*)).as("_s"))
+      .select(col("day"), col("_s.step_idx").as("step_idx"), col("_s.step").as("step"))
+    spine
+      .join(counts, Seq("day", "step_idx"), "left")
+      .select(
+        col("day"),
+        col("step_idx"),
+        col("step"),
+        coalesce(col("users"), lit(0L)).as("users")
+      )
+      .orderBy("day", "step_idx")
+  }
+
   /** Retention cohort matrix: users grouped by their first active day,
     * counted on each later day they return (day offsets 0..maxOffsetDays).
     * Activity is de-duplicated to (user, day) grain first, so a chatty

@@ -41,6 +41,42 @@ object EventQueries extends QueryPack {
       ) ORDER BY step_idx""")
   )
 
+  private val funnelDailyQ = Q(
+    fn = (s, d) =>
+      EventAnalytics.funnelStepsDaily(
+        Tables.events(s, d),
+        "user_id",
+        "event_type",
+        "ts",
+        funnelStepList
+      ),
+    oracle = Some(s"""
+      WITH e AS (SELECT user_id, event_type, ts,
+                   ${sqlDay("ts")} AS d FROM events
+                 WHERE event_type IN ('view', 'click', 'purchase')),
+      t1 AS (SELECT d, user_id, min(ts) AS ts1 FROM e
+             WHERE event_type = 'view' GROUP BY 1, 2),
+      t2 AS (SELECT e.d, e.user_id, min(e.ts) AS ts2 FROM e
+             JOIN t1 ON e.user_id = t1.user_id AND e.d = t1.d
+             WHERE e.event_type = 'click' AND e.ts > t1.ts1 GROUP BY 1, 2),
+      t3 AS (SELECT e.d, e.user_id, min(e.ts) AS ts3 FROM e
+             JOIN t2 ON e.user_id = t2.user_id AND e.d = t2.d
+             WHERE e.event_type = 'purchase' AND e.ts > t2.ts2 GROUP BY 1, 2),
+      c AS (
+        SELECT d, 1 AS step_idx, count(*) AS users FROM t1 GROUP BY 1
+        UNION ALL SELECT d, 2, count(*) FROM t2 GROUP BY 1
+        UNION ALL SELECT d, 3, count(*) FROM t3 GROUP BY 1),
+      spine AS (
+        SELECT days.d, s.step_idx, s.step
+        FROM (SELECT DISTINCT d FROM e) days
+        CROSS JOIN (VALUES (1, 'view'), (2, 'click'), (3, 'purchase'))
+          AS s(step_idx, step))
+      SELECT spine.d AS day, spine.step_idx AS step_idx, spine.step,
+        COALESCE(c.users, 0) AS users
+      FROM spine LEFT JOIN c ON spine.d = c.d AND spine.step_idx = c.step_idx
+      ORDER BY day, spine.step_idx""")
+  )
+
   private val retentionQ = Q(
     fn = (s, d) =>
       EventAnalytics.retentionCohorts(
@@ -145,6 +181,7 @@ object EventQueries extends QueryPack {
   val queries: Map[String, Q] = Map(
     "q_event_transitions" -> transitionsQ,
     "q_funnel_steps" -> funnelQ,
+    "q_funnel_daily" -> funnelDailyQ,
     "q_retention_cohorts" -> retentionQ,
     "q_rolling_distinct" -> rollingDistinctQ,
     "q_rolling_distinct_hll" -> rollingHllQ,

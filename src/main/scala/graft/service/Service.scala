@@ -6,6 +6,7 @@ import graft.profiler.{Profiler, ProfilingBuilder}
 import graft.quality.{AnomalousScore, LogHandler, NotificationHandler, Quality}
 import graft.repository.MetricsRepository
 import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Pipeline glue (reference: thoth/service_layer.py:157-509).
@@ -186,6 +187,78 @@ object Service {
           // instances are the data-dependent drop reasons — "*" marks
           // the per-reason fan-out in the registered metadata
           metrics = Seq(Metric("funnel", "*", "n_docs"), Metric("funnel", "*", "share"))
+        )
+      )
+    }
+    repo.addProfiling(datasetUri, rows)
+    rows
+  }
+
+  /** Register an event stream's DAILY funnel conversion as metric
+    * series — the product-analytics twin of [[profileFunnel]]: each
+    * (day, step) becomes two series under entity "event_funnel"
+    * (`users` volume; `share_of_entry` = step users / step-1 users,
+    * the scale-free health signal), so a conversion-rate collapse
+    * alerts through the same optimize / score / assessQuality path as
+    * any data-quality anomaly. One funnel-walk aggregation over the
+    * events — the day column comes from the data itself, so a single
+    * call backfills the whole observed range.
+    */
+  def profileEventFunnel(
+      events: DataFrame,
+      datasetUri: String,
+      repo: MetricsRepository,
+      steps: Seq[String],
+      userCol: String = "user_id",
+      typeCol: String = "event_type",
+      tsCol: String = "ts"
+  ): DataFrame = {
+    val daily = graft.operators.EventAnalytics
+      .funnelStepsDaily(events, userCol, typeCol, tsCol, steps)
+    val byDay = Window.partitionBy(col("day")).orderBy(col("step_idx"))
+    val rows = daily
+      .withColumn("_prev_users", lag(col("users"), 1).over(byDay))
+      .select(
+        col("day").as("ts"),
+        lit("event_funnel").as("entity"),
+        col("step").as("instance"),
+        explode(
+          array(
+            struct(
+              lit("users").as("name"),
+              col("users").cast("double").as("value")
+            ),
+            struct(
+              lit("share_of_entry").as("name"),
+              when(
+                col("_prev_users").isNull,
+                lit(1.0)
+              ).otherwise(
+                when(col("_prev_users") === 0, lit(0.0))
+                  .otherwise(col("users").cast("double") / col("_prev_users"))
+              ).as("value")
+            )
+          )
+        ).as("_m")
+      )
+      .select(
+        col("ts"),
+        col("entity"),
+        col("instance"),
+        col("_m.name").as("name"),
+        col("_m.value").as("value")
+      )
+    if (repo.getDataset(datasetUri).isEmpty) {
+      repo.registerDataset(
+        DatasetMeta(
+          uri = datasetUri,
+          tsColumn = tsCol,
+          columns = Seq(typeCol),
+          granularity = Granularity.Day,
+          metrics = Seq(
+            Metric("event_funnel", "*", "users"),
+            Metric("event_funnel", "*", "share_of_entry")
+          )
         )
       )
     }

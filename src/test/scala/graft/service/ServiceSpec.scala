@@ -49,6 +49,43 @@ class ServiceSpec extends SparkSpec {
     }
   }
 
+  test("profileEventFunnel stores daily conversion series the monitoring flow can score") {
+    val repo = new InMemoryRepository()
+    def t(s: String) = java.sql.Timestamp.valueOf(s)
+    val events = Seq(
+      // day 1: users 1,2 view; user 1 clicks after viewing
+      (1L, "view", t("2025-04-01 10:00:00")),
+      (1L, "click", t("2025-04-01 10:05:00")),
+      (2L, "view", t("2025-04-01 11:00:00")),
+      // day 2: one user full chain
+      (3L, "view", t("2025-04-02 09:00:00")),
+      (3L, "click", t("2025-04-02 09:01:00")),
+      (3L, "purchase", t("2025-04-02 09:02:00"))
+    ).toDF("user_id", "event_type", "ts")
+    Service.profileEventFunnel(
+      events,
+      "ds://event-funnel",
+      repo,
+      Seq("view", "click", "purchase")
+    )
+    val stored = repo
+      .getProfiling("ds://event-funnel")
+      .collect()
+      .map(r =>
+        (r.getTimestamp(0).toString, r.getString(2), r.getString(3)) -> r.getDouble(4)
+      )
+      .toMap
+    // day 1: 2 viewers, 1 clicker -> click share_of_entry 0.5; no purchases
+    assert(stored(("2025-04-01 00:00:00.0", "view", "users")) == 2.0)
+    assert(stored(("2025-04-01 00:00:00.0", "click", "share_of_entry")) == 0.5)
+    assert(stored(("2025-04-01 00:00:00.0", "purchase", "users")) == 0.0)
+    assert(stored(("2025-04-01 00:00:00.0", "purchase", "share_of_entry")) == 0.0)
+    // day 2: full chain, every share 1.0
+    assert(stored(("2025-04-02 00:00:00.0", "purchase", "share_of_entry")) == 1.0)
+    // the dataset is registered with the wildcard series metadata
+    assert(repo.getDataset("ds://event-funnel").nonEmpty)
+  }
+
   test("assessNewTs flags an injected anomaly and notifies") {
     val repo = new InMemoryRepository()
     // History: 40 clean days; the new batch carries a 3x spike on its last day.
