@@ -1,0 +1,85 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
+
+/** Distributed graph analytics over edge tables (SURVEY §2.3).
+  *
+  * Complements the connected-components sweep in
+  * [[graft.dedup.Dedup]] (large-star/small-star): CC answers "which
+  * docs are the same", PageRank answers "which nodes matter" — the
+  * standard quality prior for web-crawl training corpora (link-graph
+  * rank as a document-quality signal, à la Common Crawl harmonic/PR
+  * centrality).
+  */
+object Graph {
+
+  /** Fixed-iteration PageRank over a directed edge list `(src, dst)`.
+    * Returns `(node, degree, rank)` where `rank` is scaled by |V|
+    * (mean 1 over nodes, so values stay O(1) at any graph size) and
+    * `degree` is the out-degree.
+    *
+    * Iteration in the scaled form: r = (1-d) + d * sum_in r_src/deg_src.
+    * Nodes are the distinct edge sources — callers must present every
+    * node with at least one out-edge (true by construction for
+    * undirected/symmetrized graphs); dangling mass is therefore zero
+    * and no redistribution term is needed.
+    *
+    * Scale shape: the edge table (joined once with out-degrees and
+    * persisted) is the big operand; each iteration is one equi-join of
+    * the |V|-sized rank table onto the edges plus one groupBy(dst)
+    * whose contribution rows map-side-combine before the exchange —
+    * the classic two-exchange-per-iteration distributed PageRank, no
+    * driver-side state, no collect. Plan lineage grows linearly with
+    * iterations, so for deep iteration counts callers should
+    * checkpoint every ~10 rounds; the fixed small counts used for
+    * quality priors (3-10) don't need it.
+    *
+    * Cross-engine determinism (the oracle hash-compares): per-node
+    * contribution sums run through DECIMAL(38,12) — order-independent
+    * and identical in DuckDB — and everything else is pointwise IEEE
+    * arithmetic, so ranks are bit-stable at every iteration.
+    *
+    * The edges-with-degree table is lazily persisted and referenced by
+    * the returned plan; cache lifetime is caller-owned (same contract
+    * as [[graft.text.Text.tfIdfTopK]]).
+    */
+  def pageRank(
+      edges: DataFrame,
+      srcCol: String,
+      dstCol: String,
+      iterations: Int,
+      damping: Double = 0.85
+  ): DataFrame = {
+    require(iterations >= 1, s"iterations must be >= 1, got $iterations")
+    require(damping > 0 && damping < 1, s"damping must be in (0,1), got $damping")
+    val e = edges.select(col(srcCol).as("src"), col(dstCol).as("dst"))
+    val deg = e.groupBy("src").agg(count(lit(1)).as("deg"))
+    val ed = e.join(deg, "src").persist()
+    val nodes = deg.select(col("src").as("node"), col("deg"))
+    var ranks = nodes.withColumn("rank", lit(1.0))
+    for (_ <- 1 to iterations) {
+      val contribs = ed
+        .join(ranks.select(col("node").as("src"), col("rank")), "src")
+        .groupBy(col("dst").as("node"))
+        .agg(
+          sum((col("rank") / col("deg")).cast(DecimalType(38, 12)))
+            .cast("double")
+            .as("_s")
+        )
+      ranks = nodes
+        .join(contribs, Seq("node"), "left")
+        .withColumn(
+          "rank",
+          lit(1.0 - damping) + lit(damping) * coalesce(col("_s"), lit(0.0))
+        )
+        .drop("_s")
+    }
+    ranks.select(
+      col("node"),
+      col("deg").as("degree"),
+      graft.functions.round6(col("rank")).as("rank")
+    )
+  }
+}

@@ -1137,6 +1137,63 @@ object EngineQueries extends QueryPack {
   // The window partitions on nation (25 groups), so no single global
   // sort exists at any scale; the custkey tiebreak makes the total
   // order — and thus every rank — deterministic cross-engine.
+  // Co-purchase PageRank: parts co-occurring in an order are linked;
+  // 3 damped iterations rank cross-sell centrality. The per-order
+  // self-join is bounded by order size (<= 7 lineitems), so the edge
+  // build is O(|orders| * maxOrderSize^2) — never quadratic in parts.
+  // Oracle unrolls the same iterations as chained CTEs; all scalar
+  // arithmetic is forced to DOUBLE on both sides (DuckDB would
+  // otherwise fold (1 - 0.85) in exact DECIMAL and diverge in the
+  // last ulp) and contribution sums go through DECIMAL(38,12), so
+  // ranks are bit-identical at every iteration.
+  private val pagerankQ = {
+    val d = "CAST(0.85 AS DOUBLE)"
+    def iter(i: Int): String = s"""
+      c$i AS (SELECT e.dst AS node,
+          CAST(sum(CAST(r.rank / r.deg AS DECIMAL(38,12))) AS DOUBLE) AS s
+        FROM edges e JOIN r${i - 1} r ON e.src = r.node GROUP BY 1),
+      r$i AS (SELECT n.node, n.deg,
+          (1 - $d) + $d * COALESCE(c$i.s, CAST(0 AS DOUBLE)) AS rank
+        FROM r${i - 1} n LEFT JOIN c$i ON n.node = c$i.node)"""
+    Q(
+      fn = (s, dir) => {
+        val pairs = Tables
+          .lineitem(s, dir)
+          .select(col("l_orderkey"), col("l_partkey"))
+          .distinct()
+        val edges = pairs
+          .as("a")
+          .join(pairs.as("b"), "l_orderkey")
+          .where(col("a.l_partkey") =!= col("b.l_partkey"))
+          .select(
+            col("a.l_partkey").as("src"),
+            col("b.l_partkey").as("dst")
+          )
+          .distinct()
+        graft.operators.Graph
+          .pageRank(edges, "src", "dst", iterations = 3)
+          .select(
+            col("node").as("p_partkey"),
+            col("degree"),
+            col("rank").as("pagerank")
+          )
+          .orderBy("p_partkey")
+      },
+      oracle = Some(s"""
+        WITH pairs AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+        edges AS (SELECT DISTINCT a.l_partkey AS src, b.l_partkey AS dst
+          FROM pairs a JOIN pairs b ON a.l_orderkey = b.l_orderkey
+            AND a.l_partkey <> b.l_partkey),
+        deg AS (SELECT src, count(*) AS deg FROM edges GROUP BY 1),
+        r0 AS (SELECT src AS node, deg, CAST(1 AS DOUBLE) AS rank FROM deg),
+        ${iter(1)},
+        ${iter(2)},
+        ${iter(3)}
+        SELECT node AS p_partkey, deg AS degree, round(rank, 6) AS pagerank
+        FROM r3 ORDER BY p_partkey""")
+    )
+  }
+
   private val percentRank = Q(
     fn = (s, d) => {
       val w = Window
@@ -1165,6 +1222,7 @@ object EngineQueries extends QueryPack {
 
   val queries: Map[String, Q] = Map(
     "q_percent_rank" -> percentRank,
+    "q_copurchase_pagerank" -> pagerankQ,
     "q9_product_profit" -> q9,
     "q7_volume_shipping" -> q7,
     "q8_market_share" -> q8,

@@ -376,6 +376,29 @@ object ProfilerQueries extends QueryPack {
       FROM e JOIN b ON e.ts = b.ts GROUP BY e.ts ORDER BY e.ts""")
   )
 
+  private val winsorizeQ = Q(
+    fn = (s, d) =>
+      graft.profiler.Clean
+        .winsorize(Tables.events(s, d), "value", Seq("event_type"), lo = 0.05, hi = 0.95)
+        .select(
+          col("event_id"),
+          col("event_type"),
+          col("value"),
+          round6(col("value_winsorized")).as("value_winsorized")
+        )
+        .orderBy("event_id"),
+    oracle = Some("""
+      WITH b AS (
+        SELECT event_type, quantile_cont(value, 0.05) AS lo,
+          quantile_cont(value, 0.95) AS hi
+        FROM events GROUP BY event_type)
+      SELECT event_id, e.event_type, value,
+        CASE WHEN value IS NULL THEN NULL
+          ELSE round(least(greatest(value, lo), hi), 6) END AS value_winsorized
+      FROM events e JOIN b ON e.event_type = b.event_type
+      ORDER BY event_id""")
+  )
+
   // profiled once at DAY grain, rolled up to WEEK purely from the
   // stored partials — the raw table is scanned exactly once; the
   // oracle computes the weekly profile directly from raw, proving the
@@ -673,6 +696,7 @@ object ProfilerQueries extends QueryPack {
     "profile_report_sketch" -> reportSketch,
     "profile_topk_values" -> topkValues,
     "profile_outliers" -> outliers,
+    "profile_winsorize" -> winsorizeQ,
     "profile_completeness" -> completeness,
     "profile_mean" -> mean,
     "profile_skewkurt" -> skewkurt,

@@ -187,6 +187,59 @@ object TextQueries extends QueryPack {
       GROUP BY doc_id ORDER BY doc_id""")
   )
 
+  private val chunkQ = Q(
+    fn = (s, d) =>
+      Text
+        .chunk(Tables.documents(s, d), "text", "doc_id", window = 40, overlap = 10)
+        .withColumnRenamed("id", "doc_id")
+        .orderBy("doc_id", "chunk_no"),
+    oracle = Some("""
+      WITH toks AS (SELECT doc_id, string_split(text, ' ') AS s FROM documents),
+      st AS (SELECT doc_id, s, len(s) AS n,
+               unnest(generate_series(0, len(s) - 1, 30)) AS start
+             FROM toks)
+      SELECT doc_id, start // 30 AS chunk_no, start AS start_token,
+        least(40, n - start) AS n_tokens,
+        array_to_string(list_slice(s, start + 1, start + 40), ' ') AS chunk_text
+      FROM st WHERE start = 0 OR n > start + 10
+      ORDER BY doc_id, chunk_no""")
+  )
+
+  private val bm25Q = Q(
+    fn = (s, d) =>
+      Text
+        .bm25Score(
+          Tables.documents(s, d),
+          "text",
+          "doc_id",
+          queryTerms = Seq("spark", "vector", "window")
+        )
+        .withColumnRenamed("id", "doc_id")
+        .orderBy("doc_id"),
+    oracle = Some("""
+      WITH toks AS (SELECT doc_id,
+          unnest(string_split(trim(regexp_replace(regexp_replace(lower(text),
+            '[^a-z0-9 ]', ' ', 'g'), ' +', ' ', 'g')), ' ')) AS term
+        FROM documents),
+      t AS (SELECT doc_id, term, count(*) AS tf FROM toks
+            WHERE term <> '' GROUP BY 1, 2),
+      dl AS (SELECT doc_id, sum(tf) AS dl FROM t GROUP BY 1),
+      st AS (SELECT count(*) AS n, CAST(sum(dl) AS DOUBLE) / count(*) AS avgdl
+             FROM dl),
+      q AS (SELECT * FROM t WHERE term IN ('spark', 'vector', 'window')),
+      d AS (SELECT term, count(*) AS df FROM q GROUP BY 1)
+      SELECT q.doc_id, count(*) AS n_matched,
+        round(CAST(sum(CAST(
+          ((n - df + 0.5) / (df + 0.5)) *
+          ((tf * (CAST(1.2 AS DOUBLE) + 1)) /
+           (tf + CAST(1.2 AS DOUBLE) *
+             ((1 - CAST(0.75 AS DOUBLE)) + CAST(0.75 AS DOUBLE) * dl / avgdl)))
+          AS DECIMAL(38,12))) AS DOUBLE), 6) AS score
+      FROM q JOIN d ON q.term = d.term
+        JOIN dl ON q.doc_id = dl.doc_id CROSS JOIN st
+      GROUP BY q.doc_id ORDER BY q.doc_id""")
+  )
+
   private val repetitionQ = Q(
     fn = (s, d) =>
       Text
@@ -353,6 +406,8 @@ object TextQueries extends QueryPack {
     "text_redact" -> redactQ,
     "text_repetition" -> repetitionQ,
     "text_tfidf" -> tfidfQ,
+    "text_bm25" -> bm25Q,
+    "text_chunk" -> chunkQ,
     "text_unigram_logprob" -> unigramQ,
     "text_tokens" -> tokensQ,
     "text_quality" -> qualityQ,

@@ -499,4 +499,125 @@ object Text {
         ).as("avg_logprob")
       )
   }
+
+  /** Split documents into overlapping token-window chunks — the RAG
+    * ingestion primitive (chunk size `window` tokens, consecutive
+    * chunks sharing `overlap` tokens): `(id, chunk_no, start_token,
+    * n_tokens, chunk_text)`.
+    *
+    * Chunk starts step by `window - overlap`; a tail start whose
+    * remaining tokens are all inside the previous chunk's coverage
+    * (start > 0 and n <= start + overlap) is dropped, so every
+    * emitted chunk contributes at least one new token and short
+    * documents yield exactly one chunk.
+    *
+    * Pure per-row expression work — `sequence` + `posexplode` + Spark
+    * `slice` are all codegen'd builtins, zero shuffle, so chunking
+    * rides the document scan at full speed; output size is
+    * `~n_tokens/step` rows per doc, each carrying only its own window
+    * of text (never the whole document duplicated per chunk).
+    */
+  def chunk(
+      df: org.apache.spark.sql.DataFrame,
+      textCol: String,
+      idCol: String,
+      window: Int,
+      overlap: Int
+  ): org.apache.spark.sql.DataFrame = {
+    require(window > 0, s"window must be positive, got $window")
+    require(
+      overlap >= 0 && overlap < window,
+      s"overlap must be in [0, window), got $overlap"
+    )
+    val step = window - overlap
+    df.select(
+        col(idCol).as("id"),
+        split(col(textCol), " ").as("_toks")
+      )
+      .withColumn("_n", size(col("_toks")))
+      .select(
+        col("id"),
+        col("_toks"),
+        col("_n"),
+        posexplode(sequence(lit(0), col("_n") - 1, lit(step)))
+          .as(Seq("chunk_no", "start_token"))
+      )
+      .where(
+        col("start_token") === 0 || col("_n") > col("start_token") + overlap
+      )
+      .select(
+        col("id"),
+        col("chunk_no"),
+        col("start_token"),
+        least(lit(window), col("_n") - col("start_token")).as("n_tokens"),
+        array_join(slice(col("_toks"), col("start_token") + 1, lit(window)), " ")
+          .as("chunk_text")
+      )
+  }
+
+  /** BM25 relevance of every document against a fixed query term set:
+    * `(id, n_matched, score)` for documents containing at least one
+    * query term (Robertson & Zaragoza, "The Probabilistic Relevance
+    * Framework: BM25 and Beyond", 2009 — eq. 3.15):
+    *
+    *   score = sum_t idf(t) * tf * (k1+1) / (tf + k1*(1 - b + b*dl/avgdl))
+    *
+    * with the same log-free rational idf as [[tfIdfTopK]],
+    * (N - df + 0.5) / (df + 0.5) — pure arithmetic, bit-identical
+    * across engines, strictly monotone in df.
+    *
+    * Scale shape: one explode into (doc, term) counts (the one
+    * corpus-sized shuffle, map-side combined); per-doc length from the
+    * SAME materialized tf table (no second scan); the query-term tf
+    * slice is `|matching docs| × |query|` rows — df over it collapses
+    * to `|query|` rows and joins back as a broadcast; corpus N and
+    * avgdl attach as a 1-row broadcast cross join. Per-doc sums run
+    * through DECIMAL(38,12) so partial-aggregation order can't move
+    * the result (the oracle hash-compares). Nothing downstream of the
+    * tf table grows with corpus size except the matching-doc slice
+    * itself.
+    *
+    * Same caller-owned cache lifetime caveat as [[tfIdfTopK]]: the tf
+    * table is lazily persisted and referenced by the returned plan.
+    */
+  def bm25Score(
+      df: org.apache.spark.sql.DataFrame,
+      textCol: String,
+      idCol: String,
+      queryTerms: Seq[String],
+      k1: Double = 1.2,
+      b: Double = 0.75
+  ): org.apache.spark.sql.DataFrame = {
+    require(queryTerms.nonEmpty, "queryTerms must be non-empty")
+    val toks = df
+      .select(
+        col(idCol).as("id"),
+        explode(split(normalize(col(textCol)), " ")).as("term")
+      )
+      .where(col("term") =!= "")
+    val tf = toks.groupBy("id", "term").agg(count(lit(1)).as("tf")).persist()
+    val dl = tf.groupBy("id").agg(sum(col("tf")).as("dl"))
+    // N and avgdl from the doc-length table: one row, broadcast
+    val stats = dl.agg(
+      count(lit(1)).as("_n"),
+      (sum(col("dl")).cast("double") / count(lit(1))).as("_avgdl")
+    )
+    val qtf = tf.where(col("term").isin(queryTerms: _*))
+    val dfTab = qtf.groupBy("term").agg(count(lit(1)).as("df"))
+    val idf = (col("_n") - col("df") + 0.5) / (col("df") + 0.5)
+    val tfNorm = (col("tf") * (k1 + 1.0)) /
+      (col("tf") + lit(k1) * (lit(1.0 - b) + lit(b) * col("dl") / col("_avgdl")))
+    qtf
+      .join(broadcast(dfTab), "term")
+      .join(dl, "id")
+      .crossJoin(broadcast(stats))
+      .groupBy("id")
+      .agg(
+        count(lit(1)).as("n_matched"),
+        graft.functions.round6(
+          sum((idf * tfNorm).cast(org.apache.spark.sql.types.DecimalType(38, 12)))
+            .cast("double")
+        ).as("score")
+      )
+  }
 }

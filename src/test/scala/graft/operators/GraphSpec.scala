@@ -1,0 +1,54 @@
+package graft.operators
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+class GraphSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def sym(pairs: (Long, Long)*) =
+    (pairs ++ pairs.map(p => (p._2, p._1))).toDF("src", "dst")
+
+  test("regular graph is a fixed point: every rank stays 1") {
+    // triangle, symmetrized: deg 2 everywhere, contributions sum to 1
+    val ranks = Graph
+      .pageRank(sym((1L, 2L), (2L, 3L), (3L, 1L)), "src", "dst", iterations = 4)
+      .as[(Long, Long, Double)]
+      .collect()
+      .toSet
+    assert(ranks == Set((1L, 2L, 1.0), (2L, 2L, 1.0), (3L, 2L, 1.0)))
+  }
+
+  test("star graph: hand-computed ranks after 2 iterations, mass conserved") {
+    // center 0 <-> leaves 1..3; iter1: r0 = .15+.85*3 = 2.7,
+    // leaf = .15+.85/3; iter2: r0 = .15+.85*3*(.15+.85/3) = 1.255,
+    // leaf = .15+.85*2.7/3 = .915
+    val got = Graph
+      .pageRank(sym((0L, 1L), (0L, 2L), (0L, 3L)), "src", "dst", iterations = 2)
+      .as[(Long, Long, Double)]
+      .collect()
+      .map { case (n, d, r) => (n, (d, r)) }
+      .toMap
+    assert(got(0L)._1 == 3L && got(1L)._1 == 1L)
+    assert(math.abs(got(0L)._2 - 1.255) < 1e-6)
+    Seq(1L, 2L, 3L).foreach(l => assert(math.abs(got(l)._2 - 0.915) < 1e-6))
+    // no dangling mass: scaled ranks sum to |V|
+    assert(math.abs(got.values.map(_._2).sum - 4.0) < 1e-6)
+  }
+
+  test("interior path nodes outrank leaves; mirror symmetry holds") {
+    // path 1-2-3-4-5 symmetrized: leaves keep only the damped share of
+    // one half-contribution, interior nodes receive from two sides
+    // (node 2 > node 3: the leaf sends its ENTIRE rank to node 2)
+    val edges = sym((1L, 2L), (2L, 3L), (3L, 4L), (4L, 5L))
+    val r = Graph
+      .pageRank(edges, "src", "dst", iterations = 5)
+      .as[(Long, Long, Double)]
+      .collect()
+      .map(t => t._1 -> t._3)
+      .toMap
+    assert(r(2L) > r(1L) && r(3L) > r(1L))
+    assert(r(2L) > r(3L), "leaf-adjacent node absorbs the leaf's full rank")
+    assert(math.abs(r(1L) - r(5L)) < 1e-9 && math.abs(r(2L) - r(4L)) < 1e-9)
+  }
+}

@@ -156,4 +156,80 @@ class TextSpec extends SparkSpec {
     assert(math.abs(scores(2) - r6(math.log(1.0 / 6.0))) < 2e-6)
     assert(scores(2) < scores(0), "rare-token doc must score below prose")
   }
+
+  test("chunking: overlap, short docs, and fully-covered tails by hand") {
+    val docs = Seq((1L, "a b c d e f g"), (2L, "x"), (3L, "a b c d"))
+      .toDF("doc_id", "text")
+    val got = Text
+      .chunk(docs, "text", "doc_id", window = 3, overlap = 1)
+      .orderBy("id", "chunk_no")
+      .as[(Long, Int, Int, Int, String)]
+      .collect()
+      .toSeq
+    assert(
+      got === Seq(
+        // start 6 is dropped: "g" is already covered by the chunk at 4
+        (1L, 0, 0, 3, "a b c"),
+        (1L, 1, 2, 3, "c d e"),
+        (1L, 2, 4, 3, "e f g"),
+        (2L, 0, 0, 1, "x"),
+        (3L, 0, 0, 3, "a b c"),
+        (3L, 1, 2, 2, "c d")
+      )
+    )
+  }
+
+  test("chunking with zero overlap tiles the document exactly") {
+    val docs = Seq((1L, "a b c d e")).toDF("doc_id", "text")
+    val got = Text
+      .chunk(docs, "text", "doc_id", window = 2, overlap = 0)
+      .orderBy("chunk_no")
+      .as[(Long, Int, Int, Int, String)]
+      .collect()
+      .toSeq
+    assert(got.map(_._5) === Seq("a b", "c d", "e"))
+    assert(got.map(_._4).sum == 5, "zero overlap partitions every token once")
+  }
+
+  test("bm25 matches the hand-computed Robertson formula") {
+    // N=3, dl = 2/3/1, avgdl = 2. Query "apple": df=2,
+    // idf = (3-2+0.5)/(2+0.5) = 0.6.
+    // doc1 tf=1: 2.2/(1+1.2*(0.25+0.75*2/2)) = 1.0    -> 0.6
+    // doc2 tf=2: 4.4/(2+1.2*(0.25+0.75*3/2))          -> 0.723288
+    // doc3: no match, absent from output.
+    val docs = Seq(
+      (1L, "apple banana"),
+      (2L, "apple apple banana"),
+      (3L, "cherry")
+    ).toDF("doc_id", "text")
+    val out = Text
+      .bm25Score(docs, "text", "doc_id", Seq("apple"))
+      .orderBy("id")
+      .collect()
+    assert(out.length == 2, "non-matching docs are absent")
+    assert(out.map(_.getAs[Long]("n_matched")).toSeq === Seq(1L, 1L))
+    val s = out.map(_.getAs[Double]("score"))
+    assert(math.abs(s(0) - 0.6) < 1e-9)
+    assert(math.abs(s(1) - 0.723288) < 1e-6)
+    assert(s(1) > s(0), "higher tf must score higher at equal length class")
+  }
+
+  test("bm25 favors rarer query terms and length-normalizes") {
+    val docs = Seq(
+      (1L, "common rare"),
+      (2L, "common other"),
+      (3L, "common stuff here"),
+      (4L, "common filler words again and again and again padding")
+    ).toDF("doc_id", "text")
+    val out = Text
+      .bm25Score(docs, "text", "doc_id", Seq("common", "rare"))
+      .orderBy("id")
+      .collect()
+      .map(r => r.getAs[Long]("id") -> r.getAs[Double]("score"))
+      .toMap
+    // doc1 matches both terms; rare has df=1 -> much higher idf
+    assert(out(1L) > 2 * out(2L))
+    // same tf of "common" but longer doc -> lower normalized score
+    assert(out(2L) > out(3L) && out(3L) > out(4L))
+  }
 }
