@@ -187,6 +187,32 @@ object TextQueries extends QueryPack {
       GROUP BY doc_id ORDER BY doc_id""")
   )
 
+  private val pmiQ = Q(
+    fn = (s, d) =>
+      Text
+        .pmiBigrams(Tables.documents(s, d), "text", minCount = 5, k = 50)
+        .orderBy("rank"),
+    oracle = Some("""
+      WITH toks AS (SELECT string_split(text, ' ') AS s FROM documents),
+      uni AS (SELECT unnest(s) AS w FROM toks),
+      uc AS (SELECT w, count(*) AS c FROM uni GROUP BY 1),
+      tu AS (SELECT count(*) AS n FROM uni),
+      bi AS (SELECT s, unnest(generate_series(1, len(s) - 1)) AS i FROM toks),
+      bc AS (SELECT s[i] AS w1, s[i + 1] AS w2, count(*) AS n_ab
+             FROM bi GROUP BY 1, 2),
+      tb AS (SELECT CAST(sum(n_ab) AS BIGINT) AS m FROM bc),
+      sc AS (SELECT w1, w2, n_ab,
+          round((CAST(n_ab AS DOUBLE) * CAST(n AS DOUBLE) * CAST(n AS DOUBLE)) /
+                (CAST(m AS DOUBLE) * CAST(a.c AS DOUBLE) * CAST(b.c AS DOUBLE)),
+                6) AS score
+        FROM bc JOIN uc a ON bc.w1 = a.w JOIN uc b ON bc.w2 = b.w
+          CROSS JOIN tu CROSS JOIN tb
+        WHERE n_ab >= 5),
+      r AS (SELECT *, row_number() OVER (ORDER BY score DESC, w1, w2) AS rank
+            FROM sc)
+      SELECT w1, w2, n_ab, score, rank FROM r WHERE rank <= 50 ORDER BY rank""")
+  )
+
   private val chunkQ = Q(
     fn = (s, d) =>
       Text
@@ -408,6 +434,7 @@ object TextQueries extends QueryPack {
     "text_tfidf" -> tfidfQ,
     "text_bm25" -> bm25Q,
     "text_chunk" -> chunkQ,
+    "text_pmi_bigrams" -> pmiQ,
     "text_unigram_logprob" -> unigramQ,
     "text_tokens" -> tokensQ,
     "text_quality" -> qualityQ,

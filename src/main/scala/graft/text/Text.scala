@@ -555,6 +555,84 @@ object Text {
       )
   }
 
+  /** Top-k bigram collocations by pointwise mutual information — the
+    * phrase-mining / tokenizer-merge-candidate signal (Church & Hanks,
+    * "Word Association Norms, Mutual Information, and Lexicography",
+    * 1990): `(w1, w2, n_ab, score, rank)`.
+    *
+    * score is the PMI ratio WITHOUT the log (same cross-engine
+    * rationale as [[tfIdfTopK]]):
+    *
+    *   p(ab) / (p(a) p(b)) = (c_ab * N_uni^2) / (N_bi * c_a * c_b)
+    *
+    * computed in DOUBLE throughout — at 100 TB the integer products
+    * overflow BIGINT (N_uni^2 alone passes 2^63 at ~3e9 tokens), and
+    * the cast keeps Spark and DuckDB on identical IEEE ops. A
+    * `minCount` floor (collocation practice) kills the rare-pair noise
+    * that pure PMI is notorious for AND shrinks the join input to the
+    * frequent tail.
+    *
+    * Scale shape: bigram and unigram counts are two map-side-combined
+    * groupBys off one scan; corpus totals ride 1-row broadcasts; the
+    * unigram join-back runs only against the >= minCount bigram
+    * survivors; the global top-k rank is a WindowGroupLimit (bounded
+    * per-partition heap), not a full sort.
+    */
+  def pmiBigrams(
+      df: org.apache.spark.sql.DataFrame,
+      textCol: String,
+      minCount: Int,
+      k: Int
+  ): org.apache.spark.sql.DataFrame = {
+    require(minCount >= 1, s"minCount must be >= 1, got $minCount")
+    require(k >= 1, s"k must be >= 1, got $k")
+    val toks = df.select(tokens(col(textCol)).as("_toks"))
+    val pairs = toks
+      .select(
+        explode(
+          when(
+            size(col("_toks")) >= 2,
+            transform(
+              sequence(lit(0), size(col("_toks")) - 2),
+              i =>
+                struct(
+                  element_at(col("_toks"), i + 1).as("w1"),
+                  element_at(col("_toks"), i + 2).as("w2")
+                )
+            )
+          ).otherwise(array().cast("array<struct<w1:string,w2:string>>"))
+        ).as("p")
+      )
+      .select(col("p.w1").as("w1"), col("p.w2").as("w2"))
+    val biCounts = pairs.groupBy("w1", "w2").agg(count(lit(1)).as("n_ab"))
+    val totalBi = biCounts.agg(sum(col("n_ab")).as("_m"))
+    val uniCounts = toks
+      .select(explode(col("_toks")).as("w"))
+      .groupBy("w")
+      .agg(count(lit(1)).as("c"))
+    val totalUni = uniCounts.agg(sum(col("c")).as("_n"))
+    val w = org.apache.spark.sql.expressions.Window
+      .orderBy(col("score").desc, col("w1"), col("w2"))
+    biCounts
+      .where(col("n_ab") >= minCount)
+      .join(uniCounts.select(col("w").as("w1"), col("c").as("_ca")), "w1")
+      .join(uniCounts.select(col("w").as("w2"), col("c").as("_cb")), "w2")
+      .crossJoin(broadcast(totalUni))
+      .crossJoin(broadcast(totalBi))
+      .withColumn(
+        "score",
+        graft.functions.round6(
+          (col("n_ab").cast("double") * col("_n").cast("double") *
+            col("_n").cast("double")) /
+            (col("_m").cast("double") * col("_ca").cast("double") *
+              col("_cb").cast("double"))
+        )
+      )
+      .withColumn("rank", row_number().over(w))
+      .where(col("rank") <= k)
+      .select(col("w1"), col("w2"), col("n_ab"), col("score"), col("rank"))
+  }
+
   /** BM25 relevance of every document against a fixed query term set:
     * `(id, n_matched, score)` for documents containing at least one
     * query term (Robertson & Zaragoza, "The Probabilistic Relevance

@@ -191,6 +191,35 @@ class TextSpec extends SparkSpec {
     assert(got.map(_._4).sum == 5, "zero overlap partitions every token once")
   }
 
+  test("pmi bigrams: hand-computed ratios, deterministic tie-break") {
+    // unigrams a:3 b:2 c:1 (N=6); bigrams (a,b):2 (b,a):1 (a,c):1 (M=4)
+    // score(a,b) = 2*36/(4*3*2) = 3.0, (a,c) = 36/12 = 3.0, (b,a) = 1.5
+    val docs = Seq((1L, "a b a b"), (2L, "a c")).toDF("doc_id", "text")
+    val got = Text
+      .pmiBigrams(docs, "text", minCount = 1, k = 10)
+      .orderBy("rank")
+      .as[(String, String, Long, Double, Int)]
+      .collect()
+      .toSeq
+    assert(
+      got === Seq(
+        ("a", "b", 2L, 3.0, 1), // tie with (a,c) broken lexicographically
+        ("a", "c", 1L, 3.0, 2),
+        ("b", "a", 1L, 1.5, 3)
+      )
+    )
+  }
+
+  test("pmi minCount floor drops rare pairs; single-token docs contribute none") {
+    val docs = Seq((1L, "x y x y x y"), (2L, "z"), (3L, "q r")).toDF("doc_id", "text")
+    val got = Text
+      .pmiBigrams(docs, "text", minCount = 2, k = 10)
+      .as[(String, String, Long, Double, Int)]
+      .collect()
+    assert(got.forall(_._3 >= 2))
+    assert(!got.exists(p => p._1 == "q" || p._1 == "z"))
+  }
+
   test("bm25 matches the hand-computed Robertson formula") {
     // N=3, dl = 2/3/1, avgdl = 2. Query "apple": df=2,
     // idf = (3-2+0.5)/(2+0.5) = 0.6.
