@@ -82,4 +82,50 @@ object Graph {
       graft.functions.round6(col("rank")).as("rank")
     )
   }
+
+  /** Synchronous label propagation (Raghavan et al. 2007) for
+    * community detection over a directed edge list: after
+    * `iterations` rounds, `(node, label)` where each node carries the
+    * most frequent label among its in-neighbors (ties broken by the
+    * SMALLEST label — that one rule makes every round, and therefore
+    * the result, fully deterministic; the randomized-order variant in
+    * the paper is not reproducible across runs, let alone engines).
+    * Labels start as the node ids, so a converged community is named
+    * by one of its members.
+    *
+    * Like [[pageRank]], callers must present every node with at least
+    * one in-edge (true for symmetrized graphs) — a node absent from
+    * the in-neighbor aggregation would silently drop out.
+    *
+    * Scale shape, per iteration: one equi-join of the |V|-row label
+    * table onto the persisted edge list, one map-side-combinable
+    * (node, label) count, and one argmax window PARTITIONED BY node —
+    * high-cardinality partitions, bounded by each node's in-degree, so
+    * no straggler key. Integer-only arithmetic: nothing to round,
+    * bit-identical on any engine.
+    */
+  def labelPropagation(
+      edges: DataFrame,
+      srcCol: String,
+      dstCol: String,
+      iterations: Int
+  ): DataFrame = {
+    require(iterations >= 1, s"iterations must be >= 1, got $iterations")
+    val e = edges.select(col(srcCol).as("src"), col(dstCol).as("dst")).persist()
+    var labels = e.select(col("src").as("node")).distinct()
+      .withColumn("label", col("node"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("node")
+      .orderBy(col("_c").desc, col("label"))
+    for (_ <- 1 to iterations) {
+      labels = e
+        .join(labels.withColumnRenamed("node", "src"), "src")
+        .groupBy(col("dst").as("node"), col("label"))
+        .agg(count(lit(1)).as("_c"))
+        .withColumn("_rn", row_number().over(w))
+        .where(col("_rn") === 1)
+        .select(col("node"), col("label"))
+    }
+    labels
+  }
 }

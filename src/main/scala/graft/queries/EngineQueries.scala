@@ -1146,6 +1146,30 @@ object EngineQueries extends QueryPack {
   // otherwise fold (1 - 0.85) in exact DECIMAL and diverge in the
   // last ulp) and contribution sums go through DECIMAL(38,12), so
   // ranks are bit-identical at every iteration.
+  // Shared co-purchase graph: parts linked iff they co-occur in an
+  // order (symmetrized by construction — both directions emitted)
+  private def copurchaseEdges(
+      s: org.apache.spark.sql.SparkSession,
+      dir: String
+  ): org.apache.spark.sql.DataFrame = {
+    val pairs = Tables
+      .lineitem(s, dir)
+      .select(col("l_orderkey"), col("l_partkey"))
+      .distinct()
+    pairs
+      .as("a")
+      .join(pairs.as("b"), "l_orderkey")
+      .where(col("a.l_partkey") =!= col("b.l_partkey"))
+      .select(col("a.l_partkey").as("src"), col("b.l_partkey").as("dst"))
+      .distinct()
+  }
+
+  private val copurchaseEdgesSql = """
+    pairs AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+    edges AS (SELECT DISTINCT a.l_partkey AS src, b.l_partkey AS dst
+      FROM pairs a JOIN pairs b ON a.l_orderkey = b.l_orderkey
+        AND a.l_partkey <> b.l_partkey)"""
+
   private val pagerankQ = {
     val d = "CAST(0.85 AS DOUBLE)"
     def iter(i: Int): String = s"""
@@ -1156,34 +1180,17 @@ object EngineQueries extends QueryPack {
           (1 - $d) + $d * COALESCE(c$i.s, CAST(0 AS DOUBLE)) AS rank
         FROM r${i - 1} n LEFT JOIN c$i ON n.node = c$i.node)"""
     Q(
-      fn = (s, dir) => {
-        val pairs = Tables
-          .lineitem(s, dir)
-          .select(col("l_orderkey"), col("l_partkey"))
-          .distinct()
-        val edges = pairs
-          .as("a")
-          .join(pairs.as("b"), "l_orderkey")
-          .where(col("a.l_partkey") =!= col("b.l_partkey"))
-          .select(
-            col("a.l_partkey").as("src"),
-            col("b.l_partkey").as("dst")
-          )
-          .distinct()
+      fn = (s, dir) =>
         graft.operators.Graph
-          .pageRank(edges, "src", "dst", iterations = 3)
+          .pageRank(copurchaseEdges(s, dir), "src", "dst", iterations = 3)
           .select(
             col("node").as("p_partkey"),
             col("degree"),
             col("rank").as("pagerank")
           )
-          .orderBy("p_partkey")
-      },
+          .orderBy("p_partkey"),
       oracle = Some(s"""
-        WITH pairs AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
-        edges AS (SELECT DISTINCT a.l_partkey AS src, b.l_partkey AS dst
-          FROM pairs a JOIN pairs b ON a.l_orderkey = b.l_orderkey
-            AND a.l_partkey <> b.l_partkey),
+        WITH $copurchaseEdgesSql,
         deg AS (SELECT src, count(*) AS deg FROM edges GROUP BY 1),
         r0 AS (SELECT src AS node, deg, CAST(1 AS DOUBLE) AS rank FROM deg),
         ${iter(1)},
@@ -1191,6 +1198,44 @@ object EngineQueries extends QueryPack {
         ${iter(3)}
         SELECT node AS p_partkey, deg AS degree, round(rank, 6) AS pagerank
         FROM r3 ORDER BY p_partkey""")
+    )
+  }
+
+  // Community detection over the same co-purchase graph: 3 rounds of
+  // deterministic (min-label tie-break) synchronous label propagation,
+  // integer-only — the oracle unrolls each round as a count + argmax
+  // CTE pair, no floating point anywhere.
+  private val lpaQ = {
+    def iter(i: Int): String = s"""
+      c$i AS (SELECT e.dst AS node, l.label, count(*) AS c
+        FROM edges e JOIN l${i - 1} l ON e.src = l.node GROUP BY 1, 2),
+      l$i AS (SELECT node, label FROM (
+          SELECT node, label,
+            row_number() OVER (PARTITION BY node ORDER BY c DESC, label) AS rn
+          FROM c$i) WHERE rn = 1)"""
+    Q(
+      fn = (s, dir) => {
+        val labels = graft.operators.Graph
+          .labelPropagation(copurchaseEdges(s, dir), "src", "dst", iterations = 3)
+        val sizes = labels.groupBy("label").agg(count(lit(1)).as("community_size"))
+        labels
+          .join(sizes, "label")
+          .select(
+            col("node").as("p_partkey"),
+            col("label").as("community"),
+            col("community_size")
+          )
+          .orderBy("p_partkey")
+      },
+      oracle = Some(s"""
+        WITH $copurchaseEdgesSql,
+        l0 AS (SELECT DISTINCT src AS node, src AS label FROM edges),
+        ${iter(1)},
+        ${iter(2)},
+        ${iter(3)},
+        sz AS (SELECT label, count(*) AS community_size FROM l3 GROUP BY 1)
+        SELECT node AS p_partkey, l3.label AS community, community_size
+        FROM l3 JOIN sz ON l3.label = sz.label ORDER BY p_partkey""")
     )
   }
 
@@ -1223,6 +1268,7 @@ object EngineQueries extends QueryPack {
   val queries: Map[String, Q] = Map(
     "q_percent_rank" -> percentRank,
     "q_copurchase_pagerank" -> pagerankQ,
+    "q_label_propagation" -> lpaQ,
     "q9_product_profit" -> q9,
     "q7_volume_shipping" -> q7,
     "q8_market_share" -> q8,

@@ -36,6 +36,40 @@ class GraphSpec extends SparkSpec {
     assert(math.abs(got.values.map(_._2).sum - 4.0) < 1e-6)
   }
 
+  test("label propagation: two cliques joined by a bridge resolve to two communities") {
+    // cliques {1,2,3} and {10,11,12}, one bridge 3-10; min-label
+    // tie-break pulls each clique to its smallest member
+    val edges = sym(
+      (1L, 2L), (1L, 3L), (2L, 3L),
+      (10L, 11L), (10L, 12L), (11L, 12L),
+      (3L, 10L)
+    )
+    val labels = Graph
+      .labelPropagation(edges, "src", "dst", iterations = 4)
+      .as[(Long, Long)]
+      .collect()
+      .toMap
+    val cliqueA = Set(1L, 2L, 3L).map(labels)
+    val cliqueB = Set(10L, 11L, 12L).map(labels)
+    assert(cliqueA.size == 1, s"clique A must agree on one label, got $cliqueA")
+    assert(cliqueB.size == 1, s"clique B must agree on one label, got $cliqueB")
+    assert(cliqueA != cliqueB, "the bridge must not merge the communities")
+  }
+
+  test("label propagation round 1 is the exact min-label in-neighbor argmax") {
+    // directed: 1->3, 2->3 (labels 1,2 tie at count 1 -> min label 1);
+    // 5->4 (single in-neighbor)
+    val edges = Seq((1L, 3L), (2L, 3L), (5L, 4L), (3L, 1L), (3L, 2L), (4L, 5L))
+      .toDF("src", "dst")
+    val labels = Graph
+      .labelPropagation(edges, "src", "dst", iterations = 1)
+      .as[(Long, Long)]
+      .collect()
+      .toMap
+    assert(labels(3L) == 1L, "tie must break to the smallest label")
+    assert(labels(4L) == 5L && labels(5L) == 4L)
+  }
+
   test("interior path nodes outrank leaves; mirror symmetry holds") {
     // path 1-2-3-4-5 symmetrized: leaves keep only the damped share of
     // one half-contribution, interior nodes receive from two sides
