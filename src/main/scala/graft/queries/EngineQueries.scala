@@ -1239,6 +1239,41 @@ object EngineQueries extends QueryPack {
     )
   }
 
+  // Per-node triangles + clustering coefficient on the co-purchase
+  // graph; degree-ordered orientation keeps the wedge join O(|E|^1.5)
+  private val triangleQ = Q(
+    fn = (s, dir) =>
+      graft.operators.Graph
+        .triangleCounts(copurchaseEdges(s, dir), "src", "dst")
+        .select(
+          col("node").as("p_partkey"),
+          col("degree"),
+          col("triangles"),
+          col("clustering")
+        )
+        .orderBy("p_partkey"),
+    oracle = Some(s"""
+      WITH $copurchaseEdgesSql,
+      deg AS (SELECT src, count(*) AS deg FROM edges GROUP BY 1),
+      o AS (SELECT e.src, e.dst FROM edges e
+        JOIN deg d1 ON e.src = d1.src JOIN deg d2 ON e.dst = d2.src
+        WHERE d1.deg < d2.deg OR (d1.deg = d2.deg AND e.src < e.dst)),
+      tri AS (SELECT e1.src AS a, e1.dst AS b, e2.dst AS c
+        FROM o e1 JOIN o e2 ON e1.src = e2.src AND e1.dst <> e2.dst
+        WHERE EXISTS (SELECT 1 FROM o WHERE o.src = e1.dst AND o.dst = e2.dst)),
+      pn AS (SELECT node, count(*) AS triangles FROM (
+          SELECT a AS node FROM tri
+          UNION ALL SELECT b FROM tri
+          UNION ALL SELECT c FROM tri) GROUP BY 1)
+      SELECT d.src AS p_partkey, d.deg AS degree,
+        COALESCE(pn.triangles, 0) AS triangles,
+        CASE WHEN d.deg >= 2 THEN
+          round(CAST(2 AS DOUBLE) * COALESCE(pn.triangles, 0)
+                / (d.deg * (d.deg - 1)), 6)
+        END AS clustering
+      FROM deg d LEFT JOIN pn ON d.src = pn.node ORDER BY p_partkey""")
+  )
+
   private val percentRank = Q(
     fn = (s, d) => {
       val w = Window
@@ -1269,6 +1304,7 @@ object EngineQueries extends QueryPack {
     "q_percent_rank" -> percentRank,
     "q_copurchase_pagerank" -> pagerankQ,
     "q_label_propagation" -> lpaQ,
+    "q_triangle_count" -> triangleQ,
     "q9_product_profit" -> q9,
     "q7_volume_shipping" -> q7,
     "q8_market_share" -> q8,

@@ -70,6 +70,42 @@ class GraphSpec extends SparkSpec {
     assert(labels(4L) == 5L && labels(5L) == 4L)
   }
 
+  test("triangle counts: K4 — every node closes all 3 of its wedges") {
+    val k4 = sym((1L, 2L), (1L, 3L), (1L, 4L), (2L, 3L), (2L, 4L), (3L, 4L))
+    val got = Graph
+      .triangleCounts(k4, "src", "dst")
+      .as[(Long, Long, Long, Option[Double])]
+      .collect()
+      .toSet
+    assert(got == (1L to 4L).map(n => (n, 3L, 3L, Some(1.0))).toSet)
+  }
+
+  test("triangle counts: pendant node has NULL clustering, hub counts its one triangle") {
+    // triangle {1,2,3} plus pendant 4 hanging off 3: node 3 has deg 3,
+    // 1 triangle, clustering 2*1/(3*2) = 1/3; pendant deg 1 -> NULL
+    val g = sym((1L, 2L), (2L, 3L), (1L, 3L), (3L, 4L))
+    val got = Graph
+      .triangleCounts(g, "src", "dst")
+      .as[(Long, Long, Long, Option[Double])]
+      .collect()
+      .map(t => t._1 -> (t._2, t._3, t._4))
+      .toMap
+    assert(got(1L) == ((2L, 1L, Some(1.0))))
+    assert(got(3L) == ((3L, 1L, Some(0.333333))))
+    assert(got(4L) == ((1L, 0L, None)), "degree-1 clustering is undefined, not 0")
+  }
+
+  test("triangle counts: star has zero triangles; hub clustering is 0.0") {
+    val got = Graph
+      .triangleCounts(sym((0L, 1L), (0L, 2L), (0L, 3L)), "src", "dst")
+      .as[(Long, Long, Long, Option[Double])]
+      .collect()
+      .map(t => t._1 -> (t._3, t._4))
+      .toMap
+    assert(got(0L) == ((0L, Some(0.0))))
+    assert(got(1L) == ((0L, None)))
+  }
+
   test("interior path nodes outrank leaves; mirror symmetry holds") {
     // path 1-2-3-4-5 symmetrized: leaves keep only the damped share of
     // one half-contribution, interior nodes receive from two sides
