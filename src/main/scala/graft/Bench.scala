@@ -41,7 +41,14 @@ object Bench {
     // review time on phantom "regressions"), and the median of three
     // is immune to one bad run in either direction.
     val reps = math.max(1, sys.env.getOrElse("SPARK_GRAFT_BENCH_REPS", "3").toInt)
-    val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
+    // Trailing args restrict the run to named queries (local iteration
+    // on one hot query without the full ~100 s sweep); the driver
+    // passes none, so its runs are always the full set.
+    val only = args.toSet
+    val selected =
+      if (only.isEmpty) SparkEntry.queries
+      else SparkEntry.queries.filter { case (n, _) => only(n) }
+    val results = selected.toSeq.sortBy(_._1).map { case (name, fn) =>
       val times = Array.ofDim[Double](reps)
       var err: Option[String] = None
       var i = 0

@@ -99,10 +99,13 @@ object Graph {
     *
     * Scale shape, per iteration: one equi-join of the |V|-row label
     * table onto the persisted edge list, one map-side-combinable
-    * (node, label) count, and one argmax window PARTITIONED BY node —
-    * high-cardinality partitions, bounded by each node's in-degree, so
-    * no straggler key. Integer-only arithmetic: nothing to round,
-    * bit-identical on any engine.
+    * (node, label) count, then the per-node argmax as a SECOND hash
+    * aggregation — `min(struct(-count, label))` picks the highest
+    * count and breaks ties to the smallest label with no sort anywhere
+    * (a window argmax would sort every node partition; the struct-min
+    * is map-side-combinable and skew-immune). Counts are >= 1 so the
+    * negation never overflows. Integer-only arithmetic: nothing to
+    * round, bit-identical on any engine.
     */
   /** Per-node triangle count and local clustering coefficient over a
     * symmetric edge list: `(node, degree, triangles, clustering)`.
@@ -188,17 +191,21 @@ object Graph {
     val e = edges.select(col(srcCol).as("src"), col(dstCol).as("dst")).persist()
     var labels = e.select(col("src").as("node")).distinct()
       .withColumn("label", col("node"))
-    val w = org.apache.spark.sql.expressions.Window
-      .partitionBy("node")
-      .orderBy(col("_c").desc, col("label"))
     for (_ <- 1 to iterations) {
+      // One exchange per iteration: hash-partition the joined edges by
+      // dst once — hashpartitioning(dst) satisfies the clustering of
+      // BOTH downstream aggregations (groupBy(dst,label) and
+      // groupBy(node)), so neither re-shuffles. The struct-min argmax
+      // plans as a SortAggregate (struct buffers aren't hash-mutable),
+      // but its node-sort is partition-local under the same clustering.
       labels = e
         .join(labels.withColumnRenamed("node", "src"), "src")
+        .repartition(col("dst"))
         .groupBy(col("dst").as("node"), col("label"))
         .agg(count(lit(1)).as("_c"))
-        .withColumn("_rn", row_number().over(w))
-        .where(col("_rn") === 1)
-        .select(col("node"), col("label"))
+        .groupBy("node")
+        .agg(min(struct((-col("_c")).as("_nc"), col("label"))).as("_m"))
+        .select(col("node"), col("_m.label").as("label"))
     }
     labels
   }

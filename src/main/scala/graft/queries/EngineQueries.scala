@@ -1217,13 +1217,17 @@ object EngineQueries extends QueryPack {
       fn = (s, dir) => {
         val labels = graft.operators.Graph
           .labelPropagation(copurchaseEdges(s, dir), "src", "dst", iterations = 3)
-        val sizes = labels.groupBy("label").agg(count(lit(1)).as("community_size"))
+        // community size as a window count, NOT a groupBy+self-join:
+        // the join's two branches each re-execute the full 3-iteration
+        // lineage (no exchange reuse across them — measured 4x the
+        // runtime); the window is one pass over the |V|-row result
         labels
-          .join(sizes, "label")
           .select(
             col("node").as("p_partkey"),
             col("label").as("community"),
-            col("community_size")
+            count(lit(1))
+              .over(Window.partitionBy("label"))
+              .as("community_size")
           )
           .orderBy("p_partkey")
       },
