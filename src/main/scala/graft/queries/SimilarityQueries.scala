@@ -270,7 +270,61 @@ object SimilarityQueries extends QueryPack {
     oracle = None // k-means cell assignment is not SQL-expressible
   )
 
+  // Exact distributed Lloyd's k-means (contrast the sampled driver fit
+  // behind ann_ivf_topk, which is declared not-SQL-expressible): init
+  // and every E/M round are deterministic, so the oracle unrolls the
+  // two iterations as CTE pairs — same pattern as the PageRank oracle.
+  // Distances use the dot identity on BOTH sides; centroid means go
+  // through DECIMAL(38,10) and 6-dp rounding, so no FP noise survives
+  // a round boundary.
+  private val kmeansQ = {
+    val k = 8
+    val cc = "list_sum(list_transform(c.e, x -> x * x))"
+    def dist(prev: String) = s"""
+      SELECT n2.vec_id, c.cl,
+        n2.vv - 2 * list_sum(list_transform(range(1, 65),
+          i -> n2.e[i] * c.e[i])) + $cc AS dist
+      FROM n2 CROSS JOIN $prev c"""
+    def argmin(d: String) = s"""
+      SELECT vec_id, cl, dist FROM (
+        SELECT vec_id, cl, dist,
+          row_number() OVER (PARTITION BY vec_id ORDER BY dist, cl) AS rn
+        FROM $d) WHERE rn = 1"""
+    def iter(i: Int): String = s"""
+      d$i AS (${dist(s"c${i - 1}")}),
+      a$i AS (${argmin(s"d$i")}),
+      ex$i AS (SELECT a.cl, unnest(generate_series(1, 64)) AS i, n2.e
+        FROM a$i a JOIN n2 USING (vec_id)),
+      m$i AS (SELECT cl, i - 1 AS pos,
+          round(CAST(SUM(CAST(e[i] AS DECIMAL(38,10))) AS DOUBLE)
+                / COUNT(*), 6) AS m
+        FROM ex$i GROUP BY 1, 2),
+      c$i AS (SELECT cl, list(m ORDER BY pos) AS e FROM m$i GROUP BY cl)"""
+    Q(
+      fn = (s, d) =>
+        Similarity
+          .kMeansAssign(Tables.embeddings(s, d), "vec_id", "embedding", k = k, iterations = 2)
+          .orderBy("vec_id"),
+      oracle = Some(s"""
+        WITH v AS (
+          SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e
+          FROM embeddings),
+        n2 AS (
+          SELECT vec_id, e, list_sum(list_transform(e, x -> x * x)) AS vv
+          FROM v),
+        c0 AS (
+          SELECT row_number() OVER (ORDER BY vec_id) - 1 AS cl, e
+          FROM v ORDER BY vec_id LIMIT $k),
+        ${iter(1)},
+        ${iter(2)},
+        d3 AS (${dist("c2")})
+        SELECT vec_id, cl AS cluster, round(dist, 6) AS dist
+        FROM (${argmin("d3")}) ORDER BY vec_id""")
+    )
+  }
+
   val queries: Map[String, Q] = Map(
+    "embed_kmeans" -> kmeansQ,
     "embed_centroid" -> centroidQ,
     "embed_centroid_shift" -> centroidShiftQ,
     "dedup_semantic_sweep" -> semanticSweepQ,

@@ -1510,6 +1510,89 @@ object Similarity {
       )
   }
 
+  /** Distributed Lloyd's k-means over the FULL table (contrast
+    * [[localKMeans]], the driver-side fit over a bounded sample that
+    * seeds IVF): `iterations` exact E/M rounds, then the final
+    * assignment `(id, cluster, dist)` against the last centroids.
+    *
+    * Deterministic on any engine, by construction:
+    *   - init: the `k` rows with the smallest id, cluster = rank order
+    *     (0-based). Ids must be distinct (first-k is then total-order
+    *     unique); duplicate vectors are fine.
+    *   - E-step: squared L2 via the dot identity |v-c|^2 =
+    *     v.v - 2 v.c + c.c with the codegen'd left-to-right
+    *     [[dot]] kernel; argmin tie-breaks to the SMALLEST cluster
+    *     index (`least` over (dist, cluster) structs).
+    *   - M-step: per-dimension mean through DECIMAL(38,10) sums
+    *     (order-independent, identical in DuckDB), rounded to 6 dp —
+    *     so the centroids handed to the next round are bit-identical
+    *     across engines, and FP noise cannot compound over rounds.
+    *   - a cluster that loses all members drops out (its label is
+    *     never reused; remaining labels stay the init indices).
+    *
+    * Scale shape: centroids are k x dim driver doubles, broadcast in
+    * the task closure — the E-step is a pure scan (no join, no
+    * shuffle, whole-stage codegen over k fused dot products); the
+    * M-step is ONE exchange of map-side-combined (cluster, pos)
+    * partials (k*dim rows per task). Per iteration: one job, one tiny
+    * shuffle. The input projection is cached for the iteration jobs;
+    * cache lifetime is caller-owned (same contract as [[centroids]]).
+    */
+  def kMeansAssign(
+      df: DataFrame,
+      idCol: String,
+      vecCol: String,
+      k: Int,
+      iterations: Int
+  ): DataFrame = {
+    require(k >= 1, s"k must be >= 1, got $k")
+    require(iterations >= 1, s"iterations must be >= 1, got $iterations")
+    val v = df
+      .select(col(idCol).as("_id"), col(vecCol).cast("array<double>").as("_v"))
+      .persist()
+    def nearest(cents: Seq[(Int, Array[Double])]): DataFrame = {
+      val vv = dot(col("_v"), col("_v"))
+      val candidates = cents.map { case (j, c) =>
+        val cc = c.map(x => x * x).sum
+        struct(
+          (vv - lit(2.0) * dot(col("_v"), typedLit(c.toSeq)) + lit(cc))
+            .as("d"),
+          lit(j).as("c")
+        )
+      }
+      val best =
+        if (candidates.size == 1) candidates.head else least(candidates: _*)
+      v.select(
+        col("_id"),
+        col("_v"),
+        best.getField("c").as("_cl"),
+        best.getField("d").as("_dist")
+      )
+    }
+    var cents: Seq[(Int, Array[Double])] = v
+      .orderBy("_id")
+      .limit(k)
+      .collect()
+      .zipWithIndex
+      .map { case (r, j) => (j, r.getSeq[Double](1).toArray) }
+      .toSeq
+    for (_ <- 1 to iterations) {
+      cents = centroids(nearest(cents).select(col("_cl"), col("_v")), "_v", "_cl")
+        .collect()
+        .groupBy(_.getInt(0))
+        .toSeq
+        .map { case (cl, rows) =>
+          (cl, rows.sortBy(_.getInt(1)).map(_.getDouble(2)).toArray)
+        }
+        .sortBy(_._1)
+    }
+    nearest(cents).select(
+      col("_id").as(idCol),
+      col("_cl").as("cluster"),
+      round6(col("_dist")).as("dist")
+    )
+  }
+
   def centroids(df: DataFrame, vecCol: String, keyCol: String): DataFrame =
     df.select(col(keyCol).as("key"), posexplode(col(vecCol)))
       .groupBy("key", "pos")
