@@ -785,6 +785,63 @@ object Dedup {
       .where(col("n_docs") >= minDocs)
   }
 
+  /** Cross-source duplicate-overlap matrix over exact word-spans: for
+    * every pair of sources (domains, crawls, shards), how many
+    * distinct `spanWords`-word spans they share, and how many
+    * (doc-in-a, doc-in-b) pairs that overlap induces. The standard
+    * corpus-forensics view before mixing sources into a training run —
+    * a hot cell in the matrix means one source substantially mirrors
+    * another (syndication, scraper overlap, re-crawl), so their
+    * nominal mixture weights double-count the same text.
+    *
+    * Output: `(source_a, source_b, shared_spans, cross_doc_pairs)`,
+    * one row per unordered pair with `source_a < source_b` that shares
+    * at least one span.
+    *
+    * Scale shape: one corpus scan emits (span_hash, source, doc) —
+    * shuffle key is the 16-byte hash, never the span text — reduced
+    * map-side to per-(hash, source) doc counts. The self-join then
+    * works on groups bounded by |sources| per hash, and the final
+    * aggregate is the |sources|^2 matrix itself. Total join work is
+    * sum over spans of (sources-containing-it)^2 — bounded by
+    * |sources| per span, NOT by doc counts, so a million-doc
+    * boilerplate span costs |sources|^2, not 10^12. Portable md5
+    * family (same convention as [[duplicateSpans]]) so the whole
+    * matrix is oracle-checkable.
+    */
+  def sourceOverlapSpans(
+      df: DataFrame,
+      textCol: String,
+      idCol: String,
+      groupCol: String,
+      spanWords: Int = 8
+  ): DataFrame = {
+    require(spanWords >= 1, s"spanWords must be >= 1, got $spanWords")
+    val perSource = df
+      .select(
+        col(groupCol).as("_g"),
+        col(idCol).as("_id"),
+        Text.tokens(col(textCol)).as("_toks")
+      )
+      .select(
+        col("_g"),
+        col("_id"),
+        explode(Text.wordShinglesFromTokens(col("_toks"), spanWords)).as("_span")
+      )
+      .select(col("_g"), col("_id"), md5(col("_span")).as("_h"))
+      .groupBy("_h", "_g")
+      .agg(countDistinct(col("_id")).as("_nd"))
+    perSource
+      .as("a")
+      .join(perSource.as("b"), "_h")
+      .where(col("a._g") < col("b._g"))
+      .groupBy(col("a._g").as("source_a"), col("b._g").as("source_b"))
+      .agg(
+        count(lit(1)).as("shared_spans"),
+        sum(col("a._nd") * col("b._nd")).as("cross_doc_pairs")
+      )
+  }
+
   /** XXH64 throughput family of [[duplicateSpans]]: span hashes chain
     * 64-bit token hashes (graft.functions.hashExpressions — codegen'd,
     * zero span-string materialization, 8-byte shuffle key). Same

@@ -386,6 +386,35 @@ object DedupQueries extends QueryPack {
       ORDER BY span_hash""")
   )
 
+  // Cross-source duplicate-overlap matrix: which source pairs share
+  // 8-word spans, and how many doc pairs that induces — the
+  // double-counting forensic before mixing sources. Fully oracle-gated
+  // (md5 span family).
+  private val sourceOverlapQ = Q(
+    fn = (s, d) =>
+      Dedup
+        .sourceOverlapSpans(
+          Tables.documents(s, d),
+          "text",
+          "doc_id",
+          "source",
+          spanWords = 8
+        )
+        .orderBy("source_a", "source_b"),
+    oracle = Some("""
+      WITH t AS (SELECT doc_id, source, string_split(text, ' ') AS toks
+                 FROM documents),
+      s AS (SELECT source, doc_id, md5(array_to_string(toks[i:i+7], ' ')) AS h
+            FROM t, unnest(generate_series(1, len(toks) - 7)) AS u(i)
+            WHERE len(toks) >= 8),
+      c AS (SELECT h, source, COUNT(DISTINCT doc_id) AS nd FROM s GROUP BY 1, 2)
+      SELECT a.source AS source_a, b.source AS source_b,
+        COUNT(*) AS shared_spans,
+        CAST(SUM(a.nd * b.nd) AS BIGINT) AS cross_doc_pairs
+      FROM c a JOIN c b ON a.h = b.h AND a.source < b.source
+      GROUP BY 1, 2 ORDER BY 1, 2""")
+  )
+
   // XXH64 span family: engine-specific hash kernel, so rows-only at
   // the driver gate; DedupSpec proves it groups identically to the
   // oracle-gated md5 family.
@@ -513,6 +542,7 @@ object DedupQueries extends QueryPack {
     "dedup_jaccard_join" -> jaccardJoinQ,
     "dedup_contamination_score" -> contaminationQ,
     "dedup_span_exact" -> spanExactQ,
+    "dedup_source_overlap" -> sourceOverlapQ,
     "dedup_span_exact_xxh64" -> spanFastQ,
     "dedup_decontaminate_exact" -> spanDecontaminateQ,
     "dedup_exact" -> exactQ,

@@ -497,6 +497,40 @@ class DedupSpec extends SparkSpec {
     assert(stats(3L) == ((0L, 0L, 0.0)))
   }
 
+  test("source overlap matrix counts shared spans and induced doc pairs") {
+    // span = 4 words; "a b c d" lives in src1 (docs 1,2) and src2
+    // (doc 3) -> pair (src1,src2): 1 shared span, 2*1 doc pairs.
+    // src3 shares nothing; same-source duplication alone emits no row.
+    val docs = Seq(
+      (1L, "a b c d x", "src1"),
+      (2L, "y a b c d", "src1"),
+      (3L, "a b c d", "src2"),
+      (4L, "q r s t u", "src3")
+    ).toDF("doc_id", "text", "source")
+    val got = Dedup
+      .sourceOverlapSpans(docs, "text", "doc_id", "source", spanWords = 4)
+      .as[(String, String, Long, Long)]
+      .collect()
+      .toSeq
+    assert(got == Seq(("src1", "src2", 1L, 2L)))
+  }
+
+  test("source overlap: a span in three sources fills all three matrix cells") {
+    val docs = Seq(
+      (1L, "a b c", "s1"),
+      (2L, "a b c", "s2"),
+      (3L, "a b c", "s3")
+    ).toDF("doc_id", "text", "source")
+    val got = Dedup
+      .sourceOverlapSpans(docs, "text", "doc_id", "source", spanWords = 3)
+      .as[(String, String, Long, Long)]
+      .collect()
+      .toSet
+    assert(
+      got == Set(("s1", "s2", 1L, 1L), ("s1", "s3", 1L, 1L), ("s2", "s3", 1L, 1L))
+    )
+  }
+
   test("signatures are deterministic across evaluations") {
     val s1 = Dedup
       .minhashLshPairs(corpus, "text", "doc_id", threshold = 0.3)
