@@ -256,6 +256,65 @@ object Profiler {
       .select(col("_gts").as("ts"), col("instance"), col("bucket"), col("count"))
   }
 
+  /** Equi-DEPTH histogram per ts partition: bucket boundaries are the
+    * exact j/nBuckets quantiles of the partition (so buckets hold
+    * ~equal row counts — the right view for skewed columns where
+    * [[histogramProfile]]'s fixed-width buckets collapse into one hot
+    * bar). `(ts, instance, bucket, lo, hi, count)`; buckets are
+    * half-open [lo, hi) on the INNER boundaries (a row equal to an
+    * inner boundary goes up), so duplicates never split.
+    *
+    * Scale shape: one exact-percentile aggregation per partition (the
+    * grain table is small), broadcast back onto the rows — bucket
+    * assignment is a codegen'd filter over the (nBuckets-1)-element
+    * boundary array, then one map-side-combinable count. Exact
+    * percentile parity with DuckDB's quantile_cont is the established
+    * float policy; at extreme per-partition cardinality swap in the
+    * approx-sketch boundaries and the bucket semantics stay identical.
+    */
+  def equiDepthProfile(
+      df: DataFrame,
+      tsColumn: String,
+      column: String,
+      nBuckets: Int,
+      granularity: String = Granularity.Day
+  ): DataFrame = {
+    require(nBuckets > 0, s"nBuckets must be positive, got $nBuckets")
+    val probs = array((0 to nBuckets).map(j => lit(j.toDouble / nBuckets)): _*)
+    val rows = truncated(df, tsColumn, granularity).where(col(column).isNotNull)
+    // Boundaries are rounded to 6 dp BEFORE bucketing (the library
+    // float policy): engines interpolate quantiles with different
+    // operation order, and a row sitting exactly on an inner boundary
+    // must bucket identically everywhere.
+    val bounds = rows
+      .groupBy("_gts")
+      .agg(
+        transform(percentile(col(column), probs), c => graft.functions.round6(c))
+          .as("_bs")
+      )
+    rows
+      .join(broadcast(bounds), "_gts")
+      .withColumn(
+        "bucket",
+        size(filter(slice(col("_bs"), 2, nBuckets - 1), b => b <= col(column)))
+      )
+      .groupBy(col("_gts"), col("bucket"))
+      .agg(
+        lit(column).as("instance"),
+        first(element_at(col("_bs"), col("bucket") + 1)).as("lo"),
+        first(element_at(col("_bs"), col("bucket") + 2)).as("hi"),
+        count(lit(1)).as("count")
+      )
+      .select(
+        col("_gts").as("ts"),
+        col("instance"),
+        col("bucket").cast("long").as("bucket"),
+        col("lo"),
+        col("hi"),
+        col("count")
+      )
+  }
+
   /** Top-k most frequent values of a column per ts partition (Deequ
     * Histogram analog for categoricals): `(ts, instance, value_str,
     * count, rank)`. Two map-side-combinable aggregations + a window

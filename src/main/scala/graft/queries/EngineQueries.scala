@@ -1243,6 +1243,28 @@ object EngineQueries extends QueryPack {
     )
   }
 
+  // Join-size pre-flight: exact output cardinality of the events
+  // self-join on user_id (the sessionize/funnel shuffle key), ranked
+  // by per-key contribution — the "do I need to salt this?" report
+  private val joinCardQ = Q(
+    fn = (s, d) => {
+      val ev = Tables.events(s, d)
+      graft.operators.JoinStats
+        .joinCardinality(ev, ev, "user_id", "user_id", topK = 25)
+        .withColumnRenamed("key", "user_id")
+    },
+    oracle = Some("""
+      WITH l AS (SELECT user_id AS key, count(*) AS n_left
+                 FROM events GROUP BY 1),
+      p AS (SELECT key, n_left, n_left AS n_right,
+              n_left * n_left AS out_rows FROM l),
+      t AS (SELECT SUM(out_rows) AS tot FROM p)
+      SELECT p.key AS user_id, p.n_left, p.n_right,
+        CAST(p.out_rows AS BIGINT) AS out_rows,
+        round(p.out_rows / t.tot, 6) AS share
+      FROM p, t ORDER BY p.out_rows DESC, p.key LIMIT 25""")
+  )
+
   // Per-node triangles + clustering coefficient on the co-purchase
   // graph; degree-ordered orientation keeps the wedge join O(|E|^1.5)
   private val triangleQ = Q(
@@ -1309,6 +1331,7 @@ object EngineQueries extends QueryPack {
     "q_copurchase_pagerank" -> pagerankQ,
     "q_label_propagation" -> lpaQ,
     "q_triangle_count" -> triangleQ,
+    "q_join_cardinality" -> joinCardQ,
     "q9_product_profit" -> q9,
     "q7_volume_shipping" -> q7,
     "q8_market_share" -> q8,

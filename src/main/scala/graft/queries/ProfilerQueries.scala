@@ -314,6 +314,31 @@ object ProfilerQueries extends QueryPack {
       FROM e GROUP BY ts, bucket ORDER BY ts, bucket""")
   )
 
+  // Equi-depth twin of profile_histogram: quantile-boundary buckets,
+  // exercised at day grain over the same skew-prone value column
+  private val histogramEqDepth = Q(
+    fn = (s, d) =>
+      Profiler
+        .equiDepthProfile(Tables.events(s, d), "ts", "value", nBuckets = 10)
+        .orderBy("ts", "bucket"),
+    oracle = Some(s"""
+      WITH e AS (SELECT ${sqlDay("ts")} AS ts, value FROM events
+                 WHERE value IS NOT NULL),
+      b AS (SELECT ts, list_transform(quantile_cont(value,
+              [${(0 to 10).map(j => j / 10.0).mkString(", ")}]),
+              x -> round(x, 6)) AS bs
+            FROM e GROUP BY ts),
+      r AS (SELECT e.ts, e.value,
+              len(list_filter(b.bs[2:10], x -> x <= e.value)) AS bucket
+            FROM e JOIN b ON e.ts = b.ts),
+      g AS (SELECT ts, bucket, count(*) AS count FROM r GROUP BY 1, 2)
+      SELECT g.ts, 'value' AS instance, CAST(g.bucket AS BIGINT) AS bucket,
+        b.bs[g.bucket + 1] AS lo,
+        b.bs[g.bucket + 2] AS hi,
+        count
+      FROM g JOIN b ON g.ts = b.ts ORDER BY g.ts, bucket""")
+  )
+
   private val correlation = Q(
     fn = (s, d) =>
       Profiler
@@ -712,6 +737,7 @@ object ProfilerQueries extends QueryPack {
     "profile_granularity_week" -> granularityQ(Granularity.Week, "week"),
     "profile_granularity_month" -> granularityQ(Granularity.Month, "month"),
     "profile_histogram" -> histogram,
+    "profile_histogram_eqdepth" -> histogramEqDepth,
     "profile_correlation" -> correlation
   )
 }

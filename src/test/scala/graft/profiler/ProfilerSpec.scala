@@ -253,4 +253,36 @@ class ProfilerSpec extends SparkSpec {
     val c = Seq((1, 1.5), (2, 2.0)).toDF("id", "v")
     intercept[IllegalArgumentException](assertDataFrameEquality(a, c, tol = 1e-9))
   }
+
+  test("equi-depth buckets balance a skewed column that equi-width collapses") {
+    // 8 small values + 2 huge ones in one day: width-10 buckets put
+    // 8 rows in bar 0, but quartile boundaries split 8/2 sensibly
+    val df = (Seq(1.0, 2.0, 3.0, 4.0, 5.0, 6.0, 7.0, 8.0, 1000.0, 2000.0))
+      .map(v => ("2025-01-01 10:00:00", v))
+      .toDF("ts_raw", "v")
+      .select(to_timestamp($"ts_raw").as("ts"), $"v")
+    val got = Profiler
+      .equiDepthProfile(df, "ts", "v", nBuckets = 2)
+      .orderBy("bucket")
+      .as[(java.sql.Timestamp, String, Long, Double, Double, Long)]
+      .collect()
+    assert(got.map(_._3).toSeq == Seq(0L, 1L))
+    assert(got.map(_._6).toSeq == Seq(5L, 5L), "equal-depth split 5/5")
+    // median of 10 ordered values interpolates between 5 and 6
+    assert(got(0)._4 == 1.0 && got(0)._5 == 5.5 && got(1)._5 == 2000.0)
+  }
+
+  test("a row equal to an inner boundary buckets upward") {
+    val df = Seq(1.0, 2.0, 3.0)
+      .map(v => ("2025-01-01 10:00:00", v))
+      .toDF("ts_raw", "v")
+      .select(to_timestamp($"ts_raw").as("ts"), $"v")
+    val got = Profiler
+      .equiDepthProfile(df, "ts", "v", nBuckets = 2)
+      .orderBy("bucket")
+      .as[(java.sql.Timestamp, String, Long, Double, Double, Long)]
+      .collect()
+    // boundary = median = 2.0; the row AT 2.0 goes up: counts 1 / 2
+    assert(got.map(t => t._3 -> t._6).toSeq == Seq(0L -> 1L, 1L -> 2L))
+  }
 }
