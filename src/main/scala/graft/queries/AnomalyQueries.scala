@@ -410,7 +410,57 @@ object AnomalyQueries extends QueryPack {
       ORDER BY s.event_type""")
   )
 
+  // Two-sided CUSUM changepoint over the shared series: the running
+  // drawdown closed form makes the Page recursion two window passes,
+  // so the oracle is plain SQL windows — no recursive CTE needed.
+  private val cusumQ = Q(
+    fn = (s, d) =>
+      graft.anomaly.Changepoint
+        .cusum(series(s, d), seriesCols)
+        .select(
+          col("event_type"),
+          col("ts"),
+          col("value"),
+          col("z"),
+          col("cusum_pos"),
+          col("cusum_neg"),
+          col("alarm")
+        )
+        .orderBy("event_type", "ts"),
+    oracle = Some(s"""$seriesCte,
+      st AS (SELECT event_type, COUNT(*) AS n,
+          CAST(SUM(CAST(value AS DECIMAL(38,10))) AS DOUBLE) AS sx,
+          CAST(SUM(CAST(value * value AS DECIMAL(38,10))) AS DOUBLE) AS sx2
+        FROM s GROUP BY 1),
+      sd AS (SELECT event_type, sx / n AS mean,
+          CASE WHEN n > 1
+            THEN sqrt((sx2 - n * (sx / n) * (sx / n)) / (n - 1))
+            ELSE 0.0 END AS std
+        FROM st),
+      z AS (SELECT s.event_type, s.ts, s.value,
+          CASE WHEN std > 0 THEN (s.value - mean) / std ELSE 0.0 END AS z
+        FROM s JOIN sd ON s.event_type = sd.event_type),
+      c AS (SELECT event_type, ts, value, z,
+          SUM(z - 0.5) OVER (PARTITION BY event_type ORDER BY ts
+            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cp,
+          SUM(-z - 0.5) OVER (PARTITION BY event_type ORDER BY ts
+            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cn
+        FROM z),
+      f AS (SELECT event_type, ts, value, round(z, 6) AS z,
+          round(cp - least(MIN(cp) OVER (PARTITION BY event_type ORDER BY ts
+            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 0.0), 6)
+            AS cusum_pos,
+          round(cn - least(MIN(cn) OVER (PARTITION BY event_type ORDER BY ts
+            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 0.0), 6)
+            AS cusum_neg
+        FROM c)
+      SELECT event_type, ts, value, z, cusum_pos, cusum_neg,
+        (cusum_pos > 4.0 OR cusum_neg > 4.0) AS alarm
+      FROM f ORDER BY event_type, ts""")
+  )
+
   val queries: Map[String, Q] = Map(
+    "anomaly_cusum" -> cusumQ,
     "anomaly_score_robust" -> robustZ,
     "anomaly_forecast_simple" -> forecastQuery(TrailingMean(7), tmSql(7)),
     "anomaly_forecast_seasonal" -> forecastQuery(SeasonalNaive(7), snSql(7)),
