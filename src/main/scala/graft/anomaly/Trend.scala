@@ -1,0 +1,147 @@
+package graft.anomaly
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
+
+/** Robust trend estimation and classical seasonal decomposition over
+  * metric series (SURVEY §2.2) — the descriptive complement to the
+  * forecast models: "is this metric drifting, and what is its weekly
+  * shape" rather than "what is tomorrow's value".
+  */
+object Trend {
+
+  import graft.functions.round6
+
+  /** Theil–Sen slope per series: the MEDIAN of all pairwise slopes
+    * (v_j - v_i) / (j - i) over observation indices i < j — breakdown
+    * point 29%, so a few outlier days cannot tilt the trend the way
+    * they tilt an OLS fit. Returns `(seriesCols..., n, slope,
+    * intercept)` with the standard median intercept
+    * median(v_i - slope * i).
+    *
+    * Determinism: indices come from a row_number over ts, slopes are
+    * pointwise IEEE, and both medians are exact percentiles (the
+    * established quantile-parity policy) rounded to 6 dp — the
+    * intercept uses the ROUNDED slope so both engines subtract the
+    * same number.
+    *
+    * Scale shape: the pair join is per-series O(n^2) in series LENGTH
+    * (not in series count — series parallelize across the cluster);
+    * fine for the daily/hourly grains this library profiles (a year of
+    * days is ~66k pairs). For very long series, subsample indices
+    * upstream — the estimator degrades gracefully.
+    */
+  def theilSen(
+      series: DataFrame,
+      seriesCols: Seq[String],
+      tsCol: String = "ts",
+      valueCol: String = "value"
+  ): DataFrame = {
+    val keys = seriesCols.map(col)
+    val w = Window.partitionBy(keys: _*).orderBy(col(tsCol))
+    val indexed = series
+      .select(keys ++ Seq(col(tsCol), col(valueCol).as("_v")): _*)
+      .withColumn("_i", row_number().over(w))
+      .select(keys ++ Seq(col("_i"), col("_v")): _*)
+    val pairs = indexed
+      .as("a")
+      .join(indexed.as("b"), seriesCols)
+      .where(col("a._i") < col("b._i"))
+      .select(
+        seriesCols.map(k => col("a." + k).as(k)) :+
+          ((col("b._v") - col("a._v")) / (col("b._i") - col("a._i")))
+            .as("_slope"): _*
+      )
+    val slopes = pairs
+      .groupBy(seriesCols.head, seriesCols.tail: _*)
+      .agg(round6(percentile(col("_slope"), lit(0.5))).as("slope"))
+    indexed
+      .join(broadcast(slopes), seriesCols)
+      .groupBy(seriesCols.head, seriesCols.tail: _*)
+      .agg(
+        count(lit(1)).as("n"),
+        first(col("slope")).as("slope"),
+        round6(percentile(col("_v") - col("slope") * col("_i"), lit(0.5)))
+          .as("intercept")
+      )
+  }
+
+  /** Classical additive decomposition at a fixed `period`:
+    * `value = trend + seasonal + resid` with
+    *   - trend: centered moving average over a full window of
+    *     `period` rows (null at the edges — no partial windows),
+    *   - seasonal: per phase-index mean of the detrended values,
+    *     re-centered so the seasonal component sums to zero over one
+    *     period (through DECIMAL sums),
+    *   - resid: the remainder where trend is defined.
+    *
+    * Phase is `(row_index - 1) % period` from a row_number over ts, so
+    * the decomposition never depends on engine-specific weekday
+    * numbering. Every emitted component is rounded to 6 dp, and each
+    * downstream component is computed FROM the rounded upstream one —
+    * cross-engine noise cannot compound.
+    *
+    * One ordered window pass + two small aggregations per series;
+    * parallelizes across series.
+    */
+  def decompose(
+      series: DataFrame,
+      seriesCols: Seq[String],
+      period: Int,
+      tsCol: String = "ts",
+      valueCol: String = "value"
+  ): DataFrame = {
+    require(period >= 2, s"period must be >= 2, got $period")
+    val keys = seriesCols.map(col)
+    val wOrd = Window.partitionBy(keys: _*).orderBy(col(tsCol))
+    val half = period / 2
+    val wCent = wOrd.rowsBetween(-half, half - (if (period % 2 == 0) 1 else 0))
+    val trended = series
+      .select(keys ++ Seq(col(tsCol), col(valueCol)): _*)
+      .withColumn("_phase", (row_number().over(wOrd) - 1) % period)
+      .withColumn(
+        "trend",
+        when(
+          count(col(valueCol)).over(wCent) === period,
+          round6(avg(col(valueCol)).over(wCent))
+        )
+      )
+      .withColumn("_detr", col(valueCol) - col("trend"))
+    val phaseMeans = trended
+      .where(col("trend").isNotNull)
+      .groupBy(keys :+ col("_phase"): _*)
+      .agg(
+        (sum(col("_detr").cast(DecimalType(38, 10))).cast("double") /
+          count(col("_detr"))).as("_pm")
+      )
+    val centered = phaseMeans
+      .groupBy(keys: _*)
+      .agg(
+        (sum(col("_pm").cast(DecimalType(38, 10))).cast("double") /
+          count(lit(1))).as("_grand")
+      )
+    trended
+      .join(broadcast(phaseMeans), seriesCols :+ "_phase", "left")
+      .join(broadcast(centered), seriesCols, "left")
+      .withColumn("seasonal", round6(col("_pm") - col("_grand")))
+      .withColumn(
+        "resid",
+        when(
+          col("trend").isNotNull,
+          round6(col(valueCol) - col("trend") - col("seasonal"))
+        )
+      )
+      .select(
+        keys ++ Seq(
+          col(tsCol),
+          col(valueCol),
+          col("_phase").cast("long").as("phase"),
+          col("trend"),
+          col("seasonal"),
+          col("resid")
+        ): _*
+      )
+  }
+}

@@ -459,8 +459,65 @@ object AnomalyQueries extends QueryPack {
       FROM f ORDER BY event_type, ts""")
   )
 
+  // Theil-Sen robust trend: median of all pairwise slopes (the pair
+  // join is O(days^2) per series, parallel across series)
+  private val theilSenQ = Q(
+    fn = (s, d) =>
+      graft.anomaly.Trend
+        .theilSen(series(s, d), seriesCols)
+        .orderBy("event_type"),
+    oracle = Some(s"""$seriesCte,
+      i AS (SELECT event_type, value AS v,
+          row_number() OVER (PARTITION BY event_type ORDER BY ts) AS i
+        FROM s),
+      p AS (SELECT a.event_type, (b.v - a.v) / (b.i - a.i) AS slope
+            FROM i a JOIN i b ON a.event_type = b.event_type AND a.i < b.i),
+      sl AS (SELECT event_type, round(quantile_cont(slope, 0.5), 6) AS slope
+             FROM p GROUP BY 1)
+      SELECT i.event_type, COUNT(*) AS n, sl.slope,
+        round(quantile_cont(i.v - sl.slope * i.i, 0.5), 6) AS intercept
+      FROM i JOIN sl ON i.event_type = sl.event_type
+      GROUP BY 1, 3 ORDER BY 1""")
+  )
+
+  // Classical additive decomposition at weekly period: centered MA
+  // trend, phase-mean seasonal re-centered to zero, remainder
+  private val decomposeQ = Q(
+    fn = (s, d) =>
+      graft.anomaly.Trend
+        .decompose(series(s, d), seriesCols, period = 7)
+        .orderBy("event_type", "ts"),
+    oracle = Some(s"""$seriesCte,
+      i AS (SELECT event_type, ts, value,
+          (row_number() OVER (PARTITION BY event_type ORDER BY ts) - 1) % 7
+            AS phase
+        FROM s),
+      t AS (SELECT *, CASE WHEN COUNT(value) OVER w7 = 7
+              THEN round(AVG(value) OVER w7, 6) END AS trend
+            FROM i WINDOW w7 AS (PARTITION BY event_type ORDER BY ts
+              ROWS BETWEEN 3 PRECEDING AND 3 FOLLOWING)),
+      pm AS (SELECT event_type, phase,
+          CAST(SUM(CAST(value - trend AS DECIMAL(38,10))) AS DOUBLE)
+            / COUNT(*) AS pm
+        FROM t WHERE trend IS NOT NULL GROUP BY 1, 2),
+      g AS (SELECT event_type,
+          CAST(SUM(CAST(pm AS DECIMAL(38,10))) AS DOUBLE) / COUNT(*) AS grand
+        FROM pm GROUP BY 1)
+      SELECT t.event_type, t.ts, t.value, CAST(t.phase AS BIGINT) AS phase,
+        t.trend, round(pm.pm - g.grand, 6) AS seasonal,
+        CASE WHEN t.trend IS NOT NULL
+          THEN round(t.value - t.trend - round(pm.pm - g.grand, 6), 6)
+        END AS resid
+      FROM t
+      LEFT JOIN pm ON t.event_type = pm.event_type AND t.phase = pm.phase
+      LEFT JOIN g ON t.event_type = g.event_type
+      ORDER BY t.event_type, t.ts""")
+  )
+
   val queries: Map[String, Q] = Map(
     "anomaly_cusum" -> cusumQ,
+    "anomaly_trend_slope" -> theilSenQ,
+    "anomaly_decompose" -> decomposeQ,
     "anomaly_score_robust" -> robustZ,
     "anomaly_forecast_simple" -> forecastQuery(TrailingMean(7), tmSql(7)),
     "anomaly_forecast_seasonal" -> forecastQuery(SeasonalNaive(7), snSql(7)),

@@ -1,0 +1,65 @@
+package graft.anomaly
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+class TrendSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def mkSeries(vals: Seq[Double], key: String = "m") =
+    vals.zipWithIndex
+      .map { case (v, i) => (key, f"2025-01-${i + 1}%02d 00:00:00", v) }
+      .toDF("metric", "ts_raw", "value")
+      .select($"metric", to_timestamp($"ts_raw").as("ts"), $"value")
+
+  test("Theil-Sen recovers an exact linear trend") {
+    // v = 3 + 2*i: every pairwise slope is 2, intercept median = 3
+    val out = Trend
+      .theilSen(mkSeries((1 to 8).map(i => 3.0 + 2.0 * i)), Seq("metric"))
+      .as[(String, Long, Double, Double)]
+      .collect()
+    assert(out.toSeq == Seq(("m", 8L, 2.0, 3.0)))
+  }
+
+  test("one wild outlier does not move the slope (OLS would tilt)") {
+    val clean = (1 to 11).map(i => 10.0 + 1.0 * i)
+    val dirty = clean.updated(5, 1000.0)
+    val out = Trend
+      .theilSen(mkSeries(dirty), Seq("metric"))
+      .as[(String, Long, Double, Double)]
+      .collect()
+      .head
+    assert(out._3 == 1.0, s"median slope must ignore the spike, got ${out._3}")
+  }
+
+  test("decompose: trend nulls at edges, seasonal sums to zero, components re-add") {
+    // 3 full weekly cycles with a linear drift: phase pattern repeats
+    val pattern = Seq(5.0, 1.0, -2.0, 0.0, 3.0, -4.0, -3.0)
+    val vals = (0 until 21).map(i => 100.0 + 0.5 * i + pattern(i % 7))
+    val out = Trend
+      .decompose(mkSeries(vals), Seq("metric"), period = 7)
+      .orderBy("ts")
+      .as[(String, java.sql.Timestamp, Double, Long, Option[Double], Option[Double], Option[Double])]
+      .collect()
+    assert(out.take(3).forall(_._5.isEmpty) && out.takeRight(3).forall(_._5.isEmpty))
+    assert(out.drop(3).dropRight(3).forall(_._5.isDefined))
+    val seasonal = out.take(7).flatMap(_._6)
+    assert(math.abs(seasonal.sum) < 1e-5, s"seasonal must center to zero: $seasonal")
+    // interior rows reconstruct: value = trend + seasonal + resid
+    out.filter(_._5.isDefined).foreach { r =>
+      assert(math.abs(r._3 - (r._5.get + r._6.get + r._7.get)) < 1e-5)
+    }
+    // the centered MA of a pure (linear + periodic) signal is the line
+    val mid = out(10)
+    assert(math.abs(mid._5.get - (100.0 + 0.5 * 10)) < 1e-6)
+  }
+
+  test("decompose on a series shorter than the period keeps rows with null components") {
+    val out = Trend
+      .decompose(mkSeries(Seq(1.0, 2.0, 3.0)), Seq("metric"), period = 7)
+      .as[(String, java.sql.Timestamp, Double, Long, Option[Double], Option[Double], Option[Double])]
+      .collect()
+    assert(out.length == 3)
+    assert(out.forall(r => r._5.isEmpty && r._6.isEmpty && r._7.isEmpty))
+  }
+}
