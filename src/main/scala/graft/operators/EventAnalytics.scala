@@ -325,6 +325,72 @@ object EventAnalytics {
       .orderBy("from_type", "to_type")
   }
 
+  /** Conversion-latency distribution between two funnel steps: time
+    * from each user's FIRST `fromStep` event to their first `toStep`
+    * event strictly after it. One summary row: `(from_step, to_step,
+    * n_users, n_converted, p25_sec, p50_sec, p90_sec, mean_sec)` —
+    * the "how fast do converters convert" companion to
+    * [[funnelSteps]]' "how many convert".
+    *
+    * Latency is computed in exact integer MICROseconds (engine-safe —
+    * second-truncating each endpoint first would disagree with
+    * truncating the difference), divided once into seconds;
+    * percentiles are exact (quantile-parity policy) and the mean runs
+    * through DECIMAL sums. Scale shape: two filtered min-aggregations
+    * and one user-keyed join — all map-side-combinable; the summary is
+    * a single-row rollup with the cohort size broadcast back.
+    */
+  def conversionLatency(
+      events: DataFrame,
+      userCol: String,
+      typeCol: String,
+      tsCol: String,
+      fromStep: String,
+      toStep: String
+  ): DataFrame = {
+    val a = events
+      .filter(col(typeCol) === fromStep)
+      .groupBy(col(userCol).as("_u"))
+      .agg(min(col(tsCol)).as("_ta"))
+    val b = events
+      .filter(col(typeCol) === toStep)
+      .select(col(userCol).as("_u"), col(tsCol).as("_tb"))
+    val lat = a
+      .join(b, "_u")
+      .where(col("_tb") > col("_ta"))
+      .groupBy(col("_u"), col("_ta"))
+      .agg(min(col("_tb")).as("_tb"))
+      .select(
+        ((unix_micros(col("_tb")) - unix_micros(col("_ta"))) / lit(1000000.0))
+          .as("_lat")
+      )
+    val nUsers = a.agg(count(lit(1)).as("n_users"))
+    lat
+      .agg(
+        lit(fromStep).as("from_step"),
+        lit(toStep).as("to_step"),
+        count(lit(1)).as("n_converted"),
+        graft.functions.round6(percentile(col("_lat"), lit(0.25))).as("p25_sec"),
+        graft.functions.round6(percentile(col("_lat"), lit(0.5))).as("p50_sec"),
+        graft.functions.round6(percentile(col("_lat"), lit(0.9))).as("p90_sec"),
+        graft.functions.round6(
+          sum(col("_lat").cast(org.apache.spark.sql.types.DecimalType(38, 10)))
+            .cast("double") / count(lit(1))
+        ).as("mean_sec")
+      )
+      .crossJoin(broadcast(nUsers))
+      .select(
+        col("from_step"),
+        col("to_step"),
+        col("n_users"),
+        col("n_converted"),
+        col("p25_sec"),
+        col("p50_sec"),
+        col("p90_sec"),
+        col("mean_sec")
+      )
+  }
+
   /** Last-touch attribution: each conversion event is attributed to the
     * same user's most recent `touchType` event strictly before it (by
     * the total order (ts, idCol) — deterministic under ties) and within

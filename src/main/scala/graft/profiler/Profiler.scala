@@ -256,6 +256,48 @@ object Profiler {
       .select(col("_gts").as("ts"), col("instance"), col("bucket"), col("count"))
   }
 
+  /** Functional-dependency check (Deequ's hasUniqueness cousin, the
+    * pydeequ-style constraint the reference exposes as column-pair
+    * assertions): for each (determinant -> dependent) pair, does one
+    * determinant value always map to one dependent value? Reported as
+    * measurement, not assertion: `(determinant, dependent, n_groups,
+    * violating_groups, violating_rows, max_dependents, consistency)`
+    * where consistency = 1 - violating_rows / rows.
+    *
+    * Scale shape: one scan per pair — groupBy(determinant) with a
+    * distinct-count of the dependent (two exchanges, both
+    * map-side-combinable), then a single-row rollup. Pairs are
+    * independent jobs; at many pairs over one fact table, run them in
+    * one multi-agg scan upstream and feed the per-group table here.
+    */
+  def functionalDependencyProfile(
+      df: DataFrame,
+      pairs: Seq[(String, String)]
+  ): DataFrame = {
+    require(pairs.nonEmpty, "at least one (determinant, dependent) pair")
+    pairs
+      .map { case (det, dep) =>
+        df.where(col(det).isNotNull)
+          .groupBy(col(det))
+          .agg(countDistinct(col(dep)).as("_nd"), count(lit(1)).as("_n"))
+          .agg(
+            lit(det).as("determinant"),
+            lit(dep).as("dependent"),
+            count(lit(1)).as("n_groups"),
+            sum(when(col("_nd") > 1, 1L).otherwise(0L)).as("violating_groups"),
+            sum(when(col("_nd") > 1, col("_n")).otherwise(0L))
+              .as("violating_rows"),
+            max(col("_nd")).as("max_dependents"),
+            graft.functions.round6(
+              lit(1.0) -
+                sum(when(col("_nd") > 1, col("_n")).otherwise(0L)) /
+                sum(col("_n"))
+            ).as("consistency")
+          )
+      }
+      .reduce(_.unionAll(_))
+  }
+
   /** Equi-DEPTH histogram per ts partition: bucket boundaries are the
     * exact j/nBuckets quantiles of the partition (so buckets hold
     * ~equal row counts — the right view for skewed columns where

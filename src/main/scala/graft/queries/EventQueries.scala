@@ -178,7 +178,41 @@ object EventQueries extends QueryPack {
       FROM c ORDER BY from_type, to_type""")
   )
 
+  // Latency distribution of view -> purchase conversions: exact
+  // microsecond lag divided once into seconds; percentiles + DECIMAL
+  // mean
+  private val latencyQ = Q(
+    fn = (s, d) =>
+      EventAnalytics.conversionLatency(
+        Tables.events(s, d),
+        "user_id",
+        "event_type",
+        "ts",
+        "view",
+        "purchase"
+      ),
+    oracle = Some("""
+      WITH a AS (SELECT user_id AS u, MIN(ts) AS ta FROM events
+                 WHERE event_type = 'view' GROUP BY 1),
+      b AS (SELECT e.user_id AS u, MIN(e.ts) AS tb FROM events e
+            JOIN a ON e.user_id = a.u
+            WHERE e.event_type = 'purchase' AND e.ts > a.ta GROUP BY 1),
+      l AS (SELECT a.u,
+              (epoch_us(b.tb) - epoch_us(a.ta)) / 1000000.0 AS lat
+            FROM a JOIN b ON a.u = b.u)
+      SELECT 'view' AS from_step, 'purchase' AS to_step,
+        (SELECT COUNT(*) FROM a) AS n_users,
+        COUNT(*) AS n_converted,
+        round(quantile_cont(lat, 0.25), 6) AS p25_sec,
+        round(quantile_cont(lat, 0.5), 6) AS p50_sec,
+        round(quantile_cont(lat, 0.9), 6) AS p90_sec,
+        round(CAST(SUM(CAST(lat AS DECIMAL(38,10))) AS DOUBLE) / COUNT(*), 6)
+          AS mean_sec
+      FROM l""")
+  )
+
   val queries: Map[String, Q] = Map(
+    "q_funnel_latency" -> latencyQ,
     "q_event_transitions" -> transitionsQ,
     "q_funnel_steps" -> funnelQ,
     "q_funnel_daily" -> funnelDailyQ,

@@ -339,6 +339,36 @@ object ProfilerQueries extends QueryPack {
       FROM g JOIN b ON g.ts = b.ts ORDER BY g.ts, bucket""")
   )
 
+  // FD measurement over events: event_id -> user_id must HOLD (unique
+  // ids), user_id -> event_type is heavily violated — one passing and
+  // one failing dependency in the same report
+  private val fdCheck = {
+    val pairs = Seq(("event_id", "user_id"), ("user_id", "event_type"))
+    def one(det: String, dep: String) = s"""
+      SELECT '$det' AS determinant, '$dep' AS dependent,
+        COUNT(*) AS n_groups,
+        CAST(SUM(CASE WHEN nd > 1 THEN 1 ELSE 0 END) AS BIGINT)
+          AS violating_groups,
+        CAST(SUM(CASE WHEN nd > 1 THEN n ELSE 0 END) AS BIGINT)
+          AS violating_rows,
+        MAX(nd) AS max_dependents,
+        round(1.0 - SUM(CASE WHEN nd > 1 THEN n ELSE 0 END) / SUM(n), 6)
+          AS consistency
+      FROM (SELECT $det, COUNT(DISTINCT $dep) AS nd, COUNT(*) AS n
+            FROM events WHERE $det IS NOT NULL GROUP BY 1)"""
+    Q(
+      fn = (s, d) =>
+        Profiler
+          .functionalDependencyProfile(Tables.events(s, d), pairs)
+          .orderBy("determinant", "dependent"),
+      oracle = Some(
+        pairs
+          .map { case (det, dep) => one(det, dep) }
+          .mkString("SELECT * FROM (", " UNION ALL ", ") ORDER BY determinant, dependent")
+      )
+    )
+  }
+
   private val correlation = Q(
     fn = (s, d) =>
       Profiler
@@ -738,6 +768,7 @@ object ProfilerQueries extends QueryPack {
     "profile_granularity_month" -> granularityQ(Granularity.Month, "month"),
     "profile_histogram" -> histogram,
     "profile_histogram_eqdepth" -> histogramEqDepth,
+    "profile_fd_check" -> fdCheck,
     "profile_correlation" -> correlation
   )
 }

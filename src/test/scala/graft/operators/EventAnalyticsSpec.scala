@@ -145,4 +145,35 @@ class EventAnalyticsSpec extends SparkSpec {
       (8L, Some(0L), true)
     ))
   }
+
+  test("conversion latency: first-view to first-later-purchase, hand-computed percentiles") {
+    // user 1 converts in 120s; user 2's purchase follows its first view
+    // (15 min = 900s); user 3 never purchases; user 4 has no view.
+    // Latencies {120, 900}: p50 interpolates to 510, mean 510.
+    val got = EventAnalytics
+      .conversionLatency(funnelEvents, "user_id", "event_type", "ts",
+        "view", "purchase")
+      .as[(String, String, Long, Long, Double, Double, Double, Double)]
+      .collect()
+      .head
+    assert(got._1 == "view" && got._2 == "purchase")
+    assert(got._3 == 3L, "three users have a first view")
+    assert(got._4 == 2L, "two of them purchase afterwards")
+    assert(got._6 == 510.0 && got._8 == 510.0)
+    assert(got._5 == 120.0 + 0.25 * 780.0 && got._7 == 120.0 + 0.9 * 780.0)
+  }
+
+  test("conversion latency: a purchase AT the first view's instant does not count") {
+    val ev = Seq(
+      (1L, 1L, "view", t("2025-01-01 10:00:00")),
+      (2L, 1L, "purchase", t("2025-01-01 10:00:00"))
+    ).toDF("event_id", "user_id", "event_type", "ts")
+    val got = EventAnalytics
+      .conversionLatency(ev, "user_id", "event_type", "ts", "view", "purchase")
+      .as[(String, String, Long, Long, Option[Double], Option[Double], Option[Double], Option[Double])]
+      .collect()
+      .head
+    assert(got._3 == 1L && got._4 == 0L)
+    assert(got._5.isEmpty && got._8.isEmpty, "no converters -> null stats")
+  }
 }

@@ -272,6 +272,40 @@ class ProfilerSpec extends SparkSpec {
     assert(got(0)._4 == 1.0 && got(0)._5 == 5.5 && got(1)._5 == 2000.0)
   }
 
+  test("FD check separates a holding dependency from a violated one") {
+    val df = Seq(
+      (1, "a", "x"),
+      (1, "a", "y"), // det 1 -> {a}, holds; (1 -> x,y) violated for 3rd col
+      (2, "b", "z"),
+      (2, "b", "z"),
+      (3, "c", "w")
+    ).toDF("id", "grp", "val")
+    val got = Profiler
+      .functionalDependencyProfile(df, Seq(("id", "grp"), ("id", "val")))
+      .orderBy("dependent")
+      .as[(String, String, Long, Long, Long, Long, Double)]
+      .collect()
+      .toSeq
+    // id -> grp holds everywhere: 3 groups, 0 violations, consistency 1
+    assert(got.head == (("id", "grp", 3L, 0L, 0L, 1L, 1.0)))
+    // id -> val: group 1 maps to {x,y} (2 rows violating of 5)
+    assert(got(1) == (("id", "val", 3L, 1L, 2L, 2L, 0.6)))
+  }
+
+  test("FD check ignores null determinants") {
+    val df = Seq(
+      (Some(1), "a"),
+      (None, "b"),
+      (None, "c")
+    ).toDF("id", "grp")
+    val got = Profiler
+      .functionalDependencyProfile(df, Seq(("id", "grp")))
+      .as[(String, String, Long, Long, Long, Long, Double)]
+      .collect()
+      .head
+    assert(got._3 == 1L && got._4 == 0L && got._7 == 1.0)
+  }
+
   test("a row equal to an inner boundary buckets upward") {
     val df = Seq(1.0, 2.0, 3.0)
       .map(v => ("2025-01-01 10:00:00", v))
