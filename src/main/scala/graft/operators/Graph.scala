@@ -209,4 +209,55 @@ object Graph {
     }
     labels
   }
+
+  /** Common-neighbor / Jaccard link prediction over a SYMMETRIC edge
+    * list: `(node_a, node_b, common, jaccard)` for every non-adjacent-
+    * or-adjacent pair sharing >= `minCommon` neighbors, node_a <
+    * node_b; jaccard = common / (deg_a + deg_b - common), round6.
+    * "Parts that share co-purchase partners but were never bought
+    * together" is the classic recommendation candidate.
+    *
+    * Scale shape: pair generation is the wedge self-join at each
+    * CENTER node, which is inherently Θ(sum of deg²) — so hub centers
+    * above `maxCenterDegree` are EXCLUDED up front (cap > 0), the same
+    * stopword move as the TF-IDF df de-skew: a 10^6-degree hub would
+    * emit 10^12 wedge rows while carrying ~zero similarity signal
+    * (sharing it says nothing). The cap bounds the join at
+    * O(cap · |E|) and is the documented recall trade; `common` counts
+    * only capped-center wedges, while degrees in the DENOMINATOR stay
+    * the full graph's. Wedge counts map-side-combine on (a, b).
+    */
+  def commonNeighbors(
+      edges: DataFrame,
+      srcCol: String,
+      dstCol: String,
+      maxCenterDegree: Int = 0,
+      minCommon: Int = 1
+  ): DataFrame = {
+    require(minCommon >= 1, s"minCommon must be >= 1, got $minCommon")
+    val e = edges.select(col(srcCol).as("src"), col(dstCol).as("dst"))
+    val deg = e.groupBy("src").agg(count(lit(1)).as("deg"))
+    val centers =
+      if (maxCenterDegree > 0) deg.where(col("deg") <= maxCenterDegree)
+      else deg
+    val adj = e.join(centers.select("src"), Seq("src"), "left_semi")
+    val pairs = adj
+      .as("e1")
+      .join(adj.as("e2"), col("e1.src") === col("e2.src"))
+      .where(col("e1.dst") < col("e2.dst"))
+      .groupBy(col("e1.dst").as("node_a"), col("e2.dst").as("node_b"))
+      .agg(count(lit(1)).as("common"))
+      .where(col("common") >= minCommon)
+    pairs
+      .join(deg.select(col("src").as("node_a"), col("deg").as("_da")), "node_a")
+      .join(deg.select(col("src").as("node_b"), col("deg").as("_db")), "node_b")
+      .select(
+        col("node_a"),
+        col("node_b"),
+        col("common"),
+        graft.functions.round6(
+          col("common") / (col("_da") + col("_db") - col("common"))
+        ).as("jaccard")
+      )
+  }
 }

@@ -484,4 +484,84 @@ object Profiler {
           .as("entropy")
       )
       .select(col("_gts").as("ts"), col("instance"), col("entropy"))
+
+  /** Grouping-key skew profile — the pre-shuffle diagnostic for a
+    * planned `groupBy`/`join` key: one row per candidate key column
+    * with `(key_column, n_rows, n_keys, max_count, top1_share,
+    * topk_share, entropy, cv)`. A top1_share near 1 or a huge cv
+    * says "salt this key" ([[graft.operators.Skew]]) before the job
+    * runs, not after the straggler; the companion to
+    * [[graft.operators.JoinStats.joinCardinality]] (which prices a
+    * specific join, where this prices the key itself).
+    *
+    * NULL is a real key value here — a null-heavy foreign key is the
+    * single most common skew cause, so unlike
+    * [[functionalDependencyProfile]] nothing is filtered.
+    *
+    * Scale shape, per column: ONE map-side-combinable
+    * `groupBy(key).count`, then a single global aggregation over the
+    * \|keys\|-row table that computes the moments AND the top-k count
+    * sum in the same pass — top-k via the bounded-heap
+    * [[graft.functions.TopKByAgg]], so every partition emits <= k
+    * entries plus O(1) moment partials (no window, no sort, no second
+    * scan of the fact table). Group sizes are exact BIGINTs and the
+    * variance runs on integer raw moments, so cv is
+    * engine-deterministic; entropy's double sum is absorbed by
+    * round6 (the library float policy).
+    */
+  def keySkewProfile(
+      df: DataFrame,
+      keyCols: Seq[String],
+      topK: Int = 10
+  ): DataFrame = {
+    require(keyCols.nonEmpty, "at least one key column")
+    require(topK >= 1, s"topK must be >= 1, got $topK")
+    keyCols
+      .map { k =>
+        df.groupBy(col(k).as("_key"))
+          .agg(count(lit(1)).as("_n"))
+          .agg(
+            lit(k).as("key_column"),
+            sum(col("_n")).as("_s1"),
+            count(lit(1)).as("n_keys"),
+            max(col("_n")).as("max_count"),
+            // group sizes squared sum through DECIMAL(38,0) — a long
+            // product overflows silently past single keys of ~3e9 rows
+            sum(col("_n").cast("decimal(19,0)") * col("_n").cast("decimal(19,0)"))
+              .cast("double")
+              .as("_s2"),
+            sum(col("_n") * log(col("_n"))).as("_nlogn"),
+            // ties at the k-th slot: which entry the heap keeps is
+            // hash-arbitrary, but tied entries have EQUAL counts, so
+            // the top-k SUM is deterministic regardless
+            aggregate(
+              graft.functions.topkAggregate
+                .topKBy(col("_n").cast("double"), xxhash64(col("_key")), topK),
+              lit(0.0),
+              (acc, x) => acc + x.getField("metric")
+            ).as("_topn")
+          )
+          .select(
+            col("key_column"),
+            col("_s1").as("n_rows"),
+            col("n_keys"),
+            col("max_count"),
+            graft.functions.round6(col("max_count") / col("_s1")).as("top1_share"),
+            graft.functions.round6(col("_topn") / col("_s1")).as("topk_share"),
+            graft.functions.round6(
+              log(col("_s1")) - col("_nlogn") / col("_s1")
+            ).as("entropy"),
+            // cv = stddev_pop / mean of group sizes, from exact
+            // integer raw moments: sqrt(S2/K - (S1/K)^2) / (S1/K)
+            graft.functions.round6(
+              sqrt(greatest(
+                col("_s2") / col("n_keys") -
+                  (col("_s1") / col("n_keys")) * (col("_s1") / col("n_keys")),
+                lit(0.0)
+              )) / (col("_s1") / col("n_keys"))
+            ).as("cv")
+          )
+      }
+      .reduce(_.unionAll(_))
+  }
 }

@@ -1300,6 +1300,38 @@ object EngineQueries extends QueryPack {
       FROM deg d LEFT JOIN pn ON d.src = pn.node ORDER BY p_partkey""")
   )
 
+  // Common-neighbor / Jaccard link prediction on the co-purchase
+  // graph, top-100 candidate pairs by jaccard (TakeOrdered — the full
+  // pair table at this graph's ~115 median degree is millions of
+  // rows; the recommendation use case wants the head anyway). Centers
+  // above degree 120 are excluded — the documented Θ(deg²) wedge cap
+  private val linkPredictionQ = Q(
+    fn = (s, dir) =>
+      graft.operators.Graph
+        .commonNeighbors(
+          copurchaseEdges(s, dir),
+          "src",
+          "dst",
+          maxCenterDegree = 120,
+          minCommon = 2
+        )
+        .orderBy(col("jaccard").desc, col("node_a"), col("node_b"))
+        .limit(100),
+    oracle = Some(s"""
+      WITH $copurchaseEdgesSql,
+      deg AS (SELECT src, count(*) AS deg FROM edges GROUP BY 1),
+      adj AS (SELECT e.src, e.dst FROM edges e
+        JOIN deg d ON e.src = d.src AND d.deg <= 120),
+      p AS (SELECT e1.dst AS node_a, e2.dst AS node_b, count(*) AS common
+        FROM adj e1 JOIN adj e2 ON e1.src = e2.src AND e1.dst < e2.dst
+        GROUP BY 1, 2 HAVING count(*) >= 2)
+      SELECT p.node_a, p.node_b, p.common,
+        round(p.common / (da.deg + db.deg - p.common), 6) AS jaccard
+      FROM p JOIN deg da ON p.node_a = da.src
+        JOIN deg db ON p.node_b = db.src
+      ORDER BY jaccard DESC, node_a, node_b LIMIT 100""")
+  )
+
   private val percentRank = Q(
     fn = (s, d) => {
       val w = Window
@@ -1331,6 +1363,7 @@ object EngineQueries extends QueryPack {
     "q_copurchase_pagerank" -> pagerankQ,
     "q_label_propagation" -> lpaQ,
     "q_triangle_count" -> triangleQ,
+    "q_link_prediction" -> linkPredictionQ,
     "q_join_cardinality" -> joinCardQ,
     "q9_product_profit" -> q9,
     "q7_volume_shipping" -> q7,

@@ -369,6 +369,43 @@ object ProfilerQueries extends QueryPack {
     )
   }
 
+  // Key-skew pre-flight over events: user_id (high-cardinality, mild
+  // skew) and event_type (a handful of hot values) in one report —
+  // the "should I salt this shuffle key" signal before a job runs
+  private val keySkewQ = {
+    val keys = Seq("user_id", "event_type")
+    val k = 10
+    def one(c: String) = s"""
+      SELECT '$c' AS key_column,
+        CAST(s1 AS BIGINT) AS n_rows, n_keys, max_count,
+        round(max_count / s1, 6) AS top1_share,
+        round(topn / s1, 6) AS topk_share,
+        round(ln(s1) - nlogn / s1, 6) AS entropy,
+        round(sqrt(greatest(s2 / n_keys - (s1 / n_keys) * (s1 / n_keys),
+          0.0)) / (s1 / n_keys), 6) AS cv
+      FROM
+        (SELECT SUM(n) AS s1, COUNT(*) AS n_keys, MAX(n) AS max_count,
+          CAST(SUM(CAST(n AS HUGEINT) * n) AS DOUBLE) AS s2,
+          SUM(n * ln(n)) AS nlogn
+         FROM (SELECT COUNT(*) AS n FROM events GROUP BY $c)),
+        (SELECT CAST(SUM(n) AS DOUBLE) AS topn FROM
+          (SELECT COUNT(*) AS n FROM events GROUP BY $c
+           ORDER BY n DESC LIMIT $k))"""
+    Q(
+      fn = (s, d) =>
+        Profiler
+          .keySkewProfile(Tables.events(s, d), keys, topK = k)
+          .orderBy("key_column"),
+      oracle = Some(
+        keys.map(one).mkString(
+          "SELECT * FROM (",
+          " UNION ALL ",
+          ") ORDER BY key_column"
+        )
+      )
+    )
+  }
+
   private val correlation = Q(
     fn = (s, d) =>
       Profiler
@@ -769,6 +806,7 @@ object ProfilerQueries extends QueryPack {
     "profile_histogram" -> histogram,
     "profile_histogram_eqdepth" -> histogramEqDepth,
     "profile_fd_check" -> fdCheck,
+    "profile_key_skew" -> keySkewQ,
     "profile_correlation" -> correlation
   )
 }

@@ -323,7 +323,64 @@ object SimilarityQueries extends QueryPack {
     )
   }
 
+  // Exact covariance block over the first 8 dims — the distributed
+  // half of PCA; the oracle re-derives every DECIMAL(38,12) running
+  // sum so the whole one-pass wide aggregation is hash-gated
+  private val covarianceQ = {
+    val dims = 0 until 8
+    def e(i: Int) = s"CAST(embedding[${i + 1}] AS DOUBLE)"
+    val pairs = for { a <- dims; b <- dims if b >= a } yield (a, b)
+    val sums = dims
+      .map(i => s"CAST(SUM(CAST(${e(i)} AS DECIMAL(38,12))) AS DOUBLE) AS s$i")
+      .mkString(",\n          ")
+    val prods = pairs
+      .map { case (a, b) =>
+        s"CAST(SUM(CAST(${e(a)} * ${e(b)} AS DECIMAL(38,12))) AS DOUBLE) AS p${a}_$b"
+      }
+      .mkString(",\n          ")
+    val selects = pairs
+      .map { case (a, b) =>
+        s"""SELECT $a AS i, $b AS j, n,
+           round(p${a}_$b / n - (s$a / n) * (s$b / n), 6) AS cov FROM s"""
+      }
+      .mkString(" UNION ALL ")
+    Q(
+      fn = (sp, d) =>
+        graft.similarity.Pca
+          .covarianceBlock(Tables.embeddings(sp, d), "embedding", dims)
+          .orderBy("i", "j"),
+      oracle = Some(s"""
+        WITH s AS (SELECT COUNT(*) AS n,
+          $sums,
+          $prods
+          FROM embeddings
+          WHERE embedding IS NOT NULL AND len(embedding) > 7)
+        SELECT * FROM ($selects) ORDER BY i, j""")
+    )
+  }
+
+  // e2e PCA path: covariance -> driver power iteration -> scan-side
+  // projection; eigen math is not SQL-expressible, so the projection
+  // gates rows-only here and the recovery quality is spec-pinned
+  private val pcaProjectQ = Q(
+    fn = (sp, d) => {
+      val dims = 0 until 8
+      val emb = Tables.embeddings(sp, d)
+      val (axis, _) =
+        graft.similarity.Pca.topComponent(
+          graft.similarity.Pca.fitCovariance(emb, "embedding", dims)
+        )
+      graft.similarity.Pca
+        .project(emb, "embedding", dims, axis)
+        .select(col("vec_id"), col("pc1"))
+        .orderBy("vec_id")
+    },
+    oracle = None // driver eigenvector is not SQL-expressible
+  )
+
   val queries: Map[String, Q] = Map(
+    "embed_covariance" -> covarianceQ,
+    "embed_pca_project" -> pcaProjectQ,
     "embed_kmeans" -> kmeansQ,
     "embed_centroid" -> centroidQ,
     "embed_centroid_shift" -> centroidShiftQ,

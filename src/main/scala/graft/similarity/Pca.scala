@@ -1,0 +1,157 @@
+package graft.similarity
+
+import graft.functions.round6
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Embedding-space PCA: an exact distributed covariance block plus a
+  * bounded driver-side power iteration — the whitening / dominant-
+  * direction primitive for embedding pipelines (e.g. removing the
+  * "common direction" before cosine dedup, or projecting to a scree
+  * plot for dimensionality decisions).
+  *
+  * Split mirrors the IVF design: the O(rows) part (covariance sums)
+  * is one distributed aggregation; the O(d²) eigen step runs on the
+  * driver over the collected block — bounded by dimension choice,
+  * never by corpus size (same bounded-driver-math contract as
+  * `Similarity.localKMeans`).
+  */
+object Pca {
+
+  /** Exact population covariance over the chosen `dims` of an
+    * array-typed embedding column: `(i, j, n, cov)` for every i <= j
+    * pair, population convention (divide by n).
+    *
+    * Scale shape: ONE aggregation pass, no shuffle of the vectors —
+    * the |dims|·(|dims|+3)/2 running sums are map-side-combined and a
+    * single reduced row is exploded into the pair table. Per-row
+    * products run in double (deterministic IEEE order), the SUMS run
+    * through DECIMAL(38,12) so aggregation order cannot move the
+    * result — the same cross-engine-exact policy as `Text.bm25Score`.
+    * At dim subsets beyond ~100 (5 000+ aggregate columns) run
+    * several blocks; each block is an independent single-pass job.
+    *
+    * Rows with a NULL vector or one too short for `max(dims)` are
+    * excluded (documented contract, mirrored by the oracle).
+    */
+  def covarianceBlock(df: DataFrame, vecCol: String, dims: Seq[Int]): DataFrame = {
+    require(dims.nonEmpty, "at least one dimension")
+    require(dims.distinct.size == dims.size, s"duplicate dims in $dims")
+    require(dims.forall(_ >= 0), s"dims must be >= 0, got $dims")
+    val ds = dims.sorted
+    val maxDim = ds.last
+    val dec = org.apache.spark.sql.types.DecimalType(38, 12)
+    def el(i: Int): Column = element_at(col(vecCol), i + 1).cast("double")
+    val pairs = for {
+      (a, ia) <- ds.zipWithIndex
+      b <- ds.drop(ia)
+    } yield (a, b)
+    val sumAggs = ds.map(i => sum(el(i).cast(dec)).as(s"_s$i"))
+    val prodAggs = pairs.map { case (a, b) =>
+      sum((el(a) * el(b)).cast(dec)).as(s"_p${a}_$b")
+    }
+    val aggs = (count(lit(1)).as("_n") +: sumAggs) ++ prodAggs
+    val wide = df
+      .where(col(vecCol).isNotNull && size(col(vecCol)) > maxDim)
+      .agg(aggs.head, aggs.tail: _*)
+    val entries = pairs.map { case (a, b) =>
+      struct(
+        lit(a).as("i"),
+        lit(b).as("j"),
+        round6(
+          col(s"_p${a}_$b").cast("double") / col("_n") -
+            (col(s"_s$a").cast("double") / col("_n")) *
+            (col(s"_s$b").cast("double") / col("_n"))
+        ).as("cov")
+      )
+    }
+    wide
+      .select(col("_n"), explode(array(entries: _*)).as("e"))
+      .select(col("e.i"), col("e.j"), col("_n").as("n"), col("e.cov"))
+  }
+
+  /** Dominant eigenvector of a symmetric matrix by power iteration —
+    * DRIVER math over a d x d array (call with a collected
+    * [[covarianceBlock]]; bounded by the block size, not the corpus).
+    * Deterministic: normalized all-ones start, fixed iteration count,
+    * sign fixed so the largest-magnitude component is positive.
+    * Returns (unit eigenvector, eigenvalue estimate x'Ax).
+    */
+  def topComponent(cov: Array[Array[Double]], iters: Int = 200): (Array[Double], Double) = {
+    val d = cov.length
+    require(d > 0 && cov.forall(_.length == d), "square matrix required")
+    require(iters >= 1, s"iters must be >= 1, got $iters")
+    var x = Array.fill(d)(1.0 / math.sqrt(d.toDouble))
+    def mul(v: Array[Double]): Array[Double] = {
+      val out = new Array[Double](d)
+      var i = 0
+      while (i < d) {
+        var s = 0.0
+        var j = 0
+        while (j < d) { s += cov(i)(j) * v(j); j += 1 }
+        out(i) = s
+        i += 1
+      }
+      out
+    }
+    for (_ <- 1 to iters) {
+      val y = mul(x)
+      val nrm = math.sqrt(y.map(v => v * v).sum)
+      // a zero matrix (or x in its null space) has no direction to
+      // follow; keep the current unit vector instead of dividing by 0
+      if (nrm > 0) x = y.map(_ / nrm)
+    }
+    val ax = mul(x)
+    val eig = x.zip(ax).map { case (a, b) => a * b }.sum
+    val k = x.indices.maxBy(i => math.abs(x(i)))
+    val signed = if (x(k) < 0) x.map(-_) else x
+    (signed, eig)
+  }
+
+  /** Collected-and-assembled covariance for [[topComponent]]: runs
+    * [[covarianceBlock]] and fills the symmetric d x d matrix, where
+    * d = |dims| (matrix indices follow the sorted dims order).
+    */
+  def fitCovariance(df: DataFrame, vecCol: String, dims: Seq[Int]): Array[Array[Double]] = {
+    val ds = dims.sorted
+    val idx = ds.zipWithIndex.toMap
+    val m = Array.ofDim[Double](ds.size, ds.size)
+    covarianceBlock(df, vecCol, dims)
+      .collect()
+      .foreach { r =>
+        val i = idx(r.getInt(0)); val j = idx(r.getInt(1))
+        val c = r.getDouble(3)
+        m(i)(j) = c; m(j)(i) = c
+      }
+    m
+  }
+
+  /** Scan-side projection of the chosen dims onto a constant axis
+    * (e.g. the [[topComponent]] eigenvector), optionally mean-centered
+    * first: `out = (v[dims] - mean) . axis`. The axis and mean are
+    * plan-time constants riding the codegen'd
+    * [[Similarity.dot]] kernel — zero shuffle, projection rides the
+    * scan like every other scan-side signal.
+    */
+  def project(
+      df: DataFrame,
+      vecCol: String,
+      dims: Seq[Int],
+      axis: Array[Double],
+      mean: Option[Array[Double]] = None,
+      outCol: String = "pc1"
+  ): DataFrame = {
+    val ds = dims.sorted
+    require(axis.length == ds.size, s"axis length ${axis.length} != dims ${ds.size}")
+    mean.foreach(m => require(m.length == ds.size, "mean length != dims"))
+    val sel = array(ds.map(i => element_at(col(vecCol), i + 1).cast("double")): _*)
+    val raw = Similarity.dot(sel, typedLit(axis.toSeq))
+    val centered = mean match {
+      case Some(m) =>
+        val shift = m.zip(axis).map { case (a, b) => a * b }.sum
+        raw - lit(shift)
+      case None => raw
+    }
+    df.withColumn(outCol, round6(centered))
+  }
+}

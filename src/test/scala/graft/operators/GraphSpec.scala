@@ -121,4 +121,35 @@ class GraphSpec extends SparkSpec {
     assert(r(2L) > r(3L), "leaf-adjacent node absorbs the leaf's full rank")
     assert(math.abs(r(1L) - r(5L)) < 1e-9 && math.abs(r(2L) - r(4L)) < 1e-9)
   }
+
+  test("link prediction: hand-computed common neighbors and jaccard") {
+    // square 1-2-3-4-1: opposite corners (1,3) and (2,4) share BOTH
+    // their neighbors, adjacent corners share none
+    val got = Graph
+      .commonNeighbors(sym((1L, 2L), (2L, 3L), (3L, 4L), (4L, 1L)), "src", "dst")
+      .as[(Long, Long, Long, Double)]
+      .collect()
+      .map(t => (t._1, t._2) -> (t._3, t._4))
+      .toMap
+    // deg 2 everywhere: jaccard = 2/(2+2-2) = 1.0
+    assert(got == Map((1L, 3L) -> ((2L, 1.0)), (2L, 4L) -> ((2L, 1.0))))
+  }
+
+  test("link prediction: hub cap drops wedges at the hub but keeps full degrees") {
+    // hub 0 connects 1,2,3; extra edge 1-9. Uncapped: (1,2),(1,3),(2,3)
+    // via center 0, plus (0,9) via center 1. Cap=2 excludes the hub
+    // (deg 3) as a CENTER, so only (0,9) — through center 1 — survives.
+    val e = sym((0L, 1L), (0L, 2L), (0L, 3L), (1L, 9L))
+    val un = Graph.commonNeighbors(e, "src", "dst")
+      .as[(Long, Long, Long, Double)].collect()
+    assert(un.map(t => (t._1, t._2)).toSet ==
+      Set((1L, 2L), (1L, 3L), (2L, 3L), (0L, 9L)))
+    // jaccard for (1,2): common 1, deg1=2 (0 and 9), deg2=1 -> 1/(2+1-1)
+    assert(un.find(t => (t._1, t._2) == ((1L, 2L))).get._4 == 0.5)
+    val capped = Graph.commonNeighbors(e, "src", "dst", maxCenterDegree = 2)
+      .as[(Long, Long, Long, Double)].collect()
+    // (0,9): common 1 (center 1 only), deg0=3, deg9=1 -> 1/(3+1-1)
+    assert(capped.map(t => (t._1, t._2)).toSet == Set((0L, 9L)))
+    assert(capped.head._4 == math.rint(1.0 / 3 * 1e6) / 1e6)
+  }
 }

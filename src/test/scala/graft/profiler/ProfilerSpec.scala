@@ -319,4 +319,36 @@ class ProfilerSpec extends SparkSpec {
     // boundary = median = 2.0; the row AT 2.0 goes up: counts 1 / 2
     assert(got.map(t => t._3 -> t._6).toSeq == Seq(0L -> 1L, 1L -> 2L))
   }
+
+  test("key skew profile: hand-computed stats on a skewed key, NULL is a key") {
+    // key "a" x 6, "b" x 2, NULL x 2 -> 10 rows, 3 keys
+    val df = (Seq.fill(6)(Option("a")) ++ Seq.fill(2)(Option("b")) ++
+      Seq.fill(2)(Option.empty[String])).toDF("k")
+    val r = Profiler
+      .keySkewProfile(df, Seq("k"), topK = 2)
+      .as[(String, Long, Long, Long, Double, Double, Double, Double)]
+      .collect()
+      .head
+    assert(r._1 == "k" && r._2 == 10L && r._3 == 3L && r._4 == 6L)
+    assert(r._5 == 0.6) // top1 = 6/10
+    assert(r._6 == 0.8) // top2 = (6+2)/10
+    // entropy = ln(10) - (6 ln 6 + 2 ln 2 + 2 ln 2)/10
+    val ent = math.log(10) - (6 * math.log(6) + 4 * math.log(2)) / 10
+    assert(math.abs(r._7 - ent) < 1e-6)
+    // sizes (6,2,2): mean 10/3, var = 44/3 - 100/9 = 32/9
+    val cv = math.sqrt(32.0 / 9) / (10.0 / 3)
+    assert(math.abs(r._8 - cv) < 1e-6)
+  }
+
+  test("key skew profile: uniform key has cv 0 and full-coverage topk") {
+    val df = (1 to 8).map(i => s"k${i % 4}").toDF("k")
+    val r = Profiler
+      .keySkewProfile(df, Seq("k"), topK = 10)
+      .as[(String, Long, Long, Long, Double, Double, Double, Double)]
+      .collect()
+      .head
+    assert(r._3 == 4L && r._4 == 2L && r._5 == 0.25)
+    assert(r._6 == 1.0) // topK > n_keys covers everything
+    assert(r._8 == 0.0)
+  }
 }

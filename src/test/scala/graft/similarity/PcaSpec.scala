@@ -1,0 +1,78 @@
+package graft.similarity
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+class PcaSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("covariance block matches hand math; null/short vectors excluded") {
+    val df = Seq(
+      (1L, Array(1.0f, 2.0f)),
+      (2L, Array(3.0f, 6.0f)),
+      (3L, Array(5.0f, 10.0f)),
+      (4L, null.asInstanceOf[Array[Float]]),
+      (5L, Array(9.0f)) // too short for dim 1
+    ).toDF("vec_id", "embedding")
+    val got = Pca
+      .covarianceBlock(df, "embedding", Seq(0, 1))
+      .orderBy("i", "j")
+      .as[(Int, Int, Long, Double)]
+      .collect()
+    // dims over rows (1,2),(3,6),(5,10): var0 = 8/3, cov01 = 16/3, var1 = 32/3
+    assert(got.map(g => (g._1, g._2, g._3)).toSeq ==
+      Seq((0, 0, 3L), (0, 1, 3L), (1, 1, 3L)))
+    assert(math.abs(got(0)._4 - 8.0 / 3) < 1e-6)
+    assert(math.abs(got(1)._4 - 16.0 / 3) < 1e-6)
+    assert(math.abs(got(2)._4 - 32.0 / 3) < 1e-6)
+  }
+
+  test("power iteration recovers a planted dominant direction") {
+    // spread 10x along (3,4)/5, 0.1x along the orthogonal (-4,3)/5
+    val axis = Array(0.6, 0.8)
+    val ortho = Array(-0.8, 0.6)
+    val rng = new scala.util.Random(7)
+    val rows = (1 to 400).map { i =>
+      val a = rng.nextGaussian() * 10
+      val b = rng.nextGaussian() * 0.1
+      (i.toLong, Array(
+        (a * axis(0) + b * ortho(0)).toFloat,
+        (a * axis(1) + b * ortho(1)).toFloat
+      ))
+    }
+    val df = rows.toDF("vec_id", "embedding")
+    val cov = Pca.fitCovariance(df, "embedding", Seq(0, 1))
+    val (v, eig) = Pca.topComponent(cov)
+    val cos = math.abs(v(0) * axis(0) + v(1) * axis(1))
+    assert(cos > 0.999, s"recovered $cos")
+    assert(eig > 50, s"eigenvalue $eig should carry the 10x spread")
+    // unit norm, deterministic sign: largest-magnitude component positive
+    assert(math.abs(v.map(x => x * x).sum - 1.0) < 1e-9)
+    assert(v(v.indices.maxBy(i => math.abs(v(i)))) > 0)
+  }
+
+  test("projection is the plain dot and centering shifts it") {
+    val df = Seq((1L, Array(2.0f, 0.0f)), (2L, Array(0.0f, 4.0f)))
+      .toDF("vec_id", "embedding")
+    val axis = Array(1.0, 0.5)
+    val plain = Pca
+      .project(df, "embedding", Seq(0, 1), axis)
+      .orderBy("vec_id")
+      .select("pc1")
+      .as[Double]
+      .collect()
+    assert(plain.toSeq == Seq(2.0, 2.0))
+    val centered = Pca
+      .project(df, "embedding", Seq(0, 1), axis, mean = Some(Array(1.0, 2.0)))
+      .orderBy("vec_id")
+      .select("pc1")
+      .as[Double]
+      .collect()
+    assert(centered.toSeq == Seq(0.0, 0.0))
+  }
+
+  test("zero matrix keeps the start vector instead of dividing by zero") {
+    val (v, eig) = Pca.topComponent(Array.fill(3)(Array.fill(3)(0.0)))
+    assert(eig == 0.0 && math.abs(v.map(x => x * x).sum - 1.0) < 1e-9)
+  }
+}
