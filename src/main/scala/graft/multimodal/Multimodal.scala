@@ -1,6 +1,6 @@
 package graft.multimodal
 
-import org.apache.spark.sql.{DataFrame, Row}
+import org.apache.spark.sql.{Column, DataFrame, Row}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 
@@ -363,4 +363,68 @@ object Multimodal {
   ): DataFrame =
     graft.dedup.PortableDedup
       .hammingPairs60(decodedAHash60(df, binCol, idCol, batchSize), maxHamming, bucketCap)
+
+  /** Little-endian unsigned integer read from `len` bytes of a binary
+    * column at 1-based `pos` — pure `conv(hex(substring))` builtins,
+    * codegen'd, one term per byte. NULL if the payload is shorter than
+    * pos+len-1 (substring silently truncates; the hex-length guard
+    * turns that into NULL instead of a wrong small value).
+    */
+  private[multimodal] def leUint(bin: Column, pos: Int, len: Int): Column = {
+    val full = length(bin) >= lit(pos + len - 1)
+    val terms = (0 until len).map { i =>
+      conv(hex(substring(bin, pos + i, 1)), 16, 10).cast("long") * lit(1L << (8 * i))
+    }
+    when(full, terms.reduce(_ + _))
+  }
+
+  /** Audio-header metadata from canonical 44-byte PCM WAV payloads —
+    * the audio twin of the image `withMeta`/`extractFeatures` path,
+    * but SQL-expressible end to end: `wav` struct with `(canonical,
+    * channels, sample_rate, bits_per_sample, data_bytes,
+    * duration_sec)`.
+    *
+    * `canonical` = RIFF/WAVE magic + 16-byte PCM fmt chunk + a "data"
+    * chunk at offset 36 (the layout every stock encoder writes);
+    * non-canonical or truncated payloads get `canonical = false` and
+    * NULL fields — flagged, never guessed, same contract as the image
+    * decoder's `decoded` flag. Real-world WAVs with extra chunks
+    * (LIST/INFO) belong in a mapPartitions kernel like the image
+    * decode; this is the scan-side fast path.
+    *
+    * Scale shape: pure column expressions over fixed offsets (hex +
+    * conv builtins, whole-stage codegen) — header metadata for a
+    * billion audio files rides the scan with zero shuffle and without
+    * ever copying payload bytes.
+    */
+  def wavMeta(df: DataFrame, binCol: String): DataFrame = {
+    val b = col(binCol)
+    val canonical = b.isNotNull &&
+      length(b) >= 44 &&
+      hex(substring(b, 1, 4)) === "52494646" && // "RIFF"
+      hex(substring(b, 9, 8)) === "57415645666D7420" && // "WAVEfmt "
+      leUint(b, 17, 4) === 16 && // PCM fmt chunk size
+      leUint(b, 21, 2) === 1 && // audio_format = PCM
+      hex(substring(b, 37, 4)) === "64617461" // "data"
+    val channels = leUint(b, 23, 2)
+    val rate = leUint(b, 25, 4)
+    val bits = leUint(b, 35, 2)
+    val dataBytes = leUint(b, 41, 4)
+    def gated(c: Column): Column = when(canonical, c)
+    df.withColumn(
+      "wav",
+      struct(
+        coalesce(canonical, lit(false)).as("canonical"),
+        gated(channels).as("channels"),
+        gated(rate).as("sample_rate"),
+        gated(bits).as("bits_per_sample"),
+        gated(dataBytes).as("data_bytes"),
+        gated(
+          graft.functions.round6(
+            dataBytes / (rate * channels * (bits / lit(8)))
+          )
+        ).as("duration_sec")
+      )
+    )
+  }
 }

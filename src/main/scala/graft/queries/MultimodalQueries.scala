@@ -119,9 +119,78 @@ object MultimodalQueries extends QueryPack {
     oracle = Some(phashSql(6))
   )
 
+  /** Audio plumbing roundtrip: a canonical PCM WAV payload is BUILT
+    * in-plan from event fields (header arithmetic in column
+    * expressions, `props` bytes as the data chunk), then parsed back
+    * by the scan-side `wavMeta` — so the oracle states the expected
+    * metadata DIRECTLY from the fields, and a parse that didn't
+    * exactly invert the build hash-fails. Spark-only helper: the
+    * little-endian hex builder never appears in the oracle.
+    */
+  private val wavQ = {
+    import org.apache.spark.sql.Column
+    def leHex(x: Column, nBytes: Int): Column =
+      concat((0 until nBytes).map { i =>
+        lpad(hex(shiftright(x, 8 * i).bitwiseAND(lit(255L))), 2, "0")
+      }: _*)
+    Q(
+      fn = (s, d) => {
+        val e = Tables
+          .events(s, d)
+          .select(
+            col("event_id"),
+            (lit(1L) + pmod(col("event_id"), lit(2))).as("ch"),
+            (lit(8000L) * (lit(1L) + pmod(col("user_id"), lit(3)))).as("rate"),
+            encode(col("props"), "UTF-8").as("data")
+          )
+          .withColumn("dlen", length(col("data")).cast("long"))
+        val header = concat(
+          lit("52494646"), // RIFF
+          leHex(col("dlen") + 36L, 4),
+          lit("57415645666D7420"), // WAVEfmt_
+          leHex(lit(16L), 4), // PCM fmt size
+          leHex(lit(1L), 2), // format = PCM
+          leHex(col("ch"), 2),
+          leHex(col("rate"), 4),
+          leHex(col("rate") * col("ch") * 2L, 4), // byte rate
+          leHex(col("ch") * 2L, 2), // block align
+          leHex(lit(16L), 2), // bits
+          lit("64617461"), // data
+          leHex(col("dlen"), 4)
+        )
+        Multimodal
+          .wavMeta(
+            e.withColumn("payload", concat(unhex(header), col("data"))),
+            "payload"
+          )
+          .select(
+            col("event_id"),
+            col("wav.canonical").as("canonical"),
+            col("wav.channels").as("channels"),
+            col("wav.sample_rate").as("sample_rate"),
+            col("wav.bits_per_sample").as("bits_per_sample"),
+            col("wav.data_bytes").as("data_bytes"),
+            col("wav.duration_sec").as("duration_sec")
+          )
+          .orderBy("event_id")
+      },
+      oracle = Some("""
+        SELECT event_id, true AS canonical,
+          1 + event_id % 2 AS channels,
+          8000 * (1 + user_id % 3) AS sample_rate,
+          CAST(16 AS BIGINT) AS bits_per_sample,
+          CAST(octet_length(encode(props)) AS BIGINT) AS data_bytes,
+          round(octet_length(encode(props)) /
+            ((8000 * (1 + user_id % 3)) * (1 + event_id % 2) * 2.0), 6)
+            AS duration_sec
+        FROM events ORDER BY event_id""")
+    )
+  }
+
   val queries: Map[String, Q] = Map(
     "multimodal_binary_meta" -> binaryMetaQ,
     "multimodal_frame_sample" -> frameSampleQ,
+    "multimodal_wav_meta" -> wavQ,
     "multimodal_phash_pairs" -> phashQ
   )
 }

@@ -167,4 +167,40 @@ class MultimodalSpec extends SparkSpec {
     val f3 = out(3L).map(r => (r.getInt(1), r.getInt(2)))
     assert(f3.toSeq == Seq((0, 256)))
   }
+
+  test("wavMeta parses a real canonical PCM header; junk is flagged, not guessed") {
+    // hand-built canonical 44-byte header: 2ch, 44100 Hz, 16-bit, 8 data bytes
+    def le(x: Long, n: Int): Array[Byte] =
+      (0 until n).map(i => ((x >> (8 * i)) & 0xff).toByte).toArray
+    val data = Array.tabulate[Byte](8)(_.toByte)
+    val wav = "RIFF".getBytes("ASCII") ++ le(36 + 8, 4) ++
+      "WAVEfmt ".getBytes("ASCII") ++ le(16, 4) ++ le(1, 2) ++ le(2, 2) ++
+      le(44100, 4) ++ le(44100L * 2 * 2, 4) ++ le(4, 2) ++ le(16, 2) ++
+      "data".getBytes("ASCII") ++ le(8, 4) ++ data
+    val df = Seq(
+      (1L, wav),
+      (2L, "nonsense bytes".getBytes("ASCII")), // not RIFF
+      (3L, wav.take(30)), // truncated mid-header
+      (4L, null.asInstanceOf[Array[Byte]])
+    ).toDF("id", "payload")
+    val got = Multimodal
+      .wavMeta(df, "payload")
+      .select(
+        $"id", $"wav.canonical", $"wav.channels", $"wav.sample_rate",
+        $"wav.bits_per_sample", $"wav.data_bytes", $"wav.duration_sec"
+      )
+      .collect()
+      .map(r => r.getLong(0) -> r)
+      .toMap
+    val ok = got(1L)
+    assert(ok.getBoolean(1))
+    assert(ok.getLong(2) == 2L && ok.getLong(3) == 44100L && ok.getLong(4) == 16L)
+    assert(ok.getLong(5) == 8L)
+    // 8 bytes / (44100 * 2 ch * 2 B) = 4.5351e-5 -> round6 = 0.000045
+    assert(ok.getDouble(6) == 0.000045)
+    Seq(2L, 3L, 4L).foreach { id =>
+      assert(!got(id).getBoolean(1), s"id=$id must not parse")
+      assert(got(id).isNullAt(2) && got(id).isNullAt(6))
+    }
+  }
 }
