@@ -1300,25 +1300,37 @@ object EngineQueries extends QueryPack {
       FROM deg d LEFT JOIN pn ON d.src = pn.node ORDER BY p_partkey""")
   )
 
-  // Common-neighbor / Jaccard link prediction on the co-purchase
-  // graph, top-100 candidate pairs by jaccard (TakeOrdered — the full
-  // pair table at this graph's ~115 median degree is millions of
-  // rows; the recommendation use case wants the head anyway). Centers
-  // above degree 120 are excluded — the documented Θ(deg²) wedge cap
+  // Common-neighbor / Jaccard link prediction, top-100 candidate
+  // pairs by jaccard (TakeOrdered). The synthetic co-purchase graph
+  // is abnormally DENSE (~115 median degree — every part in ~30
+  // orders), so the demo runs on a 10%-of-orders slice (median degree
+  // ~12, the realistic regime); the hub cap still bounds the wedge
+  // join, and its exclusion semantics are spec-pinned on GraphSpec's
+  // planted hub
   private val linkPredictionQ = Q(
-    fn = (s, dir) =>
+    fn = (s, dir) => {
+      val pairs = Tables
+        .lineitem(s, dir)
+        .where(pmod(col("l_orderkey"), lit(10)) === 0)
+        .select(col("l_orderkey"), col("l_partkey"))
+        .distinct()
+      val edges = pairs
+        .as("a")
+        .join(pairs.as("b"), "l_orderkey")
+        .where(col("a.l_partkey") =!= col("b.l_partkey"))
+        .select(col("a.l_partkey").as("src"), col("b.l_partkey").as("dst"))
+        .distinct()
       graft.operators.Graph
-        .commonNeighbors(
-          copurchaseEdges(s, dir),
-          "src",
-          "dst",
-          maxCenterDegree = 120,
-          minCommon = 2
-        )
+        .commonNeighbors(edges, "src", "dst", maxCenterDegree = 120, minCommon = 2)
         .orderBy(col("jaccard").desc, col("node_a"), col("node_b"))
-        .limit(100),
-    oracle = Some(s"""
-      WITH $copurchaseEdgesSql,
+        .limit(100)
+    },
+    oracle = Some("""
+      WITH pairs AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem
+        WHERE l_orderkey % 10 = 0),
+      edges AS (SELECT DISTINCT a.l_partkey AS src, b.l_partkey AS dst
+        FROM pairs a JOIN pairs b ON a.l_orderkey = b.l_orderkey
+          AND a.l_partkey <> b.l_partkey),
       deg AS (SELECT src, count(*) AS deg FROM edges GROUP BY 1),
       adj AS (SELECT e.src, e.dst FROM edges e
         JOIN deg d ON e.src = d.src AND d.deg <= 120),
