@@ -485,6 +485,66 @@ object Profiler {
       )
       .select(col("_gts").as("ts"), col("instance"), col("entropy"))
 
+  /** Missingness-pattern profile: pairwise null co-occurrence over
+    * the chosen columns — `(col_a, col_b, n, n_a_null, n_b_null,
+    * n_both_null, phi)` per unordered pair, where phi is the
+    * correlation of the two is-null indicators ((n·n11 − na·nb) /
+    * sqrt(na(n−na)·nb(n−nb)), NULL when either column is never or
+    * always null). Completeness says HOW MUCH is missing; this says
+    * whether columns go missing TOGETHER — phi ≈ 1 reveals a shared
+    * upstream failure (one broken join/source wiping a column group),
+    * phi ≈ 0 independent noise.
+    *
+    * Scale shape: ONE aggregation pass — |cols| null counts +
+    * |pairs| both-null counts, all map-side-combinable sums of 0/1
+    * ints, reduced to a single row then exploded to the pair table
+    * (same shape as [[correlationProfile]]). Counts are exact
+    * BIGINTs; the phi products run in double (n·n11 overflows BIGINT
+    * past ~3e9 rows), which is engine-deterministic for exact-integer
+    * inputs.
+    */
+  def nullCorrelationProfile(df: DataFrame, columns: Seq[String]): DataFrame = {
+    require(columns.size >= 2, s"null correlation needs >= 2 columns, got $columns")
+    val pairs = for {
+      (a, i) <- columns.zipWithIndex
+      b <- columns.drop(i + 1)
+    } yield (a, b)
+    def isNull(c: String): Column = when(col(c).isNull, 1L).otherwise(0L)
+    val nullCounts = columns.map(c => sum(isNull(c)).as(s"_n_$c"))
+    val bothCounts = pairs.zipWithIndex.map { case ((a, b), i) =>
+      sum(isNull(a) * isNull(b)).as(s"_b$i")
+    }
+    val aggs = (count(lit(1)).as("_n") +: nullCounts) ++ bothCounts
+    val wide = df.agg(aggs.head, aggs.tail: _*)
+    val entries = pairs.zipWithIndex.map { case ((a, b), i) =>
+      val n = col("_n").cast("double")
+      val na = col(s"_n_$a").cast("double")
+      val nb = col(s"_n_$b").cast("double")
+      val n11 = col(s"_b$i").cast("double")
+      val denom = sqrt(na * (n - na) * nb * (n - nb))
+      struct(
+        lit(a).as("col_a"),
+        lit(b).as("col_b"),
+        col(s"_n_$a").as("n_a_null"),
+        col(s"_n_$b").as("n_b_null"),
+        col(s"_b$i").as("n_both_null"),
+        when(denom > 0, graft.functions.round6((n * n11 - na * nb) / denom))
+          .as("phi")
+      )
+    }
+    wide
+      .select(col("_n"), explode(array(entries: _*)).as("e"))
+      .select(
+        col("e.col_a"),
+        col("e.col_b"),
+        col("_n").as("n"),
+        col("e.n_a_null"),
+        col("e.n_b_null"),
+        col("e.n_both_null"),
+        col("e.phi")
+      )
+  }
+
   /** Grouping-key skew profile — the pre-shuffle diagnostic for a
     * planned `groupBy`/`join` key: one row per candidate key column
     * with `(key_column, n_rows, n_keys, max_count, top1_share,

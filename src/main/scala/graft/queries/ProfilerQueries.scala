@@ -406,6 +406,54 @@ object ProfilerQueries extends QueryPack {
     )
   }
 
+  // Missingness-pattern profile. The synthetic events table has NO
+  // nulls, so the query PLANTS a correlated missingness structure
+  // in-plan from integer keys (a and b share the event_id%7 outage,
+  // c is independent): phi(a,b) >> phi(a,c) in the report, and the
+  // oracle re-derives the identical structure
+  private val nullCorrQ = {
+    val derive = Seq(
+      "a" -> "CASE WHEN event_id % 7 >= 2 THEN value END",
+      "b" -> "CASE WHEN event_id % 7 >= 1 AND user_id % 5 <> 0 THEN props END",
+      "c" -> "CASE WHEN event_id % 2 = 0 THEN user_id END"
+    )
+    val pairSql = Seq(("a", "b", "nab"), ("a", "c", "nac"), ("b", "c", "nbc"))
+      .map { case (x, y, both) =>
+        s"""SELECT '$x' AS col_a, '$y' AS col_b, n,
+           CAST(n$x AS BIGINT) AS n_a_null, CAST(n$y AS BIGINT) AS n_b_null,
+           CAST($both AS BIGINT) AS n_both_null,
+           round((CAST(n AS DOUBLE) * $both - CAST(n$x AS DOUBLE) * n$y) /
+             sqrt(CAST(n$x AS DOUBLE) * (n - n$x) * n$y * (n - n$y)), 6)
+             AS phi
+           FROM s"""
+      }
+      .mkString(" UNION ALL ")
+    Q(
+      fn = (s, d) => {
+        val e = Tables.events(s, d)
+        val derived = derive.foldLeft(e) { case (df, (name, sql)) =>
+          df.withColumn(name, expr(sql))
+        }
+        Profiler
+          .nullCorrelationProfile(derived, Seq("a", "b", "c"))
+          .orderBy("col_a", "col_b")
+      },
+      oracle = Some(s"""
+        WITH d AS (SELECT ${derive
+          .map { case (n, sql) => s"$sql AS $n" }
+          .mkString(", ")} FROM events),
+        s AS (SELECT count(*) AS n,
+          SUM(CASE WHEN a IS NULL THEN 1 ELSE 0 END) AS na,
+          SUM(CASE WHEN b IS NULL THEN 1 ELSE 0 END) AS nb,
+          SUM(CASE WHEN c IS NULL THEN 1 ELSE 0 END) AS nc,
+          SUM(CASE WHEN a IS NULL AND b IS NULL THEN 1 ELSE 0 END) AS nab,
+          SUM(CASE WHEN a IS NULL AND c IS NULL THEN 1 ELSE 0 END) AS nac,
+          SUM(CASE WHEN b IS NULL AND c IS NULL THEN 1 ELSE 0 END) AS nbc
+          FROM d)
+        SELECT * FROM ($pairSql) ORDER BY col_a, col_b""")
+    )
+  }
+
   private val correlation = Q(
     fn = (s, d) =>
       Profiler
@@ -807,6 +855,7 @@ object ProfilerQueries extends QueryPack {
     "profile_histogram_eqdepth" -> histogramEqDepth,
     "profile_fd_check" -> fdCheck,
     "profile_key_skew" -> keySkewQ,
+    "profile_null_correlation" -> nullCorrQ,
     "profile_correlation" -> correlation
   )
 }

@@ -340,6 +340,40 @@ class ProfilerSpec extends SparkSpec {
     assert(math.abs(r._8 - cv) < 1e-6)
   }
 
+  test("null correlation: perfectly coupled, independent, and degenerate pairs") {
+    // a,b null together on rows 1-2 (phi=1); c never null (phi NULL)
+    val df = Seq(
+      (Option.empty[Int], Option.empty[String], 1),
+      (Option.empty[Int], Option.empty[String], 2),
+      (Option(1), Option("x"), 3),
+      (Option(2), Option("y"), 4)
+    ).toDF("a", "b", "c")
+    val got = Profiler
+      .nullCorrelationProfile(df, Seq("a", "b", "c"))
+      .orderBy("col_a", "col_b")
+      .as[(String, String, Long, Long, Long, Long, Option[Double])]
+      .collect()
+    assert(got.map(r => (r._1, r._2)).toSeq == Seq(("a", "b"), ("a", "c"), ("b", "c")))
+    val ab = got(0)
+    assert(ab._3 == 4L && ab._4 == 2L && ab._5 == 2L && ab._6 == 2L)
+    assert(ab._7.contains(1.0), "co-missing columns have phi 1")
+    assert(got(1)._7.isEmpty, "never-null partner leaves phi undefined")
+  }
+
+  test("null correlation: anti-correlated missingness has phi -1") {
+    val df = Seq(
+      (Option.empty[Int], Option("x")),
+      (Option(1), Option.empty[String])
+    ).toDF("a", "b")
+    val got = Profiler
+      .nullCorrelationProfile(df, Seq("a", "b"))
+      .select("phi")
+      .as[Option[Double]]
+      .collect()
+      .head
+    assert(got.contains(-1.0))
+  }
+
   test("key skew profile: uniform key has cv 0 and full-coverage topk") {
     val df = (1 to 8).map(i => s"k${i % 4}").toDF("k")
     val r = Profiler
