@@ -144,4 +144,55 @@ object Trend {
         ): _*
       )
   }
+
+  /** Residual anomaly scoring on top of [[decompose]]: a robust
+    * modified z (Iglewicz-Hoaglin, exact median/MAD — the
+    * [[Scorer.robustZLast]] statistic) over the RESIDUAL component
+    * instead of the raw value, so a point is judged against "what's
+    * left after trend and seasonality" — a Monday spike on a
+    * weekly-seasonal series stops masking a genuine outlier, and a
+    * rising trend stops flagging every recent point.
+    *
+    * Edge rows where the centered trend window is incomplete have no
+    * residual and emit NULL score / false flag — explicitly
+    * undecidable, not silently dropped. MAD-zero series (constant
+    * residuals) likewise score NULL: no scale, no verdict.
+    *
+    * Same scale shape as the pieces it composes: the decompose
+    * windows plus two tiny per-series aggregations broadcast back.
+    */
+  def residualScore(
+      series: DataFrame,
+      seriesCols: Seq[String],
+      period: Int,
+      tsCol: String = "ts",
+      valueCol: String = "value",
+      zThreshold: Double = 3.5
+  ): DataFrame = {
+    require(zThreshold > 0, s"zThreshold must be positive, got $zThreshold")
+    val keys = seriesCols.map(col)
+    val dec = decompose(series, seriesCols, period, tsCol, valueCol)
+    val med = dec
+      .where(col("resid").isNotNull)
+      .groupBy(keys: _*)
+      .agg(percentile(col("resid"), lit(0.5)).as("_med"))
+    val mad = dec
+      .where(col("resid").isNotNull)
+      .join(broadcast(med), seriesCols)
+      .groupBy(keys: _*)
+      .agg(percentile(abs(col("resid") - col("_med")), lit(0.5)).as("_mad"))
+    val z = lit(0.6745) * (col("resid") - col("_med")) / col("_mad")
+    dec
+      .join(broadcast(med), seriesCols, "left")
+      .join(broadcast(mad), seriesCols, "left")
+      .withColumn(
+        "score",
+        when(col("resid").isNotNull && col("_mad") > 0, round6(z))
+      )
+      .withColumn(
+        "is_anomaly",
+        coalesce(abs(col("score")) > zThreshold, lit(false))
+      )
+      .drop("_med", "_mad")
+  }
 }

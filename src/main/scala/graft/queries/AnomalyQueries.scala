@@ -514,7 +514,54 @@ object AnomalyQueries extends QueryPack {
       ORDER BY t.event_type, t.ts""")
   )
 
+  // Robust modified-z over the decomposition RESIDUAL: the trend/
+  // seasonal structure stops masking (or faking) outliers
+  private val decomposeScoreQ = Q(
+    fn = (s, d) =>
+      graft.anomaly.Trend
+        .residualScore(series(s, d), seriesCols, period = 7)
+        .orderBy("event_type", "ts"),
+    oracle = Some(s"""$seriesCte,
+      i AS (SELECT event_type, ts, value,
+          (row_number() OVER (PARTITION BY event_type ORDER BY ts) - 1) % 7
+            AS phase
+        FROM s),
+      t AS (SELECT *, CASE WHEN COUNT(value) OVER w7 = 7
+              THEN round(AVG(value) OVER w7, 6) END AS trend
+            FROM i WINDOW w7 AS (PARTITION BY event_type ORDER BY ts
+              ROWS BETWEEN 3 PRECEDING AND 3 FOLLOWING)),
+      pm AS (SELECT event_type, phase,
+          CAST(SUM(CAST(value - trend AS DECIMAL(38,10))) AS DOUBLE)
+            / COUNT(*) AS pm
+        FROM t WHERE trend IS NOT NULL GROUP BY 1, 2),
+      g AS (SELECT event_type,
+          CAST(SUM(CAST(pm AS DECIMAL(38,10))) AS DOUBLE) / COUNT(*) AS grand
+        FROM pm GROUP BY 1),
+      d AS (SELECT t.event_type, t.ts, t.value, CAST(t.phase AS BIGINT) AS phase,
+          t.trend, round(pm.pm - g.grand, 6) AS seasonal,
+          CASE WHEN t.trend IS NOT NULL
+            THEN round(t.value - t.trend - round(pm.pm - g.grand, 6), 6)
+          END AS resid
+        FROM t
+        LEFT JOIN pm ON t.event_type = pm.event_type AND t.phase = pm.phase
+        LEFT JOIN g ON t.event_type = g.event_type),
+      md AS (SELECT event_type, quantile_cont(resid, 0.5) AS med
+        FROM d WHERE resid IS NOT NULL GROUP BY 1),
+      ma AS (SELECT d.event_type, quantile_cont(abs(d.resid - md.med), 0.5)
+          AS mad
+        FROM d JOIN md ON d.event_type = md.event_type
+        WHERE d.resid IS NOT NULL GROUP BY 1),
+      sc AS (SELECT d.*, CASE WHEN d.resid IS NOT NULL AND ma.mad > 0
+          THEN round(0.6745 * (d.resid - md.med) / ma.mad, 6) END AS score
+        FROM d
+        LEFT JOIN md ON d.event_type = md.event_type
+        LEFT JOIN ma ON d.event_type = ma.event_type)
+      SELECT *, COALESCE(abs(score) > 3.5, false) AS is_anomaly
+      FROM sc ORDER BY event_type, ts""")
+  )
+
   val queries: Map[String, Q] = Map(
+    "anomaly_decompose_score" -> decomposeScoreQ,
     "anomaly_cusum" -> cusumQ,
     "anomaly_trend_slope" -> theilSenQ,
     "anomaly_decompose" -> decomposeQ,

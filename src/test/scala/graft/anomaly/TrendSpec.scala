@@ -62,4 +62,51 @@ class TrendSpec extends SparkSpec {
     assert(out.length == 3)
     assert(out.forall(r => r._5.isEmpty && r._6.isEmpty && r._7.isEmpty))
   }
+
+  test("residual score flags a masked outlier a raw robust-z misses") {
+    // sawtooth (period 4) + linear trend + small co-prime noise; one
+    // point nudged off its seasonal slot — big in residual space,
+    // ordinary in raw space. Long series so the nudge can't
+    // contaminate its own phase mean into silence
+    val season = Seq(0.0, 10.0, 0.0, 10.0)
+    val clean =
+      (0 until 40).map(i => 100.0 + i + season(i % 4) + ((i * 7) % 5 - 2) * 0.5)
+    val dirty = clean.updated(20, clean(20) + 6.0)
+    // 40 days overflow mkSeries' January literals — build from LocalDate
+    val longSeries = dirty.zipWithIndex
+      .map { case (v, i) =>
+        val d = java.time.LocalDate.of(2025, 1, 1).plusDays(i.toLong)
+        ("m", java.sql.Timestamp.valueOf(d.atStartOfDay()), v)
+      }
+      .toDF("metric", "ts", "value")
+    val out = Trend
+      .residualScore(longSeries, Seq("metric"), period = 4)
+      .orderBy("ts")
+      .select("value", "resid", "score", "is_anomaly")
+      .as[(Double, Option[Double], Option[Double], Boolean)]
+      .collect()
+    // edges: no trend window -> no resid -> no verdict
+    assert(out.take(2).forall(r => r._2.isEmpty && r._3.isEmpty && !r._4))
+    val flagged = out.zipWithIndex.filter(_._1._4).map(_._2)
+    assert(flagged.toSeq == Seq(20), s"exactly the nudged slot flags, got ${flagged.toSeq}")
+    // the raw robust-z over the same series stays quiet at index 20:
+    // trend + seasonal swing dwarf a 6-unit nudge in raw space
+    val sorted = dirty.sorted
+    val med = (sorted(19) + sorted(20)) / 2
+    val devs = dirty.map(v => math.abs(v - med)).sorted
+    val rawMad = (devs(19) + devs(20)) / 2
+    assert(math.abs(0.6745 * (dirty(20) - med) / rawMad) < 3.5)
+  }
+
+  test("residual score: constant residuals give NULL score, not a verdict") {
+    // pure seasonal + flat level -> residuals all ~0 -> mad 0
+    val season = Seq(0.0, 5.0)
+    val vals = (0 until 12).map(i => 50.0 + season(i % 2))
+    val out = Trend
+      .residualScore(mkSeries(vals), Seq("metric"), period = 2)
+      .select("score", "is_anomaly")
+      .as[(Option[Double], Boolean)]
+      .collect()
+    assert(out.forall(r => r._1.isEmpty && !r._2))
+  }
 }
