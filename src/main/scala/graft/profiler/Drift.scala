@@ -267,4 +267,51 @@ object Drift {
       .join(observed, keyCols :+ "_day", "left_anti")
       .select(keyCols.map(col) :+ col("_day").as("missing_day"): _*)
   }
+
+  /** Key-novelty profile: per day, how many distinct key values were
+    * seen, how many appeared for the FIRST time, their share, and the
+    * running distinct total — `(day, n_values, n_new, new_share,
+    * cum_distinct)`. The freshness signal every ingest needs: a crawl
+    * re-serving yesterday's pages shows a novelty collapse days
+    * before corpus size moves; a dedup regression shows as novelty
+    * stuck at 1.0.
+    *
+    * Scale shape: ONE distinct over (day, key) — the only raw-data
+    * exchange — then two map-side-combinable aggregations at pair
+    * grain (per-day counts; first-day counts via groupBy(key).min),
+    * joined at |days| grain where a window computes the running total
+    * (cum_distinct = running sum of n_new, since each key counts
+    * exactly once, at its first day). Nothing rescans raw data, no
+    * distinct-union across days.
+    */
+  def noveltyProfile(
+      df: DataFrame,
+      tsCol: String,
+      keyCol: String
+  ): DataFrame = {
+    val day = date_trunc("day", col(tsCol))
+    val pairs = df
+      .where(col(keyCol).isNotNull)
+      .select(day.as("day"), col(keyCol).as("_key"))
+      .distinct()
+    val perDay = pairs.groupBy("day").agg(count(lit(1)).as("n_values"))
+    val firstSeen = pairs
+      .groupBy("_key")
+      .agg(min(col("day")).as("day"))
+      .groupBy("day")
+      .agg(count(lit(1)).as("n_new"))
+    val w = Window
+      .orderBy(col("day"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    perDay
+      .join(firstSeen, Seq("day"), "left")
+      .withColumn("n_new", coalesce(col("n_new"), lit(0L)))
+      .withColumn(
+        "new_share",
+        graft.functions.round6(col("n_new") / col("n_values"))
+      )
+      // |days|-grain window: the single-partition sort is over the
+      // day table, never the raw data
+      .withColumn("cum_distinct", sum(col("n_new")).over(w))
+  }
 }

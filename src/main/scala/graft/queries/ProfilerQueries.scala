@@ -406,6 +406,29 @@ object ProfilerQueries extends QueryPack {
     )
   }
 
+  // Daily user-novelty: distinct users, first-seen users, their
+  // share, and the running distinct total — the crawl-freshness /
+  // dedup-regression signal at ingest grain
+  private val noveltyQ = Q(
+    fn = (s, d) =>
+      graft.profiler.Drift
+        .noveltyProfile(Tables.events(s, d), "ts", "user_id")
+        .orderBy("day"),
+    oracle = Some(s"""
+      WITH p AS (SELECT DISTINCT CAST(date_trunc('day', ts) AS TIMESTAMP)
+          AS day, user_id
+        FROM events WHERE user_id IS NOT NULL),
+      pd AS (SELECT day, count(*) AS n_values FROM p GROUP BY 1),
+      fs AS (SELECT day, count(*) AS n_new FROM
+        (SELECT user_id, min(day) AS day FROM p GROUP BY 1) GROUP BY 1)
+      SELECT pd.day, pd.n_values, COALESCE(fs.n_new, 0) AS n_new,
+        round(COALESCE(fs.n_new, 0) / pd.n_values, 6) AS new_share,
+        CAST(SUM(COALESCE(fs.n_new, 0)) OVER (ORDER BY pd.day
+          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+          AS cum_distinct
+      FROM pd LEFT JOIN fs ON pd.day = fs.day ORDER BY pd.day""")
+  )
+
   // Missingness-pattern profile. The synthetic events table has NO
   // nulls, so the query PLANTS a correlated missingness structure
   // in-plan from integer keys (a and b share the event_id%7 outage,
@@ -856,6 +879,7 @@ object ProfilerQueries extends QueryPack {
     "profile_fd_check" -> fdCheck,
     "profile_key_skew" -> keySkewQ,
     "profile_null_correlation" -> nullCorrQ,
+    "profile_novelty" -> noveltyQ,
     "profile_correlation" -> correlation
   )
 }

@@ -101,4 +101,29 @@ class DriftSpec extends SparkSpec {
       )
     )
   }
+
+  test("novelty profile: first-seen counts, shares, and running distinct total") {
+    // day1 {a,b} day2 {b,c} day3 {a} day4 {d,e,f}; a repeated within
+    // day1 (distinct grain) and a null key (dropped)
+    val df = Seq(
+      (ts(1), Some("a")), (ts(1, 5), Some("a")), (ts(1), Some("b")),
+      (ts(2), Some("b")), (ts(2), Some("c")),
+      (ts(3), Some("a")),
+      (ts(4), Some("d")), (ts(4), Some("e")), (ts(4), Some("f")),
+      (ts(4), Option.empty[String])
+    ).toDF("ts", "k")
+    val got = Drift
+      .noveltyProfile(df, "ts", "k")
+      .orderBy("day")
+      .select("n_values", "n_new", "new_share", "cum_distinct")
+      .as[(Long, Long, Double, Long)]
+      .collect()
+      .toSeq
+    assert(got == Seq(
+      (2L, 2L, 1.0, 2L),
+      (2L, 1L, 0.5, 3L),
+      (1L, 0L, 0.0, 3L),
+      (3L, 3L, 1.0, 6L)
+    ))
+  }
 }
