@@ -434,4 +434,48 @@ object EventAnalytics {
       )
       .orderBy(idCol)
   }
+
+  /** Sweep-line concurrency over an interval table (sessions, jobs,
+    * connections): per time bucket — `(t, starts, ends, net_change,
+    * concurrent)` where `concurrent` counts intervals ACTIVE AT THE
+    * BUCKET'S END (an interval starting and ending inside one bucket
+    * nets to zero there). Only buckets where something starts or ends
+    * are emitted; concurrency is constant between them.
+    *
+    * The naive formulation is an interval self-join ("for each
+    * instant, count overlapping sessions") — O(n²) on busy systems.
+    * The sweep-line is two scan-side projections (+1 at the start
+    * bucket, −1 at the end bucket), ONE map-side-combinable
+    * groupBy(bucket), and a running sum over the bucket-grain table —
+    * the same window-AFTER-aggregation shape as the rolling-revenue
+    * query: the ordered window scans \|buckets with activity\| rows
+    * (calendar-bounded at any corpus size), never the interval table.
+    *
+    * `grain` is any `date_trunc` unit; pick it so the bucket count
+    * stays calendar-bounded ("minute" ≈ 526k/year).
+    */
+  def concurrencyProfile(
+      intervals: DataFrame,
+      startCol: String,
+      endCol: String,
+      grain: String = "minute"
+  ): DataFrame = {
+    val deltas = intervals
+      .select(date_trunc(grain, col(startCol)).as("t"), lit(1L).as("_d"))
+      .unionAll(
+        intervals
+          .select(date_trunc(grain, col(endCol)).as("t"), lit(-1L).as("_d"))
+      )
+    val w = Window
+      .orderBy(col("t"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    deltas
+      .groupBy("t")
+      .agg(
+        sum(when(col("_d") > 0, 1L).otherwise(0L)).as("starts"),
+        sum(when(col("_d") < 0, 1L).otherwise(0L)).as("ends"),
+        sum(col("_d")).as("net_change")
+      )
+      .withColumn("concurrent", sum(col("net_change")).over(w))
+  }
 }

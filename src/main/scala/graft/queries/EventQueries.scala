@@ -13,6 +13,66 @@ object EventQueries extends QueryPack {
 
   private val funnelStepList = Seq("view", "click", "purchase")
 
+  // Sweep-line concurrent sessions at minute grain: sessions derived
+  // with the standard 1800s gap rule, then two +/-1 projections, one
+  // bucket groupBy, and a calendar-bounded running sum — never an
+  // interval self-join
+  private val concurrencyQ = Q(
+    fn = (s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      import org.apache.spark.sql.functions._
+      val byUser = Window.partitionBy(col("user_id")).orderBy(col("ts"))
+      val sessions = Tables
+        .events(s, d)
+        .withColumn("_prev", lag(col("ts"), 1).over(byUser))
+        .withColumn(
+          "_new",
+          when(
+            col("_prev").isNull ||
+              col("ts").cast("timestamp").cast("long") -
+              col("_prev").cast("timestamp").cast("long") > 1800,
+            1L
+          ).otherwise(0L)
+        )
+        .withColumn("_sid", sum(col("_new")).over(byUser))
+        .groupBy(col("user_id"), col("_sid"))
+        .agg(min(col("ts")).as("s_start"), max(col("ts")).as("s_end"))
+      EventAnalytics
+        .concurrencyProfile(sessions, "s_start", "s_end", grain = "minute")
+        .orderBy("t")
+    },
+    oracle = Some("""
+      WITH marked AS (
+        SELECT user_id, ts,
+          CASE WHEN lag(ts) OVER w IS NULL
+                 OR CAST(floor(epoch(ts)) AS BIGINT)
+                    - CAST(floor(epoch(lag(ts) OVER w)) AS BIGINT) > 1800
+               THEN 1 ELSE 0 END AS new_session
+        FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts)),
+      sess AS (
+        SELECT user_id, ts,
+          SUM(new_session) OVER (PARTITION BY user_id ORDER BY ts
+            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid
+        FROM marked),
+      iv AS (SELECT user_id, sid, min(ts) AS s_start, max(ts) AS s_end
+             FROM sess GROUP BY 1, 2),
+      deltas AS (
+        SELECT CAST(date_trunc('minute', s_start) AS TIMESTAMP) AS t,
+          1 AS d FROM iv
+        UNION ALL
+        SELECT CAST(date_trunc('minute', s_end) AS TIMESTAMP), -1 FROM iv),
+      b AS (SELECT t,
+          CAST(SUM(CASE WHEN d > 0 THEN 1 ELSE 0 END) AS BIGINT) AS starts,
+          CAST(SUM(CASE WHEN d < 0 THEN 1 ELSE 0 END) AS BIGINT) AS ends,
+          CAST(SUM(d) AS BIGINT) AS net_change
+        FROM deltas GROUP BY 1)
+      SELECT t, starts, ends, net_change,
+        CAST(SUM(net_change) OVER (ORDER BY t
+          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+          AS concurrent
+      FROM b ORDER BY t""")
+  )
+
   // Chained-min semantics: t1 = min ts of step1; t_i = min ts of step_i
   // strictly after t_{i-1}. The UNION spine keeps all steps present
   // (zero-filled) exactly like the Spark side's literal spine.
@@ -212,6 +272,7 @@ object EventQueries extends QueryPack {
   )
 
   val queries: Map[String, Q] = Map(
+    "q_concurrency" -> concurrencyQ,
     "q_funnel_latency" -> latencyQ,
     "q_event_transitions" -> transitionsQ,
     "q_funnel_steps" -> funnelQ,

@@ -176,4 +176,27 @@ class EventAnalyticsSpec extends SparkSpec {
     assert(got._3 == 1L && got._4 == 0L)
     assert(got._5.isEmpty && got._8.isEmpty, "no converters -> null stats")
   }
+
+  test("concurrency: sweep-line counts active-at-bucket-end intervals") {
+    // A spans 10:00-10:05, B starts AND ends inside 10:02 (nets 0),
+    // C starts the minute A ends (handover keeps concurrency flat)
+    val iv = Seq(
+      ("A", t("2025-01-01 10:00:30"), t("2025-01-01 10:05:10")),
+      ("B", t("2025-01-01 10:02:00"), t("2025-01-01 10:02:40")),
+      ("C", t("2025-01-01 10:05:00"), t("2025-01-01 10:07:00"))
+    ).toDF("id", "s", "e")
+    val got = EventAnalytics
+      .concurrencyProfile(iv, "s", "e", grain = "minute")
+      .orderBy("t")
+      .as[(java.sql.Timestamp, Long, Long, Long, Long)]
+      .collect()
+      .map(r => (r._1.toString, r._2, r._3, r._4, r._5))
+      .toSeq
+    assert(got == Seq(
+      ("2025-01-01 10:00:00.0", 1L, 0L, 1L, 1L),
+      ("2025-01-01 10:02:00.0", 1L, 1L, 0L, 1L),
+      ("2025-01-01 10:05:00.0", 1L, 1L, 0L, 1L),
+      ("2025-01-01 10:07:00.0", 0L, 1L, -1L, 0L)
+    ))
+  }
 }
