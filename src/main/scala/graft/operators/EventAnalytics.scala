@@ -435,6 +435,91 @@ object EventAnalytics {
       .orderBy(idCol)
   }
 
+  /** RFM (recency / frequency / monetary) user segmentation — the
+    * classic lifecycle-marketing cut, shaped for scale: each metric
+    * is scored 1..4 against the EXACT quartile thresholds of the user
+    * population, computed as one tiny percentile aggregation and
+    * broadcast back — NOT an `ntile` window, whose global sort over
+    * every user is exactly the single-partition bottleneck this
+    * library refuses elsewhere. (Consequence: tied boundary values
+    * all land on the same side — quartile populations need not be
+    * exactly equal. That is the right trade: deterministic scores,
+    * no sort.)
+    *
+    * Scoring convention: 4 is best. Recency scores high when the
+    * user's last activity is RECENT (days <= q25 → 4); frequency and
+    * monetary score high above their upper quartiles (> q75 → 4).
+    * Monetary sums run through DECIMAL and are rounded to 6 dp
+    * BEFORE thresholding, so boundary comparisons are
+    * engine-deterministic.
+    *
+    * `(user, recency_days, frequency, monetary, r_score, f_score,
+    * m_score, segment)` — one groupBy(user) over raw events + two
+    * 1-row broadcasts (reference time, thresholds).
+    */
+  def rfmSegments(
+      events: DataFrame,
+      userCol: String,
+      tsCol: String,
+      valueCol: String
+  ): DataFrame = {
+    val dec = org.apache.spark.sql.types.DecimalType(38, 10)
+    val users = events
+      .groupBy(col(userCol).as("user"))
+      .agg(
+        max(col(tsCol)).as("_last"),
+        count(lit(1)).as("frequency"),
+        graft.functions
+          .round6(sum(col(valueCol).cast(dec)).cast("double"))
+          .as("monetary")
+      )
+    val ref = events.agg(max(col(tsCol)).as("_ref"))
+    val base = users
+      .crossJoin(broadcast(ref))
+      .withColumn(
+        "recency_days",
+        datediff(date_trunc("day", col("_ref")), date_trunc("day", col("_last")))
+          .cast("long")
+      )
+    val th = base.agg(
+      percentile(col("recency_days"), lit(0.25)).as("r1"),
+      percentile(col("recency_days"), lit(0.5)).as("r2"),
+      percentile(col("recency_days"), lit(0.75)).as("r3"),
+      percentile(col("frequency"), lit(0.25)).as("f1"),
+      percentile(col("frequency"), lit(0.5)).as("f2"),
+      percentile(col("frequency"), lit(0.75)).as("f3"),
+      percentile(col("monetary"), lit(0.25)).as("m1"),
+      percentile(col("monetary"), lit(0.5)).as("m2"),
+      percentile(col("monetary"), lit(0.75)).as("m3")
+    )
+    def lowIsGood(v: Column, t1: Column, t2: Column, t3: Column): Column =
+      when(v <= t1, 4).when(v <= t2, 3).when(v <= t3, 2).otherwise(1)
+    def highIsGood(v: Column, t1: Column, t2: Column, t3: Column): Column =
+      when(v > t3, 4).when(v > t2, 3).when(v > t1, 2).otherwise(1)
+    base
+      .crossJoin(broadcast(th))
+      .withColumn(
+        "r_score",
+        lowIsGood(col("recency_days"), col("r1"), col("r2"), col("r3"))
+      )
+      .withColumn(
+        "f_score",
+        highIsGood(col("frequency"), col("f1"), col("f2"), col("f3"))
+      )
+      .withColumn(
+        "m_score",
+        highIsGood(col("monetary"), col("m1"), col("m2"), col("m3"))
+      )
+      .withColumn(
+        "segment",
+        concat(col("r_score"), col("f_score"), col("m_score"))
+      )
+      .select(
+        "user", "recency_days", "frequency", "monetary",
+        "r_score", "f_score", "m_score", "segment"
+      )
+  }
+
   /** Sweep-line concurrency over an interval table (sessions, jobs,
     * connections): per time bucket — `(t, starts, ends, net_change,
     * concurrent)` where `concurrent` counts intervals ACTIVE AT THE

@@ -485,6 +485,60 @@ object Profiler {
       )
       .select(col("_gts").as("ts"), col("instance"), col("entropy"))
 
+  /** Benford first-significant-digit conformance per ts partition —
+    * the classic fabricated-data / unit-mix-up tripwire for numeric
+    * columns that span orders of magnitude (amounts, populations,
+    * counts): `(ts, digit, n, p_obs, p_exp, chi2)` with 9 rows per
+    * day (zero-count digits filled in — they still contribute their
+    * expected mass to the statistic) and the day's Pearson χ² on
+    * every row.
+    *
+    * The first significant digit is taken from the value's string
+    * form (`[1-9]` first match) — identical for plain and scientific
+    * notation, so the extraction is engine-portable by construction;
+    * zero/NaN/Inf values carry no leading digit and are excluded.
+    * Expected masses log10(1+1/d) are embedded as plan literals (the
+    * oracle interpolates the same constants — no cross-engine log in
+    * the hot path).
+    *
+    * Scale shape: one scan + one map-side-combinable (day, digit)
+    * count; the spine fill and χ² run at |days|×9 grain.
+    */
+  def benfordProfile(
+      df: DataFrame,
+      tsColumn: String,
+      column: String,
+      granularity: String = Granularity.Day
+  ): DataFrame = {
+    val pExp = (1 to 9).map(d => d -> math.log10(1.0 + 1.0 / d)).toMap
+    val digit = regexp_extract(col(column).cast("string"), "[1-9]", 0)
+    val counts = truncated(df, tsColumn, granularity)
+      .where(col(column).isNotNull && digit =!= "")
+      .groupBy(col("_gts").as("ts"), digit.cast("int").as("digit"))
+      .agg(count(lit(1)).as("n"))
+    val spine = counts
+      .select("ts")
+      .distinct()
+      .select(col("ts"), explode(lit((1 to 9).toArray)).as("digit"))
+    val pExpCol = (1 to 9).foldLeft(lit(0.0)) { case (acc, d) =>
+      when(col("digit") === d, lit(pExp(d))).otherwise(acc)
+    }
+    val wDay = org.apache.spark.sql.expressions.Window.partitionBy(col("ts"))
+    spine
+      .join(counts, Seq("ts", "digit"), "left")
+      .withColumn("n", coalesce(col("n"), lit(0L)))
+      .withColumn("_total", sum(col("n")).over(wDay))
+      .withColumn("p_exp", graft.functions.round6(pExpCol))
+      .withColumn("p_obs", graft.functions.round6(col("n") / col("_total")))
+      .withColumn(
+        "_contrib",
+        (col("n") - col("_total") * pExpCol) *
+          (col("n") - col("_total") * pExpCol) / (col("_total") * pExpCol)
+      )
+      .withColumn("chi2", graft.functions.round6(sum(col("_contrib")).over(wDay)))
+      .select("ts", "digit", "n", "p_obs", "p_exp", "chi2")
+  }
+
   /** Missingness-pattern profile: pairwise null co-occurrence over
     * the chosen columns — `(col_a, col_b, n, n_a_null, n_b_null,
     * n_both_null, phi)` per unordered pair, where phi is the

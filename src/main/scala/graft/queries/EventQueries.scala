@@ -13,6 +13,54 @@ object EventQueries extends QueryPack {
 
   private val funnelStepList = Seq("view", "click", "purchase")
 
+  // RFM segmentation: exact-quartile broadcast thresholds, no ntile
+  // (a global user sort); 4 = best on every axis
+  private val rfmQ = Q(
+    fn = (s, d) =>
+      EventAnalytics
+        .rfmSegments(Tables.events(s, d), "user_id", "ts", "value")
+        .withColumnRenamed("user", "user_id")
+        .orderBy("user_id"),
+    oracle = Some("""
+      WITH u AS (SELECT user_id, max(ts) AS last_ts, count(*) AS frequency,
+          round(CAST(SUM(CAST(value AS DECIMAL(38,10))) AS DOUBLE), 6)
+            AS monetary
+        FROM events GROUP BY 1),
+      r AS (SELECT max(ts) AS ref FROM events),
+      b AS (SELECT u.*, CAST(date_diff('day',
+            CAST(date_trunc('day', u.last_ts) AS TIMESTAMP),
+            CAST(date_trunc('day', r.ref) AS TIMESTAMP)) AS BIGINT)
+          AS recency_days
+        FROM u, r),
+      t AS (SELECT
+          quantile_cont(recency_days, 0.25) AS r1,
+          quantile_cont(recency_days, 0.5) AS r2,
+          quantile_cont(recency_days, 0.75) AS r3,
+          quantile_cont(frequency, 0.25) AS f1,
+          quantile_cont(frequency, 0.5) AS f2,
+          quantile_cont(frequency, 0.75) AS f3,
+          quantile_cont(monetary, 0.25) AS m1,
+          quantile_cont(monetary, 0.5) AS m2,
+          quantile_cont(monetary, 0.75) AS m3
+        FROM b),
+      s AS (SELECT b.user_id, b.recency_days, b.frequency, b.monetary,
+          CASE WHEN b.recency_days <= t.r1 THEN 4
+               WHEN b.recency_days <= t.r2 THEN 3
+               WHEN b.recency_days <= t.r3 THEN 2 ELSE 1 END AS r_score,
+          CASE WHEN b.frequency > t.f3 THEN 4
+               WHEN b.frequency > t.f2 THEN 3
+               WHEN b.frequency > t.f1 THEN 2 ELSE 1 END AS f_score,
+          CASE WHEN b.monetary > t.m3 THEN 4
+               WHEN b.monetary > t.m2 THEN 3
+               WHEN b.monetary > t.m1 THEN 2 ELSE 1 END AS m_score
+        FROM b, t)
+      SELECT user_id, recency_days, frequency, monetary,
+        r_score, f_score, m_score,
+        CAST(r_score AS VARCHAR) || CAST(f_score AS VARCHAR)
+          || CAST(m_score AS VARCHAR) AS segment
+      FROM s ORDER BY user_id""")
+  )
+
   // Sweep-line concurrent sessions at minute grain: sessions derived
   // with the standard 1800s gap rule, then two +/-1 projections, one
   // bucket groupBy, and a calendar-bounded running sum — never an
@@ -273,6 +321,7 @@ object EventQueries extends QueryPack {
 
   val queries: Map[String, Q] = Map(
     "q_concurrency" -> concurrencyQ,
+    "q_rfm_segments" -> rfmQ,
     "q_funnel_latency" -> latencyQ,
     "q_event_transitions" -> transitionsQ,
     "q_funnel_steps" -> funnelQ,

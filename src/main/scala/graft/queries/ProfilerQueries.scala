@@ -406,6 +406,43 @@ object ProfilerQueries extends QueryPack {
     )
   }
 
+  // Benford first-digit conformance of the value column per day; the
+  // expected masses are interpolated into BOTH plans as literals so
+  // no cross-engine log sits in the comparison
+  private val benfordQ = {
+    val pExp = (1 to 9).map(d => d -> math.log10(1.0 + 1.0 / d)).toMap
+    val caseExp = (1 to 9)
+      .map(d => s"WHEN $d THEN ${pExp(d)}")
+      .mkString("CASE digit ", " ", " END")
+    Q(
+      fn = (s, d) =>
+        Profiler
+          .benfordProfile(Tables.events(s, d), "ts", "value")
+          .orderBy("ts", "digit"),
+      oracle = Some(s"""
+        WITH e AS (SELECT CAST(date_trunc('day', ts) AS TIMESTAMP) AS ts,
+            regexp_extract(CAST(value AS VARCHAR), '[1-9]') AS dg
+          FROM events WHERE value IS NOT NULL),
+        c AS (SELECT ts, CAST(dg AS INT) AS digit, count(*) AS n
+          FROM e WHERE dg <> '' GROUP BY 1, 2),
+        spine AS (SELECT ts, unnest(range(1, 10)) AS digit
+          FROM (SELECT DISTINCT ts FROM c)),
+        f AS (SELECT spine.ts, CAST(spine.digit AS INT) AS digit,
+            CAST(COALESCE(c.n, 0) AS BIGINT) AS n
+          FROM spine LEFT JOIN c
+            ON spine.ts = c.ts AND spine.digit = c.digit),
+        t AS (SELECT *, CAST(SUM(n) OVER (PARTITION BY ts) AS BIGINT)
+            AS total FROM f),
+        x AS (SELECT *, CAST($caseExp AS DOUBLE) AS pexp FROM t)
+        SELECT ts, digit, n,
+          round(n / total, 6) AS p_obs,
+          round(pexp, 6) AS p_exp,
+          round(SUM((n - total * pexp) * (n - total * pexp)
+            / (total * pexp)) OVER (PARTITION BY ts), 6) AS chi2
+        FROM x ORDER BY ts, digit""")
+    )
+  }
+
   // Daily user-novelty: distinct users, first-seen users, their
   // share, and the running distinct total — the crawl-freshness /
   // dedup-regression signal at ingest grain
@@ -880,6 +917,7 @@ object ProfilerQueries extends QueryPack {
     "profile_key_skew" -> keySkewQ,
     "profile_null_correlation" -> nullCorrQ,
     "profile_novelty" -> noveltyQ,
+    "profile_benford" -> benfordQ,
     "profile_correlation" -> correlation
   )
 }

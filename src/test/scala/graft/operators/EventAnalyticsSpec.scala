@@ -177,6 +177,28 @@ class EventAnalyticsSpec extends SparkSpec {
     assert(got._5.isEmpty && got._8.isEmpty, "no converters -> null stats")
   }
 
+  test("rfm: quartile-threshold scores produce the diagonal segments") {
+    // A: 4 events newest day, total 40 -> 444; D: 1 old cheap event -> 111
+    def ev(u: Long, day: Int, n: Int, v: Double) =
+      (1 to n).map(i => (u, t(f"2025-01-$day%02d 0$i:00:00"), v))
+    val events = (ev(1L, 10, 4, 10.0) ++ ev(2L, 9, 3, 5.0) ++
+      ev(3L, 8, 2, 2.0) ++ ev(4L, 7, 1, 1.0))
+      .toDF("user_id", "ts", "value")
+    val got = EventAnalytics
+      .rfmSegments(events, "user_id", "ts", "value")
+      .orderBy("user")
+      .as[(Long, Long, Long, Double, Int, Int, Int, String)]
+      .collect()
+      .map(r => (r._1, r._2, r._3, r._4, r._8))
+      .toSeq
+    assert(got == Seq(
+      (1L, 0L, 4L, 40.0, "444"),
+      (2L, 1L, 3L, 15.0, "333"),
+      (3L, 2L, 2L, 4.0, "222"),
+      (4L, 3L, 1L, 1.0, "111")
+    ))
+  }
+
   test("concurrency: sweep-line counts active-at-bucket-end intervals") {
     // A spans 10:00-10:05, B starts AND ends inside 10:02 (nets 0),
     // C starts the minute A ends (handover keeps concurrency flat)

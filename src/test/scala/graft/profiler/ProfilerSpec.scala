@@ -340,6 +340,34 @@ class ProfilerSpec extends SparkSpec {
     assert(math.abs(r._8 - cv) < 1e-6)
   }
 
+  test("benford profile: digit extraction, zero-fill, and hand-computed chi2") {
+    val df = Seq(
+      Some(1.5), Some(19.0), Some(0.002), Some(300.0), Some(-45.0),
+      Some(0.0), // no leading digit -> excluded
+      Option.empty[Double]
+    ).map(v => ("2025-01-01 10:00:00", v))
+      .toDF("ts_raw", "v")
+      .select(to_timestamp($"ts_raw").as("ts"), $"v")
+    val got = Profiler
+      .benfordProfile(df, "ts", "v")
+      .orderBy("digit")
+      .as[(java.sql.Timestamp, Int, Long, Double, Double, Double)]
+      .collect()
+    assert(got.length == 9, "all nine digits present even when unobserved")
+    val byDigit = got.map(r => r._2 -> r._3).toMap
+    assert(byDigit == Map(1 -> 2L, 2 -> 1L, 3 -> 1L, 4 -> 1L,
+      5 -> 0L, 6 -> 0L, 7 -> 0L, 8 -> 0L, 9 -> 0L))
+    assert(got.find(_._2 == 1).get._4 == 0.4)
+    // chi2 = sum over digits of (n - 5*p)^2 / (5*p)
+    val exp = (1 to 9).map(d => d -> math.log10(1.0 + 1.0 / d)).toMap
+    val chi2 = (1 to 9).map { d =>
+      val e = 5 * exp(d); val o = byDigit(d).toDouble
+      (o - e) * (o - e) / e
+    }.sum
+    assert(math.abs(got.head._6 - chi2) < 1e-5)
+    assert(got.map(_._6).distinct.length == 1, "chi2 repeated on every digit row")
+  }
+
   test("null correlation: perfectly coupled, independent, and degenerate pairs") {
     // a,b null together on rows 1-2 (phi=1); c never null (phi NULL)
     val df = Seq(
