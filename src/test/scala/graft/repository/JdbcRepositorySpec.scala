@@ -1,0 +1,86 @@
+package graft.repository
+
+import graft.SparkSpec
+import graft.core.{DatasetMeta, Metric}
+import org.apache.spark.sql.functions._
+
+class JdbcRepositorySpec extends SparkSpec {
+  import spark.implicits._
+
+  private var dbSeq = 0
+  private def newRepo(): JdbcMetricsRepository = {
+    dbSeq += 1
+    // embedded in-memory Derby — ships with Spark, no external service
+    new JdbcMetricsRepository(spark, s"jdbc:derby:memory:graft_test_$dbSeq;create=true")
+  }
+
+  private val t1 = java.sql.Timestamp.valueOf("2025-01-01 00:00:00")
+  private val t2 = java.sql.Timestamp.valueOf("2025-01-02 00:00:00")
+
+  test("dataset metadata round-trips, including nested metrics, last write wins") {
+    val repo = newRepo()
+    val m = Seq(Metric("Column", "a", "Mean"), Metric("Dataset", "*", "Size"))
+    repo.registerDataset(DatasetMeta("u1", "ts", Seq("a"), "DAY", Seq.empty))
+    repo.registerDataset(DatasetMeta("u1", "ts", Seq("a", "b"), "DAY", m))
+    repo.registerDataset(DatasetMeta("u2", "ts", Seq.empty, "HOUR", Seq.empty))
+    val got = repo.getDataset("u1").get
+    assert(got.columns == Seq("a", "b") && got.metrics == m)
+    assert(repo.getDataset("u2").get.columns.isEmpty)
+    assert(repo.listDatasets().map(_.uri) == Seq("u1", "u2"))
+    assert(repo.getDataset("ghost").isEmpty)
+  }
+
+  test("profiling upsert replaces matching keys inside the database") {
+    val repo = newRepo()
+    val rows1 = Seq(
+      (t1, "Column", "a", "Mean", Some(1.0)),
+      (t1, "Column", "b", "Mean", Option.empty[Double])
+    ).toDF("ts", "entity", "instance", "name", "value")
+    val rows2 = Seq((t1, "Column", "a", "Mean", Some(2.0)))
+      .toDF("ts", "entity", "instance", "name", "value")
+    repo.addProfiling("u1", rows1)
+    repo.addProfiling("u1", rows2)
+    val got = repo.getProfiling("u1").orderBy("instance").collect()
+    assert(got.length == 2)
+    assert(got(0).getAs[Double]("value") == 2.0, "key match replaced")
+    assert(got(1).isNullAt(got(1).fieldIndex("value")), "null metric survives")
+    // isolation between datasets
+    repo.addProfiling("u2", rows1)
+    assert(repo.getProfiling("u1").count() == 2)
+    // ts bounds push into the database read
+    assert(repo.getProfiling("u1", start = Some(t2)).count() == 0)
+    assert(repo.getProfiling("u1", end = Some(t2)).count() == 2)
+  }
+
+  test("optimization and scoring round-trip through the same staged upsert") {
+    val repo = newRepo()
+    val opt = Seq(("Column", "a", "Mean", "ewma", 0.2, 0.05, false))
+      .toDF("entity", "instance", "name", "best_model", "threshold",
+        "mean_error", "optimization_failed")
+    repo.addOptimization("u1", opt)
+    repo.addOptimization("u1", opt.withColumn("threshold", lit(0.3)))
+    val o = repo.getOptimization("u1").collect()
+    assert(o.length == 1 && o.head.getAs[Double]("threshold") == 0.3)
+
+    val sc = Seq((t1, "Column", "a", "Mean", 1.0, 0.9, 0.11))
+      .toDF("ts", "entity", "instance", "name", "value", "predicted", "score")
+    repo.addScoring("u1", sc)
+    val s = repo.getScoring("u1").collect()
+    assert(s.length == 1 && s.head.getAs[Double]("score") == 0.11)
+    assert(repo.getScoring("u1", start = Some(t2)).count() == 0)
+  }
+
+  test("the service pipelines run unchanged against the JDBC repository") {
+    val repo = newRepo()
+    // 10 days of a stable metric — profileCreate then optimize then
+    // score, all through the trait; the swap is config, not code
+    val rows = (1 to 10).map { d =>
+      (java.sql.Timestamp.valueOf(f"2025-02-$d%02d 10:00:00"), 100.0 + (d % 2))
+    }
+    val df = rows.toDF("ts", "value")
+    graft.service.Service.profileCreate(df, "ds://jdbc", "ts", repo)
+    assert(repo.getProfiling("ds://jdbc").count() > 0)
+    graft.service.Service.optimize("ds://jdbc", repo)
+    assert(repo.getOptimization("ds://jdbc").count() > 0)
+  }
+}
