@@ -145,6 +145,68 @@ object Trend {
       )
   }
 
+  /** Sample autocorrelation per series for lags 1..`maxLag` —
+    * `(seriesCols..., lag, n_pairs, acf)`. The seasonality
+    * fingerprint: a weekly cycle shows as a spike at lag 7, and the
+    * decay shape separates trend (slow) from noise (immediate drop);
+    * feeds period choice for [[decompose]] and the seasonal models.
+    *
+    * acf_k = Σ (x_t − x̄)(x_{t+k} − x̄) / Σ (x_t − x̄)² — the standard
+    * biased estimator (shared denominator, so acf is monotone-
+    * comparable across lags).
+    *
+    * Scale shape: one per-series mean aggregation broadcast back, ONE
+    * ordered window pass materializing all `maxLag` leads at once,
+    * then a single aggregation of DECIMAL-cast products (order-
+    * independent — identical in DuckDB) exploded to the lag table.
+    * Parallelizes across series; per-series cost is the series
+    * length × maxLag.
+    */
+  def acf(
+      series: DataFrame,
+      seriesCols: Seq[String],
+      maxLag: Int,
+      tsCol: String = "ts",
+      valueCol: String = "value"
+  ): DataFrame = {
+    require(maxLag >= 1, s"maxLag must be >= 1, got $maxLag")
+    val dec = DecimalType(38, 12)
+    val keys = seriesCols.map(col)
+    val means = series
+      .groupBy(keys: _*)
+      .agg(
+        (sum(col(valueCol).cast(DecimalType(38, 10))).cast("double") /
+          count(lit(1))).as("_mean")
+      )
+    val wOrd = Window.partitionBy(keys: _*).orderBy(col(tsCol))
+    val withLeads = (1 to maxLag)
+      .foldLeft(series.join(broadcast(means), seriesCols)) { case (df, k) =>
+        df.withColumn(s"_l$k", lead(col(valueCol), k).over(wOrd))
+      }
+    val c = col(valueCol) - col("_mean")
+    val aggs = sum((c * c).cast(dec)).as("_den") +:
+      (1 to maxLag).flatMap { k =>
+        Seq(
+          sum((c * (col(s"_l$k") - col("_mean"))).cast(dec)).as(s"_num$k"),
+          count(col(s"_l$k")).as(s"_cnt$k")
+        )
+      }
+    val wide = withLeads.groupBy(keys: _*).agg(aggs.head, aggs.tail: _*)
+    val entries = (1 to maxLag).map { k =>
+      struct(
+        lit(k).as("lag"),
+        col(s"_cnt$k").as("n_pairs"),
+        when(
+          col("_den").cast("double") > 0,
+          round6(col(s"_num$k").cast("double") / col("_den").cast("double"))
+        ).as("acf")
+      )
+    }
+    wide
+      .select(keys :+ explode(array(entries: _*)).as("e"): _*)
+      .select(keys ++ Seq(col("e.lag"), col("e.n_pairs"), col("e.acf")): _*)
+  }
+
   /** Residual anomaly scoring on top of [[decompose]]: a robust
     * modified z (Iglewicz-Hoaglin, exact median/MAD — the
     * [[Scorer.robustZLast]] statistic) over the RESIDUAL component

@@ -560,7 +560,46 @@ object AnomalyQueries extends QueryPack {
       FROM sc ORDER BY event_type, ts""")
   )
 
+  // Sample autocorrelation for lags 1..10 — the seasonality
+  // fingerprint feeding period choice
+  private val acfQ = {
+    val maxLag = 10
+    val leads = (1 to maxLag)
+      .map(k => s"lead(value, $k) OVER w AS l$k")
+      .mkString(", ")
+    val nums = (1 to maxLag)
+      .map(k =>
+        s"""CAST(SUM(CAST((value - mean) * (l$k - mean)
+           AS DECIMAL(38,12))) AS DOUBLE) AS num$k, COUNT(l$k) AS cnt$k""")
+      .mkString(", ")
+    val rows = (1 to maxLag)
+      .map(k => s"""SELECT event_type, $k AS lag, cnt$k AS n_pairs,
+        CASE WHEN den > 0 THEN round(num$k / den, 6) END AS acf FROM a""")
+      .mkString(" UNION ALL ")
+    Q(
+      fn = (s, d) =>
+        graft.anomaly.Trend
+          .acf(series(s, d), seriesCols, maxLag = maxLag)
+          .orderBy("event_type", "lag"),
+      oracle = Some(s"""$seriesCte,
+        m AS (SELECT event_type,
+            CAST(SUM(CAST(value AS DECIMAL(38,10))) AS DOUBLE) / COUNT(*)
+              AS mean
+          FROM s GROUP BY 1),
+        l AS (SELECT s.event_type, s.value, m.mean, $leads
+          FROM s JOIN m ON s.event_type = m.event_type
+          WINDOW w AS (PARTITION BY s.event_type ORDER BY s.ts)),
+        a AS (SELECT event_type,
+            CAST(SUM(CAST((value - mean) * (value - mean)
+              AS DECIMAL(38,12))) AS DOUBLE) AS den,
+            $nums
+          FROM l GROUP BY 1)
+        SELECT * FROM ($rows) ORDER BY event_type, lag""")
+    )
+  }
+
   val queries: Map[String, Q] = Map(
+    "anomaly_acf" -> acfQ,
     "anomaly_decompose_score" -> decomposeScoreQ,
     "anomaly_cusum" -> cusumQ,
     "anomaly_trend_slope" -> theilSenQ,

@@ -378,9 +378,25 @@ object SimilarityQueries extends QueryPack {
     oracle = None // driver eigenvector is not SQL-expressible
   )
 
+  // full whitening path: covariance fit -> driver Jacobi eigensolve ->
+  // scan-side transform; identity-covariance quality is spec-pinned
+  private val whitenQ = Q(
+    fn = (sp, d) =>
+      graft.similarity.Pca
+        .whiten(Tables.embeddings(sp, d), "embedding", 0 until 8)
+        .select(
+          col("vec_id"),
+          round6(element_at(col("whitened"), 1)).as("w0"),
+          round6(element_at(col("whitened"), 8)).as("w7")
+        )
+        .orderBy("vec_id"),
+    oracle = None // driver eigendecomposition is not SQL-expressible
+  )
+
   val queries: Map[String, Q] = Map(
     "embed_covariance" -> covarianceQ,
     "embed_pca_project" -> pcaProjectQ,
+    "embed_whiten" -> whitenQ,
     "embed_kmeans" -> kmeansQ,
     "embed_centroid" -> centroidQ,
     "embed_centroid_shift" -> centroidShiftQ,

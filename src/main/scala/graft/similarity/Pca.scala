@@ -126,6 +126,108 @@ object Pca {
     m
   }
 
+  /** Full symmetric eigendecomposition by cyclic Jacobi rotations —
+    * DRIVER math over the collected d×d covariance (same bounded
+    * contract as [[topComponent]]). Returns (eigenvalues, eigenvectors)
+    * sorted by eigenvalue DESCENDING, `vectors(i)` the unit
+    * eigenvector for `values(i)`, sign fixed (largest-magnitude
+    * component positive) so the decomposition is deterministic.
+    */
+  def eigSym(
+      cov: Array[Array[Double]],
+      sweeps: Int = 50
+  ): (Array[Double], Array[Array[Double]]) = {
+    val d = cov.length
+    require(d > 0 && cov.forall(_.length == d), "square matrix required")
+    val a = Array.tabulate(d, d)((i, j) => cov(i)(j))
+    val v = Array.tabulate(d, d)((i, j) => if (i == j) 1.0 else 0.0)
+    for (_ <- 1 to sweeps) {
+      var off = 0.0
+      for (p <- 0 until d; q <- p + 1 until d) off += a(p)(q) * a(p)(q)
+      if (off > 1e-30) {
+        for (p <- 0 until d; q <- p + 1 until d if math.abs(a(p)(q)) > 1e-18) {
+          val theta = (a(q)(q) - a(p)(p)) / (2.0 * a(p)(q))
+          val t =
+            math.signum(theta) / (math.abs(theta) + math.sqrt(theta * theta + 1.0)) match {
+              case 0.0 => 1.0 // theta == 0 -> 45-degree rotation
+              case x   => x
+            }
+          val cth = 1.0 / math.sqrt(t * t + 1.0)
+          val s = t * cth
+          for (k <- 0 until d) {
+            val akp = a(k)(p); val akq = a(k)(q)
+            a(k)(p) = cth * akp - s * akq
+            a(k)(q) = s * akp + cth * akq
+          }
+          for (k <- 0 until d) {
+            val apk = a(p)(k); val aqk = a(q)(k)
+            a(p)(k) = cth * apk - s * aqk
+            a(q)(k) = s * apk + cth * aqk
+          }
+          for (k <- 0 until d) {
+            val vkp = v(k)(p); val vkq = v(k)(q)
+            v(k)(p) = cth * vkp - s * vkq
+            v(k)(q) = s * vkp + cth * vkq
+          }
+        }
+      }
+    }
+    val pairs = (0 until d)
+      .map { j =>
+        val vec = Array.tabulate(d)(i => v(i)(j))
+        val k = vec.indices.maxBy(i => math.abs(vec(i)))
+        (a(j)(j), if (vec(k) < 0) vec.map(-_) else vec)
+      }
+      .sortBy(-_._1)
+    (pairs.map(_._1).toArray, pairs.map(_._2).toArray)
+  }
+
+  /** Per-dimension DECIMAL-exact means over the chosen dims (the µ of
+    * the whitening transform); same row filter as [[covarianceBlock]].
+    */
+  def fitMeans(df: DataFrame, vecCol: String, dims: Seq[Int]): Array[Double] = {
+    val ds = dims.sorted
+    val dec = org.apache.spark.sql.types.DecimalType(38, 10)
+    val aggs = count(lit(1)).as("_n") +:
+      ds.map(i => sum(element_at(col(vecCol), i + 1).cast("double").cast(dec)).as(s"_s$i"))
+    val r = df
+      .where(col(vecCol).isNotNull && size(col(vecCol)) > ds.last)
+      .agg(aggs.head, aggs.tail: _*)
+      .collect()
+      .head
+    val n = r.getLong(0)
+    ds.indices.map(i => r.getDecimal(i + 1).doubleValue() / n).toArray
+  }
+
+  /** PCA whitening: fit covariance + means over `dims`, eigendecompose
+    * on the driver, and emit `outCol` = Λ^(-1/2) Vᵀ (x − µ) as a
+    * scan-side array column — the decorrelate-and-rescale transform
+    * that makes cosine/Euclidean geometry isotropic before semantic
+    * dedup or ANN. The d×d weight matrix rides the plan as constants
+    * (d codegen'd dot products per row, zero shuffle); `eps` guards
+    * the inverse square root against near-null directions.
+    *
+    * Whitened covariance ≈ identity (spec-pinned).
+    */
+  def whiten(
+      df: DataFrame,
+      vecCol: String,
+      dims: Seq[Int],
+      eps: Double = 1e-9,
+      outCol: String = "whitened"
+  ): DataFrame = {
+    val ds = dims.sorted
+    val (values, vectors) = eigSym(fitCovariance(df, vecCol, dims))
+    val mu = fitMeans(df, vecCol, dims)
+    val sel = array(ds.map(i => element_at(col(vecCol), i + 1).cast("double")): _*)
+    val comps = values.indices.map { j =>
+      val w = vectors(j).map(_ / math.sqrt(math.max(values(j), 0.0) + eps))
+      val shift = mu.zip(w).map { case (m, x) => m * x }.sum
+      Similarity.dot(sel, typedLit(w.toSeq)) - lit(shift)
+    }
+    df.withColumn(outCol, array(comps: _*))
+  }
+
   /** Scan-side projection of the chosen dims onto a constant axis
     * (e.g. the [[topComponent]] eigenvector), optionally mean-centered
     * first: `out = (v[dims] - mean) . axis`. The axis and mean are

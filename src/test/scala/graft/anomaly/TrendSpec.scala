@@ -98,6 +98,28 @@ class TrendSpec extends SparkSpec {
     assert(math.abs(0.6745 * (dirty(20) - med) / rawMad) < 3.5)
   }
 
+  test("acf: exact alternating series gives the textbook lag signs") {
+    // x = +1,-1,... mean 0: acf1 = -7/8, acf2 = +6/8, acf3 = -5/8
+    val vals = (0 until 8).map(i => if (i % 2 == 0) 1.0 else -1.0)
+    val got = Trend
+      .acf(mkSeries(vals), Seq("metric"), maxLag = 3)
+      .orderBy("lag")
+      .as[(String, Int, Long, Option[Double])]
+      .collect()
+      .map(r => (r._2, r._3, r._4.get))
+      .toSeq
+    assert(got == Seq((1, 7L, -0.875), (2, 6L, 0.75), (3, 5L, -0.625)))
+  }
+
+  test("acf: constant series has zero denominator and NULL acf") {
+    val got = Trend
+      .acf(mkSeries(Seq.fill(6)(5.0)), Seq("metric"), maxLag = 2)
+      .select("acf")
+      .as[Option[Double]]
+      .collect()
+    assert(got.forall(_.isEmpty))
+  }
+
   test("residual score: constant residuals give NULL score, not a verdict") {
     // pure seasonal + flat level -> residuals all ~0 -> mad 0
     val season = Seq(0.0, 5.0)

@@ -71,6 +71,36 @@ class PcaSpec extends SparkSpec {
     assert(centered.toSeq == Seq(0.0, 0.0))
   }
 
+  test("eigSym solves the textbook 2x2 exactly, descending, deterministic sign") {
+    val (vals, vecs) = Pca.eigSym(Array(Array(2.0, 1.0), Array(1.0, 2.0)))
+    assert(math.abs(vals(0) - 3.0) < 1e-12 && math.abs(vals(1) - 1.0) < 1e-12)
+    val r2 = 1.0 / math.sqrt(2.0)
+    assert(vecs(0).zip(Array(r2, r2)).forall { case (a, b) => math.abs(a - b) < 1e-12 })
+    assert(math.abs(math.abs(vecs(1)(0)) - r2) < 1e-12)
+    assert(vecs(1)(0) * vecs(1)(1) < 0, "second eigenvector is the difference direction")
+  }
+
+  test("whitening makes the empirical covariance the identity") {
+    val rng = new scala.util.Random(11)
+    // strongly correlated 3-d cloud with distinct scales
+    val rows = (1 to 500).map { i =>
+      val a = rng.nextGaussian() * 5
+      val b = rng.nextGaussian()
+      val c = rng.nextGaussian() * 0.3
+      (i.toLong, Array((a).toFloat, (0.8 * a + b).toFloat, (0.2 * b + c).toFloat))
+    }
+    val df = rows.toDF("vec_id", "embedding")
+    val white = Pca.whiten(df, "embedding", Seq(0, 1, 2))
+    val cov = Pca
+      .covarianceBlock(white, "whitened", Seq(0, 1, 2))
+      .collect()
+      .map(r => (r.getInt(0), r.getInt(1)) -> r.getDouble(3))
+      .toMap
+    for (i <- 0 to 2) assert(math.abs(cov((i, i)) - 1.0) < 1e-3, s"var($i)=${cov((i, i))}")
+    for (i <- 0 to 2; j <- i + 1 to 2)
+      assert(math.abs(cov((i, j))) < 1e-3, s"cov($i,$j)=${cov((i, j))}")
+  }
+
   test("zero matrix keeps the start vector instead of dividing by zero") {
     val (v, eig) = Pca.topComponent(Array.fill(3)(Array.fill(3)(0.0)))
     assert(eig == 0.0 && math.abs(v.map(x => x * x).sum - 1.0) < 1e-9)
