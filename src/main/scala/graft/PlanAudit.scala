@@ -42,6 +42,10 @@ object PlanAudit {
     // rows PER PARTITION, so the side still carries limit*numPartitions
     // rows — unbounded in the sense this audit cares about.
     case _: GlobalLimitExec => ()
+    // orderBy + limit plans as TakeOrderedAndProject — a global limit
+    // WITH a deterministic order (stricter than GlobalLimit, which
+    // keeps partition-arbitrary rows)
+    case _: org.apache.spark.sql.execution.TakeOrderedAndProjectExec => ()
   }.isDefined
 
   /** Brute-force ANN is deliberately query-set x corpus: the broadcast

@@ -435,6 +435,77 @@ object EventAnalytics {
       .orderBy(idCol)
   }
 
+  /** Segment contribution analysis — "which segment drove the move":
+    * for every consecutive-calendar-day pair and segment, the
+    * segment's value delta and its share of the TOTAL day-over-day
+    * delta. `(day, segment, value_prev, value, delta, total_delta,
+    * contribution)`; contribution is NULL when the total delta is 0
+    * (shares of nothing), segments absent on a day count as 0 (a
+    * vanished segment shows as a negative contribution instead of a
+    * missing row — that's usually the culprit being hunted).
+    *
+    * Scale shape: one map-side-combinable (day, segment) DECIMAL sum
+    * over raw events; everything after runs at |days × segments|
+    * grain — the zero-fill spine (constant-key broadcast join, same
+    * shape as `Drift.missingDays`), a per-segment lag window, and a
+    * per-day total window. Raw data is scanned exactly once.
+    */
+  def contributionAnalysis(
+      df: DataFrame,
+      tsCol: String,
+      segCol: String,
+      valueCol: String,
+      maxSegments: Int = 10000
+  ): DataFrame = {
+    require(maxSegments >= 1, s"maxSegments must be >= 1, got $maxSegments")
+    val dec = org.apache.spark.sql.types.DecimalType(38, 10)
+    val per = df
+      .groupBy(
+        date_trunc("day", col(tsCol)).as("day"),
+        col(segCol).as("segment")
+      )
+      .agg(sum(col(valueCol).cast(dec)).as("_v"))
+    val days = per.select("day").distinct().withColumn("_k", lit(1))
+    // the spine's segment side carries an explicit, generous bound: a
+    // drilldown over >10k segments isn't human-readable, and the limit
+    // makes the spine join PROVABLY bounded in the plan (the audit's
+    // contract); raise it explicitly for programmatic use
+    val segs = per
+      .select("segment")
+      .distinct()
+      .orderBy("segment")
+      .limit(maxSegments)
+      .withColumn("_k", lit(1))
+    val filled = days
+      .join(broadcast(segs), "_k")
+      .drop("_k")
+      .join(per, Seq("day", "segment"), "left")
+      .withColumn("_v", coalesce(col("_v"), lit(0).cast(dec)))
+    val wSeg = Window.partitionBy(col("segment")).orderBy(col("day"))
+    val paired = filled
+      .withColumn("_prev", lag(col("_v"), 1).over(wSeg))
+      .withColumn("_prev_day", lag(col("day"), 1).over(wSeg))
+      .where(datediff(col("day"), col("_prev_day")) === 1)
+      .withColumn("_delta", col("_v") - col("_prev"))
+    val wDay = Window.partitionBy(col("day"))
+    paired
+      .withColumn("_total", sum(col("_delta")).over(wDay))
+      .select(
+        col("day"),
+        col("segment"),
+        graft.functions.round6(col("_prev").cast("double")).as("value_prev"),
+        graft.functions.round6(col("_v").cast("double")).as("value"),
+        graft.functions.round6(col("_delta").cast("double")).as("delta"),
+        graft.functions.round6(col("_total").cast("double")).as("total_delta"),
+        when(
+          col("_total") =!= 0,
+          graft.functions.round6(
+            col("_delta").cast("double") / col("_total").cast("double")
+          )
+        ).as("contribution")
+      )
+  }
+
   /** RFM (recency / frequency / monetary) user segmentation — the
     * classic lifecycle-marketing cut, shaped for scale: each metric
     * is scored 1..4 against the EXACT quartile thresholds of the user

@@ -485,6 +485,62 @@ object Profiler {
       )
       .select(col("_gts").as("ts"), col("instance"), col("entropy"))
 
+  /** Sketch-priced population overlap between segments: per segment
+    * pair, HLL estimates of \|A\|, \|B\|, \|A∪B\| and the derived
+    * intersection (inclusion-exclusion) + Jaccard — "how much do these
+    * crawls / cohorts / sources share" WITHOUT shuffling the actor
+    * sets: one ~2^lgK-byte sketch per segment is the only state, so
+    * the pair table prices at \|segments\|² sketch merges regardless
+    * of population size (an exact answer needs a distinct-pair
+    * shuffle of every actor). Estimates, by design — rows-only gate,
+    * accuracy bound spec-pinned on known overlaps.
+    */
+  def overlapSketchProfile(
+      df: DataFrame,
+      keyCol: String,
+      segCol: String,
+      lgK: Int = 12,
+      maxSegments: Int = 1000
+  ): DataFrame = {
+    require(maxSegments >= 1, s"maxSegments must be >= 1, got $maxSegments")
+    val sk = df
+      .where(col(keyCol).isNotNull)
+      .groupBy(col(segCol))
+      .agg(hll_sketch_agg(col(keyCol), lit(lgK)).as("_sk"))
+    val a = sk
+      .select(col(segCol).as("seg_a"), col("_sk").as("_ska"))
+      .withColumn("_k", lit(1))
+    // the pair table is |segments|² — an explicit, generous segment
+    // bound keeps that quadratic honest AND makes the pair join
+    // provably bounded in the plan; raise it explicitly when you
+    // really want a million-cell overlap matrix
+    val b = sk
+      .select(col(segCol).as("seg_b"), col("_sk").as("_skb"))
+      .orderBy("seg_b")
+      .limit(maxSegments)
+      .withColumn("_k", lit(1))
+    a.join(broadcast(b), "_k")
+      .where(col("seg_a") < col("seg_b"))
+      .withColumn("n_a", hll_sketch_estimate(col("_ska")))
+      .withColumn("n_b", hll_sketch_estimate(col("_skb")))
+      .withColumn(
+        "n_union",
+        hll_sketch_estimate(hll_union(col("_ska"), col("_skb")))
+      )
+      .withColumn(
+        "n_overlap",
+        greatest(col("n_a") + col("n_b") - col("n_union"), lit(0L))
+      )
+      .withColumn(
+        "jaccard",
+        when(
+          col("n_union") > 0,
+          graft.functions.round6(col("n_overlap") / col("n_union"))
+        )
+      )
+      .select("seg_a", "seg_b", "n_a", "n_b", "n_union", "n_overlap", "jaccard")
+  }
+
   /** Benford first-significant-digit conformance per ts partition —
     * the classic fabricated-data / unit-mix-up tripwire for numeric
     * columns that span orders of magnitude (amounts, populations,

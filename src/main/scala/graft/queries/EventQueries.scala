@@ -13,6 +13,40 @@ object EventQueries extends QueryPack {
 
   private val funnelStepList = Seq("view", "click", "purchase")
 
+  // Day-over-day contribution by event type: which segment drove the
+  // total's move; absent segments zero-filled so a vanished segment
+  // surfaces as negative contribution
+  private val contributionQ = Q(
+    fn = (s, d) =>
+      EventAnalytics
+        .contributionAnalysis(Tables.events(s, d), "ts", "event_type", "value")
+        .orderBy("day", "segment"),
+    oracle = Some("""
+      WITH per AS (SELECT CAST(date_trunc('day', ts) AS TIMESTAMP) AS day,
+          event_type AS segment,
+          SUM(CAST(value AS DECIMAL(38,10))) AS v
+        FROM events GROUP BY 1, 2),
+      filled AS (SELECT d.day, s.segment,
+          COALESCE(per.v, CAST(0 AS DECIMAL(38,10))) AS v
+        FROM (SELECT DISTINCT day FROM per) d
+        CROSS JOIN (SELECT DISTINCT segment FROM per) s
+        LEFT JOIN per ON per.day = d.day AND per.segment = s.segment),
+      paired AS (SELECT *, lag(v) OVER w AS prev, lag(day) OVER w AS prev_day
+        FROM filled WINDOW w AS (PARTITION BY segment ORDER BY day)),
+      d1 AS (SELECT day, segment, prev, v, v - prev AS delta FROM paired
+        WHERE date_diff('day', prev_day, day) = 1),
+      t AS (SELECT *, SUM(delta) OVER (PARTITION BY day) AS total FROM d1)
+      SELECT day, segment,
+        round(CAST(prev AS DOUBLE), 6) AS value_prev,
+        round(CAST(v AS DOUBLE), 6) AS value,
+        round(CAST(delta AS DOUBLE), 6) AS delta,
+        round(CAST(total AS DOUBLE), 6) AS total_delta,
+        CASE WHEN total <> 0
+          THEN round(CAST(delta AS DOUBLE) / CAST(total AS DOUBLE), 6)
+        END AS contribution
+      FROM t ORDER BY day, segment""")
+  )
+
   // RFM segmentation: exact-quartile broadcast thresholds, no ntile
   // (a global user sort); 4 = best on every axis
   private val rfmQ = Q(
@@ -322,6 +356,7 @@ object EventQueries extends QueryPack {
   val queries: Map[String, Q] = Map(
     "q_concurrency" -> concurrencyQ,
     "q_rfm_segments" -> rfmQ,
+    "q_contribution" -> contributionQ,
     "q_funnel_latency" -> latencyQ,
     "q_event_transitions" -> transitionsQ,
     "q_funnel_steps" -> funnelQ,

@@ -443,6 +443,16 @@ object ProfilerQueries extends QueryPack {
     )
   }
 
+  // HLL-priced population overlap between event types (which cohorts
+  // share users) — estimates by design, accuracy spec-pinned
+  private val overlapSketchQ = Q(
+    fn = (s, d) =>
+      Profiler
+        .overlapSketchProfile(Tables.events(s, d), "user_id", "event_type")
+        .orderBy("seg_a", "seg_b"),
+    oracle = None // HLL estimates are engine-specific
+  )
+
   // Daily user-novelty: distinct users, first-seen users, their
   // share, and the running distinct total — the crawl-freshness /
   // dedup-regression signal at ingest grain
@@ -918,6 +928,7 @@ object ProfilerQueries extends QueryPack {
     "profile_null_correlation" -> nullCorrQ,
     "profile_novelty" -> noveltyQ,
     "profile_benford" -> benfordQ,
+    "profile_overlap_sketch" -> overlapSketchQ,
     "profile_correlation" -> correlation
   )
 }

@@ -177,6 +177,28 @@ class EventAnalyticsSpec extends SparkSpec {
     assert(got._5.isEmpty && got._8.isEmpty, "no converters -> null stats")
   }
 
+  test("contribution analysis: zero-filled vanished segment is the culprit") {
+    val events = Seq(
+      ("A", t("2025-01-01 10:00:00"), 5.0), ("A", t("2025-01-01 11:00:00"), 5.0),
+      ("B", t("2025-01-01 10:00:00"), 20.0),
+      ("A", t("2025-01-02 10:00:00"), 16.0), ("B", t("2025-01-02 10:00:00"), 18.0),
+      ("B", t("2025-01-03 10:00:00"), 30.0) // A vanishes on day 3
+    ).toDF("event_type", "ts", "value")
+    val got = EventAnalytics
+      .contributionAnalysis(events, "ts", "event_type", "value")
+      .orderBy("day", "segment")
+      .as[(java.sql.Timestamp, String, Double, Double, Double, Double, Option[Double])]
+      .collect()
+      .map(r => (r._1.toString.take(10), r._2, r._5, r._6, r._7.get))
+      .toSeq
+    assert(got == Seq(
+      ("2025-01-02", "A", 6.0, 4.0, 1.5),
+      ("2025-01-02", "B", -2.0, 4.0, -0.5),
+      ("2025-01-03", "A", -16.0, -4.0, 4.0),
+      ("2025-01-03", "B", 12.0, -4.0, -3.0)
+    ))
+  }
+
   test("rfm: quartile-threshold scores produce the diagonal segments") {
     // A: 4 events newest day, total 40 -> 444; D: 1 old cheap event -> 111
     def ev(u: Long, day: Int, n: Int, v: Double) =

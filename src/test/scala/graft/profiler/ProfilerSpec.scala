@@ -340,6 +340,24 @@ class ProfilerSpec extends SparkSpec {
     assert(math.abs(r._8 - cv) < 1e-6)
   }
 
+  test("overlap sketch: planted 50% overlap estimated within 5%") {
+    // X = 1..100, Y = 51..150 -> |X∩Y| = 50, jaccard = 1/3
+    val rows = (1 to 100).map(i => ("X", i.toLong)) ++
+      (51 to 150).map(i => ("Y", i.toLong))
+    val df = rows.toDF("seg", "user")
+    val got = Profiler
+      .overlapSketchProfile(df, "user", "seg")
+      .as[(String, String, Long, Long, Long, Long, Option[Double])]
+      .collect()
+    assert(got.length == 1)
+    val r = got.head
+    assert(r._1 == "X" && r._2 == "Y")
+    assert(math.abs(r._3 - 100) <= 5 && math.abs(r._4 - 100) <= 5)
+    assert(math.abs(r._5 - 150) <= 8, s"union est ${r._5}")
+    assert(math.abs(r._6 - 50) <= 8, s"overlap est ${r._6}")
+    assert(math.abs(r._7.get - 1.0 / 3) < 0.05)
+  }
+
   test("benford profile: digit extraction, zero-fill, and hand-computed chi2") {
     val df = Seq(
       Some(1.5), Some(19.0), Some(0.002), Some(300.0), Some(-45.0),
