@@ -13,6 +13,37 @@ object EventQueries extends QueryPack {
 
   private val funnelStepList = Seq("view", "click", "purchase")
 
+  // Semi-structured extraction: the JSON props column parsed
+  // SCAN-SIDE with an EXPLICIT schema (from_json; no inference pass
+  // over the corpus — schema inference at 100 TB is a full extra
+  // scan), then an ordinary typed aggregation; malformed documents
+  // parse to NULL and are counted, never dropped silently
+  private val jsonQ = Q(
+    fn = (s, d) => {
+      import org.apache.spark.sql.functions._
+      import org.apache.spark.sql.types._
+      val schema = StructType(Seq(StructField("k", LongType)))
+      Tables
+        .events(s, d)
+        .withColumn("_k", from_json(col("props"), schema).getField("k"))
+        .groupBy(col("event_type"))
+        .agg(
+          count(lit(1)).as("n"),
+          count(col("_k")).as("n_parsed"),
+          sum(col("_k")).as("sum_k"),
+          round6(avg(col("_k"))).as("avg_k")
+        )
+        .orderBy("event_type")
+    },
+    oracle = Some("""
+      SELECT event_type, count(*) AS n,
+        count(CAST(json_extract(props, '$.k') AS BIGINT)) AS n_parsed,
+        CAST(SUM(CAST(json_extract(props, '$.k') AS BIGINT)) AS BIGINT)
+          AS sum_k,
+        round(AVG(CAST(json_extract(props, '$.k') AS BIGINT)), 6) AS avg_k
+      FROM events GROUP BY 1 ORDER BY event_type""")
+  )
+
   // Day-over-day contribution by event type: which segment drove the
   // total's move; absent segments zero-filled so a vanished segment
   // surfaces as negative contribution
@@ -357,6 +388,7 @@ object EventQueries extends QueryPack {
     "q_concurrency" -> concurrencyQ,
     "q_rfm_segments" -> rfmQ,
     "q_contribution" -> contributionQ,
+    "q_json_extract" -> jsonQ,
     "q_funnel_latency" -> latencyQ,
     "q_event_transitions" -> transitionsQ,
     "q_funnel_steps" -> funnelQ,
