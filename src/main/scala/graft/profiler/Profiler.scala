@@ -485,6 +485,77 @@ object Profiler {
       )
       .select(col("_gts").as("ts"), col("instance"), col("entropy"))
 
+  /** Type inference over STRING columns — the schema-discovery step
+    * for schemaless ingest (CSV dumps, JSON strings, spreadsheet
+    * exports): per column, the fraction of non-null values parseable
+    * as BIGINT / DOUBLE / DATE plus an exact boolean-literal check,
+    * and the inferred narrowest type when a candidate covers every
+    * value. `(column, n_nonnull, frac_long, frac_double, frac_date,
+    * frac_bool, inferred)`; a column with no non-null values infers
+    * `string` with NULL fractions (nothing to vote).
+    *
+    * Every check is SHAPE-constrained, not cast folklore — engines
+    * genuinely disagree at the edges (this engine parses a bare
+    * integer string as an extended-year DATE; DuckDB rounds '17.0'
+    * into a BIGINT): integers must match `^[+-]?[0-9]+$` AND survive
+    * `try_cast` (the regex pins the shape, the cast rejects
+    * overflow); dates must carry a `yyyy-mm-dd` prefix AND parse as a
+    * timestamp; booleans are the explicit literals. Doubles keep the
+    * plain `try_cast` (standard float grammar agrees across engines).
+    * All scan-side, NULL/0 on failure, never an exception mid-scan;
+    * ONE aggregation pass for every column, no shuffle beyond one
+    * partial row.
+    */
+  def typeInferenceProfile(df: DataFrame, columns: Seq[String]): DataFrame = {
+    require(columns.nonEmpty, "at least one column")
+    def fracs(c: String): Seq[Column] = Seq(
+      count(col(c)).as(s"_n_$c"),
+      sum(
+        when(
+          col(c).rlike("^[+-]?[0-9]+$") &&
+            expr(s"try_cast(`$c` AS BIGINT)").isNotNull,
+          1L
+        ).otherwise(0L)
+      ).as(s"_l_$c"),
+      count(expr(s"try_cast(`$c` AS DOUBLE)")).as(s"_d_$c"),
+      sum(
+        when(
+          col(c).rlike("^[0-9]{4}-[0-9]{2}-[0-9]{2}") &&
+            expr(s"try_cast(`$c` AS TIMESTAMP)").isNotNull,
+          1L
+        ).otherwise(0L)
+      ).as(s"_t_$c"),
+      sum(when(lower(col(c)).isin("true", "false"), 1L).otherwise(0L))
+        .as(s"_b_$c")
+    )
+    val aggs = columns.flatMap(fracs)
+    val wide = df.agg(aggs.head, aggs.tail: _*)
+    val entries = columns.map { c =>
+      val n = col(s"_n_$c")
+      def frac(x: Column): Column =
+        when(n > 0, graft.functions.round6(x / n))
+      val all = (x: Column) => n > 0 && x === n
+      struct(
+        lit(c).as("column"),
+        n.as("n_nonnull"),
+        frac(col(s"_l_$c")).as("frac_long"),
+        frac(col(s"_d_$c")).as("frac_double"),
+        frac(col(s"_t_$c")).as("frac_date"),
+        frac(col(s"_b_$c")).as("frac_bool"),
+        when(all(col(s"_b_$c")), "boolean")
+          .when(all(col(s"_l_$c")), "bigint")
+          .when(all(col(s"_d_$c")), "double")
+          .when(all(col(s"_t_$c")), "date")
+          .otherwise("string")
+          .as("inferred")
+      )
+    }
+    wide
+      .select(explode(array(entries: _*)).as("e"))
+      .select("e.column", "e.n_nonnull", "e.frac_long", "e.frac_double",
+        "e.frac_date", "e.frac_bool", "e.inferred")
+  }
+
   /** Sketch-priced population overlap between segments: per segment
     * pair, HLL estimates of \|A\|, \|B\|, \|A∪B\| and the derived
     * intersection (inclusion-exclusion) + Jaccard — "how much do these

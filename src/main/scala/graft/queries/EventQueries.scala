@@ -13,6 +13,48 @@ object EventQueries extends QueryPack {
 
   private val funnelStepList = Seq("view", "click", "purchase")
 
+  // Path analysis: the top opening event sequences (first 3 events
+  // per user, deterministic (ts, event_id) order) — "how do journeys
+  // start"; per-user arrays hold <= 3 entries by construction, the
+  // path table map-side-combines, the head is a TakeOrdered
+  private val topPathsQ = Q(
+    fn = (s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      import org.apache.spark.sql.functions._
+      val w = Window
+        .partitionBy(col("user_id"))
+        .orderBy(col("ts"), col("event_id"))
+      Tables
+        .events(s, d)
+        .withColumn("_rn", row_number().over(w))
+        .where(col("_rn") <= 3)
+        .groupBy("user_id")
+        .agg(
+          concat_ws(
+            ">",
+            transform(
+              array_sort(collect_list(struct(col("_rn"), col("event_type")))),
+              x => x.getField("event_type")
+            )
+          ).as("path")
+        )
+        .groupBy("path")
+        .agg(count(lit(1)).as("users"))
+        .orderBy(col("users").desc, col("path"))
+        .limit(20)
+    },
+    oracle = Some("""
+      WITH r AS (SELECT user_id, event_type,
+          row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id)
+            AS rn
+        FROM events),
+      p AS (SELECT user_id, string_agg(event_type, '>' ORDER BY rn)
+          AS path
+        FROM r WHERE rn <= 3 GROUP BY 1)
+      SELECT path, count(*) AS users FROM p
+      GROUP BY 1 ORDER BY users DESC, path LIMIT 20""")
+  )
+
   // Semi-structured extraction: the JSON props column parsed
   // SCAN-SIDE with an EXPLICIT schema (from_json; no inference pass
   // over the corpus — schema inference at 100 TB is a full extra
@@ -389,6 +431,7 @@ object EventQueries extends QueryPack {
     "q_rfm_segments" -> rfmQ,
     "q_contribution" -> contributionQ,
     "q_json_extract" -> jsonQ,
+    "q_top_paths" -> topPathsQ,
     "q_funnel_latency" -> latencyQ,
     "q_event_transitions" -> transitionsQ,
     "q_funnel_steps" -> funnelQ,

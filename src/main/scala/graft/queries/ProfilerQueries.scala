@@ -443,6 +443,67 @@ object ProfilerQueries extends QueryPack {
     )
   }
 
+  // Type inference over stringly-typed columns — the lineitem fields
+  // re-encoded as strings (the schemaless-ingest scenario), then
+  // inferred back; one column of genuine strings stays string
+  private val typeInferQ = {
+    val derive = Seq(
+      "s_key" -> "CAST(l_orderkey AS STRING)",
+      "s_qty" -> "CAST(l_quantity AS STRING)",
+      "s_date" -> "CAST(l_shipdate AS STRING)",
+      "s_flag" -> "l_returnflag",
+      "s_bool" -> "CASE WHEN l_orderkey % 2 = 0 THEN 'true' ELSE 'false' END"
+    )
+    def one(c: String) = s"""
+      SELECT '$c' AS "column", COUNT($c) AS n_nonnull,
+        CASE WHEN COUNT($c) > 0
+          THEN round(SUM(CASE WHEN regexp_matches($c, '^[+-]?[0-9]+$$')
+            AND TRY_CAST($c AS BIGINT) IS NOT NULL THEN 1 ELSE 0 END)
+            / COUNT($c), 6) END AS frac_long,
+        CASE WHEN COUNT($c) > 0
+          THEN round(COUNT(TRY_CAST($c AS DOUBLE)) / COUNT($c), 6) END
+          AS frac_double,
+        CASE WHEN COUNT($c) > 0
+          THEN round(SUM(CASE WHEN
+            regexp_matches($c, '^[0-9]{4}-[0-9]{2}-[0-9]{2}')
+            AND TRY_CAST($c AS TIMESTAMP) IS NOT NULL THEN 1 ELSE 0 END)
+            / COUNT($c), 6) END AS frac_date,
+        CASE WHEN COUNT($c) > 0
+          THEN round(SUM(CASE WHEN lower($c) IN ('true','false')
+            THEN 1 ELSE 0 END) / COUNT($c), 6) END AS frac_bool,
+        CASE
+          WHEN COUNT($c) > 0 AND SUM(CASE WHEN lower($c) IN
+            ('true','false') THEN 1 ELSE 0 END) = COUNT($c) THEN 'boolean'
+          WHEN COUNT($c) > 0 AND SUM(CASE WHEN
+            regexp_matches($c, '^[+-]?[0-9]+$$')
+            AND TRY_CAST($c AS BIGINT) IS NOT NULL THEN 1 ELSE 0 END)
+            = COUNT($c) THEN 'bigint'
+          WHEN COUNT($c) > 0 AND COUNT(TRY_CAST($c AS DOUBLE)) = COUNT($c)
+            THEN 'double'
+          WHEN COUNT($c) > 0 AND SUM(CASE WHEN
+            regexp_matches($c, '^[0-9]{4}-[0-9]{2}-[0-9]{2}')
+            AND TRY_CAST($c AS TIMESTAMP) IS NOT NULL THEN 1 ELSE 0 END)
+            = COUNT($c) THEN 'date'
+          ELSE 'string' END AS inferred
+      FROM d"""
+    Q(
+      fn = (s, d) => {
+        val base = derive.foldLeft(Tables.lineitem(s, d)) {
+          case (df, (n, sql)) => df.withColumn(n, expr(sql))
+        }
+        Profiler
+          .typeInferenceProfile(base, derive.map(_._1))
+          .orderBy("column")
+      },
+      oracle = Some(s"""
+        WITH d AS (SELECT ${derive
+          .map { case (n, sql) => s"$sql AS $n" }
+          .mkString(", ")} FROM lineitem)
+        SELECT * FROM (${derive.map(p => one(p._1)).mkString(" UNION ALL ")})
+        ORDER BY "column"""")
+    )
+  }
+
   // HLL-priced population overlap between event types (which cohorts
   // share users) — estimates by design, accuracy spec-pinned
   private val overlapSketchQ = Q(
@@ -929,6 +990,7 @@ object ProfilerQueries extends QueryPack {
     "profile_novelty" -> noveltyQ,
     "profile_benford" -> benfordQ,
     "profile_overlap_sketch" -> overlapSketchQ,
+    "profile_type_infer" -> typeInferQ,
     "profile_correlation" -> correlation
   )
 }
