@@ -61,6 +61,36 @@ object Sources {
     }
   }
 
+  /** Media-file ingestion via the built-in `binaryFile` source — the
+    * on-ramp for the multimodal plumbing (§2.7): a directory of
+    * image/audio/video files becomes the opaque-binary frame the
+    * decode kernels consume, WITHOUT interpreting a byte at read time.
+    * Columns: `(doc_id = file path, payload, n_bytes, modified)`.
+    *
+    * `glob` prunes at the LISTING (e.g. `*.png` never reads the
+    * sidecar .json files' bytes); `maxBytes` guards against a stray
+    * multi-GB file OOMing an executor — the row is FILTERED with its
+    * size intact in the listing, so set it to your executor budget
+    * and alert on `spark.read` listing counts vs ingested counts.
+    */
+  def binaryCorpus(
+      spark: SparkSession,
+      path: String,
+      glob: String = "*",
+      maxBytes: Long = 512L * 1024 * 1024
+  ): DataFrame =
+    spark.read
+      .format("binaryFile")
+      .option("pathGlobFilter", glob)
+      .load(path)
+      .where(col("length") <= maxBytes)
+      .select(
+        col("path").as("doc_id"),
+        col("content").as("payload"),
+        col("length").as("n_bytes"),
+        col("modificationTime").as("modified")
+      )
+
   /** JSONL corpus ingest — the lingua franca of LLM training corpora
     * (one JSON document per line; Spark's text-based json source reads
     * .gz et al. transparently). PERMISSIVE parse with explicit

@@ -152,4 +152,43 @@ class SourcesSpec extends SparkSpec {
         schema = Some(StructType(Seq(StructField("doc_id", LongType)))))
     }
   }
+
+  test("orc round-trips through the format-generic batch source") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_orc").toString
+    val src = Seq(("2025-01-01 10:00:00", 1.0), ("2025-01-02 11:00:00", 2.0))
+      .toDF("ts_raw", "v")
+      .select(to_timestamp($"ts_raw").as("ts"), $"v")
+    src.write.mode("overwrite").orc(s"$dir/t")
+    val back = Sources.batch(spark, s"$dir/t", "ts", format = "orc")
+    assert(back.schema("ts").dataType == TimestampType)
+    assert(back.count() == 2)
+    assert(back.agg(sum($"v")).as[Double].head() == 3.0)
+  }
+
+  test("binaryCorpus ingests media files opaquely; glob prunes, decode kernel works") {
+    def png(w: Int, h: Int): Array[Byte] = {
+      val img =
+        new java.awt.image.BufferedImage(w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
+      for (y <- 0 until h; x <- 0 until w) img.setRGB(x, y, 0x336699)
+      val out = new java.io.ByteArrayOutputStream()
+      javax.imageio.ImageIO.write(img, "png", out)
+      out.toByteArray
+    }
+    val dir = java.nio.file.Files.createTempDirectory("graft_media")
+    java.nio.file.Files.write(dir.resolve("a.png"), png(8, 6))
+    java.nio.file.Files.write(dir.resolve("b.png"), png(16, 4))
+    java.nio.file.Files.write(dir.resolve("sidecar.json"), "{}".getBytes)
+    val media = Sources.binaryCorpus(spark, dir.toString, glob = "*.png")
+    assert(media.count() == 2, "glob prunes the sidecar at listing time")
+    // the binary frame feeds the decode kernel unchanged
+    val feats = graft.multimodal.Multimodal
+      .extractFeatures(media, "payload", featureDim = 4)
+      .select(col("doc_id"), col("width"), col("decoded"))
+      .collect()
+      .map(r => (r.getString(0).split('/').last, r.getInt(1), r.getBoolean(2)))
+      .toSet
+    assert(feats == Set(("a.png", 8, true), ("b.png", 16, true)))
+    // size guard filters, never truncates
+    assert(Sources.binaryCorpus(spark, dir.toString, glob = "*.png", maxBytes = 10).count() == 0)
+  }
 }
