@@ -268,6 +268,61 @@ object Drift {
       .select(keyCols.map(col) :+ col("_day").as("missing_day"): _*)
   }
 
+  /** Row-level snapshot diff — the dataset regression test: compare
+    * two snapshots BY KEY and report `(n_added, n_removed, n_changed,
+    * n_unchanged)` in one summary row. "The pipeline change was
+    * supposed to be a no-op" becomes a single assertion instead of a
+    * hash of the whole table (which can only say *something* moved).
+    *
+    * Rows compare via an md5 content hash over `compareCols` with
+    * explicit NULL sentinels — `concat_ws` silently DROPS nulls, so
+    * ('a', NULL, 'b') and ('a', 'b', NULL) would otherwise collide;
+    * every column goes through `coalesce(cast(c as string), sentinel)`
+    * first. Duplicate keys are a caller error this op surfaces: the
+    * counts are per KEY OCCURRENCE pairing (full outer join), so a
+    * key duplicated on one side inflates added/removed visibly.
+    *
+    * Scale shape: two scan-side hash projections (16-byte digests —
+    * the payload never shuffles), ONE full-outer join on the key, one
+    * group-less count aggregation.
+    */
+  def snapshotDiff(
+      a: DataFrame,
+      b: DataFrame,
+      keyCols: Seq[String],
+      compareCols: Seq[String]
+  ): DataFrame = {
+    require(keyCols.nonEmpty, "at least one key column")
+    require(compareCols.nonEmpty, "at least one compare column")
+    def hashed(df: DataFrame, h: String): DataFrame =
+      df.select(
+        keyCols.map(col) :+
+          md5(
+            concat_ws(
+              "\u0001",
+              compareCols.map(c =>
+                coalesce(col(c).cast("string"), lit("\u0000NULL\u0000"))
+              ): _*
+            )
+          ).as(h): _*
+      )
+    hashed(a, "_ha")
+      .join(hashed(b, "_hb"), keyCols, "full_outer")
+      .agg(
+        sum(when(col("_ha").isNull, 1L).otherwise(0L)).as("n_added"),
+        sum(when(col("_hb").isNull, 1L).otherwise(0L)).as("n_removed"),
+        sum(
+          when(
+            col("_ha").isNotNull && col("_hb").isNotNull &&
+              col("_ha") =!= col("_hb"),
+            1L
+          ).otherwise(0L)
+        ).as("n_changed"),
+        sum(when(col("_ha") === col("_hb"), 1L).otherwise(0L))
+          .as("n_unchanged")
+      )
+  }
+
   /** Key-novelty profile: per day, how many distinct key values were
     * seen, how many appeared for the FIRST time, their share, and the
     * running distinct total — `(day, n_values, n_new, new_share,

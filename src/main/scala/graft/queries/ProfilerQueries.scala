@@ -443,6 +443,47 @@ object ProfilerQueries extends QueryPack {
     )
   }
 
+  // Snapshot diff as a regression test: snapshot B is derived from
+  // lineitem in-plan (modulo-keyed removals / edits / additions), and
+  // the ORACLE states the expected counts DIRECTLY from the modulo
+  // conditions — the diff must reconstruct the planted edit script
+  private val snapshotDiffQ = Q(
+    fn = (s, d) => {
+      // orders: o_orderkey is UNIQUE (the duplicate-key inflation the
+      // docstring warns about is real — synthetic lineitem's
+      // (orderkey, linenumber) is not a key)
+      val a = Tables.orders(s, d)
+      val removed = pmod(col("o_orderkey"), lit(97)) === 0
+      val changed = pmod(col("o_orderkey"), lit(101)) === 0
+      val bBase = a
+        .where(!removed)
+        .withColumn(
+          "o_totalprice",
+          when(changed, col("o_totalprice") + 1).otherwise(col("o_totalprice"))
+        )
+      val added = a
+        .where(pmod(col("o_orderkey"), lit(197)) === 0)
+        .withColumn("o_orderkey", col("o_orderkey") + lit(1000000000L))
+      graft.profiler.Drift.snapshotDiff(
+        a,
+        bBase.unionByName(added),
+        Seq("o_orderkey"),
+        Seq("o_totalprice", "o_orderpriority")
+      )
+    },
+    oracle = Some("""
+      SELECT
+        CAST(SUM(CASE WHEN o_orderkey % 197 = 0 THEN 1 ELSE 0 END)
+          AS BIGINT) AS n_added,
+        CAST(SUM(CASE WHEN o_orderkey % 97 = 0 THEN 1 ELSE 0 END)
+          AS BIGINT) AS n_removed,
+        CAST(SUM(CASE WHEN o_orderkey % 101 = 0 AND o_orderkey % 97 <> 0
+          THEN 1 ELSE 0 END) AS BIGINT) AS n_changed,
+        CAST(SUM(CASE WHEN o_orderkey % 97 <> 0 AND (o_orderkey % 101 <> 0)
+          THEN 1 ELSE 0 END) AS BIGINT) AS n_unchanged
+      FROM orders""")
+  )
+
   // Type inference over stringly-typed columns — the lineitem fields
   // re-encoded as strings (the schemaless-ingest scenario), then
   // inferred back; one column of genuine strings stays string
@@ -991,6 +1032,7 @@ object ProfilerQueries extends QueryPack {
     "profile_benford" -> benfordQ,
     "profile_overlap_sketch" -> overlapSketchQ,
     "profile_type_infer" -> typeInferQ,
+    "profile_snapshot_diff" -> snapshotDiffQ,
     "profile_correlation" -> correlation
   )
 }

@@ -2,6 +2,7 @@ package graft.profiler
 
 import graft.SparkSpec
 import java.sql.Timestamp
+import org.apache.spark.sql.functions.{lit, when}
 
 class DriftSpec extends SparkSpec {
   import spark.implicits._
@@ -100,6 +101,31 @@ class DriftSpec extends SparkSpec {
         ("b", "2024-01-03")
       )
     )
+  }
+
+  test("snapshot diff counts the planted edit script; null shifts are changes") {
+    val a = Seq(
+      (1L, Some("x"), Some("p")),
+      (2L, Some("x"), Option.empty[String]), // null SHIFTS position in b
+      (3L, Some("y"), Some("q")), // removed in b
+      (4L, Some("z"), Some("r")) // unchanged
+    ).toDF("k", "c1", "c2")
+    val b = Seq(
+      (1L, Some("x"), Some("p")), // wait -- changed below via c2
+      (2L, Option.empty[String], Some("x")), // same strings, shifted slot
+      (4L, Some("z"), Some("r")),
+      (5L, Some("new"), Some("n")) // added
+    ).toDF("k", "c1", "c2")
+    val bMut = b.withColumn("c2",
+      when($"k" === 1L, lit("P")).otherwise($"c2")) // k=1 becomes a real change
+    val got = Drift
+      .snapshotDiff(a, bMut, Seq("k"), Seq("c1", "c2"))
+      .as[(Long, Long, Long, Long)]
+      .collect()
+      .head
+    // added: k=5; removed: k=3; changed: k=1 (edit) AND k=2 (null slot
+    // shift — the sentinel makes it visible); unchanged: k=4
+    assert(got == ((1L, 1L, 2L, 1L)))
   }
 
   test("novelty profile: first-seen counts, shares, and running distinct total") {
