@@ -175,8 +175,10 @@ object Trend {
     val means = series
       .groupBy(keys: _*)
       .agg(
+        // count the VALUES, not the rows — a NULL-bearing series must
+        // not bias the mean low (decompose uses the same convention)
         (sum(col(valueCol).cast(DecimalType(38, 10))).cast("double") /
-          count(lit(1))).as("_mean")
+          count(col(valueCol))).as("_mean")
       )
     val wOrd = Window.partitionBy(keys: _*).orderBy(col(tsCol))
     val withLeads = (1 to maxLag)

@@ -487,9 +487,19 @@ object EventAnalytics {
       .withColumn("_prev_day", lag(col("day"), 1).over(wSeg))
       .where(datediff(col("day"), col("_prev_day")) === 1)
       .withColumn("_delta", col("_v") - col("_prev"))
-    val wDay = Window.partitionBy(col("day"))
+    // total_delta comes from DAY-GRAIN sums over ALL segments — never
+    // from the (possibly capped) segment rows — so contributions stay
+    // shares of the metric's REAL move even when rows are capped
+    val wDayOrd = Window.orderBy(col("day"))
+    val dayTotals = per
+      .groupBy("day")
+      .agg(sum(col("_v")).as("_dv"))
+      .withColumn("_prev_dv", lag(col("_dv"), 1).over(wDayOrd))
+      .withColumn("_prev_day", lag(col("day"), 1).over(wDayOrd))
+      .where(datediff(col("day"), col("_prev_day")) === 1)
+      .select(col("day"), (col("_dv") - col("_prev_dv")).as("_total"))
     paired
-      .withColumn("_total", sum(col("_delta")).over(wDay))
+      .join(broadcast(dayTotals), "day")
       .select(
         col("day"),
         col("segment"),
@@ -544,7 +554,9 @@ object EventAnalytics {
           .round6(sum(col(valueCol).cast(dec)).cast("double"))
           .as("monetary")
       )
-    val ref = events.agg(max(col(tsCol)).as("_ref"))
+    // the reference instant is max over users' last activity — read
+    // from the |users|-row aggregate, not a second raw-event scan
+    val ref = users.agg(max(col("_last")).as("_ref"))
     val base = users
       .crossJoin(broadcast(ref))
       .withColumn(
@@ -616,10 +628,16 @@ object EventAnalytics {
       endCol: String,
       grain: String = "minute"
   ): DataFrame = {
-    val deltas = intervals
+    // OPEN intervals (NULL end) have no sweep events yet: a NULL
+    // bucket would sort first and permanently understate every count.
+    // They are excluded — close or cap them upstream (the sessionizer
+    // emits only closed sessions).
+    val closed = intervals
+      .where(col(startCol).isNotNull && col(endCol).isNotNull)
+    val deltas = closed
       .select(date_trunc(grain, col(startCol)).as("t"), lit(1L).as("_d"))
       .unionAll(
-        intervals
+        closed
           .select(date_trunc(grain, col(endCol)).as("t"), lit(-1L).as("_d"))
       )
     val w = Window

@@ -278,9 +278,11 @@ object Drift {
     * explicit NULL sentinels — `concat_ws` silently DROPS nulls, so
     * ('a', NULL, 'b') and ('a', 'b', NULL) would otherwise collide;
     * every column goes through `coalesce(cast(c as string), sentinel)`
-    * first. Duplicate keys are a caller error this op surfaces: the
-    * counts are per KEY OCCURRENCE pairing (full outer join), so a
-    * key duplicated on one side inflates added/removed visibly.
+    * first. Key columns match NULL-SAFELY (`<=>`): a row whose key is
+    * NULL on both sides is the same row, not an add+remove pair.
+    * Duplicate keys are a caller error this op surfaces: the counts
+    * are per KEY OCCURRENCE pairing (full outer join), so a key
+    * duplicated on one side inflates added/removed visibly.
     *
     * Scale shape: two scan-side hash projections (16-byte digests —
     * the payload never shuffles), ONE full-outer join on the key, one
@@ -294,9 +296,9 @@ object Drift {
   ): DataFrame = {
     require(keyCols.nonEmpty, "at least one key column")
     require(compareCols.nonEmpty, "at least one compare column")
-    def hashed(df: DataFrame, h: String): DataFrame =
+    def hashed(df: DataFrame, prefix: String, h: String): DataFrame =
       df.select(
-        keyCols.map(col) :+
+        keyCols.zipWithIndex.map { case (k, i) => col(k).as(s"_$prefix$i") } :+
           md5(
             concat_ws(
               "\u0001",
@@ -306,8 +308,12 @@ object Drift {
             )
           ).as(h): _*
       )
-    hashed(a, "_ha")
-      .join(hashed(b, "_hb"), keyCols, "full_outer")
+    val ha = hashed(a, "ka", "_ha")
+    val hb = hashed(b, "kb", "_hb")
+    val cond = keyCols.indices
+      .map(i => col(s"_ka$i") <=> col(s"_kb$i"))
+      .reduce(_ && _)
+    ha.join(hb, cond, "full_outer")
       .agg(
         sum(when(col("_ha").isNull, 1L).otherwise(0L)).as("n_added"),
         sum(when(col("_hb").isNull, 1L).otherwise(0L)).as("n_removed"),

@@ -583,7 +583,7 @@ object AnomalyQueries extends QueryPack {
           .orderBy("event_type", "lag"),
       oracle = Some(s"""$seriesCte,
         m AS (SELECT event_type,
-            CAST(SUM(CAST(value AS DECIMAL(38,10))) AS DOUBLE) / COUNT(*)
+            CAST(SUM(CAST(value AS DECIMAL(38,10))) AS DOUBLE) / COUNT(value)
               AS mean
           FROM s GROUP BY 1),
         l AS (SELECT s.event_type, s.value, m.mean, $leads

@@ -13,7 +13,8 @@ import org.apache.spark.sql.functions._
   *
   * Works against any JDBC URL; tests and the quickstart use Spark's
   * BUNDLED embedded Derby (`jdbc:derby:memory:...`), production points
-  * the same class at Postgres/MySQL. Division of labor at scale:
+  * the same class at Postgres (MySQL needs >= 8.0.16 for the
+  * correlated-DELETE upsert grammar). Division of labor at scale:
   *   - bulk I/O goes through Spark's JDBC source — reads push the
   *     `dataset_uri`/ts-bound predicates into the database (no full
   *     table scan ships over the wire), writes batch-insert through
@@ -62,11 +63,15 @@ class JdbcMetricsRepository(
     finally c.close()
   }
 
-  private def tableExists(c: Connection, name: String): Boolean = {
-    val rs = c.getMetaData.getTables(null, null, name.toUpperCase, null)
-    try rs.next()
-    finally rs.close()
-  }
+  /** Case-insensitive: Derby folds unquoted DDL to UPPER, Postgres to
+    * lower — a repository must reconnect to tables either created.
+    */
+  private def tableExists(c: Connection, name: String): Boolean =
+    Seq(name.toUpperCase, name.toLowerCase).exists { n =>
+      val rs = c.getMetaData.getTables(null, null, n, null)
+      try rs.next()
+      finally rs.close()
+    }
 
   private def ddl(c: Connection, sql: String): Unit = {
     val st = c.createStatement()
@@ -79,27 +84,27 @@ class JdbcMetricsRepository(
     if (!tableExists(c, "graft_datasets"))
       ddl(c, """CREATE TABLE graft_datasets (
         "uri" VARCHAR(512) NOT NULL PRIMARY KEY,
-        "ts_column" VARCHAR(256),
+        "ts_column" VARCHAR(512),
         "columns_enc" VARCHAR(16000),
         "granularity" VARCHAR(32),
         "metrics_enc" VARCHAR(16000))""")
     if (!tableExists(c, "graft_profiling"))
       ddl(c, """CREATE TABLE graft_profiling (
         "dataset_uri" VARCHAR(512) NOT NULL,
-        "ts" TIMESTAMP, "entity" VARCHAR(256), "instance" VARCHAR(256),
-        "name" VARCHAR(256), "value" DOUBLE)""")
+        "ts" TIMESTAMP, "entity" VARCHAR(512), "instance" VARCHAR(512),
+        "name" VARCHAR(512), "value" DOUBLE)""")
     if (!tableExists(c, "graft_optimization"))
       ddl(c, """CREATE TABLE graft_optimization (
         "dataset_uri" VARCHAR(512) NOT NULL,
-        "entity" VARCHAR(256), "instance" VARCHAR(256),
-        "name" VARCHAR(256), "best_model" VARCHAR(256),
+        "entity" VARCHAR(512), "instance" VARCHAR(512),
+        "name" VARCHAR(512), "best_model" VARCHAR(512),
         "threshold" DOUBLE, "mean_error" DOUBLE,
         "optimization_failed" BOOLEAN)""")
     if (!tableExists(c, "graft_scoring"))
       ddl(c, """CREATE TABLE graft_scoring (
         "dataset_uri" VARCHAR(512) NOT NULL,
-        "ts" TIMESTAMP, "entity" VARCHAR(256), "instance" VARCHAR(256),
-        "name" VARCHAR(256), "value" DOUBLE,
+        "ts" TIMESTAMP, "entity" VARCHAR(512), "instance" VARCHAR(512),
+        "name" VARCHAR(512), "value" DOUBLE,
         "predicted" DOUBLE, "score" DOUBLE)""")
   }
 
@@ -205,16 +210,31 @@ class JdbcMetricsRepository(
       .jdbc(url, staging, props)
     try {
       withConn { c =>
-        val keyMatch = key
-          .map(k => s"""s."$k" = t."$k"""")
-          .mkString(" AND ")
-        ddl(
-          c,
-          s"""DELETE FROM $table t WHERE t."dataset_uri" = '${uri.replace("'", "''")}'
-             AND EXISTS (SELECT 1 FROM $staging s WHERE $keyMatch)"""
-        )
-        val colList = cols.map(cn => s""""$cn"""").mkString(", ")
-        ddl(c, s"INSERT INTO $table ($colList) SELECT $colList FROM $staging")
+        // ONE transaction: a failure between the DELETE and the
+        // INSERT..SELECT (width overflow, dropped connection) must
+        // roll the delete back, never strand the store with the old
+        // rows gone and the new ones missing
+        c.setAutoCommit(false)
+        try {
+          val keyMatch = key
+            .map(k => s"""s."$k" = $table."$k"""")
+            .mkString(" AND ")
+          // no DELETE alias — the unaliased correlated form is the
+          // widest-supported grammar (Derby, Postgres; MySQL still
+          // needs >= 8.0.16 for the EXISTS-on-self shape)
+          ddl(
+            c,
+            s"""DELETE FROM $table WHERE "dataset_uri" = '${uri.replace("'", "''")}'
+               AND EXISTS (SELECT 1 FROM $staging s WHERE $keyMatch)"""
+          )
+          val colList = cols.map(cn => s""""$cn"""").mkString(", ")
+          ddl(c, s"INSERT INTO $table ($colList) SELECT $colList FROM $staging")
+          c.commit()
+        } catch {
+          case e: Throwable =>
+            c.rollback()
+            throw e
+        }
       }
     } finally {
       withConn(c => ddl(c, s"DROP TABLE $staging"))

@@ -116,13 +116,16 @@ object Pca {
     val ds = dims.sorted
     val idx = ds.zipWithIndex.toMap
     val m = Array.ofDim[Double](ds.size, ds.size)
-    covarianceBlock(df, vecCol, dims)
-      .collect()
-      .foreach { r =>
-        val i = idx(r.getInt(0)); val j = idx(r.getInt(1))
-        val c = r.getDouble(3)
-        m(i)(j) = c; m(j)(i) = c
-      }
+    val rows = covarianceBlock(df, vecCol, dims).collect()
+    require(
+      rows.nonEmpty && !rows.head.isNullAt(3) && rows.head.getLong(2) > 0,
+      s"no usable vectors: every '$vecCol' is NULL or shorter than ${ds.last + 1}"
+    )
+    rows.foreach { r =>
+      val i = idx(r.getInt(0)); val j = idx(r.getInt(1))
+      val c = r.getDouble(3)
+      m(i)(j) = c; m(j)(i) = c
+    }
     m
   }
 
@@ -196,6 +199,10 @@ object Pca {
       .collect()
       .head
     val n = r.getLong(0)
+    require(
+      n > 0,
+      s"no usable vectors: every '$vecCol' is NULL or shorter than ${ds.last + 1}"
+    )
     ds.indices.map(i => r.getDecimal(i + 1).doubleValue() / n).toArray
   }
 
@@ -217,8 +224,11 @@ object Pca {
       outCol: String = "whitened"
   ): DataFrame = {
     val ds = dims.sorted
-    val (values, vectors) = eigSym(fitCovariance(df, vecCol, dims))
-    val mu = fitMeans(df, vecCol, dims)
+    // ONE fit scan: the covariance pass already aggregates every
+    // per-dim sum the means need (mu_i = s_i / n) — re-deriving them
+    // with fitMeans would scan the corpus a second time
+    val (cov, mu) = fitMoments(df, vecCol, dims)
+    val (values, vectors) = eigSym(cov)
     val sel = array(ds.map(i => element_at(col(vecCol), i + 1).cast("double")): _*)
     val comps = values.indices.map { j =>
       val w = vectors(j).map(_ / math.sqrt(math.max(values(j), 0.0) + eps))
@@ -226,6 +236,54 @@ object Pca {
       Similarity.dot(sel, typedLit(w.toSeq)) - lit(shift)
     }
     df.withColumn(outCol, array(comps: _*))
+  }
+
+  /** Covariance AND means from one corpus scan — the shared fit for
+    * [[whiten]]: identical math to [[fitCovariance]]/[[fitMeans]]
+    * (DECIMAL sums, population covariance, same row filter), but the
+    * per-dim sums are read from the covariance pass's own wide row
+    * instead of a second aggregation job.
+    */
+  def fitMoments(
+      df: DataFrame,
+      vecCol: String,
+      dims: Seq[Int]
+  ): (Array[Array[Double]], Array[Double]) = {
+    val ds = dims.sorted
+    val maxDim = ds.last
+    val dec = org.apache.spark.sql.types.DecimalType(38, 12)
+    def el(i: Int): Column = element_at(col(vecCol), i + 1).cast("double")
+    val pairs = for {
+      (a, ia) <- ds.zipWithIndex
+      b <- ds.drop(ia)
+    } yield (a, b)
+    val sumAggs = ds.map(i => sum(el(i).cast(dec)).as(s"_s$i"))
+    val prodAggs = pairs.map { case (a, b) =>
+      sum((el(a) * el(b)).cast(dec)).as(s"_p${a}_$b")
+    }
+    val aggs = (count(lit(1)).as("_n") +: sumAggs) ++ prodAggs
+    val r = df
+      .where(col(vecCol).isNotNull && size(col(vecCol)) > maxDim)
+      .agg(aggs.head, aggs.tail: _*)
+      .collect()
+      .head
+    val n = r.getLong(0)
+    require(
+      n > 0,
+      s"no usable vectors: every '$vecCol' is NULL or shorter than ${maxDim + 1}"
+    )
+    val sums = ds.indices.map(i => r.getDecimal(1 + i).doubleValue()).toArray
+    val mu = sums.map(_ / n)
+    val idx = ds.zipWithIndex.toMap
+    val m = Array.ofDim[Double](ds.size, ds.size)
+    pairs.zipWithIndex.foreach { case ((a, b), k) =>
+      val p = r.getDecimal(1 + ds.size + k).doubleValue()
+      val i = idx(a); val j = idx(b)
+      // same rounded-covariance convention as covarianceBlock
+      val c = math.rint((p / n - (sums(idx(a)) / n) * (sums(idx(b)) / n)) * 1e6) / 1e6
+      m(i)(j) = c; m(j)(i) = c
+    }
+    (m, mu)
   }
 
   /** Scan-side projection of the chosen dims onto a constant axis

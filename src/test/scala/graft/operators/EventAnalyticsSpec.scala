@@ -199,6 +199,37 @@ class EventAnalyticsSpec extends SparkSpec {
     ))
   }
 
+  test("concurrency: open intervals (NULL end) are excluded, not sorted first") {
+    val iv = Seq(
+      ("A", Some(t("2025-01-01 10:00:30")), Some(t("2025-01-01 10:05:10"))),
+      ("open", Some(t("2025-01-01 10:01:00")), Option.empty[java.sql.Timestamp])
+    ).toDF("id", "s", "e")
+    val got = EventAnalytics
+      .concurrencyProfile(iv, "s", "e", grain = "minute")
+      .orderBy("t")
+      .as[(java.sql.Timestamp, Long, Long, Long, Long)]
+      .collect()
+    assert(got.forall(_._1 != null), "no NULL bucket row")
+    assert(got.map(_._5).min == 0L && got.map(_._5).max == 1L,
+      "counts never understated by a leading NULL -1")
+  }
+
+  test("contribution: the segment cap cannot falsify total_delta") {
+    val events = Seq(
+      ("A", t("2025-01-01 10:00:00"), 10.0), ("B", t("2025-01-01 10:00:00"), 5.0),
+      ("A", t("2025-01-02 10:00:00"), 13.0), ("B", t("2025-01-02 10:00:00"), 9.0)
+    ).toDF("event_type", "ts", "value")
+    // cap keeps only segment A's rows; the total must still be the
+    // REAL day-over-day move (+3 +4 = +7), not A's +3
+    val got = EventAnalytics
+      .contributionAnalysis(events, "ts", "event_type", "value", maxSegments = 1)
+      .as[(java.sql.Timestamp, String, Double, Double, Double, Double, Option[Double])]
+      .collect()
+    assert(got.length == 1 && got.head._2 == "A")
+    assert(got.head._6 == 7.0, s"true total, got ${got.head._6}")
+    assert(got.head._7.contains(3.0 / 7.0 match { case x => math.rint(x * 1e6) / 1e6 }))
+  }
+
   test("rfm: quartile-threshold scores produce the diagonal segments") {
     // A: 4 events newest day, total 40 -> 444; D: 1 old cheap event -> 111
     def ev(u: Long, day: Int, n: Int, v: Double) =

@@ -128,6 +128,17 @@ class DriftSpec extends SparkSpec {
     assert(got == ((1L, 1L, 2L, 1L)))
   }
 
+  test("snapshot diff: identical NULL-key rows are unchanged, not add+remove") {
+    val a = Seq((Option.empty[Long], "x"), (Some(1L), "y")).toDF("k", "c")
+    val b = Seq((Option.empty[Long], "x"), (Some(1L), "y")).toDF("k", "c")
+    val got = Drift
+      .snapshotDiff(a, b, Seq("k"), Seq("c"))
+      .as[(Long, Long, Long, Long)]
+      .collect()
+      .head
+    assert(got == ((0L, 0L, 0L, 2L)), s"null-safe key match, got $got")
+  }
+
   test("novelty profile: first-seen counts, shares, and running distinct total") {
     // day1 {a,b} day2 {b,c} day3 {a} day4 {d,e,f}; a repeated within
     // day1 (distinct grain) and a null key (dropped)
