@@ -598,7 +598,113 @@ object AnomalyQueries extends QueryPack {
     )
   }
 
+  // χ² independence of event_type vs day-of-week, with Cramér's V
+  private val chi2Q = Q(
+    fn = (s, d) =>
+      graft.anomaly.StatTests.chiSquare(
+        Tables.events(s, d).withColumn("dow", dayofweek(col("ts"))),
+        "event_type",
+        "dow"
+      ),
+    oracle = Some("""
+      WITH base AS (SELECT CAST(event_type AS VARCHAR) AS a,
+          CAST(dayofweek(ts) + 1 AS VARCHAR) AS b
+        FROM events WHERE event_type IS NOT NULL AND ts IS NOT NULL),
+      c AS (SELECT a, b, count(*) AS n FROM base GROUP BY 1, 2),
+      asd AS (SELECT a, CAST(SUM(n) AS BIGINT) AS na FROM c GROUP BY 1),
+      bsd AS (SELECT b, CAST(SUM(n) AS BIGINT) AS nb FROM c GROUP BY 1),
+      t AS (SELECT CAST(SUM(n) AS BIGINT) AS nt FROM c),
+      grid AS (SELECT asd.a, bsd.b, nt,
+          CAST(COALESCE(c.n, 0) AS DOUBLE) AS o,
+          CAST(na AS DOUBLE) * nb / nt AS e
+        FROM asd CROSS JOIN bsd CROSS JOIN t
+        LEFT JOIN c ON c.a = asd.a AND c.b = bsd.b),
+      agg AS (SELECT max(nt) AS n, count(DISTINCT a) AS card_a,
+          count(DISTINCT b) AS card_b,
+          SUM((o - e) * (o - e) / e) AS chi2raw
+        FROM grid)
+      SELECT n, card_a, card_b,
+        (card_a - 1) * (card_b - 1) AS dof,
+        round(chi2raw, 6) AS chi2,
+        round(sqrt(chi2raw / (n * least(card_a - 1, card_b - 1))), 6)
+          AS cramers_v
+      FROM agg""")
+  )
+
+  // Mann-Kendall significance on the metric series (tie-corrected)
+  private val mannKendallQ = Q(
+    fn = (s, d) =>
+      graft.anomaly.StatTests
+        .mannKendall(series(s, d), seriesCols)
+        .orderBy("event_type"),
+    oracle = Some(s"""$seriesCte,
+      i AS (SELECT event_type, value AS v,
+          row_number() OVER (PARTITION BY event_type ORDER BY ts) AS i
+        FROM s),
+      st AS (SELECT a.event_type,
+          CAST(SUM(CAST(sign(b.v - a.v) AS BIGINT)) AS BIGINT) AS s
+        FROM i a JOIN i b ON a.event_type = b.event_type AND a.i < b.i
+        GROUP BY 1),
+      nt AS (SELECT event_type, count(*) AS n FROM i GROUP BY 1),
+      tc AS (SELECT event_type,
+          CAST(SUM(t * (t - 1) * (2 * t + 5)) AS BIGINT) AS tc
+        FROM (SELECT event_type, v, count(*) AS t FROM i GROUP BY 1, 2)
+        WHERE t > 1 GROUP BY 1),
+      j AS (SELECT nt.event_type, nt.n, st.s,
+          (nt.n * (nt.n - 1) * (2 * nt.n + 5) - COALESCE(tc.tc, 0)) / 18.0
+            AS var
+        FROM nt JOIN st ON nt.event_type = st.event_type
+        LEFT JOIN tc ON nt.event_type = tc.event_type),
+      zt AS (SELECT *, CASE
+          WHEN var > 0 AND s > 0 THEN round((s - 1) / sqrt(var), 6)
+          WHEN var > 0 AND s < 0 THEN round((s + 1) / sqrt(var), 6)
+          WHEN var > 0 THEN 0.0 END AS z
+        FROM j)
+      SELECT event_type, n, s, z,
+        CASE WHEN z > 1.96 THEN 'increasing'
+             WHEN z < -1.96 THEN 'decreasing'
+             ELSE 'none' END AS trend
+      FROM zt ORDER BY event_type""")
+  )
+
+  // two-proportion z on the purchase share, day over day
+  private val proportionQ = Q(
+    fn = (s, d) =>
+      graft.anomaly.StatTests
+        .proportionDrift(
+          Tables.events(s, d),
+          "ts",
+          col("event_type") === "purchase"
+        )
+        .orderBy("day"),
+    oracle = Some("""
+      WITH pd AS (SELECT CAST(date_trunc('day', ts) AS TIMESTAMP) AS day,
+          count(*) AS n,
+          CAST(SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+            AS BIGINT) AS k
+        FROM events GROUP BY 1),
+      p AS (SELECT *, lag(n) OVER w AS pn, lag(k) OVER w AS pk,
+          lag(day) OVER w AS pday
+        FROM pd WINDOW w AS (ORDER BY day)),
+      q AS (SELECT day, pn AS n_prev, n AS n_cur,
+          CAST(pk AS DOUBLE) / pn AS p_prev,
+          CAST(k AS DOUBLE) / n AS p_cur,
+          CAST(pk + k AS DOUBLE) / (pn + n) AS pooled,
+          pn, n, pk, k
+        FROM p WHERE date_diff('day', pday, day) = 1)
+      SELECT day, n_prev, n_cur,
+        round(p_prev, 6) AS p_prev, round(p_cur, 6) AS p_cur,
+        CASE WHEN pooled > 0 AND pooled < 1
+          THEN round((p_cur - p_prev) /
+            sqrt(pooled * (1.0 - pooled) * (1.0 / n_prev + 1.0 / n_cur)), 6)
+        END AS z
+      FROM q ORDER BY day""")
+  )
+
   val queries: Map[String, Q] = Map(
+    "anomaly_chi2_independence" -> chi2Q,
+    "anomaly_mann_kendall" -> mannKendallQ,
+    "anomaly_proportion_drift" -> proportionQ,
     "anomaly_acf" -> acfQ,
     "anomaly_decompose_score" -> decomposeScoreQ,
     "anomaly_cusum" -> cusumQ,
