@@ -181,6 +181,11 @@ object Graph {
       )
   }
 
+  /** Node-id contract: ids must fit an unsigned 32-bit range
+    * (0 <= id < 2^32) — the per-iteration argmax packs (count, label)
+    * into one 64-bit word so it hash-aggregates; remap wider id
+    * spaces through a dense-id table first.
+    */
   def labelPropagation(
       edges: DataFrame,
       srcCol: String,
@@ -198,14 +203,27 @@ object Graph {
       // groupBy(node)), so neither re-shuffles. The struct-min argmax
       // plans as a SortAggregate (struct buffers aren't hash-mutable),
       // but its node-sort is partition-local under the same clustering.
+      // argmax-count with min-label tiebreak PACKED into one long:
+      // (count << 32) | (2^32-1-label). A plain max() is then
+      // hash-aggregable (ObjectHashAggregate on a struct-min buffer
+      // is not — it forced a SortAggregate and a partition-local sort
+      // per iteration). Labels are node ids < 2^31 by contract.
       labels = e
         .join(labels.withColumnRenamed("node", "src"), "src")
         .repartition(col("dst"))
         .groupBy(col("dst").as("node"), col("label"))
         .agg(count(lit(1)).as("_c"))
         .groupBy("node")
-        .agg(min(struct((-col("_c")).as("_nc"), col("label"))).as("_m"))
-        .select(col("node"), col("_m.label").as("label"))
+        .agg(
+          max(
+            col("_c") * lit(4294967296L) +
+              (lit(4294967295L) - col("label"))
+          ).as("_p")
+        )
+        .select(
+          col("node"),
+          (lit(4294967295L) - (col("_p") % lit(4294967296L))).as("label")
+        )
     }
     labels
   }
