@@ -435,6 +435,84 @@ object EventAnalytics {
       .orderBy(idCol)
   }
 
+  /** Per-actor inter-arrival statistics — the burstiness / cadence
+    * fingerprint: `(user, n_events, n_gaps, mean_gap_s, p50_gap_s,
+    * p90_gap_s, cv)` where gaps are successive event-time deltas and
+    * cv = stddev_pop/mean of the gap distribution. cv ≈ 0 is a
+    * metronome (bots and cron jobs), cv ≈ 1 is Poisson-human, cv >> 1
+    * is bursts — the classic abuse-detection feature.
+    *
+    * Gaps are EXACT integer microseconds; the variance runs on
+    * DECIMAL(38,0) raw moments (a 30-day gap squared overflows BIGINT
+    * at ~10^24) so cv is engine-deterministic; percentiles are exact
+    * (quantile-parity policy). Zero-mean gap sets (all events at one
+    * instant) emit NULL cv. One ordered window per user + one
+    * user-keyed aggregation.
+    */
+  def interArrival(
+      events: DataFrame,
+      userCol: String,
+      tsCol: String,
+      tieBreak: Seq[String] = Nil
+  ): DataFrame = {
+    val dec0 = org.apache.spark.sql.types.DecimalType(38, 0)
+    // equal timestamps need a total order or the individual gaps (and
+    // so p50/p90/cv — though not the telescoping sum) are
+    // partition-order-dependent; pass an id column for determinism
+    val gaps = events
+      .select(
+        col(userCol).as("user") +:
+          col(tsCol).cast("timestamp").as("_ts") +:
+          tieBreak.map(col): _*
+      )
+      .withColumn(
+        "_prev",
+        lag(col("_ts"), 1).over(
+          Window
+            .partitionBy(col("user"))
+            .orderBy(col("_ts") +: tieBreak.map(col): _*)
+        )
+      )
+      .withColumn(
+        "_gap_us",
+        unix_micros(col("_ts")) - unix_micros(col("_prev"))
+      )
+    gaps
+      .groupBy("user")
+      .agg(
+        count(lit(1)).as("n_events"),
+        count(col("_gap_us")).as("n_gaps"),
+        sum(col("_gap_us").cast(dec0)).as("_s1"),
+        sum((col("_gap_us").cast(org.apache.spark.sql.types.DecimalType(19, 0)) *
+          col("_gap_us").cast(org.apache.spark.sql.types.DecimalType(19, 0))))
+          .as("_s2"),
+        percentile(col("_gap_us"), lit(0.5)).as("_p50"),
+        percentile(col("_gap_us"), lit(0.9)).as("_p90")
+      )
+      .where(col("n_gaps") > 0)
+      .select(
+        col("user"),
+        col("n_events"),
+        col("n_gaps"),
+        graft.functions.round6(
+          col("_s1").cast("double") / col("n_gaps") / lit(1e6)
+        ).as("mean_gap_s"),
+        graft.functions.round6(col("_p50") / lit(1e6)).as("p50_gap_s"),
+        graft.functions.round6(col("_p90") / lit(1e6)).as("p90_gap_s"),
+        when(
+          col("_s1") > 0,
+          graft.functions.round6(
+            sqrt(greatest(
+              col("_s2").cast("double") / col("n_gaps") -
+                (col("_s1").cast("double") / col("n_gaps")) *
+                (col("_s1").cast("double") / col("n_gaps")),
+              lit(0.0)
+            )) / (col("_s1").cast("double") / col("n_gaps"))
+          )
+        ).as("cv")
+      )
+  }
+
   /** Segment contribution analysis — "which segment drove the move":
     * for every consecutive-calendar-day pair and segment, the
     * segment's value delta and its share of the TOTAL day-over-day

@@ -485,6 +485,52 @@ object Profiler {
       )
       .select(col("_gts").as("ts"), col("instance"), col("entropy"))
 
+  /** Identifier-integrity profile over a column expected to be dense
+    * and duplicate-free (auto-increment keys, Kafka offsets, event
+    * ids): per ts partition — `(ts, n, n_distinct, min_id, max_id,
+    * missing, duplicates, density)` where missing = span − distinct
+    * (ids that should exist in [min, max] but don't — dropped
+    * messages), duplicates = n − distinct (redelivery), density =
+    * distinct/span. The ingest-pipeline QA check: a loader that
+    * silently skips a file shows as `missing` jumping by one file's
+    * worth, an at-least-once replay as `duplicates` > 0.
+    *
+    * One groupBy(day) pass; the exact COUNT(DISTINCT) plans an Expand
+    * exchange — at extreme scale swap `approx_count_distinct` in
+    * (the sketch-report convention) and read `missing`/`duplicates`
+    * as estimates.
+    */
+  def idIntegrityProfile(
+      df: DataFrame,
+      tsColumn: String,
+      idCol: String,
+      granularity: String = Granularity.Day
+  ): DataFrame =
+    truncated(df, tsColumn, granularity)
+      .where(col(idCol).isNotNull)
+      .groupBy(col("_gts").as("ts"))
+      .agg(
+        count(lit(1)).as("n"),
+        countDistinct(col(idCol)).as("n_distinct"),
+        min(col(idCol)).cast("long").as("min_id"),
+        max(col(idCol)).cast("long").as("max_id")
+      )
+      .select(
+        col("ts"),
+        col("n"),
+        col("n_distinct"),
+        col("min_id"),
+        col("max_id"),
+        greatest(
+          col("max_id") - col("min_id") + 1 - col("n_distinct"),
+          lit(0L)
+        ).as("missing"),
+        (col("n") - col("n_distinct")).as("duplicates"),
+        graft.functions.round6(
+          col("n_distinct") / (col("max_id") - col("min_id") + 1)
+        ).as("density")
+      )
+
   /** Type inference over STRING columns — the schema-discovery step
     * for schemaless ingest (CSV dumps, JSON strings, spreadsheet
     * exports): per column, the fraction of non-null values parseable

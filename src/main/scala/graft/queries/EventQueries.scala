@@ -13,6 +13,39 @@ object EventQueries extends QueryPack {
 
   private val funnelStepList = Seq("view", "click", "purchase")
 
+  // Per-user cadence fingerprint: exact-microsecond gap statistics
+  // with DECIMAL raw moments; (ts, event_id) total order so ties
+  // cannot move the percentiles between engines
+  private val interArrivalQ = Q(
+    fn = (s, d) =>
+      EventAnalytics
+        .interArrival(Tables.events(s, d), "user_id", "ts",
+          tieBreak = Seq("event_id"))
+        .withColumnRenamed("user", "user_id")
+        .orderBy("user_id"),
+    oracle = Some("""
+      WITH g AS (SELECT user_id,
+          epoch_us(ts) - epoch_us(lag(ts) OVER
+            (PARTITION BY user_id ORDER BY ts, event_id)) AS gap
+        FROM events),
+      a AS (SELECT user_id, count(*) AS n_events, count(gap) AS n_gaps,
+          CAST(SUM(CAST(gap AS DECIMAL(38,0))) AS DOUBLE) AS s1,
+          CAST(SUM(CAST(gap AS DECIMAL(19,0)) * CAST(gap AS DECIMAL(19,0)))
+            AS DOUBLE) AS s2,
+          quantile_cont(gap, 0.5) AS p50,
+          quantile_cont(gap, 0.9) AS p90
+        FROM g GROUP BY 1)
+      SELECT user_id, n_events, n_gaps,
+        round(s1 / n_gaps / 1e6, 6) AS mean_gap_s,
+        round(p50 / 1e6, 6) AS p50_gap_s,
+        round(p90 / 1e6, 6) AS p90_gap_s,
+        CASE WHEN s1 > 0 THEN
+          round(sqrt(greatest(s2 / n_gaps -
+            (s1 / n_gaps) * (s1 / n_gaps), 0.0)) / (s1 / n_gaps), 6)
+        END AS cv
+      FROM a WHERE n_gaps > 0 ORDER BY user_id""")
+  )
+
   // Path analysis: the top opening event sequences (first 3 events
   // per user, deterministic (ts, event_id) order) — "how do journeys
   // start"; per-user arrays hold <= 3 entries by construction, the
@@ -432,6 +465,7 @@ object EventQueries extends QueryPack {
     "q_contribution" -> contributionQ,
     "q_json_extract" -> jsonQ,
     "q_top_paths" -> topPathsQ,
+    "q_interarrival" -> interArrivalQ,
     "q_funnel_latency" -> latencyQ,
     "q_event_transitions" -> transitionsQ,
     "q_funnel_steps" -> funnelQ,

@@ -443,6 +443,26 @@ object ProfilerQueries extends QueryPack {
     )
   }
 
+  // Identifier-integrity QA on event_id per day: missing ids in the
+  // day's [min, max] span (dropped messages) + duplicates (replays)
+  private val idIntegrityQ = Q(
+    fn = (s, d) =>
+      Profiler
+        .idIntegrityProfile(Tables.events(s, d), "ts", "event_id")
+        .orderBy("ts"),
+    oracle = Some("""
+      WITH a AS (SELECT CAST(date_trunc('day', ts) AS TIMESTAMP) AS ts,
+          count(*) AS n, count(DISTINCT event_id) AS n_distinct,
+          CAST(min(event_id) AS BIGINT) AS min_id,
+          CAST(max(event_id) AS BIGINT) AS max_id
+        FROM events WHERE event_id IS NOT NULL GROUP BY 1)
+      SELECT ts, n, n_distinct, min_id, max_id,
+        greatest(max_id - min_id + 1 - n_distinct, 0) AS missing,
+        n - n_distinct AS duplicates,
+        round(n_distinct / (max_id - min_id + 1.0), 6) AS density
+      FROM a ORDER BY ts""")
+  )
+
   // Snapshot diff as a regression test: snapshot B is derived from
   // lineitem in-plan (modulo-keyed removals / edits / additions), and
   // the ORACLE states the expected counts DIRECTLY from the modulo
@@ -1033,6 +1053,7 @@ object ProfilerQueries extends QueryPack {
     "profile_overlap_sketch" -> overlapSketchQ,
     "profile_type_infer" -> typeInferQ,
     "profile_snapshot_diff" -> snapshotDiffQ,
+    "profile_id_integrity" -> idIntegrityQ,
     "profile_correlation" -> correlation
   )
 }
