@@ -378,6 +378,58 @@ object Multimodal {
     when(full, terms.reduce(_ + _))
   }
 
+  /** Big-endian unsigned integer read — [[leUint]]'s network-order
+    * twin (hex of a multi-byte substring is already big-endian).
+    */
+  private[multimodal] def beUint(bin: Column, pos: Int, len: Int): Column =
+    when(
+      length(bin) >= lit(pos + len - 1),
+      conv(hex(substring(bin, pos, len)), 16, 10).cast("long")
+    )
+
+  /** Container sniff + header dimensions for the fixed-offset image
+    * formats — `image` struct `(container, width, height)`:
+    * PNG (IHDR, big-endian), GIF (logical screen, little-endian),
+    * BMP (BITMAPINFOHEADER, little-endian). JPEG is detected but
+    * carries NULL dims — its SOF marker floats behind variable-length
+    * segments, which is a job for the decode KERNEL
+    * ([[extractFeatures]]), not a fixed-offset scan. Unknown or
+    * truncated payloads: NULL container / NULL dims — flagged, never
+    * guessed (same contract as [[wavMeta]]).
+    *
+    * Scale shape: pure fixed-offset column expressions (hex/conv,
+    * whole-stage codegen) — dimensions for a billion images ride the
+    * scan with zero shuffle and no payload copy; route the
+    * dims-bearing subset straight to resolution filters without ever
+    * invoking a decoder.
+    */
+  def imageMeta(df: DataFrame, binCol: String): DataFrame = {
+    val b = col(binCol)
+    val isPng = hex(substring(b, 1, 8)) === "89504E470D0A1A0A"
+    val isGif = hex(substring(b, 1, 4)) === "47494638" // "GIF8"
+    val isBmp = hex(substring(b, 1, 2)) === "424D" // "BM"
+    val isJpeg = hex(substring(b, 1, 3)) === "FFD8FF"
+    val container = when(b.isNull, lit(null).cast("string"))
+      .when(isPng, "png")
+      .when(isGif, "gif")
+      .when(isBmp, "bmp")
+      .when(isJpeg, "jpeg")
+    val width = when(isPng, beUint(b, 17, 4))
+      .when(isGif, leUint(b, 7, 2))
+      .when(isBmp, leUint(b, 19, 4))
+    val height = when(isPng, beUint(b, 21, 4))
+      .when(isGif, leUint(b, 9, 2))
+      .when(isBmp, leUint(b, 23, 4))
+    df.withColumn(
+      "image",
+      struct(
+        container.as("container"),
+        width.as("width"),
+        height.as("height")
+      )
+    )
+  }
+
   /** Audio-header metadata from canonical 44-byte PCM WAV payloads —
     * the audio twin of the image `withMeta`/`extractFeatures` path,
     * but SQL-expressible end to end: `wav` struct with `(canonical,

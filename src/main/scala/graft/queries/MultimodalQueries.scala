@@ -127,12 +127,15 @@ object MultimodalQueries extends QueryPack {
     * exactly invert the build hash-fails. Spark-only helper: the
     * little-endian hex builder never appears in the oracle.
     */
+  private def leHex(x: org.apache.spark.sql.Column, nBytes: Int): org.apache.spark.sql.Column =
+    concat((0 until nBytes).map { i =>
+      lpad(hex(shiftright(x, 8 * i).bitwiseAND(lit(255L))), 2, "0")
+    }: _*)
+
+  private def beHex(x: org.apache.spark.sql.Column, nBytes: Int): org.apache.spark.sql.Column =
+    lpad(hex(x), nBytes * 2, "0")
+
   private val wavQ = {
-    import org.apache.spark.sql.Column
-    def leHex(x: Column, nBytes: Int): Column =
-      concat((0 until nBytes).map { i =>
-        lpad(hex(shiftright(x, 8 * i).bitwiseAND(lit(255L))), 2, "0")
-      }: _*)
     Q(
       fn = (s, d) => {
         val e = Tables
@@ -187,7 +190,59 @@ object MultimodalQueries extends QueryPack {
     )
   }
 
+  /** PNG/GIF/BMP headers BUILT in-plan (dims derived from doc
+    * fields), parsed back by the scan-side `imageMeta` — the oracle
+    * states the expected dims directly, so a non-inverting parse
+    * hash-fails (same roundtrip contract as the WAV query). A fourth
+    * residue class ships raw text bytes: unknown container, NULL dims.
+    */
+  private val imageDimsQ = Q(
+    fn = (s, d) => {
+      val e = Tables
+        .documents(s, d)
+        .select(
+          col("doc_id"),
+          (lit(16L) + pmod(col("doc_id"), lit(100))).as("w"),
+          (lit(16L) + pmod(col("n_chars"), lit(50))).as("h"),
+          pmod(col("doc_id"), lit(4)).as("m"),
+          encode(col("text"), "UTF-8").as("raw")
+        )
+      val png = concat(
+        lit("89504E470D0A1A0A"), lit("0000000D"), lit("49484452"),
+        beHex(col("w"), 4), beHex(col("h"), 4)
+      )
+      val gif = concat(
+        lit("474946383961"), leHex(col("w"), 2), leHex(col("h"), 2)
+      )
+      val bmp = concat(
+        lit("424D"), leHex(lit(0L), 4), lit("00000000"), leHex(lit(54L), 4),
+        leHex(lit(40L), 4), leHex(col("w"), 4), leHex(col("h"), 4)
+      )
+      val payload = when(col("m") === 0, unhex(png))
+        .when(col("m") === 1, unhex(gif))
+        .when(col("m") === 2, unhex(bmp))
+        .otherwise(col("raw"))
+      Multimodal
+        .imageMeta(e.withColumn("payload", payload), "payload")
+        .select(
+          col("doc_id"),
+          col("image.container").as("container"),
+          col("image.width").as("width"),
+          col("image.height").as("height")
+        )
+        .orderBy("doc_id")
+    },
+    oracle = Some("""
+      SELECT doc_id,
+        CASE doc_id % 4 WHEN 0 THEN 'png' WHEN 1 THEN 'gif'
+          WHEN 2 THEN 'bmp' END AS container,
+        CASE WHEN doc_id % 4 <= 2 THEN 16 + doc_id % 100 END AS width,
+        CASE WHEN doc_id % 4 <= 2 THEN 16 + n_chars % 50 END AS height
+      FROM documents ORDER BY doc_id""")
+  )
+
   val queries: Map[String, Q] = Map(
+    "multimodal_image_dims" -> imageDimsQ,
     "multimodal_binary_meta" -> binaryMetaQ,
     "multimodal_frame_sample" -> frameSampleQ,
     "multimodal_wav_meta" -> wavQ,

@@ -168,6 +168,34 @@ class MultimodalSpec extends SparkSpec {
     assert(f3.toSeq == Seq((0, 256)))
   }
 
+  test("imageMeta reads real PNG dims scan-side; JPEG detected without dims") {
+    def png(w: Int, h: Int): Array[Byte] = {
+      val img =
+        new java.awt.image.BufferedImage(w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
+      val out = new java.io.ByteArrayOutputStream()
+      javax.imageio.ImageIO.write(img, "png", out)
+      out.toByteArray
+    }
+    val jpegish = Array(0xFF, 0xD8, 0xFF, 0xE0, 0x00).map(_.toByte)
+    val df = Seq(
+      (1L, png(37, 21)),
+      (2L, jpegish),
+      (3L, "plain text".getBytes("ASCII")),
+      (4L, null.asInstanceOf[Array[Byte]])
+    ).toDF("id", "payload")
+    val got = Multimodal
+      .imageMeta(df, "payload")
+      .select($"id", $"image.container", $"image.width", $"image.height")
+      .collect()
+      .map(r => r.getLong(0) ->
+        (Option(r.getString(1)), if (r.isNullAt(2)) -1L else r.getLong(2),
+          if (r.isNullAt(3)) -1L else r.getLong(3)))
+      .toMap
+    assert(got(1L) == ((Some("png"), 37L, 21L)), s"real PNG dims, got ${got(1L)}")
+    assert(got(2L) == ((Some("jpeg"), -1L, -1L)), "JPEG detected, dims deferred to the kernel")
+    assert(got(3L)._1.isEmpty && got(4L)._1.isEmpty)
+  }
+
   test("wavMeta parses a real canonical PCM header; junk is flagged, not guessed") {
     // hand-built canonical 44-byte header: 2ch, 44100 Hz, 16-bit, 8 data bytes
     def le(x: Long, n: Int): Array[Byte] =
