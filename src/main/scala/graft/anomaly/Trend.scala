@@ -145,6 +145,65 @@ object Trend {
       )
   }
 
+  /** Ordinary least squares per series over the observation index:
+    * `(seriesCols..., n, slope, intercept, r2)` — the classical
+    * companion to [[theilSen]] (fast, moment-based, outlier-sensitive;
+    * run both — when they disagree, the outliers are the story). R²
+    * quantifies how much of the variance the line explains.
+    *
+    * One aggregation pass per series: x is the row index (exact
+    * integers), the y and xy sums run through DECIMAL so aggregation
+    * order cannot move the fit; slope/intercept/R² are pointwise
+    * arithmetic on the collected moments, rounded 6 dp. Degenerate
+    * series (n < 2 or zero variance in x or y) emit NULL fit.
+    */
+  def olsTrend(
+      series: DataFrame,
+      seriesCols: Seq[String],
+      tsCol: String = "ts",
+      valueCol: String = "value"
+  ): DataFrame = {
+    val keys = seriesCols.map(col)
+    val w = Window.partitionBy(keys: _*).orderBy(col(tsCol))
+    val dec = DecimalType(38, 10)
+    val indexed = series
+      .where(col(valueCol).isNotNull)
+      .select(keys ++ Seq(col(tsCol), col(valueCol).as("_y")): _*)
+      .withColumn("_x", row_number().over(w).cast("long"))
+    val m = indexed
+      .groupBy(keys: _*)
+      .agg(
+        count(lit(1)).as("n"),
+        sum(col("_x")).as("_sx"),
+        sum((col("_x") * col("_x"))).as("_sxx"),
+        sum(col("_y").cast(dec)).as("_sy"),
+        sum((col("_y") * col("_y")).cast(dec)).as("_syy"),
+        sum((col("_x") * col("_y")).cast(dec)).as("_sxy")
+      )
+    val n = col("n").cast("double")
+    val sx = col("_sx").cast("double")
+    val sxx = col("_sxx").cast("double")
+    val sy = col("_sy").cast("double")
+    val syy = col("_syy").cast("double")
+    val sxy = col("_sxy").cast("double")
+    val denX = n * sxx - sx * sx
+    val denY = n * syy - sy * sy
+    val num = n * sxy - sx * sy
+    val slope = num / denX
+    m.select(
+      keys ++ Seq(
+        col("n"),
+        when(col("n") >= 2 && denX > 0, round6(slope)).as("slope"),
+        when(col("n") >= 2 && denX > 0, round6((sy - slope * sx) / n))
+          .as("intercept"),
+        when(
+          col("n") >= 2 && denX > 0 && denY > 0,
+          round6(num * num / (denX * denY))
+        ).as("r2")
+      ): _*
+    )
+  }
+
   /** Sample autocorrelation per series for lags 1..`maxLag` —
     * `(seriesCols..., lag, n_pairs, acf)`. The seasonality
     * fingerprint: a weekly cycle shows as a spike at lag 7, and the

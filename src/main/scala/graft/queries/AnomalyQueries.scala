@@ -598,6 +598,44 @@ object AnomalyQueries extends QueryPack {
     )
   }
 
+  // classical OLS fit per series — run beside Theil-Sen; divergence
+  // between the two IS the outlier signal
+  private val olsQ = Q(
+    fn = (s, d) =>
+      graft.anomaly.Trend
+        .olsTrend(series(s, d), seriesCols)
+        .orderBy("event_type"),
+    oracle = Some(s"""$seriesCte,
+      i AS (SELECT event_type, value AS y,
+          CAST(row_number() OVER (PARTITION BY event_type ORDER BY ts)
+            AS BIGINT) AS x
+        FROM s WHERE value IS NOT NULL),
+      m AS (SELECT event_type, count(*) AS n,
+          CAST(SUM(x) AS BIGINT) AS sxr,
+          CAST(SUM(x * x) AS BIGINT) AS sxxr,
+          CAST(SUM(CAST(y AS DECIMAL(38,10))) AS DOUBLE) AS sy,
+          CAST(SUM(CAST(y * y AS DECIMAL(38,10))) AS DOUBLE) AS syy,
+          CAST(SUM(CAST(x * y AS DECIMAL(38,10))) AS DOUBLE) AS sxy
+        FROM i GROUP BY 1),
+      f AS (SELECT event_type, n,
+          CAST(n AS DOUBLE) AS nd, CAST(sxr AS DOUBLE) AS sx,
+          CAST(sxxr AS DOUBLE) AS sxx, sy, syy, sxy
+        FROM m),
+      g AS (SELECT *,
+          nd * sxx - sx * sx AS denx,
+          nd * syy - sy * sy AS deny,
+          nd * sxy - sx * sy AS num
+        FROM f)
+      SELECT event_type, n,
+        CASE WHEN n >= 2 AND denx > 0 THEN round(num / denx, 6) END
+          AS slope,
+        CASE WHEN n >= 2 AND denx > 0
+          THEN round((sy - (num / denx) * sx) / nd, 6) END AS intercept,
+        CASE WHEN n >= 2 AND denx > 0 AND deny > 0
+          THEN round(num * num / (denx * deny), 6) END AS r2
+      FROM g ORDER BY event_type""")
+  )
+
   // χ² independence of event_type vs day-of-week, with Cramér's V
   private val chi2Q = Q(
     fn = (s, d) =>
@@ -703,6 +741,7 @@ object AnomalyQueries extends QueryPack {
 
   val queries: Map[String, Q] = Map(
     "anomaly_chi2_independence" -> chi2Q,
+    "anomaly_ols_trend" -> olsQ,
     "anomaly_mann_kendall" -> mannKendallQ,
     "anomaly_proportion_drift" -> proportionQ,
     "anomaly_acf" -> acfQ,

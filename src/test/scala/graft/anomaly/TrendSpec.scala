@@ -98,6 +98,22 @@ class TrendSpec extends SparkSpec {
     assert(math.abs(0.6745 * (dirty(20) - med) / rawMad) < 3.5)
   }
 
+  test("ols: exact line recovered with r2 = 1; constant y keeps slope 0, r2 undefined") {
+    val line = Trend
+      .olsTrend(mkSeries((1 to 8).map(i => 3.0 + 2.0 * i)), Seq("metric"))
+      .as[(String, Long, Option[Double], Option[Double], Option[Double])]
+      .collect()
+      .head
+    assert(line._2 == 8L && line._3.contains(2.0) && line._4.contains(3.0))
+    assert(line._5.contains(1.0))
+    val flat = Trend
+      .olsTrend(mkSeries(Seq.fill(6)(7.0)), Seq("metric"))
+      .as[(String, Long, Option[Double], Option[Double], Option[Double])]
+      .collect()
+      .head
+    assert(flat._3.contains(0.0) && flat._4.contains(7.0) && flat._5.isEmpty)
+  }
+
   test("acf: exact alternating series gives the textbook lag signs") {
     // x = +1,-1,... mean 0: acf1 = -7/8, acf2 = +6/8, acf3 = -5/8
     val vals = (0 until 8).map(i => if (i % 2 == 0) 1.0 else -1.0)
