@@ -268,6 +268,96 @@ object Drift {
       .select(keyCols.map(col) :+ col("_day").as("missing_day"): _*)
   }
 
+  /** Two-sample Kolmogorov-Smirnov between every GROUP pair (not day
+    * pair — [[ksDrift]]'s sibling for the mixture question): "do my
+    * sources draw from the same length/score distribution?" —
+    * `(group_a, group_b, n_a, n_b, ks)` for group_a < group_b.
+    * Sources that re-serve each other show ks ≈ 0; a crawler whose
+    * new source is truncating documents shows a length-KS spike long
+    * before means move.
+    *
+    * Scale shape: one (group, value) count aggregation over raw data
+    * is the only raw exchange; each count row replays onto the pairs
+    * containing its group via two equi-joins + a union (no raw
+    * self-join, no OR-join); the CDF sup-gap is a cumulative-sum
+    * window per pair at DISTINCT-VALUE grain. Group count carries an
+    * explicit bound (`maxGroups`, TakeOrdered) — the pair table is
+    * |groups|² by construction.
+    */
+  def ksBetweenGroups(
+      df: DataFrame,
+      groupCol: String,
+      valueCol: String,
+      maxGroups: Int = 100
+  ): DataFrame = {
+    require(maxGroups >= 2, s"maxGroups must be >= 2, got $maxGroups")
+    val counts = df
+      .where(col(groupCol).isNotNull && col(valueCol).isNotNull)
+      .groupBy(col(groupCol).as("_g"), col(valueCol).as("_v"))
+      .agg(count(lit(1)).as("_n"))
+    val groups = counts
+      .select("_g")
+      .distinct()
+      .orderBy("_g")
+      .limit(maxGroups)
+    val ga = groups.select(col("_g").as("group_a")).withColumn("_k", lit(1))
+    val gb = groups.select(col("_g").as("group_b")).withColumn("_k", lit(1))
+    val pairs = ga
+      .join(broadcast(gb), "_k")
+      .where(col("group_a") < col("group_b"))
+      .drop("_k")
+    val sideA = pairs
+      .join(counts.withColumnRenamed("_g", "group_a"), "group_a")
+      .select(
+        col("group_a"),
+        col("group_b"),
+        col("_v"),
+        col("_n").as("_na"),
+        lit(0L).as("_nb")
+      )
+    val sideB = pairs
+      .join(counts.withColumnRenamed("_g", "group_b"), "group_b")
+      .select(
+        col("group_a"),
+        col("group_b"),
+        col("_v"),
+        lit(0L).as("_na"),
+        col("_n").as("_nb")
+      )
+    val merged = sideA
+      .unionAll(sideB)
+      .groupBy("group_a", "group_b", "_v")
+      .agg(sum(col("_na")).as("_na"), sum(col("_nb")).as("_nb"))
+    val totals = merged
+      .groupBy("group_a", "group_b")
+      .agg(sum(col("_na")).as("_nat"), sum(col("_nb")).as("_nbt"))
+      .where(col("_nat") > 0 && col("_nbt") > 0)
+    val w = Window.partitionBy("group_a", "group_b").orderBy("_v")
+    merged
+      .join(totals, Seq("group_a", "group_b"))
+      .select(
+        col("group_a"),
+        col("group_b"),
+        col("_nat"),
+        col("_nbt"),
+        sum(col("_na")).over(w).as("_ca"),
+        sum(col("_nb")).over(w).as("_cb")
+      )
+      .groupBy("group_a", "group_b")
+      .agg(
+        max(col("_nat")).as("n_a"),
+        max(col("_nbt")).as("n_b"),
+        graft.functions
+          .round6(
+            max(abs(
+              col("_ca").cast("double") / col("_nat") -
+                col("_cb").cast("double") / col("_nbt")
+            ))
+          )
+          .as("ks")
+      )
+  }
+
   /** Row-level snapshot diff — the dataset regression test: compare
     * two snapshots BY KEY and report `(n_added, n_removed, n_changed,
     * n_unchanged)` in one summary row. "The pipeline change was

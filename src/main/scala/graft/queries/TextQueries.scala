@@ -13,6 +13,65 @@ object TextQueries extends QueryPack {
   private def swCountSql(lang: String): String =
     s"len(list_filter(string_split(text, ' '), t -> t IN ${inList(Text.stopwords(lang))}))"
 
+  // Cross-source length-distribution KS: "do my sources draw docs
+  // from the same length distribution" — the mixture-QA twin of the
+  // day-over-day drift KS
+  private val lengthKsQ = Q(
+    fn = (s, d) =>
+      graft.profiler.Drift
+        .ksBetweenGroups(Tables.documents(s, d), "source", "n_chars")
+        .orderBy("group_a", "group_b"),
+    oracle = Some("""
+      WITH c AS (SELECT source AS g, n_chars AS v, count(*) AS n
+        FROM documents WHERE source IS NOT NULL AND n_chars IS NOT NULL
+        GROUP BY 1, 2),
+      gs AS (SELECT DISTINCT g FROM c),
+      p AS (SELECT a.g AS ga, b.g AS gb FROM gs a CROSS JOIN gs b
+        WHERE a.g < b.g),
+      m AS (SELECT ga, gb, v, SUM(na) AS na, SUM(nb) AS nb FROM (
+          SELECT p.ga, p.gb, c.v, c.n AS na, 0 AS nb FROM p
+            JOIN c ON c.g = p.ga
+          UNION ALL
+          SELECT p.ga, p.gb, c.v, 0, c.n FROM p JOIN c ON c.g = p.gb)
+        GROUP BY 1, 2, 3),
+      t AS (SELECT ga, gb, CAST(SUM(na) AS BIGINT) AS nat,
+          CAST(SUM(nb) AS BIGINT) AS nbt
+        FROM m GROUP BY 1, 2 HAVING SUM(na) > 0 AND SUM(nb) > 0),
+      cdf AS (SELECT m.ga, m.gb, t.nat, t.nbt,
+          SUM(m.na) OVER w AS ca, SUM(m.nb) OVER w AS cb
+        FROM m JOIN t ON m.ga = t.ga AND m.gb = t.gb
+        WINDOW w AS (PARTITION BY m.ga, m.gb ORDER BY m.v
+          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW))
+      SELECT ga AS group_a, gb AS group_b,
+        max(nat) AS n_a, max(nbt) AS n_b,
+        round(max(abs(CAST(ca AS DOUBLE) / nat
+          - CAST(cb AS DOUBLE) / nbt)), 6) AS ks
+      FROM cdf GROUP BY 1, 2 ORDER BY group_a, group_b""")
+  )
+
+  // Flesch reading ease, scan-side (vowel-group syllable
+  // approximation; sentence floor 1 mirrored in both engines)
+  private val readabilityQ = Q(
+    fn = (s, d) =>
+      Text
+        .readability(Tables.documents(s, d), "text", "doc_id")
+        .orderBy("doc_id"),
+    oracle = Some(s"""
+      WITH b AS (SELECT doc_id,
+          len(string_split(text, ' ')) AS w,
+          greatest(len(regexp_extract_all(text, '[.!?]+')), 1) AS st,
+          len(regexp_extract_all(lower(text), '[aeiouy]+')) AS sy
+        FROM documents)
+      SELECT doc_id, w AS n_words, CAST(st AS INT) AS n_sentences,
+        CAST(sy AS INT) AS n_syllables,
+        CASE WHEN w > 0 THEN
+          ${sqlRound6(
+        "206.835 - 1.015 * (CAST(w AS DOUBLE) / st) - 84.6 * (CAST(sy AS DOUBLE) / w)"
+      )}
+        END AS flesch
+      FROM b ORDER BY doc_id""")
+  )
+
   private val tokensQ = Q(
     fn = (s, d) =>
       Tables
@@ -437,6 +496,8 @@ object TextQueries extends QueryPack {
     "text_pmi_bigrams" -> pmiQ,
     "text_unigram_logprob" -> unigramQ,
     "text_tokens" -> tokensQ,
+    "text_readability" -> readabilityQ,
+    "text_length_ks" -> lengthKsQ,
     "text_quality" -> qualityQ,
     "text_langid" -> langidQ,
     "text_fingerprint" -> fingerprintQ,

@@ -698,4 +698,38 @@ object Text {
         ).as("score")
       )
   }
+
+  /** Flesch reading-ease per document — the classic readability
+    * signal for curriculum ordering and education-level filtering:
+    * `(id, n_words, n_sentences, n_syllables, flesch)` with
+    * flesch = 206.835 − 1.015·(words/sentences) − 84.6·(syll/words).
+    * Syllables are the standard vowel-group approximation
+    * (`[aeiouy]+` runs — exact syllabification needs a dictionary;
+    * the approximation ranks documents identically in practice) and
+    * sentences are terminal-punctuation runs, floored at 1 so an
+    * unpunctuated fragment scores as one long sentence instead of
+    * dividing by zero. Empty documents emit NULL flesch.
+    *
+    * Pure scan-side regexp counts — zero shuffle, readability for a
+    * billion documents rides the first corpus read.
+    */
+  def readability(df: org.apache.spark.sql.DataFrame, textCol: String, idCol: String): org.apache.spark.sql.DataFrame = {
+    val words = tokenCount(col(textCol))
+    val sentences = greatest(regexp_count(col(textCol), lit("[.!?]+")), lit(1))
+    val syllables = regexp_count(lower(col(textCol)), lit("[aeiouy]+"))
+    df.select(
+      col(idCol),
+      words.as("n_words"),
+      sentences.cast("int").as("n_sentences"),
+      syllables.cast("int").as("n_syllables"),
+      when(
+        words > 0,
+        graft.functions.round6(
+          lit(206.835) -
+            lit(1.015) * (words.cast("double") / sentences) -
+            lit(84.6) * (syllables.cast("double") / words)
+        )
+      ).as("flesch")
+    )
+  }
 }

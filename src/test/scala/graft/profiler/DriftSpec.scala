@@ -103,6 +103,26 @@ class DriftSpec extends SparkSpec {
     )
   }
 
+  test("ks between groups: identical pair 0, disjoint pair 1, known shift exact") {
+    val rows =
+      Seq.fill(30)(("X", 1.0)) ++ Seq.fill(30)(("X", 2.0)) ++
+        Seq.fill(30)(("Y", 1.0)) ++ Seq.fill(30)(("Y", 2.0)) ++
+        Seq.fill(60)(("Z", 10.0)) ++
+        (Seq.fill(30)(("W", 1.0)) ++ Seq.fill(30)(("W", 10.0)))
+    val got = Drift
+      .ksBetweenGroups(rows.toDF("g", "v"), "g", "v")
+      .collect()
+      .map(r => (r.getString(0), r.getString(1)) -> r.getDouble(4))
+      .toMap
+    assert(got.size == 6, "all unordered pairs present")
+    assert(got(("X", "Y")) == 0.0)
+    assert(got(("X", "Z")) == 1.0 && got(("Y", "Z")) == 1.0)
+    // W vs X: half of W's mass sits at 10 beyond X's support -> sup gap 0.5
+    assert(got(("W", "X")) == 0.5)
+    // W vs Z: W has half its mass below Z's support -> 0.5
+    assert(got(("W", "Z")) == 0.5)
+  }
+
   test("snapshot diff counts the planted edit script; null shifts are changes") {
     val a = Seq(
       (1L, Some("x"), Some("p")),
