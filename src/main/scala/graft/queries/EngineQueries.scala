@@ -835,6 +835,45 @@ object EngineQueries extends QueryPack {
     )
   }
 
+  // Spark's NATIVE session_window operator (the engine-managed
+  // merging-interval aggregation — same 1800s gap rule as the custom
+  // q_sessionize, different machinery). Boundary semantics differ by
+  // one instant: session_window's half-open [t, t+gap) means a gap of
+  // EXACTLY 1800s starts a new session (the custom rule keeps it);
+  // the oracle mirrors the native >= boundary.
+  private val sessionWindowQ = Q(
+    fn = (s, d) =>
+      Tables
+        .events(s, d)
+        .groupBy(
+          col("user_id"),
+          session_window(col("ts"), "30 minutes").as("_w")
+        )
+        .agg(
+          min(col("ts")).as("s_start"),
+          max(col("ts")).as("s_end"),
+          count(lit(1)).as("n_events")
+        )
+        .select("user_id", "s_start", "s_end", "n_events")
+        .orderBy("user_id", "s_start"),
+    oracle = Some("""
+      WITH marked AS (
+        SELECT user_id, ts,
+          CASE WHEN lag(ts) OVER w IS NULL
+                 OR epoch(ts) - epoch(lag(ts) OVER w) >= 1800
+               THEN 1 ELSE 0 END AS new_session
+        FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts)),
+      sess AS (
+        SELECT user_id, ts,
+          SUM(new_session) OVER (PARTITION BY user_id ORDER BY ts
+            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid
+        FROM marked)
+      SELECT user_id, min(ts) AS s_start, max(ts) AS s_end,
+        count(*) AS n_events
+      FROM sess GROUP BY user_id, sid
+      ORDER BY user_id, s_start""")
+  )
+
   private val sessionize = Q(
     fn = (s, d) => {
       val byUser = Window.partitionBy(col("user_id")).orderBy(col("ts"))
@@ -1389,6 +1428,7 @@ object EngineQueries extends QueryPack {
     "q14_promo_revenue" -> q14,
     "q19_disjunctive_join" -> q19,
     "q_sessionize" -> sessionize,
+    "q_session_window" -> sessionWindowQ,
     "q_asof_join" -> asofQ,
     "q_range_join" -> rangeQ,
     "q_hash_split" -> splitQ,
