@@ -1165,4 +1165,29 @@ object Dedup {
         ).as("dup_fraction")
       )
   }
+
+  /** Exact-duplicate cluster-size distribution — the dedup PLANNING
+    * view: `(cluster_size, n_clusters, n_docs)` says whether the
+    * corpus's duplication is a long tail of pairs (cheap) or a few
+    * million-copy boilerplate clusters (the case that justifies
+    * [[stripBoilerplate]] and hot-bucket caps) before any dedup runs.
+    * `n_docs - n_clusters` summed = rows exact dedup would remove.
+    *
+    * Same (hash, text) collision-safe keying as [[exact]]; two
+    * map-side-combinable aggregations — fingerprint grain then
+    * size grain. Scans the corpus once.
+    */
+  def clusterSizeDistribution(
+      df: DataFrame,
+      textCol: String,
+      canonicalize: Column => Column = identity
+  ): DataFrame =
+    df.groupBy(xxhash64(canonicalize(col(textCol))).as("_key"),
+        canonicalize(col(textCol)).as("_canon"))
+      .agg(count(lit(1)).as("_sz"))
+      .groupBy(col("_sz").as("cluster_size"))
+      .agg(
+        count(lit(1)).as("n_clusters"),
+        sum(col("_sz")).as("n_docs")
+      )
 }

@@ -435,6 +435,57 @@ object EventAnalytics {
       .orderBy(idCol)
   }
 
+  /** Cohort value curve (the LTV table): users grouped by first
+    * active day; per (cohort_day, offset_day) — that day's summed
+    * value and the running cumulative per cohort: `(cohort_day,
+    * offset_day, n_users, revenue, cum_revenue)`. Read along a row:
+    * how a cohort's value accrues with age; read down a column:
+    * whether newer cohorts monetize faster.
+    *
+    * Scale shape: first-day attribution rides one user-keyed
+    * aggregation; value sums through DECIMAL at (cohort, offset)
+    * grain (map-side-combinable); the cumulative is a window per
+    * cohort over \|offsets\| rows — grain-level, never raw events.
+    */
+  def cohortValue(
+      events: DataFrame,
+      userCol: String,
+      tsCol: String,
+      valueCol: String,
+      maxOffsetDays: Int
+  ): DataFrame = {
+    require(maxOffsetDays >= 0, s"maxOffsetDays must be >= 0, got $maxOffsetDays")
+    val dec = org.apache.spark.sql.types.DecimalType(38, 10)
+    val withDay = events.select(
+      col(userCol).as("_u"),
+      date_trunc("day", col(tsCol)).as("_d"),
+      col(valueCol).as("_v")
+    )
+    val first = withDay.groupBy("_u").agg(min("_d").as("cohort_day"))
+    val grain = withDay
+      .join(first, "_u")
+      .withColumn("offset_day", datediff(col("_d"), col("cohort_day")).cast("long"))
+      .where(col("offset_day") <= maxOffsetDays)
+      .groupBy("cohort_day", "offset_day")
+      .agg(
+        countDistinct(col("_u")).as("n_users"),
+        sum(col("_v").cast(dec)).as("_rev")
+      )
+    val w = Window
+      .partitionBy(col("cohort_day"))
+      .orderBy(col("offset_day"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    grain
+      .withColumn("_cum", sum(col("_rev")).over(w))
+      .select(
+        col("cohort_day"),
+        col("offset_day"),
+        col("n_users"),
+        graft.functions.round6(col("_rev").cast("double")).as("revenue"),
+        graft.functions.round6(col("_cum").cast("double")).as("cum_revenue")
+      )
+  }
+
   /** Per-actor inter-arrival statistics — the burstiness / cadence
     * fingerprint: `(user, n_events, n_gaps, mean_gap_s, p50_gap_s,
     * p90_gap_s, cv)` where gaps are successive event-time deltas and

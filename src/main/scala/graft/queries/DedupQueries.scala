@@ -538,6 +538,19 @@ object DedupQueries extends QueryPack {
       FROM j WHERE jac >= 0.9 ORDER BY id_a, id_b""")
   )
 
+  // duplication-shape planning view: pairs-tail vs boilerplate-cluster
+  private val clusterSizesQ = Q(
+    fn = (s, d) =>
+      graft.dedup.Dedup
+        .clusterSizeDistribution(Tables.documents(s, d), "text")
+        .orderBy("cluster_size"),
+    oracle = Some("""
+      WITH c AS (SELECT text, count(*) AS sz FROM documents GROUP BY 1)
+      SELECT sz AS cluster_size, count(*) AS n_clusters,
+        CAST(SUM(sz) AS BIGINT) AS n_docs
+      FROM c GROUP BY 1 ORDER BY cluster_size""")
+  )
+
   val queries: Map[String, Q] = Map(
     "dedup_jaccard_join" -> jaccardJoinQ,
     "dedup_contamination_score" -> contaminationQ,
@@ -546,6 +559,7 @@ object DedupQueries extends QueryPack {
     "dedup_span_exact_xxh64" -> spanFastQ,
     "dedup_decontaminate_exact" -> spanDecontaminateQ,
     "dedup_exact" -> exactQ,
+    "dedup_cluster_sizes" -> clusterSizesQ,
     "dedup_near_sweep" -> sweepQ,
     "dedup_component_sweep" -> componentQ,
     "dedup_exact_normalized" -> exactNormQ,

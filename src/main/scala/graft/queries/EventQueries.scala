@@ -13,6 +13,34 @@ object EventQueries extends QueryPack {
 
   private val funnelStepList = Seq("view", "click", "purchase")
 
+  // Cohort LTV curve: per (cohort first-day, age) revenue + running
+  // cumulative — DECIMAL sums, windows at cohort-grain only
+  private val cohortValueQ = Q(
+    fn = (s, d) =>
+      EventAnalytics
+        .cohortValue(Tables.events(s, d), "user_id", "ts", "value",
+          maxOffsetDays = 30)
+        .orderBy("cohort_day", "offset_day"),
+    oracle = Some("""
+      WITH e AS (SELECT user_id AS u,
+          CAST(date_trunc('day', ts) AS TIMESTAMP) AS d, value AS v
+        FROM events),
+      f AS (SELECT u, min(d) AS cohort_day FROM e GROUP BY 1),
+      g AS (SELECT f.cohort_day,
+          CAST(date_diff('day', f.cohort_day, e.d) AS BIGINT) AS offset_day,
+          count(DISTINCT e.u) AS n_users,
+          SUM(CAST(e.v AS DECIMAL(38,10))) AS rev
+        FROM e JOIN f ON e.u = f.u
+        WHERE date_diff('day', f.cohort_day, e.d) <= 30
+        GROUP BY 1, 2)
+      SELECT cohort_day, offset_day, n_users,
+        round(CAST(rev AS DOUBLE), 6) AS revenue,
+        round(CAST(SUM(rev) OVER (PARTITION BY cohort_day ORDER BY offset_day
+          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE), 6)
+          AS cum_revenue
+      FROM g ORDER BY cohort_day, offset_day""")
+  )
+
   // Per-user cadence fingerprint: exact-microsecond gap statistics
   // with DECIMAL raw moments; (ts, event_id) total order so ties
   // cannot move the percentiles between engines
@@ -466,6 +494,7 @@ object EventQueries extends QueryPack {
     "q_json_extract" -> jsonQ,
     "q_top_paths" -> topPathsQ,
     "q_interarrival" -> interArrivalQ,
+    "q_cohort_value" -> cohortValueQ,
     "q_funnel_latency" -> latencyQ,
     "q_event_transitions" -> transitionsQ,
     "q_funnel_steps" -> funnelQ,
