@@ -13,6 +13,61 @@ object EventQueries extends QueryPack {
 
   private val funnelStepList = Seq("view", "click", "purchase")
 
+  // Revenue concentration: what share of total value the top 1% /
+  // 10% / 50% of users carry — whale-dependence in one row, via
+  // exact percentile thresholds broadcast back (no global user sort);
+  // DECIMAL user sums rounded before thresholding (deterministic
+  // boundaries, the RFM convention)
+  private val concentrationQ = Q(
+    fn = (s, d) => {
+      import org.apache.spark.sql.functions._
+      val dec = org.apache.spark.sql.types.DecimalType(38, 10)
+      val users = Tables
+        .events(s, d)
+        .groupBy(col("user_id"))
+        .agg(round6(sum(col("value").cast(dec)).cast("double")).as("_rev"))
+      val th = users.agg(
+        percentile(col("_rev"), lit(0.99)).as("_q99"),
+        percentile(col("_rev"), lit(0.9)).as("_q90"),
+        percentile(col("_rev"), lit(0.5)).as("_q50")
+      )
+      users
+        .crossJoin(broadcast(th))
+        .agg(
+          count(lit(1)).as("n_users"),
+          round6(sum(col("_rev"))).as("total"),
+          round6(
+            sum(when(col("_rev") >= col("_q99"), col("_rev")).otherwise(0.0)) /
+              sum(col("_rev"))
+          ).as("share_top1pct"),
+          round6(
+            sum(when(col("_rev") >= col("_q90"), col("_rev")).otherwise(0.0)) /
+              sum(col("_rev"))
+          ).as("share_top10pct"),
+          round6(
+            sum(when(col("_rev") >= col("_q50"), col("_rev")).otherwise(0.0)) /
+              sum(col("_rev"))
+          ).as("share_top50pct")
+        )
+    },
+    oracle = Some("""
+      WITH u AS (SELECT user_id,
+          round(CAST(SUM(CAST(value AS DECIMAL(38,10))) AS DOUBLE), 6)
+            AS rev
+        FROM events GROUP BY 1),
+      t AS (SELECT quantile_cont(rev, 0.99) AS q99,
+          quantile_cont(rev, 0.9) AS q90,
+          quantile_cont(rev, 0.5) AS q50 FROM u)
+      SELECT count(*) AS n_users, round(SUM(rev), 6) AS total,
+        round(SUM(CASE WHEN rev >= q99 THEN rev ELSE 0.0 END)
+          / SUM(rev), 6) AS share_top1pct,
+        round(SUM(CASE WHEN rev >= q90 THEN rev ELSE 0.0 END)
+          / SUM(rev), 6) AS share_top10pct,
+        round(SUM(CASE WHEN rev >= q50 THEN rev ELSE 0.0 END)
+          / SUM(rev), 6) AS share_top50pct
+      FROM u, t""")
+  )
+
   // Cohort LTV curve: per (cohort first-day, age) revenue + running
   // cumulative — DECIMAL sums, windows at cohort-grain only
   private val cohortValueQ = Q(
@@ -495,6 +550,7 @@ object EventQueries extends QueryPack {
     "q_top_paths" -> topPathsQ,
     "q_interarrival" -> interArrivalQ,
     "q_cohort_value" -> cohortValueQ,
+    "q_revenue_concentration" -> concentrationQ,
     "q_funnel_latency" -> latencyQ,
     "q_event_transitions" -> transitionsQ,
     "q_funnel_steps" -> funnelQ,
