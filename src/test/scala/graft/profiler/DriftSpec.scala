@@ -148,6 +148,32 @@ class DriftSpec extends SparkSpec {
     assert(got == ((1L, 1L, 2L, 1L)))
   }
 
+  test("snapshot diff property: random edit scripts reconstruct exactly") {
+    val rng = new scala.util.Random(7)
+    for (trial <- 1 to 5) {
+      val n = 30 + rng.nextInt(40)
+      val base = (1 to n).map(i => (i.toLong, s"v${rng.nextInt(1000)}"))
+      // random disjoint edit script
+      val ids = rng.shuffle(base.map(_._1)).toList
+      val nRem = rng.nextInt(n / 3)
+      val nChg = rng.nextInt(n / 3)
+      val removed = ids.take(nRem).toSet
+      val changed = ids.slice(nRem, nRem + nChg).toSet
+      val nAdd = rng.nextInt(10)
+      val b = base.filterNot(r => removed(r._1)).map {
+        case (k, v) if changed(k) => (k, v + "_x")
+        case r => r
+      } ++ (1 to nAdd).map(i => ((n + i).toLong, "new"))
+      val got = Drift
+        .snapshotDiff(base.toDF("k", "c"), b.toDF("k", "c"), Seq("k"), Seq("c"))
+        .as[(Long, Long, Long, Long)]
+        .collect()
+        .head
+      assert(got == ((nAdd.toLong, nRem.toLong, nChg.toLong,
+        (n - nRem - nChg).toLong)), s"trial $trial: $got")
+    }
+  }
+
   test("snapshot diff: identical NULL-key rows are unchanged, not add+remove") {
     val a = Seq((Option.empty[Long], "x"), (Some(1L), "y")).toDF("k", "c")
     val b = Seq((Option.empty[Long], "x"), (Some(1L), "y")).toDF("k", "c")

@@ -101,6 +101,34 @@ class PcaSpec extends SparkSpec {
       assert(math.abs(cov((i, j))) < 1e-3, s"cov($i,$j)=${cov((i, j))}")
   }
 
+  test("eigSym property: reconstruction and orthonormality on random symmetric matrices") {
+    val rng = new scala.util.Random(42)
+    for (trial <- 1 to 20) {
+      val d = 2 + rng.nextInt(6)
+      val m = Array.ofDim[Double](d, d)
+      for (i <- 0 until d; j <- i until d) {
+        val v = (rng.nextDouble() - 0.5) * 10
+        m(i)(j) = v; m(j)(i) = v
+      }
+      val (vals, vecs) = Pca.eigSym(m)
+      // eigenvalues descending
+      assert(vals.sliding(2).forall(p => p.length < 2 || p(0) >= p(1) - 1e-9),
+        s"trial $trial: not descending")
+      // orthonormal vectors
+      for (a <- 0 until d; b <- a until d) {
+        val dot = vecs(a).zip(vecs(b)).map { case (x, y) => x * y }.sum
+        val want = if (a == b) 1.0 else 0.0
+        assert(math.abs(dot - want) < 1e-8, s"trial $trial: <v$a,v$b>=$dot")
+      }
+      // reconstruction: A = V^T diag(vals) V (vecs(k) is the k-th eigenvector)
+      for (i <- 0 until d; j <- 0 until d) {
+        val r = (0 until d).map(k => vals(k) * vecs(k)(i) * vecs(k)(j)).sum
+        assert(math.abs(r - m(i)(j)) < 1e-8,
+          s"trial $trial: A($i,$j) ${m(i)(j)} != $r")
+      }
+    }
+  }
+
   test("zero matrix keeps the start vector instead of dividing by zero") {
     val (v, eig) = Pca.topComponent(Array.fill(3)(Array.fill(3)(0.0)))
     assert(eig == 0.0 && math.abs(v.map(x => x * x).sum - 1.0) < 1e-9)
