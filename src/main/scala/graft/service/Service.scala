@@ -436,6 +436,87 @@ object Service {
     * metrics and the alerts derive from the same snapshot, same as
     * [[assessDrift]].
     */
+  /** Trend assessment over every stored metric series: tie-corrected
+    * Mann-Kendall significance ([[graft.anomaly.StatTests.mannKendall]])
+    * paired with the robust Theil-Sen slope — "this metric is
+    * SIGNIFICANTLY drifting, at this rate". The forecast/threshold
+    * chain catches points that break from history; this catches the
+    * slow bleed that never breaks any single day.
+    *
+    * Per significant series (|z| > zThreshold): an alert through the
+    * standard handlers (score = z, positive = rising), and a
+    * `<name>_trend_z` metric stored at the series' newest ts so trend
+    * verdicts ride the same repository/report/history surfaces.
+    * Returns the full per-series verdict table (n, s, z, trend,
+    * slope). Driver-side data: one row per SERIES (the assessDrift
+    * collect contract) — never raw points.
+    */
+  def assessTrend(
+      datasetUri: String,
+      repo: MetricsRepository,
+      zThreshold: Double = 1.96,
+      handlers: Seq[NotificationHandler] = Seq(LogHandler)
+  ): DataFrame = {
+    require(zThreshold > 0, s"zThreshold must be positive, got $zThreshold")
+    val hist = repo.getProfiling(datasetUri)
+    val mk = graft.anomaly.StatTests.mannKendall(hist, seriesCols)
+    val slopes = graft.anomaly.Trend
+      .theilSen(hist, seriesCols)
+      .select((seriesCols.map(col) :+ col("slope")): _*)
+    val newest = hist
+      .groupBy(seriesCols.map(col): _*)
+      .agg(max(col("ts")).as("_ts"))
+    val verdicts = mk
+      .join(slopes, seriesCols)
+      .join(newest, seriesCols)
+    val rows = verdicts.collect().toSeq // one row per series
+    val spark = hist.sparkSession
+    val stored = spark.createDataFrame(
+      spark.sparkContext.parallelize(
+        rows.map { r =>
+          org.apache.spark.sql.Row(
+            r.getAs[java.sql.Timestamp]("_ts"),
+            r.getAs[String]("entity"),
+            r.getAs[String]("instance"),
+            r.getAs[String]("name") + "_trend_z",
+            Option(r.getAs[java.lang.Double]("z"))
+              .map(_.doubleValue)
+              .orNull
+          )
+        },
+        1
+      ),
+      org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("ts", org.apache.spark.sql.types.TimestampType),
+        org.apache.spark.sql.types.StructField("entity", org.apache.spark.sql.types.StringType),
+        org.apache.spark.sql.types.StructField("instance", org.apache.spark.sql.types.StringType),
+        org.apache.spark.sql.types.StructField("name", org.apache.spark.sql.types.StringType),
+        org.apache.spark.sql.types.StructField("value", org.apache.spark.sql.types.DoubleType)
+      ))
+    )
+    repo.addProfiling(datasetUri, stored)
+    rows
+      .filter { r =>
+        Option(r.getAs[java.lang.Double]("z")).exists(z => math.abs(z) > zThreshold)
+      }
+      .groupBy(_.getAs[java.sql.Timestamp]("_ts"))
+      .toSeq
+      .sortBy(_._1.getTime)
+      .foreach { case (ts, seriesRows) =>
+        val alerts = seriesRows.map { r =>
+          AnomalousScore(
+            entity = r.getAs[String]("entity"),
+            instance = r.getAs[String]("instance"),
+            name = r.getAs[String]("name"),
+            score = r.getAs[java.lang.Double]("z").doubleValue,
+            threshold = zThreshold
+          )
+        }
+        handlers.foreach(_.notify(datasetUri, ts, alerts))
+      }
+    verdicts.drop("_ts")
+  }
+
   def assessEmbeddingDrift(
       reference: DataFrame,
       current: DataFrame,

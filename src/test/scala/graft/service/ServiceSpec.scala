@@ -358,4 +358,38 @@ class ServiceSpec extends SparkSpec {
     assert(flagged.contains(("kept", "share")),
       s"kept-share collapse must alert, got $flagged")
   }
+
+  test("assessTrend flags the bleeding series, stores z, leaves the flat one quiet") {
+    val repo = new InMemoryRepository()
+    // two stored metric series: one slow bleed, one flat-with-noise
+    def rows(name: String, f: Int => Double) = (1 to 20).map { d =>
+      (java.sql.Timestamp.valueOf(f"2025-02-$d%02d 00:00:00"),
+        "Column", "value", name, f(d))
+    }
+    val df = (rows("bleeding", d => 100.0 - 0.5 * d) ++
+      rows("flat", d => 50.0 + (d % 2) * 0.1))
+      .toDF("ts", "entity", "instance", "name", "value")
+    repo.registerDataset(DatasetMeta("u", "ts", Seq("value"), "DAY", Seq.empty))
+    repo.addProfiling("u", df)
+    var notified = Seq.empty[AnomalousScore]
+    val handler = new NotificationHandler {
+      def notify(uri: String, ts: java.sql.Timestamp, anomalous: Seq[AnomalousScore]): Unit =
+        notified = notified ++ anomalous
+    }
+    val verdicts = Service
+      .assessTrend("u", repo, handlers = Seq(handler))
+      .collect()
+      .map(r => r.getAs[String]("name") ->
+        (r.getAs[String]("trend"), r.getAs[Double]("slope")))
+      .toMap
+    assert(verdicts("bleeding")._1 == "decreasing")
+    assert(verdicts("bleeding")._2 == -0.5)
+    assert(verdicts("flat")._1 == "none")
+    assert(notified.map(_.name).toSet == Set("bleeding"))
+    assert(notified.head.score < -1.96)
+    // the z verdict landed in the repository as an ordinary metric
+    val stored = repo.getProfiling("u")
+      .where(col("name") === "bleeding_trend_z").collect()
+    assert(stored.length == 1 && stored.head.getAs[Double]("value") < -1.96)
+  }
 }
