@@ -1,20 +1,44 @@
 package graft
 object Bench {
+
+  /** 1/5/15-min loadavg triple, or empty when /proc is unavailable.
+    * Host-contention tripwire: r8's committed bench was 47% slower
+    * than r7 purely from external load (every "regressed" query
+    * re-timed at par on an idle machine). Recording the loadavg at
+    * both ends makes a contaminated run self-identifying instead of a
+    * judge-side forensic exercise.
+    */
+  private def loadavgTriple(): Seq[Double] =
+    try
+      java.nio.file.Files
+        .readString(java.nio.file.Paths.get("/proc/loadavg"))
+        .split(" ").take(3).toSeq.map(_.toDouble)
+    catch { case _: Throwable => Seq.empty }
+
+  private def loadavgJson(t: Seq[Double]): String =
+    t.map(v => f"$v%.2f").mkString("[", ",", "]")
+
+  /** One-line contamination verdict read straight off the recorded
+    * loadavg (the r9 judge asked for this to replace per-round
+    * re-derivation): a run is contaminated when external load was
+    * already present at start (1-min loadavg > cpus/8) or arrived
+    * during the run (end − start drift > cpus/8). The JSON keeps the
+    * raw triples, so the verdict is auditable, not just assertable.
+    */
+  private def contaminated(start: Seq[Double], end: Seq[Double]): Boolean = {
+    val cpus = Runtime.getRuntime.availableProcessors.toDouble
+    (start.headOption, end.headOption) match {
+      case (Some(s), Some(e)) => s > cpus / 8 || (e - s) > cpus / 8
+      case _                  => false
+    }
+  }
+
   def main(args: Array[String]): Unit = {
+    if (args.contains("--sf-sweep")) { sweepMain(args.filterNot(_ == "--sf-sweep")); return }
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
-    // Host-contention tripwire: r8's committed bench was 47% slower
-    // than r7 purely from external load (every "regressed" query
-    // re-timed at par on an idle machine). Recording the 1/5/15-min
-    // loadavg at both ends makes a contaminated run self-identifying
-    // instead of a judge-side forensic exercise.
-    def loadavg(): String =
-      try {
-        val v = java.nio.file.Files
-          .readString(java.nio.file.Paths.get("/proc/loadavg"))
-          .split(" ").take(3).mkString(",")
-        s"[$v]"
-      } catch { case _: Throwable => "[]" }
-    val loadStart = loadavg()
+    def loadavg(): String = loadavgJson(loadavgTriple())
+    val loadStartTriple = loadavgTriple()
+    val loadStart = loadavgJson(loadStartTriple)
     // ERROR, not WARN: the bench JSON line must stay parseable in a
     // bounded output tail, so routine executor warnings are silenced.
     val spark = LocalSession.create("ERROR")
@@ -164,7 +188,9 @@ object Bench {
     // should not need a profiler to explain.
     val phases =
       s"""{"warmup":${ms(warmupSec)},"hygiene":${ms(hygieneSec)}}"""
-    val load = s"""{"start":$loadStart,"end":${loadavg()}}"""
+    val loadEndTriple = loadavgTriple()
+    val load =
+      s"""{"start":$loadStart,"end":${loadavgJson(loadEndTriple)},"contaminated":${contaminated(loadStartTriple, loadEndTriple)}}"""
     val detailJson =
       s"""{"metric":"total","value":${ms(total)},"unit":"sec","reps":$reps,"queries":$detail,"runs":$runsDetail,"families":$families,"phases":$phases,"incremental":$incrementalJson,"loadavg":$load,"errors":$errors,"sf":"$sfDir"}"""
     java.nio.file.Files.writeString(
@@ -200,5 +226,118 @@ object Bench {
     )
     spark.stop()
     if (results.exists(_._3.isDefined)) sys.exit(1)
+  }
+
+  /** The 15 most expensive registered keys (r9 idle-gate bench order)
+    * plus three known-linear controls — the set the `--sf-sweep`
+    * scaling study times at every scale factor. The expensive keys are
+    * exactly where super-linear behavior would bite a 100× scale-up
+    * first (iterative graph rounds, wedge joins, band joins); the
+    * controls anchor what "~1.0 per decade" looks like on this host so
+    * fixed job-launch overhead is not misread as sub-linearity.
+    */
+  private val sweepKeys: Seq[String] = Seq(
+    "q_label_propagation", "dedup_component_sweep", "quality_assess",
+    "q_link_prediction", "dedup_decontaminate", "dedup_minhash_lsh",
+    "dedup_near_sweep", "dedup_span_exact", "dedup_source_overlap",
+    "anomaly_score_last", "q_skew_salted_join", "q_triangle_count",
+    "dedup_simhash", "profile_approx_distinct", "q_copurchase_pagerank",
+    // linear controls
+    "q1_agg", "text_tfidf", "profile_report"
+  )
+
+  /** `--sf-sweep`: time each sweep key at EVERY sf directory under the
+    * testdata root (sf0.001 / sf0.01 / sf0.1), then fit per-query
+    * scaling exponents. Two fits per query, both in log10 space:
+    * `exp_fit` is the least-squares slope over all scale factors;
+    * `exp_top` is the top-decade slope log10(t_hi/t_mid) — the honest
+    * number, because at sf0.001 fixed job-launch cost (~0.2-0.5 s)
+    * dominates and drags the all-points fit toward zero. Exponents are
+    * in decades of DATA per decade of TIME: 1.0 = linear, 2.0 =
+    * quadratic; below ~0.3 means overhead-bound at these sizes.
+    * Results → bench_sweep.json (+ a parseable summary line); the
+    * committed analysis lives in SCALING.md.
+    */
+  private def sweepMain(args: Array[String]): Unit = {
+    val root = new java.io.File(
+      sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    ).getParentFile
+    val sfPat = "sf([0-9.]+)".r
+    val sfs: Seq[(Double, String)] = root
+      .listFiles()
+      .toSeq
+      .flatMap { f =>
+        f.getName match {
+          case sfPat(v) if f.isDirectory => Some(v.toDouble -> f.getAbsolutePath)
+          case _                         => None
+        }
+      }
+      .sortBy(_._1)
+    require(sfs.size >= 2, s"need >=2 sf dirs under $root, found ${sfs.size}")
+    val keys = if (args.nonEmpty) args.toSeq else sweepKeys
+    val reps = math.max(1, sys.env.getOrElse("SPARK_GRAFT_BENCH_REPS", "3").toInt)
+    val loadStartTriple = loadavgTriple()
+    val spark = LocalSession.create("ERROR")
+    try {
+      spark.range(1000000).selectExpr("sum(id)").count()
+      SparkEntry.queries("text_quality")(spark, sfs.head._2).count()
+    } catch { case _: Throwable => () }
+    spark.catalog.clearCache(); System.gc()
+    // sf-major order so parquet footer caches never carry a smaller
+    // scale's warm state into a larger one's timing
+    val times: Map[(String, Double), Double] = (for {
+      (sf, dir) <- sfs
+      name <- keys
+    } yield {
+      val fn = SparkEntry.queries.getOrElse(
+        name,
+        throw new IllegalArgumentException(s"unknown sweep key $name")
+      )
+      val ts = Array.ofDim[Double](reps)
+      var err = false
+      var i = 0
+      while (i < reps && !err) {
+        val t0 = System.nanoTime()
+        try { fn(spark, dir).count(); ts(i) = (System.nanoTime() - t0) / 1e9 }
+        catch { case _: Throwable => err = true }
+        spark.catalog.clearCache()
+        i += 1
+      }
+      System.gc()
+      ((name, sf), if (err) -1.0 else ts.sorted.apply(reps / 2))
+    }).toMap
+    def fmt(v: Double): String = if (v < 0) "-1" else f"$v%.3f"
+    // least-squares slope of log10(t) on log10(sf), all valid points
+    def fitExp(pts: Seq[(Double, Double)]): Option[Double] = {
+      val v = pts.filter(_._2 > 0).map { case (sf, t) => (math.log10(sf), math.log10(t)) }
+      if (v.size < 2) None
+      else {
+        val n = v.size.toDouble
+        val (sx, sy) = (v.map(_._1).sum, v.map(_._2).sum)
+        val sxx = v.map(p => p._1 * p._1).sum
+        val sxy = v.map(p => p._1 * p._2).sum
+        Some((n * sxy - sx * sy) / (n * sxx - sx * sx))
+      }
+    }
+    val rows = keys.map { name =>
+      val pts = sfs.map { case (sf, _) => sf -> times((name, sf)) }
+      val expFit = fitExp(pts)
+      val expTop = fitExp(pts.takeRight(2))
+      val ptsJson = pts
+        .map { case (sf, t) => s""""$sf":${fmt(t)}""" }
+        .mkString("{", ",", "}")
+      val e = expFit.map(v => f"$v%.2f").getOrElse("null")
+      val et = expTop.map(v => f"$v%.2f").getOrElse("null")
+      s""""$name":{"sec":$ptsJson,"exp_fit":$e,"exp_top":$et}"""
+    }
+    val loadEndTriple = loadavgTriple()
+    val load =
+      s"""{"start":${loadavgJson(loadStartTriple)},"end":${loadavgJson(loadEndTriple)},"contaminated":${contaminated(loadStartTriple, loadEndTriple)}}"""
+    val json =
+      s"""{"metric":"sf_sweep","reps":$reps,"sfs":${sfs.map(_._1).mkString("[", ",", "]")},"queries":${rows.mkString("{", ",", "}")},"loadavg":$load}"""
+    java.nio.file.Files.writeString(
+      java.nio.file.Paths.get("bench_sweep.json"), json + "\n")
+    println(json)
+    spark.stop()
   }
 }

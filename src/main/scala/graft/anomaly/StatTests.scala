@@ -32,6 +32,9 @@ object StatTests {
     * side cardinalities carry an explicit generous bound
     * (`maxCategories`, TakeOrdered — the |A|×|B| grid must stay a
     * grid; χ² over unbounded cardinality is meaningless anyway).
+    * When the cap binds, margins and the total recompute from the
+    * kept cells (a self-consistent sub-table — Σ expected == n) and
+    * the `truncated` output column flips true.
     * NULL categories are excluded (they are a missingness question —
     * [[graft.profiler.Profiler.nullCorrelationProfile]]'s job).
     *
@@ -50,23 +53,37 @@ object StatTests {
     val counts = base
       .groupBy(col(colA).cast("string").as("_a"), col(colB).cast("string").as("_b"))
       .agg(count(lit(1)).as("_n"))
-    val aSide = counts
+    // When a side exceeds the cap, the χ² is computed over the KEPT
+    // sub-grid as a self-consistent contingency table: margins AND the
+    // total recompute from the kept cells, so Σ expected == n always
+    // holds (full-table totals over a truncated grid bias χ² low).
+    // `truncated` reports when the cap bound; full cardinalities decide
+    // it, kept cardinalities are what card_a/card_b describe.
+    val keptA = counts.select("_a").distinct().orderBy("_a").limit(maxCategories)
+    val keptB = counts.select("_b").distinct().orderBy("_b").limit(maxCategories)
+    val kept = counts
+      .join(broadcast(keptA), Seq("_a"), "left_semi")
+      .join(broadcast(keptB), Seq("_b"), "left_semi")
+    val aSide = kept
       .groupBy("_a")
       .agg(sum(col("_n")).as("_na"))
-      .orderBy("_a")
-      .limit(maxCategories)
       .withColumn("_k", lit(1))
-    val bSide = counts
+    val bSide = kept
       .groupBy("_b")
       .agg(sum(col("_n")).as("_nb"))
-      .orderBy("_b")
-      .limit(maxCategories)
       .withColumn("_k", lit(1))
-    val total = counts.agg(sum(col("_n")).as("_nt")).withColumn("_k", lit(1))
+    val total = kept.agg(sum(col("_n")).as("_nt")).withColumn("_k", lit(1))
+    val full = counts
+      .agg(
+        countDistinct(col("_a")).as("_fa"),
+        countDistinct(col("_b")).as("_fb")
+      )
+      .withColumn("_k", lit(1))
     val grid = aSide
       .join(broadcast(bSide), "_k")
       .join(broadcast(total), "_k")
-      .join(counts, Seq("_a", "_b"), "left")
+      .join(broadcast(full), "_k")
+      .join(kept, Seq("_a", "_b"), "left")
       .withColumn("_o", coalesce(col("_n"), lit(0L)).cast("double"))
       .withColumn(
         "_e",
@@ -77,6 +94,8 @@ object StatTests {
         max(col("_nt")).as("n"),
         countDistinct(col("_a")).as("card_a"),
         countDistinct(col("_b")).as("card_b"),
+        max(col("_fa")).as("_fa"),
+        max(col("_fb")).as("_fb"),
         sum((col("_o") - col("_e")) * (col("_o") - col("_e")) / col("_e"))
           .as("_chi2")
       )
@@ -91,9 +110,46 @@ object StatTests {
             col("_chi2") / (col("n") *
               least(col("card_a") - 1, col("card_b") - 1))
           )
-        ).as("cramers_v")
+        ).as("cramers_v"),
+        (col("_fa") > maxCategories || col("_fb") > maxCategories)
+          .as("truncated")
       )
   }
+
+  /** Deterministic per-series thinning for the O(n²)-in-length pair
+    * tests ([[mannKendall]], [[Trend.theilSen]]): series longer than
+    * `maxPoints` keep every stride-th observation (stride =
+    * ceil(n/maxPoints), starting at the first), bounding the pair
+    * join at maxPoints²/2 rows per series no matter what grain the
+    * caller points at it — the same up-front cost cap as
+    * [[graft.operators.Graph.commonNeighbors]]'s `maxCenterDegree`.
+    * Thinning is a pure function of per-series length, so repeated
+    * runs pick identical points; `_i` keeps ORIGINAL index units
+    * (slopes stay per-observation-step). Series at or under the cap
+    * pass through bit-identically (stride 1 keeps every row).
+    *
+    * Expects `_i` already assigned by a row_number over `w`'s
+    * ordering; the count rides the same window spec, so no extra
+    * exchange or sort.
+    */
+  private[anomaly] def thinSeries(
+      indexed: DataFrame,
+      w: org.apache.spark.sql.expressions.WindowSpec,
+      maxPoints: Int
+  ): DataFrame =
+    indexed
+      .withColumn(
+        "_cnt",
+        count(lit(1)).over(
+          w.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+        )
+      )
+      .withColumn(
+        "_stride",
+        floor((col("_cnt") + lit(maxPoints - 1)) / lit(maxPoints)).cast("long")
+      )
+      .where(((col("_i") - 1) % col("_stride")) === 0)
+      .drop("_cnt", "_stride")
 
   /** Mann-Kendall trend test per series: `(seriesCols..., n, s, z,
     * trend)` where S = Σ_{i<j} sign(x_j − x_i), z applies the
@@ -101,7 +157,9 @@ object StatTests {
     * correction term, and `trend` thresholds z at ±1.96 →
     * increasing / decreasing / none. The significance companion to
     * [[Trend.theilSen]] — same O(n²)-in-series-length pair shape,
-    * parallelizing across series; subsample long series upstream.
+    * parallelizing across series; series longer than `maxPoints`
+    * thin deterministically via [[thinSeries]] so an event-grain
+    * caller cannot detonate a 10¹²-row pair join.
     *
     * Pure integer pair counts + one sqrt — engine-exact arithmetic.
     */
@@ -109,14 +167,19 @@ object StatTests {
       series: DataFrame,
       seriesCols: Seq[String],
       tsCol: String = "ts",
-      valueCol: String = "value"
+      valueCol: String = "value",
+      maxPoints: Int = 10000
   ): DataFrame = {
+    require(maxPoints >= 2, s"maxPoints must be >= 2, got $maxPoints")
     val keys = seriesCols.map(col)
     val w = Window.partitionBy(keys: _*).orderBy(col(tsCol))
-    val indexed = series
-      .select(keys ++ Seq(col(tsCol), col(valueCol).as("_v")): _*)
-      .withColumn("_i", row_number().over(w))
-      .select(keys ++ Seq(col("_i"), col("_v")): _*)
+    val indexed = thinSeries(
+      series
+        .select(keys ++ Seq(col(tsCol), col(valueCol).as("_v")): _*)
+        .withColumn("_i", row_number().over(w)),
+      w,
+      maxPoints
+    ).select(keys ++ Seq(col("_i"), col("_v")): _*)
     val sTable = indexed
       .as("a")
       .join(indexed.as("b"), seriesCols)

@@ -30,20 +30,29 @@ object Trend {
     * Scale shape: the pair join is per-series O(n^2) in series LENGTH
     * (not in series count — series parallelize across the cluster);
     * fine for the daily/hourly grains this library profiles (a year of
-    * days is ~66k pairs). For very long series, subsample indices
-    * upstream — the estimator degrades gracefully.
+    * days is ~66k pairs). Series longer than `maxPoints` thin
+    * deterministically ([[StatTests.thinSeries]], original index
+    * units preserved so the slope stays per-observation-step) — the
+    * estimator degrades gracefully and the pair join stays bounded.
     */
   def theilSen(
       series: DataFrame,
       seriesCols: Seq[String],
       tsCol: String = "ts",
-      valueCol: String = "value"
+      valueCol: String = "value",
+      maxPoints: Int = 10000
   ): DataFrame = {
+    require(maxPoints >= 2, s"maxPoints must be >= 2, got $maxPoints")
     val keys = seriesCols.map(col)
     val w = Window.partitionBy(keys: _*).orderBy(col(tsCol))
-    val indexed = series
-      .select(keys ++ Seq(col(tsCol), col(valueCol).as("_v")): _*)
-      .withColumn("_i", row_number().over(w))
+    val indexed = StatTests
+      .thinSeries(
+        series
+          .select(keys ++ Seq(col(tsCol), col(valueCol).as("_v")): _*)
+          .withColumn("_i", row_number().over(w)),
+        w,
+        maxPoints
+      )
       .select(keys ++ Seq(col("_i"), col("_v")): _*)
     val pairs = indexed
       .as("a")
@@ -152,8 +161,10 @@ object Trend {
     * quantifies how much of the variance the line explains.
     *
     * One aggregation pass per series: x is the row index (exact
-    * integers), the y and xy sums run through DECIMAL so aggregation
-    * order cannot move the fit; slope/intercept/R² are pointwise
+    * integers), and ALL moment sums — x, x², y, y², xy — run through
+    * DECIMAL so aggregation order cannot move the fit and Σx² cannot
+    * wrap Int64 on multi-million-point series; slope/intercept/R² are
+    * pointwise
     * arithmetic on the collected moments, rounded 6 dp. Degenerate
     * series (n < 2 or zero variance in x or y) emit NULL fit.
     */
@@ -170,12 +181,18 @@ object Trend {
       .where(col(valueCol).isNotNull)
       .select(keys ++ Seq(col(tsCol), col(valueCol).as("_y")): _*)
       .withColumn("_x", row_number().over(w).cast("long"))
+    // x-moment sums through DECIMAL(38,0) like the y-moments: Σx² ≈
+    // n³/3 silently wraps Int64 past ~3M points (5 weeks at 1s grain),
+    // and a wrong slope with no error is the worst failure mode.
+    // DuckDB's SUM(BIGINT) already returns HUGEINT, so the oracle is
+    // unchanged.
+    val dec0 = DecimalType(38, 0)
     val m = indexed
       .groupBy(keys: _*)
       .agg(
         count(lit(1)).as("n"),
-        sum(col("_x")).as("_sx"),
-        sum((col("_x") * col("_x"))).as("_sxx"),
+        sum(col("_x").cast(dec0)).as("_sx"),
+        sum((col("_x") * col("_x")).cast(dec0)).as("_sxx"),
         sum(col("_y").cast(dec)).as("_sy"),
         sum((col("_y") * col("_y")).cast(dec)).as("_syy"),
         sum((col("_x") * col("_y")).cast(dec)).as("_sxy")

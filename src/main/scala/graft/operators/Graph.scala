@@ -15,6 +15,16 @@ import org.apache.spark.sql.types.DecimalType
   */
 object Graph {
 
+  /** Lineage-truncation cadence for the iterative loops ([[pageRank]],
+    * [[labelPropagation]]): every 8th round the loop variable is
+    * materialized (localCheckpoint, or a reliable checkpoint under
+    * `graft.checkpoint.reliable=true` — see
+    * [[graft.functions.materialize]]) so a caller-supplied
+    * `iterations=30` doesn't build a plan Catalyst re-analyzes
+    * quadratically. The fixed 3-iteration quality priors never hit it.
+    */
+  private val checkpointEvery = 8
+
   /** Fixed-iteration PageRank over a directed edge list `(src, dst)`.
     * Returns `(node, degree, rank)` where `rank` is scaled by |V|
     * (mean 1 over nodes, so values stay O(1) at any graph size) and
@@ -31,10 +41,10 @@ object Graph {
     * the |V|-sized rank table onto the edges plus one groupBy(dst)
     * whose contribution rows map-side-combine before the exchange —
     * the classic two-exchange-per-iteration distributed PageRank, no
-    * driver-side state, no collect. Plan lineage grows linearly with
-    * iterations, so for deep iteration counts callers should
-    * checkpoint every ~10 rounds; the fixed small counts used for
-    * quality priors (3-10) don't need it.
+    * driver-side state, no collect. Plan lineage is truncated every
+    * [[checkpointEvery]] rounds automatically, so deep caller-supplied
+    * iteration counts keep constant per-round analysis cost; the fixed
+    * small counts used for quality priors (3-10) never hit the cadence.
     *
     * Cross-engine determinism (the oracle hash-compares): per-node
     * contribution sums run through DECIMAL(38,12) — order-independent
@@ -59,7 +69,7 @@ object Graph {
     val ed = e.join(deg, "src").persist()
     val nodes = deg.select(col("src").as("node"), col("deg"))
     var ranks = nodes.withColumn("rank", lit(1.0))
-    for (_ <- 1 to iterations) {
+    for (i <- 1 to iterations) {
       val contribs = ed
         .join(ranks.select(col("node").as("src"), col("rank")), "src")
         .groupBy(col("dst").as("node"))
@@ -75,6 +85,13 @@ object Graph {
           lit(1.0 - damping) + lit(damping) * coalesce(col("_s"), lit(0.0))
         )
         .drop("_s")
+      // Lineage truncation every `checkpointEvery` rounds (same cadence
+      // pattern as Dedup.connectedComponents): caller-supplied deep
+      // iteration counts would otherwise hand Catalyst a plan it
+      // re-analyzes quadratically. Values are materialized verbatim, so
+      // shallow runs (<= cadence) are bit-identical with or without it.
+      if (i % checkpointEvery == 0 && i < iterations)
+        ranks = graft.functions.materialize(ranks)
     }
     ranks.select(
       col("node"),
@@ -196,7 +213,7 @@ object Graph {
     val e = edges.select(col(srcCol).as("src"), col(dstCol).as("dst")).persist()
     var labels = e.select(col("src").as("node")).distinct()
       .withColumn("label", col("node"))
-    for (_ <- 1 to iterations) {
+    for (i <- 1 to iterations) {
       // One exchange per iteration: hash-partition the joined edges by
       // dst once — hashpartitioning(dst) satisfies the clustering of
       // BOTH downstream aggregations (groupBy(dst,label) and
@@ -224,6 +241,10 @@ object Graph {
           col("node"),
           (lit(4294967295L) - (col("_p") % lit(4294967296L))).as("label")
         )
+      // Same cadence as pageRank: truncate lineage on deep runs so the
+      // per-round analysis cost stays constant; values are unchanged.
+      if (i % checkpointEvery == 0 && i < iterations)
+        labels = graft.functions.materialize(labels)
     }
     labels
   }

@@ -665,7 +665,8 @@ object AnomalyQueries extends QueryPack {
         (card_a - 1) * (card_b - 1) AS dof,
         round(chi2raw, 6) AS chi2,
         round(sqrt(chi2raw / (n * least(card_a - 1, card_b - 1))), 6)
-          AS cramers_v
+          AS cramers_v,
+        card_a > 1000 OR card_b > 1000 AS truncated
       FROM agg""")
   )
 

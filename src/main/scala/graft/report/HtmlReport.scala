@@ -141,11 +141,32 @@ object HtmlReport {
         <li>${m.metrics.size} registered metrics</li></ul>""")
       .getOrElse("<p>(no registered metadata)</p>")
 
+    // Trend verdicts ride the profiling store as `<name>_trend_z`
+    // series (Service.assessTrend) — split them out of the chart list:
+    // they render as badges on their BASE series' charts plus a
+    // dedicated assessment table, not as charts of z-scores.
+    val (trendSeries, baseSeries) =
+      profiling.partition(_._1._3.endsWith(graft.service.Service.trendSuffix))
+    val trendZ: Map[(String, String, String), Double] = trendSeries.flatMap {
+      case ((e, i, n), pts) =>
+        pts.lastOption.map(p =>
+          (e, i, n.stripSuffix(graft.service.Service.trendSuffix)) -> p._2)
+    }.toMap
+    def trendBadge(key: (String, String, String)): String =
+      trendZ
+        .get(key)
+        .map { z =>
+          if (z > 1.96) f"""<span class="trend alert">↗ increasing (z=$z%.2f)</span>"""
+          else if (z < -1.96) f"""<span class="trend alert">↘ decreasing (z=$z%.2f)</span>"""
+          else f"""<span class="trend ok">→ stable (z=$z%.2f)</span>"""
+        }
+        .getOrElse("")
+
     // Per-instance drill-down — the static equivalent of the reference
     // dashboard's selected_instances multiselect (ui.py:97-123): every
     // instance (column) gets its own anchored section and the nav at
     // the top filters by a click instead of a widget.
-    val instances = profiling.map(_._1._2).distinct.sorted
+    val instances = baseSeries.map(_._1._2).distinct.sorted
     val instanceNav =
       if (instances.isEmpty) ""
       else
@@ -155,10 +176,11 @@ object HtmlReport {
 
     val profilingHtml = instances
       .map { inst =>
-        val charts = profiling
+        val charts = baseSeries
           .filter(_._1._2 == inst)
-          .map { case ((entity, instance, name), pts) =>
-            s"""<div class="metric"><h4>${esc(entity)} / ${esc(instance)} / ${esc(name)}</h4>
+          .map { case (key @ (entity, instance, name), pts) =>
+            s"""<div class="metric"><h4>${esc(entity)} / ${esc(instance)} / ${esc(name)}
+                ${trendBadge(key)}</h4>
                 ${svgLine(pts)}
                 <p class="stats">n=${pts.size} last=${pts.lastOption.map(_._2).getOrElse(Double.NaN)}</p></div>"""
           }
@@ -170,6 +192,25 @@ object HtmlReport {
             <p class="stats"><a href="#top">↑ all columns</a></p></section>"""
       }
       .mkString("\n")
+
+    // Trend assessment table — the report face of Service.assessTrend
+    // (the reference dashboard surfaces its full assessment set;
+    // ui.py:97-294): one row per assessed base series, latest stored
+    // Mann-Kendall z, verdict at the standard ±1.96 threshold.
+    val trendHtml =
+      if (trendZ.isEmpty) "<p>⚠ No trend assessment stored for this dataset.</p>"
+      else {
+        val rows = trendZ.toSeq.sortBy(_._1).map { case (key @ (e, i, n), z) =>
+          val verdict =
+            if (z > 1.96) """<span class="alert">↗ increasing</span>"""
+            else if (z < -1.96) """<span class="alert">↘ decreasing</span>"""
+            else """<span class="ok">→ stable</span>"""
+          f"""<tr><td>${esc(e)}</td><td>${esc(i)}</td><td>${esc(n)}</td>
+              <td>$z%.3f</td><td>$verdict</td></tr>"""
+        }
+        s"""<table><tr><th>entity</th><th>instance</th><th>metric</th>
+            <th>latest z</th><th>trend</th></tr>${rows.mkString("\n")}</table>"""
+      }
 
     val optHtml =
       if (optimization.isEmpty) "<p>⚠ No optimization stored for this dataset.</p>"
@@ -245,11 +286,13 @@ object HtmlReport {
         .alert { color: #c0392b; font-weight: bold; } .ok { color: #1e8449; }
         .metric { margin-bottom: 1em; } .stats, .axis { color: #666; font-size: 11px; }
         nav.instances a { margin-right: 2px; } .mini { font-size: 11px; font-weight: normal; }
+        .trend { font-size: 12px; margin-left: 6px; }
       </style></head><body>
       <h1 id="top">graft quality report</h1>
       <h2>Dataset <code>${esc(datasetUri)}</code></h2>$metaHtml
       $instanceNav
       <h2>Profiling metrics</h2>$profilingHtml
+      <h2>Trend assessment</h2>$trendHtml
       <h2>Anomaly optimization</h2>$optHtml
       <h2>Anomaly scoring</h2>$scoringHtml
       </body></html>"""
@@ -373,6 +416,21 @@ object HtmlReport {
         if (latest.isEmpty) """<span class="na">no scoring</span>"""
         else if (anomalous > 0) s"""<span class="alert">🔴 $anomalous anomalous</span>"""
         else """<span class="ok">🟢 healthy</span>"""
+      // Trend column: newest stored `_trend_z` per series (same
+      // window-cap read as scoring), significant = |z| > 1.96
+      val latestTrend = repo
+        .getProfiling(m.uri)
+        .where(
+          col("name").endsWith(graft.service.Service.trendSuffix) &&
+            col("value").isNotNull)
+        .withColumn("_rn", row_number().over(newestPerSeries))
+        .where(col("_rn") === 1)
+        .collect()
+      val trending = latestTrend.count(r => math.abs(r.getAs[Double]("value")) > 1.96)
+      val trendCell =
+        if (latestTrend.isEmpty) """<span class="na">—</span>"""
+        else if (trending > 0) s"""<span class="alert">↗ $trending trending</span>"""
+        else """<span class="ok">→ stable</span>"""
       // per-column deep links into the report's instance anchors — the
       // index-level face of the selected_instances drill-down
       val colLinks = {
@@ -387,13 +445,14 @@ object HtmlReport {
       s"""<tr><td><a href="${esc(reportHref(m.uri))}"><code>${esc(m.uri)}</code></a></td>
           <td>${esc(m.granularity)}</td><td>${m.metrics.size}</td><td>$colLinks</td>
           <td>${latest.length}</td>
-          <td>${lastTs.map(t => esc(t.toString)).getOrElse("—")}</td><td>$badge</td></tr>"""
+          <td>${lastTs.map(t => esc(t.toString)).getOrElse("—")}</td><td>$badge</td>
+          <td>$trendCell</td></tr>"""
     }
     val table =
       if (rows.isEmpty) "<p>⚠ No datasets registered in this repository.</p>"
       else
         s"""<table><tr><th>dataset</th><th>granularity</th><th>metrics</th><th>columns</th>
-            <th>series scored</th><th>latest score ts</th><th>health</th></tr>
+            <th>series scored</th><th>latest score ts</th><th>health</th><th>trend</th></tr>
             ${rows.mkString("\n")}</table>"""
     s"""<!DOCTYPE html><html><head><meta charset="utf-8">
       <title>graft reports — datasets</title>

@@ -88,24 +88,46 @@ class JdbcMetricsRepository(
         "columns_enc" VARCHAR(16000),
         "granularity" VARCHAR(32),
         "metrics_enc" VARCHAR(16000))""")
-    if (!tableExists(c, "graft_profiling"))
+    if (!tableExists(c, "graft_profiling")) {
       ddl(c, """CREATE TABLE graft_profiling (
         "dataset_uri" VARCHAR(512) NOT NULL,
         "ts" TIMESTAMP, "entity" VARCHAR(512), "instance" VARCHAR(512),
         "name" VARCHAR(512), "value" DOUBLE)""")
-    if (!tableExists(c, "graft_optimization"))
+      // the (dataset_uri, ts) composite index is what makes the pushed
+      // dataset/ts-range predicates an index-range scan instead of a
+      // full-table filter — created with the table so Postgres/Derby
+      // prune from the first read
+      ddl(
+        c,
+        """CREATE INDEX graft_profiling_uri_ts
+           ON graft_profiling ("dataset_uri", "ts")"""
+      )
+    }
+    if (!tableExists(c, "graft_optimization")) {
       ddl(c, """CREATE TABLE graft_optimization (
         "dataset_uri" VARCHAR(512) NOT NULL,
         "entity" VARCHAR(512), "instance" VARCHAR(512),
         "name" VARCHAR(512), "best_model" VARCHAR(512),
         "threshold" DOUBLE, "mean_error" DOUBLE,
         "optimization_failed" BOOLEAN)""")
-    if (!tableExists(c, "graft_scoring"))
+      ddl(
+        c,
+        """CREATE INDEX graft_optimization_uri
+           ON graft_optimization ("dataset_uri")"""
+      )
+    }
+    if (!tableExists(c, "graft_scoring")) {
       ddl(c, """CREATE TABLE graft_scoring (
         "dataset_uri" VARCHAR(512) NOT NULL,
         "ts" TIMESTAMP, "entity" VARCHAR(512), "instance" VARCHAR(512),
         "name" VARCHAR(512), "value" DOUBLE,
         "predicted" DOUBLE, "score" DOUBLE)""")
+      ddl(
+        c,
+        """CREATE INDEX graft_scoring_uri_ts
+           ON graft_scoring ("dataset_uri", "ts")"""
+      )
+    }
   }
 
   // --- dataset registry -------------------------------------------------
@@ -216,8 +238,16 @@ class JdbcMetricsRepository(
         // rows gone and the new ones missing
         c.setAutoCommit(false)
         try {
+          // null-safe per-column match: plain equality never matches a
+          // NULL key value (e.g. a NULL ts), so re-adding such a row
+          // would accumulate duplicates instead of replacing — the
+          // Parquet repository (window partitioning groups NULLs) and
+          // the InMemory one (null-safe <=> anti-join) both honor
+          // latest-wins on NULL keys; this must match
           val keyMatch = key
-            .map(k => s"""s."$k" = $table."$k"""")
+            .map(k =>
+              s"""(s."$k" = $table."$k" OR (s."$k" IS NULL AND $table."$k" IS NULL))"""
+            )
             .mkString(" AND ")
           // no DELETE alias — the unaliased correlated form is the
           // widest-supported grammar (Derby, Postgres; MySQL still

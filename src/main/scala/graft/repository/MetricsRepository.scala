@@ -102,8 +102,15 @@ class InMemoryRepository extends MetricsRepository {
       key: Seq[String]
   ): Map[String, DataFrame] = {
     val merged = store.get(uri) match {
-      case Some(old) => old.join(rows.select(key.map(col): _*), key, "left_anti").unionByName(rows)
-      case None      => rows
+      case Some(old) =>
+        // null-safe (<=>) key match: latest-wins must REPLACE a row
+        // whose key column is NULL (e.g. a NULL ts), not accumulate a
+        // duplicate — the same contract the Parquet window (NULLs
+        // group together) and the JDBC correlated DELETE honor.
+        val newKeys = rows.select(key.map(col): _*).distinct()
+        val cond = key.map(k => old(k) <=> newKeys(k)).reduce(_ && _)
+        old.join(newKeys, cond, "left_anti").unionByName(rows)
+      case None => rows
     }
     // Materialize: the in-memory store must not re-run caller lineage
     // (which may read mutable sources) on every later read.

@@ -20,6 +20,12 @@ object Service {
   /** The metric-series key used across optimize/score/assess. */
   val seriesCols: Seq[String] = Seq("entity", "instance", "name")
 
+  /** Metric-name suffix marking series DERIVED by [[assessTrend]];
+    * such series are excluded from the trend scan so verdict metrics
+    * never compound into `<name>_trend_z_trend_z` across runs.
+    */
+  val trendSuffix: String = "_trend_z"
+
   /** Profile a batch and upsert the metrics into the repository,
     * registering the dataset on first sight
     * (reference `profile` + `profile_create`,
@@ -420,22 +426,6 @@ object Service {
     psi
   }
 
-  /** Embedding-space drift assessment: per-group centroid shift
-    * between a reference snapshot and the current corpus
-    * ([[graft.similarity.Similarity.centroidShift]]), stored as
-    * ordinary profiling metrics (entity "embedding_group", metric
-    * `centroid_shift`, instance = group key) at the observation
-    * timestamp `ts` — so embedding drift rides the same repository,
-    * report, and history surfaces as every scalar metric. Alerts fire
-    * through the standard handlers when a group's shift exceeds
-    * `threshold`, and ALWAYS for one-sided groups (appeared or
-    * vanished — reported with score = +Infinity, since no finite
-    * threshold should mute a domain disappearing from the corpus).
-    *
-    * The shift table is |groups| rows — collected once so the stored
-    * metrics and the alerts derive from the same snapshot, same as
-    * [[assessDrift]].
-    */
   /** Trend assessment over every stored metric series: tie-corrected
     * Mann-Kendall significance ([[graft.anomaly.StatTests.mannKendall]])
     * paired with the robust Theil-Sen slope — "this metric is
@@ -458,7 +448,14 @@ object Service {
       handlers: Seq[NotificationHandler] = Seq(LogHandler)
   ): DataFrame = {
     require(zThreshold > 0, s"zThreshold must be positive, got $zThreshold")
-    val hist = repo.getProfiling(datasetUri)
+    // Exclude series this assessment itself derived: without the
+    // filter, a stored `<name>_trend_z` series accumulates timestamps
+    // across runs, gets trend-tested, and stores
+    // `<name>_trend_z_trend_z` — unbounded metric-name growth plus
+    // alerts on derived series.
+    val hist = repo
+      .getProfiling(datasetUri)
+      .where(!col("name").endsWith(trendSuffix))
     val mk = graft.anomaly.StatTests.mannKendall(hist, seriesCols)
     val slopes = graft.anomaly.Trend
       .theilSen(hist, seriesCols)
@@ -478,7 +475,7 @@ object Service {
             r.getAs[java.sql.Timestamp]("_ts"),
             r.getAs[String]("entity"),
             r.getAs[String]("instance"),
-            r.getAs[String]("name") + "_trend_z",
+            r.getAs[String]("name") + trendSuffix,
             Option(r.getAs[java.lang.Double]("z"))
               .map(_.doubleValue)
               .orNull
@@ -517,6 +514,22 @@ object Service {
     verdicts.drop("_ts")
   }
 
+  /** Embedding-space drift assessment: per-group centroid shift
+    * between a reference snapshot and the current corpus
+    * ([[graft.similarity.Similarity.centroidShift]]), stored as
+    * ordinary profiling metrics (entity "embedding_group", metric
+    * `centroid_shift`, instance = group key) at the observation
+    * timestamp `ts` — so embedding drift rides the same repository,
+    * report, and history surfaces as every scalar metric. Alerts fire
+    * through the standard handlers when a group's shift exceeds
+    * `threshold`, and ALWAYS for one-sided groups (appeared or
+    * vanished — reported with score = +Infinity, since no finite
+    * threshold should mute a domain disappearing from the corpus).
+    *
+    * The shift table is |groups| rows — collected once so the stored
+    * metrics and the alerts derive from the same snapshot, same as
+    * [[assessDrift]].
+    */
   def assessEmbeddingDrift(
       reference: DataFrame,
       current: DataFrame,

@@ -12,19 +12,43 @@ class StatTestsSpec extends SparkSpec {
       Seq.fill(20)(("y", "l")) ++ Seq.fill(10)(("y", "r"))
     val got = StatTests
       .chiSquare(rows.toDF("a", "b"), "a", "b")
-      .as[(Long, Long, Long, Long, Double, Double)]
+      .as[(Long, Long, Long, Long, Double, Double, Boolean)]
       .collect()
       .head
     assert(got._1 == 60L && got._2 == 2L && got._3 == 2L && got._4 == 1L)
     assert(math.abs(got._5 - 20.0 / 3) < 1e-6)
     assert(math.abs(got._6 - math.sqrt(20.0 / 3 / 60)) < 1e-6)
+    assert(!got._7, "cap untouched -> not truncated")
     // zero cell: third category only ever with 'l'
     val withZero = (rows ++ Seq.fill(6)(("z", "l"))).toDF("a", "b")
     val z = StatTests.chiSquare(withZero, "a", "b")
-      .as[(Long, Long, Long, Long, Double, Double)].collect().head
+      .as[(Long, Long, Long, Long, Double, Double, Boolean)].collect().head
     assert(z._2 == 3L && z._4 == 2L)
     // the (z, r) zero cell must contribute its expected count
     assert(z._5 > got._5, "zero cell raises the statistic")
+  }
+
+  test("chi-square: capped grid recomputes totals from kept categories") {
+    // 5 a-categories x 2 b-categories, cap a at 3 -> kept sub-grid is
+    // a in {a1,a2,a3}. The capped run must equal an UNCAPPED run over
+    // only those categories (self-consistent sub-table, sum E == n),
+    // except for the truncated flag and the kept-vs-full cardinality.
+    val rows = (1 to 5).flatMap { i =>
+      Seq.fill(4 + i)((s"a$i", "l")) ++ Seq.fill(9 - i)((s"a$i", "r"))
+    }
+    val df = rows.toDF("a", "b")
+    val capped = StatTests.chiSquare(df, "a", "b", maxCategories = 3)
+      .as[(Long, Long, Long, Long, Double, Double, Boolean)].collect().head
+    val sub = StatTests.chiSquare(
+      df.where(col("a").isin("a1", "a2", "a3")), "a", "b")
+      .as[(Long, Long, Long, Long, Double, Double, Boolean)].collect().head
+    assert(capped._7, "cap bound -> truncated flag set")
+    assert(!sub._7)
+    // n is the KEPT total (sum of expected == n), not the full table's
+    assert(capped._1 == sub._1)
+    assert(capped._2 == 3L && capped._3 == 2L)
+    assert(capped._5 == sub._5, "chi2 identical to the kept-only run")
+    assert(capped._6 == sub._6, "cramers_v identical to the kept-only run")
   }
 
   test("mann-kendall: monotone series significant, constant series has no verdict") {
@@ -48,6 +72,38 @@ class StatTestsSpec extends SparkSpec {
       .collect()
       .head
     assert(flat._3 == 0L && flat._4.isEmpty && flat._5 == "none")
+  }
+
+  test("mann-kendall: series over maxPoints thin deterministically") {
+    // 100 points, cap 10 -> stride 10 keeps _i = 1,11,...,91 (10 points)
+    val series = (1 to 100)
+      .map(i => ("m", new java.sql.Timestamp(86400000L * i), i.toDouble))
+      .toDF("metric", "ts", "value")
+    val thin = StatTests
+      .mannKendall(series, Seq("metric"), maxPoints = 10)
+      .as[(String, Long, Long, Option[Double], String)]
+      .collect()
+      .head
+    assert(thin._2 == 10L, "kept exactly ceil(100/10)=10 points")
+    // monotone stays monotone after even thinning: S = C(10,2) = 45
+    assert(thin._3 == 45L && thin._5 == "increasing")
+    // deterministic: a second run picks the identical points
+    val again = StatTests
+      .mannKendall(series, Seq("metric"), maxPoints = 10)
+      .as[(String, Long, Long, Option[Double], String)]
+      .collect()
+      .head
+    assert(thin == again)
+    // at-or-under the cap passes through untouched
+    val full = StatTests
+      .mannKendall(series, Seq("metric"), maxPoints = 100)
+      .as[(String, Long, Long, Option[Double], String)]
+      .collect()
+      .head
+    assert(full._2 == 100L)
+    intercept[IllegalArgumentException] {
+      StatTests.mannKendall(series, Seq("metric"), maxPoints = 1)
+    }
   }
 
   test("proportion drift: hand-computed pooled z") {

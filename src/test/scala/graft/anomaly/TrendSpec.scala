@@ -12,6 +12,25 @@ class TrendSpec extends SparkSpec {
       .toDF("metric", "ts_raw", "value")
       .select($"metric", to_timestamp($"ts_raw").as("ts"), $"value")
 
+  test("Theil-Sen thins long series but keeps original index units") {
+    // v = 2*i over 100 points; cap 25 -> stride 4 keeps 25 points at
+    // original indices 1,5,...,97 — slopes stay (v_j-v_i)/(j-i) = 2.0
+    // per ORIGINAL observation step, so thinning must not rescale them
+    val series = (1 to 100)
+      .map(i => ("m", new java.sql.Timestamp(86400000L * i), 2.0 * i))
+      .toDF("metric", "ts", "value")
+    val got = Trend
+      .theilSen(series, Seq("metric"), maxPoints = 25)
+      .as[(String, Long, Double, Double)]
+      .collect()
+      .head
+    assert(got._2 == 25L, "kept ceil(100/4)=25 points")
+    assert(got._3 == 2.0, "slope in original index units")
+    intercept[IllegalArgumentException] {
+      Trend.theilSen(series, Seq("metric"), maxPoints = 1)
+    }
+  }
+
   test("Theil-Sen recovers an exact linear trend") {
     // v = 3 + 2*i: every pairwise slope is 2, intercept median = 3
     val out = Trend

@@ -56,6 +56,28 @@ class GraphSpec extends SparkSpec {
     assert(cliqueA != cliqueB, "the bridge must not merge the communities")
   }
 
+  test("deep iteration counts cross the checkpoint cadence and stay exact") {
+    // 20 rounds crosses the every-8 lineage truncation twice; a
+    // converged graph must return the SAME labels/ranks as a shallow
+    // run — materialization is value-transparent.
+    val edges = sym(
+      (1L, 2L), (1L, 3L), (2L, 3L),
+      (10L, 11L), (10L, 12L), (11L, 12L),
+      (3L, 10L)
+    )
+    val shallow = Graph
+      .labelPropagation(edges, "src", "dst", iterations = 4)
+      .as[(Long, Long)].collect().toSet
+    val deep = Graph
+      .labelPropagation(edges, "src", "dst", iterations = 20)
+      .as[(Long, Long)].collect().toSet
+    assert(deep == shallow, "converged labels unchanged across the cadence")
+    val ranks = Graph
+      .pageRank(sym((1L, 2L), (2L, 3L), (3L, 1L)), "src", "dst", iterations = 20)
+      .as[(Long, Long, Double)].collect().toSet
+    assert(ranks == Set((1L, 2L, 1.0), (2L, 2L, 1.0), (3L, 2L, 1.0)))
+  }
+
   test("label propagation round 1 is the exact min-label in-neighbor argmax") {
     // directed: 1->3, 2->3 (labels 1,2 tie at count 1 -> min label 1);
     // 5->4 (single in-neighbor)

@@ -57,6 +57,47 @@ class HtmlReportSpec extends SparkSpec {
     assert(html.contains("<td>—</td>"))
   }
 
+  test("trend verdicts render as chart badges, an assessment table and an index column") {
+    import spark.implicits._
+    val repo = new InMemoryRepository()
+    val uri = "ds://report-trend"
+    def day(i: Int) = java.sql.Timestamp.valueOf(f"2024-01-${i + 1}%02d 00:00:00")
+    // a strongly increasing series and a flat one
+    val rows = (0 until 20).flatMap { i =>
+      Seq(
+        (day(i), "Column", "value", "bleeding", 10.0 + i),
+        (day(i), "Column", "value", "steady", 5.0))
+    }
+    repo.registerDataset(
+      graft.core.DatasetMeta(uri, "ts", Seq("value"), "DAY", Seq.empty))
+    repo.addProfiling(uri, rows.toDF("ts", "entity", "instance", "name", "value"))
+    Service.assessTrend(uri, repo, handlers = Seq.empty)
+    val html = HtmlReport.render(repo, uri)
+    // the stored _trend_z series must NOT chart as its own metric...
+    assert(!html.contains("Column / value / bleeding_trend_z"))
+    // ...but badge the base chart and fill the assessment table
+    assert(html.contains("Trend assessment"))
+    assert(html.contains("↗ increasing"))
+    assert(html.contains("→ stable"))
+    // increasing badge is attached to the bleeding chart's heading
+    val h4 = html.split("<h4>").find(_.contains("bleeding")).get
+    assert(h4.contains("↗ increasing"), h4.take(300))
+    // index column: one significant series → trending badge
+    val idx = HtmlReport.renderIndex(repo)
+    assert(idx.contains("<th>trend</th>"))
+    assert(idx.contains("↗ 1 trending"))
+    // a dataset with no stored trend renders the na dash, not a badge
+    val bare = "ds://report-trend-bare"
+    repo.registerDataset(
+      graft.core.DatasetMeta(bare, "ts", Seq("value"), "DAY", Seq.empty))
+    repo.addProfiling(
+      bare,
+      Seq((day(0), "Column", "value", "Mean", 1.0))
+        .toDF("ts", "entity", "instance", "name", "value"))
+    val idx2 = HtmlReport.renderIndex(repo)
+    assert(idx2.contains("""<span class="na">—</span>"""))
+  }
+
   test("caps are applied before collect: maxSeries and maxPointsPerSeries bound the charts") {
     import spark.implicits._
     val repo = new InMemoryRepository()

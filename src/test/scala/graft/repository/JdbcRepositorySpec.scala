@@ -52,6 +52,42 @@ class JdbcRepositorySpec extends SparkSpec {
     assert(repo.getProfiling("u1", end = Some(t2)).count() == 2)
   }
 
+  test("upsert replaces rows whose key column is NULL (null-safe match)") {
+    // ts is part of the logical key; plain SQL equality never matches
+    // NULL = NULL, so without the null-safe grammar a re-add would
+    // accumulate duplicates instead of honoring latest-wins
+    val repo = newRepo()
+    val rows1 = Seq((Option.empty[java.sql.Timestamp], "Column", "a", "Mean", 1.0))
+      .toDF("ts", "entity", "instance", "name", "value")
+    val rows2 = Seq((Option.empty[java.sql.Timestamp], "Column", "a", "Mean", 2.0))
+      .toDF("ts", "entity", "instance", "name", "value")
+    repo.addProfiling("u1", rows1)
+    repo.addProfiling("u1", rows2)
+    val got = repo.getProfiling("u1").collect()
+    assert(got.length == 1, "NULL-ts key replaced, not duplicated")
+    assert(got.head.getAs[Double]("value") == 2.0)
+  }
+
+  test("reads push the dataset and ts predicates into the database") {
+    val repo = newRepo()
+    val rows = Seq((t1, "Column", "a", "Mean", 1.0))
+      .toDF("ts", "entity", "instance", "name", "value")
+    repo.addProfiling("u1", rows)
+    // the docstring's claim, proven from the physical plan: the JDBC
+    // scan carries PushedFilters for dataset_uri AND both ts bounds —
+    // the selection runs where the (dataset_uri, ts) index lives
+    val df = repo.getProfiling("u1", start = Some(t1), end = Some(t2))
+    // default metadata truncation (100 chars) would cut the filter list
+    spark.conf.set("spark.sql.maxMetadataStringLength", "2000")
+    val scan =
+      try df.queryExecution.executedPlan.collectLeaves().map(_.toString).mkString("\n")
+      finally spark.conf.unset("spark.sql.maxMetadataStringLength")
+    assert(scan.contains("PushedFilters"), s"JDBC scan must push filters:\n$scan")
+    assert(scan.contains("EqualTo(dataset_uri,u1)"), s"dataset predicate pushed:\n$scan")
+    assert(scan.contains("GreaterThanOrEqual(ts,"), s"ts lower bound pushed:\n$scan")
+    assert(scan.contains("LessThanOrEqual(ts,"), s"ts upper bound pushed:\n$scan")
+  }
+
   test("optimization and scoring round-trip through the same staged upsert") {
     val repo = newRepo()
     val opt = Seq(("Column", "a", "Mean", "ewma", 0.2, 0.05, false))

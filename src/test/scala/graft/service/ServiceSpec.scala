@@ -268,6 +268,23 @@ class ServiceSpec extends SparkSpec {
     assert(repo.getProfiling("u1", start = Some(java.sql.Timestamp.valueOf("2025-01-02 00:00:00"))).count() == 0)
   }
 
+  test("repositories honor latest-wins on NULL key columns") {
+    // a NULL ts is a legal key value (e.g. dataset-grain metrics with
+    // no observation time); re-adding must REPLACE, not duplicate —
+    // the same contract the JDBC null-safe DELETE pins on its side
+    for (repo <- Seq(new InMemoryRepository(), newParquetRepo())) {
+      val rows1 = Seq((Option.empty[java.sql.Timestamp], "Column", "a", "Mean", 1.0))
+        .toDF("ts", "entity", "instance", "name", "value")
+      val rows2 = Seq((Option.empty[java.sql.Timestamp], "Column", "a", "Mean", 2.0))
+        .toDF("ts", "entity", "instance", "name", "value")
+      repo.addProfiling("u1", rows1)
+      repo.addProfiling("u1", rows2)
+      val got = repo.getProfiling("u1").collect()
+      assert(got.length == 1, s"${repo.getClass.getSimpleName}: replaced, not duplicated")
+      assert(got.head.getAs[Double]("value") == 2.0)
+    }
+  }
+
   test("assessDrift stores psi as ordinary profiling metrics and alerts on a shifted day") {
     def day(d: Int, v: Double) =
       (java.sql.Timestamp.valueOf(f"2025-03-$d%02d 12:00:00"), v)
@@ -391,5 +408,31 @@ class ServiceSpec extends SparkSpec {
     val stored = repo.getProfiling("u")
       .where(col("name") === "bleeding_trend_z").collect()
     assert(stored.length == 1 && stored.head.getAs[Double]("value") < -1.96)
+  }
+
+  test("assessTrend never trend-tests its own derived series") {
+    // run the assessment repeatedly over an evolving store: the stored
+    // `<name>_trend_z` series must be EXCLUDED from the scan, so no
+    // `_trend_z_trend_z` metric can ever appear and the verdict table
+    // stays one row per BASE series.
+    val repo = new InMemoryRepository()
+    repo.registerDataset(DatasetMeta("u2", "ts", Seq("value"), "DAY", Seq.empty))
+    def batch(days: Range) = days
+      .map { d =>
+        (java.sql.Timestamp.valueOf(f"2025-03-$d%02d 00:00:00"),
+          "Column", "value", "drifting", 10.0 + d)
+      }
+      .toDF("ts", "entity", "instance", "name", "value")
+    repo.addProfiling("u2", batch(1 to 10))
+    val v1 = Service.assessTrend("u2", repo, handlers = Seq.empty)
+    assert(v1.select("name").as[String].collect().toSeq == Seq("drifting"))
+    repo.addProfiling("u2", batch(11 to 20))
+    val v2 = Service.assessTrend("u2", repo, handlers = Seq.empty)
+    assert(v2.select("name").as[String].collect().toSeq == Seq("drifting"))
+    repo.addProfiling("u2", batch(21 to 28))
+    Service.assessTrend("u2", repo, handlers = Seq.empty)
+    val names = repo.getProfiling("u2")
+      .select("name").distinct().as[String].collect().toSet
+    assert(names == Set("drifting", "drifting_trend_z"))
   }
 }
