@@ -1051,6 +1051,122 @@ object Dedup {
       )
   }
 
+  /** EXACT asymmetric token-set CONTAINMENT join at a threshold:
+    * every (probe, reference) pair with
+    * `|tokens(probe) ∩ tokens(reference)| / |tokens(probe)| >= threshold`,
+    * with the exact score — "this probe document is mostly inside that
+    * reference document". Containment is what quote/subset detection
+    * and train-on-test leakage need where Jaccard fails: a 50-token
+    * quote inside a 5000-token article has Jaccard ~0.01 but
+    * containment 1.0. The set-level companion to the span-level
+    * [[crossSpanOverlap]]/[[contaminationScore]].
+    *
+    * Candidate generation is LOSSLESS prefix filtering, the asymmetric
+    * variant of [[jaccardThresholdJoin]]'s: probe sets sort by global
+    * token order (df asc, token asc) and keep the first
+    * s - ceil(t*s) + 1 tokens (a qualifying pair has at most
+    * s - ceil(t*s) probe tokens OUTSIDE the reference, so at least one
+    * prefix token is shared); the reference side must index ALL its
+    * tokens (containment puts no ceiling on reference size — only the
+    * floor |ref| >= t*|probe|, applied as the size filter). Prefixes
+    * take the rarest tokens, so the candidate join keys are cold by
+    * construction; the reference's hot-token posting lists only
+    * surface when a probe prefix itself holds a hot token (an
+    * all-stopword probe). Probes with zero tokens emit nothing
+    * (containment over an empty set is undefined).
+    *
+    * `excludeSelfPairs` drops id_a == id_b rows — ON for the
+    * overlapping-corpora case (reference is a slice of the probe
+    * corpus); turn OFF when the two id spaces are unrelated and equal
+    * ids are a coincidence.
+    *
+    * Shuffles: shared token-df count, probe re-sort, prefix-vs-all
+    * token join, pair distinct, two verification joins — all
+    * equi-keyed, nothing all-pairs.
+    */
+  def containmentJoin(
+      probe: DataFrame,
+      reference: DataFrame,
+      textCol: String,
+      idCol: String,
+      threshold: Double,
+      excludeSelfPairs: Boolean = true
+  ): DataFrame = {
+    require(
+      threshold > 0 && threshold <= 1,
+      s"threshold must be in (0, 1], got $threshold"
+    )
+    def toksOf(df: DataFrame) = df.select(
+      col(idCol),
+      array_distinct(Text.tokens(col(textCol))).as("_ts")
+    )
+    val pex = toksOf(probe).select(col(idCol), explode(col("_ts")).as("_tok"))
+    val refSets = graft.functions.materialize(
+      toksOf(reference).select(
+        col(idCol).as("id_b"),
+        col("_ts").as("_tb"),
+        size(col("_ts")).cast("long").as("_sb")
+      )
+    )
+    // ONE global token order shared by both sides: df counted over the
+    // union, so the probe prefix ranking knows the reference's hot
+    // tokens too (a token rare in the probe corpus but hot in the
+    // reference would otherwise rank into prefixes and drag its full
+    // reference posting list into the join)
+    val freq = pex
+      .select("_tok")
+      .unionAll(refSets.select(explode(col("_tb")).as("_tok")))
+      .groupBy("_tok")
+      .agg(count(lit(1)).as("_df"))
+    val orderedP = graft.functions.materialize(
+      pex
+        .join(freq, "_tok")
+        .groupBy(col(idCol))
+        .agg(
+          sort_array(collect_list(struct(col("_df"), col("_tok")))).as("_ord")
+        )
+        .select(
+          col(idCol).as("id_a"),
+          transform(col("_ord"), e => e.getField("_tok")).as("_ta"),
+          size(col("_ord")).cast("long").as("_sa")
+        )
+    )
+    val prefLen =
+      (col("_sa") - ceil(lit(threshold) * col("_sa")) + 1).cast("int")
+    val aTok = orderedP.select(
+      col("id_a"),
+      col("_sa"),
+      explode(slice(col("_ta"), lit(1), prefLen)).as("_tok")
+    )
+    val bTok = refSets.select(
+      col("id_b"),
+      col("_sb"),
+      explode(col("_tb")).as("_tok")
+    )
+    val selfGuard =
+      if (excludeSelfPairs) col("id_a") =!= col("id_b") else lit(true)
+    val cands = aTok
+      .join(bTok, Seq("_tok"))
+      .where(selfGuard && col("_sb") >= lit(threshold) * col("_sa"))
+      .select("id_a", "id_b")
+      .distinct()
+    cands
+      .join(orderedP, "id_a")
+      .join(refSets, "id_b")
+      .withColumn(
+        "n_intersection",
+        size(array_intersect(col("_ta"), col("_tb"))).cast("long")
+      )
+      .withColumn("_c", col("n_intersection") / col("_sa"))
+      .where(col("_c") >= threshold)
+      .select(
+        col("id_a"),
+        col("id_b"),
+        col("n_intersection"),
+        graft.functions.round6(col("_c")).as("containment")
+      )
+  }
+
   /** Per-corpus-document contamination score against a benchmark span
     * set: the fraction of each document's DISTINCT `spanWords`-word
     * spans that appear anywhere in the benchmark corpus — the SCORED

@@ -249,6 +249,77 @@ object Graph {
     labels
   }
 
+  /** Fixed-round k-core peel over an edge list: `rounds` synchronous
+    * rounds of "drop every node with current degree < k, and its
+    * edges", then return the surviving `(node, deg)` table with each
+    * node's degree inside the PEELED subgraph. Edges are symmetrized
+    * and de-duplicated internally (self-loops dropped), so callers may
+    * pass either one or both directions. Once the peel reaches its
+    * fixpoint the remaining rounds are no-ops and the result IS the
+    * exact k-core (spec-pinned); the fixed round budget keeps the plan
+    * finite and the oracle unrollable — the same contract as
+    * [[pageRank]]/[[labelPropagation]]'s fixed iteration counts, and
+    * the k-core needs O(peel depth) rounds, typically far fewer than
+    * |V| (degeneracy ordering is sequential; the synchronous peel is
+    * the distributed formulation).
+    *
+    * Dense-subgraph survival is the point: spam/bot farms, template
+    * boilerplate rings and co-purchase cliques stay in a high-k core
+    * while tendrils and one-off co-occurrences dissolve — the graph
+    * analogue of a quality prior for crawl corpora.
+    *
+    * Scale shape: the LOOP VARIABLE is the |V|-bounded alive-node set,
+    * never the edge list — per round the persisted edges semi-join the
+    * alive set on both endpoints (AQE broadcasts the node table; the
+    * edges themselves are scanned, not re-shuffled) and ONE map-side-
+    * combinable groupBy(src) recounts degrees. The alive set is
+    * materialized every round: it is tiny, it feeds three plan
+    * branches (both semi-joins + the next round), and an
+    * edge-list-valued loop variable was measured 2.5× slower at sf0.1
+    * (it re-executed its own lineage per branch and its plan tree grew
+    * 3^rounds — analyzer OOM near 15 rounds).
+    *
+    * Pass `symmetrize = false` when the input is ALREADY a symmetric,
+    * self-loop-free, distinct edge set (e.g. a co-occurrence graph
+    * built as both directions) to skip the 2|E| union+distinct
+    * shuffle; with it true (the safe default) either one- or
+    * two-directional inputs are accepted.
+    */
+  def kCore(
+      edges: DataFrame,
+      srcCol: String,
+      dstCol: String,
+      k: Int,
+      rounds: Int = 3,
+      symmetrize: Boolean = true
+  ): DataFrame = {
+    require(k >= 1, s"k must be >= 1, got $k")
+    require(rounds >= 1, s"rounds must be >= 1, got $rounds")
+    val dir = edges.select(col(srcCol).as("src"), col(dstCol).as("dst"))
+    val e = (if (symmetrize)
+               dir
+                 .union(dir.select(col("dst").as("src"), col("src").as("dst")))
+                 .where(col("src") =!= col("dst"))
+                 .distinct()
+             else dir).persist()
+    def induced(alive: DataFrame) = e
+      .join(alive, Seq("src"), "left_semi")
+      .join(alive.select(col("src").as("dst")), Seq("dst"), "left_semi")
+    var alive = e.select("src").distinct()
+    for (_ <- 1 to rounds) {
+      alive = graft.functions.materialize(
+        induced(alive)
+          .groupBy("src")
+          .agg(count(lit(1)).as("_deg"))
+          .where(col("_deg") >= k)
+          .select("src")
+      )
+    }
+    induced(alive)
+      .groupBy(col("src").as("node"))
+      .agg(count(lit(1)).as("deg"))
+  }
+
   /** Common-neighbor / Jaccard link prediction over a SYMMETRIC edge
     * list: `(node_a, node_b, common, jaccard)` for every non-adjacent-
     * or-adjacent pair sharing >= `minCommon` neighbors, node_a <

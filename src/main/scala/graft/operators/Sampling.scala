@@ -233,4 +233,53 @@ object Sampling {
       .select(explode(col("_top.id")).as("_keep_id"))
     df.join(kept, col(idCol) === col("_keep_id"), "left_semi")
   }
+
+  /** EXACT stratified split: every stratum is apportioned to the named
+    * fractions by count, not by expectation — stratum s of n rows
+    * sends its hash-ordered rows 1..floor(cum_1·n) to the first split,
+    * floor(cum_1·n)+1..floor(cum_2·n) to the second, and so on (the
+    * last split absorbs the remainder). [[hashSplit]]'s thresholds
+    * only hit the fractions in expectation, which is fine at web scale
+    * but lets a 50-document language draw zero validation rows; here a
+    * (train 0.8, val 0.1, test 0.1) split of a 50-row stratum is
+    * exactly 40/5/5, every run, every engine (ordering is the same
+    * md5(id:salt) content hash — no RNG, no partition dependence).
+    *
+    * Cost of exactness: one window (rank + count) per stratum — a
+    * shuffle on `stratumCol` that [[hashSplit]] does not pay, and a
+    * hot stratum sorts in one partition. Use THIS for bounded-
+    * cardinality strata (language × source); at billions of rows per
+    * stratum use hashSplit, whose binomial deviation is then
+    * negligible anyway.
+    */
+  def stratifiedSplit(
+      df: DataFrame,
+      stratumCol: String,
+      idCol: String,
+      fractions: Seq[(String, Double)],
+      salt: String = "graft"
+  ): DataFrame = {
+    require(fractions.nonEmpty && fractions.forall(_._2 >= 0))
+    require(
+      math.abs(fractions.map(_._2).sum - 1.0) < 1e-9,
+      s"fractions must sum to 1, got ${fractions.map(_._2).sum}"
+    )
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(stratumCol)
+      .orderBy(bucketHex(col(idCol), salt), col(idCol))
+    val wAll = org.apache.spark.sql.expressions.Window.partitionBy(stratumCol)
+    val cum = fractions.scanLeft(0.0) { case (acc, (_, f)) => acc + f }.tail
+    // floor(cum_j * n) boundaries; row i -> first j with i <= boundary
+    val expr = fractions
+      .zip(cum)
+      .dropRight(1)
+      .foldRight(lit(fractions.last._1)) { case (((name, _), c), elseCol) =>
+        when(col("_i") <= floor(lit(c) * col("_n")), lit(name))
+          .otherwise(elseCol)
+      }
+    df.withColumn("_i", row_number().over(w))
+      .withColumn("_n", count(lit(1)).over(wAll))
+      .withColumn("split", expr)
+      .drop("_i", "_n")
+  }
 }

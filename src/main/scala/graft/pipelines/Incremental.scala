@@ -385,6 +385,49 @@ object Incremental {
       .withColumn("kept", col("drop_reason") === "kept")
       .drop("_fp", "_dup_prior")
 
+  /** Approximate, SCAN-SIDE variant of [[demotePriorDuplicates]]: the
+    * prior fingerprint set is compacted into a bloom filter
+    * ([[graft.operators.BloomJoin.buildBloom]] — `numBits / 8` bytes
+    * regardless of prior size) and membership is tested per row as a
+    * codegen'd expression, so the prior-dedup step costs ZERO joins
+    * and ZERO shuffles at any prior-corpus size. The trade is
+    * explicit and one-sided: bloom false positives demote a bounded
+    * fraction (~the filter's FP rate at the actual key load) of
+    * genuinely-NEW documents as `duplicate_prior`; no true prior
+    * duplicate ever survives (blooms have no false negatives). At
+    * web-corpus scale, losing ~0.1% of new docs to FP against a
+    * billions-strong prior set is routinely the right price for
+    * deleting the join — size `numBits ≈ -n·ln(fp)/ln(2)²` for the
+    * accumulated prior count n. Use the exact join variant when every
+    * kept row must be provably non-duplicate (the oracle-gated
+    * pipeline path).
+    */
+  def demotePriorDuplicatesBloom(
+      funnel: DataFrame,
+      priorFps: DataFrame,
+      textCol: String = "text",
+      fpCol: Option[String] = None,
+      expectedItems: Long = 1000000L,
+      numBits: Long = 8L * 1024 * 1024
+  ): DataFrame = {
+    val bloom = graft.operators.BloomJoin
+      .buildBloom(priorFps, "fp", expectedItems, numBits)
+    funnel
+      .withColumn(
+        "_fp",
+        fpCol.fold(graft.text.Text.fingerprint(col(textCol)))(col))
+      .withColumn(
+        "_dup_prior",
+        graft.operators.BloomJoin.mightContain(bloom, col("_fp")))
+      .withColumn(
+        "drop_reason",
+        when(col("kept") && col("_dup_prior"), lit("duplicate_prior"))
+          .otherwise(col("drop_reason"))
+      )
+      .withColumn("kept", col("drop_reason") === "kept")
+      .drop("_fp", "_dup_prior")
+  }
+
   /** Committed batch ids whose OUTPUT directory is still present —
     * [[dropBatchOutputs]] may have retired older outputs while their
     * dedup state (fingerprints/signatures) lives on.

@@ -538,6 +538,43 @@ object DedupQueries extends QueryPack {
       FROM j WHERE jac >= 0.9 ORDER BY id_a, id_b""")
   )
 
+  // Asymmetric containment join: probe docs >=90% token-contained in
+  // a reference slice — quote/leakage detection where Jaccard misses
+  // subsets (50-token quote in a 5000-token article: J~0.01, C=1.0).
+  // Oracle is the brute-force token-intersection join. Same
+  // transparent demo-slice convention as dedup_jaccard_join /
+  // q_link_prediction: the synthetic corpus is ~90% literal-duplicate
+  // clusters, so an unsliced probe emits every cross-cluster pair —
+  // the 10%-probe slice keeps the demo priced like the operator, and
+  // the identical predicate runs in the oracle
+  private val containmentJoinQ = Q(
+    fn = (s, d) =>
+      Dedup
+        .containmentJoin(
+          Tables.documents(s, d).where(col("doc_id") % 10 === 3),
+          Tables.documents(s, d).where(col("doc_id") % 5 === 0),
+          "text",
+          "doc_id",
+          0.9
+        )
+        .orderBy("id_a", "id_b"),
+    oracle = Some("""
+      WITH pt AS (SELECT doc_id, unnest(list_distinct(string_split(text, ' '))) AS tok
+                  FROM documents WHERE doc_id % 10 = 3),
+      rt AS (SELECT doc_id, unnest(list_distinct(string_split(text, ' '))) AS tok
+             FROM documents WHERE doc_id % 5 = 0),
+      sa AS (SELECT doc_id, count(*) AS s FROM pt GROUP BY 1),
+      pairs AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+                  CAST(count(*) AS BIGINT) AS n_intersection
+                FROM pt a JOIN rt b ON a.tok = b.tok AND a.doc_id <> b.doc_id
+                GROUP BY 1, 2),
+      c AS (SELECT id_a, id_b, n_intersection,
+              CAST(n_intersection AS DOUBLE) / sa.s AS cont
+            FROM pairs JOIN sa ON sa.doc_id = id_a)
+      SELECT id_a, id_b, n_intersection, round(cont, 6) AS containment
+      FROM c WHERE cont >= 0.9 ORDER BY id_a, id_b""")
+  )
+
   // duplication-shape planning view: pairs-tail vs boilerplate-cluster
   private val clusterSizesQ = Q(
     fn = (s, d) =>
@@ -553,6 +590,7 @@ object DedupQueries extends QueryPack {
 
   val queries: Map[String, Q] = Map(
     "dedup_jaccard_join" -> jaccardJoinQ,
+    "dedup_containment_join" -> containmentJoinQ,
     "dedup_contamination_score" -> contaminationQ,
     "dedup_span_exact" -> spanExactQ,
     "dedup_source_overlap" -> sourceOverlapQ,

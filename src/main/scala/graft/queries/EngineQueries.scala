@@ -647,6 +647,45 @@ object EngineQueries extends QueryPack {
       FROM documents ORDER BY doc_id""")
   )
 
+  // EXACT stratified split: per (lang, source) stratum the split
+  // counts are floor-exact, not binomial — oracle mirrors the
+  // rank-within-stratum boundary arithmetic on the same md5 ordering
+  private val stratSplitQ = Q(
+    fn = (s, d) =>
+      graft.operators.Sampling
+        .stratifiedSplit(
+          Tables.documents(s, d).withColumn(
+            "stratum",
+            concat(col("lang"), lit(":"), col("source"))),
+          "stratum",
+          "doc_id",
+          Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1)
+        )
+        .select(col("doc_id"), col("stratum"), col("split"))
+        .orderBy("doc_id"),
+    // boundary literals are the SAME IEEE doubles the Spark side
+    // folds (0.8+0.1 == 0.9000000000000001 — a hand-written DECIMAL
+    // 0.9 would floor differently on strata sized n where
+    // double(0.9)*n crosses an integer, e.g. n=70), cast to DOUBLE so
+    // DuckDB doesn't parse them as DECIMAL
+    oracle = Some {
+      val cum = Seq(0.8, 0.1, 0.1).scanLeft(0.0)(_ + _).tail
+      s"""
+      WITH s AS (SELECT doc_id, lang || ':' || source AS stratum,
+          substring(md5(CAST(doc_id AS VARCHAR) || ':graft'), 1, 8) AS h
+        FROM documents),
+      r AS (SELECT doc_id, stratum,
+          row_number() OVER (PARTITION BY stratum ORDER BY h, doc_id) AS i,
+          count(*) OVER (PARTITION BY stratum) AS n
+        FROM s)
+      SELECT doc_id, stratum,
+        CASE WHEN i <= floor(CAST('${cum(0)}' AS DOUBLE) * n) THEN 'train'
+             WHEN i <= floor(CAST('${cum(1)}' AS DOUBLE) * n) THEN 'val'
+             ELSE 'test' END AS split
+      FROM r ORDER BY doc_id"""
+    }
+  )
+
   // Leakage-safe split: every event of a user lands in one split
   // (split by hash of user_id, not event_id)
   private val groupSplitQ = Q(
@@ -1339,6 +1378,37 @@ object EngineQueries extends QueryPack {
       FROM deg d LEFT JOIN pn ON d.src = pn.node ORDER BY p_partkey""")
   )
 
+  // Dense-core extraction on the co-purchase graph: 3 synchronous
+  // k-core peel rounds at k=3 — the oracle unrolls each round as a
+  // degree + keep-set + edge-restriction CTE triple, integer-only.
+  // Survivors are the co-purchase cliques; tendrils dissolve.
+  private val kcoreQ = {
+    val k = 3
+    def iter(i: Int): String = s"""
+      d$i AS (SELECT src, count(*) AS deg FROM e${i - 1} GROUP BY 1),
+      k$i AS (SELECT src FROM d$i WHERE deg >= $k),
+      e$i AS (SELECT e.src, e.dst FROM e${i - 1} e
+        JOIN k$i a ON e.src = a.src JOIN k$i b ON e.dst = b.src)"""
+    Q(
+      fn = (s, dir) =>
+        graft.operators.Graph
+          // copurchaseEdges is symmetric+distinct+loop-free by
+          // construction — skip the 2|E| re-symmetrize shuffle
+          .kCore(copurchaseEdges(s, dir), "src", "dst", k = k, rounds = 3,
+            symmetrize = false)
+          .select(col("node").as("p_partkey"), col("deg"))
+          .orderBy("p_partkey"),
+      oracle = Some(s"""
+        WITH $copurchaseEdgesSql,
+        e0 AS (SELECT src, dst FROM edges),
+        ${iter(1)},
+        ${iter(2)},
+        ${iter(3)}
+        SELECT src AS p_partkey, count(*) AS deg
+        FROM e3 GROUP BY 1 ORDER BY p_partkey""")
+    )
+  }
+
   // Common-neighbor / Jaccard link prediction, top-100 candidate
   // pairs by jaccard (TakeOrdered). The synthetic co-purchase graph
   // is abnormally DENSE (~115 median degree — every part in ~30
@@ -1414,6 +1484,7 @@ object EngineQueries extends QueryPack {
     "q_copurchase_pagerank" -> pagerankQ,
     "q_label_propagation" -> lpaQ,
     "q_triangle_count" -> triangleQ,
+    "q_kcore" -> kcoreQ,
     "q_link_prediction" -> linkPredictionQ,
     "q_join_cardinality" -> joinCardQ,
     "q9_product_profit" -> q9,
@@ -1433,6 +1504,7 @@ object EngineQueries extends QueryPack {
     "q_range_join" -> rangeQ,
     "q_hash_split" -> splitQ,
     "q_group_split" -> groupSplitQ,
+    "q_stratified_split" -> stratSplitQ,
     "q_fuzzy_join" -> fuzzyJoinQ,
     "q_entity_resolution" -> entityResolutionQ,
     "q_stratified_sample" -> stratifiedQ,

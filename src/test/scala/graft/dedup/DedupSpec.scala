@@ -433,6 +433,51 @@ class DedupSpec extends SparkSpec {
     }
   }
 
+  test("containment join finds subsets Jaccard misses and equals brute force") {
+    // a 4-token quote inside a 12-token article: containment 1.0,
+    // Jaccard 1/3 — the asymmetric join must surface it
+    val ref = Seq(
+      (100L, "alpha beta gamma delta epsilon zeta eta theta iota kappa lambda mu")
+    ).toDF("doc_id", "text")
+    val probe = Seq(
+      (1L, "gamma delta epsilon zeta"), // fully contained quote
+      (2L, "gamma delta nu xi"), // 0.5 contained
+      (3L, "") // zero tokens -> emits nothing
+    ).toDF("doc_id", "text")
+    val got = Dedup
+      .containmentJoin(probe, ref, "text", "doc_id", 0.9)
+      .as[(Long, Long, Long, Double)].collect().toSet
+    assert(got == Set((1L, 100L, 4L, 1.0)))
+    // prefix filter lossless vs brute force on random corpora
+    val rnd = new scala.util.Random(7)
+    val vocab = (0 until 30).map(i => s"w$i")
+    val docs = (0 until 50).map { i =>
+      (i.toLong, rnd.shuffle(vocab).take(2 + rnd.nextInt(10)).mkString(" "))
+    }
+    val df = docs.toDF("doc_id", "text")
+    val refSlice = df.where($"doc_id" % 5 === 0)
+    val thr = 0.6
+    val gotR = Dedup
+      .containmentJoin(df, refSlice, "text", "doc_id", thr)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2))
+      .toMap
+    val sets = docs.map { case (id, t) => id -> t.split(" ").toSet }.toMap
+    val brute = (for {
+      a <- docs.map(_._1); b <- docs.map(_._1)
+      if b % 5 == 0 && a != b
+      inter = (sets(a) & sets(b)).size
+      if sets(a).nonEmpty && inter.toDouble / sets(a).size >= thr
+    } yield (a, b) -> inter.toLong).toMap
+    assert(gotR == brute)
+    // self-pair guard OFF keeps identical-id cross-corpus hits
+    val self = Dedup
+      .containmentJoin(refSlice, refSlice, "text", "doc_id", 0.9,
+        excludeSelfPairs = false)
+      .where($"id_a" === $"id_b")
+    assert(self.count() == refSlice.count())
+  }
+
   test("contamination score: fraction of doc spans found in the bench set, zero-span docs score 0") {
     val bench = Seq(
       (100L, "the exact eval answer phrase appears here verbatim")

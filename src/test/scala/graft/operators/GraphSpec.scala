@@ -56,6 +56,30 @@ class GraphSpec extends SparkSpec {
     assert(cliqueA != cliqueB, "the bridge must not merge the communities")
   }
 
+  test("k-core peel dissolves tendrils, keeps the clique, converges to the exact core") {
+    // 4-clique {1,2,3,4} with a pendant chain 4-5-6 and a dangling
+    // triangle-with-tail 7-8-9-10: the exact 3-core is ONLY the clique
+    // (chain peels in 2 rounds; the triangle {7,8,9} has degree 2)
+    val clique = for {
+      a <- 1L to 4L; b <- 1L to 4L if a < b
+    } yield (a, b)
+    val extra = Seq((4L, 5L), (5L, 6L), (7L, 8L), (8L, 9L), (7L, 9L), (9L, 10L))
+    // pass DIRECTED one-way edges: kCore symmetrizes internally
+    val edges = (clique ++ extra).toDF("src", "dst")
+    val core = Graph.kCore(edges, "src", "dst", k = 3, rounds = 3)
+      .as[(Long, Long)].collect().toSet
+    assert(core == Set((1L, 3L), (2L, 3L), (3L, 3L), (4L, 3L)))
+    // fixpoint: extra rounds (crossing the checkpoint cadence) no-op
+    val deep = Graph.kCore(edges, "src", "dst", k = 3, rounds = 20)
+      .as[(Long, Long)].collect().toSet
+    assert(deep == core)
+    // k=2 keeps the triangle too, with its in-subgraph degrees
+    val k2 = Graph.kCore(edges, "src", "dst", k = 2, rounds = 3)
+      .as[(Long, Long)].collect().toSet
+    assert(k2 == core.map { case (n, _) => (n, 3L) } ++ Set((7L, 2L), (8L, 2L), (9L, 2L)))
+    intercept[IllegalArgumentException] { Graph.kCore(edges, "src", "dst", k = 0) }
+  }
+
   test("deep iteration counts cross the checkpoint cadence and stay exact") {
     // 20 rounds crosses the every-8 lineage truncation twice; a
     // converged graph must return the SAME labels/ranks as a shallow

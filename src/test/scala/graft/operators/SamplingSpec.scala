@@ -151,6 +151,29 @@ class SamplingSpec extends SparkSpec {
     assert(!b.contains(999999L) && !b.contains(999998L) && !b.contains(999997L))
   }
 
+  test("stratifiedSplit is floor-exact per stratum, deterministic, and respects tiny strata") {
+    // stratum sizes 50 and 7: hashSplit could starve the small one;
+    // the exact split must give 50 -> 40/5/5 and 7 -> floor(5.6)=5 /
+    // floor(6.3)-5=1 / 1
+    val rows = (1L to 50L).map(i => ("big", i)) ++ (51L to 57L).map(i => ("tiny", i))
+    val df = rows.toDF("stratum", "id")
+    val fr = Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1)
+    val out = Sampling.stratifiedSplit(df, "stratum", "id", fr)
+    val counts = out.groupBy("stratum", "split").count()
+      .as[(String, String, Long)].collect().toSet
+    assert(counts == Set(
+      ("big", "train", 40L), ("big", "val", 5L), ("big", "test", 5L),
+      ("tiny", "train", 5L), ("tiny", "val", 1L), ("tiny", "test", 1L)))
+    // deterministic across runs and partitionings
+    val again = Sampling
+      .stratifiedSplit(df.repartition(7), "stratum", "id", fr)
+      .select("id", "split").as[(Long, String)].collect().toSet
+    assert(again == out.select("id", "split").as[(Long, String)].collect().toSet)
+    intercept[IllegalArgumentException] {
+      Sampling.stratifiedSplit(df, "stratum", "id", Seq("a" -> 0.5, "b" -> 0.4))
+    }
+  }
+
   test("capPerGroup keeps exactly the top-k rows per group with deterministic tiebreak") {
     val docs = Seq(
       ("a", 1L, 10.0), ("a", 2L, 30.0), ("a", 3L, 20.0), ("a", 4L, 30.0),

@@ -314,6 +314,30 @@ class IncrementalSpec extends SparkSpec {
     }
   }
 
+  test("bloom prior-dedup: no false negatives, bounded false positives, zero joins") {
+    // 200 new docs + 50 that duplicate the prior set: every true prior
+    // dup MUST demote (blooms have no false negatives); new docs may
+    // only be lost at the filter's FP rate (generous bits -> ~0 here)
+    val priorTexts = (0 until 50).map(i => s"$textA prior$i")
+    val prior = Corpus
+      .prepareFunnel(priorTexts.zipWithIndex.map { case (t, i) => (1000L + i, t) }
+        .toDF("doc_id", "text"), keepFpCol = Some("fp"))
+      .where($"kept").select($"fp")
+    val docs = ((0 until 200).map(i => (i.toLong, s"$textB fresh$i")) ++
+      priorTexts.zipWithIndex.map { case (t, i) => (500L + i, t) })
+      .toDF("doc_id", "text")
+    val out = Incremental.demotePriorDuplicatesBloom(
+      Corpus.prepareFunnel(docs, keepFpCol = Some("fp")), prior,
+      fpCol = Some("fp"))
+    val demoted = out.where($"drop_reason" === "duplicate_prior")
+      .select("doc_id").as[Long].collect().toSet
+    assert(demoted.forall(_ >= 500L), "no fresh doc demoted at this FP sizing")
+    assert((500L until 550L).toSet.subsetOf(demoted), "every true prior dup demoted")
+    // the scan-side claim: the plan holds NO join for the prior check
+    val plan = out.queryExecution.executedPlan.toString
+    assert(!plan.toLowerCase.contains("join"), s"bloom variant must not join:\n$plan")
+  }
+
   test("profileBatches stores the per-day loss series in the monitoring repo") {
     val root = java.nio.file.Files.createTempDirectory("increm6").toString
     Incremental.prepareBatch(Seq((1L, textA), (2L, "short text only"))

@@ -62,11 +62,13 @@ class HtmlReportSpec extends SparkSpec {
     val repo = new InMemoryRepository()
     val uri = "ds://report-trend"
     def day(i: Int) = java.sql.Timestamp.valueOf(f"2024-01-${i + 1}%02d 00:00:00")
-    // a strongly increasing series and a flat one
+    // a strongly increasing series and a trendless (alternating) one —
+    // NOT constant: a zero-variance series has NO Mann-Kendall z
+    // (stored NULL), and absence-of-verdict must stay unbadged
     val rows = (0 until 20).flatMap { i =>
       Seq(
         (day(i), "Column", "value", "bleeding", 10.0 + i),
-        (day(i), "Column", "value", "steady", 5.0))
+        (day(i), "Column", "value", "steady", 5.0 + (i % 2) * 0.1))
     }
     repo.registerDataset(
       graft.core.DatasetMeta(uri, "ts", Seq("value"), "DAY", Seq.empty))
