@@ -216,7 +216,9 @@ object Bench {
       // r6 addition: seasonal+trend forecast
       "anomaly_forecast_hw",
       // r7 addition: the composed prepare funnel
-      "pipeline_corpus_funnel"
+      "pipeline_corpus_funnel",
+      // r10 additions: dense-core graph peel, containment leakage join
+      "q_kcore", "dedup_containment_join"
     )
     val byName = results.map { case (k, v, _, _) => k -> v }.toMap
     val qs = headline.flatMap(k => byName.get(k).map(v => s"\"" + k + "\":" + ms(v)))
@@ -242,6 +244,8 @@ object Bench {
     "dedup_near_sweep", "dedup_span_exact", "dedup_source_overlap",
     "anomaly_score_last", "q_skew_salted_join", "q_triangle_count",
     "dedup_simhash", "profile_approx_distinct", "q_copurchase_pagerank",
+    // r10 additions: k-core peel, containment join, BPE training
+    "q_kcore", "dedup_containment_join", "text_bpe_merges",
     // linear controls
     "q1_agg", "text_tfidf", "profile_report"
   )

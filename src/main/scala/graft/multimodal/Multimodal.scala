@@ -387,21 +387,22 @@ object Multimodal {
       conv(hex(substring(bin, pos, len)), 16, 10).cast("long")
     )
 
-  /** Container sniff + header dimensions for the fixed-offset image
+  /** Container sniff + header dimensions for the scan-parseable image
     * formats — `image` struct `(container, width, height)`:
     * PNG (IHDR, big-endian), GIF (logical screen, little-endian),
-    * BMP (BITMAPINFOHEADER, little-endian). JPEG is detected but
-    * carries NULL dims — its SOF marker floats behind variable-length
-    * segments, which is a job for the decode KERNEL
-    * ([[extractFeatures]]), not a fixed-offset scan. Unknown or
-    * truncated payloads: NULL container / NULL dims — flagged, never
-    * guessed (same contract as [[wavMeta]]).
+    * BMP (BITMAPINFOHEADER, little-endian) via fixed-offset column
+    * expressions, and JPEG via the codegen'd
+    * [[graft.functions.mediaExpressions.JpegDims]] segment walk (its
+    * SOF marker floats behind variable-length segments — a ~10-step
+    * byte loop per row, still thousands of times cheaper than a
+    * decode). Unknown or truncated payloads: NULL container / NULL
+    * dims — flagged, never guessed (same contract as [[wavMeta]];
+    * a truncated or frameless JPEG keeps container "jpeg", NULL dims).
     *
-    * Scale shape: pure fixed-offset column expressions (hex/conv,
-    * whole-stage codegen) — dimensions for a billion images ride the
-    * scan with zero shuffle and no payload copy; route the
-    * dims-bearing subset straight to resolution filters without ever
-    * invoking a decoder.
+    * Scale shape: everything rides the scan inside whole-stage
+    * codegen, zero shuffle, no payload copy — route the dims-bearing
+    * subset straight to resolution filters without ever invoking a
+    * decoder.
     */
   def imageMeta(df: DataFrame, binCol: String): DataFrame = {
     val b = col(binCol)
@@ -409,6 +410,7 @@ object Multimodal {
     val isGif = hex(substring(b, 1, 4)) === "47494638" // "GIF8"
     val isBmp = hex(substring(b, 1, 2)) === "424D" // "BM"
     val isJpeg = hex(substring(b, 1, 3)) === "FFD8FF"
+    val jd = graft.functions.mediaExpressions.jpegDims(b)
     val container = when(b.isNull, lit(null).cast("string"))
       .when(isPng, "png")
       .when(isGif, "gif")
@@ -417,9 +419,11 @@ object Multimodal {
     val width = when(isPng, beUint(b, 17, 4))
       .when(isGif, leUint(b, 7, 2))
       .when(isBmp, leUint(b, 19, 4))
+      .when(isJpeg, element_at(jd, 1))
     val height = when(isPng, beUint(b, 21, 4))
       .when(isGif, leUint(b, 9, 2))
       .when(isBmp, leUint(b, 23, 4))
+      .when(isJpeg, element_at(jd, 2))
     df.withColumn(
       "image",
       struct(

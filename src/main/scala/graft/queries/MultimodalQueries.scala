@@ -241,8 +241,60 @@ object MultimodalQueries extends QueryPack {
       FROM documents ORDER BY doc_id""")
   )
 
+  /** JPEG dims via the codegen'd segment walk
+    * (`mediaExpressions.JpegDims`): canonical JPEG streams BUILT
+    * in-plan (SOI → JFIF APP0 → a COM segment → SOF0 carrying
+    * doc-derived dims — the walk must skip two variable-length
+    * segments to find them), plus a truncated stream and an
+    * SOS-before-SOF stream (container "jpeg", NULL dims — flagged,
+    * never guessed) and a raw-text residue (NULL container). The
+    * oracle states the expected dims directly, so a non-inverting
+    * parse hash-fails — same roundtrip contract as the PNG/GIF/BMP
+    * and WAV queries.
+    */
+  private val jpegDimsQ = Q(
+    fn = (s, d) => {
+      val e = Tables
+        .documents(s, d)
+        .select(
+          col("doc_id"),
+          (lit(16L) + pmod(col("doc_id"), lit(1000))).as("w"),
+          (lit(16L) + pmod(col("n_chars"), lit(200))).as("h"),
+          pmod(col("doc_id"), lit(4)).as("m"),
+          encode(col("text"), "UTF-8").as("raw")
+        )
+      val app0 = "FFE000104A464946000101000001000100 00".replace(" ", "")
+      val com = "FFFE000674657374"
+      val sof0 = concat(
+        lit("FFC0001108"), beHex(col("h"), 2), beHex(col("w"), 2),
+        lit("03011100021101031101")
+      )
+      val full = concat(lit("FFD8"), lit(app0), lit(com), sof0)
+      val payload = when(col("m") === 0, unhex(full))
+        .when(col("m") === 1, unhex(lit("FFD8FFE0"))) // truncated
+        .when(col("m") === 2, unhex(lit("FFD8FFDA00084142"))) // SOS first
+        .otherwise(col("raw"))
+      Multimodal
+        .imageMeta(e.withColumn("payload", payload), "payload")
+        .select(
+          col("doc_id"),
+          col("image.container").as("container"),
+          col("image.width").as("width"),
+          col("image.height").as("height")
+        )
+        .orderBy("doc_id")
+    },
+    oracle = Some("""
+      SELECT doc_id,
+        CASE WHEN doc_id % 4 <= 2 THEN 'jpeg' END AS container,
+        CASE WHEN doc_id % 4 = 0 THEN 16 + doc_id % 1000 END AS width,
+        CASE WHEN doc_id % 4 = 0 THEN 16 + n_chars % 200 END AS height
+      FROM documents ORDER BY doc_id""")
+  )
+
   val queries: Map[String, Q] = Map(
     "multimodal_image_dims" -> imageDimsQ,
+    "multimodal_jpeg_dims" -> jpegDimsQ,
     "multimodal_binary_meta" -> binaryMetaQ,
     "multimodal_frame_sample" -> frameSampleQ,
     "multimodal_wav_meta" -> wavQ,

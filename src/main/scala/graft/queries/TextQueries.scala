@@ -246,6 +246,54 @@ object TextQueries extends QueryPack {
       GROUP BY doc_id ORDER BY doc_id""")
   )
 
+  /** Character-distribution entropy per doc via the codegen'd
+    * single-pass kernel (`mediaExpressions.CharEntropy`) — the
+    * encoding-noise / gibberish signal (natural prose sits ~3-4.2
+    * nats; base64 blobs and repeated-char junk sit far off). Kernel
+    * uses the exact-count form H = ln n − (Σ c·ln c)/n summed over
+    * sorted distinct code points; the oracle recomputes it from a
+    * char unnest + group-by.
+    */
+  private val charEntropyQ = Q(
+    fn = (s, d) =>
+      Tables
+        .documents(s, d)
+        .select(
+          col("doc_id"),
+          graft.functions.round6(
+            graft.functions.mediaExpressions.charEntropy(col("text"))
+          ).as("char_entropy")
+        )
+        .orderBy("doc_id"),
+    oracle = Some("""
+      WITH cc AS (SELECT doc_id, c, count(*) AS k
+          FROM (SELECT doc_id, unnest(string_split(text, '')) AS c
+                FROM documents)
+          GROUP BY 1, 2),
+      n AS (SELECT doc_id, CAST(sum(k) AS DOUBLE) AS n FROM cc GROUP BY 1)
+      SELECT doc_id,
+        round(ln(n) - sum(k * ln(k)) / n, 6) AS char_entropy
+      FROM cc JOIN n USING (doc_id) GROUP BY doc_id, n ORDER BY doc_id""")
+  )
+
+  /** Distributed BPE merge learning over the corpus (rows-only by
+    * declared design: an iterative argmax loop with data-dependent
+    * merge literals is not a SQL query — exactness vs the sequential
+    * reference algorithm is spec-pinned instead, including
+    * tie-breaks).
+    */
+  // 8 merges price the demo at ~0.4 s/round (each round is one
+  // argmax job — overhead-bound on local[32], scale-bound on a
+  // cluster); training a real 32k vocab is the same loop priced
+  // per-merge
+  private val bpeMergesQ = Q(
+    fn = (s, d) =>
+      Text
+        .bpeTrain(Tables.documents(s, d), "text", numMerges = 8)
+        .orderBy("rank"),
+    oracle = None
+  )
+
   private val pmiQ = Q(
     fn = (s, d) =>
       Text
@@ -495,6 +543,8 @@ object TextQueries extends QueryPack {
     "text_chunk" -> chunkQ,
     "text_pmi_bigrams" -> pmiQ,
     "text_unigram_logprob" -> unigramQ,
+    "text_char_entropy" -> charEntropyQ,
+    "text_bpe_merges" -> bpeMergesQ,
     "text_tokens" -> tokensQ,
     "text_readability" -> readabilityQ,
     "text_length_ks" -> lengthKsQ,

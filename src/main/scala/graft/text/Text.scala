@@ -732,4 +732,109 @@ object Text {
       ).as("flesch")
     )
   }
+
+  /** Distributed byte-pair-encoding merge learning (Sennrich et al.,
+    * "Neural Machine Translation of Rare Words with Subword Units",
+    * ACL 2016): learn up to `numMerges` merge rules from the corpus
+    * and return the ranked merge table
+    * `(rank, left, right, pair_count)` — the tokenizer-training step
+    * of an LLM data pipeline, run where the data lives.
+    *
+    * The classic observation makes this corpus-scale: merge statistics
+    * depend only on the WORD-FREQUENCY table, so the corpus is touched
+    * ONCE (normalized tokenize → groupBy(word) count — the only
+    * corpus-sized shuffle) and every learning round runs on the
+    * \|distinct words\| table: explode adjacent symbol pairs weighted
+    * by word count, one map-side-combinable argmax (count desc, then
+    * lexicographic (left, right) — fully deterministic, engine-
+    * independent), and an `aggregate` fold that greedily re-merges
+    * each word's symbol array left-to-right (the fold IS the greedy
+    * single pass: a just-merged symbol `left+right` can never equal
+    * `left`, so it cannot re-pair within the same round — the fold
+    * provably matches the sequential skip-ahead scan). Words carry
+    * a `</w>` end-of-word sentinel so merges distinguish word-final
+    * units (standard BPE). The merge fold references the loop
+    * variable ONCE per round, so lineage grows linearly (the
+    * pageRank/LPA shape) and the \|W\|-row word table only needs
+    * materializing every 4 rounds — per-round checkpoints were
+    * measured pure job overhead on local[32]; rounds stop early when
+    * the best pair's count drops below `minPairCount`. The driver
+    * receives ONE row per round (the argmax) — bounded orchestration,
+    * the same contract as the IVF probe-cell collects.
+    *
+    * No SQL oracle (iterative argmax with data-dependent literals is
+    * not a query) — correctness is pinned by the plain-JVM reference
+    * implementation spec (identical merge sequence, identical
+    * tie-breaks).
+    */
+  def bpeTrain(
+      df: org.apache.spark.sql.DataFrame,
+      textCol: String,
+      numMerges: Int,
+      minPairCount: Long = 2L
+  ): org.apache.spark.sql.DataFrame = {
+    require(numMerges >= 1, s"numMerges must be >= 1, got $numMerges")
+    require(minPairCount >= 1, s"minPairCount must be >= 1, got $minPairCount")
+    val spark = df.sparkSession
+    import spark.implicits._
+    var words = graft.functions.materialize(
+      df.select(explode(split(normalize(col(textCol)), " ")).as("_w"))
+        .where(col("_w") =!= "")
+        .groupBy("_w")
+        .agg(count(lit(1)).as("_n"))
+        .select(
+          concat(
+            filter(split(col("_w"), ""), x => x =!= ""),
+            array(lit("</w>"))
+          ).as("_syms"),
+          col("_n")
+        )
+    )
+    val merges =
+      scala.collection.mutable.ArrayBuffer.empty[(Int, String, String, Long)]
+    var rank = 1
+    var done = false
+    while (rank <= numMerges && !done) {
+      val top = words
+        .select(
+          explode(
+            zip_with(
+              slice(col("_syms"), lit(1), size(col("_syms")) - 1),
+              slice(col("_syms"), lit(2), size(col("_syms")) - 1),
+              (a, b) => struct(a.as("l"), b.as("r"))
+            )
+          ).as("_p"),
+          col("_n")
+        )
+        .groupBy(col("_p.l").as("l"), col("_p.r").as("r"))
+        .agg(sum(col("_n")).as("c"))
+        .orderBy(col("c").desc, col("l"), col("r"))
+        .limit(1)
+        .collect()
+      if (top.isEmpty || top.head.getAs[Long]("c") < minPairCount) done = true
+      else {
+        val l = top.head.getAs[String]("l")
+        val r = top.head.getAs[String]("r")
+        merges += ((rank, l, r, top.head.getAs[Long]("c")))
+        val m = l + r
+        words = words.select(
+          aggregate(
+            col("_syms"),
+            typedlit(Array.empty[String]),
+            (acc, x) =>
+              when(
+                size(acc) > 0 &&
+                  element_at(acc, -1) === lit(l) && x === lit(r),
+                concat(slice(acc, lit(1), size(acc) - 1), array(lit(m)))
+              ).otherwise(concat(acc, array(x)))
+          ).as("_syms"),
+          col("_n")
+        )
+        // single-reference lineage: truncate on a loose cadence only
+        if (rank % 4 == 0) words = graft.functions.materialize(words)
+        rank += 1
+      }
+    }
+    merges.toSeq.toDF("rank", "left", "right", "pair_count")
+  }
 }

@@ -1,0 +1,87 @@
+package graft.functions
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+class MediaKernelsSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def hex(s: String): Array[Byte] =
+    s.replaceAll("\\s", "").grouped(2).map(Integer.parseInt(_, 16).toByte).toArray
+
+  private def dims(h: String): Option[(Long, Long)] =
+    Option(MediaKernels.jpegDims(hex(h)))
+      .map(a => (a.getLong(0), a.getLong(1)))
+
+  // canonical stream: SOI, JFIF APP0, COM "test", SOF0 640x480
+  private val app0 = "FFE0 0010 4A46494600 0101 00 0001 0001 00 00"
+  private val sof0 = "FFC0 0011 08 01E0 0280 03 011100 021101 031101"
+
+  test("jpegDims walks variable-length segments to the SOF frame header") {
+    assert(dims(s"FFD8 $app0 FFFE 0006 74657374 $sof0") === Some((640L, 480L)))
+    // fill bytes before a marker are legal padding
+    assert(dims(s"FFD8 $app0 FF $sof0") === Some((640L, 480L)))
+    // progressive SOF2 carries dims at the same offsets
+    assert(dims(s"FFD8 ${sof0.replace("FFC0", "FFC2")}") === Some((640L, 480L)))
+    // RSTn markers are standalone (no length field) and are skipped
+    assert(dims(s"FFD8 FFD0 $sof0") === Some((640L, 480L)))
+  }
+
+  test("jpegDims flags malformed/frameless streams as NULL, never guesses") {
+    assert(dims("FFD8FFE0") === None) // truncated mid-segment
+    assert(dims("FFD8 FFDA 0008 4142") === None) // SOS before any SOF
+    assert(dims("FFD8 FFD9") === None) // EOI without a frame
+    assert(dims(s"FFD8 FFE0 0001 $sof0") === None) // segment length < 2
+    assert(dims("89504E47") === None) // not a JPEG at all
+    assert(dims(s"FFD8 41 $sof0") === None) // lost marker sync
+    // DHT (C4) is NOT a frame marker: its payload must be skipped, and
+    // a following SOF still parses
+    assert(dims(s"FFD8 FFC4 0004 0000 $sof0") === Some((640L, 480L)))
+  }
+
+  test("charEntropy matches hand-computed values and the interpreted path") {
+    import org.apache.spark.unsafe.types.UTF8String
+    def e(s: String) = MediaKernels.charEntropy(UTF8String.fromString(s))
+    assert(e("") === 0.0)
+    assert(e("aaaa") === 0.0)
+    assert(math.abs(e("ab") - math.log(2)) < 1e-12)
+    // 'abcab': counts a=2 b=2 c=1, n=5 -> ln5 - (2ln2+2ln2+0)/5
+    assert(math.abs(e("abcab") - (math.log(5) - 4 * math.log(2) / 5)) < 1e-12)
+    // surrogate pair counts as ONE code point
+    assert(e("😀😀") === 0.0)
+  }
+
+  test("expressions run inside whole-stage codegen and agree with the kernel") {
+    // spark.range source: a local Seq would be constant-folded into a
+    // LocalTableScan, leaving no codegen stage to inspect (same guard
+    // pattern as InvariantsSpec's hash-expression fusion proof)
+    val df = spark
+      .range(2)
+      .select(
+        col("id"),
+        when(col("id") === 0, "abcab").otherwise("zzzz").as("text")
+      )
+      .withColumn("h", mediaExpressions.charEntropy(col("text")))
+    val got = df.orderBy("id").select("h").as[Double].collect()
+    assert(math.abs(got(0) - (math.log(5) - 4 * math.log(2) / 5)) < 1e-12)
+    assert(got(1) === 0.0)
+    // codegen fusion: the projection stays inside WholeStageCodegen
+    val wsc = df.queryExecution.executedPlan.collect {
+      case w: org.apache.spark.sql.execution.WholeStageCodegenExec => w
+    }
+    val fused = wsc.exists(_.exists {
+      case p: org.apache.spark.sql.execution.ProjectExec =>
+        p.projectList.exists(_.exists(_.isInstanceOf[mediaExpressions.CharEntropy]))
+      case _ => false
+    })
+    assert(fused, s"CharEntropy not inside WholeStageCodegen:\n${df.queryExecution.executedPlan}")
+
+    val jp = Seq(Tuple1(hex(s"FFD8 $app0 $sof0")), Tuple1(hex("FFD8FFE0")))
+      .toDF("b")
+      .withColumn("d", mediaExpressions.jpegDims(col("b")))
+      .select(element_at(col("d"), 1), element_at(col("d"), 2))
+      .collect()
+    assert(jp(0).getLong(0) == 640L && jp(0).getLong(1) == 480L)
+    assert(jp(1).isNullAt(0) && jp(1).isNullAt(1))
+  }
+}

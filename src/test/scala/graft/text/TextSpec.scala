@@ -261,4 +261,85 @@ class TextSpec extends SparkSpec {
     // same tf of "common" but longer doc -> lower normalized score
     assert(out(2L) > out(3L) && out(3L) > out(4L))
   }
+
+  /** Plain-JVM reference BPE (the sequential algorithm from Sennrich
+    * et al. 2016, deterministic tie-break count desc then (l, r) asc)
+    * — the exactness oracle for the distributed trainer.
+    */
+  private def referenceBpe(
+      texts: Seq[String],
+      numMerges: Int,
+      minPairCount: Long
+  ): Seq[(Int, String, String, Long)] = {
+    def norm(s: String) =
+      s.toLowerCase.replaceAll("[^a-z0-9 ]", " ").replaceAll(" +", " ").trim
+    var words: Map[Vector[String], Long] = texts
+      .flatMap(t => norm(t).split(" ").filter(_.nonEmpty))
+      .groupBy(identity)
+      .map { case (w, ws) =>
+        (w.toVector.map(_.toString) :+ "</w>") -> ws.size.toLong
+      }
+    val out = scala.collection.mutable.ArrayBuffer.empty[(Int, String, String, Long)]
+    var rank = 1
+    var stop = false
+    while (rank <= numMerges && !stop) {
+      val counts = scala.collection.mutable.Map.empty[(String, String), Long]
+      for ((syms, n) <- words; i <- 0 until syms.size - 1)
+        counts((syms(i), syms(i + 1))) =
+          counts.getOrElse((syms(i), syms(i + 1)), 0L) + n
+      if (counts.isEmpty) stop = true
+      else {
+        val ((l, r), c) = counts.minBy { case ((a, b), k) => (-k, a, b) }
+        if (c < minPairCount) stop = true
+        else {
+          out += ((rank, l, r, c))
+          words = words.map { case (syms, n) =>
+            val b = Vector.newBuilder[String]
+            var i = 0
+            while (i < syms.size) {
+              if (i + 1 < syms.size && syms(i) == l && syms(i + 1) == r) {
+                b += (l + r); i += 2
+              } else { b += syms(i); i += 1 }
+            }
+            b.result() -> n
+          }
+          rank += 1
+        }
+      }
+    }
+    out.toSeq
+  }
+
+  test("bpeTrain reproduces the sequential reference BPE exactly") {
+    // hand corpus with known first merges: 'low' x5, 'lower' x2,
+    // 'newest' x6, 'widest' x3 (the Sennrich paper's example shape)
+    val texts =
+      Seq.fill(5)("low") ++ Seq.fill(2)("lower") ++
+        Seq.fill(6)("newest") ++ Seq.fill(3)("widest")
+    val df = texts.zipWithIndex.map { case (t, i) => (i.toLong, t) }.toDF("id", "text")
+    val got = Text.bpeTrain(df, "text", numMerges = 8)
+      .as[(Int, String, String, Long)].collect().toSeq.sortBy(_._1)
+    val ref = referenceBpe(texts, 8, 2L)
+    assert(got == ref, s"\ngot $got\nref $ref")
+    // first merge on this corpus: (e, s) with count 9 (newest+widest)
+    assert(got.head._2 == "e" && got.head._3 == "s" && got.head._4 == 9L)
+    // randomized corpora: distributed == sequential, including ties
+    val rnd = new scala.util.Random(11)
+    val vocabChars = "abcd"
+    val docs = (0 until 40).map { i =>
+      (0 until (2 + rnd.nextInt(4)))
+        .map(_ => (0 until (1 + rnd.nextInt(5)))
+          .map(_ => vocabChars(rnd.nextInt(vocabChars.length))).mkString)
+        .mkString(" ")
+    }
+    val got2 = Text
+      .bpeTrain(docs.zipWithIndex.map { case (t, i) => (i.toLong, t) }
+        .toDF("id", "text"), "text", numMerges = 12, minPairCount = 3L)
+      .as[(Int, String, String, Long)].collect().toSeq.sortBy(_._1)
+    assert(got2 == referenceBpe(docs, 12, 3L))
+    // early stop: a corpus where every pair is unique stops before the
+    // requested merge count
+    val sparse = Seq((1L, "ab cd ef")).toDF("id", "text")
+    assert(Text.bpeTrain(sparse, "text", numMerges = 5, minPairCount = 2L).count() == 0)
+  }
 }
