@@ -68,6 +68,70 @@ object MediaKernels {
     null
   }
 
+  /** Greedy BPE apply over one already-normalized text (subword-nmt
+    * semantics, the inference twin of
+    * [[graft.text.Text.bpeTrain]]'s learner): per whitespace word,
+    * start from characters plus the `</w>` sentinel and repeatedly
+    * merge ALL occurrences of the LOWEST-RANK adjacent pair until no
+    * learned pair applies; emit the concatenated subword stream.
+    * `ranks` maps "left right" (space-separated) → merge rank —
+    * unambiguous because symbols are built from space-split words and
+    * can never contain a space themselves.
+    *
+    * One JVM loop per row over a driver-bounded merge table — the
+    * expression ships the rank map as a codegen reference object, so
+    * tokenizing a billion documents stays a scan-side projection.
+    */
+  def bpeEncode(
+      s: UTF8String,
+      ranks: java.util.HashMap[String, Integer]
+  ): ArrayData = {
+    val out = scala.collection.mutable.ArrayBuffer.empty[UTF8String]
+    val words = s.toString.split(' ')
+    var wi = 0
+    while (wi < words.length) {
+      val w = words(wi)
+      if (w.nonEmpty) {
+        var syms = scala.collection.mutable.ArrayBuffer.empty[String]
+        var i = 0
+        while (i < w.length) {
+          val cp = w.codePointAt(i)
+          syms += new String(Character.toChars(cp))
+          i += Character.charCount(cp)
+        }
+        syms += "</w>"
+        var done = false
+        while (!done && syms.length > 1) {
+          var bestRank = Int.MaxValue
+          var bl: String = null
+          var br: String = null
+          var j = 0
+          while (j < syms.length - 1) {
+            val r = ranks.get(syms(j) + " " + syms(j + 1))
+            if (r != null && r < bestRank) {
+              bestRank = r; bl = syms(j); br = syms(j + 1)
+            }
+            j += 1
+          }
+          if (bl == null) done = true
+          else {
+            val next = scala.collection.mutable.ArrayBuffer.empty[String]
+            var k = 0
+            while (k < syms.length) {
+              if (k + 1 < syms.length && syms(k) == bl && syms(k + 1) == br) {
+                next += (bl + br); k += 2
+              } else { next += syms(k); k += 1 }
+            }
+            syms = next
+          }
+        }
+        syms.foreach(t => out += UTF8String.fromString(t))
+      }
+      wi += 1
+    }
+    new GenericArrayData(out.toArray[Any])
+  }
+
   /** Shannon entropy (natural log) over a string's Unicode code
     * points: `H = ln(n) − (Σ c·ln c)/n` from exact integer counts —
     * the algebraic form keeps one float sum over DISTINCT code points
@@ -164,9 +228,53 @@ object mediaExpressions {
       copy(child = newChild)
   }
 
+  /** `bpe_encode(string)` → array of subword tokens under a FIXED
+    * learned merge table (rank = position in `merges`). The table is
+    * driver-bounded (one row per learned merge) and ships to executors
+    * as a codegen reference object — not a join, not a broadcast
+    * DataFrame: tokenization is a pure scan-side projection.
+    */
+  case class BpeEncode(child: Expression, merges: Seq[(String, String)])
+      extends UnaryExpression {
+
+    override def prettyName: String = "bpe_encode"
+    override def dataType: DataType =
+      ArrayType(StringType, containsNull = false)
+
+    override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+      case StringType => TypeCheckResult.TypeCheckSuccess
+      case other =>
+        TypeCheckResult.TypeCheckFailure(
+          s"$prettyName requires string, got ${other.catalogString}"
+        )
+    }
+
+    @transient private lazy val ranks: java.util.HashMap[String, Integer] = {
+      val m = new java.util.HashMap[String, Integer]()
+      merges.zipWithIndex.foreach { case ((l, r), i) =>
+        m.put(l + " " + r, Int.box(i))
+      }
+      m
+    }
+
+    override protected def nullSafeEval(input: Any): Any =
+      MediaKernels.bpeEncode(input.asInstanceOf[UTF8String], ranks)
+
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+      val ref = ctx.addReferenceObj("bpeRanks", ranks, "java.util.HashMap")
+      nullSafeCodeGen(ctx, ev, c => s"${ev.value} = $kernels.bpeEncode($c, $ref);")
+    }
+
+    override protected def withNewChildInternal(newChild: Expression): BpeEncode =
+      copy(child = newChild)
+  }
+
   def jpegDims(c: Column): Column =
     GraftColumnBridge.column(JpegDims(GraftColumnBridge.expression(c)))
 
   def charEntropy(c: Column): Column =
     GraftColumnBridge.column(CharEntropy(GraftColumnBridge.expression(c)))
+
+  def bpeEncode(c: Column, merges: Seq[(String, String)]): Column =
+    GraftColumnBridge.column(BpeEncode(GraftColumnBridge.expression(c), merges))
 }

@@ -294,6 +294,36 @@ object TextQueries extends QueryPack {
     oracle = None
   )
 
+  /** BPE tokenization under a FIXED (previously learned) merge table —
+    * prices the inference path alone: a zero-shuffle scan-side
+    * projection (the train loop is `text_bpe_merges`' price; the
+    * train→encode composition is spec-pinned end-to-end). Rows-only:
+    * greedy iterative merging is not a SQL query; the kernel's
+    * exactness is pinned vs the reference apply in MediaKernelsSpec.
+    */
+  private val bpeTokensQ = Q(
+    fn = (s, d) => {
+      val merges = Seq(
+        "e" -> "</w>", "t" -> "h", "th" -> "e", "the" -> "</w>",
+        "a" -> "n", "an" -> "d", "and" -> "</w>", "i" -> "n",
+        "o" -> "n", "e" -> "r", "s" -> "</w>", "in" -> "g"
+      )
+      Tables
+        .documents(s, d)
+        .select(
+          col("doc_id"),
+          Text.bpeEncode(col("text"), merges).as("_sub")
+        )
+        .select(
+          col("doc_id"),
+          size(col("_sub")).as("n_subwords"),
+          slice(col("_sub"), lit(1), lit(12)).as("head_subwords")
+        )
+        .orderBy("doc_id")
+    },
+    oracle = None
+  )
+
   private val pmiQ = Q(
     fn = (s, d) =>
       Text
@@ -545,6 +575,7 @@ object TextQueries extends QueryPack {
     "text_unigram_logprob" -> unigramQ,
     "text_char_entropy" -> charEntropyQ,
     "text_bpe_merges" -> bpeMergesQ,
+    "text_bpe_tokens" -> bpeTokensQ,
     "text_tokens" -> tokensQ,
     "text_readability" -> readabilityQ,
     "text_length_ks" -> lengthKsQ,

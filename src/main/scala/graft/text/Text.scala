@@ -837,4 +837,18 @@ object Text {
     }
     merges.toSeq.toDF("rank", "left", "right", "pair_count")
   }
+
+  /** Tokenize text with a LEARNED merge table — the inference twin of
+    * [[bpeTrain]] (pass its collected `(left, right)` rows in rank
+    * order): normalize, then the codegen'd greedy lowest-rank-first
+    * apply ([[graft.functions.MediaKernels.bpeEncode]]); returns the
+    * subword array (word-final units carry `</w>`). Segmentation is
+    * lossless by construction — concatenating a word's subwords and
+    * stripping the sentinel reproduces the normalized word
+    * (spec-pinned) — and the merge table rides the plan as a codegen
+    * reference object, so corpus tokenization is a zero-shuffle
+    * scan-side projection.
+    */
+  def bpeEncode(textCol: Column, merges: Seq[(String, String)]): Column =
+    graft.functions.mediaExpressions.bpeEncode(normalize(textCol), merges)
 }

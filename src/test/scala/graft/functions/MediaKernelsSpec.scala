@@ -51,6 +51,55 @@ class MediaKernelsSpec extends SparkSpec {
     assert(e("😀😀") === 0.0)
   }
 
+  test("bpeEncode applies merges lowest-rank-first and stays lossless") {
+    import org.apache.spark.unsafe.types.UTF8String
+    def enc(text: String, merges: Seq[(String, String)]): Seq[String] = {
+      val ranks = new java.util.HashMap[String, Integer]()
+      merges.zipWithIndex.foreach { case ((l, r), i) =>
+        ranks.put(l + " " + r, Int.box(i))
+      }
+      val a = MediaKernels.bpeEncode(UTF8String.fromString(text), ranks)
+      (0 until a.numElements()).map(i => a.getUTF8String(i).toString)
+    }
+    // rank order decides: (e,s) then (es,t) on "test" -> t | est | </w>
+    assert(enc("test", Seq("e" -> "s", "es" -> "t")) ==
+      Seq("t", "est", "</w>"))
+    assert(enc("test", Seq("e" -> "s", "es" -> "t", "est" -> "</w>")) ==
+      Seq("t", "est</w>"))
+    // all occurrences of the best pair merge in one step
+    assert(enc("papa", Seq("p" -> "a")) == Seq("pa", "pa", "</w>"))
+    // no applicable merge -> pure chars + sentinel; multi-word stream
+    assert(enc("ab cd", Seq("x" -> "y")) ==
+      Seq("a", "b", "</w>", "c", "d", "</w>"))
+    // losslessness against the trainer, end to end: encode with
+    // learned merges, re-join each word's subwords, strip sentinels ->
+    // the normalized corpus words exactly
+    val texts = Seq.fill(5)("low") ++ Seq.fill(2)("lower") ++
+      Seq.fill(6)("newest") ++ Seq.fill(3)("widest")
+    val df = texts.zipWithIndex.map { case (t, i) => (i.toLong, t) }.toDF("id", "text")
+    val learned = graft.text.Text.bpeTrain(df, "text", numMerges = 6)
+      .orderBy("rank")
+      .collect()
+      .map(r => (r.getAs[String]("left"), r.getAs[String]("right")))
+      .toSeq
+    val rebuilt = df
+      .select(col("id"), col("text"),
+        graft.text.Text.bpeEncode(col("text"), learned).as("sub"))
+      .select(col("id"), col("text"),
+        array_join(col("sub"), "").as("joined"))
+      .as[(Long, String, String)]
+      .collect()
+    rebuilt.foreach { case (_, text, joined) =>
+      assert(joined == text + "</w>", s"$text -> $joined")
+    }
+    // learned merges actually compress: fewer subwords than chars
+    val n = df.select(
+      sum(size(graft.text.Text.bpeEncode(col("text"), learned))).as("s"),
+      sum(length(col("text"))).as("c")
+    ).as[(Long, Long)].collect().head
+    assert(n._1 < n._2 + texts.size, s"subwords ${n._1} vs chars ${n._2}")
+  }
+
   test("expressions run inside whole-stage codegen and agree with the kernel") {
     // spark.range source: a local Seq would be constant-folded into a
     // LocalTableScan, leaving no codegen stage to inspect (same guard
