@@ -96,6 +96,22 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     )
     ext.injectFunction(
       fn(
+        "jpeg_dims",
+        "jpeg_dims(binary) - [width, height] from the JPEG SOF frame header, NULL when absent/malformed",
+        1,
+        args => graft.functions.mediaExpressions.JpegDims(args.head)
+      )
+    )
+    ext.injectFunction(
+      fn(
+        "char_entropy",
+        "char_entropy(text) - Shannon entropy (nats) over the string's code points",
+        1,
+        args => graft.functions.mediaExpressions.CharEntropy(args.head)
+      )
+    )
+    ext.injectFunction(
+      fn(
         "topk_by",
         "topk_by(metric, id, k) - aggregate: k largest (metric, id) per group, bounded-heap partials",
         3,

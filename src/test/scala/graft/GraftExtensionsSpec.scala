@@ -50,6 +50,18 @@ class GraftExtensionsSpec extends AnyFunSuite {
       assert(a.map(r => (r.getDouble(0), r.getLong(1))) == Seq((3.0, 2L), (2.0, 3L)))
       assert(rows(1).getSeq[org.apache.spark.sql.Row](1).length == 1)
 
+      // r10 scalar kernels: jpeg_dims + char_entropy via SQL
+      val media = s
+        .sql(
+          "SELECT jpeg_dims(unhex('FFD8FFC000110801E0028003011100021101031101')) AS d, " +
+            "char_entropy('abcab') AS h, jpeg_dims(unhex('FFD8FFE0')) AS bad FROM one"
+        )
+        .collect()
+        .head
+      assert(media.getSeq[Long](0) == Seq(640L, 480L))
+      assert(math.abs(media.getDouble(1) - (math.log(5) - 4 * math.log(2) / 5)) < 1e-12)
+      assert(media.isNullAt(2))
+
       // literal-k misuse fails analysis with a clear message
       val e = intercept[Exception](s.sql("SELECT topk_by(1.0, 1L, id) FROM one").collect())
       assert(e.getMessage.contains("literal INT"))
