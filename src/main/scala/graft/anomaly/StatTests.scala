@@ -126,7 +126,10 @@ object StatTests {
     * Thinning is a pure function of per-series length, so repeated
     * runs pick identical points; `_i` keeps ORIGINAL index units
     * (slopes stay per-observation-step). Series at or under the cap
-    * pass through bit-identically (stride 1 keeps every row).
+    * pass through bit-identically (stride 1 keeps every row), and a
+    * `_thinned` marker column records whether the cap bound — the
+    * callers surface it as an output column, because a silently
+    * approximated z/slope is the one thing worse than a refused one.
     *
     * Expects `_i` already assigned by a row_number over `w`'s
     * ordering; the count rides the same window spec, so no extra
@@ -149,6 +152,7 @@ object StatTests {
         floor((col("_cnt") + lit(maxPoints - 1)) / lit(maxPoints)).cast("long")
       )
       .where(((col("_i") - 1) % col("_stride")) === 0)
+      .withColumn("_thinned", col("_cnt") > maxPoints)
       .drop("_cnt", "_stride")
 
   /** Mann-Kendall trend test per series: `(seriesCols..., n, s, z,
@@ -179,7 +183,7 @@ object StatTests {
         .withColumn("_i", row_number().over(w)),
       w,
       maxPoints
-    ).select(keys ++ Seq(col("_i"), col("_v")): _*)
+    ).select(keys ++ Seq(col("_i"), col("_v"), col("_thinned")): _*)
     val sTable = indexed
       .as("a")
       .join(indexed.as("b"), seriesCols)
@@ -190,7 +194,7 @@ object StatTests {
       )
     val nTable = indexed
       .groupBy(seriesCols.head, seriesCols.tail: _*)
-      .agg(count(lit(1)).as("n"))
+      .agg(count(lit(1)).as("n"), max(col("_thinned")).as("thinned"))
     // tie correction: groups of equal values shrink Var(S)
     val ties = indexed
       .groupBy(keys :+ col("_v"): _*)
@@ -221,7 +225,9 @@ object StatTests {
           .when(col("z") < -1.96, "decreasing")
           .otherwise("none")
       )
-      .select(keys ++ Seq(col("n"), col("s"), col("z"), col("trend")): _*)
+      .select(
+        keys ++ Seq(col("n"), col("s"), col("z"), col("trend"), col("thinned")): _*
+      )
   }
 
   /** Day-over-day two-proportion z-test of a row-level condition:

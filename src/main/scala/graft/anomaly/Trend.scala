@@ -53,7 +53,7 @@ object Trend {
         w,
         maxPoints
       )
-      .select(keys ++ Seq(col("_i"), col("_v")): _*)
+      .select(keys ++ Seq(col("_i"), col("_v"), col("_thinned")): _*)
     val pairs = indexed
       .as("a")
       .join(indexed.as("b"), seriesCols)
@@ -73,7 +73,10 @@ object Trend {
         count(lit(1)).as("n"),
         first(col("slope")).as("slope"),
         round6(percentile(col("_v") - col("slope") * col("_i"), lit(0.5)))
-          .as("intercept")
+          .as("intercept"),
+        // surfaced, not silent: a slope computed on a thinned series
+        // is an approximation the caller must be able to see
+        max(col("_thinned")).as("thinned")
       )
   }
 

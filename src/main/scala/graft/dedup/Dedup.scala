@@ -1096,9 +1096,13 @@ object Dedup {
       threshold > 0 && threshold <= 1,
       s"threshold must be in (0, 1], got $threshold"
     )
+    // empty-string artifacts from consecutive/leading spaces are NOT
+    // tokens: left in, an empty probe would "contain" (score 1.0) in
+    // any double-spaced reference via the phantom "" token, and padded
+    // docs would inflate sizes and scores
     def toksOf(df: DataFrame) = df.select(
       col(idCol),
-      array_distinct(Text.tokens(col(textCol))).as("_ts")
+      array_remove(array_distinct(Text.tokens(col(textCol))), "").as("_ts")
     )
     val pex = toksOf(probe).select(col(idCol), explode(col("_ts")).as("_tok"))
     val refSets = graft.functions.materialize(

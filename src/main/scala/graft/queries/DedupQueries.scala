@@ -563,10 +563,13 @@ object DedupQueries extends QueryPack {
                   FROM documents WHERE doc_id % 10 = 3),
       rt AS (SELECT doc_id, unnest(list_distinct(string_split(text, ' '))) AS tok
              FROM documents WHERE doc_id % 5 = 0),
-      sa AS (SELECT doc_id, count(*) AS s FROM pt GROUP BY 1),
+      -- phantom '' tokens from consecutive spaces are not tokens
+      ptf AS (SELECT * FROM pt WHERE tok <> ''),
+      rtf AS (SELECT * FROM rt WHERE tok <> ''),
+      sa AS (SELECT doc_id, count(*) AS s FROM ptf GROUP BY 1),
       pairs AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b,
                   CAST(count(*) AS BIGINT) AS n_intersection
-                FROM pt a JOIN rt b ON a.tok = b.tok AND a.doc_id <> b.doc_id
+                FROM ptf a JOIN rtf b ON a.tok = b.tok AND a.doc_id <> b.doc_id
                 GROUP BY 1, 2),
       c AS (SELECT id_a, id_b, n_intersection,
               CAST(n_intersection AS DOUBLE) / sa.s AS cont

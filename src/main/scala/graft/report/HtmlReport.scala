@@ -101,9 +101,15 @@ object HtmlReport {
   ): String = {
     val meta = repo.getDataset(datasetUri)
     // NULL metric values (e.g. skewness of a constant column) are
-    // dropped from the series rather than unboxed to 0.0
-    val profiling = cappedSeries(
-      repo.getProfiling(datasetUri).where(col("value").isNotNull),
+    // dropped from the series rather than unboxed to 0.0.
+    // Derived `_trend_z` verdict series are split off BEFORE the
+    // maxSeries cap — otherwise they would consume chart-series slots
+    // and a base/trend pair straddling the cap boundary would lose its
+    // badge while the verdict exists in the store.
+    val stored = repo.getProfiling(datasetUri).where(col("value").isNotNull)
+    val isTrend = col("name").endsWith(graft.service.Service.trendSuffix)
+    val baseSeries = cappedSeries(
+      stored.where(!isTrend),
       maxPointsPerSeries,
       maxSeries
     )
@@ -117,6 +123,9 @@ object HtmlReport {
       .mapValues(_.map(_._2).toSeq.sortBy(_._1.getTime))
       .toSeq
       .sortBy(_._1)
+    // one NEWEST row per assessed series (|series|-bounded via the
+    // same key cap, in the same key order as the base charts)
+    val trendRows = cappedSeries(stored.where(isTrend), 1, maxSeries)
 
     // absence is an EMPTY DataFrame from both repository impls — a
     // read failure must propagate, not render as "no data stored"
@@ -142,15 +151,16 @@ object HtmlReport {
       .getOrElse("<p>(no registered metadata)</p>")
 
     // Trend verdicts ride the profiling store as `<name>_trend_z`
-    // series (Service.assessTrend) — split them out of the chart list:
-    // they render as badges on their BASE series' charts plus a
-    // dedicated assessment table, not as charts of z-scores.
-    val (trendSeries, baseSeries) =
-      profiling.partition(_._1._3.endsWith(graft.service.Service.trendSuffix))
-    val trendZ: Map[(String, String, String), Double] = trendSeries.flatMap {
-      case ((e, i, n), pts) =>
-        pts.lastOption.map(p =>
-          (e, i, n.stripSuffix(graft.service.Service.trendSuffix)) -> p._2)
+    // series (Service.assessTrend): they render as badges on their
+    // BASE series' charts plus a dedicated assessment table, not as
+    // charts of z-scores.
+    val trendZ: Map[(String, String, String), Double] = trendRows.map { r =>
+      (
+        r.getAs[String]("entity"),
+        r.getAs[String]("instance"),
+        r.getAs[String]("name")
+          .stripSuffix(graft.service.Service.trendSuffix)
+      ) -> r.getAs[Double]("value")
     }.toMap
     def trendBadge(key: (String, String, String)): String =
       trendZ

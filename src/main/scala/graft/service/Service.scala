@@ -21,10 +21,25 @@ object Service {
   val seriesCols: Seq[String] = Seq("entity", "instance", "name")
 
   /** Metric-name suffix marking series DERIVED by [[assessTrend]];
-    * such series are excluded from the trend scan so verdict metrics
-    * never compound into `<name>_trend_z_trend_z` across runs.
+    * such series are excluded from EVERY base-series scan (trend,
+    * optimize, score) so verdict metrics are never themselves
+    * modeled, scored, alerted on, or compounded into
+    * `<name>_trend_z_trend_z` across runs.
     */
   val trendSuffix: String = "_trend_z"
+
+  /** The profiling history restricted to BASE series — the read every
+    * modeling/assessment path must use. Derived verdict series
+    * ([[trendSuffix]]) live in the same table by design (they ride the
+    * standard repository/report surfaces) but are diagnostics of
+    * metrics, not metrics: training an anomaly model on a z-score
+    * series or counting it in health badges is a category error.
+    */
+  private def baseProfiling(
+      datasetUri: String,
+      repo: MetricsRepository
+  ): DataFrame =
+    repo.getProfiling(datasetUri).where(!col("name").endsWith(trendSuffix))
 
   /** Profile a batch and upsert the metrics into the repository,
     * registering the dataset on first sight
@@ -69,7 +84,7 @@ object Service {
       cfg: Optimizer.Config = Optimizer.Config(),
       failOnError: Boolean = false
   ): DataFrame = {
-    val history = repo.getProfiling(datasetUri)
+    val history = baseProfiling(datasetUri, repo)
     val optimization = Optimizer
       .optimize(history, seriesCols, cfg = cfg)
       .select(
@@ -104,7 +119,7 @@ object Service {
       repo: MetricsRepository,
       cfg: Optimizer.Config = Optimizer.Config()
   ): DataFrame = {
-    val history = repo.getProfiling(datasetUri)
+    val history = baseProfiling(datasetUri, repo)
     val optimization = repo.getOptimization(datasetUri)
     // The reference raises when scoring an un-optimized dataset; an
     // empty inner join here would instead store nothing and let
@@ -448,14 +463,9 @@ object Service {
       handlers: Seq[NotificationHandler] = Seq(LogHandler)
   ): DataFrame = {
     require(zThreshold > 0, s"zThreshold must be positive, got $zThreshold")
-    // Exclude series this assessment itself derived: without the
-    // filter, a stored `<name>_trend_z` series accumulates timestamps
-    // across runs, gets trend-tested, and stores
-    // `<name>_trend_z_trend_z` — unbounded metric-name growth plus
-    // alerts on derived series.
-    val hist = repo
-      .getProfiling(datasetUri)
-      .where(!col("name").endsWith(trendSuffix))
+    // Base series only: a stored `<name>_trend_z` series must never be
+    // trend-tested itself (unbounded `_trend_z_trend_z` compounding).
+    val hist = baseProfiling(datasetUri, repo)
     val mk = graft.anomaly.StatTests.mannKendall(hist, seriesCols)
     val slopes = graft.anomaly.Trend
       .theilSen(hist, seriesCols)

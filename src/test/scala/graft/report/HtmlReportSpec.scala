@@ -84,6 +84,14 @@ class HtmlReportSpec extends SparkSpec {
     // increasing badge is attached to the bleeding chart's heading
     val h4 = html.split("<h4>").find(_.contains("bleeding")).get
     assert(h4.contains("↗ increasing"), h4.take(300))
+    // `_trend_z` series must not consume chart-series slots: with
+    // maxSeries = 2 BOTH base charts render, badges intact (the old
+    // shared cap would keep (bleeding, bleeding_trend_z) and silently
+    // drop the steady chart)
+    val capped = HtmlReport.render(repo, uri, maxSeries = 2)
+    assert(capped.contains("Column / value / bleeding"))
+    assert(capped.contains("Column / value / steady"))
+    assert(capped.contains("↗ increasing") && capped.contains("→ stable"))
     // index column: one significant series → trending badge
     val idx = HtmlReport.renderIndex(repo)
     assert(idx.contains("<th>trend</th>"))
