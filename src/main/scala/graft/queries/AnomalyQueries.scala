@@ -475,7 +475,8 @@ object AnomalyQueries extends QueryPack {
       sl AS (SELECT event_type, round(quantile_cont(slope, 0.5), 6) AS slope
              FROM p GROUP BY 1)
       SELECT i.event_type, COUNT(*) AS n, sl.slope,
-        round(quantile_cont(i.v - sl.slope * i.i, 0.5), 6) AS intercept
+        round(quantile_cont(i.v - sl.slope * i.i, 0.5), 6) AS intercept,
+        COUNT(*) > 10000 AS thinned
       FROM i JOIN sl ON i.event_type = sl.event_type
       GROUP BY 1, 3 ORDER BY 1""")
   )
@@ -702,7 +703,8 @@ object AnomalyQueries extends QueryPack {
       SELECT event_type, n, s, z,
         CASE WHEN z > 1.96 THEN 'increasing'
              WHEN z < -1.96 THEN 'decreasing'
-             ELSE 'none' END AS trend
+             ELSE 'none' END AS trend,
+        n > 10000 AS thinned
       FROM zt ORDER BY event_type""")
   )
 

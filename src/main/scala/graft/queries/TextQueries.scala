@@ -317,7 +317,10 @@ object TextQueries extends QueryPack {
         .select(
           col("doc_id"),
           size(col("_sub")).as("n_subwords"),
-          slice(col("_sub"), lit(1), lit(12)).as("head_subwords")
+          // stringified head so the harness's rows-only sorter can
+          // handle the column (array cells are unhashable to pandas)
+          concat_ws(" ", slice(col("_sub"), lit(1), lit(12)))
+            .as("head_subwords")
         )
         .orderBy("doc_id")
     },

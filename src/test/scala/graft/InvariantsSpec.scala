@@ -236,6 +236,26 @@ class InvariantsSpec extends SparkSpec {
     assert(rows.forall(r => r.getSeq[Long](0).length == 8 && !r.isNullAt(2)))
   }
 
+  test("registry: every keyed query output is harness-checkable (no array/map/struct columns)") {
+    // The driver's correctness harness sorts each result with pandas
+    // before hashing; an array/map/struct cell is unhashable there, so
+    // a key with a complex-typed output column ERRORS instead of being
+    // verified (the r10 text_bpe_tokens failure class). Structural
+    // guard: every registered key must emit only atomic columns —
+    // queries that naturally produce lists emit a stringified twin.
+    import org.apache.spark.sql.types.{ArrayType, MapType, StructType}
+    val d = "/root/testdata/sf0.001"
+    val bad = SparkEntry.queries.toSeq.sortBy(_._1).flatMap { case (name, fn) =>
+      val complex = fn(spark, d).schema.fields.collect {
+        case f if f.dataType.isInstanceOf[ArrayType] ||
+          f.dataType.isInstanceOf[MapType] ||
+          f.dataType.isInstanceOf[StructType] => f.name
+      }
+      if (complex.nonEmpty) Some(name -> complex.toSeq) else None
+    }
+    assert(bad.isEmpty, s"driver-unsortable output columns: $bad")
+  }
+
   test("plan shapes: q1 pushes filters to the scan; profiler is join-free single-agg") {
     val d = "/root/testdata/sf0.001"
     val q1 = SparkEntry.queries("q1_agg")(spark, d)

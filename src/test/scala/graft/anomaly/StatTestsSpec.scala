@@ -59,7 +59,7 @@ class StatTestsSpec extends SparkSpec {
       .toDF("metric", "ts", "value")
     val up = StatTests
       .mannKendall(series((1 to 10).map(_.toDouble)), Seq("metric"))
-      .as[(String, Long, Long, Option[Double], String)]
+      .as[(String, Long, Long, Option[Double], String, Boolean)]
       .collect()
       .head
     // S = 45, var = 10*9*25/18 = 125, z = 44/sqrt(125)
@@ -68,7 +68,7 @@ class StatTestsSpec extends SparkSpec {
     assert(up._5 == "increasing")
     val flat = StatTests
       .mannKendall(series(Seq.fill(8)(3.0)), Seq("metric"))
-      .as[(String, Long, Long, Option[Double], String)]
+      .as[(String, Long, Long, Option[Double], String, Boolean)]
       .collect()
       .head
     assert(flat._3 == 0L && flat._4.isEmpty && flat._5 == "none")
@@ -81,26 +81,28 @@ class StatTestsSpec extends SparkSpec {
       .toDF("metric", "ts", "value")
     val thin = StatTests
       .mannKendall(series, Seq("metric"), maxPoints = 10)
-      .as[(String, Long, Long, Option[Double], String)]
+      .as[(String, Long, Long, Option[Double], String, Boolean)]
       .collect()
       .head
     assert(thin._2 == 10L, "kept exactly ceil(100/10)=10 points")
+    assert(thin._6, "thinned flag set when the cap binds")
     // monotone stays monotone after even thinning: S = C(10,2) = 45
     assert(thin._3 == 45L && thin._5 == "increasing")
     // deterministic: a second run picks the identical points
     val again = StatTests
       .mannKendall(series, Seq("metric"), maxPoints = 10)
-      .as[(String, Long, Long, Option[Double], String)]
+      .as[(String, Long, Long, Option[Double], String, Boolean)]
       .collect()
       .head
     assert(thin == again)
     // at-or-under the cap passes through untouched
     val full = StatTests
       .mannKendall(series, Seq("metric"), maxPoints = 100)
-      .as[(String, Long, Long, Option[Double], String)]
+      .as[(String, Long, Long, Option[Double], String, Boolean)]
       .collect()
       .head
     assert(full._2 == 100L)
+    assert(!full._6, "at-or-under the cap is not thinned")
     intercept[IllegalArgumentException] {
       StatTests.mannKendall(series, Seq("metric"), maxPoints = 1)
     }

@@ -21,11 +21,12 @@ class TrendSpec extends SparkSpec {
       .toDF("metric", "ts", "value")
     val got = Trend
       .theilSen(series, Seq("metric"), maxPoints = 25)
-      .as[(String, Long, Double, Double)]
+      .as[(String, Long, Double, Double, Boolean)]
       .collect()
       .head
     assert(got._2 == 25L, "kept ceil(100/4)=25 points")
     assert(got._3 == 2.0, "slope in original index units")
+    assert(got._5, "thinned flag set when the cap binds")
     intercept[IllegalArgumentException] {
       Trend.theilSen(series, Seq("metric"), maxPoints = 1)
     }
@@ -35,9 +36,9 @@ class TrendSpec extends SparkSpec {
     // v = 3 + 2*i: every pairwise slope is 2, intercept median = 3
     val out = Trend
       .theilSen(mkSeries((1 to 8).map(i => 3.0 + 2.0 * i)), Seq("metric"))
-      .as[(String, Long, Double, Double)]
+      .as[(String, Long, Double, Double, Boolean)]
       .collect()
-    assert(out.toSeq == Seq(("m", 8L, 2.0, 3.0)))
+    assert(out.toSeq == Seq(("m", 8L, 2.0, 3.0, false)))
   }
 
   test("one wild outlier does not move the slope (OLS would tilt)") {
@@ -45,7 +46,7 @@ class TrendSpec extends SparkSpec {
     val dirty = clean.updated(5, 1000.0)
     val out = Trend
       .theilSen(mkSeries(dirty), Seq("metric"))
-      .as[(String, Long, Double, Double)]
+      .as[(String, Long, Double, Double, Boolean)]
       .collect()
       .head
     assert(out._3 == 1.0, s"median slope must ignore the spike, got ${out._3}")
