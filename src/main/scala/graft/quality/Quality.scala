@@ -11,7 +11,11 @@ case class AnomalousScore(
     instance: String,
     name: String,
     score: Double,
-    threshold: Double
+    threshold: Double,
+    // the statistic behind this alert was computed on a deterministically
+    // thinned series (Service.assessTrend over >maxPoints history): the
+    // verdict is an approximation and the payload must say so
+    thinned: Boolean = false
 )
 
 /** Notification hook for anomalous batches

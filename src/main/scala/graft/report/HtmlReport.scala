@@ -107,9 +107,14 @@ object HtmlReport {
     // and a base/trend pair straddling the cap boundary would lose its
     // badge while the verdict exists in the store.
     val stored = repo.getProfiling(datasetUri).where(col("value").isNotNull)
+    // ALL derived suffixes split off — a `_trend_thinned` flag series
+    // must not chart as a base metric any more than the z series does
+    val isDerived = graft.service.Service.derivedSuffixes
+      .map(s => col("name").endsWith(s))
+      .reduce(_ || _)
     val isTrend = col("name").endsWith(graft.service.Service.trendSuffix)
     val baseSeries = cappedSeries(
-      stored.where(!isTrend),
+      stored.where(!isDerived),
       maxPointsPerSeries,
       maxSeries
     )
@@ -126,6 +131,13 @@ object HtmlReport {
     // one NEWEST row per assessed series (|series|-bounded via the
     // same key cap, in the same key order as the base charts)
     val trendRows = cappedSeries(stored.where(isTrend), 1, maxSeries)
+    val thinnedRows = cappedSeries(
+      stored.where(
+        col("name").endsWith(graft.service.Service.trendThinnedSuffix)
+      ),
+      1,
+      maxSeries
+    )
 
     // absence is an EMPTY DataFrame from both repository impls — a
     // read failure must propagate, not render as "no data stored"
@@ -162,13 +174,29 @@ object HtmlReport {
           .stripSuffix(graft.service.Service.trendSuffix)
       ) -> r.getAs[Double]("value")
     }.toMap
+    // which verdicts were computed on a thinned (approximated) history
+    val trendThinned: Set[(String, String, String)] = thinnedRows.collect {
+      case r if r.getAs[Double]("value") > 0 =>
+        (
+          r.getAs[String]("entity"),
+          r.getAs[String]("instance"),
+          r.getAs[String]("name")
+            .stripSuffix(graft.service.Service.trendThinnedSuffix)
+        )
+    }.toSet
+    def thinnedMark(key: (String, String, String)): String =
+      if (trendThinned(key))
+        """ <span class="trend na" title="statistic computed on a thinned series">≈ thinned</span>"""
+      else ""
     def trendBadge(key: (String, String, String)): String =
       trendZ
         .get(key)
         .map { z =>
-          if (z > 1.96) f"""<span class="trend alert">↗ increasing (z=$z%.2f)</span>"""
-          else if (z < -1.96) f"""<span class="trend alert">↘ decreasing (z=$z%.2f)</span>"""
-          else f"""<span class="trend ok">→ stable (z=$z%.2f)</span>"""
+          val b =
+            if (z > 1.96) f"""<span class="trend alert">↗ increasing (z=$z%.2f)</span>"""
+            else if (z < -1.96) f"""<span class="trend alert">↘ decreasing (z=$z%.2f)</span>"""
+            else f"""<span class="trend ok">→ stable (z=$z%.2f)</span>"""
+          b + thinnedMark(key)
         }
         .getOrElse("")
 
@@ -215,11 +243,12 @@ object HtmlReport {
             if (z > 1.96) """<span class="alert">↗ increasing</span>"""
             else if (z < -1.96) """<span class="alert">↘ decreasing</span>"""
             else """<span class="ok">→ stable</span>"""
+          val basis = if (trendThinned(key)) "≈ thinned" else "full"
           f"""<tr><td>${esc(e)}</td><td>${esc(i)}</td><td>${esc(n)}</td>
-              <td>$z%.3f</td><td>$verdict</td></tr>"""
+              <td>$z%.3f</td><td>$verdict</td><td>$basis</td></tr>"""
         }
         s"""<table><tr><th>entity</th><th>instance</th><th>metric</th>
-            <th>latest z</th><th>trend</th></tr>${rows.mkString("\n")}</table>"""
+            <th>latest z</th><th>trend</th><th>basis</th></tr>${rows.mkString("\n")}</table>"""
       }
 
     val optHtml =
@@ -297,6 +326,7 @@ object HtmlReport {
         .metric { margin-bottom: 1em; } .stats, .axis { color: #666; font-size: 11px; }
         nav.instances a { margin-right: 2px; } .mini { font-size: 11px; font-weight: normal; }
         .trend { font-size: 12px; margin-left: 6px; }
+        .na { color: #666; }
       </style></head><body>
       <h1 id="top">graft quality report</h1>
       <h2>Dataset <code>${esc(datasetUri)}</code></h2>$metaHtml

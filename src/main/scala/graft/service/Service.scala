@@ -28,10 +28,24 @@ object Service {
     */
   val trendSuffix: String = "_trend_z"
 
+  /** Companion to [[trendSuffix]]: a 0/1 series recording whether the
+    * stored trend verdict was computed on a deterministically THINNED
+    * history (series longer than the Mann-Kendall/Theil-Sen maxPoints
+    * cap) — an approximated z that fires an alert must say so, all the
+    * way to the stored series and the report badge.
+    */
+  val trendThinnedSuffix: String = "_trend_thinned"
+
+  /** Every metric-name suffix reserved for series DERIVED by the
+    * assessment pipelines. Base-series scans exclude these; base
+    * metric names must not use them (enforced at [[profileCreate]]).
+    */
+  val derivedSuffixes: Seq[String] = Seq(trendSuffix, trendThinnedSuffix)
+
   /** The profiling history restricted to BASE series — the read every
     * modeling/assessment path must use. Derived verdict series
-    * ([[trendSuffix]]) live in the same table by design (they ride the
-    * standard repository/report surfaces) but are diagnostics of
+    * ([[derivedSuffixes]]) live in the same table by design (they ride
+    * the standard repository/report surfaces) but are diagnostics of
     * metrics, not metrics: training an anomaly model on a z-score
     * series or counting it in health badges is a category error.
     */
@@ -39,7 +53,13 @@ object Service {
       datasetUri: String,
       repo: MetricsRepository
   ): DataFrame =
-    repo.getProfiling(datasetUri).where(!col("name").endsWith(trendSuffix))
+    repo
+      .getProfiling(datasetUri)
+      .where(
+        !derivedSuffixes
+          .map(s => col("name").endsWith(s))
+          .reduce(_ || _)
+      )
 
   /** Profile a batch and upsert the metrics into the repository,
     * registering the dataset on first sight
@@ -54,11 +74,26 @@ object Service {
       builder: ProfilingBuilder = ProfilingBuilder.default,
       granularity: String = Granularity.Day
   ): DataFrame = {
+    // Reserved-suffix names are rejected UP FRONT (driver-side, from
+    // the builder's metric list — no job): a base metric named
+    // `*_trend_z` would silently vanish from every baseProfiling scan
+    // (never optimized, scored, or trend-assessed) and render as a
+    // verdict badge in reports. Fail loudly instead.
+    val metricNames = builder
+      .metricExprs(df.schema.fields.filterNot(_.name == tsColumn).toSeq)
+      .map(_._1)
+    val reserved = metricNames
+      .map(_.name)
+      .filter(n => derivedSuffixes.exists(n.endsWith))
+      .distinct
+    require(
+      reserved.isEmpty,
+      s"metric names ${reserved.mkString(", ")} end with a reserved derived-series suffix " +
+        s"(${derivedSuffixes.mkString(", ")}); rename the metric"
+    )
     val profiling = Profiler.profile(df, tsColumn, builder, granularity)
     if (repo.getDataset(datasetUri).isEmpty) {
-      val metrics = builder
-        .metricExprs(df.schema.fields.filterNot(_.name == tsColumn).toSeq)
-        .map(_._1)
+      val metrics = metricNames
       repo.registerDataset(
         DatasetMeta(
           uri = datasetUri,
@@ -449,26 +484,32 @@ object Service {
     * slow bleed that never breaks any single day.
     *
     * Per significant series (|z| > zThreshold): an alert through the
-    * standard handlers (score = z, positive = rising), and a
-    * `<name>_trend_z` metric stored at the series' newest ts so trend
-    * verdicts ride the same repository/report/history surfaces.
-    * Returns the full per-series verdict table (n, s, z, trend,
-    * slope). Driver-side data: one row per SERIES (the assessDrift
-    * collect contract) — never raw points.
+    * standard handlers (score = z, positive = rising, `thinned` set
+    * when the statistic was computed on a thinned history), and a
+    * `<name>_trend_z` metric stored at the series' newest ts — plus a
+    * companion `<name>_trend_thinned` 0/1 series — so trend verdicts
+    * AND their approximation provenance ride the same
+    * repository/report/history surfaces. Returns the full per-series
+    * verdict table (n, s, z, trend, thinned, slope). Driver-side data:
+    * one row per SERIES (the assessDrift collect contract) — never raw
+    * points.
     */
   def assessTrend(
       datasetUri: String,
       repo: MetricsRepository,
       zThreshold: Double = 1.96,
-      handlers: Seq[NotificationHandler] = Seq(LogHandler)
+      handlers: Seq[NotificationHandler] = Seq(LogHandler),
+      maxPoints: Int = 10000
   ): DataFrame = {
     require(zThreshold > 0, s"zThreshold must be positive, got $zThreshold")
     // Base series only: a stored `<name>_trend_z` series must never be
     // trend-tested itself (unbounded `_trend_z_trend_z` compounding).
     val hist = baseProfiling(datasetUri, repo)
-    val mk = graft.anomaly.StatTests.mannKendall(hist, seriesCols)
+    val mk =
+      graft.anomaly.StatTests
+        .mannKendall(hist, seriesCols, maxPoints = maxPoints)
     val slopes = graft.anomaly.Trend
-      .theilSen(hist, seriesCols)
+      .theilSen(hist, seriesCols, maxPoints = maxPoints)
       .select((seriesCols.map(col) :+ col("slope")): _*)
     val newest = hist
       .groupBy(seriesCols.map(col): _*)
@@ -480,15 +521,29 @@ object Service {
     val spark = hist.sparkSession
     val stored = spark.createDataFrame(
       spark.sparkContext.parallelize(
-        rows.map { r =>
-          org.apache.spark.sql.Row(
-            r.getAs[java.sql.Timestamp]("_ts"),
-            r.getAs[String]("entity"),
-            r.getAs[String]("instance"),
-            r.getAs[String]("name") + trendSuffix,
-            Option(r.getAs[java.lang.Double]("z"))
-              .map(_.doubleValue)
-              .orNull
+        rows.flatMap { r =>
+          def row(suffix: String, value: Any) =
+            org.apache.spark.sql.Row(
+              r.getAs[java.sql.Timestamp]("_ts"),
+              r.getAs[String]("entity"),
+              r.getAs[String]("instance"),
+              r.getAs[String]("name") + suffix,
+              value
+            )
+          Seq(
+            row(
+              trendSuffix,
+              Option(r.getAs[java.lang.Double]("z"))
+                .map(_.doubleValue)
+                .orNull
+            ),
+            // the approximation flag rides alongside as a 0/1 series so
+            // readers (reports, history queries) can see WHICH stored
+            // verdicts came from a thinned history
+            row(
+              trendThinnedSuffix,
+              if (r.getAs[Boolean]("thinned")) 1.0 else 0.0
+            )
           )
         },
         1
@@ -516,7 +571,8 @@ object Service {
             instance = r.getAs[String]("instance"),
             name = r.getAs[String]("name"),
             score = r.getAs[java.lang.Double]("z").doubleValue,
-            threshold = zThreshold
+            threshold = zThreshold,
+            thinned = r.getAs[Boolean]("thinned")
           )
         }
         handlers.foreach(_.notify(datasetUri, ts, alerts))

@@ -106,6 +106,30 @@ class HtmlReportSpec extends SparkSpec {
         .toDF("ts", "entity", "instance", "name", "value"))
     val idx2 = HtmlReport.renderIndex(repo)
     assert(idx2.contains("""<span class="na">—</span>"""))
+    // full-history verdicts carry no thinned marker and the companion
+    // 0/1 flag series never charts as a base metric
+    assert(!html.contains("≈ thinned"))
+    assert(!html.contains("bleeding_trend_thinned"))
+    assert(html.contains("<td>full</td>"))
+  }
+
+  test("a thinned-history verdict carries the ≈ marker on badge and table") {
+    import spark.implicits._
+    val repo = new InMemoryRepository()
+    val uri = "ds://report-thinned"
+    val rows = (0 until 40).map { i =>
+      (new java.sql.Timestamp(86400000L * (i + 1)), "Column", "value", "rising", 10.0 + i)
+    }
+    repo.registerDataset(
+      graft.core.DatasetMeta(uri, "ts", Seq("value"), "DAY", Seq.empty))
+    repo.addProfiling(uri, rows.toDF("ts", "entity", "instance", "name", "value"))
+    Service.assessTrend(uri, repo, handlers = Seq.empty, maxPoints = 10)
+    val html = HtmlReport.render(repo, uri)
+    assert(html.contains("↗ increasing"))
+    assert(html.contains("≈ thinned"), "badge must disclose the approximation")
+    assert(html.contains("<td>≈ thinned</td>"), "assessment table basis column")
+    // the flag series itself must not chart or consume series slots
+    assert(!html.contains("Column / value / rising_trend_thinned"))
   }
 
   test("caps are applied before collect: maxSeries and maxPointsPerSeries bound the charts") {

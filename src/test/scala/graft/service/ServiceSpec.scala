@@ -433,6 +433,56 @@ class ServiceSpec extends SparkSpec {
     Service.assessTrend("u2", repo, handlers = Seq.empty)
     val names = repo.getProfiling("u2")
       .select("name").distinct().as[String].collect().toSet
-    assert(names == Set("drifting", "drifting_trend_z"))
+    assert(names == Set("drifting", "drifting_trend_z", "drifting_trend_thinned"))
+  }
+
+  test("assessTrend over a >maxPoints history alerts WITH the thinned flag set") {
+    val repo = new InMemoryRepository()
+    repo.registerDataset(DatasetMeta("u3", "ts", Seq("value"), "DAY", Seq.empty))
+    // 40 monotone points under a cap of 10: the verdict is computed on a
+    // thinned series and every surface must say so
+    val df = (1 to 40)
+      .map { d =>
+        (new java.sql.Timestamp(86400000L * d), "Column", "value", "rising", 10.0 + d)
+      }
+      .toDF("ts", "entity", "instance", "name", "value")
+    repo.addProfiling("u3", df)
+    var notified = Seq.empty[AnomalousScore]
+    val handler = new NotificationHandler {
+      def notify(uri: String, ts: java.sql.Timestamp, anomalous: Seq[AnomalousScore]): Unit =
+        notified = notified ++ anomalous
+    }
+    val verdicts = Service
+      .assessTrend("u3", repo, handlers = Seq(handler), maxPoints = 10)
+      .collect()
+    assert(verdicts.length == 1)
+    assert(verdicts.head.getAs[String]("trend") == "increasing")
+    assert(verdicts.head.getAs[Boolean]("thinned"), "verdict row carries the flag")
+    assert(notified.map(a => (a.name, a.thinned)) == Seq(("rising", true)),
+      "alert payload carries the flag")
+    // and the stored companion series records the approximation
+    val flag = repo.getProfiling("u3")
+      .where(col("name") === "rising_trend_thinned").collect()
+    assert(flag.length == 1 && flag.head.getAs[Double]("value") == 1.0)
+    // derived series stay out of the next assessment's base scan
+    val v2 = Service.assessTrend("u3", repo, handlers = Seq.empty, maxPoints = 10)
+    assert(v2.select("name").as[String].collect().toSeq == Seq("rising"))
+  }
+
+  test("profileCreate rejects base metric names using a reserved derived suffix") {
+    val repo = new InMemoryRepository()
+    val df = Seq((java.sql.Timestamp.valueOf("2025-01-01 00:00:00"), 1.0))
+      .toDF("ts", "x")
+    val evil = new graft.profiler.ColumnAnalyzer {
+      val name = "latency_trend_z"
+      def expr(c: String) = avg(col(c)).cast("double")
+    }
+    val builder = new graft.profiler.ProfilingBuilder(
+      Seq(graft.profiler.TypeMapping(_ => true, Seq(evil)))
+    )
+    val e = intercept[IllegalArgumentException] {
+      Service.profileCreate(df, "u4", "ts", repo, builder)
+    }
+    assert(e.getMessage.contains("reserved"))
   }
 }
