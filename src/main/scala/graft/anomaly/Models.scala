@@ -1,8 +1,9 @@
 package graft.anomaly
 
-import org.apache.spark.sql.Column
-import org.apache.spark.sql.expressions.WindowSpec
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.{Window, WindowSpec}
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
 
 /** Error metrics (reference: thoth/anomaly/error_metrics.py:4-13). */
 object ErrorMetrics {
@@ -37,6 +38,16 @@ trait ForecastModel extends Serializable {
     * insufficient history at this row.
     */
   def forecast(value: Column, w: WindowSpec): Column
+
+  /** Optional pre-pass materializing helper columns [[forecast]] needs
+    * but a single window expression cannot compute — e.g. lag columns
+    * that a window AGGREGATE must then sum over (Spark does not nest
+    * window functions). Helper column names must be unique per model
+    * `name`; Catalyst plans the prepared window and the forecast
+    * windows over the same partitioning as ONE exchange. Default:
+    * identity (every closed-form window model).
+    */
+  def prepare(df: DataFrame, value: Column, w: WindowSpec): DataFrame = df
 }
 
 /** Trailing-mean forecast over a fixed window length (the reference's
@@ -249,6 +260,117 @@ case class AutoSeasonal(candidates: Seq[Int] = Seq(7, 14), h: Int = 7)
   }
 }
 
+/** Autoregressive AR(p) forecast fit by least squares via the normal
+  * equations — the true state-space-class member of the family,
+  * closing the last fidelity delta vs the reference's per-series
+  * Merlion AutoML fits (AutoSarima/AutoProphet,
+  * thoth/anomaly/models.py:184-241): where those train a model per
+  * series in a driver loop, this fits EVERY series at every row in one
+  * window pass.
+  *
+  * Honest expanding-window fit: the coefficients used to forecast row
+  * t are estimated from ONLY strictly preceding rows (the same
+  * leak-freedom contract as every other family member), so the
+  * optimizer's forward-chaining CV never trains on the future. The
+  * mechanics:
+  *
+  *   - [[prepare]] materializes lag columns y(t-1)..y(t-p) (one window
+  *     pass; Spark cannot nest `sum(...)` over `lag(...)` in a single
+  *     window expression, and both window layers share one exchange);
+  *   - [[forecast]] accumulates the regression moments Σx_i, Σx_i x_j,
+  *     Σx_i y over the expanding strictly-preceding frame through
+  *     DECIMAL(38,10) (order-independent — bit-identical in DuckDB),
+  *     centers them into the (p x p) covariance system, and solves by
+  *     Cramer's rule unrolled into plain column arithmetic — a
+  *     driver-free per-row solve, exact IEEE parity with the SQL
+  *     mirror, no UDF;
+  *   - intercept c = (Σy − Σφ_i Σx_i)/n, forecast = c + Σφ_i y(t-i).
+  *
+  * NULL until `minTrain` complete training samples precede the row, or
+  * when the centered system fails the scale-free conditioning gates
+  * (per-diagonal relative-variance floor; correlation-determinant
+  * collinearity floor — see [[forecast]]), which constant series and
+  * pure linear trends under p >= 2 produce by construction: no
+  * identifiable AR fit, and other family members already cover both.
+  *
+  * p is capped at 3: each extra order adds a factorial Cramer term
+  * count, and metric-grain series (the profiler's output) carry
+  * day/hour dynamics where AR(2)-AR(3) captures level+momentum; the
+  * reference's SARIMA fits rarely select beyond that on such series.
+  */
+case class AutoRegressive(p: Int = 2, minTrain: Int = 8) extends ForecastModel {
+  require(p >= 1 && p <= 3, s"p must be in 1..3, got $p")
+  require(
+    minTrain >= p + 2,
+    s"minTrain must be >= p + 2 = ${p + 2} for an identifiable fit, got $minTrain"
+  )
+  val name = s"AR-$p"
+  private def lagName(i: Int) = s"_ar${p}_l$i"
+
+  override def prepare(df: DataFrame, value: Column, w: WindowSpec): DataFrame =
+    (1 to p).foldLeft(df) { case (d, i) =>
+      d.withColumn(lagName(i), lag(value, i).over(w))
+    }
+
+  /** Laplace expansion along the first row — deterministic term order,
+    * mirrored verbatim by the SQL oracle generator.
+    */
+  private def det(m: Vector[Vector[Column]]): Column = m.size match {
+    case 1 => m(0)(0)
+    case n =>
+      (0 until n)
+        .map { j =>
+          val minor = m.tail.map(row => row.patch(j, Nil, 1))
+          val term = m(0)(j) * det(minor)
+          if (j % 2 == 0) term else -term
+        }
+        .reduce(_ + _)
+  }
+
+  def forecast(value: Column, w: WindowSpec): Column = {
+    val dec = DecimalType(38, 10)
+    val wp = w.rowsBetween(Window.unboundedPreceding, -1)
+    val ls = (1 to p).map(i => col(lagName(i))).toVector
+    // a training sample is a row where target AND every regressor exist
+    val v = (value +: ls).map(_.isNotNull).reduce(_ && _)
+    def msum(e: Column) = sum(when(v, e.cast(dec))).over(wp).cast("double")
+    val nT = sum(when(v, 1L).otherwise(0L)).over(wp)
+    val nD = nT.cast("double")
+    val si = ls.map(msum)
+    val sy = msum(value)
+    // shared upper-triangle moment expressions reused symmetrically
+    val sij = Vector.tabulate(p, p) { (i, j) =>
+      if (i <= j) msum(ls(i) * ls(j)) else null
+    }
+    def sAt(i: Int, j: Int) = if (i <= j) sij(i)(j) else sij(j)(i)
+    val siy = ls.map(l => msum(l * value))
+    val c = Vector.tabulate(p, p)((i, j) => sAt(i, j) - si(i) * si(j) / nD)
+    val cy = Vector.tabulate(p)(i => siy(i) - si(i) * sy / nD)
+    val d = det(c)
+    val phi = Vector.tabulate(p) { k =>
+      det(Vector.tabulate(p, p)((i, j) => if (j == k) cy(i) else c(i)(j))) / d
+    }
+    val c0 =
+      (sy - phi.zip(si).map { case (f, s1) => f * s1 }.reduce(_ + _)) / nD
+    val pred = c0 + phi.zip(ls).map { case (f, l) => f * l }.reduce(_ + _)
+    // Scale-free conditioning gates (both sides mirror these exactly):
+    //  - each diagonal must carry real variance relative to its raw
+    //    second moment (c_ii = n*var, s_ii = n*E[x²]; the 1e-12 floor
+    //    is relative-std > 1e-6 — far above double cancellation noise,
+    //    far below any real signal), refusing constant series;
+    //  - |det| relative to the diagonal product is EXACTLY the
+    //    correlation-matrix determinant, refusing collinear regressors
+    //    (e.g. any pure linear trend under p >= 2) at any data scale.
+    val diagOk =
+      (0 until p).map(i => c(i)(i) > lit(1e-12) * sAt(i, i)).reduce(_ && _)
+    val prodDiag = (0 until p).map(i => c(i)(i)).reduce(_ * _)
+    when(
+      nT >= lit(minTrain.toLong) && diagOk && abs(d) > lit(1e-9) * prodDiag,
+      pred
+    )
+  }
+}
+
 /** Model factory (reference: thoth/anomaly/models.py:244-277). */
 object Models {
   /** The reference SimpleModel's candidate windows. */
@@ -282,10 +404,16 @@ object Models {
 
   /** Extended family: default + trend-aware Holt + learned-period
     * seasonal (weekly/biweekly/monthly candidates) + the seasonal-and-
-    * trend Holt-Winters grid (the AutoML slots).
+    * trend Holt-Winters grid (the AutoML slots) + the least-squares
+    * AR(2) fit (the state-space slot).
     */
   def extended: Seq[ForecastModel] =
-    default ++ Seq(HoltLinear(), AutoSeasonal(Seq(7, 14, 30)), HoltWinters()) ++ hwGrid()
+    default ++ Seq(
+      HoltLinear(),
+      AutoSeasonal(Seq(7, 14, 30)),
+      HoltWinters(),
+      AutoRegressive()
+    ) ++ hwGrid()
 
   /** Simple family (reference SimpleModelFactory): trailing means only. */
   def simple: Seq[ForecastModel] = trailingMeans()

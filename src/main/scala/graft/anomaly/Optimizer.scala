@@ -85,7 +85,11 @@ object Optimizer {
             "n",
             count(lit(1)).over(Window.partitionBy(seriesCols.map(col): _*))
           )
-      ) { case (df, (m, i)) => df.withColumn(s"_f$i", m.forecast(value, w)) }
+      ) { case (df, (m, i)) =>
+        // models with helper columns (e.g. AR lag materialization) get
+        // their pre-pass here; same partitioning -> same single exchange
+        m.prepare(df, value, w).withColumn(s"_f$i", m.forecast(value, w))
+      }
       // Validation region: 0-based index >= floor(start_proportion * n)
       // (thoth/anomaly/optimization.py:166-173).
       .withColumn(

@@ -174,23 +174,28 @@ object AnomalyQueries extends QueryPack {
     """CASE WHEN abs(value) < 0.0001 OR predicted IS NULL THEN NULL
        ELSE least(abs(value - predicted) / abs(value), 1.0) END"""
 
-  /** Long error table for a set of (modelName, forecastExpr). */
-  private def errSql(models: Seq[(String, String)]): String =
+  /** Long error table for a set of (modelName, forecastExpr, srcTable).
+    * Most models forecast with one window expression over `s`; models
+    * needing helper columns (AR's lag materialization — window
+    * aggregates cannot nest window functions in SQL either) read from
+    * their own prepared CTE carrying a `predicted`-ready column.
+    */
+  private def errSql(models: Seq[(String, String, String)]): String =
     models
-      .map { case (name, fexpr) =>
+      .map { case (name, fexpr, src) =>
         s"""SELECT event_type, ts, value, rn, n, '$name' AS model, predicted,
             $apeSql AS error
          FROM (SELECT event_type, ts, value,
             row_number() OVER (PARTITION BY event_type ORDER BY ts) AS rn,
             count(*) OVER (PARTITION BY event_type) AS n,
-            $fexpr AS predicted FROM s)"""
+            $fexpr AS predicted FROM $src)"""
       }
       .mkString("\nUNION ALL\n")
 
   private val validSql = "(rn - 1) >= floor(0.4 * n) AND error IS NOT NULL"
 
   /** Per-(series, model) summary mirror of Optimizer.evaluate. */
-  private def summarySql(models: Seq[(String, String)], confidence: Double): String =
+  private def summarySql(models: Seq[(String, String, String)], confidence: Double): String =
     s""", err AS (${errSql(models)}),
        v AS (SELECT * FROM err WHERE $validSql),
        me AS (SELECT event_type, model, avg(error) AS mean_error,
@@ -208,7 +213,55 @@ object AnomalyQueries extends QueryPack {
          JOIN cells c ON c.event_type = me.event_type AND c.model = me.model
            AND c.t = th.threshold)"""
 
-  private val tmModels = Seq(3, 5, 7).map(w => (s"TrailingMean-$w", tmSql(w)))
+  /** Exact SQL mirror of [[graft.anomaly.AutoRegressive]](2, 8) as a
+    * CTE chain ending in `sar(event_type, ts, value, ar_pred)`: lag
+    * materialization, DECIMAL(38,10) expanding moment sums over the
+    * strictly-preceding frame, centered normal equations, the unrolled
+    * Cramer solve, and the two scale-free conditioning gates — every
+    * double operation in the Column expression's order.
+    */
+  private val arCtes: String = {
+    val wl = "(PARTITION BY event_type ORDER BY ts)"
+    val wp =
+      """(PARTITION BY event_type ORDER BY ts
+         ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)"""
+    val v = "(value IS NOT NULL AND l1 IS NOT NULL AND l2 IS NOT NULL)"
+    def msum(e: String) =
+      s"CAST(SUM(CASE WHEN $v THEN CAST($e AS DECIMAL(38,10)) END) OVER $wp AS DOUBLE)"
+    s"""sar0 AS (SELECT event_type, ts, value,
+          lag(value, 1) OVER $wl AS l1, lag(value, 2) OVER $wl AS l2
+        FROM s),
+      sar1 AS (SELECT event_type, ts, value, l1, l2,
+          SUM(CASE WHEN $v THEN 1 ELSE 0 END) OVER $wp AS n_t,
+          ${msum("l1")} AS s1, ${msum("l2")} AS s2, ${msum("value")} AS sy,
+          ${msum("(l1 * l1)")} AS s11, ${msum("(l1 * l2)")} AS s12,
+          ${msum("(l2 * l2)")} AS s22,
+          ${msum("(l1 * value)")} AS s1y, ${msum("(l2 * value)")} AS s2y
+        FROM sar0),
+      sar2 AS (SELECT *, CAST(n_t AS DOUBLE) AS nd,
+          s11 - s1 * s1 / CAST(n_t AS DOUBLE) AS c11,
+          s12 - s1 * s2 / CAST(n_t AS DOUBLE) AS c12,
+          s12 - s2 * s1 / CAST(n_t AS DOUBLE) AS c21,
+          s22 - s2 * s2 / CAST(n_t AS DOUBLE) AS c22,
+          s1y - s1 * sy / CAST(n_t AS DOUBLE) AS c1y,
+          s2y - s2 * sy / CAST(n_t AS DOUBLE) AS c2y
+        FROM sar1),
+      sar3 AS (SELECT *, c11 * c22 + (- (c12 * c21)) AS det FROM sar2),
+      sar4 AS (SELECT *,
+          (c1y * c22 + (- (c12 * c2y))) / det AS phi1,
+          (c11 * c2y + (- (c1y * c21))) / det AS phi2
+        FROM sar3),
+      sar AS (SELECT event_type, ts, value,
+          CASE WHEN n_t >= 8
+              AND (c11 > 1e-12 * s11 AND c22 > 1e-12 * s22)
+              AND abs(det) > 1e-9 * (c11 * c22)
+            THEN ((sy - (phi1 * s1 + phi2 * s2)) / nd)
+              + (phi1 * l1 + phi2 * l2)
+          END AS ar_pred
+        FROM sar4)"""
+  }
+
+  private val tmModels = Seq(3, 5, 7).map(w => (s"TrailingMean-$w", tmSql(w), "s"))
   // candidates {2,7} with h=4 keep the history requirement (h+7=11)
   // inside the 30-day series' 12-point training prefix
   private val autoModel = AutoSeasonal(Seq(2, 7), 4)
@@ -221,14 +274,17 @@ object AnomalyQueries extends QueryPack {
   // instead)
   private val hwModel = HoltWinters(0.5, 7, 2)
   private val hwGridModels = Seq(HoltWinters(0.3, 7, 2), HoltWinters(0.5, 14, 2))
+  // the state-space slot: least-squares AR(2) fit per series per row
+  private val arModel = AutoRegressive(2)
   private val bestModels = tmModels ++
     Seq(
-      ("SeasonalNaive-7", snSql(7)),
-      (autoModel.name, autoSeasonalSql(Seq(2, 7), 4)),
-      (hwModel.name, hwSql(0.5, 7, 2))) ++
-    hwGridModels.map(m => (m.name, hwSql(m.gamma, m.period, m.nSeasons)))
+      ("SeasonalNaive-7", snSql(7), "s"),
+      (autoModel.name, autoSeasonalSql(Seq(2, 7), 4), "s"),
+      (hwModel.name, hwSql(0.5, 7, 2), "s"),
+      (arModel.name, "ar_pred", "sar")) ++
+    hwGridModels.map(m => (m.name, hwSql(m.gamma, m.period, m.nSeasons), "s"))
   private val bestModelSet = Models.trailingMeans(Seq(3, 5, 7)) ++
-    Seq(SeasonalNaive(7), autoModel, hwModel) ++ hwGridModels
+    Seq(SeasonalNaive(7), autoModel, hwModel, arModel) ++ hwGridModels
 
   // mirrors Optimizer.optimize incl. the minValidationPoints qualifier
   // (Optimizer.scala — models with < 3 valid validation errors never
@@ -258,6 +314,28 @@ object AnomalyQueries extends QueryPack {
         .orderBy("event_type", "ts"),
     oracle = Some(s"""$seriesCte, f AS (
         SELECT event_type, ts, value, $sqlExpr AS predicted FROM s)
+      SELECT event_type, ts, value, round(predicted, 6) AS predicted,
+        round($apeSql, 6) AS error
+      FROM f ORDER BY event_type, ts""")
+  )
+
+  // AR(2) forecast: same contract as forecastQuery, but the oracle
+  // reads the prepared CTE chain (lag materialization + moment sums
+  // cannot nest inside one window expression in SQL either)
+  private val forecastAr = Q(
+    fn = (s, d) =>
+      Optimizer
+        .forecastErrors(series(s, d), seriesCols, cfg = cfg(Seq(arModel)))
+        .select(
+          col("event_type"),
+          col("ts"),
+          col("value"),
+          round6(col("predicted")).as("predicted"),
+          round6(col("error")).as("error")
+        )
+        .orderBy("event_type", "ts"),
+    oracle = Some(s"""$seriesCte, $arCtes, f AS (
+        SELECT event_type, ts, value, ar_pred AS predicted FROM sar)
       SELECT event_type, ts, value, round(predicted, 6) AS predicted,
         round($apeSql, 6) AS error
       FROM f ORDER BY event_type, ts""")
@@ -293,7 +371,7 @@ object AnomalyQueries extends QueryPack {
           col("below_proportion")
         )
         .orderBy("event_type"),
-    oracle = Some(s"""$seriesCte ${summarySql(Seq(("TrailingMean-7", tmSql(7))), 0.95)}
+    oracle = Some(s"""$seriesCte ${summarySql(Seq(("TrailingMean-7", tmSql(7), "s")), 0.95)}
       SELECT event_type, model, threshold, round(mean_error, 6) AS mean_error,
         below_proportion
       FROM summary ORDER BY event_type""")
@@ -315,7 +393,7 @@ object AnomalyQueries extends QueryPack {
           col("below_proportion")
         )
         .orderBy("event_type"),
-    oracle = Some(s"""$seriesCte ${summarySql(bestModels, 0.95)}
+    oracle = Some(s"""$seriesCte, $arCtes ${summarySql(bestModels, 0.95)}
       SELECT event_type, best_model, threshold, round(mean_error, 6) AS mean_error,
         below_proportion
       FROM ($bestModelSelSql) ORDER BY event_type""")
@@ -350,7 +428,7 @@ object AnomalyQueries extends QueryPack {
           round6(col("score")).as("score")
         )
         .orderBy("event_type"),
-    oracle = Some(s"""$seriesCte ${summarySql(bestModels, 0.95)} $scoreSql
+    oracle = Some(s"""$seriesCte, $arCtes ${summarySql(bestModels, 0.95)} $scoreSql
       SELECT event_type, ts, value, round(predicted, 6) AS predicted,
         round(score, 6) AS score
       FROM scored ORDER BY event_type""")
@@ -374,7 +452,7 @@ object AnomalyQueries extends QueryPack {
         )
         .orderBy("event_type")
     },
-    oracle = Some(s"""$seriesCte ${summarySql(bestModels, 0.95)} $scoreSql
+    oracle = Some(s"""$seriesCte, $arCtes ${summarySql(bestModels, 0.95)} $scoreSql
       SELECT sc.event_type, sc.ts, round(sc.score, 6) AS score, b.threshold,
         coalesce(sc.score > b.threshold, true) AS is_anomalous
       FROM scored sc JOIN ($bestModelSelSql) b ON sc.event_type = b.event_type
@@ -761,6 +839,7 @@ object AnomalyQueries extends QueryPack {
       HoltWinters(0.5, 7, 2),
       hwSql(0.5, 7, 2)),
     "anomaly_forecast_auto" -> forecastQuery(autoModel, autoSeasonalSql(Seq(2, 7), 4)),
+    "anomaly_forecast_ar" -> forecastAr,
     "anomaly_best_window" -> bestWindow,
     "anomaly_threshold" -> threshold,
     "anomaly_best_model" -> bestModel,

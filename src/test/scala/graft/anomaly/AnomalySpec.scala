@@ -383,4 +383,87 @@ class AnomalySpec extends SparkSpec {
     assert(short == 4L * models)
     assert(long == 108L * models)
   }
+
+  private def arSeries(vals: Seq[Double], key: String = "s") = {
+    import spark.implicits._
+    vals.zipWithIndex
+      .map { case (v, i) => (key, new java.sql.Timestamp(86400000L * (i + 1)), v) }
+      .toDF("series", "ts", "value")
+  }
+
+  private def arForecasts(m: AutoRegressive, vals: Seq[Double]): Seq[Option[Double]] = {
+    val w = Window.partitionBy($"series").orderBy($"ts")
+    val df = arSeries(vals)
+    m.prepare(df, $"value", w)
+      .withColumn("f", m.forecast($"value", w))
+      .orderBy("ts")
+      .select("f")
+      .collect()
+      .toSeq
+      // NOT Option(getAs[java.lang.Double]): under the Option[Double]
+      // expected type scalac unboxes, and null.asInstanceOf[Double]
+      // is 0.0 — a null forecast would masquerade as a zero one
+      .map(r => if (r.isNullAt(0)) None else Some(r.getDouble(0)))
+  }
+
+  test("AR(2) recovers a noiseless autoregressive process exactly") {
+    // y_t = 10 + 0.3 y_{t-1} - 0.6 y_{t-2}: stationary, oscillatory
+    // (complex roots), so the lag columns never go collinear
+    val vals = Iterator
+      .iterate((1.0, 5.0)) { case (a, b) => (b, 10.0 + 0.3 * b - 0.6 * a) }
+      .take(30)
+      .map(_._1)
+      .toSeq
+    val fc = arForecasts(AutoRegressive(2), vals)
+    // NULL until minTrain=8 training samples precede the row (rn >= 11)
+    assert(fc.take(10).forall(_.isEmpty))
+    fc.zipWithIndex.drop(10).foreach { case (f, i) =>
+      assert(f.isDefined && math.abs(f.get - vals(i)) < 1e-6,
+        s"row ${i + 1}: got $f want ${vals(i)}")
+    }
+  }
+
+  test("AR(1) is exact on a linear trend; AR(2) refuses the collinear system") {
+    val vals = (1 to 30).map(i => 7.0 + 2.5 * i)
+    val ar1 = arForecasts(AutoRegressive(1), vals)
+    ar1.zipWithIndex.drop(10).foreach { case (f, i) =>
+      // y_t = y_{t-1} + 2.5 is an exact AR(1)+intercept fit
+      assert(f.isDefined && math.abs(f.get - vals(i)) < 1e-6)
+    }
+    // on the same line y(t-1) and y(t-2) are perfectly collinear:
+    // det ~ 0 -> AR(2) must emit NULL, never a garbage solve
+    assert(arForecasts(AutoRegressive(2), vals).forall(_.isEmpty))
+    // constant series: zero variance, no fit
+    assert(arForecasts(AutoRegressive(2), Seq.fill(30)(42.0)).forall(_.isEmpty))
+  }
+
+  test("AR coefficients are fit on strictly preceding rows only") {
+    val base = Iterator
+      .iterate((1.0, 5.0)) { case (a, b) => (b, 10.0 + 0.3 * b - 0.6 * a) }
+      .take(25)
+      .map(_._1)
+      .toSeq
+    val poisoned = base.init :+ 1e6 // corrupt ONLY the last observation
+    val a = arForecasts(AutoRegressive(2), base)
+    val b = arForecasts(AutoRegressive(2), poisoned)
+    // every forecast except (possibly) ones after the corrupted row —
+    // i.e. all of them, it is the last row — must be bit-identical
+    assert(a == b, "future data leaked into an earlier fit")
+  }
+
+  test("AR(2) joins the optimizer family end-to-end and wins on its own process") {
+    val vals = Iterator
+      .iterate((1.0, 5.0)) { case (a, b) => (b, 10.0 + 0.3 * b - 0.6 * a) }
+      .take(40)
+      .map(_._1)
+      .toSeq
+    val best = Optimizer
+      .optimize(arSeries(vals, "arp"), Seq("series"),
+        cfg = Optimizer.Config(models = Models.extended))
+      .collect()
+      .head
+    assert(best.getAs[String]("best_model") == "AR-2",
+      s"AR must win CV on a pure AR(2) process, got ${best.getAs[String]("best_model")}")
+    assert(!best.getAs[Boolean]("optimization_failed"))
+  }
 }
