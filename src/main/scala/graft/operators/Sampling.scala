@@ -268,13 +268,23 @@ object Sampling {
       .partitionBy(stratumCol)
       .orderBy(bucketHex(col(idCol), salt), col(idCol))
     val wAll = org.apache.spark.sql.expressions.Window.partitionBy(stratumCol)
-    val cum = fractions.scanLeft(0.0) { case (acc, (_, f)) => acc + f }.tail
+    // EXACT boundary arithmetic: the fractions are re-read as the
+    // decimals the caller WROTE (shortest-repr toString — 0.1 means
+    // 1/10, not the nearest binary double), summed in BigDecimal, and
+    // the floor(cum_j * n) boundary is a DECIMAL multiply of that
+    // literal — so 0.1+0.2 can never fold to 0.30000000000000004 and
+    // shift a boundary by one row on an unlucky stratum size (the
+    // double path floors 0.3*10 to 2). The oracle mirrors the same
+    // decimal literals.
+    val cum = fractions
+      .scanLeft(BigDecimal(0)) { case (acc, (_, f)) => acc + BigDecimal(f.toString) }
+      .tail
     // floor(cum_j * n) boundaries; row i -> first j with i <= boundary
     val expr = fractions
       .zip(cum)
       .dropRight(1)
       .foldRight(lit(fractions.last._1)) { case (((name, _), c), elseCol) =>
-        when(col("_i") <= floor(lit(c) * col("_n")), lit(name))
+        when(col("_i") <= floor(lit(c.underlying) * col("_n")), lit(name))
           .otherwise(elseCol)
       }
     df.withColumn("_i", row_number().over(w))

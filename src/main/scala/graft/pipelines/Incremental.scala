@@ -394,13 +394,21 @@ object Incremental {
     * explicit and one-sided: bloom false positives demote a bounded
     * fraction (~the filter's FP rate at the actual key load) of
     * genuinely-NEW documents as `duplicate_prior`; no true prior
-    * duplicate ever survives (blooms have no false negatives). At
-    * web-corpus scale, losing ~0.1% of new docs to FP against a
-    * billions-strong prior set is routinely the right price for
-    * deleting the join — size `numBits ≈ -n·ln(fp)/ln(2)²` for the
-    * accumulated prior count n. Use the exact join variant when every
-    * kept row must be provably non-duplicate (the oracle-gated
-    * pipeline path).
+    * duplicate ever survives (blooms have no false negatives).
+    *
+    * Sizing honestly: the DEFAULTS (numBits = 8 Mbit, expectedItems =
+    * 1M) run at ~2% FP when loaded with the full 1M keys — ~8.4
+    * bits/key with the optimal ~6 hashes. For a target rate size
+    * `numBits ≈ -n·ln(fp)/ln(2)²` (≈ 14.4 bits/key for 0.1%), and
+    * remember the filter is EMBEDDED IN THE PLAN as a literal
+    * broadcast to every task: a 0.1% filter over 10⁹ prior keys is
+    * ~1.8 GB — beyond what a serialized plan tolerates. `numBits` is
+    * therefore capped at 2³¹ (256 MB — ~0.1% FP for ~150M prior keys,
+    * or ~2% for ~256M); beyond that, shard the prior by fingerprint
+    * range into per-shard blooms applied to matching row ranges, or
+    * use the exact-join variant ([[demotePriorDuplicates]] — also the
+    * answer whenever every kept row must be provably non-duplicate,
+    * as in the oracle-gated pipeline path).
     */
   def demotePriorDuplicatesBloom(
       funnel: DataFrame,
@@ -410,6 +418,12 @@ object Incremental {
       expectedItems: Long = 1000000L,
       numBits: Long = 8L * 1024 * 1024
   ): DataFrame = {
+    require(
+      numBits > 0 && numBits <= (1L << 31),
+      s"numBits must be in (0, 2^31] — the bloom rides the plan as a literal " +
+        s"(${numBits / 8 / 1024 / 1024} MB requested); shard the prior or use " +
+        "demotePriorDuplicates for larger prior sets"
+    )
     val bloom = graft.operators.BloomJoin
       .buildBloom(priorFps, "fp", expectedItems, numBits)
     funnel

@@ -198,4 +198,36 @@ class GraphSpec extends SparkSpec {
     assert(capped.map(t => (t._1, t._2)).toSet == Set((0L, 9L)))
     assert(capped.head._4 == math.rint(1.0 / 3 * 1e6) / 1e6)
   }
+
+  test("staged co-purchase edges give row-identical results for every graph key") {
+    // the bench stages the shared edge table once (parquet + view);
+    // each key's output must be indistinguishable from the full build
+    val d = "/root/testdata/sf0.001"
+    val keys =
+      Seq("q_copurchase_pagerank", "q_label_propagation", "q_triangle_count", "q_kcore")
+    val plain = keys.map(k => k -> graft.SparkEntry.queries(k)(spark, d).collect().toSeq).toMap
+    val tmp = java.nio.file.Files.createTempDirectory("staged_edges").toString
+    try {
+      graft.queries.EngineQueries.stageCopurchaseEdges(spark, d, s"$tmp/edges")
+      keys.foreach { k =>
+        val staged = graft.SparkEntry.queries(k)(spark, d)
+        // the staged plan must actually read the staged parquet, not
+        // rebuild the self-join
+        assert(
+          !staged.queryExecution.optimizedPlan.toString.contains("l_orderkey"),
+          s"$k still rebuilds the edge self-join while staged"
+        )
+        assert(staged.collect().toSeq == plain(k), s"$k diverged under staging")
+      }
+      // a staged table for one dir must never serve another dir
+      val other = graft.SparkEntry
+        .queries("q_kcore")(spark, "/root/testdata/sf0.01")
+      assert(other.queryExecution.optimizedPlan.toString.contains("l_orderkey"),
+        "a different sf dir must fall back to the full build")
+    } finally {
+      graft.queries.EngineQueries.unstageCopurchaseEdges(spark)
+      val p = new org.apache.hadoop.fs.Path(tmp)
+      p.getFileSystem(spark.sparkContext.hadoopConfiguration).delete(p, true)
+    }
+  }
 }

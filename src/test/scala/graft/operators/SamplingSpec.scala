@@ -174,6 +174,23 @@ class SamplingSpec extends SparkSpec {
     }
   }
 
+  test("stratifiedSplit boundaries are decimal-exact where doubles would misfloor") {
+    // double(0.3) * 10 = 2.9999999999999996 floors to 2; the decimal
+    // path must apportion a 10-row stratum under (0.3, 0.7) as 3/7
+    val df = (1L to 10L).map(i => ("s", i)).toDF("stratum", "id")
+    val counts = Sampling
+      .stratifiedSplit(df, "stratum", "id", Seq("a" -> 0.3, "b" -> 0.7))
+      .groupBy("split").count().as[(String, Long)].collect().toMap
+    assert(counts == Map("a" -> 3L, "b" -> 7L), counts.toString)
+    // folded cumulative noise (0.1+0.2 -> 0.30000000000000004 as
+    // doubles) must not shift the second boundary either: 10 rows
+    // under (0.1, 0.2, 0.7) are exactly 1/2/7
+    val counts3 = Sampling
+      .stratifiedSplit(df, "stratum", "id", Seq("a" -> 0.1, "b" -> 0.2, "c" -> 0.7))
+      .groupBy("split").count().as[(String, Long)].collect().toMap
+    assert(counts3 == Map("a" -> 1L, "b" -> 2L, "c" -> 7L), counts3.toString)
+  }
+
   test("capPerGroup keeps exactly the top-k rows per group with deterministic tiebreak") {
     val docs = Seq(
       ("a", 1L, 10.0), ("a", 2L, 30.0), ("a", 3L, 20.0), ("a", 4L, 30.0),

@@ -336,6 +336,13 @@ class IncrementalSpec extends SparkSpec {
     // the scan-side claim: the plan holds NO join for the prior check
     val plan = out.queryExecution.executedPlan.toString
     assert(!plan.toLowerCase.contains("join"), s"bloom variant must not join:\n$plan")
+    // the plan-embedded-literal ceiling refuses a multi-GB bloom
+    val e = intercept[IllegalArgumentException] {
+      Incremental.demotePriorDuplicatesBloom(
+        Corpus.prepareFunnel(docs, keepFpCol = Some("fp")), prior,
+        fpCol = Some("fp"), numBits = (1L << 31) + 1)
+    }
+    assert(e.getMessage.contains("shard the prior"))
   }
 
   test("profileBatches stores the per-day loss series in the monitoring repo") {
