@@ -28,8 +28,12 @@ def table_hash(rows, cols):
 
 
 def main():
-    sf_dir, out_dir = sys.argv[1], sys.argv[2]
-    only = set(sys.argv[3:])
+    args = [a for a in sys.argv[1:] if not a.startswith("--json")]
+    json_out = next((a.split("=", 1)[1] for a in sys.argv[1:]
+                     if a.startswith("--json=")), None)
+    sf_dir, out_dir = args[0], args[1]
+    only = set(args[2:])
+    results = {}
     con = duckdb.connect()
     for t in "region nation customer supplier part orders lineitem events documents embeddings".split():
         con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'")
@@ -48,6 +52,8 @@ def main():
         if only and name not in only:
             continue
         print(f"FAIL {name}: verify error: {err[:200]}")
+        results[name] = dict(rows_match=None, schema_match=None, hash_match=None,
+                             spark_rows=None, oracle_rows=None, err=err[:500])
         n_fail += 1
     # Rows-only keys (output dir, no oracle — declared non-SQL ops)
     # still gate on rows > 0, mirroring the driver's weaker check.
@@ -65,9 +71,13 @@ def main():
         ).fetchone()[0] if files else 0
         if n > 0:
             print(f"PASS {name} (rows-only, {n} rows)")
+            results[name] = dict(rows_match=None, schema_match=None, hash_match=None,
+                                 spark_rows=n, oracle_rows=None, err="no_oracle")
             n_pass += 1
         else:
             print(f"FAIL {name}: rows-only key produced 0 rows")
+            results[name] = dict(rows_match=False, schema_match=None, hash_match=None,
+                                 spark_rows=0, oracle_rows=None, err="empty")
             n_fail += 1
     for name, sql in sorted(oracle.items()):
         if only and name not in only:
@@ -75,6 +85,8 @@ def main():
         files = sorted(glob.glob(f"{out_dir}/{name}/*.parquet"))
         if not files:
             print(f"FAIL {name}: no spark output")
+            results[name] = dict(rows_match=None, schema_match=None, hash_match=None,
+                                 spark_rows=None, oracle_rows=None, err="no spark output")
             n_fail += 1
             continue
         try:
@@ -103,17 +115,26 @@ def main():
             exp = exp_rel.fetchall()
         except Exception as e:
             print(f"FAIL {name}: {e}")
+            results[name] = dict(rows_match=None, schema_match=None, hash_match=None,
+                                 spark_rows=None, oracle_rows=None, err=str(e)[:500])
             n_fail += 1
             continue
-        if sorted(got_cols) != sorted(exp_cols):
+        schema_ok = sorted(got_cols) == sorted(exp_cols)
+        if not schema_ok:
             print(f"FAIL {name}: columns {sorted(got_cols)} != {sorted(exp_cols)}")
+            results[name] = dict(rows_match=len(got) == len(exp), schema_match=False,
+                                 hash_match=False, spark_rows=len(got),
+                                 oracle_rows=len(exp), err=None)
             n_fail += 1
             continue
         g, e = table_hash(got, got_cols), table_hash(exp, exp_cols)
-        if len(g) != len(e):
+        rows_ok, hash_ok = len(g) == len(e), g == e
+        results[name] = dict(rows_match=rows_ok, schema_match=True, hash_match=hash_ok,
+                             spark_rows=len(g), oracle_rows=len(e), err=None)
+        if not rows_ok:
             print(f"FAIL {name}: rows {len(g)} != {len(e)}")
             n_fail += 1
-        elif g != e:
+        elif not hash_ok:
             diffs = [(a, b) for a, b in zip(g, e) if a != b][:3]
             print(f"FAIL {name}: value mismatch, first diffs: {diffs}")
             n_fail += 1
@@ -121,6 +142,9 @@ def main():
             print(f"PASS {name} ({len(g)} rows)")
             n_pass += 1
     print(f"== {n_pass} pass, {n_fail} fail ==")
+    if json_out:
+        json.dump(dict(sorted(results.items())), open(json_out, "w"), indent=2)
+        print(f"wrote {json_out}")
     sys.exit(1 if n_fail else 0)
 
 
