@@ -208,6 +208,52 @@ object Sampling {
       )
   }
 
+  /** Deterministic importance resample WITHOUT replacement via the
+    * Gumbel-max trick: the k rows with the largest
+    * `logWeight + Gumbel(0,1)` keys are exactly a weight-proportional
+    * sample without replacement (Vieira 2014; the sampling half of
+    * DSIR, Xie et al. NeurIPS 2023 — feed
+    * [[graft.text.Text.dsirLogWeights]]'s `log_weight` in). Working in
+    * LOG space is the point: importance weights span hundreds of nats
+    * and `exp(log_weight)` would overflow doubles where this never
+    * does.
+    *
+    * The Gumbel draw is a pure function of (id, salt) — md5 52-bit
+    * uniform u in (0,1), g = −ln(−ln u) — so membership is identical
+    * on any cluster, any partitioning, any engine (same determinism
+    * contract as [[weightedSamplePerGroup]]; `idCol` must be a row
+    * key). Keys round6 to keep the selection boundary engine-exact;
+    * ties resolve by id. Rows with NULL `logWeight` (e.g. featureless
+    * docs) are excluded. Selection runs through the bounded-heap
+    * top-k aggregate — O(partitions·k) shuffle rows, no corpus sort.
+    * Output: `rank` (1 = strongest), the id column, `sample_key`.
+    */
+  def gumbelTopK(
+      df: DataFrame,
+      idCol: String,
+      logWeight: Column,
+      k: Int,
+      salt: String = "graft"
+  ): DataFrame = {
+    require(k > 0, s"k must be positive, got $k")
+    // u in (0,1) OPEN: (h52 + 1) / (2^52 + 1) — u = 1 would send
+    // g = -ln(-ln 1) to +Inf and pin the row into every sample.
+    val u = (conv(
+      substring(md5(concat(col(idCol).cast("string"), lit(s":$salt"))), 1, 13),
+      16,
+      10
+    ).cast("long") + 1) / lit(4503599627370497.0) // 2^52 + 1
+    val key = graft.functions.round6(logWeight - log(-log(u)))
+    df.where(logWeight.isNotNull)
+      .agg(graft.functions.topkAggregate.topKBy(key, col(idCol), k).as("_top"))
+      .select(posexplode(col("_top")).as(Seq("_pos", "_e")))
+      .select(
+        (col("_pos") + 1).as("rank"),
+        col("_e.id").as(idCol),
+        col("_e.metric").as("sample_key")
+      )
+  }
+
   /** Cap rows per group at `k`, keeping the top-k by `rankMetric`
     * (descending, id ascending tiebreak) — the per-domain document cap
     * of web-corpus curation (no single domain may dominate the

@@ -355,7 +355,52 @@ object PipelineQueries extends QueryPack {
       WHERE rn <= 10 ORDER BY doc_id""")
   )
 
+  /** DSIR importance resample end to end: hashed-bigram log-weights
+    * (target = English inside the pool; the identical SQL the
+    * `text_dsir_logweight` oracle is gated on) + Gumbel-max top-k —
+    * the k=100 docs whose `log_weight + Gumbel(0,1)` keys win, a
+    * weight-proportional sample without replacement whose membership
+    * is a pure function of (doc_id, salt). The oracle recomputes the
+    * md5 Gumbel draw digit by digit, so the COMPOSED pipeline
+    * (features → smoothed log-ratio → resample) is hash-verified, not
+    * just its stages.
+    */
+  private val dsirSampleQ = Q(
+    fn = (s, d) =>
+      graft.operators.Sampling
+        .gumbelTopK(
+          Text
+            .dsirLogWeights(
+              Tables.documents(s, d),
+              "text",
+              "doc_id",
+              isTarget = col("lang") === "en",
+              buckets = 256
+            )
+            .withColumnRenamed("id", "doc_id"),
+          "doc_id",
+          col("log_weight"),
+          k = 100,
+          salt = "dsir"
+        )
+        .orderBy("rank"),
+    oracle = Some(s"""${TextQueries.dsirWeightSql(256)},
+      g AS (SELECT doc_id, log_weight,
+          md5(CAST(doc_id AS VARCHAR) || ':dsir') AS sh
+        FROM w WHERE log_weight IS NOT NULL),
+      sk AS (SELECT doc_id, round(log_weight
+          - ln(-ln((${sqlHex52("sh")} + 1) / 4503599627370497.0)), 6)
+          AS sample_key
+        FROM g),
+      r AS (SELECT doc_id, sample_key,
+          ROW_NUMBER() OVER (ORDER BY sample_key DESC, doc_id) AS rank
+        FROM sk)
+      SELECT rank, doc_id, sample_key FROM r WHERE rank <= 100
+      ORDER BY rank""")
+  )
+
   val queries: Map[String, Q] = Map(
+    "pipeline_dsir_sample" -> dsirSampleQ,
     "pipeline_source_cap" -> sourceCapQ,
     "pipeline_corpus_funnel" -> funnelQ,
     "pipeline_shuffle_shards" -> shuffleShardsQ,

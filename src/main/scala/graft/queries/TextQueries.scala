@@ -246,6 +246,106 @@ object TextQueries extends QueryPack {
       GROUP BY doc_id ORDER BY doc_id""")
   )
 
+  /** Interpolated bigram LM score (CCNet filter one order up from
+    * `text_unigram_logprob`): ln(λ·P(w2|w1) + (1−λ)·P(w2)) averaged
+    * per doc. λ literals are pinned as DOUBLE on both sides — Scala's
+    * `1 - 0.7` is 0.30000000000000004 and the oracle must say exactly
+    * that, not DECIMAL 0.3. Per-token contributions cross engines
+    * through the DECIMAL(28,6) exact-sum policy.
+    */
+  private val bigramQ = Q(
+    fn = (s, d) =>
+      Text
+        .bigramLogProb(Tables.documents(s, d), "text", "doc_id", lambda = 0.7)
+        .withColumnRenamed("id", "doc_id")
+        .orderBy("doc_id"),
+    oracle = Some("""
+      WITH d AS (SELECT doc_id,
+          list_filter(string_split(trim(regexp_replace(regexp_replace(lower(text),
+            '[^a-z0-9 ]', ' ', 'g'), ' +', ' ', 'g')), ' '), x -> x <> '') AS arr
+        FROM documents),
+      bg AS (SELECT doc_id, arr[i] AS w1, arr[i+1] AS w2
+        FROM d, LATERAL unnest(range(1, len(arr))) AS g(i)),
+      tf AS (SELECT doc_id, w1, w2, count(*) AS tf FROM bg GROUP BY 1, 2, 3),
+      big AS (SELECT w1, w2, sum(tf) AS c2 FROM tf GROUP BY 1, 2),
+      ctx AS (SELECT w1, sum(c2) AS cc FROM big GROUP BY 1),
+      uni AS (SELECT t AS term FROM d, LATERAL unnest(arr) AS u(t)),
+      uc AS (SELECT term, count(*) AS c1 FROM uni GROUP BY 1),
+      tot AS (SELECT sum(c1) AS total FROM uc),
+      lp AS (SELECT tf.doc_id, tf.tf,
+          ln(CAST(0.7 AS DOUBLE)
+               * (CAST(big.c2 AS DOUBLE) / CAST(ctx.cc AS DOUBLE))
+             + CAST(0.30000000000000004 AS DOUBLE)
+               * (CAST(uc.c1 AS DOUBLE) / CAST(tot.total AS DOUBLE))) AS l
+        FROM tf JOIN big ON tf.w1 = big.w1 AND tf.w2 = big.w2
+        JOIN ctx ON tf.w1 = ctx.w1
+        JOIN uc ON tf.w2 = uc.term CROSS JOIN tot),
+      agg AS (SELECT doc_id, CAST(sum(tf) AS BIGINT) AS n_bigrams,
+          round(CAST(SUM(CAST(tf * l AS DECIMAL(28,6))) AS DOUBLE)
+            / sum(tf), 6) AS avg_logprob
+        FROM lp GROUP BY 1)
+      SELECT doc_id, coalesce(n_bigrams, 0) AS n_bigrams, avg_logprob
+      FROM documents LEFT JOIN agg USING (doc_id) ORDER BY doc_id""")
+  )
+
+  /** Shared DSIR oracle CTE chain ending in `w(doc_id, n_feats,
+    * log_weight, avg_log_ratio)` — target = `lang = 'en'`, hashed
+    * word-bigram features, add-1 smoothing over `buckets`. Reused by
+    * the weight key here and the Gumbel resample key in
+    * [[PipelineQueries]] so the composed sample is hash-verified on
+    * top of the identical weight SQL.
+    */
+  private[queries] def dsirWeightSql(buckets: Int): String = s"""
+      WITH d AS (SELECT doc_id, lang,
+          list_filter(string_split(trim(regexp_replace(regexp_replace(lower(text),
+            '[^a-z0-9 ]', ' ', 'g'), ' +', ' ', 'g')), ' '), x -> x <> '') AS arr
+        FROM documents),
+      bg AS (SELECT doc_id, lang, md5(arr[i] || ' ' || arr[i+1]) AS h
+        FROM d, LATERAL unnest(range(1, len(arr))) AS g(i)),
+      fb AS (SELECT doc_id, lang, ${sqlHex52("h")} % $buckets AS bucket
+        FROM bg),
+      doc_b AS (SELECT doc_id, bucket, count(*) AS n FROM fb GROUP BY 1, 2),
+      tgt AS (SELECT bucket, count(*) AS tc FROM fb WHERE lang = 'en'
+        GROUP BY 1),
+      rw AS (SELECT bucket, count(*) AS rc FROM fb GROUP BY 1),
+      tots AS (SELECT count(*) FILTER (WHERE lang = 'en') AS tt,
+          count(*) AS rt FROM fb),
+      lr AS (SELECT rw.bucket,
+          ln(CAST(coalesce(tgt.tc, 0) + 1 AS DOUBLE)
+             / CAST(tt + $buckets AS DOUBLE))
+          - ln(CAST(rw.rc + 1 AS DOUBLE)
+             / CAST(rt + $buckets AS DOUBLE)) AS lr
+        FROM rw LEFT JOIN tgt ON rw.bucket = tgt.bucket CROSS JOIN tots),
+      w0 AS (SELECT doc_id, CAST(sum(n) AS BIGINT) AS n_feats,
+          round(CAST(SUM(CAST(n * lr AS DECIMAL(28,6))) AS DOUBLE), 6)
+            AS log_weight,
+          round(CAST(SUM(CAST(n * lr AS DECIMAL(28,6))) AS DOUBLE)
+            / sum(n), 6) AS avg_log_ratio
+        FROM doc_b JOIN lr USING (bucket) GROUP BY 1),
+      w AS (SELECT doc_id, coalesce(n_feats, 0) AS n_feats,
+          log_weight, avg_log_ratio
+        FROM documents LEFT JOIN w0 USING (doc_id))"""
+
+  /** DSIR importance log-weights (Xie et al. 2023) — target =
+    * English docs inside the same pool, 256 hashed-bigram buckets.
+    */
+  private val dsirWeightQ = Q(
+    fn = (s, d) =>
+      Text
+        .dsirLogWeights(
+          Tables.documents(s, d),
+          "text",
+          "doc_id",
+          isTarget = col("lang") === "en",
+          buckets = 256
+        )
+        .withColumnRenamed("id", "doc_id")
+        .orderBy("doc_id"),
+    oracle = Some(s"""${dsirWeightSql(256)}
+      SELECT doc_id, n_feats, log_weight, avg_log_ratio FROM w
+      ORDER BY doc_id""")
+  )
+
   /** Character-distribution entropy per doc via the codegen'd
     * single-pass kernel (`mediaExpressions.CharEntropy`) — the
     * encoding-noise / gibberish signal (natural prose sits ~3-4.2
@@ -576,6 +676,8 @@ object TextQueries extends QueryPack {
     "text_chunk" -> chunkQ,
     "text_pmi_bigrams" -> pmiQ,
     "text_unigram_logprob" -> unigramQ,
+    "text_bigram_logprob" -> bigramQ,
+    "text_dsir_logweight" -> dsirWeightQ,
     "text_char_entropy" -> charEntropyQ,
     "text_bpe_merges" -> bpeMergesQ,
     "text_bpe_tokens" -> bpeTokensQ,

@@ -64,4 +64,23 @@ package object queries {
     */
   def sqlRound6(expr: String): String =
     s"round($expr, 6)"
+
+  /** SQL decode of the first 13 hex chars of an md5 digest — the
+    * 52-bit uniform integer behind every deterministic-sampling
+    * operator. DuckDB has no hex→int builtin, so each digit goes
+    * through a CASE chain; mirrors Spark's
+    * `conv(substring(md5(..), 1, 13), 16, 10)`. `h` is substituted 13
+    * times — alias the md5 in a prior CTE, don't inline it.
+    */
+  def sqlHex52(h: String): String = {
+    def digit(e: String): String =
+      "(CASE " + "0123456789abcdef"
+        .map(c => s"WHEN $e = '$c' THEN ${Integer.parseInt(c.toString, 16)}")
+        .mkString(" ") + " END)"
+    (0 until 13)
+      .map(i =>
+        s"CAST(${digit(s"substr($h, ${i + 1}, 1)")} AS BIGINT) * ${1L << (4 * (12 - i))}"
+      )
+      .mkString("(", " + ", ")")
+  }
 }

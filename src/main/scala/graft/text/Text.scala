@@ -500,6 +500,206 @@ object Text {
       )
   }
 
+  /** Normalized non-empty token array plus the exploded in-order
+    * bigram pair stream `(id, w1, w2)` — the shared front half of
+    * [[bigramLogProb]] and [[dsirLogWeights]]. Pairs are built by
+    * zipping the token array against itself shifted by one (`slice` +
+    * `zip_with`, both codegen'd builtins) — zero windows, zero
+    * shuffles, the pair stream rides the document scan.
+    */
+  private def bigramPairs(
+      df: org.apache.spark.sql.DataFrame,
+      textCol: String,
+      idCol: String,
+      extraCols: Seq[(String, Column)] = Nil
+  ): org.apache.spark.sql.DataFrame = {
+    val arr = filter(split(normalize(col(textCol)), " "), t => t =!= "")
+    df.select(
+        Seq(col(idCol).as("id"), arr.as("_arr")) ++
+          extraCols.map { case (n, c) => c.as(n) }: _*
+      )
+      .where(size(col("_arr")) >= 2)
+      .select(
+        Seq(
+          col("id"),
+          explode(
+            zip_with(
+              slice(col("_arr"), lit(1), size(col("_arr")) - 1),
+              slice(col("_arr"), lit(2), size(col("_arr")) - 1),
+              (a, b) => struct(a.as("w1"), b.as("w2"))
+            )
+          ).as("_p")
+        ) ++ extraCols.map { case (n, _) => col(n) }: _*
+      )
+      .select(
+        Seq(col("id"), col("_p.w1").as("w1"), col("_p.w2").as("w2")) ++
+          extraCols.map { case (n, _) => col(n) }: _*
+      )
+  }
+
+  /** Interpolated bigram language-model quality score — the CCNet
+    * perplexity filter (Wenzek et al., LREC 2020) one order up from
+    * [[unigramLogProb]]: every document scored by the mean log
+    * probability of its bigram transitions under the corpus's own
+    * Jelinek–Mercer-interpolated bigram model,
+    *
+    *   lp(w1,w2) = ln( λ·c(w1,w2)/c(w1,·) + (1−λ)·c(w2)/total ).
+    *
+    * The bigram term captures local fluency (word salad built from
+    * common words scores near the unigram filter's ceiling but has
+    * never-seen transitions and collapses here); the unigram backoff
+    * keeps every in-corpus pair finite, so no discounting estimate is
+    * needed. Emits per doc: `n_bigrams`, `avg_logprob` (round6;
+    * NULL for documents with <2 tokens — 0/1-token rows keep their
+    * row with `n_bigrams = 0` instead of vanishing).
+    *
+    * Scale shape, one order up from [[unigramLogProb]]: the pair
+    * stream is a scan-side array zip (no window), per-doc pair counts
+    * are map-side combined, the corpus bigram/context tables are
+    * joined on the DISTINCT (doc, w1, w2) triples — never the raw
+    * token stream — and the grand total rides a 1-row broadcast. The
+    * bigram table is the only state that grows with corpus diversity,
+    * and it shuffles once at vocabulary-squared-bounded (observed ≪)
+    * cardinality. Per-token contributions cross engines through a
+    * DECIMAL(28,6) exact sum, so the score is partitioning-invariant.
+    */
+  def bigramLogProb(
+      df: org.apache.spark.sql.DataFrame,
+      textCol: String,
+      idCol: String,
+      lambda: Double = 0.7
+  ): org.apache.spark.sql.DataFrame = {
+    import org.apache.spark.sql.types.DecimalType
+    require(lambda > 0 && lambda < 1, s"lambda must be in (0,1), got $lambda")
+    val pairs = bigramPairs(df, textCol, idCol)
+    val tf = pairs.groupBy("id", "w1", "w2").agg(count(lit(1)).as("tf"))
+    val big = tf.groupBy("w1", "w2").agg(sum(col("tf")).as("c2"))
+    val ctx = big.groupBy("w1").agg(sum(col("c2")).as("cc"))
+    val arr = filter(split(normalize(col(textCol)), " "), t => t =!= "")
+    val uni = df
+      .select(explode(arr).as("w2"))
+      .groupBy("w2")
+      .agg(count(lit(1)).as("c1"))
+    val total = uni.agg(sum(col("c1")).as("_total"))
+    val lp = tf
+      .join(big, Seq("w1", "w2"))
+      .join(ctx, "w1")
+      .join(uni, "w2")
+      .crossJoin(broadcast(total))
+      .withColumn(
+        "_l",
+        log(
+          lit(lambda) * (col("c2").cast("double") / col("cc").cast("double")) +
+            lit(1 - lambda) *
+            (col("c1").cast("double") / col("_total").cast("double"))
+        )
+      )
+    val agg = lp
+      .groupBy("id")
+      .agg(
+        sum(col("tf")).as("n_bigrams"),
+        graft.functions.round6(
+          sum((col("tf") * col("_l")).cast(DecimalType(28, 6)))
+            .cast("double") / sum(col("tf"))
+        ).as("avg_logprob")
+      )
+    df.select(col(idCol).as("id"))
+      .join(agg, Seq("id"), "left")
+      .select(
+        col("id"),
+        coalesce(col("n_bigrams"), lit(0L)).as("n_bigrams"),
+        col("avg_logprob")
+      )
+  }
+
+  /** DSIR importance log-weights — Data Selection via Importance
+    * Resampling (Xie et al., NeurIPS 2023): score every document in a
+    * raw pool by how much more likely its hashed-bigram bag is under
+    * the TARGET distribution than under the pool's own,
+    *
+    *   log_weight = Σ_b n_b(doc) · ( ln p_tgt(b) − ln p_raw(b) ),
+    *
+    * with features = word bigrams hashed into `buckets` buckets (md5,
+    * engine-portable) and both distributions add-1 smoothed over the
+    * bucket space. `isTarget` marks the in-domain rows (a quality
+    * flag, a trusted source, a language) INSIDE the same pool — the
+    * paper's setup, no second dataset needed. Feed `log_weight` to
+    * [[graft.operators.Sampling.gumbelTopK]] for the paper's
+    * importance resample, or threshold `avg_log_ratio` (the
+    * length-normalized variant) as a domain filter.
+    *
+    * Emits per doc: `n_feats`, `log_weight` (raw sum — the true log
+    * importance ratio, length-biased by construction), and
+    * `avg_log_ratio` (per-feature mean; length-free). Documents with
+    * <2 tokens keep their row with `n_feats = 0` and NULL scores.
+    *
+    * Scale shape: one scan-side pair zip, per-(doc,bucket) counts
+    * map-side combined, and BOTH model tables are `buckets`-bounded —
+    * at the paper's 10⁴ buckets the target/raw tables and the
+    * log-ratio join are broadcast-sized regardless of corpus size, so
+    * scoring 100 TB costs one explode pass plus one per-doc
+    * aggregation. Contributions cross engines through a DECIMAL(28,6)
+    * exact sum (partitioning-invariant, oracle-exact).
+    */
+  def dsirLogWeights(
+      df: org.apache.spark.sql.DataFrame,
+      textCol: String,
+      idCol: String,
+      isTarget: Column,
+      buckets: Int = 256
+  ): org.apache.spark.sql.DataFrame = {
+    import org.apache.spark.sql.types.DecimalType
+    require(buckets > 1, s"buckets must be > 1, got $buckets")
+    val fb = bigramPairs(df, textCol, idCol, Seq("_tgt" -> isTarget))
+      .select(
+        col("id"),
+        col("_tgt"),
+        pmod(
+          conv(substring(md5(concat(col("w1"), lit(" "), col("w2"))), 1, 13),
+            16, 10).cast("long"),
+          lit(buckets.toLong)
+        ).as("bucket")
+      )
+    val docB = fb.groupBy("id", "bucket").agg(count(lit(1)).as("n"))
+    val tgt = fb.where(col("_tgt")).groupBy("bucket").agg(count(lit(1)).as("tc"))
+    val raw = fb.groupBy("bucket").agg(count(lit(1)).as("rc"))
+    val tots = fb.agg(
+      sum(when(col("_tgt"), 1L).otherwise(0L)).as("tt"),
+      count(lit(1)).as("rt")
+    )
+    val lr = raw
+      .join(tgt, Seq("bucket"), "left")
+      .crossJoin(broadcast(tots))
+      .select(
+        col("bucket"),
+        (log((coalesce(col("tc"), lit(0L)) + 1L).cast("double") /
+          (col("tt") + buckets).cast("double")) -
+          log((col("rc") + 1L).cast("double") /
+            (col("rt") + buckets).cast("double"))).as("_lr")
+      )
+    val agg = docB
+      .join(broadcast(lr), "bucket")
+      .groupBy("id")
+      .agg(
+        sum(col("n")).as("n_feats"),
+        graft.functions.round6(
+          sum((col("n") * col("_lr")).cast(DecimalType(28, 6))).cast("double")
+        ).as("log_weight"),
+        graft.functions.round6(
+          sum((col("n") * col("_lr")).cast(DecimalType(28, 6)))
+            .cast("double") / sum(col("n"))
+        ).as("avg_log_ratio")
+      )
+    df.select(col(idCol).as("id"))
+      .join(agg, Seq("id"), "left")
+      .select(
+        col("id"),
+        coalesce(col("n_feats"), lit(0L)).as("n_feats"),
+        col("log_weight"),
+        col("avg_log_ratio")
+      )
+  }
+
   /** Split documents into overlapping token-window chunks — the RAG
     * ingestion primitive (chunk size `window` tokens, consecutive
     * chunks sharing `overlap` tokens): `(id, chunk_no, start_token,

@@ -205,4 +205,36 @@ class SamplingSpec extends SparkSpec {
     // group a: 30.0 ties broken by id asc -> ids 2, 4; group b: id 5
     assert(kept.toSeq == Seq(2L, 4L, 5L))
   }
+
+  test("gumbelTopK: weight dominance, NULL exclusion, partitioning invariance") {
+    // Gumbel(0,1) noise from a 52-bit uniform spans < 40 nats, so a
+    // 2000-nat weight gap makes selection certain: the 20 heavy ids
+    // must be exactly the sample.
+    val rows: Seq[(Long, java.lang.Double)] =
+      (1 to 20).map(i => (i.toLong, java.lang.Double.valueOf(1000.0))) ++
+        (21 to 100).map(i => (i.toLong, java.lang.Double.valueOf(-1000.0))) ++
+        Seq((101L, null: java.lang.Double))
+    val df = rows.toDF("id", "lw")
+    val got = Sampling
+      .gumbelTopK(df, "id", col("lw").cast("double"), k = 20, salt = "s1")
+      .orderBy("rank")
+      .collect()
+    assert(got.length == 20)
+    assert(got.map(_.getAs[Long]("id")).toSet == (1 to 20).map(_.toLong).toSet)
+    assert(got.map(_.getAs[Int]("rank")).toSeq == (1 to 20).toSeq)
+    // deterministic: same rows/keys on any partitioning
+    val re = Sampling
+      .gumbelTopK(df.repartition(13), "id", col("lw").cast("double"), 20, "s1")
+      .orderBy("rank")
+      .collect()
+    assert(re.map(r => (r.getInt(0), r.getLong(1), r.getDouble(2))).toSeq ==
+      got.map(r => (r.getInt(0), r.getLong(1), r.getDouble(2))).toSeq)
+    // salt changes the draw: equal weights -> different membership
+    val flat = (1 to 200).map(i => (i.toLong, 0.0)).toDF("id", "lw")
+    val s1 = Sampling.gumbelTopK(flat, "id", col("lw"), 10, "a")
+      .select("id").as[Long].collect().toSet
+    val s2 = Sampling.gumbelTopK(flat, "id", col("lw"), 10, "b")
+      .select("id").as[Long].collect().toSet
+    assert(s1 != s2, "independent salts must draw different samples")
+  }
 }

@@ -342,4 +342,62 @@ class TextSpec extends SparkSpec {
     val sparse = Seq((1L, "ab cd ef")).toDF("id", "text")
     assert(Text.bpeTrain(sparse, "text", numMerges = 5, minPairCount = 2L).count() == 0)
   }
+
+  test("bigram log-prob: interpolated model computed by hand; sub-2-token docs keep a NULL row") {
+    // Corpus: doc1 "a b a b", doc2 "a b", doc3 "c", doc4 "b c".
+    // Bigram counts: (a,b)=3, (b,a)=1, (b,c)=1; contexts a·=3, b·=2.
+    // Unigrams: a=3, b=4, c=2, total=9.
+    val docs = Seq((1L, "a b a b"), (2L, "A b!"), (3L, "c"), (4L, "b c"))
+      .toDF("doc_id", "text")
+    val out = Text
+      .bigramLogProb(docs, "text", "doc_id", lambda = 0.7)
+      .orderBy("id")
+      .collect()
+    assert(out.map(_.getAs[Long]("n_bigrams")).toSeq === Seq(3L, 1L, 0L, 1L))
+    assert(out(2).isNullAt(2), "1-token doc must emit NULL score, not vanish")
+    val lpAB = math.log(0.7 * 3.0 / 3.0 + 0.3 * 4.0 / 9.0)
+    val lpBA = math.log(0.7 * 1.0 / 2.0 + 0.3 * 3.0 / 9.0)
+    val lpBC = math.log(0.7 * 1.0 / 2.0 + 0.3 * 2.0 / 9.0)
+    val s = out.map(r => if (r.isNullAt(2)) Double.NaN else r.getDouble(2))
+    assert(math.abs(s(0) - (2 * lpAB + lpBA) / 3.0) < 2e-6)
+    assert(math.abs(s(1) - lpAB) < 2e-6)
+    assert(math.abs(s(3) - lpBC) < 2e-6)
+    // the fluency property: a doc of common words in a NEVER-seen
+    // transition order scores below one using the corpus's transitions
+    assert(s(3) < s(1), "rarer transition must score below the common one")
+  }
+
+  test("DSIR log-weights: target-like docs outweigh off-target ones; featureless docs keep NULL rows") {
+    // Target docs share "good stuff" bigrams, off-target share "bad
+    // junk"; a mixed doc sits between. Weights are relative to the
+    // pool, so target-distinctive features must push weight up.
+    val docs = (
+      (1 to 10).map(i => (i.toLong, "good stuff here really good stuff", true)) ++
+        (11 to 20).map(i => (i.toLong, "bad junk there really bad junk", false)) ++
+        Seq((21L, "good stuff really bad junk", false), (22L, "solo", false))
+    ).toDF("doc_id", "text", "is_tgt")
+    val out = Text
+      .dsirLogWeights(docs, "text", "doc_id", isTarget = col("is_tgt"), buckets = 4096)
+      .collect()
+      .map(r => r.getAs[Long]("id") ->
+        (r.getAs[Long]("n_feats"), if (r.isNullAt(2)) Double.NaN else r.getDouble(2)))
+      .toMap
+    assert(out(22L)._1 == 0L && out(22L)._2.isNaN,
+      "1-token doc: n_feats 0, NULL weight")
+    val tgtW = (1 to 10).map(i => out(i.toLong)._2)
+    val offW = (11 to 20).map(i => out(i.toLong)._2)
+    assert(tgtW.min > offW.max,
+      s"every target doc must outweigh every off-target doc: $tgtW vs $offW")
+    assert(out(21L)._2 > offW.max && out(21L)._2 < tgtW.min,
+      "mixed doc sits strictly between the pure populations")
+    // partitioning invariance: DECIMAL contribution sums make the
+    // score a pure function of the data
+    val re = Text
+      .dsirLogWeights(docs.repartition(7), "text", "doc_id", col("is_tgt"), 4096)
+      .collect()
+      .map(r => r.getAs[Long]("id") -> r.get(2))
+      .toMap
+    assert((1 to 22).forall(i => re(i.toLong) == out(i.toLong)._2 ||
+      (re(i.toLong) == null && out(i.toLong)._2.isNaN)))
+  }
 }
