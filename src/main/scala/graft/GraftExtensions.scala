@@ -112,6 +112,14 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     )
     ext.injectFunction(
       fn(
+        "wav_pcm16_stats",
+        "wav_pcm16_stats(binary) - [n_samples, peak, rms, clip_frac, silence_frac] over a canonical PCM16 WAV, NULL when non-canonical",
+        1,
+        args => graft.functions.mediaExpressions.WavPcm16Stats(args.head)
+      )
+    )
+    ext.injectFunction(
+      fn(
         "topk_by",
         "topk_by(metric, id, k) - aggregate: k largest (metric, id) per group, bounded-heap partials",
         3,

@@ -158,6 +158,64 @@ object MediaKernels {
     }
     math.log(n.toDouble) - s1 / n
   }
+
+  /** Sample statistics over a canonical PCM16 WAV payload — the
+    * content-level audio-curation signal one layer below
+    * [[graft.multimodal.Multimodal.wavMeta]]'s header metadata:
+    * `[n_samples, peak, rms, clip_frac, silence_frac]` with
+    * amplitudes normalized to full scale (/32768), clipping = samples
+    * pinned at the int16 rails (32767 / −32768), silence = |s| ≤ 327
+    * (~1% FS, an integer threshold so the count is engine-exact).
+    * Channels are interleaved int16 little-endian per the header this
+    * kernel requires; stats run over the interleaved stream.
+    *
+    * Contract mirrors the other header kernels: non-canonical,
+    * non-PCM16, or empty-data payloads → null (flagged, never
+    * guessed); a data chunk shorter than its declared length is
+    * clamped to the bytes present; a trailing odd byte is ignored.
+    * One tight loop per row, no payload copy — RMS/clipping gates for
+    * a billion audio files ride the scan.
+    */
+  def wavPcm16Stats(bytes: Array[Byte]): ArrayData = {
+    if (bytes == null || bytes.length < 44) return null
+    def u8(i: Int): Int = bytes(i) & 0xff
+    def le16(i: Int): Int = u8(i) | (u8(i + 1) << 8)
+    def le32(i: Int): Long =
+      u8(i).toLong | (u8(i + 1).toLong << 8) |
+        (u8(i + 2).toLong << 16) | (u8(i + 3).toLong << 24)
+    def tag(i: Int, s: String): Boolean =
+      (0 until s.length).forall(k => u8(i + k) == s.charAt(k).toInt)
+    if (!tag(0, "RIFF") || !tag(8, "WAVEfmt ") || !tag(36, "data"))
+      return null
+    if (le32(16) != 16L || le16(20) != 1 || le16(34) != 16) return null
+    val dataBytes = le32(40)
+    val avail = math.min(dataBytes, (bytes.length - 44).toLong)
+    val n = (avail / 2).toInt
+    if (n == 0) return null
+    var i = 0
+    var sumSq = 0L
+    var maxAbs = 0
+    var clip = 0
+    var silent = 0
+    while (i < n) {
+      val s = (bytes(45 + 2 * i).toInt << 8) | u8(44 + 2 * i)
+      val a = if (s < 0) -s else s
+      if (a > maxAbs) maxAbs = a
+      sumSq += s.toLong * s
+      if (s == 32767 || s == -32768) clip += 1
+      if (a <= 327) silent += 1
+      i += 1
+    }
+    new GenericArrayData(
+      Array[Any](
+        n.toDouble,
+        maxAbs / 32768.0,
+        math.sqrt(sumSq.toDouble / n) / 32768.0,
+        clip.toDouble / n,
+        silent.toDouble / n
+      )
+    )
+  }
 }
 
 /** Catalyst expressions over [[MediaKernels]] — codegen'd, null-safe,
@@ -228,6 +286,41 @@ object mediaExpressions {
       copy(child = newChild)
   }
 
+  /** `wav_pcm16_stats(binary)` → `[n_samples, peak, rms, clip_frac,
+    * silence_frac]` (doubles, amplitudes normalized to full scale) or
+    * NULL for non-canonical / non-PCM16 / empty-data payloads.
+    */
+  case class WavPcm16Stats(child: Expression) extends UnaryExpression {
+
+    override def prettyName: String = "wav_pcm16_stats"
+    override def dataType: DataType =
+      ArrayType(DoubleType, containsNull = false)
+    override def nullable: Boolean = true
+
+    override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+      case BinaryType => TypeCheckResult.TypeCheckSuccess
+      case other =>
+        TypeCheckResult.TypeCheckFailure(
+          s"$prettyName requires binary, got ${other.catalogString}"
+        )
+    }
+
+    override protected def nullSafeEval(input: Any): Any =
+      MediaKernels.wavPcm16Stats(input.asInstanceOf[Array[Byte]])
+
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+      nullSafeCodeGen(
+        ctx,
+        ev,
+        c => s"""
+          ${ev.value} = $kernels.wavPcm16Stats($c);
+          ${ev.isNull} = ${ev.value} == null;"""
+      )
+
+    override protected def withNewChildInternal(newChild: Expression): WavPcm16Stats =
+      copy(child = newChild)
+  }
+
   /** `bpe_encode(string)` → array of subword tokens under a FIXED
     * learned merge table (rank = position in `merges`). The table is
     * driver-bounded (one row per learned merge) and ships to executors
@@ -274,6 +367,9 @@ object mediaExpressions {
 
   def charEntropy(c: Column): Column =
     GraftColumnBridge.column(CharEntropy(GraftColumnBridge.expression(c)))
+
+  def wavPcm16Stats(c: Column): Column =
+    GraftColumnBridge.column(WavPcm16Stats(GraftColumnBridge.expression(c)))
 
   def bpeEncode(c: Column, merges: Seq[(String, String)]): Column =
     GraftColumnBridge.column(BpeEncode(GraftColumnBridge.expression(c), merges))

@@ -483,4 +483,33 @@ object Multimodal {
       )
     )
   }
+
+  /** Content-level PCM16 sample statistics — the audio-quality filter
+    * one layer below [[wavMeta]]'s header fields: `wav_stats` struct
+    * `(n_samples, peak, rms, clip_frac, silence_frac)` via the
+    * codegen'd [[graft.functions.mediaExpressions.WavPcm16Stats]]
+    * kernel (amplitudes normalized to full scale; clipping = samples
+    * at the int16 rails; silence = |s| ≤ ~1% FS). Non-canonical,
+    * non-PCM16, or empty-data payloads keep NULL stats — flagged,
+    * never guessed, same contract as [[wavMeta]].
+    *
+    * Scale shape: one tight per-row loop inside whole-stage codegen,
+    * zero shuffle, no payload copy — gate a billion audio files on
+    * clipping/silence before ever invoking a real decoder.
+    */
+  def wavPcmStats(df: DataFrame, binCol: String): DataFrame = {
+    val st = graft.functions.mediaExpressions.wavPcm16Stats(col(binCol))
+    df.withColumn("_st", st)
+      .withColumn(
+        "wav_stats",
+        struct(
+          element_at(col("_st"), 1).cast("long").as("n_samples"),
+          element_at(col("_st"), 2).as("peak"),
+          element_at(col("_st"), 3).as("rms"),
+          element_at(col("_st"), 4).as("clip_frac"),
+          element_at(col("_st"), 5).as("silence_frac")
+        )
+      )
+      .drop("_st")
+  }
 }

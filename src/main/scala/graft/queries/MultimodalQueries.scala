@@ -190,6 +190,94 @@ object MultimodalQueries extends QueryPack {
     )
   }
 
+  /** Content-level PCM16 sample statistics via the codegen'd
+    * `WavPcm16Stats` kernel: a known int16 waveform is BUILT in-plan —
+    * sample pattern `v_i = (event_id·7919 + i·104729) mod 2^16`,
+    * two's-complement signed — wrapped in a canonical mono-8kHz
+    * header, then parsed back. The oracle recomputes every sample
+    * from the generating formula and re-derives peak/RMS/clip/silence
+    * per event, so the kernel's byte-level sample decode is
+    * hash-verified sample by sample. A `event_id % 7 = 0` residue
+    * class ships raw text bytes: NULL stats — flagged, never guessed.
+    */
+  private val wavStatsQ = Q(
+    fn = (s, d) => {
+      val e = Tables
+        .events(s, d)
+        .select(
+          col("event_id"),
+          (lit(4L) + pmod(col("event_id"), lit(13L))).as("n"),
+          encode(col("props"), "UTF-8").as("raw")
+        )
+      val dataHex = array_join(
+        transform(
+          sequence(lit(0L), col("n") - 1),
+          i =>
+            leHex(
+              pmod(col("event_id") * 7919L + i * 104729L, lit(65536L)),
+              2
+            )
+        ),
+        ""
+      )
+      val header = concat(
+        lit("52494646"), // RIFF
+        leHex(col("n") * 2L + 36L, 4),
+        lit("57415645666D7420"), // WAVEfmt_
+        leHex(lit(16L), 4), // PCM fmt size
+        leHex(lit(1L), 2), // format = PCM
+        leHex(lit(1L), 2), // mono
+        leHex(lit(8000L), 4), // rate
+        leHex(lit(16000L), 4), // byte rate
+        leHex(lit(2L), 2), // block align
+        leHex(lit(16L), 2), // bits
+        lit("64617461"), // data
+        leHex(col("n") * 2L, 4)
+      )
+      val payload = when(pmod(col("event_id"), lit(7L)) === 0, col("raw"))
+        .otherwise(unhex(concat(header, dataHex)))
+      Multimodal
+        .wavPcmStats(e.withColumn("payload", payload), "payload")
+        .select(
+          col("event_id"),
+          col("wav_stats.n_samples").as("n_samples"),
+          graft.functions.round6(col("wav_stats.peak")).as("peak"),
+          graft.functions.round6(col("wav_stats.rms")).as("rms"),
+          graft.functions
+            .round6(col("wav_stats.clip_frac"))
+            .as("clip_frac"),
+          graft.functions
+            .round6(col("wav_stats.silence_frac"))
+            .as("silence_frac")
+        )
+        .orderBy("event_id")
+    },
+    oracle = Some("""
+      WITH e AS (SELECT event_id, 4 + event_id % 13 AS n FROM events),
+      sv AS (SELECT event_id,
+          CASE WHEN v >= 32768 THEN v - 65536 ELSE v END AS s
+        FROM (SELECT event_id, (event_id * 7919 + i * 104729) % 65536 AS v
+          FROM e, LATERAL unnest(range(0, n)) AS g(i))),
+      a AS (SELECT event_id,
+          CAST(count(*) AS BIGINT) AS n_samples,
+          round(max(abs(s)) / 32768.0, 6) AS peak,
+          round(sqrt(CAST(sum(s * s) AS DOUBLE) / count(*)) / 32768.0, 6)
+            AS rms,
+          round(count(*) FILTER (WHERE s IN (32767, -32768))
+            / CAST(count(*) AS DOUBLE), 6) AS clip_frac,
+          round(count(*) FILTER (WHERE abs(s) <= 327)
+            / CAST(count(*) AS DOUBLE), 6) AS silence_frac
+        FROM sv GROUP BY 1)
+      SELECT e.event_id,
+        CASE WHEN e.event_id % 7 <> 0 THEN a.n_samples END AS n_samples,
+        CASE WHEN e.event_id % 7 <> 0 THEN a.peak END AS peak,
+        CASE WHEN e.event_id % 7 <> 0 THEN a.rms END AS rms,
+        CASE WHEN e.event_id % 7 <> 0 THEN a.clip_frac END AS clip_frac,
+        CASE WHEN e.event_id % 7 <> 0 THEN a.silence_frac END
+          AS silence_frac
+      FROM e JOIN a USING (event_id) ORDER BY event_id""")
+  )
+
   /** PNG/GIF/BMP headers BUILT in-plan (dims derived from doc
     * fields), parsed back by the scan-side `imageMeta` — the oracle
     * states the expected dims directly, so a non-inverting parse
@@ -298,6 +386,7 @@ object MultimodalQueries extends QueryPack {
     "multimodal_binary_meta" -> binaryMetaQ,
     "multimodal_frame_sample" -> frameSampleQ,
     "multimodal_wav_meta" -> wavQ,
+    "multimodal_wav_pcm_stats" -> wavStatsQ,
     "multimodal_phash_pairs" -> phashQ
   )
 }

@@ -231,4 +231,55 @@ class MultimodalSpec extends SparkSpec {
       assert(got(id).isNullAt(2) && got(id).isNullAt(6))
     }
   }
+
+  test("wavPcmStats: hand-computed sample statistics; junk/short data flagged NULL") {
+    def le(x: Long, n: Int): Array[Byte] =
+      (0 until n).map(i => ((x >> (8 * i)) & 0xff).toByte).toArray
+    def wav(samples: Seq[Int], declaredBytes: Option[Int] = None): Array[Byte] = {
+      val data = samples.flatMap(s => le(s.toLong & 0xffffL, 2)).toArray
+      val db = declaredBytes.getOrElse(data.length)
+      "RIFF".getBytes("ASCII") ++ le(36L + db, 4) ++
+        "WAVEfmt ".getBytes("ASCII") ++ le(16, 4) ++ le(1, 2) ++ le(1, 2) ++
+        le(8000, 4) ++ le(16000, 4) ++ le(2, 2) ++ le(16, 2) ++
+        "data".getBytes("ASCII") ++ le(db.toLong, 4) ++ data
+    }
+    // samples: 0, 100, -32768, 32767, 328, -327
+    //   peak = 32768/32768 = 1.0
+    //   sumSq = 0 + 10000 + 2^30 + 32767^2 + 328^2 + 327^2
+    //   clip = {-32768, 32767} -> 2/6; silence (|s|<=327) = {0,100,-327} -> 3/6
+    val s6 = Seq(0, 100, -32768, 32767, 328, -327)
+    val sumSq = s6.map(s => s.toLong * s).sum
+    val rms = math.sqrt(sumSq.toDouble / 6) / 32768.0
+    val df = Seq(
+      (1L, wav(s6)),
+      (2L, wav(Seq(5, -5, 6))), // all-silent, odd trailing declared fine
+      (3L, "not a wav".getBytes("ASCII")),
+      // declared 100 data bytes but only 4 present -> clamp to 2 samples
+      (4L, wav(Seq(1000, -1000), declaredBytes = Some(100)).take(48)),
+      (5L, wav(Nil)) // canonical but empty data -> NULL stats
+    ).toDF("id", "payload")
+    val got = Multimodal
+      .wavPcmStats(df, "payload")
+      .select(
+        $"id", $"wav_stats.n_samples", $"wav_stats.peak", $"wav_stats.rms",
+        $"wav_stats.clip_frac", $"wav_stats.silence_frac"
+      )
+      .collect()
+      .map(r => r.getLong(0) -> r)
+      .toMap
+    val a = got(1L)
+    assert(a.getLong(1) == 6L)
+    assert(a.getDouble(2) == 1.0)
+    assert(math.abs(a.getDouble(3) - rms) < 1e-12)
+    assert(math.abs(a.getDouble(4) - 2.0 / 6) < 1e-12)
+    assert(math.abs(a.getDouble(5) - 3.0 / 6) < 1e-12)
+    val b = got(2L)
+    assert(b.getLong(1) == 3L && b.getDouble(5) == 1.0 && b.getDouble(4) == 0.0)
+    val clamped = got(4L)
+    assert(clamped.getLong(1) == 2L)
+    assert(clamped.getDouble(2) == 1000.0 / 32768.0)
+    Seq(3L, 5L).foreach { id =>
+      assert(got(id).isNullAt(1) && got(id).isNullAt(3), s"id=$id must be NULL")
+    }
+  }
 }
