@@ -63,7 +63,11 @@ object PlanAudit {
       // table) against the corpus CODES — same contract as brute
       // force, at m ints per corpus row instead of the float vector
       "ann_pq_topk",
-      "ann_pq_topk_exact"
+      "ann_pq_topk_exact",
+      // MMR's candidate stage IS bruteForceTopK (same small-query-set
+      // broadcast contract); the rerank itself adds only a query_id-
+      // keyed aggregation
+      "similarity_mmr_topk"
     )
 
   /** Names of nested-loop joins in `df` whose boundedness neither side

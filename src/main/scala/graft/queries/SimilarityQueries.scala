@@ -7,13 +7,15 @@ import org.apache.spark.sql.functions._
 /** Similarity-search queries (SURVEY §2.5) over `embeddings`. */
 object SimilarityQueries extends QueryPack {
 
-  private val cosSql = """
-    list_sum(list_transform(range(1, len(q.embedding) + 1),
-      i -> CAST(q.embedding[i] AS DOUBLE) * CAST(c.embedding[i] AS DOUBLE)))
-    / (sqrt(list_sum(list_transform(range(1, len(q.embedding) + 1),
-         i -> CAST(q.embedding[i] AS DOUBLE) * CAST(q.embedding[i] AS DOUBLE))))
-     * sqrt(list_sum(list_transform(range(1, len(c.embedding) + 1),
-         i -> CAST(c.embedding[i] AS DOUBLE) * CAST(c.embedding[i] AS DOUBLE)))))"""
+  private def cosOf(x: String, y: String): String = s"""
+    list_sum(list_transform(range(1, len($x.embedding) + 1),
+      i -> CAST($x.embedding[i] AS DOUBLE) * CAST($y.embedding[i] AS DOUBLE)))
+    / (sqrt(list_sum(list_transform(range(1, len($x.embedding) + 1),
+         i -> CAST($x.embedding[i] AS DOUBLE) * CAST($x.embedding[i] AS DOUBLE))))
+     * sqrt(list_sum(list_transform(range(1, len($y.embedding) + 1),
+         i -> CAST($y.embedding[i] AS DOUBLE) * CAST($y.embedding[i] AS DOUBLE)))))"""
+
+  private val cosSql = cosOf("q", "c")
 
   private val bruteForce = Q(
     fn = (s, d) => {
@@ -34,6 +36,89 @@ object SimilarityQueries extends QueryPack {
         FROM sims)
       SELECT query_id, neighbor_id, sim, rank FROM ranked
       WHERE rank <= 5 ORDER BY query_id, rank""")
+  )
+
+  /** The unrolled greedy: step 1 picks max round6(λ·rel); each later
+    * step scores every unselected candidate
+    * `round6(λ·rel − (1−λ)·max sim to the selected set)` and picks the
+    * per-query argmax (id tiebreak) — the exact choice sequence of
+    * `MmrKernel.select`, so the composed rerank is hash-verified step
+    * by step (same unrolled-CTE precedent as the k-core oracle).
+    * λ literals print through Scala doubles on both sides
+    * (1 − 0.7 = 0.30000000000000004 appears verbatim).
+    */
+  private def mmrSql(k: Int, m: Int, lam: Double): String = {
+    val l = lam.toString
+    val om = (1 - lam).toString
+    val steps = (2 to k)
+      .map { t =>
+        s"""scored$t AS (
+        SELECT c.query_id, c.neighbor_id, c.rel,
+          round($l * c.rel - $om * (
+            SELECT max(p.sim) FROM psim p
+            JOIN sel${t - 1} s
+              ON p.query_id = s.query_id AND p.idb = s.neighbor_id
+            WHERE p.query_id = c.query_id AND p.ida = c.neighbor_id), 6)
+            AS mmr_score
+        FROM cand c LEFT JOIN sel${t - 1} x
+          ON x.query_id = c.query_id AND x.neighbor_id = c.neighbor_id
+        WHERE x.neighbor_id IS NULL),
+      p$t AS (
+        SELECT query_id, neighbor_id, rel, mmr_score, $t AS rank FROM (
+          SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+            ORDER BY mmr_score DESC, neighbor_id) AS rn FROM scored$t)
+        WHERE rn = 1),
+      sel$t AS (SELECT query_id, neighbor_id FROM sel${t - 1}
+        UNION ALL SELECT query_id, neighbor_id FROM p$t)"""
+      }
+      .mkString(",\n")
+    val unions = (1 to k).map(t => s"SELECT * FROM p$t").mkString(" UNION ALL ")
+    s"""
+    WITH sims AS (
+      SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+        round(${cosOf("q", "c")}, 6) AS sim
+      FROM embeddings q JOIN embeddings c ON q.vec_id <> c.vec_id
+      WHERE q.vec_id < 5),
+    cand AS (
+      SELECT query_id, neighbor_id, sim AS rel FROM (
+        SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+          ORDER BY sim DESC, neighbor_id) AS rn FROM sims)
+      WHERE rn <= $m),
+    cv AS (
+      SELECT c.query_id, c.neighbor_id, e.embedding
+      FROM cand c JOIN embeddings e ON e.vec_id = c.neighbor_id),
+    psim AS (
+      SELECT a.query_id, a.neighbor_id AS ida, b.neighbor_id AS idb,
+        round(${cosOf("a", "b")}, 6) AS sim
+      FROM cv a JOIN cv b
+        ON a.query_id = b.query_id AND a.neighbor_id <> b.neighbor_id),
+    p1 AS (
+      SELECT query_id, neighbor_id, rel, round($l * rel, 6) AS mmr_score,
+        1 AS rank
+      FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+          ORDER BY round($l * rel, 6) DESC, neighbor_id) AS rn FROM cand)
+      WHERE rn = 1),
+    sel1 AS (SELECT query_id, neighbor_id FROM p1),
+    $steps
+    SELECT query_id, neighbor_id, rel, mmr_score, rank
+    FROM ($unions) ORDER BY query_id, rank"""
+  }
+
+  private val mmr = Q(
+    fn = (s, d) => {
+      val emb = Tables.embeddings(s, d)
+      Similarity
+        .mmrTopK(
+          emb.filter(col("vec_id") < 5),
+          emb,
+          "vec_id",
+          "embedding",
+          k = 5,
+          candidates = 20
+        )
+        .orderBy("query_id", "rank")
+    },
+    oracle = Some(mmrSql(5, 20, 0.7))
   )
 
   private val lsh = Q(
@@ -403,6 +488,7 @@ object SimilarityQueries extends QueryPack {
     "dedup_semantic_sweep" -> semanticSweepQ,
     "dedup_semantic_pairs" -> semanticPairsQ,
     "ann_bruteforce_topk" -> bruteForce,
+    "similarity_mmr_topk" -> mmr,
     "ann_quantized_topk" -> quantized,
     "ann_lsh_topk" -> lsh,
     "ann_ivf_topk" -> ivf,

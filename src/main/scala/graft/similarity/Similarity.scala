@@ -74,6 +74,88 @@ object Similarity {
       .select("query_id", "neighbor_id", "sim", "rank")
   }
 
+  /** Diversity-aware rerank of ANY candidate set via greedy maximal
+    * marginal relevance (Carbonell & Goldstein, SIGIR 1998): per
+    * query, select k of the candidates maximizing
+    * `λ·rel − (1−λ)·max_sim_to_already_selected` — near-duplicate
+    * candidates collapse to one representative, so the k results
+    * cover the neighborhood instead of repeating it (the eval-set /
+    * few-shot-pool construction op).
+    *
+    * `candidates` must carry `(query_id, neighbor_id, sim)` — the
+    * output shape of [[bruteForceTopK]], [[ivfTopK]], [[lshTopK]],
+    * [[ivfQueryIndex]] — so the rerank composes behind whichever
+    * candidate generator the scale calls for. Candidate embeddings
+    * are re-attached from `corpus` by id.
+    *
+    * Scale shape: candidate generation is the corpus-sized stage and
+    * stays whatever it was; the rerank adds ONE shuffle keyed on
+    * query_id with m rows per query of bounded state, then the
+    * greedy O(m·k·dim) argmax runs inside whole-stage codegen via the
+    * [[graft.functions.mmrExpressions.MmrSelect]] kernel (the
+    * iterative selection SQL can't express — same design as BPE
+    * encode). Selection is partitioning-independent: scores are
+    * round6'd and ties break on id, so `collect_list` order never
+    * shows. Output: query_id, neighbor_id, rel, mmr_score, rank.
+    */
+  def mmrRerank(
+      candidates: DataFrame,
+      corpus: DataFrame,
+      idCol: String,
+      vecCol: String,
+      k: Int,
+      lambda: Double = 0.7
+  ): DataFrame = {
+    val withVec = candidates
+      .select(col("query_id"), col("neighbor_id"), col("sim"))
+      .join(
+        corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("_nv")),
+        Seq("neighbor_id")
+      )
+    withVec
+      .groupBy("query_id")
+      .agg(
+        collect_list(struct(col("neighbor_id"), col("sim"), col("_nv")))
+          .as("_c")
+      )
+      .select(
+        col("query_id"),
+        explode(graft.functions.mmrExpressions.mmrSelect(col("_c"), k, lambda))
+          .as("_r")
+      )
+      .select(
+        col("query_id"),
+        col("_r.neighbor_id").as("neighbor_id"),
+        col("_r.rel").as("rel"),
+        col("_r.mmr_score").as("mmr_score"),
+        col("_r.rank").as("rank")
+      )
+  }
+
+  /** [[mmrRerank]] behind an exact brute-force candidate stage:
+    * top-`candidates` by cosine per query, then MMR-select k. The
+    * candidate pool should be a few × k — large enough that diversity
+    * has something to choose from, small enough that per-query state
+    * stays bounded.
+    */
+  def mmrTopK(
+      queries: DataFrame,
+      corpus: DataFrame,
+      idCol: String,
+      vecCol: String,
+      k: Int,
+      candidates: Int,
+      lambda: Double = 0.7
+  ): DataFrame =
+    mmrRerank(
+      bruteForceTopK(queries, corpus, idCol, vecCol, candidates),
+      corpus,
+      idCol,
+      vecCol,
+      k,
+      lambda
+    )
+
   /** Cross-corpus embedding decontamination: every (benchmark doc,
     * corpus doc) pair whose embedding cosine is >= `threshold` — the
     * semantic companion to the n-gram overlap check

@@ -319,4 +319,54 @@ class SimilaritySpec extends SparkSpec {
       .map(r => (r.getAs[Long]("id_bench"), r.getAs[Long]("id_corpus")))
     assert(pairs.toSeq == Seq((11L, 20L)))
   }
+
+  test("mmrTopK diversifies: a near-duplicate of the first pick is demoted below a distinct candidate") {
+    // query [1,0]; id1/id2 near-identical and most relevant, id3
+    // relevant but pointing away, id4 least relevant.
+    //   pure top-3 by cosine: 1, 2, 3
+    //   MMR λ=0.5: step1 -> 1; step2: id2's sim-to-1 ≈ 1 wipes its
+    //   relevance (score ≈ −0.005) while id3 keeps 0.5·(0.8 − 0.707)
+    //   > 0 -> 3; step3: id2 (−0.005) still beats id4 (0.6 − 0.707).
+    val corpus = Seq(
+      (1L, Array(0.99f, 0.141f)),
+      (2L, Array(0.99f, 0.1411f)),
+      (3L, Array(0.8f, -0.6f)),
+      (4L, Array(0.6f, 0.8f))
+    ).toDF("vec_id", "embedding")
+    val queries = Seq((100L, Array(1.0f, 0.0f))).toDF("vec_id", "embedding")
+    val got = Similarity
+      .mmrTopK(queries, corpus, "vec_id", "embedding", k = 3, candidates = 4, lambda = 0.5)
+      .orderBy("rank")
+      .collect()
+    assert(got.map(_.getAs[Long]("neighbor_id")).toSeq == Seq(1L, 3L, 2L))
+    assert(got.map(_.getAs[Int]("rank")).toSeq == Seq(1, 2, 3))
+    // rel carries the round6'd candidate-stage cosine
+    assert(got(0).getAs[Double]("rel") > 0.98)
+    assert(got(1).getAs[Double]("rel") == 0.8)
+    // step-2 score is relevance minus redundancy, strictly below raw rel/2
+    assert(got(1).getAs[Double]("mmr_score") < 0.5 * 0.8)
+    // partitioning invariance: collect_list order must not matter
+    val re = Similarity
+      .mmrRerank(
+        Similarity
+          .bruteForceTopK(queries, corpus.repartition(5), "vec_id", "embedding", 4)
+          .repartition(3),
+        corpus,
+        "vec_id",
+        "embedding",
+        k = 3,
+        lambda = 0.5
+      )
+      .orderBy("rank")
+      .collect()
+    assert(
+      re.map(r => (r.getLong(1), r.getDouble(2), r.getDouble(3), r.getInt(4))).toSeq ==
+        got.map(r => (r.getLong(1), r.getDouble(2), r.getDouble(3), r.getInt(4))).toSeq
+    )
+    // k beyond the candidate pool: emit all candidates, ranks dense
+    val all = Similarity
+      .mmrTopK(queries, corpus, "vec_id", "embedding", k = 10, candidates = 4, lambda = 0.5)
+      .collect()
+    assert(all.length == 4)
+  }
 }
