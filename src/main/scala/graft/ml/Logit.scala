@@ -1,0 +1,182 @@
+package graft.ml
+
+import java.math.{BigDecimal => JBigDecimal}
+import java.math.RoundingMode
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{DecimalType, DoubleType, IntegerType, LongType}
+import org.apache.spark.storage.StorageLevel
+
+/** Fitted logistic model: `weights(0)` is the intercept, `weights(j)`
+  * the coefficient of the j-1'th feature column passed to [[Logit.fit]].
+  */
+case class LogitModel(weights: Seq[Double], iters: Int, lr: Double, n: Long)
+
+/** Distributed logistic-regression quality classifier — the
+  * train-a-cheap-classifier-on-weak-labels corpus-curation pattern
+  * (CCNet, Wenzek et al. LREC 2020; LLaMA's Wikipedia-reference
+  * classifier): fit on a labeled seed set, score every document, keep
+  * what clears a threshold. Complements the generative scorers
+  * ([[graft.text.Text.bigramLogProb]] perplexity, DSIR importance
+  * weights) with a DISCRIMINATIVE one.
+  *
+  * Training is full-batch gradient ascent on the log-likelihood: per
+  * iteration ONE map-side-combined aggregation computes the gradient
+  * `g_j = Σ_i x_ij (y_i − σ(w·x_i))` — d+2 numbers cross the wire per
+  * partition regardless of corpus size — and the d+1-double weight
+  * update runs on the driver (the same bounded driver-state shape as
+  * BPE rounds and k-means). The feature frame is persisted across the
+  * `iters` scans; at 100 TB the caller projects features once
+  * (scan-side expressions) and the per-iteration cost is a cached
+  * d+1-column pass.
+  *
+  * Engine parity (the repo's round6 + DECIMAL policy): feature columns
+  * MUST arrive round6'd; per-row probabilities and gradient terms are
+  * round6'd and summed as DECIMAL(28,6) (exact, order-independent),
+  * and weights re-round to 6 dp after every update — so the fitted
+  * weights are bit-identical on any partitioning and reproducible in
+  * the DuckDB oracle as an unrolled per-iteration CTE chain.
+  */
+object Logit {
+
+  /** Spark's `round(v*1e6)/1e6` double semantics in the JVM (BigDecimal
+    * HALF_UP on the shortest-decimal value — matches DuckDB round(x,6)).
+    */
+  private def round6jvm(v: Double): Double =
+    JBigDecimal
+      .valueOf(v * 1e6)
+      .setScale(0, RoundingMode.HALF_UP)
+      .doubleValue() / 1e6
+
+  private def round6(c: Column): Column = graft.functions.round6(c)
+
+  /** Exact order-independent sum of a round6'd double expression. */
+  private def decSum6(c: Column): Column =
+    sum(c.cast(DecimalType(28, 6))).cast(DoubleType)
+
+  /** `w0 + w1*x1 + ... + wd*xd`, left-associated — the same IEEE
+    * evaluation order the SQL oracle's infix chain produces.
+    */
+  def margin(weights: Seq[Double], featureCols: Seq[String]): Column =
+    featureCols.zipWithIndex
+      .map { case (f, i) => lit(weights(i + 1)) * col(f) }
+      .foldLeft(lit(weights.head): Column)(_ + _)
+
+  /** round6'd `σ(w·x)` under the fitted weights. */
+  def score(weights: Seq[Double], featureCols: Seq[String]): Column =
+    round6(lit(1.0) / (lit(1.0) + exp(-margin(weights, featureCols))))
+
+  /** Fit by `iters` rounds of full-batch gradient ascent at rate `lr`
+    * from w = 0. `labelCol` must be 0/1 (any numeric type); feature
+    * columns must be round6'd doubles with no NULLs (filter upstream —
+    * a NULL row would silently drop from the gradient but not the
+    * count).
+    */
+  def fit(
+      df: DataFrame,
+      labelCol: String,
+      featureCols: Seq[String],
+      iters: Int = 3,
+      lr: Double = 1.0
+  ): LogitModel = {
+    require(featureCols.nonEmpty, "need at least one feature column")
+    require(iters > 0, s"iters must be positive, got $iters")
+    val feats = df
+      .select(
+        (col(labelCol).cast(DoubleType).as(labelCol) +: featureCols.map(col)): _*
+      )
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    try {
+      var w = Seq.fill(featureCols.length + 1)(0.0)
+      var n = 0L
+      var t = 0
+      while (t < iters) {
+        val p = round6(lit(1.0) / (lit(1.0) + exp(-margin(w, featureCols))))
+        val resid = col(labelCol) - p
+        val gradAggs = (lit(1.0) +: featureCols.map(col)).zipWithIndex.map {
+          case (x, j) => decSum6(round6(x * resid)).as(s"_g$j")
+        }
+        val row =
+          feats.agg(count(lit(1)).as("_n"), gradAggs: _*).head()
+        n = row.getAs[Long]("_n")
+        require(n > 0, "cannot fit on an empty frame")
+        w = w.zipWithIndex.map { case (wj, j) =>
+          round6jvm(wj + lr * row.getAs[Double](s"_g$j") / n)
+        }
+        t += 1
+      }
+      LogitModel(w, iters, lr, n)
+    } finally { feats.unpersist(); () }
+  }
+
+  /** Attach `scoreCol` (round6'd σ(w·x)) and `predCol`
+    * (1 when score ≥ 0.5) to `df` — pure scan-side expressions, the
+    * scoring pass is free on the first corpus read.
+    */
+  def scored(
+      df: DataFrame,
+      model: LogitModel,
+      featureCols: Seq[String],
+      scoreCol: String = "score",
+      predCol: String = "pred"
+  ): DataFrame = {
+    val s = score(model.weights, featureCols)
+    df.withColumn(scoreCol, s)
+      .withColumn(predCol, (col(scoreCol) >= 0.5).cast(IntegerType))
+  }
+
+  /** Precision/recall/F1 at each threshold over a scored frame — the
+    * keep-rate-vs-quality dial a curation pipeline reads before
+    * committing to a cut. ONE scan: thresholds explode scan-side
+    * (|thresholds| small), conditional counts map-side-combine, so the
+    * aggregate state is |thresholds| rows of 4 longs at any corpus
+    * size. Counts are exact longs; ratios round6'd; a ratio with a
+    * zero denominator is NULL, never NaN.
+    */
+  def prCurve(
+      df: DataFrame,
+      labelCol: String,
+      scoreCol: String,
+      thresholds: Seq[Double]
+  ): DataFrame = {
+    require(thresholds.nonEmpty, "need at least one threshold")
+    val counted = df
+      .select(
+        col(labelCol).cast(DoubleType).as("_y"),
+        col(scoreCol).cast(DoubleType).as("_s"),
+        explode(array(thresholds.map(lit): _*)).as("threshold")
+      )
+      .groupBy("threshold")
+      .agg(
+        sum(when(col("_s") >= col("threshold") && col("_y") === 1.0, 1L).otherwise(0L))
+          .cast(LongType)
+          .as("tp"),
+        sum(when(col("_s") >= col("threshold") && col("_y") =!= 1.0, 1L).otherwise(0L))
+          .cast(LongType)
+          .as("fp"),
+        sum(when(col("_s") < col("threshold") && col("_y") === 1.0, 1L).otherwise(0L))
+          .cast(LongType)
+          .as("fn"),
+        sum(when(col("_s") < col("threshold") && col("_y") =!= 1.0, 1L).otherwise(0L))
+          .cast(LongType)
+          .as("tn")
+      )
+    val p = col("tp").cast(DoubleType) / (col("tp") + col("fp"))
+    val r = col("tp").cast(DoubleType) / (col("tp") + col("fn"))
+    counted.select(
+      col("threshold"),
+      col("tp"),
+      col("fp"),
+      col("fn"),
+      col("tn"),
+      when(col("tp") + col("fp") > 0, round6(p)).as("prec"),
+      when(col("tp") + col("fn") > 0, round6(r)).as("rec"),
+      when(
+        (col("tp") + col("fp") > 0) && (col("tp") + col("fn") > 0) &&
+          (p + r > 0.0),
+        round6(lit(2.0) * p * r / (p + r))
+      ).as("f1")
+    )
+  }
+}

@@ -665,6 +665,136 @@ object TextQueries extends QueryPack {
       SELECT ngram, count, rank FROM r WHERE rank <= 20 ORDER BY rank""")
   )
 
+  // ---- discriminative quality classifier (graft.ml.Logit) ------------
+  // Weak-label demo of the CCNet-style curation classifier: label =
+  // "long document" (n_chars > 300, ~balanced on the synthetic corpus),
+  // features = stopword ratio / mean word length / capped token count.
+  // Token count predicts the label, so 3 gradient rounds measurably
+  // separate the classes — the fit, not just the scoring, is under test.
+  // All features bounded to [0,1] (mwl capped at /8 like qualityScore):
+  // full-batch GD at rate lr is stable only while lr·λmax(XᵀX/n) < 2,
+  // and unnormalized features (mwl ≈ 4.5) were measured to oscillate
+  // into all-ones saturation at any useful rate.
+  private val logitFeats = Seq("x1", "x2", "x3")
+  private val logitIters = 6
+  private val logitLr = 1.5
+
+  private def logitFrame(
+      s: org.apache.spark.sql.SparkSession,
+      d: String
+  ): org.apache.spark.sql.DataFrame =
+    Tables
+      .documents(s, d)
+      .select(
+        col("doc_id"),
+        when(col("n_chars") > 300, 1.0).otherwise(0.0).as("label"),
+        round6(Text.stopwordRatio(col("text"))).as("x1"),
+        round6(least(Text.meanWordLen(col("text")) / 8.0, lit(1.0))).as("x2"),
+        round6(least(Text.tokenCount(col("text")).cast("double") / 100.0, lit(1.0)))
+          .as("x3")
+      )
+
+  /** The fit unrolled per iteration: weights start at 0, each round is
+    * one CTE pair (per-row round6'd sigmoid, DECIMAL(28,6) gradient
+    * sums) plus a one-row weight-update CTE with the identical
+    * left-to-right arithmetic — so the oracle hash-verifies the
+    * TRAINED model, not just the scoring pass (same unrolled-iteration
+    * precedent as embed_kmeans and the MMR greedy).
+    */
+  private def logitChainSql(iters: Int, lr: Double): String = {
+    val l = lr.toString
+    def marginOf(w: String, f: String): String =
+      s"$w.b0 + $w.b1 * $f.x1 + $w.b2 * $f.x2 + $w.b3 * $f.x3"
+    def gradTerm(x: String): String =
+      s"CAST(SUM(CAST(round($x * (y - p), 6) AS DECIMAL(28,6))) AS DOUBLE)"
+    val steps = (1 to iters)
+      .map { t =>
+        s"""m$t AS (
+        SELECT f.*, round(1.0 / (1.0 + exp(-(${marginOf(s"w${t - 1}", "f")}))), 6) AS p
+        FROM f, w${t - 1}),
+      g$t AS (
+        SELECT CAST(count(*) AS DOUBLE) AS n,
+          ${gradTerm("1.0")} AS g0, ${gradTerm("x1")} AS g1,
+          ${gradTerm("x2")} AS g2, ${gradTerm("x3")} AS g3
+        FROM m$t),
+      w$t AS (
+        SELECT round(w.b0 + $l * g.g0 / g.n, 6) AS b0,
+          round(w.b1 + $l * g.g1 / g.n, 6) AS b1,
+          round(w.b2 + $l * g.g2 / g.n, 6) AS b2,
+          round(w.b3 + $l * g.g3 / g.n, 6) AS b3
+        FROM w${t - 1} w, g$t g)"""
+      }
+      .mkString(",\n")
+    s"""
+    WITH f AS (
+      SELECT doc_id,
+        CAST(CASE WHEN n_chars > 300 THEN 1.0 ELSE 0.0 END AS DOUBLE) AS y,
+        round(CAST(${swCountSql("en")} AS DOUBLE) / len(string_split(text, ' ')), 6) AS x1,
+        round(least(CAST(length(replace(text, ' ', '')) AS DOUBLE) / len(string_split(text, ' ')) / 8.0, 1.0), 6) AS x2,
+        round(least(CAST(len(string_split(text, ' ')) AS DOUBLE) / 100.0, 1.0), 6) AS x3
+      FROM documents),
+    w0 AS (SELECT 0.0 AS b0, 0.0 AS b1, 0.0 AS b2, 0.0 AS b3),
+    $steps,
+    scored AS (
+      SELECT f.doc_id, f.y,
+        round(1.0 / (1.0 + exp(-(${marginOf(s"w$iters", "f")}))), 6) AS score
+      FROM f, w$iters)"""
+  }
+
+  private val logitQ = Q(
+    fn = (s, d) => {
+      val f = logitFrame(s, d)
+      val m = graft.ml.Logit.fit(f, "label", logitFeats, logitIters, logitLr)
+      graft.ml.Logit
+        .scored(f, m, logitFeats)
+        .select("doc_id", "label", "score", "pred")
+        .orderBy("doc_id")
+    },
+    oracle = Some(s"""${logitChainSql(logitIters, logitLr)}
+      SELECT doc_id, y AS label, score,
+        CAST(CASE WHEN score >= 0.5 THEN 1 ELSE 0 END AS INT) AS pred
+      FROM scored ORDER BY doc_id""")
+  )
+
+  private val logitThresholds = Seq(0.4, 0.45, 0.5, 0.55, 0.6)
+
+  private val logitEvalQ = Q(
+    fn = (s, d) => {
+      val f = logitFrame(s, d)
+      val m = graft.ml.Logit.fit(f, "label", logitFeats, logitIters, logitLr)
+      graft.ml.Logit
+        .prCurve(
+          graft.ml.Logit.scored(f, m, logitFeats),
+          "label",
+          "score",
+          logitThresholds
+        )
+        .orderBy("threshold")
+    },
+    oracle = Some {
+      val p = "CAST(tp AS DOUBLE) / (tp + fp)"
+      val r = "CAST(tp AS DOUBLE) / (tp + fn)"
+      s"""${logitChainSql(logitIters, logitLr)},
+      th AS (SELECT CAST(threshold AS DOUBLE) AS threshold
+        FROM (VALUES ${logitThresholds
+          .map(t => s"(${t.toString})")
+          .mkString(", ")}) v(threshold)),
+      pr AS (
+        SELECT t.threshold,
+          CAST(SUM(CASE WHEN s.score >= t.threshold AND s.y = 1.0 THEN 1 ELSE 0 END) AS BIGINT) AS tp,
+          CAST(SUM(CASE WHEN s.score >= t.threshold AND s.y <> 1.0 THEN 1 ELSE 0 END) AS BIGINT) AS fp,
+          CAST(SUM(CASE WHEN s.score < t.threshold AND s.y = 1.0 THEN 1 ELSE 0 END) AS BIGINT) AS fn,
+          CAST(SUM(CASE WHEN s.score < t.threshold AND s.y <> 1.0 THEN 1 ELSE 0 END) AS BIGINT) AS tn
+        FROM scored s CROSS JOIN th t GROUP BY 1)
+      SELECT threshold, tp, fp, fn, tn,
+        CASE WHEN tp + fp > 0 THEN round($p, 6) END AS prec,
+        CASE WHEN tp + fn > 0 THEN round($r, 6) END AS rec,
+        CASE WHEN tp + fp > 0 AND tp + fn > 0 AND ($p + $r) > 0.0
+          THEN round(2.0 * ($p) * ($r) / (($p) + ($r)), 6) END AS f1
+      FROM pr ORDER BY threshold"""
+    }
+  )
+
   val queries: Map[String, Q] = Map(
     "text_top_ngrams" -> topNgramsQ,
     "text_gopher_filter" -> gopherQ,
@@ -685,6 +815,8 @@ object TextQueries extends QueryPack {
     "text_readability" -> readabilityQ,
     "text_length_ks" -> lengthKsQ,
     "text_quality" -> qualityQ,
+    "text_quality_logit" -> logitQ,
+    "text_quality_logit_eval" -> logitEvalQ,
     "text_langid" -> langidQ,
     "text_fingerprint" -> fingerprintQ,
     "text_ngram_jaccard" -> jaccardQ

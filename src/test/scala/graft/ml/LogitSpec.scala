@@ -1,0 +1,79 @@
+package graft.ml
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+class LogitSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("fit learns a separable boundary and scored ranks positives above negatives") {
+    // y = 1 clusters near x = 1, y = 0 near x = 0 — enough iterations
+    // must push every positive's score above every negative's.
+    val rows = (0 until 20).map { i =>
+      if (i % 2 == 0) (i.toLong, 1.0, 0.9 + 0.005 * (i % 5))
+      else (i.toLong, 0.0, 0.1 + 0.005 * (i % 5))
+    }
+    val df = rows.toDF("id", "y", "x")
+    val m = Logit.fit(df, "y", Seq("x"), iters = 30, lr = 5.0)
+    assert(m.n == 20)
+    assert(m.weights(1) > 0.0) // positive slope toward the y=1 cluster
+    val sc = Logit.scored(df, m, Seq("x")).collect()
+    val pos = sc.filter(_.getAs[Double]("y") == 1.0).map(_.getAs[Double]("score"))
+    val neg = sc.filter(_.getAs[Double]("y") == 0.0).map(_.getAs[Double]("score"))
+    assert(pos.min > neg.max)
+    assert(sc.filter(_.getAs[Double]("y") == 1.0).forall(_.getAs[Int]("pred") == 1))
+    assert(sc.filter(_.getAs[Double]("y") == 0.0).forall(_.getAs[Int]("pred") == 0))
+  }
+
+  test("fit is exactly partitioning-invariant (DECIMAL gradient sums + round6 weights)") {
+    val df = (0 until 200)
+      .map(i => (i.toLong, if (i % 3 == 0) 1.0 else 0.0, LogitSpecData.x1(i), LogitSpecData.x2(i)))
+      .toDF("id", "y", "x1", "x2")
+    val a = Logit.fit(df.repartition(1), "y", Seq("x1", "x2"), iters = 5, lr = 2.0)
+    val b = Logit.fit(df.repartition(13), "y", Seq("x1", "x2"), iters = 5, lr = 2.0)
+    assert(a.weights == b.weights)
+  }
+
+  test("prCurve counts are exact and ratios null out on empty denominators") {
+    val scoredDf = Seq(
+      (1.0, 0.9), (1.0, 0.7), (0.0, 0.6), (0.0, 0.2)
+    ).toDF("y", "score")
+    val got = Logit
+      .prCurve(scoredDf, "y", "score", Seq(0.5, 0.95))
+      .orderBy("threshold")
+      .collect()
+    // t=0.5: tp=2 fp=1 fn=0 tn=1 -> prec 2/3, rec 1, f1 0.8
+    assert(
+      (got(0).getAs[Long]("tp"), got(0).getAs[Long]("fp"),
+        got(0).getAs[Long]("fn"), got(0).getAs[Long]("tn")) == ((2L, 1L, 0L, 1L))
+    )
+    assert(got(0).getAs[Double]("prec") == 0.666667)
+    assert(got(0).getAs[Double]("rec") == 1.0)
+    assert(got(0).getAs[Double]("f1") == 0.8)
+    // t=0.95: nothing predicted positive -> precision NULL, recall 0, f1 NULL
+    assert((got(1).getAs[Long]("tp"), got(1).getAs[Long]("fp")) == ((0L, 0L)))
+    assert(got(1).isNullAt(got(1).fieldIndex("prec")))
+    assert(got(1).getAs[Double]("rec") == 0.0)
+    assert(got(1).isNullAt(got(1).fieldIndex("f1")))
+  }
+
+  test("fit requires features, iterations, and rows") {
+    val df = Seq((1.0, 0.5)).toDF("y", "x")
+    intercept[IllegalArgumentException](Logit.fit(df, "y", Seq.empty, 3, 1.0))
+    intercept[IllegalArgumentException](Logit.fit(df, "y", Seq("x"), 0, 1.0))
+    intercept[IllegalArgumentException](
+      Logit.fit(df.filter(lit(false)), "y", Seq("x"), 1, 1.0)
+    )
+  }
+}
+
+/** Deterministic pseudo-features (no RNG in specs — same policy as the
+  * workflow scripts): low-discrepancy fractional parts, round6'd as
+  * [[Logit.fit]] requires.
+  */
+object LogitSpecData {
+  private def frac(v: Double): Double =
+    math.rint((v - math.floor(v)) * 1e6) / 1e6
+  def x1(i: Int): Double = frac(i * 0.6180339887)
+  def x2(i: Int): Double = frac(i * 0.4142135623)
+}
