@@ -126,6 +126,92 @@ object Logit {
       .withColumn(predCol, (col(scoreCol) >= 0.5).cast(IntegerType))
   }
 
+  /** Exact ROC AUC of a scored frame via the tie-aware Mann-Whitney
+    * rank statistic — threshold-free ranking quality, the number a
+    * curation team compares classifiers by before picking any cut.
+    *
+    * Scale shape: NO global row sort. Scores are round6'd, so the
+    * distinct-score table is ≤ ~10⁶+1 rows at ANY corpus size: one
+    * map-side-combined groupBy(score) pass, then the rank window runs
+    * single-partition over that bounded table (the same
+    * window-AFTER-aggregation shape as the sweep-line concurrency
+    * operator). Tie handling is exact: a tie group's average rank
+    * `cum_before + (cnt+1)/2` enters doubled (`2·cum + cnt + 1`, an
+    * integer) and the positive-weighted rank sum accumulates in
+    * DECIMAL(38,0) — no FP in the statistic until the final division.
+    * Output: one row (n_pos, n_neg, auc); auc NULL when either class
+    * is absent.
+    */
+  def auc(df: DataFrame, labelCol: String, scoreCol: String): DataFrame = {
+    val dec = DecimalType(38, 0)
+    val perScore = df
+      .select(
+        col(scoreCol).cast(DoubleType).as("_s"),
+        col(labelCol).cast(DoubleType).as("_y")
+      )
+      .groupBy("_s")
+      .agg(
+        sum(col("_y")).cast(LongType).as("_pos"),
+        count(lit(1)).as("_cnt")
+      )
+    val w = org.apache.spark.sql.expressions.Window
+      .orderBy("_s")
+      .rowsBetween(Long.MinValue, 0)
+    val ranked = perScore.withColumn(
+      "_cumb",
+      sum(col("_cnt")).over(w) - col("_cnt")
+    )
+    val t = ranked.agg(
+      sum(col("_pos")).cast(LongType).as("n_pos"),
+      sum(col("_cnt") - col("_pos")).cast(LongType).as("n_neg"),
+      sum(
+        col("_pos").cast(dec) *
+          (lit(2) * col("_cumb") + col("_cnt") + lit(1)).cast(dec)
+      ).as("_sr2")
+    )
+    t.select(
+      col("n_pos"),
+      col("n_neg"),
+      when(
+        col("n_pos") > 0 && col("n_neg") > 0,
+        round6(
+          (col("_sr2") - col("n_pos").cast(dec) * (col("n_pos") + lit(1)))
+            .cast(DoubleType) /
+            (lit(2.0) * col("n_pos") * col("n_neg"))
+        )
+      ).as("auc")
+    )
+  }
+
+  /** Reliability table: scores bucketed into `bins` equal-width bins,
+    * each with its count, positive count, mean score and empirical
+    * positive rate — "is a 0.8 really an 80%?" read before trusting
+    * classifier scores as keep-probabilities. ONE map-side-combined
+    * aggregation with ≤ `bins` rows of state; a score of exactly 1.0
+    * folds into the top bin.
+    */
+  def calibration(
+      df: DataFrame,
+      labelCol: String,
+      scoreCol: String,
+      bins: Int = 10
+  ): DataFrame = {
+    require(bins > 0, s"bins must be positive, got $bins")
+    df.select(
+      least(floor(col(scoreCol).cast(DoubleType) * bins), lit(bins - 1))
+        .cast(IntegerType)
+        .as("bin"),
+      col(scoreCol).cast(DoubleType).as("_s"),
+      col(labelCol).cast(DoubleType).as("_y")
+    ).groupBy("bin")
+      .agg(
+        count(lit(1)).as("n"),
+        sum(col("_y")).cast(LongType).as("n_pos"),
+        round6(decSum6(col("_s")) / count(lit(1))).as("mean_score"),
+        round6(sum(col("_y")).cast(DoubleType) / count(lit(1))).as("pos_rate")
+      )
+  }
+
   /** Precision/recall/F1 at each threshold over a scored frame — the
     * keep-rate-vs-quality dial a curation pipeline reads before
     * committing to a cut. ONE scan: thresholds explode scan-side

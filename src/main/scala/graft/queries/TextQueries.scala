@@ -795,6 +795,55 @@ object TextQueries extends QueryPack {
     }
   )
 
+  private val logitAucQ = Q(
+    fn = (s, d) => {
+      val f = logitFrame(s, d)
+      val m = graft.ml.Logit.fit(f, "label", logitFeats, logitIters, logitLr)
+      graft.ml.Logit
+        .auc(graft.ml.Logit.scored(f, m, logitFeats), "label", "score")
+    },
+    oracle = Some(s"""${logitChainSql(logitIters, logitLr)},
+      d AS (SELECT score, CAST(SUM(y) AS BIGINT) AS pos, count(*) AS cnt
+        FROM scored GROUP BY score),
+      c AS (SELECT score, pos, cnt,
+          SUM(cnt) OVER (ORDER BY score
+            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - cnt AS cumb
+        FROM d),
+      t AS (SELECT CAST(SUM(pos) AS BIGINT) AS n_pos,
+          CAST(SUM(cnt - pos) AS BIGINT) AS n_neg,
+          SUM(CAST(pos AS DECIMAL(38,0))
+            * CAST(2 * cumb + cnt + 1 AS DECIMAL(38,0))) AS sr2
+        FROM c)
+      SELECT n_pos, n_neg,
+        CASE WHEN n_pos > 0 AND n_neg > 0 THEN
+          round(CAST(sr2 - CAST(n_pos AS DECIMAL(38,0)) * (n_pos + 1) AS DOUBLE)
+            / (2.0 * n_pos * n_neg), 6) END AS auc
+      FROM t""")
+  )
+
+  private val logitCalibrationQ = Q(
+    fn = (s, d) => {
+      val f = logitFrame(s, d)
+      val m = graft.ml.Logit.fit(f, "label", logitFeats, logitIters, logitLr)
+      graft.ml.Logit
+        .calibration(
+          graft.ml.Logit.scored(f, m, logitFeats),
+          "label",
+          "score",
+          bins = 10
+        )
+        .orderBy("bin")
+    },
+    oracle = Some(s"""${logitChainSql(logitIters, logitLr)},
+      b AS (SELECT CAST(least(floor(score * 10), 9) AS INT) AS bin, score, y
+        FROM scored)
+      SELECT bin, count(*) AS n, CAST(SUM(y) AS BIGINT) AS n_pos,
+        round(CAST(SUM(CAST(score AS DECIMAL(28,6))) AS DOUBLE) / count(*), 6)
+          AS mean_score,
+        round(CAST(SUM(y) AS DOUBLE) / count(*), 6) AS pos_rate
+      FROM b GROUP BY bin ORDER BY bin""")
+  )
+
   val queries: Map[String, Q] = Map(
     "text_top_ngrams" -> topNgramsQ,
     "text_gopher_filter" -> gopherQ,
@@ -817,6 +866,8 @@ object TextQueries extends QueryPack {
     "text_quality" -> qualityQ,
     "text_quality_logit" -> logitQ,
     "text_quality_logit_eval" -> logitEvalQ,
+    "text_quality_logit_auc" -> logitAucQ,
+    "text_quality_logit_calibration" -> logitCalibrationQ,
     "text_langid" -> langidQ,
     "text_fingerprint" -> fingerprintQ,
     "text_ngram_jaccard" -> jaccardQ

@@ -57,6 +57,49 @@ class LogitSpec extends SparkSpec {
     assert(got(1).isNullAt(got(1).fieldIndex("f1")))
   }
 
+  test("auc matches the hand-computed tie-aware Mann-Whitney statistic") {
+    // scores: 0.9(+), 0.7(+), 0.7(-), 0.4(-) — one tied pair.
+    // ranks asc: 0.4->1, 0.7->avg(2,3)=2.5, 0.9->4
+    // U = (2.5 + 4) - 2*3/2 = 3.5; auc = 3.5 / (2*2) = 0.875
+    val df = Seq((1.0, 0.9), (1.0, 0.7), (0.0, 0.7), (0.0, 0.4))
+      .toDF("y", "score")
+    val got = Logit.auc(df, "y", "score").collect()(0)
+    assert(got.getAs[Long]("n_pos") == 2L)
+    assert(got.getAs[Long]("n_neg") == 2L)
+    assert(got.getAs[Double]("auc") == 0.875)
+    // perfect ranking -> 1.0; inverted -> 0.0; single class -> NULL
+    val perfect = Seq((1.0, 0.9), (1.0, 0.8), (0.0, 0.2)).toDF("y", "score")
+    assert(Logit.auc(perfect, "y", "score").collect()(0).getAs[Double]("auc") == 1.0)
+    val inverted = Seq((0.0, 0.9), (1.0, 0.2)).toDF("y", "score")
+    assert(Logit.auc(inverted, "y", "score").collect()(0).getAs[Double]("auc") == 0.0)
+    val oneClass = Seq((1.0, 0.9), (1.0, 0.2)).toDF("y", "score")
+    val oc = Logit.auc(oneClass, "y", "score").collect()(0)
+    assert(oc.isNullAt(oc.fieldIndex("auc")))
+    // partitioning invariance: DECIMAL rank sums, bounded window input
+    assert(
+      Logit.auc(df.repartition(7), "y", "score").collect()(0).getAs[Double]("auc") == 0.875
+    )
+  }
+
+  test("calibration bins scores with exact counts; 1.0 folds into the top bin") {
+    val df = Seq(
+      (1.0, 1.0), (1.0, 0.95), (0.0, 0.92), // bin 9: 3 rows, 2 pos
+      (0.0, 0.05), (1.0, 0.01) // bin 0: 2 rows, 1 pos
+    ).toDF("y", "score")
+    val got = Logit
+      .calibration(df, "y", "score", bins = 10)
+      .orderBy("bin")
+      .collect()
+    assert(got.map(_.getAs[Int]("bin")).toSeq == Seq(0, 9))
+    assert(got(0).getAs[Long]("n") == 2L)
+    assert(got(0).getAs[Long]("n_pos") == 1L)
+    assert(got(0).getAs[Double]("mean_score") == 0.03)
+    assert(got(0).getAs[Double]("pos_rate") == 0.5)
+    assert(got(1).getAs[Long]("n") == 3L)
+    assert(got(1).getAs[Long]("n_pos") == 2L)
+    assert(got(1).getAs[Double]("pos_rate") == 0.666667)
+  }
+
   test("fit requires features, iterations, and rows") {
     val df = Seq((1.0, 0.5)).toDF("y", "x")
     intercept[IllegalArgumentException](Logit.fit(df, "y", Seq.empty, 3, 1.0))
