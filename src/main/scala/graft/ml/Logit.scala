@@ -212,6 +212,57 @@ object Logit {
       )
   }
 
+  /** k-fold cross-validated AUC — the honest generalization estimate
+    * behind "ship this classifier or keep engineering features": folds
+    * are assigned by the repo's deterministic md5 52-bit uniform of
+    * the id (portable, salt-rotatable, partitioning-independent — the
+    * same keying every sampling operator uses), each fold's model
+    * trains on the other k−1 and is scored on the held-out fold only.
+    *
+    * Cost is k× [[fit]] plus k bounded [[auc]] jobs — at 100 TB the
+    * caller materializes the (id, label, features) projection once and
+    * passes that; everything downstream of it is aggregate-sized.
+    * Output: one row per fold (fold, n_train, n_pos, n_neg, auc).
+    */
+  def cvAuc(
+      df: DataFrame,
+      labelCol: String,
+      featureCols: Seq[String],
+      idCol: String,
+      folds: Int = 3,
+      iters: Int = 3,
+      lr: Double = 1.0,
+      salt: String = "graft"
+  ): DataFrame = {
+    require(folds >= 2, s"need at least 2 folds, got $folds")
+    val fold = pmod(
+      conv(
+        substring(md5(concat(col(idCol).cast("string"), lit(s":$salt"))), 1, 13),
+        16,
+        10
+      ).cast(LongType),
+      lit(folds)
+    ).cast(IntegerType)
+    val withFold = df.withColumn("_fold", fold)
+    (0 until folds)
+      .map { k =>
+        val m =
+          fit(withFold.filter(col("_fold") =!= k), labelCol, featureCols, iters, lr)
+        auc(
+          scored(withFold.filter(col("_fold") === k), m, featureCols),
+          labelCol,
+          "score"
+        ).select(
+          lit(k).as("fold"),
+          lit(m.n).as("n_train"),
+          col("n_pos"),
+          col("n_neg"),
+          col("auc")
+        )
+      }
+      .reduce(_ union _)
+  }
+
   /** Precision/recall/F1 at each threshold over a scored frame — the
     * keep-rate-vs-quality dial a curation pipeline reads before
     * committing to a cut. ONE scan: thresholds explode scan-side

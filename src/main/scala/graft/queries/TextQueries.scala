@@ -701,45 +701,86 @@ object TextQueries extends QueryPack {
     * TRAINED model, not just the scoring pass (same unrolled-iteration
     * precedent as embed_kmeans and the MMR greedy).
     */
-  private def logitChainSql(iters: Int, lr: Double): String = {
-    val l = lr.toString
-    def marginOf(w: String, f: String): String =
-      s"$w.b0 + $w.b1 * $f.x1 + $w.b2 * $f.x2 + $w.b3 * $f.x3"
-    def gradTerm(x: String): String =
-      s"CAST(SUM(CAST(round($x * (y - p), 6) AS DECIMAL(28,6))) AS DOUBLE)"
-    val steps = (1 to iters)
-      .map { t =>
-        s"""m$t AS (
-        SELECT f.*, round(1.0 / (1.0 + exp(-(${marginOf(s"w${t - 1}", "f")}))), 6) AS p
-        FROM f, w${t - 1}),
-      g$t AS (
-        SELECT CAST(count(*) AS DOUBLE) AS n,
-          ${gradTerm("1.0")} AS g0, ${gradTerm("x1")} AS g1,
-          ${gradTerm("x2")} AS g2, ${gradTerm("x3")} AS g3
-        FROM m$t),
-      w$t AS (
-        SELECT round(w.b0 + $l * g.g0 / g.n, 6) AS b0,
-          round(w.b1 + $l * g.g1 / g.n, 6) AS b1,
-          round(w.b2 + $l * g.g2 / g.n, 6) AS b2,
-          round(w.b3 + $l * g.g3 / g.n, 6) AS b3
-        FROM w${t - 1} w, g$t g)"""
-      }
-      .mkString(",\n")
-    s"""
-    WITH f AS (
-      SELECT doc_id,
+  private def logitMarginSql(w: String, f: String): String =
+    s"$w.b0 + $w.b1 * $f.x1 + $w.b2 * $f.x2 + $w.b3 * $f.x3"
+
+  /** The (doc_id, y, x1..x3) feature projection, sans WITH/alias —
+    * wrapped by the plain chain and the cross-validation chain.
+    */
+  private val logitFeatSelect = s"""SELECT doc_id,
         CAST(CASE WHEN n_chars > 300 THEN 1.0 ELSE 0.0 END AS DOUBLE) AS y,
         round(CAST(${swCountSql("en")} AS DOUBLE) / len(string_split(text, ' ')), 6) AS x1,
         round(least(CAST(length(replace(text, ' ', '')) AS DOUBLE) / len(string_split(text, ' ')) / 8.0, 1.0), 6) AS x2,
         round(least(CAST(len(string_split(text, ' ')) AS DOUBLE) / 100.0, 1.0), 6) AS x3
-      FROM documents),
-    w0 AS (SELECT 0.0 AS b0, 0.0 AS b1, 0.0 AS b2, 0.0 AS b3),
-    $steps,
+      FROM documents"""
+
+  /** One training run as CTEs `w0$sfx..w$iters$sfx` over source table
+    * `src` (suffix keeps multiple runs coexisting in one WITH — the
+    * cross-validation oracle trains `folds` models side by side).
+    */
+  private def logitFitSql(iters: Int, lr: Double, src: String, sfx: String): String = {
+    val l = lr.toString
+    def gradTerm(x: String): String =
+      s"CAST(SUM(CAST(round($x * (y - p), 6) AS DECIMAL(28,6))) AS DOUBLE)"
+    val steps = (1 to iters)
+      .map { t =>
+        s"""m$t$sfx AS (
+        SELECT s.*, round(1.0 / (1.0 + exp(-(${logitMarginSql(s"w${t - 1}$sfx", "s")}))), 6) AS p
+        FROM $src s, w${t - 1}$sfx),
+      g$t$sfx AS (
+        SELECT CAST(count(*) AS DOUBLE) AS n,
+          ${gradTerm("1.0")} AS g0, ${gradTerm("x1")} AS g1,
+          ${gradTerm("x2")} AS g2, ${gradTerm("x3")} AS g3
+        FROM m$t$sfx),
+      w$t$sfx AS (
+        SELECT round(w.b0 + $l * g.g0 / g.n, 6) AS b0,
+          round(w.b1 + $l * g.g1 / g.n, 6) AS b1,
+          round(w.b2 + $l * g.g2 / g.n, 6) AS b2,
+          round(w.b3 + $l * g.g3 / g.n, 6) AS b3
+        FROM w${t - 1}$sfx w, g$t$sfx g)"""
+      }
+      .mkString(",\n")
+    s"""w0$sfx AS (SELECT 0.0 AS b0, 0.0 AS b1, 0.0 AS b2, 0.0 AS b3),
+    $steps"""
+  }
+
+  /** The fit unrolled per iteration: weights start at 0, each round is
+    * one CTE pair (per-row round6'd sigmoid, DECIMAL(28,6) gradient
+    * sums) plus a one-row weight-update CTE with the identical
+    * left-to-right arithmetic — so the oracle hash-verifies the
+    * TRAINED model, not just the scoring pass (same unrolled-iteration
+    * precedent as embed_kmeans and the MMR greedy).
+    */
+  private def logitChainSql(iters: Int, lr: Double): String =
+    s"""
+    WITH f AS ($logitFeatSelect),
+    ${logitFitSql(iters, lr, "f", "")},
     scored AS (
       SELECT f.doc_id, f.y,
-        round(1.0 / (1.0 + exp(-(${marginOf(s"w$iters", "f")}))), 6) AS score
+        round(1.0 / (1.0 + exp(-(${logitMarginSql(s"w$iters", "f")}))), 6) AS score
       FROM f, w$iters)"""
-  }
+
+  /** Tie-aware Mann-Whitney over a `(y, score)` table `src`, as CTEs
+    * `d/c/t$sfx`; [[logitAucSelectSql]] reads the statistic off
+    * `t$sfx`.
+    */
+  private def logitAucSql(src: String, sfx: String): String = s"""
+      d$sfx AS (SELECT score, CAST(SUM(y) AS BIGINT) AS pos, count(*) AS cnt
+        FROM $src GROUP BY score),
+      c$sfx AS (SELECT score, pos, cnt,
+          SUM(cnt) OVER (ORDER BY score
+            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - cnt AS cumb
+        FROM d$sfx),
+      t$sfx AS (SELECT CAST(SUM(pos) AS BIGINT) AS n_pos,
+          CAST(SUM(cnt - pos) AS BIGINT) AS n_neg,
+          SUM(CAST(pos AS DECIMAL(38,0))
+            * CAST(2 * cumb + cnt + 1 AS DECIMAL(38,0))) AS sr2
+        FROM c$sfx)"""
+
+  private def logitAucSelectSql(t: String): String =
+    s"""CASE WHEN $t.n_pos > 0 AND $t.n_neg > 0 THEN
+          round(CAST($t.sr2 - CAST($t.n_pos AS DECIMAL(38,0)) * ($t.n_pos + 1) AS DOUBLE)
+            / (2.0 * $t.n_pos * $t.n_neg), 6) END"""
 
   private val logitQ = Q(
     fn = (s, d) => {
@@ -803,22 +844,57 @@ object TextQueries extends QueryPack {
         .auc(graft.ml.Logit.scored(f, m, logitFeats), "label", "score")
     },
     oracle = Some(s"""${logitChainSql(logitIters, logitLr)},
-      d AS (SELECT score, CAST(SUM(y) AS BIGINT) AS pos, count(*) AS cnt
-        FROM scored GROUP BY score),
-      c AS (SELECT score, pos, cnt,
-          SUM(cnt) OVER (ORDER BY score
-            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - cnt AS cumb
-        FROM d),
-      t AS (SELECT CAST(SUM(pos) AS BIGINT) AS n_pos,
-          CAST(SUM(cnt - pos) AS BIGINT) AS n_neg,
-          SUM(CAST(pos AS DECIMAL(38,0))
-            * CAST(2 * cumb + cnt + 1 AS DECIMAL(38,0))) AS sr2
-        FROM c)
-      SELECT n_pos, n_neg,
-        CASE WHEN n_pos > 0 AND n_neg > 0 THEN
-          round(CAST(sr2 - CAST(n_pos AS DECIMAL(38,0)) * (n_pos + 1) AS DOUBLE)
-            / (2.0 * n_pos * n_neg), 6) END AS auc
+      ${logitAucSql("scored", "")}
+      SELECT n_pos, n_neg, ${logitAucSelectSql("t")} AS auc
       FROM t""")
+  )
+
+  private val logitFolds = 3
+
+  private val logitCvQ = Q(
+    fn = (s, d) =>
+      graft.ml.Logit
+        .cvAuc(
+          logitFrame(s, d),
+          "label",
+          logitFeats,
+          "doc_id",
+          folds = logitFolds,
+          iters = logitIters,
+          lr = logitLr
+        )
+        .orderBy("fold"),
+    oracle = Some {
+      val perFold = (0 until logitFolds)
+        .map { k =>
+          s"""tr_$k AS (SELECT * FROM f WHERE fold <> $k),
+          te_$k AS (SELECT * FROM f WHERE fold = $k),
+          ${logitFitSql(logitIters, logitLr, s"tr_$k", s"_$k")},
+          sc_$k AS (
+            SELECT te.doc_id, te.y,
+              round(1.0 / (1.0 + exp(-(${logitMarginSql(s"w${logitIters}_$k", "te")}))), 6) AS score
+            FROM te_$k te, w${logitIters}_$k),
+          ${logitAucSql(s"sc_$k", s"_$k")}"""
+        }
+        .mkString(",\n")
+      val unions = (0 until logitFolds)
+        .map { k =>
+          s"""SELECT $k AS fold, CAST(g1_$k.n AS BIGINT) AS n_train,
+            t_$k.n_pos, t_$k.n_neg, ${logitAucSelectSql(s"t_$k")} AS auc
+          FROM g1_$k, t_$k"""
+        }
+        .mkString(" UNION ALL ")
+      s"""
+      WITH f0 AS ($logitFeatSelect),
+      fh AS (SELECT f0.*,
+          substr(md5(CAST(doc_id AS VARCHAR) || ':graft'), 1, 13) AS h13
+        FROM f0),
+      f AS (SELECT doc_id, y, x1, x2, x3,
+          CAST((${sqlHex52("h13")}) % $logitFolds AS INT) AS fold
+        FROM fh),
+      $perFold
+      SELECT * FROM ($unions) ORDER BY fold"""
+    }
   )
 
   private val logitCalibrationQ = Q(
@@ -867,6 +943,7 @@ object TextQueries extends QueryPack {
     "text_quality_logit" -> logitQ,
     "text_quality_logit_eval" -> logitEvalQ,
     "text_quality_logit_auc" -> logitAucQ,
+    "text_quality_logit_cv" -> logitCvQ,
     "text_quality_logit_calibration" -> logitCalibrationQ,
     "text_langid" -> langidQ,
     "text_fingerprint" -> fingerprintQ,

@@ -100,6 +100,30 @@ class LogitSpec extends SparkSpec {
     assert(got(1).getAs[Double]("pos_rate") == 0.666667)
   }
 
+  test("cvAuc holds out each md5-assigned fold exactly once, with held-out-only scoring") {
+    val df = (0 until 120)
+      .map(i => (i.toLong, if (i % 2 == 0) 1.0 else 0.0,
+        if (i % 2 == 0) 0.8 + LogitSpecData.x1(i) / 10 else 0.1 + LogitSpecData.x1(i) / 10))
+      .toDF("id", "y", "x")
+    val got = Logit
+      .cvAuc(df, "y", Seq("x"), "id", folds = 3, iters = 10, lr = 4.0)
+      .orderBy("fold")
+      .collect()
+    assert(got.map(_.getAs[Int]("fold")).toSeq == Seq(0, 1, 2))
+    // every row trains on the complement of its test fold
+    assert(got.map(r => r.getAs[Long]("n_train") + r.getAs[Long]("n_pos") + r.getAs[Long]("n_neg")).forall(_ == 120L))
+    // folds partition the data
+    assert(got.map(r => r.getAs[Long]("n_pos") + r.getAs[Long]("n_neg")).sum == 120L)
+    // separable planted data -> every held-out AUC is perfect
+    assert(got.forall(_.getAs[Double]("auc") == 1.0))
+    // fold assignment is the salt-keyed md5, independent of partitioning
+    val re = Logit
+      .cvAuc(df.repartition(11), "y", Seq("x"), "id", folds = 3, iters = 10, lr = 4.0)
+      .orderBy("fold")
+      .collect()
+    assert(re.map(_.toSeq).toSeq == got.map(_.toSeq).toSeq)
+  }
+
   test("fit requires features, iterations, and rows") {
     val df = Seq((1.0, 0.5)).toDF("y", "x")
     intercept[IllegalArgumentException](Logit.fit(df, "y", Seq.empty, 3, 1.0))
