@@ -34,6 +34,14 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       )
   }
 
+  private def strLit(e: Expression, fn: String, arg: String): String = e match {
+    case Literal(v, t) if t.typeName == "string" && v != null => v.toString
+    case other =>
+      throw new IllegalArgumentException(
+        s"$fn expects a literal STRING $arg, got: $other"
+      )
+  }
+
   private def info(name: String, usage: String): ExpressionInfo =
     new ExpressionInfo(classOf[GraftExtensions].getName, null, name, usage, "")
 
@@ -116,6 +124,26 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         "wav_pcm16_stats(binary) - [n_samples, peak, rms, clip_frac, silence_frac] over a canonical PCM16 WAV, NULL when non-canonical",
         1,
         args => graft.functions.mediaExpressions.WavPcm16Stats(args.head)
+      )
+    )
+    ext.injectFunction(
+      fn(
+        "unicode_normalize",
+        "unicode_normalize(text, 'NFC'|'NFD'|'NFKC'|'NFKD') - Unicode normalization (UAX #15)",
+        2,
+        args =>
+          graft.functions.unicodeExpressions.UnicodeNormalize(
+            args.head,
+            strLit(args(1), "unicode_normalize", "form")
+          )
+      )
+    )
+    ext.injectFunction(
+      fn(
+        "strip_accents",
+        "strip_accents(text) - NFD, drop combining marks, NFC (accent folding)",
+        1,
+        args => graft.functions.unicodeExpressions.StripAccents(args.head)
       )
     )
     ext.injectFunction(

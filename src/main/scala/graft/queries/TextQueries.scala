@@ -920,6 +920,46 @@ object TextQueries extends QueryPack {
       FROM b GROUP BY bin ORDER BY bin""")
   )
 
+  /** Unicode canonicalization through the codegen'd kernels, against
+    * DuckDB's utf8proc-backed `nfc_normalize`/`strip_accents` — two
+    * INDEPENDENT Unicode implementations (ICU-lineage JDK vs utf8proc)
+    * agreeing byte-for-byte is the strongest oracle in the text pack.
+    * Inputs are documents text with decomposed/precomposed/ligature
+    * codepoints appended in-plan (chr() on the SQL side, escape
+    * literals on the Spark side), so every row exercises a real
+    * normalization, not an ASCII no-op.
+    */
+  private val unicodeQ = Q(
+    fn = (s, d) =>
+      Tables
+        .documents(s, d)
+        .select(
+          col("doc_id"),
+          concat(
+            substring(col("text"), 1, 16),
+            lit(" re\u0301sume\u0301 \u00e9 \ufb01")
+          ).as("_s")
+        )
+        .select(
+          col("doc_id"),
+          Text.unicodeNormalize(col("_s")).as("nfc"),
+          Text.stripAccents(Text.unicodeNormalize(col("_s"))).as("stripped"),
+          (Text.unicodeNormalize(col("_s")) =!= col("_s"))
+            .cast("int")
+            .as("changed")
+        )
+        .orderBy("doc_id"),
+    oracle = Some("""
+      WITH s AS (SELECT doc_id,
+          substr(text, 1, 16) || ' re' || chr(769) || 'sume' || chr(769)
+            || ' ' || chr(233) || ' ' || chr(64257) AS s
+        FROM documents)
+      SELECT doc_id, nfc_normalize(s) AS nfc,
+        strip_accents(nfc_normalize(s)) AS stripped,
+        CAST(CASE WHEN nfc_normalize(s) <> s THEN 1 ELSE 0 END AS INT) AS changed
+      FROM s ORDER BY doc_id""")
+  )
+
   val queries: Map[String, Q] = Map(
     "text_top_ngrams" -> topNgramsQ,
     "text_gopher_filter" -> gopherQ,
@@ -947,6 +987,7 @@ object TextQueries extends QueryPack {
     "text_quality_logit_calibration" -> logitCalibrationQ,
     "text_langid" -> langidQ,
     "text_fingerprint" -> fingerprintQ,
+    "text_unicode_normalize" -> unicodeQ,
     "text_ngram_jaccard" -> jaccardQ
   )
 }

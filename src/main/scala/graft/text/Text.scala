@@ -65,6 +65,23 @@ object Text {
   def normalize(c: Column): Column =
     trim(regexp_replace(regexp_replace(lower(c), "[^a-z0-9 ]", " "), " +", " "))
 
+  /** Unicode normalization (UAX #15) via the codegen'd
+    * [[graft.functions.unicodeExpressions.UnicodeNormalize]] kernel —
+    * run BEFORE any hash-keyed operator so precomposed and decomposed
+    * spellings of the same text land on the same dedup/fingerprint/
+    * shingle key. NFC for byte canonicalization; NFKC additionally
+    * folds compatibility variants (ﬁ→fi, ５→5).
+    */
+  def unicodeNormalize(c: Column, form: String = "NFC"): Column =
+    graft.functions.unicodeExpressions.unicodeNormalize(c, form)
+
+  /** Accent folding (NFD → drop combining marks → NFC): résumé ==
+    * resume for match keys. Lossy by design — a join/search key
+    * transform, not a storage one.
+    */
+  def stripAccents(c: Column): Column =
+    graft.functions.unicodeExpressions.stripAccents(c)
+
   /** Deterministic document fingerprint (md5 of normalized text). */
   def fingerprint(c: Column): Column = md5(normalize(c))
 

@@ -62,6 +62,25 @@ class GraftExtensionsSpec extends AnyFunSuite {
       assert(math.abs(media.getDouble(1) - (math.log(5) - 4 * math.log(2) / 5)) < 1e-12)
       assert(media.isNullAt(2))
 
+      // r11 unicode kernels via SQL
+      val uni = s
+        .sql(
+          // NOTE: Spark's chr() is ASCII-mod-256 (unlike DuckDB's), so
+          // the combining acute rides the SQL text as a UTF-8 literal
+          "SELECT unicode_normalize('e\u0301', 'NFC') AS nfc, " +
+            "unicode_normalize('ﬁ', 'NFKC') AS nfkc, " +
+            "strip_accents('e\u0301') AS stripped FROM one"
+        )
+        .collect()
+        .head
+      assert(uni.getString(0) == "é")
+      assert(uni.getString(1) == "fi")
+      assert(uni.getString(2) == "e")
+      val e4 = intercept[Exception](
+        s.sql("SELECT unicode_normalize('a', 'NFX') FROM one").collect()
+      )
+      assert(e4.getMessage.contains("NFC"), e4.getMessage)
+
       // literal-k misuse fails analysis with a clear message
       val e = intercept[Exception](s.sql("SELECT topk_by(1.0, 1L, id) FROM one").collect())
       assert(e.getMessage.contains("literal INT"))
