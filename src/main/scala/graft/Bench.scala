@@ -267,6 +267,10 @@ object Bench {
     "dedup_simhash", "profile_approx_distinct", "q_copurchase_pagerank",
     // r10 additions: k-core peel, containment join, BPE training
     "q_kcore", "dedup_containment_join", "text_bpe_merges",
+    // r11 additions: DSIR importance resample (the one new key over
+    // 2 s at sf0.1), cross-validated classifier training (3 fits x 6
+    // gradient rounds — the iterative-cost shape), AR(p) model fit
+    "pipeline_dsir_sample", "text_quality_logit_cv", "anomaly_forecast_ar",
     // linear controls
     "q1_agg", "text_tfidf", "profile_report"
   )

@@ -263,6 +263,48 @@ object Logit {
       .reduce(_ union _)
   }
 
+  /** Hard-example mining — the active-learning / relabeling queue: per
+    * class, the k most misranked documents (negatives the classifier
+    * scores highest, positives it scores lowest). These are exactly the
+    * rows a curation team sends for human labels or feature review
+    * before the next training round.
+    *
+    * ONE aggregation: hardness `h = (y==1 ? −score : score)` feeds the
+    * bounded-heap top-k aggregate, so ≤ k entries per class per
+    * partition cross the wire — no per-class sort, no window over the
+    * corpus. Ties break on the smaller id (deterministic on any
+    * partitioning). Output: label, rank (1 = hardest), id, score.
+    */
+  def hardExamples(
+      df: DataFrame,
+      labelCol: String,
+      scoreCol: String,
+      idCol: String,
+      k: Int
+  ): DataFrame = {
+    require(k > 0, s"k must be positive, got $k")
+    val y = col(labelCol).cast(DoubleType)
+    val h = when(y === 1.0, -col(scoreCol)).otherwise(col(scoreCol))
+      .cast(DoubleType)
+    df.select(
+      y.as("label"),
+      h.as("_h"),
+      col(idCol).cast(LongType).as("_id")
+    ).groupBy("label")
+      .agg(
+        graft.functions.topkAggregate.topKBy(col("_h"), col("_id"), k).as("_top")
+      )
+      .select(col("label"), posexplode(col("_top")).as(Seq("_pos", "_e")))
+      .select(
+        col("label"),
+        (col("_pos") + 1).cast(IntegerType).as("rank"),
+        col("_e.id").as(idCol),
+        round6(
+          when(col("label") === 1.0, -col("_e.metric")).otherwise(col("_e.metric"))
+        ).as("score")
+      )
+  }
+
   /** Precision/recall/F1 at each threshold over a scored frame — the
     * keep-rate-vs-quality dial a curation pipeline reads before
     * committing to a cut. ONE scan: thresholds explode scan-side

@@ -920,6 +920,30 @@ object TextQueries extends QueryPack {
       FROM b GROUP BY bin ORDER BY bin""")
   )
 
+  private val logitHardQ = Q(
+    fn = (s, d) => {
+      val f = logitFrame(s, d)
+      val m = graft.ml.Logit.fit(f, "label", logitFeats, logitIters, logitLr)
+      graft.ml.Logit
+        .hardExamples(
+          graft.ml.Logit.scored(f, m, logitFeats),
+          "label",
+          "score",
+          "doc_id",
+          k = 10
+        )
+        .orderBy("label", "rank")
+    },
+    oracle = Some(s"""${logitChainSql(logitIters, logitLr)},
+      r AS (SELECT y AS label, doc_id, score,
+          ROW_NUMBER() OVER (PARTITION BY y
+            ORDER BY CASE WHEN y = 1.0 THEN -score ELSE score END DESC,
+              doc_id) AS rank
+        FROM scored)
+      SELECT label, CAST(rank AS INT) AS rank, doc_id, score
+      FROM r WHERE rank <= 10 ORDER BY label, rank""")
+  )
+
   /** Unicode canonicalization through the codegen'd kernels, against
     * DuckDB's utf8proc-backed `nfc_normalize`/`strip_accents` — two
     * INDEPENDENT Unicode implementations (ICU-lineage JDK vs utf8proc)
@@ -984,6 +1008,7 @@ object TextQueries extends QueryPack {
     "text_quality_logit_eval" -> logitEvalQ,
     "text_quality_logit_auc" -> logitAucQ,
     "text_quality_logit_cv" -> logitCvQ,
+    "text_quality_logit_hard" -> logitHardQ,
     "text_quality_logit_calibration" -> logitCalibrationQ,
     "text_langid" -> langidQ,
     "text_fingerprint" -> fingerprintQ,

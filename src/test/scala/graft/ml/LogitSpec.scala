@@ -124,6 +124,27 @@ class LogitSpec extends SparkSpec {
     assert(re.map(_.toSeq).toSeq == got.map(_.toSeq).toSeq)
   }
 
+  test("hardExamples ranks misclassified rows first per class, ties on smaller id") {
+    val df = Seq(
+      (1L, 0.0, 0.9), // the most confident wrong negative
+      (2L, 0.0, 0.4),
+      (3L, 0.0, 0.4), // tie with id 2 -> id 2 ranks above
+      (4L, 1.0, 0.1), // the most confident wrong positive
+      (5L, 1.0, 0.8)
+    ).toDF("id", "y", "score")
+    val got = Logit
+      .hardExamples(df, "y", "score", "id", k = 2)
+      .orderBy("label", "rank")
+      .collect()
+    assert(
+      got.map(r => (r.getAs[Double]("label"), r.getAs[Int]("rank"), r.getAs[Long]("id"))).toSeq ==
+        Seq((0.0, 1, 1L), (0.0, 2, 2L), (1.0, 1, 4L), (1.0, 2, 5L))
+    )
+    // the emitted score is the original, not the internal hardness
+    assert(got(0).getAs[Double]("score") == 0.9)
+    assert(got(2).getAs[Double]("score") == 0.1)
+  }
+
   test("fit requires features, iterations, and rows") {
     val df = Seq((1.0, 0.5)).toDF("y", "x")
     intercept[IllegalArgumentException](Logit.fit(df, "y", Seq.empty, 3, 1.0))
