@@ -183,6 +183,66 @@ object Logit {
     )
   }
 
+  /** [[auc]] per group — the per-domain/per-source quality drilldown:
+    * a classifier with corpus-level AUC 0.95 can still be BLIND on one
+    * source, and that source's docs are exactly what a threshold cut
+    * then keeps or drops at random. Same bounded shape as [[auc]] with
+    * the rank window partitioned by group: per-group distinct-score
+    * tables, no global single-partition stage at all. Output: one row
+    * per group (group, n_pos, n_neg, auc); single-class groups get
+    * NULL auc.
+    */
+  def aucByGroup(
+      df: DataFrame,
+      groupCol: String,
+      labelCol: String,
+      scoreCol: String
+  ): DataFrame = {
+    val dec = DecimalType(38, 0)
+    val perScore = df
+      .select(
+        col(groupCol).as("_g"),
+        col(scoreCol).cast(DoubleType).as("_s"),
+        col(labelCol).cast(DoubleType).as("_y")
+      )
+      .groupBy("_g", "_s")
+      .agg(
+        sum(col("_y")).cast(LongType).as("_pos"),
+        count(lit(1)).as("_cnt")
+      )
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("_g")
+      .orderBy("_s")
+      .rowsBetween(Long.MinValue, 0)
+    val ranked = perScore.withColumn(
+      "_cumb",
+      sum(col("_cnt")).over(w) - col("_cnt")
+    )
+    ranked
+      .groupBy("_g")
+      .agg(
+        sum(col("_pos")).cast(LongType).as("n_pos"),
+        sum(col("_cnt") - col("_pos")).cast(LongType).as("n_neg"),
+        sum(
+          col("_pos").cast(dec) *
+            (lit(2) * col("_cumb") + col("_cnt") + lit(1)).cast(dec)
+        ).as("_sr2")
+      )
+      .select(
+        col("_g").as(groupCol),
+        col("n_pos"),
+        col("n_neg"),
+        when(
+          col("n_pos") > 0 && col("n_neg") > 0,
+          round6(
+            (col("_sr2") - col("n_pos").cast(dec) * (col("n_pos") + lit(1)))
+              .cast(DoubleType) /
+              (lit(2.0) * col("n_pos") * col("n_neg"))
+          )
+        ).as("auc")
+      )
+  }
+
   /** Reliability table: scores bucketed into `bins` equal-width bins,
     * each with its count, positive count, mean score and empirical
     * positive rate — "is a 0.8 really an 80%?" read before trusting

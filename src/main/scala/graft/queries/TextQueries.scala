@@ -687,6 +687,7 @@ object TextQueries extends QueryPack {
       .documents(s, d)
       .select(
         col("doc_id"),
+        col("source"),
         when(col("n_chars") > 300, 1.0).otherwise(0.0).as("label"),
         round6(Text.stopwordRatio(col("text"))).as("x1"),
         round6(least(Text.meanWordLen(col("text")) / 8.0, lit(1.0))).as("x2"),
@@ -707,7 +708,7 @@ object TextQueries extends QueryPack {
   /** The (doc_id, y, x1..x3) feature projection, sans WITH/alias —
     * wrapped by the plain chain and the cross-validation chain.
     */
-  private val logitFeatSelect = s"""SELECT doc_id,
+  private val logitFeatSelect = s"""SELECT doc_id, source,
         CAST(CASE WHEN n_chars > 300 THEN 1.0 ELSE 0.0 END AS DOUBLE) AS y,
         round(CAST(${swCountSql("en")} AS DOUBLE) / len(string_split(text, ' ')), 6) AS x1,
         round(least(CAST(length(replace(text, ' ', '')) AS DOUBLE) / len(string_split(text, ' ')) / 8.0, 1.0), 6) AS x2,
@@ -847,6 +848,40 @@ object TextQueries extends QueryPack {
       ${logitAucSql("scored", "")}
       SELECT n_pos, n_neg, ${logitAucSelectSql("t")} AS auc
       FROM t""")
+  )
+
+  private val logitAucBySourceQ = Q(
+    fn = (s, d) => {
+      val f = logitFrame(s, d)
+      val m = graft.ml.Logit.fit(f, "label", logitFeats, logitIters, logitLr)
+      graft.ml.Logit
+        .aucByGroup(
+          graft.ml.Logit.scored(f, m, logitFeats),
+          "source",
+          "label",
+          "score"
+        )
+        .orderBy("source")
+    },
+    oracle = Some(s"""${logitChainSql(logitIters, logitLr)},
+      scoredg AS (
+        SELECT f.doc_id, f.source, f.y,
+          round(1.0 / (1.0 + exp(-(${logitMarginSql(s"w$logitIters", "f")}))), 6) AS score
+        FROM f, w$logitIters),
+      dg AS (SELECT source, score, CAST(SUM(y) AS BIGINT) AS pos,
+          count(*) AS cnt
+        FROM scoredg GROUP BY 1, 2),
+      cg AS (SELECT source, score, pos, cnt,
+          SUM(cnt) OVER (PARTITION BY source ORDER BY score
+            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - cnt AS cumb
+        FROM dg),
+      tg AS (SELECT source, CAST(SUM(pos) AS BIGINT) AS n_pos,
+          CAST(SUM(cnt - pos) AS BIGINT) AS n_neg,
+          SUM(CAST(pos AS DECIMAL(38,0))
+            * CAST(2 * cumb + cnt + 1 AS DECIMAL(38,0))) AS sr2
+        FROM cg GROUP BY source)
+      SELECT source, n_pos, n_neg, ${logitAucSelectSql("tg")} AS auc
+      FROM tg ORDER BY source""")
   )
 
   private val logitFolds = 3
@@ -1007,6 +1042,7 @@ object TextQueries extends QueryPack {
     "text_quality_logit" -> logitQ,
     "text_quality_logit_eval" -> logitEvalQ,
     "text_quality_logit_auc" -> logitAucQ,
+    "text_quality_logit_auc_by_source" -> logitAucBySourceQ,
     "text_quality_logit_cv" -> logitCvQ,
     "text_quality_logit_hard" -> logitHardQ,
     "text_quality_logit_calibration" -> logitCalibrationQ,

@@ -81,6 +81,20 @@ class LogitSpec extends SparkSpec {
     )
   }
 
+  test("aucByGroup computes each group independently; single-class groups are NULL") {
+    val df = Seq(
+      ("a", 1.0, 0.9), ("a", 1.0, 0.7), ("a", 0.0, 0.7), ("a", 0.0, 0.4), // 0.875
+      ("b", 0.0, 0.9), ("b", 1.0, 0.2), // inverted -> 0.0
+      ("c", 1.0, 0.5), ("c", 1.0, 0.6) // no negatives -> NULL
+    ).toDF("g", "y", "score")
+    val got = Logit.aucByGroup(df, "g", "y", "score").orderBy("g").collect()
+    assert(got.map(_.getString(0)).toSeq == Seq("a", "b", "c"))
+    assert(got(0).getAs[Double]("auc") == 0.875)
+    assert(got(1).getAs[Double]("auc") == 0.0)
+    assert(got(2).isNullAt(got(2).fieldIndex("auc")))
+    assert(got(2).getAs[Long]("n_pos") == 2L && got(2).getAs[Long]("n_neg") == 0L)
+  }
+
   test("calibration bins scores with exact counts; 1.0 folds into the top bin") {
     val df = Seq(
       (1.0, 1.0), (1.0, 0.95), (0.0, 0.92), // bin 9: 3 rows, 2 pos
