@@ -79,14 +79,41 @@ object Logit {
       featureCols: Seq[String],
       iters: Int = 3,
       lr: Double = 1.0
+  ): LogitModel = fitImpl(df, labelCol, featureCols, iters, lr, None)
+
+  /** Importance-weighted [[fit]] — train under per-row weights (DSIR
+    * importance ratios, dedup cluster sizes, inverse class frequency)
+    * instead of materializing a resampled corpus: the gradient becomes
+    * `Σ w_i·x_ij(y_i − p_i) / Σ w_i`. `weightCol` must be round6'd,
+    * non-negative, non-NULL. Parity shape: per-row terms round6 FIRST,
+    * then multiply by the weight, then re-round6 before the DECIMAL
+    * sum — so an integer weight w is EXACTLY w duplicated rows
+    * (spec-pinned), and the fit stays bit-identical on any
+    * partitioning.
+    */
+  def fitWeighted(
+      df: DataFrame,
+      labelCol: String,
+      featureCols: Seq[String],
+      weightCol: String,
+      iters: Int = 3,
+      lr: Double = 1.0
+  ): LogitModel = fitImpl(df, labelCol, featureCols, iters, lr, Some(weightCol))
+
+  private def fitImpl(
+      df: DataFrame,
+      labelCol: String,
+      featureCols: Seq[String],
+      iters: Int,
+      lr: Double,
+      weightCol: Option[String]
   ): LogitModel = {
     require(featureCols.nonEmpty, "need at least one feature column")
     require(iters > 0, s"iters must be positive, got $iters")
-    val feats = df
-      .select(
-        (col(labelCol).cast(DoubleType).as(labelCol) +: featureCols.map(col)): _*
-      )
-      .persist(StorageLevel.MEMORY_AND_DISK)
+    val keep =
+      col(labelCol).cast(DoubleType).as(labelCol) +:
+        (featureCols.map(col) ++ weightCol.map(col).toSeq)
+    val feats = df.select(keep: _*).persist(StorageLevel.MEMORY_AND_DISK)
     try {
       var w = Seq.fill(featureCols.length + 1)(0.0)
       var n = 0L
@@ -95,14 +122,29 @@ object Logit {
         val p = round6(lit(1.0) / (lit(1.0) + exp(-margin(w, featureCols))))
         val resid = col(labelCol) - p
         val gradAggs = (lit(1.0) +: featureCols.map(col)).zipWithIndex.map {
-          case (x, j) => decSum6(round6(x * resid)).as(s"_g$j")
+          case (x, j) =>
+            val term = weightCol match {
+              case Some(wc) => round6(col(wc) * round6(x * resid))
+              case None     => round6(x * resid)
+            }
+            decSum6(term).as(s"_g$j")
         }
-        val row =
-          feats.agg(count(lit(1)).as("_n"), gradAggs: _*).head()
+        // the gradient normalizer: row count unweighted, total weight
+        // (exact decimal sum, cast back to double) weighted
+        val denomAgg = weightCol match {
+          case Some(wc) => decSum6(col(wc)).as("_w")
+          case None     => count(lit(1)).cast(DoubleType).as("_w")
+        }
+        val row = feats.agg(
+          count(lit(1)).as("_n"),
+          (denomAgg +: gradAggs): _*
+        ).head()
         n = row.getAs[Long]("_n")
         require(n > 0, "cannot fit on an empty frame")
+        val denom = row.getAs[Double]("_w")
+        require(denom > 0, "total weight must be positive")
         w = w.zipWithIndex.map { case (wj, j) =>
-          round6jvm(wj + lr * row.getAs[Double](s"_g$j") / n)
+          round6jvm(wj + lr * row.getAs[Double](s"_g$j") / denom)
         }
         t += 1
       }

@@ -240,6 +240,39 @@ object SimilarityQueries extends QueryPack {
       FROM c ORDER BY label, pos""")
   )
 
+  private val centroidCosineQ = Q(
+    fn = (s, d) =>
+      Similarity
+        .centroidCosine(Tables.embeddings(s, d), "label", "vec_id", "embedding")
+        .orderBy("vec_id"),
+    oracle = Some("""
+      WITH ex AS (
+        SELECT label, unnest(generate_series(1, len(embedding))) AS i, embedding
+        FROM embeddings),
+      c AS (
+        SELECT label, i AS pos,
+          round(CAST(SUM(CAST(CAST(embedding[i] AS DOUBLE) AS DECIMAL(38,10))) AS DOUBLE)
+            / COUNT(*), 6) AS centroid
+        FROM ex GROUP BY 1, 2),
+      ca AS (SELECT label, list(centroid ORDER BY pos) AS cv FROM c GROUP BY label)
+      SELECT e.vec_id, e.label,
+        CASE WHEN
+          list_sum(list_transform(range(1, len(e.embedding) + 1),
+            i -> CAST(e.embedding[i] AS DOUBLE) * CAST(e.embedding[i] AS DOUBLE))) > 0
+          AND list_sum(list_transform(range(1, len(ca.cv) + 1),
+            i -> ca.cv[i] * ca.cv[i])) > 0
+        THEN round(
+          list_sum(list_transform(range(1, len(e.embedding) + 1),
+            i -> CAST(e.embedding[i] AS DOUBLE) * ca.cv[i]))
+          / (sqrt(list_sum(list_transform(range(1, len(e.embedding) + 1),
+               i -> CAST(e.embedding[i] AS DOUBLE) * CAST(e.embedding[i] AS DOUBLE))))
+           * sqrt(list_sum(list_transform(range(1, len(ca.cv) + 1),
+               i -> ca.cv[i] * ca.cv[i])))), 6)
+        END AS sim
+      FROM embeddings e JOIN ca ON e.label = ca.label
+      ORDER BY e.vec_id""")
+  )
+
   // Correctness anchor for the semantic-dedup machinery: at nlist=1
   // the k-means blocking is trivial (every row in cell 0), so the
   // WHOLE pipeline — fit, NearestCells assignment, BucketJoin pairs,
@@ -488,6 +521,7 @@ object SimilarityQueries extends QueryPack {
     "dedup_semantic_sweep" -> semanticSweepQ,
     "dedup_semantic_pairs" -> semanticPairsQ,
     "ann_bruteforce_topk" -> bruteForce,
+    "embed_centroid_cosine" -> centroidCosineQ,
     "similarity_mmr_topk" -> mmr,
     "ann_quantized_topk" -> quantized,
     "ann_lsh_topk" -> lsh,

@@ -692,7 +692,10 @@ object TextQueries extends QueryPack {
         round6(Text.stopwordRatio(col("text"))).as("x1"),
         round6(least(Text.meanWordLen(col("text")) / 8.0, lit(1.0))).as("x2"),
         round6(least(Text.tokenCount(col("text")).cast("double") / 100.0, lit(1.0)))
-          .as("x3")
+          .as("x3"),
+        // synthetic per-row importance (exact dyadic values 0.5/0.75/
+        // 1.0 — no rounding needed) for the weighted-training key
+        (lit(0.5) + pmod(col("doc_id"), lit(3)) * lit(0.25)).as("w")
       )
 
   /** The fit unrolled per iteration: weights start at 0, each round is
@@ -712,24 +715,39 @@ object TextQueries extends QueryPack {
         CAST(CASE WHEN n_chars > 300 THEN 1.0 ELSE 0.0 END AS DOUBLE) AS y,
         round(CAST(${swCountSql("en")} AS DOUBLE) / len(string_split(text, ' ')), 6) AS x1,
         round(least(CAST(length(replace(text, ' ', '')) AS DOUBLE) / len(string_split(text, ' ')) / 8.0, 1.0), 6) AS x2,
-        round(least(CAST(len(string_split(text, ' ')) AS DOUBLE) / 100.0, 1.0), 6) AS x3
+        round(least(CAST(len(string_split(text, ' ')) AS DOUBLE) / 100.0, 1.0), 6) AS x3,
+        CAST(0.5 + (doc_id % 3) * 0.25 AS DOUBLE) AS w
       FROM documents"""
 
   /** One training run as CTEs `w0$sfx..w$iters$sfx` over source table
     * `src` (suffix keeps multiple runs coexisting in one WITH — the
     * cross-validation oracle trains `folds` models side by side).
     */
-  private def logitFitSql(iters: Int, lr: Double, src: String, sfx: String): String = {
+  private def logitFitSql(
+      iters: Int,
+      lr: Double,
+      src: String,
+      sfx: String,
+      weight: Option[String] = None
+  ): String = {
     val l = lr.toString
-    def gradTerm(x: String): String =
-      s"CAST(SUM(CAST(round($x * (y - p), 6) AS DECIMAL(28,6))) AS DOUBLE)"
+    def gradTerm(x: String): String = weight match {
+      case Some(wc) =>
+        s"CAST(SUM(CAST(round($wc * round($x * (y - p), 6), 6) AS DECIMAL(28,6))) AS DOUBLE)"
+      case None =>
+        s"CAST(SUM(CAST(round($x * (y - p), 6) AS DECIMAL(28,6))) AS DOUBLE)"
+    }
+    val denom = weight match {
+      case Some(wc) => s"CAST(SUM(CAST($wc AS DECIMAL(28,6))) AS DOUBLE)"
+      case None     => "CAST(count(*) AS DOUBLE)"
+    }
     val steps = (1 to iters)
       .map { t =>
         s"""m$t$sfx AS (
         SELECT s.*, round(1.0 / (1.0 + exp(-(${logitMarginSql(s"w${t - 1}$sfx", "s")}))), 6) AS p
         FROM $src s, w${t - 1}$sfx),
       g$t$sfx AS (
-        SELECT CAST(count(*) AS DOUBLE) AS n,
+        SELECT $denom AS n,
           ${gradTerm("1.0")} AS g0, ${gradTerm("x1")} AS g1,
           ${gradTerm("x2")} AS g2, ${gradTerm("x3")} AS g3
         FROM m$t$sfx),
@@ -882,6 +900,28 @@ object TextQueries extends QueryPack {
         FROM cg GROUP BY source)
       SELECT source, n_pos, n_neg, ${logitAucSelectSql("tg")} AS auc
       FROM tg ORDER BY source""")
+  )
+
+  private val logitWeightedQ = Q(
+    fn = (s, d) => {
+      val f = logitFrame(s, d)
+      val m = graft.ml.Logit
+        .fitWeighted(f, "label", logitFeats, "w", logitIters, logitLr)
+      graft.ml.Logit
+        .scored(f, m, logitFeats)
+        .select("doc_id", "label", "score", "pred")
+        .orderBy("doc_id")
+    },
+    oracle = Some(s"""
+      WITH f AS ($logitFeatSelect),
+      ${logitFitSql(logitIters, logitLr, "f", "_w", Some("w"))},
+      scored AS (
+        SELECT f.doc_id, f.y,
+          round(1.0 / (1.0 + exp(-(${logitMarginSql(s"w${logitIters}_w", "f")}))), 6) AS score
+        FROM f, w${logitIters}_w)
+      SELECT doc_id, y AS label, score,
+        CAST(CASE WHEN score >= 0.5 THEN 1 ELSE 0 END AS INT) AS pred
+      FROM scored ORDER BY doc_id""")
   )
 
   private val logitFolds = 3
@@ -1040,6 +1080,7 @@ object TextQueries extends QueryPack {
     "text_length_ks" -> lengthKsQ,
     "text_quality" -> qualityQ,
     "text_quality_logit" -> logitQ,
+    "text_quality_logit_weighted" -> logitWeightedQ,
     "text_quality_logit_eval" -> logitEvalQ,
     "text_quality_logit_auc" -> logitAucQ,
     "text_quality_logit_auc_by_source" -> logitAucBySourceQ,

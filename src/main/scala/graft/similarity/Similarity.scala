@@ -1675,6 +1675,61 @@ object Similarity {
     )
   }
 
+  /** Per-row cosine to the row's OWN group centroid — the embedding
+    * sanity filter: a batch of garbage vectors (failed encoder calls,
+    * wrong model version, zero embeddings) shows up as rows far from
+    * their source/cluster centroid, and the bottom tail of this score
+    * is the review/drop queue before any ANN or semantic-dedup stage
+    * trusts the column.
+    *
+    * Scale shape: centroids aggregate to |groups|×dim (DECIMAL-exact
+    * partials), fold to |groups| centroid ARRAYS, broadcast back; the
+    * per-row dot/norm folds then ride the corpus scan (zip_with +
+    * aggregate HOFs, left-to-right double fold — the same arithmetic
+    * the brute-force cosine keys pin against DuckDB list_sum). ZERO
+    * shuffles of corpus rows. Zero-norm rows or centroids yield NULL
+    * sim (flagged, never NaN). Output: idCol, groupCol, sim.
+    */
+  def centroidCosine(
+      df: DataFrame,
+      groupCol: String,
+      idCol: String,
+      vecCol: String
+  ): DataFrame = {
+    val cents = centroids(df, vecCol, groupCol)
+    val cvec = cents
+      .groupBy("key")
+      .agg(
+        transform(
+          sort_array(collect_list(struct(col("pos"), col("centroid")))),
+          e => e.getField("centroid")
+        ).as("_cv")
+      )
+      .withColumn(
+        "_cc",
+        aggregate(col("_cv"), lit(0.0), (acc, x) => acc + x * x)
+      )
+    val dot = aggregate(
+      zip_with(col(vecCol), col("_cv"), (a, b) => a.cast("double") * b),
+      lit(0.0),
+      (acc, x) => acc + x
+    )
+    val vv = aggregate(
+      col(vecCol),
+      lit(0.0),
+      (acc, x) => acc + x.cast("double") * x.cast("double")
+    )
+    df.join(broadcast(cvec), df(groupCol) === cvec("key"))
+      .select(
+        col(idCol),
+        col(groupCol),
+        when(
+          vv > 0.0 && col("_cc") > 0.0,
+          graft.functions.round6(dot / (sqrt(vv) * sqrt(col("_cc"))))
+        ).as("sim")
+      )
+  }
+
   def centroids(df: DataFrame, vecCol: String, keyCol: String): DataFrame =
     df.select(col(keyCol).as("key"), posexplode(col(vecCol)))
       .groupBy("key", "pos")

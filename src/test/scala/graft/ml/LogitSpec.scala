@@ -159,6 +159,35 @@ class LogitSpec extends SparkSpec {
     assert(got(2).getAs[Double]("score") == 0.1)
   }
 
+  test("fitWeighted: integer weight w equals the row duplicated w times; weight 1 equals fit") {
+    val base = (0 until 30)
+      .map(i => (i.toLong, if (i % 2 == 0) 1.0 else 0.0, LogitSpecData.x1(i)))
+    val dfW = base
+      .map { case (id, y, x) => (id, y, x, if (id % 5 == 0) 3.0 else 1.0) }
+      .toDF("id", "y", "x", "w")
+    val duplicated = base
+      .flatMap { case (id, y, x) =>
+        Seq.fill(if (id % 5 == 0) 3 else 1)((id, y, x, 1.0))
+      }
+      .toDF("id", "y", "x", "w")
+    val a = Logit.fitWeighted(dfW, "y", Seq("x"), "w", iters = 6, lr = 2.0)
+    val b = Logit.fitWeighted(duplicated, "y", Seq("x"), "w", iters = 6, lr = 2.0)
+    assert(a.weights == b.weights)
+    // constant weight 1 reduces to the unweighted fit exactly
+    val allOnes = base.map { case (id, y, x) => (id, y, x, 1.0) }.toDF("id", "y", "x", "w")
+    val c = Logit.fitWeighted(allOnes, "y", Seq("x"), "w", iters = 6, lr = 2.0)
+    val d = Logit.fit(allOnes, "y", Seq("x"), iters = 6, lr = 2.0)
+    assert(c.weights == d.weights)
+    // weighted fit is partitioning-invariant too
+    val e = Logit.fitWeighted(dfW.repartition(7), "y", Seq("x"), "w", iters = 6, lr = 2.0)
+    assert(e.weights == a.weights)
+    // zero total weight is a loud error
+    val zeros = base.map { case (id, y, x) => (id, y, x, 0.0) }.toDF("id", "y", "x", "w")
+    intercept[IllegalArgumentException](
+      Logit.fitWeighted(zeros, "y", Seq("x"), "w", 1, 1.0)
+    )
+  }
+
   test("fit requires features, iterations, and rows") {
     val df = Seq((1.0, 0.5)).toDF("y", "x")
     intercept[IllegalArgumentException](Logit.fit(df, "y", Seq.empty, 3, 1.0))

@@ -320,6 +320,32 @@ class SimilaritySpec extends SparkSpec {
     assert(pairs.toSeq == Seq((11L, 20L)))
   }
 
+  test("centroidCosine flags the planted outlier; zero vectors are NULL, not NaN") {
+    // group "a": three near-identical vectors + one pointing away; the
+    // outlier's cosine-to-centroid must be the group minimum.
+    val df = Seq(
+      (1L, "a", Array(1.0f, 0.01f)),
+      (2L, "a", Array(1.0f, -0.01f)),
+      (3L, "a", Array(0.99f, 0.02f)),
+      (4L, "a", Array(-0.5f, 0.9f)), // outlier
+      (5L, "b", Array(0.0f, 0.0f)) // zero vector -> NULL sim
+    ).toDF("id", "g", "v")
+    val got = Similarity
+      .centroidCosine(df, "g", "id", "v")
+      .orderBy("id")
+      .collect()
+    val sims = got.take(4).map(_.getAs[Double]("sim"))
+    assert(sims.take(3).forall(_ > 0.9))
+    assert(sims(3) < sims.take(3).min)
+    assert(got(4).isNullAt(got(4).fieldIndex("sim")))
+    // partitioning invariance: DECIMAL centroid sums + ordered folds
+    val re = Similarity
+      .centroidCosine(df.repartition(7), "g", "id", "v")
+      .orderBy("id")
+      .collect()
+    assert(re.map(_.toSeq).toSeq == got.map(_.toSeq).toSeq)
+  }
+
   test("mmrTopK diversifies: a near-duplicate of the first pick is demoted below a distinct candidate") {
     // query [1,0]; id1/id2 near-identical and most relevant, id3
     // relevant but pointing away, id4 least relevant.
