@@ -169,13 +169,59 @@ object PipelineQuickstart {
     )
     spark.read.parquet(shardDir).groupBy("shard").count().orderBy("shard").show()
 
-    // F: the same kernels straight from SQL (GraftExtensions) — what a
+    // F: discriminative quality classifier (graft.ml.Logit) — train on
+    // weak labels, check WHICH features carry signal, cross-validate,
+    // read the threshold dial, and queue the hardest rows for review
+    import graft.ml.Logit
+    val feats = docs.select(
+      col("doc_id"),
+      when(col("n_chars") > 300, 1.0).otherwise(0.0).as("label"),
+      graft.functions.round6(Text.stopwordRatio(col("text"))).as("x1"),
+      graft.functions.round6(least(Text.meanWordLen(col("text")) / 8.0, lit(1.0))).as("x2"),
+      graft.functions
+        .round6(least(Text.tokenCount(col("text")).cast("double") / 100.0, lit(1.0)))
+        .as("x3")
+    )
+    Logit.featureStats(feats, "label", Seq("x1", "x2", "x3")).orderBy("feature").show()
+    val model = Logit.fit(feats, "label", Seq("x1", "x2", "x3"), iters = 6, lr = 1.5)
+    println(s"classifier weights: ${model.weights.mkString(", ")}")
+    val clsScored = Logit.scored(feats, model, Seq("x1", "x2", "x3"))
+    Logit.cvAuc(feats, "label", Seq("x1", "x2", "x3"), "doc_id", folds = 3, iters = 6, lr = 1.5)
+      .orderBy("fold").show()
+    Logit.prCurve(clsScored, "label", "score", Seq(0.4, 0.5, 0.6)).orderBy("threshold").show()
+    Logit.hardExamples(clsScored, "label", "score", "doc_id", k = 2)
+      .orderBy("label", "rank").show()
+
+    // F2: diversity-aware retrieval — MMR rerank collapses
+    // near-duplicate neighbors so the k results COVER the neighborhood
+    // (eval-set / few-shot-pool construction)
+    Similarity
+      .mmrTopK(emb.limit(2), emb, "vec_id", "embedding", k = 3, candidates = 10)
+      .show(truncate = false)
+
+    // F3: canonicalization before any hash-keyed stage — Unicode
+    // normalization folds spelling variants, URL canonicalization
+    // folds tracking-param/port/case variants, each one scan-side
+    docs
+      .select(
+        Text.unicodeNormalize(concat(col("text").substr(1, 8), lit(" résumé")))
+          .as("nfc"),
+        Text.canonicalizeUrl(
+          concat(lit("HTTPS://Example.COM:443/p/"), col("doc_id"), lit("?utm_source=x&a=1"))
+        ).as("url")
+      )
+      .show(2, truncate = false)
+
+    // G: the same kernels straight from SQL (GraftExtensions) — what a
     // SQL-only consumer of the cluster sees
     split.createOrReplaceTempView("corpus")
     spark
       .sql("""SELECT source, topk_by(CAST(n_chars AS DOUBLE), doc_id, 2) AS longest
               FROM corpus GROUP BY source ORDER BY source LIMIT 3""")
       .show(truncate = false)
+    spark
+      .sql("SELECT strip_accents(unicode_normalize('résumé', 'NFC')) AS folded")
+      .show()
 
     spark.stop()
   }

@@ -365,6 +365,71 @@ object Logit {
       .reduce(_ union _)
   }
 
+  /** Per-feature point-biserial correlation with the label — the
+    * "which features matter" read BEFORE training: a feature with
+    * near-zero |corr| is shuffle weight the model will ignore, and a
+    * surprisingly strong one is often label leakage. ONE group-less
+    * aggregation computes every feature's DECIMAL-exact moments (Σx at
+    * 6 dp, Σx² at 12 dp, Σx·y at 6 dp) and the per-feature rows
+    * explode from that single row — corpus scanned once for the whole
+    * feature set. Features must be round6'd (the [[fit]] contract).
+    * Output: feature, n, n_pos, mean_pos, mean_neg, corr; degenerate
+    * cases (single class, zero variance) yield NULL, never NaN.
+    */
+  def featureStats(
+      df: DataFrame,
+      labelCol: String,
+      featureCols: Seq[String]
+  ): DataFrame = {
+    require(featureCols.nonEmpty, "need at least one feature column")
+    val dec12 = DecimalType(38, 12)
+    val y = col(labelCol).cast(DoubleType)
+    val aggs = featureCols.flatMap { f =>
+      Seq(
+        decSum6(col(f)).as(s"_sx_$f"),
+        sum((col(f) * col(f)).cast(dec12)).cast(DoubleType).as(s"_sxx_$f"),
+        decSum6(when(y === 1.0, col(f)).otherwise(lit(0.0))).as(s"_sxy_$f")
+      )
+    }
+    val one = df.agg(
+      count(lit(1)).as("_n"),
+      (sum(y).cast(LongType).as("_n1") +: aggs): _*
+    )
+    val rows = one.select(
+      col("_n"),
+      col("_n1"),
+      explode(
+        array(featureCols.map { f =>
+          struct(
+            lit(f).as("feature"),
+            col(s"_sx_$f").as("_sx"),
+            col(s"_sxx_$f").as("_sxx"),
+            col(s"_sxy_$f").as("_sxy")
+          )
+        }: _*)
+      ).as("_e")
+    )
+    val n = col("_n").cast(DoubleType)
+    val n1 = col("_n1").cast(DoubleType)
+    val n0 = (col("_n") - col("_n1")).cast(DoubleType)
+    val meanPos = col("_e._sxy") / n1
+    val meanNeg = (col("_e._sx") - col("_e._sxy")) / n0
+    val varX = col("_e._sxx") / n - (col("_e._sx") / n) * (col("_e._sx") / n)
+    rows.select(
+      col("_e.feature").as("feature"),
+      col("_n").as("n"),
+      col("_n1").as("n_pos"),
+      when(col("_n1") > 0, round6(meanPos)).as("mean_pos"),
+      when(col("_n") - col("_n1") > 0, round6(meanNeg)).as("mean_neg"),
+      when(
+        col("_n1") > 0 && col("_n") - col("_n1") > 0 && varX > 0.0,
+        round6(
+          (meanPos - meanNeg) / sqrt(varX) * sqrt(n1 * n0 / (n * n))
+        )
+      ).as("corr")
+    )
+  }
+
   /** Hard-example mining — the active-learning / relabeling queue: per
     * class, the k most misranked documents (negatives the classifier
     * scores highest, positives it scores lowest). These are exactly the

@@ -159,6 +159,101 @@ object TextQueries extends QueryPack {
       FROM m ORDER BY doc_id""")
   )
 
+  /** Language-ID confusion matrix — the eval surface for the n-gram
+    * heuristic: counts per (labeled lang, predicted lang). On the
+    * synthetic corpus the text carries no real language signal, so the
+    * matrix is honest about what the heuristic can and cannot see —
+    * exactly the table a curation team reads before trusting a
+    * language gate. One map-side-combined groupBy; |langs|² rows of
+    * state at any corpus size.
+    */
+  private val langidConfusionQ = Q(
+    fn = (s, d) =>
+      Tables
+        .documents(s, d)
+        .select(col("lang"), Text.langId(col("text")).as("predicted"))
+        .groupBy("lang", "predicted")
+        .agg(count(lit(1)).as("n"))
+        .orderBy("lang", "predicted"),
+    oracle = Some(s"""
+      WITH c AS (
+        SELECT doc_id, lang,
+          ${swCountSql("en")} AS c_en, ${swCountSql("de")} AS c_de,
+          ${swCountSql("fr")} AS c_fr, ${swCountSql("es")} AS c_es
+        FROM documents),
+      m AS (SELECT *, greatest(c_en, c_de, c_fr, c_es) AS mx FROM c),
+      p AS (SELECT lang,
+          CASE WHEN c_en = mx AND mx > 0 THEN 'en'
+               WHEN c_de = mx AND mx > 0 THEN 'de'
+               WHEN c_fr = mx AND mx > 0 THEN 'fr'
+               WHEN c_es = mx AND mx > 0 THEN 'es'
+               ELSE 'und' END AS predicted
+        FROM m)
+      SELECT lang, predicted, count(*) AS n
+      FROM p GROUP BY 1, 2 ORDER BY lang, predicted""")
+  )
+
+  /** URL canonicalization over in-plan-synthesized messy URLs — every
+    * row exercises a real rule (case folding, default-port drop,
+    * kept non-default port, tracking-param removal, param sort,
+    * fragment drop, trailing-slash collapse, empty-path root, and a
+    * non-URL residue row that must map to NULL). The oracle reproduces
+    * the whole rule chain in DuckDB regex/list builtins.
+    */
+  private val urlCanonQ = Q(
+    fn = (s, d) => {
+      val id = col("doc_id").cast("string")
+      val raw = when(
+        pmod(col("doc_id"), lit(5)) === 0,
+        concat(lit("HTTPS://Example.COM:443/Path/"), id, lit("/?utm_source=x&b=2&a=1#frag"))
+      ).when(
+          pmod(col("doc_id"), lit(5)) === 1,
+          concat(lit("http://site.org:8080/a//"), id, lit("?z=9&ref=abc"))
+        )
+        .when(pmod(col("doc_id"), lit(5)) === 2, lit("http://host.net:80?fbclid=1"))
+        .when(pmod(col("doc_id"), lit(5)) === 3, concat(lit("https://h.io/p"), id))
+        .otherwise(col("text"))
+      Tables
+        .documents(s, d)
+        .select(col("doc_id"), Text.canonicalizeUrl(raw).as("url"))
+        .orderBy("doc_id")
+    },
+    oracle = Some("""
+      WITH s AS (SELECT doc_id, text,
+        CASE CAST(doc_id % 5 AS INT)
+          WHEN 0 THEN 'HTTPS://Example.COM:443/Path/' || CAST(doc_id AS VARCHAR) || '/?utm_source=x&b=2&a=1#frag'
+          WHEN 1 THEN 'http://site.org:8080/a//' || CAST(doc_id AS VARCHAR) || '?z=9&ref=abc'
+          WHEN 2 THEN 'http://host.net:80?fbclid=1'
+          WHEN 3 THEN 'https://h.io/p' || CAST(doc_id AS VARCHAR)
+          ELSE text END AS raw
+        FROM documents),
+      p AS (SELECT doc_id, regexp_replace(raw, '#.*$', '') AS nofrag FROM s),
+      q AS (SELECT doc_id,
+          lower(regexp_extract(nofrag, '^([A-Za-z][A-Za-z0-9+.-]*)://', 1)) AS scheme,
+          regexp_extract(nofrag, '^[A-Za-z][A-Za-z0-9+.-]*://([^/?#]*)', 1) AS hostport,
+          regexp_extract(nofrag, '^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]*([^?#]*)', 1) AS rawpath,
+          regexp_extract(nofrag, '\?([^#]*)', 1) AS qs
+        FROM p),
+      r AS (SELECT doc_id, scheme,
+          lower(regexp_replace(hostport, ':[0-9]+$', '')) AS host,
+          regexp_extract(hostport, ':([0-9]+)$', 1) AS port,
+          CASE WHEN regexp_replace(rawpath, '/+$', '') = '' THEN '/'
+               ELSE regexp_replace(rawpath, '/+$', '') END AS path,
+          array_to_string(list_sort(list_filter(string_split(qs, '&'),
+            x -> x <> '' AND NOT regexp_matches(x, '^(utm_[^=&]*|fbclid|gclid|ref)(=.*)?$'))), '&') AS sq
+        FROM q)
+      SELECT doc_id,
+        CASE WHEN scheme = '' OR host = '' THEN NULL ELSE
+          scheme || '://' || host ||
+          CASE WHEN port <> '' AND NOT (scheme = 'http' AND port = '80')
+                AND NOT (scheme = 'https' AND port = '443')
+            THEN ':' || port ELSE '' END ||
+          path ||
+          CASE WHEN sq <> '' THEN '?' || sq ELSE '' END
+        END AS url
+      FROM r ORDER BY doc_id""")
+  )
+
   private val fingerprintQ = Q(
     fn = (s, d) =>
       Tables
@@ -924,6 +1019,44 @@ object TextQueries extends QueryPack {
       FROM scored ORDER BY doc_id""")
   )
 
+  private val logitFeaturesQ = Q(
+    fn = (s, d) =>
+      graft.ml.Logit
+        .featureStats(logitFrame(s, d), "label", logitFeats)
+        .orderBy("feature"),
+    oracle = Some {
+      def sums(x: String): String =
+        s"""CAST(SUM(CAST($x AS DECIMAL(28,6))) AS DOUBLE) AS sx_$x,
+          CAST(SUM(CAST($x * $x AS DECIMAL(38,12))) AS DOUBLE) AS sxx_$x,
+          CAST(SUM(CAST(CASE WHEN y = 1.0 THEN $x ELSE 0.0 END AS DECIMAL(28,6))) AS DOUBLE) AS sxy_$x"""
+      val unions = logitFeats
+        .map(x =>
+          s"SELECT '$x' AS feature, n, n1, sx_$x AS sx, sxx_$x AS sxx, sxy_$x AS sxy FROM a"
+        )
+        .mkString(" UNION ALL ")
+      s"""
+      WITH f AS ($logitFeatSelect),
+      a AS (SELECT CAST(count(*) AS BIGINT) AS n, CAST(SUM(y) AS BIGINT) AS n1,
+        ${logitFeats.map(sums).mkString(",\n        ")}
+        FROM f),
+      u AS ($unions)
+      SELECT feature, n, n1 AS n_pos,
+        CASE WHEN n1 > 0 THEN round(sxy / CAST(n1 AS DOUBLE), 6) END AS mean_pos,
+        CASE WHEN n - n1 > 0 THEN
+          round((sx - sxy) / CAST(n - n1 AS DOUBLE), 6) END AS mean_neg,
+        CASE WHEN n1 > 0 AND n - n1 > 0 AND
+          sxx / CAST(n AS DOUBLE)
+            - (sx / CAST(n AS DOUBLE)) * (sx / CAST(n AS DOUBLE)) > 0.0
+        THEN round(
+          (sxy / CAST(n1 AS DOUBLE) - (sx - sxy) / CAST(n - n1 AS DOUBLE))
+          / sqrt(sxx / CAST(n AS DOUBLE)
+            - (sx / CAST(n AS DOUBLE)) * (sx / CAST(n AS DOUBLE)))
+          * sqrt(CAST(n1 AS DOUBLE) * CAST(n - n1 AS DOUBLE)
+            / (CAST(n AS DOUBLE) * CAST(n AS DOUBLE))), 6) END AS corr
+      FROM u ORDER BY feature"""
+    }
+  )
+
   private val logitFolds = 3
 
   private val logitCvQ = Q(
@@ -1081,6 +1214,7 @@ object TextQueries extends QueryPack {
     "text_quality" -> qualityQ,
     "text_quality_logit" -> logitQ,
     "text_quality_logit_weighted" -> logitWeightedQ,
+    "text_quality_logit_features" -> logitFeaturesQ,
     "text_quality_logit_eval" -> logitEvalQ,
     "text_quality_logit_auc" -> logitAucQ,
     "text_quality_logit_auc_by_source" -> logitAucBySourceQ,
@@ -1088,8 +1222,10 @@ object TextQueries extends QueryPack {
     "text_quality_logit_hard" -> logitHardQ,
     "text_quality_logit_calibration" -> logitCalibrationQ,
     "text_langid" -> langidQ,
+    "text_langid_confusion" -> langidConfusionQ,
     "text_fingerprint" -> fingerprintQ,
     "text_unicode_normalize" -> unicodeQ,
+    "text_url_canonicalize" -> urlCanonQ,
     "text_ngram_jaccard" -> jaccardQ
   )
 }

@@ -82,6 +82,56 @@ object Text {
   def stripAccents(c: Column): Column =
     graft.functions.unicodeExpressions.stripAccents(c)
 
+  /** Tracking params dropped by [[canonicalizeUrl]] — the
+    * click-provenance junk (utm_*, fbclid, gclid, ref) that makes one
+    * page look like thousands of distinct URLs to an exact-key dedup.
+    */
+  val trackingParamPattern: String = "^(utm_[^=&]*|fbclid|gclid|ref)(=.*)?$"
+
+  /** URL canonicalization — the key-folding step BEFORE URL-level
+    * dedup / frontier accounting: lowercases scheme+host, drops the
+    * fragment, drops default ports (http:80 / https:443), collapses a
+    * trailing-slash-only path difference, removes tracking params
+    * ([[trackingParamPattern]]) and SORTS the survivors so param order
+    * stops mattering. Pure codegen'd builtins (regexp + array HOFs),
+    * zero shuffle — canonicalization rides the first scan, and every
+    * downstream md5/groupBy sees one key per page. Non-URLs (no
+    * `scheme://`) yield NULL — flagged, never guessed. Lossy by
+    * design: a dedup/join KEY transform, not a storage rewrite.
+    */
+  def canonicalizeUrl(c: Column): Column = {
+    val noFrag = regexp_replace(c, "#.*$", "")
+    val scheme = lower(regexp_extract(noFrag, "^([A-Za-z][A-Za-z0-9+.-]*)://", 1))
+    val hostPort = regexp_extract(noFrag, "^[A-Za-z][A-Za-z0-9+.-]*://([^/?#]*)", 1)
+    val host = lower(regexp_replace(hostPort, ":[0-9]+$", ""))
+    val port = regexp_extract(hostPort, ":([0-9]+)$", 1)
+    val keepPort = port =!= "" &&
+      !(scheme === "http" && port === "80") &&
+      !(scheme === "https" && port === "443")
+    val rawPath = regexp_extract(noFrag, "^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]*([^?#]*)", 1)
+    val trimmedPath = regexp_replace(rawPath, "/+$", "")
+    val path = when(trimmedPath === "", lit("/")).otherwise(trimmedPath)
+    val query = regexp_extract(noFrag, "\\?([^#]*)", 1)
+    val kept = filter(
+      split(query, "&"),
+      p => p =!= "" && !p.rlike(trackingParamPattern)
+    )
+    val sortedQuery = array_join(array_sort(kept), "&")
+    when(
+      scheme === "" || host === "",
+      lit(null).cast("string")
+    ).otherwise(
+      concat(
+        scheme,
+        lit("://"),
+        host,
+        when(keepPort, concat(lit(":"), port)).otherwise(lit("")),
+        path,
+        when(sortedQuery =!= "", concat(lit("?"), sortedQuery)).otherwise(lit(""))
+      )
+    )
+  }
+
   /** Deterministic document fingerprint (md5 of normalized text). */
   def fingerprint(c: Column): Column = md5(normalize(c))
 

@@ -188,6 +188,32 @@ class LogitSpec extends SparkSpec {
     )
   }
 
+  test("featureStats: point-biserial is ±1 on perfect (anti-)predictors, NULL on constants") {
+    val df = (0 until 40)
+      .map { i =>
+        val y = if (i % 4 == 0) 1.0 else 0.0
+        (i.toLong, y, y, 1.0 - y, 0.5)
+      }
+      .toDF("id", "y", "same", "anti", "const")
+    val got = Logit
+      .featureStats(df, "y", Seq("same", "anti", "const"))
+      .orderBy("feature")
+      .collect()
+    assert(got.map(_.getString(0)).toSeq == Seq("anti", "const", "same"))
+    assert(got.forall(_.getAs[Long]("n") == 40L))
+    assert(got.forall(_.getAs[Long]("n_pos") == 10L))
+    assert(got(2).getAs[Double]("corr") == 1.0)
+    assert(got(0).getAs[Double]("corr") == -1.0)
+    assert(got(1).isNullAt(got(1).fieldIndex("corr"))) // zero variance
+    assert(got(1).getAs[Double]("mean_pos") == 0.5)
+    assert(got(1).getAs[Double]("mean_neg") == 0.5)
+    // single-class frame: means for the absent class and corr are NULL
+    val onlyPos = df.filter(col("y") === 1.0)
+    val op = Logit.featureStats(onlyPos, "y", Seq("same")).collect()(0)
+    assert(op.isNullAt(op.fieldIndex("mean_neg")))
+    assert(op.isNullAt(op.fieldIndex("corr")))
+  }
+
   test("fit requires features, iterations, and rows") {
     val df = Seq((1.0, 0.5)).toDF("y", "x")
     intercept[IllegalArgumentException](Logit.fit(df, "y", Seq.empty, 3, 1.0))

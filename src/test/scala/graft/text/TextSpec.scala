@@ -400,4 +400,35 @@ class TextSpec extends SparkSpec {
     assert((1 to 22).forall(i => re(i.toLong) == out(i.toLong)._2 ||
       (re(i.toLong) == null && out(i.toLong)._2.isNaN)))
   }
+
+  test("canonicalizeUrl folds case/ports/params/fragments into one dedup key") {
+    import org.apache.spark.sql.functions.col
+    val rows = Seq(
+      (1L, "HTTPS://Example.COM:443/Path/x/?utm_source=a&b=2&a=1#frag"),
+      (2L, "https://example.com/Path/x?a=1&b=2"), // same page, already canonical
+      (3L, "http://site.org:8080/a?z=9&ref=abc"), // non-default port kept
+      (4L, "http://host.net:80?fbclid=1"), // empty path -> root, all params dropped
+      (5L, "ftp://Files.example.org/pub/"), // non-http scheme: generic rules only
+      (6L, "not a url at all")
+    ).toDF("id", "u")
+    val got = rows
+      .select(col("id"), graft.text.Text.canonicalizeUrl(col("u")).as("c"))
+      .orderBy("id")
+      .collect()
+      .map(r => if (r.isNullAt(1)) null else r.getString(1))
+    assert(got(0) == "https://example.com/Path/x?a=1&b=2")
+    assert(got(0) == got(1)) // the two spellings collapse to ONE key
+    assert(got(2) == "http://site.org:8080/a?z=9")
+    assert(got(3) == "http://host.net/")
+    assert(got(4) == "ftp://files.example.org/pub")
+    assert(got(5) == null)
+    // idempotence: canonicalizing a canonical URL is a no-op
+    val again = rows
+      .select(graft.text.Text.canonicalizeUrl(
+        graft.text.Text.canonicalizeUrl(col("u"))).as("c"))
+      .orderBy(col("c"))
+      .collect()
+      .map(r => if (r.isNullAt(0)) null else r.getString(0))
+    assert(again.toSet == got.toSet)
+  }
 }
