@@ -558,6 +558,90 @@ object Corpus {
     * predicateSql) to splice into a WITH ... WHERE query; the CTE is
     * named `_thr`.
     */
+  /** Temperature-scaled (α-sampling) domain mixing — the standard
+    * multilingual/domain rebalance (mBERT, XLM): target shares derive
+    * from the data itself as `w_d ∝ n_d^τ`, so τ=1 keeps natural
+    * proportions and τ→0 approaches uniform — low-resource domains are
+    * up-sampled RELATIVE to their size without anyone hand-writing a
+    * share list (the hand-written-list variant is [[mixtureSample]]).
+    *
+    * Same engine-portable shape as [[mixtureSample]]: one map-side-
+    * combined count per domain, pow + DECIMAL-exact share
+    * normalization on the |domains|-row table (shares round6'd so
+    * cross-libm pow ulps cannot reach the threshold), per-domain
+    * hex-prefix threshold broadcast back, membership decided by the
+    * deterministic md5 bucket at scan time. Zero shuffles of sampled
+    * data; re-running reproduces the identical sample (prefix
+    * property: raising `budget` only ADDS rows).
+    */
+  def mixtureTemperature(
+      df: DataFrame,
+      idCol: String,
+      strataCol: String,
+      tau: Double,
+      budget: Long,
+      salt: String = "graft"
+  ): DataFrame = {
+    require(tau > 0 && tau <= 1, s"tau must be in (0, 1], got $tau")
+    require(budget > 0, s"budget must be positive, got $budget")
+    val dec = org.apache.spark.sql.types.DecimalType(38, 6)
+    val counts = df
+      .groupBy(col(strataCol))
+      .agg(count(lit(1)).as("_cnt"))
+      .withColumn(
+        "_p",
+        graft.functions.round6(pow(col("_cnt").cast("double"), lit(tau)))
+      )
+    val total =
+      counts.agg(sum(col("_p").cast(dec)).cast("double").as("_s"))
+    val w = graft.functions.round6(col("_p") / col("_s"))
+    val f =
+      least(lit(1.0), (lit(budget.toDouble) * w) / col("_cnt").cast("double"))
+    val thr = counts
+      .crossJoin(broadcast(total))
+      .select(
+        col(strataCol),
+        when(f >= 1.0, lit("g"))
+          .otherwise(format_string("%08x", floor(f * lit(4294967296.0))))
+          .as("_thr")
+      )
+    val bucket =
+      substring(md5(concat(col(idCol).cast("string"), lit(s":$salt"))), 1, 8)
+    df.join(broadcast(thr), Seq(strataCol))
+      .where(bucket < col("_thr"))
+      .drop("_thr")
+  }
+
+  /** DuckDB mirror of [[mixtureTemperature]] — (CTE chain, membership
+    * predicate), same contract as [[mixtureSampleSql]].
+    */
+  def mixtureTemperatureSql(
+      table: String,
+      idExpr: String,
+      strataExpr: String,
+      tau: Double,
+      budget: Long,
+      salt: String = "graft"
+  ): (String, String) = {
+    val fSql =
+      s"least(1.0, (CAST($budget AS DOUBLE) * round(_p / _s, 6)) / CAST(_cnt AS DOUBLE))"
+    val cte =
+      s"""_tcnt AS (
+         |  SELECT $strataExpr AS _stratum, count(*) AS _cnt,
+         |    round(pow(CAST(count(*) AS DOUBLE), $tau), 6) AS _p
+         |  FROM $table GROUP BY $strataExpr),
+         |_ttot AS (SELECT CAST(SUM(CAST(_p AS DECIMAL(38,6))) AS DOUBLE) AS _s FROM _tcnt),
+         |_thr AS (
+         |  SELECT _stratum,
+         |    CASE WHEN $fSql >= 1.0 THEN 'g'
+         |         ELSE printf('%08x', CAST(floor($fSql * 4294967296.0) AS BIGINT))
+         |    END AS _th
+         |  FROM _tcnt, _ttot)""".stripMargin
+    val pred =
+      s"substr(md5(CAST($idExpr AS VARCHAR) || ':$salt'), 1, 8) < _thr._th"
+    (cte, pred)
+  }
+
   def mixtureSampleSql(
       table: String,
       idExpr: String,

@@ -221,6 +221,33 @@ object PipelineQueries extends QueryPack {
     }
   )
 
+  // temperature variant: shares derive from the data (w ∝ n^τ) instead
+  // of a hand-written list; τ=0.5 visibly flattens the 20-source skew
+  // and budget 150 keeps every stratum fractional at sf0.01
+  private val mixtureTemperatureQ = Q(
+    fn = (s, d) =>
+      Corpus
+        .mixtureTemperature(
+          Tables.documents(s, d),
+          "doc_id",
+          "source",
+          tau = 0.5,
+          budget = 150L
+        )
+        .select(col("doc_id"), col("source"))
+        .orderBy("doc_id"),
+    oracle = Some {
+      val (cte, pred) =
+        Corpus.mixtureTemperatureSql("documents", "doc_id", "source", 0.5, 150L)
+      s"""
+      WITH $cte
+      SELECT d.doc_id, d.source
+      FROM documents d JOIN _thr ON d.source = _thr._stratum
+      WHERE $pred
+      ORDER BY doc_id"""
+    }
+  )
+
   // weight-budgeted variant: budget in CHARACTERS (the token-budget
   // contract) against the n_chars column; 20000 puts src0 over the
   // f >= 1 keep-all cap at sf0.01 while the others stay fractional
@@ -408,6 +435,7 @@ object PipelineQueries extends QueryPack {
     "pipeline_corpus_decon" -> funnelDeconQ,
     "pipeline_dedup_prior" -> dedupPriorQ,
     "pipeline_mixture_sample" -> mixtureQ,
+    "pipeline_mixture_temperature" -> mixtureTemperatureQ,
     "pipeline_mixture_tokens" -> mixtureTokensQ,
     "pipeline_quality_cut" -> qualityCutQ
   )

@@ -330,6 +330,47 @@ class CorpusSpec extends SparkSpec {
     assert(math.abs(out("books") - 50L) < 25, s"books=${out("books")}")
   }
 
+  test("mixtureTemperature flattens domain skew toward uniform as tau drops") {
+    // 900/100 split: natural (tau=1) keeps ~9:1, tau=0.5 shifts the
+    // mixture toward the small domain (w = sqrt(n) normalized:
+    // f_big = 200*0.75/900 = 0.1667, f_small = 200*0.25/100 = 0.5)
+    val docs = (1 to 1000)
+      .map(i => (i.toLong, if (i <= 900) "web" else "code"))
+      .toDF("doc_id", "source")
+    def keeps(tau: Double): Map[String, Long] =
+      Corpus
+        .mixtureTemperature(docs, "doc_id", "source", tau, budget = 200L)
+        .groupBy("source")
+        .count()
+        .as[(String, Long)]
+        .collect()
+        .toMap
+    val natural = keeps(1.0)
+    val cooled = keeps(0.5)
+    // tau=1: every domain keeps the SAME fraction (budget/N = 0.2)
+    assert(math.abs(natural("web") - 180L) < 40, s"web=${natural("web")}")
+    assert(math.abs(natural("code") - 20L) < 15, s"code=${natural("code")}")
+    // tau=0.5: the small domain's share rises ~2.5x, the big one's falls
+    assert(cooled("code") > natural("code"))
+    assert(cooled("web") < natural("web"))
+    assert(math.abs(cooled("code") - 50L) < 20, s"code=${cooled("code")}")
+    // budget-monotone + deterministic, like the share-list variant
+    val small = Corpus
+      .mixtureTemperature(docs, "doc_id", "source", 0.5, budget = 100L)
+      .select("doc_id").as[Long].collect().toSet
+    val large = Corpus
+      .mixtureTemperature(docs, "doc_id", "source", 0.5, budget = 200L)
+      .select("doc_id").as[Long].collect().toSet
+    assert(small.subsetOf(large))
+    val again = Corpus
+      .mixtureTemperature(docs.repartition(7), "doc_id", "source", 0.5, budget = 200L)
+      .select("doc_id").as[Long].collect().toSet
+    assert(again === large)
+    intercept[IllegalArgumentException](
+      Corpus.mixtureTemperature(docs, "doc_id", "source", 1.5, 10L)
+    )
+  }
+
   test("mixtureSample is deterministic and budget-monotone (prefix property)") {
     val docs = (1 to 500)
       .map(i => (i.toLong, if (i % 2 == 0) "a" else "b"))
