@@ -128,6 +128,14 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     )
     ext.injectFunction(
       fn(
+        "mp4_meta",
+        "mp4_meta(binary) - [timescale, duration_ticks, duration_ms] from the ISO-BMFF moov/mvhd header, NULL when absent/malformed",
+        1,
+        args => graft.functions.mediaExpressions.Mp4Meta(args.head)
+      )
+    )
+    ext.injectFunction(
+      fn(
         "unicode_normalize",
         "unicode_normalize(text, 'NFC'|'NFD'|'NFKC'|'NFKD') - Unicode normalization (UAX #15)",
         2,

@@ -68,6 +68,70 @@ object MediaKernels {
     null
   }
 
+  /** ISO-BMFF (MP4/MOV/M4A) movie-header walk —
+    * `[timescale, duration_ticks, duration_ms]` from `moov/mvhd`, or
+    * null for non-BMFF / truncated / headerless payloads. The video
+    * analogue of [[jpegDims]]: a duration/sanity gate over a billion
+    * clips must read a few dozen header bytes per file, never hand the
+    * payload to a demuxer. Walks top-level boxes (skipping `ftyp`,
+    * `free`, mdat payloads by their declared size), descends one level
+    * into `moov` for `mvhd`, and handles both version 0 (32-bit
+    * times) and version 1 (64-bit). Contract as the other header
+    * kernels: malformed sizes (< 8), 64-bit `largesize` boxes,
+    * truncation mid-field, or a missing mvhd → null — flagged, never
+    * guessed. duration_ms is floor(ticks * 1000 / timescale), -1 when
+    * timescale is 0 (seen in the wild; the raw fields stay readable).
+    */
+  def mp4Meta(bytes: Array[Byte]): ArrayData = {
+    if (bytes == null) return null
+    val n = bytes.length
+    def u8(i: Int): Int = bytes(i) & 0xff
+    def be32(i: Int): Long =
+      (u8(i).toLong << 24) | (u8(i + 1).toLong << 16) |
+        (u8(i + 2).toLong << 8) | u8(i + 3).toLong
+    def be64(i: Int): Long = (be32(i) << 32) | be32(i + 4)
+    def fourcc(i: Int, s: String): Boolean =
+      (0 until 4).forall(k => u8(i + 4 + k) == s.charAt(k).toInt)
+    if (n < 16) return null
+    // a BMFF stream must LEAD with a well-formed box whose type is a
+    // known top-level 4cc — raw text rarely survives that check
+    if (!fourcc(0, "ftyp") && !fourcc(0, "moov") && !fourcc(0, "mdat") &&
+      !fourcc(0, "free") && !fourcc(0, "wide") && !fourcc(0, "skip"))
+      return null
+    var off = 0L
+    while (off + 8 <= n) {
+      val size = be32(off.toInt)
+      if (size == 1 || size < 8) return null // largesize / malformed
+      if (fourcc(off.toInt, "moov")) {
+        val end = math.min(off + size, n.toLong)
+        var in = off + 8
+        while (in + 8 <= end) {
+          val s2 = be32(in.toInt)
+          if (s2 < 8) return null
+          if (fourcc(in.toInt, "mvhd")) {
+            val c = in.toInt + 8 // content: version(1) flags(3) ...
+            if (in + 12 > end) return null
+            val v = u8(c)
+            val (ts, dur) =
+              if (v == 0) {
+                if (in + 8 + 4 + 16 > end) return null
+                (be32(c + 12), be32(c + 16))
+              } else if (v == 1) {
+                if (in + 8 + 4 + 28 > end) return null
+                (be32(c + 20), be64(c + 24))
+              } else return null
+            val ms = if (ts == 0L) -1L else dur * 1000L / ts
+            return new GenericArrayData(Array(ts, dur, ms))
+          }
+          in += s2
+        }
+        return null // moov without mvhd — malformed
+      }
+      off += size
+    }
+    null
+  }
+
   /** Greedy BPE apply over one already-normalized text (subword-nmt
     * semantics, the inference twin of
     * [[graft.text.Text.bpeTrain]]'s learner): per whitespace word,
@@ -321,6 +385,39 @@ object mediaExpressions {
       copy(child = newChild)
   }
 
+  /** `mp4_meta(binary)` → `[timescale, duration_ticks, duration_ms]`
+    * or NULL (non-BMFF / truncated / headerless).
+    */
+  case class Mp4Meta(child: Expression) extends UnaryExpression {
+
+    override def prettyName: String = "mp4_meta"
+    override def dataType: DataType = ArrayType(LongType, containsNull = false)
+    override def nullable: Boolean = true
+
+    override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+      case BinaryType => TypeCheckResult.TypeCheckSuccess
+      case other =>
+        TypeCheckResult.TypeCheckFailure(
+          s"$prettyName requires binary, got ${other.catalogString}"
+        )
+    }
+
+    override protected def nullSafeEval(input: Any): Any =
+      MediaKernels.mp4Meta(input.asInstanceOf[Array[Byte]])
+
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+      nullSafeCodeGen(
+        ctx,
+        ev,
+        c => s"""
+          ${ev.value} = $kernels.mp4Meta($c);
+          ${ev.isNull} = ${ev.value} == null;"""
+      )
+
+    override protected def withNewChildInternal(newChild: Expression): Mp4Meta =
+      copy(child = newChild)
+  }
+
   /** `bpe_encode(string)` → array of subword tokens under a FIXED
     * learned merge table (rank = position in `merges`). The table is
     * driver-bounded (one row per learned merge) and ships to executors
@@ -373,4 +470,7 @@ object mediaExpressions {
 
   def bpeEncode(c: Column, merges: Seq[(String, String)]): Column =
     GraftColumnBridge.column(BpeEncode(GraftColumnBridge.expression(c), merges))
+
+  def mp4Meta(c: Column): Column =
+    GraftColumnBridge.column(Mp4Meta(GraftColumnBridge.expression(c)))
 }

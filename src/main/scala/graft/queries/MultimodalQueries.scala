@@ -380,7 +380,66 @@ object MultimodalQueries extends QueryPack {
       FROM documents ORDER BY doc_id""")
   )
 
+  /** MP4 movie-header walk (`mediaExpressions.Mp4Meta`): canonical
+    * ISO-BMFF streams BUILT in-plan — ftyp then a moov/mvhd carrying
+    * doc-derived timescale/duration, in BOTH mvhd versions (v0 32-bit
+    * and v1 64-bit times) — plus a moov-without-mvhd stream (NULL —
+    * flagged, never guessed) and a raw-text residue (NULL). The oracle
+    * states timescale/duration/duration_ms directly from the source
+    * fields, so a non-inverting walk hash-fails — the same roundtrip
+    * contract as the JPEG/WAV kernels.
+    */
+  private val mp4Q = Q(
+    fn = (s, d) => {
+      val ts = lit(600L) + pmod(col("doc_id"), lit(1000))
+      val dur = lit(1000L) + pmod(col("n_chars"), lit(5000))
+      val ftyp = lit("000000106674797069736F6D00000000")
+      val mvhd0 = concat(
+        lit("0000001C6D766864"), // size 28, 'mvhd'
+        lit("00000000"), // version 0 + flags
+        lit("0000000000000000"), // creation + modification
+        beHex(ts, 4),
+        beHex(dur, 4)
+      )
+      val moov0 = concat(lit("000000246D6F6F76"), mvhd0) // size 36
+      val mvhd1 = concat(
+        lit("000000286D766864"), // size 40, 'mvhd'
+        lit("01000000"), // version 1 + flags
+        lit("00000000000000000000000000000000"), // creation + mod (64-bit)
+        beHex(ts, 4),
+        beHex(dur, 8)
+      )
+      val moov1 = concat(lit("000000306D6F6F76"), mvhd1) // size 48
+      // moov whose only child is a free box: well-formed, no mvhd
+      val moovEmpty = lit("000000106D6F6F760000000866726565")
+      val m = pmod(col("doc_id"), lit(4))
+      val payload = when(m === 0, unhex(concat(ftyp, moov0)))
+        .when(m === 1, unhex(concat(ftyp, moov1)))
+        .when(m === 2, unhex(concat(ftyp, moovEmpty)))
+        .otherwise(encode(col("text"), "UTF-8"))
+      val meta = graft.functions.mediaExpressions.mp4Meta(payload)
+      Tables
+        .documents(s, d)
+        .select(
+          col("doc_id"),
+          element_at(meta, 1).as("timescale"),
+          element_at(meta, 2).as("duration"),
+          element_at(meta, 3).as("duration_ms")
+        )
+        .orderBy("doc_id")
+    },
+    oracle = Some("""
+      SELECT doc_id,
+        CASE WHEN doc_id % 4 <= 1 THEN 600 + doc_id % 1000 END AS timescale,
+        CASE WHEN doc_id % 4 <= 1 THEN 1000 + n_chars % 5000 END AS duration,
+        CASE WHEN doc_id % 4 <= 1 THEN
+          ((1000 + n_chars % 5000) * 1000) // (600 + doc_id % 1000)
+        END AS duration_ms
+      FROM documents ORDER BY doc_id""")
+  )
+
   val queries: Map[String, Q] = Map(
+    "multimodal_mp4_meta" -> mp4Q,
     "multimodal_image_dims" -> imageDimsQ,
     "multimodal_jpeg_dims" -> jpegDimsQ,
     "multimodal_binary_meta" -> binaryMetaQ,

@@ -133,4 +133,46 @@ class MediaKernelsSpec extends SparkSpec {
     assert(jp(0).getLong(0) == 640L && jp(0).getLong(1) == 480L)
     assert(jp(1).isNullAt(0) && jp(1).isNullAt(1))
   }
+
+  private def mp4(h: String): Option[(Long, Long, Long)] =
+    Option(MediaKernels.mp4Meta(hex(h)))
+      .map(a => (a.getLong(0), a.getLong(1), a.getLong(2)))
+
+  // ftyp isom + moov/mvhd v0: timescale 600, duration 3000 -> 5000 ms
+  private val ftyp = "00000010 66747970 69736F6D 00000000"
+  private val mvhdV0 =
+    "0000001C 6D766864 00000000 00000000 00000000 00000258 00000BB8"
+  private val moovV0 = s"00000024 6D6F6F76 $mvhdV0"
+
+  test("mp4Meta walks boxes to mvhd in both versions; ms is floor ticks*1000/ts") {
+    assert(mp4(s"$ftyp $moovV0") === Some((600L, 3000L, 5000L)))
+    // a free box between ftyp and moov is skipped by its size
+    assert(mp4(s"$ftyp 00000008 66726565 $moovV0") === Some((600L, 3000L, 5000L)))
+    // inside moov, a leading free box is skipped before mvhd
+    assert(
+      mp4(s"$ftyp 0000002C 6D6F6F76 00000008 66726565 $mvhdV0") ===
+        Some((600L, 3000L, 5000L))
+    )
+    // v1: 64-bit creation/modification/duration; duration 2^32+600
+    val mvhdV1 = "00000028 6D766864 01000000 " +
+      "0000000000000000 0000000000000000 00000258 0000000100000258"
+    assert(
+      mp4(s"$ftyp 00000030 6D6F6F76 $mvhdV1") ===
+        Some((600L, 4294967896L, 4294967896L * 1000L / 600L))
+    )
+    // zero timescale: raw fields readable, ms flagged -1
+    val mvhdTs0 =
+      "0000001C 6D766864 00000000 00000000 00000000 00000000 00000BB8"
+    assert(mp4(s"$ftyp 00000024 6D6F6F76 $mvhdTs0") === Some((0L, 3000L, -1L)))
+  }
+
+  test("mp4Meta flags malformed/headerless streams as NULL, never guesses") {
+    assert(mp4("41424344454647484950515253545556") === None) // not BMFF
+    assert(mp4(ftyp) === None) // no moov at all
+    assert(mp4(s"$ftyp 00000010 6D6F6F76 00000008 66726565") === None) // moov, no mvhd
+    assert(mp4(s"$ftyp 00000024 6D6F6F76") === None) // moov truncated before mvhd
+    assert(mp4(s"$ftyp 00000001 6D6F6F76 0000000000000030") === None) // largesize
+    assert(mp4(s"$ftyp 00000004 6D6F6F76") === None) // size < 8
+    assert(mp4("00000010 66747970 69736F") === None) // under 16 bytes
+  }
 }
