@@ -330,6 +330,51 @@ class CorpusSpec extends SparkSpec {
     assert(math.abs(out("books") - 50L) < 25, s"books=${out("books")}")
   }
 
+  test("a trained classifier score slots into the funnel as an extraStages cut") {
+    // train on the corpus' own weak labels, then gate the funnel on the
+    // model's score — the CCNet end-to-end: classifier AS a pipeline
+    // stage, with first-failing accounting intact
+    import graft.ml.Logit
+    // every doc passes the rule + language stages (en-stopword-rich,
+    // well over the word floor); the ONLY difference is length, which
+    // the classifier learns and the extra stage cuts on
+    val unit = "the quick brown foxes jump over the lazy dogs while many people watch with great interest today "
+    val docs = (1 to 40)
+      .map { i =>
+        val reps = if (i % 2 == 0) 4 else 8 // ~65 vs ~129 tokens, both past the rule floor; balanced classes keep the 0.5 cut between the two scores
+        (i.toLong, (unit * reps) + s"doc$i")
+      }
+      .toDF("doc_id", "text")
+    val x1 = graft.functions.round6(
+      least(graft.text.Text.tokenCount(col("text")).cast("double") / 120.0, lit(1.0))
+    )
+    val feats = docs.select(
+      col("doc_id"),
+      when(graft.text.Text.tokenCount(col("text")) > 100, 1.0).otherwise(0.0).as("label"),
+      x1.as("x1")
+    )
+    val m = Logit.fit(feats, "label", Seq("x1"), iters = 20, lr = 5.0)
+    // the score expression computes over the raw frame scan-side (x1
+    // rebuilt from text) — no join back to the training frame
+    val scoreExpr = Logit.score(m.weights, Seq("x1"))
+    val out = Corpus
+      .prepareFunnel(
+        docs.withColumn("x1", x1),
+        extraStages = Seq("classifier_low_quality" -> (scoreExpr < 0.5))
+      )
+      .orderBy("doc_id")
+      .collect()
+    val shortDocs = out.filter(_.getAs[Long]("doc_id") % 2 == 0)
+    val longDocs = out.filter(_.getAs[Long]("doc_id") % 2 != 0)
+    assert(shortDocs.nonEmpty && shortDocs.forall(r =>
+      !r.getAs[Boolean]("kept") &&
+        r.getAs[String]("drop_reason") == "classifier_low_quality"))
+    // long docs survive the classifier; only the funnel's own dedup may
+    // demote them (near-identical repeated text), never the new stage
+    assert(longDocs.forall(r =>
+      r.getAs[String]("drop_reason") != "classifier_low_quality"))
+  }
+
   test("mixtureTemperature flattens domain skew toward uniform as tau drops") {
     // 900/100 split: natural (tau=1) keeps ~9:1, tau=0.5 shifts the
     // mixture toward the small domain (w = sqrt(n) normalized:
