@@ -17,8 +17,9 @@ object PipelineQueries extends QueryPack {
   private def inList(words: Seq[String]): String =
     words.map(w => s"'$w'").mkString("(", ", ", ")")
 
+  // case-insensitive, mirroring Text.hitCount's lower(t) membership test
   private def swCountSql(lang: String): String =
-    s"len(list_filter(string_split(text, ' '), t -> t IN ${inList(Text.stopwords(lang))}))"
+    s"len(list_filter(string_split(text, ' '), t -> lower(t) IN ${inList(Text.stopwords(lang))}))"
 
   // shared funnel SQL: per-row first-failing drop reason, mirroring
   // Corpus.prepareFunnel stage for stage (gopher rules in evaluation
@@ -31,7 +32,7 @@ object PipelineQueries extends QueryPack {
           len(string_split(text, ' ')) AS n_words,
           CAST(length(replace(text, ' ', '')) AS DOUBLE)
             / len(string_split(text, ' ')) AS mwl,
-          CAST(length(regexp_replace(text, '[a-z0-9 ]', '', 'g')) AS DOUBLE)
+          CAST(length(regexp_replace(lower(text), '[a-z0-9 ]', '', 'g')) AS DOUBLE)
             / length(text) AS pr,
           ${swCountSql("en")} AS c_en, ${swCountSql("de")} AS c_de,
           ${swCountSql("fr")} AS c_fr, ${swCountSql("es")} AS c_es,
@@ -112,7 +113,7 @@ object PipelineQueries extends QueryPack {
           len(string_split(text, ' ')) AS n_words,
           CAST(length(replace(text, ' ', '')) AS DOUBLE)
             / len(string_split(text, ' ')) AS mwl,
-          CAST(length(regexp_replace(text, '[a-z0-9 ]', '', 'g')) AS DOUBLE)
+          CAST(length(regexp_replace(lower(text), '[a-z0-9 ]', '', 'g')) AS DOUBLE)
             / length(text) AS pr,
           ${swCountSql("en")} AS c_en, ${swCountSql("de")} AS c_de,
           ${swCountSql("fr")} AS c_fr, ${swCountSql("es")} AS c_es,
@@ -303,7 +304,7 @@ object PipelineQueries extends QueryPack {
       WITH t AS (
         SELECT doc_id, lang,
           CAST(${swCountSql("en")} AS DOUBLE) / len(string_split(text, ' ')) AS swr,
-          CAST(length(regexp_replace(text, '[a-z0-9 ]', '', 'g')) AS DOUBLE)
+          CAST(length(regexp_replace(lower(text), '[a-z0-9 ]', '', 'g')) AS DOUBLE)
             / length(text) AS pr,
           len(string_split(text, ' ')) AS ntok,
           CAST(length(replace(text, ' ', '')) AS DOUBLE)

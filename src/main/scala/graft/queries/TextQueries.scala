@@ -10,8 +10,9 @@ object TextQueries extends QueryPack {
   private def inList(words: Seq[String]): String =
     words.map(w => s"'$w'").mkString("(", ", ", ")")
 
+  // case-insensitive, mirroring Text.hitCount's lower(t) membership test
   private def swCountSql(lang: String): String =
-    s"len(list_filter(string_split(text, ' '), t -> t IN ${inList(Text.stopwords(lang))}))"
+    s"len(list_filter(string_split(text, ' '), t -> lower(t) IN ${inList(Text.stopwords(lang))}))"
 
   // Cross-source length-distribution KS: "do my sources draw docs
   // from the same length distribution" — the mixture-QA twin of the
@@ -121,7 +122,7 @@ object TextQueries extends QueryPack {
       WITH t AS (
         SELECT doc_id,
           CAST(${swCountSql("en")} AS DOUBLE) / len(string_split(text, ' ')) AS swr,
-          CAST(length(regexp_replace(text, '[a-z0-9 ]', '', 'g')) AS DOUBLE)
+          CAST(length(regexp_replace(lower(text), '[a-z0-9 ]', '', 'g')) AS DOUBLE)
             / length(text) AS pr,
           len(string_split(text, ' ')) AS ntok,
           CAST(length(replace(text, ' ', '')) AS DOUBLE)
@@ -690,7 +691,7 @@ object TextQueries extends QueryPack {
           len(string_split(text, ' ')) AS n_words,
           CAST(length(replace(text, ' ', '')) AS DOUBLE)
             / len(string_split(text, ' ')) AS mwl,
-          CAST(length(regexp_replace(text, '[a-z0-9 ]', '', 'g')) AS DOUBLE)
+          CAST(length(regexp_replace(lower(text), '[a-z0-9 ]', '', 'g')) AS DOUBLE)
             / length(text) AS pr,
           ${swCountSql("en")} AS sw_hits
         FROM documents),

@@ -135,16 +135,25 @@ object Text {
   /** Deterministic document fingerprint (md5 of normalized text). */
   def fingerprint(c: Column): Column = md5(normalize(c))
 
-  /** Count of tokens present in `words`. */
+  /** Count of tokens present in `words` — CASE-INSENSITIVE (each token
+    * is lowercased before the membership test; the word lists are
+    * lowercase by convention), so "The" hits the English list on raw
+    * crawl text, not only after [[normalize]].
+    */
   def hitCount(toks: Column, words: Seq[String]): Column =
-    size(filter(toks, t => t.isin(words: _*)))
+    size(filter(toks, t => lower(t).isin(words: _*)))
 
   def stopwordRatio(c: Column, words: Seq[String] = stopwords("en")): Column =
     hitCount(tokens(c), words) / tokenCount(c)
 
-  /** Ratio of non-alphanumeric, non-space characters. */
+  /** Ratio of non-alphanumeric, non-space characters. Case-insensitive:
+    * the input is lowercased before the class strip so ordinary
+    * capitalized prose ("The cat…") does not count letters as symbols —
+    * the denominator stays the RAW length (lowercasing is length-
+    * preserving for the ASCII range this ratio targets).
+    */
   def punctRatio(c: Column): Column =
-    length(regexp_replace(c, "[a-z0-9 ]", "")) / length(c)
+    length(regexp_replace(lower(c), "[a-z0-9 ]", "")) / length(c)
 
   def meanWordLen(c: Column): Column =
     length(regexp_replace(c, " ", "")) / tokenCount(c)

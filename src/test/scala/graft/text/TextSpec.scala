@@ -130,6 +130,30 @@ class TextSpec extends SparkSpec {
     assert(reason("the cat sat on the mat with all of them") == "ok")
   }
 
+  test("quality heuristics are mixed-case-safe on raw crawl text") {
+    // Ordinarily capitalized prose: letters must NOT count as symbols,
+    // and "The" must hit the English stopword list — pre-fix, this
+    // sentence was mass-rejected by the symbol_ratio rule.
+    val prose = "The quick brown Fox jumps over the lazy Dog and then " +
+      "The Fox runs far away into the deep Forest with all of its kin " +
+      "while the Dog sits by the old barn and waits for the long day " +
+      "to end as the sun falls below the far hills of the green land"
+    assert(one(Text.gopherReason($"t"), prose) == "ok")
+    // punctRatio: only true symbols count, case-blind
+    val pr = one(Text.punctRatio($"t"), "The cat!").asInstanceOf[Double]
+    assert(math.abs(pr - 1.0 / 8.0) < 1e-9) // '!' alone over 8 chars
+    // stopwordRatio: "The" and "THE" both hit the lowercase list
+    val swr = one(Text.stopwordRatio($"t"), "The THE zzz").asInstanceOf[Double]
+    assert(math.abs(swr - 2.0 / 3.0) < 1e-9)
+    // langId sees capitalized stopwords too
+    assert(one(Text.langId($"t"), "The Cat Is On The Mat") == "en")
+    // identical text differing only in case gets identical quality
+    val qs = Seq("the cat is on the mat", "The Cat Is On The Mat")
+      .toDF("t").select(Text.qualityScore($"t").as("q"))
+      .collect().map(_.getDouble(0))
+    assert(qs(0) === qs(1))
+  }
+
   test("quality score is in [0,1] and favors prose over symbol soup") {
     val q = Seq("the cat is on the mat and it is a fine day for all of us", "@#$% ^&*! ~~~")
       .toDF("t")
