@@ -1,5 +1,7 @@
 package graft.anomaly
 
+import java.sql.Date
+
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.{Window, WindowSpec}
 import org.apache.spark.sql.functions._
@@ -371,6 +373,103 @@ case class AutoRegressive(p: Int = 2, minTrain: Int = 8) extends ForecastModel {
   }
 }
 
+/** Calendar-regressor forecast — the AutoProphet slot (reference
+  * thoth/anomaly/models.py:216-241 wraps Merlion's AutoProphet:
+  * piecewise trend plus calendar regressors). graft's distributed
+  * equivalent: a per-series expanding-window least-squares fit of
+  *
+  *   value ~ a + b * days_since_epoch + dow_effect(day_of_week)
+  *             [+ holiday_effect when the row's date is in `holidays`]
+  *
+  * computed for EVERY series at every row in one window exchange, the
+  * same normal-equations machinery as [[AutoRegressive]] with calendar
+  * indicator columns in place of lag columns. Two-stage decomposition
+  * instead of the joint 8x8 solve (whose unrolled Cramer expansion is
+  * factorial): (1) the trend (a, b) is the closed-form 2-regressor OLS
+  * over all strictly-preceding rows through DECIMAL(38,10) expanding
+  * moments (order-independent, bit-identical in DuckDB); (2) each
+  * calendar slot's effect is the mean residual y - (a + b*x) over the
+  * strictly-preceding rows IN that slot, evaluated with the row-t
+  * coefficients — all conditional expanding sums, no second pass. On a
+  * noiseless linear-trend + balanced day-of-week series the estimates
+  * converge to the exact planted effects (the seasonal component is
+  * orthogonal to the trend over complete weeks).
+  *
+  * What this buys over [[HoltWinters]]/[[SeasonalNaive]] (row-lag
+  * seasonality): the regressors read the CALENDAR, not row offsets —
+  * a Dec-25 dip lands on the holiday indicator instead of false-
+  * alarming, and series with missing days (business-day metrics, gappy
+  * ingestion) keep their weekday alignment where a lag-7 model drifts
+  * out of phase. Trend time is days-since-epoch, so gaps also leave
+  * the slope honest.
+  *
+  * A slot effect activates once >= 2 training rows carry it (else 0 —
+  * falls back to the pure trend, flagged by construction rather than
+  * guessed from one point). NULL until `minTrain` training rows
+  * precede the row or when the trend system fails the same scale-free
+  * conditioning gate as AR (relative variance floor on centered x —
+  * refuses single-timestamp degenerate series).
+  */
+case class CalendarRegression(
+    tsCol: String = "ts",
+    holidays: Seq[String] = Nil,
+    minTrain: Int = 14
+) extends ForecastModel {
+  require(minTrain >= 4, s"minTrain must be >= 4, got $minTrain")
+  val name: String =
+    if (holidays.isEmpty) "Calendar-dow" else s"Calendar-dow-h${holidays.size}"
+  private val xName = "_cal_x"
+  private val dwName = "_cal_dow"
+
+  override def prepare(df: DataFrame, value: Column, w: WindowSpec): DataFrame =
+    df.withColumn(
+        xName,
+        datediff(col(tsCol), to_date(lit("1970-01-01"))).cast("double")
+      )
+      .withColumn(dwName, dayofweek(col(tsCol)))
+
+  def forecast(value: Column, w: WindowSpec): Column = {
+    val dec = DecimalType(38, 10)
+    val wp = w.rowsBetween(Window.unboundedPreceding, -1)
+    val x = col(xName)
+    val dw = col(dwName)
+    val v = value.isNotNull
+    def msum(e: Column) = sum(when(v, e.cast(dec))).over(wp).cast("double")
+    val nT = sum(when(v, 1L).otherwise(0L)).over(wp)
+    val nD = nT.cast("double")
+    val sx = msum(x)
+    val sy = msum(value)
+    val sxx = msum(x * x)
+    val sxy = msum(x * value)
+    val cxx = sxx - sx * sx / nD
+    val cxy = sxy - sx * sy / nD
+    val b = cxy / cxx
+    val a = (sy - b * sx) / nD
+    // mean residual of the strictly-preceding rows in a calendar slot,
+    // under the row-t trend; 0 (pure trend) until the slot has >= 2
+    // training rows
+    def slotEff(cond: Column): Column = {
+      val nd = sum(when(v && cond, 1L).otherwise(0L)).over(wp)
+      val ndD = nd.cast("double")
+      val syd = msum(when(cond, value))
+      val sxd = msum(when(cond, x))
+      when(nd >= 2L, (syd - a * ndD - b * sxd) / ndD).otherwise(lit(0.0))
+    }
+    val dowEff = (1 to 7).foldRight(lit(0.0)) { case (d, acc) =>
+      when(dw === d, slotEff(dw === d)).otherwise(acc)
+    }
+    // no trailing `+ 0.0` when holidays are off: IEEE identity except
+    // for -0.0, whose sign a hash-exact oracle would see
+    val pred =
+      if (holidays.isEmpty) a + b * x + dowEff
+      else {
+        val isHol = to_date(col(tsCol)).isin(holidays.map(Date.valueOf): _*)
+        a + b * x + dowEff + when(isHol, slotEff(isHol)).otherwise(lit(0.0))
+      }
+    when(nT >= lit(minTrain.toLong) && cxx > lit(1e-12) * sxx, pred)
+  }
+}
+
 /** Model factory (reference: thoth/anomaly/models.py:244-277). */
 object Models {
   /** The reference SimpleModel's candidate windows. */
@@ -405,14 +504,16 @@ object Models {
   /** Extended family: default + trend-aware Holt + learned-period
     * seasonal (weekly/biweekly/monthly candidates) + the seasonal-and-
     * trend Holt-Winters grid (the AutoML slots) + the least-squares
-    * AR(2) fit (the state-space slot).
+    * AR(2) fit (the state-space slot) + the calendar-regressor fit
+    * (the AutoProphet slot — day-of-week/holiday indicators).
     */
   def extended: Seq[ForecastModel] =
     default ++ Seq(
       HoltLinear(),
       AutoSeasonal(Seq(7, 14, 30)),
       HoltWinters(),
-      AutoRegressive()
+      AutoRegressive(),
+      CalendarRegression()
     ) ++ hwGrid()
 
   /** Simple family (reference SimpleModelFactory): trailing means only. */

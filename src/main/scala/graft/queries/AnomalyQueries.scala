@@ -261,6 +261,61 @@ object AnomalyQueries extends QueryPack {
         FROM sar4)"""
   }
 
+  /** Exact SQL mirror of [[graft.anomaly.CalendarRegression]]("ts",
+    * Nil, 14) as a CTE chain ending in
+    * `scal(event_type, ts, value, cal_pred)`: days-since-epoch +
+    * day-of-week projection (DuckDB dayofweek is 0=Sunday, Spark's is
+    * 1=Sunday — hence the +1), DECIMAL(38,10) expanding trend moments
+    * and per-slot conditional sums over the strictly-preceding frame,
+    * the closed-form 2-regressor solve, per-slot mean-residual effects
+    * gated at >= 2 slot rows, and the same conditioning gate as AR —
+    * every double operation in the Column expression's order.
+    */
+  private val calCtes: String = {
+    val wp =
+      """(PARTITION BY event_type ORDER BY ts
+         ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)"""
+    val v = "(value IS NOT NULL)"
+    def msum(e: String) =
+      s"CAST(SUM(CASE WHEN $v THEN CAST($e AS DECIMAL(38,10)) END) OVER $wp AS DOUBLE)"
+    def slotSum(d: Int, e: String) =
+      msum(s"(CASE WHEN dw = $d THEN $e END)")
+    val slotCols = (1 to 7)
+      .map { d =>
+        s"""SUM(CASE WHEN $v AND dw = $d THEN 1 ELSE 0 END) OVER $wp AS nd$d,
+            ${slotSum(d, "value")} AS syd$d, ${slotSum(d, "x")} AS sxd$d"""
+      }
+      .mkString(",\n          ")
+    def eff(d: Int) =
+      s"""CASE WHEN nd$d >= 2
+          THEN (syd$d - a * CAST(nd$d AS DOUBLE) - b * sxd$d) / CAST(nd$d AS DOUBLE)
+          ELSE 0.0 END"""
+    val effCase = (1 to 7)
+      .map(d => s"WHEN dw = $d THEN (${eff(d)})")
+      .mkString("CASE ", " ", " ELSE 0.0 END")
+    s"""scal0 AS (SELECT event_type, ts, value,
+          CAST(date_diff('day', TIMESTAMP '1970-01-01 00:00:00', ts) AS DOUBLE) AS x,
+          dayofweek(ts) + 1 AS dw
+        FROM s),
+      scal1 AS (SELECT event_type, ts, value, x, dw,
+          SUM(CASE WHEN $v THEN 1 ELSE 0 END) OVER $wp AS n_t,
+          ${msum("x")} AS sx, ${msum("value")} AS sy,
+          ${msum("(x * x)")} AS sxx, ${msum("(x * value)")} AS sxy,
+          $slotCols
+        FROM scal0),
+      scal2 AS (SELECT *, CAST(n_t AS DOUBLE) AS nd,
+          sxx - sx * sx / CAST(n_t AS DOUBLE) AS cxx,
+          sxy - sx * sy / CAST(n_t AS DOUBLE) AS cxy
+        FROM scal1),
+      scal3 AS (SELECT *, cxy / cxx AS b FROM scal2),
+      scal4 AS (SELECT *, (sy - b * sx) / nd AS a FROM scal3),
+      scal AS (SELECT event_type, ts, value,
+          CASE WHEN n_t >= 14 AND cxx > 1e-12 * sxx
+            THEN a + b * x + ($effCase)
+          END AS cal_pred
+        FROM scal4)"""
+  }
+
   private val tmModels = Seq(3, 5, 7).map(w => (s"TrailingMean-$w", tmSql(w), "s"))
   // candidates {2,7} with h=4 keep the history requirement (h+7=11)
   // inside the 30-day series' 12-point training prefix
@@ -276,15 +331,18 @@ object AnomalyQueries extends QueryPack {
   private val hwGridModels = Seq(HoltWinters(0.3, 7, 2), HoltWinters(0.5, 14, 2))
   // the state-space slot: least-squares AR(2) fit per series per row
   private val arModel = AutoRegressive(2)
+  // the AutoProphet slot: expanding trend + day-of-week regressors
+  private val calModel = CalendarRegression()
   private val bestModels = tmModels ++
     Seq(
       ("SeasonalNaive-7", snSql(7), "s"),
       (autoModel.name, autoSeasonalSql(Seq(2, 7), 4), "s"),
       (hwModel.name, hwSql(0.5, 7, 2), "s"),
-      (arModel.name, "ar_pred", "sar")) ++
+      (arModel.name, "ar_pred", "sar"),
+      (calModel.name, "cal_pred", "scal")) ++
     hwGridModels.map(m => (m.name, hwSql(m.gamma, m.period, m.nSeasons), "s"))
   private val bestModelSet = Models.trailingMeans(Seq(3, 5, 7)) ++
-    Seq(SeasonalNaive(7), autoModel, hwModel, arModel) ++ hwGridModels
+    Seq(SeasonalNaive(7), autoModel, hwModel, arModel, calModel) ++ hwGridModels
 
   // mirrors Optimizer.optimize incl. the minValidationPoints qualifier
   // (Optimizer.scala — models with < 3 valid validation errors never
@@ -336,6 +394,27 @@ object AnomalyQueries extends QueryPack {
         .orderBy("event_type", "ts"),
     oracle = Some(s"""$seriesCte, $arCtes, f AS (
         SELECT event_type, ts, value, ar_pred AS predicted FROM sar)
+      SELECT event_type, ts, value, round(predicted, 6) AS predicted,
+        round($apeSql, 6) AS error
+      FROM f ORDER BY event_type, ts""")
+  )
+
+  // Calendar-regressor forecast (the AutoProphet slot): same contract
+  // as forecastQuery, oracle reads the prepared calendar CTE chain
+  private val forecastCal = Q(
+    fn = (s, d) =>
+      Optimizer
+        .forecastErrors(series(s, d), seriesCols, cfg = cfg(Seq(calModel)))
+        .select(
+          col("event_type"),
+          col("ts"),
+          col("value"),
+          round6(col("predicted")).as("predicted"),
+          round6(col("error")).as("error")
+        )
+        .orderBy("event_type", "ts"),
+    oracle = Some(s"""$seriesCte, $calCtes, f AS (
+        SELECT event_type, ts, value, cal_pred AS predicted FROM scal)
       SELECT event_type, ts, value, round(predicted, 6) AS predicted,
         round($apeSql, 6) AS error
       FROM f ORDER BY event_type, ts""")
@@ -393,7 +472,7 @@ object AnomalyQueries extends QueryPack {
           col("below_proportion")
         )
         .orderBy("event_type"),
-    oracle = Some(s"""$seriesCte, $arCtes ${summarySql(bestModels, 0.95)}
+    oracle = Some(s"""$seriesCte, $arCtes, $calCtes ${summarySql(bestModels, 0.95)}
       SELECT event_type, best_model, threshold, round(mean_error, 6) AS mean_error,
         below_proportion
       FROM ($bestModelSelSql) ORDER BY event_type""")
@@ -428,7 +507,7 @@ object AnomalyQueries extends QueryPack {
           round6(col("score")).as("score")
         )
         .orderBy("event_type"),
-    oracle = Some(s"""$seriesCte, $arCtes ${summarySql(bestModels, 0.95)} $scoreSql
+    oracle = Some(s"""$seriesCte, $arCtes, $calCtes ${summarySql(bestModels, 0.95)} $scoreSql
       SELECT event_type, ts, value, round(predicted, 6) AS predicted,
         round(score, 6) AS score
       FROM scored ORDER BY event_type""")
@@ -452,7 +531,7 @@ object AnomalyQueries extends QueryPack {
         )
         .orderBy("event_type")
     },
-    oracle = Some(s"""$seriesCte, $arCtes ${summarySql(bestModels, 0.95)} $scoreSql
+    oracle = Some(s"""$seriesCte, $arCtes, $calCtes ${summarySql(bestModels, 0.95)} $scoreSql
       SELECT sc.event_type, sc.ts, round(sc.score, 6) AS score, b.threshold,
         coalesce(sc.score > b.threshold, true) AS is_anomalous
       FROM scored sc JOIN ($bestModelSelSql) b ON sc.event_type = b.event_type
@@ -840,6 +919,7 @@ object AnomalyQueries extends QueryPack {
       hwSql(0.5, 7, 2)),
     "anomaly_forecast_auto" -> forecastQuery(autoModel, autoSeasonalSql(Seq(2, 7), 4)),
     "anomaly_forecast_ar" -> forecastAr,
+    "anomaly_forecast_calendar" -> forecastCal,
     "anomaly_best_window" -> bestWindow,
     "anomaly_threshold" -> threshold,
     "anomaly_best_model" -> bestModel,

@@ -136,14 +136,19 @@ class AnomalySpec extends SparkSpec {
     assert(out.getAs[Double]("holt_err") < 0.5) // near-exact on pure trend
     assert(out.getAs[Double]("tm_err") > 10.0) // trailing mean lags by ~4 steps
     // and the optimizer picks a trend-aware model from the extended
-    // family (Holt and AutoSeasonal are both exact on a pure trend;
-    // the deterministic name tie-break decides between them)
+    // family (HoltLinear, AutoSeasonal, AR(1) and CalendarRegression
+    // are all exact-or-near on a pure trend; validation error and the
+    // deterministic name tie-break decide between them)
     val opt = Optimizer
       .optimize(series, Seq("series"), cfg = Optimizer.Config(models = Models.extended))
       .collect()
       .head
     val best = opt.getAs[String]("best_model")
-    assert(best.startsWith("HoltLinear") || best.startsWith("AutoSeasonal"), best)
+    assert(
+      best.startsWith("HoltLinear") || best.startsWith("AutoSeasonal") ||
+        best.startsWith("Calendar"),
+      best
+    )
   }
 
   test("HoltWinters is exact on a noiseless additive trend+seasonal series") {
@@ -449,6 +454,139 @@ class AnomalySpec extends SparkSpec {
     // every forecast except (possibly) ones after the corrupted row —
     // i.e. all of them, it is the last row — must be bit-identical
     assert(a == b, "future data leaked into an earlier fit")
+  }
+
+  // (dayIndex, value) rows at day granularity — gaps allowed, unlike
+  // arSeries' dense index
+  private def calSeries(rows: Seq[(Int, Double)], key: String = "s") = {
+    import spark.implicits._
+    rows
+      .map { case (day, v) => (key, new java.sql.Timestamp(86400000L * day), v) }
+      .toDF("series", "ts", "value")
+  }
+
+  private def calForecasts(
+      m: CalendarRegression,
+      rows: Seq[(Int, Double)]
+  ): Seq[Option[Double]] = {
+    val w = Window.partitionBy($"series").orderBy($"ts")
+    val df = calSeries(rows)
+    m.prepare(df, $"value", w)
+      .withColumn("f", m.forecast($"value", w))
+      .orderBy("ts")
+      .select("f")
+      .collect()
+      .toSeq
+      .map(r => if (r.isNullAt(0)) None else Some(r.getDouble(0)))
+  }
+
+  // planted calendar series: y = level + slope*day + dow_effect. For
+  // the two-stage fit to be EXACT on complete-week prefixes the
+  // effects must be orthogonal to both trend regressors within one
+  // week: sum(s) = 0 (intercept) and sum over r=1..7 of r * s(r mod 7)
+  // = 0 (slope). This set satisfies both (7*16 + 4 - 4 + 6 - 4 + 0 -
+  // 114 = 0).
+  private val dowEffects =
+    Map(0 -> 16.0, 1 -> 4.0, 2 -> -2.0, 3 -> 2.0, 4 -> -1.0, 5 -> 0.0, 6 -> -19.0)
+  private def plantedCal(day: Int): Double =
+    100.0 + 0.5 * day + dowEffects(day % 7)
+
+  test("CalendarRegression recovers a planted weekday effect exactly on complete weeks") {
+    val rows = (1 to 43).map(d => d -> plantedCal(d))
+    val fc = calForecasts(CalendarRegression(), rows)
+    // NULL until minTrain=14 training rows precede (rn >= 15)
+    assert(fc.take(14).forall(_.isEmpty))
+    // rows whose training prefix is exactly k complete weeks: the
+    // seasonal component is orthogonal to the trend there, so the
+    // two-stage fit recovers level, slope, and every effect exactly
+    rows.zipWithIndex.foreach { case ((day, want), i) =>
+      if (i >= 14 && i % 7 == 0)
+        assert(
+          fc(i).isDefined && math.abs(fc(i).get - want) < 1e-6,
+          s"day $day: got ${fc(i)} want $want"
+        )
+    }
+  }
+
+  test("CalendarRegression stays calendar-aligned across gaps that derail row-lag models") {
+    // business-day-style series: weekends (day%7 == 5 or 6) missing,
+    // plus a one-week ingestion outage — row offsets no longer mean
+    // anything, calendar columns still do
+    val rows = (1 to 84)
+      .filterNot(d => d % 7 == 5 || d % 7 == 6)
+      .filterNot(d => d > 40 && d <= 47)
+      .map(d => d -> plantedCal(d))
+    val best = Optimizer
+      .optimize(
+        calSeries(rows, "gappy"),
+        Seq("series"),
+        cfg = Optimizer.Config(models = Models.extended)
+      )
+      .collect()
+      .head
+    assert(
+      best.getAs[String]("best_model") == "Calendar-dow",
+      s"calendar model must win CV on a gappy weekday series, got " +
+        best.getAs[String]("best_model")
+    )
+    assert(!best.getAs[Boolean]("optimization_failed"))
+  }
+
+  test("CalendarRegression holiday indicator absorbs a recurring dip instead of false-alarming") {
+    // 'holiday' dips of -40 on days falling on DIFFERENT weekdays (as
+    // real calendar holidays do), so the dip cannot hide in a single
+    // day-of-week effect: training dips on slots 2 and 3 (whose
+    // planted effects cancel, keeping the pooled holiday effect
+    // unbiased), the held-out dip on slot 6
+    val holidays = Seq(9, 24, 62)
+    val holiDates = holidays.map(d =>
+      java.time.Instant
+        .ofEpochMilli(86400000L * d)
+        .atZone(java.time.ZoneOffset.UTC)
+        .toLocalDate
+        .toString)
+    val rows = (1 to 70).map { d =>
+      d -> (plantedCal(d) + (if (holidays.contains(d)) -40.0 else 0.0))
+    }
+    val plain = calForecasts(CalendarRegression(), rows)
+    val aware = calForecasts(CalendarRegression(holidays = holiDates), rows)
+    // day 62 is the third dip: the aware model has 2 training holidays
+    // (>= 2 slot rows), so its forecast lands near the dipped value
+    val i62 = rows.indexWhere(_._1 == 62)
+    val want = rows(i62)._2
+    assert(aware(i62).isDefined && math.abs(aware(i62).get - want) < 5.0,
+      s"holiday-aware forecast ${aware(i62)} should land near $want")
+    assert(math.abs(plain(i62).get - want) > 20.0,
+      "the holiday-blind model must miss the dip (that is the point)")
+    // and the names stay distinct for the optimizer's model column
+    assert(CalendarRegression().name == "Calendar-dow")
+    assert(CalendarRegression(holidays = holiDates).name == "Calendar-dow-h3")
+  }
+
+  test("CalendarRegression fits on strictly preceding rows only") {
+    val base = (1 to 40).map(d => d -> plantedCal(d))
+    val poisoned = base.init :+ (base.last._1 -> 1e6)
+    assert(
+      calForecasts(CalendarRegression(), base) ==
+        calForecasts(CalendarRegression(), poisoned),
+      "future data leaked into an earlier calendar fit"
+    )
+  }
+
+  test("CalendarRegression refuses degenerate time axes instead of guessing") {
+    // all rows on ONE day (zero x variance): conditioning gate -> NULL
+    import spark.implicits._
+    val df = (1 to 30)
+      .map(i => ("s", new java.sql.Timestamp(86400000L + i), i.toDouble))
+      .toDF("series", "ts", "value")
+    val m = CalendarRegression()
+    val w = Window.partitionBy($"series").orderBy($"ts")
+    val fc = m
+      .prepare(df, $"value", w)
+      .withColumn("f", m.forecast($"value", w))
+      .select("f")
+      .collect()
+    assert(fc.forall(_.isNullAt(0)))
   }
 
   test("AR(2) joins the optimizer family end-to-end and wins on its own process") {
