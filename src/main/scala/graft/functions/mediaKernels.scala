@@ -77,10 +77,18 @@ object MediaKernels {
     * `free`, mdat payloads by their declared size), descends one level
     * into `moov` for `mvhd`, and handles both version 0 (32-bit
     * times) and version 1 (64-bit). Contract as the other header
-    * kernels: malformed sizes (< 8), 64-bit `largesize` boxes,
-    * truncation mid-field, or a missing mvhd → null — flagged, never
-    * guessed. duration_ms is floor(ticks * 1000 / timescale), -1 when
-    * timescale is 0 (seen in the wild; the raw fields stay readable).
+    * kernels: malformed sizes (< 8; or a size-0 to-EOF box, which only
+    * a trailing box may carry and this walk never needs), truncation
+    * mid-field, or a missing mvhd → null — flagged, never guessed.
+    * 64-bit `largesize` boxes (size field == 1, actual size in the 8
+    * bytes after the 4cc, ISO 14496-12 §4.2) are PARSED, not refused:
+    * files over 4 GiB — exactly the long-video curation target —
+    * routinely carry a largesize `mdat` BEFORE `moov`, and the walk
+    * must skip it to reach the header. A largesize field that is
+    * itself truncated, negative, or smaller than its own 16-byte
+    * header → null. duration_ms is floor(ticks * 1000 / timescale),
+    * -1 when timescale is 0 (seen in the wild; the raw fields stay
+    * readable).
     */
   def mp4Meta(bytes: Array[Byte]): ArrayData = {
     if (bytes == null) return null
@@ -100,33 +108,54 @@ object MediaKernels {
       return null
     var off = 0L
     while (off + 8 <= n) {
-      val size = be32(off.toInt)
-      if (size == 1 || size < 8) return null // largesize / malformed
-      if (fourcc(off.toInt, "moov")) {
-        val end = math.min(off + size, n.toLong)
-        var in = off + 8
+      val o = off.toInt
+      val s32 = be32(o)
+      var size = s32
+      var hdr = 8L
+      if (s32 == 1) { // largesize: 64-bit size after the 4cc
+        if (off + 16 > n) return null // truncated largesize field
+        size = be64(o + 8)
+        hdr = 16L
+        if (size < 16) return null // must cover its own 16-byte header
+      } else if (s32 < 8) return null // size-0 to-EOF or malformed
+      if (fourcc(o, "moov")) {
+        // a declared size past the buffer clamps (truncated capture):
+        // every field read below re-checks against `end`
+        val end =
+          if (size > n.toLong - off) n.toLong else off + size
+        var in = off + hdr
         while (in + 8 <= end) {
-          val s2 = be32(in.toInt)
-          if (s2 < 8) return null
-          if (fourcc(in.toInt, "mvhd")) {
-            val c = in.toInt + 8 // content: version(1) flags(3) ...
-            if (in + 12 > end) return null
+          val io = in.toInt
+          val c32 = be32(io)
+          var s2 = c32
+          var h2 = 8L
+          if (c32 == 1) {
+            if (in + 16 > end) return null
+            s2 = be64(io + 8)
+            h2 = 16L
+            if (s2 < 16) return null
+          } else if (c32 < 8) return null
+          if (fourcc(io, "mvhd")) {
+            val c = (in + h2).toInt // content: version(1) flags(3) ...
+            if (in + h2 + 4 > end) return null
             val v = u8(c)
             val (ts, dur) =
               if (v == 0) {
-                if (in + 8 + 4 + 16 > end) return null
+                if (in + h2 + 4 + 16 > end) return null
                 (be32(c + 12), be32(c + 16))
               } else if (v == 1) {
-                if (in + 8 + 4 + 28 > end) return null
+                if (in + h2 + 4 + 28 > end) return null
                 (be32(c + 20), be64(c + 24))
               } else return null
             val ms = if (ts == 0L) -1L else dur * 1000L / ts
             return new GenericArrayData(Array(ts, dur, ms))
           }
+          if (s2 > end - in) return null // child overruns moov
           in += s2
         }
         return null // moov without mvhd — malformed
       }
+      if (size > n.toLong - off) return null // box truncated before moov
       off += size
     }
     null

@@ -384,7 +384,9 @@ object MultimodalQueries extends QueryPack {
     * ISO-BMFF streams BUILT in-plan — ftyp then a moov/mvhd carrying
     * doc-derived timescale/duration, in BOTH mvhd versions (v0 32-bit
     * and v1 64-bit times) — plus a moov-without-mvhd stream (NULL —
-    * flagged, never guessed) and a raw-text residue (NULL). The oracle
+    * flagged, never guessed), a 64-bit-largesize mdat BEFORE moov (the
+    * >4 GiB long-video layout — parsed, not refused), and a raw-text
+    * residue (NULL). The oracle
     * states timescale/duration/duration_ms directly from the source
     * fields, so a non-inverting walk hash-fails — the same roundtrip
     * contract as the JPEG/WAV kernels.
@@ -412,10 +414,17 @@ object MultimodalQueries extends QueryPack {
       val moov1 = concat(lit("000000306D6F6F76"), mvhd1) // size 48
       // moov whose only child is a free box: well-formed, no mvhd
       val moovEmpty = lit("000000106D6F6F760000000866726565")
-      val m = pmod(col("doc_id"), lit(4))
+      // 64-bit `largesize` mdat (size field 1, actual 24 bytes in the
+      // 8 bytes after the 4cc) BEFORE moov — the >4 GiB mdat-first
+      // layout, scaled down: the walk must parse the largesize to
+      // reach the header
+      val mdatLarge =
+        lit("000000016D6461740000000000000018DEADBEEFDEADBEEF")
+      val m = pmod(col("doc_id"), lit(5))
       val payload = when(m === 0, unhex(concat(ftyp, moov0)))
         .when(m === 1, unhex(concat(ftyp, moov1)))
         .when(m === 2, unhex(concat(ftyp, moovEmpty)))
+        .when(m === 3, unhex(concat(ftyp, mdatLarge, moov0)))
         .otherwise(encode(col("text"), "UTF-8"))
       val meta = graft.functions.mediaExpressions.mp4Meta(payload)
       Tables
@@ -430,9 +439,9 @@ object MultimodalQueries extends QueryPack {
     },
     oracle = Some("""
       SELECT doc_id,
-        CASE WHEN doc_id % 4 <= 1 THEN 600 + doc_id % 1000 END AS timescale,
-        CASE WHEN doc_id % 4 <= 1 THEN 1000 + n_chars % 5000 END AS duration,
-        CASE WHEN doc_id % 4 <= 1 THEN
+        CASE WHEN doc_id % 5 IN (0, 1, 3) THEN 600 + doc_id % 1000 END AS timescale,
+        CASE WHEN doc_id % 5 IN (0, 1, 3) THEN 1000 + n_chars % 5000 END AS duration,
+        CASE WHEN doc_id % 5 IN (0, 1, 3) THEN
           ((1000 + n_chars % 5000) * 1000) // (600 + doc_id % 1000)
         END AS duration_ms
       FROM documents ORDER BY doc_id""")

@@ -166,12 +166,30 @@ class MediaKernelsSpec extends SparkSpec {
     assert(mp4(s"$ftyp 00000024 6D6F6F76 $mvhdTs0") === Some((0L, 3000L, -1L)))
   }
 
+  test("mp4Meta parses 64-bit largesize boxes — the >4 GiB mdat-first layout") {
+    // largesize mdat (size field 1, 24 actual bytes incl. 8 payload)
+    // BEFORE moov: the walk must read the 64-bit size to skip it
+    val mdatLarge = "00000001 6D646174 0000000000000018 DEADBEEFDEADBEEF"
+    assert(mp4(s"$ftyp $mdatLarge $moovV0") === Some((600L, 3000L, 5000L)))
+    // a largesize moov itself: content starts after the 16-byte header
+    assert(
+      mp4(s"$ftyp 00000001 6D6F6F76 000000000000002C $mvhdV0") ===
+        Some((600L, 3000L, 5000L))
+    )
+    // truncated mid-largesize-field -> NULL, never a wild read
+    assert(mp4(s"$ftyp 00000001 6D646174 00000000") === None)
+    // largesize smaller than its own 16-byte header -> NULL
+    assert(mp4(s"$ftyp 00000001 6D646174 0000000000000008 $moovV0") === None)
+  }
+
   test("mp4Meta flags malformed/headerless streams as NULL, never guesses") {
     assert(mp4("41424344454647484950515253545556") === None) // not BMFF
     assert(mp4(ftyp) === None) // no moov at all
     assert(mp4(s"$ftyp 00000010 6D6F6F76 00000008 66726565") === None) // moov, no mvhd
     assert(mp4(s"$ftyp 00000024 6D6F6F76") === None) // moov truncated before mvhd
-    assert(mp4(s"$ftyp 00000001 6D6F6F76 0000000000000030") === None) // largesize
+    // largesize moov declaring 0x30 bytes, buffer ends after the size
+    // field: truncated capture -> NULL
+    assert(mp4(s"$ftyp 00000001 6D6F6F76 0000000000000030") === None)
     assert(mp4(s"$ftyp 00000004 6D6F6F76") === None) // size < 8
     assert(mp4("00000010 66747970 69736F") === None) // under 16 bytes
   }
