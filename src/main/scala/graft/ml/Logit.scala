@@ -69,9 +69,12 @@ object Logit {
 
   /** Fit by `iters` rounds of full-batch gradient ascent at rate `lr`
     * from w = 0. `labelCol` must be 0/1 (any numeric type); feature
-    * columns must be round6'd doubles with no NULLs (filter upstream —
-    * a NULL row would silently drop from the gradient but not the
-    * count).
+    * columns must be round6'd doubles with no NULLs. The no-NULL
+    * contract is ENFORCED: a NULL label/feature (or NULL/negative
+    * weight in [[fitWeighted]]) would silently drop from the gradient
+    * sums but not the normalizer, shrinking every update — the fit
+    * fails loudly instead (one extra long in the same aggregation
+    * row).
     */
   def fit(
       df: DataFrame,
@@ -115,6 +118,21 @@ object Logit {
         (featureCols.map(col) ++ weightCol.map(col).toSeq)
     val feats = df.select(keep: _*).persist(StorageLevel.MEMORY_AND_DISK)
     try {
+      // rows violating the fit contract: NULL label/feature, or (when
+      // weighted) NULL/negative weight — counted in the same pass as
+      // the first gradient and required to be zero, so a contract
+      // violation fails loudly instead of biasing every update
+      val violation = {
+        val nulls = (col(labelCol) +: featureCols.map(col))
+          .map(_.isNull)
+          .reduce(_ || _)
+        weightCol match {
+          case Some(wc) => nulls || col(wc).isNull || col(wc) < 0.0
+          case None     => nulls
+        }
+      }
+      val badAgg =
+        sum(when(violation, 1L).otherwise(0L)).cast(LongType).as("_bad")
       var w = Seq.fill(featureCols.length + 1)(0.0)
       var n = 0L
       var t = 0
@@ -137,10 +155,17 @@ object Logit {
         }
         val row = feats.agg(
           count(lit(1)).as("_n"),
-          (denomAgg +: gradAggs): _*
+          (badAgg +: denomAgg +: gradAggs): _*
         ).head()
         n = row.getAs[Long]("_n")
         require(n > 0, "cannot fit on an empty frame")
+        val bad = row.getAs[Long]("_bad")
+        require(
+          bad == 0L,
+          s"$bad row(s) violate the fit contract (NULL label/feature" +
+            weightCol.fold("")(wc => s", or NULL/negative $wc") +
+            ") — filter them upstream; they would bias every update"
+        )
         val denom = row.getAs[Double]("_w")
         require(denom > 0, "total weight must be positive")
         w = w.zipWithIndex.map { case (wj, j) =>
@@ -172,58 +197,23 @@ object Logit {
     * rank statistic — threshold-free ranking quality, the number a
     * curation team compares classifiers by before picking any cut.
     *
-    * Scale shape: NO global row sort. Scores are round6'd, so the
-    * distinct-score table is ≤ ~10⁶+1 rows at ANY corpus size: one
-    * map-side-combined groupBy(score) pass, then the rank window runs
-    * single-partition over that bounded table (the same
-    * window-AFTER-aggregation shape as the sweep-line concurrency
-    * operator). Tie handling is exact: a tie group's average rank
+    * Scale shape: NO global row sort, and no un-partitioned window
+    * over anything corpus-sized — this is [[aucByGroup]] with a single
+    * constant group. Scores are round6'd, so the distinct-score table
+    * the rank window sorts is ≤ ~10⁶+1 rows at ANY corpus size: one
+    * map-side-combined groupBy(score) pass bounds it BEFORE the window
+    * (the bound is load-bearing and spec-asserted on the physical
+    * plan: the window's input is the aggregated table, never the
+    * corpus). Tie handling is exact: a tie group's average rank
     * `cum_before + (cnt+1)/2` enters doubled (`2·cum + cnt + 1`, an
     * integer) and the positive-weighted rank sum accumulates in
     * DECIMAL(38,0) — no FP in the statistic until the final division.
     * Output: one row (n_pos, n_neg, auc); auc NULL when either class
     * is absent.
     */
-  def auc(df: DataFrame, labelCol: String, scoreCol: String): DataFrame = {
-    val dec = DecimalType(38, 0)
-    val perScore = df
-      .select(
-        col(scoreCol).cast(DoubleType).as("_s"),
-        col(labelCol).cast(DoubleType).as("_y")
-      )
-      .groupBy("_s")
-      .agg(
-        sum(col("_y")).cast(LongType).as("_pos"),
-        count(lit(1)).as("_cnt")
-      )
-    val w = org.apache.spark.sql.expressions.Window
-      .orderBy("_s")
-      .rowsBetween(Long.MinValue, 0)
-    val ranked = perScore.withColumn(
-      "_cumb",
-      sum(col("_cnt")).over(w) - col("_cnt")
-    )
-    val t = ranked.agg(
-      sum(col("_pos")).cast(LongType).as("n_pos"),
-      sum(col("_cnt") - col("_pos")).cast(LongType).as("n_neg"),
-      sum(
-        col("_pos").cast(dec) *
-          (lit(2) * col("_cumb") + col("_cnt") + lit(1)).cast(dec)
-      ).as("_sr2")
-    )
-    t.select(
-      col("n_pos"),
-      col("n_neg"),
-      when(
-        col("n_pos") > 0 && col("n_neg") > 0,
-        round6(
-          (col("_sr2") - col("n_pos").cast(dec) * (col("n_pos") + lit(1)))
-            .cast(DoubleType) /
-            (lit(2.0) * col("n_pos") * col("n_neg"))
-        )
-      ).as("auc")
-    )
-  }
+  def auc(df: DataFrame, labelCol: String, scoreCol: String): DataFrame =
+    aucByGroup(df.withColumn("_all", lit(0)), "_all", labelCol, scoreCol)
+      .select(col("n_pos"), col("n_neg"), col("auc"))
 
   /** [[auc]] per group — the per-domain/per-source quality drilldown:
     * a classifier with corpus-level AUC 0.95 can still be BLIND on one
@@ -289,8 +279,11 @@ object Logit {
     * each with its count, positive count, mean score and empirical
     * positive rate — "is a 0.8 really an 80%?" read before trusting
     * classifier scores as keep-probabilities. ONE map-side-combined
-    * aggregation with ≤ `bins` rows of state; a score of exactly 1.0
-    * folds into the top bin.
+    * aggregation with ≤ `bins` rows of state. Scores are expected in
+    * [0, 1] (the [[score]] contract) but arbitrary score columns are
+    * accepted: out-of-range values CLAMP into the edge bins (a score
+    * of exactly 1.0 or above folds into the top bin, below 0 into bin
+    * 0) — the bin id is never negative or ≥ `bins`.
     */
   def calibration(
       df: DataFrame,
@@ -300,8 +293,10 @@ object Logit {
   ): DataFrame = {
     require(bins > 0, s"bins must be positive, got $bins")
     df.select(
-      least(floor(col(scoreCol).cast(DoubleType) * bins), lit(bins - 1))
-        .cast(IntegerType)
+      greatest(
+        lit(0L),
+        least(floor(col(scoreCol).cast(DoubleType) * bins), lit(bins - 1))
+      ).cast(IntegerType)
         .as("bin"),
       col(scoreCol).cast(DoubleType).as("_s"),
       col(labelCol).cast(DoubleType).as("_y")

@@ -81,6 +81,70 @@ class LogitSpec extends SparkSpec {
     )
   }
 
+  test("auc's rank window sorts the aggregated distinct-score table, never the corpus") {
+    // the ≤10⁶+1 distinct-round6-score bound is load-bearing: the only
+    // sort in auc must run over the groupBy(score) output, partitioned
+    // by the constant group — never an un-partitioned window over rows
+    val df = (0 until 1000)
+      .map(i => ((i % 2).toDouble, (i % 7) / 10.0))
+      .toDF("y", "score")
+    val result = Logit.auc(df, "y", "score")
+    // labels and scores are (nearly) independent -> AUC near chance
+    val a = result.collect()(0).getAs[Double]("auc")
+    assert(a > 0.45 && a < 0.55, s"expected near-chance AUC, got $a")
+    // the AQE wrapper hides typed nodes until executed — assert on the
+    // printed final plan (top-down: the window line precedes its input)
+    val plan = result.queryExecution.executedPlan.toString
+    val winSpec = "windowspecdefinition\\(_g#\\d+, _s#\\d+ ASC".r
+    assert(
+      winSpec.findFirstIn(plan).isDefined,
+      s"rank window must be partitioned by the constant group:\n$plan"
+    )
+    val aggKeys = "HashAggregate\\(keys=\\[_g#\\d+, (knownfloatingpointnormalized\\()?.*_s#\\d+".r
+    val winAt = winSpec.findFirstMatchIn(plan).get.start
+    val aggAt = aggKeys.findAllMatchIn(plan).map(_.start).filter(_ > winAt)
+    assert(
+      aggAt.nonEmpty,
+      s"rank window must consume the bounded groupBy(score) table:\n$plan"
+    )
+    // and no un-partitioned window anywhere in the operator
+    assert(
+      !plan.contains("windowspecdefinition(_s"),
+      s"global un-partitioned window found:\n$plan"
+    )
+  }
+
+  test("fit fails loudly on NULL labels/features and NULL/negative weights") {
+    val ok = Seq((1.0, 0.9, 1.0), (0.0, 0.1, 0.5)).toDF("y", "x", "w")
+    val nullLabel = Seq((Some(1.0), 0.9, 1.0), (None, 0.1, 0.5)).toDF("y", "x", "w")
+    val nullFeat = Seq((1.0, Some(0.9), 1.0), (0.0, None, 0.5)).toDF("y", "x", "w")
+    val negWeight = Seq((1.0, 0.9, 1.0), (0.0, 0.1, -0.5)).toDF("y", "x", "w")
+    Logit.fit(ok, "y", Seq("x"), iters = 1) // sane frame still fits
+    val e1 = intercept[IllegalArgumentException](
+      Logit.fit(nullLabel, "y", Seq("x"), iters = 1))
+    assert(e1.getMessage.contains("violate the fit contract"))
+    val e2 = intercept[IllegalArgumentException](
+      Logit.fit(nullFeat, "y", Seq("x"), iters = 1))
+    assert(e2.getMessage.contains("violate the fit contract"))
+    val e3 = intercept[IllegalArgumentException](
+      Logit.fitWeighted(negWeight, "y", Seq("x"), "w", iters = 1))
+    assert(e3.getMessage.contains("violate the fit contract"))
+    // unweighted fit does not reject a negative column it never reads
+    Logit.fit(negWeight, "y", Seq("x"), iters = 1)
+  }
+
+  test("calibration clamps out-of-range scores into the edge bins, never a negative bin id") {
+    val df = Seq(
+      (1.0, -0.3), (0.0, -0.01), // below range -> bin 0
+      (1.0, 0.55), // bin 5
+      (0.0, 1.7) // above range -> top bin
+    ).toDF("y", "score")
+    val got = Logit.calibration(df, "y", "score", bins = 10).orderBy("bin").collect()
+    assert(got.map(_.getAs[Int]("bin")).toSeq == Seq(0, 5, 9))
+    assert(got(0).getAs[Long]("n") == 2L)
+    assert(got(2).getAs[Long]("n") == 1L)
+  }
+
   test("aucByGroup computes each group independently; single-class groups are NULL") {
     val df = Seq(
       ("a", 1.0, 0.9), ("a", 1.0, 0.7), ("a", 0.0, 0.7), ("a", 0.0, 0.4), // 0.875
