@@ -205,6 +205,10 @@ object Bench {
       s"""{"warmup":${ms(warmupSec)},"hygiene":${ms(hygieneSec)},"graph_staging":${ms(stagingSec)}}"""
     edgesDir.foreach { p =>
       try {
+        // unstage BEFORE deleting the files: a dangling view/conf
+        // would point later same-session graph queries at deleted
+        // parquet instead of the (slower, correct) rebuild path
+        graft.queries.EngineQueries.unstageCopurchaseEdges(spark)
         val hp = new org.apache.hadoop.fs.Path(p)
         hp.getFileSystem(spark.sparkContext.hadoopConfiguration).delete(hp, true)
       } catch { case _: Throwable => () }

@@ -47,22 +47,43 @@ object MmrKernel {
   /** `cands`: array of struct (id: long, rel: double, vec:
     * array<float>). Returns ≤ k structs (neighbor_id, rel, mmr_score,
     * rank) in selection order.
+    *
+    * NULL-safety: the input type may carry nullable entries/fields
+    * (an outer corpus join can leave a NULL embedding on a candidate);
+    * such candidates are UNSCORABLE — no relevance or no vector to
+    * diversify against — and are skipped rather than crashing the
+    * task or poisoning the argmax. Callers that must not lose
+    * candidates silently should assert non-NULL upstream; the skip
+    * only ever shrinks the result below k, never invents a score.
     */
   def select(cands: ArrayData, k: Int, lambda: Double): ArrayData = {
-    val n = cands.numElements()
-    val take = math.min(k, n)
-    if (take == 0) return new GenericArrayData(Array.empty[Any])
-    val ids = new Array[Long](n)
-    val rels = new Array[Double](n)
-    val vecs = new Array[Array[Float]](n)
+    val raw = cands.numElements()
+    val ids = new Array[Long](raw)
+    val rels = new Array[Double](raw)
+    val vecs = new Array[Array[Float]](raw)
+    var n = 0 // valid candidates after the NULL skip
     var i = 0
-    while (i < n) {
-      val r = cands.getStruct(i, 3)
-      ids(i) = r.getLong(0)
-      rels(i) = r.getDouble(1)
-      vecs(i) = r.getArray(2).toFloatArray()
+    while (i < raw) {
+      if (!cands.isNullAt(i)) {
+        val r = cands.getStruct(i, 3)
+        if (!r.isNullAt(0) && !r.isNullAt(1) && !r.isNullAt(2)) {
+          val av = r.getArray(2)
+          var ok = true
+          var j = 0
+          val len = av.numElements()
+          while (ok && j < len) { ok = !av.isNullAt(j); j += 1 }
+          if (ok) {
+            ids(n) = r.getLong(0)
+            rels(n) = r.getDouble(1)
+            vecs(n) = av.toFloatArray()
+            n += 1
+          }
+        }
+      }
       i += 1
     }
+    val take = math.min(k, n)
+    if (take == 0) return new GenericArrayData(Array.empty[Any])
     val norms = new Array[Double](n)
     i = 0
     while (i < n) {

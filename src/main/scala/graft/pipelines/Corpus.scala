@@ -573,6 +573,12 @@ object Corpus {
     * deterministic md5 bucket at scan time. Zero shuffles of sampled
     * data; re-running reproduces the identical sample (prefix
     * property: raising `budget` only ADDS rows).
+    *
+    * A NULL stratum is just another domain: the threshold join is
+    * null-safe, so NULL-stratum rows get their own count-derived
+    * share instead of silently vanishing from the sample (the repo's
+    * flagged-never-guessed convention — nothing is dropped by a join
+    * artifact).
     */
   def mixtureTemperature(
       df: DataFrame,
@@ -600,16 +606,18 @@ object Corpus {
     val thr = counts
       .crossJoin(broadcast(total))
       .select(
-        col(strataCol),
+        col(strataCol).as("_stratum"),
         when(f >= 1.0, lit("g"))
           .otherwise(format_string("%08x", floor(f * lit(4294967296.0))))
           .as("_thr")
       )
     val bucket =
       substring(md5(concat(col(idCol).cast("string"), lit(s":$salt"))), 1, 8)
-    df.join(broadcast(thr), Seq(strataCol))
+    // null-safe join: a NULL stratum matches ITS threshold row rather
+    // than being equi-join-dropped
+    df.join(broadcast(thr), col(strataCol) <=> col("_stratum"))
       .where(bucket < col("_thr"))
-      .drop("_thr")
+      .drop("_stratum", "_thr")
   }
 
   /** DuckDB mirror of [[mixtureTemperature]] — (CTE chain, membership

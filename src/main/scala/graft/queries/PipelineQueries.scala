@@ -243,7 +243,7 @@ object PipelineQueries extends QueryPack {
       s"""
       WITH $cte
       SELECT d.doc_id, d.source
-      FROM documents d JOIN _thr ON d.source = _thr._stratum
+      FROM documents d JOIN _thr ON d.source IS NOT DISTINCT FROM _thr._stratum
       WHERE $pred
       ORDER BY doc_id"""
     }

@@ -399,8 +399,14 @@ object Service {
     * notification handlers when psi exceeds `threshold` (0.25 = the
     * common "action" level).
     *
-    * Returns the long-format psi metrics. Driver-side data is only the
-    * (tiny) alerting subset, same contract as assessQuality.
+    * Returns the long-format psi metrics.
+    *
+    * Driver-side bound (the assessTrend contract): metric storage is a
+    * distributed transform off ONE materialized snapshot — zero driver
+    * rows at any |days| × |columns| — and only the alert subset is
+    * collected, capped at `maxAlerts` rows (largest psi first,
+    * deterministic tie-break). A truncated budget fires a synthetic
+    * `_alert_budget/alerts_truncated` alert through the same handlers.
     */
   def assessDrift(
       df: DataFrame,
@@ -410,9 +416,11 @@ object Service {
       columns: Seq[String] = Seq.empty,
       bins: Int = 10,
       threshold: Double = 0.25,
-      handlers: Seq[NotificationHandler] = Seq(LogHandler)
+      handlers: Seq[NotificationHandler] = Seq(LogHandler),
+      maxAlerts: Int = 10000
   ): DataFrame = {
     import org.apache.spark.sql.types.NumericType
+    require(maxAlerts > 0, s"maxAlerts must be positive, got $maxAlerts")
     val targets =
       if (columns.nonEmpty) columns
       else
@@ -422,42 +430,39 @@ object Service {
           .toSeq
     require(targets.nonEmpty, "assessDrift: no numeric columns to assess")
     // ONE evaluation: psi output is grain-level (|days| x |columns|
-    // rows — a metric table, not data), so it is collected once and
-    // both the stored metrics and the alerts derive from that same
-    // snapshot. Re-evaluating the lineage per consumer could let a
-    // concurrently-appended source store one psi and alert on another.
-    val rows = targets
-      .map { c =>
-        graft.profiler.Drift
-          .psiDrift(df, tsColumn, c, bins)
-          .select(
-            col("ts"),
-            lit("column").as("entity"),
-            lit(c).as("instance"),
-            lit("psi_drift").as("name"),
-            col("psi").as("value")
-          )
-      }
-      .reduce(_ unionByName _)
-      .collect()
-      .toSeq
-    val spark = df.sparkSession
-    val psi = spark
-      .createDataFrame(
-        spark.sparkContext.parallelize(rows, 1),
-        org.apache.spark.sql.types.StructType(Seq(
-          org.apache.spark.sql.types.StructField("ts", org.apache.spark.sql.types.TimestampType),
-          org.apache.spark.sql.types.StructField("entity", org.apache.spark.sql.types.StringType),
-          org.apache.spark.sql.types.StructField("instance", org.apache.spark.sql.types.StringType),
-          org.apache.spark.sql.types.StructField("name", org.apache.spark.sql.types.StringType),
-          org.apache.spark.sql.types.StructField("value", org.apache.spark.sql.types.DoubleType)
-        ))
-      )
+    // rows — a metric table, not data), materialized once so the
+    // stored metrics and the alerts derive from that same snapshot.
+    // Re-evaluating the lineage per consumer could let a concurrently-
+    // appended source store one psi and alert on another.
+    val psi = graft.functions.materialize(
+      targets
+        .map { c =>
+          graft.profiler.Drift
+            .psiDrift(df, tsColumn, c, bins)
+            .select(
+              col("ts"),
+              lit("column").as("entity"),
+              lit(c).as("instance"),
+              lit("psi_drift").as("name"),
+              col("psi").as("value")
+            )
+        }
+        .reduce(_ unionByName _)
+    )
     repo.addProfiling(datasetUri, psi)
     // alert PER DRIFTED DAY — an alert must name the day the
-    // distribution moved, not the batch's newest day
-    rows
-      .filter(r => r.getDouble(4) > threshold)
+    // distribution moved, not the batch's newest day; only the
+    // exceeding subset reaches the driver, one row past the budget to
+    // detect truncation
+    val capped = psi
+      .where(col("value") > threshold)
+      .orderBy(col("value").desc, col("instance"), col("ts"))
+      .limit(maxAlerts + 1)
+      .collect()
+      .toSeq
+    val truncated = capped.size > maxAlerts
+    val kept = capped.take(maxAlerts)
+    kept
       .groupBy(_.getTimestamp(0))
       .toSeq
       .sortBy(_._1.getTime)
@@ -473,6 +478,25 @@ object Service {
         }
         handlers.foreach(_.notify(datasetUri, ts, alerts))
       }
+    if (truncated) {
+      val totalExceeding = psi.where(col("value") > threshold).count()
+      val newestTs = kept.map(_.getTimestamp(0)).maxBy(_.getTime)
+      handlers.foreach(
+        _.notify(
+          datasetUri,
+          newestTs,
+          Seq(
+            AnomalousScore(
+              entity = "_alert_budget",
+              instance = datasetUri,
+              name = "alerts_truncated",
+              score = (totalExceeding - maxAlerts).toDouble,
+              threshold = maxAlerts.toDouble
+            )
+          )
+        )
+      )
+    }
     psi
   }
 
@@ -490,18 +514,28 @@ object Service {
     * companion `<name>_trend_thinned` 0/1 series — so trend verdicts
     * AND their approximation provenance ride the same
     * repository/report/history surfaces. Returns the full per-series
-    * verdict table (n, s, z, trend, thinned, slope). Driver-side data:
-    * one row per SERIES (the assessDrift collect contract) — never raw
-    * points.
+    * verdict table (n, s, z, trend, thinned, slope).
+    *
+    * Driver-side bound: metric STORAGE is fully distributed (the
+    * verdict table goes to the repository as a DataFrame transform —
+    * zero driver rows at any series count); only the ALERT subset is
+    * collected, capped at `maxAlerts` series (most significant by
+    * \|z\| first, deterministic tie-break). At 10⁵ datasets × columns ×
+    * metrics the old one-row-per-series collect was ~10⁶+ driver rows;
+    * now the driver holds ≤ maxAlerts + 1. When the cap truncates, a
+    * synthetic `_alert_budget/alerts_truncated` alert (score = dropped
+    * count) fires through the same handlers — flagged, never silent.
     */
   def assessTrend(
       datasetUri: String,
       repo: MetricsRepository,
       zThreshold: Double = 1.96,
       handlers: Seq[NotificationHandler] = Seq(LogHandler),
-      maxPoints: Int = 10000
+      maxPoints: Int = 10000,
+      maxAlerts: Int = 10000
   ): DataFrame = {
     require(zThreshold > 0, s"zThreshold must be positive, got $zThreshold")
+    require(maxAlerts > 0, s"maxAlerts must be positive, got $maxAlerts")
     // Base series only: a stored `<name>_trend_z` series must never be
     // trend-tested itself (unbounded `_trend_z_trend_z` compounding).
     val hist = baseProfiling(datasetUri, repo)
@@ -514,53 +548,51 @@ object Service {
     val newest = hist
       .groupBy(seriesCols.map(col): _*)
       .agg(max(col("ts")).as("_ts"))
-    val verdicts = mk
-      .join(slopes, seriesCols)
-      .join(newest, seriesCols)
-    val rows = verdicts.collect().toSeq // one row per series
-    val spark = hist.sparkSession
-    val stored = spark.createDataFrame(
-      spark.sparkContext.parallelize(
-        rows.flatMap { r =>
-          def row(suffix: String, value: Any) =
-            org.apache.spark.sql.Row(
-              r.getAs[java.sql.Timestamp]("_ts"),
-              r.getAs[String]("entity"),
-              r.getAs[String]("instance"),
-              r.getAs[String]("name") + suffix,
-              value
-            )
-          Seq(
-            row(
-              trendSuffix,
-              Option(r.getAs[java.lang.Double]("z"))
-                .map(_.doubleValue)
-                .orNull
+    // materialized so the stored metrics, the alerts, and the returned
+    // table all derive from ONE snapshot (the assessDrift contract)
+    val verdicts = graft.functions.materialize(
+      mk.join(slopes, seriesCols).join(newest, seriesCols)
+    )
+    // stored metrics as a distributed transform — two rows per series
+    // (`<name>_trend_z` + the 0/1 thinned-provenance companion), never
+    // collected
+    val stored = verdicts
+      .select(
+        col("_ts").as("ts"),
+        col("entity"),
+        col("instance"),
+        explode(
+          array(
+            struct(
+              concat(col("name"), lit(trendSuffix)).as("name"),
+              col("z").cast("double").as("value")
             ),
-            // the approximation flag rides alongside as a 0/1 series so
-            // readers (reports, history queries) can see WHICH stored
-            // verdicts came from a thinned history
-            row(
-              trendThinnedSuffix,
-              if (r.getAs[Boolean]("thinned")) 1.0 else 0.0
+            struct(
+              concat(col("name"), lit(trendThinnedSuffix)).as("name"),
+              when(col("thinned"), 1.0).otherwise(0.0).as("value")
             )
           )
-        },
-        1
-      ),
-      org.apache.spark.sql.types.StructType(Seq(
-        org.apache.spark.sql.types.StructField("ts", org.apache.spark.sql.types.TimestampType),
-        org.apache.spark.sql.types.StructField("entity", org.apache.spark.sql.types.StringType),
-        org.apache.spark.sql.types.StructField("instance", org.apache.spark.sql.types.StringType),
-        org.apache.spark.sql.types.StructField("name", org.apache.spark.sql.types.StringType),
-        org.apache.spark.sql.types.StructField("value", org.apache.spark.sql.types.DoubleType)
-      ))
-    )
+        ).as("_m")
+      )
+      .select(col("ts"), col("entity"), col("instance"),
+        col("_m.name").as("name"), col("_m.value").as("value"))
     repo.addProfiling(datasetUri, stored)
-    rows
-      .filter { r =>
-        Option(r.getAs[java.lang.Double]("z")).exists(z => math.abs(z) > zThreshold)
-      }
+    // alert subset only: significant series, most-significant first,
+    // one row past the budget to detect truncation
+    val capped = verdicts
+      .where(abs(col("z")) > zThreshold)
+      .orderBy(
+        abs(col("z")).desc,
+        col("entity"),
+        col("instance"),
+        col("name")
+      )
+      .limit(maxAlerts + 1)
+      .collect()
+      .toSeq
+    val truncated = capped.size > maxAlerts
+    val kept = capped.take(maxAlerts)
+    kept
       .groupBy(_.getAs[java.sql.Timestamp]("_ts"))
       .toSeq
       .sortBy(_._1.getTime)
@@ -577,6 +609,29 @@ object Service {
         }
         handlers.foreach(_.notify(datasetUri, ts, alerts))
       }
+    if (truncated) {
+      // count what was cut so the budget breach itself alerts loudly
+      val totalSignificant =
+        verdicts.where(abs(col("z")) > zThreshold).count()
+      val newestTs = kept
+        .map(_.getAs[java.sql.Timestamp]("_ts"))
+        .maxBy(_.getTime)
+      handlers.foreach(
+        _.notify(
+          datasetUri,
+          newestTs,
+          Seq(
+            AnomalousScore(
+              entity = "_alert_budget",
+              instance = datasetUri,
+              name = "alerts_truncated",
+              score = (totalSignificant - maxAlerts).toDouble,
+              threshold = maxAlerts.toDouble
+            )
+          )
+        )
+      )
+    }
     verdicts.drop("_ts")
   }
 

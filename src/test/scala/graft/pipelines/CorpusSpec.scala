@@ -416,6 +416,32 @@ class CorpusSpec extends SparkSpec {
     )
   }
 
+  test("mixtureTemperature treats a NULL stratum as its own domain, never drops it") {
+    // 400 web / 100 unlabeled: the NULL stratum must get a threshold
+    // row through the null-safe join and be sampled by its own count —
+    // an equi-join would silently erase all 100 from the sample
+    val docs = (1 to 500)
+      .map(i => (i.toLong, if (i <= 400) Some("web") else None))
+      .toDF("doc_id", "source")
+    val kept = Corpus
+      .mixtureTemperature(docs, "doc_id", "source", 1.0, budget = 250L)
+      .groupBy("source")
+      .count()
+      .collect()
+      .map(r => Option(r.getString(0)) -> r.getLong(1))
+      .toMap
+    // tau=1: both strata keep the same ~budget/N = 0.5 fraction
+    assert(kept.contains(None), s"NULL stratum vanished from the sample: $kept")
+    assert(math.abs(kept(None) - 50L) < 25, s"null-stratum kept=${kept(None)}")
+    assert(math.abs(kept(Some("web")) - 200L) < 50)
+    // and the sampled frame still carries the original columns only
+    val cols = Corpus
+      .mixtureTemperature(docs, "doc_id", "source", 1.0, budget = 250L)
+      .columns
+      .toSeq
+    assert(cols == Seq("doc_id", "source"), cols.toString)
+  }
+
   test("mixtureSample is deterministic and budget-monotone (prefix property)") {
     val docs = (1 to 500)
       .map(i => (i.toLong, if (i % 2 == 0) "a" else "b"))

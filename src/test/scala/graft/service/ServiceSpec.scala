@@ -410,6 +410,68 @@ class ServiceSpec extends SparkSpec {
     assert(stored.length == 1 && stored.head.getAs[Double]("value") < -1.96)
   }
 
+  test("assessTrend alert budget: top-|z| alerts only, truncation itself alerts, storage uncapped") {
+    val repo = new InMemoryRepository()
+    repo.registerDataset(DatasetMeta("ub", "ts", Seq("value"), "DAY", Seq.empty))
+    // five bleeding series with distinct slopes -> five significant z's
+    val df = (1 to 5)
+      .flatMap { s =>
+        (1 to 20).map { d =>
+          (java.sql.Timestamp.valueOf(f"2025-02-$d%02d 00:00:00"),
+            "Column", "value", s"bleed$s", 100.0 - (0.5 * s) * d)
+        }
+      }
+      .toDF("ts", "entity", "instance", "name", "value")
+    repo.addProfiling("ub", df)
+    var batches = Seq.empty[Seq[AnomalousScore]]
+    val handler = new NotificationHandler {
+      def notify(uri: String, ts: java.sql.Timestamp, anomalous: Seq[AnomalousScore]): Unit =
+        batches = batches :+ anomalous
+    }
+    Service.assessTrend("ub", repo, handlers = Seq(handler), maxAlerts = 2)
+    val real = batches.flatten.filterNot(_.entity == "_alert_budget")
+    val budget = batches.flatten.filter(_.entity == "_alert_budget")
+    // only the 2 most significant series alert (all five are monotone
+    // with identical-length histories, so |z| ties and the entity/
+    // instance/name tie-break decides deterministically)
+    assert(real.size == 2, real.toString)
+    // the truncation is flagged through the SAME handler channel
+    assert(budget.size == 1)
+    assert(budget.head.name == "alerts_truncated")
+    assert(budget.head.score == 3.0) // 5 significant - 2 budget
+    assert(budget.head.threshold == 2.0)
+    // metric STORAGE is uncapped: every series' verdict landed
+    val storedNames = repo.getProfiling("ub")
+      .where(col("name").endsWith("_trend_z"))
+      .select("name").distinct().as[String].collect().toSet
+    assert(storedNames == (1 to 5).map(s => s"bleed${s}_trend_z").toSet)
+  }
+
+  test("assessDrift alert budget mirrors the trend contract") {
+    def day(d: Int, v: Double) =
+      (java.sql.Timestamp.valueOf(f"2025-03-$d%02d 12:00:00"), v)
+    // two drifted day-transitions -> two exceeding psi rows
+    val rows =
+      Seq.fill(120)(day(1, 1.0)) ++ Seq.fill(120)(day(2, 5.0)) ++
+        Seq.fill(120)(day(3, 10.0))
+    val df = rows.toDF("ts", "value")
+    val repo = new InMemoryRepository()
+    var batches = Seq.empty[Seq[AnomalousScore]]
+    val handler = new NotificationHandler {
+      def notify(uri: String, ts: java.sql.Timestamp, anomalous: Seq[AnomalousScore]): Unit =
+        batches = batches :+ anomalous
+    }
+    Service.assessDrift(df, "ds://budget", "ts", repo,
+      handlers = Seq(handler), maxAlerts = 1)
+    val real = batches.flatten.filterNot(_.entity == "_alert_budget")
+    val budget = batches.flatten.filter(_.entity == "_alert_budget")
+    assert(real.size == 1)
+    assert(budget.size == 1 && budget.head.score == 1.0)
+    // storage is uncapped: both psi rows stored
+    assert(repo.getProfiling("ds://budget")
+      .where(col("name") === "psi_drift").count() == 2L)
+  }
+
   test("assessTrend never trend-tests its own derived series") {
     // run the assessment repeatedly over an evolving store: the stored
     // `<name>_trend_z` series must be EXCLUDED from the scan, so no

@@ -395,4 +395,42 @@ class SimilaritySpec extends SparkSpec {
       .collect()
     assert(all.length == 4)
   }
+
+  test("MmrSelect skips NULL candidates instead of crashing the task") {
+    // a corpus outer-join can leave NULL embeddings (or whole NULL
+    // entries) on the candidate array; the kernel must skip them —
+    // never NPE, never score the unscorable
+    import org.apache.spark.sql.Row
+    import org.apache.spark.sql.types._
+    val entry = StructType(Seq(
+      StructField("id", LongType, nullable = true),
+      StructField("rel", DoubleType, nullable = true),
+      StructField("vec", ArrayType(FloatType, containsNull = true), nullable = true)
+    ))
+    val schema = StructType(Seq(
+      StructField("q", LongType, nullable = false),
+      StructField("c", ArrayType(entry, containsNull = true), nullable = false)
+    ))
+    val rows = Seq(Row(1L, Seq(
+      Row(1L, 0.9, Seq(1.0f, 0.0f)),
+      null, // whole entry NULL
+      Row(2L, 0.8, null), // NULL embedding
+      Row(null, 0.7, Seq(0.0f, 1.0f)), // NULL id
+      Row(3L, 0.5, Seq(0.6f, null)), // NULL vector element
+      Row(4L, 0.4, Seq(0.0f, 1.0f)) // valid
+    )))
+    val df = spark.createDataFrame(
+      spark.sparkContext.parallelize(rows), schema)
+    val got = df
+      .select(
+        col("q"),
+        explode(graft.functions.mmrExpressions.mmrSelect(col("c"), 3, 0.5)).as("r")
+      )
+      .select(col("r.neighbor_id"), col("r.rank"))
+      .orderBy("rank")
+      .collect()
+    // only the two fully-populated candidates survive
+    assert(got.map(_.getLong(0)).toSeq == Seq(1L, 4L))
+    assert(got.map(_.getInt(1)).toSeq == Seq(1, 2))
+  }
 }
