@@ -275,6 +275,11 @@ object Bench {
     // 2 s at sf0.1), cross-validated classifier training (3 fits x 6
     // gradient rounds — the iterative-cost shape), AR(p) model fit
     "pipeline_dsir_sample", "text_quality_logit_cv", "anomaly_forecast_ar",
+    // r12 addition: the calendar-regressor fit (26 expanding window
+    // sums per series — the widest single-model window pass; it also
+    // joins the best-model family, so quality_assess/anomaly_score_last
+    // above keep pricing the whole family's growth per decade)
+    "anomaly_forecast_calendar",
     // linear controls
     "q1_agg", "text_tfidf", "profile_report"
   )

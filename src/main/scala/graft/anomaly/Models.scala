@@ -308,11 +308,7 @@ case class AutoRegressive(p: Int = 2, minTrain: Int = 8) extends ForecastModel {
   )
   val name = s"AR-$p"
   private def lagName(i: Int) = s"_ar${p}_l$i"
-
-  override def prepare(df: DataFrame, value: Column, w: WindowSpec): DataFrame =
-    (1 to p).foldLeft(df) { case (d, i) =>
-      d.withColumn(lagName(i), lag(value, i).over(w))
-    }
+  private def c(s: String) = col(s"_ar$p$s")
 
   /** Laplace expansion along the first row — deterministic term order,
     * mirrored verbatim by the SQL oracle generator.
@@ -329,28 +325,65 @@ case class AutoRegressive(p: Int = 2, minTrain: Int = 8) extends ForecastModel {
         .reduce(_ + _)
   }
 
-  def forecast(value: Column, w: WindowSpec): Column = {
+  /** Staged pre-pass: lag materialization (window aggregates cannot
+    * nest window functions), then every expanding regression moment
+    * and the centered covariance entries as COLUMNS — [[forecast]]'s
+    * Cramer expansion then runs over attributes, so the moment trees
+    * are evaluated once instead of being re-inlined into every
+    * determinant term (the inlined form made Catalyst analysis, not
+    * the data pass, the dominant family cost). Same window exchange.
+    */
+  override def prepare(df: DataFrame, value: Column, w: WindowSpec): DataFrame = {
     val dec = DecimalType(38, 10)
     val wp = w.rowsBetween(Window.unboundedPreceding, -1)
+    val lagged = (1 to p).foldLeft(df) { case (d, i) =>
+      d.withColumn(lagName(i), lag(value, i).over(w))
+    }
     val ls = (1 to p).map(i => col(lagName(i))).toVector
     // a training sample is a row where target AND every regressor exist
     val v = (value +: ls).map(_.isNotNull).reduce(_ && _)
     def msum(e: Column) = sum(when(v, e.cast(dec))).over(wp).cast("double")
-    val nT = sum(when(v, 1L).otherwise(0L)).over(wp)
+    val moments: Seq[(String, Column)] =
+      Seq("_n" -> sum(when(v, 1L).otherwise(0L)).over(wp), "_sy" -> msum(value)) ++
+        (1 to p).map(i => s"_s$i" -> msum(ls(i - 1))) ++
+        (for { i <- 1 to p; j <- i to p } yield s"_s$i$j" -> msum(ls(i - 1) * ls(j - 1))) ++
+        (1 to p).map(i => s"_s${i}y" -> msum(ls(i - 1) * value))
+    val withMoments = lagged.select(
+      col("*") +: moments.map { case (n, e) => e.as(s"_ar$p$n") }: _*
+    )
+    // centered covariance entries over the attributes (upper triangle
+    // stored, symmetric reads resolved in forecast). NULL until a
+    // training sample exists — ANSI division no longer hides behind
+    // the forecast's lazy CASE once staged; the gate (n >= minTrain)
+    // only reads them when n > 0, so gated values are unchanged.
+    val nD = c("_n").cast("double")
+    def sAt(i: Int, j: Int) = if (i <= j) c(s"_s$i$j") else c(s"_s$j$i")
+    val centered: Seq[(String, Column)] =
+      (for { i <- 1 to p; j <- i to p }
+        yield s"_c$i$j" ->
+          when(c("_n") > 0L, sAt(i, j) - c(s"_s$i") * c(s"_s$j") / nD)) ++
+        (1 to p).map(i =>
+          s"_c${i}y" ->
+            when(c("_n") > 0L, c(s"_s${i}y") - c(s"_s$i") * c("_sy") / nD))
+    withMoments.select(
+      col("*") +: centered.map { case (n, e) => e.as(s"_ar$p$n") }: _*
+    )
+  }
+
+  def forecast(value: Column, w: WindowSpec): Column = {
+    val ls = (1 to p).map(i => col(lagName(i))).toVector
+    val nT = c("_n")
     val nD = nT.cast("double")
-    val si = ls.map(msum)
-    val sy = msum(value)
-    // shared upper-triangle moment expressions reused symmetrically
-    val sij = Vector.tabulate(p, p) { (i, j) =>
-      if (i <= j) msum(ls(i) * ls(j)) else null
-    }
-    def sAt(i: Int, j: Int) = if (i <= j) sij(i)(j) else sij(j)(i)
-    val siy = ls.map(l => msum(l * value))
-    val c = Vector.tabulate(p, p)((i, j) => sAt(i, j) - si(i) * si(j) / nD)
-    val cy = Vector.tabulate(p)(i => siy(i) - si(i) * sy / nD)
-    val d = det(c)
+    val sy = c("_sy")
+    val si = (1 to p).map(i => c(s"_s$i")).toVector
+    def sAt(i: Int, j: Int) =
+      if (i <= j) c(s"_s${i + 1}${j + 1}") else c(s"_s${j + 1}${i + 1}")
+    val cm = Vector.tabulate(p, p)((i, j) =>
+      if (i <= j) c(s"_c${i + 1}${j + 1}") else c(s"_c${j + 1}${i + 1}"))
+    val cy = Vector.tabulate(p)(i => c(s"_c${i + 1}y"))
+    val d = det(cm)
     val phi = Vector.tabulate(p) { k =>
-      det(Vector.tabulate(p, p)((i, j) => if (j == k) cy(i) else c(i)(j))) / d
+      det(Vector.tabulate(p, p)((i, j) => if (j == k) cy(i) else cm(i)(j))) / d
     }
     val c0 =
       (sy - phi.zip(si).map { case (f, s1) => f * s1 }.reduce(_ + _)) / nD
@@ -364,8 +397,8 @@ case class AutoRegressive(p: Int = 2, minTrain: Int = 8) extends ForecastModel {
     //    correlation-matrix determinant, refusing collinear regressors
     //    (e.g. any pure linear trend under p >= 2) at any data scale.
     val diagOk =
-      (0 until p).map(i => c(i)(i) > lit(1e-12) * sAt(i, i)).reduce(_ && _)
-    val prodDiag = (0 until p).map(i => c(i)(i)).reduce(_ * _)
+      (0 until p).map(i => cm(i)(i) > lit(1e-12) * sAt(i, i)).reduce(_ && _)
+    val prodDiag = (0 until p).map(i => cm(i)(i)).reduce(_ * _)
     when(
       nT >= lit(minTrain.toLong) && diagOk && abs(d) > lit(1e-9) * prodDiag,
       pred
@@ -418,55 +451,107 @@ case class CalendarRegression(
   require(minTrain >= 4, s"minTrain must be >= 4, got $minTrain")
   val name: String =
     if (holidays.isEmpty) "Calendar-dow" else s"Calendar-dow-h${holidays.size}"
-  private val xName = "_cal_x"
-  private val dwName = "_cal_dow"
+  // helper-column prefix — unique per (holiday-count) variant, the
+  // same per-model uniqueness contract as AR's p-keyed lag names
+  private val pfx = if (holidays.isEmpty) "_cal" else s"_calh${holidays.size}"
+  private def c(s: String) = col(pfx + s)
 
-  override def prepare(df: DataFrame, value: Column, w: WindowSpec): DataFrame =
-    df.withColumn(
-        xName,
-        datediff(col(tsCol), to_date(lit("1970-01-01"))).cast("double")
-      )
-      .withColumn(dwName, dayofweek(col(tsCol)))
-
-  def forecast(value: Column, w: WindowSpec): Column = {
+  /** Staged pre-pass — EVERY expanding moment (5 global + 3 per
+    * calendar slot) and the closed-form (a, b) trend solve materialize
+    * as columns here, so [[forecast]] combines ATTRIBUTES instead of
+    * re-inlining the moment expression trees into all 7 slot effects.
+    * Same single window exchange (all sums share one frame); without
+    * the staging the duplicated trees made Catalyst analysis — not the
+    * data pass — the dominant cost of the whole model family.
+    */
+  override def prepare(df: DataFrame, value: Column, w: WindowSpec): DataFrame = {
     val dec = DecimalType(38, 10)
     val wp = w.rowsBetween(Window.unboundedPreceding, -1)
-    val x = col(xName)
-    val dw = col(dwName)
+    val base = df
+      .withColumn(
+        pfx + "_x",
+        datediff(col(tsCol), to_date(lit("1970-01-01"))).cast("double")
+      )
+      .withColumn(pfx + "_dow", dayofweek(col(tsCol)))
+    val x = c("_x")
+    val dw = c("_dow")
     val v = value.isNotNull
     def msum(e: Column) = sum(when(v, e.cast(dec))).over(wp).cast("double")
-    val nT = sum(when(v, 1L).otherwise(0L)).over(wp)
-    val nD = nT.cast("double")
-    val sx = msum(x)
-    val sy = msum(value)
-    val sxx = msum(x * x)
-    val sxy = msum(x * value)
-    val cxx = sxx - sx * sx / nD
-    val cxy = sxy - sx * sy / nD
-    val b = cxy / cxx
-    val a = (sy - b * sx) / nD
+    def slotCols(tag: String, cond: Column): Seq[(String, Column)] = Seq(
+      s"_n$tag" -> sum(when(v && cond, 1L).otherwise(0L)).over(wp),
+      s"_sy$tag" -> msum(when(cond, value)),
+      s"_sx$tag" -> msum(when(cond, x))
+    )
+    val holCond: Option[Column] =
+      if (holidays.isEmpty) None
+      else Some(to_date(col(tsCol)).isin(holidays.map(Date.valueOf): _*))
+    val moments: Seq[(String, Column)] = Seq(
+      "_n" -> sum(when(v, 1L).otherwise(0L)).over(wp),
+      "_sx" -> msum(x),
+      "_sy" -> msum(value),
+      "_sxx" -> msum(x * x),
+      "_sxy" -> msum(x * value)
+    ) ++ (1 to 7).flatMap(d => slotCols(d.toString, dw === d)) ++
+      holCond.toSeq.flatMap(hc => slotCols("hol", hc)) ++
+      holCond.map(hc => "_ishol" -> hc).toSeq
+    val withMoments = base.select(
+      col("*") +: moments.map { case (n, e) => e.as(pfx + n) }: _*
+    )
+    // second projection: the 2-regressor solve over the attributes.
+    // Each stage is NULL until its divisor is provably nonzero (ANSI
+    // division no longer hides behind the forecast's lazy CASE once
+    // staged) — the forecast gate only ever reads them when the same
+    // conditions hold, so gated values are bit-identical to the
+    // inline form.
+    val nD = c("_n").cast("double")
+    withMoments
+      .withColumn(
+        pfx + "_cxx",
+        when(c("_n") > 0L, c("_sxx") - c("_sx") * c("_sx") / nD)
+      )
+      .withColumn(
+        pfx + "_b",
+        when(
+          c("_cxx") > lit(1e-12) * c("_sxx"),
+          (c("_sxy") - c("_sx") * c("_sy") / nD) / c("_cxx")
+        )
+      )
+      .withColumn(
+        pfx + "_a",
+        when(c("_b").isNotNull, (c("_sy") - c("_b") * c("_sx")) / nD)
+      )
+  }
+
+  def forecast(value: Column, w: WindowSpec): Column = {
+    val x = c("_x")
+    val dw = c("_dow")
+    val a = c("_a")
+    val b = c("_b")
     // mean residual of the strictly-preceding rows in a calendar slot,
     // under the row-t trend; 0 (pure trend) until the slot has >= 2
     // training rows
-    def slotEff(cond: Column): Column = {
-      val nd = sum(when(v && cond, 1L).otherwise(0L)).over(wp)
+    def slotEff(tag: String): Column = {
+      val nd = c(s"_n$tag")
       val ndD = nd.cast("double")
-      val syd = msum(when(cond, value))
-      val sxd = msum(when(cond, x))
-      when(nd >= 2L, (syd - a * ndD - b * sxd) / ndD).otherwise(lit(0.0))
+      when(
+        nd >= 2L,
+        (c(s"_sy$tag") - a * ndD - b * c(s"_sx$tag")) / ndD
+      ).otherwise(lit(0.0))
     }
     val dowEff = (1 to 7).foldRight(lit(0.0)) { case (d, acc) =>
-      when(dw === d, slotEff(dw === d)).otherwise(acc)
+      when(dw === d, slotEff(d.toString)).otherwise(acc)
     }
     // no trailing `+ 0.0` when holidays are off: IEEE identity except
     // for -0.0, whose sign a hash-exact oracle would see
     val pred =
       if (holidays.isEmpty) a + b * x + dowEff
-      else {
-        val isHol = to_date(col(tsCol)).isin(holidays.map(Date.valueOf): _*)
-        a + b * x + dowEff + when(isHol, slotEff(isHol)).otherwise(lit(0.0))
-      }
-    when(nT >= lit(minTrain.toLong) && cxx > lit(1e-12) * sxx, pred)
+      else a + b * x + dowEff +
+        when(c("_ishol"), slotEff("hol")).otherwise(lit(0.0))
+    when(
+      c("_n") >= lit(minTrain.toLong) &&
+        c("_cxx") > lit(1e-12) * c("_sxx"),
+      pred
+    )
   }
 }
 
