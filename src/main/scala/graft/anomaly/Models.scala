@@ -601,6 +601,18 @@ object Models {
       CalendarRegression()
     ) ++ hwGrid()
 
+  /** [[extended]] with a holiday roster: the calendar slot runs BOTH
+    * ways (plain day-of-week and day-of-week + holiday indicators) and
+    * the optimizer's CV picks per series — a series whose dips follow
+    * the roster selects the holiday-aware fit, one that doesn't keeps
+    * the simpler model (distinct `name`s, so selection is visible).
+    * Dates are "yyyy-MM-dd" strings matched against `to_date(tsCol)`.
+    */
+  def extendedWithHolidays(holidays: Seq[String]): Seq[ForecastModel] = {
+    require(holidays.nonEmpty, "pass a non-empty holiday roster (or use extended)")
+    extended :+ CalendarRegression(holidays = holidays)
+  }
+
   /** Simple family (reference SimpleModelFactory): trailing means only. */
   def simple: Seq[ForecastModel] = trailingMeans()
 }

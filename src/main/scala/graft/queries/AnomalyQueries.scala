@@ -262,42 +262,54 @@ object AnomalyQueries extends QueryPack {
   }
 
   /** Exact SQL mirror of [[graft.anomaly.CalendarRegression]]("ts",
-    * Nil, 14) as a CTE chain ending in
+    * `holidays`, 14) as a CTE chain ending in
     * `scal(event_type, ts, value, cal_pred)`: days-since-epoch +
     * day-of-week projection (DuckDB dayofweek is 0=Sunday, Spark's is
     * 1=Sunday — hence the +1), DECIMAL(38,10) expanding trend moments
     * and per-slot conditional sums over the strictly-preceding frame,
     * the closed-form 2-regressor solve, per-slot mean-residual effects
-    * gated at >= 2 slot rows, and the same conditioning gate as AR —
-    * every double operation in the Column expression's order.
+    * gated at >= 2 slot rows (the holiday indicator is one more such
+    * slot when `holidays` is non-empty), and the same conditioning
+    * gate as AR — every double operation in the Column expression's
+    * order.
     */
-  private val calCtes: String = {
+  private def calCtesFor(holidays: Seq[String]): String = {
     val wp =
       """(PARTITION BY event_type ORDER BY ts
          ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)"""
     val v = "(value IS NOT NULL)"
     def msum(e: String) =
       s"CAST(SUM(CASE WHEN $v THEN CAST($e AS DECIMAL(38,10)) END) OVER $wp AS DOUBLE)"
-    def slotSum(d: Int, e: String) =
-      msum(s"(CASE WHEN dw = $d THEN $e END)")
-    val slotCols = (1 to 7)
-      .map { d =>
-        s"""SUM(CASE WHEN $v AND dw = $d THEN 1 ELSE 0 END) OVER $wp AS nd$d,
-            ${slotSum(d, "value")} AS syd$d, ${slotSum(d, "x")} AS sxd$d"""
-      }
+    def condSum(cond: String, e: String) =
+      msum(s"(CASE WHEN $cond THEN $e END)")
+    def slotAggs(tag: String, cond: String) =
+      s"""SUM(CASE WHEN $v AND $cond THEN 1 ELSE 0 END) OVER $wp AS nd$tag,
+          ${condSum(cond, "value")} AS syd$tag, ${condSum(cond, "x")} AS sxd$tag"""
+    val slotCols = ((1 to 7).map(d => slotAggs(d.toString, s"dw = $d")) ++
+      (if (holidays.isEmpty) Nil else Seq(slotAggs("hol", "ishol"))))
       .mkString(",\n          ")
-    def eff(d: Int) =
-      s"""CASE WHEN nd$d >= 2
-          THEN (syd$d - a * CAST(nd$d AS DOUBLE) - b * sxd$d) / CAST(nd$d AS DOUBLE)
+    def eff(tag: String) =
+      s"""CASE WHEN nd$tag >= 2
+          THEN (syd$tag - a * CAST(nd$tag AS DOUBLE) - b * sxd$tag) / CAST(nd$tag AS DOUBLE)
           ELSE 0.0 END"""
     val effCase = (1 to 7)
-      .map(d => s"WHEN dw = $d THEN (${eff(d)})")
+      .map(d => s"WHEN dw = $d THEN (${eff(d.toString)})")
       .mkString("CASE ", " ", " ELSE 0.0 END")
+    val holTerm =
+      if (holidays.isEmpty) ""
+      else s" + (CASE WHEN ishol THEN (${eff("hol")}) ELSE 0.0 END)"
+    val isholCol =
+      if (holidays.isEmpty) ""
+      else
+        holidays
+          .map(d => s"DATE '$d'")
+          .mkString(",\n          CAST(ts AS DATE) IN (", ", ", ") AS ishol")
     s"""scal0 AS (SELECT event_type, ts, value,
           CAST(date_diff('day', TIMESTAMP '1970-01-01 00:00:00', ts) AS DOUBLE) AS x,
-          dayofweek(ts) + 1 AS dw
+          dayofweek(ts) + 1 AS dw$isholCol
         FROM s),
-      scal1 AS (SELECT event_type, ts, value, x, dw,
+      scal1 AS (SELECT event_type, ts, value, x, dw,${
+        if (holidays.isEmpty) "" else " ishol,"}
           SUM(CASE WHEN $v THEN 1 ELSE 0 END) OVER $wp AS n_t,
           ${msum("x")} AS sx, ${msum("value")} AS sy,
           ${msum("(x * x)")} AS sxx, ${msum("(x * value)")} AS sxy,
@@ -311,10 +323,12 @@ object AnomalyQueries extends QueryPack {
       scal4 AS (SELECT *, (sy - b * sx) / nd AS a FROM scal3),
       scal AS (SELECT event_type, ts, value,
           CASE WHEN n_t >= 14 AND cxx > 1e-12 * sxx
-            THEN a + b * x + ($effCase)
+            THEN a + b * x + ($effCase)$holTerm
           END AS cal_pred
         FROM scal4)"""
   }
+
+  private val calCtes: String = calCtesFor(Nil)
 
   private val tmModels = Seq(3, 5, 7).map(w => (s"TrailingMean-$w", tmSql(w), "s"))
   // candidates {2,7} with h=4 keep the history requirement (h+7=11)
@@ -414,6 +428,36 @@ object AnomalyQueries extends QueryPack {
         )
         .orderBy("event_type", "ts"),
     oracle = Some(s"""$seriesCte, $calCtes, f AS (
+        SELECT event_type, ts, value, cal_pred AS predicted FROM scal)
+      SELECT event_type, ts, value, round(predicted, 6) AS predicted,
+        round($apeSql, 6) AS error
+      FROM f ORDER BY event_type, ts""")
+  )
+
+  // Holiday-aware calendar forecast: the pluggable-holiday-indicator
+  // path of the AutoProphet slot, oracle-gated end to end. The two
+  // mid-series dates (different weekdays) exercise the pooled holiday
+  // slot: its expanding sums, the >= 2-training-rows activation, and
+  // the indicator membership test — hash-compared against the same
+  // staged math in DuckDB.
+  private val calHolidays = Seq("2024-01-10", "2024-01-20")
+  private val forecastCalHol = Q(
+    fn = (s, d) =>
+      Optimizer
+        .forecastErrors(
+          series(s, d),
+          seriesCols,
+          cfg = cfg(Seq(CalendarRegression(holidays = calHolidays)))
+        )
+        .select(
+          col("event_type"),
+          col("ts"),
+          col("value"),
+          round6(col("predicted")).as("predicted"),
+          round6(col("error")).as("error")
+        )
+        .orderBy("event_type", "ts"),
+    oracle = Some(s"""$seriesCte, ${calCtesFor(calHolidays)}, f AS (
         SELECT event_type, ts, value, cal_pred AS predicted FROM scal)
       SELECT event_type, ts, value, round(predicted, 6) AS predicted,
         round($apeSql, 6) AS error
@@ -920,6 +964,7 @@ object AnomalyQueries extends QueryPack {
     "anomaly_forecast_auto" -> forecastQuery(autoModel, autoSeasonalSql(Seq(2, 7), 4)),
     "anomaly_forecast_ar" -> forecastAr,
     "anomaly_forecast_calendar" -> forecastCal,
+    "anomaly_forecast_calendar_hol" -> forecastCalHol,
     "anomaly_best_window" -> bestWindow,
     "anomaly_threshold" -> threshold,
     "anomaly_best_model" -> bestModel,

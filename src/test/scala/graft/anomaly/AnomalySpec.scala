@@ -563,6 +563,41 @@ class AnomalySpec extends SparkSpec {
     assert(CalendarRegression(holidays = holiDates).name == "Calendar-dow-h3")
   }
 
+  test("extendedWithHolidays: a roster-following series selects the holiday-aware fit via CV") {
+    val holidays = Seq(9, 24, 37, 52, 66)
+    val holiDates = holidays.map(d =>
+      java.time.Instant
+        .ofEpochMilli(86400000L * d)
+        .atZone(java.time.ZoneOffset.UTC)
+        .toLocalDate
+        .toString)
+    val rows = (1 to 70).map { d =>
+      d -> (plantedCal(d) + (if (holidays.contains(d)) -40.0 else 0.0))
+    }
+    // validation starts at 0.4 so both warm-up holidays (9, 24) are
+    // training history: the indicator is active for every validated
+    // dip, and the holiday-aware fit wins the 0.99-confidence
+    // threshold criterion outright (the holiday-blind family pays
+    // ~0.5 APE on each validated dip day)
+    val best = Optimizer
+      .optimize(
+        calSeries(rows, "holi"),
+        Seq("series"),
+        cfg = Optimizer.Config(
+          models = Models.extendedWithHolidays(holiDates),
+          startProportion = Some(0.4)
+        )
+      )
+      .collect()
+      .head
+    assert(
+      best.getAs[String]("best_model") == s"Calendar-dow-h${holidays.size}",
+      s"holiday-aware calendar fit must win CV on a roster-following " +
+        s"series, got ${best.getAs[String]("best_model")}"
+    )
+    intercept[IllegalArgumentException](Models.extendedWithHolidays(Nil))
+  }
+
   test("CalendarRegression fits on strictly preceding rows only") {
     val base = (1 to 40).map(d => d -> plantedCal(d))
     val poisoned = base.init :+ (base.last._1 -> 1e6)
