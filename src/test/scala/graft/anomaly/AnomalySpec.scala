@@ -608,6 +608,75 @@ class AnomalySpec extends SparkSpec {
     )
   }
 
+  test("CalendarRegression matches a plain-JVM reference bit-for-bit on randomized gappy series") {
+    // independent reimplementation of the staged math (DECIMAL(38,10)
+    // expanding sums, closed-form trend, per-slot mean residuals) —
+    // catches any staging/guard regression the single-dataset oracle
+    // could miss. Seeded, so failures reproduce.
+    import java.math.{BigDecimal => JBD, MathContext, RoundingMode}
+    def dec10(d: Double): JBD =
+      JBD.valueOf(d).setScale(10, RoundingMode.HALF_UP)
+    def jvmForecasts(rows: Seq[(Int, Double)], minTrain: Int): Seq[Option[Double]] =
+      rows.indices.map { t =>
+        val hist = rows.take(t)
+        val n = hist.size
+        if (n < minTrain) None
+        else {
+          val mc = new MathContext(38)
+          def msum(f: ((Int, Double)) => Double): Double =
+            hist.foldLeft(JBD.ZERO)((acc, r) => acc.add(dec10(f(r)), mc)).doubleValue
+          def dowOf(day: Int): Int = {
+            val d = java.time.LocalDate.ofEpochDay(day.toLong)
+            d.getDayOfWeek.getValue % 7 + 1 // Spark: Sunday=1
+          }
+          val nD = n.toDouble
+          val sx = msum { case (d, _) => d.toDouble }
+          val sy = msum { case (_, v) => v }
+          val sxx = msum { case (d, _) => d.toDouble * d.toDouble }
+          val sxy = msum { case (d, v) => d.toDouble * v }
+          val cxx = sxx - sx * sx / nD
+          if (!(cxx > 1e-12 * sxx)) None
+          else {
+            val b = (sxy - sx * sy / nD) / cxx
+            val a = (sy - b * sx) / nD
+            val (day, _) = rows(t)
+            val dw = dowOf(day)
+            val slot = hist.filter { case (d, _) => dowOf(d) == dw }
+            val eff =
+              if (slot.size >= 2) {
+                val nd = slot.size.toDouble
+                val syd = slot.foldLeft(JBD.ZERO)((acc, r) => acc.add(dec10(r._2), mc)).doubleValue
+                val sxd = slot.foldLeft(JBD.ZERO)((acc, r) => acc.add(dec10(r._1.toDouble), mc)).doubleValue
+                (syd - a * nd - b * sxd) / nd
+              } else 0.0
+            Some(a + b * day.toDouble + eff)
+          }
+        }
+      }
+    val rng = new scala.util.Random(20260815L)
+    (1 to 3).foreach { trial =>
+      // gappy day axis + noisy weekly series
+      val days = (1 to 80).filter(_ => rng.nextDouble() > 0.2)
+      val rows = days.map { d =>
+        d -> (50.0 + 0.3 * d + 5.0 * math.sin(d % 7) + rng.nextGaussian())
+      }
+      val spark_ = calForecasts(CalendarRegression(), rows)
+      val jvm = jvmForecasts(rows, minTrain = 14)
+      rows.indices.foreach { i =>
+        (spark_(i), jvm(i)) match {
+          case (None, None) => ()
+          case (Some(s), Some(j)) =>
+            assert(
+              java.lang.Double.compare(s, j) == 0,
+              s"trial $trial row $i (day ${rows(i)._1}): spark=$s jvm=$j"
+            )
+          case other =>
+            fail(s"trial $trial row $i: null-mismatch $other")
+        }
+      }
+    }
+  }
+
   test("CalendarRegression refuses degenerate time axes instead of guessing") {
     // all rows on ONE day (zero x variance): conditioning gate -> NULL
     import spark.implicits._
