@@ -555,6 +555,192 @@ case class CalendarRegression(
   }
 }
 
+/** Piecewise-linear-trend calendar forecast — the full Prophet trend
+  * formulation of the AutoProphet slot (reference models.py:216-241;
+  * Taylor & Letham 2018 "Forecasting at Scale" §3.1.2): trend slope is
+  * allowed to CHANGE at known changepoint dates via hinge regressors
+  *
+  *   value ~ a + φ₁·x + Σᵢ φ_{1+i}·max(0, x − cp_i)
+  *             + dow_effect(day_of_week) [+ holiday_effect],
+  *
+  * x = days since epoch. A deploy, a pricing change, a crawler rollout
+  * — the level-AND-slope breaks daily business metrics actually have —
+  * stops bending the global fit of [[CalendarRegression]] and lands on
+  * its hinge instead. Fit machinery is [[AutoRegressive]]'s normal
+  * equations with hinge columns in place of lag columns: DECIMAL
+  * (38,10) expanding moments, centered (1+k)×(1+k) system, unrolled
+  * Cramer solve, all staged as columns in [[prepare]] (the r12
+  * analysis-cost lesson), then day-of-week/holiday effects as per-slot
+  * mean residuals under the piecewise trend.
+  *
+  * Changepoints are an explicit roster (k ≤ 2): unlike Prophet's
+  * automatic uniform candidate grid + L1 selection (a per-series
+  * driver fit), a fixed roster keeps the model ONE window expression
+  * over every series at once; the optimizer's CV picks per series
+  * between this, the global-trend calendar fit, and the rest of the
+  * family — model selection does the changepoint acceptance job,
+  * distributed.
+  *
+  * Flagged, never guessed: a changepoint outside a series' observed
+  * span makes the hinge zero-variance or collinear with x — the same
+  * scale-free diagonal/determinant gates as AR refuse the fit (NULL)
+  * instead of emitting a garbage solve, and the plain calendar model
+  * in the family covers the series.
+  */
+case class PiecewiseCalendar(
+    tsCol: String = "ts",
+    changepoints: Seq[String] = Nil,
+    holidays: Seq[String] = Nil,
+    minTrain: Int = 14
+) extends ForecastModel {
+  require(
+    changepoints.nonEmpty && changepoints.size <= 2,
+    s"1..2 changepoint dates required, got ${changepoints.size} " +
+      "(each adds a factorial Cramer term count; use CalendarRegression for none)"
+  )
+  require(minTrain >= changepoints.size + 5,
+    s"minTrain must be >= ${changepoints.size + 5}, got $minTrain")
+  private val k = changepoints.size
+  private val p = 1 + k // trend regressors: x plus one hinge per changepoint
+  val name: String =
+    s"Calendar-pw$k" + (if (holidays.isEmpty) "" else s"-h${holidays.size}")
+  private val pfx =
+    s"_calpw$k" + (if (holidays.isEmpty) "" else s"h${holidays.size}")
+  private def c(s: String) = col(pfx + s)
+  // epoch-day constants of the changepoints (parse fails loudly)
+  private val cpDays: Seq[Double] =
+    changepoints.map(d => java.time.LocalDate.parse(d).toEpochDay.toDouble)
+
+  /** Laplace expansion along the first row — deterministic term order,
+    * the same expansion the SQL oracle unrolls.
+    */
+  private def det(m: Vector[Vector[Column]]): Column = m.size match {
+    case 1 => m(0)(0)
+    case n =>
+      (0 until n)
+        .map { j =>
+          val minor = m.tail.map(row => row.patch(j, Nil, 1))
+          val term = m(0)(j) * det(minor)
+          if (j % 2 == 0) term else -term
+        }
+        .reduce(_ + _)
+  }
+
+  override def prepare(df: DataFrame, value: Column, w: WindowSpec): DataFrame = {
+    val dec = DecimalType(38, 10)
+    val wp = w.rowsBetween(Window.unboundedPreceding, -1)
+    val base0 = df
+      .withColumn(
+        pfx + "_x",
+        datediff(col(tsCol), to_date(lit("1970-01-01"))).cast("double")
+      )
+      .withColumn(pfx + "_dow", dayofweek(col(tsCol)))
+    val base = cpDays.zipWithIndex.foldLeft(base0) { case (d, (cp, i)) =>
+      d.withColumn(pfx + s"_r${i + 2}", greatest(lit(0.0), c("_x") - lit(cp)))
+    }
+    // regressor columns r1 = x, r2.. = hinges
+    val rs = c("_x") +: (2 to p).map(i => c(s"_r$i"))
+    val dw = c("_dow")
+    val v = value.isNotNull
+    def msum(e: Column) = sum(when(v, e.cast(dec))).over(wp).cast("double")
+    def slotCols(tag: String, cond: Column): Seq[(String, Column)] =
+      Seq(
+        s"_n$tag" -> sum(when(v && cond, 1L).otherwise(0L)).over(wp),
+        s"_sy$tag" -> msum(when(cond, value))
+      ) ++ (1 to p).map(i => s"_sr$i$tag" -> msum(when(cond, rs(i - 1))))
+    val holCond: Option[Column] =
+      if (holidays.isEmpty) None
+      else Some(to_date(col(tsCol)).isin(holidays.map(Date.valueOf): _*))
+    val moments: Seq[(String, Column)] =
+      Seq(
+        "_n" -> sum(when(v, 1L).otherwise(0L)).over(wp),
+        "_sy" -> msum(value)
+      ) ++ (1 to p).map(i => s"_s$i" -> msum(rs(i - 1))) ++
+        (for { i <- 1 to p; j <- i to p }
+          yield s"_s$i$j" -> msum(rs(i - 1) * rs(j - 1))) ++
+        (1 to p).map(i => s"_s${i}y" -> msum(rs(i - 1) * value)) ++
+        (1 to 7).flatMap(d => slotCols(d.toString, dw === d)) ++
+        holCond.toSeq.flatMap(hc => slotCols("hol", hc)) ++
+        holCond.map(hc => "_ishol" -> hc).toSeq
+    val withMoments = base.select(
+      col("*") +: moments.map { case (n, e) => e.as(pfx + n) }: _*
+    )
+    // centered normal-equations entries (ANSI: NULL until n > 0)
+    val nD = c("_n").cast("double")
+    def sAt(i: Int, j: Int) = if (i <= j) c(s"_s$i$j") else c(s"_s$j$i")
+    val centered: Seq[(String, Column)] =
+      (for { i <- 1 to p; j <- i to p }
+        yield s"_c$i$j" ->
+          when(c("_n") > 0L, sAt(i, j) - c(s"_s$i") * c(s"_s$j") / nD)) ++
+        (1 to p).map(i =>
+          s"_c${i}y" ->
+            when(c("_n") > 0L, c(s"_s${i}y") - c(s"_s$i") * c("_sy") / nD))
+    val withCentered = withMoments.select(
+      col("*") +: centered.map { case (n, e) => e.as(pfx + n) }: _*
+    )
+    // Cramer solve over attributes, AR's gates: per-diagonal relative
+    // variance floor + correlation-determinant collinearity floor
+    def cAt(i: Int, j: Int) =
+      if (i <= j) c(s"_c${i + 1}${j + 1}") else c(s"_c${j + 1}${i + 1}")
+    val cm = Vector.tabulate(p, p)(cAt)
+    val cy = Vector.tabulate(p)(i => c(s"_c${i + 1}y"))
+    val dDet = det(cm)
+    val diagOk =
+      (0 until p)
+        .map(i => cm(i)(i) > lit(1e-12) * c(s"_s${i + 1}${i + 1}"))
+        .reduce(_ && _)
+    val prodDiag = (0 until p).map(i => cm(i)(i)).reduce(_ * _)
+    val withDet = withCentered
+      .withColumn(pfx + "_det", when(c("_n") > 0L, dDet))
+      .withColumn(
+        pfx + "_ok",
+        diagOk && abs(c("_det")) > lit(1e-9) * prodDiag
+      )
+    val withPhi = (1 to p).foldLeft(withDet) { case (d, kk) =>
+      d.withColumn(
+        pfx + s"_phi$kk",
+        when(
+          c("_ok"),
+          det(Vector.tabulate(p, p)((i, j) =>
+            if (j == kk - 1) cy(i) else cAt(i, j))) / c("_det")
+        )
+      )
+    }
+    val phiDotS = (1 to p)
+      .map(i => c(s"_phi$i") * c(s"_s$i"))
+      .reduce(_ + _)
+    withPhi.withColumn(
+      pfx + "_a",
+      when(c("_ok"), (c("_sy") - phiDotS) / nD)
+    )
+  }
+
+  def forecast(value: Column, w: WindowSpec): Column = {
+    val rs = c("_x") +: (2 to p).map(i => c(s"_r$i"))
+    val dw = c("_dow")
+    val a = c("_a")
+    val phis = (1 to p).map(i => c(s"_phi$i"))
+    // per-slot mean residual under the PIECEWISE trend; 0 until >= 2
+    // training rows carry the slot
+    def slotEff(tag: String): Column = {
+      val nd = c(s"_n$tag")
+      val ndD = nd.cast("double")
+      val resid = (1 to p).foldLeft(c(s"_sy$tag") - a * ndD) { (acc, i) =>
+        acc - phis(i - 1) * c(s"_sr$i$tag")
+      }
+      when(nd >= 2L, resid / ndD).otherwise(lit(0.0))
+    }
+    val dowEff = (1 to 7).foldRight(lit(0.0)) { case (d, acc) =>
+      when(dw === d, slotEff(d.toString)).otherwise(acc)
+    }
+    val trend = rs.zip(phis).foldLeft(a) { case (acc, (r, f)) => acc + f * r }
+    val pred =
+      if (holidays.isEmpty) trend + dowEff
+      else trend + dowEff + when(c("_ishol"), slotEff("hol")).otherwise(lit(0.0))
+    when(c("_n") >= lit(minTrain.toLong) && c("_ok"), pred)
+  }
+}
+
 /** Model factory (reference: thoth/anomaly/models.py:244-277). */
 object Models {
   /** The reference SimpleModel's candidate windows. */
@@ -611,6 +797,22 @@ object Models {
   def extendedWithHolidays(holidays: Seq[String]): Seq[ForecastModel] = {
     require(holidays.nonEmpty, "pass a non-empty holiday roster (or use extended)")
     extended :+ CalendarRegression(holidays = holidays)
+  }
+
+  /** [[extended]] with known trend-changepoint dates (and optionally a
+    * holiday roster): adds the piecewise-trend calendar fit alongside
+    * the global-trend one, letting the optimizer's CV accept or reject
+    * the changepoints per series — the distributed stand-in for
+    * Prophet's per-series L1 changepoint selection. Dates are
+    * "yyyy-MM-dd" strings.
+    */
+  def extendedWithChangepoints(
+      changepoints: Seq[String],
+      holidays: Seq[String] = Nil
+  ): Seq[ForecastModel] = {
+    val base =
+      if (holidays.isEmpty) extended else extendedWithHolidays(holidays)
+    base :+ PiecewiseCalendar(changepoints = changepoints, holidays = holidays)
   }
 
   /** Simple family (reference SimpleModelFactory): trailing means only. */

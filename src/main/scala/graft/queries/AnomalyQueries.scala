@@ -330,6 +330,78 @@ object AnomalyQueries extends QueryPack {
 
   private val calCtes: String = calCtesFor(Nil)
 
+  /** Exact SQL mirror of [[graft.anomaly.PiecewiseCalendar]]("ts",
+    * Seq(cpDate), Nil, 14) — one changepoint, p = 2 trend regressors
+    * (x and the hinge max(0, x − cp)) — as a CTE chain ending in
+    * `scp(event_type, ts, value, pw_pred)`: DECIMAL(38,10) expanding
+    * moments for both regressors and all four per-slot sums, centered
+    * 2×2 normal equations, the unrolled Cramer solve in the Column
+    * expression's Laplace term order, AR's diagonal + determinant
+    * conditioning gates, and per-slot mean residuals under the
+    * piecewise trend.
+    */
+  private def calPwCtes(cpDate: String): String = {
+    val cp = java.time.LocalDate.parse(cpDate).toEpochDay.toDouble
+    val wp =
+      """(PARTITION BY event_type ORDER BY ts
+         ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)"""
+    val v = "(value IS NOT NULL)"
+    def msum(e: String) =
+      s"CAST(SUM(CASE WHEN $v THEN CAST($e AS DECIMAL(38,10)) END) OVER $wp AS DOUBLE)"
+    def condSum(cond: String, e: String) =
+      msum(s"(CASE WHEN $cond THEN $e END)")
+    val slotCols = (1 to 7)
+      .map { d =>
+        s"""SUM(CASE WHEN $v AND dw = $d THEN 1 ELSE 0 END) OVER $wp AS nd$d,
+            ${condSum(s"dw = $d", "value")} AS syd$d,
+            ${condSum(s"dw = $d", "x")} AS sr1d$d,
+            ${condSum(s"dw = $d", "r2")} AS sr2d$d"""
+      }
+      .mkString(",\n          ")
+    def eff(d: Int) =
+      s"""CASE WHEN nd$d >= 2
+          THEN (syd$d - a * CAST(nd$d AS DOUBLE) - phi1 * sr1d$d - phi2 * sr2d$d)
+            / CAST(nd$d AS DOUBLE)
+          ELSE 0.0 END"""
+    val effCase = (1 to 7)
+      .map(d => s"WHEN dw = $d THEN (${eff(d)})")
+      .mkString("CASE ", " ", " ELSE 0.0 END")
+    s"""scp0 AS (SELECT event_type, ts, value,
+          CAST(date_diff('day', TIMESTAMP '1970-01-01 00:00:00', ts) AS DOUBLE) AS x,
+          dayofweek(ts) + 1 AS dw
+        FROM s),
+      scp0b AS (SELECT *, greatest(0.0, x - $cp) AS r2 FROM scp0),
+      scp1 AS (SELECT event_type, ts, value, x, dw, r2,
+          SUM(CASE WHEN $v THEN 1 ELSE 0 END) OVER $wp AS n_t,
+          ${msum("value")} AS sy,
+          ${msum("x")} AS s1, ${msum("r2")} AS s2,
+          ${msum("(x * x)")} AS s11, ${msum("(x * r2)")} AS s12,
+          ${msum("(r2 * r2)")} AS s22,
+          ${msum("(x * value)")} AS s1y, ${msum("(r2 * value)")} AS s2y,
+          $slotCols
+        FROM scp0b),
+      scp2 AS (SELECT *, CAST(n_t AS DOUBLE) AS nd,
+          s11 - s1 * s1 / CAST(n_t AS DOUBLE) AS c11,
+          s12 - s1 * s2 / CAST(n_t AS DOUBLE) AS c12,
+          s22 - s2 * s2 / CAST(n_t AS DOUBLE) AS c22,
+          s1y - s1 * sy / CAST(n_t AS DOUBLE) AS c1y,
+          s2y - s2 * sy / CAST(n_t AS DOUBLE) AS c2y
+        FROM scp1),
+      scp3 AS (SELECT *, c11 * c22 + (- (c12 * c12)) AS det FROM scp2),
+      scp4 AS (SELECT *,
+          (c11 > 1e-12 * s11 AND c22 > 1e-12 * s22
+            AND abs(det) > 1e-9 * (c11 * c22)) AS ok,
+          (c1y * c22 + (- (c12 * c2y))) / det AS phi1,
+          (c11 * c2y + (- (c1y * c12))) / det AS phi2
+        FROM scp3),
+      scp5 AS (SELECT *, (sy - (phi1 * s1 + phi2 * s2)) / nd AS a FROM scp4),
+      scp AS (SELECT event_type, ts, value,
+          CASE WHEN n_t >= 14 AND ok
+            THEN a + phi1 * x + phi2 * r2 + ($effCase)
+          END AS pw_pred
+        FROM scp5)"""
+  }
+
   private val tmModels = Seq(3, 5, 7).map(w => (s"TrailingMean-$w", tmSql(w), "s"))
   // candidates {2,7} with h=4 keep the history requirement (h+7=11)
   // inside the 30-day series' 12-point training prefix
@@ -459,6 +531,33 @@ object AnomalyQueries extends QueryPack {
         .orderBy("event_type", "ts"),
     oracle = Some(s"""$seriesCte, ${calCtesFor(calHolidays)}, f AS (
         SELECT event_type, ts, value, cal_pred AS predicted FROM scal)
+      SELECT event_type, ts, value, round(predicted, 6) AS predicted,
+        round($apeSql, 6) AS error
+      FROM f ORDER BY event_type, ts""")
+  )
+
+  // Piecewise-trend calendar forecast (the Prophet changepoint
+  // formulation): one mid-series changepoint, hash-compared against
+  // the unrolled 2-regressor Cramer mirror
+  private val calChangepoint = "2024-01-15"
+  private val forecastCalPw = Q(
+    fn = (s, d) =>
+      Optimizer
+        .forecastErrors(
+          series(s, d),
+          seriesCols,
+          cfg = cfg(Seq(PiecewiseCalendar(changepoints = Seq(calChangepoint))))
+        )
+        .select(
+          col("event_type"),
+          col("ts"),
+          col("value"),
+          round6(col("predicted")).as("predicted"),
+          round6(col("error")).as("error")
+        )
+        .orderBy("event_type", "ts"),
+    oracle = Some(s"""$seriesCte, ${calPwCtes(calChangepoint)}, f AS (
+        SELECT event_type, ts, value, pw_pred AS predicted FROM scp)
       SELECT event_type, ts, value, round(predicted, 6) AS predicted,
         round($apeSql, 6) AS error
       FROM f ORDER BY event_type, ts""")
@@ -965,6 +1064,7 @@ object AnomalyQueries extends QueryPack {
     "anomaly_forecast_ar" -> forecastAr,
     "anomaly_forecast_calendar" -> forecastCal,
     "anomaly_forecast_calendar_hol" -> forecastCalHol,
+    "anomaly_forecast_calendar_pw" -> forecastCalPw,
     "anomaly_best_window" -> bestWindow,
     "anomaly_threshold" -> threshold,
     "anomaly_best_model" -> bestModel,

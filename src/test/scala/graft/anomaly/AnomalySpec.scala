@@ -677,6 +677,107 @@ class AnomalySpec extends SparkSpec {
     }
   }
 
+  private def pwForecasts(
+      m: PiecewiseCalendar,
+      rows: Seq[(Int, Double)]
+  ): Seq[Option[Double]] = {
+    val w = Window.partitionBy($"series").orderBy($"ts")
+    val df = calSeries(rows)
+    m.prepare(df, $"value", w)
+      .withColumn("f", m.forecast($"value", w))
+      .orderBy("ts")
+      .select("f")
+      .collect()
+      .toSeq
+      .map(r => if (r.isNullAt(0)) None else Some(r.getDouble(0)))
+  }
+
+  private def epochDate(day: Int): String =
+    java.time.LocalDate.ofEpochDay(day.toLong).toString
+
+  test("PiecewiseCalendar recovers a noiseless slope break exactly once both segments are seen") {
+    // y = 10 + 0.5x before day 20, slope jumps to 2.0 after:
+    // y = 10 + 0.5x + 1.5*max(0, x - 20) — exactly in the hinge basis,
+    // so the fit interpolates exactly once the system conditions
+    val cp = 20
+    def y(d: Int): Double = 10.0 + 0.5 * d + 1.5 * math.max(0, d - cp)
+    val rows = (1 to 60).map(d => d -> y(d))
+    val fc = pwForecasts(PiecewiseCalendar(changepoints = Seq(epochDate(cp))), rows)
+    // well past the changepoint: hinge has variance, system regular
+    rows.zipWithIndex.foreach { case ((d, want), i) =>
+      if (d >= 30)
+        assert(fc(i).isDefined && math.abs(fc(i).get - want) < 1e-6,
+          s"day $d: got ${fc(i)} want $want")
+    }
+    // before minTrain: NULL
+    assert(fc.take(14).forall(_.isEmpty))
+  }
+
+  test("PiecewiseCalendar refuses out-of-span changepoints instead of guessing") {
+    val rows = (1 to 40).map(d => d -> (10.0 + 0.5 * d))
+    // changepoint after every observation: hinge is all-zero
+    assert(pwForecasts(
+      PiecewiseCalendar(changepoints = Seq(epochDate(90))), rows).forall(_.isEmpty))
+    // changepoint before every observation: hinge == x - cp, collinear
+    assert(pwForecasts(
+      PiecewiseCalendar(changepoints = Seq(epochDate(0))), rows).forall(_.isEmpty))
+    // roster validation
+    intercept[IllegalArgumentException](PiecewiseCalendar(changepoints = Nil))
+    intercept[IllegalArgumentException](
+      PiecewiseCalendar(changepoints = Seq("2024-01-01", "2024-02-01", "2024-03-01")))
+    assert(PiecewiseCalendar(changepoints = Seq(epochDate(20))).name == "Calendar-pw1")
+    assert(PiecewiseCalendar(
+      changepoints = Seq(epochDate(20)),
+      holidays = Seq(epochDate(9))).name == "Calendar-pw1-h1")
+  }
+
+  test("extendedWithChangepoints: a slope-break weekday series selects the piecewise fit via CV") {
+    // the break sits at day 45 — inside every lag model's forecastable
+    // region, so their post-break transients land in validation (an
+    // early break hides behind AutoSeasonal's 37-row history
+    // requirement and it reads exact). Weekday amplitude is kept small
+    // relative to the slope change: the piecewise fit's only error
+    // source right after the break is seasonal-hinge confusion over
+    // the straddling partial week (∝ seasonal amplitude), while the
+    // lag models' transients scale with the slope change itself.
+    val cp = 45
+    val rows = (1 to 70).map { d =>
+      d -> (100.0 + 0.5 * d + dowEffects(d % 7) / 8.0 +
+        6.0 * math.max(0, d - cp))
+    }
+    val best = Optimizer
+      .optimize(
+        calSeries(rows, "pw"),
+        Seq("series"),
+        cfg = Optimizer.Config(
+          models = Models.extendedWithChangepoints(Seq(epochDate(cp))),
+          startProportion = Some(0.4)
+        )
+      )
+      .collect()
+      .head
+    assert(
+      best.getAs[String]("best_model") == "Calendar-pw1",
+      s"piecewise calendar fit must win CV on a slope-break weekday " +
+        s"series, got ${best.getAs[String]("best_model")}"
+    )
+    // and on a series WITHOUT a break, CV keeps a simpler model — the
+    // changepoint roster is accepted per series, not imposed
+    val plainRows = (1 to 70).map(d => d -> plantedCal(d))
+    val bestPlain = Optimizer
+      .optimize(
+        calSeries(plainRows, "pl"),
+        Seq("series"),
+        cfg = Optimizer.Config(
+          models = Models.extendedWithChangepoints(Seq(epochDate(cp))),
+          startProportion = Some(0.4)
+        )
+      )
+      .collect()
+      .head
+    assert(!bestPlain.getAs[Boolean]("optimization_failed"))
+  }
+
   test("CalendarRegression refuses degenerate time axes instead of guessing") {
     // all rows on ONE day (zero x variance): conditioning gate -> NULL
     import spark.implicits._
