@@ -153,19 +153,23 @@ object Logit {
           case Some(wc) => decSum6(col(wc)).as("_w")
           case None     => count(lit(1)).cast(DoubleType).as("_w")
         }
-        val row = feats.agg(
-          count(lit(1)).as("_n"),
-          (badAgg +: denomAgg +: gradAggs): _*
-        ).head()
+        // the contract check rides ONLY the first gradient pass: the
+        // frame is persisted and cannot change across iterations, so
+        // re-counting violations every update is pure waste
+        val iterAggs =
+          if (t == 0) badAgg +: denomAgg +: gradAggs else denomAgg +: gradAggs
+        val row = feats.agg(count(lit(1)).as("_n"), iterAggs: _*).head()
         n = row.getAs[Long]("_n")
         require(n > 0, "cannot fit on an empty frame")
-        val bad = row.getAs[Long]("_bad")
-        require(
-          bad == 0L,
-          s"$bad row(s) violate the fit contract (NULL label/feature" +
-            weightCol.fold("")(wc => s", or NULL/negative $wc") +
-            ") — filter them upstream; they would bias every update"
-        )
+        if (t == 0) {
+          val bad = row.getAs[Long]("_bad")
+          require(
+            bad == 0L,
+            s"$bad row(s) violate the fit contract (NULL label/feature" +
+              weightCol.fold("")(wc => s", or NULL/negative $wc") +
+              ") — filter them upstream; they would bias every update"
+          )
+        }
         val denom = row.getAs[Double]("_w")
         require(denom > 0, "total weight must be positive")
         w = w.zipWithIndex.map { case (wj, j) =>

@@ -146,14 +146,15 @@ object Text {
   def stopwordRatio(c: Column, words: Seq[String] = stopwords("en")): Column =
     hitCount(tokens(c), words) / tokenCount(c)
 
-  /** Ratio of non-alphanumeric, non-space characters. Case-insensitive:
-    * the input is lowercased before the class strip so ordinary
-    * capitalized prose ("The cat…") does not count letters as symbols —
-    * the denominator stays the RAW length (lowercasing is length-
-    * preserving for the ASCII range this ratio targets).
+  /** Ratio of non-alphanumeric, non-space characters. Case-insensitive
+    * via an inline (?i) class on the RAW string, so capitalized prose
+    * ("The cat…") does not count letters as symbols AND the numerator
+    * is measured over exactly the same characters as the `length(c)`
+    * denominator — no lowercasing, so Unicode case expansions (e.g.
+    * U+0130) can never inflate the ratio past 1.
     */
   def punctRatio(c: Column): Column =
-    length(regexp_replace(lower(c), "[a-z0-9 ]", "")) / length(c)
+    length(regexp_replace(c, "(?i)[a-z0-9 ]", "")) / length(c)
 
   def meanWordLen(c: Column): Column =
     length(regexp_replace(c, " ", "")) / tokenCount(c)

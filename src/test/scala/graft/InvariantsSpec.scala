@@ -330,4 +330,36 @@ class InvariantsSpec extends SparkSpec {
     assert(q20Plan.contains("LeftSemi"), "IN-subquery must stay a semi join")
     assert(!q20Plan.contains("CartesianProduct") && !q20Plan.contains("BroadcastNestedLoop"))
   }
+
+  test("plan shapes: corpus-global top-k rank prunes per partition (n-grams, PMI)") {
+    // Both operators rank a VOCABULARY-sized aggregate with
+    // row_number over an unpartitioned window + `rank <= k`. At a
+    // 100 TB corpus the n-gram vocabulary is billions of rows, so
+    // Catalyst's rank-limit pushdown is load-bearing — pin it so a
+    // refactor that breaks the rewrite (a non-rank-like function, a
+    // filter Catalyst can't see through) fails here, not at scale.
+    // Accept either rewrite Catalyst applies: LimitPushDownThroughWindow
+    // → TakeOrderedAndProject BELOW the window (per-partition bounded
+    // heap of k, then the window runs over k rows — what 4.1 plans
+    // here), or InferWindowGroupLimit → WindowGroupLimit. Either way
+    // the vocabulary never reaches a global sort; a bare
+    // single-partition Sort under the window is the regression.
+    val d = "/root/testdata/sf0.001"
+    val docs = graft.Tables.documents(spark, d)
+
+    def assertRankPruned(name: String, plan: String): Unit = {
+      val pruned =
+        plan.contains("WindowGroupLimit") || plan.contains("TakeOrderedAndProject")
+      assert(
+        pruned,
+        s"$name global top-k must prune per partition before the window:\n$plan"
+      )
+    }
+
+    val top = Text.topNgrams(docs, "text", n = 3, k = 10)
+    assertRankPruned("topNgrams", top.queryExecution.executedPlan.toString)
+
+    val pmi = Text.pmiBigrams(docs, "text", minCount = 2, k = 10)
+    assertRankPruned("pmiBigrams", pmi.queryExecution.executedPlan.toString)
+  }
 }
