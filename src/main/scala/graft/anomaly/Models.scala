@@ -346,7 +346,7 @@ case class AutoRegressive(p: Int = 2, minTrain: Int = 8) extends ForecastModel {
     val moments: Seq[(String, Column)] =
       Seq("_n" -> sum(when(v, 1L).otherwise(0L)).over(wp), "_sy" -> msum(value)) ++
         (1 to p).map(i => s"_s$i" -> msum(ls(i - 1))) ++
-        (for { i <- 1 to p; j <- i to p } yield s"_s$i$j" -> msum(ls(i - 1) * ls(j - 1))) ++
+        (for { i <- 1 to p; j <- i to p } yield s"_s${i}_$j" -> msum(ls(i - 1) * ls(j - 1))) ++
         (1 to p).map(i => s"_s${i}y" -> msum(ls(i - 1) * value))
     val withMoments = lagged.select(
       col("*") +: moments.map { case (n, e) => e.as(s"_ar$p$n") }: _*
@@ -357,10 +357,10 @@ case class AutoRegressive(p: Int = 2, minTrain: Int = 8) extends ForecastModel {
     // the forecast's lazy CASE once staged; the gate (n >= minTrain)
     // only reads them when n > 0, so gated values are unchanged.
     val nD = c("_n").cast("double")
-    def sAt(i: Int, j: Int) = if (i <= j) c(s"_s$i$j") else c(s"_s$j$i")
+    def sAt(i: Int, j: Int) = if (i <= j) c(s"_s${i}_$j") else c(s"_s${j}_$i")
     val centered: Seq[(String, Column)] =
       (for { i <- 1 to p; j <- i to p }
-        yield s"_c$i$j" ->
+        yield s"_c${i}_$j" ->
           when(c("_n") > 0L, sAt(i, j) - c(s"_s$i") * c(s"_s$j") / nD)) ++
         (1 to p).map(i =>
           s"_c${i}y" ->
@@ -377,9 +377,9 @@ case class AutoRegressive(p: Int = 2, minTrain: Int = 8) extends ForecastModel {
     val sy = c("_sy")
     val si = (1 to p).map(i => c(s"_s$i")).toVector
     def sAt(i: Int, j: Int) =
-      if (i <= j) c(s"_s${i + 1}${j + 1}") else c(s"_s${j + 1}${i + 1}")
+      if (i <= j) c(s"_s${i + 1}_${j + 1}") else c(s"_s${j + 1}_${i + 1}")
     val cm = Vector.tabulate(p, p)((i, j) =>
-      if (i <= j) c(s"_c${i + 1}${j + 1}") else c(s"_c${j + 1}${i + 1}"))
+      if (i <= j) c(s"_c${i + 1}_${j + 1}") else c(s"_c${j + 1}_${i + 1}"))
     val cy = Vector.tabulate(p)(i => c(s"_c${i + 1}y"))
     val d = det(cm)
     val phi = Vector.tabulate(p) { k =>
@@ -449,11 +449,13 @@ case class CalendarRegression(
     minTrain: Int = 14
 ) extends ForecastModel {
   require(minTrain >= 4, s"minTrain must be >= 4, got $minTrain")
-  val name: String =
-    if (holidays.isEmpty) "Calendar-dow" else s"Calendar-dow-h${holidays.size}"
-  // helper-column prefix — unique per (holiday-count) variant, the
-  // same per-model uniqueness contract as AR's p-keyed lag names
-  private val pfx = if (holidays.isEmpty) "_cal" else s"_calh${holidays.size}"
+  // Roster CONTENT hash in both name and prefix: two same-size rosters
+  // in one optimizer family must never alias each other's stored
+  // best_model names or prepare columns (size alone did, pre-r13).
+  private val hTag =
+    if (holidays.isEmpty) "" else s"-h${holidays.size}x${Models.rosterTag(holidays)}"
+  val name: String = s"Calendar-dow$hTag"
+  private val pfx = if (holidays.isEmpty) "_cal" else s"_calh$hTag"
   private def c(s: String) = col(pfx + s)
 
   /** Staged pre-pass — EVERY expanding moment (5 global + 3 per
@@ -602,10 +604,14 @@ case class PiecewiseCalendar(
     s"minTrain must be >= ${changepoints.size + 5}, got $minTrain")
   private val k = changepoints.size
   private val p = 1 + k // trend regressors: x plus one hinge per changepoint
-  val name: String =
-    s"Calendar-pw$k" + (if (holidays.isEmpty) "" else s"-h${holidays.size}")
-  private val pfx =
-    s"_calpw$k" + (if (holidays.isEmpty) "" else s"h${holidays.size}")
+  // Content-hashed tags (see CalendarRegression): distinct changepoint
+  // or holiday rosters yield distinct model names AND distinct
+  // prepare-column prefixes even at equal roster sizes.
+  private val cpTag = s"x${Models.rosterTag(changepoints)}"
+  private val hTag =
+    if (holidays.isEmpty) "" else s"-h${holidays.size}x${Models.rosterTag(holidays)}"
+  val name: String = s"Calendar-pw$k$cpTag$hTag"
+  private val pfx = s"_calpw$k$cpTag" + (if (holidays.isEmpty) "" else s"h$hTag")
   private def c(s: String) = col(pfx + s)
   // epoch-day constants of the changepoints (parse fails loudly)
   private val cpDays: Seq[Double] =
@@ -657,7 +663,7 @@ case class PiecewiseCalendar(
         "_sy" -> msum(value)
       ) ++ (1 to p).map(i => s"_s$i" -> msum(rs(i - 1))) ++
         (for { i <- 1 to p; j <- i to p }
-          yield s"_s$i$j" -> msum(rs(i - 1) * rs(j - 1))) ++
+          yield s"_s${i}_$j" -> msum(rs(i - 1) * rs(j - 1))) ++
         (1 to p).map(i => s"_s${i}y" -> msum(rs(i - 1) * value)) ++
         (1 to 7).flatMap(d => slotCols(d.toString, dw === d)) ++
         holCond.toSeq.flatMap(hc => slotCols("hol", hc)) ++
@@ -667,10 +673,10 @@ case class PiecewiseCalendar(
     )
     // centered normal-equations entries (ANSI: NULL until n > 0)
     val nD = c("_n").cast("double")
-    def sAt(i: Int, j: Int) = if (i <= j) c(s"_s$i$j") else c(s"_s$j$i")
+    def sAt(i: Int, j: Int) = if (i <= j) c(s"_s${i}_$j") else c(s"_s${j}_$i")
     val centered: Seq[(String, Column)] =
       (for { i <- 1 to p; j <- i to p }
-        yield s"_c$i$j" ->
+        yield s"_c${i}_$j" ->
           when(c("_n") > 0L, sAt(i, j) - c(s"_s$i") * c(s"_s$j") / nD)) ++
         (1 to p).map(i =>
           s"_c${i}y" ->
@@ -681,13 +687,13 @@ case class PiecewiseCalendar(
     // Cramer solve over attributes, AR's gates: per-diagonal relative
     // variance floor + correlation-determinant collinearity floor
     def cAt(i: Int, j: Int) =
-      if (i <= j) c(s"_c${i + 1}${j + 1}") else c(s"_c${j + 1}${i + 1}")
+      if (i <= j) c(s"_c${i + 1}_${j + 1}") else c(s"_c${j + 1}_${i + 1}")
     val cm = Vector.tabulate(p, p)(cAt)
     val cy = Vector.tabulate(p)(i => c(s"_c${i + 1}y"))
     val dDet = det(cm)
     val diagOk =
       (0 until p)
-        .map(i => cm(i)(i) > lit(1e-12) * c(s"_s${i + 1}${i + 1}"))
+        .map(i => cm(i)(i) > lit(1e-12) * c(s"_s${i + 1}_${i + 1}"))
         .reduce(_ && _)
     val prodDiag = (0 until p).map(i => cm(i)(i)).reduce(_ * _)
     val withDet = withCentered
@@ -745,6 +751,15 @@ case class PiecewiseCalendar(
 object Models {
   /** The reference SimpleModel's candidate windows. */
   val defaultWindows: Seq[Int] = Seq(3, 5, 7, 30)
+
+  /** Short stable content hash of a date roster (order-insensitive),
+    * folded into calendar-model names and helper-column prefixes so
+    * two same-size rosters can never alias. `String.hashCode` is
+    * JVM-spec-pinned, so names are stable across runs — a stored
+    * optimization's `best_model` still joins at scoring time.
+    */
+  private[anomaly] def rosterTag(dates: Seq[String]): String =
+    f"${dates.sorted.mkString(",").hashCode & 0xffff}%04x"
 
   def trailingMeans(windows: Seq[Int] = defaultWindows): Seq[ForecastModel] =
     windows.map(TrailingMean)
@@ -813,6 +828,64 @@ object Models {
     val base =
       if (holidays.isEmpty) extended else extendedWithHolidays(holidays)
     base :+ PiecewiseCalendar(changepoints = changepoints, holidays = holidays)
+  }
+
+  /** Prophet-style automatic changepoint CANDIDATES: `n` dates
+    * uniformly spaced over the first `frac` of [start, end] (Prophet's
+    * `changepoint_range`, default 0.8 — Taylor & Letham 2018 §3.1.2
+    * place the candidate grid in the first 80% of the history so the
+    * tail of the series never fits a break it has no data after).
+    * Candidate i sits at `round(frac · span · i / n)` days past
+    * `start`; rounding collisions on tiny spans collapse via
+    * `distinct`. Deterministic — the same (start, end, n, frac) always
+    * yields the same roster, so model names (and any stored
+    * `best_model` selections) are stable across runs.
+    */
+  def changepointGrid(
+      start: String,
+      end: String,
+      n: Int,
+      frac: Double = 0.8
+  ): Seq[String] = {
+    require(n >= 1, s"n must be >= 1, got $n")
+    require(frac > 0.0 && frac <= 1.0, s"frac must be in (0, 1], got $frac")
+    val s = java.time.LocalDate.parse(start).toEpochDay
+    val e = java.time.LocalDate.parse(end).toEpochDay
+    require(e > s, s"end must be after start, got [$start, $end]")
+    val reach = (e - s) * frac
+    (1 to n)
+      .map(i => math.round(reach * i / n))
+      .filter(_ >= 1) // a candidate AT start is collinear with the trend
+      .map(off => java.time.LocalDate.ofEpochDay(s + off).toString)
+      .distinct
+  }
+
+  /** AUTOMATIC changepoint discovery (the last AutoProphet fidelity
+    * sliver): no known break dates required. A [[changepointGrid]]
+    * candidate roster is generated over the observation span, each
+    * candidate becomes its own single-changepoint [[PiecewiseCalendar]]
+    * (distinct content-hashed names), and the optimizer's
+    * forward-chaining CV selects per series — a series with an unknown
+    * break date lands on the grid candidate nearest its true break,
+    * one without keeps the global-trend calendar fit or another family
+    * member. This is the distributed analogue of Prophet's uniform
+    * candidate grid + L1 shrinkage (reference thoth/anomaly/
+    * models.py:216-241 via Merlion): where Prophet zeroes losing
+    * candidates' slopes inside ONE per-series driver fit, graft scores
+    * every candidate as a window expression over ALL series at once
+    * and lets model selection zero the losers. All candidates share
+    * the one series-key window exchange with the rest of the family.
+    */
+  def extendedWithAutoChangepoints(
+      start: String,
+      end: String,
+      nCandidates: Int = 3,
+      holidays: Seq[String] = Nil
+  ): Seq[ForecastModel] = {
+    val base =
+      if (holidays.isEmpty) extended else extendedWithHolidays(holidays)
+    base ++ changepointGrid(start, end, nCandidates).map(cp =>
+      PiecewiseCalendar(changepoints = Seq(cp), holidays = holidays))
   }
 
   /** Simple family (reference SimpleModelFactory): trailing means only. */

@@ -340,8 +340,9 @@ object AnomalyQueries extends QueryPack {
     * conditioning gates, and per-slot mean residuals under the
     * piecewise trend.
     */
-  private def calPwCtes(cpDate: String): String = {
+  private def calPwCtes(cpDate: String, tag: String = ""): String = {
     val cp = java.time.LocalDate.parse(cpDate).toEpochDay.toDouble
+    def scp(suffix: String) = s"scp$tag$suffix"
     val wp =
       """(PARTITION BY event_type ORDER BY ts
          ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)"""
@@ -366,12 +367,12 @@ object AnomalyQueries extends QueryPack {
     val effCase = (1 to 7)
       .map(d => s"WHEN dw = $d THEN (${eff(d)})")
       .mkString("CASE ", " ", " ELSE 0.0 END")
-    s"""scp0 AS (SELECT event_type, ts, value,
+    s"""${scp("0")} AS (SELECT event_type, ts, value,
           CAST(date_diff('day', TIMESTAMP '1970-01-01 00:00:00', ts) AS DOUBLE) AS x,
           dayofweek(ts) + 1 AS dw
         FROM s),
-      scp0b AS (SELECT *, greatest(0.0, x - $cp) AS r2 FROM scp0),
-      scp1 AS (SELECT event_type, ts, value, x, dw, r2,
+      ${scp("0b")} AS (SELECT *, greatest(0.0, x - $cp) AS r2 FROM ${scp("0")}),
+      ${scp("1")} AS (SELECT event_type, ts, value, x, dw, r2,
           SUM(CASE WHEN $v THEN 1 ELSE 0 END) OVER $wp AS n_t,
           ${msum("value")} AS sy,
           ${msum("x")} AS s1, ${msum("r2")} AS s2,
@@ -379,27 +380,27 @@ object AnomalyQueries extends QueryPack {
           ${msum("(r2 * r2)")} AS s22,
           ${msum("(x * value)")} AS s1y, ${msum("(r2 * value)")} AS s2y,
           $slotCols
-        FROM scp0b),
-      scp2 AS (SELECT *, CAST(n_t AS DOUBLE) AS nd,
+        FROM ${scp("0b")}),
+      ${scp("2")} AS (SELECT *, CAST(n_t AS DOUBLE) AS nd,
           s11 - s1 * s1 / CAST(n_t AS DOUBLE) AS c11,
           s12 - s1 * s2 / CAST(n_t AS DOUBLE) AS c12,
           s22 - s2 * s2 / CAST(n_t AS DOUBLE) AS c22,
           s1y - s1 * sy / CAST(n_t AS DOUBLE) AS c1y,
           s2y - s2 * sy / CAST(n_t AS DOUBLE) AS c2y
-        FROM scp1),
-      scp3 AS (SELECT *, c11 * c22 + (- (c12 * c12)) AS det FROM scp2),
-      scp4 AS (SELECT *,
+        FROM ${scp("1")}),
+      ${scp("3")} AS (SELECT *, c11 * c22 + (- (c12 * c12)) AS det FROM ${scp("2")}),
+      ${scp("4")} AS (SELECT *,
           (c11 > 1e-12 * s11 AND c22 > 1e-12 * s22
             AND abs(det) > 1e-9 * (c11 * c22)) AS ok,
           (c1y * c22 + (- (c12 * c2y))) / det AS phi1,
           (c11 * c2y + (- (c1y * c12))) / det AS phi2
-        FROM scp3),
-      scp5 AS (SELECT *, (sy - (phi1 * s1 + phi2 * s2)) / nd AS a FROM scp4),
-      scp AS (SELECT event_type, ts, value,
+        FROM ${scp("3")}),
+      ${scp("5")} AS (SELECT *, (sy - (phi1 * s1 + phi2 * s2)) / nd AS a FROM ${scp("4")}),
+      ${scp("")} AS (SELECT event_type, ts, value,
           CASE WHEN n_t >= 14 AND ok
             THEN a + phi1 * x + phi2 * r2 + ($effCase)
           END AS pw_pred
-        FROM scp5)"""
+        FROM ${scp("5")})"""
   }
 
   private val tmModels = Seq(3, 5, 7).map(w => (s"TrailingMean-$w", tmSql(w), "s"))
@@ -619,6 +620,52 @@ object AnomalyQueries extends QueryPack {
       SELECT event_type, best_model, threshold, round(mean_error, 6) AS mean_error,
         below_proportion
       FROM ($bestModelSelSql) ORDER BY event_type""")
+  )
+
+  // AUTOMATIC changepoint discovery (the Prophet L1-selection slot,
+  // reference models.py:216-241): no break date is supplied — a
+  // uniform candidate grid over the observation span (Models
+  // .changepointGrid, Prophet's changepoint_range=0.8 placement) turns
+  // into one single-changepoint PiecewiseCalendar per candidate, and
+  // forward-chaining CV SELECTS per series: a series with a real break
+  // lands on the nearest grid candidate, one without keeps the
+  // global-trend calendar fit. The oracle unrolls the full fit of the
+  // global model AND every candidate (one tagged CTE chain each), then
+  // mirrors Optimizer.optimize's qualify-and-select exactly.
+  private val autoCpGrid: Seq[String] =
+    Models.changepointGrid("2024-01-01", "2024-01-30", 3)
+  private val autoCpModels: Seq[PiecewiseCalendar] =
+    autoCpGrid.map(cp => PiecewiseCalendar(changepoints = Seq(cp)))
+  private val bestModelAutoCp = Q(
+    fn = (s, d) =>
+      Optimizer
+        .optimize(
+          series(s, d),
+          seriesCols,
+          cfg = cfg(calModel +: autoCpModels)
+        )
+        .select(
+          col("event_type"),
+          col("best_model"),
+          col("threshold"),
+          round6(col("mean_error")).as("mean_error"),
+          col("below_proportion")
+        )
+        .orderBy("event_type"),
+    oracle = Some {
+      val pwChains = autoCpGrid.zipWithIndex
+        .map { case (cp, i) => calPwCtes(cp, s"g$i") }
+        .mkString(", ")
+      val models =
+        (calModel.name, "cal_pred", "scal") +:
+          autoCpModels.zipWithIndex.map { case (m, i) =>
+            (m.name, "pw_pred", s"scpg$i")
+          }
+      s"""$seriesCte, $calCtes, $pwChains ${summarySql(models, 0.95)}
+      SELECT event_type, best_model, threshold, round(mean_error, 6) AS mean_error,
+        below_proportion
+      FROM ($bestModelSelSql) ORDER BY event_type"""
+    }
   )
 
   private def scoreDf(s: SparkSession, d: String): DataFrame = {
@@ -1068,6 +1115,7 @@ object AnomalyQueries extends QueryPack {
     "anomaly_best_window" -> bestWindow,
     "anomaly_threshold" -> threshold,
     "anomaly_best_model" -> bestModel,
+    "anomaly_best_model_auto_cp" -> bestModelAutoCp,
     "anomaly_score_last" -> scoreLast,
     "quality_assess" -> assess
   )

@@ -560,7 +560,11 @@ class AnomalySpec extends SparkSpec {
       "the holiday-blind model must miss the dip (that is the point)")
     // and the names stay distinct for the optimizer's model column
     assert(CalendarRegression().name == "Calendar-dow")
-    assert(CalendarRegression(holidays = holiDates).name == "Calendar-dow-h3")
+    assert(CalendarRegression(holidays = holiDates).name
+      .matches("Calendar-dow-h3x[0-9a-f]{4}"))
+    // distinct same-size rosters -> distinct names (the r13 alias fix)
+    assert(CalendarRegression(holidays = holiDates).name !=
+      CalendarRegression(holidays = holiDates.map(_ => "2030-01-01").distinct ++ holiDates.tail).name)
   }
 
   test("extendedWithHolidays: a roster-following series selects the holiday-aware fit via CV") {
@@ -591,7 +595,7 @@ class AnomalySpec extends SparkSpec {
       .collect()
       .head
     assert(
-      best.getAs[String]("best_model") == s"Calendar-dow-h${holidays.size}",
+      best.getAs[String]("best_model") == CalendarRegression(holidays = holiDates).name,
       s"holiday-aware calendar fit must win CV on a roster-following " +
         s"series, got ${best.getAs[String]("best_model")}"
     )
@@ -725,10 +729,12 @@ class AnomalySpec extends SparkSpec {
     intercept[IllegalArgumentException](PiecewiseCalendar(changepoints = Nil))
     intercept[IllegalArgumentException](
       PiecewiseCalendar(changepoints = Seq("2024-01-01", "2024-02-01", "2024-03-01")))
-    assert(PiecewiseCalendar(changepoints = Seq(epochDate(20))).name == "Calendar-pw1")
+    assert(PiecewiseCalendar(changepoints = Seq(epochDate(20))).name
+      .matches("Calendar-pw1x[0-9a-f]{4}"))
     assert(PiecewiseCalendar(
       changepoints = Seq(epochDate(20)),
-      holidays = Seq(epochDate(9))).name == "Calendar-pw1-h1")
+      holidays = Seq(epochDate(9))).name
+      .matches("Calendar-pw1x[0-9a-f]{4}-h1x[0-9a-f]{4}"))
   }
 
   test("extendedWithChangepoints: a slope-break weekday series selects the piecewise fit via CV") {
@@ -757,7 +763,7 @@ class AnomalySpec extends SparkSpec {
       .collect()
       .head
     assert(
-      best.getAs[String]("best_model") == "Calendar-pw1",
+      best.getAs[String]("best_model") == PiecewiseCalendar(changepoints = Seq(epochDate(cp))).name,
       s"piecewise calendar fit must win CV on a slope-break weekday " +
         s"series, got ${best.getAs[String]("best_model")}"
     )
@@ -776,6 +782,59 @@ class AnomalySpec extends SparkSpec {
       .collect()
       .head
     assert(!bestPlain.getAs[Boolean]("optimization_failed"))
+  }
+
+  test("changepointGrid: deterministic Prophet-style candidate placement") {
+    val g = Models.changepointGrid(epochDate(1), epochDate(70), 4)
+    // reach = 0.8 * 69 days; candidates at round(reach * i / 4) past start
+    assert(g == Seq(15, 29, 42, 56).map(epochDate))
+    // deterministic: same inputs, same roster (stored best_model names
+    // must keep joining at scoring time)
+    assert(g == Models.changepointGrid(epochDate(1), epochDate(70), 4))
+    // all candidates inside the first `frac` of the span
+    val full = Models.changepointGrid(epochDate(0), epochDate(100), 5, frac = 1.0)
+    assert(full.size == 5 && full.last == epochDate(100))
+    // collisions on tiny spans collapse instead of duplicating names,
+    // and zero-offset candidates (collinear with the trend) are dropped
+    assert(Models.changepointGrid(epochDate(0), epochDate(2), 10) ==
+      Seq(epochDate(1), epochDate(2)))
+    intercept[IllegalArgumentException](Models.changepointGrid(epochDate(5), epochDate(5), 3))
+    intercept[IllegalArgumentException](Models.changepointGrid(epochDate(1), epochDate(9), 0))
+    intercept[IllegalArgumentException](
+      Models.changepointGrid(epochDate(1), epochDate(9), 2, frac = 0.0))
+  }
+
+  test("extendedWithAutoChangepoints: an UNKNOWN break date is discovered from the grid") {
+    // Same planted series as the known-changepoint test, but the break
+    // day (43) is NOT given to the model family — only the observation
+    // span is. The grid places candidates at epoch days 15/29/42/56;
+    // CV must land on 42, the candidate nearest the true break, which
+    // is exactly Prophet's uniform-grid + selection behaviour with the
+    // L1 shrinkage replaced by per-series model selection. (A break
+    // further off-grid than the daily seasonal period degrades every
+    // candidate's fit enough that lag models can win — the grid
+    // density, like Prophet's n_changepoints, bounds the discovery
+    // resolution.)
+    val cp = 43
+    val rows = (1 to 70).map { d =>
+      d -> (100.0 + 0.5 * d + dowEffects(d % 7) / 8.0 +
+        6.0 * math.max(0, d - cp))
+    }
+    val family = Models.extendedWithAutoChangepoints(epochDate(1), epochDate(70), 4)
+    val best = Optimizer
+      .optimize(
+        calSeries(rows, "auto"),
+        Seq("series"),
+        cfg = Optimizer.Config(models = family, startProportion = Some(0.4))
+      )
+      .collect()
+      .head
+    val nearest = PiecewiseCalendar(changepoints = Seq(epochDate(42))).name
+    assert(
+      best.getAs[String]("best_model") == nearest,
+      s"CV must discover the grid candidate nearest the unknown break, " +
+        s"got ${best.getAs[String]("best_model")}"
+    )
   }
 
   test("CalendarRegression refuses degenerate time axes instead of guessing") {
