@@ -280,6 +280,10 @@ object Bench {
     // joins the best-model family, so quality_assess/anomaly_score_last
     // above keep pricing the whole family's growth per decade)
     "anomaly_forecast_calendar",
+    // r13 addition: automatic changepoint discovery — four calendar-
+    // family models (global + 3 grid candidates) CV-selected in one
+    // shared window exchange; prices the multi-candidate fit's growth
+    "anomaly_best_model_auto_cp",
     // linear controls
     "q1_agg", "text_tfidf", "profile_report"
   )

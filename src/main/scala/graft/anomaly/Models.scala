@@ -759,7 +759,7 @@ object Models {
     * optimization's `best_model` still joins at scoring time.
     */
   private[anomaly] def rosterTag(dates: Seq[String]): String =
-    f"${dates.sorted.mkString(",").hashCode & 0xffff}%04x"
+    f"${dates.sorted.mkString(",").hashCode}%08x"
 
   def trailingMeans(windows: Seq[Int] = defaultWindows): Seq[ForecastModel] =
     windows.map(TrailingMean)

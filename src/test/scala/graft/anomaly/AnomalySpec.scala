@@ -561,7 +561,7 @@ class AnomalySpec extends SparkSpec {
     // and the names stay distinct for the optimizer's model column
     assert(CalendarRegression().name == "Calendar-dow")
     assert(CalendarRegression(holidays = holiDates).name
-      .matches("Calendar-dow-h3x[0-9a-f]{4}"))
+      .matches("Calendar-dow-h3x[0-9a-f]{8}"))
     // distinct same-size rosters -> distinct names (the r13 alias fix)
     assert(CalendarRegression(holidays = holiDates).name !=
       CalendarRegression(holidays = holiDates.map(_ => "2030-01-01").distinct ++ holiDates.tail).name)
@@ -730,11 +730,11 @@ class AnomalySpec extends SparkSpec {
     intercept[IllegalArgumentException](
       PiecewiseCalendar(changepoints = Seq("2024-01-01", "2024-02-01", "2024-03-01")))
     assert(PiecewiseCalendar(changepoints = Seq(epochDate(20))).name
-      .matches("Calendar-pw1x[0-9a-f]{4}"))
+      .matches("Calendar-pw1x[0-9a-f]{8}"))
     assert(PiecewiseCalendar(
       changepoints = Seq(epochDate(20)),
       holidays = Seq(epochDate(9))).name
-      .matches("Calendar-pw1x[0-9a-f]{4}-h1x[0-9a-f]{4}"))
+      .matches("Calendar-pw1x[0-9a-f]{8}-h1x[0-9a-f]{8}"))
   }
 
   test("extendedWithChangepoints: a slope-break weekday series selects the piecewise fit via CV") {
