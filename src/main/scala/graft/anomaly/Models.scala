@@ -600,14 +600,23 @@ case class PiecewiseCalendar(
     s"1..2 changepoint dates required, got ${changepoints.size} " +
       "(each adds a factorial Cramer term count; use CalendarRegression for none)"
   )
+  require(changepoints.distinct.size == changepoints.size,
+    s"changepoint dates must be distinct, got $changepoints " +
+      "(a duplicate hinge is exactly collinear — the gates would refuse every fit)")
   require(minTrain >= changepoints.size + 5,
     s"minTrain must be >= ${changepoints.size + 5}, got $minTrain")
   private val k = changepoints.size
   private val p = 1 + k // trend regressors: x plus one hinge per changepoint
+  // Roster order is NORMALIZED at construction: the content-hashed tag
+  // sorts dates, so two permutations of one roster share a name and a
+  // helper-column prefix — they must therefore also share regressor
+  // order, or co-existing permutations in one family would alias
+  // same-named prepare columns holding different hinge moments.
+  private val cpSorted = changepoints.sorted
   // Content-hashed tags (see CalendarRegression): distinct changepoint
   // or holiday rosters yield distinct model names AND distinct
   // prepare-column prefixes even at equal roster sizes.
-  private val cpTag = s"x${Models.rosterTag(changepoints)}"
+  private val cpTag = s"x${Models.rosterTag(cpSorted)}"
   private val hTag =
     if (holidays.isEmpty) "" else s"-h${holidays.size}x${Models.rosterTag(holidays)}"
   val name: String = s"Calendar-pw$k$cpTag$hTag"
@@ -615,7 +624,7 @@ case class PiecewiseCalendar(
   private def c(s: String) = col(pfx + s)
   // epoch-day constants of the changepoints (parse fails loudly)
   private val cpDays: Seq[Double] =
-    changepoints.map(d => java.time.LocalDate.parse(d).toEpochDay.toDouble)
+    cpSorted.map(d => java.time.LocalDate.parse(d).toEpochDay.toDouble)
 
   /** Laplace expansion along the first row — deterministic term order,
     * the same expansion the SQL oracle unrolls.

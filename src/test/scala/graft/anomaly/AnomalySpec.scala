@@ -729,6 +729,19 @@ class AnomalySpec extends SparkSpec {
     intercept[IllegalArgumentException](PiecewiseCalendar(changepoints = Nil))
     intercept[IllegalArgumentException](
       PiecewiseCalendar(changepoints = Seq("2024-01-01", "2024-02-01", "2024-03-01")))
+    // duplicate hinge = exact collinearity — refused loudly at construction
+    intercept[IllegalArgumentException](
+      PiecewiseCalendar(changepoints = Seq(epochDate(20), epochDate(20))))
+    // permuted rosters are the SAME model: same name (content hash
+    // sorts) AND same normalized regressor order, so co-existing
+    // permutations can never alias same-named prepare columns with
+    // different hinge moments — identical forecasts, bit for bit
+    val permRows = (1 to 50).map(d =>
+      d -> (10.0 + 0.5 * d + 1.5 * math.max(0, d - 15) - 0.8 * math.max(0, d - 30)))
+    val permA = PiecewiseCalendar(changepoints = Seq(epochDate(15), epochDate(30)))
+    val permB = PiecewiseCalendar(changepoints = Seq(epochDate(30), epochDate(15)))
+    assert(permA.name == permB.name)
+    assert(pwForecasts(permA, permRows) == pwForecasts(permB, permRows))
     assert(PiecewiseCalendar(changepoints = Seq(epochDate(20))).name
       .matches("Calendar-pw1x[0-9a-f]{8}"))
     assert(PiecewiseCalendar(
