@@ -362,4 +362,37 @@ class InvariantsSpec extends SparkSpec {
     val pmi = Text.pmiBigrams(docs, "text", minCount = 2, k = 10)
     assertRankPruned("pmiBigrams", pmi.queryExecution.executedPlan.toString)
   }
+
+  test("plan shapes: the calendar model family shares one window exchange regardless of grid size") {
+    // The 100 TB claim behind automatic changepoint discovery: adding
+    // grid candidates adds WINDOW COLUMNS to the per-series pass, not
+    // exchanges. Every family member's expanding moments ride the same
+    // (series-key, ts) sort order, so Catalyst plans one shuffle for
+    // the whole family — if a refactor gave one model a different
+    // partitioning/ordering, the exchange count would grow with the
+    // candidate grid and this pins it.
+    import graft.anomaly.{Models, Optimizer, PiecewiseCalendar, CalendarRegression}
+    val d = "/root/testdata/sf0.001"
+    val series = graft.Tables
+      .events(spark, d)
+      .groupBy(col("event_type"), date_trunc("day", col("ts")).as("ts"))
+      .agg(avg(col("value")).as("value"))
+    def exchanges(nCandidates: Int): Int = {
+      val grid = Models.changepointGrid("2024-01-01", "2024-01-30", nCandidates)
+      val fam = CalendarRegression() +:
+        grid.map(cp => PiecewiseCalendar(changepoints = Seq(cp)))
+      val errs = Optimizer.forecastErrors(
+        series,
+        Seq("event_type"),
+        cfg = Optimizer.Config(models = fam, startProportion = Some(0.4))
+      )
+      "Exchange".r.findAllIn(errs.queryExecution.executedPlan.toString).length
+    }
+    val one = exchanges(1)
+    val three = exchanges(3)
+    assert(
+      three == one,
+      s"exchange count must not grow with the candidate grid: 1 candidate → $one, 3 → $three"
+    )
+  }
 }
