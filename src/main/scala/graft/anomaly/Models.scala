@@ -763,12 +763,19 @@ object Models {
 
   /** Short stable content hash of a date roster (order-insensitive),
     * folded into calendar-model names and helper-column prefixes so
-    * two same-size rosters can never alias. `String.hashCode` is
-    * JVM-spec-pinned, so names are stable across runs — a stored
-    * optimization's `best_model` still joins at scoring time.
+    * two same-size rosters can never alias: 64 bits of md5 over the
+    * sorted roster — collision odds ~n²/2⁶⁵ make the no-aliasing
+    * guarantee practically absolute (a 32-bit `String.hashCode` left
+    * it reachable at ~10⁵ co-existing rosters). md5 is byte-stable
+    * across JVMs, so names survive restarts — a stored optimization's
+    * `best_model` still joins at scoring time.
     */
-  private[anomaly] def rosterTag(dates: Seq[String]): String =
-    f"${dates.sorted.mkString(",").hashCode}%08x"
+  private[anomaly] def rosterTag(dates: Seq[String]): String = {
+    val digest = java.security.MessageDigest
+      .getInstance("MD5")
+      .digest(dates.sorted.mkString(",").getBytes("UTF-8"))
+    digest.take(8).map(b => f"$b%02x").mkString
+  }
 
   def trailingMeans(windows: Seq[Int] = defaultWindows): Seq[ForecastModel] =
     windows.map(TrailingMean)
@@ -862,11 +869,21 @@ object Models {
     val e = java.time.LocalDate.parse(end).toEpochDay
     require(e > s, s"end must be after start, got [$start, $end]")
     val reach = (e - s) * frac
-    (1 to n)
+    val grid = (1 to n)
       .map(i => math.round(reach * i / n))
-      .filter(_ >= 1) // a candidate AT start is collinear with the trend
+      // a candidate AT start is collinear with the trend; one AT (or
+      // past) end has a zero hinge on every observation — both are
+      // dead models the conditioning gates would refuse for every
+      // series, so they never enter the roster
+      .filter(off => off >= 1 && off < e - s)
       .map(off => java.time.LocalDate.ofEpochDay(s + off).toString)
       .distinct
+    require(
+      grid.nonEmpty,
+      s"no usable changepoint candidates strictly inside [$start, $end] " +
+        s"at n=$n, frac=$frac — widen the span or raise frac"
+    )
+    grid
   }
 
   /** AUTOMATIC changepoint discovery (the last AutoProphet fidelity

@@ -341,6 +341,10 @@ object AnomalyQueries extends QueryPack {
     * piecewise trend.
     */
   private def calPwCtes(cpDate: String, tag: String = ""): String = {
+    // a digit-final tag would make scp$tag$suffix ambiguous (tag "g1"
+    // + suffix "0" == tag "g10" + suffix "") — same hazard as the
+    // _s112 moment-name aliasing, refused structurally
+    require(tag.isEmpty || !tag.last.isDigit, s"CTE tag must not end in a digit: $tag")
     val cp = java.time.LocalDate.parse(cpDate).toEpochDay.toDouble
     def scp(suffix: String) = s"scp$tag$suffix"
     val wp =
@@ -653,13 +657,16 @@ object AnomalyQueries extends QueryPack {
         )
         .orderBy("event_type"),
     oracle = Some {
+      // letter-only tags (ga, gb, gc, …) keep CTE names unambiguous at
+      // any grid size — see the digit-final guard in calPwCtes
+      def tag(i: Int) = s"g${('a' + i).toChar}"
       val pwChains = autoCpGrid.zipWithIndex
-        .map { case (cp, i) => calPwCtes(cp, s"g$i") }
+        .map { case (cp, i) => calPwCtes(cp, tag(i)) }
         .mkString(", ")
       val models =
         (calModel.name, "cal_pred", "scal") +:
           autoCpModels.zipWithIndex.map { case (m, i) =>
-            (m.name, "pw_pred", s"scpg$i")
+            (m.name, "pw_pred", s"scp${tag(i)}")
           }
       s"""$seriesCte, $calCtes, $pwChains ${summarySql(models, 0.95)}
       SELECT event_type, best_model, threshold, round(mean_error, 6) AS mean_error,

@@ -32,7 +32,7 @@ object PipelineQueries extends QueryPack {
           len(string_split(text, ' ')) AS n_words,
           CAST(length(replace(text, ' ', '')) AS DOUBLE)
             / len(string_split(text, ' ')) AS mwl,
-          CAST(length(regexp_replace(text, '(?i)[a-z0-9 ]', '', 'g')) AS DOUBLE)
+          CAST(length(regexp_replace(text, '[a-zA-Z0-9 ]', '', 'g')) AS DOUBLE)
             / length(text) AS pr,
           ${swCountSql("en")} AS c_en, ${swCountSql("de")} AS c_de,
           ${swCountSql("fr")} AS c_fr, ${swCountSql("es")} AS c_es,
@@ -113,7 +113,7 @@ object PipelineQueries extends QueryPack {
           len(string_split(text, ' ')) AS n_words,
           CAST(length(replace(text, ' ', '')) AS DOUBLE)
             / len(string_split(text, ' ')) AS mwl,
-          CAST(length(regexp_replace(text, '(?i)[a-z0-9 ]', '', 'g')) AS DOUBLE)
+          CAST(length(regexp_replace(text, '[a-zA-Z0-9 ]', '', 'g')) AS DOUBLE)
             / length(text) AS pr,
           ${swCountSql("en")} AS c_en, ${swCountSql("de")} AS c_de,
           ${swCountSql("fr")} AS c_fr, ${swCountSql("es")} AS c_es,
@@ -304,7 +304,7 @@ object PipelineQueries extends QueryPack {
       WITH t AS (
         SELECT doc_id, lang,
           CAST(${swCountSql("en")} AS DOUBLE) / len(string_split(text, ' ')) AS swr,
-          CAST(length(regexp_replace(text, '(?i)[a-z0-9 ]', '', 'g')) AS DOUBLE)
+          CAST(length(regexp_replace(text, '[a-zA-Z0-9 ]', '', 'g')) AS DOUBLE)
             / length(text) AS pr,
           len(string_split(text, ' ')) AS ntok,
           CAST(length(replace(text, ' ', '')) AS DOUBLE)

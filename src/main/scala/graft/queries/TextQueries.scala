@@ -122,7 +122,7 @@ object TextQueries extends QueryPack {
       WITH t AS (
         SELECT doc_id,
           CAST(${swCountSql("en")} AS DOUBLE) / len(string_split(text, ' ')) AS swr,
-          CAST(length(regexp_replace(text, '(?i)[a-z0-9 ]', '', 'g')) AS DOUBLE)
+          CAST(length(regexp_replace(text, '[a-zA-Z0-9 ]', '', 'g')) AS DOUBLE)
             / length(text) AS pr,
           len(string_split(text, ' ')) AS ntok,
           CAST(length(replace(text, ' ', '')) AS DOUBLE)
@@ -691,7 +691,7 @@ object TextQueries extends QueryPack {
           len(string_split(text, ' ')) AS n_words,
           CAST(length(replace(text, ' ', '')) AS DOUBLE)
             / len(string_split(text, ' ')) AS mwl,
-          CAST(length(regexp_replace(text, '(?i)[a-z0-9 ]', '', 'g')) AS DOUBLE)
+          CAST(length(regexp_replace(text, '[a-zA-Z0-9 ]', '', 'g')) AS DOUBLE)
             / length(text) AS pr,
           ${swCountSql("en")} AS sw_hits
         FROM documents),

@@ -146,15 +146,19 @@ object Text {
   def stopwordRatio(c: Column, words: Seq[String] = stopwords("en")): Column =
     hitCount(tokens(c), words) / tokenCount(c)
 
-  /** Ratio of non-alphanumeric, non-space characters. Case-insensitive
-    * via an inline (?i) class on the RAW string, so capitalized prose
-    * ("The cat…") does not count letters as symbols AND the numerator
-    * is measured over exactly the same characters as the `length(c)`
-    * denominator — no lowercasing, so Unicode case expansions (e.g.
-    * U+0130) can never inflate the ratio past 1.
+  /** Ratio of non-alphanumeric, non-space characters. Case handled by
+    * an EXPLICIT [a-zA-Z0-9 ] class on the RAW string: capitalized
+    * prose ("The cat…") does not count letters as symbols, the
+    * numerator is measured over exactly the same characters as the
+    * `length(c)` denominator (no lowercasing, so Unicode case
+    * expansions like U+0130 can never inflate the ratio past 1), and —
+    * unlike an inline `(?i)` — the class means the SAME thing in
+    * Java's regex engine and the DuckDB oracle's RE2 (RE2's `(?i)`
+    * does Unicode simple folding, so U+212A KELVIN SIGN would strip
+    * there but not here; the explicit class is fold-free on both).
     */
   def punctRatio(c: Column): Column =
-    length(regexp_replace(c, "(?i)[a-z0-9 ]", "")) / length(c)
+    length(regexp_replace(c, "[a-zA-Z0-9 ]", "")) / length(c)
 
   def meanWordLen(c: Column): Column =
     length(regexp_replace(c, " ", "")) / tokenCount(c)

@@ -561,7 +561,7 @@ class AnomalySpec extends SparkSpec {
     // and the names stay distinct for the optimizer's model column
     assert(CalendarRegression().name == "Calendar-dow")
     assert(CalendarRegression(holidays = holiDates).name
-      .matches("Calendar-dow-h3x[0-9a-f]{8}"))
+      .matches("Calendar-dow-h3x[0-9a-f]{16}"))
     // distinct same-size rosters -> distinct names (the r13 alias fix)
     assert(CalendarRegression(holidays = holiDates).name !=
       CalendarRegression(holidays = holiDates.map(_ => "2030-01-01").distinct ++ holiDates.tail).name)
@@ -743,11 +743,11 @@ class AnomalySpec extends SparkSpec {
     assert(permA.name == permB.name)
     assert(pwForecasts(permA, permRows) == pwForecasts(permB, permRows))
     assert(PiecewiseCalendar(changepoints = Seq(epochDate(20))).name
-      .matches("Calendar-pw1x[0-9a-f]{8}"))
+      .matches("Calendar-pw1x[0-9a-f]{16}"))
     assert(PiecewiseCalendar(
       changepoints = Seq(epochDate(20)),
       holidays = Seq(epochDate(9))).name
-      .matches("Calendar-pw1x[0-9a-f]{8}-h1x[0-9a-f]{8}"))
+      .matches("Calendar-pw1x[0-9a-f]{16}-h1x[0-9a-f]{16}"))
   }
 
   test("extendedWithChangepoints: a slope-break weekday series selects the piecewise fit via CV") {
@@ -805,12 +805,19 @@ class AnomalySpec extends SparkSpec {
     // must keep joining at scoring time)
     assert(g == Models.changepointGrid(epochDate(1), epochDate(70), 4))
     // all candidates inside the first `frac` of the span
+    // frac = 1.0: the last uniform position falls ON `end`, where the
+    // hinge is zero for every observation — dropped, not emitted dead
     val full = Models.changepointGrid(epochDate(0), epochDate(100), 5, frac = 1.0)
-    assert(full.size == 5 && full.last == epochDate(100))
-    // collisions on tiny spans collapse instead of duplicating names,
-    // and zero-offset candidates (collinear with the trend) are dropped
+    assert(full.size == 4 && full.last == epochDate(80))
+    // a span/frac too tiny to hold any interior candidate fails loudly
+    // instead of silently running discovery with zero candidates
+    intercept[IllegalArgumentException](
+      Models.changepointGrid(epochDate(0), epochDate(4), 1, frac = 0.1))
+    // collisions on tiny spans collapse instead of duplicating names;
+    // zero-offset (trend-collinear) and end-of-span (zero-hinge)
+    // candidates are dropped — only the strict interior survives
     assert(Models.changepointGrid(epochDate(0), epochDate(2), 10) ==
-      Seq(epochDate(1), epochDate(2)))
+      Seq(epochDate(1)))
     intercept[IllegalArgumentException](Models.changepointGrid(epochDate(5), epochDate(5), 3))
     intercept[IllegalArgumentException](Models.changepointGrid(epochDate(1), epochDate(9), 0))
     intercept[IllegalArgumentException](
