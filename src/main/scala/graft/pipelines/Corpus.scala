@@ -397,10 +397,19 @@ object Corpus {
       val thr = df.agg(thrAgg)
       df.join(broadcast(thr)).where(col(scoreCol) >= col("_q_thr")).drop("_q_thr")
     } else {
-      val thr = df.groupBy(groupCols.map(col): _*).agg(thrAgg)
-      df.join(broadcast(thr), groupCols)
+      // NULL-SAFE group join: a NULL group (unknown language, missing
+      // source tag) gets its own percentile row like any other group —
+      // a null-unsafe equi-join would silently DELETE every NULL-group
+      // row regardless of score (the mixtureTemperature convention:
+      // nothing is dropped by a join artifact).
+      val thr = df
+        .groupBy(groupCols.map(col): _*)
+        .agg(thrAgg)
+        .select(groupCols.map(c => col(c).as(s"_qg_$c")) :+ col("_q_thr"): _*)
+      val cond = groupCols.map(c => col(c) <=> col(s"_qg_$c")).reduce(_ && _)
+      df.join(broadcast(thr), cond)
         .where(col(scoreCol) >= col("_q_thr"))
-        .drop("_q_thr")
+        .drop("_q_thr" +: groupCols.map(c => s"_qg_$c"): _*)
     }
   }
 
@@ -501,10 +510,15 @@ object Corpus {
       lit(1.0),
       (lit(budget.toDouble) * wCol) / col("_wsum").cast("double")
     )
+    // DECIMAL(38,6), not (38,0): the sum must stay cross-engine exact
+    // AND faithful for FRACTIONAL weights (per-doc token estimates,
+    // quality-scaled weights) — a per-row cast to scale 0 rounds each
+    // weight before summing, and a domain of sub-0.5 weights would
+    // round to _wsum = 0 and be dropped from the sample entirely.
     val thr = df
       .groupBy(col(strataCol))
       .agg(
-        sum(col(weightCol).cast(org.apache.spark.sql.types.DecimalType(38, 0)))
+        sum(col(weightCol).cast(org.apache.spark.sql.types.DecimalType(38, 6)))
           .as("_wsum")
       )
       .where(col("_wsum") > 0)
@@ -522,7 +536,7 @@ object Corpus {
   }
 
   /** SQL mirror of [[mixtureSampleByWeight]]'s threshold CTE +
-    * predicate (DECIMAL(38,0) weight sums for exact cross-engine
+    * predicate (DECIMAL(38,6) weight sums for exact cross-engine
     * totals). CTE is named `_thr`.
     */
   def mixtureSampleByWeightSql(
@@ -538,7 +552,7 @@ object Corpus {
       .map { case (k, v) => s"WHEN '$k' THEN CAST($v AS DOUBLE)" }
       .mkString(s"CASE $strataExpr ", " ", " ELSE 0.0 END")
     val fSql =
-      s"least(1.0, (CAST($budget AS DOUBLE) * $wSql) / CAST(SUM(CAST($weightExpr AS DECIMAL(38,0))) AS DOUBLE))"
+      s"least(1.0, (CAST($budget AS DOUBLE) * $wSql) / CAST(SUM(CAST($weightExpr AS DECIMAL(38,6))) AS DOUBLE))"
     val cte =
       s"""_thr AS (
          |  SELECT $strataExpr AS _stratum,
@@ -546,7 +560,7 @@ object Corpus {
          |         ELSE printf('%08x', CAST(floor($fSql * 4294967296.0) AS BIGINT))
          |    END AS _th
          |  FROM $table GROUP BY $strataExpr
-         |  HAVING SUM(CAST($weightExpr AS DECIMAL(38,0))) > 0)""".stripMargin
+         |  HAVING SUM(CAST($weightExpr AS DECIMAL(38,6))) > 0)""".stripMargin
     val pred =
       s"substr(md5(CAST($idExpr AS VARCHAR) || ':$salt'), 1, 8) < _thr._th"
     (cte, pred)

@@ -153,8 +153,11 @@ object Export {
       salt: String = "graft"
   ): Boolean = {
     require(
-      batchId.nonEmpty && batchId.forall(c => c.isLetterOrDigit || c == '-' || c == '_' || c == '.'),
-      s"batch id must be path-safe, got '$batchId'"
+      batchId.nonEmpty && batchId != "." && batchId != ".." &&
+        batchId.forall(c => c.isLetterOrDigit || c == '-' || c == '_' || c == '.'),
+      s"batch id must be path-safe and not '.'/'..' (the marker path " +
+        s"would normalize to the output dir itself and silently skip " +
+        s"every append), got '$batchId'"
     )
     require(
       nShards.toLong * filesPerShard <= (1L << 20),
@@ -324,7 +327,19 @@ object Export {
   ): DataFrame = {
     require(withinFileOrder.nonEmpty, "withinFileOrder must name at least one column")
     val df = spark.read.parquet(dir)
-    val isAppendLayout = df.inputFiles.headOption.exists(_.contains("/batch="))
+    // Detect the append layout from path segments BELOW `dir` only: a
+    // substring test on the full URI would also fire when the export
+    // tree is merely NESTED under some unrelated "batch=..." parent
+    // directory, and then order by a `batch` column that does not
+    // exist (or worse, a data column that happens to share the name).
+    val dirPrefix = dir.stripSuffix("/") + "/"
+    val isAppendLayout = df.inputFiles.headOption.exists { f =>
+      val below = f.indexOf(dirPrefix) match {
+        case -1 => f // scheme-qualified inputFiles vs raw dir: fall back
+        case i  => f.substring(i + dirPrefix.length)
+      }
+      below.split('/').exists(_.startsWith("batch="))
+    }
     val orderCols =
       (if (isAppendLayout) Seq(col("file_no"), col("batch"))
        else Seq(col("file_no"))) ++ withinFileOrder.map(col)

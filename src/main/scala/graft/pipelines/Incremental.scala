@@ -57,8 +57,11 @@ object Incremental {
 
   private def requireValidId(batchId: String): Unit =
     require(
-      batchId.nonEmpty && batchId.matches("[A-Za-z0-9._-]+"),
-      s"batch id must match [A-Za-z0-9._-]+, got '$batchId'"
+      batchId.nonEmpty && batchId.matches("[A-Za-z0-9._-]+") &&
+        batchId != "." && batchId != "..",
+      s"batch id must match [A-Za-z0-9._-]+ and not be '.'/'..' (a " +
+        s"path-traversal id would normalize the commit marker OUT of " +
+        s"_manifest and silently break commit detection), got '$batchId'"
     )
 
   /** True once `batchId`'s commit marker exists under `root`. */

@@ -317,7 +317,7 @@ object PipelineQueries extends QueryPack {
       )} AS quality FROM t),
       thr AS (SELECT lang, quantile_cont(quality, 0.5) AS q FROM sc GROUP BY lang)
       SELECT sc.doc_id, sc.lang, sc.quality
-      FROM sc JOIN thr ON sc.lang = thr.lang
+      FROM sc JOIN thr ON sc.lang IS NOT DISTINCT FROM thr.lang
       WHERE sc.quality >= thr.q
       ORDER BY sc.doc_id""")
   )

@@ -17,6 +17,13 @@ object SimilarityQueries extends QueryPack {
 
   private val cosSql = cosOf("q", "c")
 
+  // zero-norm exclusion predicate, mirroring the Spark-side guard in
+  // bruteForceTopK/pqTopK/rankWithinCells (cosine undefined on a zero
+  // vector; Spark's NaN would rank first under desc)
+  private def normPosSql(x: String): String =
+    s"""list_sum(list_transform(range(1, len($x.embedding) + 1),
+      i -> CAST($x.embedding[i] AS DOUBLE) * CAST($x.embedding[i] AS DOUBLE))) > 0"""
+
   private val bruteForce = Q(
     fn = (s, d) => {
       val emb = Tables.embeddings(s, d)
@@ -29,7 +36,7 @@ object SimilarityQueries extends QueryPack {
         SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
           round($cosSql, 6) AS sim
         FROM embeddings q JOIN embeddings c ON q.vec_id <> c.vec_id
-        WHERE q.vec_id < 5),
+        WHERE q.vec_id < 5 AND ${normPosSql("q")} AND ${normPosSql("c")}),
       ranked AS (
         SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
           ORDER BY sim DESC, neighbor_id) AS rank
@@ -78,7 +85,7 @@ object SimilarityQueries extends QueryPack {
       SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
         round(${cosOf("q", "c")}, 6) AS sim
       FROM embeddings q JOIN embeddings c ON q.vec_id <> c.vec_id
-      WHERE q.vec_id < 5),
+      WHERE q.vec_id < 5 AND ${normPosSql("q")} AND ${normPosSql("c")}),
     cand AS (
       SELECT query_id, neighbor_id, sim AS rel FROM (
         SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
@@ -179,7 +186,7 @@ object SimilarityQueries extends QueryPack {
         SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
           round($cosSql, 6) AS sim
         FROM embeddings q JOIN embeddings c ON q.vec_id <> c.vec_id
-        WHERE q.vec_id < 5),
+        WHERE q.vec_id < 5 AND ${normPosSql("q")} AND ${normPosSql("c")}),
       ranked AS (
         SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
           ORDER BY sim DESC, neighbor_id) AS rank
@@ -472,7 +479,9 @@ object SimilarityQueries extends QueryPack {
           $sums,
           $prods
           FROM embeddings
-          WHERE embedding IS NOT NULL AND len(embedding) > 7)
+          WHERE embedding IS NOT NULL AND len(embedding) > 7
+            -- null-slot exclusion, mirroring covarianceBlock
+            AND ${dims.map(i => s"${e(i)} IS NOT NULL").mkString(" AND ")})
         SELECT * FROM ($selects) ORDER BY i, j""")
     )
   }

@@ -51,8 +51,13 @@ object Pca {
       sum((el(a) * el(b)).cast(dec)).as(s"_p${a}_$b")
     }
     val aggs = (count(lit(1)).as("_n") +: sumAggs) ++ prodAggs
+    // NULL-SLOT rows are excluded too, not just NULL/short vectors: a
+    // row with v[a] = NULL would count in _n while sum() skipped its
+    // contribution, silently understating every mean and covariance
+    // it touches (same drop-dirty-rows contract as fitIvfCentroids).
+    val slotOk = ds.map(i => el(i).isNotNull).reduce(_ && _)
     val wide = df
-      .where(col(vecCol).isNotNull && size(col(vecCol)) > maxDim)
+      .where(col(vecCol).isNotNull && size(col(vecCol)) > maxDim && slotOk)
       .agg(aggs.head, aggs.tail: _*)
     val entries = pairs.map { case (a, b) =>
       struct(
@@ -193,8 +198,12 @@ object Pca {
     val dec = org.apache.spark.sql.types.DecimalType(38, 10)
     val aggs = count(lit(1)).as("_n") +:
       ds.map(i => sum(element_at(col(vecCol), i + 1).cast("double").cast(dec)).as(s"_s$i"))
+    // null-slot exclusion: a NULL at a selected dim would count in _n
+    // while sum() skipped it — see covarianceBlock
+    val slotOk =
+      ds.map(i => element_at(col(vecCol), i + 1).isNotNull).reduce(_ && _)
     val r = df
-      .where(col(vecCol).isNotNull && size(col(vecCol)) > ds.last)
+      .where(col(vecCol).isNotNull && size(col(vecCol)) > ds.last && slotOk)
       .agg(aggs.head, aggs.tail: _*)
       .collect()
       .head
@@ -262,8 +271,10 @@ object Pca {
       sum((el(a) * el(b)).cast(dec)).as(s"_p${a}_$b")
     }
     val aggs = (count(lit(1)).as("_n") +: sumAggs) ++ prodAggs
+    // same null-slot exclusion as covarianceBlock (identical-math contract)
+    val slotOk = ds.map(i => el(i).isNotNull).reduce(_ && _)
     val r = df
-      .where(col(vecCol).isNotNull && size(col(vecCol)) > maxDim)
+      .where(col(vecCol).isNotNull && size(col(vecCol)) > maxDim && slotOk)
       .agg(aggs.head, aggs.tail: _*)
       .collect()
       .head
@@ -279,8 +290,14 @@ object Pca {
     pairs.zipWithIndex.foreach { case ((a, b), k) =>
       val p = r.getDecimal(1 + ds.size + k).doubleValue()
       val i = idx(a); val j = idx(b)
-      // same rounded-covariance convention as covarianceBlock
-      val c = math.rint((p / n - (sums(idx(a)) / n) * (sums(idx(b)) / n)) * 1e6) / 1e6
+      // same rounded-covariance convention as covarianceBlock: Spark's
+      // round6 is HALF_UP over v*1e6 (see functions.round6) — math.rint
+      // would HALF_EVEN and diverge from the column path on exact .5
+      // ties, making whiten disagree with a fitCovariance pipeline
+      val c = java.math.BigDecimal
+        .valueOf((p / n - (sums(idx(a)) / n) * (sums(idx(b)) / n)) * 1e6)
+        .setScale(0, java.math.RoundingMode.HALF_UP)
+        .doubleValue() / 1e6
       m(i)(j) = c; m(j)(i) = c
     }
     (m, mu)

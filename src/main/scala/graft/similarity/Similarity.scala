@@ -48,17 +48,25 @@ object Similarity {
     // Norms are materialized per ROW before the join — computing them
     // inside the pair expression would redo |corpus| norm folds per
     // query. Arithmetic shape dot/(na*nb) is unchanged (oracle-bit-
-    // identical); only the evaluation count drops.
-    val q = queries.select(
-      col(idCol).as("query_id"),
-      col(vecCol).as("_qv"),
-      norm(col(vecCol)).as("_qn")
-    )
-    val c = corpus.select(
-      col(idCol).as("neighbor_id"),
-      col(vecCol).as("_cv"),
-      norm(col(vecCol)).as("_cn")
-    )
+    // identical); only the evaluation count drops. Zero-norm vectors
+    // (a failed encoder call) are EXCLUDED on both sides — cosine is
+    // undefined there, and the NaN from dot/0 would sort FIRST under
+    // the desc ranking, displacing every real neighbor (same
+    // convention as crossCosineAbove/pqTopK/semanticDedupPairs).
+    val q = queries
+      .select(
+        col(idCol).as("query_id"),
+        col(vecCol).as("_qv"),
+        norm(col(vecCol)).as("_qn")
+      )
+      .where(col("_qn") > 0d)
+    val c = corpus
+      .select(
+        col(idCol).as("neighbor_id"),
+        col(vecCol).as("_cv"),
+        norm(col(vecCol)).as("_cn")
+      )
+      .where(col("_cn") > 0d)
     val w = Window
       .partitionBy(col("query_id"))
       .orderBy(col("sim").desc, col("neighbor_id"))
@@ -250,6 +258,15 @@ object Similarity {
     * interpreted per-element hash per row (measured 30-100x slower).
     */
   def lshBucket(v: Column, nPlanes: Int, dim: Int, planeOffset: Int = 0): Column = {
+    // 63 sign bits is the most a long can pack without touching the
+    // sign bit; at nPlanes >= 64 the `1L << p` shift wraps (1L << 64
+    // == 1) and the additive bit-combine would CARRY duplicate plane
+    // values into unrelated bits — silently scrambled buckets.
+    require(
+      nPlanes >= 1 && nPlanes <= 63,
+      s"nPlanes must be in [1, 63] (sign bits packed into a long), got $nPlanes"
+    )
+    require(dim >= 1, s"dim must be >= 1, got $dim")
     val signs = planeSigns(nPlanes, dim, planeOffset)
     (0 until nPlanes)
       .map { p =>
@@ -282,9 +299,22 @@ object Similarity {
       nTables: Int = 1
   ): DataFrame = {
     require(nTables >= 1, s"nTables must be >= 1, got $nTables")
-    // one-row peek for the vector dimensionality (plan-time constant
-    // needed to materialize the literal sign matrix)
-    val dim = corpus.select(size(col(vecCol))).head().getInt(0)
+    // bounded peek for the vector dimensionality (plan-time constant
+    // needed to materialize the literal sign matrix). MAX over
+    // non-null vectors, not head(): an arbitrary first row can be NULL
+    // (NPE) or short (ragged corpus — every longer vector would then
+    // hash on a truncated prefix, silently destroying recall). With
+    // max, full-length vectors hash on all their information and
+    // shorter ones on what they have (dot truncates to min length).
+    val dimRow = corpus
+      .where(col(vecCol).isNotNull)
+      .select(max(size(col(vecCol))))
+      .head()
+    require(
+      !dimRow.isNullAt(0) && dimRow.getInt(0) >= 1,
+      s"cannot derive vector dimensionality: no non-null $vecCol rows"
+    )
+    val dim = dimRow.getInt(0)
     // nTables is the recall dial orthogonal to multi-probe: L
     // INDEPENDENT hyperplane sets, a candidate needs to collide in ANY
     // one. Recall 1-(1-p)^L for per-table collision p, at the cost of
@@ -330,8 +360,11 @@ object Similarity {
     val w = Window
       .partitionBy(col("query_id"))
       .orderBy(col("sim").desc, col("neighbor_id"))
+    // zero-norm exclusion: same NaN-ranks-first hazard as
+    // bruteForceTopK/rankWithinCells
     val joined = c
-      .join(broadcast(q), Seq("_tbl", "_bucket"))
+      .where(col("_cn") > 0d)
+      .join(broadcast(q.where(col("_qn") > 0d)), Seq("_tbl", "_bucket"))
       .where(col("query_id") =!= col("neighbor_id"))
     // with one table a pair can meet at most once (one bucket per
     // corpus row, distinct probe values) — skip the dedup exchange
@@ -477,7 +510,13 @@ object Similarity {
     val w = Window
       .partitionBy(col("query_id"))
       .orderBy(col("sim").desc, col("neighbor_id"))
-    val joined = c.join(broadcast(q), Seq("_cell"))
+    // Zero-norm vectors are excluded on both sides: cosine is
+    // undefined, and the NaN from dot/0 would rank FIRST under desc
+    // (Spark orders NaN above every number), displacing real
+    // neighbors for every query that meets one.
+    val joined = c
+      .where(col("_cn") > 0d)
+      .join(broadcast(q.where(col("_qn") > 0d)), Seq("_cell"))
     // Self-match suppression is only correct when queries and corpus
     // share an id space (self-ANN). An EXTERNAL query set can reuse an
     // id that belongs to an unrelated corpus row; dropping that pair
@@ -1668,6 +1707,14 @@ object Similarity {
         }
         .sortBy(_._1)
     }
+    // The cache exists for the ITERATION jobs only — the centroids are
+    // now plan-time constants, so the final assignment pass reads the
+    // source once like any other scan. Unpersisting here (instead of
+    // leaking a corpus-sized cache block per call with no handle to
+    // release it) costs exactly that one re-read; repeated calls
+    // (grid-searching k, per-snapshot clustering) no longer accumulate
+    // pinned corpora until executors evict under pressure.
+    v.unpersist(blocking = false)
     nearest(cents).select(
       col("_id").as(idCol),
       col("_cl").as("cluster"),

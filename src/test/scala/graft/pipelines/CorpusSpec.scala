@@ -531,6 +531,44 @@ class CorpusSpec extends SparkSpec {
     intercept[IllegalArgumentException] {
       Corpus.qualityCut(docs, "score", keepTop = 0.0)
     }
+    // a NULL GROUP is its own stratum with its own cut — a null-unsafe
+    // equi-join would silently delete every NULL-group row regardless
+    // of score (the mixtureTemperature convention)
+    val withNullGrp = ((1 to 10).map(i => (i.toLong, Option("a"), i.toDouble)) ++
+      (1 to 10).map(i => (10L + i, Option.empty[String], 100.0 + i)))
+      .toDF("doc_id", "grp", "score")
+    val byGrp = Corpus
+      .qualityCut(withNullGrp, "score", keepTop = 0.5, groupCols = Seq("grp"))
+      .groupBy("grp")
+      .count()
+      .collect()
+      .map(r => Option(r.getString(0)) -> r.getLong(1))
+      .toMap
+    assert(byGrp === Map(Some("a") -> 5L, None -> 5L))
+  }
+
+  test("mixtureSampleByWeight keeps domains with fractional sub-1 weights") {
+    // weights averaging 0.4 per row: a per-row DECIMAL(38,0) cast
+    // would round every one to 0, zero the domain's weight sum, and
+    // silently drop the WHOLE domain from the sample
+    val docs = ((1 to 50).map(i => (i.toLong, "web", 0.4)) ++
+      (1 to 50).map(i => (100L + i, "code", 0.4)))
+      .toDF("doc_id", "source", "w")
+    val out = Corpus
+      .mixtureSampleByWeight(
+        docs, "doc_id", "source", "w",
+        weights = Seq("web" -> 0.5, "code" -> 0.5),
+        budget = 10L
+      )
+      .groupBy("source")
+      .count()
+      .as[(String, Long)]
+      .collect()
+      .toMap
+    // budget 10 weight units at 0.4/row → f = min(1, 5/20) per domain:
+    // both domains present, each around a quarter of its rows
+    assert(out.keySet === Set("web", "code"))
+    assert(out.values.forall(n => n > 0 && n < 50))
   }
 
   test("mixtureSample validates weights and budget") {

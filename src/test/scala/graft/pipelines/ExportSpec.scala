@@ -217,6 +217,24 @@ class ExportSpec extends SparkSpec {
     assert(back.count() === 200)
   }
 
+  test("readShards detects the append layout from segments BELOW the dir, not the full path") {
+    // a flat exportShards tree NESTED under an unrelated "batch=…"
+    // parent must NOT be misread as an append layout (which would
+    // order by a `batch` column that does not exist)
+    val parent = java.nio.file.Files.createTempDirectory("batchparent").toString
+    val dir = s"$parent/batch=2026-01-01/shards"
+    Export.exportShards(docs(50), "doc_id", dir, nShards = 2)
+    val back = Export.readShards(spark, dir)
+    assert(!back.columns.contains("batch"))
+    assert(back.count() === 50)
+    // and '.'/'..' batch ids are refused (the marker would normalize
+    // to the output dir itself and silently skip every append)
+    val dir2 = java.nio.file.Files.createTempDirectory("appdots").toString
+    intercept[IllegalArgumentException] {
+      Export.appendShards(docs(10), "doc_id", dir2, nShards = 2, batchId = "..")
+    }
+  }
+
   test("appendShards is write-once per batch id — a reused id is a committed no-op") {
     val dir = java.nio.file.Files.createTempDirectory("appshards-once").toString
     assert(Export.appendShards(docs(100), "doc_id", dir, nShards = 2, batchId = "b01"))

@@ -407,5 +407,14 @@ class IncrementalSpec extends SparkSpec {
     intercept[IllegalArgumentException] {
       Incremental.prepareBatch(b, root, "")
     }
+    // "." and ".." match [A-Za-z0-9._-]+ but normalize the commit
+    // marker OUT of _manifest: ".." would make isCommitted return true
+    // forever once the root exists (the batch silently never prepares)
+    intercept[IllegalArgumentException] {
+      Incremental.prepareBatch(b, root, ".")
+    }
+    intercept[IllegalArgumentException] {
+      Incremental.prepareBatch(b, root, "..")
+    }
   }
 }

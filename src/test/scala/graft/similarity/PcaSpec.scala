@@ -25,6 +25,26 @@ class PcaSpec extends SparkSpec {
     assert(math.abs(got(0)._4 - 8.0 / 3) < 1e-6)
     assert(math.abs(got(1)._4 - 16.0 / 3) < 1e-6)
     assert(math.abs(got(2)._4 - 32.0 / 3) < 1e-6)
+    // a NULL SLOT row must be excluded too — counting it in n while
+    // sum() skips its contribution would silently understate every
+    // mean and covariance (same moments, n unchanged at 3)
+    val withNullSlot = df.union(
+      spark.range(1).selectExpr(
+        "CAST(6 AS BIGINT) AS vec_id",
+        "array(CAST(7.0 AS FLOAT), CAST(NULL AS FLOAT)) AS embedding"
+      )
+    )
+    val got2 = Pca
+      .covarianceBlock(withNullSlot, "embedding", Seq(0, 1))
+      .orderBy("i", "j")
+      .as[(Int, Int, Long, Double)]
+      .collect()
+    assert(got2.map(g => (g._1, g._2, g._3, g._4)).toSeq ==
+      got.map(g => (g._1, g._2, g._3, g._4)).toSeq)
+    // the one-pass whiten fit applies the same exclusion
+    val (m1, mu1) = Pca.fitMoments(df, "embedding", Seq(0, 1))
+    val (m2, mu2) = Pca.fitMoments(withNullSlot, "embedding", Seq(0, 1))
+    assert(m1.flatten.toSeq == m2.flatten.toSeq && mu1.toSeq == mu2.toSeq)
   }
 
   test("power iteration recovers a planted dominant direction") {

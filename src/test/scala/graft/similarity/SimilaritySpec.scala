@@ -73,6 +73,53 @@ class SimilaritySpec extends SparkSpec {
     assert(out.forall(_.getAs[Double]("sim") >= -1.0))
   }
 
+  test("ANN entry points exclude zero-norm vectors instead of letting NaN rank first") {
+    // A zero embedding (failed encoder call) makes cosine NaN, and
+    // Spark sorts NaN ABOVE every number — pre-fix it would be the #1
+    // "neighbor" of every query in brute/lsh/ivf. It must simply not
+    // appear; queries that are themselves zero produce no rows.
+    val dirty = vecs.union(
+      Seq((99L, Array(0.0f, 0.0f, 0.0f), "z")).toDF("vec_id", "embedding", "label"))
+    val q = dirty.where($"vec_id" === 1L)
+    val brute =
+      Similarity.bruteForceTopK(q, dirty, "vec_id", "embedding", 10).collect()
+    assert(brute.nonEmpty && !brute.exists(_.getAs[Long]("neighbor_id") == 99L))
+    assert(brute.forall(r => !r.getAs[Double]("sim").isNaN))
+    val lsh = Similarity
+      .lshTopK(q, dirty, "vec_id", "embedding", 10, nPlanes = 4)
+      .collect()
+    assert(!lsh.exists(_.getAs[Long]("neighbor_id") == 99L))
+    val ivf = Similarity
+      .ivfTopK(q, dirty, "vec_id", "embedding", 10, nlist = 1, nprobe = 1)
+      .collect()
+    assert(ivf.nonEmpty && !ivf.exists(_.getAs[Long]("neighbor_id") == 99L))
+    // zero-norm QUERY: no rows, not a frame of NaNs
+    val zq = dirty.where($"vec_id" === 99L)
+    assert(Similarity.bruteForceTopK(zq, dirty, "vec_id", "embedding", 3).isEmpty)
+  }
+
+  test("lshTopK derives dimensionality robustly: leading NULL vector, bounded planes") {
+    // head()-based dim derivation would NPE on a NULL first row (or
+    // silently hash everything on a short prefix for a ragged one)
+    val withNull = Seq((0L, null.asInstanceOf[Array[Float]], "z"))
+      .toDF("vec_id", "embedding", "label")
+      .union(vecs)
+    val out = Similarity
+      .lshTopK(
+        withNull.where($"vec_id" === 1L),
+        withNull,
+        "vec_id",
+        "embedding",
+        5,
+        nPlanes = 4
+      )
+      .collect()
+    assert(out.nonEmpty && !out.exists(_.getAs[Long]("neighbor_id") == 0L))
+    // > 63 sign bits cannot pack into a long — refused, not scrambled
+    intercept[IllegalArgumentException](
+      Similarity.lshBucket(col("embedding"), nPlanes = 64, dim = 3))
+  }
+
   test("multi-probe lsh recall is a superset of single-probe") {
     val rnd = new scala.util.Random(5)
     val cloud = (0 until 200).map { i =>
