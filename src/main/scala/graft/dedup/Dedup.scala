@@ -120,7 +120,15 @@ object Dedup {
           " "
         ).as("_txt")
       )
-    df.select(col(idCol).as("_id"), size(segsArr).cast("long").as("n_segments"))
+    // segment COUNT without re-materializing the segment strings:
+    // size(tokenSegments(c, w)) == ceil(size(tokens(c)) / w) by
+    // construction (the transform is over sequence(1, that ceil)), so
+    // the spine pays one tokenize, not a second full segmentation with
+    // an array_join per segment
+    val nSegs = ceil(
+      size(Text.tokens(col(textCol))) / lit(segmentTokens.toDouble)
+    ).cast("long")
+    df.select(col(idCol).as("_id"), nSegs.as("n_segments"))
       .join(rebuilt, Seq("_id"), "left_outer")
       .select(
         col("_id").as(idCol),
@@ -192,7 +200,15 @@ object Dedup {
           " "
         ).as("_txt")
       )
-    df.select(col(idCol).as("_id"), size(segsArr).cast("long").as("n_segments"))
+    // segment COUNT without re-materializing the segment strings:
+    // size(tokenSegments(c, w)) == ceil(size(tokens(c)) / w) by
+    // construction (the transform is over sequence(1, that ceil)), so
+    // the spine pays one tokenize, not a second full segmentation with
+    // an array_join per segment
+    val nSegs = ceil(
+      size(Text.tokens(col(textCol))) / lit(segmentTokens.toDouble)
+    ).cast("long")
+    df.select(col(idCol).as("_id"), nSegs.as("n_segments"))
       .join(rebuilt, Seq("_id"), "left_outer")
       .select(
         col("_id").as(idCol),
@@ -976,9 +992,13 @@ object Dedup {
       threshold > 0 && threshold <= 1,
       s"threshold must be in (0, 1], got $threshold"
     )
+    // empty-string artifacts from consecutive/leading spaces are NOT
+    // tokens (same rule as containmentJoin): left in, 'a  b' vs 'a b'
+    // would share the phantom "" and score 2/3 instead of the true
+    // 1.0, and two whitespace-only docs would score an exact 1.0
     val toks = df.select(
       col(idCol),
-      array_distinct(Text.tokens(col(textCol))).as("_ts")
+      array_remove(array_distinct(Text.tokens(col(textCol))), "").as("_ts")
     )
     val exploded = toks.select(col(idCol), explode(col("_ts")).as("_tok"))
     val freq = exploded.groupBy("_tok").agg(count(lit(1)).as("_df"))
@@ -1253,14 +1273,22 @@ object Dedup {
       spanWords: Int = 8,
       minDocs: Int = 2
   ): DataFrame = {
-    val spans = df
-      .select(col(idCol), Text.tokens(col(textCol)).as("_toks"))
-      .select(
-        col(idCol),
-        explode(Text.wordShinglesFromTokens(col("_toks"), spanWords)).as("_span")
-      )
-      .select(col(idCol), md5(col("_span")).as("span_hash"))
-    val dupHashes = duplicateSpans(df, textCol, idCol, spanWords, minDocs)
+    // ONE tokenize+shingle+md5 pass, materialized: both consumers (the
+    // duplicate-hash table and the per-doc flag join) read the compact
+    // (id, span_hash) stream — re-deriving it per consumer would run
+    // the dominant string work over the corpus twice
+    val spans = graft.functions.materialize(
+      df.select(col(idCol), Text.tokens(col(textCol)).as("_toks"))
+        .select(
+          col(idCol),
+          explode(Text.wordShinglesFromTokens(col("_toks"), spanWords)).as("_span")
+        )
+        .select(col(idCol), md5(col("_span")).as("span_hash"))
+    )
+    val dupHashes = spans
+      .groupBy(col("span_hash"))
+      .agg(countDistinct(col(idCol)).as("_nd"))
+      .where(col("_nd") >= minDocs)
       .select(col("span_hash").as("_dup_hash"))
     val perDoc = spans
       .join(dupHashes, col("span_hash") === col("_dup_hash"), "left_outer")
@@ -1302,8 +1330,12 @@ object Dedup {
       textCol: String,
       canonicalize: Column => Column = identity
   ): DataFrame =
-    df.groupBy(xxhash64(canonicalize(col(textCol))).as("_key"),
-        canonicalize(col(textCol)).as("_canon"))
+    // canonicalize ONCE into an attribute (the exact() convention):
+    // repeating the expression as both the hash key and the group key
+    // would evaluate a potentially regex-heavy normalization twice per
+    // row over the whole corpus
+    df.select(canonicalize(col(textCol)).as("_canon"))
+      .groupBy(xxhash64(col("_canon")).as("_key"), col("_canon"))
       .agg(count(lit(1)).as("_sz"))
       .groupBy(col("_sz").as("cluster_size"))
       .agg(

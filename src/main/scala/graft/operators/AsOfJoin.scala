@@ -80,8 +80,15 @@ object AsOfJoin {
     // Window.partitionBy groups NULL keys together, so null-key right
     // rows must be dropped BEFORE the union; null-key left rows then
     // sweep an empty partition and keep their left-join NULL payload.
+    // A NULL right TIME never matches either (l.t >= r.t is unknowable
+    // — DuckDB ASOF parity): left in, it sorts FIRST in the ascending
+    // sweep and would attach as the "match" to any left row with no
+    // real earlier right row.
     val rp = right
-      .where(keyCols.map(col(_).isNotNull).reduce(_ && _))
+      .where(
+        (keyCols.map(col(_).isNotNull) :+ col(rightTimeCol).isNotNull)
+          .reduce(_ && _)
+      )
       .select(
         keyCols.map(col) ++ Seq(
           col(rightTimeCol).as("_t"),

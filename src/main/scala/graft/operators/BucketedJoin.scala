@@ -27,10 +27,25 @@ object BucketedJoin {
     val spark = df.sparkSession
     spark.sql(s"DROP TABLE IF EXISTS $table")
     // Hadoop-FS cleanup (works for local AND hdfs/s3a warehouse dirs —
-    // java.io.File would silently skip remote schemes)
+    // java.io.File would silently skip remote schemes). The default
+    // warehouse layout is <warehouse>/[<db>.db/]<table>: a qualified
+    // "db.tbl" name maps to db.db/tbl, an unqualified one to the
+    // CURRENT database (default db sits directly under the warehouse
+    // root) — a plain <warehouse>/<name> would miss both, skip the
+    // orphan, and saveAsTable would fail with LocationAlreadyExists.
+    val parts = table.toLowerCase.split('.')
+    val relPath = parts match {
+      case Array(t) =>
+        val db = spark.catalog.currentDatabase.toLowerCase
+        if (db == "default") t else s"$db.db/$t"
+      case Array(db, t) => if (db == "default") t else s"$db.db/$t"
+      case _ =>
+        throw new IllegalArgumentException(
+          s"table must be 'name' or 'db.name', got '$table'")
+    }
     val loc = new org.apache.hadoop.fs.Path(
       spark.conf.get("spark.sql.warehouse.dir"),
-      table.toLowerCase
+      relPath
     )
     val fs = loc.getFileSystem(spark.sparkContext.hadoopConfiguration)
     if (fs.exists(loc)) fs.delete(loc, true)

@@ -58,11 +58,15 @@ object EventAnalytics {
     // sort_array orders the struct lexicographically (ts first), so the
     // fold sees events in time order; equal-ts order is irrelevant under
     // the strict `>` advance condition.
+    // tsCol is cast to timestamp like interArrival does: epoch-second
+    // BIGINT event times are a common telemetry shape, and without the
+    // cast the fold seed's `null AS timestamp` cannot coerce against a
+    // struct<…, last_ts: bigint> — AnalysisException instead of a result
     val perUser = events
       .filter(col(typeCol).isin(steps: _*))
       .select(
         col(userCol).as("_u"),
-        struct(col(tsCol).as("ts"), stepIdx.as("step")).as("_e")
+        struct(col(tsCol).cast("timestamp").as("ts"), stepIdx.as("step")).as("_e")
       )
       .groupBy("_u")
       .agg(sort_array(collect_list(col("_e"))).as("_evs"))
@@ -130,12 +134,13 @@ object EventAnalytics {
     val stepIdx = steps.zipWithIndex.foldLeft(lit(-1)) { case (acc, (s, i)) =>
       when(col(typeCol) === s, lit(i)).otherwise(acc)
     }
+    // same timestamp cast as funnelSteps (epoch-long event times)
     val filtered = events
       .filter(col(typeCol).isin(steps: _*))
       .select(
-        date_trunc("day", col(tsCol)).as("day"),
+        date_trunc("day", col(tsCol).cast("timestamp")).as("day"),
         col(userCol).as("_u"),
-        struct(col(tsCol).as("ts"), stepIdx.as("step")).as("_e")
+        struct(col(tsCol).cast("timestamp").as("ts"), stepIdx.as("step")).as("_e")
       )
     val perUserDay = filtered
       .groupBy("day", "_u")

@@ -41,6 +41,13 @@ object RangeJoin {
   ): DataFrame = {
     require(bucketWidth > 0, s"bucketWidth must be positive, got $bucketWidth")
     require(maxBucketsPerInterval > 0, "maxBucketsPerInterval must be positive")
+    // withColumn would silently REPLACE a user column of the scratch
+    // name and the trailing drop would erase it from the output — the
+    // same guard every other scratch-column operator here carries
+    require(
+      !left.columns.contains("_bucket") && !right.columns.contains("_bucket"),
+      "column '_bucket' collides with RangeJoin's scratch name — rename upstream"
+    )
     val loB = floor(col(loCol) / bucketWidth)
     val hiB = floor(col(hiCol) / bucketWidth)
     val lb = left.withColumn("_bucket", floor(col(valueCol) / bucketWidth))

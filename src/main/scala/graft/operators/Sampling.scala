@@ -244,7 +244,10 @@ object Sampling {
       10
     ).cast("long") + 1) / lit(4503599627370497.0) // 2^52 + 1
     val key = graft.functions.round6(logWeight - log(-log(u)))
-    df.where(logWeight.isNotNull)
+    // NaN log-weight (degenerate upstream score) would sort above
+    // every finite key in the bounded heap and pin itself into every
+    // sample — same exclusion as weightedSamplePerGroup
+    df.where(logWeight.isNotNull && !isnan(logWeight))
       .agg(graft.functions.topkAggregate.topKBy(key, col(idCol), k).as("_top"))
       .select(posexplode(col("_top")).as(Seq("_pos", "_e")))
       .select(

@@ -33,6 +33,12 @@ object SkewJoin {
     // nSalts=0 would make pmod NULL (never-matching join) and a
     // negative count would drop every build row — both silently empty
     require(nSalts > 0, s"nSalts must be positive, got $nSalts")
+    // a real '_salt' input column would be hashed into the salt, then
+    // silently replaced and dropped from the output
+    require(
+      !probe.columns.contains("_salt") && !build.columns.contains("_salt"),
+      "column '_salt' collides with SkewJoin's scratch name — rename upstream"
+    )
     // Deterministic per-row salt: hash of all probe columns. Any
     // assignment is correct; a hash keeps re-runs identical.
     val saltExpr = pmod(

@@ -521,7 +521,8 @@ object DedupQueries extends QueryPack {
         )
         .orderBy("id_a", "id_b"),
     oracle = Some("""
-      WITH tk AS (SELECT doc_id, unnest(list_distinct(string_split(text, ' '))) AS tok
+      WITH tk AS (SELECT doc_id, unnest(list_filter(list_distinct(string_split(text, ' ')),
+                    t -> t <> '')) AS tok
                   FROM documents WHERE doc_id % 10 = 0),
       sz AS (SELECT doc_id, count(*) AS s FROM tk GROUP BY 1),
       pairs AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b,

@@ -431,6 +431,21 @@ class DedupSpec extends SparkSpec {
       } yield (a, b) -> inter.toLong).toMap
       assert(got == brute, s"trial $trial thr $thr")
     }
+    // whitespace artifacts are not tokens: 'a  b' vs 'a b' is an exact
+    // duplicate (pre-fix the phantom "" token scored it 2/3 and two
+    // whitespace-only docs scored 1.0 against each other)
+    val padded = Seq(
+      (1L, "a  b"),
+      (2L, "a b"),
+      (3L, "   "),
+      (4L, " ")
+    ).toDF("doc_id", "text")
+    val pairs = Dedup
+      .jaccardThresholdJoin(padded, "text", "doc_id", 0.9)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(3)))
+    assert(pairs.toSeq == Seq((1L, 2L, 1.0)),
+      s"expected only the (1,2) exact pair, got ${pairs.toSeq}")
   }
 
   test("containment join finds subsets Jaccard misses and equals brute force") {

@@ -72,6 +72,19 @@ class AsOfJoinSpec extends SparkSpec {
     assert(got(1).isNullAt(5)) // ...but never matches a null-key reference
   }
 
+  test("NULL right TIMES never match — they must not attach as the as-of row") {
+    // a null right time sorts FIRST in the ascending sweep; pre-fix it
+    // attached (with a NULL matched timestamp) to any left row lacking
+    // a real earlier right row — DuckDB ASOF says no match at all
+    val l = Seq((1L, 1L, t("2025-01-01 10:00:00"), 1.0))
+      .toDF("id", "k", "tts", "amt")
+    val r = Seq((1L, null.asInstanceOf[java.sql.Timestamp], 99.0))
+      .toDF("k", "qts", "px")
+    val got = AsOfJoin.asOf(l, r, Seq("k"), "tts", "qts", Seq("px")).collect()
+    assert(got.length == 1 && got(0).isNullAt(5),
+      s"null-time reference row must not match, got ${got.toSeq}")
+  }
+
   test("colliding right payload names are rejected") {
     val ex = intercept[IllegalArgumentException] {
       AsOfJoin.asOf(trades, quotes.withColumnRenamed("px", "amt"), Seq("k"), "tts", "qts", Seq("amt"))

@@ -33,4 +33,26 @@ class BucketedJoinSpec extends SparkSpec {
       graft.testing.DataFrameAssertions.assertDataFrameEquality(got, expected)
     } finally spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
   }
+
+  test("writeBucketed cleans the db-qualified warehouse location on rewrite") {
+    // the orphan location for 'db.tbl' is <warehouse>/db.db/tbl, not
+    // <warehouse>/db.tbl — a mismatched cleanup path would skip the
+    // orphan and the second write would die with LocationAlreadyExists
+    val d = "/root/testdata/sf0.001"
+    spark.sql("CREATE DATABASE IF NOT EXISTS graft_bkt_db")
+    try {
+      val ord = Tables.orders(spark, d).select("o_orderkey", "o_orderpriority")
+      // simulate the previous-JVM orphan: files at the real location
+      // with no catalog entry
+      val wh = spark.conf.get("spark.sql.warehouse.dir")
+      val loc = new org.apache.hadoop.fs.Path(wh, "graft_bkt_db.db/ord_q")
+      val fs = loc.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      fs.mkdirs(loc)
+      val out = fs.create(new org.apache.hadoop.fs.Path(loc, "orphan.parquet"))
+      out.write(1); out.close()
+      // the write must clean the orphan and succeed
+      BucketedJoin.writeBucketed(ord, "graft_bkt_db.ord_q", "o_orderkey", 4)
+      assert(spark.table("graft_bkt_db.ord_q").count() == ord.count())
+    } finally spark.sql("DROP DATABASE IF EXISTS graft_bkt_db CASCADE")
+  }
 }

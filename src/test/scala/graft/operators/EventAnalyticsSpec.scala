@@ -33,6 +33,25 @@ class EventAnalyticsSpec extends SparkSpec {
     assert(got.toSeq == Seq((1, "view", 3L), (2, "click", 1L), (3, "purchase", 1L)))
   }
 
+  test("funnel accepts epoch-long event times like interArrival does") {
+    // telemetry frequently carries epoch-seconds BIGINT; without the
+    // timestamp cast the fold seed's null::timestamp cannot coerce
+    // against struct<…, last_ts: bigint> and analysis fails
+    val epochEvents = funnelEvents
+      .withColumn("ts", unix_timestamp(col("ts")))
+    val got = EventAnalytics
+      .funnelSteps(epochEvents, "user_id", "event_type", "ts",
+        Seq("view", "click", "purchase"))
+      .collect()
+      .map(r => (r.getInt(0), r.getString(1), r.getLong(2)))
+    assert(got.toSeq == Seq((1, "view", 3L), (2, "click", 1L), (3, "purchase", 1L)))
+    val daily = EventAnalytics
+      .funnelStepsDaily(epochEvents, "user_id", "event_type", "ts",
+        Seq("view", "click", "purchase"))
+      .collect()
+    assert(daily.nonEmpty)
+  }
+
   test("funnel emits zero-filled rows when nobody converts") {
     val got = EventAnalytics
       .funnelSteps(funnelEvents, "user_id", "event_type", "ts",

@@ -54,6 +54,16 @@ class RangeJoinSpec extends SparkSpec {
     assert(got == Set((1L, "ok")))
   }
 
+  test("a user '_bucket' column is rejected instead of silently destroyed") {
+    val ex = intercept[IllegalArgumentException] {
+      RangeJoin.intervalJoin(
+        values.withColumn("_bucket", lit(1)),
+        Seq(("r", 0.0, 1.0)).toDF("r", "lo", "hi"),
+        "v", "lo", "hi", 1.0)
+    }
+    assert(ex.getMessage.contains("_bucket"))
+  }
+
   test("an interval spanning more buckets than the ceiling raises instead of exploding") {
     val rs = Seq(("huge", 0.0, 1e9)).toDF("r", "lo", "hi")
     val ex = intercept[Exception] {

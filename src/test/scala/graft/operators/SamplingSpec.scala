@@ -236,5 +236,12 @@ class SamplingSpec extends SparkSpec {
     val s2 = Sampling.gumbelTopK(flat, "id", col("lw"), 10, "b")
       .select("id").as[Long].collect().toSet
     assert(s1 != s2, "independent salts must draw different samples")
+    // NaN log-weight would sort above every finite key in the bounded
+    // heap and pin itself into every sample — excluded like NULL
+    val withNaN = rows ++ Seq((102L, java.lang.Double.valueOf(Double.NaN)))
+    val nanGot = Sampling
+      .gumbelTopK(withNaN.toDF("id", "lw"), "id", col("lw").cast("double"), 20, "s1")
+      .select("id").as[Long].collect().toSet
+    assert(!nanGot.contains(102L) && nanGot == (1 to 20).map(_.toLong).toSet)
   }
 }
