@@ -467,8 +467,16 @@ object hashExpressions {
 
     override def checkInputDataTypes(): TypeCheckResult =
       (left.dataType, right.dataType) match {
-        case (ArrayType(IntegerType, _), ArrayType(DoubleType, _)) =>
+        case (ArrayType(IntegerType, false), ArrayType(DoubleType, false)) =>
           TypeCheckResult.TypeCheckSuccess
+        case (ArrayType(IntegerType, true), _) | (_, ArrayType(DoubleType, true)) =>
+          // a nullable element would read as 0 through UnsafeArrayData
+          // — i.e. silently score against sub-centroid 0 (same
+          // rejection rationale as ShingleHashes)
+          TypeCheckResult.TypeCheckFailure(
+            s"$prettyName requires non-null array elements; use " +
+              "array_compact(...) upstream — it narrows the element type"
+          )
         case _ =>
           TypeCheckResult.TypeCheckFailure(
             s"$prettyName requires (array<int> codes, array<double> table)"

@@ -72,7 +72,10 @@ object MmrKernel {
           var j = 0
           val len = av.numElements()
           while (ok && j < len) { ok = !av.isNullAt(j); j += 1 }
-          if (ok) {
+          // a NaN relevance is skipped like a NULL one: selected, it
+          // would lock rank 1 forever (no finite score compares > NaN
+          // and the == tie-break never fires) and emit a NaN mmr_score
+          if (ok && !java.lang.Double.isNaN(r.getDouble(1))) {
             ids(n) = r.getLong(0)
             rels(n) = r.getDouble(1)
             vecs(n) = av.toFloatArray()

@@ -59,7 +59,8 @@ object TextQueries extends QueryPack {
         .orderBy("doc_id"),
     oracle = Some(s"""
       WITH b AS (SELECT doc_id,
-          len(string_split(text, ' ')) AS w,
+          -- non-empty tokens only, mirroring Text.readability
+          len(list_filter(string_split(text, ' '), t -> t <> '')) AS w,
           greatest(len(regexp_extract_all(text, '[.!?]+')), 1) AS st,
           len(regexp_extract_all(lower(text), '[aeiouy]+')) AS sy
         FROM documents)
@@ -237,7 +238,10 @@ object TextQueries extends QueryPack {
         FROM p),
       r AS (SELECT doc_id, scheme,
           lower(regexp_replace(hostport, ':[0-9]+$', '')) AS host,
-          regexp_extract(hostport, ':([0-9]+)$', 1) AS port,
+          -- numeric port render, mirroring canonicalizeUrl (':080' == ':80')
+          CASE WHEN regexp_extract(hostport, ':([0-9]+)$', 1) <> ''
+            THEN CAST(CAST(regexp_extract(hostport, ':([0-9]+)$', 1) AS INT) AS VARCHAR)
+            ELSE '' END AS port,
           CASE WHEN regexp_replace(rawpath, '/+$', '') = '' THEN '/'
                ELSE regexp_replace(rawpath, '/+$', '') END AS path,
           array_to_string(list_sort(list_filter(string_split(qs, '&'),
@@ -335,11 +339,15 @@ object TextQueries extends QueryPack {
       t AS (SELECT doc_id, term, count(*) AS tf FROM toks
             WHERE term <> '' GROUP BY 1, 2),
       c AS (SELECT term, sum(tf) AS cnt FROM t GROUP BY 1),
-      n AS (SELECT sum(cnt) AS total FROM c)
-      SELECT doc_id, CAST(sum(tf) AS BIGINT) AS n_terms,
-        round(sum(tf * (ln(cnt) - ln(total))) / sum(tf), 6) AS avg_logprob
-      FROM t JOIN c ON t.term = c.term CROSS JOIN n
-      GROUP BY doc_id ORDER BY doc_id""")
+      n AS (SELECT sum(cnt) AS total FROM c),
+      agg AS (SELECT doc_id, CAST(sum(tf) AS BIGINT) AS n_terms,
+          round(sum(tf * (ln(cnt) - ln(total))) / sum(tf), 6) AS avg_logprob
+        FROM t JOIN c ON t.term = c.term CROSS JOIN n
+        GROUP BY doc_id)
+      -- join-back: zero-token docs return (0, NULL) instead of vanishing
+      SELECT d.doc_id, coalesce(agg.n_terms, 0) AS n_terms, agg.avg_logprob
+      FROM documents d LEFT JOIN agg ON d.doc_id = agg.doc_id
+      ORDER BY d.doc_id""")
   )
 
   /** Interpolated bigram LM score (CCNet filter one order up from

@@ -52,9 +52,23 @@ object Packing {
     )
     val spark = df.sparkSession
     import spark.implicits._
+    // runtime contract on VALUES, enforced in-plan: a NULL id/count
+    // passes the plan-time type checks and would still die mid-job
+    // with the opaque encoder NPE, and a NEGATIVE count would silently
+    // inflate pack capacity (used += n with n < 0). raise_error keeps
+    // the check distributed — no extra validation pass.
     val prepared = df
       .select(
-        col(idCol).cast("long").as("doc_id"),
+        when(
+          col(idCol).isNull || col(tokenCountCol).isNull ||
+            col(tokenCountCol) < 0,
+          raise_error(format_string(
+            s"packGreedy: NULL $idCol/$tokenCountCol or negative count " +
+              s"(id=%s, n=%s) — filter upstream",
+            col(idCol).cast("string"),
+            col(tokenCountCol).cast("string")
+          ))
+        ).otherwise(col(idCol).cast("long")).as("doc_id"),
         col(tokenCountCol).cast("long").as("n_tokens")
       )
       .as[(Long, Long)]

@@ -104,7 +104,12 @@ object Text {
     val scheme = lower(regexp_extract(noFrag, "^([A-Za-z][A-Za-z0-9+.-]*)://", 1))
     val hostPort = regexp_extract(noFrag, "^[A-Za-z][A-Za-z0-9+.-]*://([^/?#]*)", 1)
     val host = lower(regexp_replace(hostPort, ":[0-9]+$", ""))
-    val port = regexp_extract(hostPort, ":([0-9]+)$", 1)
+    // ports compare (and render) NUMERICALLY: ':080' is ':80' — a
+    // string compare would keep the default port and split one page
+    // into two dedup keys
+    val portStr = regexp_extract(hostPort, ":([0-9]+)$", 1)
+    val port = when(portStr =!= "", portStr.cast("int").cast("string"))
+      .otherwise(lit(""))
     val keepPort = port =!= "" &&
       !(scheme === "http" && port === "80") &&
       !(scheme === "https" && port === "443")
@@ -166,11 +171,25 @@ object Text {
   /** Heuristic quality score in [0,1]: favors stopword-bearing prose of
     * moderate length with few symbols — the classic cheap pre-filter
     * before expensive model-based scoring.
+    *
+    * PERFORMANCE: callers that control the plan should tokenize in a
+    * separate projection and use [[qualityScoreFromTokens]] — the
+    * stopword hitCount is a filter lambda over the tokens, and handing
+    * it the inline split() re-tokenizes per element when the HOF
+    * evaluates interpreted (the [[wordShingles]] pathology; same
+    * reason [[gopherReasonFromTokens]] exists).
     */
-  def qualityScore(c: Column): Column = {
-    val lenTerm = least(tokenCount(c).cast("double") / 100.0, lit(1.0))
-    val wordTerm = least(meanWordLen(c) / 8.0, lit(1.0))
-    lit(0.3) * stopwordRatio(c) + lit(0.2) * (lit(1.0) - punctRatio(c)) +
+  def qualityScore(c: Column): Column =
+    qualityScoreFromTokens(c, tokens(c))
+
+  /** [[qualityScore]] over a pre-projected token-array ATTRIBUTE. */
+  def qualityScoreFromTokens(c: Column, toks: Column): Column = {
+    val n = size(toks)
+    val lenTerm = least(n.cast("double") / 100.0, lit(1.0))
+    val wordTerm =
+      least(length(regexp_replace(c, " ", "")) / n / 8.0, lit(1.0))
+    lit(0.3) * (hitCount(toks, stopwords("en")) / n) +
+      lit(0.2) * (lit(1.0) - punctRatio(c)) +
       lit(0.3) * lenTerm + lit(0.2) * wordTerm
   }
 
@@ -569,7 +588,8 @@ object Text {
     val tf = toks.groupBy("id", "term").agg(count(lit(1)).as("tf"))
     val termCounts = tf.groupBy("term").agg(sum(col("tf")).as("cnt"))
     val total = termCounts.agg(sum(col("cnt")).as("_total"))
-    tf.join(termCounts, "term")
+    val agg = tf
+      .join(termCounts, "term")
       .crossJoin(broadcast(total))
       .groupBy("id")
       .agg(
@@ -578,6 +598,17 @@ object Text {
           sum(col("tf") * (log(col("cnt")) - log(col("_total")))) /
             sum(col("tf"))
         ).as("avg_logprob")
+      )
+    // EVERY document comes back (the bigramLogProb convention): a doc
+    // that normalizes to zero tokens has no tf rows, and without the
+    // join-back it would VANISH from the output instead of reaching
+    // the caller's quality threshold as (0, NULL)
+    df.select(col(idCol).as("id"))
+      .join(agg, Seq("id"), "left")
+      .select(
+        col("id"),
+        coalesce(col("n_terms"), lit(0L)).as("n_terms"),
+        col("avg_logprob")
       )
   }
 
@@ -593,12 +624,32 @@ object Text {
       textCol: String,
       idCol: String,
       extraCols: Seq[(String, Column)] = Nil
+  ): org.apache.spark.sql.DataFrame =
+    pairsFromArrays(tokenArrays(df, textCol, idCol, extraCols), extraCols)
+
+  /** `(id, _arr, extras)` token-array projection — split out so a
+    * caller that also needs UNIGRAM counts ([[bigramLogProb]]) can
+    * materialize it once and feed both branches, instead of paying the
+    * normalize+split corpus scan twice.
+    */
+  private def tokenArrays(
+      df: org.apache.spark.sql.DataFrame,
+      textCol: String,
+      idCol: String,
+      extraCols: Seq[(String, Column)] = Nil
   ): org.apache.spark.sql.DataFrame = {
     val arr = filter(split(normalize(col(textCol)), " "), t => t =!= "")
     df.select(
-        Seq(col(idCol).as("id"), arr.as("_arr")) ++
-          extraCols.map { case (n, c) => c.as(n) }: _*
-      )
+      Seq(col(idCol).as("id"), arr.as("_arr")) ++
+        extraCols.map { case (n, c) => c.as(n) }: _*
+    )
+  }
+
+  private def pairsFromArrays(
+      base: org.apache.spark.sql.DataFrame,
+      extraCols: Seq[(String, Column)] = Nil
+  ): org.apache.spark.sql.DataFrame = {
+    base
       .where(size(col("_arr")) >= 2)
       .select(
         Seq(
@@ -652,13 +703,16 @@ object Text {
   ): org.apache.spark.sql.DataFrame = {
     import org.apache.spark.sql.types.DecimalType
     require(lambda > 0 && lambda < 1, s"lambda must be in (0,1), got $lambda")
-    val pairs = bigramPairs(df, textCol, idCol)
+    // ONE normalize+split corpus pass: the token-array base feeds BOTH
+    // the bigram-pair branch and the unigram-count branch (materialized
+    // — two independent subtrees would each rescan and re-tokenize)
+    val base = graft.functions.materialize(tokenArrays(df, textCol, idCol))
+    val pairs = pairsFromArrays(base)
     val tf = pairs.groupBy("id", "w1", "w2").agg(count(lit(1)).as("tf"))
     val big = tf.groupBy("w1", "w2").agg(sum(col("tf")).as("c2"))
     val ctx = big.groupBy("w1").agg(sum(col("c2")).as("cc"))
-    val arr = filter(split(normalize(col(textCol)), " "), t => t =!= "")
-    val uni = df
-      .select(explode(arr).as("w2"))
+    val uni = base
+      .select(explode(col("_arr")).as("w2"))
       .groupBy("w2")
       .agg(count(lit(1)).as("c1"))
     val total = uni.agg(sum(col("c1")).as("_total"))
@@ -867,7 +921,11 @@ object Text {
   ): org.apache.spark.sql.DataFrame = {
     require(minCount >= 1, s"minCount must be >= 1, got $minCount")
     require(k >= 1, s"k must be >= 1, got $k")
-    val toks = df.select(tokens(col(textCol)).as("_toks"))
+    // materialized: the bigram-count and unigram-count branches are
+    // independent subtrees — unpersisted, each would rescan and
+    // re-tokenize the corpus (the tfIdfTopK persist rationale)
+    val toks = graft.functions.materialize(
+      df.select(tokens(col(textCol)).as("_toks")))
     val pairs = toks
       .select(
         explode(
@@ -948,6 +1006,23 @@ object Text {
       b: Double = 0.75
   ): org.apache.spark.sql.DataFrame = {
     require(queryTerms.nonEmpty, "queryTerms must be non-empty")
+    // Query terms get the SAME normalization as the indexed terms (the
+    // JVM mirror of `normalize`): tf terms are lowercased and
+    // punctuation-stripped, so a raw "Spark" would silently match zero
+    // documents. Multi-word phrases normalize into their words.
+    val normTerms = queryTerms
+      .flatMap(t =>
+        t.toLowerCase
+          .replaceAll("[^a-z0-9 ]", " ")
+          .replaceAll(" +", " ")
+          .trim
+          .split(" "))
+      .filter(_.nonEmpty)
+      .distinct
+    require(
+      normTerms.nonEmpty,
+      s"queryTerms $queryTerms normalize to nothing — no alphanumeric content"
+    )
     val toks = df
       .select(
         col(idCol).as("id"),
@@ -961,7 +1036,7 @@ object Text {
       count(lit(1)).as("_n"),
       (sum(col("dl")).cast("double") / count(lit(1))).as("_avgdl")
     )
-    val qtf = tf.where(col("term").isin(queryTerms: _*))
+    val qtf = tf.where(col("term").isin(normTerms: _*))
     val dfTab = qtf.groupBy("term").agg(count(lit(1)).as("df"))
     val idf = (col("_n") - col("df") + 0.5) / (col("df") + 0.5)
     val tfNorm = (col("tf") * (k1 + 1.0)) /
@@ -995,7 +1070,12 @@ object Text {
     * billion documents rides the first corpus read.
     */
   def readability(df: org.apache.spark.sql.DataFrame, textCol: String, idCol: String): org.apache.spark.sql.DataFrame = {
-    val words = tokenCount(col(textCol))
+    // NON-EMPTY tokens only: split("", " ") is [""], so a raw
+    // tokenCount gives every empty/blank document n_words = 1 and a
+    // flesch of ~205.8 — the HIGHEST score in the corpus, the exact
+    // inversion of what curriculum ordering needs. Counting non-empty
+    // tokens makes the documented `words > 0` NULL guard real.
+    val words = size(array_remove(split(col(textCol), " "), ""))
     val sentences = greatest(regexp_count(col(textCol), lit("[.!?]+")), lit(1))
     val syllables = regexp_count(lower(col(textCol)), lit("[aeiouy]+"))
     df.select(

@@ -464,6 +464,7 @@ class SimilaritySpec extends SparkSpec {
       Row(2L, 0.8, null), // NULL embedding
       Row(null, 0.7, Seq(0.0f, 1.0f)), // NULL id
       Row(3L, 0.5, Seq(0.6f, null)), // NULL vector element
+      Row(5L, Double.NaN, Seq(1.0f, 1.0f)), // NaN relevance: would lock rank 1
       Row(4L, 0.4, Seq(0.0f, 1.0f)) // valid
     )))
     val df = spark.createDataFrame(

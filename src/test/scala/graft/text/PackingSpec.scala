@@ -79,4 +79,21 @@ class PackingSpec extends SparkSpec {
     assert(byDecile(10L).getAs[Long]("n_packs") === 1L) // oversize bucket
     assert(byDecile(10L).getAs[Double]("mean_fill") === 1.5)
   }
+
+  test("packGreedy fails loudly on NULL ids/counts and negative counts") {
+    // both pass the plan-time TYPE checks; unguarded they die mid-job
+    // with an opaque encoder NPE (null) or silently inflate pack
+    // capacity (negative)
+    val withNull = Seq[(java.lang.Long, java.lang.Long)](
+      (1L, 10L), (null, 5L)
+    ).toDF("doc_id", "n_tokens")
+    val e1 = intercept[Exception] {
+      Packing.packGreedy(withNull, "doc_id", "n_tokens", 100L).collect()
+    }
+    assert(e1.getMessage != null)
+    val negative = Seq((1L, 10L), (2L, -3L)).toDF("doc_id", "n_tokens")
+    intercept[Exception] {
+      Packing.packGreedy(negative, "doc_id", "n_tokens", 100L).collect()
+    }
+  }
 }

@@ -179,6 +179,13 @@ class TextSpec extends SparkSpec {
     assert(math.abs(scores(0) - r6(math.log(2.0 / 6.0))) < 2e-6)
     assert(math.abs(scores(2) - r6(math.log(1.0 / 6.0))) < 2e-6)
     assert(scores(2) < scores(0), "rare-token doc must score below prose")
+    // a doc that normalizes to zero tokens returns (0, NULL) instead
+    // of vanishing from the output (the bigramLogProb convention)
+    val withEmpty = docs.union(Seq((4L, "!!! ???")).toDF("doc_id", "text"))
+    val all = Text.unigramLogProb(withEmpty, "text", "doc_id")
+      .orderBy("id").collect()
+    assert(all.length == 4)
+    assert(all(3).getAs[Long]("n_terms") == 0L && all(3).isNullAt(2))
   }
 
   test("chunking: overlap, short docs, and fully-covered tails by hand") {
@@ -265,6 +272,32 @@ class TextSpec extends SparkSpec {
     assert(math.abs(s(0) - 0.6) < 1e-9)
     assert(math.abs(s(1) - 0.723288) < 1e-6)
     assert(s(1) > s(0), "higher tf must score higher at equal length class")
+    // query terms get the indexed terms' normalization — a raw
+    // "Apple!" must match the same documents as "apple" (pre-fix the
+    // verbatim isin matched zero docs and returned empty, silently)
+    val rawQuery = Text
+      .bm25Score(docs, "text", "doc_id", Seq("Apple!"))
+      .orderBy("id")
+      .collect()
+    assert(rawQuery.map(r => (r.getAs[Long]("id"), r.getAs[Double]("score"))).toSeq ==
+      out.map(r => (r.getAs[Long]("id"), r.getAs[Double]("score"))).toSeq)
+    intercept[IllegalArgumentException](
+      Text.bm25Score(docs, "text", "doc_id", Seq("!!!")))
+  }
+
+  test("readability: empty and blank documents emit NULL flesch, not the top score") {
+    // split("", " ") is [""]; a raw token count would give empty docs
+    // n_words = 1 and flesch ~205.8 — the HIGHEST score in the corpus,
+    // inverting curriculum order
+    val docs = Seq(
+      (1L, "The cat sat. The dog ran!"),
+      (2L, ""),
+      (3L, "   ")
+    ).toDF("doc_id", "text")
+    val out = Text.readability(docs, "text", "doc_id").orderBy("doc_id").collect()
+    assert(out(0).getAs[Int]("n_words") == 6 && !out(0).isNullAt(4))
+    assert(out(1).getAs[Int]("n_words") == 0 && out(1).isNullAt(4))
+    assert(out(2).getAs[Int]("n_words") == 0 && out(2).isNullAt(4))
   }
 
   test("bm25 favors rarer query terms and length-normalizes") {
@@ -443,6 +476,14 @@ class TextSpec extends SparkSpec {
     assert(got(0) == "https://example.com/Path/x?a=1&b=2")
     assert(got(0) == got(1)) // the two spellings collapse to ONE key
     assert(got(2) == "http://site.org:8080/a?z=9")
+    // leading-zero ports fold numerically: ':080' IS the default port
+    val zeroPort = Seq((1L, "http://a.com:080/x"), (2L, "http://a.com:0443/x"))
+      .toDF("id", "u")
+      .select(graft.text.Text.canonicalizeUrl(col("u")).as("c"))
+      .orderBy("c")
+      .collect()
+      .map(_.getString(0))
+    assert(zeroPort.toSeq == Seq("http://a.com/x", "http://a.com:443/x"))
     assert(got(3) == "http://host.net/")
     assert(got(4) == "ftp://files.example.org/pub")
     assert(got(5) == null)
