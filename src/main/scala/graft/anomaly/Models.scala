@@ -79,7 +79,10 @@ case class SeasonalNaive(period: Int) extends ForecastModel {
   * over the lags actually present. NULL when no history.
   */
 case class Ewma(alpha: Double = 0.5, horizon: Int = 8) extends ForecastModel {
-  val name = f"Ewma-$alpha%.2f-$horizon"
+  // Locale.ROOT formatting: the f"" interpolator is locale-default, and
+  // a de_DE driver would name this "Ewma-0,50-8" — breaking the stored
+  // best_model byte-stability contract (see rosterTag)
+  val name = s"Ewma-${Models.dec2(alpha)}-$horizon"
   def forecast(value: Column, w: WindowSpec): Column = {
     val terms = (1 to horizon).map { j =>
       val weight = alpha * math.pow(1 - alpha, j - 1)
@@ -104,7 +107,7 @@ case class Ewma(alpha: Double = 0.5, horizon: Int = 8) extends ForecastModel {
   */
 case class HoltLinear(alpha: Double = 0.5, beta: Double = 0.5, horizon: Int = 8)
     extends ForecastModel {
-  val name = f"HoltLinear-$alpha%.2f-$beta%.2f-$horizon"
+  val name = s"HoltLinear-${Models.dec2(alpha)}-${Models.dec2(beta)}-$horizon"
   def forecast(value: Column, w: WindowSpec): Column = {
     // level = EWMA of lagged values; on a sloped series that estimate
     // sits meanLag steps behind the next point, so the forecast
@@ -178,7 +181,7 @@ case class HoltWinters(
 ) extends ForecastModel {
   require(period > 1, s"period must be > 1, got $period")
   require(nSeasons > 0, s"nSeasons must be positive, got $nSeasons")
-  val name = f"HoltWinters-$gamma%.2f-$period-$nSeasons"
+  val name = s"HoltWinters-${Models.dec2(gamma)}-$period-$nSeasons"
   def forecast(value: Column, w: WindowSpec): Column = {
     val pmFrame = w.rowsBetween(-period, -1)
     val pm = avg(value).over(pmFrame)
@@ -760,6 +763,14 @@ case class PiecewiseCalendar(
 object Models {
   /** The reference SimpleModel's candidate windows. */
   val defaultWindows: Seq[Int] = Seq(3, 5, 7, 30)
+
+  /** Locale-independent 2-decimal render for model names — the f""
+    * interpolator delegates to the DEFAULT locale's String.format, so a
+    * de_DE driver would emit "0,50" and stored best_model names would
+    * stop matching across JVMs.
+    */
+  private[anomaly] def dec2(x: Double): String =
+    String.format(java.util.Locale.ROOT, "%.2f", Double.box(x))
 
   /** Short stable content hash of a date roster (order-insensitive),
     * folded into calendar-model names and helper-column prefixes so

@@ -66,8 +66,15 @@ object Optimizer {
       valueCol: String = "value",
       cfg: Config = Config()
   ): DataFrame = {
+    // the full pipeline's internal names, not just this stage's: a
+    // series column named "threshold" would survive forecastErrors only
+    // for evaluate's withColumn("threshold", …) to silently REPLACE the
+    // grouping key with computed values downstream
     val reserved =
-      Set("rn", "n", "is_validation", "model", "predicted", "error", "mf", "value")
+      Set("rn", "n", "is_validation", "model", "predicted", "error", "mf",
+        "value", "mean_error", "n_validation", "threshold",
+        "below_proportion", "best_model", "optimization_failed",
+        "_sorted", "_n", "_kstar", "_ek", "_rank")
     val collisions = seriesCols.filter(reserved) ++
       (if (valueCol != "value" && series.columns.contains("value")) Seq("value") else Nil)
     require(
@@ -75,6 +82,20 @@ object Optimizer {
       s"series columns collide with internal names $collisions — rename them " +
         s"(reserved: ${reserved.toSeq.sorted.mkString(", ")})"
     )
+    // calendar models read the CONSTRUCTOR's time column, not this
+    // call's tsCol — a mismatch would build trend regressors from the
+    // wrong column (silently, if a column of that name exists)
+    cfg.models.foreach {
+      case m: CalendarRegression =>
+        require(m.tsCol == tsCol,
+          s"${m.name} was built with tsCol='${m.tsCol}' but forecastErrors " +
+            s"was called with tsCol='$tsCol' — construct the model with the same column")
+      case m: PiecewiseCalendar =>
+        require(m.tsCol == tsCol,
+          s"${m.name} was built with tsCol='${m.tsCol}' but forecastErrors " +
+            s"was called with tsCol='$tsCol' — construct the model with the same column")
+      case _ => ()
+    }
     val w = Window.partitionBy(seriesCols.map(col): _*).orderBy(col(tsCol))
     val value = col(valueCol)
     val withForecasts = cfg.models.zipWithIndex

@@ -38,6 +38,15 @@ object Scorer {
     * loop makes history scoring prohibitive; here it is the same single
     * window pass as last-point scoring). Output keeps `rn`/`n` so
     * callers can slice.
+    *
+    * CONTRACT: series whose stored optimization FAILED (best_model
+    * NULL, `optimization_failed = true` from [[Optimizer.optimize]]'s
+    * join-back) have no model to score with and emit no rows here —
+    * they are NOT silently lost: the optimization table carries them
+    * flagged, and the service layer alerts on exactly that flag
+    * (Service.assess / Service.scala's optimization_failed paths).
+    * Callers composing scoreAll directly must consume the flag the
+    * same way.
     */
   def scoreAll(
       series: DataFrame,

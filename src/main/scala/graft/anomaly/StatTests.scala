@@ -105,10 +105,18 @@ object StatTests {
         col("card_b"),
         ((col("card_a") - 1) * (col("card_b") - 1)).as("dof"),
         round6(col("_chi2")).as("chi2"),
-        round6(
-          sqrt(
-            col("_chi2") / (col("n") *
-              least(col("card_a") - 1, col("card_b") - 1))
+        // a cardinality-1 side has no association to measure: the
+        // denominator is 0 and chi2 is 0, so 0/0 would ride out as a
+        // NaN that every downstream comparison silently treats as
+        // false — NULL is the honest "undefined", distinguishable
+        // from a real zero-effect measurement
+        when(
+          least(col("card_a") - 1, col("card_b") - 1) > 0,
+          round6(
+            sqrt(
+              col("_chi2") / (col("n") *
+                least(col("card_a") - 1, col("card_b") - 1))
+            )
           )
         ).as("cramers_v"),
         (col("_fa") > maxCategories || col("_fb") > maxCategories)

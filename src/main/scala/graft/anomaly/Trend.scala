@@ -269,7 +269,11 @@ object Trend {
       (1 to maxLag).flatMap { k =>
         Seq(
           sum((c * (col(s"_l$k") - col("_mean"))).cast(dec)).as(s"_num$k"),
-          count(col(s"_l$k")).as(s"_cnt$k")
+          // pairs where BOTH ends are non-null — the pairs the
+          // numerator actually sums; count(lead) alone would count a
+          // NULL-current row's pair and overstate n_pairs (and any
+          // 1.96/sqrt(n_pairs) significance band built on it)
+          count(when(col(valueCol).isNotNull, col(s"_l$k"))).as(s"_cnt$k")
         )
       }
     val wide = withLeads.groupBy(keys: _*).agg(aggs.head, aggs.tail: _*)

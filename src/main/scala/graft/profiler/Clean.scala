@@ -32,13 +32,21 @@ object Clean {
   ): DataFrame = {
     require(groupCols.nonEmpty, "groupCols must be non-empty")
     require(0 <= lo && lo < hi && hi <= 1, s"need 0 <= lo < hi <= 1, got [$lo, $hi]")
+    // NULL-SAFE group join (the qualityCut/mixtureTemperature rule): a
+    // NULL group gets its own bounds row like any other group — plain
+    // equality would silently DELETE every NULL-group row from the
+    // output instead of winsorizing it
     val bounds = df
       .groupBy(groupCols.map(col): _*)
       .agg(
         percentile(col(valueCol), lit(lo)).as("_w_lo"),
         percentile(col(valueCol), lit(hi)).as("_w_hi")
       )
-    df.join(bounds, groupCols)
+      .select(groupCols.map(c => col(c).as(s"_wg_$c")) ++
+        Seq(col("_w_lo"), col("_w_hi")): _*)
+    val cond = groupCols.map(c => col(c) <=> col(s"_wg_$c")).reduce(_ && _)
+    df.join(bounds, cond)
+      .drop(groupCols.map(c => s"_wg_$c"): _*)
       .withColumn(
         s"${valueCol}_winsorized",
         // least/greatest SKIP nulls (both engines), which would clamp a

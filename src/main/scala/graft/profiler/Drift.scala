@@ -91,7 +91,10 @@ object Drift {
     )
     p.join(
         q,
-        col("_qday") === col("_day") - expr("INTERVAL 1 DAY") &&
+        // CALENDAR-day step (date_sub on DATE), not a fixed 24h
+        // interval: in a DST session timezone the spring-forward
+        // midnights are 23h apart and the pair row would vanish
+        col("_qday").cast("date") === date_sub(col("_day").cast("date"), 1) &&
           col("_qbin") === col("_bin")
       )
       .groupBy(col("_day").as("ts"))
@@ -139,7 +142,8 @@ object Drift {
     // keyed by the CURRENT day of the pair (_pday)
     val merged = c
       .select(
-        (col("_day") + expr("INTERVAL 1 DAY")).as("_pday"),
+        // calendar-day step — see the psiDrift pair join
+        date_add(col("_day").cast("date"), 1).cast("timestamp").as("_pday"),
         col("_v"),
         col("_n").as("_na"),
         lit(0L).as("_nb")
@@ -213,7 +217,13 @@ object Drift {
       .agg(min(col("_day")).as("_mn"), max(col("_day")).as("_mx"))
       .select(
         keyCols.map(col) :+
-          explode(sequence(col("_mn"), col("_mx"), expr("INTERVAL 1 DAY"))).as("_day"): _*
+          // DATE-typed spine: a timestamp sequence steps fixed 24h and
+          // drifts off local midnights across a DST transition
+          explode(transform(
+            sequence(col("_mn").cast("date"), col("_mx").cast("date"),
+              expr("INTERVAL 1 DAY")),
+            d => d.cast("timestamp")
+          )).as("_day"): _*
       )
     val w = Window
       .partitionBy(keyCols.map(col): _*)
@@ -259,9 +269,11 @@ object Drift {
       .join(broadcast(span), "_k")
       .select(
         keyCols.map(col) :+
-          explode(
-            sequence(col("_min_day"), col("_max_day"), expr("INTERVAL 1 DAY"))
-          ).as("_day"): _*
+          explode(transform(
+            sequence(col("_min_day").cast("date"), col("_max_day").cast("date"),
+              expr("INTERVAL 1 DAY")),
+            d => d.cast("timestamp")
+          )).as("_day"): _*
       )
     expected
       .join(observed, keyCols :+ "_day", "left_anti")

@@ -44,7 +44,12 @@ object Moments {
       .groupBy("ts", "instance")
       .agg(
         count(col("_v")).as("n"),
-        sum(col("_v").cast(DecimalType(38, 6))).as("sum"),
+        // scale 12, not 6: the per-row cast QUANTIZES each value before
+        // summing, and a column of sub-1e-6 magnitudes (rates, deltas)
+        // would sum to an exact 0 — means wrong by 100% while still
+        // "bit-identically mergeable". 1e-12 per-row granularity keeps
+        // 26 integer digits of headroom, same as sumsq.
+        sum(col("_v").cast(DecimalType(38, 12))).as("sum"),
         sum((col("_v") * col("_v")).cast(DecimalType(38, 12))).as("sumsq"),
         min(col("_v")).as("min"),
         max(col("_v")).as("max")

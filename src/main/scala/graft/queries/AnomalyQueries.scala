@@ -925,7 +925,8 @@ object AnomalyQueries extends QueryPack {
     val nums = (1 to maxLag)
       .map(k =>
         s"""CAST(SUM(CAST((value - mean) * (l$k - mean)
-           AS DECIMAL(38,12))) AS DOUBLE) AS num$k, COUNT(l$k) AS cnt$k""")
+           AS DECIMAL(38,12))) AS DOUBLE) AS num$k,
+           COUNT(CASE WHEN value IS NOT NULL THEN l$k END) AS cnt$k""")
       .mkString(", ")
     val rows = (1 to maxLag)
       .map(k => s"""SELECT event_type, $k AS lag, cnt$k AS n_pairs,
@@ -1019,8 +1020,9 @@ object AnomalyQueries extends QueryPack {
       SELECT n, card_a, card_b,
         (card_a - 1) * (card_b - 1) AS dof,
         round(chi2raw, 6) AS chi2,
-        round(sqrt(chi2raw / (n * least(card_a - 1, card_b - 1))), 6)
-          AS cramers_v,
+        CASE WHEN least(card_a - 1, card_b - 1) > 0
+          THEN round(sqrt(chi2raw / (n * least(card_a - 1, card_b - 1))), 6)
+        END AS cramers_v,
         card_a > 1000 OR card_b > 1000 AS truncated
       FROM agg""")
   )

@@ -727,7 +727,7 @@ object ProfilerQueries extends QueryPack {
       SELECT event_id, e.event_type, value,
         CASE WHEN value IS NULL THEN NULL
           ELSE round(least(greatest(value, lo), hi), 6) END AS value_winsorized
-      FROM events e JOIN b ON e.event_type = b.event_type
+      FROM events e JOIN b ON e.event_type IS NOT DISTINCT FROM b.event_type
       ORDER BY event_id""")
   )
 
@@ -746,14 +746,14 @@ object ProfilerQueries extends QueryPack {
     oracle = Some(s"""
       SELECT ${sqlTrunc("week", "ts")} AS ts, 'value' AS instance,
         COUNT(value) AS n,
-        ${sqlRound6("CAST(SUM(CAST(value AS DECIMAL(38,6))) AS DOUBLE) / COUNT(value)")}
+        ${sqlRound6("CAST(SUM(CAST(value AS DECIMAL(38,12))) AS DOUBLE) / COUNT(value)")}
           AS mean,
         CASE WHEN COUNT(value) > 1 THEN
           ${sqlRound6(
         """sqrt(greatest(
              (CAST(SUM(CAST(value * value AS DECIMAL(38,12))) AS DOUBLE)
-              - CAST(SUM(CAST(value AS DECIMAL(38,6))) AS DOUBLE)
-                * CAST(SUM(CAST(value AS DECIMAL(38,6))) AS DOUBLE) / COUNT(value))
+              - CAST(SUM(CAST(value AS DECIMAL(38,12))) AS DOUBLE)
+                * CAST(SUM(CAST(value AS DECIMAL(38,12))) AS DOUBLE) / COUNT(value))
              / (COUNT(value) - 1), 0.0))"""
       )}
         END AS stddev,

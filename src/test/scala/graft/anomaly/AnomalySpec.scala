@@ -797,6 +797,37 @@ class AnomalySpec extends SparkSpec {
     assert(!bestPlain.getAs[Boolean]("optimization_failed"))
   }
 
+  test("model names are locale-independent and calendar models refuse a mismatched tsCol") {
+    // f"%.2f" delegates to the DEFAULT locale — a de_DE driver would
+    // store best_model "Ewma-0,50-8" and scoring on an en_US driver
+    // would raise "model family lacks"
+    val saved = java.util.Locale.getDefault
+    try {
+      java.util.Locale.setDefault(java.util.Locale.GERMANY)
+      assert(Ewma().name == "Ewma-0.50-8")
+      assert(HoltLinear().name == "HoltLinear-0.50-0.50-8")
+      assert(HoltWinters().name == "HoltWinters-0.50-7-2")
+    } finally java.util.Locale.setDefault(saved)
+    // calendar models read their CONSTRUCTOR tsCol — a silent mismatch
+    // would build trend regressors from the wrong column
+    val series = calSeries((1 to 20).map(d => d -> d.toDouble))
+      .withColumnRenamed("ts", "event_time")
+    val ex = intercept[IllegalArgumentException] {
+      Optimizer.forecastErrors(
+        series, Seq("series"), tsCol = "event_time",
+        cfg = Optimizer.Config(models = Seq(CalendarRegression())))
+    }
+    assert(ex.getMessage.contains("tsCol"))
+    // a series column named like a downstream pipeline output is
+    // refused up front instead of being clobbered by evaluate()
+    val clash = calSeries((1 to 20).map(d => d -> d.toDouble))
+      .withColumn("threshold", lit(1.0))
+    val ex2 = intercept[IllegalArgumentException] {
+      Optimizer.forecastErrors(clash, Seq("series", "threshold"))
+    }
+    assert(ex2.getMessage.contains("threshold"))
+  }
+
   test("changepointGrid: deterministic Prophet-style candidate placement") {
     val g = Models.changepointGrid(epochDate(1), epochDate(70), 4)
     // reach = 0.8 * 69 days; candidates at round(reach * i / 4) past start

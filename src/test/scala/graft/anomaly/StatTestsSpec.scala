@@ -26,6 +26,14 @@ class StatTestsSpec extends SparkSpec {
     assert(z._2 == 3L && z._4 == 2L)
     // the (z, r) zero cell must contribute its expected count
     assert(z._5 > got._5, "zero cell raises the statistic")
+    // cardinality-1 side: no association to measure — cramers_v must be
+    // NULL (undefined), not the NaN of sqrt(0/0), which every
+    // downstream comparison silently treats as false
+    val constant = Seq.fill(30)(("only", "l")) ++ Seq.fill(30)(("only", "r"))
+    val cRow = StatTests.chiSquare(constant.toDF("a", "b"), "a", "b").collect().head
+    assert(cRow.getAs[Long]("card_a") == 1L)
+    assert(cRow.isNullAt(cRow.fieldIndex("cramers_v")),
+      s"expected NULL cramers_v, got ${cRow.get(cRow.fieldIndex("cramers_v"))}")
   }
 
   test("chi-square: capped grid recomputes totals from kept categories") {

@@ -147,6 +147,23 @@ class TrendSpec extends SparkSpec {
     assert(got == Seq((1, 7L, -0.875), (2, 6L, 0.75), (3, 5L, -0.625)))
   }
 
+  test("acf: n_pairs counts only pairs with BOTH ends non-null") {
+    // [1, NULL, 3, 4] at lag 1: only the (3,4) pair contributes — a
+    // raw count(lead) would report 2 and misprice any
+    // 1.96/sqrt(n_pairs) significance band
+    val withNull = Seq(Some(1.0), None, Some(3.0), Some(4.0)).zipWithIndex
+      .map { case (v, i) => ("m", f"2025-01-${i + 1}%02d 00:00:00", v) }
+      .toDF("metric", "ts_raw", "value")
+      .select($"metric", to_timestamp($"ts_raw").as("ts"), $"value")
+    val got = Trend
+      .acf(withNull, Seq("metric"), maxLag = 1)
+      .select("n_pairs")
+      .as[Long]
+      .collect()
+      .head
+    assert(got == 1L, s"expected 1 complete pair, got $got")
+  }
+
   test("acf: constant series has zero denominator and NULL acf") {
     val got = Trend
       .acf(mkSeries(Seq.fill(6)(5.0)), Seq("metric"), maxLag = 2)

@@ -38,4 +38,21 @@ class CleanSpec extends SparkSpec {
     val aMin = out.filter(t => t._1 == "a" && t._2.contains(0.0)).head
     assert(aMin._3.contains(25.0))
   }
+
+  test("a NULL group is winsorized against its own bounds, never dropped") {
+    // a null-unsafe equi-join would silently delete every NULL-group
+    // row — the qualityCut/mixtureTemperature null-safe-join rule
+    val df = Seq(
+      (Option("a"), Some(1.0)), (Option("a"), Some(9.0)),
+      (Option.empty[String], Some(100.0)), (Option.empty[String], Some(900.0)),
+      (Option.empty[String], Some(500.0))
+    ).toDF("g", "v")
+    val out = Clean.winsorize(df, "v", Seq("g"), lo = 0.25, hi = 0.75).collect()
+    assert(out.length == 5, s"NULL-group rows must survive, got ${out.length}")
+    val nullRows = out.filter(_.isNullAt(0))
+    assert(nullRows.length == 3)
+    // p25/p75 of (100,500,900) = 300/700 — bounds from the NULL group itself
+    val w = nullRows.map(_.getAs[Double]("v_winsorized")).sorted
+    assert(w.toSeq == Seq(300.0, 500.0, 700.0))
+  }
 }

@@ -115,6 +115,20 @@ class MomentsSpec extends SparkSpec {
     assert(got.toSeq == want.toSeq)
   }
 
+  test("sub-1e-6 magnitudes keep their mean (per-row quantization must not zero them)") {
+    // a DECIMAL(38,6) per-row cast rounds 4e-7 to 0.000000 before
+    // summing — mean 0 with no error; scale 12 keeps the value
+    val tiny = (1 to 50).map(i => (f"2024-01-01 01:$i%02d:00", 4e-7))
+      .toDF("raw_ts", "a")
+      .select(to_timestamp($"raw_ts").as("ts"), $"a")
+    // the finalized mean is round6'd by the output contract, so the
+    // faithful quantity is the STORED partial sum: 50 x 4e-7 = 2e-5
+    val part = Moments.partials(tiny, "ts", Seq("a")).collect().head
+    val sum = part.getDecimal(part.fieldIndex("sum")).doubleValue()
+    assert(math.abs(sum - 2e-5) < 1e-12,
+      s"tiny-magnitude partial sum destroyed: $sum")
+  }
+
   test("single-point bucket yields NULL stddev, not zero or NaN") {
     val one = Seq(("2024-01-01 01:00:00", 5.0)).toDF("raw_ts", "a")
       .select(to_timestamp($"raw_ts").as("ts"), $"a")
