@@ -1219,9 +1219,14 @@ object Similarity {
       )
       .where(col("_tab").isNotNull && col("_qn") > 0d)
     val probed = q.select("_cell").distinct().collect().map(_.getInt(0))
+    // parquet reads restore nullable ELEMENT types; the codes were
+    // written non-null (pqEncode's contract) and PqAdcDot refuses
+    // nullable elements at type-check, so narrow with array_compact —
+    // a no-op on the data, a type proof for the plan
     val codes = spark.read
       .parquet(s"$path/pq/codes")
       .where(col("cell").isin(probed.toIndexedSeq: _*))
+      .withColumn("_code", array_compact(col("_code")))
       .withColumnRenamed("cell", "_cell")
     val cond =
       if (excludeSelfMatch) col("query_id") =!= col("neighbor_id") else lit(true)
