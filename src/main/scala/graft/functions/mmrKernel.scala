@@ -35,14 +35,10 @@ import org.apache.spark.sql.types._
   */
 object MmrKernel {
 
-  /** Spark-column `round(v * 1e6) / 1e6` reproduced in the JVM:
-    * Spark's Round on a double is BigDecimal HALF_UP at scale 0.
+  /** Spark-column `round(v * 1e6) / 1e6` reproduced in the JVM — the
+    * shared engine-parity rounder (one definition, see functions).
     */
-  private def round6(v: Double): Double =
-    JBigDecimal
-      .valueOf(v * 1e6)
-      .setScale(0, RoundingMode.HALF_UP)
-      .doubleValue() / 1e6
+  private def round6(v: Double): Double = graft.functions.round6Jvm(v)
 
   /** `cands`: array of struct (id: long, rel: double, vec:
     * array<float>). Returns ≤ k structs (neighbor_id, rel, mmr_score,

@@ -32,4 +32,16 @@ package object functions {
     * definition for every operator and query pack.
     */
   def round6(c: Column): Column = round(c * 1e6) / 1e6
+
+  /** [[round6]]'s exact semantics on a JVM double — Spark's Round on a
+    * double is BigDecimal HALF_UP at scale 0 over `v * 1e6`. The ONE
+    * definition for every driver-side mirror of the engine-parity
+    * policy (Logit's gradient weights, the MMR kernel's scores); two
+    * diverging copies would silently break cross-engine bit-identity.
+    */
+  def round6Jvm(v: Double): Double =
+    java.math.BigDecimal
+      .valueOf(v * 1e6)
+      .setScale(0, java.math.RoundingMode.HALF_UP)
+      .doubleValue() / 1e6
 }

@@ -40,14 +40,10 @@ case class LogitModel(weights: Seq[Double], iters: Int, lr: Double, n: Long)
   */
 object Logit {
 
-  /** Spark's `round(v*1e6)/1e6` double semantics in the JVM (BigDecimal
-    * HALF_UP on the shortest-decimal value — matches DuckDB round(x,6)).
+  /** Spark's `round(v*1e6)/1e6` double semantics in the JVM — the
+    * shared engine-parity rounder (one definition, see functions).
     */
-  private def round6jvm(v: Double): Double =
-    JBigDecimal
-      .valueOf(v * 1e6)
-      .setScale(0, RoundingMode.HALF_UP)
-      .doubleValue() / 1e6
+  private def round6jvm(v: Double): Double = graft.functions.round6Jvm(v)
 
   private def round6(c: Column): Column = graft.functions.round6(c)
 
@@ -449,6 +445,21 @@ object Logit {
       k: Int
   ): DataFrame = {
     require(k > 0, s"k must be positive, got $k")
+    // the bounded-heap aggregate carries LONG ids — a silent cast
+    // would NULL every string id (the library's canonical doc_id for
+    // file-path and jsonl corpora) and return a relabeling queue of
+    // NULLs. Refuse loudly; hash string ids upstream (cvAuc's rule)
+    // or select a numeric surrogate.
+    require(
+      Set[org.apache.spark.sql.types.DataType](
+        org.apache.spark.sql.types.ByteType,
+        org.apache.spark.sql.types.ShortType,
+        org.apache.spark.sql.types.IntegerType,
+        LongType
+      ).contains(df.schema(idCol).dataType),
+      s"hardExamples: id column '$idCol' must be integral, got " +
+        s"${df.schema(idCol).dataType.simpleString} — hash or surrogate it upstream"
+    )
     val y = col(labelCol).cast(DoubleType)
     val h = when(y === 1.0, -col(scoreCol)).otherwise(col(scoreCol))
       .cast(DoubleType)

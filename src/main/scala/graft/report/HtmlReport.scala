@@ -20,6 +20,13 @@ import org.apache.spark.sql.functions._
   */
 object HtmlReport {
 
+  /** NULL-ts rows are a supported metric key (the repositories'
+    * null-safe upserts exist for them) — order them first instead of
+    * NPEing the whole report on `.getTime`.
+    */
+  private def tsKey(t: java.sql.Timestamp): Long =
+    if (t == null) Long.MinValue else t.getTime
+
   private def esc(s: String): String =
     s.replace("&", "&amp;").replace("<", "&lt;").replace(">", "&gt;").replace("\"", "&quot;")
 
@@ -27,11 +34,15 @@ object HtmlReport {
     * y (scores view). Points arrive oldest-first.
     */
   private[report] def svgLine(
-      points: Seq[(java.sql.Timestamp, Double)],
+      points0: Seq[(java.sql.Timestamp, Double)],
       threshold: Option[Double] = None,
       w: Int = 560,
       h: Int = 120
   ): String = {
+    // NaN points (unscorable days) are dropped from both the extent
+    // and the polyline — one NaN in vals.max would otherwise poison
+    // lo/hi and blank the ENTIRE chart instead of just that point
+    val points = points0.filterNot(_._2.isNaN)
     val vals = points.map(_._2) ++ threshold.toSeq
     if (points.isEmpty) return "<svg class='chart' width='560' height='24'></svg>"
     val (lo0, hi0) = (vals.min, vals.max)
@@ -125,7 +136,7 @@ object HtmlReport {
         ))
       .groupBy(_._1)
       .view
-      .mapValues(_.map(_._2).toSeq.sortBy(_._1.getTime))
+      .mapValues(_.map(_._2).toSeq.sortBy(p => tsKey(p._1)))
       .toSeq
       .sortBy(_._1)
     // one NEWEST row per assessed series (|series|-bounded via the
@@ -284,7 +295,7 @@ object HtmlReport {
       }
       .groupBy(_._1)
       .view
-      .mapValues(_.map(_._2).sortBy(_._1.getTime))
+      .mapValues(_.map(_._2).sortBy(p => tsKey(p._1)))
       .toSeq
       .sortBy(_._1)
 
@@ -451,7 +462,7 @@ object HtmlReport {
         thresholds.get(key).exists(th => score.isNaN || score > th)
       }
       val lastTs =
-        latest.map(_.getAs[java.sql.Timestamp]("ts")).sortBy(_.getTime).lastOption
+        latest.map(_.getAs[java.sql.Timestamp]("ts")).sortBy(tsKey).lastOption
       val badge =
         if (latest.isEmpty) """<span class="na">no scoring</span>"""
         else if (anomalous > 0) s"""<span class="alert">🔴 $anomalous anomalous</span>"""

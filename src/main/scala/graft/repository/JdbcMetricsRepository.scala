@@ -143,7 +143,11 @@ class JdbcMetricsRepository(
     ms.map(m => s"${m.entity}$US${m.instance}$US${m.name}").mkString(RS.toString)
   private def decMetrics(s: String): Seq[Metric] =
     decSeq(s).map { enc =>
-      val p = enc.split(US)
+      // limit -1: String.split drops TRAILING empty fields by default,
+      // so a metric with an empty name ("ei") would decode
+      // to 2 fields and p(2) would crash every getDataset/listDatasets
+      val p = enc.split(US.toString, -1)
+      require(p.length == 3, s"corrupt metric encoding: '$enc'")
       Metric(p(0), p(1), p(2))
     }
 

@@ -336,19 +336,28 @@ class ParquetRepository(spark: SparkSession, basePath: String) extends MetricsRe
             .drop("_rn")
           val retained = retainSince match {
             case Some(cut) if df.columns.contains("ts") =>
-              resolved.where(col("ts") >= lit(cut))
+              // NULL-ts rows are a supported logical key (the upserts'
+              // null-safe matches exist for them) and are NOT "before
+              // the cutoff" — retention must keep them
+              resolved.where(col("ts").isNull || col("ts") >= lit(cut))
             case _ => resolved
           }
           // staging key = the collision-free escaped partition value
           val staging = s"${path(table)}.staging_" +
             org.apache.spark.sql.catalyst.catalog.ExternalCatalogUtils.escapePathName(uri)
           retained.coalesce(1).write.mode("overwrite").parquet(staging)
-          snapshot.foreach(fs.delete(_, false))
+          // CRASH ORDER: append the compacted copy FIRST (its part-
+          // files get fresh names, so the duplicate rows it briefly
+          // creates resolve by the same batch_seq window every reader
+          // already applies), delete the snapshot LAST — the reverse
+          // order had a window where a crash left the partition EMPTY
+          // and every read silently returned no rows
           spark.read
             .parquet(staging)
             .write
             .mode("append")
             .parquet(partDir)
+          snapshot.foreach(fs.delete(_, false))
           fs.delete(new org.apache.hadoop.fs.Path(staging), true)
         }
       }

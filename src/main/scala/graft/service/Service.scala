@@ -17,6 +17,12 @@ import org.apache.spark.sql.functions._
   */
 object Service {
 
+  /** NULL-ts alert rows (a NULL event-time group is a supported metric
+    * key) order first instead of NPEing the assessment on `.getTime`.
+    */
+  private def tsKey(ts: java.sql.Timestamp): Long =
+    if (ts == null) Long.MinValue else ts.getTime
+
   /** The metric-series key used across optimize/score/assess. */
   val seriesCols: Seq[String] = Seq("entity", "instance", "name")
 
@@ -271,9 +277,16 @@ object Service {
   ): DataFrame = {
     val daily = graft.operators.EventAnalytics
       .funnelStepsDaily(events, userCol, typeCol, tsCol, steps)
-    val byDay = Window.partitionBy(col("day")).orderBy(col("step_idx"))
+    val byDay = Window
+      .partitionBy(col("day"))
+      .orderBy(col("step_idx"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     val rows = daily
-      .withColumn("_prev_users", lag(col("users"), 1).over(byDay))
+      // the metric NAME is the stored contract — share_of_entry must be
+      // users / ENTRY-step users, not the lag-1 step-over-previous
+      // conversion it briefly was (250/500 read as "25% of entrants"
+      // when it meant "50% of the previous step")
+      .withColumn("_entry_users", first(col("users")).over(byDay))
       .select(
         col("day").as("ts"),
         lit("event_funnel").as("entity"),
@@ -286,13 +299,9 @@ object Service {
             ),
             struct(
               lit("share_of_entry").as("name"),
-              when(
-                col("_prev_users").isNull,
-                lit(1.0)
-              ).otherwise(
-                when(col("_prev_users") === 0, lit(0.0))
-                  .otherwise(col("users").cast("double") / col("_prev_users"))
-              ).as("value")
+              when(col("_entry_users") === 0, lit(0.0))
+                .otherwise(col("users").cast("double") / col("_entry_users"))
+                .as("value")
             )
           )
         ).as("_m")
@@ -368,9 +377,13 @@ object Service {
           .where(col("is_anomalous"))
           .select(
             (seriesCols.map(col) ++ Seq(
-              // unscorable (NULL) points alert with a NaN score
+              // unscorable (NULL) points alert with a NaN score; the
+              // threshold coalesces too — a series scored under an
+              // earlier optimization whose RE-optimize later failed
+              // stores threshold NULL, and getDouble on it would NPE
+              // the whole assessment instead of alerting
               coalesce(col("score"), lit(Double.NaN)).as("score"),
-              col("threshold")
+              coalesce(col("threshold"), lit(Double.NaN)).as("threshold")
             )): _*
           )
           .unionByName(unmonitored)
@@ -465,7 +478,7 @@ object Service {
     kept
       .groupBy(_.getTimestamp(0))
       .toSeq
-      .sortBy(_._1.getTime)
+      .sortBy(p => tsKey(p._1))
       .foreach { case (ts, dayRows) =>
         val alerts = dayRows.map { r =>
           AnomalousScore(
@@ -480,7 +493,7 @@ object Service {
       }
     if (truncated) {
       val totalExceeding = psi.where(col("value") > threshold).count()
-      val newestTs = kept.map(_.getTimestamp(0)).maxBy(_.getTime)
+      val newestTs = kept.map(_.getTimestamp(0)).maxBy(tsKey)
       handlers.foreach(
         _.notify(
           datasetUri,
@@ -595,7 +608,7 @@ object Service {
     kept
       .groupBy(_.getAs[java.sql.Timestamp]("_ts"))
       .toSeq
-      .sortBy(_._1.getTime)
+      .sortBy(p => tsKey(p._1))
       .foreach { case (ts, seriesRows) =>
         val alerts = seriesRows.map { r =>
           AnomalousScore(
@@ -615,7 +628,7 @@ object Service {
         verdicts.where(abs(col("z")) > zThreshold).count()
       val newestTs = kept
         .map(_.getAs[java.sql.Timestamp]("_ts"))
-        .maxBy(_.getTime)
+        .maxBy(tsKey)
       handlers.foreach(
         _.notify(
           datasetUri,

@@ -251,6 +251,15 @@ class HtmlReportSpec extends SparkSpec {
     }
   }
 
+  test("a NaN point drops from the chart instead of blanking the whole series") {
+    val ts = (1 to 3).map(i => java.sql.Timestamp.valueOf(f"2025-01-0$i 00:00:00"))
+    val svg = HtmlReport.svgLine(
+      Seq(ts(0) -> 1.0, ts(1) -> Double.NaN, ts(2) -> 3.0))
+    assert(!svg.contains("NaN"), s"NaN leaked into the SVG: $svg")
+    // the two finite points still render
+    assert(svg.contains("polyline") || svg.contains("points="))
+  }
+
   test("report degrades gracefully with no optimization or scoring") {
     val repo = new InMemoryRepository()
     val uri = "ds://bare"

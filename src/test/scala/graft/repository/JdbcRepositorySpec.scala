@@ -30,6 +30,23 @@ class JdbcRepositorySpec extends SparkSpec {
     assert(repo.getDataset("ghost").isEmpty)
   }
 
+  test("metrics with empty trailing fields survive the encode/decode round-trip") {
+    // String.split drops trailing empty fields by default: a metric
+    // with an empty name would decode to 2 fields and crash every
+    // getDataset/listDatasets with AIOOBE
+    val repo = newRepo()
+    repo.registerDataset(DatasetMeta(
+      uri = "jdbc://emptyfield",
+      tsColumn = "ts",
+      columns = Seq("a"),
+      granularity = "day",
+      metrics = Seq(Metric("Column", "a", ""))
+    ))
+    val back = repo.getDataset("jdbc://emptyfield")
+    assert(back.nonEmpty && back.get.metrics == Seq(Metric("Column", "a", "")))
+    assert(repo.listDatasets().exists(_.uri == "jdbc://emptyfield"))
+  }
+
   test("profiling upsert replaces matching keys inside the database") {
     val repo = newRepo()
     val rows1 = Seq(

@@ -60,7 +60,16 @@ class ServiceSpec extends SparkSpec {
       // day 2: one user full chain
       (3L, "view", t("2025-04-02 09:00:00")),
       (3L, "click", t("2025-04-02 09:01:00")),
-      (3L, "purchase", t("2025-04-02 09:02:00"))
+      (3L, "purchase", t("2025-04-02 09:02:00")),
+      // day 3: 4 view, 2 click, 1 purchase — distinguishes share-of-
+      // ENTRY (purchase 0.25) from step-over-previous (0.5)
+      (4L, "view", t("2025-04-03 09:00:00")),
+      (4L, "click", t("2025-04-03 09:01:00")),
+      (4L, "purchase", t("2025-04-03 09:02:00")),
+      (5L, "view", t("2025-04-03 10:00:00")),
+      (5L, "click", t("2025-04-03 10:01:00")),
+      (6L, "view", t("2025-04-03 11:00:00")),
+      (7L, "view", t("2025-04-03 12:00:00"))
     ).toDF("user_id", "event_type", "ts")
     Service.profileEventFunnel(
       events,
@@ -82,6 +91,12 @@ class ServiceSpec extends SparkSpec {
     assert(stored(("2025-04-01 00:00:00.0", "purchase", "share_of_entry")) == 0.0)
     // day 2: full chain, every share 1.0
     assert(stored(("2025-04-02 00:00:00.0", "purchase", "share_of_entry")) == 1.0)
+    // day 3: the metric is share of ENTRY (1 purchase / 4 viewers =
+    // 0.25), not step-over-previous (1/2 = 0.5) — the name is the
+    // stored contract
+    assert(stored(("2025-04-03 00:00:00.0", "view", "share_of_entry")) == 1.0)
+    assert(stored(("2025-04-03 00:00:00.0", "click", "share_of_entry")) == 0.5)
+    assert(stored(("2025-04-03 00:00:00.0", "purchase", "share_of_entry")) == 0.25)
     // the dataset is registered with the wildcard series metadata
     assert(repo.getDataset("ds://event-funnel").nonEmpty)
   }
@@ -248,6 +263,16 @@ class ServiceSpec extends SparkSpec {
     )
     assert(repo.getProfiling("u_m").where($"ts" === day(15)).collect()
       .head.getAs[Double]("value") == 99.0)
+    // a NULL-ts row (a supported logical key — the null-safe upserts
+    // exist for it) is NOT "before the cutoff": retention keeps it
+    repo.addProfiling(
+      "u_m",
+      Seq((Option.empty[java.sql.Timestamp], "Column", "a", "NullKey", 7.0))
+        .toDF("ts", "entity", "instance", "name", "value")
+    )
+    repo.compact("u_m", retainSince = Some(day(15)))
+    assert(repo.getProfiling("u_m").where($"ts".isNull).count() == 1,
+      "retention compact must not delete the NULL-ts series")
   }
 
   test("parquet repository round-trips dataset metadata and latest-wins upserts") {
