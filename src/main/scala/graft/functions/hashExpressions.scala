@@ -308,6 +308,43 @@ object hashExpressions {
       copy(child = newChild)
   }
 
+  /** Identity wrapper that pins an expensive projected expression in
+    * place: evaluation is the child's, bit for bit, but the expression
+    * reports non-deterministic.
+    *
+    * A filter on a projected column is rewritten through the Project by
+    * PushDownPredicates with the alias substituted, so a cheap-looking
+    * `.where(col("_cn") > 0)` over `_cn = norm(quantize(vec))` ends up
+    * re-evaluating the whole O(dim) pipeline once in the pushed Filter
+    * and again in the Project above it (measured 2.4x on the quantized
+    * ANN scan). Wrap the projected FIELD (`noPushdown(norm(...))`), not
+    * the predicate: PushPredicateThroughNonJoin only checks determinism
+    * of the project list, so a non-deterministic-flagged predicate is
+    * still rewritten through a deterministic Project (and `rand() < 0`
+    * guards are folded away outright). One flagged field keeps every
+    * filter above that projection and stops CollapseProject duplicating
+    * its producers; codegen forwards the child's code so whole-stage
+    * fusion is preserved.
+    */
+  case class NoPushdown(child: Expression) extends UnaryExpression {
+    override def prettyName: String = "no_pushdown"
+    override def dataType: DataType = child.dataType
+    override def nullable: Boolean = child.nullable
+    override lazy val deterministic: Boolean = false
+    override def foldable: Boolean = false
+    override def eval(input: org.apache.spark.sql.catalyst.InternalRow): Any =
+      child.eval(input)
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+      val c = child.genCode(ctx)
+      ev.copy(code = c.code, isNull = c.isNull, value = c.value)
+    }
+    override protected def withNewChildInternal(newChild: Expression): NoPushdown =
+      copy(child = newChild)
+  }
+
+  def noPushdown(c: Column): Column =
+    GraftColumnBridge.column(NoPushdown(GraftColumnBridge.expression(c)))
+
   def tokenHashes(text: Column): Column =
     GraftColumnBridge.column(TokenHashes(GraftColumnBridge.expression(text)))
 

@@ -332,13 +332,23 @@ object Export {
     // tree is merely NESTED under some unrelated "batch=..." parent
     // directory, and then order by a `batch` column that does not
     // exist (or worse, a data column that happens to share the name).
-    val dirPrefix = dir.stripSuffix("/") + "/"
-    val isAppendLayout = df.inputFiles.headOption.exists { f =>
-      val below = f.indexOf(dirPrefix) match {
-        case -1 => f // scheme-qualified inputFiles vs raw dir: fall back
-        case i  => f.substring(i + dirPrefix.length)
-      }
-      below.split('/').exists(_.startsWith("batch="))
+    // Qualify `dir` through the Hadoop FileSystem first: inputFiles are
+    // fully-qualified URIs ("file:/…"), so a raw "file:///…" or relative
+    // dir would never prefix-match and the `case -1` fallback would scan
+    // the WHOLE URI — re-enabling the nested-"batch=…"-parent false
+    // positive this segment test exists to prevent.
+    val hadoopPath = new org.apache.hadoop.fs.Path(dir)
+    val qualifiedDir = hadoopPath
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+      .makeQualified(hadoopPath)
+      .toString
+    val dirPrefix = qualifiedDir.stripSuffix("/") + "/"
+    val isAppendLayout = df.inputFiles.headOption.exists { raw =>
+      // Path() also collapses "file:///x" to "file:/x" so both sides
+      // carry the same canonical form.
+      val f = new org.apache.hadoop.fs.Path(raw).toString
+      f.startsWith(dirPrefix) &&
+      f.substring(dirPrefix.length).split('/').exists(_.startsWith("batch="))
     }
     val orderCols =
       (if (isAppendLayout) Seq(col("file_no"), col("batch"))

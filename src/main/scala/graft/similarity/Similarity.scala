@@ -26,6 +26,19 @@ object Similarity {
 
   def norm(a: Column): Column = sqrt(dot(a, a))
 
+  /** The norm column for a projection that is FILTERED on downstream
+    * (`_qn > 0` / `_cn > 0` zero-norm exclusion). The noPushdown wrapper
+    * makes the projected field non-deterministic, which (a) stops
+    * PushDownPredicates rewriting the filter through the Project — the
+    * substitution re-evaluates the whole O(dim) norm (and, on the
+    * quantized path, quantize) pipeline once in the pushed Filter and
+    * again in the Project (measured 2.4x) — and (b) stops
+    * CollapseProject inlining an expensive producer (quantize) into the
+    * norm's consumer expression. Evaluation is bit-for-bit `norm`.
+    */
+  private def filteredNorm(vec: Column): Column =
+    graft.functions.hashExpressions.noPushdown(norm(vec))
+
   def cosine(a: Column, b: Column): Column = dot(a, b) / (norm(a) * norm(b))
 
   /** Brute-force cosine top-k: every query row against the whole
@@ -57,14 +70,14 @@ object Similarity {
       .select(
         col(idCol).as("query_id"),
         col(vecCol).as("_qv"),
-        norm(col(vecCol)).as("_qn")
+        filteredNorm(col(vecCol)).as("_qn")
       )
       .where(col("_qn") > 0d)
     val c = corpus
       .select(
         col(idCol).as("neighbor_id"),
         col(vecCol).as("_cv"),
-        norm(col(vecCol)).as("_cn")
+        filteredNorm(col(vecCol)).as("_cn")
       )
       .where(col("_cn") > 0d)
     val w = Window
@@ -296,25 +309,34 @@ object Similarity {
       k: Int,
       nPlanes: Int = 8,
       multiProbe: Boolean = true,
-      nTables: Int = 1
+      nTables: Int = 1,
+      dim: Option[Int] = None
   ): DataFrame = {
     require(nTables >= 1, s"nTables must be >= 1, got $nTables")
-    // bounded peek for the vector dimensionality (plan-time constant
-    // needed to materialize the literal sign matrix). MAX over
-    // non-null vectors, not head(): an arbitrary first row can be NULL
-    // (NPE) or short (ragged corpus — every longer vector would then
-    // hash on a truncated prefix, silently destroying recall). With
-    // max, full-length vectors hash on all their information and
-    // shorter ones on what they have (dot truncates to min length).
-    val dimRow = corpus
-      .where(col(vecCol).isNotNull)
-      .select(max(size(col(vecCol))))
-      .head()
-    require(
-      !dimRow.isNullAt(0) && dimRow.getInt(0) >= 1,
-      s"cannot derive vector dimensionality: no non-null $vecCol rows"
-    )
-    val dim = dimRow.getInt(0)
+    dim.foreach(d => require(d >= 1, s"dim must be >= 1, got $d"))
+    // The vector dimensionality is a plan-time constant (it sizes the
+    // literal sign matrix). The caller of a production ANN index knows
+    // its embedding dim — passing it skips any corpus read at plan
+    // time. The fallback is a bounded aggregate peek: MAX over
+    // non-null vectors, not head(), because an arbitrary first row can
+    // be NULL (NPE) or short (ragged corpus — every longer vector
+    // would then hash on a truncated prefix, silently destroying
+    // recall). With max, full-length vectors hash on all their
+    // information and shorter ones on what they have (dot truncates to
+    // min length). The aggregate is one full corpus-column scan BEFORE
+    // the query starts — acceptable at test scale, the thing to avoid
+    // at 100 TB, hence the explicit-dim fast path.
+    val resolvedDim = dim.getOrElse {
+      val dimRow = corpus
+        .where(col(vecCol).isNotNull)
+        .select(max(size(col(vecCol))))
+        .head()
+      require(
+        !dimRow.isNullAt(0) && dimRow.getInt(0) >= 1,
+        s"cannot derive vector dimensionality: no non-null $vecCol rows"
+      )
+      dimRow.getInt(0)
+    }
     // nTables is the recall dial orthogonal to multi-probe: L
     // INDEPENDENT hyperplane sets, a candidate needs to collide in ANY
     // one. Recall 1-(1-p)^L for per-table collision p, at the cost of
@@ -329,9 +351,9 @@ object Similarity {
       .select(
         col(idCol).as("query_id"),
         col(vecCol).as("_qv"),
-        norm(col(vecCol)).as("_qn"),
+        filteredNorm(col(vecCol)).as("_qn"),
         tableEntries { t =>
-          val own = lshBucket(col(vecCol), nPlanes, dim, t * nPlanes)
+          val own = lshBucket(col(vecCol), nPlanes, resolvedDim, t * nPlanes)
           if (!multiProbe) array(own)
           else array(own +: (0 until nPlanes).map(j => own.bitwiseXOR(lit(1L << j))): _*)
         }.as("_e")
@@ -347,8 +369,8 @@ object Similarity {
       .select(
         col(idCol).as("neighbor_id"),
         col(vecCol).as("_cv"),
-        norm(col(vecCol)).as("_cn"),
-        tableEntries(t => lshBucket(col(vecCol), nPlanes, dim, t * nPlanes)).as("_e")
+        filteredNorm(col(vecCol)).as("_cn"),
+        tableEntries(t => lshBucket(col(vecCol), nPlanes, resolvedDim, t * nPlanes)).as("_e")
       )
       .select(
         col("neighbor_id"),
@@ -361,7 +383,9 @@ object Similarity {
       .partitionBy(col("query_id"))
       .orderBy(col("sim").desc, col("neighbor_id"))
     // zero-norm exclusion: same NaN-ranks-first hazard as
-    // bruteForceTopK/rankWithinCells
+    // bruteForceTopK/rankWithinCells (the filteredNorm barrier in the
+    // projections above keeps these filters from being rewritten
+    // through them and re-evaluating the norm fold per row)
     val joined = c
       .where(col("_cn") > 0d)
       .join(broadcast(q.where(col("_qn") > 0d)), Seq("_tbl", "_bucket"))
@@ -474,7 +498,10 @@ object Similarity {
       .select(
         col(idCol).as("neighbor_id"),
         col(vecCol).as("_cv"),
-        norm(col(vecCol)).as("_cn"),
+        // filteredNorm: rankWithinCells filters `_cn > 0`; a plain norm
+        // would let that filter rewrite through this projection and
+        // re-evaluate the fold (and NearestCells) per corpus row
+        filteredNorm(col(vecCol)).as("_cn"),
         cells(col(vecCol), 1).as("_cells")
       )
       .withColumn("_cell", col("_cells")(0))
@@ -483,7 +510,7 @@ object Similarity {
       .select(
         col(idCol).as("query_id"),
         col(vecCol).as("_qv"),
-        norm(col(vecCol)).as("_qn"),
+        filteredNorm(col(vecCol)).as("_qn"),
         cells(col(vecCol), nprobe).as("_probes")
       )
       .select(
@@ -514,6 +541,10 @@ object Similarity {
     // undefined, and the NaN from dot/0 would rank FIRST under desc
     // (Spark orders NaN above every number), displacing real
     // neighbors for every query that meets one.
+    // plain .where: when _cn/_qn are computed columns the feeder marks
+    // them with filteredNorm (the pushdown barrier lives at the
+    // projection); when they are STORED index columns the filter
+    // SHOULD push all the way into the parquet scan
     val joined = c
       .where(col("_cn") > 0d)
       .join(broadcast(q.where(col("_qn") > 0d)), Seq("_cell"))
@@ -1042,7 +1073,7 @@ object Similarity {
       .select(
         col(idCol).as("query_id"),
         col(vecCol).cast("array<double>").as("_qv"),
-        norm(col(vecCol)).as("_qn"),
+        filteredNorm(col(vecCol)).as("_qn"),
         explode(
           graft.functions.hashExpressions
             .nearestCells(col(vecCol).cast("array<double>"), cents, nprobe)
@@ -1211,7 +1242,7 @@ object Similarity {
     val q = queries
       .select(
         col(idCol).as("query_id"),
-        norm(col(vecCol)).as("_qn"),
+        filteredNorm(col(vecCol)).as("_qn"),
         px.pqAdcTable(col(vecCol).cast("array<double>"), books).as("_tab"),
         explode(
           px.nearestCells(col(vecCol).cast("array<double>"), cents, nprobe)
@@ -1404,13 +1435,16 @@ object Similarity {
       .select(
         col(idCol).as("neighbor_id"),
         px.pqEncode(col(vecCol).cast("array<double>"), books).as("_code"),
-        norm(col(vecCol)).as("_cn")
+        // filteredNorm: one non-deterministic field keeps the filter
+        // below from being rewritten through this projection, which
+        // would re-evaluate pqEncode AND the norm per corpus row
+        filteredNorm(col(vecCol)).as("_cn")
       )
       .where(col("_code").isNotNull && col("_cn") > 0d)
     val q = queries
       .select(
         col(idCol).as("query_id"),
-        norm(col(vecCol)).as("_qn"),
+        filteredNorm(col(vecCol)).as("_qn"),
         px.pqAdcTable(col(vecCol).cast("array<double>"), books).as("_tab")
       )
       .where(col("_tab").isNotNull && col("_qn") > 0d)

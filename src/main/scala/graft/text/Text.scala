@@ -1010,9 +1010,12 @@ object Text {
     // JVM mirror of `normalize`): tf terms are lowercased and
     // punctuation-stripped, so a raw "Spark" would silently match zero
     // documents. Multi-word phrases normalize into their words.
+    // Locale.ROOT: the default-locale toLowerCase turns 'I' into dotless
+    // 'ı' on a tr_TR/az driver, which the [^a-z0-9 ] strip then deletes
+    // ("INDEX" -> "ndex") — mirror Spark's locale-independent lower().
     val normTerms = queryTerms
       .flatMap(t =>
-        t.toLowerCase
+        t.toLowerCase(java.util.Locale.ROOT)
           .replaceAll("[^a-z0-9 ]", " ")
           .replaceAll(" +", " ")
           .trim

@@ -120,6 +120,63 @@ class SimilaritySpec extends SparkSpec {
       Similarity.lshBucket(col("embedding"), nPlanes = 64, dim = 3))
   }
 
+  test("lshTopK explicit dim skips the plan-time corpus scan") {
+    // A corpus whose vector column THROWS when evaluated: the derived-
+    // dim fallback runs max(size(vec)) at plan-construction time and
+    // must hit the error; with the dim supplied, construction runs no
+    // job at all (the production fast path — at 100 TB the fallback's
+    // aggregate is a full corpus-column pass before the query starts).
+    val poisoned = vecs.select(
+      $"vec_id",
+      expr("raise_error('corpus scanned at plan time')")
+        .cast("array<float>")
+        .as("embedding")
+    )
+    val q = vecs.where($"vec_id" === 1L)
+    intercept[Exception](
+      Similarity.lshTopK(q, poisoned, "vec_id", "embedding", 3, nPlanes = 4))
+    // explicit dim: plan construction touches nothing
+    Similarity.lshTopK(
+      q, poisoned, "vec_id", "embedding", 3, nPlanes = 4, dim = Some(3))
+    intercept[IllegalArgumentException](
+      Similarity.lshTopK(q, vecs, "vec_id", "embedding", 3, dim = Some(0)))
+    // and the supplied dim produces the same rows as the derived one
+    val derived = Similarity
+      .lshTopK(q, vecs, "vec_id", "embedding", 5, nPlanes = 4)
+      .orderBy("rank").collect().toSeq
+    val explicit = Similarity
+      .lshTopK(q, vecs, "vec_id", "embedding", 5, nPlanes = 4, dim = Some(3))
+      .orderBy("rank").collect().toSeq
+    assert(derived === explicit)
+  }
+
+  test("zero-norm exclusion filters stay ABOVE the norm projections") {
+    // The r13 regression: a plain `.where(_cn > 0)` was rewritten
+    // through the Project by predicate pushdown, re-evaluating the
+    // whole quantize+norm pipeline once in the Filter and again in the
+    // Project (2.4x on the quantized scan). filteredNorm pins the
+    // filter above; no optimized Filter may contain the O(dim) fold.
+    for (
+      df <- Seq(
+        Similarity.quantizedTopK(vecs.limit(2), vecs, "vec_id", "embedding", 3),
+        Similarity.bruteForceTopK(vecs.limit(2), vecs, "vec_id", "embedding", 3),
+        Similarity.ivfTopK(vecs.limit(2), vecs, "vec_id", "embedding", 3, nlist = 1),
+        Similarity.pqTopK(vecs.limit(2), vecs, "vec_id", "embedding", 3, m = 3, ksub = 2)
+      )
+    ) {
+      val optimized = df.queryExecution.optimizedPlan
+      val offenders = optimized.collect {
+        case f: org.apache.spark.sql.catalyst.plans.logical.Filter
+            if f.condition.toString.contains("dot_product") =>
+          f
+      }
+      assert(
+        offenders.isEmpty,
+        s"norm fold leaked into a Filter (pushdown re-evaluation):\n$optimized"
+      )
+    }
+  }
+
   test("multi-probe lsh recall is a superset of single-probe") {
     val rnd = new scala.util.Random(5)
     val cloud = (0 until 200).map { i =>
