@@ -19,6 +19,12 @@ object LocalSession {
       .config("spark.sql.shuffle.partitions", c)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
+      // A/B dial for functions.spread (scale-adaptive input spreading);
+      // default on — the env override exists so a perf investigation
+      // can flip it without a recompile.
+      .config(
+        "graft.spread.enabled",
+        sys.env.getOrElse("SPARK_GRAFT_SPREAD", "true"))
       .getOrCreate()
     spark.sparkContext.setLogLevel(logLevel)
     spark

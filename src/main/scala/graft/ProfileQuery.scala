@@ -1,0 +1,56 @@
+package graft
+
+/** Dev utility: phase-profile registered queries.
+  *
+  * Usage: runMain graft.ProfileQuery <sfDir> <queryName> [queryName...]
+  *
+  * For each query, after an untimed warm rep (JIT + codegen cache +
+  * parquet footers, the same discipline as [[TimeQuery]]), one timed
+  * rep is decomposed into:
+  *   - construct: building the DataFrame (includes any plan-time driver
+  *     work the operator does — eager fits, materialize() calls)
+  *   - analysis/optimization/planning: Catalyst phases from the
+  *     QueryPlanningTracker of the final count() job
+  *   - total: wall clock of construct + count()
+  *
+  * Output is one parseable line per query so a sweep can be diffed.
+  */
+object ProfileQuery {
+  def main(args: Array[String]): Unit = {
+    require(args.length >= 2, "usage: ProfileQuery <sfDir> <queryName>...")
+    val sfDir = args(0)
+    val names = args.drop(1).toSeq
+    val spark = LocalSession.create("ERROR")
+    try {
+      spark.range(1000000).selectExpr("sum(id)").count()
+      SparkEntry.queries("text_quality")(spark, sfDir).count()
+    } catch { case scala.util.control.NonFatal(_) => () }
+    spark.catalog.clearCache()
+    System.gc()
+    names.foreach { n =>
+      val fn = SparkEntry.queries(n)
+      // warm rep (untimed)
+      try fn(spark, sfDir).count()
+      catch { case e: Throwable => println(s"PROFILE $n ERROR ${e.getClass.getSimpleName}"); return }
+      spark.catalog.clearCache()
+      System.gc()
+      val t0 = System.nanoTime()
+      val df = fn(spark, sfDir)
+      val tConstruct = (System.nanoTime() - t0) / 1e9
+      val t1 = System.nanoTime()
+      df.count()
+      val tCount = (System.nanoTime() - t1) / 1e9
+      val phases = df.queryExecution.tracker.phases
+        .map { case (k, v) => s"$k=${(v.endTimeMs - v.startTimeMs) / 1000.0}" }
+        .toSeq
+        .sorted
+        .mkString(" ")
+      println(
+        f"PROFILE $n%-34s total=${tConstruct + tCount}%7.3f construct=$tConstruct%7.3f exec=$tCount%7.3f  $phases"
+      )
+      spark.catalog.clearCache()
+      System.gc()
+    }
+    spark.stop()
+  }
+}

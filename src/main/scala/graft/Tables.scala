@@ -40,6 +40,17 @@ object Tables {
   def part(s: SparkSession, d: String): DataFrame = table(s, d, "part")
   def nation(s: SparkSession, d: String): DataFrame = table(s, d, "nation")
   def region(s: SparkSession, d: String): DataFrame = table(s, d, "region")
+  // NOTE on input parallelism: the driver ships each table as a
+  // single-row-group parquet file (unsplittable — one scan task).
+  // Spreading the scan here centrally was measured to HURT most keys
+  // (an extra exchange per action; multi-action queries like the logit
+  // fits re-pay it per job), so `functions.spread` is instead applied
+  // INSIDE the operators whose scan-side kernels are heavy enough to
+  // win from it (md5/xxh64 shingle pipelines, media decodes) — see
+  // Dedup/PortableDedup/Multimodal. embeddings must NEVER be spread
+  // before the IVF/PQ/semantic k-means fits: they collect() a training
+  // sample whose ROW ORDER seeds the init and the FP accumulation
+  // order — repartitioning would silently change those models.
   def events(s: SparkSession, d: String): DataFrame = table(s, d, "events")
   def documents(s: SparkSession, d: String): DataFrame = table(s, d, "documents")
   def embeddings(s: SparkSession, d: String): DataFrame = table(s, d, "embeddings")

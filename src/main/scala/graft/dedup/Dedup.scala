@@ -348,6 +348,10 @@ object Dedup {
       shingleN: Int = 3,
       numHashes: Int = 16
   ): DataFrame =
+    // no spread here: the XXH64 kernel is cheap enough that a measured
+    // A/B (r14) showed the extra exchange costing more than the serial
+    // scan it parallelizes — see PortableDedup for the md5 family,
+    // where the kernel is 3-5x heavier and spread wins
     df
       .select(col(idCol).as("id"), Text.tokenHashes(col(textCol)).as("_th"))
       .select(
@@ -786,8 +790,12 @@ object Dedup {
   ): DataFrame = {
     require(spanWords >= 1, s"spanWords must be >= 1, got $spanWords")
     require(minDocs >= 2, s"minDocs must be >= 2, got $minDocs")
-    // tokenize in its own projection — see Text.wordShingles scaladoc
-    df.select(col(idCol), Text.tokens(col(textCol)).as("_toks"))
+    // tokenize in its own projection — see Text.wordShingles scaladoc;
+    // spread: serial-scan guard for the span kernel (no-op on parallel
+    // inputs)
+    graft.functions
+      .spread(df)
+      .select(col(idCol), Text.tokens(col(textCol)).as("_toks"))
       .select(
         col(idCol),
         explode(Text.wordShinglesFromTokens(col("_toks"), spanWords)).as("_span")
@@ -833,7 +841,9 @@ object Dedup {
       spanWords: Int = 8
   ): DataFrame = {
     require(spanWords >= 1, s"spanWords must be >= 1, got $spanWords")
-    val perSource = df
+    // spread: serial-scan guard (no-op on parallel inputs)
+    val perSource = graft.functions
+      .spread(df)
       .select(
         col(groupCol).as("_g"),
         col(idCol).as("_id"),
@@ -1278,7 +1288,9 @@ object Dedup {
     // (id, span_hash) stream — re-deriving it per consumer would run
     // the dominant string work over the corpus twice
     val spans = graft.functions.materialize(
-      df.select(col(idCol), Text.tokens(col(textCol)).as("_toks"))
+      graft.functions
+        .spread(df) // serial-scan guard (no-op on parallel inputs)
+        .select(col(idCol), Text.tokens(col(textCol)).as("_toks"))
         .select(
           col(idCol),
           explode(Text.wordShinglesFromTokens(col("_toks"), spanWords)).as("_span")

@@ -46,7 +46,12 @@ object PortableDedup {
     */
   def shingleRows(df: DataFrame, textCol: String, idCol: String, n: Int): DataFrame = {
     require(n > 0, s"shingle size must be positive, got $n")
-    df.select(col(idCol).as("id"), graft.text.Text.tokens(col(textCol)).as("_toks"))
+    // spread: the tokenize+shingle(+md5 downstream) kernel is the
+    // dominant scan-side cost; an unsplittable input would run it
+    // serial (guide §2.5). No-op on already-parallel inputs.
+    graft.functions
+      .spread(df)
+      .select(col(idCol).as("id"), graft.text.Text.tokens(col(textCol)).as("_toks"))
       .select(
         col("id"),
         explode(graft.text.Text.wordShinglesFromTokens(col("_toks"), n)).as("shingle")
@@ -205,7 +210,9 @@ object PortableDedup {
     val sig = (0 until 60)
       .map(j => when(col(s"_v$j") > 0, lit(1L << j)).otherwise(lit(0L)))
       .reduce(_ + _)
-    df.select(col(idCol).as("id"), explode(split(col(textCol), " ")).as("tok"))
+    graft.functions
+      .spread(df) // serial-scan guard (no-op on parallel inputs)
+      .select(col(idCol).as("id"), explode(split(col(textCol), " ")).as("tok"))
       .select(col("id") +: nibbles: _*)
       .groupBy("id")
       .agg(votes.head, votes.tail: _*)

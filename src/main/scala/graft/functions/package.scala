@@ -15,6 +15,30 @@ package object functions {
     * object-store checkpoints that survive executor loss — the standard
     * hardening for long LSH/connected-components pipelines at 100 TB.
     */
+  /** Scale-adaptive input spreading (optimization guide §2.5 "input
+    * skew": one huge unsplittable file → repartition immediately after
+    * the read). The driver test tables are single-row-group parquet
+    * files, so the scan is ONE task and every scan-side kernel (md5
+    * shingles, tokenization, header walks, vector folds) runs serial no
+    * matter how many cores the session has — `maxPartitionBytes` cannot
+    * split a single row group. When the scan's parallelism is below the
+    * session's `defaultParallelism`, round-robin repartition to it;
+    * otherwise (the 100 TB case — thousands of splittable files) this
+    * is a NO-OP, so it is derived from input shape, not tuned to
+    * local[32]. Round-robin keeps sortBeforeRepartition (default on),
+    * so the row→partition mapping is deterministic under task retry;
+    * every registered query is partitioning-independent by repo policy
+    * (DECIMAL sums + round6), which the oracle gate re-checks.
+    */
+  def spread(df: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
+    val enabled = df.sparkSession.conf
+      .getOption("graft.spread.enabled")
+      .forall(_.toBoolean)
+    val target = df.sparkSession.sparkContext.defaultParallelism
+    if (enabled && df.rdd.getNumPartitions < target) df.repartition(target)
+    else df
+  }
+
   def materialize(df: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
     val reliable = df.sparkSession.conf
       .getOption("graft.checkpoint.reliable")

@@ -217,7 +217,11 @@ object Multimodal {
     val sig = (0 until 60)
       .map(i => when(col(s"_b$i") > col("_mean"), lit(1L << i)).otherwise(lit(0L)))
       .reduce(_ + _)
-    df.select(col(idCol).as("id"), n.as("_n"), hx.as("_hx"))
+    // spread: the hex + 60-sample byte walk is the dominant scan-side
+    // cost; serial-scan guard (no-op on parallel inputs)
+    graft.functions
+      .spread(df)
+      .select(col(idCol).as("id"), n.as("_n"), hx.as("_hx"))
       .where(col("_n") > 0)
       .select(col("id") +: bytes: _*)
       .select(col("id") +: mean +: (0 until 60).map(i => col(s"_b$i")): _*)
