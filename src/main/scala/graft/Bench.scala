@@ -70,6 +70,13 @@ object Bench {
         (Some(p), (System.nanoTime() - t0) / 1e9)
       } catch { case _: Throwable => (None, -1.0) }
     }
+    // Same hygiene after staging as after warmup: the 2.4M-row edge
+    // self-join leaves multi-GB garbage, and without a collection here
+    // the alphabetically-first key's rep1 absorbed it (measured 12-90 s
+    // first-rep spikes on an otherwise ~2.5 s key; the median hid it,
+    // but Verify-style single-shot runs would not be protected).
+    spark.catalog.clearCache()
+    System.gc()
     var hygieneSec = 0.0
     // A query that throws must be visibly red: its wall-time is recorded
     // as -1 and its name lands in "errors" — never a fake timing.
@@ -176,6 +183,16 @@ object Bench {
     val runsDetail = results
       .map { case (k, _, _, ts) => "\"" + k + "\":" + ts.map(ms).mkString("[", ",", "]") }
       .mkString("{", ",", "}")
+    // Per-key rep spread (max/min of the raw reps): a key whose reps
+    // differ > 3x saw external contention or a GC landing — the list
+    // makes a noisy run self-identifying per KEY, not just per run
+    // (the loadavg tripwire is process-global and misses short spikes).
+    val noisyKeys = results
+      .collect {
+        case (k, _, None, ts) if ts.nonEmpty && ts.min > 0 && ts.max / ts.min > 3.0 =>
+          "\"" + k + "\""
+      }
+      .mkString("[", ",", "]")
     // Per-family subtotals: a regression in the total should localize
     // to a module in one glance, not a 119-entry diff. Families follow
     // the query-key prefixes (the registration convention since r1).
@@ -217,7 +234,7 @@ object Bench {
     val load =
       s"""{"start":$loadStart,"end":${loadavgJson(loadEndTriple)},"contaminated":${contaminated(loadStartTriple, loadEndTriple)}}"""
     val detailJson =
-      s"""{"metric":"total","value":${ms(total)},"unit":"sec","reps":$reps,"queries":$detail,"runs":$runsDetail,"families":$families,"phases":$phases,"incremental":$incrementalJson,"loadavg":$load,"errors":$errors,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":${ms(total)},"unit":"sec","reps":$reps,"queries":$detail,"runs":$runsDetail,"noisy_keys":$noisyKeys,"families":$families,"phases":$phases,"incremental":$incrementalJson,"loadavg":$load,"errors":$errors,"sf":"$sfDir"}"""
     java.nio.file.Files.writeString(
       java.nio.file.Paths.get("bench_detail.json"), detailJson + "\n")
     println(s"# bench detail: $detailJson")
@@ -249,7 +266,7 @@ object Bench {
     val qs = headline.flatMap(k => byName.get(k).map(v => s"\"" + k + "\":" + ms(v)))
       .mkString("{", ",", "}")
     println(
-      s"""{"metric":"total","value":${ms(total)},"unit":"sec","reps":$reps,"queries":$qs,"families":$families,"incremental":$incrementalJson,"n_queries":${results.size},"detail":"bench_detail.json","loadavg":$load,"errors":$errors,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":${ms(total)},"unit":"sec","reps":$reps,"queries":$qs,"families":$families,"incremental":$incrementalJson,"n_queries":${results.size},"noisy_keys":$noisyKeys,"detail":"bench_detail.json","loadavg":$load,"errors":$errors,"sf":"$sfDir"}"""
     )
     spark.stop()
     if (results.exists(_._3.isDefined)) sys.exit(1)

@@ -59,6 +59,38 @@ object Logit {
       .map { case (f, i) => lit(weights(i + 1)) * col(f) }
       .foldLeft(lit(weights.head): Column)(_ + _)
 
+  /** [[margin]] with the weights read from COLUMNS (`wCols(0)` the
+    * intercept) instead of literals — identical left-associated IEEE
+    * arithmetic. The training loops join each iteration's weights in
+    * as a broadcast one-row table precisely so the per-iteration
+    * aggregation plan's generated code is byte-identical across
+    * iterations (literal weights bake into the codegen source and
+    * forced a full ~300 ms recompile per iteration — the dominant fit
+    * cost at bench scale; the oracle's `FROM src s, w{t-1}` CTE chain
+    * is the same shape).
+    */
+  private def marginFromCols(wCols: Seq[Column], featureCols: Seq[String]): Column =
+    featureCols.zipWithIndex
+      .map { case (f, i) => wCols(i + 1) * col(f) }
+      .foldLeft(wCols.head)(_ + _)
+
+  /** One-row weights table for [[marginFromCols]] — values travel as
+    * LocalRelation DATA, never as expression literals.
+    */
+  private def weightsRow(
+      spark: org.apache.spark.sql.SparkSession,
+      names: Seq[String],
+      values: Seq[Double]
+  ): DataFrame = {
+    val schema = org.apache.spark.sql.types.StructType(
+      names.map(n => org.apache.spark.sql.types.StructField(n, DoubleType, nullable = false))
+    )
+    spark.createDataFrame(
+      java.util.Arrays.asList(org.apache.spark.sql.Row.fromSeq(values)),
+      schema
+    )
+  }
+
   /** round6'd `σ(w·x)` under the fitted weights. */
   def score(weights: Seq[Double], featureCols: Seq[String]): Column =
     round6(lit(1.0) / (lit(1.0) + exp(-margin(weights, featureCols))))
@@ -132,8 +164,15 @@ object Logit {
       var w = Seq.fill(featureCols.length + 1)(0.0)
       var n = 0L
       var t = 0
+      val wNames = w.indices.map(j => s"_wb$j")
+      val wCols = wNames.map(col)
       while (t < iters) {
-        val p = round6(lit(1.0) / (lit(1.0) + exp(-margin(w, featureCols))))
+        // weights join in as a broadcast one-row table (see
+        // marginFromCols) so iterations share one compiled plan
+        val joined = feats.crossJoin(
+          broadcast(weightsRow(df.sparkSession, wNames, w))
+        )
+        val p = round6(lit(1.0) / (lit(1.0) + exp(-marginFromCols(wCols, featureCols))))
         val resid = col(labelCol) - p
         val gradAggs = (lit(1.0) +: featureCols.map(col)).zipWithIndex.map {
           case (x, j) =>
@@ -154,7 +193,7 @@ object Logit {
         // re-counting violations every update is pure waste
         val iterAggs =
           if (t == 0) badAgg +: denomAgg +: gradAggs else denomAgg +: gradAggs
-        val row = feats.agg(count(lit(1)).as("_n"), iterAggs: _*).head()
+        val row = joined.agg(count(lit(1)).as("_n"), iterAggs: _*).head()
         n = row.getAs[Long]("_n")
         require(n > 0, "cannot fit on an empty frame")
         if (t == 0) {
@@ -316,9 +355,16 @@ object Logit {
     * same keying every sampling operator uses), each fold's model
     * trains on the other k−1 and is scored on the held-out fold only.
     *
-    * Cost is k× [[fit]] plus k bounded [[auc]] jobs — at 100 TB the
-    * caller materializes the (id, label, features) projection once and
-    * passes that; everything downstream of it is aggregate-sized.
+    * Cost shape (r14 optimization): the folded feature projection is
+    * materialized ONCE, and every fold's gradient rides ONE shared
+    * aggregation per iteration — `folds × (d+2)` numbers per partition
+    * per pass instead of k separate [[fit]] loops each re-scanning the
+    * corpus (3 folds × 6 iters was 18 sequential jobs + 6 feature
+    * passes; now `iters` jobs + 1 pass). Per-fold sums are the SAME
+    * round6'd terms in the same exact DECIMAL(28,6) order-independent
+    * arithmetic as [[fit]] restricted to `_fold <> k`, so the trained
+    * weights — and therefore every score and AUC — are bit-identical
+    * to the per-fold formulation (spec-pinned against it).
     * Output: one row per fold (fold, n_train, n_pos, n_neg, auc).
     */
   def cvAuc(
@@ -332,6 +378,7 @@ object Logit {
       salt: String = "graft"
   ): DataFrame = {
     require(folds >= 2, s"need at least 2 folds, got $folds")
+    require(iters > 0, s"iters must be positive, got $iters")
     val fold = pmod(
       conv(
         substring(md5(concat(col(idCol).cast("string"), lit(s":$salt"))), 1, 13),
@@ -340,11 +387,73 @@ object Logit {
       ).cast(LongType),
       lit(folds)
     ).cast(IntegerType)
-    val withFold = df.withColumn("_fold", fold)
+    val keep =
+      col(labelCol).cast(DoubleType).as(labelCol) +:
+        featureCols.map(col) :+ fold.as("_fold")
+    // one corpus pass: every fit scan and every scoring scan below
+    // reads this compact checkpointed projection
+    val withFold = graft.functions.materialize(df.select(keep: _*))
+    val nulls = (col(labelCol) +: featureCols.map(col))
+      .map(_.isNull)
+      .reduce(_ || _)
+    def inTrain(k: Int) = col("_fold") =!= k
+    // weights per fold, all trained in lockstep: iteration t is ONE
+    // aggregation carrying, for every fold k, the gradient sums over
+    // the rows with _fold <> k under fold k's current weights
+    var w = Array.fill(folds)(Seq.fill(featureCols.length + 1)(0.0))
+    val nTrain = Array.fill(folds)(0L)
+    var t = 0
+    val wNames =
+      (0 until folds).flatMap(k => w(k).indices.map(j => s"_wb${k}_$j"))
+    while (t < iters) {
+      // all folds' weights in ONE broadcast row (see marginFromCols):
+      // iterations share one compiled plan instead of recompiling a
+      // literal-baked aggregation every round
+      val joined = withFold.crossJoin(
+        broadcast(
+          weightsRow(df.sparkSession, wNames, (0 until folds).flatMap(w(_)))
+        )
+      )
+      val perFold = (0 until folds).flatMap { k =>
+        val wCols = w(k).indices.map(j => col(s"_wb${k}_$j"))
+        val p = round6(lit(1.0) / (lit(1.0) + exp(-marginFromCols(wCols, featureCols))))
+        val resid = col(labelCol) - p
+        val grads = (lit(1.0) +: featureCols.map(col)).zipWithIndex.map {
+          case (x, j) =>
+            decSum6(when(inTrain(k), round6(x * resid))).as(s"_g${k}_$j")
+        }
+        val cnt = sum(when(inTrain(k), 1L).otherwise(0L)).as(s"_n$k")
+        // same loud fit contract as [[fit]], checked once per fold's
+        // training set on the first pass
+        val bad =
+          if (t == 0)
+            Seq(sum(when(inTrain(k) && nulls, 1L).otherwise(0L)).as(s"_bad$k"))
+          else Nil
+        (cnt +: grads) ++ bad
+      }
+      val row = joined.agg(perFold.head, perFold.tail: _*).head()
+      (0 until folds).foreach { k =>
+        val n = row.getAs[Long](s"_n$k")
+        require(n > 0, s"cannot fit fold $k on an empty training frame")
+        if (t == 0) {
+          val bad = row.getAs[Long](s"_bad$k")
+          require(
+            bad == 0L,
+            s"$bad row(s) violate the fit contract (NULL label/feature) " +
+              "— filter them upstream; they would bias every update"
+          )
+        }
+        nTrain(k) = n
+        val denom = n.toDouble
+        w(k) = w(k).zipWithIndex.map { case (wj, j) =>
+          round6jvm(wj + lr * row.getAs[Double](s"_g${k}_$j") / denom)
+        }
+      }
+      t += 1
+    }
     (0 until folds)
       .map { k =>
-        val m =
-          fit(withFold.filter(col("_fold") =!= k), labelCol, featureCols, iters, lr)
+        val m = LogitModel(w(k), iters, lr, nTrain(k))
         auc(
           scored(withFold.filter(col("_fold") === k), m, featureCols),
           labelCol,

@@ -795,12 +795,22 @@ object Text {
           lit(buckets.toLong)
         ).as("bucket")
       )
-    val docB = fb.groupBy("id", "bucket").agg(count(lit(1)).as("n"))
-    val tgt = fb.where(col("_tgt")).groupBy("bucket").agg(count(lit(1)).as("tc"))
-    val raw = fb.groupBy("bucket").agg(count(lit(1)).as("rc"))
-    val tots = fb.agg(
-      sum(when(col("_tgt"), 1L).otherwise(0L)).as("tt"),
-      count(lit(1)).as("rt")
+    // ONE tokenize+pair+hash corpus pass: the per-(doc, bucket) count
+    // table is materialized (bounded by |docs| × buckets compact rows)
+    // and BOTH model tables plus the totals derive from it by exact
+    // integer sums — the four independent consumers of `fb` previously
+    // re-ran the dominant scan-side string work once EACH (r14 measured
+    // the query at 4 corpus passes). _tgt rides the group keys (it is
+    // constant per id), so groups — and every downstream count — are
+    // unchanged.
+    val docB = graft.functions.materialize(
+      fb.groupBy("id", "_tgt", "bucket").agg(count(lit(1)).as("n"))
+    )
+    val tgt = docB.where(col("_tgt")).groupBy("bucket").agg(sum(col("n")).as("tc"))
+    val raw = docB.groupBy("bucket").agg(sum(col("n")).as("rc"))
+    val tots = docB.agg(
+      sum(when(col("_tgt"), col("n")).otherwise(0L)).as("tt"),
+      sum(col("n")).as("rt")
     )
     val lr = raw
       .join(tgt, Seq("bucket"), "left")

@@ -202,6 +202,44 @@ class LogitSpec extends SparkSpec {
     assert(re.map(_.toSeq).toSeq == got.map(_.toSeq).toSeq)
   }
 
+  test("cvAuc's lockstep training is bit-identical to per-fold fit+auc") {
+    // The r14 single-aggregation-per-iteration restructure must produce
+    // EXACTLY the per-fold formulation's weights, scores and AUCs: the
+    // per-fold gradient sums are the same round6'd terms under the same
+    // exact DECIMAL arithmetic, just carried in one shared pass. Noisy,
+    // non-separable data so the AUCs are non-trivial values.
+    import org.apache.spark.sql.functions._
+    val folds = 3
+    val df = (0 until 150)
+      .map { i =>
+        val x = graft.functions.round6Jvm(LogitSpecData.x1(i))
+        val y = if ((i * 2654435761L % 7) < 3 ^ (x > 0.5)) 1.0 else 0.0
+        (i.toLong, y, x)
+      }
+      .toDF("id", "y", "x")
+    val got = Logit
+      .cvAuc(df, "y", Seq("x"), "id", folds = folds, iters = 5, lr = 2.0)
+      .orderBy("fold")
+      .collect()
+    // naive reference: md5 fold assignment + an independent fit per fold
+    val fold = pmod(
+      conv(substring(md5(concat(col("id").cast("string"), lit(":graft"))), 1, 13), 16, 10)
+        .cast("long"),
+      lit(folds)
+    ).cast("int")
+    val withFold = df.withColumn("_fold", fold)
+    val ref = (0 until folds).map { k =>
+      val m = Logit.fit(withFold.filter(col("_fold") =!= k), "y", Seq("x"), iters = 5, lr = 2.0)
+      val a = Logit
+        .auc(Logit.scored(withFold.filter(col("_fold") === k), m, Seq("x")), "y", "score")
+        .collect()
+        .head
+      (k, m.n, a.getAs[Long]("n_pos"), a.getAs[Long]("n_neg"),
+        if (a.isNullAt(a.fieldIndex("auc"))) null else a.getAs[Double]("auc"))
+    }
+    assert(got.map(_.toSeq).toSeq == ref.map(t => Seq(t._1, t._2, t._3, t._4, t._5)))
+  }
+
   test("hardExamples ranks misclassified rows first per class, ties on smaller id") {
     val df = Seq(
       (1L, 0.0, 0.9), // the most confident wrong negative
