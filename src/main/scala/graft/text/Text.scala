@@ -795,17 +795,19 @@ object Text {
           lit(buckets.toLong)
         ).as("bucket")
       )
-    // ONE tokenize+pair+hash corpus pass: the per-(doc, bucket) count
-    // table is materialized (bounded by |docs| × buckets compact rows)
-    // and BOTH model tables plus the totals derive from it by exact
-    // integer sums — the four independent consumers of `fb` previously
-    // re-ran the dominant scan-side string work once EACH (r14 measured
-    // the query at 4 corpus passes). _tgt rides the group keys (it is
-    // constant per id), so groups — and every downstream count — are
-    // unchanged.
-    val docB = graft.functions.materialize(
-      fb.groupBy("id", "_tgt", "bucket").agg(count(lit(1)).as("n"))
-    )
+    // ONE tokenize+pair+hash corpus pass: BOTH model tables plus the
+    // totals derive from the per-(doc, bucket) count table by exact
+    // integer sums. The four consumers previously aggregated the raw
+    // bigram stream with four DIFFERENT plans (no exchange reuse —
+    // the scan-side string work ran once each); deriving everything
+    // from the ONE shared groupBy makes all four subtrees identical
+    // up to the exchange, so ReusedExchange collapses them to a
+    // single corpus pass inside the job — no eager checkpoint needed
+    // (an eager materialize here was measured to COST 1.6 s on the
+    // plain log-weight key, which was one lazy job). _tgt rides the
+    // group keys (constant per id), so groups — and every downstream
+    // count — are unchanged.
+    val docB = fb.groupBy("id", "_tgt", "bucket").agg(count(lit(1)).as("n"))
     val tgt = docB.where(col("_tgt")).groupBy("bucket").agg(sum(col("n")).as("tc"))
     val raw = docB.groupBy("bucket").agg(sum(col("n")).as("rc"))
     val tots = docB.agg(
