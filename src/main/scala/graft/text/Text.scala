@@ -424,11 +424,15 @@ object Text {
     // would re-split the document O(tokens) times. An attribute read is
     // cheap, and CollapseProject keeps the stages separate precisely
     // because inlining would duplicate a non-trivial expression.
-    val toksDf = df.select(
-      col(idCol).as("id"),
-      length(col(textCol)).as("_nc"),
-      tokens(col(textCol)).as("_toks")
-    )
+    // spread: serial-scan guard for the tokenize + 3-gram transform +
+    // per-gram xxhash kernel (no-op on parallel inputs)
+    val toksDf = graft.functions
+      .spread(df)
+      .select(
+        col(idCol).as("id"),
+        length(col(textCol)).as("_nc"),
+        tokens(col(textCol)).as("_toks")
+      )
     val toks = col("_toks")
     def gramStrs(n: Int): Column =
       if (n == 1) toks else wordShinglesFromTokens(toks, n)
@@ -639,6 +643,11 @@ object Text {
       extraCols: Seq[(String, Column)] = Nil
   ): org.apache.spark.sql.DataFrame = {
     val arr = filter(split(normalize(col(textCol)), " "), t => t =!= "")
+    // no spread here: a 5-rep A/B on every consumer key (bigram LM,
+    // PMI, top-ngrams, DSIR) measured neutral — normalize+split is
+    // cheap relative to the exchange these pipelines already do right
+    // after (contrast repetitionSignals, whose 3-gram+hash kernel won
+    // 2x from spreading)
     df.select(
       Seq(col(idCol).as("id"), arr.as("_arr")) ++
         extraCols.map { case (n, c) => c.as(n) }: _*
