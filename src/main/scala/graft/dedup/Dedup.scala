@@ -1275,28 +1275,39 @@ object Dedup {
     * pass joins on span_hash against the much-smaller duplicate table,
     * a keyed shuffle that AQE can turn into a broadcast when the
     * duplicate set is small.
+    *
+    * `materializeSpans` (r14, the dial the r13 review asked for):
+    * `false` (default) re-derives the compact (id, span_hash) stream
+    * per consumer AT WORST — when the input is underparallelized the
+    * `spread` exchange sits below both consumers and ReusedExchange
+    * collapses them to ONE pass anyway (measured 0.09 s vs 0.33-0.51 s
+    * for the checkpoint at sf0.1); on an already-parallel input the
+    * recompute costs one extra scan. `true` localCheckpoints the span
+    * stream — one scan guaranteed at the price of a corpus-sized
+    * local-disk write; pick it when the tokenize pass dominates the
+    * checkpoint I/O (very long documents, expensive storage-side
+    * decode). Outputs are bit-identical in both modes (exact integer
+    * counts over deterministic md5 spans).
     */
   def dupSpanStats(
       df: DataFrame,
       textCol: String,
       idCol: String,
       spanWords: Int = 8,
-      minDocs: Int = 2
+      minDocs: Int = 2,
+      materializeSpans: Boolean = false
   ): DataFrame = {
-    // ONE tokenize+shingle+md5 pass, materialized: both consumers (the
-    // duplicate-hash table and the per-doc flag join) read the compact
-    // (id, span_hash) stream — re-deriving it per consumer would run
-    // the dominant string work over the corpus twice
-    val spans = graft.functions.materialize(
-      graft.functions
-        .spread(df) // serial-scan guard (no-op on parallel inputs)
-        .select(col(idCol), Text.tokens(col(textCol)).as("_toks"))
-        .select(
-          col(idCol),
-          explode(Text.wordShinglesFromTokens(col("_toks"), spanWords)).as("_span")
-        )
-        .select(col(idCol), md5(col("_span")).as("span_hash"))
-    )
+    val spanStream = graft.functions
+      .spread(df) // serial-scan guard (no-op on parallel inputs)
+      .select(col(idCol), Text.tokens(col(textCol)).as("_toks"))
+      .select(
+        col(idCol),
+        explode(Text.wordShinglesFromTokens(col("_toks"), spanWords)).as("_span")
+      )
+      .select(col(idCol), md5(col("_span")).as("span_hash"))
+    val spans =
+      if (materializeSpans) graft.functions.materialize(spanStream)
+      else spanStream
     val dupHashes = spans
       .groupBy(col("span_hash"))
       .agg(countDistinct(col(idCol)).as("_nd"))

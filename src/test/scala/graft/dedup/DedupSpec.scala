@@ -557,6 +557,21 @@ class DedupSpec extends SparkSpec {
     assert(stats(3L) == ((0L, 0L, 0.0)))
   }
 
+  test("dup-span stats: recompute and checkpoint modes are row-identical") {
+    // the r14 materializeSpans dial — both modes must produce the
+    // exact same table (integer counts over deterministic md5 spans)
+    val docs = (0 until 60)
+      .map(i => (i.toLong, if (i % 3 == 0) "a b c d e f g h i dup" else s"doc $i " * 5))
+      .toDF("doc_id", "text")
+    val a = Dedup
+      .dupSpanStats(docs, "text", "doc_id", spanWords = 4, materializeSpans = false)
+      .orderBy("doc_id").collect().map(_.toSeq).toSeq
+    val b = Dedup
+      .dupSpanStats(docs, "text", "doc_id", spanWords = 4, materializeSpans = true)
+      .orderBy("doc_id").collect().map(_.toSeq).toSeq
+    assert(a === b)
+  }
+
   test("source overlap matrix counts shared spans and induced doc pairs") {
     // span = 4 words; "a b c d" lives in src1 (docs 1,2) and src2
     // (doc 3) -> pair (src1,src2): 1 shared span, 2*1 doc pairs.
