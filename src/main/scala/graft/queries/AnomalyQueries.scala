@@ -657,9 +657,16 @@ object AnomalyQueries extends QueryPack {
         )
         .orderBy("event_type"),
     oracle = Some {
-      // letter-only tags (ga, gb, gc, …) keep CTE names unambiguous at
-      // any grid size — see the digit-final guard in calPwCtes
-      def tag(i: Int) = s"g${('a' + i).toChar}"
+      // letter-only tags (ga, gb, gc, …) keep CTE names unambiguous —
+      // see the digit-final guard in calPwCtes. 'a'+i only yields a
+      // letter for i <= 25 (i >= 26 would emit '{', '|', … and produce
+      // invalid/ambiguous CTE names), so a grid that large must extend
+      // this helper to base-26 first (r13 ADVICE; only n=3 is used
+      // today).
+      def tag(i: Int) = {
+        require(i < 26, s"letter tag helper supports at most 26 candidates, got index $i")
+        s"g${('a' + i).toChar}"
+      }
       val pwChains = autoCpGrid.zipWithIndex
         .map { case (cp, i) => calPwCtes(cp, tag(i)) }
         .mkString(", ")
