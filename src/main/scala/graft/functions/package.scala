@@ -31,6 +31,9 @@ package object functions {
     * (DECIMAL sums + round6), which the oracle gate re-checks.
     */
   def spread(df: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
+    // streaming frames have no .rdd to inspect (and micro-batch
+    // parallelism is the source's business) — no-op, never throw
+    if (df.isStreaming) return df
     val enabled = df.sparkSession.conf
       .getOption("graft.spread.enabled")
       .forall(_.toBoolean)
