@@ -29,27 +29,35 @@ object ProfileQuery {
     System.gc()
     names.foreach { n =>
       val fn = SparkEntry.queries(n)
-      // warm rep (untimed)
-      try fn(spark, sfDir).count()
-      catch { case e: Throwable => println(s"PROFILE $n ERROR ${e.getClass.getSimpleName}"); return }
-      spark.catalog.clearCache()
-      System.gc()
-      val t0 = System.nanoTime()
-      val df = fn(spark, sfDir)
-      val tConstruct = (System.nanoTime() - t0) / 1e9
-      val t1 = System.nanoTime()
-      df.count()
-      val tCount = (System.nanoTime() - t1) / 1e9
-      val phases = df.queryExecution.tracker.phases
-        .map { case (k, v) => s"$k=${(v.endTimeMs - v.startTimeMs) / 1000.0}" }
-        .toSeq
-        .sorted
-        .mkString(" ")
-      println(
-        f"PROFILE $n%-34s total=${tConstruct + tCount}%7.3f construct=$tConstruct%7.3f exec=$tCount%7.3f  $phases"
-      )
-      spark.catalog.clearCache()
-      System.gc()
+      // warm rep (untimed); a failing query skips ONLY itself — a
+      // `return` here would be a non-local return from main, silently
+      // aborting every remaining query and spark.stop() (r14 ADVICE)
+      val warmOk =
+        try { fn(spark, sfDir).count(); true }
+        catch {
+          case e: Throwable =>
+            println(s"PROFILE $n ERROR ${e.getClass.getSimpleName}"); false
+        }
+      if (warmOk) {
+        spark.catalog.clearCache()
+        System.gc()
+        val t0 = System.nanoTime()
+        val df = fn(spark, sfDir)
+        val tConstruct = (System.nanoTime() - t0) / 1e9
+        val t1 = System.nanoTime()
+        df.count()
+        val tCount = (System.nanoTime() - t1) / 1e9
+        val phases = df.queryExecution.tracker.phases
+          .map { case (k, v) => s"$k=${(v.endTimeMs - v.startTimeMs) / 1000.0}" }
+          .toSeq
+          .sorted
+          .mkString(" ")
+        println(
+          f"PROFILE $n%-34s total=${tConstruct + tCount}%7.3f construct=$tConstruct%7.3f exec=$tCount%7.3f  $phases"
+        )
+        spark.catalog.clearCache()
+        System.gc()
+      }
     }
     spark.stop()
   }

@@ -1276,17 +1276,21 @@ object Dedup {
     * a keyed shuffle that AQE can turn into a broadcast when the
     * duplicate set is small.
     *
-    * `materializeSpans` (r14, the dial the r13 review asked for):
-    * `false` (default) re-derives the compact (id, span_hash) stream
-    * per consumer AT WORST — when the input is underparallelized the
-    * `spread` exchange sits below both consumers and ReusedExchange
-    * collapses them to ONE pass anyway (measured 0.09 s vs 0.33-0.51 s
-    * for the checkpoint at sf0.1); on an already-parallel input the
-    * recompute costs one extra scan. `true` localCheckpoints the span
-    * stream — one scan guaranteed at the price of a corpus-sized
-    * local-disk write; pick it when the tokenize pass dominates the
-    * checkpoint I/O (very long documents, expensive storage-side
-    * decode). Outputs are bit-identical in both modes (exact integer
+    * `materializeSpans` (r14 dial; r15 auto default — the r14 ADVICE
+    * noted the flat `false` default re-ran the dominant tokenize+
+    * shingle+md5 pass twice exactly in the at-scale case):
+    * `Some(false)` re-derives the compact (id, span_hash) stream per
+    * consumer — right when the input is underparallelized, because the
+    * `spread` exchange then sits below both consumers and
+    * ReusedExchange collapses them to ONE pass anyway (measured 0.09 s
+    * vs 0.33-0.51 s for the checkpoint at sf0.1). `Some(true)`
+    * localCheckpoints the span stream — one scan guaranteed at the
+    * price of a compact (id, 32-byte hash) local-disk write; right on
+    * already-parallel inputs (the 100 TB case), where no shared
+    * exchange exists and recompute would tokenize the corpus twice.
+    * `None` (default) picks exactly that: recompute when `spread`
+    * inserted its exchange, materialize when the input was already
+    * parallel. Outputs are bit-identical in every mode (exact integer
     * counts over deterministic md5 spans).
     */
   def dupSpanStats(
@@ -1295,10 +1299,13 @@ object Dedup {
       idCol: String,
       spanWords: Int = 8,
       minDocs: Int = 2,
-      materializeSpans: Boolean = false
+      materializeSpans: Option[Boolean] = None
   ): DataFrame = {
-    val spanStream = graft.functions
-      .spread(df) // serial-scan guard (no-op on parallel inputs)
+    val spreadIn = graft.functions.spread(df) // serial-scan guard (no-op on parallel inputs)
+    // reference identity IS the signal: spread returns `df` itself
+    // when it declined to insert the round-robin exchange
+    val wasSpread = spreadIn ne df
+    val spanStream = spreadIn
       .select(col(idCol), Text.tokens(col(textCol)).as("_toks"))
       .select(
         col(idCol),
@@ -1306,7 +1313,8 @@ object Dedup {
       )
       .select(col(idCol), md5(col("_span")).as("span_hash"))
     val spans =
-      if (materializeSpans) graft.functions.materialize(spanStream)
+      if (materializeSpans.getOrElse(!wasSpread))
+        graft.functions.materialize(spanStream)
       else spanStream
     val dupHashes = spans
       .groupBy(col("span_hash"))

@@ -34,11 +34,35 @@ package object functions {
     // streaming frames have no .rdd to inspect (and micro-batch
     // parallelism is the source's business) — no-op, never throw
     if (df.isStreaming) return df
-    val enabled = df.sparkSession.conf
+    // Lenient flag parse (r14 ADVICE): only an explicit "false"/"off"/
+    // "0" disables; any other value (e.g. SPARK_GRAFT_SPREAD=1 passed
+    // through LocalSession) keeps the default-on behavior instead of
+    // throwing IllegalArgumentException from deep inside an operator.
+    val enabled = !df.sparkSession.conf
       .getOption("graft.spread.enabled")
-      .forall(_.toBoolean)
+      .exists(v =>
+        v.equalsIgnoreCase("false") || v.equalsIgnoreCase("off") || v == "0")
+    if (!enabled) return df
+    // Decide from the PHYSICAL plan, not df.rdd (r14 ADVICE, medium):
+    // under AQE (default on in Spark 4.x) `.rdd` finalizes the adaptive
+    // plan, eagerly EXECUTING every upstream shuffle/broadcast stage at
+    // DataFrame-construction time — and the later action re-runs them.
+    // spread's rationale (§2.5 input skew: unsplittable file → serial
+    // scan) only applies to exchange-free scan-side inputs anyway, so
+    // any plan carrying an Exchange or a subquery is left untouched
+    // without ever calling .rdd. For the remaining exchange-free plans
+    // `.rdd` builds the RDD lazily (no stages to materialize, no job)
+    // and its partition count IS the scan parallelism.
+    val plan = df.queryExecution.sparkPlan
+    val hasExchangeOrSubquery =
+      plan.exists {
+        case _: org.apache.spark.sql.execution.exchange.Exchange => true
+        case p => p.expressions.exists(_.exists(
+          _.isInstanceOf[org.apache.spark.sql.catalyst.expressions.PlanExpression[_]]))
+      }
     val target = df.sparkSession.sparkContext.defaultParallelism
-    if (enabled && df.rdd.getNumPartitions < target) df.repartition(target)
+    if (!hasExchangeOrSubquery && df.rdd.getNumPartitions < target)
+      df.repartition(target)
     else df
   }
 

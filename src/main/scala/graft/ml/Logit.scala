@@ -333,7 +333,11 @@ object Logit {
     * arithmetic as [[fit]] restricted to `_fold <> k`, so the trained
     * weights — and therefore every score and AUC — are bit-identical
     * to the per-fold formulation (spec-pinned against it).
-    * Output: one row per fold (fold, n_train, n_pos, n_neg, auc).
+    * Output: one row per fold (fold, n_train, n_pos, n_neg, auc),
+    * returned as a LOCAL frame: the operator is eager end to end (the
+    * training loop is k actions anyway), which lets the corpus-sized
+    * persisted projection be released before returning instead of
+    * living until driver GC (r15; r14 ADVICE).
     */
   def cvAuc(
       df: DataFrame,
@@ -359,8 +363,13 @@ object Logit {
       col(labelCol).cast(DoubleType).as(labelCol) +:
         featureCols.map(col) :+ fold.as("_fold")
     // one corpus pass: every fit scan and every scoring scan below
-    // reads this compact checkpointed projection
-    val withFold = graft.functions.materialize(df.select(keep: _*))
+    // reads this compact persisted projection. persist, NOT
+    // localCheckpoint (r14 ADVICE): checkpoint blocks lived until
+    // driver GC and a truncated lineage is unrecoverable after
+    // executor loss without a reliable checkpoint dir — persist keeps
+    // the lineage and is released in the finally below, the same
+    // pairing [[fit]] uses.
+    val withFold = df.select(keep: _*).persist(StorageLevel.MEMORY_AND_DISK)
     val nulls = (col(labelCol) +: featureCols.map(col))
       .map(_.isNull)
       .reduce(_ || _)
@@ -370,6 +379,7 @@ object Logit {
     // the rows with _fold <> k under fold k's current weights
     var w = Array.fill(folds)(Seq.fill(featureCols.length + 1)(0.0))
     val nTrain = Array.fill(folds)(0L)
+    try {
     var t = 0
     while (t < iters) {
       // weights enter as literals — same A/B-backed choice as [[fit]]
@@ -409,7 +419,7 @@ object Logit {
       }
       t += 1
     }
-    (0 until folds)
+    val out = (0 until folds)
       .map { k =>
         val m = LogitModel(w(k), iters, lr, nTrain(k))
         auc(
@@ -425,6 +435,17 @@ object Logit {
         )
       }
       .reduce(_ union _)
+    // The k fold-AUC rows are computed HERE (the operator is already
+    // eager — the training loop above ran one action per iteration)
+    // and returned as a local frame, so the corpus-sized projection
+    // can be RELEASED in the finally instead of pinning its blocks
+    // until driver GC (r14 ADVICE). Values/schema are verbatim.
+    val rows = out.collect()
+    out.sparkSession.createDataFrame(
+      java.util.Arrays.asList(rows: _*),
+      out.schema
+    )
+    } finally { withFold.unpersist(); () }
   }
 
   /** Per-feature point-biserial correlation with the label — the

@@ -36,12 +36,14 @@ object Graph {
     * undirected/symmetrized graphs); dangling mass is therefore zero
     * and no redistribution term is needed.
     *
-    * Scale shape: the edge table (joined once with out-degrees and
-    * persisted) is the big operand; each iteration is one equi-join of
-    * the |V|-sized rank table onto the edges plus one groupBy(dst)
-    * whose contribution rows map-side-combine before the exchange —
-    * the classic two-exchange-per-iteration distributed PageRank, no
-    * driver-side state, no collect. Plan lineage is truncated every
+    * Scale shape: the edge table (joined once with out-degrees,
+    * hash-partitioned by the join key src and persisted) is the big
+    * operand; each iteration is one equi-join of the |V|-sized rank
+    * table onto the edges — satisfied IN PLACE by the cached src
+    * partitioning whether the planner picks broadcast or sort-merge,
+    * so the edges are never re-shuffled — plus one groupBy(dst) whose
+    * exchange carries only map-side-combined per-dst partial sums.
+    * No driver-side state, no collect. Plan lineage is truncated every
     * [[checkpointEvery]] rounds automatically, so deep caller-supplied
     * iteration counts keep constant per-round analysis cost; the fixed
     * small counts used for quality priors (3-10) never hit the cadence.
@@ -66,7 +68,18 @@ object Graph {
     require(damping > 0 && damping < 1, s"damping must be in (0,1), got $damping")
     val e = edges.select(col(srcCol).as("src"), col(dstCol).as("dst"))
     val deg = e.groupBy("src").agg(count(lit(1)).as("deg"))
-    val ed = e.join(deg, "src").persist()
+    // Hash-partition the persisted edges-with-degree table by the JOIN
+    // key src ONCE (r15; guide §2.4). The point, verified on executed
+    // plans: the planner cannot size an aggregate-derived rank table,
+    // so it plans the per-iteration join as sort-merge and inserts a
+    // probe-side exchange directly above this cache — a leaf stage
+    // that AQE MATERIALIZES (full edge shuffle, every iteration)
+    // before its stats let it flip the join to broadcast. With the
+    // cache already hash-partitioned by src that exchange is never
+    // planned; the contribution groupBy(dst) still pays one exchange,
+    // but of map-side-combined (dst, partial-sum) rows bounded by |V|
+    // per partition, not the edge list.
+    val ed = e.join(deg, "src").repartition(col("src")).persist()
     val nodes = deg.select(col("src").as("node"), col("deg"))
     var ranks = nodes.withColumn("rank", lit(1.0))
     for (i <- 1 to iterations) {
@@ -115,14 +128,16 @@ object Graph {
     * the in-neighbor aggregation would silently drop out.
     *
     * Scale shape, per iteration: one equi-join of the |V|-row label
-    * table onto the persisted edge list, one map-side-combinable
+    * table onto the persisted edge list (satisfied in place by the
+    * cache's src partitioning — the edges are never re-shuffled, see
+    * the r15 note at the cache build), one map-side-combinable
     * (node, label) count, then the per-node argmax as a SECOND hash
-    * aggregation — `min(struct(-count, label))` picks the highest
-    * count and breaks ties to the smallest label with no sort anywhere
-    * (a window argmax would sort every node partition; the struct-min
-    * is map-side-combinable and skew-immune). Counts are >= 1 so the
-    * negation never overflows. Integer-only arithmetic: nothing to
-    * round, bit-identical on any engine.
+    * aggregation over the packed (count, label) long, which picks the
+    * highest count and breaks ties to the smallest label with no sort
+    * anywhere (a window argmax would sort every node partition; the
+    * packed max is map-side-combinable and skew-immune). Counts
+    * are >= 1 so the packing never overflows. Integer-only
+    * arithmetic: nothing to round, bit-identical on any engine.
     */
   /** Per-node triangle count and local clustering coefficient over a
     * symmetric edge list: `(node, degree, triangles, clustering)`.
@@ -210,16 +225,26 @@ object Graph {
       iterations: Int
   ): DataFrame = {
     require(iterations >= 1, s"iterations must be >= 1, got $iterations")
-    val e = edges.select(col(srcCol).as("src"), col(dstCol).as("dst")).persist()
+    // ONE full-edge exchange for ALL rounds (r15; guide §2.4): the
+    // edge table is hash-partitioned by the JOIN key src ONCE at cache
+    // build. Verified on executed plans: the planner cannot size the
+    // aggregate-derived label table, plans every round's join as
+    // sort-merge, and inserts a probe-side exchange directly above the
+    // edge cache — a leaf stage AQE MATERIALIZES (a full-edge shuffle
+    // per round) before its runtime stats flip the join to broadcast.
+    // With the cache already partitioned by src that exchange is never
+    // planned, and the broadcast join preserves the partitioning. The
+    // r14 shape instead paid that probe shuffle PLUS a full-edge
+    // repartition(dst) per round; the two chained aggregations now pay
+    // one exchange of map-side-combined (dst,label,count) rows —
+    // bounded by the surviving distinct pairs, shrinking every round
+    // as communities converge — plus one |V|-bounded argmax exchange.
+    val e = edges.select(col(srcCol).as("src"), col(dstCol).as("dst"))
+      .repartition(col("src"))
+      .persist()
     var labels = e.select(col("src").as("node")).distinct()
       .withColumn("label", col("node"))
     for (i <- 1 to iterations) {
-      // One exchange per iteration: hash-partition the joined edges by
-      // dst once — hashpartitioning(dst) satisfies the clustering of
-      // BOTH downstream aggregations (groupBy(dst,label) and
-      // groupBy(node)), so neither re-shuffles. The struct-min argmax
-      // plans as a SortAggregate (struct buffers aren't hash-mutable),
-      // but its node-sort is partition-local under the same clustering.
       // argmax-count with min-label tiebreak PACKED into one long:
       // (count << 32) | (2^32-1-label). A plain max() is then
       // hash-aggregable (ObjectHashAggregate on a struct-min buffer
@@ -227,7 +252,6 @@ object Graph {
       // per iteration). Labels are node ids < 2^31 by contract.
       labels = e
         .join(labels.withColumnRenamed("node", "src"), "src")
-        .repartition(col("dst"))
         .groupBy(col("dst").as("node"), col("label"))
         .agg(count(lit(1)).as("_c"))
         .groupBy("node")
@@ -269,10 +293,12 @@ object Graph {
     * analogue of a quality prior for crawl corpora.
     *
     * Scale shape: the LOOP VARIABLE is the |V|-bounded alive-node set,
-    * never the edge list — per round the persisted edges semi-join the
+    * never the edge list — per round the persisted edges (hash-
+    * partitioned by src once at cache build, r15) semi-join the
     * alive set on both endpoints (AQE broadcasts the node table; the
-    * edges themselves are scanned, not re-shuffled) and ONE map-side-
-    * combinable groupBy(src) recounts degrees. The alive set is
+    * edges themselves are scanned, not re-shuffled) and ONE
+    * groupBy(src) recounts degrees in place on the cached
+    * partitioning, with no per-round exchange. The alive set is
     * materialized every round: it is tiny, it feeds three plan
     * branches (both semi-joins + the next round), and an
     * edge-list-valued loop variable was measured 2.5× slower at sf0.1
@@ -296,12 +322,19 @@ object Graph {
     require(k >= 1, s"k must be >= 1, got $k")
     require(rounds >= 1, s"rounds must be >= 1, got $rounds")
     val dir = edges.select(col(srcCol).as("src"), col(dstCol).as("dst"))
+    // Hash-partition the persisted edges by src ONCE (r15; guide §2.4):
+    // every round's degree recount groupBy(src) — and the final one —
+    // then aggregates IN PLACE on the cached partitioning instead of
+    // paying a per-round exchange, and when a huge alive set forces the
+    // src-side semi-join to sort-merge, the edge side is already
+    // clustered by src and only the alive side shuffles. Costs one
+    // staging exchange at cache build; saves rounds+1 of them.
     val e = (if (symmetrize)
                dir
                  .union(dir.select(col("dst").as("src"), col("src").as("dst")))
                  .where(col("src") =!= col("dst"))
                  .distinct()
-             else dir).persist()
+             else dir).repartition(col("src")).persist()
     def induced(alive: DataFrame) = e
       .join(alive, Seq("src"), "left_semi")
       .join(alive.select(col("src").as("dst")), Seq("dst"), "left_semi")

@@ -564,12 +564,18 @@ class DedupSpec extends SparkSpec {
       .map(i => (i.toLong, if (i % 3 == 0) "a b c d e f g h i dup" else s"doc $i " * 5))
       .toDF("doc_id", "text")
     val a = Dedup
-      .dupSpanStats(docs, "text", "doc_id", spanWords = 4, materializeSpans = false)
+      .dupSpanStats(docs, "text", "doc_id", spanWords = 4, materializeSpans = Some(false))
       .orderBy("doc_id").collect().map(_.toSeq).toSeq
     val b = Dedup
-      .dupSpanStats(docs, "text", "doc_id", spanWords = 4, materializeSpans = true)
+      .dupSpanStats(docs, "text", "doc_id", spanWords = 4, materializeSpans = Some(true))
       .orderBy("doc_id").collect().map(_.toSeq).toSeq
     assert(a === b)
+    // r15 auto default (None): input-parallelism-derived mode choice
+    // must also be row-identical to both forced modes
+    val c = Dedup
+      .dupSpanStats(docs, "text", "doc_id", spanWords = 4)
+      .orderBy("doc_id").collect().map(_.toSeq).toSeq
+    assert(a === c)
   }
 
   test("source overlap matrix counts shared spans and induced doc pairs") {

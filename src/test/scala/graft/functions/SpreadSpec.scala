@@ -43,4 +43,29 @@ class SpreadSpec extends SparkSpec {
       assert(graft.functions.spread(one).rdd.getNumPartitions == 1)
     } finally spark.conf.unset("graft.spread.enabled")
   }
+
+  test("spread never touches a plan carrying an exchange (r15 guard)") {
+    // r14 ADVICE (medium): under AQE, inspecting .rdd on a plan with
+    // upstream exchanges EXECUTES those stages at construction time
+    // and the later action re-runs them. spread's serial-scan
+    // rationale only applies to exchange-free scan inputs, so such a
+    // plan is left alone — even when its partition count is low.
+    val shuffled = (1 to 100).toDF("v").repartition(1)
+    val s = graft.functions.spread(shuffled)
+    assert(s.queryExecution.logical eq shuffled.queryExecution.logical)
+  }
+
+  test("graft.spread.enabled parses leniently (r15: '1' keeps default-on)") {
+    spark.conf.set("graft.spread.enabled", "1")
+    try {
+      val one = (1 to 10).toDF("v").coalesce(1)
+      // non-false value: enabled, no IllegalArgumentException
+      assert(graft.functions.spread(one).rdd.getNumPartitions == target)
+    } finally spark.conf.unset("graft.spread.enabled")
+    spark.conf.set("graft.spread.enabled", "off")
+    try {
+      val one = (1 to 10).toDF("v").coalesce(1)
+      assert(graft.functions.spread(one).rdd.getNumPartitions == 1)
+    } finally spark.conf.unset("graft.spread.enabled")
+  }
 }
