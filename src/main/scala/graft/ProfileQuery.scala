@@ -27,6 +27,17 @@ object ProfileQuery {
     } catch { case scala.util.control.NonFatal(_) => () }
     spark.catalog.clearCache()
     System.gc()
+    // job counter (r15): a key's wall time at local test scale is
+    // ≈ jobs × the 150-400 ms scheduler floor, so the count is the
+    // first-order explanation of every profile line
+    val jobs = new java.util.concurrent.atomic.AtomicInteger(0)
+    spark.sparkContext.addSparkListener(
+      new org.apache.spark.scheduler.SparkListener {
+        override def onJobStart(
+            js: org.apache.spark.scheduler.SparkListenerJobStart): Unit = {
+          jobs.incrementAndGet(); ()
+        }
+      })
     names.foreach { n =>
       val fn = SparkEntry.queries(n)
       // warm rep (untimed); a failing query skips ONLY itself — a
@@ -41,19 +52,23 @@ object ProfileQuery {
       if (warmOk) {
         spark.catalog.clearCache()
         System.gc()
+        val j0 = jobs.get()
         val t0 = System.nanoTime()
         val df = fn(spark, sfDir)
         val tConstruct = (System.nanoTime() - t0) / 1e9
+        val jConstruct = jobs.get() - j0
         val t1 = System.nanoTime()
         df.count()
         val tCount = (System.nanoTime() - t1) / 1e9
+        Thread.sleep(100) // let async job-start events drain
+        val jTotal = jobs.get() - j0
         val phases = df.queryExecution.tracker.phases
           .map { case (k, v) => s"$k=${(v.endTimeMs - v.startTimeMs) / 1000.0}" }
           .toSeq
           .sorted
           .mkString(" ")
         println(
-          f"PROFILE $n%-34s total=${tConstruct + tCount}%7.3f construct=$tConstruct%7.3f exec=$tCount%7.3f  $phases"
+          f"PROFILE $n%-34s total=${tConstruct + tCount}%7.3f construct=$tConstruct%7.3f exec=$tCount%7.3f jobs=$jTotal%3d (construct $jConstruct%2d)  $phases"
         )
         spark.catalog.clearCache()
         System.gc()

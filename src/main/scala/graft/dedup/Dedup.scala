@@ -484,6 +484,36 @@ object Dedup {
       .select("id_l", "id_r", "jaccard")
       .distinct()
 
+  /** [[crossMinhashPairs]] where BOTH sides are precomputed signature
+    * tables ((id, sig) rows, same numHashes) — the shape the
+    * incremental pipeline needs (r15): each batch's signatures are
+    * computed once, checkpointed, and serve both the near-dup join
+    * against the prior batches' stored tables and the batch's own
+    * persisted signature tree, instead of tokenize+minhashing the
+    * batch twice. Sides must share (shingleN, numHashes, bands) —
+    * enforced upstream by the signatures/_meta pin where applicable.
+    */
+  def crossMinhashPairsBetweenSigs(
+      leftSigs: DataFrame,
+      rightSigs: DataFrame,
+      numHashes: Int = 16,
+      bands: Int = 4,
+      threshold: Double = 0.5,
+      leftBucketCap: Int = 0
+  ): DataFrame =
+    BucketJoin
+      .crossPairs(
+        bandedFromSigs(leftSigs.select(col("id"), col("sig")), numHashes, bands),
+        bandedFromSigs(rightSigs.select(col("id"), col("sig")), numHashes, bands),
+        Seq("band", "bucket"),
+        "sig",
+        leftBucketCap
+      )
+      .withColumn("jaccard", estJaccard(numHashes))
+      .where(col("jaccard") >= threshold)
+      .select("id_l", "id_r", "jaccard")
+      .distinct()
+
   /** 64-bit SimHash over a *materialized* token-hash array (see
     * [[Text.tokenHashes]]): bit j of the signature is the sign of
     * sum(+1/-1 over tokens by bit j of the token hash). Backed by the
@@ -1280,10 +1310,13 @@ object Dedup {
     * noted the flat `false` default re-ran the dominant tokenize+
     * shingle+md5 pass twice exactly in the at-scale case):
     * `Some(false)` re-derives the compact (id, span_hash) stream per
-    * consumer — right when the input is underparallelized, because the
-    * `spread` exchange then sits below both consumers and
-    * ReusedExchange collapses them to ONE pass anyway (measured 0.09 s
-    * vs 0.33-0.51 s for the checkpoint at sf0.1). `Some(true)`
+    * consumer — right when the input is underparallelized: both
+    * passes then run in parallel above the spread exchange (measured
+    * 0.09-0.17 s vs 0.33-0.51 s for the checkpoint at sf0.1; note the
+    * r14 hope that ReusedExchange would collapse the two consumers
+    * was refuted by the r15 executed plans — the two spread exchanges
+    * execute separately, it is the post-spread parallelism that makes
+    * recompute cheap). `Some(true)`
     * localCheckpoints the span stream — one scan guaranteed at the
     * price of a compact (id, 32-byte hash) local-disk write; right on
     * already-parallel inputs (the 100 TB case), where no shared

@@ -302,20 +302,31 @@ object Incremental {
         demotePriorDuplicates(funnel, prior, textCol, fpCol = Some("fp")))
     // optional cross-batch near-dup: the funnel frame feeds BOTH the
     // candidate side of the signature join and the final write, so it
-    // is materialized once instead of executing twice
-    val withNear = nearDupThreshold
+    // is materialized once instead of executing twice. The batch's
+    // signature table is ALSO computed here, once, over the would-be-
+    // kept candidates and checkpointed (~136 B/doc): it serves the
+    // near-dup join AND, filtered to the finally-kept ids, the
+    // persisted signature tree — r15, previously the batch was
+    // tokenize+minhashed twice (once inside the join, once for the
+    // write). A signature depends only on the text, so candidate-set
+    // signatures filtered to final keeps are bit-identical to
+    // recomputing over the final keeps.
+    val (withNear, candidateSigs) = nearDupThreshold
       .flatMap(thr => priorSignatures(spark, root).map((_, thr)))
-      .fold(withPrior) { case (sigs, thr) =>
+      .fold((withPrior, Option.empty[DataFrame])) { case (sigs, thr) =>
         val once = graft.functions.materialize(withPrior)
-        val nearIds = graft.dedup.Dedup
-          .crossMinhashPairsFromSigs(
-            sigs,
+        val batchSigs = graft.functions.materialize(
+          graft.dedup.Dedup.minhashSignatureTable(
             once.where(col("kept")).select(col(idCol), col(textCol)),
-            textCol, idCol, shingleN, numHashes, bands, thr, priorBucketCap)
+            textCol, idCol, shingleN, numHashes)
+        )
+        val nearIds = graft.dedup.Dedup
+          .crossMinhashPairsBetweenSigs(
+            sigs, batchSigs, numHashes, bands, thr, priorBucketCap)
           .select(col("id_r").as(idCol))
           .distinct()
           .withColumn("_near_prior", lit(true))
-        once
+        val flagged = once
           .join(nearIds, Seq(idCol), "left")
           .withColumn(
             "drop_reason",
@@ -324,6 +335,7 @@ object Incremental {
           )
           .withColumn("kept", col("drop_reason") === "kept")
           .drop("_near_prior")
+        (flagged, Some(batchSigs))
       }
     withNear.write.mode("overwrite").parquet(s"$root/batches/batch=$batchId")
     // fingerprints and signatures are derived from the WRITTEN output
@@ -337,8 +349,21 @@ object Incremental {
       .write
       .mode("overwrite")
       .parquet(s"$root/fingerprints/batch=$batchId")
-    graft.dedup.Dedup
-      .minhashSignatureTable(kept, textCol, idCol, shingleN, numHashes)
+    candidateSigs
+      .fold(
+        // no near-dup pass computed signatures: one tokenize+minhash
+        // over the written kept rows, as before
+        graft.dedup.Dedup
+          .minhashSignatureTable(kept, textCol, idCol, shingleN, numHashes)
+      )(sigTable =>
+        // reuse the checkpointed candidate signatures: final keeps are
+        // a subset of candidates, so a semi-join on the committed kept
+        // ids IS the final signature table — no second minhash pass
+        sigTable.join(
+          kept.select(col(idCol).as("id")),
+          Seq("id"),
+          "left_semi"
+        ))
       .write
       .mode("overwrite")
       .parquet(s"$root/signatures/batch=$batchId")

@@ -131,13 +131,21 @@ object Drift {
       tsCol: String = "ts",
       valueCol: String = "value"
   ): DataFrame = {
-    val c = df
-      .where(col(valueCol).isNotNull)
-      .groupBy(
-        date_trunc("day", col(tsCol)).as("_day"),
-        col(valueCol).as("_v")
-      )
-      .agg(count(lit(1)).as("_n"))
+    // materialized (r15): the two union branches below consume these
+    // counts once each, and the r15 executed plans showed the raw scan
+    // + aggregation executing TWICE (exchange reuse did not fire), so
+    // "one scan collapses raw rows to counts" was only true per
+    // branch. The count table is metric-grain (|days| × |values|),
+    // so checkpointing it is cheap at any raw-data scale.
+    val c = graft.functions.materialize(
+      df
+        .where(col(valueCol).isNotNull)
+        .groupBy(
+          date_trunc("day", col(tsCol)).as("_day"),
+          col(valueCol).as("_v")
+        )
+        .agg(count(lit(1)).as("_n"))
+    )
     // replay each day's counts onto both sides of its adjacent pairs:
     // keyed by the CURRENT day of the pair (_pday)
     val merged = c
@@ -151,6 +159,15 @@ object Drift {
       .unionAll(
         c.select(col("_day").as("_pday"), col("_v"), lit(0L).as("_na"), col("_n").as("_nb"))
       )
+      // ONE day-pair exchange for the whole tail (r15; guide §2.4):
+      // hashpartitioning(_pday) satisfies the clustering of this
+      // groupBy(_pday,_v), the totals aggregate, the totals join AND
+      // the cumulative-CDF window — without it each re-exchanged
+      // ((_pday,_v) partitioning does not satisfy _pday clustering),
+      // measured 11 jobs → 7 at sf0.1. The day-pair was already the
+      // window's partition grain, so skew is unchanged by keying the
+      // exchange on it.
+      .repartition(col("_pday"))
       .groupBy("_pday", "_v")
       .agg(sum(col("_na")).as("_na"), sum(col("_nb")).as("_nb"))
     val totals = merged
@@ -303,10 +320,15 @@ object Drift {
       maxGroups: Int = 100
   ): DataFrame = {
     require(maxGroups >= 2, s"maxGroups must be >= 2, got $maxGroups")
-    val counts = df
-      .where(col(groupCol).isNotNull && col(valueCol).isNotNull)
-      .groupBy(col(groupCol).as("_g"), col(valueCol).as("_v"))
-      .agg(count(lit(1)).as("_n"))
+    // materialized (r15) for the same reason as [[ksDrift]]'s count
+    // table: three consumers below (the group roster + both pair
+    // sides) otherwise re-run the raw scan + aggregation each
+    val counts = graft.functions.materialize(
+      df
+        .where(col(groupCol).isNotNull && col(valueCol).isNotNull)
+        .groupBy(col(groupCol).as("_g"), col(valueCol).as("_v"))
+        .agg(count(lit(1)).as("_n"))
+    )
     val groups = counts
       .select("_g")
       .distinct()
@@ -338,6 +360,11 @@ object Drift {
       )
     val merged = sideA
       .unionAll(sideB)
+      // ONE pair-grain exchange for the whole tail — same §2.4 move
+      // (and the same skew argument) as [[ksDrift]]: (group_a,group_b)
+      // partitioning satisfies this groupBy, the totals aggregate, the
+      // totals join and the CDF window, none of which then re-exchange
+      .repartition(col("group_a"), col("group_b"))
       .groupBy("group_a", "group_b", "_v")
       .agg(sum(col("_na")).as("_na"), sum(col("_nb")).as("_nb"))
     val totals = merged

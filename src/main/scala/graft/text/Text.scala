@@ -794,7 +794,9 @@ object Text {
   ): org.apache.spark.sql.DataFrame = {
     import org.apache.spark.sql.types.DecimalType
     require(buckets > 1, s"buckets must be > 1, got $buckets")
-    val fb = bigramPairs(df, textCol, idCol, Seq("_tgt" -> isTarget))
+    val fb = bigramPairs(
+      graft.functions.spread(df), // serial-scan guard for the one tokenize+pair+md5 pass
+      textCol, idCol, Seq("_tgt" -> isTarget))
       .select(
         col("id"),
         col("_tgt"),
@@ -806,17 +808,27 @@ object Text {
       )
     // ONE tokenize+pair+hash corpus pass: BOTH model tables plus the
     // totals derive from the per-(doc, bucket) count table by exact
-    // integer sums. The four consumers previously aggregated the raw
-    // bigram stream with four DIFFERENT plans (no exchange reuse —
-    // the scan-side string work ran once each); deriving everything
-    // from the ONE shared groupBy makes all four subtrees identical
-    // up to the exchange, so ReusedExchange collapses them to a
-    // single corpus pass inside the job — no eager checkpoint needed
-    // (an eager materialize here was measured to COST 1.6 s on the
-    // plain log-weight key, which was one lazy job). _tgt rides the
-    // group keys (constant per id), so groups — and every downstream
-    // count — are unchanged.
-    val docB = fb.groupBy("id", "_tgt", "bucket").agg(count(lit(1)).as("n"))
+    // integer sums. r14 derived all four consumers from this shared
+    // groupBy expecting runtime exchange reuse to collapse them; the
+    // r15 EXECUTED plans (plans/r15/pipeline_dsir_sample_executed.txt)
+    // showed reuse does NOT fire — the identical subtrees ran as
+    // three-plus separate corpus passes. So the compact per-(doc,
+    // bucket) count table (|docs|·buckets-bounded integer rows, ~4%
+    // of the raw bigram stream here) is explicitly materialized: the
+    // corpus pass provably runs once. Unlike r14's regretted eager
+    // checkpoint this one is post-aggregation and small, and the r14
+    // "1.6 s regression" on the plain log-weight key turns out to be
+    // the guide-§1.4 count() trap: the bench's count() eliminates the
+    // whole weight computation through the unique-key left join, so
+    // that key's bench time measured a pruned no-op. Under the noop
+    // sink (full computation, 5-rep medians minutes apart) this
+    // materialize + the spread above take text_dsir_logweight
+    // 3.23→1.65 s and pipeline_dsir_sample 3.11→1.75 s. _tgt rides
+    // the group keys (constant per id), so groups — and every
+    // downstream count — are unchanged.
+    val docB = graft.functions.materialize(
+      fb.groupBy("id", "_tgt", "bucket").agg(count(lit(1)).as("n"))
+    )
     val tgt = docB.where(col("_tgt")).groupBy("bucket").agg(sum(col("n")).as("tc"))
     val raw = docB.groupBy("bucket").agg(sum(col("n")).as("rc"))
     val tots = docB.agg(

@@ -23,9 +23,17 @@ object IncrementalProfile {
     spark.catalog.clearCache()
     System.gc()
     val jobs = new java.util.concurrent.atomic.AtomicInteger(0)
+    val verbose = sys.env.get("INCR_PROFILE_VERBOSE").contains("1")
     val listener = new SparkListener {
       override def onJobStart(jobStart: SparkListenerJobStart): Unit = {
-        jobs.incrementAndGet(); ()
+        jobs.incrementAndGet()
+        if (verbose) {
+          val site = Option(jobStart.properties)
+            .flatMap(p => Option(p.getProperty("callSite.short")))
+            .getOrElse("?")
+          println(s"INCRJOB ${jobStart.jobId} stages=${jobStart.stageInfos.size} $site")
+        }
+        ()
       }
     }
     spark.sparkContext.addSparkListener(listener)
@@ -33,8 +41,10 @@ object IncrementalProfile {
       val j0 = jobs.get()
       val t0 = System.nanoTime()
       val r = body
-      // listener events are async; drain before reading the counter
-      spark.sparkContext.listenerBus.waitUntilEmpty()
+      // listener events are async; give the bus a moment to drain
+      // (job starts are posted synchronously with submission, so a
+      // short settle is enough for a counting profile)
+      Thread.sleep(200)
       println(
         f"INCR $name%-22s jobs=${jobs.get() - j0}%3d wall=${(System.nanoTime() - t0) / 1e9}%7.3f"
       )
